@@ -1,0 +1,29 @@
+"""eventstreamml_spark — a PySpark-native event-stream analytics engine.
+
+A from-scratch Spark implementation of the query / data-processing
+capabilities of the reference event-stream library (single-process
+pandas), re-expressed as lazy Catalyst DataFrame plans:
+
+- canonical event/measurement/subject data model (``datamodel``)
+- sources & sinks (``sources``)
+- relational operator library: filters, joins, aggregations, windows,
+  set ops (``operators``)
+- vocabulary induction (``vocabulary``)
+- numeric preprocessing estimators: outlier detection, normalization,
+  value-type inference (``preprocessing``)
+- LLM-data-pipeline operators: dedup, similarity search, text analysis,
+  multimodal plumbing (``operators.dedup`` / ``.similarity`` / ``.text``
+  / ``.multimodal``)
+- structured-streaming ingestion (``streaming``)
+
+Design stance (SURVEY.md §7): Estimator/Transformer over DataFrames;
+fit stages emit small model-state DataFrames, transform stages are pure
+Column expressions + broadcast joins. No RDDs; ``applyInPandas`` only
+where per-group model fitting requires it.
+"""
+
+from eventstreamml_spark.session import get_spark
+
+__version__ = "0.1.0"
+
+__all__ = ["get_spark", "__version__"]

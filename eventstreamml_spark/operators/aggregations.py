@@ -1,0 +1,209 @@
+"""Grouped aggregation operators — SURVEY §2.4 A1-A16 (relational subset).
+
+All aggregations are expressed with built-in ``pyspark.sql.functions``
+(JVM-side, whole-stage-codegen, map-side partial aggregation for free).
+Per-key model fitting (A11/A13/A14) lives in ``preprocessing``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def agg_by_time_type(
+    df: DataFrame,
+    subject_col: str = "subject_id",
+    ts_col: str = "timestamp",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """A1: deduplicate events on (subject, timestamp, event_type).
+
+    Reference semantics (event_stream_dataset.py:673-700; golden test
+    test_event_stream_dataset.py:497-546): group duplicate events,
+    collect the old event ids per group, renumber groups 0..n-1 in
+    (subject, ts) sort order.
+
+    Returns ``(event_id, subject_col, ts_col, type_col, old_event_ids
+    array<long>, n_merged)``. Use :func:`remap_event_ids` (J7) to point
+    a metadata table at the new ids.
+
+    Scale: one shuffle on the full grouping key. The 0..n-1 renumbering
+    is a global row_number — kept for reference parity; at 100 TB swap
+    for a two-phase (per-partition offset) numbering.
+    """
+    grouped = df.groupBy(subject_col, ts_col, type_col).agg(
+        F.sort_array(F.collect_set(F.col(id_col))).alias("old_event_ids"),
+        F.count(F.lit(1)).alias("n_merged"),
+    )
+    w = W.orderBy(F.col(subject_col).asc(), F.col(ts_col).asc(), F.col(type_col).asc())
+    return grouped.withColumn(id_col, F.row_number().over(w) - F.lit(1)).select(
+        id_col, subject_col, ts_col, type_col, "old_event_ids", "n_merged"
+    )
+
+
+def remap_event_ids(
+    metadata: DataFrame,
+    dedup: DataFrame,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """J7: point metadata at post-dedup event ids via a join-based remap
+    (the reference's dict ``replace`` OOM workaround,
+    event_stream_dataset.py:687-699, redesigned as a join)."""
+    mapping = dedup.select(
+        F.explode("old_event_ids").alias("_old_id"), F.col(id_col).alias("_new_id")
+    )
+    return (
+        metadata.withColumnRenamed(id_col, "_old_id")
+        .join(mapping, "_old_id", "left")
+        .withColumn(id_col, F.col("_new_id"))
+        .drop("_old_id", "_new_id")
+    )
+
+
+def event_type_histogram(df: DataFrame, type_col: str = "event_type") -> DataFrame:
+    """A2: event types by descending frequency
+    (``Counter.most_common()``, event_stream_dataset.py:658)."""
+    return (
+        df.groupBy(type_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.col("n_events").desc(), F.col(type_col).asc())
+    )
+
+
+def events_per_subject(
+    df: DataFrame,
+    subjects: DataFrame | None = None,
+    subject_col: str = "subject_id",
+) -> DataFrame:
+    """A3: events per subject; zero-event subjects get 0 when a
+    ``subjects`` table is supplied (event_stream_dataset.py:660-666)."""
+    counts = df.groupBy(subject_col).agg(F.count(F.lit(1)).alias("n_events"))
+    if subjects is None:
+        return counts
+    return (
+        subjects.select(subject_col)
+        .distinct()
+        .join(counts, subject_col, "left")
+        .withColumn("n_events", F.coalesce(F.col("n_events"), F.lit(0)))
+    )
+
+
+def inter_event_time_stats(
+    df: DataFrame,
+    subject_col: str = "subject_id",
+    ts_col: str = "timestamp",
+    id_col: str | None = "event_id",
+    unit_seconds: float = 60.0,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """A9: stats of log(Δt+1) over per-subject inter-event times.
+
+    Reference (event_stream_dataset.py:873-892, golden at
+    test_event_stream_dataset.py:667-707): per-subject ``.diff()`` of
+    timestamps, divided into scalar units, ``log(x+1)``, then mean and
+    **sample** std (ddof=1 ⇒ ``stddev_samp``). First-event nulls are
+    dropped. ``by`` adds grouping columns (empty = global, one row).
+    """
+    from eventstreamml_spark.operators.windows import with_inter_event_time
+
+    with_tte = with_inter_event_time(
+        df, subject_col, ts_col, id_col, unit_seconds=unit_seconds, out_col="_tte"
+    ).filter(F.col("_tte").isNotNull())
+    log_tte = F.log(F.col("_tte") + F.lit(1.0))
+    aggs = [
+        F.count(F.lit(1)).alias("n_ttes"),
+        F.avg(log_tte).alias("mean_log_tte"),
+        F.stddev_samp(log_tte).alias("std_log_tte"),
+        F.avg(F.col("_tte")).alias("mean_tte"),
+    ]
+    if by:
+        return with_tte.groupBy(*by).agg(*aggs)
+    return with_tte.agg(*aggs)
+
+
+def column_observation_rate(df: DataFrame, cols: list[str]) -> DataFrame:
+    """A6: observation frequency per column — ``count(col)/count(*)``
+    in one pass (event_stream_dataset.py:1341-1348)."""
+    n = F.count(F.lit(1))
+    return df.agg(
+        n.alias("n_rows"),
+        *[(F.count(F.col(c)) / n).alias(f"{c}_obs_rate") for c in cols],
+    )
+
+
+def integerness(df: DataFrame, col: str) -> DataFrame:
+    """A7: fraction of non-null values that are integral
+    (event_stream_dataset.py:1249-1254)."""
+    c = F.col(col)
+    return df.filter(c.isNotNull()).agg(
+        F.avg((c == F.floor(c)).cast("double")).alias("frac_integer")
+    )
+
+
+def value_distribution_tests(df: DataFrame, col: str) -> DataFrame:
+    """A8: distinct count and modal-value share of a numeric column
+    (event_stream_dataset.py:1256-1277). One aggregation pass feeding
+    the categorical-vs-numeric decision."""
+    c = F.col(col)
+    per_value = (
+        df.filter(c.isNotNull()).groupBy(c.alias("value")).agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return per_value.agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("cnt").alias("n_obs"),
+        (F.max("cnt") / F.sum("cnt")).alias("max_value_share"),
+    )
+
+
+def running_moments(df: DataFrame, col: str, by: list[str] | None = None) -> DataFrame:
+    """A10: (N, ΣX, ΣX²) sufficient statistics — the distributed form of
+    the reference's ``DataStats`` running moments
+    (variance_impact_outlier_detector.py:8-42). Mean/var/std derive on
+    the driver; removal math is O(1) on these three numbers."""
+    c = F.col(col)
+    aggs = [
+        F.count(c).alias("n"),
+        F.sum(c).alias("sum_x"),
+        F.sum(c * c).alias("sum_x2"),
+    ]
+    if by:
+        return df.groupBy(*by).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def safe_weighted_avg(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    by: list[str] | None = None,
+    out_col: str = "weighted_avg",
+) -> DataFrame:
+    """A15: zero-safe weighted mean — ``sum(x*w)/sum(w)`` guarded to 0
+    when total weight is 0 (EventStreamTransformer/utils.py:13-38)."""
+    x, w_ = F.col(value_col), F.col(weight_col)
+    expr = F.when(F.sum(w_) > 0, F.sum(x * w_) / F.sum(w_)).otherwise(F.lit(0.0))
+    if by:
+        return df.groupBy(*by).agg(expr.alias(out_col))
+    return df.agg(expr.alias(out_col))
+
+
+def two_level_macro_avg(
+    df: DataFrame,
+    value_col: str,
+    subject_col: str = "subject_id",
+    weight_col: str | None = None,
+    out_col: str = "macro_avg",
+) -> DataFrame:
+    """A15/A16: macro average — mean per subject first, then mean over
+    subjects (weighted_loss / TTE LL aggregation,
+    EventStreamTransformer/utils.py:40-62, model.py:112-142)."""
+    x = F.col(value_col)
+    if weight_col is not None:
+        w_ = F.col(weight_col)
+        per_subj = df.groupBy(subject_col).agg(
+            F.when(F.sum(w_) > 0, F.sum(x * w_) / F.sum(w_)).otherwise(F.lit(0.0)).alias("_m")
+        )
+    else:
+        per_subj = df.groupBy(subject_col).agg(F.avg(x).alias("_m"))
+    return per_subj.agg(F.avg("_m").alias(out_col))

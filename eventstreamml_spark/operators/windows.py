@@ -1,0 +1,162 @@
+"""Per-subject sequence (window) operators — SURVEY §2.5 W1-W8.
+
+All operators are pure DataFrame→DataFrame transforms over a canonical
+event table ``(subject_id, timestamp, event_type, ...)``; column names
+are parameterized because the driver test table uses ``user_id``/``ts``.
+
+Scale notes: every window here partitions by ``subject_id`` only —
+subject cardinality is huge (≫ #executors) in real deployments, so the
+shuffle is well-spread; ordering within a subject is bounded by
+per-subject sequence length. No global windows (``Window.orderBy``
+without partition) appear in any hot path; the only global ordering is
+the optional deterministic surrogate-id assignment (W5), which is a
+documented single-stage bottleneck with a zipWithIndex-free
+`row_number` fallback for test-scale parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def sort_events(
+    df: DataFrame,
+    subject_col: str = "subject_id",
+    ts_col: str = "timestamp",
+    id_col: str | None = "event_id",
+) -> DataFrame:
+    """W1: order events by (subject asc, timestamp asc).
+
+    The reference relies on pandas stable sort for ties
+    (event_stream_dataset.py:668-671); a distributed engine has no
+    input-order notion, so we pin ``id_col`` as the explicit final
+    tiebreaker for determinism.
+    """
+    keys = [F.col(subject_col).asc(), F.col(ts_col).asc()]
+    if id_col is not None:
+        keys.append(F.col(id_col).asc())
+    return df.orderBy(*keys)
+
+
+def subject_window(
+    subject_col: str = "subject_id",
+    ts_col: str = "timestamp",
+    id_col: str | None = "event_id",
+):
+    order = [F.col(ts_col).asc()]
+    if id_col is not None:
+        order.append(F.col(id_col).asc())
+    return W.partitionBy(subject_col).orderBy(*order)
+
+
+def with_inter_event_time(
+    df: DataFrame,
+    subject_col: str = "subject_id",
+    ts_col: str = "timestamp",
+    id_col: str | None = "event_id",
+    unit_seconds: float = 60.0,
+    out_col: str = "tte",
+) -> DataFrame:
+    """W2: inter-event time per subject, in ``unit_seconds`` units.
+
+    Null for each subject's first event (pandas ``.diff()`` semantics,
+    event_stream_dataset.py:873-876). Timedelta is converted to a
+    scalar (minutes by default) by division, never an interval type.
+    """
+    w = subject_window(subject_col, ts_col, id_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    delta_us = F.unix_micros(F.col(ts_col).cast("timestamp")) - F.unix_micros(
+        prev.cast("timestamp")
+    )
+    return df.withColumn(out_col, delta_us / F.lit(unit_seconds * 1_000_000.0))
+
+
+def with_time_since_start(
+    df: DataFrame,
+    subject_col: str = "subject_id",
+    ts_col: str = "timestamp",
+    unit_seconds: float = 60.0,
+    out_col: str = "time_since_start",
+) -> DataFrame:
+    """W3: timestamp - min(timestamp) per subject, scalar units
+    (event_stream_pytorch_dataset.py:296,309-310)."""
+    w = W.partitionBy(subject_col)
+    start = F.min(F.col(ts_col)).over(w)
+    delta_us = F.unix_micros(F.col(ts_col).cast("timestamp")) - F.unix_micros(
+        start.cast("timestamp")
+    )
+    return df.withColumn(out_col, delta_us / F.lit(unit_seconds * 1_000_000.0))
+
+
+def assign_event_ids(
+    df: DataFrame,
+    subject_col: str = "subject_id",
+    ts_col: str = "timestamp",
+    out_col: str = "event_id",
+    tiebreakers: list[str] | None = None,
+) -> DataFrame:
+    """W5/S2: deterministic 0..n-1 surrogate ids over a pinned total order.
+
+    The reference assigns ids by pandas input order
+    (event_stream_dataset.py:645-649); Spark pins an explicit order
+    (subject, ts, tiebreakers). A single global ``row_number`` window is
+    a one-partition bottleneck at 100 TB — for scale callers should
+    prefer ``zipWithIndex``-style two-phase numbering or accept
+    per-partition ``monotonically_increasing_id`` when density is not
+    required; this exact 0..n-1 form is kept for parity with the
+    reference and for test-scale use.
+    """
+    order = [F.col(subject_col).asc(), F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (tiebreakers or [])
+    ]
+    w = W.orderBy(*order)
+    return df.withColumn(out_col, F.row_number().over(w) - F.lit(1))
+
+
+def with_normalized_log_tte_cumsum(
+    df: DataFrame,
+    mean_log_tte: float,
+    std_log_tte: float,
+    subject_col: str = "subject_id",
+    ts_col: str = "timestamp",
+    id_col: str | None = "event_id",
+    tte_col: str = "tte",
+    out_col: str = "norm_time",
+) -> DataFrame:
+    """W4: ``exp((log(Δt+1) − μ)/σ)`` then per-subject cumulative sum
+    with first element 0 (event_stream_pytorch_dataset.py:278-321)."""
+    w = subject_window(subject_col, ts_col, id_col).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    norm = F.exp((F.log(F.col(tte_col) + F.lit(1.0)) - F.lit(mean_log_tte)) / F.lit(std_log_tte))
+    step = F.coalesce(norm, F.lit(0.0))  # first event per subject: Δt null → 0
+    return df.withColumn(out_col, F.sum(step).over(w))
+
+
+def random_fixed_length_subsequence(
+    df: DataFrame,
+    max_seq_len: int,
+    seed: int = 1,
+    subject_col: str = "subject_id",
+    ts_col: str = "timestamp",
+    id_col: str | None = "event_id",
+) -> DataFrame:
+    """W6: for subjects with > max_seq_len events, take a contiguous
+    window at a seeded-random start (event_stream_pytorch_dataset.py:299-304).
+
+    Engine-canonical seeded randomness: ``xxhash64(subject_id, seed)``
+    → uniform offset in [0, n-L]. Reproduces the reference's *contract*
+    (same seed ⇒ same window; uniform over legal starts), not its exact
+    numpy draws (SURVEY §4 determinism note).
+    """
+    w = subject_window(subject_col, ts_col, id_col)
+    cnt_w = W.partitionBy(subject_col)
+    df = df.withColumn("_rn", F.row_number().over(w) - F.lit(1)).withColumn(
+        "_n", F.count(F.lit(1)).over(cnt_w)
+    )
+    span = F.greatest(F.col("_n") - F.lit(max_seq_len) + F.lit(1), F.lit(1))
+    start = F.pmod(F.xxhash64(F.col(subject_col), F.lit(seed)), span)
+    out = df.filter(
+        (F.col("_rn") >= start) & (F.col("_rn") < start + F.lit(max_seq_len))
+    )
+    return out.drop("_rn", "_n")

@@ -1,0 +1,72 @@
+"""SparkSession construction and scale-aware defaults.
+
+Local test mode runs ``local[N]`` in one JVM; the same configs are the
+right starting point on a real cluster (AQE on, skew-join handling,
+partition sizing), where ``spark.sql.shuffle.partitions`` should be
+raised to ~2-3× total cores and executor memory set by the deployment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime SQL confs every engine entry point must guarantee, even on a
+# SparkSession we did not build (the test driver owns its own session):
+# - nanosAsLong: the test parquet stores TIMESTAMP(NANOS), which Spark
+#   refuses to read natively; read as long and convert explicitly
+#   (sources.testdata handles the conversion).
+# - UTC session timezone: oracle comparisons (DuckDB) use naive UTC
+#   timestamps; date_part/hour results must not depend on host tz.
+RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Set must-have runtime confs on an existing session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable on some builds; reads then fail loudly later
+    return spark
+
+
+def get_spark(
+    app_name: str = "eventstreamml_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    so tests and bench share one knob. On a real cluster pass
+    ``master=None`` with a pre-set ``spark.master``.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 4)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    # getOrCreate may have returned a pre-existing session → re-assert.
+    return apply_runtime_confs(spark)

@@ -1,0 +1,78 @@
+"""Readers for the driver-generated test parquet tables (SURVEY §2.1 S7).
+
+TPC-H-ish star schema + an ``events`` stream table + ``documents`` /
+``embeddings`` for the LLM-pipeline operators (TESTDATA.md).
+
+Timestamp handling: some driver parquet files store INT64
+TIMESTAMP(NANOS), which vanilla Spark rejects. We read with
+``spark.sql.legacy.parquet.nanosAsLong=true`` (set at session runtime —
+the driver owns the session) and convert nanos→microsecond timestamps
+with floor division, which is exactly DuckDB's TIMESTAMP_NS→TIMESTAMP
+conversion, so oracle comparisons see identical values. Detection of
+which columns are nano-stamped is done from the parquet footer via
+pyarrow (cheap, driver-side, no data read).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from eventstreamml_spark.session import apply_runtime_confs
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+@lru_cache(maxsize=256)
+def _nano_ts_columns(path: str) -> tuple[str, ...]:
+    """Column names stored as timestamp[ns] in the parquet footer."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    schema = pq.read_schema(path)
+    return tuple(
+        f.name for f in schema if pat.is_timestamp(f.type) and f.type.unit == "ns"
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table, normalizing nano timestamps to timestamp_ntz.
+
+    All timestamp columns come out as TIMESTAMP_NTZ (naive wall clock),
+    matching DuckDB's view of the same files.
+    """
+    apply_runtime_confs(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for c in _nano_ts_columns(path):
+        # nanos since epoch (long) → micros → naive timestamp. Integer
+        # DIV, not float division: int64 nanos exceed double's 2^53
+        # mantissa and would round the microsecond.
+        df = df.withColumn(
+            c,
+            F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz"),
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    """Register each table as a temp view for spark.sql queries."""
+    for n, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(n)
