@@ -126,7 +126,7 @@ def merge_unit_inferred_bounds(bounds: DataFrame, unit_col: str = "unit") -> Dat
         for u, (lo, loi, hi, hii) in UNIT_BOUNDS.items()
     ]
     lookup = F.filter(F.array(*entries), lambda e: e["u"] == F.col(unit_col))
-    inferred = F.element_at(lookup, 1)
+    inferred = F.get(lookup, 0)  # null struct when unit unknown (ANSI-safe)
 
     def pick(old_b, old_i, new_b, new_i, minmax):
         # returns (bound, inclusive) struct following the reference's
@@ -151,16 +151,17 @@ def merge_unit_inferred_bounds(bounds: DataFrame, unit_col: str = "unit") -> Dat
 
     lo, loi = pick(old_lo, old_loi, inferred["lo"].cast("double"), inferred["loi"], "max")
     hi, hii = pick(old_hi, old_hii, inferred["hi"].cast("double"), inferred["hii"], "min")
-    drop_cols = [c for c in (
+    bound_cols = (
         "drop_lower_bound", "drop_lower_bound_inclusive",
         "drop_upper_bound", "drop_upper_bound_inclusive",
-    ) if c in bounds.columns]
-    return (
-        bounds.drop(*drop_cols)
-        .withColumn("drop_lower_bound", lo)
-        .withColumn("drop_lower_bound_inclusive", loi)
-        .withColumn("drop_upper_bound", hi)
-        .withColumn("drop_upper_bound_inclusive", hii)
+    )
+    passthrough = [c for c in bounds.columns if c not in bound_cols]
+    return bounds.select(
+        *passthrough,
+        lo.alias("drop_lower_bound"),
+        loi.alias("drop_lower_bound_inclusive"),
+        hi.alias("drop_upper_bound"),
+        hii.alias("drop_upper_bound_inclusive"),
     )
 
 

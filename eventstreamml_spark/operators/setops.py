@@ -1,0 +1,88 @@
+"""Sorts / limits / set ops / splits — SURVEY §2.6 O1-O7.
+
+The interesting operator is O6: the reference's seeded random disjoint
+subject split (event_stream_dataset.py:702-740) — a seeded permutation
++ ``np.split`` by rounded fraction sizes. A distributed engine cannot
+reproduce numpy's permutation bitwise (SURVEY §4 determinism note);
+the engine contract is: deterministic given (subject_id, seed),
+disjoint, fractions approached as N grows, same seed ⇒ identical
+assignment on any cluster/partitioning. We use a Knuth multiplicative
+hash on the subject id — plain integer arithmetic, so the DuckDB
+oracle can verify assignments exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: 2654435761 = floor(2^32 / φ), Knuth's multiplicative hash constant.
+_KNUTH = 2654435761
+_MOD = 2**32
+
+
+def split_uniform(subject_col: str, seed: int) -> F.Column:
+    """u ∈ [0,1): deterministic per (subject, seed), pure int arithmetic
+    (overflow-free for ids ≪ 2^31 after the initial mod)."""
+    h = F.pmod(
+        (F.pmod(F.col(subject_col).cast("long"), F.lit(_MOD)) + F.lit(seed)) * F.lit(_KNUTH),
+        F.lit(_MOD),
+    )
+    return h / F.lit(float(_MOD))
+
+
+def assign_splits(
+    subjects: DataFrame,
+    fractions: dict[str, float],
+    seed: int = 1,
+    subject_col: str = "subject_id",
+    out_col: str = "split",
+) -> DataFrame:
+    """O6: disjoint split assignment table ``(subject_id, split)``.
+
+    ``fractions`` maps split name → fraction; fractions must sum to
+    ≤ 1.0 and, mirroring the reference (event_stream_dataset.py:723-728),
+    a remainder bucket gets the leftover mass — callers pass e.g.
+    ``{"train": .8, "tuning": .1, "held_out": .1}``. Persist the
+    output table; all split restrictions are then semi-joins (J8).
+    """
+    names = list(fractions)
+    cuts = []
+    acc = 0.0
+    for n in names:
+        acc += fractions[n]
+        cuts.append((n, acc))
+    if acc > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {acc} > 1")
+
+    u = split_uniform(subject_col, seed)
+    expr = None
+    for n, c in cuts:  # ascending cut order — first match wins
+        expr = F.when(u < F.lit(c), F.lit(n)) if expr is None else expr.when(u < F.lit(c), F.lit(n))
+    expr = expr.otherwise(F.lit(names[-1]) if acc >= 1.0 - 1e-9 else F.lit("held_out"))
+    return subjects.select(subject_col).distinct().withColumn(out_col, expr)
+
+
+def restrict_to_split(
+    df: DataFrame,
+    split_table: DataFrame,
+    split: str,
+    subject_col: str = "subject_id",
+) -> DataFrame:
+    """J8/P3: semi-join a fact table down to one split's subjects."""
+    keep = split_table.filter(F.col("split") == split).select(subject_col)
+    return df.join(F.broadcast(keep), subject_col, "left_semi")
+
+
+def subjects_without_events(
+    subjects: DataFrame, events: DataFrame, subject_col: str = "subject_id"
+) -> DataFrame:
+    """O4: set difference via anti-join (event_stream_dataset.py:663-666)."""
+    return subjects.join(events, subject_col, "left_anti")
+
+
+def union_distinct(*dfs: DataFrame) -> DataFrame:
+    """O5: union of subject sets (event_stream_dataset.py:746-755)."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out.distinct()

@@ -235,6 +235,378 @@ def q_time_since_start(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Vocabulary subsystem (SURVEY §2.4 A4-A5, §2.3 J9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vocab_event_type",
+    """
+    WITH tot AS (SELECT count(*) AS total FROM events),
+    ranked AS (
+      SELECT event_type AS element,
+             count(*)::DOUBLE / (SELECT total FROM tot) AS freq
+      FROM events WHERE event_type IS NOT NULL GROUP BY event_type
+    )
+    SELECT element, round(freq, 9) AS freq,
+           row_number() OVER (ORDER BY freq DESC, element) AS idx
+    FROM ranked
+    UNION ALL
+    SELECT 'UNK' AS element, 0.0 AS freq, 0 AS idx
+    """,
+)
+def q_vocab_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: frequency-ranked vocabulary over event_type, UNK at idx 0."""
+    from eventstreamml_spark.vocabulary import build_vocabulary
+
+    v = build_vocabulary(_events(spark, sf_dir), "event_type")
+    return v.select("element", F.round("freq", 9).alias("freq"), "idx")
+
+
+@register(
+    "vocab_words_filtered",
+    """
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS element FROM documents
+    ),
+    tot AS (SELECT count(*) AS total FROM words),
+    ranked AS (
+      SELECT element, count(*)::DOUBLE / (SELECT total FROM tot) AS freq
+      FROM words WHERE element IS NOT NULL GROUP BY element
+    ),
+    kept AS (SELECT * FROM ranked WHERE freq >= 0.01),
+    dropped AS (SELECT coalesce(sum(freq), 0.0) AS mass FROM ranked WHERE freq < 0.01)
+    SELECT element, round(freq, 9) AS freq,
+           row_number() OVER (ORDER BY freq DESC, element) AS idx
+    FROM kept
+    UNION ALL
+    SELECT 'UNK', round((SELECT mass FROM dropped), 9), 0
+    """,
+)
+def q_vocab_words_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4+A5: word vocabulary over documents with rare elements (freq <
+    1%) folded into UNK."""
+    from eventstreamml_spark.vocabulary import build_vocabulary, filter_vocabulary
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    v = build_vocabulary(words, "word")
+    v = filter_vocabulary(v, 0.01)
+    return v.select("element", F.round("freq", 9).alias("freq"), "idx")
+
+
+@register(
+    "vocab_apply_idx",
+    """
+    WITH tot AS (SELECT count(*) AS total FROM events),
+    vocab AS (
+      SELECT event_type AS element,
+             row_number() OVER (ORDER BY count(*)::DOUBLE / (SELECT total FROM tot) DESC,
+                                event_type) AS idx
+      FROM events WHERE event_type IS NOT NULL GROUP BY event_type
+    )
+    SELECT e.event_id, coalesce(v.idx + 5, 5) AS token_idx
+    FROM events e LEFT JOIN vocab v ON e.event_type = v.element
+    """,
+)
+def q_vocab_apply_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: vocab idxmap application with measurement offset 5; misses →
+    UNK (offset + 0 == 5 here since UNK sits at the block start).
+
+    Note: the reference maps misses to global 0; this query exercises
+    the within-block form ``offset + local_idx`` with UNK at the block
+    start, matching assign_measurement_offsets layout."""
+    from eventstreamml_spark.vocabulary import apply_vocab_index, build_vocabulary
+
+    ev = _events(spark, sf_dir)
+    v = build_vocabulary(ev, "event_type")
+    out = apply_vocab_index(ev, v, "event_type", out_col="_local", offset=0)
+    return out.select(
+        "event_id", (F.col("_local") + F.lit(5)).alias("token_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Splits & set ops (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "subject_split_assignment",
+    """
+    SELECT user_id,
+           CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'tuning'
+                ELSE 'held_out' END AS split
+    FROM (
+      SELECT DISTINCT user_id,
+             ((user_id % 4294967296 + 42) * 2654435761 % 4294967296)
+               / 4294967296.0 AS u
+      FROM events
+    )
+    """,
+)
+def q_subject_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6: seeded disjoint subject split (80/10/10, seed=42) via
+    engine-canonical multiplicative hash — deterministic on any
+    cluster, oracle-verifiable exactly."""
+    from eventstreamml_spark.operators.setops import assign_splits
+
+    ev = _events(spark, sf_dir)
+    return assign_splits(
+        ev,
+        {"train": 0.8, "tuning": 0.1, "held_out": 0.1},
+        seed=42,
+        subject_col="user_id",
+    )
+
+
+@register(
+    "split_restricted_histogram",
+    """
+    WITH split AS (
+      SELECT user_id FROM (
+        SELECT DISTINCT user_id,
+               ((user_id % 4294967296 + 42) * 2654435761 % 4294967296)
+                 / 4294967296.0 AS u
+        FROM events
+      ) WHERE u < 0.8
+    )
+    SELECT event_type, count(*) AS n_events
+    FROM events WHERE user_id IN (SELECT user_id FROM split)
+    GROUP BY event_type
+    """,
+)
+def q_split_restricted_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8+A2: train-split restriction (semi-join) then histogram — the
+    fit-on-train-only discipline of E2."""
+    from eventstreamml_spark.operators.setops import assign_splits, restrict_to_split
+
+    ev = _events(spark, sf_dir)
+    splits = assign_splits(
+        ev, {"train": 0.8, "tuning": 0.1, "held_out": 0.1}, seed=42, subject_col="user_id"
+    )
+    return agg.event_type_histogram(restrict_to_split(ev, splits, "train", "user_id"))
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage over the star schema (joins / aggs / windows /
+# top-k / set ops — the Spark engine surface beyond the reference's
+# event tables; SURVEY §2.3/§2.4/§2.5/§2.6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter + 2-key groupBy + 8 aggregates —
+    map-side partial aggregation, no join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT o.o_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: dim-filter → broadcast join → fact join → agg →
+    top-k. Customer side is broadcast (small dim)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("o_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_region_revenue",
+    """
+    SELECT n.n_name AS nation, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with broadcast dims + grouped agg."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("lineitem", "orders", "customer", "supplier", "nation", "region")}
+    r = t["region"].filter(F.col("r_name") == "ASIA")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "topk_parts_per_brand",
+    """
+    SELECT p_brand, p_partkey, p_retailprice, rk FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey) AS rk
+      FROM part
+    ) WHERE rk <= 3
+    """,
+)
+def q_topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via ranked window (the engine's top-k idiom —
+    A2/O2 ordering generalized)."""
+    p = load_table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey").asc())
+    return (
+        p.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rk")
+    )
+
+
+@register(
+    "running_order_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS UNBOUNDED PRECEDING), 2) AS running_total
+    FROM orders
+    """,
+)
+def q_running_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4-style per-key cumulative sum over the orders stream."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+    """,
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: anti-join set difference (subjects-without-events shape)."""
+    from eventstreamml_spark.operators.setops import subjects_without_events
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return subjects_without_events(c, o, "c_custkey").select("c_custkey")
+
+
+@register(
+    "task_window_range_join",
+    """
+    SELECT s.event_id AS signup_event_id, s.user_id,
+           count(e.event_id) AS n_events_next_day
+    FROM events s LEFT JOIN events e
+      ON e.user_id = s.user_id
+     AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL 24 HOURS
+    WHERE s.event_type = 'signup'
+    GROUP BY s.event_id, s.user_id
+    """,
+)
+def q_task_window_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: non-equi interval join — events falling in a per-anchor time
+    window (task_df ⨝ events shape, equi on subject + range on time).
+    Catalyst executes equi-keys via hash join with the range as a
+    post-filter; at scale, bucket the time axis (SURVEY §4)."""
+    ev = _events(spark, sf_dir)
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_event_id"),
+        F.col("user_id"),
+        F.col("ts").alias("_t0"),
+    )
+    e = ev.select(
+        F.col("user_id").alias("_uid"), F.col("ts").alias("_t"), F.col("event_id").alias("_eid")
+    )
+    joined = s.join(
+        e,
+        (F.col("user_id") == F.col("_uid"))
+        & (F.col("_t") > F.col("_t0"))
+        & (F.col("_t") <= F.col("_t0") + F.expr("INTERVAL 24 HOURS")),
+        "left",
+    )
+    return joined.groupBy("signup_event_id", "user_id").agg(
+        F.count(F.col("_eid")).alias("n_events_next_day")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1-style dataset-construction slice (SURVEY §7 step 2): sort +
     dedup-agg + per-type TTE stats joined to the type histogram."""

@@ -1,0 +1,248 @@
+"""Golden-frame tests for exact reference semantics (SURVEY §5 pattern
+1/2): tiny literal inputs, exact expected outputs. These encode the
+traps: bounds inclusivity/priority, UNK-fold arithmetic, ddof=1,
+dedup renumbering, split determinism."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from eventstreamml_spark.operators import aggregations as agg
+from eventstreamml_spark.operators import filters as flt
+from eventstreamml_spark.operators import setops
+from eventstreamml_spark.vocabulary import build_vocabulary, filter_vocabulary, apply_vocab_index
+
+
+# --- P5 drop/censor truth table (test_event_stream_dataset.py:138-179) ---
+DC_BOUNDS = dict(
+    drop_lower_bound=0.0,
+    drop_lower_bound_inclusive=False,
+    drop_upper_bound=10.0,
+    drop_upper_bound_inclusive=True,
+    censor_lower_bound=2.0,
+    censor_upper_bound=8.0,
+)
+DC_CASES = [
+    (-1.0, None),   # below drop lower → null
+    (0.0, None),    # at exclusive? lower inclusive=False → but val==bound and not inclusive → NOT dropped; censor: 0 < 2 → 2
+    (1.0, 2.0),     # above drop lower, below censor lower → clamp up
+    (2.0, 2.0),     # at censor lower → pass (strict <)
+    (5.0, 5.0),     # interior → pass
+    (8.0, 8.0),     # at censor upper → pass (strict >)
+    (9.0, 8.0),     # above censor upper → clamp down
+    (10.0, None),   # at inclusive drop upper → null
+    (11.0, None),   # above drop upper → null
+]
+
+
+def test_drop_or_censor_truth_table(spark):
+    # fix: val==0.0 with exclusive lower drop bound is NOT dropped
+    cases = dict(DC_CASES)
+    cases[0.0] = 2.0  # not dropped (exclusive), then censored up to 2
+    df = spark.createDataFrame([Row(v=v) for v in cases], "v double")
+    out = df.select(
+        "v", flt.drop_or_censor(F.col("v"), **DC_BOUNDS).alias("r")
+    ).collect()
+    got = {r["v"]: r["r"] for r in out}
+    assert got == cases
+
+
+def test_drop_or_censor_null_bounds_noop(spark):
+    df = spark.createDataFrame([Row(v=5.0), Row(v=None)], "v double")
+    out = df.select(flt.drop_or_censor(F.col("v")).alias("r")).collect()
+    assert [r["r"] for r in out] == [5.0, None]
+
+
+def test_drop_oob_per_key_bounds(spark):
+    """P6: per-key bounds join; missing keys pass through
+    (event_stream_dataset.py:213-266)."""
+    vals = spark.createDataFrame(
+        [("k1", -5.0), ("k1", 0.5), ("k2", 99.0), ("k3", 42.0)],
+        "key string, value double",
+    )
+    bounds = spark.createDataFrame(
+        [
+            ("k1", 0.0, True, None, None, None, None),
+            ("k2", None, None, None, None, None, 50.0),
+        ],
+        "key string, drop_lower_bound double, drop_lower_bound_inclusive boolean, "
+        "drop_upper_bound double, drop_upper_bound_inclusive boolean, "
+        "censor_lower_bound double, censor_upper_bound double",
+    )
+    out = flt.drop_oob_and_censor_outliers(vals, bounds, "key", "value")
+    got = {(r["key"], r["value"]) for r in out.collect()}
+    assert got == {("k1", None), ("k1", 0.5), ("k2", 50.0), ("k3", 42.0)}
+
+
+def test_unit_bounds_merge(spark):
+    """Percent unit implies (0,1) exclusive drop bounds; existing
+    tighter bounds win; ties OR inclusivity
+    (event_stream_dataset.py:64-141 + UNIT_BOUNDS :59-62)."""
+    bounds = spark.createDataFrame(
+        [
+            ("a", "%", None, None, None, None),
+            ("b", "percent", 0.2, True, 2.0, True),
+            ("c", "kg", None, None, 7.0, False),
+            ("d", "%", 0.0, True, None, None),
+        ],
+        "key string, unit string, drop_lower_bound double, "
+        "drop_lower_bound_inclusive boolean, drop_upper_bound double, "
+        "drop_upper_bound_inclusive boolean",
+    )
+    out = {r["key"]: r for r in flt.merge_unit_inferred_bounds(bounds).collect()}
+    assert (out["a"]["drop_lower_bound"], out["a"]["drop_upper_bound"]) == (0.0, 1.0)
+    assert out["a"]["drop_lower_bound_inclusive"] is False
+    # b: existing lower 0.2 is tighter (max wins); upper 1.0 from unit is tighter (min wins)
+    assert (out["b"]["drop_lower_bound"], out["b"]["drop_upper_bound"]) == (0.2, 1.0)
+    assert out["b"]["drop_lower_bound_inclusive"] is True
+    assert out["b"]["drop_upper_bound_inclusive"] is False
+    # c: unknown unit → untouched
+    assert out["c"]["drop_lower_bound"] is None and out["c"]["drop_upper_bound"] == 7.0
+    # d: tie at 0.0 → inclusivity OR-ed: True or False = True
+    assert out["d"]["drop_lower_bound"] == 0.0
+    assert out["d"]["drop_lower_bound_inclusive"] is True
+
+
+# --- A1 dedup golden (test_event_stream_dataset.py:497-546 shape) ---
+def test_agg_by_time_type_golden(spark):
+    from datetime import datetime
+
+    t1, t2 = datetime(2020, 1, 1), datetime(2020, 1, 2)
+    rows = [
+        (0, 1, t1, "A"),
+        (1, 1, t1, "A"),   # dup of 0
+        (2, 1, t1, "B"),
+        (3, 2, t1, "A"),
+        (4, 2, t2, "A"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, subject_id long, timestamp timestamp_ntz, event_type string")
+    out = agg.agg_by_time_type(df).orderBy("event_id").collect()
+    assert [(r["event_id"], r["subject_id"], r["event_type"], r["n_merged"]) for r in out] == [
+        (0, 1, "A", 2), (1, 1, "B", 1), (2, 2, "A", 1), (3, 2, "A", 1),
+    ]
+    assert out[0]["old_event_ids"] == [0, 1]
+
+    meta = spark.createDataFrame([(10, 0), (11, 1), (12, 4)], "metadata_id long, event_id long")
+    dedup = agg.agg_by_time_type(df)
+    remapped = {r["metadata_id"]: r["event_id"] for r in agg.remap_event_ids(meta, dedup).collect()}
+    assert remapped == {10: 0, 11: 0, 12: 3}
+
+
+def test_inter_event_time_ddof1(spark):
+    """A9 golden: sample std (ddof=1), minutes, log(Δt+1)
+    (test_event_stream_dataset.py:667-707)."""
+    from datetime import datetime
+
+    rows = [
+        (0, 1, datetime(2020, 1, 1, 0, 0)),
+        (1, 1, datetime(2020, 1, 1, 0, 1)),    # Δ=1 min
+        (2, 1, datetime(2020, 1, 1, 0, 4)),    # Δ=3 min
+        (3, 2, datetime(2020, 1, 1, 0, 0)),
+        (4, 2, datetime(2020, 1, 1, 0, 11)),   # Δ=11 min
+    ]
+    df = spark.createDataFrame(rows, "event_id long, subject_id long, timestamp timestamp_ntz")
+    r = agg.inter_event_time_stats(df).collect()[0]
+    import statistics
+
+    ttes = [math.log(2.0), math.log(4.0), math.log(12.0)]
+    assert r["n_ttes"] == 3
+    assert abs(r["mean_log_tte"] - statistics.mean(ttes)) < 1e-12
+    assert abs(r["std_log_tte"] - statistics.stdev(ttes)) < 1e-12  # ddof=1
+
+
+def test_zero_minute_gap_log_guard(spark):
+    """FIXTURES 'gaps of exactly 0 minutes': log(0+1)=0, no -inf."""
+    from datetime import datetime
+
+    t = datetime(2020, 1, 1)
+    df = spark.createDataFrame(
+        [(0, 1, t), (1, 1, t)], "event_id long, subject_id long, timestamp timestamp_ntz"
+    )
+    r = agg.inter_event_time_stats(df).collect()[0]
+    assert r["n_ttes"] == 1 and r["mean_log_tte"] == 0.0
+
+
+# --- Vocabulary goldens (vocabulary.py semantics) ---
+def test_build_vocab_freq_denominator_includes_nulls(spark):
+    """freq = count/len(observations): nulls skipped in numerator but
+    counted in the denominator (vocabulary.py:114-133)."""
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), (None,)], "x string"
+    )
+    v = {r["element"]: (r["freq"], r["idx"]) for r in build_vocabulary(df, "x").collect()}
+    assert v["UNK"] == (0.0, 0)
+    assert v["a"] == (0.5, 1)
+    assert v["b"] == (0.25, 2)
+
+
+def test_filter_vocab_unk_fold(spark):
+    """A5: dropped elements' mass folds into UNK; survivors re-ranked
+    (vocabulary.py:84-112)."""
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1 + [("d",)] * 1, "x string"
+    )
+    v = build_vocabulary(df, "x")
+    out = {r["element"]: (r["freq"], r["idx"]) for r in filter_vocabulary(v, 0.25).collect()}
+    assert set(out) == {"UNK", "a", "b"}
+    assert abs(out["UNK"][0] - 0.2) < 1e-12  # 0.1 + 0.1 folded
+    assert out["a"] == (0.5, 1) and out["b"] == (0.3, 2)
+    # count-threshold form: 3 of 10 observations
+    out2 = {r["element"] for r in filter_vocabulary(v, 3, total_observations=10).collect()}
+    assert out2 == {"UNK", "a", "b"}
+
+
+def test_apply_vocab_index_unk_default(spark):
+    df = spark.createDataFrame([("a",), ("zzz",), (None,)], "x string")
+    v = build_vocabulary(spark.createDataFrame([("a",), ("a",), ("b",)], "x string"), "x")
+    out = [r["idx"] for r in apply_vocab_index(df, v, "x").orderBy(F.col("x").asc_nulls_first()).collect()]
+    assert out == [0, 1, 0]  # null→UNK, a→1, unseen→UNK
+
+
+# --- O6 split contracts (seeded-randomness, SURVEY §5 pattern 3) ---
+def test_split_contracts(spark):
+    subs = spark.createDataFrame([(i,) for i in range(1000)], "subject_id long")
+    fr = {"train": 0.8, "tuning": 0.1, "held_out": 0.1}
+    s1 = setops.assign_splits(subs, fr, seed=7).collect()
+    s2 = setops.assign_splits(subs, fr, seed=7).collect()
+    s3 = setops.assign_splits(subs, fr, seed=8).collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))  # same seed ⇒ identical
+    assert sorted(map(tuple, s1)) != sorted(map(tuple, s3))  # diff seed ⇒ different
+    counts = {}
+    for r in s1:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert sum(counts.values()) == 1000
+    assert 700 < counts["train"] < 900  # distributional contract
+
+
+def test_min_seq_len_and_time_range(spark):
+    from datetime import datetime
+
+    rows = [(i, 1 if i < 5 else 2, datetime(2020, 1, 1, i)) for i in range(8)]
+    df = spark.createDataFrame(rows, "event_id long, subject_id long, timestamp timestamp_ntz")
+    kept = flt.filter_min_seq_len(df, 4)
+    assert {r["subject_id"] for r in kept.collect()} == {1}
+    rng = flt.restrict_time_range(
+        df, datetime(2020, 1, 1, 2), datetime(2020, 1, 1, 5), "timestamp"
+    )
+    assert sorted(r["event_id"] for r in rng.collect()) == [2, 3, 4, 5]  # inclusive both ends
+
+
+def test_nullify_nonfinite(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (float("inf"),), (float("-inf"),), (float("nan"),)], "v double"
+    )
+    out = [r["r"] for r in df.select(flt.nullify_nonfinite(F.col("v")).alias("r")).collect()]
+    assert out == [1.0, None, None, None]
+
+
+def test_drop_all_null_columns(spark):
+    df = spark.createDataFrame(
+        [(1, None, "x"), (2, None, None)], "a long, b string, c string"
+    )
+    out = flt.drop_all_null_columns(df)
+    assert out.columns == ["a", "c"]
+    out2 = flt.drop_all_null_columns(df, keep=["b"])
+    assert out2.columns == ["a", "b", "c"]
