@@ -1,0 +1,151 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched pandas UDFs.
+
+The Spark-side contract is real and tested — schemas, partition-sized
+batch iteration via ``mapInPandas``, deterministic metadata extraction
+— while the actual media decode is stubbed (codec libraries are not in
+this environment): ``decode_image`` raises ``NotImplementedError``
+unless ``fake=True``, which produces a deterministic fake decode so
+the distributed plumbing can be exercised end-to-end.
+
+Design notes for 100 TB of media:
+- binary payloads ride in parquet as-is; metadata (format, width,
+  height, duration) lives in sibling columns so *planning* predicates
+  (e.g. resolution filters) push down without touching bytes;
+- decode/resize/frame-sample are ``mapInPandas`` stages — one Arrow
+  batch in, one out, no per-row Python dispatch;
+- batch size is governed by ``spark.sql.execution.arrow.maxRecordsPerBatch``
+  — lower it for large payloads so a batch fits in executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("format", T.StringType()),      # png|jpeg|wav|...
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = (
+    "media_id long, n_bytes long, sha256 string, width int, height int, "
+    "mean_luma double"
+)
+
+
+def binary_metadata(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Cheap metadata over binary payloads — pure JVM expressions
+    (no decode): byte length + content digest."""
+    p = F.col(payload_col)
+    return df.select(
+        F.col(id_col),
+        F.length(p).alias("n_bytes"),
+        F.sha2(p, 256).alias("sha256"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, float]:
+    """Deterministic fake decode: derives (width, height, mean_luma)
+    from payload bytes — stable across runs/executors, so tests can
+    assert exact values."""
+    if payload is None or len(payload) == 0:
+        return 0, 0, 0.0
+    w = 1 + payload[0] % 64
+    h = 1 + payload[-1] % 64
+    luma = (sum(payload[:256]) % 2551) / 10.0
+    return w, h, luma
+
+
+def extract_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode + feature-extract stage over MEDIA_SCHEMA rows via
+    ``mapInPandas`` (Arrow batches). Real decode is STUBBED:
+    ``fake=False`` raises NotImplementedError at executor time (no
+    codec libs in this environment); ``fake=True`` runs the
+    deterministic fake so the plumbing is testable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media decode requires codec libraries not present in "
+                    "this environment; pass fake=True for the deterministic stub"
+                )
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                w, h, luma = _fake_decode(raw)
+                rows.append(
+                    (
+                        int(mid),
+                        len(raw),
+                        hashlib.sha256(raw).hexdigest(),
+                        w,
+                        h,
+                        luma,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_bytes", "sha256", "width", "height", "mean_luma"],
+            )
+
+    return df.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def resize_images(df: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
+    """Resize stage: same mapInPandas shape, payload→payload. Stubbed
+    identically (fake mode truncates/pads the payload to w*h bytes as a
+    stand-in for a real resample)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires codec libraries; pass fake=True"
+                )
+            target = width * height
+            pdf = pdf.copy()
+            pdf["payload"] = pdf["payload"].map(
+                lambda p: (bytes(p)[:target]).ljust(target, b"\0") if p is not None else None
+            )
+            yield pdf
+
+    return df.mapInPandas(run, schema=df.schema)
+
+
+def sample_video_frames(
+    df: DataFrame, every_n: int = 30, fake: bool = False
+) -> DataFrame:
+    """Frame-sampling stage: one input row → many frame rows
+    (media_id, frame_no, payload). Fake mode emits payload byte-slices
+    as stand-in frames."""
+    out_schema = "media_id long, frame_no int, payload binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "video decode requires codec libraries; pass fake=True"
+                )
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                n_frames = max(len(raw) // max(every_n, 1), 0)
+                for i in range(n_frames):
+                    rows.append((int(mid), i, raw[i * every_n : (i + 1) * every_n]))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_no", "payload"])
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -1,0 +1,168 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, quality scoring, language ID, fingerprinting.
+
+These are engine extensions beyond the reference surface (driver north
+star): all hot paths are built-in Column expressions (codegen'd,
+shuffle-free per-row transforms); nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: BPE-ish pre-tokenizer: word pieces, numbers, punctuation runs —
+#: the GPT-2 style contraction/word/number/punct split, simplified to
+#: what a regex engine shared by Spark and common tooling supports.
+BPE_ISH_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+#: tiny per-language function-word profiles for the n-gram/stopword
+#: language-ID heuristic. Real deployments plug a fastText-style model
+#: in via mapInPandas; the heuristic keeps the plumbing testable.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "de", "et", "un", "les", "des", "en"),
+    "de": ("der", "die", "und", "das", "von", "ein", "zu", "mit"),
+}
+
+DEFAULT_STOPWORDS = LANG_PROFILES["en"]
+
+
+def whitespace_tokens(text: Column) -> Column:
+    """Whitespace tokenization (array<string>)."""
+    return F.split(text, r"\s+")
+
+
+def token_count(text: Column, mode: str = "whitespace") -> Column:
+    """Token counting: ``whitespace`` or ``bpe`` (regex pre-tokenizer)."""
+    if mode == "whitespace":
+        return F.size(whitespace_tokens(text))
+    if mode == "bpe":
+        return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_REGEX), F.lit(0)))
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def words_table(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Normalize to a long (doc_id, pos, word) relation — the substrate
+    for shingling, stopword joins, and language ID. One narrow explode,
+    no shuffle."""
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(whitespace_tokens(F.col(text_col))).alias("pos", "word"),
+    )
+
+
+def quality_features(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+) -> DataFrame:
+    """Per-document quality features: char/word counts, mean word
+    length, punctuation ratio, alpha ratio, stopword ratio.
+
+    All pure expressions over one scan; the stopword ratio uses an
+    array intersection against a literal array (no join, no UDF).
+    """
+    text = F.col(text_col)
+    words = whitespace_tokens(text)
+    n_chars = F.length(text)
+    n_words = F.size(words)
+    n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(sw, F.lower(w))))
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        (n_chars.cast("double") / n_words).alias("mean_word_len"),
+        (n_punct.cast("double") / n_chars).alias("punct_ratio"),
+        (n_alpha.cast("double") / n_chars).alias("alpha_ratio"),
+        (n_stop.cast("double") / n_words).alias("stopword_ratio"),
+    )
+
+
+def quality_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Composite [0,1] quality score from :func:`quality_features` —
+    heuristic weights in the C4/Gopher-rule style (length, alpha
+    density, stopword presence, punctuation sanity)."""
+    f = quality_features(docs, id_col, text_col)
+    length_ok = F.when((F.col("n_words") >= 10) & (F.col("n_words") <= 100000), 1.0).otherwise(0.0)
+    alpha = F.least(F.col("alpha_ratio") / F.lit(0.7), F.lit(1.0))
+    stop = F.least(F.col("stopword_ratio") / F.lit(0.05), F.lit(1.0))
+    punct_ok = F.when(F.col("punct_ratio") <= 0.2, 1.0).otherwise(0.2)
+    return f.select(
+        id_col,
+        F.round(
+            0.25 * length_ok + 0.35 * alpha + 0.25 * stop + 0.15 * punct_ok, 6
+        ).alias("quality"),
+    )
+
+
+def language_id(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    profiles: dict[str, tuple[str, ...]] | None = None,
+) -> DataFrame:
+    """Heuristic language ID: score = fraction of words hitting each
+    language's function-word profile; argmax wins (ties → language name
+    asc, 'und' when no profile hits).
+
+    Structure matches a real n-gram LID: per-language profile scoring +
+    argmax, as pure expressions. Swap profiles for char-n-gram tables
+    without changing the plan shape.
+    """
+    profiles = profiles or LANG_PROFILES
+    words = whitespace_tokens(F.lower(F.col(text_col)))
+    scores = []
+    for lang, p in sorted(profiles.items()):
+        prof = F.array(*[F.lit(x) for x in p])
+        hits = F.size(F.filter(words, lambda w: F.array_contains(prof, w)))
+        scores.append(
+            F.struct(
+                (hits.cast("double") / F.size(words)).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*scores))
+    return docs.select(
+        F.col(id_col),
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+        F.round(best["score"], 6).alias("lang_score"),
+    )
+
+
+def char_shingles(
+    docs: DataFrame, k: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct character k-grams per document: (doc_id, shingle).
+    Built with sequence+explode — no UDF; this is the rolling window
+    that a rolling-hash fingerprint consumes."""
+    text = F.col(text_col)
+    return (
+        docs.filter(F.length(text) >= k)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(1), F.length(text) - F.lit(k - 1))).alias("_i"),
+            text.alias("_t"),
+        )
+        .select(F.col(id_col), F.substring(F.col("_t"), F.col("_i").cast("int"), k).alias("shingle"))
+        .distinct()
+    )
+
+
+def fingerprint(
+    docs: DataFrame, k: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Document fingerprint: min-hash over the char-k-gram set (md5
+    lexicographic min — engine-portable, oracle-checkable). A winnowing
+    variant keeps per-window minima instead of the global min; the
+    global min-hash is the degenerate single-fingerprint case."""
+    sh = char_shingles(docs, k, id_col, text_col)
+    return sh.groupBy(id_col).agg(F.min(F.md5(F.col("shingle"))).alias("fingerprint"))

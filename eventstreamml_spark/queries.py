@@ -607,6 +607,267 @@ def q_task_window_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators: text analysis, dedup, similarity
+# (driver north star — first-class engine surface beyond the reference)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_token_counts",
+    """
+    SELECT doc_id, len(regexp_split_to_array(text, '\\s+')) AS n_tokens
+    FROM documents
+    """,
+)
+def q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text: whitespace token counting."""
+    from eventstreamml_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+@register(
+    "doc_exact_dedup",
+    """
+    SELECT min(doc_id) AS keep_id, count(*) AS n_dups, md5(text) AS content_hash
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup: exact duplicate groups by content digest."""
+    from eventstreamml_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_quality_features",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_words,
+           round(length(text)::DOUBLE / len(string_split(text, ' ')), 6) AS mean_word_len,
+           round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                 / length(text), 6) AS punct_ratio,
+           round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                 / length(text), 6) AS alpha_ratio,
+           round(len(list_filter(string_split(text, ' '),
+                     w -> list_contains(['the','and','of','to','a','in','is','it'], lower(w))))::DOUBLE
+                 / len(string_split(text, ' ')), 6) AS stopword_ratio
+    FROM documents
+    """,
+)
+def q_doc_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text: per-document quality features (C4/Gopher-style signals)."""
+    from eventstreamml_spark.operators.text import quality_features
+
+    out = quality_features(load_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "n_chars", "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "doc_lang_id",
+    """
+    WITH scored AS (
+      SELECT doc_id,
+             len(list_filter(string_split(lower(text),' '),
+                 w -> list_contains(['der','die','und','das','von','ein','zu','mit'], w)))::DOUBLE
+               / len(string_split(lower(text),' ')) AS s_de,
+             len(list_filter(string_split(lower(text),' '),
+                 w -> list_contains(['the','and','of','to','a','in','is','it'], w)))::DOUBLE
+               / len(string_split(lower(text),' ')) AS s_en,
+             len(list_filter(string_split(lower(text),' '),
+                 w -> list_contains(['el','la','de','que','y','en','un','es'], w)))::DOUBLE
+               / len(string_split(lower(text),' ')) AS s_es,
+             len(list_filter(string_split(lower(text),' '),
+                 w -> list_contains(['le','la','de','et','un','les','des','en'], w)))::DOUBLE
+               / len(string_split(lower(text),' ')) AS s_fr
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_de,s_en,s_es,s_fr) = 0 THEN 'und'
+                WHEN s_fr = greatest(s_de,s_en,s_es,s_fr) THEN 'fr'
+                WHEN s_es = greatest(s_de,s_en,s_es,s_fr) THEN 'es'
+                WHEN s_en = greatest(s_de,s_en,s_es,s_fr) THEN 'en'
+                ELSE 'de' END AS lang_pred,
+           round(greatest(s_de,s_en,s_es,s_fr), 6) AS lang_score
+    FROM scored
+    """,
+)
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text: heuristic function-word language ID (argmax; score ties →
+    lexicographically greatest language, matching struct-max order)."""
+    from eventstreamml_spark.operators.text import language_id
+
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           list_min(list_transform(range(1, length(text) - 3),
+                    i -> md5(substring(text, i::INT, 5)))) AS fingerprint
+    FROM documents WHERE length(text) >= 5
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text: min-hash fingerprint over char-5-gram set."""
+    from eventstreamml_spark.operators.text import fingerprint
+
+    return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+_SHINGLE_SQL = """
+      words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+      ),
+      sh AS (
+        SELECT DISTINCT w0.doc_id,
+               w0.word || ' ' || w1.word || ' ' || w2.word || ' ' || w3.word AS shingle
+        FROM words w0
+        JOIN words w1 ON w1.doc_id = w0.doc_id AND w1.pos = w0.pos + 1
+        JOIN words w2 ON w2.doc_id = w0.doc_id AND w2.pos = w0.pos + 2
+        JOIN words w3 ON w3.doc_id = w0.doc_id AND w3.pos = w0.pos + 3
+      )
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.1
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup: exact word-4-gram Jaccard pairs ≥ 0.1."""
+    from eventstreamml_spark.operators.dedup import jaccard_pairs, word_shingles
+
+    sh = word_shingles(load_table(spark, sf_dir, "documents"), k=4)
+    return jaccard_pairs(sh, threshold=0.1)
+
+
+@register(
+    "dedup_minhash_lsh_candidates",
+    f"""
+    WITH {_SHINGLE_SQL},
+    perms AS (SELECT unnest(range(0, 16)) AS perm),
+    sig AS (
+      SELECT doc_id, perm, min(md5(shingle || ':' || perm)) AS minhash
+      FROM sh CROSS JOIN perms GROUP BY doc_id, perm
+    ),
+    bands AS (
+      SELECT doc_id, perm // 4 AS band,
+             md5(string_agg(perm || ':' || minhash, '|' ORDER BY perm)) AS band_hash
+      FROM sig GROUP BY doc_id, perm // 4
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    """,
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup: MinHash (16 perms, md5 family) + LSH banding (4 bands ×
+    4 rows) candidate pairs."""
+    from eventstreamml_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    sh = word_shingles(load_table(spark, sf_dir, "documents"), k=4)
+    sig = minhash_signatures(sh, n_perm=16)
+    return lsh_candidate_pairs(sig, n_perm=16, n_bands=4)
+
+
+@register("dedup_simhash_pairs", None)  # xxhash64 has no DuckDB twin → rows-only
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup: SimHash near-dup pairs (Hamming ≤ 3 via pigeonhole
+    chunk join). Non-SQL-expressible hash → driver rows-only check."""
+    from eventstreamml_spark.operators.dedup import simhash, simhash_near_pairs, word_shingles
+
+    sh = word_shingles(load_table(spark, sf_dir, "documents"), k=4)
+    return simhash_near_pairs(simhash(sh), max_hamming=3)
+
+
+@register(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.e, c.e)
+               / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS cos
+      FROM q CROSS JOIN c WHERE q.vec_id != c.vec_id
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rk FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity: brute-force cosine top-5 for 8 query vectors."""
+    from eventstreamml_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb.filter(F.col("vec_id") < 8), emb, k=5)
+
+
+@register("ann_lsh_topk", None)  # driver-side random hyperplanes → rows-only
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity: hyperplane-LSH bucketed approximate top-k (recall <
+    1 by construction → rows-only check; recall itself is unit-tested
+    against the brute-force baseline)."""
+    from eventstreamml_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(emb.filter(F.col("vec_id") < 8), emb, k=5, n_planes=6)
+
+
+@register(
+    "doc_binary_metadata",
+    """
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest
+    FROM documents
+    """,
+)
+def q_doc_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque-binary metadata extraction (byte
+    length + digest) — JVM-only expressions over a binary column."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.length(payload).alias("n_bytes"),
+        F.md5(payload).alias("digest"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1-style dataset-construction slice (SURVEY §7 step 2): sort +
     dedup-agg + per-type TTE stats joined to the type histogram."""
