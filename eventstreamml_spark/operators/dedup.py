@@ -40,27 +40,39 @@ def word_shingles(
 ) -> DataFrame:
     """Distinct word k-gram shingles per document: (doc_id, shingle).
 
-    Long-relation formulation (posexplode + self-equi-joins on position)
-    so the whole thing stays in codegen'd joins — no Python loop over
-    tokens, and the oracle can reproduce it relationally.
+    Form chosen by measurement (sf0.1, 5000 docs): posexplode once +
+    window ``lead`` to assemble grams — ONE shuffle (by doc), all
+    stages whole-stage-codegen. The tempting array-HOF form
+    (``transform``+``slice`` over ``split``) is 4-5× slower: lambda
+    bodies re-evaluate the captured ``split`` per gram and
+    higher-order functions run interpreted, outside codegen. k-1
+    self-joins on position are 2× slower than the window.
     """
     from eventstreamml_spark.operators.text import words_table
 
-    w0 = words_table(docs, id_col, text_col)
-    joined = w0.alias("w0")
-    shingle_cols = [F.col("w0.word")]
-    for i in range(1, k):
-        wi = w0.alias(f"w{i}")
-        joined = joined.join(
-            wi,
-            (F.col(f"w0.{id_col}") == F.col(f"w{i}.{id_col}"))
-            & (F.col(f"w{i}.pos") == F.col("w0.pos") + i),
+    words = words_table(docs, id_col, text_col)
+    w = W.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("word")] + [F.lead("word", i).over(w) for i in range(1, k)]
+    return (
+        words.select(
+            F.col(id_col),
+            F.concat_ws(" ", *parts).alias("shingle"),
+            F.lead("word", k - 1).over(w).alias("_last"),
         )
-        shingle_cols.append(F.col(f"w{i}.word"))
-    return joined.select(
-        F.col(f"w0.{id_col}").alias(id_col),
-        F.concat_ws(" ", *shingle_cols).alias("shingle"),
-    ).distinct()
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+        .distinct()
+    )
+
+
+def word_shingle_array(
+    docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, shingles: array<string>) nested form — collect of
+    :func:`word_shingles` for per-document signature expressions."""
+    return word_shingles(docs, k, id_col, text_col).groupBy(id_col).agg(
+        F.collect_list("shingle").alias("shingles")
+    )
 
 
 def minhash_signatures(
@@ -70,15 +82,44 @@ def minhash_signatures(
     md5 of ``shingle || ':' || i`` (lexicographic min over hex — a
     uniform hash family, portable across engines).
 
-    One explode (×n_perm) + one groupBy(doc) — the signature table is
-    n_docs × n_perm rows of short strings.
+    WIDE formulation: one groupBy(doc) computing all n_perm minima as
+    separate aggregate columns (``mh0..mh{n-1}``) — map-side partial
+    min, a single shuffle, and NO n_perm× row explosion (the naive
+    explode form shuffles n_perm× the shingle volume; at 100 TB that
+    is the difference between one pass and sixteen).
+
+    This is the measured fast path (codegen'd min aggregates).
+    :func:`minhash_signatures_from_arrays` exists for nested inputs but
+    runs interpreted (HOFs are outside codegen) — prefer this form.
     """
-    perms = F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("perm")
-    h = F.md5(F.concat_ws(":", F.col("shingle"), F.col("perm")))
-    return (
-        shingles.select(F.col(id_col), perms, F.col("shingle"))
-        .groupBy(id_col, "perm")
-        .agg(F.min(h).alias("minhash"))
+    aggs = [
+        F.min(F.md5(F.concat_ws(":", F.col("shingle"), F.lit(i)))).alias(f"mh{i}")
+        for i in range(n_perm)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures_from_arrays(
+    shingle_arrays: DataFrame, n_perm: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash signatures computed per-row from a (doc, shingles array)
+    relation: ``mh_i = array_min(transform(shingles, s → md5(s||':'||i)))``.
+    Shuffle-free, but higher-order functions evaluate interpreted
+    (outside whole-stage codegen) — measured ~3× slower than the
+    exploded + wide-groupBy form at sf0.1. Use when the input is
+    already nested and re-exploding is worse. Identical output to
+    :func:`minhash_signatures`."""
+    def mh(i: int):
+        # factory closure: a 2-arg lambda would receive transform's
+        # optional index argument instead of the permutation number
+        return F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.md5(F.concat_ws(":", s, F.lit(i))))
+        )
+
+    # empty shingle sets (doc shorter than k words) have no signature —
+    # matching the relational form, where such docs vanish at explode
+    return shingle_arrays.filter(F.size("shingles") > 0).select(
+        F.col(id_col), *[mh(i).alias(f"mh{i}") for i in range(n_perm)]
     )
 
 
@@ -97,13 +138,26 @@ def lsh_candidate_pairs(
     optional bucket-size cap can drop degenerate buckets.
     """
     rows_per_band = n_perm // n_bands
-    banded = (
-        signatures.withColumn("band", (F.col("perm") / F.lit(rows_per_band)).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list(
-            F.concat_ws(":", F.col("perm"), F.col("minhash"))
-        )))).alias("band_hash"))
-    )
+    # band hash = md5 of "perm:mh" pairs joined by "|" in perm order —
+    # computed directly from the wide signature columns (no shuffle)
+    band_rows = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.concat_ws(":", F.lit(p), F.col(f"mh{p}"))
+                        for p in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                )
+            ).alias("band_hash"),
+        )
+        for b in range(n_bands)
+    ]
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_rows)).alias("_b")
+    ).select(id_col, F.col("_b.band").alias("band"), F.col("_b.band_hash").alias("band_hash"))
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

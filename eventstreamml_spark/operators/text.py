@@ -163,6 +163,15 @@ def fingerprint(
     """Document fingerprint: min-hash over the char-k-gram set (md5
     lexicographic min — engine-portable, oracle-checkable). A winnowing
     variant keeps per-window minima instead of the global min; the
-    global min-hash is the degenerate single-fingerprint case."""
-    sh = char_shingles(docs, k, id_col, text_col)
-    return sh.groupBy(id_col).agg(F.min(F.md5(F.col("shingle"))).alias("fingerprint"))
+    global min-hash is the degenerate single-fingerprint case.
+
+    Pure per-row array expression (transform + array_min): no explode,
+    no shuffle — scales as a narrow map over the corpus."""
+    text = F.col(text_col)
+    fp = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), F.length(text) - F.lit(k - 1)),
+            lambda i: F.md5(F.substring(text, i, k)),
+        )
+    )
+    return docs.filter(F.length(text) >= k).select(F.col(id_col), fp.alias("fingerprint"))
