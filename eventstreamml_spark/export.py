@@ -1,0 +1,204 @@
+"""Tensorization export — SURVEY §3 E3, §1.3.
+
+The reference's ``EventStreamPytorchDataset`` walks each subject's
+events in a Python loop building ragged (indices, values, measurement
+ids) triples, then pads in a collate fn
+(event_stream_pytorch_dataset.py:250-567). Spark-side this terminal
+stage is ONE shuffle: per-event assembly is a grouped aggregation over
+metadata, per-subject assembly a grouped aggregation over events —
+producing rows
+
+  (subject_id, start_time, static_indices: array<int>,
+   time: array<double>,
+   dynamic_indices: array<array<int>>,
+   dynamic_values:  array<array<double>>,
+   dynamic_measurement_indices: array<array<int>>)
+
+written to parquet; padding/tensorification stays in the DataLoader
+(W7 is a reader concern).
+
+Global index space (J9, event_stream_pytorch_dataset.py:126-153):
+index 0 is the global padding sentinel; ``event_type`` is measurement 1
+at offset 1 with NO UNK slot (types indexed 0.. by descending
+frequency, ``event_types_idxmap`` at :126); each further measurement
+gets a contiguous block that INCLUDES its local UNK at the block start
+— out-of-vocab elements map to ``offset + 0``
+(``idxmap.get(v, 0) + offset``, :360-363), not to global 0. Within an
+event the event_type entry comes first, then metadata entries ordered
+by metadata_id, matching the reference's per-event emission order.
+±inf values are normalized to missing (P8, :370-376).
+
+Scale: both aggregations shuffle on their natural keys (event_id,
+subject_id); vocabularies join broadcast. There is no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from eventstreamml_spark.operators.filters import filter_min_seq_len, nullify_nonfinite
+from eventstreamml_spark.vocabulary import UNK, assign_measurement_offsets
+
+
+def tensorize(
+    events: DataFrame,
+    metadata: DataFrame,
+    vocabs: dict[str, DataFrame],
+    measurement_col: str = "measurement",
+    element_col: str = "element",
+    value_col: str = "value",
+    static_df: DataFrame | None = None,
+    static_vocab: DataFrame | None = None,
+    static_col: str | None = None,
+    min_seq_len: int | None = None,
+    time_unit_seconds: float = 60.0,
+) -> DataFrame:
+    """Build the per-subject nested export relation.
+
+    ``metadata`` is long-format: (event_id, measurement, element, value)
+    — one row per observation; ``vocabs`` maps measurement name →
+    vocabulary DataFrame (element, freq, idx) as produced by
+    ``build_vocabulary`` (idx 0 = UNK). ``event_type`` always occupies
+    the first offset block (measurement index 1); metadata measurements
+    follow in ``vocabs`` insertion order.
+
+    Time is minutes since each subject's first selected event (W3,
+    event_stream_pytorch_dataset.py:296-310).
+    """
+    # block sizes: event_type has no UNK slot; metadata vocabs keep it
+    sizes = {"event_type": vocabs["event_type"].filter(F.col("element") != UNK).count()}
+    meas_index = {"event_type": 1}
+    for i, name in enumerate(n for n in vocabs if n != "event_type"):
+        sizes[name] = vocabs[name].count()
+        meas_index[name] = i + 2
+    offsets = assign_measurement_offsets(sizes)
+
+    # --- per-event: event_type entry ---------------------------------
+    # vocab idx is 1-based for elements; event_type local idx = idx-1
+    et_map = vocabs["event_type"].filter(F.col("element") != UNK).select(
+        F.col("element").alias("event_type"),
+        (F.col("idx") - 1 + F.lit(offsets["event_type"])).alias("_gidx"),
+    )
+    ev = events.join(F.broadcast(et_map), "event_type", "left").select(
+        "event_id",
+        "subject_id",
+        "timestamp",
+        # unseen event type: no UNK slot exists — global padding sentinel
+        F.coalesce(F.col("_gidx"), F.lit(0)).alias("_et_idx"),
+    )
+
+    # --- per-event: metadata entries ---------------------------------
+    md = metadata.select("metadata_id", "event_id", measurement_col, element_col, value_col)
+    maps = None
+    for name, vocab in vocabs.items():
+        if name == "event_type":
+            continue
+        vm = vocab.filter(F.col("element") != UNK).select(
+            F.col("element").alias(element_col),
+            (F.col("idx") + F.lit(offsets[name])).alias("_gidx"),
+        ).withColumn(measurement_col, F.lit(name))
+        maps = vm if maps is None else maps.unionByName(vm)
+    if maps is not None:
+        md = md.join(F.broadcast(maps), [measurement_col, element_col], "left")
+    else:
+        md = md.withColumn("_gidx", F.lit(None).cast("int"))
+
+    mi_expr = F.lit(None).cast("int")
+    off_expr = F.lit(0)
+    for name, mi in meas_index.items():
+        if name == "event_type":
+            continue
+        mi_expr = F.when(F.col(measurement_col) == name, F.lit(mi)).otherwise(mi_expr)
+        off_expr = F.when(F.col(measurement_col) == name, F.lit(offsets[name])).otherwise(off_expr)
+    md = (
+        # OOV element → the measurement's own UNK slot at offset+0
+        md.withColumn("_gidx", F.coalesce(F.col("_gidx"), off_expr))
+        .withColumn("_mi", mi_expr)
+        .withColumn(value_col, nullify_nonfinite(F.col(value_col)))
+    )
+
+    per_event_md = md.groupBy("event_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("metadata_id", F.col("_gidx"), F.col(value_col), F.col("_mi")))
+        ).alias("_entries")
+    )
+
+    ev = ev.join(per_event_md, "event_id", "left")
+    empty = F.array().cast("array<struct<metadata_id:long,_gidx:int,value:double,_mi:int>>")
+    entries = F.coalesce(F.col("_entries"), empty)
+    ev = ev.select(
+        "event_id",
+        "subject_id",
+        "timestamp",
+        F.concat(
+            F.array(F.struct(
+                F.lit(-1).cast("long").alias("metadata_id"),
+                F.col("_et_idx").cast("int").alias("_gidx"),
+                F.lit(None).cast("double").alias("value"),
+                F.lit(1).cast("int").alias("_mi"),
+            )),
+            entries,
+        ).alias("_entries"),
+    )
+
+    if min_seq_len is not None:
+        ev = filter_min_seq_len(ev, min_seq_len)
+
+    # --- per-subject assembly ----------------------------------------
+    per_subject = ev.groupBy("subject_id").agg(
+        F.min("timestamp").alias("start_time"),
+        F.sort_array(
+            F.collect_list(F.struct("timestamp", "event_id", F.col("_entries")))
+        ).alias("_seq"),
+    )
+    t0 = F.col("start_time")
+    out = per_subject.select(
+        "subject_id",
+        "start_time",
+        F.transform(
+            "_seq",
+            lambda x: (
+                F.unix_micros(x["timestamp"].cast("timestamp"))
+                - F.unix_micros(t0.cast("timestamp"))
+            ) / F.lit(time_unit_seconds * 1_000_000.0),
+        ).alias("time"),
+        F.transform(
+            "_seq", lambda x: F.transform(x["_entries"], lambda e: e["_gidx"])
+        ).alias("dynamic_indices"),
+        F.transform(
+            "_seq", lambda x: F.transform(x["_entries"], lambda e: e["value"])
+        ).alias("dynamic_values"),
+        F.transform(
+            "_seq", lambda x: F.transform(x["_entries"], lambda e: e["_mi"])
+        ).alias("dynamic_measurement_indices"),
+    )
+
+    # --- static indices ----------------------------------------------
+    if static_df is not None and static_vocab is not None and static_col is not None:
+        soff = max(o + sizes[n] for n, o in offsets.items())
+        smap = static_vocab.filter(F.col("element") != UNK).select(
+            F.col("element").alias(static_col),
+            (F.col("idx") + F.lit(soff)).alias("_gidx"),
+        )
+        stat = (
+            static_df.join(F.broadcast(smap), static_col, "left")
+            .groupBy("subject_id")
+            .agg(
+                F.sort_array(
+                    # OOV static value → the static block's UNK slot
+                    F.collect_list(F.coalesce(F.col("_gidx"), F.lit(soff)))
+                ).alias("static_indices")
+            )
+        )
+        out = out.join(stat, "subject_id", "left").withColumn(
+            "static_indices", F.coalesce(F.col("static_indices"), F.array().cast("array<int>"))
+        )
+    return out
+
+
+def export_tensorized(df: DataFrame, path: str, n_files: int | None = None) -> None:
+    """Write the export relation for DataLoader consumption. One row
+    group per subject batch; repartition to bound file count/size."""
+    if n_files:
+        df = df.repartition(n_files, "subject_id")
+    df.write.mode("overwrite").parquet(path)

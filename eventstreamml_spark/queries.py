@@ -880,3 +880,266 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hist = agg.event_type_histogram(dedup)
     return hist.join(stats, "event_type", "left").orderBy(F.col("n_events").desc())
+
+
+# ---------------------------------------------------------------------------
+# Preprocessing estimators, ingestion, tensorization (SURVEY §3 E2/E3, §2.1)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "preproc_value_types",
+    """
+    WITH pk AS (
+      SELECT event_type, count(*) AS n_key_obs, count(value) AS n_vals,
+             avg(CASE WHEN value IS NULL THEN NULL
+                      WHEN value = floor(value) THEN 1.0 ELSE 0.0 END) AS int_freq
+      FROM events GROUP BY event_type
+    ), vc AS (
+      SELECT event_type, count(*) AS n_distinct, max(c) AS modal
+      FROM (SELECT event_type, value, count(*) AS c FROM events
+            WHERE value IS NOT NULL GROUP BY 1, 2)
+      GROUP BY event_type
+    )
+    SELECT pk.event_type,
+           CASE WHEN (n_distinct < 0.5 * n_vals OR modal * 1.0 / n_vals > 0.05)
+                     AND n_distinct = 1 THEN 'dropped'
+                WHEN (n_distinct < 0.5 * n_vals OR modal * 1.0 / n_vals > 0.05)
+                     AND int_freq > 0.9 THEN 'categorical_integer'
+                WHEN (n_distinct < 0.5 * n_vals OR modal * 1.0 / n_vals > 0.05)
+                     THEN 'categorical_float'
+                WHEN int_freq > 0.9 THEN 'integer'
+                ELSE 'float' END AS value_type,
+           n_key_obs, n_vals, round(int_freq, 6) AS int_freq, n_distinct,
+           round(modal * 1.0 / n_vals, 6) AS modal_share
+    FROM pk JOIN vc USING (event_type)
+    """,
+)
+def q_preproc_value_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6-A8 value-type inference per event_type over the value column
+    (reference _infer_val_type, event_stream_dataset.py:1216-1277)."""
+    from eventstreamml_spark.preprocessing.config import PreprocessingConfig
+    from eventstreamml_spark.preprocessing.types_infer import infer_value_types
+
+    cfg = PreprocessingConfig(
+        min_true_float_frequency=0.1,
+        min_unique_numerical_observations=0.5,
+        max_numerical_value_frequency=0.05,
+    )
+    out = infer_value_types(_events(spark, sf_dir), "event_type", "value", cfg)
+    return out.select(
+        "event_type",
+        "value_type",
+        "n_key_obs",
+        "n_vals",
+        F.round("int_freq", 6).alias("int_freq"),
+        "n_distinct",
+        F.round("modal_share", 6).alias("modal_share"),
+    )
+
+
+@register(
+    "normalize_by_key",
+    """
+    WITH m AS (
+      SELECT event_type, round(avg(value), 6) AS mu, round(stddev_pop(value), 6) AS sd
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id,
+           round(CASE WHEN m.sd = 0 THEN 0.0 ELSE (e.value - m.mu) / m.sd END, 6) AS znorm
+    FROM events e JOIN m USING (event_type)
+    """,
+)
+def q_normalize_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 normalizer fit/transform: per-key standard scaler (fit stats
+    rounded identically on both sides so per-row arithmetic agrees)."""
+    from eventstreamml_spark.preprocessing.normalizer import (
+        apply_standard_scaler,
+        fit_standard_scaler,
+    )
+
+    ev = _events(spark, sf_dir)
+    model = fit_standard_scaler(ev, "event_type", "value").select(
+        "event_type", F.round("mean", 6).alias("mean"), F.round("std", 6).alias("std")
+    )
+    out = apply_standard_scaler(ev, model, "event_type", "value", out_col="znorm")
+    return out.select("event_id", F.round("znorm", 6).alias("znorm"))
+
+
+@register(
+    "ingest_dense_ids",
+    """
+    WITH e AS (
+      SELECT row_number() OVER (ORDER BY user_id, ts) - 1 AS eid, user_id
+      FROM events
+    )
+    SELECT user_id AS subject_id, count(*) AS n_events,
+           min(eid) AS min_event_id, max(eid) AS max_event_id
+    FROM e GROUP BY user_id
+    """,
+)
+def q_ingest_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 ingestion: to_events_and_metadata assigns dense 0..n-1 ids
+    over the pinned (subject, timestamp) order; per-subject id ranges
+    are order-tie-invariant and hence oracle-stable."""
+    from eventstreamml_spark.sources.ingest import to_events_and_metadata
+
+    raw = _events(spark, sf_dir)
+    ev, _md = to_events_and_metadata(raw, "evt", "user_id", "ts", ["value"])
+    return ev.groupBy("subject_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
+@register(
+    "categorical_fit_vocab",
+    """
+    WITH obs AS (
+      SELECT 'returnflag' AS measurement, l_returnflag AS element FROM lineitem
+      UNION ALL
+      SELECT 'linestatus' AS measurement, l_linestatus AS element FROM lineitem
+    ), c AS (
+      SELECT measurement, element, count(*) AS cnt FROM obs GROUP BY 1, 2
+    ), n AS (
+      SELECT measurement, sum(cnt) AS n_obs FROM c GROUP BY 1
+    ), f AS (
+      SELECT c.measurement, c.element, c.cnt / n.n_obs AS freq
+      FROM c JOIN n USING (measurement)
+    ), kept AS (
+      SELECT measurement, element, freq,
+             row_number() OVER (PARTITION BY measurement
+                                ORDER BY freq DESC, element) AS idx
+      FROM f WHERE freq >= 0.3335
+    ), unk AS (
+      SELECT measurement, 'UNK' AS element,
+             coalesce(sum(CASE WHEN freq < 0.3335 THEN freq END), 0.0) AS freq,
+             0 AS idx
+      FROM f GROUP BY measurement
+    )
+    SELECT measurement, element, round(freq, 6) AS freq, idx FROM kept
+    UNION ALL
+    SELECT measurement, element, round(freq, 6) AS freq, idx FROM unk
+    """,
+)
+def q_categorical_fit_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 step 3 categorical fit over two stacked lineitem flag
+    measurements; τ=0.3335 folds l_returnflag='N' (freq ≈ .332) into
+    UNK while keeping A and R — exercising A5 UNK-mass arithmetic."""
+    from eventstreamml_spark.preprocessing.categorical import CategoricalPreprocessor
+    from eventstreamml_spark.preprocessing.config import PreprocessingConfig
+
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.select(
+        F.lit("returnflag").alias("measurement"), F.col("l_returnflag").alias("element")
+    ).unionByName(
+        li.select(F.lit("linestatus").alias("measurement"), F.col("l_linestatus").alias("element"))
+    )
+    pre = CategoricalPreprocessor(
+        config=PreprocessingConfig(min_valid_vocab_element_observations=0.3335)
+    )
+    model = pre.fit(long)
+    return model.vocab.select(
+        "measurement", "element", F.round("freq", 6).alias("freq"), "idx"
+    )
+
+
+@register(
+    "tensorize_checksums",
+    """
+    WITH etv AS (
+      SELECT event_type,
+             row_number() OVER (ORDER BY count(*) DESC, event_type) AS gidx
+      FROM events GROUP BY event_type
+    ), pv AS (
+      SELECT props,
+             (SELECT count(*) + 1 FROM etv)
+               + row_number() OVER (ORDER BY count(*) DESC, props) AS gidx
+      FROM events WHERE props IS NOT NULL GROUP BY props
+    ), e AS (
+      SELECT ev.user_id, etv.gidx AS eg, pv.gidx AS pg
+      FROM events ev JOIN etv USING (event_type) LEFT JOIN pv USING (props)
+    )
+    SELECT user_id AS subject_id,
+           count(*) AS seq_len,
+           count(*) + count(pg) AS n_entries,
+           sum(eg) + coalesce(sum(pg), 0) AS sum_idx,
+           greatest(max(eg), max(pg)) AS max_idx
+    FROM e GROUP BY user_id
+    """,
+)
+def q_tensorize_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 tensorization: full per-subject nested assembly (global vocab
+    offsets, per-event entry packing), flattened to integer checksums
+    the oracle reproduces with window arithmetic. event_type block is
+    [1..n_types] (no UNK slot); props block starts at 1+n_types with
+    its UNK at offset+0 (event_stream_pytorch_dataset.py:126-153)."""
+    from eventstreamml_spark.export import tensorize
+    from eventstreamml_spark.vocabulary import build_vocabulary
+
+    raw = _events(spark, sf_dir)
+    ev = raw.select(
+        "event_id", F.col("user_id").alias("subject_id"), F.col("ts").alias("timestamp"),
+        "event_type",
+    )
+    md = raw.filter(F.col("props").isNotNull()).select(
+        F.col("event_id").alias("metadata_id"),
+        "event_id",
+        F.lit("props").alias("measurement"),
+        F.col("props").alias("element"),
+        F.col("value").alias("value"),
+    )
+    vocabs = {
+        "event_type": build_vocabulary(raw.select("event_type"), "event_type"),
+        "props": build_vocabulary(md.select("element"), "element"),
+    }
+    out = tensorize(ev, md, vocabs)
+    return out.select(
+        "subject_id",
+        F.size("time").cast("long").alias("seq_len"),
+        F.expr("aggregate(dynamic_indices, 0L, (a, x) -> a + size(x))").alias("n_entries"),
+        F.expr("aggregate(flatten(dynamic_indices), 0L, (a, x) -> a + x)").alias("sum_idx"),
+        F.expr("array_max(flatten(dynamic_indices))").cast("long").alias("max_idx"),
+    )
+
+
+@register("viod_outlier_bounds", None)  # iterative fit — not SQL-expressible
+def q_viod_outlier_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 per-key variance-impact outlier fit (applyInPandas); bounds
+    per event_type. Rows-only driver check; statistical contracts are
+    unit-tested (test_preprocessing.py)."""
+    from eventstreamml_spark.preprocessing.outliers import fit_viod_per_key
+
+    viod = fit_viod_per_key(_events(spark, sf_dir), "event_type", "value")
+    return viod.select(
+        "event_type",
+        F.round("thresh_small", 6).alias("thresh_small"),
+        F.round("thresh_large", 6).alias("thresh_large"),
+        "n_train",
+        "all_outliers",
+    )
+
+
+@register(
+    "age_functor",
+    """
+    WITH s AS (SELECT user_id, min(ts) AS dob FROM events GROUP BY user_id)
+    SELECT e.event_id,
+           round((epoch_us(e.ts) - epoch_us(s.dob))
+                 / (365.0 * 24 * 3600 * 1000000), 6) AS age
+    FROM events e JOIN s USING (user_id)
+    """,
+)
+def q_age_functor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/J4 AgeFunctor: broadcast join events ⟕ subjects + (ts−dob)/365d
+    (time_dependent_functor.py:50-57); dob derived as each subject's
+    first event time (the driver schema has no static table)."""
+    from eventstreamml_spark.preprocessing.functors import with_age
+
+    ev = _events(spark, sf_dir)
+    subjects = ev.groupBy("user_id").agg(F.min("ts").alias("dob"))
+    out = with_age(
+        ev, subjects, subject_col="user_id", ts_col="ts", dob_col="dob", out_col="age"
+    )
+    return out.select("event_id", F.round("age", 6).alias("age"))
