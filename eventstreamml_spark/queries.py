@@ -1143,3 +1143,98 @@ def q_age_functor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, subjects, subject_col="user_id", ts_col="ts", dob_col="dob", out_col="age"
     )
     return out.select("event_id", F.round("age", 6).alias("age"))
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming (SURVEY §2.8 — new engine capability)
+# ---------------------------------------------------------------------------
+
+_EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (nano ts read as long via the
+    legacy conf, converted with integer div — same convention as the
+    batch reader)."""
+    from eventstreamml_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    src = (
+        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # TIMESTAMP (session tz pinned to UTC), not NTZ: watermarks require
+    # an event-time-typed column
+    return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_available_now(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    name = f"q_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return stream_df.sparkSession.table(name)
+
+
+@register(
+    "streaming_windowed_histogram",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_streaming_windowed_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 as an incremental watermarked tumbling-window aggregation; an
+    availableNow run over a finite source equals the batch histogram,
+    which is exactly what the oracle checks."""
+    from eventstreamml_spark.streaming.ops import windowed_event_type_counts
+
+    ev = _events_stream(spark, sf_dir)
+    counts = windowed_event_type_counts(
+        ev, "1 hour", "10 minutes", ts_col="ts", type_col="event_type"
+    )
+    out = _run_available_now(counts, "complete")
+    return out.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n_events",
+    )
+
+
+@register(
+    "streaming_inter_event_time",
+    """
+    SELECT user_id AS subject_id, ts AS timestamp,
+           round((epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 60000000.0, 6) AS tte
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    """,
+)
+def q_streaming_inter_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 as a stateful streaming operator (applyInPandasWithState, the
+    subject's last event time as keyed state); over a finite source the
+    append-mode output multiset equals the batch lag window."""
+    from eventstreamml_spark.streaming.ops import stream_inter_event_times
+
+    ev = _events_stream(spark, sf_dir).select(
+        F.col("user_id").alias("subject_id"), F.col("ts").alias("timestamp")
+    )
+    tte = stream_inter_event_times(ev)
+    out = _run_available_now(tte, "append")
+    return out.select(
+        "subject_id",
+        F.col("timestamp").cast("timestamp_ntz").alias("timestamp"),
+        F.round("tte", 6).alias("tte"),
+    )

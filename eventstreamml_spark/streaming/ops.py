@@ -1,0 +1,132 @@
+"""Structured Streaming operators — SURVEY §2.8.
+
+The reference is batch-only; "event stream" names the data shape, not
+incremental execution. These are *new* engine capabilities (declared as
+such, not ports), mapping the reference's per-subject sequence
+semantics onto Spark Structured Streaming:
+
+- ``canonicalize_stream``: S1 ingestion projection on a streaming
+  DataFrame (``readStream`` → same select as batch ``to_events``);
+- ``windowed_event_type_counts``: A2 histogram as a watermarked
+  tumbling-window aggregation (late data beyond the watermark dropped);
+- ``stream_inter_event_times``: W2 inter-event time as a stateful
+  per-subject operator (``applyInPandasWithState``) — state is the
+  subject's last-seen event time, carried across micro-batches.
+
+Scale notes: state is keyed by subject_id (huge key space — state
+store shards across executors; use RocksDB state store in production).
+Within a micro-batch events are sorted per subject before the state
+update, so intra-batch order is correct; cross-batch disorder must be
+bounded by an upstream watermark, the same contract as any
+event-time-stateful Spark job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def canonicalize_stream(
+    df: DataFrame,
+    event_type: str,
+    subject_col: str,
+    time_col: str,
+    metadata_cols: list[str] | None = None,
+) -> DataFrame:
+    """S1 on a stream: rename to canonical columns, literal event_type,
+    optional nested metadata struct — identical projection to the batch
+    builder, applied to a ``readStream`` frame."""
+    cols = [
+        F.col(subject_col).alias("subject_id"),
+        F.to_timestamp(F.col(time_col)).alias("timestamp"),
+        F.lit(event_type).alias("event_type"),
+    ]
+    if metadata_cols:
+        cols.append(F.array(F.struct(*[F.col(c) for c in metadata_cols])).alias("metadata"))
+    return df.select(*cols)
+
+
+def windowed_event_type_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+    ts_col: str = "timestamp",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """A2 as an incremental watermarked aggregation: per (tumbling
+    window, event_type) counts; rows finalize once the watermark passes
+    the window end."""
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("window"), F.col(type_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            type_col,
+            "n_events",
+        )
+    )
+
+
+_TTE_OUTPUT = StructType(
+    [
+        StructField("subject_id", LongType()),
+        StructField("timestamp", TimestampType()),
+        StructField("tte", DoubleType()),
+    ]
+)
+# state: the subject's last event time in epoch micros
+_TTE_STATE = StructType([StructField("last_ts_us", LongType())])
+
+
+def stream_inter_event_times(
+    events: DataFrame,
+    subject_col: str = "subject_id",
+    ts_col: str = "timestamp",
+    unit_seconds: float = 60.0,
+) -> DataFrame:
+    """W2 incrementally: per-subject Δt in ``unit_seconds`` units, null
+    for each subject's first-ever event. The batch analog is
+    ``with_inter_event_time``; here the "previous timestamp" lives in
+    keyed state instead of a ``lag`` window, so one pass over an
+    unbounded stream yields the same column the reference computes with
+    ``groupby.diff()`` (event_stream_dataset.py:873-876)."""
+    import pandas as pd
+
+    def update(key, pdfs, state: GroupState):
+        last_us = state.get[0] if state.exists else None
+        frames = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            ts_us = pdf[ts_col].astype("int64")  # ns since epoch
+            ts_us = ts_us // 1000
+            prev = ts_us.shift(1)
+            if last_us is not None:
+                prev.iloc[0] = last_us
+            tte = (ts_us - prev) / (unit_seconds * 1_000_000.0)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "subject_id": pdf[subject_col],
+                        "timestamp": pdf[ts_col],
+                        "tte": tte,
+                    }
+                )
+            )
+            last_us = int(ts_us.iloc[-1])
+        if last_us is not None:
+            state.update((last_us,))
+        yield from frames
+
+    return events.groupBy(subject_col).applyInPandasWithState(
+        update, _TTE_OUTPUT, _TTE_STATE, "append", GroupStateTimeout.NoTimeout
+    )
