@@ -28,16 +28,18 @@ def agg_by_time_type(
     array<long>, n_merged)``. Use :func:`remap_event_ids` (J7) to point
     a metadata table at the new ids.
 
-    Scale: one shuffle on the full grouping key. The 0..n-1 renumbering
-    is a global row_number — kept for reference parity; at 100 TB swap
-    for a two-phase (per-partition offset) numbering.
+    Scale: one shuffle on the full grouping key; the 0..n-1 renumbering
+    goes through ``dense_ids`` (exact global window by default; pass
+    the persisted distributed strategy there when the dedup output is
+    itself too large to number in one task).
     """
+    from eventstreamml_spark.operators.windows import dense_ids
+
     grouped = df.groupBy(subject_col, ts_col, type_col).agg(
         F.sort_array(F.collect_set(F.col(id_col))).alias("old_event_ids"),
         F.count(F.lit(1)).alias("n_merged"),
     )
-    w = W.orderBy(F.col(subject_col).asc(), F.col(ts_col).asc(), F.col(type_col).asc())
-    return grouped.withColumn(id_col, F.row_number().over(w) - F.lit(1)).select(
+    return dense_ids(grouped, [subject_col, ts_col, type_col], id_col).select(
         id_col, subject_col, ts_col, type_col, "old_event_ids", "n_merged"
     )
 

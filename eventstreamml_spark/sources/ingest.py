@@ -40,10 +40,9 @@ def _assign_id(df: DataFrame, out_col: str, order_cols: list[str], strategy: str
     if strategy == "monotonic":
         return df.withColumn(out_col, F.monotonically_increasing_id())
     if strategy == "dense":
-        # global row_number: single-stage bottleneck, test-scale / parity only
-        return df.withColumn(
-            out_col, F.row_number().over(W.orderBy(*[F.col(c).asc() for c in order_cols])) - 1
-        )
+        from eventstreamml_spark.operators.windows import dense_ids
+
+        return dense_ids(df, order_cols, out_col)
     raise ValueError(f"unknown id strategy {strategy!r}")
 
 

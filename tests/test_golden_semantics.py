@@ -246,3 +246,21 @@ def test_drop_all_null_columns(spark):
     assert out.columns == ["a", "c"]
     out2 = flt.drop_all_null_columns(df, keep=["b"])
     assert out2.columns == ["a", "b", "c"]
+
+
+def test_dense_ids_strategies_agree(spark):
+    """The persisted distributed numbering must equal the exact global
+    window for any input — this is the regression test for the
+    boundary-resample bug (unpinned range partitions gave the offsets
+    branch different boundaries than the main branch)."""
+    from pyspark.sql import functions as F
+
+    from eventstreamml_spark.operators.windows import dense_ids
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") * 2654435761 % 100003).alias("k"), F.col("id").alias("payload")
+    )
+    w = {r["k"]: r["i"] for r in dense_ids(df, ["k", "payload"], "i").collect()}
+    d = {r["k"]: r["i"] for r in dense_ids(df, ["k", "payload"], "i", strategy="distributed").collect()}
+    assert w == d
+    assert sorted(w.values()) == list(range(5000))
