@@ -1238,3 +1238,129 @@ def q_streaming_inter_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("timestamp").cast("timestamp_ntz").alias("timestamp"),
         F.round("tte", 6).alias("tte"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Torch-side aggregation semantics, W4/W6, multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weighted_avg_price_by_flag",
+    """
+    SELECT l_returnflag,
+           round(CASE WHEN sum(l_quantity) > 0
+                      THEN sum(l_extendedprice * l_quantity) / sum(l_quantity)
+                      ELSE 0.0 END, 4) AS weighted_avg
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_weighted_avg_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 safe_weighted_avg: zero-guarded sum(x*w)/sum(w) per group
+    (EventStreamTransformer/utils.py:13-38 semantics as a DataFrame
+    aggregation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = agg.safe_weighted_avg(
+        li, "l_extendedprice", "l_quantity", by=["l_returnflag"]
+    )
+    return out.select("l_returnflag", F.round("weighted_avg", 4).alias("weighted_avg"))
+
+
+@register(
+    "macro_avg_value_per_subject",
+    """
+    WITH per_subj AS (
+      SELECT user_id, avg(value) AS m FROM events GROUP BY user_id
+    )
+    SELECT round(avg(m), 6) AS macro_avg FROM per_subj
+    """,
+)
+def q_macro_avg_value_per_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15/A16 two-level macro average: mean per subject, then mean over
+    subjects (weighted_loss discipline, EventStreamTransformer/utils.py:40-62)."""
+    out = agg.two_level_macro_avg(_events(spark, sf_dir), "value", subject_col="user_id")
+    return out.select(F.round("macro_avg", 6).alias("macro_avg"))
+
+
+@register(
+    "running_moments_by_type",
+    """
+    SELECT event_type, count(value) AS n, round(sum(value), 4) AS sum_x,
+           round(sum(value * value), 4) AS sum_x2
+    FROM events GROUP BY event_type
+    """,
+)
+def q_running_moments_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 DataStats running moments (N, ΣX, ΣX²) per key — the
+    sufficient statistics the VIOD driver loop consumes
+    (variance_impact_outlier_detector.py:8-42)."""
+    out = agg.running_moments(_events(spark, sf_dir), "value", by=["event_type"])
+    return out.select(
+        "event_type",
+        "n",
+        F.round("sum_x", 4).alias("sum_x"),
+        F.round("sum_x2", 4).alias("sum_x2"),
+    )
+
+
+@register(
+    "norm_log_tte_cumsum",
+    """
+    WITH tte AS (
+      SELECT user_id, event_id, ts,
+             (epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 60000000.0 AS tte
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), stepped AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN tte IS NULL THEN 0.0
+                  ELSE exp((ln(tte + 1) - 2.0) / 1.5) END AS step
+      FROM tte
+    )
+    SELECT event_id,
+           round(sum(step) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING), 6) AS norm_time
+    FROM stepped
+    """,
+)
+def q_norm_log_tte_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: exp((log(Δt+1) − μ)/σ) re-cumsum per subject with first
+    element 0 (event_stream_pytorch_dataset.py:278-321); μ=2.0 σ=1.5
+    fixed so both engines compute identical per-row arithmetic."""
+    ev = _events(spark, sf_dir)
+    tte = win.with_inter_event_time(
+        ev, subject_col="user_id", ts_col="ts", id_col="event_id"
+    )
+    out = win.with_normalized_log_tte_cumsum(
+        tte, mean_log_tte=2.0, std_log_tte=1.5,
+        subject_col="user_id", ts_col="ts", id_col="event_id",
+    )
+    return out.select("event_id", F.round("norm_time", 6).alias("norm_time"))
+
+
+@register("random_subsequence_windows", None)  # seeded-hash randomness: contract-tested
+def q_random_subsequence_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6: seeded contiguous max-length windows per subject
+    (xxhash64-seeded start). No SQL oracle — xxhash64 is engine-local;
+    the same-seed/stability contracts are unit-tested. Output shape:
+    per-subject kept-count, which must equal min(n, L)."""
+    ev = _events(spark, sf_dir)
+    out = win.random_fixed_length_subsequence(
+        ev, max_seq_len=50, seed=7, subject_col="user_id", ts_col="ts", id_col="event_id"
+    )
+    return out.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@register("image_feature_extraction", None)  # mapInPandas plumbing; fake decode
+def q_image_feature_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/feature plumbing: documents' text bytes stand
+    in as opaque payloads; mapInPandas (Arrow-batched) extracts
+    deterministic fake features — the real codec is stubbed
+    (environment has no image libs), the Spark plumbing is real."""
+    from eventstreamml_spark.operators.multimodal import extract_image_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
+    )
+    out = extract_image_features(media, fake=True)
+    return out.select("media_id", "n_bytes", "width", "height", F.round("mean_luma", 1).alias("mean_luma"))
