@@ -119,4 +119,9 @@ def apply_quantile_transformer(
             out[out_names[value_idx]] = res
             yield out
 
-    return joined.mapInPandas(interp, schema=out_schema)
+    mapped = joined.mapInPandas(interp, schema=out_schema)
+    # Arrow round-trips missing doubles as NaN; restore them to null so
+    # downstream null-safe predicates keep working (valid interpolation
+    # output is never NaN)
+    oc = F.col(out_col)
+    return mapped.withColumn(out_col, F.when(F.isnan(oc), F.lit(None)).otherwise(oc))

@@ -60,11 +60,15 @@ _BOUND_COLS = [
 
 @dataclasses.dataclass
 class NumericPreprocessorModel:
-    """Fitted state: one row per key."""
+    """Fitted state: one row per key. ``normalizer_cls`` names the
+    registry entry (U2); ``norm_state`` carries non-expression model
+    state (quantile tables) when the normalizer needs one."""
 
     state: DataFrame
     key_col: str
     value_col: str
+    normalizer_cls: str = "standard_scaler"
+    norm_state: DataFrame | None = None
 
     def transform(self, df: DataFrame) -> DataFrame:
         key, val = self.key_col, self.value_col
@@ -114,12 +118,21 @@ class NumericPreprocessorModel:
             .otherwise(normalized.cast("double"))
         )
 
-        return (
+        result = (
             out.withColumn(f"{val}_is_inlier", is_inlier)
             .withColumn(f"{val}_token", token)
             .withColumn(val, final_val)
             .drop("_vt", "_ts", "_tl", "_mu", "_sd")
         )
+        if self.normalizer_cls == "quantile_transformer" and self.norm_state is not None:
+            from eventstreamml_spark.preprocessing.registry import NORMALIZERS
+
+            # fitted on numeric keys only — categorical/dropped keys have
+            # no quantile row and pass through untouched
+            result = NORMALIZERS["quantile_transformer"]["apply"](
+                result, self.norm_state, key, val
+            )
+        return result
 
 
 class NumericPreprocessor:
@@ -171,18 +184,27 @@ class NumericPreprocessor:
         )
         numeric = typed.filter(F.col("value_type").isin("integer", "float"))
 
-        # 5. per-key outlier fit
+        # 5. per-key outlier fit (registry-resolved, U2)
+        od_cfg = dict(self.config.outlier_detector_config or {})
+        od_cfg.pop("cls", None)
         if self.fit_outliers:
-            viod = fit_viod_per_key(numeric, key, val)
+            viod = fit_viod_per_key(numeric, key, val, **od_cfg)
             inliers = apply_viod(numeric, viod, key, val)
         else:
             viod = None
             inliers = numeric
 
-        # 6. normalizer fit on surviving values
-        norm = (
-            fit_standard_scaler(inliers, key, val) if self.fit_normalizer else None
-        )
+        # 6. normalizer fit on surviving values (registry-resolved, U2)
+        n_cfg = dict(self.config.normalizer_config or {})
+        normalizer_cls = n_cfg.pop("cls", "standard_scaler")
+        if self.fit_normalizer:
+            from eventstreamml_spark.preprocessing.registry import NORMALIZERS
+
+            if normalizer_cls not in NORMALIZERS:
+                raise KeyError(f"unknown normalizer {normalizer_cls!r}")
+            norm = NORMALIZERS[normalizer_cls]["fit"](inliers, key, val, **n_cfg)
+        else:
+            norm = None
 
         state = types
         if bounds_state is not None:
@@ -212,7 +234,8 @@ class NumericPreprocessor:
             state = state.withColumn("thresh_small", F.lit(None).cast("double")).withColumn(
                 "thresh_large", F.lit(None).cast("double")
             )
-        if norm is not None:
+        norm_state = None
+        if norm is not None and normalizer_cls == "standard_scaler":
             state = state.join(
                 norm.select(
                     key, F.col("mean").alias("norm_mean"), F.col("std").alias("norm_std")
@@ -224,8 +247,16 @@ class NumericPreprocessor:
             state = state.withColumn("norm_mean", F.lit(None).cast("double")).withColumn(
                 "norm_std", F.lit(None).cast("double")
             )
+            if norm is not None:
+                norm_state = norm.cache()
 
         # model state is tiny (one row per key) — materialize it once so
         # every downstream transform reuses the computed plan
         state = state.cache()
-        return NumericPreprocessorModel(state=state, key_col=key, value_col=val)
+        return NumericPreprocessorModel(
+            state=state,
+            key_col=key,
+            value_col=val,
+            normalizer_cls=normalizer_cls,
+            norm_state=norm_state,
+        )

@@ -248,3 +248,32 @@ def test_numeric_preprocessor_pipeline(spark):
     assert all(r["value"] is None for r in pct)
     pct_tokens = {r["value_token"] for r in pct}
     assert "pct__EQ_0.5" in pct_tokens and None in pct_tokens  # dropped 1.5 has no token
+
+
+def test_numeric_preprocessor_quantile_registry(spark):
+    """U2: normalizer resolved from the registry via config
+    {'cls': 'quantile_transformer', ...} — hr values uniformize to
+    [0,1]; categorical keys and nulls untouched."""
+    rng = np.random.default_rng(5)
+    rows = (
+        [("hr", float(v)) for v in rng.lognormal(4, 0.3, 400)]
+        + [("flag", float(v)) for v in rng.integers(0, 2, 100)]
+        + [("hr", None)]
+    )
+    train = spark.createDataFrame(rows, "key string, value double")
+    config = PreprocessingConfig(
+        min_true_float_frequency=0.1,
+        min_unique_numerical_observations=5,
+        normalizer_config={"cls": "quantile_transformer", "n_quantiles": 51},
+    )
+    model = NumericPreprocessor("key", "value", config).fit(train)
+    assert model.normalizer_cls == "quantile_transformer"
+    out = model.transform(train)
+    hr = [r["value"] for r in out.filter((F.col("key") == "hr") & F.col("value").isNotNull()).collect()]
+    assert len(hr) >= 390 and min(hr) >= 0.0 and max(hr) <= 1.0
+    assert 0.4 < float(np.median(hr)) < 0.6
+    # null value stays null (NaN round-trip guarded)
+    assert out.filter((F.col("key") == "hr") & F.col("value").isNull()).count() >= 1
+    flag = out.filter(F.col("key") == "flag").collect()
+    assert all(r["value"] is None for r in flag)  # categorical_integer → tokens
+    assert {r["value_token"] for r in flag} == {"flag__EQ_0", "flag__EQ_1"}
