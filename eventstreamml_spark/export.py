@@ -202,3 +202,52 @@ def export_tensorized(df: DataFrame, path: str, n_files: int | None = None) -> N
     if n_files:
         df = df.repartition(n_files, "subject_id")
     df.write.mode("overwrite").parquet(path)
+
+
+def pad_sequences(
+    df: DataFrame,
+    max_seq_len: int,
+    side: str = "right",
+    time_col: str = "time",
+    nested_cols: tuple[str, ...] = (
+        "dynamic_indices",
+        "dynamic_values",
+        "dynamic_measurement_indices",
+    ),
+) -> DataFrame:
+    """W7: fixed-length sequence padding of the export relation
+    (seq_padding_side, config.py:29-41; collate padding,
+    event_stream_pytorch_dataset.py:444-567).
+
+    Sequences longer than ``max_seq_len`` are truncated (keep the first
+    L events — apply the W6 random window upstream for sampled
+    truncation); shorter ones are padded on ``side`` with 0.0 times and
+    empty entry arrays. ``event_mask`` marks real positions. The
+    within-event entry dimension stays ragged — dense [L×M] padding is
+    the DataLoader's concern.
+    """
+    if side not in ("left", "right"):
+        raise ValueError(f"side must be left|right, got {side!r}")
+    L = F.lit(max_seq_len)
+    n = F.least(F.size(F.col(time_col)), L)
+    pad_n = L - n
+
+    def padded(col: str, fill):
+        body = F.slice(F.col(col), 1, max_seq_len)
+        pad = F.array_repeat(fill, pad_n.cast("int"))
+        return F.concat(pad, body) if side == "left" else F.concat(body, pad)
+
+    mask_body = F.array_repeat(F.lit(True), n.cast("int"))
+    mask_pad = F.array_repeat(F.lit(False), pad_n.cast("int"))
+    mask = (
+        F.concat(mask_pad, mask_body) if side == "left" else F.concat(mask_body, mask_pad)
+    )
+
+    # single withColumns: every expression's length terms must resolve
+    # against the ORIGINAL time column, not an already-padded one
+    new_cols = {"event_mask": mask, time_col: padded(time_col, F.lit(0.0))}
+    for c in nested_cols:
+        if c in df.columns:
+            elem_type = df.schema[c].dataType.elementType
+            new_cols[c] = padded(c, F.array().cast(elem_type))
+    return df.withColumns(new_cols)

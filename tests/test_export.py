@@ -96,3 +96,34 @@ def test_tensorize_min_seq_len_and_static(spark):
     # 'F' idx 1 → global 3 (slot 2 is the static block's UNK)
     assert rows[0]["static_indices"] == [3]
     assert rows[0]["time"] == [0.0, 60.0]
+
+
+def test_pad_sequences_sides(spark):
+    events = spark.createDataFrame(
+        [
+            (0, 1, _ts("2020-01-01 00:00:00"), "a"),
+            (1, 1, _ts("2020-01-01 01:00:00"), "a"),
+            (2, 2, _ts("2020-01-01 00:00:00"), "a"),
+        ],
+        "event_id long, subject_id long, timestamp timestamp, event_type string",
+    )
+    metadata = spark.createDataFrame(
+        [], "metadata_id long, event_id long, measurement string, element string, value double"
+    )
+    base = tensorize(events, metadata, {"event_type": _vocab(spark, ["a"])})
+    from eventstreamml_spark.export import pad_sequences
+
+    right = {r["subject_id"]: r for r in pad_sequences(base, 4, "right").collect()}
+    assert right[1]["time"] == [0.0, 60.0, 0.0, 0.0]
+    assert right[1]["event_mask"] == [True, True, False, False]
+    assert right[1]["dynamic_indices"] == [[1], [1], [], []]
+    assert right[2]["event_mask"] == [True, False, False, False]
+
+    left = {r["subject_id"]: r for r in pad_sequences(base, 4, "left").collect()}
+    assert left[1]["time"] == [0.0, 0.0, 0.0, 60.0]
+    assert left[1]["event_mask"] == [False, False, True, True]
+    assert left[1]["dynamic_indices"] == [[], [], [1], [1]]
+
+    # truncation: max_seq_len below the sequence length keeps the head
+    trunc = {r["subject_id"]: r for r in pad_sequences(base, 1, "right").collect()}
+    assert trunc[1]["time"] == [0.0] and trunc[1]["event_mask"] == [True]
