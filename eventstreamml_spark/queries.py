@@ -1364,3 +1364,42 @@ def q_image_feature_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = extract_image_features(media, fake=True)
     return out.select("media_id", "n_bytes", "width", "height", F.round("mean_luma", 1).alias("mean_luma"))
+
+
+@register(
+    "nested_metadata_view",
+    """
+    WITH md AS (
+      SELECT event_id, props, value FROM events WHERE props IS NOT NULL
+    )
+    SELECT e.event_id, count(md.props) AS n_meta,
+           min(md.props) AS first_prop,
+           round(coalesce(sum(md.value), 0.0), 4) AS sum_meta_value
+    FROM events e LEFT JOIN md ON e.event_id = md.event_id
+    GROUP BY e.event_id
+    """,
+)
+def q_nested_metadata_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: the denormalized events_df_with_metadata view — metadata rows
+    packed per event into a typed array cell (collect_list(struct)),
+    flattened back to per-event aggregates for the oracle. Events
+    without measurements keep an empty array (left join)."""
+    from eventstreamml_spark.sources.ingest import nest_metadata
+
+    raw = _events(spark, sf_dir)
+    ev = raw.select("event_id", F.col("user_id").alias("subject_id"),
+                    F.col("ts").alias("timestamp"), "event_type")
+    md = raw.filter(F.col("props").isNotNull()).select(
+        F.col("event_id").alias("metadata_id"), "event_id", "event_type",
+        F.col("user_id").alias("subject_id"), F.col("props").alias("prop"), "value",
+    )
+    nested = nest_metadata(ev, md)
+    m = F.col("metadata")
+    return nested.select(
+        "event_id",
+        F.size(m).cast("long").alias("n_meta"),
+        F.array_min(F.transform(m, lambda e: e["prop"])).alias("first_prop"),
+        F.round(
+            F.aggregate(m, F.lit(0.0), lambda a, e: a + F.coalesce(e["value"], F.lit(0.0))), 4
+        ).alias("sum_meta_value"),
+    )
