@@ -1,0 +1,148 @@
+"""Property-based tests (hypothesis) — beyond the reference's test
+strategy (SURVEY §5 notes it has none): invariants that must hold for
+arbitrary inputs, not just the golden cases.
+
+Spark-backed properties keep ``max_examples`` small (a Spark job per
+example); pure-python properties run at full strength.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from eventstreamml_spark.operators.setops import _KNUTH, _MOD
+from eventstreamml_spark.preprocessing.outliers import VarianceImpactOutlierDetector
+
+finite = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+# --- VIOD invariants (pure numpy — full strength) ---------------------
+@given(st.lists(finite, min_size=2, max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_viod_bounds_bracket_survivors(xs):
+    """After fit, at least one training point lies within the open
+    interval OR the detector degenerated (all-outliers edge); bounds
+    are always ordered."""
+    x = np.asarray(xs)
+    det = VarianceImpactOutlierDetector().fit(x)
+    assert det.thresh_small_ <= det.thresh_large_
+    pred = det.predict(x)
+    inl = x[(x > det.thresh_small_) & (x < det.thresh_large_)]
+    assert (pred == 1).sum() == len(inl)  # predict ≡ the bound predicate
+
+
+@given(st.lists(finite, min_size=5, max_size=200), st.integers(0, 10))
+@settings(max_examples=100, deadline=None)
+def test_viod_fit_is_deterministic(xs, shift):
+    """Same data ⇒ same thresholds, regardless of input order."""
+    x = np.asarray(xs)
+    rng = np.random.default_rng(shift)
+    d1 = VarianceImpactOutlierDetector().fit(x)
+    d2 = VarianceImpactOutlierDetector().fit(rng.permutation(x))
+    assert math.isclose(d1.thresh_small_, d2.thresh_small_, rel_tol=1e-9, abs_tol=1e-9)
+    assert math.isclose(d1.thresh_large_, d2.thresh_large_, rel_tol=1e-9, abs_tol=1e-9)
+
+
+# --- split hash (pure) ------------------------------------------------
+@given(st.integers(0, 2**40), st.integers(0, 1000))
+@settings(max_examples=500, deadline=None)
+def test_split_hash_unit_interval_and_deterministic(sid, seed):
+    h = ((sid % _MOD) + seed) * _KNUTH % _MOD
+    u = h / _MOD
+    assert 0.0 <= u < 1.0
+    h2 = ((sid % _MOD) + seed) * _KNUTH % _MOD
+    assert h == h2
+
+
+def test_split_hash_approximately_uniform():
+    us = np.array([((i % _MOD) + 7) * _KNUTH % _MOD / _MOD for i in range(20000)])
+    hist, _ = np.histogram(us, bins=10, range=(0, 1))
+    assert (np.abs(hist / 20000 - 0.1) < 0.02).all()
+
+
+# --- drop/censor truth property (Spark, small example count) ----------
+@given(
+    lo=st.none() | st.floats(-50, 0, allow_nan=False),
+    hi=st.none() | st.floats(0, 50, allow_nan=False),
+    lo_inc=st.booleans(),
+    hi_inc=st.booleans(),
+    clo=st.none() | st.floats(-30, 0, allow_nan=False),
+    chi=st.none() | st.floats(0, 30, allow_nan=False),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_drop_censor_matches_reference_semantics(spark, lo, hi, lo_inc, hi_inc, clo, chi):
+    """The when-chain equals the reference's sequential rule
+    (event_stream_dataset.py:152-211) for arbitrary bound configs:
+    drop checks strictly precede censor checks; null bounds no-op."""
+    from eventstreamml_spark.operators.filters import drop_or_censor
+
+    vals = [None] + [float(v) for v in np.linspace(-60, 60, 41)]
+    if lo is not None:
+        vals += [lo, math.nextafter(lo, -math.inf), math.nextafter(lo, math.inf)]
+    if hi is not None:
+        vals += [hi, math.nextafter(hi, -math.inf), math.nextafter(hi, math.inf)]
+
+    def ref(v):
+        if v is None:
+            return None
+        if lo is not None and (v < lo or (lo_inc and v == lo)):
+            return None
+        if hi is not None and (v > hi or (hi_inc and v == hi)):
+            return None
+        if clo is not None and v < clo:
+            return clo
+        if chi is not None and v > chi:
+            return chi
+        return v
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v double")
+    out = {
+        r["i"]: r["res"]
+        for r in df.select(
+            "i",
+            drop_or_censor(
+                F.col("v"),
+                drop_lower_bound=lo,
+                drop_lower_bound_inclusive=lo_inc,
+                drop_upper_bound=hi,
+                drop_upper_bound_inclusive=hi_inc,
+                censor_lower_bound=clo,
+                censor_upper_bound=chi,
+            ).alias("res"),
+        ).collect()
+    }
+    for i, v in enumerate(vals):
+        expected = ref(v)
+        got = out[i]
+        if expected is None:
+            assert got is None, (v, got)
+        else:
+            assert got == pytest.approx(expected), (v, got, expected)
+
+
+# --- vocabulary UNK-fold mass conservation (Spark) --------------------
+@given(st.lists(st.integers(1, 30), min_size=1, max_size=8), st.floats(0.0, 0.6))
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_vocab_fold_conserves_mass(spark, counts, tau):
+    """filter_vocabulary: UNK.freq + Σ kept == Σ original element freqs,
+    and kept ranks stay dense from 1."""
+    from eventstreamml_spark.vocabulary import build_vocabulary, filter_vocabulary
+
+    rows = [(f"e{i}",) for i, c in enumerate(counts) for _ in range(c)]
+    df = spark.createDataFrame(rows, "element string")
+    vocab = build_vocabulary(df, "element")
+    filtered = filter_vocabulary(vocab, tau).collect()
+    unk = [r for r in filtered if r["element"] == "UNK"][0]
+    kept = [r for r in filtered if r["element"] != "UNK"]
+    total = unk["freq"] + sum(r["freq"] for r in kept)
+    assert total == pytest.approx(1.0)
+    assert sorted(r["idx"] for r in kept) == list(range(1, len(kept) + 1))
+    assert all(r["freq"] >= tau for r in kept)
