@@ -26,4 +26,36 @@ from eventstreamml_spark.session import get_spark
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "__version__"]
+
+def __getattr__(name):
+    """Lazy top-level API: the heavyweight classes import on first use
+    so `import eventstreamml_spark` stays cheap on executors."""
+    lazy = {
+        "EventStreamDataset": ("eventstreamml_spark.dataset", "EventStreamDataset"),
+        "DatasetConfig": ("eventstreamml_spark.config", "DatasetConfig"),
+        "MeasurementConfig": ("eventstreamml_spark.config", "MeasurementConfig"),
+        "EventStreamPreprocessor": (
+            "eventstreamml_spark.preprocessing.orchestrate",
+            "EventStreamPreprocessor",
+        ),
+        "tensorize": ("eventstreamml_spark.export", "tensorize"),
+        "pad_sequences": ("eventstreamml_spark.export", "pad_sequences"),
+    }
+    if name in lazy:
+        import importlib
+
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+__all__ = [
+    "get_spark",
+    "EventStreamDataset",
+    "DatasetConfig",
+    "MeasurementConfig",
+    "EventStreamPreprocessor",
+    "tensorize",
+    "pad_sequences",
+    "__version__",
+]
