@@ -128,3 +128,95 @@ def lsh_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# --------------------------------------------------------------------------
+
+
+def fit_ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse quantizer: MLlib KMeans over the corpus (the idiomatic
+    iterative-fit path — Lloyd's iterations stay in the JVM, centers
+    come back as a tiny broadcastable table).
+
+    Returns (cell_id int, centroid array<double>).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    km = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="features")
+    model = km.fit(feats)
+    spark = corpus.sparkSession
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    return spark.createDataFrame(rows, "cell_id int, centroid array<double>")
+
+
+def _nearest_cells(vec: Column, centroids: list[tuple[int, list[float]]], n: int) -> Column:
+    """Array of the n nearest cell_ids by cosine (literal centroid
+    table folded into the expression — n_cells is small by design)."""
+    scored = F.array(
+        *[
+            F.struct(
+                cosine(vec, F.array(*[F.lit(float(x)) for x in c])).alias("s"),
+                F.lit(cid).alias("cell_id"),
+            )
+            for cid, c in centroids
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
+    return F.transform(top, lambda e: e["cell_id"])
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Index build: each vector lands in its nearest cell. At scale,
+    write partitioned by cell_id so probes prune to the touched cells."""
+    cents = [(r["cell_id"], r["centroid"]) for r in centroids.collect()]
+    cell = _nearest_cells(F.col(vec_col), cents, 1)[0]
+    return corpus.withColumn("cell_id", cell)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus_assigned: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: probe each query's ``n_probe`` nearest cells, exact
+    cosine rerank within the probed candidate set. ``n_probe=n_cells``
+    degenerates to exact brute force; recall rises monotonically with
+    n_probe. Shuffle profile: queries explode ×n_probe then equi-join
+    on cell_id — the corpus side never broadcasts or replicates."""
+    cents = [(r["cell_id"], r["centroid"]) for r in centroids.collect()]
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).withColumn("cell_id", F.explode(_nearest_cells(F.col("_qv"), cents, n_probe)))
+    c = corpus_assigned.select(
+        "cell_id", F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        q.join(c, "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk")
+    )

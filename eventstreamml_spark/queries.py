@@ -1403,3 +1403,22 @@ def q_nested_metadata_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(m, F.lit(0.0), lambda a, e: a + F.coalesce(e["value"], F.lit(0.0))), 4
         ).alias("sum_meta_value"),
     )
+
+
+@register("ann_ivf_topk", None)  # KMeans coarse quantizer: iterative, not SQL
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN scale path: MLlib KMeans coarse quantizer, cell
+    assignment, n_probe-cell exact rerank. Rows-only driver check; the
+    exact-degeneracy (n_probe=n_cells ≡ brute force) and recall
+    contracts are unit-tested."""
+    from eventstreamml_spark.operators.similarity import (
+        fit_ivf_centroids,
+        ivf_assign,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = fit_ivf_centroids(emb, n_cells=8, seed=1, max_iter=5)
+    assigned = ivf_assign(emb, cents)
+    queries_df = emb.limit(50)
+    return ivf_topk(queries_df, assigned, cents, k=5, n_probe=2)

@@ -146,3 +146,49 @@ def test_multimodal_real_decode_raises(spark):
 
     with _pytest.raises(Exception, match="NotImplementedError|codec"):
         multimodal.extract_image_features(df, fake=False).collect()
+
+
+def test_ivf_topk_recall_and_exact_degeneracy(spark):
+    """IVF: n_probe = n_cells reproduces brute force exactly; a partial
+    probe keeps high top-1 recall on clustered data."""
+    import numpy as np
+
+    from eventstreamml_spark.operators.similarity import (
+        brute_force_topk,
+        fit_ivf_centroids,
+        ivf_assign,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((4, 8)) * 3
+    rows = []
+    for i in range(200):
+        c = centers[i % 4]
+        v = c + rng.standard_normal(8) * 0.3
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.limit(20)
+
+    cents = fit_ivf_centroids(emb, n_cells=4, seed=1)
+    assigned = ivf_assign(emb, cents)
+    assert assigned.select("cell_id").distinct().count() <= 4
+
+    exact = {
+        (r["query_id"], r["rk"]): r["neighbor_id"]
+        for r in brute_force_topk(queries, emb, k=3).collect()
+    }
+    full_probe = {
+        (r["query_id"], r["rk"]): r["neighbor_id"]
+        for r in ivf_topk(queries, assigned, cents, k=3, n_probe=4).collect()
+    }
+    assert full_probe == exact
+
+    one_probe = {
+        (r["query_id"], r["rk"]): r["neighbor_id"]
+        for r in ivf_topk(queries, assigned, cents, k=3, n_probe=1).collect()
+    }
+    top1_hits = sum(
+        1 for (qid, rk), nid in exact.items() if rk == 1 and one_probe.get((qid, 1)) == nid
+    )
+    assert top1_hits >= 18  # ≥90% top-1 recall with a single probed cell
