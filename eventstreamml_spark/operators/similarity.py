@@ -152,7 +152,14 @@ def fit_ivf_centroids(
     from pyspark.ml.functions import array_to_vector
 
     feats = corpus.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
-    km = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="features")
+    # a coarse quantizer needs rough cells, not converged clustering:
+    # random init (kmeans|| costs extra passes) and few, fat partitions
+    # (each Lloyd iteration is a job — task overhead dominates on small
+    # inputs; at 100 TB fit on a sample() instead)
+    feats = feats.coalesce(max(2, min(8, feats.sparkSession.sparkContext.defaultParallelism // 4)))
+    km = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter, featuresCol="features", initMode="random"
+    )
     model = km.fit(feats)
     spark = corpus.sparkSession
     rows = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]

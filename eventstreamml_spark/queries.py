@@ -1418,7 +1418,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = fit_ivf_centroids(emb, n_cells=8, seed=1, max_iter=5)
+    cents = fit_ivf_centroids(emb, n_cells=8, seed=1, max_iter=3)
     assigned = ivf_assign(emb, cents)
     queries_df = emb.limit(50)
     return ivf_topk(queries_df, assigned, cents, k=5, n_probe=2)
