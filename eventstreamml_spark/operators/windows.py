@@ -228,3 +228,28 @@ def random_fixed_length_subsequence(
         (F.col("_rn") >= start) & (F.col("_rn") < start + F.lit(max_seq_len))
     )
     return out.drop("_rn", "_n")
+
+
+def with_tte_target(
+    df: DataFrame,
+    subject_col: str = "subject_id",
+    ts_col: str = "timestamp",
+    id_col: str | None = "event_id",
+    unit_seconds: float = 60.0,
+    out_col: str = "tte_target",
+    mask_col: str = "tte_target_mask",
+) -> DataFrame:
+    """W8: the next-event time delta as a per-event prediction target —
+    ``time.diff()`` shifted onto the EARLIER event with a validity mask
+    (mask = both this and the next position are real events; torch-side
+    ``event_mask[1:] & event_mask[:-1]``, EventStreamTransformer/
+    model.py:115-117). Each subject's last event has a null target and
+    a False mask."""
+    w = subject_window(subject_col, ts_col, id_col)
+    nxt = F.lead(F.col(ts_col)).over(w)
+    delta_us = F.unix_micros(nxt.cast("timestamp")) - F.unix_micros(
+        F.col(ts_col).cast("timestamp")
+    )
+    return df.withColumn(
+        out_col, delta_us / F.lit(unit_seconds * 1_000_000.0)
+    ).withColumn(mask_col, nxt.isNotNull())

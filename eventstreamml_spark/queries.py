@@ -1422,3 +1422,25 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = ivf_assign(emb, cents)
     queries_df = emb.limit(50)
     return ivf_topk(queries_df, assigned, cents, k=5, n_probe=2)
+
+
+@register(
+    "tte_target_shift",
+    """
+    SELECT event_id,
+           round((epoch_us(lead(ts) OVER w) - epoch_us(ts)) / 60000000.0, 6) AS tte_target,
+           lead(ts) OVER w IS NOT NULL AS tte_target_mask
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_tte_target_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8: next-event time delta shifted onto the earlier event with a
+    validity mask (the TTE prediction target,
+    EventStreamTransformer/model.py:115-117)."""
+    out = win.with_tte_target(
+        _events(spark, sf_dir), subject_col="user_id", ts_col="ts", id_col="event_id"
+    )
+    return out.select(
+        "event_id", F.round("tte_target", 6).alias("tte_target"), "tte_target_mask"
+    )
