@@ -36,6 +36,15 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def unit_normalize(a: Column) -> Column:
+    """a / ||a|| as array<double>. Pre-normalizing each side ONCE turns
+    per-pair cosine into a single dot product — the norm is otherwise
+    recomputed for every candidate pair, tripling the per-pair HOF work
+    (interpreted expressions, so this dominates top-k wall time)."""
+    n = norm(a)
+    return F.transform(a, lambda x: x.cast("double") / n)
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -48,16 +57,16 @@ def brute_force_topk(
     excluding self-matches. Ties broken by neighbor id for determinism.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"), unit_normalize(F.col(vec_col)).alias("_qv")
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        F.col(id_col).alias("neighbor_id"), unit_normalize(F.col(vec_col)).alias("_cv")
     )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn("cosine", dot(F.col("_qv"), F.col("_cv")))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
@@ -168,11 +177,23 @@ def fit_ivf_centroids(
 
 def _nearest_cells(vec: Column, centroids: list[tuple[int, list[float]]], n: int) -> Column:
     """Array of the n nearest cell_ids by cosine (literal centroid
-    table folded into the expression — n_cells is small by design)."""
+    table folded into the expression — n_cells is small by design).
+
+    Centroids are unit-normalized HERE (driver-side floats), so the
+    per-row ranking needs only a dot product per cell: argmax over
+    cells of cos(v, c) equals argmax of v·ĉ — the row vector's own norm
+    is a shared positive scale that cannot reorder cells. This removes
+    every norm() evaluation from the hot loop (interpreted HOFs)."""
+    import math
+
+    def unit(c):
+        s = math.sqrt(sum(x * x for x in c)) or 1.0
+        return [x / s for x in c]
+
     scored = F.array(
         *[
             F.struct(
-                cosine(vec, F.array(*[F.lit(float(x)) for x in c])).alias("s"),
+                dot(vec, F.array(*[F.lit(float(x)) for x in unit(c)])).alias("s"),
                 F.lit(cid).alias("cell_id"),
             )
             for cid, c in centroids
@@ -211,15 +232,15 @@ def ivf_topk(
     on cell_id — the corpus side never broadcasts or replicates."""
     cents = [(r["cell_id"], r["centroid"]) for r in centroids.collect()]
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"), unit_normalize(F.col(vec_col)).alias("_qv")
     ).withColumn("cell_id", F.explode(_nearest_cells(F.col("_qv"), cents, n_probe)))
     c = corpus_assigned.select(
-        "cell_id", F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        "cell_id", F.col(id_col).alias("neighbor_id"), unit_normalize(F.col(vec_col)).alias("_cv")
     )
     scored = (
         q.join(c, "cell_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn("cosine", dot(F.col("_qv"), F.col("_cv")))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
