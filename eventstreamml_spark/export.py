@@ -251,3 +251,61 @@ def pad_sequences(
             elem_type = df.schema[c].dataType.elementType
             new_cols[c] = padded(c, F.array().cast(elem_type))
     return df.withColumns(new_cols)
+
+
+def tensorize_tasks(
+    events: DataFrame,
+    metadata: DataFrame,
+    vocabs: dict[str, DataFrame],
+    task_df: DataFrame,
+    **tensorize_kwargs,
+) -> DataFrame:
+    """E3 task path (event_stream_pytorch_dataset.py:239-292): one
+    output sequence per TASK ROW — events restricted to the row's
+    [start_time, end_time] window (J5, inclusive both ends), sequence
+    time measured from the window's first selected event (W3).
+
+    Implemented by re-keying: each task row gets a surrogate id that
+    temporarily plays the ``subject_id`` role through :func:`tensorize`
+    (events overlapping k windows are legitimately replicated k times);
+    the output rejoins the real subject and label columns.
+    """
+    from pyspark.sql import Window as W
+
+    label_cols = [
+        c for c in task_df.columns if c not in ("subject_id", "start_time", "end_time")
+    ]
+    tasks = task_df.withColumn(
+        "_task_id",
+        F.row_number().over(
+            W.orderBy("subject_id", "start_time", "end_time", *label_cols)
+        ).cast("long"),
+    )
+    t, e = tasks.alias("t"), events.alias("e")
+    sel = e.join(
+        t,
+        (F.col("e.subject_id") == F.col("t.subject_id"))
+        & F.col("e.timestamp").between(F.col("t.start_time"), F.col("t.end_time")),
+        "inner",
+    ).select(
+        F.col("e.event_id"),
+        F.col("t._task_id").alias("subject_id"),  # surrogate grouping key
+        F.col("e.timestamp"),
+        F.col("e.event_type"),
+    )
+    out = tensorize(sel, metadata, vocabs, **tensorize_kwargs)
+    back = tasks.select(
+        F.col("_task_id").alias("subject_id"),
+        F.col("subject_id").alias("task_subject_id"),
+        "start_time",
+        "end_time",
+        *label_cols,
+    ).withColumnRenamed("start_time", "window_start").withColumnRenamed(
+        "end_time", "window_end"
+    )
+    return (
+        out.withColumnRenamed("start_time", "seq_start_time")
+        .join(F.broadcast(back), "subject_id")
+        .withColumnRenamed("subject_id", "task_id")
+        .withColumnRenamed("task_subject_id", "subject_id")
+    )

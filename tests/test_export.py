@@ -127,3 +127,37 @@ def test_pad_sequences_sides(spark):
     # truncation: max_seq_len below the sequence length keeps the head
     trunc = {r["subject_id"]: r for r in pad_sequences(base, 1, "right").collect()}
     assert trunc[1]["time"] == [0.0] and trunc[1]["event_mask"] == [True]
+
+
+def test_tensorize_tasks_windows(spark):
+    events = spark.createDataFrame(
+        [
+            (0, 1, _ts("2020-01-01 00:00:00"), "a"),
+            (1, 1, _ts("2020-01-01 06:00:00"), "a"),
+            (2, 1, _ts("2020-01-02 00:00:00"), "a"),
+            (3, 2, _ts("2020-01-01 00:00:00"), "a"),
+        ],
+        "event_id long, subject_id long, timestamp timestamp, event_type string",
+    )
+    metadata = spark.createDataFrame(
+        [], "metadata_id long, event_id long, measurement string, element string, value double"
+    )
+    # two overlapping windows for subject 1 (event 1 is in both), one label col
+    tasks = spark.createDataFrame(
+        [
+            (1, _ts("2020-01-01 00:00:00"), _ts("2020-01-01 12:00:00"), 1.0),
+            (1, _ts("2020-01-01 03:00:00"), _ts("2020-01-02 12:00:00"), 0.0),
+            (2, _ts("2020-01-05 00:00:00"), _ts("2020-01-06 00:00:00"), 1.0),  # no events
+        ],
+        "subject_id long, start_time timestamp, end_time timestamp, died double",
+    )
+    from eventstreamml_spark.export import tensorize_tasks
+
+    out = tensorize_tasks(events, metadata, {"event_type": _vocab(spark, ["a"])}, tasks)
+    rows = {r["task_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2}  # empty window produces no sequence
+    w1, w2 = rows[1], rows[2]
+    assert w1["subject_id"] == 1 and w1["died"] == 1.0
+    assert w1["time"] == [0.0, 360.0]            # events 0,1; minutes from window's first event
+    assert w2["time"] == [0.0, 1080.0]           # events 1,2; event 1 replicated into both
+    assert w2["died"] == 0.0
