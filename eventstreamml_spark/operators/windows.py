@@ -75,16 +75,23 @@ def with_time_since_start(
     df: DataFrame,
     subject_col: str = "subject_id",
     ts_col: str = "timestamp",
-    unit_seconds: float = 60.0,
+    unit_seconds: float | None = 60.0,
     out_col: str = "time_since_start",
 ) -> DataFrame:
     """W3: timestamp - min(timestamp) per subject, scalar units
-    (event_stream_pytorch_dataset.py:296,309-310)."""
+    (event_stream_pytorch_dataset.py:296,309-310).
+
+    ``unit_seconds=None`` emits the exact integer microsecond delta
+    (bigint) — the canonical hashable representation; division into
+    float units is presentation, not semantics.
+    """
     w = W.partitionBy(subject_col)
     start = F.min(F.col(ts_col)).over(w)
     delta_us = F.unix_micros(F.col(ts_col).cast("timestamp")) - F.unix_micros(
         start.cast("timestamp")
     )
+    if unit_seconds is None:
+        return df.withColumn(out_col, delta_us.cast("long"))
     return df.withColumn(out_col, delta_us / F.lit(unit_seconds * 1_000_000.0))
 
 
@@ -235,7 +242,7 @@ def with_tte_target(
     subject_col: str = "subject_id",
     ts_col: str = "timestamp",
     id_col: str | None = "event_id",
-    unit_seconds: float = 60.0,
+    unit_seconds: float | None = 60.0,
     out_col: str = "tte_target",
     mask_col: str = "tte_target_mask",
 ) -> DataFrame:
@@ -244,12 +251,19 @@ def with_tte_target(
     (mask = both this and the next position are real events; torch-side
     ``event_mask[1:] & event_mask[:-1]``, EventStreamTransformer/
     model.py:115-117). Each subject's last event has a null target and
-    a False mask."""
+    a False mask.
+
+    ``unit_seconds=None`` emits the exact integer microsecond delta
+    (bigint) instead of float units.
+    """
     w = subject_window(subject_col, ts_col, id_col)
     nxt = F.lead(F.col(ts_col)).over(w)
     delta_us = F.unix_micros(nxt.cast("timestamp")) - F.unix_micros(
         F.col(ts_col).cast("timestamp")
     )
-    return df.withColumn(
-        out_col, delta_us / F.lit(unit_seconds * 1_000_000.0)
-    ).withColumn(mask_col, nxt.isNotNull())
+    target = (
+        delta_us.cast("long")
+        if unit_seconds is None
+        else delta_us / F.lit(unit_seconds * 1_000_000.0)
+    )
+    return df.withColumn(out_col, target).withColumn(mask_col, nxt.isNotNull())

@@ -220,19 +220,24 @@ def q_min_seq_len_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "time_since_start",
     """
     SELECT event_id,
-           round((epoch_us(ts) - epoch_us(min(ts) OVER (PARTITION BY user_id)))
-                 / 60000000.0, 6) AS time_since_start
+           epoch_us(ts) - epoch_us(min(ts) OVER (PARTITION BY user_id))
+             AS time_since_start_us
     FROM events
     """,
 )
 def q_time_since_start(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W3: minutes since each subject's first event."""
+    """W3: time since each subject's first event, hashed as the exact
+    integer microsecond delta (bigint) — division into minutes is
+    presentation, not semantics, and float rounding at ULP boundaries
+    is engine-dependent."""
     out = win.with_time_since_start(
-        _events(spark, sf_dir), subject_col="user_id", ts_col="ts"
+        _events(spark, sf_dir),
+        subject_col="user_id",
+        ts_col="ts",
+        unit_seconds=None,
+        out_col="time_since_start_us",
     )
-    return out.select(
-        "event_id", F.round("time_since_start", 6).alias("time_since_start")
-    )
+    return out.select("event_id", "time_since_start_us")
 
 
 # ---------------------------------------------------------------------------
@@ -1064,7 +1069,7 @@ def q_categorical_fit_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id AS subject_id,
            count(*) AS seq_len,
            count(*) + count(pg) AS n_entries,
-           sum(eg) + coalesce(sum(pg), 0) AS sum_idx,
+           CAST(sum(eg) + coalesce(sum(pg), 0) AS BIGINT) AS sum_idx,
            greatest(max(eg), max(pg)) AS max_idx
     FROM e GROUP BY user_id
     """,
@@ -1217,7 +1222,7 @@ def q_streaming_windowed_histogram(spark: SparkSession, sf_dir: str) -> DataFram
     "streaming_inter_event_time",
     """
     SELECT user_id AS subject_id, ts AS timestamp,
-           round((epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 60000000.0, 6) AS tte
+           epoch_us(ts) - epoch_us(lag(ts) OVER w) AS tte_us
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     """,
@@ -1225,18 +1230,19 @@ def q_streaming_windowed_histogram(spark: SparkSession, sf_dir: str) -> DataFram
 def q_streaming_inter_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2 as a stateful streaming operator (applyInPandasWithState, the
     subject's last event time as keyed state); over a finite source the
-    append-mode output multiset equals the batch lag window."""
+    append-mode output multiset equals the batch lag window. Hashed as
+    exact integer microsecond deltas (bigint)."""
     from eventstreamml_spark.streaming.ops import stream_inter_event_times
 
     ev = _events_stream(spark, sf_dir).select(
         F.col("user_id").alias("subject_id"), F.col("ts").alias("timestamp")
     )
-    tte = stream_inter_event_times(ev)
+    tte = stream_inter_event_times(ev, unit_seconds=None)
     out = _run_available_now(tte, "append")
     return out.select(
         "subject_id",
         F.col("timestamp").cast("timestamp_ntz").alias("timestamp"),
-        F.round("tte", 6).alias("tte"),
+        F.col("tte").alias("tte_us"),
     )
 
 
@@ -1428,7 +1434,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tte_target_shift",
     """
     SELECT event_id,
-           round((epoch_us(lead(ts) OVER w) - epoch_us(ts)) / 60000000.0, 6) AS tte_target,
+           epoch_us(lead(ts) OVER w) - epoch_us(ts) AS tte_target_us,
            lead(ts) OVER w IS NOT NULL AS tte_target_mask
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1437,10 +1443,14 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tte_target_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W8: next-event time delta shifted onto the earlier event with a
     validity mask (the TTE prediction target,
-    EventStreamTransformer/model.py:115-117)."""
+    EventStreamTransformer/model.py:115-117). Hashed as the exact
+    integer microsecond delta — no float rounding in the contract."""
     out = win.with_tte_target(
-        _events(spark, sf_dir), subject_col="user_id", ts_col="ts", id_col="event_id"
+        _events(spark, sf_dir),
+        subject_col="user_id",
+        ts_col="ts",
+        id_col="event_id",
+        unit_seconds=None,
+        out_col="tte_target_us",
     )
-    return out.select(
-        "event_id", F.round("tte_target", 6).alias("tte_target"), "tte_target_mask"
-    )
+    return out.select("event_id", "tte_target_us", "tte_target_mask")

@@ -84,6 +84,13 @@ _TTE_OUTPUT = StructType(
         StructField("tte", DoubleType()),
     ]
 )
+_TTE_OUTPUT_US = StructType(
+    [
+        StructField("subject_id", LongType()),
+        StructField("timestamp", TimestampType()),
+        StructField("tte", LongType()),
+    ]
+)
 # state: the subject's last event time in epoch micros
 _TTE_STATE = StructType([StructField("last_ts_us", LongType())])
 
@@ -92,15 +99,20 @@ def stream_inter_event_times(
     events: DataFrame,
     subject_col: str = "subject_id",
     ts_col: str = "timestamp",
-    unit_seconds: float = 60.0,
+    unit_seconds: float | None = 60.0,
 ) -> DataFrame:
     """W2 incrementally: per-subject Δt in ``unit_seconds`` units, null
     for each subject's first-ever event. The batch analog is
     ``with_inter_event_time``; here the "previous timestamp" lives in
     keyed state instead of a ``lag`` window, so one pass over an
     unbounded stream yields the same column the reference computes with
-    ``groupby.diff()`` (event_stream_dataset.py:873-876)."""
+    ``groupby.diff()`` (event_stream_dataset.py:873-876).
+
+    ``unit_seconds=None`` emits the exact integer microsecond delta as
+    a nullable bigint — exact-hashable across engines."""
     import pandas as pd
+
+    raw_micros = unit_seconds is None
 
     def update(key, pdfs, state: GroupState):
         last_us = state.get[0] if state.exists else None
@@ -112,7 +124,11 @@ def stream_inter_event_times(
             prev = ts_us.shift(1)
             if last_us is not None:
                 prev.iloc[0] = last_us
-            tte = (ts_us - prev) / (unit_seconds * 1_000_000.0)
+            delta = ts_us - prev
+            if raw_micros:
+                tte = delta.astype("Int64")  # nullable int — exact µs
+            else:
+                tte = delta / (unit_seconds * 1_000_000.0)
             frames.append(
                 pd.DataFrame(
                     {
@@ -127,6 +143,7 @@ def stream_inter_event_times(
             state.update((last_us,))
         yield from frames
 
+    schema = _TTE_OUTPUT_US if raw_micros else _TTE_OUTPUT
     return events.groupBy(subject_col).applyInPandasWithState(
-        update, _TTE_OUTPUT, _TTE_STATE, "append", GroupStateTimeout.NoTimeout
+        update, schema, _TTE_STATE, "append", GroupStateTimeout.NoTimeout
     )
