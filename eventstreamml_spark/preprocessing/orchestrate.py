@@ -8,9 +8,11 @@ fit (train split ONLY — the reference reads ``split='train'`` at
 :1043/:1125/:1304; callers pass the train-restricted dataset):
   1. functional time-dependent columns: registered functors attached to
      events (U1/J4);
-  2. per MULTIVARIATE_REGRESSION measurement: numeric fit
-     (``NumericPreprocessor``: bounds → value types → outliers →
-     normalizer) over its (key, value) pairs;
+  2. numeric fit (``NumericPreprocessor``: bounds → value types →
+     outliers → normalizer): per MULTIVARIATE_REGRESSION measurement
+     over its (key, value) pairs, and per FUNCTIONAL_TIME_DEPENDENT
+     numeric column (e.g. Age) with the measurement name as the single
+     key (reference :1100-1156);
   3. categorical fit (``CategoricalPreprocessor``) over ALL
      measurements' elements — classification measurements contribute
      their values; regression measurements contribute their keys with
@@ -206,10 +208,22 @@ class EventStreamPreprocessor:
         pcfg = cfg.preprocessing_config()
         long = melt_observations(train_ds, cfg)
 
-        # 2. numeric fit per multivariate-regression measurement
+        # 2. numeric fit: multivariate-regression measurements (per-key
+        #    over their (key, value) pairs) AND functional time-dependent
+        #    numeric columns (single key = the measurement name) — the
+        #    reference fits both (_fit_dynamic_numerical_metadata_column
+        #    and _fit_time_dependent_numerical_metadata_column,
+        #    event_stream_dataset.py:1012-1013, :1100-1156), so columns
+        #    like Age get bounds/outlier/normalizer state too.
+        ev_dtypes = dict(train_ds.events.dtypes)
         numeric_models: dict[str, NumericPreprocessorModel] = {}
         for name, mc in cfg.measurement_configs.items():
-            if mc.modality != DataModality.MULTIVARIATE_REGRESSION:
+            is_td_numeric = (
+                mc.temporality == TemporalityType.FUNCTIONAL_TIME_DEPENDENT
+                and mc.is_numeric
+                and ev_dtypes.get(name) in ("double", "float", "int", "bigint")
+            )
+            if mc.modality != DataModality.MULTIVARIATE_REGRESSION and not is_td_numeric:
                 continue
             part = long.filter(F.col("measurement") == name).select(
                 F.col("element").alias("key"), F.col("value")

@@ -240,3 +240,40 @@ def apply_viod(
         .withColumn(out_col, F.when(is_inlier | is_inlier.isNull(), v))
         .drop("_ts", "_tl")
     )
+
+
+def fit_stddev_cutoff_per_key(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_stddevs: float = 4.0,
+) -> DataFrame:
+    """Stddev-cutoff outlier detector: per-key thresholds at
+    ``mean ± n_stddevs · std`` (sample std, ddof=1).
+
+    The SQL-expressible registry alternative to VIOD — same pluggable
+    contract as the reference's ``METADATA_MODELS`` registry
+    (event_stream_dataset.py:48-54); shares :func:`apply_viod` for the
+    transform side. One aggregation, no Python, map-side combinable —
+    the 100 TB-preferred detector when VIOD's iterative fit isn't
+    required. Keys with zero/undefined spread get null thresholds
+    (→ inlier flag null downstream, values pass through)."""
+    v = F.col(value_col)
+    agg = (
+        df.filter(v.isNotNull())
+        .groupBy(key_col)
+        .agg(
+            F.avg(v).alias("_mu"),
+            F.stddev_samp(v).alias("_sd"),
+            F.count(F.lit(1)).alias("n_train"),
+        )
+    )
+    ok = F.col("_sd").isNotNull() & (F.col("_sd") > 0)
+    k = F.lit(float(n_stddevs))
+    return agg.select(
+        key_col,
+        F.when(ok, F.col("_mu") - k * F.col("_sd")).alias("thresh_small"),
+        F.when(ok, F.col("_mu") + k * F.col("_sd")).alias("thresh_large"),
+        "n_train",
+        F.lit(False).alias("all_outliers"),
+    )

@@ -45,7 +45,6 @@ from eventstreamml_spark.preprocessing.normalizer import (
     apply_standard_scaler,
     fit_standard_scaler,
 )
-from eventstreamml_spark.preprocessing.outliers import apply_viod, fit_viod_per_key
 from eventstreamml_spark.preprocessing.types_infer import infer_value_types
 
 _BOUND_COLS = [
@@ -146,12 +145,20 @@ class NumericPreprocessor:
         config: PreprocessingConfig | None = None,
         fit_outliers: bool = True,
         fit_normalizer: bool = True,
+        param_round_dp: int | None = None,
     ) -> None:
         self.key_col = key_col
         self.value_col = value_col
         self.config = config or PreprocessingConfig()
         self.fit_outliers = fit_outliers
         self.fit_normalizer = fit_normalizer
+        # Oracle-parity mode: round fitted params (thresholds, scaler
+        # mean/std) to this many decimals at each stage boundary, BEFORE
+        # the next stage consumes them. Aggregates are the only cross-
+        # engine nondeterminism (summation order); per-row arithmetic on
+        # identical doubles is IEEE-deterministic, so rounding at stage
+        # boundaries makes downstream values hash-exact across engines.
+        self.param_round_dp = param_round_dp
 
     def fit(
         self, train: DataFrame, bounds: DataFrame | None = None
@@ -186,10 +193,20 @@ class NumericPreprocessor:
 
         # 5. per-key outlier fit (registry-resolved, U2)
         od_cfg = dict(self.config.outlier_detector_config or {})
-        od_cfg.pop("cls", None)
+        od_cls = od_cfg.pop("cls", "variance_impact")
         if self.fit_outliers:
-            viod = fit_viod_per_key(numeric, key, val, **od_cfg)
-            inliers = apply_viod(numeric, viod, key, val)
+            from eventstreamml_spark.preprocessing.registry import OUTLIER_DETECTORS
+
+            if od_cls not in OUTLIER_DETECTORS:
+                raise KeyError(f"unknown outlier detector {od_cls!r}")
+            od = OUTLIER_DETECTORS[od_cls]
+            viod = od["fit"](numeric, key, val, **od_cfg)
+            if self.param_round_dp is not None:
+                dp = self.param_round_dp
+                viod = viod.withColumn(
+                    "thresh_small", F.round("thresh_small", dp)
+                ).withColumn("thresh_large", F.round("thresh_large", dp))
+            inliers = od["apply"](numeric, viod, key, val)
         else:
             viod = None
             inliers = numeric
@@ -203,6 +220,11 @@ class NumericPreprocessor:
             if normalizer_cls not in NORMALIZERS:
                 raise KeyError(f"unknown normalizer {normalizer_cls!r}")
             norm = NORMALIZERS[normalizer_cls]["fit"](inliers, key, val, **n_cfg)
+            if self.param_round_dp is not None and normalizer_cls == "standard_scaler":
+                dp = self.param_round_dp
+                norm = norm.withColumn("mean", F.round("mean", dp)).withColumn(
+                    "std", F.round("std", dp)
+                )
         else:
             norm = None
 

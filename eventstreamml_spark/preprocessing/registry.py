@@ -16,7 +16,11 @@ from eventstreamml_spark.preprocessing.normalizer import (
     fit_quantile_transformer,
     fit_standard_scaler,
 )
-from eventstreamml_spark.preprocessing.outliers import apply_viod, fit_viod_per_key
+from eventstreamml_spark.preprocessing.outliers import (
+    apply_viod,
+    fit_stddev_cutoff_per_key,
+    fit_viod_per_key,
+)
 
 NORMALIZERS = {
     "standard_scaler": {"fit": fit_standard_scaler, "apply": apply_standard_scaler},
@@ -25,4 +29,5 @@ NORMALIZERS = {
 
 OUTLIER_DETECTORS = {
     "variance_impact": {"fit": fit_viod_per_key, "apply": apply_viod},
+    "stddev_cutoff": {"fit": fit_stddev_cutoff_per_key, "apply": apply_viod},
 }

@@ -1150,6 +1150,70 @@ def q_age_functor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", F.round("age", 6).alias("age"))
 
 
+@register(
+    "age_numeric_preprocess",
+    """
+    WITH s AS (SELECT user_id, min(ts) AS dob FROM events GROUP BY user_id),
+    a AS (
+      SELECT e.event_id,
+             (epoch_us(e.ts) - epoch_us(s.dob)) / (365.0 * 24 * 3600 * 1000000) AS age
+      FROM events e JOIN s USING (user_id)
+    ),
+    st AS (
+      SELECT round(avg(age) - 2.0 * stddev_samp(age), 6) AS ts_,
+             round(avg(age) + 2.0 * stddev_samp(age), 6) AS tl
+      FROM a
+    ),
+    flag AS (
+      SELECT a.event_id, a.age, (a.age > st.ts_ AND a.age < st.tl) AS age_is_inlier
+      FROM a, st
+    ),
+    nm AS (
+      SELECT round(avg(age) FILTER (WHERE age_is_inlier), 6) AS mu,
+             round(stddev_pop(age) FILTER (WHERE age_is_inlier), 6) AS sd
+      FROM flag
+    )
+    SELECT f.event_id,
+           round(CASE WHEN f.age_is_inlier THEN (f.age - nm.mu) / nm.sd END, 6) AS age_norm,
+           f.age_is_inlier
+    FROM flag f, nm
+    """,
+)
+def q_age_numeric_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 numeric path on a FUNCTIONAL_TIME_DEPENDENT column: the Age
+    functor's values through the full NumericPreprocessor lifecycle
+    (value-type inference → stddev-cutoff outlier bounds → standard
+    scaling), the wiring the reference performs in
+    _fit_time_dependent_numerical_metadata_column
+    (event_stream_dataset.py:1100-1156). Fitted params are rounded to
+    6dp at each stage boundary on both sides (param_round_dp), so every
+    downstream per-row double is bit-identical across engines."""
+    from eventstreamml_spark.preprocessing.config import PreprocessingConfig
+    from eventstreamml_spark.preprocessing.functors import with_age
+    from eventstreamml_spark.preprocessing.pipeline import NumericPreprocessor
+
+    ev = _events(spark, sf_dir)
+    subjects = ev.groupBy("user_id").agg(F.min("ts").alias("dob"))
+    aged = with_age(
+        ev, subjects, subject_col="user_id", ts_col="ts", dob_col="dob", out_col="age"
+    ).withColumn("measurement", F.lit("age"))
+    pre = NumericPreprocessor(
+        "measurement",
+        "age",
+        PreprocessingConfig(
+            outlier_detector_config={"cls": "stddev_cutoff", "n_stddevs": 2.0}
+        ),
+        param_round_dp=6,
+    )
+    model = pre.fit(aged.select("measurement", "age"))
+    out = model.transform(aged)
+    return out.select(
+        "event_id",
+        F.round("age", 6).alias("age_norm"),
+        F.col("age_is_inlier"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming (SURVEY §2.8 — new engine capability)
 # ---------------------------------------------------------------------------

@@ -123,3 +123,65 @@ def build_et_vocab(ds):
     from eventstreamml_spark.vocabulary import build_vocabulary
 
     return build_vocabulary(ds.events.select("event_type"), "event_type")
+
+
+def test_time_dependent_numeric_fit(spark):
+    """FUNCTIONAL_TIME_DEPENDENT numeric columns (Age) get full numeric
+    model state — bounds/outlier/normalizer — like the reference's
+    _fit_time_dependent_numerical_metadata_column
+    (event_stream_dataset.py:1100-1156)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    ev_rows = []
+    eid = 0
+    for sid in (1, 2, 3):
+        for d in sorted(rng.integers(1, 25, size=20).tolist()):
+            ev_rows.append((eid, sid, f"2020-03-{d:02d} 12:00:00", "visit"))
+            eid += 1
+    events = spark.createDataFrame(
+        ev_rows, "event_id long, subject_id long, timestamp string, event_type string"
+    )
+    metadata = spark.createDataFrame(
+        [(i, i, "visit", (i % 3) + 1, "flu") for i in range(eid)],
+        "metadata_id long, event_id long, event_type string, subject_id long, dx string",
+    )
+    subjects = spark.createDataFrame(
+        [(1, "1980-06-01"), (2, "1990-01-15"), (3, "2001-11-30")],
+        "subject_id long, dob string",
+    )
+    ds = EventStreamDataset(events, metadata=metadata, subjects=subjects)
+
+    config = DatasetConfig.from_simple_args(
+        dynamic_measurement_columns=["dx"],
+        time_dependent_measurement_columns=[("age", "age")],
+        min_true_float_frequency=0.1,
+    )
+    ds.events = add_time_dependent_columns(ds.events, ds.subjects, config)
+    model = EventStreamPreprocessor(config).fit(ds)
+
+    # the age column now has fitted numeric state under its own name
+    assert "age" in model.numeric_models
+    state = {r["key"]: r for r in model.numeric_models["age"].state.collect()}
+    s = state["age"]
+    assert s["value_type"] == "float"
+    assert s["thresh_small"] is not None and s["thresh_large"] is not None
+    assert s["norm_mean"] is not None and s["norm_std"] is not None
+
+    # transform: age observations are normalized (inlier mean ~ 0)
+    obs = model.transform(ds)
+    age_vals = [
+        r["value"]
+        for r in obs.filter(F.col("measurement") == "age").collect()
+        if r["value"] is not None
+    ]
+    assert len(age_vals) > 0
+    assert abs(float(np.mean(age_vals))) < 0.3
+    # age element survives into the categorical vocab as its own token
+    vocab_elems = {
+        r["element"]
+        for r in model.categorical_model.vocab.filter(
+            F.col("measurement") == "age"
+        ).collect()
+    }
+    assert "age" in vocab_elems
