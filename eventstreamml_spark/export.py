@@ -268,19 +268,21 @@ def tensorize_tasks(
     Implemented by re-keying: each task row gets a surrogate id that
     temporarily plays the ``subject_id`` role through :func:`tensorize`
     (events overlapping k windows are legitimately replicated k times);
-    the output rejoins the real subject and label columns.
+    the output rejoins the real subject and label columns. Task tables
+    are one row per prediction window and can be huge, so the surrogate
+    id goes through the size-gated ``dense_ids`` (``auto`` strategy) —
+    no global-window numbering on large task tables.
     """
-    from pyspark.sql import Window as W
+    from eventstreamml_spark.operators.windows import dense_ids
 
     label_cols = [
         c for c in task_df.columns if c not in ("subject_id", "start_time", "end_time")
     ]
-    tasks = task_df.withColumn(
+    tasks = dense_ids(
+        task_df,
+        ["subject_id", "start_time", "end_time", *label_cols],
         "_task_id",
-        F.row_number().over(
-            W.orderBy("subject_id", "start_time", "end_time", *label_cols)
-        ).cast("long"),
-    )
+    ).withColumn("_task_id", F.col("_task_id") + F.lit(1))
     t, e = tasks.alias("t"), events.alias("e")
     sel = e.join(
         t,

@@ -16,6 +16,7 @@ def agg_by_time_type(
     ts_col: str = "timestamp",
     type_col: str = "event_type",
     id_col: str = "event_id",
+    id_strategy: str = "auto",
 ) -> DataFrame:
     """A1: deduplicate events on (subject, timestamp, event_type).
 
@@ -29,9 +30,10 @@ def agg_by_time_type(
     a metadata table at the new ids.
 
     Scale: one shuffle on the full grouping key; the 0..n-1 renumbering
-    goes through ``dense_ids`` (exact global window by default; pass
-    the persisted distributed strategy there when the dedup output is
-    itself too large to number in one task).
+    goes through ``dense_ids`` size-gated (``auto``): exact global
+    window below the single-task threshold, the persisted distributed
+    numbering above it — no single-partition global-window exchange on
+    large inputs.
     """
     from eventstreamml_spark.operators.windows import dense_ids
 
@@ -39,7 +41,7 @@ def agg_by_time_type(
         F.sort_array(F.collect_set(F.col(id_col))).alias("old_event_ids"),
         F.count(F.lit(1)).alias("n_merged"),
     )
-    return dense_ids(grouped, [subject_col, ts_col, type_col], id_col).select(
+    return dense_ids(grouped, [subject_col, ts_col, type_col], id_col, strategy=id_strategy).select(
         id_col, subject_col, ts_col, type_col, "old_event_ids", "n_merged"
     )
 

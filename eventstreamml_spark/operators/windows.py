@@ -9,9 +9,10 @@ subject cardinality is huge (≫ #executors) in real deployments, so the
 shuffle is well-spread; ordering within a subject is bounded by
 per-subject sequence length. No global windows (``Window.orderBy``
 without partition) appear in any hot path; the only global ordering is
-the optional deterministic surrogate-id assignment (W5), which is a
-documented single-stage bottleneck with a zipWithIndex-free
-`row_number` fallback for test-scale parity.
+the deterministic surrogate-id assignment (W5), whose ``dense_ids``
+default is size-gated: exact global ``row_number`` below a single-task
+byte threshold, a persisted zipWithIndex-style distributed numbering
+above it.
 """
 
 from __future__ import annotations
@@ -95,16 +96,43 @@ def with_time_since_start(
     return df.withColumn(out_col, delta_us / F.lit(unit_seconds * 1_000_000.0))
 
 
+#: ``strategy="auto"`` flips to the distributed numbering path when the
+#: optimizer's size estimate for the frame exceeds this many bytes —
+#: the bound on what one task should sort/number. 1 GiB ≈ tens of
+#: millions of typical event rows, the measured crossover region where
+#: the window strategy's single final task stops being the faster plan.
+AUTO_DISTRIBUTED_THRESHOLD_BYTES = 1 << 30
+
+
+def _plan_size_estimate(df: DataFrame) -> int | None:
+    """Catalyst's pre-execution ``sizeInBytes`` estimate for ``df`` —
+    free (no job). ``None`` when the plan carries no statistics."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # non-SQL plans / internals drift
+        return None
+
+
 def dense_ids(
     df: DataFrame,
     order_cols: list[str],
     out_col: str = "event_id",
     num_partitions: int | None = None,
-    strategy: str = "window",
+    strategy: str = "auto",
+    auto_threshold_bytes: int | None = None,
 ) -> DataFrame:
     """Dense 0..n-1 ids over a pinned total order.
 
-    ``strategy="window"`` (default): global ``row_number`` — exact and
+    ``strategy="auto"`` (default): size-gate on Catalyst's plan-size
+    estimate — ``window`` below ``auto_threshold_bytes`` (default
+    :data:`AUTO_DISTRIBUTED_THRESHOLD_BYTES`), ``distributed`` above it
+    or when the estimate is unavailable (scale-safe default: the only
+    cost of a false positive is an extra shuffle, while a false
+    negative is a single-task global sort). Both strategies produce
+    identical ids for a total order, so the gate is a pure physical
+    choice.
+
+    ``strategy="window"``: global ``row_number`` — exact and
     deterministic. The final numbering stage runs in ONE task, but its
     input is only the (narrow) ordering columns plus already-computed
     rows, and measured at bench scale it beats the distributed variant.
@@ -132,6 +160,14 @@ def dense_ids(
     total order (no duplicate keys).
     """
     order = [F.col(c).asc() for c in order_cols]
+    if strategy == "auto":
+        limit = (
+            AUTO_DISTRIBUTED_THRESHOLD_BYTES
+            if auto_threshold_bytes is None
+            else auto_threshold_bytes
+        )
+        est = _plan_size_estimate(df)
+        strategy = "window" if est is not None and est <= limit else "distributed"
     if strategy == "window":
         w = W.orderBy(*order)
         return df.withColumn(out_col, (F.row_number().over(w) - 1).cast("long"))

@@ -61,3 +61,45 @@ def test_drop_censor_is_narrow(spark):
         ).alias("v"),
     )
     assert shuffle_count(q) == 0  # pure map — no exchange at any scale
+
+
+def test_dense_ids_auto_gates_global_window(spark):
+    """The auto strategy keeps row_number for small frames but must
+    switch to the distributed (range-partitioned) numbering above the
+    size threshold — no global-window numbering of the main frame.
+    The distributed plan's only SinglePartition exchange carries the
+    per-partition count aggregate (<= num_partitions rows), never the
+    data itself."""
+    from eventstreamml_spark.operators.windows import dense_ids
+    from eventstreamml_spark.plans.inspect import formatted_plan
+
+    ev = load_table(spark, SF, "events").select("event_id", "user_id", "ts")
+
+    small = dense_ids(ev, ["user_id", "ts", "event_id"], "i")
+    assert "row_number" in formatted_plan(small)  # auto -> window here
+
+    big = dense_ids(ev, ["user_id", "ts", "event_id"], "i", auto_threshold_bytes=0)
+    plan = formatted_plan(big)
+    assert "row_number" not in plan  # auto -> distributed
+    assert "monotonically_increasing_id" in plan
+
+    # both physical strategies number identically
+    a = [r["i"] for r in small.orderBy("event_id").collect()]
+    b = [r["i"] for r in big.orderBy("event_id").collect()]
+    assert a == b
+
+
+def test_agg_by_time_type_distributed_ids_match(spark):
+    """A1 stays correct when the size gate selects the distributed
+    numbering (forced via strategy) — same ids as the window path."""
+    from eventstreamml_spark.operators.aggregations import agg_by_time_type
+
+    ev = load_table(spark, SF, "events").withColumnRenamed(
+        "user_id", "subject_id"
+    ).withColumnRenamed("ts", "timestamp")
+    w = agg_by_time_type(ev, id_strategy="window")
+    d = agg_by_time_type(ev, id_strategy="distributed")
+    key = ["subject_id", "timestamp", "event_type"]
+    wm = {tuple(r[k] for k in key): r["event_id"] for r in w.collect()}
+    dm = {tuple(r[k] for k in key): r["event_id"] for r in d.collect()}
+    assert wm == dm
