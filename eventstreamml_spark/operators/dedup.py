@@ -184,7 +184,25 @@ def jaccard_pairs(
 
     |A∩B| via self-equi-join on shingle; |A∪B| = |A|+|B|−|A∩B| from a
     broadcast size table. Emits (id_a, id_b, jaccard ≥ threshold).
+
+    When ``candidates`` is given, BOTH self-join inputs are first
+    semi-joined down to the candidate doc-id set, so the quadratic
+    shingle self-join only ever sees candidate documents — on a
+    boilerplate-heavy corpus this is the difference between the LSH
+    prefilter bounding the work and merely filtering its output. The
+    aggregated intersections are then semi-joined to the exact pair
+    list (id-restriction alone would admit cross-pairs between
+    unrelated candidates).
     """
+    cand_pairs = None
+    if candidates is not None:
+        cand_pairs = candidates.select("id_a", "id_b")
+        cand_ids = (
+            cand_pairs.select(F.col("id_a").alias(id_col))
+            .union(cand_pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        shingles = shingles.join(cand_ids, id_col, "left_semi")
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = shingles.alias("a"), shingles.alias("b")
     inter = (
@@ -198,8 +216,8 @@ def jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    if candidates is not None:
-        inter = inter.join(candidates.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+    if cand_pairs is not None:
+        inter = inter.join(cand_pairs, ["id_a", "id_b"], "left_semi")
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     out = (

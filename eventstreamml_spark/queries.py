@@ -807,6 +807,46 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sig, n_perm=16, n_bands=4)
 
 
+@register(
+    "dedup_lsh_verified",
+    f"""
+    WITH {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+    """,
+)
+def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup, end-to-end scale pipeline: MinHash→LSH banding proposes
+    candidate pairs, exact Jaccard verifies them at ≥ 0.8 — the
+    full prefilter→verify shape a 100 TB dedup run uses. The shingle
+    self-join inside the verify step sees ONLY candidate documents
+    (operators/dedup.py jaccard_pairs candidate restriction). The
+    oracle is the thresholded exact pair set: banding with 4 bands ×
+    4 rows has recall ≈ 1 at jaccard ≥ 0.8 (1-(1-s^4)^4 > 0.998),
+    and the match is exact on this corpus."""
+    from eventstreamml_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    sh = word_shingles(load_table(spark, sf_dir, "documents"), k=4)
+    sig = minhash_signatures(sh, n_perm=16)
+    cand = lsh_candidate_pairs(sig, n_perm=16, n_bands=4)
+    return jaccard_pairs(sh, threshold=0.8, candidates=cand)
+
+
 @register("dedup_simhash_pairs", None)  # xxhash64 has no DuckDB twin → rows-only
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup: SimHash near-dup pairs (Hamming ≤ 3 via pigeonhole

@@ -103,3 +103,19 @@ def test_agg_by_time_type_distributed_ids_match(spark):
     wm = {tuple(r[k] for k in key): r["event_id"] for r in w.collect()}
     dm = {tuple(r[k] for k in key): r["event_id"] for r in d.collect()}
     assert wm == dm
+
+
+def test_jaccard_candidates_restrict_self_join(spark):
+    """With an LSH candidate list, the shingle self-join's inputs are
+    semi-joined down to candidate doc-ids BEFORE the join (one LeftSemi
+    per side) and the aggregated pairs are semi-joined to the exact
+    pair list (a third) — the prefilter bounds the quadratic work, it
+    does not just filter its output."""
+    from eventstreamml_spark.operators.dedup import jaccard_pairs, word_shingles
+
+    docs = load_table(spark, SF, "documents")
+    sh = word_shingles(docs, k=4)
+    cand = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    q = jaccard_pairs(sh, threshold=0.1, candidates=cand)
+    optimized = q._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("LeftSemi") >= 3
