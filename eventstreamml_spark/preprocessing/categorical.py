@@ -31,8 +31,10 @@ transform:
 from __future__ import annotations
 
 import dataclasses
+import json
+import os
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from eventstreamml_spark.preprocessing.config import PreprocessingConfig
 from eventstreamml_spark.vocabulary import UNK
@@ -66,6 +68,31 @@ class CategoricalPreprocessorModel:
             .otherwise(F.lit(UNK))
         )
         return out.withColumn(e, new_elem).drop("dropped", "_in_vocab")
+
+    # -- persistence ---------------------------------------------------
+    def save(self, path: str) -> None:
+        """status + vocab as parquet, column names in a JSON manifest."""
+        os.makedirs(path, exist_ok=True)
+        self.status.write.mode("overwrite").parquet(os.path.join(path, "status"))
+        self.vocab.write.mode("overwrite").parquet(os.path.join(path, "vocab"))
+        manifest = {
+            "model": "categorical_preprocessor",
+            "measurement_col": self.measurement_col,
+            "element_col": self.element_col,
+        }
+        with open(os.path.join(path, "model.json"), "w") as f:
+            json.dump(manifest, f, indent=2)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "CategoricalPreprocessorModel":
+        with open(os.path.join(path, "model.json")) as f:
+            m = json.load(f)
+        return cls(
+            status=spark.read.parquet(os.path.join(path, "status")).cache(),
+            vocab=spark.read.parquet(os.path.join(path, "vocab")).cache(),
+            measurement_col=m["measurement_col"],
+            element_col=m["element_col"],
+        )
 
 
 class CategoricalPreprocessor:

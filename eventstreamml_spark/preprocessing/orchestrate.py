@@ -33,7 +33,10 @@ small DataFrames throughout, broadcast at transform.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from eventstreamml_spark.config import (
     DataModality,
@@ -131,6 +134,44 @@ class EventStreamPreprocessorModel:
 
         # vocab membership: OOV → UNK, dropped measurements → null element
         return self.categorical_model.transform(obs)
+
+    # -- persistence: the reference dill-pickles the whole dataset
+    #    object (event_stream_dataset.py:42-44, utils.py:95-116); here
+    #    every piece of fitted state is an engine-portable parquet
+    #    relation plus the config's existing JSON round-trip. ----------
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        self.config.to_json_file(os.path.join(path, "config.json"))
+        for name, m in self.numeric_models.items():
+            m.save(os.path.join(path, "numeric", name))
+        self.categorical_model.save(os.path.join(path, "categorical"))
+        for name, v in self.static_vocabs.items():
+            v.write.mode("overwrite").parquet(os.path.join(path, "static_vocabs", name))
+        manifest = {
+            "model": "event_stream_preprocessor",
+            "numeric_models": sorted(self.numeric_models),
+            "static_vocabs": sorted(self.static_vocabs),
+        }
+        with open(os.path.join(path, "model.json"), "w") as f:
+            json.dump(manifest, f, indent=2)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "EventStreamPreprocessorModel":
+        with open(os.path.join(path, "model.json")) as f:
+            m = json.load(f)
+        config = DatasetConfig.from_json_file(os.path.join(path, "config.json"))
+        numeric_models = {
+            name: NumericPreprocessorModel.load(spark, os.path.join(path, "numeric", name))
+            for name in m["numeric_models"]
+        }
+        cat_model = CategoricalPreprocessorModel.load(
+            spark, os.path.join(path, "categorical")
+        )
+        static_vocabs = {
+            name: spark.read.parquet(os.path.join(path, "static_vocabs", name)).cache()
+            for name in m["static_vocabs"]
+        }
+        return cls(config, numeric_models, cat_model, static_vocabs)
 
 
 def melt_observations(ds: EventStreamDataset, config: DatasetConfig) -> DataFrame:

@@ -32,8 +32,10 @@ redesigned into pure grouped outputs).
 from __future__ import annotations
 
 import dataclasses
+import json
+import os
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from eventstreamml_spark.functions.tokens import float_token, int_token
 from eventstreamml_spark.operators.filters import (
@@ -132,6 +134,43 @@ class NumericPreprocessorModel:
                 result, self.norm_state, key, val
             )
         return result
+
+    # -- persistence (reference contract: fitted state round-trips,
+    #    event_stream_dataset.py:42-44 dill; here parquet + JSON) ------
+    def save(self, path: str) -> None:
+        """Fitted state as parquet relations + a JSON manifest — a
+        fit-once/transform-later flow across sessions and clusters
+        (state is one row per key; the write is trivially small)."""
+        os.makedirs(path, exist_ok=True)
+        self.state.write.mode("overwrite").parquet(os.path.join(path, "state"))
+        if self.norm_state is not None:
+            self.norm_state.write.mode("overwrite").parquet(
+                os.path.join(path, "norm_state")
+            )
+        manifest = {
+            "model": "numeric_preprocessor",
+            "key_col": self.key_col,
+            "value_col": self.value_col,
+            "normalizer_cls": self.normalizer_cls,
+            "has_norm_state": self.norm_state is not None,
+        }
+        with open(os.path.join(path, "model.json"), "w") as f:
+            json.dump(manifest, f, indent=2)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "NumericPreprocessorModel":
+        with open(os.path.join(path, "model.json")) as f:
+            m = json.load(f)
+        norm_state = None
+        if m["has_norm_state"]:
+            norm_state = spark.read.parquet(os.path.join(path, "norm_state")).cache()
+        return cls(
+            state=spark.read.parquet(os.path.join(path, "state")).cache(),
+            key_col=m["key_col"],
+            value_col=m["value_col"],
+            normalizer_cls=m["normalizer_cls"],
+            norm_state=norm_state,
+        )
 
 
 class NumericPreprocessor:

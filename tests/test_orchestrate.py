@@ -185,3 +185,37 @@ def test_time_dependent_numeric_fit(spark):
         ).collect()
     }
     assert "age" in vocab_elems
+
+
+def test_model_persistence_round_trip(spark, ds, config, tmp_path):
+    """fit → save → load → transform must equal direct transform —
+    the reference's fit-once/transform-later production contract
+    (dill persistence, event_stream_dataset.py:42-44) re-expressed as
+    parquet relations + JSON manifests."""
+    from eventstreamml_spark.preprocessing.orchestrate import (
+        EventStreamPreprocessorModel,
+    )
+
+    ds.events = add_time_dependent_columns(ds.events, ds.subjects, config)
+    model = EventStreamPreprocessor(config).fit(ds)
+    path = str(tmp_path / "model")
+    model.save(path)
+    loaded = EventStreamPreprocessorModel.load(spark, path)
+
+    assert set(loaded.numeric_models) == set(model.numeric_models)
+    assert set(loaded.static_vocabs) == set(model.static_vocabs)
+    assert loaded.config.to_dict() == model.config.to_dict()
+
+    cols = ["metadata_id", "event_id", "subject_id", "measurement", "element", "value"]
+    direct = sorted(model.transform(ds).select(*cols).collect())
+    via_disk = sorted(loaded.transform(ds).select(*cols).collect())
+    assert via_disk == direct
+
+    # sub-model round-trips preserve full state tables
+    for name in model.numeric_models:
+        a = sorted(model.numeric_models[name].state.collect())
+        b = sorted(loaded.numeric_models[name].state.collect())
+        assert a == b
+    assert sorted(model.categorical_model.vocab.collect()) == sorted(
+        loaded.categorical_model.vocab.collect()
+    )
