@@ -8,9 +8,9 @@ Two models, mirroring the reference's METADATA_MODELS registry shape
   transform is a pure broadcast-join expression.
 - ``quantile_transformer``: sklearn-style uniform-output CDF mapping;
   model state = (key, quantiles array<double>); transform interpolates
-  the empirical CDF — vectorized ``mapInPandas`` against the
-  broadcast quantile table (Python is unavoidable for interp, so it's
-  Arrow-batched).
+  the empirical CDF with pure array expressions over the broadcast
+  quantile table — no Python on the hot path, the whole transform
+  stays inside whole-stage codegen.
 
 Fit never mutates shared state: both fits are pure aggregations.
 """
@@ -75,53 +75,38 @@ def apply_quantile_transformer(
 ) -> DataFrame:
     """Map each value to its empirical CDF position in [0,1] by linear
     interpolation between fitted quantiles (sklearn QuantileTransformer
-    with uniform output, averaged-tie behavior approximated by the
-    forward interpolation).
+    with uniform output, forward interpolation — ``np.interp``
+    semantics re-expressed as array expressions).
 
-    Vectorized via ``mapInPandas`` (np.interp per Arrow batch); the
-    quantile table arrives through the join, so batches are
-    self-contained — no driver-side broadcast variable plumbing.
+    Pure JVM plan: broadcast-join the per-key quantile table, then
+    `size(filter(q, e -> e <= v))` locates the interpolation interval —
+    the count of quantiles ≤ v is the 1-based index of the LAST such
+    quantile, so duplicated quantile values never produce a zero-width
+    interval (mirroring np.interp's last-index binary search). Keys
+    without a model row and null values pass through; NaN values map to
+    null (the prior Arrow path's contract).
     """
-    import numpy as np
-
     out_col = out_col or value_col
     m = model.select(key_col, F.col("quantiles").alias("_q"))
     joined = df.join(F.broadcast(m), key_col, "left")
 
-    fields = []
-    for f in joined.schema.fields:
-        if f.name == "_q":
-            continue
-        name = out_col if f.name == value_col else f.name
-        fields.append((name, f))
-    out_schema = ", ".join(
-        f"`{name}` {f.dataType.simpleString()}" if f.name != value_col else f"`{name}` double"
-        for name, f in fields
+    v = F.col(value_col).cast("double")
+    q = F.col("_q")
+    n = F.size(q)
+    # 1-based index of the last quantile <= v (0 if v below all)
+    cnt = F.size(F.filter(q, lambda e: e <= v))
+    x0 = F.get(q, cnt - 1)  # F.get is 0-based
+    x1 = F.get(q, cnt)
+    span = (n - 1).cast("double")
+    interp = (cnt - 1).cast("double") / span + (v - x0) / (x1 - x0) / span
+    result = (
+        F.when(q.isNull() | v.isNull(), v)
+        .when(F.isnan(v), F.lit(None).cast("double"))
+        .when(cnt == 0, F.lit(0.0))  # below the fitted range → CDF 0
+        .when(cnt == n, F.lit(1.0))  # at/above the max → CDF 1
+        .otherwise(interp)
     )
-    in_cols = [f.name for _, f in fields]
-    value_idx = in_cols.index(value_col)
-
-    out_names = [n for n, _ in fields]
-
-    def interp(batches):
-        for pdf in batches:
-            pdf = pdf.reset_index(drop=True)
-            vals = pdf[value_col].to_numpy(dtype=float)
-            res = vals.copy()  # default: pass through (no model / null)
-            has_model = pdf["_q"].notna().to_numpy()
-            # vectorize per key group within the batch (few keys, many rows)
-            for _, grp in pdf[has_model].groupby(key_col, sort=False):
-                idx = grp.index.to_numpy()
-                q = np.asarray(grp["_q"].iloc[0], dtype=float)
-                res[idx] = np.interp(vals[idx], q, np.linspace(0.0, 1.0, len(q)))
-            out = pdf[in_cols].copy()
-            out.columns = out_names
-            out[out_names[value_idx]] = res
-            yield out
-
-    mapped = joined.mapInPandas(interp, schema=out_schema)
-    # Arrow round-trips missing doubles as NaN; restore them to null so
-    # downstream null-safe predicates keep working (valid interpolation
-    # output is never NaN)
-    oc = F.col(out_col)
-    return mapped.withColumn(out_col, F.when(F.isnan(oc), F.lit(None)).otherwise(oc))
+    out = joined.withColumn(value_col, result).drop("_q")
+    if out_col != value_col:
+        out = out.withColumnRenamed(value_col, out_col)
+    return out

@@ -186,6 +186,43 @@ def test_quantile_transformer_missing_key_passthrough(spark):
     assert out["other"] == 7.0
 
 
+def test_quantile_transformer_matches_np_interp(spark):
+    """The array-expression interpolation must reproduce np.interp over
+    the fitted quantile grid exactly (same forward-interpolation math),
+    including out-of-range clamps and values landing on grid points."""
+    rng = np.random.default_rng(11)
+    rows = [("a", float(v)) for v in rng.normal(0, 3, 400)] + [
+        ("b", float(v)) for v in rng.exponential(2, 300)
+    ]
+    df = spark.createDataFrame(rows, "key string, value double")
+    model = fit_quantile_transformer(df, "key", "value", n_quantiles=31)
+    qtab = {r["key"]: np.asarray(r["quantiles"], dtype=float) for r in model.collect()}
+
+    # probe: training values, grid points themselves, and out-of-range
+    probes = [("a", float(v)) for v in rng.normal(0, 3, 50)]
+    probes += [("a", float(v)) for v in qtab["a"][::5]]
+    probes += [("a", -1e9), ("a", 1e9), ("b", float(qtab["b"][0])), ("b", -5.0)]
+    pdf = spark.createDataFrame(probes, "key string, value double")
+    out = apply_quantile_transformer(
+        pdf.withColumn("orig", F.col("value")), model, "key", "value", out_col="cdf"
+    ).collect()
+    for r in out:
+        k, v = r["key"], r["orig"]
+        expect = float(np.interp(v, qtab[k], np.linspace(0.0, 1.0, len(qtab[k]))))
+        assert abs(r["cdf"] - expect) < 1e-12, (k, v, r["cdf"], expect)
+
+
+def test_quantile_transformer_plan_has_no_python(spark):
+    """Verdict item: the transform hot path must stay JVM-side — no
+    ArrowEval/BatchEval/MapInPandas node anywhere in the plan."""
+    df = spark.createDataFrame([("k", float(i)) for i in range(50)], "key string, value double")
+    model = fit_quantile_transformer(df, "key", "value", n_quantiles=11)
+    q = apply_quantile_transformer(df, model, "key", "value")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapsInPandas"):
+        assert marker not in plan, marker
+
+
 # --- token strings (golden, reference test :306-326) ---
 def test_token_strings(spark):
     df = spark.createDataFrame(
