@@ -176,6 +176,9 @@ def tensorize(
     # --- static indices ----------------------------------------------
     if static_df is not None and static_vocab is not None and static_col is not None:
         soff = max(o + sizes[n] for n, o in offsets.items())
+        # static measurement index follows the dynamic ones (golden:
+        # buzz → 6 after event_type..time_of_day 1..5)
+        smi = max(meas_index.values()) + 1
         smap = static_vocab.filter(F.col("element") != UNK).select(
             F.col("element").alias(static_col),
             (F.col("idx") + F.lit(soff)).alias("_gidx"),
@@ -192,6 +195,9 @@ def tensorize(
         )
         out = out.join(stat, "subject_id", "left").withColumn(
             "static_indices", F.coalesce(F.col("static_indices"), F.array().cast("array<int>"))
+        ).withColumn(
+            "static_measurement_indices",
+            F.transform("static_indices", lambda _: F.lit(smi)),
         )
     return out
 
