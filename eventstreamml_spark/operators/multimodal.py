@@ -67,26 +67,51 @@ def _fake_decode(payload: bytes) -> tuple[int, int, float]:
     return w, h, luma
 
 
+def _pil():
+    """Opportunistic codec: return the PIL.Image module when Pillow is
+    importable (checked on the executor, where the decode runs), else
+    None. The engine works without it — callers fall back to the
+    deterministic fake or raise."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
 def extract_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode + feature-extract stage over MEDIA_SCHEMA rows via
-    ``mapInPandas`` (Arrow batches). Real decode is STUBBED:
-    ``fake=False`` raises NotImplementedError at executor time (no
-    codec libs in this environment); ``fake=True`` runs the
-    deterministic fake so the plumbing is testable."""
+    ``mapInPandas`` (Arrow batches). With ``fake=True`` a deterministic
+    payload-derived fake decode runs (always available, used by tests);
+    with ``fake=False`` the real decode runs via Pillow when it is
+    importable on the executor, and raises ``NotImplementedError``
+    otherwise — the Spark plumbing (schema, batching, partitioning) is
+    identical either way."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+        import io
 
+        image_mod = None if fake else _pil()
         for pdf in batches:
-            if not fake:
+            if not fake and image_mod is None:
                 raise NotImplementedError(
-                    "media decode requires codec libraries not present in "
-                    "this environment; pass fake=True for the deterministic stub"
+                    "media decode requires Pillow, which is not importable on "
+                    "this executor; pass fake=True for the deterministic stub"
                 )
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(payload) if payload is not None else b""
-                w, h, luma = _fake_decode(raw)
+                if fake:
+                    w, h, luma = _fake_decode(raw)
+                else:
+                    with image_mod.open(io.BytesIO(raw)) as im:
+                        w, h = im.size
+                        gray = im.convert("L")
+                        hist = gray.histogram()
+                        npx = max(1, w * h)
+                        luma = sum(i * c for i, c in enumerate(hist)) / npx
                 rows.append(
                     (
                         int(mid),
@@ -106,21 +131,38 @@ def extract_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
 
 
 def resize_images(df: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
-    """Resize stage: same mapInPandas shape, payload→payload. Stubbed
-    identically (fake mode truncates/pads the payload to w*h bytes as a
-    stand-in for a real resample)."""
+    """Resize stage: same mapInPandas shape, payload→payload. Fake mode
+    truncates/pads the payload to w*h bytes as a stand-in for a real
+    resample; with Pillow importable on the executor, ``fake=False``
+    decodes, bilinear-resamples, and re-encodes as PNG."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        image_mod = None if fake else _pil()
+
+        def real_resize(p):
+            if p is None:
+                return None
+            with image_mod.open(io.BytesIO(bytes(p))) as im:
+                out = io.BytesIO()
+                im.resize((width, height)).save(out, format="PNG")
+                return out.getvalue()
+
         for pdf in batches:
-            if not fake:
+            if not fake and image_mod is None:
                 raise NotImplementedError(
-                    "image resize requires codec libraries; pass fake=True"
+                    "image resize requires Pillow, which is not importable on "
+                    "this executor; pass fake=True for the byte-level stub"
                 )
             target = width * height
             pdf = pdf.copy()
-            pdf["payload"] = pdf["payload"].map(
-                lambda p: (bytes(p)[:target]).ljust(target, b"\0") if p is not None else None
-            )
+            if fake:
+                pdf["payload"] = pdf["payload"].map(
+                    lambda p: (bytes(p)[:target]).ljust(target, b"\0") if p is not None else None
+                )
+            else:
+                pdf["payload"] = pdf["payload"].map(real_resize)
             yield pdf
 
     return df.mapInPandas(run, schema=df.schema)

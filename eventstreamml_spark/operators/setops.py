@@ -62,6 +62,64 @@ def assign_splits(
     return subjects.select(subject_col).distinct().withColumn(out_col, expr)
 
 
+def assign_splits_exact(
+    subjects: DataFrame,
+    fractions: dict[str, float],
+    seed: int = 1,
+    subject_col: str = "subject_id",
+    out_col: str = "split",
+    id_strategy: str = "auto",
+) -> DataFrame:
+    """O6, exact-size variant: reproduce the reference's
+    ``np.split(permutation, round(fracs × N).cumsum())`` contract
+    (event_stream_dataset.py:723-740, round at :736) — split sizes are
+    EXACTLY ``round(fraction × N)`` per split (banker's rounding, as
+    ``np.round``), remainder mass in the last/implicit bucket.
+
+    The seeded permutation is the ``split_uniform`` hash order (a
+    distributed engine cannot reproduce numpy's permutation bitwise —
+    module docstring); positions come from the size-gated ``dense_ids``
+    numbering, so no single-task global window above the gate. One
+    extra tiny job computes N. Use :func:`assign_splits` (pure
+    per-row hash, no global numbering at all) as the scale default when
+    exact sizes are not contractually required.
+    """
+    from eventstreamml_spark.operators.windows import dense_ids
+
+    names = list(fractions)
+    fracs = [fractions[n] for n in names]
+    if sum(fracs) > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {sum(fracs)} > 1")
+    if sum(fracs) < 1.0 - 1e-9:
+        names.append("held_out" if "held_out" not in names else "_remainder")
+        fracs.append(1.0 - sum(fracs))
+
+    subj = subjects.select(subject_col).distinct().withColumn(
+        "_u", split_uniform(subject_col, seed)
+    )
+    pos = dense_ids(subj, ["_u", subject_col], "_pos", strategy=id_strategy).drop("_u")
+
+    n = pos.count()
+    # every named split gets EXACTLY round(f_i × N) subjects; like the
+    # reference's zip over np.split segments, any tail beyond the last
+    # cumulative boundary (possible when the rounds undershoot N) is
+    # dropped from the assignment table
+    bounds = []
+    acc = 0
+    for f in fracs:
+        acc += round(f * n)  # Python round == np.round (half-even)
+        bounds.append(acc)
+
+    expr = F.lit(None).cast("string")
+    for name, b in reversed(list(zip(names, bounds))):
+        expr = F.when(F.col("_pos") < F.lit(b), F.lit(name)).otherwise(expr)
+    return (
+        pos.withColumn(out_col, expr)
+        .filter(F.col(out_col).isNotNull())
+        .drop("_pos")
+    )
+
+
 def restrict_to_split(
     df: DataFrame,
     split_table: DataFrame,

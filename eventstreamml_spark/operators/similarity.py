@@ -109,12 +109,22 @@ def lsh_topk(
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probe_bits: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k: hyperplane LSH bucketing + within-
-    bucket exact rerank. Recall < 1 by construction; raise recall by
-    multi-probe (querying neighboring buckets) or more tables.
+    bucket exact rerank.
 
-    ``dim`` defaults to the first vector's length (one-row peek).
+    ``n_probe_bits=1`` enables multi-probe: each query also probes the
+    ``n_planes`` buckets at Hamming distance 1 (one sign flip), trading
+    a query-side-only ×(n_planes+1) row explosion for much higher
+    recall. The corpus side is never replicated, so the plan shape at
+    100 TB is unchanged — the bucket equi-join just sees more (small)
+    probe rows. A corpus vector lives in exactly one bucket, so no
+    probe produces duplicate (query, neighbor) pairs.
+
+    ``dim`` should be passed when known (it is a property of the
+    embedding column); otherwise it is read from the first corpus row —
+    a driver round-trip to avoid in hot query paths.
     """
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
@@ -122,6 +132,12 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     ).withColumn("bucket", hyperplane_bucket(F.col("_qv"), planes))
+    if n_probe_bits >= 1:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     ).withColumn("bucket", hyperplane_bucket(F.col("_cv"), planes))

@@ -367,6 +367,47 @@ def q_subject_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "subject_split_exact_sizes",
+    """
+    WITH subj AS (
+      SELECT DISTINCT user_id,
+             ((user_id % 4294967296 + 42) * 2654435761 % 4294967296)
+               / 4294967296.0 AS u
+      FROM events
+    ), pos AS (
+      SELECT user_id,
+             row_number() OVER (ORDER BY u, user_id) - 1 AS p,
+             count(*) OVER () AS n
+      FROM subj
+    )
+    SELECT user_id,
+           CASE WHEN p < round(0.8 * n) THEN 'train'
+                WHEN p < round(0.8 * n) + round(0.1 * n) THEN 'tuning'
+                WHEN p < round(0.8 * n) + round(0.1 * n) + round(0.1 * n)
+                     THEN 'held_out' END AS split
+    FROM pos
+    WHERE p < round(0.8 * n) + round(0.1 * n) + round(0.1 * n)
+    """,
+)
+def q_subject_split_exact_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 exact-size variant: the reference's round(frac × N) split-size
+    contract (event_stream_dataset.py:723-740) over the seeded hash
+    permutation. The oracle replays the same permutation + boundaries in
+    SQL. (Rounding note: Python round is half-even, DuckDB's is
+    half-away — the 80/10/10 boundaries at the driver's N=150 are exact
+    integers, so the two agree here.)"""
+    from eventstreamml_spark.operators.setops import assign_splits_exact
+
+    ev = _events(spark, sf_dir)
+    return assign_splits_exact(
+        ev,
+        {"train": 0.8, "tuning": 0.1, "held_out": 0.1},
+        seed=42,
+        subject_col="user_id",
+    )
+
+
+@register(
     "split_restricted_histogram",
     """
     WITH split AS (
@@ -891,7 +932,9 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eventstreamml_spark.operators.similarity import lsh_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_topk(emb.filter(F.col("vec_id") < 8), emb, k=5, n_planes=6)
+    # dim is a fixed property of the embeddings table (64) — passing it
+    # avoids the one-row driver peek in the query path
+    return lsh_topk(emb.filter(F.col("vec_id") < 8), emb, k=5, n_planes=6, dim=64)
 
 
 @register(

@@ -40,11 +40,25 @@ def build_vocabulary(
     recursively flattens nested sequences); each array element then
     counts as one observation.
 
+    Integer element columns are rejected, mirroring the reference's
+    guard (vocabulary.py:63 ``int not in element_types``): an integer
+    "vocabulary" is almost always an already-indexed column, and
+    silently re-indexing it corrupts the mapping. Cast to string
+    explicitly if integer-valued categories are intended.
+
     Returns ``(*by, element, freq, idx)`` with idx 0 = UNK.
     """
+    from pyspark.sql import types as T
+
     by = by or []
     if explode_arrays:
         df = df.select(*by, F.explode_outer(F.col(col)).alias(col))
+    dt = df.schema[col].dataType
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        raise TypeError(
+            f"integer vocabularies are not supported (column {col!r} is "
+            f"{dt.simpleString()}); cast to string first if intended"
+        )
     grp_total = df.groupBy(*by).agg(F.count(F.lit(1)).alias("_total"))
     counts = (
         df.filter(F.col(col).isNotNull())

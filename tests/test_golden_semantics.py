@@ -201,6 +201,19 @@ def test_apply_vocab_index_unk_default(spark):
     assert out == [0, 1, 0]  # null→UNK, a→1, unseen→UNK
 
 
+def test_build_vocabulary_rejects_integer_elements(spark):
+    """Reference guard (vocabulary.py:63): integer vocabularies raise —
+    silently re-indexing an already-indexed column corrupts mappings."""
+    import pytest
+
+    df = spark.createDataFrame([(1,), (2,)], "x int")
+    with pytest.raises(TypeError, match="integer vocabularies"):
+        build_vocabulary(df, "x")
+    # explicit cast is the sanctioned path
+    v = build_vocabulary(df.select(F.col("x").cast("string").alias("x")), "x")
+    assert {r["element"] for r in v.collect()} == {"UNK", "1", "2"}
+
+
 # --- O6 split contracts (seeded-randomness, SURVEY §5 pattern 3) ---
 def test_split_contracts(spark):
     subs = spark.createDataFrame([(i,) for i in range(1000)], "subject_id long")
@@ -215,6 +228,45 @@ def test_split_contracts(spark):
         counts[r["split"]] = counts.get(r["split"], 0) + 1
     assert sum(counts.values()) == 1000
     assert 700 < counts["train"] < 900  # distributional contract
+
+
+def test_split_exact_sizes(spark):
+    """Exact-size variant reproduces the reference's round(frac × N)
+    contract (event_stream_dataset.py:723-740): every named split gets
+    exactly round(f_i × N) subjects (half-even, as np.round), splits are
+    disjoint, and the same seed reproduces the assignment."""
+    subs = spark.createDataFrame([(i,) for i in range(149)], "subject_id long")
+    fr = {"train": 0.8, "tuning": 0.1, "held_out": 0.1}
+    rows = setops.assign_splits_exact(subs, fr, seed=3).collect()
+    counts = {}
+    seen = set()
+    for r in rows:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+        assert r["subject_id"] not in seen
+        seen.add(r["subject_id"])
+    # round(119.2)=119, round(14.9)=15, round(14.9)=15
+    assert counts == {"train": 119, "tuning": 15, "held_out": 15}
+
+    again = setops.assign_splits_exact(subs, fr, seed=3).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    # half-even boundary: N=10, fracs .25/.75 → round(2.5)=2, round(7.5)=8
+    small = spark.createDataFrame([(i,) for i in range(10)], "subject_id long")
+    c2 = {}
+    for r in setops.assign_splits_exact(small, {"a": 0.25, "b": 0.75}, seed=1).collect():
+        c2[r["split"]] = c2.get(r["split"], 0) + 1
+    assert c2 == {"a": 2, "b": 8}
+
+    # implicit remainder bucket appears when fractions undershoot 1
+    c3 = {}
+    for r in setops.assign_splits_exact(small, {"train": 0.8}, seed=1).collect():
+        c3[r["split"]] = c3.get(r["split"], 0) + 1
+    assert c3 == {"train": 8, "held_out": 2}
+
+    # both numbering strategies agree on the assignment
+    w = setops.assign_splits_exact(subs, fr, seed=3, id_strategy="window").collect()
+    d = setops.assign_splits_exact(subs, fr, seed=3, id_strategy="distributed").collect()
+    assert sorted(map(tuple, w)) == sorted(map(tuple, d))
 
 
 def test_min_seq_len_and_time_range(spark):

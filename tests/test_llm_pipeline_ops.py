@@ -3,6 +3,8 @@ aren't (fully) oracle-expressible: contracts, recall, plumbing."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from eventstreamml_spark.operators import dedup, multimodal, similarity, text
@@ -90,6 +92,15 @@ def test_lsh_topk_recall_vs_brute_force(spark):
     # determinism: same seed → same output
     approx2 = {(r["query_id"], r["neighbor_id"]) for r in similarity.lsh_topk(q, emb, k=5, n_planes=4).collect()}
     assert approx == approx2
+    # CI recall floor: multi-probe (1-bit flips) must reach recall@5 ≥ 0.8
+    # — future perf work cannot silently trade recall away
+    probed = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.lsh_topk(q, emb, k=5, n_planes=4, n_probe_bits=1).collect()
+    }
+    probed_recall = len(exact & probed) / len(exact)
+    assert probed_recall >= 0.8, f"multi-probe recall {probed_recall}"
+    assert probed_recall >= recall  # probing only ever adds candidates
 
 
 def test_token_count_bpe(spark):
@@ -140,12 +151,41 @@ def test_multimodal_fake_pipeline(spark):
     assert {(r["media_id"], r["frame_no"]) for r in frames} == {(1, 0), (1, 1), (1, 2), (1, 3), (2, 0), (2, 1), (2, 2)}
 
 
-def test_multimodal_real_decode_raises(spark):
-    df = spark.createDataFrame([(1, b"xx", "image", "png")], multimodal.MEDIA_SCHEMA)
-    import pytest as _pytest
+def _has_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
 
-    with _pytest.raises(Exception, match="NotImplementedError|codec"):
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_has_pil(), reason="real decode available — raise path not reachable")
+def test_multimodal_real_decode_raises_without_pillow(spark):
+    df = spark.createDataFrame([(1, b"xx", "image", "png")], multimodal.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="NotImplementedError|Pillow"):
         multimodal.extract_image_features(df, fake=False).collect()
+
+
+@pytest.mark.skipif(not _has_pil(), reason="Pillow not importable in this environment")
+def test_multimodal_real_decode_with_pillow(spark):
+    """Opportunistic real-codec path: when Pillow is present, fake=False
+    decodes actual image bytes — dimensions and mean luma come from the
+    pixels, and resize re-encodes at the target size."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (6, 3), color=128).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame([(1, png, "image", "png")], multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_image_features(df, fake=False).collect()[0]
+    assert (feats["width"], feats["height"]) == (6, 3)
+    assert abs(feats["mean_luma"] - 128.0) < 1e-9
+    resized = multimodal.resize_images(df, 4, 2, fake=False).collect()[0]
+    with Image.open(io.BytesIO(bytes(resized["payload"]))) as im:
+        assert im.size == (4, 2)
 
 
 def test_ivf_topk_recall_and_exact_degeneracy(spark):
