@@ -1393,6 +1393,86 @@ def q_streaming_inter_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_exact_dedup",
+    """
+    SELECT event_id, user_id AS subject_id, ts AS timestamp, event_type
+    FROM events
+    """,
+)
+def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark): the
+    source is unioned with itself, so every event arrives exactly
+    twice; dedup on event_id must recover the original table — which is
+    precisely the oracle relation."""
+    from eventstreamml_spark.streaming.ops import stream_exact_dedup
+
+    ev = _events_stream(spark, sf_dir).select(
+        "event_id",
+        F.col("user_id").alias("subject_id"),
+        F.col("ts").alias("timestamp"),
+        "event_type",
+    )
+    doubled = ev.unionByName(_events_stream(spark, sf_dir).select(
+        "event_id",
+        F.col("user_id").alias("subject_id"),
+        F.col("ts").alias("timestamp"),
+        "event_type",
+    ))
+    deduped = stream_exact_dedup(doubled, ["event_id"])
+    out = _run_available_now(deduped, "append")
+    return out.select(
+        "event_id",
+        "subject_id",
+        F.col("timestamp").cast("timestamp_ntz").alias("timestamp"),
+        "event_type",
+    )
+
+
+@register(
+    "streaming_sessionization",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id AS subject_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via native session_window (30-minute
+    gap). The oracle replays the gap rule with lag + running sum: a new
+    session starts when the inter-event gap is >= 30 min (Spark merges
+    only events strictly inside the gap), and the session closes gap
+    after its last event."""
+    from eventstreamml_spark.streaming.ops import sessionize
+
+    ev = _events_stream(spark, sf_dir).select(
+        F.col("user_id").alias("subject_id"), F.col("ts").alias("timestamp")
+    )
+    sessions = sessionize(ev, gap="30 minutes")
+    out = _run_available_now(sessions, "complete")
+    return out.select(
+        "subject_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Torch-side aggregation semantics, W4/W6, multimodal plumbing
 # ---------------------------------------------------------------------------

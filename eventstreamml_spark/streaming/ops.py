@@ -77,6 +77,56 @@ def windowed_event_type_counts(
     )
 
 
+def stream_exact_dedup(
+    events: DataFrame,
+    keys: list[str],
+    watermark_delay: str = "10 minutes",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Exact dedup on an unbounded stream: emit the first row seen per
+    ``keys`` tuple, suppress later duplicates arriving within the
+    watermark horizon (``dropDuplicatesWithinWatermark`` — dedup state
+    expires once the watermark passes, so state is bounded by the
+    duplicate-arrival window, not the stream length). The streaming
+    analog of the batch digest-groupBy exact dedup.
+
+    Scale: state is hash-partitioned by key across executors; the
+    watermark bounds per-key state lifetime, which is what makes exact
+    dedup feasible on an unbounded 100 TB/day feed.
+    """
+    return events.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(keys)
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "10 minutes",
+    subject_col: str = "subject_id",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Gap-based sessionization as a native ``session_window``
+    aggregation: consecutive events of a subject merge into one session
+    while each arrives strictly within ``gap`` of the previous; the
+    session closes ``gap`` after its last event (window end = last
+    event time + gap, Spark's session-window convention).
+
+    Emits (subject_id, session_start, session_end, n_events). Session
+    state merges incrementally across micro-batches; the watermark
+    finalizes sessions and bounds state.
+    """
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.col(subject_col), F.session_window(F.col(ts_col), gap).alias("_w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            subject_col,
+            F.col("_w.start").alias("session_start"),
+            F.col("_w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 _TTE_OUTPUT = StructType(
     [
         StructField("subject_id", LongType()),

@@ -94,3 +94,85 @@ def test_stateful_inter_event_times_across_batches(spark, stream_dir, tmp_path):
     assert got[(2, "2020-01-01T00:05:00")] is None
     assert got[(2, "2020-01-01T00:06:00")] == 1.0   # cross-batch, subject 2
     assert len(got) == 5
+
+
+def test_stream_exact_dedup_across_batches(spark, tmp_path):
+    """Duplicates arriving in the SAME and in LATER micro-batches (within
+    the watermark) are suppressed; first occurrence wins."""
+    from eventstreamml_spark.streaming.ops import stream_exact_dedup
+
+    schema = "event_id long, user long, t timestamp, et string"
+    b1 = spark.createDataFrame(
+        [
+            (1, 1, _ts("2020-01-01 00:00:00"), "a"),
+            (1, 1, _ts("2020-01-01 00:00:00"), "a"),  # in-batch dup
+            (2, 1, _ts("2020-01-01 00:01:00"), "b"),
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [
+            (2, 1, _ts("2020-01-01 00:01:00"), "b"),  # cross-batch dup
+            (3, 2, _ts("2020-01-01 00:02:00"), "a"),
+        ],
+        schema,
+    )
+    d = str(tmp_path / "dedup_in")
+    b1.coalesce(1).write.mode("append").parquet(d)
+    b2.coalesce(1).write.mode("append").parquet(d)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = stream_exact_dedup(src, ["event_id"], watermark_delay="1 hour", ts_col="t")
+    _run(out, "dedup_out", tmp_path, "append")
+    rows = spark.sql("select * from dedup_out").collect()
+    assert sorted(r["event_id"] for r in rows) == [1, 2, 3]
+
+
+def test_sessionize_gap_semantics(spark, tmp_path):
+    """Events strictly within the gap merge; a gap-length pause closes
+    the session; session end = last event + gap. Sessions also merge
+    across micro-batches."""
+    from eventstreamml_spark.streaming.ops import sessionize
+
+    schema = "subject_id long, timestamp timestamp"
+    b1 = spark.createDataFrame(
+        [
+            (1, _ts("2020-01-01 00:00:00")),
+            (1, _ts("2020-01-01 00:20:00")),  # merges (20 < 30)
+            (2, _ts("2020-01-01 00:00:00")),
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [
+            (1, _ts("2020-01-01 00:40:00")),  # merges with 00:20 session
+            (1, _ts("2020-01-01 02:00:00")),  # new session (>= gap)
+        ],
+        schema,
+    )
+    d = str(tmp_path / "sess_in")
+    b1.coalesce(1).write.mode("append").parquet(d)
+    b2.coalesce(1).write.mode("append").parquet(d)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = sessionize(src, gap="30 minutes", watermark_delay="10 minutes")
+    _run(out, "sess_out", tmp_path, "complete")
+    got = {
+        (r["subject_id"], r["session_start"].isoformat()): (
+            r["session_end"].isoformat(),
+            r["n_events"],
+        )
+        for r in spark.sql("select * from sess_out").collect()
+    }
+    assert got[(1, "2020-01-01T00:00:00")] == ("2020-01-01T01:10:00", 3)
+    assert got[(1, "2020-01-01T02:00:00")] == ("2020-01-01T02:30:00", 1)
+    assert got[(2, "2020-01-01T00:00:00")] == ("2020-01-01T00:30:00", 1)
+    assert len(got) == 3
