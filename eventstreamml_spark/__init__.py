@@ -40,6 +40,15 @@ def __getattr__(name):
         ),
         "tensorize": ("eventstreamml_spark.export", "tensorize"),
         "pad_sequences": ("eventstreamml_spark.export", "pad_sequences"),
+        "assign_splits": ("eventstreamml_spark.operators.setops", "assign_splits"),
+        "assign_splits_exact": (
+            "eventstreamml_spark.operators.setops",
+            "assign_splits_exact",
+        ),
+        "write_bucketed_table": (
+            "eventstreamml_spark.sources.sinks",
+            "write_bucketed_table",
+        ),
     }
     if name in lazy:
         import importlib
@@ -57,5 +66,8 @@ __all__ = [
     "EventStreamPreprocessor",
     "tensorize",
     "pad_sequences",
+    "assign_splits",
+    "assign_splits_exact",
+    "write_bucketed_table",
     "__version__",
 ]

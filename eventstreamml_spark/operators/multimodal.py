@@ -2,11 +2,13 @@
 columns with typed metadata, processed by Arrow-batched pandas UDFs.
 
 The Spark-side contract is real and tested — schemas, partition-sized
-batch iteration via ``mapInPandas``, deterministic metadata extraction
-— while the actual media decode is stubbed (codec libraries are not in
-this environment): ``decode_image`` raises ``NotImplementedError``
-unless ``fake=True``, which produces a deterministic fake decode so
-the distributed plumbing can be exercised end-to-end.
+batch iteration via ``mapInPandas``, deterministic metadata extraction.
+Decode is layered by what the executor can import: audio parses real
+RIFF/WAVE with the stdlib ``wave`` module (always available); image
+decode/resize use Pillow opportunistically when importable and raise
+``NotImplementedError`` otherwise; video decode stays environment-gated.
+Every stage also has a deterministic ``fake=True`` decode so the
+distributed plumbing is exercisable end-to-end in any environment.
 
 Design notes for 100 TB of media:
 - binary payloads ride in parquet as-is; metadata (format, width,
@@ -191,3 +193,69 @@ def sample_video_frames(
             yield pd.DataFrame(rows, columns=["media_id", "frame_no", "payload"])
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, n_bytes long, n_channels int, sample_rate int, "
+    "n_frames long, duration_s double, rms double"
+)
+
+
+def extract_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Audio decode + feature stage, same mapInPandas shape as the image
+    path. The real path parses RIFF/WAVE containers with the stdlib
+    ``wave`` module (no third-party codec needed): channel count,
+    sample rate, frame count, duration, and RMS amplitude over the
+    first second of 16-bit PCM. ``fake=True`` derives deterministic
+    pseudo-features from payload bytes (any format, used by tests and
+    environments where payloads are not real WAV)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        def real(raw: bytes):
+            with wave.open(io.BytesIO(raw)) as w:
+                nch, width, rate, nframes = (
+                    w.getnchannels(),
+                    w.getsampwidth(),
+                    w.getframerate(),
+                    w.getnframes(),
+                )
+                dur = nframes / rate if rate else 0.0
+                rms = None
+                if width == 2:  # 16-bit PCM
+                    head = w.readframes(min(nframes, rate))
+                    n = len(head) // 2
+                    if n:
+                        vals = struct.unpack(f"<{n}h", head[: 2 * n])
+                        rms = (sum(v * v for v in vals) / n) ** 0.5
+                return nch, rate, nframes, dur, rms
+
+        def fk(raw: bytes):
+            rate = 8000 + (raw[0] % 5) * 8000 if raw else 8000
+            nch = 1 + (raw[-1] % 2) if raw else 1
+            nframes = len(raw) * 4
+            return nch, rate, nframes, nframes / rate, float(sum(raw[:64]) % 1000)
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                nch, rate, nframes, dur, rms = fk(raw) if fake else real(raw)
+                rows.append((int(mid), len(raw), nch, rate, nframes, dur, rms))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_bytes",
+                    "n_channels",
+                    "sample_rate",
+                    "n_frames",
+                    "duration_s",
+                    "rms",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)

@@ -166,13 +166,57 @@ def fit_ivf_centroids(
     seed: int = 42,
     max_iter: int = 10,
     vec_col: str = "embedding",
+    strategy: str = "sample",
+    sample_cap: int = 16384,
 ) -> DataFrame:
-    """Coarse quantizer: MLlib KMeans over the corpus (the idiomatic
-    iterative-fit path — Lloyd's iterations stay in the JVM, centers
-    come back as a tiny broadcastable table).
+    """Coarse quantizer fit. Returns (cell_id int, centroid array<double>).
 
-    Returns (cell_id int, centroid array<double>).
+    ``strategy="sample"`` (default, the IVF-standard approach — FAISS
+    trains its coarse quantizer on a bounded sample): pull at most
+    ``sample_cap`` vectors to the driver with one job and run Lloyd's
+    iterations in numpy. A coarse quantizer partitions space; it does
+    not need to see every vector — cell quality converges long before
+    the sample does, so this is the 100 TB path too, with a training
+    set that stays O(sample_cap × dim) regardless of corpus size. One
+    Spark job total.
+
+    ``strategy="mllib"``: MLlib KMeans over the full corpus (each Lloyd
+    iteration is a distributed job). Use when cells must be fit on the
+    complete distribution; at bench scale job-scheduling overhead
+    dominates.
     """
+    spark = corpus.sparkSession
+    if strategy == "sample":
+        import numpy as np
+
+        n = corpus.count()
+        frac = min(1.0, (sample_cap * 1.25) / max(1, n))
+        sampled = corpus.select(vec_col) if frac >= 1.0 else corpus.select(vec_col).sample(
+            fraction=frac, seed=seed
+        )
+        x = np.asarray(
+            [r[0] for r in sampled.limit(sample_cap).collect()], dtype="float64"
+        )
+        rng = np.random.default_rng(seed)
+        k = min(n_cells, len(x))
+        cent = x[rng.choice(len(x), size=k, replace=False)]
+        for _ in range(max_iter):
+            # assign: cosine == dot on unit-normalized centroids
+            cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+            assign = (x @ cn.T).argmax(axis=1)
+            new = np.stack(
+                [
+                    x[assign == c].mean(axis=0) if (assign == c).any() else cent[c]
+                    for c in range(k)
+                ]
+            )
+            if np.allclose(new, cent, atol=1e-9):
+                cent = new
+                break
+            cent = new
+        rows = [(i, [float(v) for v in c]) for i, c in enumerate(cent)]
+        return spark.createDataFrame(rows, "cell_id int, centroid array<double>")
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -180,13 +224,12 @@ def fit_ivf_centroids(
     # a coarse quantizer needs rough cells, not converged clustering:
     # random init (kmeans|| costs extra passes) and few, fat partitions
     # (each Lloyd iteration is a job — task overhead dominates on small
-    # inputs; at 100 TB fit on a sample() instead)
+    # inputs)
     feats = feats.coalesce(max(2, min(8, feats.sparkSession.sparkContext.defaultParallelism // 4)))
     km = KMeans(
         k=n_cells, seed=seed, maxIter=max_iter, featuresCol="features", initMode="random"
     )
     model = km.fit(feats)
-    spark = corpus.sparkSession
     rows = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
     return spark.createDataFrame(rows, "cell_id int, centroid array<double>")
 

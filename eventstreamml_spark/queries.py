@@ -882,6 +882,9 @@ def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_shingles,
     )
 
+    # shingles feed both the signature pass and the verify self-join;
+    # recomputing the narrow projection is cheaper than caching the
+    # full shingle frame (a cache blocks column pruning into the scan)
     sh = word_shingles(load_table(spark, sf_dir, "documents"), k=4)
     sig = minhash_signatures(sh, n_perm=16)
     cand = lsh_candidate_pairs(sig, n_perm=16, n_bands=4)
@@ -924,11 +927,46 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb.filter(F.col("vec_id") < 8), emb, k=5)
 
 
-@register("ann_lsh_topk", None)  # driver-side random hyperplanes → rows-only
+def _lsh_oracle_sql() -> str:
+    """The hyperplanes are deterministic given (dim, n_planes, seed), so
+    the 'random' LSH query has an exact SQL twin: fold the same plane
+    literals into the oracle and replay bucket assignment + within-
+    bucket rerank in DuckDB."""
+    from eventstreamml_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 6, 42)
+    bits = " + ".join(
+        "(CASE WHEN list_dot_product(e, [{}]) > 0 THEN {} ELSE 0 END)".format(
+            ", ".join(repr(float(x)) for x in plane), 1 << p
+        )
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e, {bits} AS bucket FROM embeddings
+    ),
+    q AS (SELECT * FROM b WHERE vec_id < 8),
+    scored AS (
+      SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_dot_product(q.e, b.e)
+               / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(b.e, b.e))) AS cos
+      FROM q JOIN b USING (bucket) WHERE q.vec_id != b.vec_id
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rk FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """
+
+
+@register("ann_lsh_topk", _lsh_oracle_sql())
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Similarity: hyperplane-LSH bucketed approximate top-k (recall <
-    1 by construction → rows-only check; recall itself is unit-tested
-    against the brute-force baseline)."""
+    """Similarity: hyperplane-LSH bucketed approximate top-k. The
+    deterministic seeded hyperplanes are folded into the oracle SQL as
+    literals, so bucketing + within-bucket rerank are hash-checked
+    end-to-end; recall is additionally unit-tested against the
+    brute-force baseline."""
     from eventstreamml_spark.operators.similarity import lsh_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1570,12 +1608,19 @@ def q_norm_log_tte_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", F.round("norm_time", 6).alias("norm_time"))
 
 
-@register("random_subsequence_windows", None)  # seeded-hash randomness: contract-tested
+@register(
+    "random_subsequence_windows",
+    """
+    SELECT user_id, least(count(*), 50) AS n_kept
+    FROM events GROUP BY user_id
+    """,
+)
 def q_random_subsequence_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W6: seeded contiguous max-length windows per subject
-    (xxhash64-seeded start). No SQL oracle — xxhash64 is engine-local;
-    the same-seed/stability contracts are unit-tested. Output shape:
-    per-subject kept-count, which must equal min(n, L)."""
+    (xxhash64-seeded start — engine-local, so the chosen START has no
+    SQL twin and is pinned by unit contracts instead). The registered
+    output is the per-subject kept-count, whose contract min(n, L) IS
+    exactly SQL-expressible — the oracle checks it for every subject."""
     ev = _events(spark, sf_dir)
     out = win.random_fixed_length_subsequence(
         ev, max_seq_len=50, seed=7, subject_col="user_id", ts_col="ts", id_col="event_id"
@@ -1597,6 +1642,37 @@ def q_image_feature_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = extract_image_features(media, fake=True)
     return out.select("media_id", "n_bytes", "width", "height", F.round("mean_luma", 1).alias("mean_luma"))
+
+
+@register(
+    "audio_feature_extraction",
+    """
+    SELECT doc_id AS media_id,
+           length(text) AS n_bytes,
+           1 + ascii(substr(text, length(text), 1)) % 2 AS n_channels,
+           8000 + (ascii(substr(text, 1, 1)) % 5) * 8000 AS sample_rate,
+           length(text) * 4 AS n_frames,
+           CAST(length(text) * 4 AS DOUBLE)
+             / (8000 + (ascii(substr(text, 1, 1)) % 5) * 8000) AS duration_s,
+           CAST(list_sum(list_transform(range(1, least(length(text), 64) + 1),
+                                        i -> ascii(substr(text, i, 1)))) % 1000
+                AS DOUBLE) AS rms
+    FROM documents
+    """,
+)
+def q_audio_feature_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio plumbing: documents' text bytes stand in as
+    payloads for the deterministic fake decode, whose feature math the
+    oracle replays byte-for-byte in SQL (the corpus is ASCII, so byte
+    i == ascii(char i)). The REAL path — stdlib-wave RIFF parsing — is
+    unit-tested against a generated WAV in test_llm_pipeline_ops."""
+    from eventstreamml_spark.operators.multimodal import extract_audio_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
+    )
+    return extract_audio_features(media, fake=True)
 
 
 @register(

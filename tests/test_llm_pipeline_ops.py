@@ -232,3 +232,36 @@ def test_ivf_topk_recall_and_exact_degeneracy(spark):
         1 for (qid, rk), nid in exact.items() if rk == 1 and one_probe.get((qid, 1)) == nid
     )
     assert top1_hits >= 18  # ≥90% top-1 recall with a single probed cell
+
+
+def test_audio_features_real_wav(spark):
+    """The audio path is a REAL decode (stdlib wave): generate a 0.5 s
+    440-sample-rate mono 16-bit WAV and assert the parsed properties."""
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    rate, dur_s, amp = 8000, 0.5, 10000
+    n = int(rate * dur_s)
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(
+            b"".join(
+                struct.pack("<h", int(amp * math.sin(2 * math.pi * 440 * i / rate)))
+                for i in range(n)
+            )
+        )
+    wav = buf.getvalue()
+    df = spark.createDataFrame([(1, wav, "audio", "wav")], multimodal.MEDIA_SCHEMA)
+    r = multimodal.extract_audio_features(df, fake=False).collect()[0]
+    assert r["n_channels"] == 1 and r["sample_rate"] == 8000
+    assert r["n_frames"] == n and abs(r["duration_s"] - 0.5) < 1e-9
+    # RMS of a full-swing sine ≈ amp/√2 (first second covers the whole clip)
+    assert abs(r["rms"] - amp / math.sqrt(2)) / (amp / math.sqrt(2)) < 0.01
+
+    fake = multimodal.extract_audio_features(df, fake=True).collect()[0]
+    assert fake["n_bytes"] == len(wav)

@@ -119,3 +119,37 @@ def test_jaccard_candidates_restrict_self_join(spark):
     q = jaccard_pairs(sh, threshold=0.1, candidates=cand)
     optimized = q._jdf.queryExecution().optimizedPlan().toString()
     assert optimized.count("LeftSemi") >= 3
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Catalog bucketing is the co-located-join scale path: two tables
+    bucketed on subject_id with the same bucket count must join with
+    ZERO Exchange — the plan property that removes the dominant shuffle
+    from every per-subject stage at 100 TB."""
+    from eventstreamml_spark.sources.sinks import read_table, write_bucketed_table
+
+    ev = load_table(spark, SF, "events").select(
+        F.col("user_id").alias("subject_id"), "event_id", "value"
+    )
+    md = load_table(spark, SF, "events").select(
+        F.col("user_id").alias("subject_id"), F.col("event_type")
+    )
+    # (warehouse dir is a static conf — managed-table files live under
+    # the session default and are removed by DROP TABLE below)
+    write_bucketed_table(ev, "ev_b", "subject_id", 4, sort_cols=["subject_id"])
+    write_bucketed_table(md, "md_b", "subject_id", 4, sort_cols=["subject_id"])
+    try:
+        a, b = read_table(spark, "ev_b"), read_table(spark, "md_b")
+        # disable broadcast so the join would otherwise shuffle both sides
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = a.join(b, "subject_id")
+            assert shuffle_count(joined) == 0, joined._jdf.queryExecution().executedPlan().toString()
+            # groupBy on the bucket key also consumes the bucketing
+            agg = a.groupBy("subject_id").count()
+            assert shuffle_count(agg) == 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ev_b")
+        spark.sql("DROP TABLE IF EXISTS md_b")
