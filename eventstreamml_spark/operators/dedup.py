@@ -320,3 +320,72 @@ def embedding_near_dup_pairs(
     return out.filter(F.col("cosine") >= threshold).select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     )
+
+
+def near_dup_groups(
+    pairs: DataFrame,
+    all_ids: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs → dedup groups:
+    every document gets the MINIMUM reachable doc id as ``group_id``
+    (the canonical survivor), so a keep-list is
+    ``filter(doc_id == group_id)``. This is the terminal step of a real
+    dedup pipeline: MinHash/LSH proposes pairs, exact Jaccard verifies
+    them, components collapse transitive chains (a~b, b~c → one group
+    even when a~c was never proposed).
+
+    Distributed min-label propagation: labels start as each node's own
+    id; each round every node takes the min label over itself and its
+    neighbors; stop when no label changes. Rounds = O(component
+    diameter) — near-dup clusters are shallow (dup chains, not paths),
+    so a handful of rounds suffices at any scale. Each round is one
+    shuffle (join on the edge list) + a map-side min; frames are
+    persisted per round and released after the convergence check, so
+    lineage stays flat. ``pairs`` columns: (id_a, id_b), any extras
+    ignored. ``all_ids`` (one ``id_col`` column) adds isolated
+    documents as their own singleton groups.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()  # truncate lineage: edges re-join every round
+    )
+    nodes = edges.select(F.col("src").alias(id_col)).distinct()
+    if all_ids is not None:
+        nodes = nodes.unionByName(all_ids.select(id_col)).distinct()
+    # localCheckpoint (eager) per round keeps the logical plan flat —
+    # an iterative persist() chain still grows the ANALYZED plan and
+    # trips ambiguous-self-join resolution on the convergence check
+    labels = nodes.withColumn("group_id", F.col(id_col)).localCheckpoint()
+
+    for _ in range(max_iter):
+        # min over each node's own label and all neighbor labels
+        nbr = (
+            edges.join(labels.withColumnRenamed(id_col, "dst"), "dst")
+            .groupBy(F.col("src").alias(id_col))
+            .agg(F.min("group_id").alias("_nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, id_col, "left")
+            .select(
+                id_col,
+                F.least(F.col("group_id"), F.coalesce(F.col("_nbr_min"), F.col("group_id"))).alias(
+                    "group_id"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("group_id", "_new")
+            .join(labels, id_col)
+            .filter(F.col("_new") != F.col("group_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.withColumn("is_canonical", F.col(id_col) == F.col("group_id"))

@@ -891,6 +891,58 @@ def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(sh, threshold=0.8, candidates=cand)
 
 
+@register(
+    "dedup_groups_keep_list",
+    f"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, min(lbl) AS group_id,
+           (min(lbl) = id) AS is_canonical
+    FROM reach GROUP BY id
+    """,
+)
+def q_dedup_groups_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup, terminal step: LSH-proposed + Jaccard-verified (>= 0.8)
+    pairs collapse into connected components via distributed min-label
+    propagation — every document labeled with its group's canonical
+    (minimum) id; the keep-list is is_canonical. The oracle replays
+    components with a recursive CTE over the exact-jaccard pair set."""
+    from eventstreamml_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        near_dup_groups,
+        word_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, k=4)
+    sig = minhash_signatures(sh, n_perm=16)
+    cand = lsh_candidate_pairs(sig, n_perm=16, n_bands=4)
+    pairs = jaccard_pairs(sh, threshold=0.8, candidates=cand)
+    return near_dup_groups(pairs, all_ids=docs.select("doc_id"))
+
+
 @register("dedup_simhash_pairs", None)  # xxhash64 has no DuckDB twin → rows-only
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup: SimHash near-dup pairs (Hamming ≤ 3 via pigeonhole

@@ -265,3 +265,24 @@ def test_audio_features_real_wav(spark):
 
     fake = multimodal.extract_audio_features(df, fake=True).collect()[0]
     assert fake["n_bytes"] == len(wav)
+
+
+def test_near_dup_groups_transitive(spark):
+    """Chains collapse transitively (a~b, b~c → one group under min id),
+    disjoint pairs stay separate, isolated ids become singletons."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 7, 8, 9)], "doc_id long")
+    out = {r["doc_id"]: (r["group_id"], r["is_canonical"]) for r in
+           dedup.near_dup_groups(pairs, all_ids=ids).collect()}
+    assert out == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        7: (7, True), 8: (7, False), 9: (9, True),
+    }
+    # long path needs multiple propagation rounds
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["group_id"] for r in dedup.near_dup_groups(chain).collect()}
+    assert got == {i: 1 for i in range(1, 10)}

@@ -146,3 +146,45 @@ def test_vocab_fold_conserves_mass(spark, counts, tau):
     assert total == pytest.approx(1.0)
     assert sorted(r["idx"] for r in kept) == list(range(1, len(kept) + 1))
     assert all(r["freq"] >= tau for r in kept)
+
+
+# --- near-dup group collapse ≡ union-find (Spark) ---------------------
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(lambda p: p[0] != p[1]),
+        min_size=0,
+        max_size=20,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_near_dup_groups_equals_union_find(spark, edges):
+    """Distributed min-label propagation must agree with a sequential
+    union-find on arbitrary pair graphs (including isolated nodes)."""
+    from eventstreamml_spark.operators.dedup import near_dup_groups
+
+    ids = list(range(15))
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: min(j for j in ids if find(j) == find(i)) for i in ids}
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "id_a long, id_b long"
+    )
+    if not edges:
+        pairs = pairs.filter(F.col("id_a") != F.col("id_b"))
+    all_ids = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: r["group_id"]
+        for r in near_dup_groups(pairs, all_ids=all_ids).collect()
+    }
+    assert got == expected
