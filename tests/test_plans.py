@@ -153,3 +153,17 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS ev_b")
         spark.sql("DROP TABLE IF EXISTS md_b")
+
+
+def test_text_pipeline_is_narrow_and_pruned(spark):
+    """Text analysis is pure per-row expression work: zero exchanges,
+    and the parquet scan reads only the referenced columns."""
+    from eventstreamml_spark.operators.text import quality_features, token_count
+
+    docs = load_table(spark, SF, "documents")
+    q = docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    assert shuffle_count(q) == 0
+    cols = set(read_schema_columns(q))
+    assert "doc_id" in cols and "text" in cols
+    assert "source" not in cols and "lang" not in cols  # pruned
+    assert shuffle_count(quality_features(docs)) == 0
