@@ -15,7 +15,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 
 def exact_dedup(
@@ -233,18 +233,27 @@ def jaccard_pairs(
 
 
 def simhash(
-    shingles: DataFrame, bits: int = 64, id_col: str = "doc_id"
+    shingles: DataFrame,
+    bits: int = 64,
+    id_col: str = "doc_id",
+    hash_col: Column | None = None,
 ) -> DataFrame:
-    """SimHash: per-document 64-bit signature where bit j is the sign of
-    Σ_features (±1 depending on feature-hash bit j).
+    """SimHash: per-document ``bits``-bit signature where bit j is the
+    sign of Σ_features (±1 depending on feature-hash bit j).
 
     Pure relational form: explode bit positions, map each shingle's
-    xxhash64 bit to ±1, sum per (doc, bit), reassemble the signature as
-    a bigint. n_docs × 64 intermediate rows, one shuffle.
+    hash bit to ±1, sum per (doc, bit), reassemble the signature as
+    a bigint. n_docs × bits intermediate rows, one shuffle.
+
+    ``hash_col`` defaults to ``xxhash64(shingle)`` (fastest, JVM-only).
+    Pass an engine-portable hash (e.g. an md5-derived integer) when the
+    signature must be reproducible outside Spark — the oracle-checked
+    ``dedup_simhash_md5`` query does exactly that.
     """
+    h = hash_col if hash_col is not None else F.xxhash64(F.col("shingle"))
     bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
     per_bit = (
-        shingles.select(F.col(id_col), bit, F.xxhash64(F.col("shingle")).alias("_h"))
+        shingles.select(F.col(id_col), bit, h.alias("_h"))
         .select(
             F.col(id_col), F.col("bit"),
             # shiftright with a *column* shift needs the SQL form

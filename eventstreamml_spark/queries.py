@@ -943,6 +943,45 @@ def q_dedup_groups_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_groups(pairs, all_ids=docs.select("doc_id"))
 
 
+@register(
+    "dedup_simhash_md5",
+    f"""
+    WITH {_SHINGLE_SQL},
+    hs AS (
+      SELECT doc_id,
+             list_reduce(
+               list_transform(range(1, 16),
+                 i -> CAST(strpos('0123456789abcdef',
+                                  substr(md5(shingle), i, 1)) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) AS h
+      FROM sh
+    ),
+    bits AS (SELECT unnest(range(0, 60)) AS bit),
+    per_bit AS (
+      SELECT doc_id, bit,
+             sum(CASE WHEN (h // (CAST(1 AS BIGINT) << bit)) % 2 = 1
+                      THEN 1 ELSE -1 END) AS s
+      FROM hs CROSS JOIN bits GROUP BY doc_id, bit
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit)
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM per_bit GROUP BY doc_id
+    """,
+)
+def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures over an engine-portable hash: the md5 hex
+    prefix read as a 60-bit integer is identical in Spark and DuckDB,
+    so the ENTIRE simhash computation (per-bit +/-1 majority vote,
+    signature reassembly) is hash-checked end-to-end. The default
+    xxhash64 variant (faster, JVM-local) keeps its rows-only check."""
+    from eventstreamml_spark.operators.dedup import simhash, word_shingles
+
+    sh = word_shingles(load_table(spark, sf_dir, "documents"), k=4)
+    h60 = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
+    return simhash(sh, bits=60, hash_col=h60)
+
+
 @register("dedup_simhash_pairs", None)  # xxhash64 has no DuckDB twin → rows-only
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup: SimHash near-dup pairs (Hamming ≤ 3 via pigeonhole
@@ -1680,12 +1719,25 @@ def q_random_subsequence_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
-@register("image_feature_extraction", None)  # mapInPandas plumbing; fake decode
+@register(
+    "image_feature_extraction",
+    """
+    SELECT doc_id AS media_id,
+           length(text) AS n_bytes,
+           1 + ascii(substr(text, 1, 1)) % 64 AS width,
+           1 + ascii(substr(text, length(text), 1)) % 64 AS height,
+           round((list_sum(list_transform(range(1, least(length(text), 256) + 1),
+                                          i -> ascii(substr(text, i, 1)))) % 2551)
+                 / 10.0, 1) AS mean_luma
+    FROM documents
+    """,
+)
 def q_image_feature_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/feature plumbing: documents' text bytes stand
-    in as opaque payloads; mapInPandas (Arrow-batched) extracts
-    deterministic fake features — the real codec is stubbed
-    (environment has no image libs), the Spark plumbing is real."""
+    in as opaque payloads; mapInPandas (Arrow-batched) extracts the
+    deterministic fake features, whose byte math the oracle replays in
+    SQL over the ASCII corpus (byte i == ascii(char i)). The real codec
+    path (Pillow) is unit-tested when importable."""
     from eventstreamml_spark.operators.multimodal import extract_image_features
 
     docs = load_table(spark, sf_dir, "documents")
