@@ -1818,6 +1818,68 @@ def q_nested_metadata_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_fixed_oracle_sql() -> str:
+    """Deterministic seeded centroids (same generator as the LSH
+    hyperplanes) make the FULL IVF query path SQL-replayable: cell
+    assignment (rank by dot, ties high-cell first — the engine's
+    reverse-sorted struct array), probe expansion, and within-probe
+    cosine rerank."""
+    from eventstreamml_spark.operators.similarity import _hyperplanes
+
+    cents = _hyperplanes(64, 8, 7)
+    values = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(float(x)) for x in c))
+        for i, c in enumerate(cents)
+    )
+    return f"""
+    WITH cents(cid, c) AS (VALUES {values}),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ranked AS (
+      SELECT e.vec_id, e.v, cents.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.v, cents.c) DESC, cents.cid DESC
+             ) AS rn
+      FROM e CROSS JOIN cents
+    ),
+    assigned AS (SELECT vec_id, v, cid FROM ranked WHERE rn = 1),
+    probes AS (SELECT vec_id, v, cid FROM ranked WHERE rn <= 2 AND vec_id < 8),
+    scored AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+             list_dot_product(q.v, a.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(a.v, a.v))) AS cos
+      FROM probes q JOIN assigned a USING (cid) WHERE q.vec_id != a.vec_id
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rk FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """
+
+
+@register("ann_ivf_fixed_centroids", _ivf_fixed_oracle_sql())
+def q_ann_ivf_fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search path with fixed seeded centroids: assignment, 2-cell
+    probing, and exact rerank are hash-checked end-to-end against the
+    SQL replay. The KMeans fit (data-dependent) is exercised by
+    ann_ivf_topk (rows-only) plus recall/exact-degeneracy unit tests —
+    this query isolates and verifies everything downstream of the fit."""
+    from eventstreamml_spark.operators.similarity import (
+        _hyperplanes,
+        ivf_assign,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(_hyperplanes(64, 8, 7))],
+        "cell_id int, centroid array<double>",
+    )
+    assigned = ivf_assign(emb, cents)
+    return ivf_topk(emb.filter(F.col("vec_id") < 8), assigned, cents, k=5, n_probe=2)
+
+
 @register("ann_ivf_topk", None)  # KMeans coarse quantizer: iterative, not SQL
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN scale path: MLlib KMeans coarse quantizer, cell
