@@ -1321,6 +1321,95 @@ def q_tensorize_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tensorize_tasks_checksums",
+    """
+    WITH etv AS (
+      SELECT event_type,
+             row_number() OVER (ORDER BY count(*) DESC, event_type) AS gidx
+      FROM events GROUP BY event_type
+    ), pv AS (
+      SELECT props,
+             (SELECT count(*) + 1 FROM etv)
+               + row_number() OVER (ORDER BY count(*) DESC, props) AS gidx
+      FROM events WHERE props IS NOT NULL GROUP BY props
+    ), t0 AS (
+      SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id
+    ), tasks AS (
+      SELECT user_id, t0 AS ws, t0 + INTERVAL 12 HOUR AS we,
+             'first_half_day' AS label FROM t0
+      UNION ALL
+      SELECT user_id, t0 + INTERVAL 12 HOUR, t0 + INTERVAL 24 HOUR,
+             'second_half_day' FROM t0
+    ), e AS (
+      SELECT ev.user_id, ev.ts, etv.gidx AS eg, pv.gidx AS pg
+      FROM events ev JOIN etv USING (event_type) LEFT JOIN pv USING (props)
+    ), sel AS (
+      SELECT t.user_id, t.ws, t.label, e.eg, e.pg
+      FROM tasks t JOIN e ON e.user_id = t.user_id
+                         AND e.ts BETWEEN t.ws AND t.we
+    )
+    SELECT user_id AS subject_id, ws AS window_start, label,
+           count(*) AS seq_len,
+           count(*) + count(pg) AS n_entries,
+           CAST(sum(eg) + coalesce(sum(pg), 0) AS BIGINT) AS sum_idx,
+           greatest(max(eg), max(pg)) AS max_idx
+    FROM sel GROUP BY user_id, ws, label
+    """,
+)
+def q_tensorize_tasks_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 task path: one tensorized sequence per (subject, window) task
+    row — window restriction, surrogate re-keying through the size-gated
+    dense_ids, nested assembly, label rejoin — flattened to the same
+    integer checksums as tensorize_checksums. Task windows with zero
+    events legitimately vanish (inner window join), mirrored by the
+    oracle's join."""
+    from eventstreamml_spark.export import tensorize_tasks
+    from eventstreamml_spark.vocabulary import build_vocabulary
+
+    raw = _events(spark, sf_dir)
+    ev = raw.select(
+        "event_id", F.col("user_id").alias("subject_id"), F.col("ts").alias("timestamp"),
+        "event_type",
+    )
+    md = raw.filter(F.col("props").isNotNull()).select(
+        F.col("event_id").alias("metadata_id"),
+        "event_id",
+        F.lit("props").alias("measurement"),
+        F.col("props").alias("element"),
+        F.col("value").alias("value"),
+    )
+    vocabs = {
+        "event_type": build_vocabulary(raw.select("event_type"), "event_type"),
+        "props": build_vocabulary(md.select("element"), "element"),
+    }
+    t0 = ev.groupBy("subject_id").agg(F.min("timestamp").alias("_t0"))
+    h12 = F.expr("INTERVAL 12 HOURS")
+    task_df = t0.select(
+        "subject_id",
+        F.col("_t0").alias("start_time"),
+        (F.col("_t0") + h12).alias("end_time"),
+        F.lit("first_half_day").alias("label"),
+    ).unionByName(
+        t0.select(
+            "subject_id",
+            (F.col("_t0") + h12).alias("start_time"),
+            (F.col("_t0") + h12 + h12).alias("end_time"),
+            F.lit("second_half_day").alias("label"),
+        )
+    )
+    out = tensorize_tasks(ev, md, vocabs, task_df)
+    return out.select(
+        "subject_id",
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "label",
+        F.size("time").cast("long").alias("seq_len"),
+        F.expr("aggregate(dynamic_indices, 0L, (a, x) -> a + size(x))").alias("n_entries"),
+        F.expr("aggregate(flatten(dynamic_indices), 0L, (a, x) -> a + x)").alias("sum_idx"),
+        F.expr("array_max(flatten(dynamic_indices))").cast("long").alias("max_idx"),
+    )
+
+
 @register("viod_outlier_bounds", None)  # iterative fit — not SQL-expressible
 def q_viod_outlier_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11 per-key variance-impact outlier fit (applyInPandas); bounds
