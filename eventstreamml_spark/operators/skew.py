@@ -1,0 +1,82 @@
+"""Skew mitigation — salted two-phase aggregation.
+
+Sums/counts/mins survive hot keys for free (map-side partial
+aggregation shrinks every partition before the shuffle). The
+aggregations that DON'T are the materializing ones — ``collect_list``
+/ ``collect_set`` — where one hot key (a boilerplate document digest, a
+mega-subject) funnels its entire value set through a single reduce
+task: the task OOMs or straggles while the rest of the stage idles.
+
+``salted_collect_list`` splits each key's rows across ``n_salt``
+sub-keys (phase 1: collect per (key, salt)), then concatenates the
+n_salt partial lists per key (phase 2: flatten over at most ``n_salt``
+rows per key). The hot key's data now crosses the shuffle in n_salt
+bounded pieces, and no single task ever holds more than ~1/n_salt of
+it until the final (cheap, list-of-lists) concat.
+
+AQE's skew-join handling rebalances *joins*; it cannot split a skewed
+*aggregation* group — that is what salting is for. Join-side skew:
+prefer AQE (on in session defaults), salt only when a key exceeds what
+one executor can hold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _salt(n_salt: int) -> Column:
+    # deterministic per-row salt would need a row id; spreading rows
+    # round-robin-ish by partition+offset keeps the phases reproducible
+    # in count while staying expression-only
+    return F.pmod(F.monotonically_increasing_id(), F.lit(n_salt))
+
+
+def salted_collect_list(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    n_salt: int = 32,
+    sort_result: bool = True,
+) -> DataFrame:
+    """Two-phase ``collect_list`` that survives hot keys.
+
+    Returns one row per key tuple with column ``values``
+    (array of ``value_col``). ``sort_result`` sorts the final array —
+    ``collect_list`` order is nondeterministic anyway, so sorting is
+    the only way to get a stable result; pass False to skip the
+    per-row sort when downstream order doesn't matter.
+    """
+    phase1 = (
+        df.withColumn("_salt", _salt(n_salt))
+        .groupBy(*keys, "_salt")
+        .agg(F.collect_list(value_col).alias("_part"))
+    )
+    out = (
+        phase1.groupBy(*keys)
+        .agg(F.flatten(F.collect_list("_part")).alias("values"))
+    )
+    if sort_result:
+        out = out.withColumn("values", F.array_sort("values"))
+    return out
+
+
+def salted_collect_set(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    n_salt: int = 32,
+) -> DataFrame:
+    """Two-phase ``collect_set``: per-salt sets dedupe most of the hot
+    key's volume before the second shuffle; the final distinct runs on
+    the (much smaller) union. Result array is sorted (sets have no
+    order)."""
+    phase1 = (
+        df.withColumn("_salt", _salt(n_salt))
+        .groupBy(*keys, "_salt")
+        .agg(F.collect_set(value_col).alias("_part"))
+    )
+    return (
+        phase1.groupBy(*keys)
+        .agg(F.array_sort(F.array_distinct(F.flatten(F.collect_list("_part")))).alias("values"))
+    )

@@ -51,18 +51,34 @@ def apply_standard_scaler(
 
 
 def fit_quantile_transformer(
-    df: DataFrame, key_col: str, value_col: str, n_quantiles: int = 101
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_quantiles: int = 101,
+    exact: bool = True,
+    approx_accuracy: int = 10000,
 ) -> DataFrame:
     """Model state (key, quantiles array<double>): the per-key empirical
-    quantiles at n evenly spaced probabilities. Uses exact ``percentile``
-    (test scale) — swap to ``approx_percentile`` at 100 TB, where the
-    sketch's rank error is far below any downstream sensitivity."""
+    quantiles at n evenly spaced probabilities.
+
+    ``exact=True`` uses ``percentile`` (full sort per key — right at
+    test scale and for keys with bounded cardinality). ``exact=False``
+    uses the ``approx_percentile`` sketch: one pass, mergeable
+    map-side, rank error ≤ 1/approx_accuracy — the 100 TB path, where
+    the sketch error is far below any downstream sensitivity of a CDF
+    normalizer. Both produce the same model schema; the transform is
+    oblivious to which fit built it."""
     probs = F.array(*[F.lit(i / (n_quantiles - 1)) for i in range(n_quantiles)])
     v = F.col(value_col)
+    q = (
+        F.percentile(v, probs)
+        if exact
+        else F.percentile_approx(v, probs, F.lit(approx_accuracy))
+    )
     return (
         df.filter(v.isNotNull())
         .groupBy(key_col)
-        .agg(F.percentile(v, probs).alias("quantiles"))
+        .agg(q.cast("array<double>").alias("quantiles"))
     )
 
 

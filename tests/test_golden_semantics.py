@@ -316,3 +316,36 @@ def test_dense_ids_strategies_agree(spark):
     d = {r["k"]: r["i"] for r in dense_ids(df, ["k", "payload"], "i", strategy="distributed").collect()}
     assert w == d
     assert sorted(w.values()) == list(range(5000))
+
+
+def test_salted_collect_equals_direct(spark):
+    """Two-phase salted collect_list/collect_set must equal the direct
+    aggregation (as multisets / sets) — salting changes the physical
+    shape only. One hot key carries most rows, mimicking skew."""
+    from eventstreamml_spark.operators.skew import (
+        salted_collect_list,
+        salted_collect_set,
+    )
+
+    rows = [("hot", i % 7) for i in range(500)] + [("cold", i) for i in range(5)]
+    df = spark.createDataFrame(rows, "k string, v int")
+
+    direct = {
+        r["k"]: sorted(r["vs"])
+        for r in df.groupBy("k").agg(F.collect_list("v").alias("vs")).collect()
+    }
+    salted = {
+        r["k"]: r["values"]
+        for r in salted_collect_list(df, ["k"], "v", n_salt=8).collect()
+    }
+    assert salted == direct
+
+    direct_set = {
+        r["k"]: sorted(r["vs"])
+        for r in df.groupBy("k").agg(F.collect_set("v").alias("vs")).collect()
+    }
+    salted_set = {
+        r["k"]: r["values"]
+        for r in salted_collect_set(df, ["k"], "v", n_salt=8).collect()
+    }
+    assert salted_set == direct_set

@@ -314,3 +314,22 @@ def test_numeric_preprocessor_quantile_registry(spark):
     flag = out.filter(F.col("key") == "flag").collect()
     assert all(r["value"] is None for r in flag)  # categorical_integer → tokens
     assert {r["value_token"] for r in flag} == {"flag__EQ_0", "flag__EQ_1"}
+
+
+def test_quantile_transformer_approx_fit_close_to_exact(spark):
+    """The sketch-based fit (the 100 TB path) must produce CDF outputs
+    within sketch tolerance of the exact fit on the same data."""
+    rng = np.random.default_rng(5)
+    df = spark.createDataFrame(
+        [("k", float(v)) for v in rng.normal(0, 1, 3000)], "key string, value double"
+    )
+    exact = fit_quantile_transformer(df, "key", "value", n_quantiles=21, exact=True)
+    approx = fit_quantile_transformer(df, "key", "value", n_quantiles=21, exact=False)
+    probe = df.withColumn("orig", F.col("value"))
+    out_e = apply_quantile_transformer(probe, exact, "key", "value", out_col="c").collect()
+    out_a = {
+        (r["key"], r["orig"]): r["c"]
+        for r in apply_quantile_transformer(probe, approx, "key", "value", out_col="c").collect()
+    }
+    diffs = [abs(r["c"] - out_a[(r["key"], r["orig"])]) for r in out_e]
+    assert max(diffs) < 0.05  # rank error bound at accuracy=10000 on 3k rows
