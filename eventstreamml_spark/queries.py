@@ -1659,26 +1659,43 @@ def q_age_numeric_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Structured Streaming (SURVEY §2.8 — new engine capability)
 # ---------------------------------------------------------------------------
 
-_EVENTS_STREAM_SCHEMA = (
+_EVENTS_STREAM_SCHEMA_NANOS = (
     "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+_EVENTS_STREAM_SCHEMA_NATIVE = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
 )
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet (nano ts read as long via the
-    legacy conf, converted with integer div — same convention as the
-    batch reader)."""
+    """readStream over the events parquet.
+
+    Like the batch reader (sources/testdata.py), sniffs the parquet
+    footer for the timestamp unit rather than assuming one: the driver
+    has shipped both TIMESTAMP(NANOS) files (which Spark only reads as
+    long, via the legacy conf, needing an explicit nanos→micros div)
+    and plain TIMESTAMP(MICROS) files (read natively). Hard-coding
+    either convention silently shifts every event time 1000× when the
+    driver regenerates the fixtures the other way.
+    """
+    import os as _os
+
     from eventstreamml_spark.session import apply_runtime_confs
+    from eventstreamml_spark.sources.testdata import _nano_ts_columns
 
     apply_runtime_confs(spark)
+    nano = "ts" in _nano_ts_columns(_os.path.join(sf_dir, "events.parquet"))
+    schema = _EVENTS_STREAM_SCHEMA_NANOS if nano else _EVENTS_STREAM_SCHEMA_NATIVE
     src = (
-        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
     # TIMESTAMP (session tz pinned to UTC), not NTZ: watermarks require
     # an event-time-typed column
-    return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nano:
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return src
 
 
 def _run_available_now(stream_df: DataFrame, output_mode: str) -> DataFrame:
