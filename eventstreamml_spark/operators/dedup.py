@@ -331,6 +331,79 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_near_dup_lsh(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 12,
+    n_bands: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs at scale: banded hyperplane LSH
+    proposes candidates, exact cosine verifies — the vector analog of
+    MinHash banding (lsh_candidate_pairs). Each vector's ``n_planes``
+    sign bits split into ``n_bands`` bands; two vectors become a
+    candidate pair iff they agree on EVERY bit of at least one band, so
+    the self-join is a (band_idx, band_value) equi-join — never
+    all-pairs. Vectors ride through the join and the pair-dedup shuffle
+    (no re-join to fetch them), and candidates per band bucket are
+    bounded by bucket size, not corpus size.
+
+    Approximate by design: recall vs the brute-force operator
+    (embedding_near_dup_pairs) rises with n_bands and falls with
+    band width (n_planes / n_bands), per the standard sign-LSH
+    collision model p_bit = 1 - acos(cos) / pi.
+    """
+    from eventstreamml_spark.operators.similarity import (
+        _hyperplanes,
+        cosine,
+        hyperplane_bucket,
+    )
+
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    if n_planes % n_bands != 0:
+        raise ValueError("n_planes must divide evenly into n_bands")
+    width = n_planes // n_bands
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    vec = F.col("_v")
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                hyperplane_bucket(vec, planes[b * width : (b + 1) * width]).alias("bval"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    sig = (
+        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_b", F.explode(bands))
+        .select("_id", "_v", F.col("_b.band").alias("band"), F.col("_b.bval").alias("bval"))
+    )
+    a = sig.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "band", "bval"
+    )
+    b = sig.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "band", "bval"
+    )
+    cand = (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        # same pair can collide in several bands — dedup before the
+        # (cheap, but why repeat it) cosine verify
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cosine", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def near_dup_groups(
     pairs: DataFrame,
     all_ids: DataFrame | None = None,

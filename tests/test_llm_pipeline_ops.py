@@ -70,6 +70,45 @@ def test_embedding_near_dup(spark):
     assert out == {(1, 2)}
 
 
+def test_embedding_near_dup_lsh_vs_brute_force(spark):
+    import numpy as np
+
+    # clustered data: near-dup pairs are same-cluster members with tiny
+    # perturbations (cosine ≈ 1), cross-cluster cosine is far below
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((6, 16))
+    base = np.concatenate(
+        [c + 0.02 * rng.standard_normal((4, 16)) for c in centers]
+    ).astype("float32")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(24)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs(emb, 0.95).collect()
+    }
+    assert exact  # same-cluster pairs exist by construction
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_lsh(
+            emb, threshold=0.95, n_planes=8, n_bands=4, dim=16
+        ).collect()
+    }
+    # verification step guarantees precision 1.0 relative to brute force
+    assert approx <= exact
+    # CI recall floor at near-dup similarity (0.95+): banding with
+    # 2-bit bands must recover nearly all true pairs
+    recall = len(approx) / len(exact)
+    assert recall >= 0.8, f"recall {recall}"
+    # determinism: same seed → same pairs
+    approx2 = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_lsh(
+            emb, threshold=0.95, n_planes=8, n_bands=4, dim=16
+        ).collect()
+    }
+    assert approx == approx2
+
+
 def test_lsh_topk_recall_vs_brute_force(spark):
     import numpy as np
 
