@@ -184,16 +184,28 @@ def restrict_time_range(df: DataFrame, start, end, ts_col: str = "timestamp") ->
     return df.filter(F.col(ts_col).between(start, end))
 
 
+def column_observation_counts(df: DataFrame, candidates: list[str] | None = None) -> DataFrame:
+    """P2 (tail) decision relation: per candidate column, its non-null
+    observation count and whether the all-null drop keeps it. ONE
+    aggregation pass over only the candidate columns; the single
+    wide-agg row is unpivoted to (col_name, n_obs, kept)."""
+    candidates = candidates or df.columns
+    wide = df.agg(*[F.count(F.col(c)).alias(c) for c in candidates])
+    long = wide.unpivot([], candidates, "col_name", "n_obs")
+    return long.select("col_name", "n_obs", (F.col("n_obs") > 0).alias("kept"))
+
+
 def drop_all_null_columns(df: DataFrame, keep: list[str] | None = None) -> DataFrame:
-    """P2 (tail): drop columns that are entirely null, in ONE aggregation
-    pass (event_stream_dataset.py:863). Triggers a job (it must — the
-    decision is data-dependent), but scans only the candidate columns."""
+    """P2 (tail): drop columns that are entirely null
+    (event_stream_dataset.py:863). Triggers a job (it must — the
+    decision is data-dependent), driven by the one-pass
+    :func:`column_observation_counts` relation."""
     keep = set(keep or [])
     candidates = [c for c in df.columns if c not in keep]
     if not candidates:
         return df
-    counts = df.agg(*[F.count(F.col(c)).alias(c) for c in candidates]).first()
-    dead = [c for c in candidates if counts[c] == 0]
+    counts = column_observation_counts(df, candidates).collect()
+    dead = [r["col_name"] for r in counts if not r["kept"]]
     return df.drop(*dead) if dead else df
 
 

@@ -200,6 +200,250 @@ def q_drop_censor_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "drop_censor_per_key_bounds",
+    """
+    SELECT event_id, event_type,
+           CASE event_type
+             WHEN 'click' THEN
+               CASE WHEN value < 1.0 THEN 1.0
+                    WHEN value > 200.0 THEN 200.0 ELSE value END
+             WHEN 'error' THEN
+               CASE WHEN value < 0.5 OR value >= 300.0 THEN NULL ELSE value END
+             WHEN 'view' THEN
+               CASE WHEN value <= 1.0 THEN NULL
+                    WHEN value > 150.0 THEN 150.0 ELSE value END
+             WHEN 'purchase' THEN
+               CASE WHEN value > 350.0 THEN NULL
+                    WHEN value < 2.0 THEN 2.0 ELSE value END
+             ELSE value
+           END AS value_clean
+    FROM events
+    """,
+)
+def q_drop_censor_per_key_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/J1: per-key bounds table broadcast-joined to values, P5
+    drop/censor applied rowwise; keys missing from the bounds table
+    (signup) pass through untouched. Exercises strict and inclusive
+    drop bounds plus both censor sides across keys in one query."""
+    bounds = spark.createDataFrame(
+        [
+            ("click", None, None, None, None, 1.0, 200.0),
+            ("error", 0.5, False, 300.0, True, None, None),
+            ("view", 1.0, True, None, None, None, 150.0),
+            ("purchase", None, None, 350.0, False, 2.0, None),
+        ],
+        "event_type string, drop_lower_bound double,"
+        " drop_lower_bound_inclusive boolean, drop_upper_bound double,"
+        " drop_upper_bound_inclusive boolean, censor_lower_bound double,"
+        " censor_upper_bound double",
+    )
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    out = flt.drop_oob_and_censor_outliers(
+        ev, bounds, key_col="event_type", value_col="value", out_col="value_clean"
+    )
+    return out.select("event_id", "event_type", "value_clean")
+
+
+@register(
+    "metadata_allnull_col_drop",
+    """
+    WITH f AS (
+      SELECT value,
+             CASE WHEN value > 1000.0 THEN value END AS value_gt_1k,
+             props
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT 'value' AS col_name, count(value) AS n_obs, count(value) > 0 AS kept FROM f
+    UNION ALL
+    SELECT 'value_gt_1k', count(value_gt_1k), count(value_gt_1k) > 0 FROM f
+    UNION ALL
+    SELECT 'props', count(props), count(props) > 0 FROM f
+    """,
+)
+def q_metadata_allnull_col_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 (tail): the all-null column-drop decision relation — an
+    event-type restriction (P2 head) followed by the one-pass
+    observation-count aggregation that drives drop_all_null_columns.
+    value_gt_1k is all-null by construction (max value ≈ 490), so the
+    drop decision has both outcomes in the result."""
+    ev = flt.restrict_event_types(_events(spark, sf_dir), ["error"])
+    frame = ev.select(
+        "value",
+        F.when(F.col("value") > 1000.0, F.col("value")).alias("value_gt_1k"),
+        "props",
+    )
+    return flt.column_observation_counts(frame, ["value", "value_gt_1k", "props"])
+
+
+@register(
+    "categorical_oov_transform",
+    """
+    WITH obs AS (
+      SELECT 'returnflag' AS measurement, l_returnflag AS element FROM lineitem
+      UNION ALL
+      SELECT 'linestatus' AS measurement, l_linestatus AS element FROM lineitem
+    ), c AS (
+      SELECT measurement, element, count(*) AS cnt FROM obs GROUP BY 1, 2
+    ), n AS (
+      SELECT measurement, sum(cnt) AS n_obs FROM c GROUP BY 1
+    ), kept AS (
+      SELECT c.measurement, c.element FROM c JOIN n USING (measurement)
+      WHERE c.cnt / n.n_obs >= 0.3335
+    )
+    SELECT o.measurement, o.element AS element_raw,
+           CASE WHEN k.element IS NOT NULL THEN o.element ELSE 'UNK' END AS element,
+           count(*) AS n_rows
+    FROM obs o LEFT JOIN kept k
+      ON k.measurement = o.measurement AND k.element = o.element
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_categorical_oov_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: out-of-vocabulary folding at transform time — fit the A4/A5
+    vocabulary (τ=0.3335 drops l_returnflag='N'), then transform the
+    same observations: kept elements pass through, OOV elements fold to
+    UNK. Aggregated to (raw, transformed) pairs so the contract — and
+    nothing else — is hashed."""
+    from eventstreamml_spark.preprocessing.categorical import CategoricalPreprocessor
+    from eventstreamml_spark.preprocessing.config import PreprocessingConfig
+
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.select(
+        F.lit("returnflag").alias("measurement"), F.col("l_returnflag").alias("element")
+    ).unionByName(
+        li.select(F.lit("linestatus").alias("measurement"), F.col("l_linestatus").alias("element"))
+    )
+    pre = CategoricalPreprocessor(
+        config=PreprocessingConfig(min_valid_vocab_element_observations=0.3335)
+    )
+    model = pre.fit(long)
+    out = model.transform(long.withColumn("element_raw", F.col("element")))
+    return out.groupBy("measurement", "element_raw", "element").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+@register(
+    "sequence_padding",
+    """
+    WITH seqs AS (
+      SELECT user_id,
+             list(epoch_us(ts)::DOUBLE ORDER BY ts, event_id)[1:70] AS l
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           l || list_transform(range(70 - len(l)), x -> 0.0::DOUBLE) AS time,
+           list_transform(l, x -> true)
+             || list_transform(range(70 - len(l)), x -> false) AS event_mask
+    FROM seqs
+    """,
+)
+def q_sequence_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7: fixed-length right-side sequence padding of per-subject time
+    arrays (epoch µs as double — exact below 2^53, so no rounding is
+    needed on either side). Subjects have ~66 events at any SF, so
+    L=70 exercises padding; truncation and the left side are pinned by
+    unit tests (test_export)."""
+    from eventstreamml_spark.export import pad_sequences
+
+    ev = _events(spark, sf_dir)
+    seqs = (
+        ev.select(
+            "user_id",
+            # ts is TIMESTAMP_NTZ; unix_micros wants TIMESTAMP — with the
+            # session tz pinned to UTC the cast preserves the wall clock
+            F.struct(
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"), "event_id"
+            ).alias("_e"),
+        )
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("_e")).alias("_s"))
+        .select(
+            "user_id",
+            F.transform(F.col("_s"), lambda e: e["ts_us"].cast("double")).alias("time"),
+        )
+    )
+    out = pad_sequences(seqs, max_seq_len=70, side="right", nested_cols=())
+    return out.select("user_id", "time", "event_mask")
+
+
+@register(
+    "task_label_normalize",
+    """
+    WITH t AS (
+      SELECT s.event_id AS task_id, s.user_id,
+             count(e.event_id) >= 5 AS busy,
+             count(e.event_id)::DOUBLE AS n_next
+      FROM events s LEFT JOIN events e
+        ON e.user_id = s.user_id
+       AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL 24 HOURS
+      WHERE s.event_type = 'signup'
+      GROUP BY s.event_id, s.user_id
+    ), lab AS (
+      SELECT t.*, coalesce(e2.event_type, 'none') AS first_type
+      FROM t LEFT JOIN (
+        SELECT DISTINCT ON (user_id) user_id, event_type
+        FROM events ORDER BY user_id, ts, event_id
+      ) e2 ON e2.user_id = t.user_id
+    ), vocab AS (
+      SELECT first_type, row_number() OVER (ORDER BY count(*) DESC, first_type) - 1 AS code
+      FROM lab GROUP BY first_type
+    )
+    SELECT task_id, user_id,
+           CASE WHEN busy THEN 1.0 ELSE 0.0 END AS busy,
+           n_next, v.code AS first_type
+    FROM lab JOIN vocab v USING (first_type)
+    """,
+)
+def q_task_label_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: task-label dtype dispatch — a J5-derived task table with a
+    boolean label (→ 0/1 double), a float label (→ regression
+    passthrough), and a string label (→ frequency-ranked dense codes).
+    The oracle replays the dispatch rules and the vocabulary ranking."""
+    from eventstreamml_spark.tasks import normalize_task_labels
+
+    ev = _events(spark, sf_dir)
+    signup = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("task_id"), "user_id", F.col("ts").alias("_t0")
+    )
+    nxt = (
+        signup.join(
+            ev.select("user_id", F.col("ts").alias("_ts"), F.col("event_id").alias("_eid")),
+            "user_id",
+            "left",
+        )
+        .filter((F.col("_ts") > F.col("_t0")) & (F.col("_ts") <= F.col("_t0") + F.expr("INTERVAL 24 HOURS")))
+        .groupBy("task_id", "user_id")
+        .agg(F.count("_eid").alias("_n"))
+    )
+    counts = signup.join(nxt.select("task_id", "_n"), "task_id", "left").select(
+        "task_id", "user_id", F.coalesce(F.col("_n"), F.lit(0)).alias("_n")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    first_type = (
+        ev.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("user_id", F.col("event_type").alias("first_type"))
+    )
+    task_df = counts.join(first_type, "user_id", "left").select(
+        "task_id",
+        F.col("user_id"),
+        (F.col("_n") >= 5).alias("busy"),
+        F.col("_n").cast("double").alias("n_next"),
+        F.coalesce(F.col("first_type"), F.lit("none")).alias("first_type"),
+    )
+    normalized, task_types, _vocabs = normalize_task_labels(
+        task_df, label_cols=["busy", "n_next", "first_type"]
+    )
+    assert task_types == {
+        "busy": "binary_classification",
+        "n_next": "regression",
+        "first_type": "multi_class_classification",
+    }
+    return normalized.select("task_id", "user_id", "busy", "n_next", "first_type")
+
+
+@register(
     "min_seq_len_filter",
     """
     SELECT e.user_id, count(*) AS n_events
