@@ -52,6 +52,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # registry size changes round to round as coverage
+                # widens — totals are only comparable per-query or
+                # normalized by n_queries
+                "n_queries": len(timings),
             }
         )
     )

@@ -379,26 +379,30 @@ def embedding_near_dup_lsh(
             for b in range(n_bands)
         ]
     )
+    # the band join and the pair dedup move ONLY ids — a candidate pair
+    # is 3 longs across the shuffle, not 2×dim floats; vectors join
+    # back after dedup (one row per surviving pair side)
     sig = (
         emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .withColumn("_b", F.explode(bands))
-        .select("_id", "_v", F.col("_b.band").alias("band"), F.col("_b.bval").alias("bval"))
+        .select("_id", F.col("_b.band").alias("band"), F.col("_b.bval").alias("bval"))
     )
-    a = sig.select(
-        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "band", "bval"
-    )
-    b = sig.select(
-        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "band", "bval"
-    )
+    a = sig.select(F.col("_id").alias("id_a"), "band", "bval")
+    b = sig.select(F.col("_id").alias("id_b"), "band", "bval")
     cand = (
         a.join(b, ["band", "bval"])
         .filter(F.col("id_a") < F.col("id_b"))
         # same pair can collide in several bands — dedup before the
-        # (cheap, but why repeat it) cosine verify
+        # vector fetch and cosine verify
         .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
     )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
-        cand.withColumn("cosine", cosine(F.col("_va"), F.col("_vb")))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cosine(F.col("_va"), F.col("_vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )

@@ -58,6 +58,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesces by shuffle BYTES; text/hash pipelines are
+        # CPU-dense per byte (shingle explode, md5×64 bits), so the 1MB
+        # default floor collapses them to ~3 tasks on small inputs. 64k
+        # keeps tiny stages coalesced while letting CPU-heavy narrow
+        # data spread; at production shuffle sizes the 64MB advisory
+        # target governs and this floor never binds.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
