@@ -368,6 +368,122 @@ def q_sequence_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_collect_distinct",
+    """
+    SELECT event_type,
+           list_sort(list(DISTINCT CAST(floor(value) AS BIGINT))) AS values
+    FROM events GROUP BY event_type
+    """,
+)
+def q_salted_collect_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe materializing aggregation: two-phase salted
+    collect_set. Hot keys (every event_type here is one) cross the
+    shuffle in n_salt bounded pieces instead of funneling one key's
+    whole value set through a single reduce task — AQE splits skewed
+    joins but cannot split a skewed aggregation group. Result equals
+    the direct collect_set exactly (sorted distinct arrays)."""
+    from eventstreamml_spark.operators.skew import salted_collect_set
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.floor("value").cast("long").alias("v")
+    )
+    return salted_collect_set(ev, ["event_type"], "v", n_salt=8).select(
+        "event_type", "values"
+    )
+
+
+@register(
+    "nullify_nonfinite",
+    """
+    SELECT event_id,
+           CASE WHEN event_type IN ('error', 'click', 'view') THEN NULL
+                ELSE value END AS value_finite
+    FROM events
+    """,
+)
+def q_nullify_nonfinite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: ±Inf and NaN → null during tensorization
+    (event_stream_pytorch_dataset.py:370-376). Non-finite values are
+    injected per event type (the test tables store none), so the oracle
+    reduces to nulling exactly those types."""
+    ev = _events(spark, sf_dir)
+    injected = (
+        F.when(F.col("event_type") == "error", F.lit(float("inf")))
+        .when(F.col("event_type") == "click", F.lit(float("-inf")))
+        .when(F.col("event_type") == "view", F.lit(float("nan")))
+        .otherwise(F.col("value"))
+    )
+    return ev.select(
+        "event_id", flt.nullify_nonfinite(injected).alias("value_finite")
+    )
+
+
+@register(
+    "unit_bounds_merge",
+    """
+    WITH b AS (
+      SELECT 'k1' AS key, '%' AS unit, CAST(NULL AS DOUBLE) AS lo,
+             CAST(NULL AS BOOLEAN) AS loi, CAST(NULL AS DOUBLE) AS hi,
+             CAST(NULL AS BOOLEAN) AS hii
+      UNION ALL SELECT 'k2', '%', -1.0, true, 2.0, true
+      UNION ALL SELECT 'k3', 'percent', 0.0, true, 1.0, true
+      UNION ALL SELECT 'k4', '%', 0.5, false, 0.8, NULL
+      UNION ALL SELECT 'k5', 'kg', 1.0, true, 10.0, false
+      UNION ALL SELECT 'k6', NULL, 2.0, NULL, NULL, true
+    ), m AS (
+      SELECT b.*,
+             CASE WHEN unit IN ('%', 'percent') THEN 0.0 END AS nlo,
+             CASE WHEN unit IN ('%', 'percent') THEN false END AS nloi,
+             CASE WHEN unit IN ('%', 'percent') THEN 1.0 END AS nhi,
+             CASE WHEN unit IN ('%', 'percent') THEN false END AS nhii
+      FROM b
+    )
+    SELECT key, unit,
+           CASE WHEN nlo IS NULL THEN lo WHEN lo IS NULL THEN nlo
+                ELSE greatest(lo, nlo) END AS drop_lower_bound,
+           CASE WHEN nlo IS NULL THEN loi WHEN lo IS NULL THEN nloi
+                WHEN nlo > lo THEN nloi
+                WHEN nlo = lo THEN coalesce(loi, false) OR coalesce(nloi, false)
+                ELSE loi END AS drop_lower_bound_inclusive,
+           CASE WHEN nhi IS NULL THEN hi WHEN hi IS NULL THEN nhi
+                ELSE least(hi, nhi) END AS drop_upper_bound,
+           CASE WHEN nhi IS NULL THEN hii WHEN hi IS NULL THEN nhii
+                WHEN nhi < hi THEN nhii
+                WHEN nhi = hi THEN coalesce(hii, false) OR coalesce(nhii, false)
+                ELSE hii END AS drop_upper_bound_inclusive
+    FROM m
+    """,
+)
+def q_unit_bounds_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 (head): unit-implied bounds merge
+    (event_stream_dataset.py:64-141) over a literal bounds table
+    covering: no existing bounds, looser, exact-tie (inclusivity OR),
+    tighter-existing, unknown unit, and null unit. The oracle replays
+    the max/min + tie rules as SQL CASE."""
+    bounds = spark.createDataFrame(
+        [
+            ("k1", "%", None, None, None, None),
+            ("k2", "%", -1.0, True, 2.0, True),
+            ("k3", "percent", 0.0, True, 1.0, True),
+            ("k4", "%", 0.5, False, 0.8, None),
+            ("k5", "kg", 1.0, True, 10.0, False),
+            ("k6", None, 2.0, None, None, True),
+        ],
+        "key string, unit string, drop_lower_bound double,"
+        " drop_lower_bound_inclusive boolean, drop_upper_bound double,"
+        " drop_upper_bound_inclusive boolean",
+    )
+    return flt.merge_unit_inferred_bounds(bounds).select(
+        "key",
+        "unit",
+        "drop_lower_bound",
+        "drop_lower_bound_inclusive",
+        "drop_upper_bound",
+        "drop_upper_bound_inclusive",
+    )
+
+
+@register(
     "task_label_normalize",
     """
     WITH t AS (
@@ -2149,6 +2265,36 @@ def q_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_end").cast("timestamp_ntz").alias("session_end"),
         "n_events",
     )
+
+
+@register(
+    "streaming_enrich_age",
+    """
+    WITH s AS (SELECT user_id, min(ts) AS dob FROM events GROUP BY user_id)
+    SELECT e.event_id,
+           epoch_us(e.ts) - epoch_us(s.dob) AS age_us
+    FROM events e JOIN s USING (user_id)
+    """,
+)
+def q_streaming_enrich_age(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6/J4 on a stream: stream-static broadcast enrichment — each
+    micro-batch joins the event stream to a static subjects dimension
+    (dob = first observed event time, computed batch-side) and derives
+    the age as an exact integer microsecond delta. The stream side
+    never shuffles; the dimension is re-broadcast per micro-batch."""
+    from eventstreamml_spark.streaming.ops import enrich_stream
+
+    subjects = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.min("ts").cast("timestamp").alias("_dob"))
+    )
+    ev = _events_stream(spark, sf_dir).select("event_id", "user_id", "ts")
+    enriched = enrich_stream(ev, subjects, ["user_id"], how="inner").select(
+        "event_id",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("_dob"))).alias("age_us"),
+    )
+    return _run_available_now(enriched, "append")
 
 
 # ---------------------------------------------------------------------------

@@ -197,3 +197,19 @@ def stream_inter_event_times(
     return events.groupBy(subject_col).applyInPandasWithState(
         update, schema, _TTE_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join (J4 on a stream): each micro-batch
+    joins against the static dimension, re-planned per batch so the
+    dimension may be refreshed between batches. The dimension is
+    broadcast — the stream side never shuffles, which is the only
+    stream-static join shape that survives an unbounded input; if the
+    dimension outgrows broadcast, restructure it as a second stream
+    with a stream-stream join + watermarks instead."""
+    return events.join(F.broadcast(dim), keys, how)
