@@ -367,6 +367,98 @@ def q_sequence_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "time", "event_mask")
 
 
+def _events_csv_copy(sf_dir: str) -> str:
+    """Deterministic CSV twin of events.parquet (ts as ISO text), for
+    the CSV-connector parity check. Cached next to the session temp
+    dir, regenerated when the parquet is newer."""
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    dst = os.path.join(tempfile.gettempdir(), f"esml_events_{tag}.csv")
+    if not os.path.exists(dst) or os.path.getmtime(dst) < os.path.getmtime(src):
+        import pyarrow.csv as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(src, columns=["event_id", "ts", "user_id", "event_type", "value"])
+        pc.write_csv(t, dst)
+    return dst
+
+
+@register(
+    "csv_ingest_parity",
+    """
+    SELECT event_id, user_id AS subject_id, ts AS timestamp,
+           event_type, value
+    FROM events
+    """,
+)
+def q_csv_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 source breadth: the same canonical events relation ingested
+    through the CSV connector — explicit schema (no inference job),
+    textual timestamp parse to microsecond precision, S1 column
+    canonicalization — must equal the parquet-sourced relation
+    bit-for-bit."""
+    path = _events_csv_copy(sf_dir)
+    raw = spark.read.csv(
+        path,
+        header=True,
+        schema="event_id long, ts string, user_id long, event_type string, value double",
+    )
+    return raw.select(
+        "event_id",
+        F.col("user_id").alias("subject_id"),
+        F.to_timestamp("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .cast("timestamp_ntz")
+        .alias("timestamp"),
+        "event_type",
+        "value",
+    )
+
+
+@register(
+    "quantile_transform_cdf",
+    """
+    WITH m AS (
+      SELECT event_type,
+             quantile_cont(value, list_transform(range(11), i -> i / 10.0)) AS q
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ), j AS (
+      SELECT e.event_id, e.value, m.q,
+             len(list_filter(m.q, x -> x <= e.value)) AS cnt
+      FROM events e JOIN m USING (event_type)
+    )
+    SELECT event_id,
+           round(CASE
+             WHEN cnt = 0 THEN 0.0
+             WHEN cnt = len(q) THEN 1.0
+             ELSE (cnt - 1) / 10.0
+                  + (value - q[cnt]) / (q[cnt + 1] - q[cnt]) / 10.0
+           END, 6) AS value_cdf
+    FROM j
+    """,
+)
+def q_quantile_transform_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 quantile path end-to-end: exact per-key quantile fit (11
+    evenly spaced probabilities — Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the linear-interpolation definition) and
+    the pure-expression CDF transform (np.interp semantics: the count
+    of quantiles ≤ v is the 1-based index of the last such quantile).
+    No Python anywhere on the hot path."""
+    from eventstreamml_spark.preprocessing.normalizer import (
+        apply_quantile_transformer,
+        fit_quantile_transformer,
+    )
+
+    ev = _events(spark, sf_dir)
+    model = fit_quantile_transformer(ev, "event_type", "value", n_quantiles=11, exact=True)
+    out = apply_quantile_transformer(
+        ev, model, "event_type", "value", out_col="value_cdf"
+    )
+    return out.select("event_id", F.round("value_cdf", 6).alias("value_cdf"))
+
+
 @register(
     "salted_collect_distinct",
     """

@@ -167,3 +167,25 @@ def test_text_pipeline_is_narrow_and_pruned(spark):
     assert "doc_id" in cols and "text" in cols
     assert "source" not in cols and "lang" not in cols  # pruned
     assert shuffle_count(quality_features(docs)) == 0
+
+
+def test_embedding_near_dup_shuffles_are_skinny(spark):
+    """The banded-LSH near-dup candidate join and pair dedup move only
+    (id, band, bval) / (id_a, id_b) — the embedding vectors must not
+    ride any Exchange before the pair dedup; they join back afterwards.
+    A vector column inside the candidate shuffles multiplies the
+    shuffle volume by 2×dim at 100 TB."""
+    import re
+
+    from eventstreamml_spark.operators.dedup import embedding_near_dup_lsh
+    from eventstreamml_spark.plans.inspect import formatted_plan
+
+    emb = load_table(spark, SF, "embeddings")
+    q = embedding_near_dup_lsh(emb, threshold=0.4, n_planes=8, n_bands=4, dim=64)
+    plan = formatted_plan(q)
+    # every Exchange's input attribute list, from the operator detail
+    # sections: "(N) Exchange\nInput [k]: [...]"
+    exchanges = re.findall(r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert exchanges, "expected shuffle exchanges in the plan"
+    fat = [e for e in exchanges if "_va" in e or "_vb" in e or "embedding" in e]
+    assert not fat, f"vector columns crossed a shuffle: {fat}"
