@@ -1,0 +1,72 @@
+"""Temporal joins beyond equi/range — currently the as-of join.
+
+The reference has no as-of join (SURVEY §2.3 notes its only non-equi
+join is the task-window range join J5), but a training-data engine
+needs one for point-in-time-correct feature attachment: "the most
+recent measurement/marker at or before this event" is the join that
+keeps feature pipelines leak-free.
+
+Scale design: the naive formulations are a non-equi range join (the
+candidate explosion AQE cannot save) or a per-key collect (driver
+bound). This implementation is the single-shuffle form: tag both
+inputs, union them, and carry the latest right-side payload forward
+with a per-key ordered window — one Exchange on the join keys, no row
+amplification, ties resolved deterministically by the side tag.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str = "timestamp",
+    right_ts: str = "timestamp",
+    payload_cols: list[str] | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Attach to each left row the most recent right row with
+    ``right_ts <= left_ts`` (``<`` when ``strict``), per key.
+
+    Returns the left relation plus ``payload_cols`` (null when no
+    right row precedes). Rows of ``right`` sharing (keys, right_ts)
+    should be pre-deduplicated by the caller — among exact timestamp
+    ties the carried payload is otherwise unspecified.
+    """
+    payload_cols = payload_cols or [
+        c for c in right.columns if c not in set(keys) | {right_ts}
+    ]
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("_t"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("_p"),
+        # at equal timestamps the right row sorts before the left row
+        # (visible, >= semantics) unless strict, where it sorts after
+        F.lit(2 if strict else 0).alias("_side"),
+    )
+    p_type = r.schema["_p"].dataType
+    l = left.select(
+        *left.columns,
+        F.col(left_ts).alias("_t"),
+        F.lit(None).cast(p_type).alias("_p"),
+        F.lit(1).alias("_side"),
+    )
+    for c in left.columns:
+        if c not in r.columns:
+            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    u = l.unionByName(r.select(*l.columns))
+    w = (
+        W.partitionBy(*keys)
+        .orderBy("_t", "_side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = (
+        u.withColumn("_asof", F.last("_p", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    return out.select(
+        *left.columns, *[F.col("_asof")[c].alias(c) for c in payload_cols]
+    )

@@ -367,6 +367,79 @@ def q_sequence_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "time", "event_mask")
 
 
+@register(
+    "asof_last_signup",
+    """
+    WITH m AS (
+      SELECT user_id, ts, min(event_id) AS marker_id
+      FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+    )
+    SELECT e.event_id, m.marker_id,
+           epoch_us(e.ts) - epoch_us(m.ts) AS since_signup_us
+    FROM events e ASOF LEFT JOIN m ON e.user_id = m.user_id AND e.ts >= m.ts
+    """,
+)
+def q_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (new engine capability; the reference's only non-equi
+    join is the J5 range join): every event gets its subject's most
+    recent signup at-or-before it — the point-in-time feature
+    attachment a leak-free training pipeline needs. Single shuffle
+    (union + keyed window carry-forward), no range-join row explosion;
+    the oracle is DuckDB's native ASOF LEFT JOIN. Delta emitted as an
+    exact integer microsecond difference."""
+    from eventstreamml_spark.operators.joins import as_of_join
+
+    ev = _events(spark, sf_dir)
+    markers = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("marker_id"))
+        .withColumn("marker_ts", F.col("ts"))
+    )
+    out = as_of_join(
+        ev.select("event_id", "user_id", "ts"),
+        markers,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["marker_id", "marker_ts"],
+    )
+    return out.select(
+        "event_id",
+        "marker_id",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("marker_ts").cast("timestamp"))
+        ).alias("since_signup_us"),
+    )
+
+
+@register(
+    "cube_type_time_histogram",
+    """
+    SELECT event_type, hour(ts) // 6 AS tod_bucket, count(*) AS n,
+           GROUPING_ID(event_type, hour(ts) // 6) AS gid
+    FROM events GROUP BY CUBE(event_type, tod_bucket)
+    """,
+)
+def q_cube_type_time_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets surface (SURVEY §2.4 tail: declared engine
+    capability beyond the reference): CUBE over (event_type,
+    time-of-day bucket) with grouping ids — all four rollup levels in
+    one shuffle with map-side partial aggregation."""
+    ev = _events(spark, sf_dir).withColumn(
+        "tod_bucket", (F.hour("ts") / 6).cast("long")
+    )
+    return (
+        ev.cube("event_type", "tod_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id("event_type", "tod_bucket").alias("gid"),
+        )
+        .select("event_type", "tod_bucket", "n", "gid")
+    )
+
+
 def _events_csv_copy(sf_dir: str) -> str:
     """Deterministic CSV twin of events.parquet (ts as ISO text), for
     the CSV-connector parity check. Cached next to the session temp

@@ -349,3 +349,37 @@ def test_salted_collect_equals_direct(spark):
         for r in salted_collect_set(df, ["k"], "v", n_salt=8).collect()
     }
     assert salted_set == direct_set
+
+
+def test_as_of_join_semantics(spark):
+    from eventstreamml_spark.operators.joins import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 30), (4, "b", 15), (5, "c", 5)],
+        "lid long, k string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("a", 10, 100), ("a", 25, 101), ("b", 15, 102), ("b", 16, 103)],
+        "k string, ts long, mid long",
+    )
+    out = {
+        r["lid"]: r["mid"]
+        for r in as_of_join(
+            left, right, keys=["k"], left_ts="ts", right_ts="ts"
+        ).collect()
+    }
+    # equal timestamps are visible (>= semantics); later markers not;
+    # keys with no marker at-or-before → null
+    assert out == {1: 100, 2: 100, 3: 101, 4: 102, 5: None}
+
+    strict = {
+        r["lid"]: r["mid"]
+        for r in as_of_join(
+            left, right, keys=["k"], left_ts="ts", right_ts="ts", strict=True
+        ).collect()
+    }
+    # strict: the equal-ts markers at (a,10) and (b,15) are invisible
+    assert strict == {1: None, 2: 100, 3: 101, 4: None, 5: None}
+
+    # row count is exactly the left side's — no amplification
+    assert as_of_join(left, right, keys=["k"], left_ts="ts", right_ts="ts").count() == 5
