@@ -43,3 +43,27 @@ def write_bucketed_table(
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Catalog read — carries bucketing metadata into the plan."""
     return spark.table(table)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_within: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Directory-partitioned parquet sink: one directory per partition
+    value, so any read filtering on the partition columns prunes whole
+    directories at planning time (PartitionFilters in the scan — zero
+    IO for pruned partitions). The scan-side complement to bucketing:
+    partition on the coarse filter axes (date, split), bucket on the
+    join key.
+
+    ``sort_within`` sorts rows inside each task's output files (e.g.
+    by subject_id, timestamp) so parquet row-group min/max statistics
+    also prune within files. Cardinality warning: every distinct
+    partition-column tuple becomes a directory — keep it to coarse
+    columns (a date, not a timestamp)."""
+    if sort_within:
+        df = df.sortWithinPartitions(*sort_within)
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

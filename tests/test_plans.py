@@ -189,3 +189,33 @@ def test_embedding_near_dup_shuffles_are_skinny(spark):
     assert exchanges, "expected shuffle exchanges in the plan"
     fat = [e for e in exchanges if "_va" in e or "_vb" in e or "embedding" in e]
     assert not fat, f"vector columns crossed a shuffle: {fat}"
+
+
+def test_partitioned_sink_prunes_scan(spark, tmp_path):
+    """Directory-partitioned writes must turn partition-column filters
+    into planning-time PartitionFilters with pruned file listings —
+    zero IO for non-matching partitions — and row-group sorting keeps
+    the non-partition filter pushed down as a data filter."""
+    from eventstreamml_spark.plans.inspect import formatted_plan
+    from eventstreamml_spark.sources.sinks import write_partitioned
+
+    ev = load_table(spark, SF, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = str(tmp_path / "ev_part")
+    write_partitioned(
+        ev, path, ["event_type"], sort_within=["user_id", "ts"]
+    )
+    back = spark.read.parquet(path).filter(
+        (F.col("event_type") == "click") & (F.col("user_id") < 10)
+    )
+    plan = formatted_plan(back)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), plan
+    # the data filter still reaches the scan
+    assert any("user_id" in f for f in pushed_filters(back))
+    # and only the one partition's rows are read
+    n_click = back.count()
+    assert 0 < n_click < ev.count()
