@@ -1,0 +1,83 @@
+"""Data-quality operators for training-data pipelines: profiling and
+referential-integrity checks.
+
+A 100 TB ingest needs cheap, always-on answers to "which columns are
+rotting" (null-rate drift, cardinality collapse, range excursions) and
+"do the relations still line up" (orphaned foreign keys). Both are
+expressed as ordinary aggregations so they ride the same scan the
+pipeline already pays for.
+
+Scale notes: ``profile_table`` is ONE aggregation over the candidate
+columns; the exact distinct counts use Spark's multi-distinct rewrite
+(an Expand of #cols×rows before the shuffle) — fine for profiling
+passes; swap ``exact_distinct=False`` for HyperLogLog sketches
+(``approx_count_distinct``) when cardinality estimates suffice, which
+drops the Expand entirely. ``orphaned_keys`` is one left-anti join on
+the key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Per-column profile: (col_name, n_rows, n_nonnull, null_rate,
+    n_distinct, min_num, max_num).
+
+    ``min_num``/``max_num`` are over ``try_cast(col AS DOUBLE)`` so the
+    profile has one uniform schema across column types (non-numeric
+    columns profile as null min/max, numeric strings still profile).
+    """
+    columns = columns or df.columns
+    ndv = (
+        (lambda c: F.count_distinct(F.col(c)))
+        if exact_distinct
+        else (lambda c: F.approx_count_distinct(F.col(c)))
+    )
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in columns:
+        num = F.col(c).try_cast("double")
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__nn"),
+            ndv(c).alias(f"{c}__ndv"),
+            F.min(num).alias(f"{c}__min"),
+            F.max(num).alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"{c}__nn").alias("n_nonnull"),
+                F.round(
+                    (F.col("_n") - F.col(f"{c}__nn")) / F.col("_n"), 6
+                ).alias("null_rate"),
+                F.col(f"{c}__ndv").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_num"),
+                F.col(f"{c}__max").alias("max_num"),
+            )
+            for c in columns
+        ]
+    )
+    return wide.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def orphaned_keys(
+    child: DataFrame,
+    parent: DataFrame,
+    key: str,
+    parent_key: str | None = None,
+) -> DataFrame:
+    """Referential integrity: child rows whose ``key`` has no match in
+    ``parent`` (nulls excluded — null FKs are a null-rate concern, not
+    an orphan). One left-anti join, broadcast when the parent's key
+    column is small."""
+    parent_key = parent_key or key
+    p = parent.select(F.col(parent_key).alias(key)).distinct()
+    return child.filter(F.col(key).isNotNull()).join(p, key, "left_anti")

@@ -367,6 +367,57 @@ def q_sequence_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "time", "event_mask")
 
 
+_DQ_COLS = ["event_id", "user_id", "event_type", "value", "props"]
+
+
+@register(
+    "dq_profile_events",
+    "\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS col_name, count(*) AS n_rows, count({c}) AS n_nonnull,
+           round((count(*) - count({c})) * 1.0 / count(*), 6) AS null_rate,
+           count(DISTINCT {c}) AS n_distinct,
+           min(TRY_CAST({c} AS DOUBLE)) AS min_num,
+           max(TRY_CAST({c} AS DOUBLE)) AS max_num
+    FROM events
+    """
+        for c in _DQ_COLS
+    ),
+)
+def q_dq_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the events table: per-column null rate,
+    exact distinct count, and numeric min/max through a uniform
+    try_cast — ONE aggregation pass engine-side (the oracle's per-column
+    UNION ALL is the readable replay, not the plan)."""
+    from eventstreamml_spark.operators.quality import profile_table
+
+    return profile_table(_events(spark, sf_dir), _DQ_COLS)
+
+
+@register(
+    "dq_orphaned_order_customers",
+    """
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey IS NOT NULL
+      AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+    """,
+)
+def q_dq_orphaned_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential integrity: orders whose customer key has no parent
+    row — one left-anti join. Empty on the well-formed test data, which
+    is exactly what the check should report."""
+    from eventstreamml_spark.operators.quality import orphaned_keys
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    out = orphaned_keys(orders, cust, key="c_custkey")
+    return out.select(
+        "o_orderkey", F.col("c_custkey").alias("o_custkey")
+    )
+
+
 @register(
     "asof_last_signup",
     """

@@ -383,3 +383,26 @@ def test_as_of_join_semantics(spark):
 
     # row count is exactly the left side's — no amplification
     assert as_of_join(left, right, keys=["k"], left_ts="ts", right_ts="ts").count() == 5
+
+
+def test_quality_profile_and_orphans(spark):
+    from eventstreamml_spark.operators.quality import orphaned_keys, profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, None), (3, "b", 2.5), (4, "a", None)],
+        "id long, k string, v double",
+    )
+    prof = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert prof["id"]["n_nonnull"] == 4 and prof["id"]["null_rate"] == 0.0
+    assert prof["k"]["n_nonnull"] == 3 and prof["k"]["n_distinct"] == 2
+    assert prof["k"]["min_num"] is None  # strings don't cast
+    assert prof["v"]["null_rate"] == 0.5
+    assert prof["v"]["min_num"] == 1.5 and prof["v"]["max_num"] == 2.5
+
+    child = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 99), (13, None)], "row_id long, fk long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "fk long")
+    orphans = orphaned_keys(child, parent, key="fk")
+    # 99 is orphaned; the null FK is excluded by contract
+    assert [r["row_id"] for r in orphans.collect()] == [12]
