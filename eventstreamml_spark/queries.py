@@ -2185,11 +2185,120 @@ def q_tensorize_tasks_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("viod_outlier_bounds", None)  # iterative fit — not SQL-expressible
+#: The VIOD fit replayed as a recursive CTE. The loop only ever removes
+#: a FULL equal-value run from one end of the per-key sorted array, so
+#: the mutable state lives on run-length-encoded boundaries: one row
+#: per (key, iteration) carrying the active run range [i, j], running
+#: Σx/Σx², and the learned bounds. Candidate deltas, the probabilistic
+#: run cap, tie-to-min-side selection, and the NaN→±inf canonical
+#: initial bounds all mirror outliers.py line for line; thresholds
+#: produced by an actual removal are raw data values (exact across
+#: engines), and branch decisions compare deltas at margins far above
+#: double noise — validated on planted-outlier data in
+#: test_preprocessing.py::test_viod_oracle_cte_matches_python.
+_VIOD_ORACLE_SQL = """
+WITH RECURSIVE vals AS (
+  SELECT event_type AS k, value AS v FROM events WHERE value IS NOT NULL
+),
+rle AS (
+  SELECT k, v, count(*) AS c FROM vals GROUP BY k, v
+),
+idx AS (
+  SELECT k, v, c,
+         row_number() OVER (PARTITION BY k ORDER BY v) AS i,
+         sum(c) OVER w2 AS pc,
+         sum(v * c) OVER w2 AS ps,
+         sum(v * v * c) OVER w2 AS ps2
+  FROM rle
+  WINDOW w2 AS (PARTITION BY k ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+tot AS (
+  SELECT k, max(i) AS nruns, max(pc) AS n, max(ps) AS s_all, max(ps2) AS s2_all
+  FROM idx GROUP BY k
+),
+init AS (
+  SELECT k, CAST(1 AS BIGINT) AS i, nruns AS j,
+         s_all AS s, s2_all AS s2, n AS m,
+         CASE WHEN isnan(ts0) THEN CAST('-infinity' AS DOUBLE) ELSE ts0 END AS ts,
+         CASE WHEN isnan(tl0) THEN CAST('infinity' AS DOUBLE) ELSE tl0 END AS tl,
+         false AS done
+  FROM (
+    SELECT k, nruns, n, s_all, s2_all,
+           (s_all / n) - sqrt(greatest(s2_all / n - (s_all / n) * (s_all / n), 0.0)) * dev AS ts0,
+           (s_all / n) + sqrt(greatest(s2_all / n - (s_all / n) * (s_all / n), 0.0)) * dev AS tl0
+    FROM (
+      SELECT tot.*,
+             CASE WHEN abs(10.0 * power(n + 1, -0.6) - 1.0) >= sqrt((n + 1.0) / n)
+                  THEN CAST('infinity' AS DOUBLE)
+                  ELSE (n + 1) * sqrt(1.0 / (n * (1.0 - 10.0 * power(n + 1, -0.6))
+                                              * (1.0 - 10.0 * power(n + 1, -0.6)))
+                                      - 1.0 / (n + 1)) END AS dev
+      FROM tot
+    )
+  )
+),
+it AS (
+  SELECT * FROM init
+  UNION ALL
+  SELECT k,
+         CASE WHEN stop THEN i WHEN pick_min THEN i + 1 ELSE i END AS i,
+         CASE WHEN stop THEN j WHEN pick_min THEN j ELSE j - 1 END AS j,
+         CASE WHEN stop THEN s WHEN pick_min THEN s - v1 * L1 ELSE s - v2 * L2 END AS s,
+         CASE WHEN stop THEN s2 WHEN pick_min THEN s2 - v1 * v1 * L1 ELSE s2 - v2 * v2 * L2 END AS s2,
+         CASE WHEN stop THEN m WHEN pick_min THEN m - L1 ELSE m - L2 END AS m,
+         CASE WHEN stop OR NOT pick_min THEN ts ELSE v1 END AS ts,
+         CASE WHEN stop OR pick_min THEN tl ELSE v2 END AS tl,
+         stop AS done
+  FROM (
+    SELECT t.*,
+           (d1 >= d2) AS pick_min,
+           (m <= 1) OR (cur_std = 0.0)
+             OR (CASE WHEN d1 >= d2 THEN d1 ELSE d2 END) <= 10.0 * power(m, -0.6)
+             OR (CASE WHEN d1 >= d2
+                      THEN CASE WHEN valid1 THEN L1 ELSE 0 END
+                      ELSE CASE WHEN valid2 THEN L2 ELSE 0 END END) = 0 AS stop
+    FROM (
+      SELECT u.*,
+             CASE WHEN valid1 AND cur_std > 0.0 THEN
+               abs(cur_std - sqrt(greatest((s2 - v1 * v1 * L1) / (m - L1)
+                 - ((s - v1 * L1) / (m - L1)) * ((s - v1 * L1) / (m - L1)), 0.0))) / cur_std
+             ELSE 0.0 END AS d1,
+             CASE WHEN valid2 AND cur_std > 0.0 THEN
+               abs(cur_std - sqrt(greatest((s2 - v2 * v2 * L2) / (m - L2)
+                 - ((s - v2 * L2) / (m - L2)) * ((s - v2 * L2) / (m - L2)), 0.0))) / cur_std
+             ELSE 0.0 END AS d2
+      FROM (
+        SELECT itr.k, itr.i, itr.j, itr.s, itr.s2, itr.m, itr.ts, itr.tl,
+               ri.v AS v1, ri.c AS L1, rj.v AS v2, rj.c AS L2,
+               sqrt(greatest(itr.s2 / itr.m - (itr.s / itr.m) * (itr.s / itr.m), 0.0)) AS cur_std,
+               (ri.c < least(itr.m - 1, floor(itr.m * (1.0 - power(0.05, 1.0 / (0.1 * itr.m)))))) AS valid1,
+               (rj.c < least(itr.m - 1, floor(itr.m * (1.0 - power(0.05, 1.0 / (0.1 * itr.m)))))) AS valid2
+        FROM it itr
+        JOIN idx ri ON ri.k = itr.k AND ri.i = itr.i
+        JOIN idx rj ON rj.k = itr.k AND rj.i = itr.j
+        WHERE NOT itr.done
+      ) u
+    ) t
+  ) z
+)
+SELECT f.k AS event_type,
+       round(f.ts, 6) AS thresh_small,
+       round(f.tl, 6) AS thresh_large,
+       tot.n AS n_train,
+       coalesce((SELECT count(*) FROM idx x
+                 WHERE x.k = f.k AND x.v > f.ts AND x.v < f.tl), 0) = 0 AS all_outliers
+FROM it f JOIN tot ON tot.k = f.k
+WHERE f.done
+"""
+
+
+@register("viod_outlier_bounds", _VIOD_ORACLE_SQL)
 def q_viod_outlier_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11 per-key variance-impact outlier fit (applyInPandas); bounds
-    per event_type. Rows-only driver check; statistical contracts are
-    unit-tested (test_preprocessing.py)."""
+    per event_type. The iterative fit is replayed exactly by the
+    recursive-CTE oracle (_VIOD_ORACLE_SQL) — runs are removed
+    atomically, so the loop state lives on RLE boundaries; statistical
+    contracts additionally unit-tested (test_preprocessing.py)."""
     from eventstreamml_spark.preprocessing.outliers import fit_viod_per_key
 
     viod = fit_viod_per_key(_events(spark, sf_dir), "event_type", "value")

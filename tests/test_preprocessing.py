@@ -333,3 +333,35 @@ def test_quantile_transformer_approx_fit_close_to_exact(spark):
     }
     diffs = [abs(r["c"] - out_a[(r["key"], r["orig"])]) for r in out_e]
     assert max(diffs) < 0.05  # rank error bound at accuracy=10000 on 3k rows
+
+
+def test_viod_oracle_cte_matches_python():
+    """The recursive-CTE oracle (queries._VIOD_ORACLE_SQL) replays the
+    iterative fit exactly — pinned on data that actually exercises the
+    run-stripping loop (the driver test tables stop at the initial
+    bounds), including duplicate-value runs at both tails."""
+    import duckdb
+
+    from eventstreamml_spark.queries import _VIOD_ORACLE_SQL
+
+    rng = np.random.default_rng(3)
+    cases = {
+        "planted": np.concatenate(
+            [rng.normal(50, 5, 2000), [500.0, 500.0, 501.0, -400.0]]
+        ),
+        "dup_tails": np.concatenate(
+            [rng.normal(0, 1, 500).round(1), [9.0] * 3, [12.0], [-8.0] * 2]
+        ),
+        "tiny": np.array([1.0, 1.0, 1.0]),
+    }
+    for name, vals in cases.items():
+        det = VarianceImpactOutlierDetector().fit(vals)
+        conn = duckdb.connect()
+        conn.execute(
+            "CREATE TABLE events AS SELECT 'k' AS event_type, unnest(?::DOUBLE[]) AS value",
+            [vals.tolist()],
+        )
+        (_, lo, hi, n, _all_out) = conn.execute(_VIOD_ORACLE_SQL).fetchall()[0]
+        assert n == len(vals), name
+        assert lo == pytest.approx(round(det.thresh_small_, 6), abs=1e-6), name
+        assert hi == pytest.approx(round(det.thresh_large_, 6), abs=1e-6), name
