@@ -144,3 +144,33 @@ def union_distinct(*dfs: DataFrame) -> DataFrame:
     for d in dfs[1:]:
         out = out.unionByName(d)
     return out.distinct()
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float] | float,
+    stratum_col: str = "event_type",
+    id_col: str = "event_id",
+    seed: int = 1,
+) -> DataFrame:
+    """Deterministic stratified downsampling: keep a row iff its
+    ``split_uniform(id, seed)`` value falls under the stratum's
+    fraction. The workhorse of corpus rebalancing (downweight
+    boilerplate-heavy sources, cap majority classes) — and unlike
+    Bernoulli ``sampleBy`` it is exactly reproducible on any cluster,
+    any partitioning, and in the DuckDB oracle, because the keep
+    decision is pure integer arithmetic on (id, seed).
+
+    ``fractions``: per-stratum keep fraction (strata not listed are
+    DROPPED — an explicit keep-list doubles as source filtering), or
+    one global float. Same id-domain caveat as split_uniform: ids must
+    stay well under 2^31 for overflow-free arithmetic.
+    """
+    u = split_uniform(id_col, seed)
+    if isinstance(fractions, float):
+        return df.filter(u < F.lit(fractions))
+    expr = None
+    for name, frac in fractions.items():
+        cond = (F.col(stratum_col) == name) & (u < F.lit(frac))
+        expr = cond if expr is None else expr | cond
+    return df.filter(expr)

@@ -943,6 +943,35 @@ def q_subject_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stratified_sample_events",
+    """
+    SELECT event_id, event_type
+    FROM (
+      SELECT event_id, event_type,
+             ((event_id % 4294967296 + 7) * 2654435761 % 4294967296)
+               / 4294967296.0 AS u
+      FROM events
+    )
+    WHERE (event_type = 'click' AND u < 0.5)
+       OR (event_type = 'error' AND u < 0.1)
+       OR (event_type = 'view' AND u < 1.0)
+    """,
+)
+def q_stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic downsampling (corpus rebalancing):
+    per-stratum keep fractions via the engine-canonical multiplicative
+    hash — half the clicks, a tenth of the errors, all views, and
+    unlisted strata dropped. Exactly reproducible on any partitioning
+    and replayed verbatim by the oracle."""
+    from eventstreamml_spark.operators.setops import stratified_sample
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type")
+    return stratified_sample(
+        ev, {"click": 0.5, "error": 0.1, "view": 1.0}, seed=7
+    )
+
+
+@register(
     "subject_split_exact_sizes",
     """
     WITH subj AS (

@@ -406,3 +406,33 @@ def test_quality_profile_and_orphans(spark):
     orphans = orphaned_keys(child, parent, key="fk")
     # 99 is orphaned; the null FK is excluded by contract
     assert [r["row_id"] for r in orphans.collect()] == [12]
+
+
+def test_stratified_sample_contract(spark):
+    from eventstreamml_spark.operators.setops import stratified_sample
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string")
+    out = stratified_sample(df, {"a": 0.3, "b": 1.0}, seed=5)
+    got = out.groupBy("event_type").count().collect()
+    counts = {r["event_type"]: r["count"] for r in got}
+    # stratum b kept whole; stratum a near its fraction; no extra strata
+    assert counts["b"] == 1000
+    assert 0.2 * 1000 < counts["a"] < 0.4 * 1000
+    assert set(counts) == {"a", "b"}
+    # deterministic: same seed → identical row set
+    ids1 = {r["event_id"] for r in out.collect()}
+    ids2 = {
+        r["event_id"]
+        for r in stratified_sample(df, {"a": 0.3, "b": 1.0}, seed=5).collect()
+    }
+    assert ids1 == ids2
+    # different seed → different sample of stratum a
+    ids3 = {
+        r["event_id"]
+        for r in stratified_sample(df, {"a": 0.3, "b": 1.0}, seed=6).collect()
+    }
+    assert ids1 != ids3
+    # global-float form
+    n_half = stratified_sample(df, 0.5, seed=5).count()
+    assert 0.4 * 2000 < n_half < 0.6 * 2000
