@@ -303,3 +303,36 @@ def with_tte_target(
         else delta_us / F.lit(unit_seconds * 1_000_000.0)
     )
     return df.withColumn(out_col, target).withColumn(mask_col, nxt.isNotNull())
+
+
+def rolling_time_agg(
+    df: DataFrame,
+    window_seconds: float,
+    aggs: dict[str, tuple[str, str]],
+    subject_col: str = "subject_id",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """W9 (declared-new): per-subject rolling time-window aggregation —
+    for each event, aggregate over that subject's events inside
+    ``[ts − window, ts]`` (inclusive both ends; exact microsecond
+    range arithmetic). ``aggs`` maps output column → (function, input
+    column), e.g. ``{"n_1h": ("count", "*"), "v_1h": ("sum", "value")}``.
+
+    Plan shape: ONE shuffle on the subject key, then a rangeBetween
+    window over integer microseconds — no self-join, no per-row range
+    probe; the sliding frame advances incrementally within each
+    partition. The batch analog of a sliding-window streaming
+    aggregation, and the feature extractor for "activity in the last
+    hour" style model inputs.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    win = (
+        W.partitionBy(subject_col)
+        .orderBy(F.col("_ts_us"))
+        .rangeBetween(-int(window_seconds * 1_000_000), 0)
+    )
+    out = df.withColumn("_ts_us", us)
+    for name, (fn, col) in aggs.items():
+        expr = F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(F.col(col))
+        out = out.withColumn(name, expr.over(win))
+    return out.drop("_ts_us")

@@ -943,6 +943,35 @@ def q_subject_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rolling_hour_activity",
+    """
+    SELECT event_id,
+           count(*) OVER w AS n_1h,
+           round(sum(value) OVER w, 6) AS v_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_hour_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9: per-subject rolling 1-hour activity (event count + value
+    sum at each event) — a rangeBetween window over integer
+    microseconds, one shuffle, no self-join. The 'features from the
+    last hour' extractor of a training pipeline."""
+    from eventstreamml_spark.operators.windows import rolling_time_agg
+
+    ev = _events(spark, sf_dir)
+    out = rolling_time_agg(
+        ev,
+        window_seconds=3600,
+        aggs={"n_1h": ("count", "*"), "v_1h": ("sum", "value")},
+        subject_col="user_id",
+        ts_col="ts",
+    )
+    return out.select("event_id", "n_1h", F.round("v_1h", 6).alias("v_1h"))
+
+
+@register(
     "stratified_sample_events",
     """
     SELECT event_id, event_type

@@ -436,3 +436,29 @@ def test_stratified_sample_contract(spark):
     # global-float form
     n_half = stratified_sample(df, 0.5, seed=5).count()
     assert 0.4 * 2000 < n_half < 0.6 * 2000
+
+
+def test_rolling_time_agg_boundaries(spark):
+    from datetime import datetime
+
+    from eventstreamml_spark.operators.windows import rolling_time_agg
+
+    t = lambda m: datetime(2024, 1, 1, m // 60, m % 60)
+    df = spark.createDataFrame(
+        [(1, "s", t(0), 1.0), (2, "s", t(30), 2.0), (3, "s", t(60), 4.0),
+         (4, "s", t(61), 8.0), (5, "u", t(0), 16.0)],
+        "event_id long, subject_id string, timestamp timestamp, value double",
+    )
+    out = {
+        r["event_id"]: (r["n_1h"], r["v_1h"])
+        for r in rolling_time_agg(
+            df, 3600, {"n_1h": ("count", "*"), "v_1h": ("sum", "value")}
+        ).collect()
+    }
+    # window is inclusive both ends: the event exactly 60min back counts
+    assert out[3] == (3, 7.0)
+    # one minute later the t=0 event falls out
+    assert out[4] == (3, 14.0)
+    # subjects never see each other's events
+    assert out[5] == (1, 16.0)
+    assert out[1] == (1, 1.0)
