@@ -510,6 +510,54 @@ def _events_csv_copy(sf_dir: str) -> str:
     return dst
 
 
+def _events_jsonl_copy(sf_dir: str) -> str:
+    """Deterministic JSON-lines twin of events.parquet (ISO-µs ts
+    strings), cached like the CSV twin."""
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    dst = os.path.join(tempfile.gettempdir(), f"esml_events_{tag}.jsonl")
+    if not os.path.exists(dst) or os.path.getmtime(dst) < os.path.getmtime(src):
+        import pyarrow.parquet as pq
+
+        pdf = pq.read_table(
+            src, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        ).to_pandas()
+        pdf.to_json(dst, orient="records", lines=True, date_format="iso", date_unit="us")
+    return dst
+
+
+@register(
+    "json_ingest_parity",
+    """
+    SELECT event_id, user_id AS subject_id, ts AS timestamp,
+           event_type, value
+    FROM events
+    """,
+)
+def q_json_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 source breadth: the canonical events relation through the
+    JSON-lines connector — explicit schema (no inference pass),
+    ISO-microsecond timestamp parse — must equal the parquet-sourced
+    relation bit-for-bit."""
+    path = _events_jsonl_copy(sf_dir)
+    raw = spark.read.json(
+        path,
+        schema="event_id long, ts string, user_id long, event_type string, value double",
+    )
+    return raw.select(
+        "event_id",
+        F.col("user_id").alias("subject_id"),
+        F.to_timestamp("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .cast("timestamp_ntz")
+        .alias("timestamp"),
+        "event_type",
+        "value",
+    )
+
+
 @register(
     "csv_ingest_parity",
     """
