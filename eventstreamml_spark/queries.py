@@ -1234,17 +1234,30 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "tpch_q6_forecast_revenue",
-    """
+_Q6_ANSI_SQL = """
     SELECT round(CAST(sum(l_extendedprice * l_discount) AS DOUBLE), 2) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'
       AND l_discount BETWEEN 0.03 AND 0.07
       AND l_quantity < 24
-    """,
-)
+    """
+
+
+@register("sql_interface_q6", _Q6_ANSI_SQL)
+def q_sql_interface_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-SQL engine surface: register the canonical relations as
+    views and run the SAME ANSI text through spark.sql that the oracle
+    runs through DuckDB — dialect-portable SQL in, identical relation
+    out. Catalyst still pushes every filter to the scan; the DataFrame
+    twin (tpch_q6_forecast_revenue) pins that plan property."""
+    from eventstreamml_spark.sources.testdata import register_views
+
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(_Q6_ANSI_SQL)
+
+
+@register("tpch_q6_forecast_revenue", _Q6_ANSI_SQL)
 def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure predicate-pushdown scan + single global
     aggregate — every filter reaches the parquet reader, zero joins."""
