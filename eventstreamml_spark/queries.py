@@ -32,12 +32,66 @@ def register(name: str, oracle: str | None):
     return deco
 
 
+# The driver's correctness pass covers only the FIRST 50 registry entries
+# (CORRECTNESS_r01/r02 both have exactly 50 rows). Rounds 1-2 left 34
+# queries permanently outside that window, so emission order is decoupled
+# from registration order: names listed here are emitted first — exactly
+# the never-driver-verified set (registry positions 50-83 in round 2),
+# the two array-output queries fixed this round, and round-3 additions.
+# Long-stable double-green entries (TPC-H shapes, doc_*) rotate behind.
+_ORDER_FIRST: list[str] = [
+    "dedup_minhash_lsh_candidates",
+    "dedup_lsh_verified",
+    "dedup_groups_keep_list",
+    "dedup_embedding_near_dup",
+    "dedup_simhash_md5",
+    "dedup_simhash_pairs",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "doc_binary_metadata",
+    "preproc_value_types",
+    "normalize_by_key",
+    "ingest_dense_ids",
+    "categorical_fit_vocab",
+    "tensorize_checksums",
+    "tensorize_tasks_checksums",
+    "viod_outlier_bounds",
+    "age_functor",
+    "age_numeric_preprocess",
+    "streaming_windowed_histogram",
+    "streaming_inter_event_time",
+    "streaming_exact_dedup",
+    "streaming_sessionization",
+    "streaming_enrich_age",
+    "weighted_avg_price_by_flag",
+    "macro_avg_value_per_subject",
+    "running_moments_by_type",
+    "norm_log_tte_cumsum",
+    "random_subsequence_windows",
+    "image_feature_extraction",
+    "audio_feature_extraction",
+    "nested_metadata_view",
+    "ann_ivf_fixed_centroids",
+    "ann_ivf_topk",
+    "tte_target_shift",
+    # Fixed this round (array outputs → driver-hashable scalars):
+    "sequence_padding",
+    "salted_collect_distinct",
+]
+
+
+def _ordered() -> dict[str, tuple[QueryFn, str | None]]:
+    first = {n: _REGISTRY[n] for n in _ORDER_FIRST if n in _REGISTRY}
+    rest = {k: v for k, v in _REGISTRY.items() if k not in first}
+    return {**first, **rest}
+
+
 def queries() -> dict[str, QueryFn]:
-    return {k: v[0] for k, v in _REGISTRY.items()}
+    return {k: v[0] for k, v in _ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+    return {k: v[1] for k, v in _ordered().items() if v[1] is not None}
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -330,12 +384,18 @@ def q_categorical_oov_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id,
              list(epoch_us(ts)::DOUBLE ORDER BY ts, event_id)[1:70] AS l
       FROM events GROUP BY user_id
+    ),
+    padded AS (
+      SELECT user_id,
+             l || list_transform(range(70 - len(l)), x -> 0.0::DOUBLE) AS t_arr,
+             list_transform(l, x -> true)
+               || list_transform(range(70 - len(l)), x -> false) AS m_arr
+      FROM seqs
     )
-    SELECT user_id,
-           l || list_transform(range(70 - len(l)), x -> 0.0::DOUBLE) AS time,
-           list_transform(l, x -> true)
-             || list_transform(range(70 - len(l)), x -> false) AS event_mask
-    FROM seqs
+    SELECT p.user_id, CAST(t.pos AS INT) AS pos,
+           p.t_arr[t.pos + 1] AS t_us,
+           p.m_arr[t.pos + 1] AS event_mask
+    FROM padded p CROSS JOIN range(70) t(pos)
     """,
 )
 def q_sequence_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -343,7 +403,9 @@ def q_sequence_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrays (epoch µs as double — exact below 2^53, so no rounding is
     needed on either side). Subjects have ~66 events at any SF, so
     L=70 exercises padding; truncation and the left side are pinned by
-    unit tests (test_export)."""
+    unit tests (test_export). The padded arrays are posexploded to one
+    row per (subject, position) so every output cell is a scalar the
+    driver's order-insensitive hasher can digest."""
     from eventstreamml_spark.export import pad_sequences
 
     ev = _events(spark, sf_dir)
@@ -364,7 +426,15 @@ def q_sequence_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = pad_sequences(seqs, max_seq_len=70, side="right", nested_cols=())
-    return out.select("user_id", "time", "event_mask")
+    return out.select(
+        "user_id",
+        F.posexplode(F.arrays_zip("time", "event_mask")).alias("pos", "_z"),
+    ).select(
+        "user_id",
+        "pos",
+        F.col("_z.time").alias("t_us"),
+        F.col("_z.event_mask").alias("event_mask"),
+    )
 
 
 _DQ_COLS = ["event_id", "user_id", "event_type", "value", "props"]
@@ -635,7 +705,9 @@ def q_quantile_transform_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "salted_collect_distinct",
     """
     SELECT event_type,
-           list_sort(list(DISTINCT CAST(floor(value) AS BIGINT))) AS values
+           array_to_string(
+             list_sort(list(DISTINCT CAST(floor(value) AS BIGINT))), ','
+           ) AS values_csv
     FROM events GROUP BY event_type
     """,
 )
@@ -645,14 +717,19 @@ def q_salted_collect_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle in n_salt bounded pieces instead of funneling one key's
     whole value set through a single reduce task — AQE splits skewed
     joins but cannot split a skewed aggregation group. Result equals
-    the direct collect_set exactly (sorted distinct arrays)."""
+    the direct collect_set exactly; the sorted distinct array is
+    serialized to a comma-joined string so the driver hasher sees a
+    scalar cell (arrays are unhashable on its path)."""
     from eventstreamml_spark.operators.skew import salted_collect_set
 
     ev = _events(spark, sf_dir).select(
         "event_type", F.floor("value").cast("long").alias("v")
     )
     return salted_collect_set(ev, ["event_type"], "v", n_salt=8).select(
-        "event_type", "values"
+        "event_type",
+        F.array_join(
+            F.transform(F.array_sort("values"), lambda x: x.cast("string")), ","
+        ).alias("values_csv"),
     )
 
 
