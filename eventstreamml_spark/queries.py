@@ -77,6 +77,8 @@ _ORDER_FIRST: list[str] = [
     # Fixed this round (array outputs → driver-hashable scalars):
     "sequence_padding",
     "salted_collect_distinct",
+    # New round-3 queries:
+    "multilabel_event_indices",
 ]
 
 
@@ -2289,6 +2291,117 @@ def q_tensorize_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("aggregate(dynamic_indices, 0L, (a, x) -> a + size(x))").alias("n_entries"),
         F.expr("aggregate(flatten(dynamic_indices), 0L, (a, x) -> a + x)").alias("sum_idx"),
         F.expr("array_max(flatten(dynamic_indices))").cast("long").alias("max_idx"),
+    )
+
+
+@register(
+    "multilabel_event_indices",
+    """
+    WITH etv AS (
+      SELECT event_type,
+             row_number() OVER (ORDER BY count(*) DESC, event_type) AS gidx
+      FROM events GROUP BY event_type
+    ), s AS (
+      SELECT event_id, regexp_extract(props, '[0-9]+', 0) AS ds FROM events
+    ), lab AS (
+      SELECT event_id, unnest(range(length(ds))) AS i, ds
+      FROM s WHERE ds IS NOT NULL AND ds <> ''
+    ), lab2 AS (
+      SELECT event_id, 'd' || substr(ds, CAST(i AS INT) + 1, 1) AS element
+      FROM lab
+    ), vc AS (
+      SELECT element, count(*) AS cnt FROM lab2 GROUP BY element
+    ), vocab AS (
+      SELECT element,
+             (SELECT count(*) FROM etv) + 1
+               + row_number() OVER (ORDER BY cnt DESC, element) AS gidx
+      FROM vc
+    ), ent AS (
+      SELECT e.event_id, etv.gidx FROM events e JOIN etv USING (event_type)
+      UNION ALL
+      SELECT l.event_id, v.gidx FROM lab2 l JOIN vocab v USING (element)
+    ), pos AS (
+      SELECT user_id, event_id,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) - 1 AS INT) AS pos
+      FROM events
+    )
+    SELECT p.user_id AS subject_id, p.pos,
+           CAST(count(*) AS INT) AS n_entries,
+           CAST(sum(ent.gidx) AS BIGINT) AS sum_idx,
+           array_to_string(list_sort(list(ent.gidx)), ',') AS idx_csv,
+           CAST(count(*) AS INT) AS n_null_vals
+    FROM pos p JOIN ent USING (event_id)
+    GROUP BY p.user_id, p.pos
+    """,
+)
+def q_multilabel_event_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI_LABEL_CLASSIFICATION end-to-end (DataModality, reference
+    types.py:86,106; a plain dynamic string column per config.py:451):
+    each event carries MULTIPLE categorical rows for one measurement —
+    here every decimal digit of the ``props`` payload's k value becomes
+    a label row, so events have 1-3 rows for the same measurement,
+    duplicates included. The labels flow through the real pipeline
+    (CategoricalPreprocessor fit → tensorize global-offset packing) and
+    the per-event entry multiset is emitted as driver-hashable scalars
+    (sorted CSV + sum/count); all classification entries carry null
+    values (n_null_vals == n_entries pins that)."""
+    from eventstreamml_spark.export import tensorize
+    from eventstreamml_spark.preprocessing.categorical import CategoricalPreprocessor
+    from eventstreamml_spark.vocabulary import build_vocabulary
+
+    raw = _events(spark, sf_dir)
+    ev = raw.select(
+        "event_id", F.col("user_id").alias("subject_id"),
+        F.col("ts").alias("timestamp"), "event_type",
+    )
+    ds = F.regexp_extract("props", "[0-9]+", 0)
+    labels = (
+        raw.select("event_id", ds.alias("_ds"))
+        .filter(F.col("_ds") != "")
+        .select(
+            "event_id",
+            F.posexplode(
+                F.expr("transform(sequence(0, length(_ds) - 1),"
+                       " i -> concat('d', substring(_ds, i + 1, 1)))")
+            ).alias("_pos", "element"),
+        )
+    )
+    md = labels.select(
+        # ≤19 digits per payload → (event_id, pos) packs collision-free
+        (F.col("event_id") * 32 + F.col("_pos")).alias("metadata_id"),
+        "event_id",
+        F.lit("digit").alias("measurement"),
+        "element",
+        F.lit(None).cast("double").alias("value"),
+    )
+    model = CategoricalPreprocessor().fit(md)
+    vocabs = {
+        "event_type": build_vocabulary(raw, "event_type"),
+        "digit": model.vocab.filter(F.col("measurement") == "digit").select(
+            "element", "freq", "idx"
+        ),
+    }
+    out = tensorize(ev, model.transform(md), vocabs)
+    per_event = out.select(
+        "subject_id",
+        F.posexplode(F.arrays_zip("dynamic_indices", "dynamic_values")).alias(
+            "pos", "_e"
+        ),
+    )
+    idxs = F.col("_e.dynamic_indices")
+    vals = F.col("_e.dynamic_values")
+    return per_event.select(
+        "subject_id",
+        "pos",
+        F.size(idxs).alias("n_entries"),
+        F.expr(
+            "aggregate(_e.dynamic_indices, 0L, (a, x) -> a + x)"
+        ).alias("sum_idx"),
+        F.array_join(
+            F.array_sort(idxs.cast("array<long>")).cast("array<string>"), ","
+        ).alias("idx_csv"),
+        F.size(F.filter(vals, lambda x: x.isNull())).alias("n_null_vals"),
     )
 
 
