@@ -4,6 +4,10 @@
 ``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
 "sf": ...}``.
 
+This VM shows ±25% run-to-run variance, so each query runs
+``$SPARK_GRAFT_BENCH_REPS`` (default 3) consecutive reps and reports
+the per-query MEDIAN; the JSON line stays compact (medians only, 3dp)
+while every raw rep lands in ``BENCH_FULL.json`` next to this file.
 Per-query timing includes full plan execution (collect) but not session
 startup; a warmup query absorbs JVM/codegen warmup, mirroring the
 reference's ``TimeableMixin`` per-stage timing discipline
@@ -14,6 +18,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -22,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
@@ -35,27 +41,50 @@ def main() -> None:
 
     load_table(spark, sf_dir, "events").count()
 
-    timings: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
     for name, fn in q.queries().items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = len(df.collect())
-        timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = len(df.collect())
+            times.append(time.perf_counter() - t0)
+        raw[name] = [round(t, 4) for t in times]
+        print(
+            f"# {name}: med {statistics.median(times):.3f}s "
+            f"(reps {['%.3f' % t for t in times]}, {n} rows)",
+            file=sys.stderr,
+        )
 
-    total = round(sum(timings.values()), 4)
+    medians = {name: round(statistics.median(ts), 3) for name, ts in raw.items()}
+    total = round(sum(medians.values()), 3)
+    full = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "reps": reps,
+        "queries_raw": raw,
+        "queries": medians,
+        "n_queries": len(medians),
+    }
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+
     print(
         json.dumps(
             {
                 "metric": "total_query_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": medians,
                 "sf": sf,
                 # registry size changes round to round as coverage
                 # widens — totals are only comparable per-query or
                 # normalized by n_queries
-                "n_queries": len(timings),
+                "n_queries": len(medians),
+                "reps": reps,
             }
         )
     )

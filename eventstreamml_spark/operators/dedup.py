@@ -347,9 +347,10 @@ def embedding_near_dup_lsh(
     sign bits split into ``n_bands`` bands; two vectors become a
     candidate pair iff they agree on EVERY bit of at least one band, so
     the self-join is a (band_idx, band_value) equi-join — never
-    all-pairs. Vectors ride through the join and the pair-dedup shuffle
-    (no re-join to fetch them), and candidates per band bucket are
-    bounded by bucket size, not corpus size.
+    all-pairs. Only ids cross the candidate join and the pair-dedup
+    shuffle; vectors join back once afterwards for the exact-cosine
+    verify (the skinny-shuffle plan test pins this), and candidates per
+    band bucket are bounded by bucket size, not corpus size.
 
     Approximate by design: recall vs the brute-force operator
     (embedding_near_dup_pairs) rises with n_bands and falls with
@@ -363,9 +364,11 @@ def embedding_near_dup_lsh(
     )
 
     if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
+        from eventstreamml_spark.operators.similarity import embedding_dim
+
+        dim = embedding_dim(emb, vec_col)
     if n_planes % n_bands != 0:
-        raise ValueError("n_planes must divide evenly into n_bands")
+        raise ValueError("n_bands must divide n_planes evenly")
     width = n_planes // n_bands
     planes = _hyperplanes(dim, n_planes, seed)
 

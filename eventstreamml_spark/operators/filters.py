@@ -189,7 +189,12 @@ def column_observation_counts(df: DataFrame, candidates: list[str] | None = None
     observation count and whether the all-null drop keeps it. ONE
     aggregation pass over only the candidate columns; the single
     wide-agg row is unpivoted to (col_name, n_obs, kept)."""
-    candidates = candidates or df.columns
+    candidates = df.columns if candidates is None else candidates
+    if not candidates:
+        # an empty candidate list is a valid question with an empty
+        # answer — df.agg() with zero expressions would raise opaquely
+        schema = "col_name string, n_obs long, kept boolean"
+        return df.sparkSession.createDataFrame([], schema)
     wide = df.agg(*[F.count(F.col(c)).alias(c) for c in candidates])
     long = wide.unpivot([], candidates, "col_name", "n_obs")
     return long.select("col_name", "n_obs", (F.col("n_obs") > 0).alias("kept"))

@@ -35,10 +35,28 @@ def as_of_join(
     right row precedes). Rows of ``right`` sharing (keys, right_ts)
     should be pre-deduplicated by the caller — among exact timestamp
     ties the carried payload is otherwise unspecified.
+
+    The implementation reserves the internal column names ``_t``,
+    ``_p``, ``_side``, ``_asof``; inputs using them, or a payload
+    column that collides with a left column, are rejected up front
+    (silent duplicate/wrong output otherwise).
     """
     payload_cols = payload_cols or [
         c for c in right.columns if c not in set(keys) | {right_ts}
     ]
+    reserved = {"_t", "_p", "_side", "_asof"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"as_of_join reserves column names {sorted(reserved)}; rename "
+            f"input columns {sorted(clash)}"
+        )
+    dup = set(payload_cols) & set(left.columns)
+    if dup:
+        raise ValueError(
+            f"payload columns {sorted(dup)} collide with left columns; "
+            f"rename them on the right side before joining"
+        )
     r = right.select(
         *keys,
         F.col(right_ts).alias("_t"),

@@ -174,22 +174,56 @@ def sample_video_frames(
     df: DataFrame, every_n: int = 30, fake: bool = False
 ) -> DataFrame:
     """Frame-sampling stage: one input row → many frame rows
-    (media_id, frame_no, payload). Fake mode emits payload byte-slices
-    as stand-in frames."""
+    (media_id, frame_no, payload).
+
+    The real path decodes multi-frame containers Pillow can seek
+    (animated GIF, multi-page TIFF, animated PNG/WebP where the build
+    supports them), keeping every ``every_n``-th frame and re-encoding
+    each kept frame as PNG. True video codecs (mp4/h264) need libraries
+    this container stack does not ship, so payloads Pillow cannot open
+    raise ``NotImplementedError`` — an honest gate, not a silent skip.
+    Fake mode emits payload byte-slices as stand-in frames."""
     out_schema = "media_id long, frame_no int, payload binary"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not fake:
+        import io
+
+        image_mod = None if fake else _pil()
+
+        def real_frames(mid: int, raw: bytes) -> list[tuple[int, int, bytes]]:
+            try:
+                im = image_mod.open(io.BytesIO(raw))
+            except Exception as exc:
                 raise NotImplementedError(
-                    "video decode requires codec libraries; pass fake=True"
+                    "payload is not a Pillow-decodable multi-frame container "
+                    "(GIF/TIFF/...); true video codecs are not available here"
+                ) from exc
+            rows = []
+            with im:
+                n = getattr(im, "n_frames", 1)
+                step = max(every_n, 1)
+                for out_no, frame_no in enumerate(range(0, n, step)):
+                    im.seek(frame_no)
+                    buf = io.BytesIO()
+                    im.convert("RGB").save(buf, format="PNG")
+                    rows.append((mid, out_no, buf.getvalue()))
+            return rows
+
+        for pdf in batches:
+            if not fake and image_mod is None:
+                raise NotImplementedError(
+                    "video frame sampling requires Pillow, which is not "
+                    "importable on this executor; pass fake=True for the stub"
                 )
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(payload) if payload is not None else b""
-                n_frames = max(len(raw) // max(every_n, 1), 0)
-                for i in range(n_frames):
-                    rows.append((int(mid), i, raw[i * every_n : (i + 1) * every_n]))
+                if fake:
+                    n_frames = max(len(raw) // max(every_n, 1), 0)
+                    for i in range(n_frames):
+                        rows.append((int(mid), i, raw[i * every_n : (i + 1) * every_n]))
+                else:
+                    rows.extend(real_frames(int(mid), raw))
             yield pd.DataFrame(rows, columns=["media_id", "frame_no", "payload"])
 
     return df.mapInPandas(run, schema=out_schema)

@@ -13,6 +13,33 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 
+def embedding_dim(df: DataFrame, vec_col: str = "embedding") -> int:
+    """Resolve the embedding dimensionality WITHOUT launching a job.
+
+    The dim is a property of the column, not of any row, so it must
+    come from metadata: either column-level schema metadata
+    ``{"dim": N}`` (attach with ``F.col(c).alias(c, metadata={"dim":
+    N})``) or an explicit parameter at the call site. Reading a row
+    (``DataFrame.first``) from inside a plan-building function launches a
+    driver job per call — a latency bug in hot query paths and a
+    surprise action in an otherwise lazy API, so it is not a fallback.
+    """
+    meta = df.schema[vec_col].metadata
+    if meta and "dim" in meta:
+        return int(meta["dim"])
+    raise ValueError(
+        f"embedding dim unknown: pass dim= explicitly or attach schema "
+        f"metadata {{'dim': N}} to column {vec_col!r} "
+        f"(F.col(c).alias(c, metadata={{'dim': N}}))"
+    )
+
+
+def with_embedding_dim(df: DataFrame, dim: int, vec_col: str = "embedding") -> DataFrame:
+    """Stamp ``{"dim": N}`` schema metadata on the embedding column so
+    downstream operators never need a dim parameter or a row peek."""
+    return df.withColumn(vec_col, F.col(vec_col).alias(vec_col, metadata={"dim": dim}))
+
+
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double (left-fold accumulation — deterministic)."""
     return F.aggregate(
@@ -122,12 +149,12 @@ def lsh_topk(
     probe rows. A corpus vector lives in exactly one bucket, so no
     probe produces duplicate (query, neighbor) pairs.
 
-    ``dim`` should be passed when known (it is a property of the
-    embedding column); otherwise it is read from the first corpus row —
-    a driver round-trip to avoid in hot query paths.
+    ``dim`` is required, either as a parameter or as ``{"dim": N}``
+    schema metadata on the corpus embedding column (see
+    :func:`embedding_dim`) — plan construction never launches a job.
     """
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        dim = embedding_dim(corpus, vec_col)
     planes = _hyperplanes(dim, n_planes, seed)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")

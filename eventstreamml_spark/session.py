@@ -70,6 +70,19 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Streaming state (ST3-ST5 stateful ops): RocksDB provider keeps
+        # state off-heap and spillable — the HDFS-backed default holds
+        # every key in executor heap, which caps state size long before
+        # 100 TB-scale key cardinalities. Changelog checkpointing keeps
+        # commit cost proportional to the delta, not the store size.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

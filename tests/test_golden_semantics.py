@@ -385,6 +385,37 @@ def test_as_of_join_semantics(spark):
     assert as_of_join(left, right, keys=["k"], left_ts="ts", right_ts="ts").count() == 5
 
 
+def test_as_of_join_rejects_collisions(spark):
+    import pytest
+
+    from eventstreamml_spark.operators.joins import as_of_join
+
+    left = spark.createDataFrame([(1, "a", 10)], "lid long, k string, ts long")
+    right = spark.createDataFrame([("a", 10, 100)], "k string, ts long, mid long")
+
+    # reserved internal names on either input
+    bad_left = left.withColumn("_side", F.lit(1))
+    with pytest.raises(ValueError, match="reserves column names"):
+        as_of_join(bad_left, right, keys=["k"], left_ts="ts", right_ts="ts")
+    bad_right = right.withColumn("_asof", F.lit(1))
+    with pytest.raises(ValueError, match="reserves column names"):
+        as_of_join(left, bad_right, keys=["k"], left_ts="ts", right_ts="ts")
+
+    # payload column duplicating a left column would emit two `lid`s
+    dup_right = right.withColumnRenamed("mid", "lid")
+    with pytest.raises(ValueError, match="collide with left columns"):
+        as_of_join(left, dup_right, keys=["k"], left_ts="ts", right_ts="ts")
+
+
+def test_column_observation_counts_empty_candidates(spark):
+    from eventstreamml_spark.operators.filters import column_observation_counts
+
+    df = spark.createDataFrame([(1, "a")], "id long, k string")
+    out = column_observation_counts(df, [])
+    assert out.columns == ["col_name", "n_obs", "kept"]
+    assert out.count() == 0
+
+
 def test_quality_profile_and_orphans(spark):
     from eventstreamml_spark.operators.quality import orphaned_keys, profile_table
 

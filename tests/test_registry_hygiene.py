@@ -51,6 +51,24 @@ def test_guard_catches_injected_array_query(spark):
     assert bad == ["arr"]
 
 
+def test_no_first_row_peeks_in_engine_source():
+    """Plan-building functions must not launch driver jobs: no
+    ``.first()`` anywhere in the engine source (dims come from
+    parameters or schema metadata — similarity.embedding_dim; the only
+    sanctioned driver actions are inside fit stages, which use
+    sample-capped ``.collect()``)."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "eventstreamml_spark"
+    offenders = [
+        f"{p.relative_to(root.parent)}:{i + 1}"
+        for p in sorted(root.rglob("*.py"))
+        for i, line in enumerate(p.read_text().splitlines())
+        if ".first()" in line
+    ]
+    assert not offenders, f".first() row peeks found: {offenders}"
+
+
 def test_driver_window_names_resolve():
     """Every name pinned into the driver's 50-entry window must exist in
     the registry (modulo round-3 entries not yet registered), and the

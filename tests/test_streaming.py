@@ -176,3 +176,35 @@ def test_sessionize_gap_semantics(spark, tmp_path):
     assert got[(1, "2020-01-01T02:00:00")] == ("2020-01-01T02:30:00", 1)
     assert got[(2, "2020-01-01T00:00:00")] == ("2020-01-01T00:30:00", 1)
     assert len(got) == 3
+
+
+def test_stateful_ops_run_on_rocksdb_state_store(spark, stream_dir, tmp_path):
+    """ST3-ST5 production state store (session.py defaults): the session
+    pins the RocksDB provider + changelog checkpointing, and a stateful
+    query actually materializes RocksDB state artifacts (zip snapshots /
+    changelogs) in its checkpoint — not the HDFS provider's .delta
+    files."""
+    import pathlib
+
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass").endswith(
+            "RocksDBStateStoreProvider"
+        )
+    )
+
+    src = (
+        spark.readStream.schema("user long, t timestamp, et string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    ev = canonicalize_stream(src, "evt", "user", "t")
+    tte = stream_inter_event_times(ev)  # applyInPandasWithState (ST3)
+    _run(tte, "rocksdb_tte", tmp_path, "append")
+    assert spark.sql("select * from rocksdb_tte").count() == 5
+
+    state = pathlib.Path(tmp_path / "ckpt_rocksdb_tte" / "state")
+    files = [p.name for p in state.rglob("*") if p.is_file()]
+    assert files, "no state files checkpointed"
+    rocks = [f for f in files if f.endswith((".zip", ".changelog"))]
+    hdfs_delta = [f for f in files if f.endswith(".delta")]
+    assert rocks and not hdfs_delta, f"state files not RocksDB-shaped: {files[:10]}"
