@@ -85,6 +85,60 @@ def quality_features(
     )
 
 
+def repetition_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition signals (the RefinedWeb/Gopher-style
+    repetitious-text filters): distinct-word ratio, most-frequent-word
+    share, and duplicate-bigram ratio.
+
+    Everything is a pure expression over one scan — zero shuffle, no
+    per-doc Python. The mode count (top word share) deliberately avoids
+    both a words-table groupBy (a shuffle whose key cardinality is
+    n_docs × vocab) and the quadratic count-per-distinct-word form: the
+    word array is sorted once and the longest equal-run is found with a
+    single ``aggregate`` fold over struct state — O(n log n) per doc,
+    so a 10k-word document costs ~10⁵ comparisons, not 10⁸.
+    """
+    text = F.col(text_col)
+    words = whitespace_tokens(text)
+    n = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+
+    sorted_w = F.array_sort(words)
+    run_state = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    def _step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+    top_count = F.aggregate(sorted_w, run_state, _step, lambda acc: acc["best"])
+
+    bigrams = F.zip_with(
+        F.slice(words, 1, n - 1),
+        F.slice(words, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    n_bi = F.size(bigrams)
+    n_bi_distinct = F.size(F.array_distinct(bigrams))
+
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        F.when(n > 0, F.round(n_distinct.cast("double") / n, 6)).alias(
+            "distinct_word_ratio"
+        ),
+        F.when(n > 0, F.round(top_count.cast("double") / n, 6)).alias(
+            "top_word_share"
+        ),
+        F.when(n_bi > 0, F.round(1.0 - n_bi_distinct.cast("double") / n_bi, 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_ratio"),
+    )
+
+
 def quality_score(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

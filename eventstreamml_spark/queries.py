@@ -79,6 +79,14 @@ _ORDER_FIRST: list[str] = [
     "salted_collect_distinct",
     # New round-3 queries:
     "multilabel_event_indices",
+    "tpch_q4_order_priority",
+    "tpch_q12_priority_by_linestatus",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_idle_customers",
+    "doc_repetition_signals",
 ]
 
 
@@ -1467,6 +1475,269 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join with a
+    non-equi residual (late-shipping lineitems; the reduced test schema
+    has no commitdate, so lateness is shipdate vs orderdate + 60d).
+    The semi-join keys on l_orderkey — Catalyst keeps the equi part as
+    the join key and the inequality as a join residual, so no row
+    explosion."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "tpch_q12_priority_by_linestatus",
+    """
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional-sum classification (the
+    reduced schema has no shipmode; linestatus plays the grouping role
+    and order priority the CASE split)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    """
+    WITH c_orders AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer-join count distribution — customers keyed
+    to a FILTERED order set via a join-condition predicate (not a WHERE,
+    which would defeat the outer join), counting the non-null side, then
+    a second aggregation over the counts. Zero-order customers land in
+    the c_count=0 bucket."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "4-NOT SPECIFIED"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS s_suppkey,
+             round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 4)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue USING (s_suppkey)
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: top supplier by windowed revenue — the view +
+    scalar-max subquery decorrelates to one aggregation reused twice;
+    revenue rounds to 4dp on BOTH sides before the max-equality so the
+    float summation order can't flip the winner."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "total_revenue"
+        )
+    )
+    best = revenue.agg(F.max("total_revenue").alias("_best"))
+    return (
+        sup.join(revenue, "s_suppkey")
+        .join(F.broadcast(best), F.col("total_revenue") == F.col("_best"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    """
+    WITH pavg AS (
+      SELECT l_partkey, 0.5 * avg(l_quantity) AS qty_cut
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(CAST(coalesce(sum(l_extendedprice), 0.0) / 7.0 AS DOUBLE), 2)
+           AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pavg USING (l_partkey)
+    WHERE p_brand = 'Brand#23' AND l_quantity < qty_cut
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) decorrelated into a groupBy + join — the classic rewrite
+    Catalyst applies to the SQL form, expressed directly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    pavg = li.groupBy("l_partkey").agg((0.5 * F.avg("l_quantity")).alias("qty_cut"))
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(pavg, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.round(
+                F.coalesce(F.sum("l_extendedprice"), F.lit(0.0)) / 7.0, 2
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_revenue",
+    """
+    SELECT round(CAST(coalesce(sum(l_extendedprice * (1 - l_discount)), 0.0)
+                 AS DOUBLE), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive mixed-table predicates. The
+    common-factor part predicates (brand ∈ {…}, size ≤ 15) are
+    implied by the disjunction and pushed to the part scan; the full
+    OR evaluates post-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#23", "Brand#15", "Brand#19")
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= 15)
+    )
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    disj = (
+        ((b == "Brand#23") & s.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#15") & s.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#19") & s.between(1, 15) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(disj)
+        .agg(
+            F.round(
+                F.coalesce(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                    F.lit(0.0),
+                ),
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q22_idle_customers",
+    """
+    WITH avg_bal AS (
+      SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+           round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '1999-01-01'
+      )
+    GROUP BY c_nationkey
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average balance filter (uncorrelated
+    scalar subquery → broadcast one-row cross join) + NOT EXISTS
+    (→ left-anti join against recent orders; the unrestricted version
+    is empty on this data — every customer has some order)."""
+    cust = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1999-01-01"
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_ab")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_ab"))
+        .join(recent, "c_custkey", "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@register(
     "topk_parts_per_brand",
     """
     SELECT p_brand, p_partkey, p_retailprice, rk FROM (
@@ -1684,6 +1955,47 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eventstreamml_spark.operators.text import fingerprint
 
     return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_repetition_signals",
+    r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents
+    ), tw AS (
+      SELECT doc_id, max(cnt) AS top_count FROM (
+        SELECT doc_id, word, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(ws) AS word FROM w) GROUP BY doc_id, word
+      ) GROUP BY doc_id
+    ), base AS (
+      SELECT doc_id, len(ws) AS n_words,
+             len(list_distinct(ws)) AS n_distinct,
+             list_transform(range(len(ws) - 1),
+                            i -> ws[CAST(i AS INT) + 1] || ' '
+                                 || ws[CAST(i AS INT) + 2]) AS bi
+      FROM w
+    )
+    SELECT b.doc_id, CAST(n_words AS INT) AS n_words,
+           CASE WHEN n_words > 0
+                THEN round(n_distinct * 1.0 / n_words, 6) END
+             AS distinct_word_ratio,
+           CASE WHEN n_words > 0
+                THEN round(top_count * 1.0 / n_words, 6) END AS top_word_share,
+           CASE WHEN len(bi) > 0
+                THEN round(1.0 - len(list_distinct(bi)) * 1.0 / len(bi), 6)
+                ELSE 0.0 END AS dup_bigram_ratio
+    FROM base b JOIN tw USING (doc_id)
+    """,
+)
+def q_doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text: within-doc repetition signals (distinct-word ratio, top
+    word share, duplicate-bigram ratio) — the repetitious-text quality
+    filters, all expression-only/zero-shuffle engine-side (the mode
+    count folds over the sorted word array; the oracle's unnest+groupBy
+    is the readable replay, not the plan)."""
+    from eventstreamml_spark.operators.text import repetition_signals
+
+    return repetition_signals(load_table(spark, sf_dir, "documents"))
 
 
 _SHINGLE_SQL = """
