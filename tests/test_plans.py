@@ -219,3 +219,27 @@ def test_partitioned_sink_prunes_scan(spark, tmp_path):
     # and only the one partition's rows are read
     n_click = back.count()
     assert 0 < n_click < ev.count()
+
+
+def test_q19_common_factors_push_to_part_scan(spark):
+    """The disjunctive-predicate query pre-filters the part side with
+    the disjunction's implied common factors (brand IN (...), size
+    range) so they reach the parquet scan as PushedFilters — without
+    this, every part row survives to the join at any scale."""
+    from eventstreamml_spark.queries import q_tpch_q19
+
+    q = q_tpch_q19(spark, SF)
+    pushed = " ".join(pushed_filters(q))
+    assert "p_brand" in pushed and "p_size" in pushed
+
+
+def test_q4_exists_is_semi_join(spark):
+    """The EXISTS shape must plan as a semi join (orders emitted at
+    most once regardless of matching lineitem count) with the non-equi
+    lateness condition as a join residual, not a post-join filter over
+    an exploded row set."""
+    from eventstreamml_spark.queries import q_tpch_q4
+
+    q = q_tpch_q4(spark, SF)
+    plan = q._jdf.queryExecution().toString()
+    assert "LeftSemi" in plan

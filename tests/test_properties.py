@@ -188,3 +188,54 @@ def test_near_dup_groups_equals_union_find(spark, edges):
         for r in near_dup_groups(pairs, all_ids=all_ids).collect()
     }
     assert got == expected
+
+
+# --- as-of join vs quadratic reference model (Spark) ------------------
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 40)), min_size=1, max_size=25
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 40)), min_size=0, max_size=25
+    ),
+    strict=st.booleans(),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_as_of_join_matches_quadratic_model(spark, left, right, strict):
+    """The single-shuffle carry-forward as-of join equals the obvious
+    O(L·R) per-row scan for arbitrary key/timestamp multisets: per left
+    row, the payload of the latest right row at-or-before (or strictly
+    before) its timestamp. Right rows are deduplicated per (key, ts)
+    keeping the max payload, matching the operator's tie contract."""
+    from eventstreamml_spark.operators.joins import as_of_join
+
+    # dedup right per (k, ts) — the operator's documented precondition
+    best: dict[tuple[int, int], int] = {}
+    for i, (k, ts) in enumerate(right):
+        best[(k, ts)] = max(best.get((k, ts), -1), 1000 + i)
+    r_rows = [(k, ts, p) for (k, ts), p in best.items()]
+    l_rows = [(i, k, ts) for i, (k, ts) in enumerate(left)]
+
+    def model(k, ts):
+        cands = [
+            (rts, p)
+            for (rk, rts, p) in r_rows
+            if rk == k and (rts < ts if strict else rts <= ts)
+        ]
+        return max(cands)[1] if cands else None
+
+    ldf = spark.createDataFrame(l_rows, "lid long, k long, ts long")
+    rdf = spark.createDataFrame(
+        r_rows or [(0, 0, 0)], "k long, ts long, payload long"
+    )
+    if not r_rows:
+        rdf = rdf.filter(F.lit(False))
+    out = {
+        r["lid"]: r["payload"]
+        for r in as_of_join(
+            ldf, rdf, keys=["k"], left_ts="ts", right_ts="ts", strict=strict
+        ).collect()
+    }
+    assert len(out) == len(l_rows)
+    for lid, k, ts in l_rows:
+        assert out[lid] == model(k, ts), (lid, k, ts, strict)
