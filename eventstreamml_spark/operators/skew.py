@@ -28,7 +28,12 @@ from pyspark.sql import Column, DataFrame, functions as F
 def _salt(n_salt: int) -> Column:
     # deterministic per-row salt would need a row id; spreading rows
     # round-robin-ish by partition+offset keeps the phases reproducible
-    # in count while staying expression-only
+    # in count while staying expression-only. The salt VALUE a given row
+    # gets varies run to run with partitioning, so per-salt partial
+    # sizes are not stable — result multisets are exact regardless;
+    # only an unsorted collect_list's element ORDER is affected (and
+    # plain collect_list is order-nondeterministic anyway; use
+    # sort_result=True for a stable array).
     return F.pmod(F.monotonically_increasing_id(), F.lit(n_salt))
 
 
