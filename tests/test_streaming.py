@@ -208,3 +208,64 @@ def test_stateful_ops_run_on_rocksdb_state_store(spark, stream_dir, tmp_path):
     rocks = [f for f in files if f.endswith((".zip", ".changelog"))]
     hdfs_delta = [f for f in files if f.endswith(".delta")]
     assert rocks and not hdfs_delta, f"state files not RocksDB-shaped: {files[:10]}"
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late-data contract (SURVEY §2.8): an event arriving after the
+    watermark has passed its window's end is EXCLUDED from the
+    append-mode windowed histogram; an in-horizon straggler is merged.
+
+    Two runs share one checkpoint so the watermark advance is a hard
+    batch boundary (a single availableNow listing can fuse files into
+    one micro-batch, which would never exercise the drop): run 1 sees
+    event time up to 02:00 (watermark 01:50 at 10-minute delay); run 2
+    delivers one event for the already-finalized 00:00-01:00 window
+    (dropped) and one for the still-open 01:00-02:00 window (counted).
+    """
+    schema = "user long, t timestamp, et string"
+    d = str(tmp_path / "late_in")
+    ckpt = str(tmp_path / "ckpt_late")
+
+    out_dir = str(tmp_path / "late_out")
+
+    def run_once():
+        # file sink: the only sink with checkpoint recovery in append mode
+        src = spark.readStream.schema(schema).parquet(d)
+        ev = canonicalize_stream(src, "evt", "user", "t")
+        counts = windowed_event_type_counts(ev, "1 hour", "10 minutes")
+        q = (
+            counts.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [
+            (1, _ts("2020-01-01 00:10:00"), "a"),
+            (1, _ts("2020-01-01 02:00:00"), "a"),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(d)
+    run_once()
+
+    spark.createDataFrame(
+        [
+            (2, _ts("2020-01-01 00:20:00"), "a"),  # late: window finalized
+            (2, _ts("2020-01-01 01:30:00"), "a"),  # straggler: still open
+            (2, _ts("2020-01-01 03:00:00"), "a"),  # advances the watermark
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(d)
+    run_once()
+
+    got = {
+        r["window_start"].hour: r["n_events"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # hour 0 finalized with ONLY the on-time event (late arrival gone);
+    # hour 1 includes the straggler; hours 2-3 still open (not emitted)
+    assert got == {0: 1, 1: 1}
