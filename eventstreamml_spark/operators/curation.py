@@ -1,0 +1,238 @@
+"""Corpus-curation operators for LLM training-data pipelines: PII
+redaction, document chunking, sequence packing, per-stratum quota
+sampling, and benchmark-contamination detection.
+
+Engine extensions beyond the reference surface (driver north star's
+"operations a large-scale training-data pipeline would need"); the
+reference has no text corpus at all, so there is nothing to cite —
+semantics here follow standard corpus-curation practice (C4/Dolma-style
+cleaning, packed-sequence pretraining inputs, benchmark decontamination
+via n-gram overlap).
+
+100 TB design notes, per operator:
+
+- ``redact_pii`` / ``chunk_documents``: pure per-row Column
+  expressions — zero shuffle, whole-stage codegen, stream through the
+  scan. Chunking multiplies rows by ~n_chars/stride but each output row
+  carries only (id, chunk_no, digest), never the chunk text, unless
+  asked.
+- ``pack_documents``: ONE keyed shuffle (window over the stratum key).
+  Packing is inherently order-dependent; a global order would funnel
+  100 TB through one partition, so packs are formed *within strata*
+  (source/shard) — the same layout a real pretraining pipeline uses
+  (packs never span shards, so shards stay independently shufflable).
+- ``quota_sample``: one keyed shuffle; rank by a content-free md5 of
+  the id, so the sample is deterministic, seedable, and skew-free even
+  when ids are assigned monotonically by ingest time.
+- ``ngram_contamination``: shingle explode (no shuffle) → distinct
+  benchmark shingle set (shuffle on shingle, tiny output — benchmark
+  suites are MBs, not TBs) → equi-join candidate shingles to that set
+  and count per doc. Never quadratic in corpus size; the benchmark
+  side is broadcast when it fits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window as W
+
+#: Java-regex AND RE2 compatible (no backrefs, no lookaround), so the
+#: same pattern text runs in Spark and the DuckDB oracle.
+EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+#: long digit runs — phone/account/SSN-ish identifiers.
+DIGIT_RUN_REGEX = r"[0-9]{9,}"
+
+EMAIL_TOKEN = "<EMAIL>"
+NUMBER_TOKEN = "<NUMBER>"
+
+
+def redact_pii(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Rule-based PII scrub: replace e-mail addresses and long digit
+    runs with typed placeholder tokens, and count what was removed.
+
+    Returns (id, n_emails, n_digit_runs, redacted_md5, redacted_len).
+    The digest stands in for the redacted text so downstream exact-dedup
+    keeps working on scrubbed content; select the full redacted column
+    via :func:`redacted_text` when materializing a cleaned corpus.
+    """
+    text = F.col(text_col)
+    # digit runs are counted AFTER the email pass: digits inside an
+    # address belong to the email redaction, not the number count
+    no_email = F.regexp_replace(text, EMAIL_REGEX, EMAIL_TOKEN)
+    return docs.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_REGEX), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(
+            F.regexp_extract_all(no_email, F.lit(DIGIT_RUN_REGEX), F.lit(0))
+        ).alias("n_digit_runs"),
+        F.md5(redacted_text(text)).alias("redacted_md5"),
+        F.length(redacted_text(text)).alias("redacted_len"),
+    )
+
+
+def redacted_text(text: Column) -> Column:
+    """The scrubbed text expression (emails first, then digit runs, so
+    digits inside an address never leave a partial run behind)."""
+    scrubbed = F.regexp_replace(text, EMAIL_REGEX, EMAIL_TOKEN)
+    return F.regexp_replace(scrubbed, DIGIT_RUN_REGEX, NUMBER_TOKEN)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_chars: int = 500,
+    stride: int = 400,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_text: bool = False,
+) -> DataFrame:
+    """Overlapping fixed-width character chunks (RAG/window-attention
+    prep): chunk i covers ``[i*stride, i*stride + chunk_chars)``; the
+    last chunk starts at the smallest multiple of stride whose window
+    reaches the end of the document, so every character lands in ≥1
+    chunk and consecutive chunks overlap by ``chunk_chars - stride``.
+
+    Row explosion is ~len/stride per doc; output rows carry only
+    (id, chunk_no, chunk_len, chunk_md5) unless ``keep_text``.
+    Pure expressions + one ``posexplode`` — zero shuffle.
+    """
+    if stride <= 0 or chunk_chars <= 0 or stride > chunk_chars:
+        raise ValueError("need 0 < stride <= chunk_chars")
+    text = F.col(text_col)
+    n = F.length(text)
+    n_chunks = F.when(n <= chunk_chars, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(chunk_chars)) / F.lit(stride)).cast("long") + 1
+    )
+    chunk = text.substr(
+        F.col("chunk_no").cast("int") * F.lit(stride) + F.lit(1), F.lit(chunk_chars)
+    )
+    out = docs.select(
+        F.col(id_col),
+        text,
+        F.explode(F.sequence(F.lit(0).cast("long"), (n_chunks - 1).cast("long"))).alias(
+            "chunk_no"
+        ),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_no").cast("long").alias("chunk_no"),
+        F.length(chunk).alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+        *([chunk.alias("chunk_text")] if keep_text else []),
+    )
+    return out
+
+
+def pack_documents(
+    docs: DataFrame,
+    capacity_tokens: int = 2048,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence-packing plan: assign each document to a fixed-capacity
+    pack by the *offset* of its first token in the stratum's
+    concatenated token stream (docs in id order). Offset-binning is the
+    distributable form of first-fit packing: one prefix-sum window per
+    stratum, deterministic, and docs longer than the capacity simply
+    span bins (they would be split at tokenization time anyway).
+
+    Packs are formed within strata (``stratum_col``) rather than
+    globally — a global order funnels everything through one partition;
+    per-stratum packing is one keyed shuffle and matches the
+    shard-local layout pretraining pipelines want.
+
+    Returns (id, stratum, n_tokens, start_offset, pack_id).
+    """
+    from eventstreamml_spark.operators.text import token_count
+
+    w = (
+        W.partitionBy(stratum_col)
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.col(stratum_col),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    return toks.select(
+        id_col,
+        stratum_col,
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_offset"),
+    ).withColumn(
+        "pack_id", F.floor(F.col("start_offset") / F.lit(capacity_tokens)).cast("long")
+    )
+
+
+def quota_sample(
+    docs: DataFrame,
+    k: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum quota: keep the ``k`` docs per stratum
+    that rank first by ``md5(id)`` — a seed-free uniform draw that is
+    stable across runs/engines and immune to ingest-order skew (domain
+    rebalancing / language quotas in mixture construction).
+
+    One keyed shuffle (window by stratum). Ties are impossible: md5 of
+    a distinct id is distinct.
+
+    Returns (stratum, id, rk) with rk in 1..k.
+    """
+    rk = F.row_number().over(
+        W.partitionBy(stratum_col).orderBy(F.md5(F.col(id_col).cast("string")))
+    )
+    return (
+        docs.select(F.col(stratum_col), F.col(id_col))
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= k)
+    )
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 4,
+    min_shared: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: for every candidate doc, the number
+    of distinct word ``k``-gram shingles it shares with ANY benchmark
+    doc, and a contamination flag at ``min_shared``.
+
+    The benchmark shingle set is deduplicated *before* the join — real
+    benchmark suites are MB-scale, so that side is broadcast-able and
+    the probe is a per-shingle equi-join, never a doc×doc comparison.
+    Candidate docs appear in the output even at zero overlap (left
+    join), so the flag is total.
+
+    Returns (id, n_shared, contaminated).
+    """
+    from eventstreamml_spark.operators.dedup import word_shingles
+
+    cand_sh = word_shingles(docs, k=k, id_col=id_col, text_col=text_col)
+    bench_sh = (
+        word_shingles(benchmark, k=k, id_col=id_col, text_col=text_col)
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        cand_sh.join(bench_sh, "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+    )
+    base = docs.select(id_col).distinct()
+    return (
+        base.join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+        )
+        .withColumn("contaminated", F.col("n_shared") >= min_shared)
+    )

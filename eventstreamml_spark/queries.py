@@ -89,6 +89,9 @@ _ORDER_FIRST: list[str] = [
     "tpch_q19_disjunctive_revenue",
     "tpch_q22_idle_customers",
     "doc_repetition_signals",
+    "doc_contamination_check",
+    "doc_pack_plan",
+    "doc_pii_redaction",
 ]
 
 
@@ -1860,6 +1863,90 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q21_waiting_supplier",
+    """
+    WITH lo AS (
+      SELECT l_orderkey, l_suppkey,
+             (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+    ),
+    per_order AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+      FROM lo GROUP BY l_orderkey
+    ),
+    waiting AS (
+      SELECT DISTINCT lo.l_orderkey, lo.l_suppkey
+      FROM lo JOIN per_order p ON p.l_orderkey = lo.l_orderkey
+      WHERE lo.late AND p.n_supp > 1 AND p.n_late_supp = 1
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM waiting
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_7')
+    GROUP BY s_name
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    finished multi-supplier order. The spec's correlated EXISTS /
+    NOT-EXISTS pair is rewritten as one per-order aggregation
+    (distinct suppliers vs distinct late suppliers) — at scale this
+    replaces two extra lineitem self-shuffles with one groupBy and is
+    the plan the correlated form decorrelates to anyway. "Late" adapts
+    to the reduced schema (no receipt/commit dates):
+    l_shipdate > o_orderdate + 90 days. supplier/nation are
+    broadcast dims."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    lo = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias(
+            "late"
+        ),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    waiting = (
+        lo.filter(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nat = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin("NATION_3", "NATION_7"))
+        .select("n_nationkey")
+    )
+    return (
+        waiting.join(
+            F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
     "topk_parts_per_brand",
     """
     SELECT p_brand, p_partkey, p_retailprice, rk FROM (
@@ -2120,6 +2207,108 @@ def q_doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "doc_pii_redaction",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '[0-9]{9,}')) AS n_digit_runs,
+           md5(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '[0-9]{9,}', '<NUMBER>', 'g')) AS redacted_md5,
+           length(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '[0-9]{9,}', '<NUMBER>', 'g')) AS redacted_len
+    FROM documents
+    """,
+)
+def q_doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation: rule-based PII scrub (emails + long digit runs →
+    typed placeholders) with removal counts; the md5 digest of the
+    scrubbed text makes the full redaction driver-hashable. The regexes
+    are written to the Java∩RE2 common subset so the identical pattern
+    text runs in both engines. Pure expressions, zero shuffle."""
+    from eventstreamml_spark.operators.curation import redact_pii
+
+    return redact_pii(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_chunk_plan",
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             CASE WHEN length(text) <= 500 THEN 1
+                  ELSE CAST(ceil((length(text) - 500) / 400.0) AS BIGINT) + 1 END AS k
+      FROM documents
+    ), idx AS (
+      SELECT doc_id, text, unnest(range(0, k)) AS chunk_no FROM base
+    )
+    SELECT doc_id, chunk_no,
+           length(substr(text, CAST(chunk_no*400 + 1 AS BIGINT), 500)) AS chunk_len,
+           md5(substr(text, CAST(chunk_no*400 + 1 AS BIGINT), 500)) AS chunk_md5
+    FROM idx
+    """,
+)
+def q_doc_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation: overlapping fixed-width character chunks (500 chars,
+    stride 400 — RAG/window prep); output rows carry digests, not chunk
+    text. sequence+explode, zero shuffle."""
+    from eventstreamml_spark.operators.curation import chunk_documents
+
+    return chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_pack_plan",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(text, '\s+'))::BIGINT AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           (sum(n_tokens) OVER w - n_tokens) AS start_offset,
+           CAST(floor((sum(n_tokens) OVER w - n_tokens) / 2048.0) AS BIGINT)
+               AS pack_id
+    FROM toks
+    WINDOW w AS (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def q_doc_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation: sequence-packing plan — each doc assigned the
+    2048-token pack where its start offset falls in its source-stratum
+    concatenated token stream. Offset-binning is the distributable form
+    of first-fit packing: one keyed prefix-sum window, never a global
+    order."""
+    from eventstreamml_spark.operators.curation import pack_documents
+
+    return pack_documents(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_lang_quota_sample",
+    """
+    SELECT lang, doc_id, rk FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+      FROM documents) t WHERE rk <= 50
+    """,
+)
+def q_doc_lang_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation: deterministic per-language quota sample (mixture
+    rebalancing) — rank by md5(id) so the draw is uniform, seed-free,
+    engine-portable, and immune to ingest-order skew. One keyed
+    shuffle."""
+    from eventstreamml_spark.operators.curation import quota_sample
+
+    return quota_sample(load_table(spark, sf_dir, "documents"), k=50)
+
+
 _SHINGLE_SQL = """
       words AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS word,
@@ -2161,6 +2350,38 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sh = word_shingles(load_table(spark, sf_dir, "documents"), k=4)
     return jaccard_pairs(sh, threshold=0.1)
+
+
+@register(
+    "doc_contamination_check",
+    f"""
+    WITH {_SHINGLE_SQL},
+    bench_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 19 = 0),
+    hits AS (
+      SELECT s.doc_id, count(*) AS n_shared
+      FROM sh s JOIN bench_sh b ON s.shingle = b.shingle
+      WHERE s.doc_id % 19 != 0
+      GROUP BY s.doc_id
+    )
+    SELECT d.doc_id, coalesce(h.n_shared, 0) AS n_shared,
+           coalesce(h.n_shared, 0) >= 5 AS contaminated
+    FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 19 != 0) d
+    LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+)
+def q_doc_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation: benchmark decontamination — per candidate doc, the
+    count of distinct word-4-gram shingles shared with a held-out
+    "benchmark" subset (doc_id % 19 == 0 stands in for the eval suite),
+    flagged at ≥ 5 shared grams. The benchmark shingle set is deduped
+    before the probe join (broadcast-able at real benchmark sizes);
+    never a doc×doc comparison."""
+    from eventstreamml_spark.operators.curation import ngram_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = docs.filter((F.col("doc_id") % 19) != 0)
+    bench = docs.filter((F.col("doc_id") % 19) == 0)
+    return ngram_contamination(cand, bench, k=4, min_shared=5)
 
 
 @register(
@@ -3363,6 +3584,64 @@ def q_streaming_enrich_age(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("_dob"))).alias("age_us"),
     )
     return _run_available_now(enriched, "append")
+
+
+@register(
+    "streaming_interval_join",
+    """
+    SELECT p.user_id AS subject_id,
+           p.event_id AS purchase_event_id,
+           c.event_id AS click_event_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST7: stream-stream interval join — each purchase paired with the
+    same subject's clicks in the preceding 30 minutes (attribution).
+    Both sides are watermarked and the join condition bounds event time
+    on both ends, so buffered state expires as the watermark advances;
+    over the finite availableNow run the result equals the batch range
+    join, which is the oracle. Hashed as exact integer-µs gaps."""
+    from eventstreamml_spark.streaming.ops import stream_interval_join
+
+    purchases = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("user_id").alias("subject_id"),
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    ).select(
+        F.col("user_id").alias("subject_id"),
+        F.col("event_id").alias("click_event_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    pairs = stream_interval_join(
+        purchases,
+        clicks,
+        key="subject_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        lookback="30 minutes",
+    )
+    out = _run_available_now(
+        pairs.select(
+            "subject_id",
+            "purchase_event_id",
+            "click_event_id",
+            (
+                F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("click_ts"))
+            ).alias("gap_us"),
+        ),
+        "append",
+    )
+    return out
 
 
 # ---------------------------------------------------------------------------

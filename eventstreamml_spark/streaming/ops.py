@@ -213,3 +213,37 @@ def enrich_stream(
     dimension outgrows broadcast, restructure it as a second stream
     with a stream-stream join + watermarks instead."""
     return events.join(F.broadcast(dim), keys, how)
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "30 minutes",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join (ST7): pair each left event with
+    right events of the same key whose event time falls in
+    ``[left_ts − lookback, left_ts)`` — the attribution shape ("which
+    clicks preceded this purchase"), the canonical stream-stream join.
+
+    Both sides carry watermarks and the join condition bounds event
+    time on BOTH ends; that pair is what lets Spark expire buffered
+    state (right rows older than left watermark − lookback are dropped
+    from the state store) — an unbounded-time condition would grow
+    state forever. Callers must pass sides with disjoint column names
+    apart from ``key`` (rename before calling); the output carries
+    every column of both sides.
+    """
+    l = left.withWatermark(left_ts, watermark_delay)
+    r = right.withWatermark(right_ts, watermark_delay)
+    cond = (
+        (l[key] == r[key])
+        & (r[right_ts] < l[left_ts])
+        & (r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {lookback}"))
+    )
+    joined = l.join(r, cond, "inner")
+    # the key arrives from both sides under one name; keep the left one
+    return joined.select(*[l[c] for c in left.columns], *[r[c] for c in right.columns if c != key])

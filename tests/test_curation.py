@@ -1,0 +1,115 @@
+"""Corpus-curation operators: golden semantics on tiny literal inputs
+(chunk boundary math, offset-binning packing, quota determinism,
+contamination totality, redaction ordering)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eventstreamml_spark.operators.curation import (
+    chunk_documents,
+    ngram_contamination,
+    pack_documents,
+    quota_sample,
+    redact_pii,
+    redacted_text,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_redaction_email_before_digits(spark):
+    # digits inside the address must vanish with the address, not
+    # leave a partial run that then matches the digit rule
+    df = _docs(
+        spark,
+        [
+            (1, "mail me at user123456789@example.com or call 5551234567890", "en", "a"),
+            (2, "clean text with no pii at all", "en", "a"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_digit_runs"] == 1
+    assert out[2]["n_emails"] == 0 and out[2]["n_digit_runs"] == 0
+    txt = df.filter("doc_id = 1").select(
+        redacted_text(F.col("text")).alias("t")
+    ).collect()[0]["t"]
+    assert txt == "mail me at <EMAIL> or call <NUMBER>"
+
+
+def test_chunk_boundaries_exact(spark):
+    # len 1000, chunk 500, stride 400 -> starts 0,400,800 (ceil((1000-500)/400)+1 = 3)
+    df = _docs(spark, [(1, "x" * 1000, "en", "a"), (2, "y" * 10, "en", "a")])
+    rows = chunk_documents(df, chunk_chars=500, stride=400).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert sorted(r["chunk_no"] for r in by_doc[1]) == [0, 1, 2]
+    assert sorted(r["chunk_len"] for r in by_doc[1]) == [200, 500, 500]
+    # short doc: one chunk, its own length
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_len"] == 10
+
+
+def test_chunk_full_coverage_and_overlap(spark):
+    text = "".join(chr(97 + i % 26) for i in range(1234))
+    df = _docs(spark, [(1, text, "en", "a")])
+    rows = chunk_documents(df, chunk_chars=500, stride=400, keep_text=True).collect()
+    covered = set()
+    for r in rows:
+        start = r["chunk_no"] * 400
+        assert r["chunk_text"] == text[start : start + 500]
+        covered.update(range(start, start + r["chunk_len"]))
+    assert covered == set(range(len(text)))
+
+
+def test_chunk_rejects_bad_stride(spark):
+    df = _docs(spark, [(1, "abc", "en", "a")])
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_chars=100, stride=200)
+
+
+def test_pack_offset_binning(spark):
+    # source a: docs of 1000 tokens each, capacity 2048:
+    # starts 0,1000,2000,3000 -> packs 0,0,0,1 — a doc may straddle the
+    # capacity boundary (split at tokenization), bins stay full
+    rows = [(i, " ".join(["w"] * 1000), "en", "a") for i in range(4)]
+    rows += [(10, " ".join(["w"] * 5000), "en", "b")]  # longer than capacity
+    df = _docs(spark, rows)
+    out = {r["doc_id"]: r for r in pack_documents(df, capacity_tokens=2048).collect()}
+    assert [out[i]["pack_id"] for i in range(4)] == [0, 0, 0, 1]
+    assert [out[i]["start_offset"] for i in range(4)] == [0, 1000, 2000, 3000]
+    # strata are independent
+    assert out[10]["pack_id"] == 0 and out[10]["start_offset"] == 0
+
+
+def test_quota_sample_deterministic_and_capped(spark):
+    rows = [(i, f"doc {i}", "en" if i % 2 else "fr", "a") for i in range(40)]
+    df = _docs(spark, rows)
+    a = sorted((r["lang"], r["doc_id"], r["rk"]) for r in quota_sample(df, k=3).collect())
+    b = sorted((r["lang"], r["doc_id"], r["rk"]) for r in quota_sample(df, k=3).collect())
+    assert a == b and len(a) == 6
+    assert all(rk <= 3 for _, _, rk in a)
+    # widening k keeps the prefix: rank order is content-free md5(id)
+    wide = sorted((r["lang"], r["doc_id"]) for r in quota_sample(df, k=10).collect() if r["rk"] <= 3)
+    assert wide == [(l, d) for l, d, _ in a]
+
+
+def test_contamination_total_and_flagged(spark):
+    shared = "alpha beta gamma delta epsilon"
+    docs = _docs(
+        spark,
+        [
+            (1, f"{shared} and some unique tail words here", "en", "a"),
+            (2, "completely different content with zero overlap at all", "en", "a"),
+        ],
+    )
+    bench = _docs(spark, [(100, f"prefix words then {shared} closing", "en", "b")])
+    out = {r["doc_id"]: r for r in ngram_contamination(docs, bench, k=4, min_shared=2).collect()}
+    # "alpha beta gamma delta" and "beta gamma delta epsilon" are shared
+    assert out[1]["n_shared"] == 2 and out[1]["contaminated"]
+    assert out[2]["n_shared"] == 0 and not out[2]["contaminated"]
+    assert set(out) == {1, 2}  # zero-overlap doc still present

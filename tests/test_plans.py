@@ -243,3 +243,25 @@ def test_q4_exists_is_semi_join(spark):
     q = q_tpch_q4(spark, SF)
     plan = q._jdf.queryExecution().toString()
     assert "LeftSemi" in plan
+
+
+def test_curation_rowwise_ops_zero_shuffle(spark):
+    """Redaction and chunking are pure per-row expression work: zero
+    exchanges, scan pruned to (doc_id, text)."""
+    from eventstreamml_spark.operators.curation import chunk_documents, redact_pii
+
+    docs = load_table(spark, SF, "documents")
+    for q in (redact_pii(docs), chunk_documents(docs)):
+        assert shuffle_count(q) == 0
+        cols = set(read_schema_columns(q))
+        assert cols == {"doc_id", "text"}
+
+
+def test_curation_keyed_ops_single_shuffle(spark):
+    """Packing and quota sampling are one keyed window each: exactly
+    one exchange, on the stratum key — never a global order."""
+    from eventstreamml_spark.operators.curation import pack_documents, quota_sample
+
+    docs = load_table(spark, SF, "documents")
+    assert shuffle_count(pack_documents(docs)) == 1
+    assert shuffle_count(quota_sample(docs, k=10)) == 1

@@ -269,3 +269,37 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # hour 0 finalized with ONLY the on-time event (late arrival gone);
     # hour 1 includes the straggler; hours 2-3 still open (not emitted)
     assert got == {0: 1, 1: 1}
+
+
+def test_stream_interval_join_pairs_and_bounds(spark, tmp_path):
+    """ST7: purchases pair with same-key clicks strictly inside the
+    lookback window — boundary clicks at exactly -30min are kept,
+    clicks at the purchase instant or after it are not."""
+    from eventstreamml_spark.streaming.ops import stream_interval_join
+
+    schema = "k long, pts timestamp, pid long"
+    purchases = spark.createDataFrame(
+        [(1, _ts("2020-01-01 01:00:00"), 100)], schema
+    )
+    clicks = spark.createDataFrame(
+        [
+            (1, _ts("2020-01-01 00:30:00"), 1),  # exactly lookback ago: kept
+            (1, _ts("2020-01-01 00:29:59"), 2),  # too old: dropped
+            (1, _ts("2020-01-01 00:59:00"), 3),  # inside: kept
+            (1, _ts("2020-01-01 01:00:00"), 4),  # simultaneous: dropped
+            (2, _ts("2020-01-01 00:59:00"), 5),  # other key: dropped
+        ],
+        "k long, cts timestamp, cid long",
+    )
+    pdir, cdir = str(tmp_path / "p"), str(tmp_path / "c")
+    purchases.coalesce(1).write.parquet(pdir)
+    clicks.coalesce(1).write.parquet(cdir)
+    ps = spark.readStream.schema("k long, pts timestamp, pid long").parquet(pdir)
+    cs = spark.readStream.schema("k long, cts timestamp, cid long").parquet(cdir)
+    joined = stream_interval_join(
+        ps, cs, key="k", left_ts="pts", right_ts="cts", lookback="30 minutes"
+    )
+    _run(joined, "ivj", tmp_path, "append")
+    rows = spark.table("ivj").collect()
+    assert sorted(r["cid"] for r in rows) == [1, 3]
+    assert all(r["pid"] == 100 and r["k"] == 1 for r in rows)
