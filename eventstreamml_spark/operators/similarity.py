@@ -334,3 +334,41 @@ def ivf_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk")
     )
+
+
+def quantize_embeddings_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization (the storage/transport
+    compression ANN indexes ship with): scale = max|x|/127, qᵢ =
+    round(xᵢ/scale), so values span [-127, 127] and dequantization is
+    qᵢ·scale.
+
+    Output carries the scale plus order-sensitive integer checksums of
+    the code vector (Σq, Σ|q|, Σq·(i+1)) rather than the array itself —
+    exact, driver-hashable, and enough to pin every code. All-zero
+    vectors (scale 0) are excluded: they have no code. Math is double
+    throughout (float32 inputs upcast before the divide) so results are
+    bit-stable across engines. Pure higher-order expressions — zero
+    shuffle, codegen'd, no Python.
+    """
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    scale = (
+        F.aggregate(x, F.lit(0.0), lambda a, v: F.greatest(a, F.abs(v))) / F.lit(127.0)
+    )
+    base = df.select(F.col(id_col), x.alias("_x"), scale.alias("_scale")).filter(
+        F.col("_scale") > 0
+    )
+    q = F.transform(F.col("_x"), lambda v: F.round(v / F.col("_scale"), 0))
+    qi = F.transform(
+        F.col("_x"),
+        lambda v, i: F.round(v / F.col("_scale"), 0) * (i.cast("double") + 1),
+    )
+    acc = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, v: a + v)  # noqa: E731
+    return base.select(
+        id_col,
+        F.round(F.col("_scale"), 6).alias("scale"),
+        acc(q).cast("long").alias("q_sum"),
+        acc(F.transform(q, F.abs)).cast("long").alias("q_abs_sum"),
+        acc(qi).cast("long").alias("q_dot"),
+    )

@@ -245,6 +245,32 @@ def q_time_of_day_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "value_percentiles_by_type",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.75), 6) AS p75,
+           count(value) AS n_obs
+    FROM events GROUP BY event_type
+    """,
+)
+def q_value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per key (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``; nulls ignored by both).
+    This is the exact twin of the sketch-based quantile fit the
+    normalizer uses at scale — registered so the interpolation
+    semantics themselves are oracle-pinned."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+        F.count("value").alias("n_obs"),
+    )
+
+
+@register(
     "drop_censor_values",
     """
     SELECT event_id,
@@ -2644,6 +2670,36 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return brute_force_topk(emb.filter(F.col("vec_id") < 8), emb, k=5)
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    s AS (SELECT vec_id, max(abs(x)) / 127.0 AS scale FROM e GROUP BY vec_id)
+    SELECT e.vec_id,
+           round(s.scale, 6) AS scale,
+           CAST(sum(round(x / s.scale)) AS BIGINT) AS q_sum,
+           CAST(sum(abs(round(x / s.scale))) AS BIGINT) AS q_abs_sum,
+           CAST(sum(round(x / s.scale) * i) AS BIGINT) AS q_dot
+    FROM e JOIN s USING (vec_id)
+    WHERE s.scale > 0
+    GROUP BY e.vec_id, s.scale
+    """,
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding compression: symmetric per-vector int8 quantization
+    (scale = max|x|/127), hashed as exact integer checksums of the code
+    vector including an order-sensitive Σq·(i+1). Double math on both
+    sides makes round() bit-identical; both engines round half away
+    from zero. Expression-only, zero shuffle."""
+    from eventstreamml_spark.operators.similarity import quantize_embeddings_int8
+
+    return quantize_embeddings_int8(load_table(spark, sf_dir, "embeddings"))
 
 
 def _lsh_oracle_sql() -> str:

@@ -386,3 +386,27 @@ def test_near_dup_groups_transitive(spark):
     )
     got = {r["doc_id"]: r["group_id"] for r in dedup.near_dup_groups(chain).collect()}
     assert got == {i: 1 for i in range(1, 10)}
+
+
+def test_quantize_int8_contract(spark):
+    """Codes span [-127,127], all-zero vectors are excluded, and
+    dequantization error is bounded by scale/2 per element."""
+    from eventstreamml_spark.operators.similarity import quantize_embeddings_int8
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -0.5, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),  # no code
+            (3, [-2.0, 2.0, 1.0, -1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in quantize_embeddings_int8(df).collect()}
+    assert set(out) == {1, 3}
+    # vec 1: scale = 1/127; codes 127, -63or-64, 31or32, 0 — check sums exactly:
+    # x/scale = 127, -63.5, 31.75, 0 → round half-away: 127, -64, 32, 0
+    assert out[1]["q_sum"] == 127 - 64 + 32 + 0
+    assert out[1]["q_abs_sum"] == 127 + 64 + 32
+    assert out[1]["q_dot"] == 127 * 1 - 64 * 2 + 32 * 3
+    # vec 3: scale = 2/127 → codes -127, 127, 63.5→64, -64
+    assert out[3]["q_abs_sum"] == 127 + 127 + 64 + 64
