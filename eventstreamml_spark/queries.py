@@ -1996,6 +1996,166 @@ def q_topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pivot_type_counts",
+    """
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click') AS click,
+           count(*) FILTER (event_type = 'view') AS view,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup') AS signup,
+           count(*) FILTER (event_type = 'error') AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): per-subject event-type counts as columns.
+    The value list is passed explicitly — without it Spark runs an
+    extra distinct job to discover columns, and an unbounded type
+    domain would make the output schema data-dependent (a non-starter
+    at 100 TB). One shuffle, map-side partial counts."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    """
+    SELECT l_orderkey, l_linenumber, measure, val
+    FROM (SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_tax
+          FROM lineitem)
+    UNPIVOT (val FOR measure IN (l_extendedprice, l_discount, l_tax))
+    """,
+)
+def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide→long): lineitem money measures to
+    (key, measure, val) rows — the normalization step feeding any
+    long-format metrics store. Pure row-local expansion, zero
+    shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+
+
+@register(
+    "order_value_deciles",
+    """
+    SELECT o_orderkey, o_totalprice,
+           ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+    FROM orders
+    """,
+)
+def q_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile ranking: order-value deciles with a pinned total order
+    (price, then key — deterministic under ties). A global ntile puts
+    everything through one window partition; at 100 TB use the
+    quantile-sketch percentiles (value_percentiles_by_type) to derive
+    boundaries and bin by expression instead — registered here to pin
+    the exact semantics that approximation targets."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return orders.select(
+        "o_orderkey", "o_totalprice", F.ntile(10).over(w).alias("decile")
+    )
+
+
+@register(
+    "corr_qty_price_by_flag",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_corr_qty_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistical aggregates (Pearson corr, sample
+    covariance) per group — single-pass map-side-combinable moments,
+    the same running-moments discipline as A10."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "events_upsert_merge",
+    """
+    SELECT b.event_id, b.user_id, coalesce(u.value, b.value) AS value
+    FROM events b
+    LEFT JOIN (SELECT event_id, value * 2 AS value
+               FROM events WHERE event_type = 'purchase') u
+    USING (event_id)
+    """,
+)
+def q_events_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert without a table format: new-snapshot merge as a
+    keyed left join + coalesce (updates win, unmatched base rows pass
+    through). This is the portable CDC-apply shape when Delta/Iceberg
+    row-level MERGE isn't available: both sides shuffle on the key
+    once; at scale, bucket both tables by the key so the join is
+    shuffle-free. The update set here is a deterministic derivation
+    (purchases at doubled value) so the oracle is self-contained."""
+    ev = _events(spark, sf_dir)
+    base = ev.select("event_id", "user_id", "value")
+    updates = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", (F.col("value") * 2).alias("_new")
+    )
+    return base.join(updates, "event_id", "left").select(
+        "event_id", "user_id", F.coalesce("_new", "value").alias("value")
+    )
+
+
+@register(
+    "scd2_signup_intervals",
+    """
+    SELECT user_id,
+           ts AS valid_from,
+           coalesce(lead(ts) OVER w, TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+           lead(ts) OVER w IS NULL AS is_current
+    FROM events WHERE event_type = 'signup'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_scd2_signup_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 interval construction: each change event becomes a
+    validity interval [valid_from, valid_to) closed by the next change,
+    open intervals carrying the standard 9999-12-31 sentinel (sentinel
+    over null keeps range predicates sargable and as-of joins
+    null-free). One keyed window — the event-sourced dimension-table
+    build."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp_ntz").alias("valid_from"),
+            F.coalesce(nxt, F.lit("9999-12-31 00:00:00").cast("timestamp"))
+            .cast("timestamp_ntz")
+            .alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+        )
+    )
+
+
+@register(
     "running_order_total",
     """
     SELECT o_custkey, o_orderkey,
