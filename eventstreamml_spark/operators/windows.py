@@ -336,3 +336,69 @@ def rolling_time_agg(
         expr = F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(F.col(col))
         out = out.withColumn(name, expr.over(win))
     return out.drop("_ts_us")
+
+
+def resample_ffill(
+    df: DataFrame,
+    step: str = "1 hour",
+    subject_col: str = "subject_id",
+    ts_col: str = "timestamp",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-subject resampling to a regular time grid with forward
+    fill: grid points run from each subject's first observation
+    (truncated to the hour) to its last, and each carries the last
+    non-null observed value at-or-before that instant — the
+    irregular→regular conversion every downstream fixed-Δt model
+    consumes.
+
+    Form: the grid (one `sequence`+`explode` off a per-subject min/max
+    aggregate) is unioned with the observations and a single keyed
+    window `last(value, ignorenulls=True)` carries values forward onto
+    grid rows; grid rows are then kept. Two shuffles total (the
+    min/max agg and the window) and the carried state never leaves the
+    subject partition — no as-of join, no per-grid-point probe. Grid
+    density is step-bounded per subject, so row explosion is
+    span/step, independent of observation count.
+
+    Output: (subject, grid_ts, value) — value null only before a
+    subject's first non-null observation.
+    """
+    span = df.groupBy(subject_col).agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("_lo"),
+        F.max(ts_col).alias("_hi"),
+    )
+    grid = span.select(
+        subject_col,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.expr(f"INTERVAL {step}"))
+        ).alias(ts_col),
+        F.lit(None).cast("double").alias(value_col),
+        F.lit(1).alias("_is_grid"),
+    )
+    obs = df.select(
+        subject_col,
+        ts_col,
+        F.col(value_col).cast("double").alias(value_col),
+        F.lit(0).alias("_is_grid"),
+    )
+    # observations sort before the grid point at the same instant, so
+    # an exactly-on-grid observation is included in that grid point;
+    # simultaneous observations resolve deterministically to the
+    # maximum value (final value tiebreak)
+    w = (
+        W.partitionBy(subject_col)
+        .orderBy(ts_col, "_is_grid", value_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        obs.unionByName(grid)
+        .select(
+            subject_col,
+            F.col(ts_col),
+            F.last(value_col, ignorenulls=True).over(w).alias(value_col),
+            "_is_grid",
+        )
+        .filter(F.col("_is_grid") == 1)
+        .drop("_is_grid")
+    )

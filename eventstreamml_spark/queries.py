@@ -1996,6 +1996,50 @@ def q_topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "resample_hourly_ffill",
+    """
+    WITH span AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS lo, max(ts) AS hi
+      FROM events GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ts,
+             CAST(NULL AS DOUBLE) AS value, 1 AS is_grid
+      FROM span
+    ),
+    obs AS (
+      SELECT user_id, ts, CAST(value AS DOUBLE) AS value, 0 AS is_grid FROM events
+    ),
+    u AS (SELECT * FROM obs UNION ALL SELECT * FROM grid)
+    SELECT user_id AS subject_id, ts AS grid_ts,
+           last_value(value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, is_grid, value
+             ROWS UNBOUNDED PRECEDING) AS value
+    FROM u QUALIFY is_grid = 1
+    """,
+)
+def q_resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subject resampling to an hourly grid with forward fill —
+    the irregular→regular time-series conversion (operators/windows.py
+    resample_ffill): grid union observations, one keyed
+    last-non-null window, no as-of join. Simultaneous observations
+    resolve to the max value (pinned tiebreak)."""
+    from eventstreamml_spark.operators.windows import resample_ffill
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("subject_id"),
+        F.col("ts").alias("timestamp"),
+        "value",
+    )
+    out = resample_ffill(ev, step="1 hour")
+    return out.select(
+        "subject_id",
+        F.col("timestamp").cast("timestamp_ntz").alias("grid_ts"),
+        "value",
+    )
+
+
+@register(
     "pivot_type_counts",
     """
     SELECT user_id,

@@ -113,3 +113,34 @@ def test_contamination_total_and_flagged(spark):
     assert out[1]["n_shared"] == 2 and out[1]["contaminated"]
     assert out[2]["n_shared"] == 0 and not out[2]["contaminated"]
     assert set(out) == {1, 2}  # zero-overlap doc still present
+
+
+def test_resample_ffill_golden(spark):
+    """Grid spans hour-truncated first obs → last obs; on-grid
+    observations are included at their grid point; values carry
+    forward across gaps; simultaneous obs resolve to the max."""
+    import datetime
+
+    from eventstreamml_spark.operators.windows import resample_ffill
+
+    ts = lambda s: datetime.datetime.fromisoformat(s)  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            (1, ts("2020-01-01 00:30:00"), 10.0),
+            (1, ts("2020-01-01 02:00:00"), 20.0),  # exactly on grid
+            (1, ts("2020-01-01 02:00:00"), 30.0),  # simultaneous: max wins
+            (1, ts("2020-01-01 04:10:00"), None),  # null obs: no reset
+        ],
+        "subject_id long, timestamp timestamp, value double",
+    )
+    out = {
+        r["timestamp"].isoformat(): r["value"]
+        for r in resample_ffill(df, step="1 hour").collect()
+    }
+    assert out == {
+        "2020-01-01T00:00:00": None,  # before first obs
+        "2020-01-01T01:00:00": 10.0,
+        "2020-01-01T02:00:00": 30.0,  # on-grid obs included, max of ties
+        "2020-01-01T03:00:00": 30.0,  # carried across the gap
+        "2020-01-01T04:00:00": 30.0,
+    }
