@@ -1362,6 +1362,69 @@ _Q6_ANSI_SQL = """
     """
 
 
+@register(
+    "sliding_window_type_counts",
+    """
+    WITH b AS (
+      SELECT event_type,
+             make_timestamp(epoch_us(ts) // 1800000000 * 1800000000) AS bucket
+      FROM events
+    ),
+    w AS (
+      SELECT event_type,
+             unnest([bucket, bucket - INTERVAL 30 MINUTE]) AS window_start
+      FROM b
+    )
+    SELECT window_start, event_type, count(*) AS n_events
+    FROM w GROUP BY window_start, event_type
+    """,
+)
+def q_sliding_window_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) event-time windows: 1-hour windows every 30
+    minutes — each event lands in exactly two windows. Spark's
+    ``window()`` generator expands rows before one aggregation shuffle;
+    the oracle replays the expansion arithmetically (each event's two
+    epoch-aligned window starts). The sliding sibling of the tumbling
+    streaming histogram (ST2)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+_GROUPING_SETS_ANSI_SQL = """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """
+
+
+@register("grouping_sets_revenue", _GROUPING_SETS_ANSI_SQL)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (detail, subtotal, grand total in one
+    pass — cube's general form) through the dialect-portable SQL
+    surface: the same ANSI text runs in both engines. Rolled-up levels
+    are labeled via coalesce (the grouping columns are non-null in the
+    data), which keeps the text free of engine-specific GROUPING()
+    numbering. Spark executes this as one Expand + single shuffle, not
+    three scans."""
+    from eventstreamml_spark.sources.testdata import register_views
+
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(_GROUPING_SETS_ANSI_SQL)
+
+
 @register("sql_interface_q6", _Q6_ANSI_SQL)
 def q_sql_interface_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pure-SQL engine surface: register the canonical relations as
@@ -3666,21 +3729,37 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src
 
 
-def _run_available_now(stream_df: DataFrame, output_mode: str) -> DataFrame:
+def _run_available_now(
+    stream_df: DataFrame, output_mode: str, state_partitions: int = 8
+) -> DataFrame:
     import tempfile
     import uuid
 
+    spark = stream_df.sparkSession
     name = f"q_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return stream_df.sparkSession.table(name)
+    # Stateful operators open one state store (several for stream-stream
+    # joins) PER shuffle partition, and that count is pinned into the
+    # checkpoint at first batch — so state partitioning must be sized to
+    # STATE VOLUME, not to the session's batch-shuffle width. At bench
+    # scale 32 partitions means 128 RocksDB instances for a join and
+    # ~3× the wall time of 8; on a cluster this knob rises with state
+    # size, independently of spark.sql.shuffle.partitions. Scoped set +
+    # restore: only the streaming query's own stateful shuffles use it.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 @register(
