@@ -2501,6 +2501,64 @@ def q_doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_top_tokens_coverage",
+    """
+    WITH words AS (
+      SELECT lower(unnest(string_split(text, ' '))) AS word FROM documents
+    ),
+    counts AS (SELECT word, count(*) AS n FROM words GROUP BY word),
+    tot AS (SELECT sum(n) AS total FROM counts),
+    ranked AS (
+      SELECT word, n, row_number() OVER (ORDER BY n DESC, word) AS rk,
+             sum(n) OVER (ORDER BY n DESC, word ROWS UNBOUNDED PRECEDING)
+                 AS cum_n
+      FROM counts
+    )
+    SELECT word, n, rk, round(cum_n * 1.0 / total, 6) AS cum_coverage
+    FROM ranked, tot WHERE rk <= 100
+    """,
+)
+def q_corpus_top_tokens_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary induction statistics: the corpus's top-100
+    tokens by frequency with cumulative mass coverage — the curve that
+    sizes a vocab (A4's frequency-ranked build applied corpus-wide,
+    with the coverage integral). Count shuffle is on the word key
+    (map-side combined); the ranking window runs over the already
+    aggregated vocab-sized relation, not the corpus. Ties break
+    lexicographically so the ranking is total."""
+    from eventstreamml_spark.operators.text import whitespace_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.orderBy(F.col("n").desc(), F.col("word").asc())
+    ranked = counts.select(
+        "word",
+        "n",
+        F.row_number().over(w).alias("rk"),
+        F.sum("n").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias(
+            "_cum"
+        ),
+    )
+    total = counts.agg(F.sum("n").alias("_total"))
+    return (
+        ranked.filter(F.col("rk") <= 100)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "word",
+            "n",
+            "rk",
+            F.round(F.col("_cum") / F.col("_total"), 6).alias("cum_coverage"),
+        )
+    )
+
+
+@register(
     "doc_pii_redaction",
     r"""
     SELECT doc_id,
