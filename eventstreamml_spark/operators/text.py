@@ -8,7 +8,7 @@ shuffle-free per-row transforms); nothing here collects to the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 #: BPE-ish pre-tokenizer: word pieces, numbers, punctuation runs —
 #: the GPT-2 style contraction/word/number/punct split, simplified to
@@ -229,3 +229,79 @@ def fingerprint(
         )
     )
     return docs.filter(F.length(text) >= k).select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def hashing_tf(
+    docs: DataFrame,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Feature-hashing (hashing-trick) vectorizer in long form: each
+    token hashes to one of ``n_buckets`` and the bucket counts are the
+    document's sparse feature vector — vocabulary-free featurization
+    (no fit pass, no vocab broadcast), the standard trick when the
+    term space is unbounded.
+
+    The bucket hash is md5-derived (first 8 hex chars as an int, mod
+    n_buckets) so the mapping is engine-portable and stable across
+    runs — xxhash64 would be faster but is not replayable in the
+    oracle; swap it in where cross-engine replay is not needed. Long
+    (doc, bucket, tf) output keeps the row a fixed width regardless of
+    n_buckets. One keyed shuffle (the count groupBy)."""
+    words = words_table(docs, id_col, text_col)
+    bucket = (
+        F.conv(F.substring(F.md5(F.lower(F.col("word"))), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    return (
+        words.select(F.col(id_col), bucket.alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-``k`` terms by TF-IDF (smooth idf:
+    ln((N+1)/(df+1)) + 1, the sklearn convention), ties broken
+    lexicographically so the ranking is total.
+
+    Shuffles: term-count groupBy (map-side combined), the df groupBy
+    over the distinct (doc, term) relation, and the per-doc ranking
+    window — all keyed, none global. N rides in as a broadcast
+    one-row aggregate, never a driver round-trip."""
+    words = words_table(docs, id_col, text_col).select(
+        F.col(id_col), F.lower(F.col("word")).alias("term")
+    )
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.countDistinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            (
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+                    + F.lit(1.0)
+                )
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "tf", F.round("tfidf", 6).alias("tfidf"), "rk")
+    )

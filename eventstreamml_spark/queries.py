@@ -2501,6 +2501,58 @@ def q_doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_hashing_tf",
+    """
+    WITH words AS (
+      SELECT doc_id, lower(unnest(string_split(text, ' '))) AS word
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(word), 1, 8))::BIGINT % 64 AS BIGINT) AS bucket,
+           count(*) AS tf
+    FROM words GROUP BY doc_id, bucket
+    """,
+)
+def q_doc_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing vectorizer (hashing trick, 64 buckets,
+    md5-derived so both engines replay the same mapping): sparse
+    long-form term-frequency vectors with no vocabulary fit."""
+    from eventstreamml_spark.operators.text import hashing_tf
+
+    return hashing_tf(load_table(spark, sf_dir, "documents"), n_buckets=64)
+
+
+@register(
+    "doc_tfidf_top_terms",
+    """
+    WITH words AS (
+      SELECT doc_id, lower(unnest(string_split(text, ' '))) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    tot AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf,
+             tf * (ln((n_docs + 1) * 1.0 / (df + 1)) + 1.0) AS tfidf
+      FROM tf JOIN dfreq USING (term), tot
+    )
+    SELECT doc_id, term, tf, round(tfidf, 6) AS tfidf, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY tfidf DESC, term) AS rk
+      FROM scored) t
+    WHERE rk <= 3
+    """,
+)
+def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (smooth sklearn idf), keyword
+    extraction as three keyed shuffles + a per-doc ranking window."""
+    from eventstreamml_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+@register(
     "corpus_top_tokens_coverage",
     """
     WITH words AS (
