@@ -223,6 +223,7 @@ def stream_interval_join(
     right_ts: str,
     lookback: str = "30 minutes",
     watermark_delay: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join (ST7): pair each left event with
     right events of the same key whose event time falls in
@@ -236,6 +237,14 @@ def stream_interval_join(
     state forever. Callers must pass sides with disjoint column names
     apart from ``key`` (rename before calling); the output carries
     every column of both sides.
+
+    ``how="leftOuter"`` additionally emits unmatched left rows with
+    null right columns — but only once the watermark has passed the
+    row's match window, because "unmatched" is undecidable before
+    then. Rows near the end of a bounded run whose window the final
+    watermark never clears stay buffered and are NOT emitted — an
+    inherent property of watermarked outer joins, so outer results are
+    not batch-replayable near the stream tail (inner results are).
     """
     l = left.withWatermark(left_ts, watermark_delay)
     r = right.withWatermark(right_ts, watermark_delay)
@@ -244,6 +253,6 @@ def stream_interval_join(
         & (r[right_ts] < l[left_ts])
         & (r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {lookback}"))
     )
-    joined = l.join(r, cond, "inner")
+    joined = l.join(r, cond, how)
     # the key arrives from both sides under one name; keep the left one
     return joined.select(*[l[c] for c in left.columns], *[r[c] for c in right.columns if c != key])

@@ -303,3 +303,39 @@ def test_stream_interval_join_pairs_and_bounds(spark, tmp_path):
     rows = spark.table("ivj").collect()
     assert sorted(r["cid"] for r in rows) == [1, 3]
     assert all(r["pid"] == 100 and r["k"] == 1 for r in rows)
+
+
+def test_stream_interval_left_outer_emits_unmatched(spark, tmp_path):
+    """leftOuter: a purchase with no preceding click emits with null
+    right columns once the watermark clears its window — driven by a
+    second, much-later batch advancing the watermark."""
+    from eventstreamml_spark.streaming.ops import stream_interval_join
+
+    pdir, cdir = str(tmp_path / "p"), str(tmp_path / "c")
+    pschema, cschema = "k long, pts timestamp, pid long", "k long, cts timestamp, cid long"
+    # batch 1: one matched purchase, one unmatched
+    spark.createDataFrame(
+        [(1, _ts("2020-01-01 01:00:00"), 100), (2, _ts("2020-01-01 01:00:00"), 200)],
+        pschema,
+    ).coalesce(1).write.mode("append").parquet(pdir)
+    spark.createDataFrame(
+        [(1, _ts("2020-01-01 00:45:00"), 1)], cschema
+    ).coalesce(1).write.mode("append").parquet(cdir)
+    # batch 2: far-future rows push the watermark past batch 1's windows
+    spark.createDataFrame(
+        [(9, _ts("2020-01-02 00:00:00"), 900)], pschema
+    ).coalesce(1).write.mode("append").parquet(pdir)
+    spark.createDataFrame(
+        [(9, _ts("2020-01-02 00:00:00"), 9)], cschema
+    ).coalesce(1).write.mode("append").parquet(cdir)
+
+    ps = spark.readStream.schema(pschema).option("maxFilesPerTrigger", "1").parquet(pdir)
+    cs = spark.readStream.schema(cschema).option("maxFilesPerTrigger", "1").parquet(cdir)
+    joined = stream_interval_join(
+        ps, cs, key="k", left_ts="pts", right_ts="cts",
+        lookback="30 minutes", how="leftOuter",
+    )
+    _run(joined, "ivj_outer", tmp_path, "append")
+    rows = {r["pid"]: r["cid"] for r in spark.table("ivj_outer").collect()}
+    assert rows[100] == 1       # matched pair
+    assert 200 in rows and rows[200] is None  # unmatched, emitted on watermark pass
