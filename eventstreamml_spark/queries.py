@@ -2102,6 +2102,44 @@ def q_resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_oracle_sql(bits: int = 16) -> str:
+    terms = " | ".join(
+        f"(((xk >> {i}) & 1) << {2 * i}) | (((yk >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+    return f"""
+    WITH k AS (
+      SELECT l_orderkey, l_linenumber,
+             l_orderkey % 65536 AS xk, l_partkey % 65536 AS yk
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, CAST({terms} AS BIGINT) AS zval
+    FROM k
+    """
+
+
+@register("zorder_clustering_key", _zorder_oracle_sql())
+def q_zorder_clustering_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (orderkey, partkey) — the
+    multi-dimensional layout key that makes parquet min/max stats
+    prune BOTH dimensions after a
+    repartitionByRange(zval)+sortWithinPartitions write
+    (functions/layout.py). Pure bit arithmetic, zero shuffle; the
+    oracle replays the interleave with the same shifts."""
+    from eventstreamml_spark.functions.layout import zorder_key
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        zorder_key(
+            F.pmod(F.col("l_orderkey"), F.lit(65536)),
+            F.pmod(F.col("l_partkey"), F.lit(65536)),
+            bits=16,
+        ).alias("zval"),
+    )
+
+
 @register(
     "pivot_type_counts",
     """

@@ -144,3 +144,20 @@ def test_resample_ffill_golden(spark):
         "2020-01-01T03:00:00": 30.0,  # carried across the gap
         "2020-01-01T04:00:00": 30.0,
     }
+
+
+def test_zorder_interleave_golden(spark):
+    """Morton golden values and the pruning property: rows inside one
+    z-range quadrant stay inside the matching x/y box."""
+    from eventstreamml_spark.functions.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(8) for y in range(8)], "x long, y long"
+    )
+    rows = df.select("x", "y", zorder_key(F.col("x"), F.col("y"), bits=3).alias("z")).collect()
+    z = {(r["x"], r["y"]): r["z"] for r in rows}
+    assert z[(0, 0)] == 0 and z[(1, 0)] == 1 and z[(0, 1)] == 2 and z[(1, 1)] == 3
+    assert z[(7, 7)] == 63 and z[(2, 0)] == 4 and z[(0, 2)] == 8
+    # quadrant property: z in [0,16) <=> x,y both in [0,4)
+    for (x, y), zz in z.items():
+        assert (zz < 16) == (x < 4 and y < 4)
