@@ -2102,6 +2102,82 @@ def q_resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "funnel_click_to_purchase",
+    """
+    WITH t1s AS (
+      SELECT user_id, min(ts) FILTER (event_type = 'click') AS t1
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN t1s USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > t1s.t1
+      GROUP BY e.user_id
+    )
+    SELECT t1s.user_id,
+           CASE WHEN conv.t2 IS NOT NULL THEN 2
+                WHEN t1s.t1 IS NOT NULL THEN 1 ELSE 0 END AS stage,
+           epoch_us(conv.t2) - epoch_us(t1s.t1) AS convert_us
+    FROM t1s LEFT JOIN conv USING (user_id)
+    """,
+)
+def q_funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel / sequential-pattern analysis: per subject, the first
+    click and the first purchase strictly AFTER it (order matters — a
+    purchase before any click does not convert), with stage reached
+    and exact-µs time-to-convert. One keyed window computes the
+    first-click time without a second scan; the purchase-after filter
+    and min ride the same subject partitioning."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "click", F.col("ts"))).over(w)
+    staged = ev.select("user_id", "ts", "event_type", t1.alias("_t1"))
+    conv = (
+        staged.filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("_t1"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_t2"))
+    )
+    per_user = staged.groupBy("user_id").agg(F.min("_t1").alias("_t1"))
+    return per_user.join(conv, "user_id", "left").select(
+        "user_id",
+        F.when(F.col("_t2").isNotNull(), 2)
+        .when(F.col("_t1").isNotNull(), 1)
+        .otherwise(0)
+        .alias("stage"),
+        (
+            F.unix_micros(F.col("_t2").cast("timestamp"))
+            - F.unix_micros(F.col("_t1").cast("timestamp"))
+        ).alias("convert_us"),
+    )
+
+
+@register(
+    "value_histogram_bins",
+    """
+    SELECT event_type, CAST(floor(value / 20.0) AS BIGINT) AS bin,
+           count(*) AS n
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type, bin
+    """,
+)
+def q_value_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram binning per key (the distribution-profile
+    companion to the exact percentiles): floor arithmetic, one
+    map-side-combined shuffle."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.floor(F.col("value") / 20.0).cast("long").alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def _zorder_oracle_sql(bits: int = 16) -> str:
     terms = " | ".join(
         f"(((xk >> {i}) & 1) << {2 * i}) | (((yk >> {i}) & 1) << {2 * i + 1})"
