@@ -236,3 +236,60 @@ def ngram_contamination(
         )
         .withColumn("contaminated", F.col("n_shared") >= min_shared)
     )
+
+
+def shard_plan(
+    docs: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Plan globally-shuffled training shards: every document lands in
+    shard ``md5(id) % n_shards``, and the plan reports per-shard volume
+    ``(shard, n_docs, total_size, min_hash, max_hash)`` so a pipeline
+    can verify the shuffle is balanced BEFORE paying for the write.
+
+    This is the distributable form of "shuffle the corpus once before
+    training": a content-free hash gives a uniform pseudo-random
+    permutation with no global sort — the writer then does
+    ``repartition(n_shards, shard).sortWithinPartitions(doc_hash)``,
+    so each shard is internally hash-ordered and shards are mutually
+    independent (re-shufflable, resumable, skew-bounded by the hash).
+    One keyed shuffle; hash skew is statistically bounded at any SF."""
+    h = F.md5(F.col(id_col).cast("string"))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards
+    ).alias("shard")
+    return (
+        docs.select(shard, F.col(size_col).alias("_sz"), h.alias("_h"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_sz").alias("total_size"),
+            F.min("_h").alias("min_hash"),
+            F.max("_h").alias("max_hash"),
+        )
+    )
+
+
+def incremental_new_docs(
+    incoming: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental-ingest exact dedup: keep only incoming documents
+    whose content digest does NOT already exist in the reference
+    corpus — the daily-crawl-vs-existing-corpus step that runs before
+    any expensive near-dup pass.
+
+    A digest anti-join: both sides reduce to 16-byte md5 digests
+    before the shuffle (text never crosses the wire), the reference
+    side is pre-distincted so the join input is its digest SET, and
+    Catalyst/AQE pick broadcast vs shuffled-hash by the (small) digest
+    relation's size. Returns ``(id_col, digest)`` for surviving docs."""
+    inc = incoming.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("digest")
+    )
+    ref = reference.select(F.md5(F.col(text_col)).alias("digest")).distinct()
+    return inc.join(ref, "digest", "left_anti").select(id_col, "digest")

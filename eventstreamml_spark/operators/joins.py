@@ -27,24 +27,33 @@ def as_of_join(
     right_ts: str = "timestamp",
     payload_cols: list[str] | None = None,
     strict: bool = False,
+    direction: str = "backward",
+    tolerance_s: float | None = None,
 ) -> DataFrame:
     """Attach to each left row the most recent right row with
-    ``right_ts <= left_ts`` (``<`` when ``strict``), per key.
+    ``right_ts <= left_ts`` (``<`` when ``strict``), per key — or,
+    with ``direction="forward"``, the EARLIEST right row with
+    ``right_ts >= left_ts`` (``>`` when strict). ``tolerance_s``
+    bounds the match distance (pandas ``merge_asof`` semantics):
+    payloads farther than that many seconds are nulled, so a stale
+    marker never attaches across an unbounded gap.
 
     Returns the left relation plus ``payload_cols`` (null when no
-    right row precedes). Rows of ``right`` sharing (keys, right_ts)
+    right row qualifies). Rows of ``right`` sharing (keys, right_ts)
     should be pre-deduplicated by the caller — among exact timestamp
     ties the carried payload is otherwise unspecified.
 
     The implementation reserves the internal column names ``_t``,
-    ``_p``, ``_side``, ``_asof``; inputs using them, or a payload
-    column that collides with a left column, are rejected up front
-    (silent duplicate/wrong output otherwise).
+    ``_p``, ``_rt``, ``_side``, ``_asof``; inputs using them, or a
+    payload column that collides with a left column, are rejected up
+    front (silent duplicate/wrong output otherwise).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     payload_cols = payload_cols or [
         c for c in right.columns if c not in set(keys) | {right_ts}
     ]
-    reserved = {"_t", "_p", "_side", "_asof"}
+    reserved = {"_t", "_p", "_rt", "_side", "_asof"}
     clash = reserved & (set(left.columns) | set(right.columns))
     if clash:
         raise ValueError(
@@ -57,13 +66,22 @@ def as_of_join(
             f"payload columns {sorted(dup)} collide with left columns; "
             f"rename them on the right side before joining"
         )
+    backward = direction == "backward"
+    # side ordering decides visibility of equal-timestamp right rows:
+    # backward scans (unbounded, current], so a right row visible at
+    # equal ts must sort BEFORE the left row; forward scans [current,
+    # unbounded), so it must sort AFTER. Strict flips each.
+    if backward:
+        right_side = 2 if strict else 0
+    else:
+        right_side = 0 if strict else 2
     r = right.select(
         *keys,
         F.col(right_ts).alias("_t"),
-        F.struct(*[F.col(c) for c in payload_cols]).alias("_p"),
-        # at equal timestamps the right row sorts before the left row
-        # (visible, >= semantics) unless strict, where it sorts after
-        F.lit(2 if strict else 0).alias("_side"),
+        F.struct(
+            F.col(right_ts).alias("_rt"), *[F.col(c) for c in payload_cols]
+        ).alias("_p"),
+        F.lit(right_side).alias("_side"),
     )
     p_type = r.schema["_p"].dataType
     l = left.select(
@@ -76,15 +94,30 @@ def as_of_join(
         if c not in r.columns:
             r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     u = l.unionByName(r.select(*l.columns))
-    w = (
-        W.partitionBy(*keys)
-        .orderBy("_t", "_side")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    out = (
-        u.withColumn("_asof", F.last("_p", ignorenulls=True).over(w))
-        .filter(F.col("_side") == 1)
-    )
+    if backward:
+        w = (
+            W.partitionBy(*keys)
+            .orderBy("_t", "_side")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        carried = F.last("_p", ignorenulls=True).over(w)
+    else:
+        w = (
+            W.partitionBy(*keys)
+            .orderBy("_t", "_side")
+            .rowsBetween(W.currentRow, W.unboundedFollowing)
+        )
+        carried = F.first("_p", ignorenulls=True).over(w)
+    out = u.withColumn("_asof", carried).filter(F.col("_side") == 1)
+    if tolerance_s is not None:
+        dist_us = F.abs(
+            F.unix_micros(F.col("_t").cast("timestamp"))
+            - F.unix_micros(F.col("_asof")["_rt"].cast("timestamp"))
+        )
+        out = out.withColumn(
+            "_asof",
+            F.when(dist_us <= F.lit(int(tolerance_s * 1_000_000)), F.col("_asof")),
+        )
     return out.select(
         *left.columns, *[F.col("_asof")[c].alias(c) for c in payload_cols]
     )

@@ -372,3 +372,93 @@ def quantize_embeddings_int8(
         acc(F.transform(q, F.abs)).cast("long").alias("q_abs_sum"),
         acc(qi).cast("long").alias("q_dot"),
     )
+
+
+def label_centroid_stats(
+    emb: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label embedding centroids and intra-cluster cohesion:
+    ``(label, n_vecs, centroid_norm, mean_cos)`` where ``mean_cos`` is
+    the average cosine of each member to its label centroid — the
+    cluster-quality / embedding-drift diagnostic a curation pipeline
+    runs after labelling or clustering.
+
+    The centroid is computed component-wise over a posexploded
+    ``(label, pos, val)`` relation — the distributed idiom for
+    elementwise vector aggregation: no collect_list of whole vectors
+    into one task, no driver math. Both groupBys and the
+    component-join are keyed by (label, pos) / (label, id); at 100 TB
+    every shuffle row is a scalar triple, and the centroid relation is
+    |labels|·dim rows — broadcast-sized for any real label space."""
+    comp = emb.select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = comp.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+    per_vec = (
+        comp.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("label", "vid")
+        .agg(
+            F.sum(F.col("v") * F.col("c")).alias("d"),
+            F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nv"),
+            F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nc"),
+        )
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.max("nc"), 6).alias("centroid_norm"),
+        F.round(F.avg(F.col("d") / (F.col("nv") * F.col("nc"))), 6).alias("mean_cos"),
+    )
+
+
+def knn_label_agreement(
+    emb: DataFrame,
+    sample_mod: int = 11,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-quality probe: for a deterministic ~1/``sample_mod``
+    hash-sample of vectors, find each one's exact cosine 1-NN among
+    ALL OTHER vectors and report whether the neighbor's label agrees —
+    the standard leave-one-out label-consistency check before trusting
+    an embedding space for near-dup mining or clustering.
+
+    Sampling is an md5-mod filter (scale-safe: no global order, no
+    count), the sampled query side broadcasts, and the corpus streams
+    past it once — the same O(|sample|·|C|) shape as cosine_topk. Ties
+    break by ascending neighbor id so both engines pick the same
+    neighbor. Returns ``(vec_id, label, nn_id, nn_label, agree)``."""
+    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % sample_mod
+    q = emb.filter(bucket == 0).select(
+        F.col(id_col).alias("qid"),
+        F.col(label_col).alias("qlabel"),
+        F.col(vec_col).alias("qv"),
+    )
+    c = emb.select(
+        F.col(id_col).alias("nn_id"),
+        F.col(label_col).alias("nn_label"),
+        F.col(vec_col).alias("cv"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).filter(F.col("nn_id") != F.col("qid"))
+    scored = scored.select(
+        "qid", "qlabel", "nn_id", "nn_label", cosine(F.col("qv"), F.col("cv")).alias("cos")
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nn_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("qlabel").alias("label"),
+            "nn_id",
+            "nn_label",
+            (F.col("qlabel") == F.col("nn_label")).alias("agree"),
+        )
+    )

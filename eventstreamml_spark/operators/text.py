@@ -305,3 +305,56 @@ def tfidf_top_terms(
         .filter(F.col("rk") <= k)
         .select(id_col, "term", "tf", F.round("tfidf", 6).alias("tfidf"), "rk")
     )
+
+
+def unigram_lm(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Fit a corpus unigram language model: ``(word, tf, logp)`` with
+    MLE log-probabilities ``ln(tf / N)``.
+
+    The SQL-expressible stand-in for the KenLM perplexity filter in
+    CCNet-style quality pipelines: one token-keyed groupBy (map-side
+    combined), with the corpus total riding in as a broadcast one-row
+    aggregate — no driver round-trip, no second scan of the token
+    relation (Catalyst reuses the exchange under AQE)."""
+    words = words_table(docs, id_col, text_col).filter(F.col("word") != "")
+    tf = words.groupBy("word").agg(F.count(F.lit(1)).alias("tf"))
+    total = tf.agg(F.sum("tf").alias("n_total"))
+    return tf.crossJoin(F.broadcast(total)).select(
+        "word", "tf", F.log(F.col("tf") / F.col("n_total")).alias("logp")
+    )
+
+
+def unigram_logprob_score(
+    docs: DataFrame,
+    lm: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under a unigram LM
+    (pseudo-perplexity = exp(nll)): the classic LM-based quality score
+    — documents of improbable tokens score high and get filtered.
+
+    ``lm`` defaults to a model fitted on ``docs`` itself (so every
+    token is in-vocabulary); pass a model fitted elsewhere to score a
+    new corpus against a reference distribution (unseen words are
+    dropped from the average, the SQL-friendly OOV convention).
+
+    Shuffles: the LM fit groupBy and the score join are both keyed by
+    ``word``; the per-doc average is keyed by ``id_col``. The LM is
+    vocabulary-sized — bounded by distinct tokens, not corpus rows —
+    so at 100 TB the word-keyed join stays a shuffle join on a relation
+    that partial-aggregation already collapsed; AQE broadcasts it when
+    the vocabulary is small enough."""
+    if lm is None:
+        lm = unigram_lm(docs, id_col, text_col)
+    words = words_table(docs, id_col, text_col).filter(F.col("word") != "")
+    return (
+        words.join(lm.select("word", "logp"), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(-F.avg("logp"), 6).alias("nll"),
+        )
+    )

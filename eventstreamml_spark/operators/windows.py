@@ -402,3 +402,58 @@ def resample_ffill(
         .filter(F.col("_is_grid") == 1)
         .drop("_is_grid")
     )
+
+
+def ewma_by_subject(
+    df: DataFrame,
+    alpha: float = 0.3,
+    subject_col: str = "subject_id",
+    ts_col: str = "timestamp",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-subject exponentially weighted moving average of
+    ``value_col`` over the time-ordered event sequence, returning one
+    row per subject with the FINAL smoothed state — the "decayed
+    activity level" feature a recency-weighted model reads per entity.
+
+    s₁ = x₁; sₜ = (1−α)·sₜ₋₁ + α·xₜ (pandas ``ewm(adjust=False)``).
+
+    A left-fold is inherently sequential, but only WITHIN a subject:
+    the plan is one keyed shuffle (collect_list per subject), an
+    ordered array sort, and a codegen'd higher-order ``aggregate``
+    fold — no Python, no window-function trick with
+    ``pow(1−α, −i)`` terms that overflow on long sequences. Sequence
+    length per subject is bounded (the reference's per-subject
+    sequences cap at thousands), so the per-row array stays small
+    even when the corpus is 100 TB; the fold never crosses rows.
+    Nulls in ``value_col`` are dropped before folding (pandas
+    ``ignore_na=True`` convention); subjects with no non-null values
+    emit null."""
+    seq = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(subject_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("_t"),
+                        F.col(id_col).alias("_i"),
+                        F.col(value_col).cast("double").alias("_v"),
+                    )
+                )
+            ).alias("_seq")
+        )
+    )
+    vals = F.transform(F.col("_seq"), lambda s: s["_v"])
+    folded = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.get(vals, 0),
+        lambda acc, x: acc * F.lit(1.0 - alpha) + F.lit(alpha) * x,
+    )
+    return seq.select(
+        subject_col,
+        F.size(F.col("_seq")).alias("n_obs"),
+        folded.alias(out_col),
+    )

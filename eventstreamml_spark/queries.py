@@ -4528,3 +4528,313 @@ def q_tte_target_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_col="tte_target_us",
     )
     return out.select("event_id", "tte_target_us", "tte_target_mask")
+
+
+# ---------------------------------------------------------------------------
+# Round 3 additions: LM quality scoring, embedding diagnostics,
+# shard planning, incremental dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_unigram_nll",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, w AS word FROM (
+        SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w
+        FROM documents
+      ) WHERE w <> ''
+    ),
+    tot AS (SELECT count(*) * 1.0 AS n FROM toks),
+    lm AS (
+      SELECT word, ln(count(*) / (SELECT n FROM tot)) AS logp
+      FROM toks GROUP BY word
+    )
+    SELECT t.doc_id, count(*) AS n_tokens, round(-avg(l.logp), 6) AS nll
+    FROM toks t JOIN lm l USING (word) GROUP BY t.doc_id
+    """,
+)
+def q_doc_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score: per-document mean negative
+    log-likelihood under the corpus unigram distribution — the
+    SQL-expressible stand-in for CCNet/KenLM perplexity filtering.
+    Pseudo-perplexity = exp(nll); high-nll docs are the filter's
+    casualties."""
+    from eventstreamml_spark.operators.text import unigram_logprob_score
+
+    return unigram_logprob_score(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_label_centroids",
+    """
+    WITH comp AS (
+      SELECT vec_id, label, t.pos, embedding[t.pos + 1]::DOUBLE AS v
+      FROM embeddings, range(64) t(pos)
+    ),
+    cent AS (SELECT label, pos, avg(v) AS c FROM comp GROUP BY label, pos),
+    pv AS (
+      SELECT comp.label, vec_id,
+             sum(v * c) AS d,
+             sqrt(sum(v * v)) AS nv,
+             sqrt(sum(c * c)) AS nc
+      FROM comp JOIN cent ON comp.label = cent.label AND comp.pos = cent.pos
+      GROUP BY comp.label, vec_id
+    )
+    SELECT label, count(*) AS n_vecs,
+           round(max(nc), 6) AS centroid_norm,
+           round(avg(d / (nv * nc)), 6) AS mean_cos
+    FROM pv GROUP BY label
+    """,
+)
+def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid + intra-cluster cohesion over the embedding
+    table: component-wise distributed centroid (posexplode, never a
+    whole-vector collect) and mean member-to-centroid cosine."""
+    from eventstreamml_spark.operators.similarity import label_centroid_stats
+
+    return label_centroid_stats(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "knn_label_agreement",
+    """
+    WITH q AS (
+      SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+      FROM embeddings
+      WHERE CAST(('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT % 11
+                 AS BIGINT) = 0
+    ),
+    scored AS (
+      SELECT q.qid, q.qlabel, e.vec_id AS nn_id, e.label AS nn_label,
+             list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+      FROM q, embeddings e WHERE e.vec_id <> q.qid
+    )
+    SELECT qid AS vec_id, qlabel AS label, nn_id, nn_label,
+           qlabel = nn_label AS agree
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                    ORDER BY cos DESC, nn_id) AS rk FROM scored) t
+    WHERE rk = 1
+    """,
+)
+def q_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 1-NN label consistency on an md5-mod sample of
+    vectors (deterministic, no global order): does the nearest
+    neighbor carry the same label? The embedding-space sanity check
+    before near-dup mining trusts cosine distances."""
+    from eventstreamml_spark.operators.similarity import knn_label_agreement
+
+    return knn_label_agreement(load_table(spark, sf_dir, "embeddings"), sample_mod=11)
+
+
+@register(
+    "doc_shard_plan",
+    """
+    WITH h AS (
+      SELECT CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 16
+                  AS BIGINT) AS shard,
+             n_chars, md5(doc_id::VARCHAR) AS hh
+      FROM documents
+    )
+    SELECT shard, count(*) AS n_docs, sum(n_chars) AS total_size,
+           min(hh) AS min_hash, max(hh) AS max_hash
+    FROM h GROUP BY shard
+    """,
+)
+def q_doc_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard shuffle plan: md5-mod shard assignment with
+    per-shard volume accounting — the balance check before
+    repartition(n_shards).sortWithinPartitions(hash) writes globally
+    shuffled shards."""
+    from eventstreamml_spark.operators.curation import shard_plan
+
+    return shard_plan(load_table(spark, sf_dir, "documents"), n_shards=16)
+
+
+@register(
+    "dedup_incremental_ingest",
+    """
+    WITH ref AS (
+      SELECT DISTINCT md5(text) AS digest FROM documents
+      WHERE source IN ('src0','src1','src2','src3','src4',
+                       'src5','src6','src7','src8','src9')
+    ),
+    inc AS (
+      SELECT doc_id, md5(text) AS digest FROM documents
+      WHERE source NOT IN ('src0','src1','src2','src3','src4',
+                           'src5','src6','src7','src8','src9')
+    )
+    SELECT i.doc_id, i.digest FROM inc i
+    WHERE NOT EXISTS (SELECT 1 FROM ref r WHERE r.digest = i.digest)
+    """,
+)
+def q_dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest exact dedup: new-batch docs (sources
+    src10..src19) anti-joined by content digest against the existing
+    corpus (src0..src9) — the crawl-vs-corpus step that precedes any
+    near-dup pass. Digests cross the shuffle, text never does."""
+    from eventstreamml_spark.operators.curation import incremental_new_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = [f"src{i}" for i in range(10)]
+    return incremental_new_docs(
+        docs.filter(~F.col("source").isin(old)),
+        docs.filter(F.col("source").isin(old)),
+    )
+
+
+@register(
+    "asof_next_purchase",
+    """
+    WITH m AS (
+      SELECT user_id, ts, min(event_id) AS marker_id
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ),
+    j AS (
+      SELECT e.event_id, m.marker_id,
+             epoch_us(m.ts) - epoch_us(e.ts) AS d_us
+      FROM events e ASOF LEFT JOIN m
+        ON e.user_id = m.user_id AND e.ts <= m.ts
+    )
+    SELECT event_id,
+           CASE WHEN d_us <= 3600000000 THEN marker_id END AS marker_id,
+           CASE WHEN d_us <= 3600000000 THEN d_us END AS until_purchase_us
+    FROM j
+    """,
+)
+def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with a tolerance bound (pandas merge_asof
+    direction='forward'): each event attaches the EARLIEST purchase
+    at-or-after it, but only within one hour — the
+    "time-to-next-conversion" label a churn/conversion model trains
+    on, leak-free because only future-side markers attach and stale
+    gaps null out. Same single-shuffle union+window plan as the
+    backward join; the oracle is DuckDB's native forward ASOF."""
+    from eventstreamml_spark.operators.joins import as_of_join
+
+    ev = _events(spark, sf_dir)
+    markers = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("marker_id"))
+        .withColumn("marker_ts", F.col("ts"))
+    )
+    out = as_of_join(
+        ev.select("event_id", "user_id", "ts"),
+        markers,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["marker_id", "marker_ts"],
+        direction="forward",
+        tolerance_s=3600.0,
+    )
+    return out.select(
+        "event_id",
+        "marker_id",
+        (
+            F.unix_micros(F.col("marker_ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("until_purchase_us"),
+    )
+
+
+@register(
+    "ewma_value_by_subject",
+    """
+    WITH seq AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS l
+      FROM events WHERE value IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, len(l) AS n_obs,
+           round(list_reduce(l, (acc, x) -> acc * (1.0 - 0.3) + 0.3 * x), 6)
+             AS ewma
+    FROM seq
+    """,
+)
+def q_ewma_value_by_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subject EWMA of event values (final decayed state,
+    s₁=x₁; sₜ=0.7·sₜ₋₁+0.3·xₜ): a sequential fold run as a codegen'd
+    higher-order `aggregate` inside each subject's row — the pattern
+    for any per-sequence recurrence Spark lacks a window function
+    for. Both engines fold in the identical order, so the doubles
+    agree bit-for-bit before the shared 6dp rounding."""
+    out = win.ewma_by_subject(
+        _events(spark, sf_dir),
+        alpha=0.3,
+        subject_col="user_id",
+        ts_col="ts",
+        id_col="event_id",
+        value_col="value",
+    )
+    return out.withColumn("ewma", F.round("ewma", 6))
+
+
+@register(
+    "streaming_topk_per_window",
+    """
+    WITH c AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY window_start
+                  ORDER BY n_events DESC, event_type) AS rk
+      FROM c) t
+    WHERE rk <= 2
+    """,
+)
+def q_streaming_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k event types per hourly window over a stream: the
+    watermarked windowed aggregation runs incrementally (the
+    streaming half), and the per-window rank runs over the
+    aggregation's sink (the serving half) — the split Structured
+    Streaming forces, since rank-over-aggregate isn't incremental.
+    State per window is |event_types|, bounded; the sink relation is
+    windows×types, tiny next to the stream."""
+    from eventstreamml_spark.streaming.ops import windowed_event_type_counts
+
+    ev = _events_stream(spark, sf_dir)
+    counts = windowed_event_type_counts(
+        ev, "1 hour", "10 minutes", ts_col="ts", type_col="event_type"
+    )
+    sink = _run_available_now(counts, "complete")
+    w = W.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        sink.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select(
+            F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "rk",
+        )
+    )
+
+
+@register("approx_distinct_users_by_type", None)
+def q_approx_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user counts per event type beside the
+    exact count and relative error — THE cardinality operator at
+    100 TB, where exact distinct means shuffling every (type, user)
+    pair but the sketch is a few KB per group, mergeable map-side.
+    Rows-only by design: sketch estimates are engine-specific (Spark
+    HLL++ vs DuckDB's HLL differ by construction); the unit test pins
+    the ≤5% relative-error contract instead."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("n_approx"),
+            F.countDistinct("user_id").alias("n_exact"),
+        )
+        .withColumn(
+            "rel_err",
+            F.round(
+                F.abs(F.col("n_approx") - F.col("n_exact")) / F.col("n_exact"), 6
+            ),
+        )
+    )

@@ -493,3 +493,57 @@ def test_rolling_time_agg_boundaries(spark):
     # subjects never see each other's events
     assert out[5] == (1, 16.0)
     assert out[1] == (1, 1.0)
+
+
+def test_as_of_join_forward_and_tolerance(spark):
+    from eventstreamml_spark.operators.joins import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 30), (4, "b", 15), (5, "c", 5)],
+        "lid long, k string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("a", 10, 100), ("a", 25, 101), ("b", 16, 103)],
+        "k string, ts long, mid long",
+    )
+    fwd = {
+        r["lid"]: r["mid"]
+        for r in as_of_join(
+            left, right, keys=["k"], left_ts="ts", right_ts="ts",
+            direction="forward",
+        ).collect()
+    }
+    # earliest marker at-or-after; equal ts visible; none after → null
+    assert fwd == {1: 100, 2: 101, 3: None, 4: 103, 5: None}
+
+    fwd_strict = {
+        r["lid"]: r["mid"]
+        for r in as_of_join(
+            left, right, keys=["k"], left_ts="ts", right_ts="ts",
+            direction="forward", strict=True,
+        ).collect()
+    }
+    # strict: the equal-ts marker at (a,10) is invisible → next is 25
+    assert fwd_strict == {1: 101, 2: 101, 3: None, 4: 103, 5: None}
+
+    # tolerance: ts are epoch seconds here; cap the gap at 5s
+    tol = {
+        r["lid"]: r["mid"]
+        for r in as_of_join(
+            left, right, keys=["k"], left_ts="ts", right_ts="ts",
+            direction="forward", tolerance_s=5.0,
+        ).collect()
+    }
+    # lid=2 (ts 20 → marker 25, gap 5) kept; lid=4 (15→16) kept
+    assert tol == {1: 100, 2: 101, 3: None, 4: 103, 5: None}
+    tol2 = {
+        r["lid"]: r["mid"]
+        for r in as_of_join(
+            left, right, keys=["k"], left_ts="ts", right_ts="ts",
+            direction="forward", tolerance_s=4.0,
+        ).collect()
+    }
+    assert tol2 == {1: 100, 2: None, 3: None, 4: 103, 5: None}
+
+    with pytest.raises(ValueError, match="direction"):
+        as_of_join(left, right, keys=["k"], direction="nearest")

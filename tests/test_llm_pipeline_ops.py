@@ -410,3 +410,102 @@ def test_quantize_int8_contract(spark):
     assert out[1]["q_dot"] == 127 * 1 - 64 * 2 + 32 * 3
     # vec 3: scale = 2/127 → codes -127, 127, 63.5→64, -64
     assert out[3]["q_abs_sum"] == 127 + 127 + 64 + 64
+
+
+def test_unigram_lm_probabilities_sum_to_one(spark):
+    docs = _docs(spark, [(1, "a a b"), (2, "b c")])
+    lm = text.unigram_lm(docs).collect()
+    import math
+
+    assert sum(r["tf"] for r in lm) == 5
+    assert abs(sum(math.exp(r["logp"]) for r in lm) - 1.0) < 1e-12
+    probs = {r["word"]: math.exp(r["logp"]) for r in lm}
+    assert abs(probs["a"] - 2 / 5) < 1e-12
+
+
+def test_unigram_score_external_lm_drops_oov(spark):
+    ref = _docs(spark, [(1, "a a a b")])
+    lm = text.unigram_lm(ref)
+    newdocs = _docs(spark, [(10, "a zzz")])  # zzz is OOV in the reference LM
+    out = text.unigram_logprob_score(newdocs, lm=lm).collect()
+    import math
+
+    assert len(out) == 1
+    # only 'a' contributes: nll = -ln(3/4)
+    assert out[0]["n_tokens"] == 1
+    assert abs(out[0]["nll"] - (-math.log(3 / 4))) < 1e-5
+
+
+def test_label_centroid_stats_tight_cluster(spark):
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.01], 0),
+        (3, [0.0, 1.0], 1),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["label"]: r for r in similarity.label_centroid_stats(emb).collect()}
+    assert out[0]["n_vecs"] == 2 and out[1]["n_vecs"] == 1
+    assert out[0]["mean_cos"] > 0.999  # near-identical members
+    assert abs(out[1]["mean_cos"] - 1.0) < 1e-6  # singleton == its centroid
+
+
+def test_knn_label_agreement_separated_clusters(spark):
+    # two well-separated clusters; every vector's 1-NN shares its label
+    rows = [
+        (i, [1.0 + 0.01 * i, 0.0], 0) for i in range(6)
+    ] + [
+        (10 + i, [0.0, 1.0 + 0.01 * i], 1) for i in range(6)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = similarity.knn_label_agreement(emb, sample_mod=2).collect()
+    assert len(out) >= 2
+    assert all(r["agree"] for r in out)
+
+
+def test_shard_plan_partitions_everything(spark):
+    from eventstreamml_spark.operators.curation import shard_plan
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", 10 + i) for i in range(40)], "doc_id long, text string, n_chars long"
+    )
+    plan = shard_plan(docs, n_shards=4).collect()
+    assert sum(r["n_docs"] for r in plan) == 40
+    assert {r["shard"] for r in plan} <= {0, 1, 2, 3}
+    assert sum(r["total_size"] for r in plan) == sum(10 + i for i in range(40))
+
+
+def test_incremental_new_docs_anti_join(spark):
+    from eventstreamml_spark.operators.curation import incremental_new_docs
+
+    ref = _docs(spark, [(1, "seen before"), (2, "also seen")])
+    inc = _docs(spark, [(10, "seen before"), (11, "brand new")])
+    out = incremental_new_docs(inc, ref).collect()
+    assert [r["doc_id"] for r in out] == [11]
+
+
+def test_approx_distinct_error_contract(spark):
+    from eventstreamml_spark.queries import queries
+
+    out = queries()["approx_distinct_users_by_type"](spark, "/root/testdata/sf0.001").collect()
+    assert len(out) > 0
+    assert all(r["rel_err"] <= 0.05 for r in out)
+
+
+def test_ewma_matches_pandas_convention(spark):
+    import pandas as pd
+
+    from eventstreamml_spark.operators.windows import ewma_by_subject
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", 1.0),
+        (2, 1, "2024-01-01 01:00:00", 2.0),
+        (3, 1, "2024-01-01 02:00:00", None),  # ignored
+        (4, 1, "2024-01-01 03:00:00", 4.0),
+        (5, 2, "2024-01-01 00:00:00", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, subject_id long, timestamp string, value double")
+    df = df.withColumn("timestamp", df["timestamp"].cast("timestamp"))
+    out = {r["subject_id"]: r for r in ewma_by_subject(df, alpha=0.3).collect()}
+    exp = pd.Series([1.0, 2.0, 4.0]).ewm(alpha=0.3, adjust=False).mean().iloc[-1]
+    assert abs(out[1]["ewma"] - exp) < 1e-12 and out[1]["n_obs"] == 3
+    assert out[2]["ewma"] == 7.0 and out[2]["n_obs"] == 1
