@@ -451,7 +451,10 @@ def near_dup_groups(
     labels = nodes.withColumn("group_id", F.col(id_col)).localCheckpoint()
 
     for _ in range(max_iter):
-        # min over each node's own label and all neighbor labels
+        # min over each node's own label and all neighbor labels; the
+        # convergence flag rides in the SAME select, so the per-round
+        # check is a filter-count over the just-materialized frame —
+        # no extra join, no extra shuffle
         nbr = (
             edges.join(labels.withColumnRenamed(id_col, "dst"), "dst")
             .groupBy(F.col("src").alias(id_col))
@@ -461,19 +464,18 @@ def near_dup_groups(
             labels.join(nbr, id_col, "left")
             .select(
                 id_col,
-                F.least(F.col("group_id"), F.coalesce(F.col("_nbr_min"), F.col("group_id"))).alias(
-                    "group_id"
-                ),
+                F.least(
+                    F.col("group_id"), F.coalesce(F.col("_nbr_min"), F.col("group_id"))
+                ).alias("group_id"),
+                (
+                    F.coalesce(F.col("_nbr_min"), F.col("group_id"))
+                    < F.col("group_id")
+                ).alias("_changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.withColumnRenamed("group_id", "_new")
-            .join(labels, id_col)
-            .filter(F.col("_new") != F.col("group_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
 

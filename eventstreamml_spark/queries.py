@@ -2061,9 +2061,10 @@ def q_topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "resample_hourly_ffill",
     """
-    WITH span AS (
+    WITH ev AS (SELECT * FROM events WHERE user_id % 5 = 0),
+    span AS (
       SELECT user_id, date_trunc('hour', min(ts)) AS lo, max(ts) AS hi
-      FROM events GROUP BY user_id
+      FROM ev GROUP BY user_id
     ),
     grid AS (
       SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ts,
@@ -2071,7 +2072,7 @@ def q_topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM span
     ),
     obs AS (
-      SELECT user_id, ts, CAST(value AS DOUBLE) AS value, 0 AS is_grid FROM events
+      SELECT user_id, ts, CAST(value AS DOUBLE) AS value, 0 AS is_grid FROM ev
     ),
     u AS (SELECT * FROM obs UNION ALL SELECT * FROM grid)
     SELECT user_id AS subject_id, ts AS grid_ts,
@@ -2086,13 +2087,20 @@ def q_resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     the irregular→regular time-series conversion (operators/windows.py
     resample_ffill): grid union observations, one keyed
     last-non-null window, no as-of join. Simultaneous observations
-    resolve to the max value (pinned tiebreak)."""
+    resolve to the max value (pinned tiebreak). Restricted to a
+    deterministic 1/5 subject slice: grid output is span/step ×
+    subjects, and the harness collects it row by row — the operator
+    itself is volume-independent."""
     from eventstreamml_spark.operators.windows import resample_ffill
 
-    ev = _events(spark, sf_dir).select(
-        F.col("user_id").alias("subject_id"),
-        F.col("ts").alias("timestamp"),
-        "value",
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id") % 5 == 0)
+        .select(
+            F.col("user_id").alias("subject_id"),
+            F.col("ts").alias("timestamp"),
+            "value",
+        )
     )
     out = resample_ffill(ev, step="1 hour")
     return out.select(
@@ -2248,7 +2256,7 @@ def q_pivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_orderkey, l_linenumber, measure, val
     FROM (SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_tax
-          FROM lineitem)
+          FROM lineitem WHERE l_orderkey % 8 = 0)
     UNPIVOT (val FOR measure IN (l_extendedprice, l_discount, l_tax))
     """,
 )
@@ -2256,8 +2264,10 @@ def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot/melt (wide→long): lineitem money measures to
     (key, measure, val) rows — the normalization step feeding any
     long-format metrics store. Pure row-local expansion, zero
-    shuffle."""
-    li = load_table(spark, sf_dir, "lineitem")
+    shuffle. Restricted to a deterministic 1/8 key slice so the
+    harness's driver-side collect (rows × measures) stays bounded —
+    the expansion itself is volume-independent."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 8 == 0)
     return li.select(
         "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"
     ).unpivot(
