@@ -81,3 +81,67 @@ def orphaned_keys(
     parent_key = parent_key or key
     p = parent.select(F.col(parent_key).alias(key)).distinct()
     return child.filter(F.col(key).isNotNull()).join(p, key, "left_anti")
+
+
+def population_stability_index(
+    baseline: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    breaks: list[float],
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Distribution-drift detection between two slices of a numeric
+    column: fixed-break histograms of both sides and the per-bin
+    Population Stability Index contribution
+    ``(p − q)·ln(p/q)`` (p = current share, q = baseline share,
+    ``eps``-floored so empty bins stay finite). ``sum(psi)`` > 0.2 is
+    the conventional "significant drift" alarm between a training
+    snapshot and serving traffic.
+
+    ``breaks`` are explicit (take them from a quantile sketch of the
+    baseline) so binning is a pure expression: each side is one scan +
+    one tiny groupBy on bin id; no join of raw rows — the two
+    bin-share relations (|breaks|+1 rows each) join at the end.
+    Out-of-range values clamp into the edge bins. Returns one row per
+    bin: (bin, lo, hi, q_base, p_curr, psi)."""
+    if sorted(breaks) != list(breaks):
+        raise ValueError("breaks must be ascending")
+
+    def binned(df: DataFrame, share_name: str) -> DataFrame:
+        v = F.col(value_col)
+        b = F.lit(len(breaks))
+        for i, edge in enumerate(reversed(breaks)):
+            b = F.when(v < F.lit(float(edge)), F.lit(len(breaks) - 1 - i)).otherwise(b)
+        counts = (
+            df.filter(v.isNotNull())
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        total = counts.agg(F.sum("_n").alias("_tot"))
+        return counts.crossJoin(F.broadcast(total)).select(
+            "bin", (F.col("_n") / F.col("_tot")).alias(share_name)
+        )
+
+    edges = [float("-inf")] + [float(x) for x in breaks] + [float("inf")]
+    spark = baseline.sparkSession
+    bins = spark.createDataFrame(
+        [(i, edges[i], edges[i + 1]) for i in range(len(breaks) + 1)],
+        "bin int, lo double, hi double",
+    )
+    q = binned(baseline, "q_base")
+    p = binned(current, "p_curr")
+    out = (
+        bins.join(q, "bin", "left")
+        .join(p, "bin", "left")
+        .select(
+            "bin",
+            "lo",
+            "hi",
+            F.coalesce("q_base", F.lit(0.0)).alias("q_base"),
+            F.coalesce("p_curr", F.lit(0.0)).alias("p_curr"),
+        )
+    )
+    pe = F.greatest(F.col("p_curr"), F.lit(eps))
+    qe = F.greatest(F.col("q_base"), F.lit(eps))
+    return out.withColumn("psi", (pe - qe) * F.log(pe / qe))

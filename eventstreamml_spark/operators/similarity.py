@@ -462,3 +462,63 @@ def knn_label_agreement(
             (F.col("qlabel") == F.col("nn_label")).alias("agree"),
         )
     )
+
+
+def contrastive_triplets(
+    emb: DataFrame,
+    sample_mod: int = 11,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mine (anchor, positive, negative) training triplets for metric
+    learning: for each md5-mod-sampled anchor, the positive is its
+    exact cosine 1-NN among SAME-label vectors (hard positive:
+    closest, so gradients aren't trivial) and the negative is a
+    deterministic hash-draw among DIFFERENT-label vectors (uniform
+    negative; swap the argmin hash for max-cosine to mine hard
+    negatives at 2× the cost).
+
+    One broadcast of the sampled anchors, one corpus pass; both
+    choices are per-anchor argmins (window / min_by), deterministic
+    across runs and engines. Returns (anchor_id, label, pos_id,
+    pos_cos, neg_id)."""
+    bucket = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long") % sample_mod
+    a = emb.filter(bucket == 0).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("label"),
+        F.col(vec_col).alias("av"),
+    )
+    c = emb.select(
+        F.col(id_col).alias("cid"),
+        F.col(label_col).alias("clabel"),
+        F.col(vec_col).alias("cv"),
+    )
+    joined = c.crossJoin(F.broadcast(a)).filter(F.col("cid") != F.col("anchor_id"))
+    same = joined.filter(F.col("clabel") == F.col("label")).select(
+        "anchor_id", "label", "cid", cosine(F.col("av"), F.col("cv")).alias("cos")
+    )
+    w = W.partitionBy("anchor_id").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    pos = (
+        same.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "anchor_id",
+            "label",
+            F.col("cid").alias("pos_id"),
+            F.round("cos", 6).alias("pos_cos"),
+        )
+    )
+    pair_h = F.md5(
+        F.concat_ws("_", F.col("anchor_id").cast("string"), F.col("cid").cast("string"))
+    )
+    neg = (
+        joined.filter(F.col("clabel") != F.col("label"))
+        .groupBy("anchor_id")
+        .agg(F.min_by("cid", pair_h).alias("neg_id"))
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id", "label", "pos_id", "pos_cos", "neg_id"
+    )

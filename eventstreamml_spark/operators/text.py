@@ -358,3 +358,47 @@ def unigram_logprob_score(
             F.round(-F.avg("logp"), 6).alias("nll"),
         )
     )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One round of distributed BPE-trainer statistics: the ``k`` most
+    frequent ADJACENT symbol pairs over the corpus, weighted by word
+    frequency — the argmax the byte-pair-encoding fit loop merges next.
+    Symbols here are characters (round 0 of the merge loop); iterating
+    merge→recount is the full trainer, and every round is this same
+    shape.
+
+    Scale shape: corpus → (word, n) counts FIRST (one shuffle that
+    collapses 100 TB of text to a vocabulary-sized relation), then
+    pairs explode off distinct words only — pair counting never
+    touches the raw corpus again. Ties rank lexicographically so the
+    merge choice is deterministic."""
+    words = (
+        words_table(docs, id_col, text_col)
+        .filter(F.col("word") != "")
+        .select(F.lower(F.col("word")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    idx = F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i")
+    pairs = (
+        words.filter(F.length("word") >= 2)
+        .select("word", "n", idx)
+        .select(
+            F.col("word").substr(F.col("i"), F.lit(1)).alias("a"),
+            F.col("word").substr(F.col("i") + 1, F.lit(1)).alias("b"),
+            "n",
+        )
+    )
+    counts = pairs.groupBy("a", "b").agg(F.sum("n").alias("pair_count"))
+    w = W.orderBy(F.col("pair_count").desc(), F.col("a").asc(), F.col("b").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("a", "b", "pair_count", "rk")
+    )

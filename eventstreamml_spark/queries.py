@@ -4848,3 +4848,137 @@ def q_approx_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFra
             ),
         )
     )
+
+
+@register(
+    "drift_psi_order_value",
+    """
+    WITH base AS (
+      SELECT o_totalprice AS v FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    ),
+    curr AS (
+      SELECT o_totalprice AS v FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    ),
+    binify AS (
+      SELECT t.bin,
+             CASE t.bin WHEN 0 THEN '-inf' WHEN 1 THEN '100000.0'
+                        WHEN 2 THEN '200000.0' WHEN 3 THEN '300000.0'
+                        WHEN 4 THEN '400000.0' END AS _lo_s
+      FROM range(5) t(bin)
+    ),
+    qb AS (
+      SELECT CASE WHEN v < 100000 THEN 0 WHEN v < 200000 THEN 1
+                  WHEN v < 300000 THEN 2 WHEN v < 400000 THEN 3 ELSE 4 END AS bin,
+             count(*) * 1.0 / (SELECT count(*) FROM base) AS q_base
+      FROM base GROUP BY 1
+    ),
+    pb AS (
+      SELECT CASE WHEN v < 100000 THEN 0 WHEN v < 200000 THEN 1
+                  WHEN v < 300000 THEN 2 WHEN v < 400000 THEN 3 ELSE 4 END AS bin,
+             count(*) * 1.0 / (SELECT count(*) FROM curr) AS p_curr
+      FROM curr GROUP BY 1
+    )
+    SELECT b.bin,
+           round(coalesce(q_base, 0.0), 6) AS q_base,
+           round(coalesce(p_curr, 0.0), 6) AS p_curr,
+           round((greatest(coalesce(p_curr, 0.0), 1e-6)
+                  - greatest(coalesce(q_base, 0.0), 1e-6))
+                 * ln(greatest(coalesce(p_curr, 0.0), 1e-6)
+                      / greatest(coalesce(q_base, 0.0), 1e-6)), 6) AS psi
+    FROM range(5) b(bin)
+    LEFT JOIN qb ON b.bin = qb.bin
+    LEFT JOIN pb ON b.bin = pb.bin
+    """,
+)
+def q_drift_psi_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between pre-1998 and post-1998 order
+    values (fixed 100k-wide bins): the training-vs-serving
+    distribution-drift alarm. Each side is one scan + one bin-keyed
+    groupBy; the raw rows never join — only the two (|bins|)-row share
+    relations do."""
+    from eventstreamml_spark.operators.quality import population_stability_index
+
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp_ntz")
+    out = population_stability_index(
+        orders.filter(F.col("o_orderdate") < cut),
+        orders.filter(F.col("o_orderdate") >= cut),
+        "o_totalprice",
+        breaks=[100000.0, 200000.0, 300000.0, 400000.0],
+    )
+    return out.select(
+        "bin",
+        F.round("q_base", 6).alias("q_base"),
+        F.round("p_curr", 6).alias("p_curr"),
+        F.round("psi", 6).alias("psi"),
+    )
+
+
+@register(
+    "bpe_top_pairs",
+    """
+    WITH w AS (
+      SELECT lower(x) AS word FROM (
+        SELECT unnest(string_split(text, ' ')) AS x FROM documents
+      ) WHERE x <> ''
+    ),
+    wc AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+    p AS (
+      SELECT substr(word, i::INT, 1) AS a, substr(word, i::INT + 1, 1) AS b, n
+      FROM (SELECT word, n, unnest(range(1, len(word))) AS i
+            FROM wc WHERE len(word) >= 2)
+    ),
+    c AS (SELECT a, b, sum(n) AS pair_count FROM p GROUP BY a, b)
+    SELECT a, b, pair_count, rk FROM (
+      SELECT *, row_number() OVER (ORDER BY pair_count DESC, a, b) AS rk FROM c
+    ) WHERE rk <= 20
+    """,
+)
+def q_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of distributed BPE-trainer statistics: top-20 adjacent
+    character pairs weighted by word frequency. The corpus collapses to
+    (word, n) before any pair explodes — pair counting is
+    vocabulary-sized work, not corpus-sized."""
+    from eventstreamml_spark.operators.text import bpe_pair_counts
+
+    return bpe_pair_counts(load_table(spark, sf_dir, "documents"), k=20)
+
+
+@register(
+    "contrastive_triplets",
+    """
+    WITH a AS (
+      SELECT vec_id AS anchor_id, label, embedding AS av
+      FROM embeddings
+      WHERE CAST(('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT % 11
+                 AS BIGINT) = 0
+    ),
+    j AS (
+      SELECT a.anchor_id, a.label, e.vec_id AS cid, e.label AS clabel,
+             list_cosine_similarity(a.av::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+      FROM a, embeddings e WHERE e.vec_id <> a.anchor_id
+    ),
+    pos AS (
+      SELECT anchor_id, label, cid AS pos_id, round(cos, 6) AS pos_cos
+      FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                      ORDER BY cos DESC, cid) AS rk
+            FROM j WHERE clabel = label) t
+      WHERE rk = 1
+    ),
+    neg AS (
+      SELECT anchor_id,
+             arg_min(cid, md5(anchor_id::VARCHAR || '_' || cid::VARCHAR)) AS neg_id
+      FROM j WHERE clabel <> label GROUP BY anchor_id
+    )
+    SELECT p.anchor_id, p.label, p.pos_id, p.pos_cos, n.neg_id
+    FROM pos p JOIN neg n USING (anchor_id)
+    """,
+)
+def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet mining for metric learning: hard positive (same-label
+    exact 1-NN) + deterministic uniform negative (hash-argmin over
+    different-label vectors) per sampled anchor. One anchor broadcast,
+    one corpus pass, per-anchor argmins."""
+    from eventstreamml_spark.operators.similarity import contrastive_triplets
+
+    return contrastive_triplets(load_table(spark, sf_dir, "embeddings"), sample_mod=11)

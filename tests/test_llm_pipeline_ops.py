@@ -509,3 +509,49 @@ def test_ewma_matches_pandas_convention(spark):
     exp = pd.Series([1.0, 2.0, 4.0]).ewm(alpha=0.3, adjust=False).mean().iloc[-1]
     assert abs(out[1]["ewma"] - exp) < 1e-12 and out[1]["n_obs"] == 3
     assert out[2]["ewma"] == 7.0 and out[2]["n_obs"] == 1
+
+
+def test_psi_zero_when_identical(spark):
+    from eventstreamml_spark.operators.quality import population_stability_index
+
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    out = population_stability_index(df, df, "v", breaks=[25.0, 50.0, 75.0]).collect()
+    assert len(out) == 4
+    assert all(abs(r["psi"]) < 1e-12 for r in out)
+    assert abs(sum(r["q_base"] for r in out) - 1.0) < 1e-9
+
+
+def test_psi_detects_shift(spark):
+    from eventstreamml_spark.operators.quality import population_stability_index
+
+    base = spark.createDataFrame([(float(i % 50),) for i in range(100)], "v double")
+    curr = spark.createDataFrame([(50.0 + float(i % 50),) for i in range(100)], "v double")
+    out = population_stability_index(base, curr, "v", breaks=[50.0]).collect()
+    total = sum(r["psi"] for r in out)
+    assert total > 0.2  # full separation >> drift threshold
+
+    with pytest.raises(ValueError, match="ascending"):
+        population_stability_index(base, curr, "v", breaks=[2.0, 1.0])
+
+
+def test_bpe_pair_counts_golden(spark):
+    docs = _docs(spark, [(1, "abab ab"), (2, "ab")])
+    out = text.bpe_pair_counts(docs, k=3).collect()
+    # words: abab(1), ab(2) -> pairs: ab:1*? abab has a-b,b-a,a-b = ab x2, ba x1; ab x1 each for two 'ab'
+    got = {(r["a"], r["b"]): r["pair_count"] for r in out}
+    assert got[("a", "b")] == 4 and got[("b", "a")] == 1
+    assert out[0]["rk"] == 1 and out[0]["a"] == "a"
+
+
+def test_contrastive_triplets_contract(spark):
+    rows = [(i, [1.0 + 0.01 * i, 0.0], 0) for i in range(8)] + [
+        (10 + i, [0.0, 1.0 + 0.01 * i], 1) for i in range(8)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = similarity.contrastive_triplets(emb, sample_mod=2).collect()
+    assert len(out) >= 2
+    labels = {v: l for v, _, l in rows}
+    for r in out:
+        assert labels[r["pos_id"]] == r["label"]       # positive shares the label
+        assert labels[r["neg_id"]] != r["label"]       # negative differs
+        assert r["pos_id"] != r["anchor_id"] and r["neg_id"] != r["anchor_id"]
