@@ -4982,3 +4982,76 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eventstreamml_spark.operators.similarity import contrastive_triplets
 
     return contrastive_triplets(load_table(spark, sf_dir, "embeddings"), sample_mod=11)
+
+
+def _events_orc_copy(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic ORC twin of events.parquet, cached like the CSV
+    twin — written once by Spark itself (ORC is a built-in columnar
+    format, no external package)."""
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    dst = os.path.join(tempfile.gettempdir(), f"esml_events_{tag}.orc")
+    marker = os.path.join(dst, "_SUCCESS")
+    if not os.path.exists(marker) or os.path.getmtime(marker) < os.path.getmtime(src):
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        ).coalesce(4).write.mode("overwrite").orc(dst)
+    return dst
+
+
+@register(
+    "orc_ingest_parity",
+    """
+    SELECT event_id, user_id AS subject_id, ts AS timestamp,
+           event_type, value
+    FROM events
+    """,
+)
+def q_orc_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 source breadth: the canonical events relation round-tripped
+    through the ORC connector (Spark's second built-in columnar
+    format — same predicate-pushdown/column-pruning scan surface as
+    parquet) — must equal the parquet-sourced relation
+    bit-for-bit."""
+    path = _events_orc_copy(spark, sf_dir)
+    raw = spark.read.orc(path)
+    return raw.select(
+        "event_id",
+        F.col("user_id").alias("subject_id"),
+        F.col("ts").cast("timestamp_ntz").alias("timestamp"),
+        "event_type",
+        "value",
+    )
+
+
+@register(
+    "streaming_count_mv",
+    """
+    SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    """,
+)
+def q_streaming_count_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming → serving: a foreachBatch-maintained parquet
+    materialized view of per-type counts (versioned writes, pointer
+    flip last, replay-safe base selection) — readers hit the MV table,
+    never the stream. An availableNow run over the finite source must
+    leave the MV equal to the batch histogram, which is what the
+    oracle checks."""
+    import tempfile
+
+    from eventstreamml_spark.streaming.ops import incremental_count_mv, read_count_mv
+
+    ev = _events_stream(spark, sf_dir).select(F.col("event_type"))
+    base = tempfile.mkdtemp(prefix="esml_mv_")
+    q = incremental_count_mv(
+        ev,
+        f"{base}/mv",
+        ["event_type"],
+        checkpoint_dir=f"{base}/ckpt",
+        query_name="count_mv_query",
+    )
+    q.awaitTermination(300)
+    return read_count_mv(spark, f"{base}/mv")

@@ -256,3 +256,109 @@ def stream_interval_join(
     joined = l.join(r, cond, how)
     # the key arrives from both sides under one name; keep the left one
     return joined.select(*[l[c] for c in left.columns], *[r[c] for c in right.columns if c != key])
+
+
+def with_ingest_metrics(
+    df: DataFrame,
+    name: str = "ingest_metrics",
+    ts_col: str = "timestamp",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Attach observed metrics to a (streaming or batch) relation:
+    per-micro-batch row count, null-value count, and min/max event
+    time, surfaced through ``StreamingQueryProgress.observedMetrics``
+    — pipeline observability with ZERO extra passes (metrics ride the
+    existing plan as accumulator-style aggregates; no second scan, no
+    action).
+
+    This is the production answer to "how late is my data and how
+    much am I dropping": alert on ``n_rows == 0`` or a stuck
+    ``max_ts`` without ever running a separate monitoring query."""
+    metrics = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(ts_col).alias("min_ts"),
+        F.max(ts_col).alias("max_ts"),
+    ]
+    if value_col is not None:
+        metrics.append(
+            F.sum(F.when(F.col(value_col).isNull(), 1).otherwise(0)).alias("n_null_values")
+        )
+    return df.observe(name, *metrics)
+
+
+def incremental_count_mv(
+    stream_df: DataFrame,
+    mv_path: str,
+    key_cols: list[str],
+    checkpoint_dir: str,
+    query_name: str = "count_mv",
+):
+    """Streaming → serving: maintain a parquet-backed materialized
+    view of per-key counts via ``foreachBatch`` incremental upsert —
+    the pattern that turns an unbounded stream into a cheap, always-
+    current table readers hit directly (no streaming query on the
+    read path).
+
+    Each micro-batch aggregates ONLY its own rows (map-side combined,
+    batch-sized work), then merges into the MV by key. Writes are
+    versioned (``v{batch_id}`` subdir + ``_CURRENT`` pointer, written
+    last): readers resolve the pointer and never see a half-written
+    version. Batch N always merges into the latest version STRICTLY
+    OLDER than N — never its own — so a batch replayed after a crash
+    (written but not checkpoint-committed) rebuilds the identical
+    ``v{N}`` from the same base instead of double-counting itself;
+    versions older than that base are dropped only then, because a
+    replay may still need the base.
+
+    Returns the StreamingQuery (caller awaits termination)."""
+    import os
+    import shutil
+
+    spark = stream_df.sparkSession
+
+    def versions() -> list[int]:
+        if not os.path.isdir(mv_path):
+            return []
+        out = []
+        for d in os.listdir(mv_path):
+            if d.startswith("v") and d[1:].isdigit():
+                out.append(int(d[1:]))
+        return sorted(out)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        agg = batch_df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+        bases = [v for v in versions() if v < batch_id]
+        base = bases[-1] if bases else None
+        if base is not None:
+            old = spark.read.parquet(os.path.join(mv_path, f"v{base}"))
+            agg = (
+                old.unionByName(agg)
+                .groupBy(*key_cols)
+                .agg(F.sum("n").alias("n"))
+            )
+        vdir = os.path.join(mv_path, f"v{batch_id}")
+        agg.write.mode("overwrite").parquet(vdir)
+        with open(os.path.join(mv_path, "_CURRENT"), "w") as fh:
+            fh.write(f"v{batch_id}")
+        for v in versions():
+            if base is not None and v < base:
+                shutil.rmtree(os.path.join(mv_path, f"v{v}"), ignore_errors=True)
+
+    os.makedirs(mv_path, exist_ok=True)
+    return (
+        stream_df.writeStream.foreachBatch(upsert)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_count_mv(spark, mv_path: str) -> DataFrame:
+    """Resolve the MV's _CURRENT pointer and read that version."""
+    import os
+
+    ptr = os.path.join(mv_path, "_CURRENT")
+    with open(ptr) as fh:
+        rel = fh.read().strip()
+    return spark.read.parquet(os.path.join(mv_path, rel))

@@ -339,3 +339,63 @@ def test_stream_interval_left_outer_emits_unmatched(spark, tmp_path):
     rows = {r["pid"]: r["cid"] for r in spark.table("ivj_outer").collect()}
     assert rows[100] == 1       # matched pair
     assert 200 in rows and rows[200] is None  # unmatched, emitted on watermark pass
+
+
+def test_observed_metrics_surface_per_batch(spark, stream_dir, tmp_path):
+    from eventstreamml_spark.streaming.ops import with_ingest_metrics
+
+    src = (
+        spark.readStream.schema("user long, t timestamp, et string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    observed = with_ingest_metrics(src, ts_col="t", value_col=None)
+    q = _run(observed.groupBy("et").count(), "obs_metrics", tmp_path, "complete")
+    rows_seen = [
+        p.observedMetrics["ingest_metrics"]["n_rows"]
+        for p in q.recentProgress
+        if "ingest_metrics" in p.observedMetrics
+    ]
+    # two micro-batches (3 rows then 2), surfaced without a second scan
+    assert sorted(rows_seen) == [2, 3]
+
+
+def test_incremental_count_mv_multi_batch_and_replay_base(spark, tmp_path):
+    from eventstreamml_spark.streaming.ops import incremental_count_mv, read_count_mv
+
+    schema = "user long, t timestamp, et string"
+    rows = [
+        (1, _ts("2020-01-01 00:00:00"), "a"),
+        (1, _ts("2020-01-01 00:10:00"), "b"),
+        (2, _ts("2020-01-01 00:05:00"), "a"),
+        (1, _ts("2020-01-01 01:00:00"), "a"),
+        (2, _ts("2020-01-01 00:06:00"), "b"),
+    ]
+    d = str(tmp_path / "mv_in")
+    for r in rows:  # five files -> five micro-batches
+        spark.createDataFrame([r], schema).coalesce(1).write.mode("append").parquet(d)
+    src = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    mv = str(tmp_path / "mv_out")
+    q = incremental_count_mv(
+        src, mv, ["et"], checkpoint_dir=str(tmp_path / "mv_ckpt")
+    )
+    q.awaitTermination(120)
+    got = {r["et"]: r["n"] for r in read_count_mv(spark, mv).collect()}
+    assert got == {"a": 3, "b": 2}
+
+    # append one more file and resume from the same checkpoint: the MV
+    # advances incrementally (no reprocessing of the first five batches)
+    spark.createDataFrame(
+        [(3, _ts("2020-01-01 02:00:00"), "a")], schema
+    ).coalesce(1).write.mode("append").parquet(d)
+    src2 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    q2 = incremental_count_mv(
+        src2, mv, ["et"], checkpoint_dir=str(tmp_path / "mv_ckpt")
+    )
+    q2.awaitTermination(120)
+    got2 = {r["et"]: r["n"] for r in read_count_mv(spark, mv).collect()}
+    assert got2 == {"a": 4, "b": 2}
