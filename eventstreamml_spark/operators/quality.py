@@ -145,3 +145,36 @@ def population_stability_index(
     pe = F.greatest(F.col("p_curr"), F.lit(eps))
     qe = F.greatest(F.col("q_base"), F.lit(eps))
     return out.withColumn("psi", (pe - qe) * F.log(pe / qe))
+
+
+def order_violations(
+    df: DataFrame,
+    subject_col: str = "subject_id",
+    ts_col: str = "timestamp",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Sequence-order QA: per subject, how many events arrived with an
+    id ordered differently than their event time — the "was this feed
+    ingested in order" check run before trusting any id-as-tiebreaker
+    convention. An id inversion is a row whose ``id_col`` is smaller
+    than some earlier-timestamped row's id (detected via a running max
+    over the time order — one keyed window, one shuffle).
+
+    Returns (subject, n_events, n_inversions, ordered) — ordered ⟺
+    zero inversions."""
+    from pyspark.sql.window import Window as W
+
+    w = (
+        W.partitionBy(subject_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = df.select(
+        subject_col,
+        (F.col(id_col) < F.max(id_col).over(w)).alias("_inv"),
+    )
+    return flagged.groupBy(subject_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("_inv"), 1).otherwise(0)).alias("n_inversions"),
+        (F.sum(F.when(F.col("_inv"), 1).otherwise(0)) == 0).alias("ordered"),
+    )

@@ -85,3 +85,35 @@ def salted_collect_set(
         phase1.groupBy(*keys)
         .agg(F.array_sort(F.array_distinct(F.flatten(F.collect_list("_part")))).alias("values"))
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Manually salted equi-join for hot keys: the (large) left side
+    gets a random salt in ``[0, n_salt)``, the (smaller but
+    non-broadcastable) right side is EXPLODED into ``n_salt`` copies
+    — one per salt value — and the join runs on ``(key, salt)``, so a
+    hot key's left rows spread across n_salt reduce tasks instead of
+    funneling into one.
+
+    Result equals the plain join exactly (every left row meets every
+    matching right row exactly once: its own salt's copy). Cost: the
+    right side shuffles n_salt× — use when AQE skew-splitting is
+    unavailable (streaming joins, non-AQE engines) or when a key is so
+    hot a single split still exceeds one task; otherwise prefer AQE,
+    which pays the replication only for the skewed partitions.
+    ``how`` supports inner/left (outer semantics preserved: an
+    unmatched left row is unmatched under every salt)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    l = left.withColumn("_salt", _salt(n_salt))
+    r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ).withColumn("_salt", F.col("_salt").cast(l.schema["_salt"].dataType))
+    out = l.join(r, [key, "_salt"], how)
+    return out.drop("_salt")

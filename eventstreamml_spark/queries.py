@@ -5055,3 +5055,104 @@ def q_streaming_count_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return read_count_mv(spark, f"{base}/mv")
+
+
+@register(
+    "salted_join_revenue",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manually salted equi-join (operators/skew.py salted_join): the
+    fact side salts, the dimension side explodes n_salt copies, the
+    join runs on (key, salt) — the hot-key mitigation for engines or
+    modes where AQE skew-splitting can't help (streaming joins). The
+    oracle is the PLAIN join: salting must be invisible in the
+    result."""
+    from eventstreamml_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    j = salted_join(li, orders, "l_orderkey", n_salt=8)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+@register(
+    "dq_order_violations",
+    """
+    WITH f AS (
+      SELECT user_id,
+             event_id < max(event_id) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS inv
+      FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN inv THEN 1 ELSE 0 END) AS BIGINT) AS n_inversions,
+           sum(CASE WHEN inv THEN 1 ELSE 0 END) = 0 AS ordered
+    FROM f GROUP BY user_id
+    """,
+)
+def q_dq_order_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-order QA (operators/quality.py order_violations): per
+    subject, count events whose surrogate id runs against event-time
+    order (running-max inversion check, one keyed window) — the
+    ingest-order audit behind any id-as-tiebreaker convention."""
+    from eventstreamml_spark.operators.quality import order_violations
+
+    return order_violations(
+        _events(spark, sf_dir), subject_col="user_id", ts_col="ts", id_col="event_id"
+    )
+
+
+@register(
+    "streaming_ewma",
+    """
+    WITH seq AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS l
+      FROM events WHERE value IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, len(l) AS n_obs,
+           round(list_reduce(l, (acc, x) -> acc * (1.0 - 0.3) + 0.3 * x), 6)
+             AS ewma
+    FROM seq
+    """,
+)
+def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subject EWMA as keyed streaming state (streaming/ops.py
+    stream_ewma): the recurrence's carry lives in the state store,
+    updated per micro-batch — over a finite source the final state per
+    subject equals the batch array fold bit-for-bit (same doubles,
+    same order), which is exactly what the oracle replays."""
+    from eventstreamml_spark.streaming.ops import stream_ewma
+
+    ev = _events_stream(spark, sf_dir)
+    out = stream_ewma(
+        ev, alpha=0.3, subject_col="user_id", ts_col="ts", value_col="value"
+    )
+    sink = _run_available_now(out, "update")
+    w = W.partitionBy("subject_id").orderBy(F.col("n_obs").desc())
+    return (
+        sink.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col("subject_id").alias("user_id"),
+            "n_obs",
+            F.round("ewma", 6).alias("ewma"),
+        )
+    )

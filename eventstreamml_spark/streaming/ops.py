@@ -362,3 +362,60 @@ def read_count_mv(spark, mv_path: str) -> DataFrame:
     with open(ptr) as fh:
         rel = fh.read().strip()
     return spark.read.parquet(os.path.join(mv_path, rel))
+
+
+_EWMA_OUTPUT = StructType(
+    [
+        StructField("subject_id", LongType()),
+        StructField("n_obs", LongType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+# state: (running smoothed value, observation count)
+_EWMA_STATE = StructType(
+    [StructField("ewma", DoubleType()), StructField("n_obs", LongType())]
+)
+
+
+def stream_ewma(
+    events: DataFrame,
+    alpha: float = 0.3,
+    subject_col: str = "subject_id",
+    ts_col: str = "timestamp",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-subject EWMA as a stateful streaming operator: the keyed
+    state is the smoothed value itself (s₁=x₁; sₜ=(1−α)s+αx, pandas
+    ``ewm(adjust=False)``), updated per micro-batch in event-time
+    order and emitted per batch in update mode — the streaming twin
+    of the batch ``ewma_by_subject`` array fold, and the template for
+    ANY per-sequence recurrence carried across micro-batches (state =
+    the recurrence's carry, O(1) per subject regardless of stream
+    length).
+
+    Nulls are dropped before folding (``ignore_na``); intra-batch
+    rows sort by event time, cross-batch disorder must be bounded
+    upstream (same contract as every stateful op here). Over a finite
+    source the final row per subject equals the batch fold exactly —
+    same doubles, same order."""
+    import pandas as pd
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            s, n = state.get
+        else:
+            s, n = None, 0
+        for pdf in pdfs:
+            pdf = pdf[pdf[value_col].notna()].sort_values(ts_col)
+            for v in pdf[value_col].astype("float64"):
+                s = v if s is None else s * (1.0 - alpha) + alpha * v
+                n += 1
+        if s is not None:
+            state.update((float(s), int(n)))
+            yield pd.DataFrame(
+                {"subject_id": [key[0]], "n_obs": [n], "ewma": [float(s)]}
+            )
+
+    return events.groupBy(subject_col).applyInPandasWithState(
+        update, _EWMA_OUTPUT, _EWMA_STATE, "update", GroupStateTimeout.NoTimeout
+    )

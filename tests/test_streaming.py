@@ -399,3 +399,40 @@ def test_incremental_count_mv_multi_batch_and_replay_base(spark, tmp_path):
     q2.awaitTermination(120)
     got2 = {r["et"]: r["n"] for r in read_count_mv(spark, mv).collect()}
     assert got2 == {"a": 4, "b": 2}
+
+
+def test_stream_ewma_matches_batch_fold_across_batches(spark, stream_dir, tmp_path):
+    from eventstreamml_spark.streaming.ops import stream_ewma
+
+    # value rides in as the epoch-minute of t so the fold is nontrivial
+    src = (
+        spark.readStream.schema("user long, t timestamp, et string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .withColumn("v", F.unix_timestamp("t").cast("double") / 60.0)
+    )
+    out = stream_ewma(src, alpha=0.5, subject_col="user", ts_col="t", value_col="v")
+    q = _run(out, "ewma_sink", tmp_path, "update")
+    sink = spark.table("ewma_sink")
+    final = {
+        r["subject_id"]: (r["n_obs"], r["ewma"])
+        for r in sink.orderBy("n_obs").collect()  # later updates overwrite
+    }
+    # batch replica over the same rows
+    batch = (
+        spark.read.parquet(stream_dir)
+        .withColumn("v", F.unix_timestamp("t").cast("double") / 60.0)
+        .orderBy("user", "t")
+        .collect()
+    )
+    import collections
+
+    exp = {}
+    cnt = collections.Counter()
+    for r in batch:
+        u, v = r["user"], r["v"]
+        exp[u] = v if u not in exp else exp[u] * 0.5 + 0.5 * v
+        cnt[u] += 1
+    for u, (n, s) in final.items():
+        assert n == cnt[u]
+        assert abs(s - exp[u]) < 1e-9
