@@ -480,3 +480,55 @@ def near_dup_groups(
             break
 
     return labels.withColumn("is_canonical", F.col(id_col) == F.col("group_id"))
+
+
+def containment_pairs(
+    shingles: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT |A∩B| / min(|A|,|B|) for pairs
+    sharing ≥1 shingle — the near-dup measure for unequal lengths:
+    a quote, a boilerplate wrapper, or a superset page scores high on
+    containment while its Jaccard stays low (the union is dominated by
+    the longer side). The standard second pass after Jaccard in a
+    curation pipeline ("drop docs fully contained in another").
+
+    Same scale shape as ``jaccard_pairs``: optional candidate
+    restriction semi-joins BOTH self-join inputs first; intersections
+    come from the shingle equi-join; sizes broadcast back. Emits
+    (id_a, id_b, n_inter, containment) with id_a < id_b."""
+    if candidates is not None:
+        cand_ids = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .union(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        shingles = shingles.join(cand_ids, id_col, "left_semi")
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "containment", F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b"))
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "n_inter", F.round("containment", 6).alias("containment"))
+    )

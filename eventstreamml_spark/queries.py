@@ -5156,3 +5156,64 @@ def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("ewma", 6).alias("ewma"),
         )
     )
+
+
+@register(
+    "dedup_ngram_containment",
+    f"""
+    WITH {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, n_inter,
+           round(n_inter::DOUBLE / least(sa.n_sh, sb.n_sh), 6) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter::DOUBLE / least(sa.n_sh, sb.n_sh) >= 0.2
+    """,
+)
+def q_dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment |A∩B|/min(|A|,|B|) ≥ 0.2 over word
+    4-grams — the quote/boilerplate/superset detector Jaccard misses
+    when lengths differ (the union dilutes the score). Same
+    candidate-restrictable self-join shape as the Jaccard verify."""
+    from eventstreamml_spark.operators.dedup import containment_pairs, word_shingles
+
+    sh = word_shingles(load_table(spark, sf_dir, "documents"), k=4)
+    return containment_pairs(sh, threshold=0.2)
+
+
+@register(
+    "cdc_latest_snapshot",
+    """
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts, value AS last_value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events
+    ) WHERE rk = 1
+    """,
+)
+def q_cdc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction: latest record per key (ts desc, id desc
+    tiebreak) — the change-log → current-state collapse every
+    merge-on-read table format runs. One keyed window; at scale prefer
+    ``max_by`` when only few columns ride along (single agg, no full
+    sort), registered here in the window form that generalizes to
+    top-N."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("value").alias("last_value"),
+        )
+    )

@@ -555,3 +555,21 @@ def test_contrastive_triplets_contract(spark):
         assert labels[r["pos_id"]] == r["label"]       # positive shares the label
         assert labels[r["neg_id"]] != r["label"]       # negative differs
         assert r["pos_id"] != r["anchor_id"] and r["neg_id"] != r["anchor_id"]
+
+
+def test_containment_vs_jaccard_asymmetry(spark):
+    # doc 2 is fully contained in doc 1 but much shorter: containment
+    # hits 1.0 while jaccard stays low
+    docs = _docs(spark, [
+        (1, "a b c d e f g h i j k l"),
+        (2, "a b c d"),
+        (3, "x y z w q r"),
+    ])
+    sh = dedup.word_shingles(docs, k=3)
+    cont = {(r["id_a"], r["id_b"]): r["containment"]
+            for r in dedup.containment_pairs(sh, threshold=0.0).collect()}
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.jaccard_pairs(sh, threshold=0.0).collect()}
+    assert cont[(1, 2)] == 1.0
+    assert jac[(1, 2)] < 0.3
+    assert (1, 3) not in cont  # no shared shingle

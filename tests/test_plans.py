@@ -265,3 +265,63 @@ def test_curation_keyed_ops_single_shuffle(spark):
     docs = load_table(spark, SF, "documents")
     assert shuffle_count(pack_documents(docs)) == 1
     assert shuffle_count(quota_sample(docs, k=10)) == 1
+
+
+def test_unigram_score_shuffles_bounded(spark):
+    """LM fit + score: token groupBy, score join, per-doc agg — keyed
+    shuffles only, no global exchange beyond them."""
+    from eventstreamml_spark.operators.text import unigram_logprob_score
+
+    docs = load_table(spark, SF, "documents")
+    q = unigram_logprob_score(docs)
+    assert shuffle_count(q) <= 5
+
+
+def test_shard_plan_single_shuffle(spark):
+    from eventstreamml_spark.operators.curation import shard_plan
+
+    docs = load_table(spark, SF, "documents")
+    q = shard_plan(docs, n_shards=8)
+    assert shuffle_count(q) <= 1
+
+
+def test_label_centroids_broadcast_component_join(spark):
+    """The |labels|·dim centroid relation must broadcast back to the
+    component rows — raw vectors never shuffle for the join."""
+    from eventstreamml_spark.operators.similarity import label_centroid_stats
+
+    emb = load_table(spark, SF, "embeddings")
+    q = label_centroid_stats(emb)
+    assert uses_broadcast_join(q)
+
+
+def test_salted_join_no_hot_key_funnel(spark):
+    """The salted join must join on (key, salt) — the physical join
+    keys include the salt, so one key's rows spread across tasks."""
+    from eventstreamml_spark.operators.skew import salted_join
+    from eventstreamml_spark.plans.inspect import formatted_plan
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    q = salted_join(li, orders, "l_orderkey", n_salt=4)
+    assert "_salt" in formatted_plan(q)
+
+
+def test_incremental_dedup_digests_only_cross_shuffle(spark):
+    """The anti-join input carries (id, digest) / (digest) — text is
+    projected away before any exchange."""
+    from eventstreamml_spark.operators.curation import incremental_new_docs
+    from eventstreamml_spark.plans.inspect import executed_plan
+
+    docs = load_table(spark, SF, "documents")
+    inc = docs.filter(F.col("doc_id") % 2 == 0)
+    ref = docs.filter(F.col("doc_id") % 2 == 1)
+    q = incremental_new_docs(inc, ref)
+    q.collect()
+    plan = executed_plan(q)
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1)
