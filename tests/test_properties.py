@@ -239,3 +239,59 @@ def test_as_of_join_matches_quadratic_model(spark, left, right, strict):
     assert len(out) == len(l_rows)
     for lid, k, ts in l_rows:
         assert out[lid] == model(k, ts), (lid, k, ts, strict)
+
+
+# --- forward/tolerance as-of vs quadratic model (Spark) ---------------
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 40)), min_size=1, max_size=20
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 40)), min_size=0, max_size=20
+    ),
+    strict=st.booleans(),
+    tol=st.one_of(st.none(), st.integers(0, 15)),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_as_of_join_forward_tolerance_matches_model(spark, left, right, strict, tol):
+    """Forward direction + tolerance equals the O(L·R) scan: earliest
+    right row at-or-after (strictly after when strict), payload nulled
+    beyond the tolerance window."""
+    from eventstreamml_spark.operators.joins import as_of_join
+
+    best: dict[tuple[int, int], int] = {}
+    for i, (k, ts) in enumerate(right):
+        best[(k, ts)] = max(best.get((k, ts), -1), 1000 + i)
+    r_rows = [(k, ts, p) for (k, ts), p in best.items()]
+    l_rows = [(i, k, ts) for i, (k, ts) in enumerate(left)]
+
+    def model(k, ts):
+        cands = [
+            (rts, p)
+            for (rk, rts, p) in r_rows
+            if rk == k and (rts > ts if strict else rts >= ts)
+        ]
+        if not cands:
+            return None
+        rts, p = min(cands)
+        if tol is not None and abs(rts - ts) > tol:
+            return None
+        return p
+
+    ldf = spark.createDataFrame(l_rows, "lid long, k long, ts long")
+    rdf = spark.createDataFrame(
+        r_rows or [(0, 0, 0)], "k long, ts long, payload long"
+    )
+    if not r_rows:
+        rdf = rdf.filter(F.lit(False))
+    out = {
+        r["lid"]: r["payload"]
+        for r in as_of_join(
+            ldf, rdf, keys=["k"], left_ts="ts", right_ts="ts",
+            strict=strict, direction="forward",
+            tolerance_s=float(tol) if tol is not None else None,
+        ).collect()
+    }
+    assert len(out) == len(l_rows)
+    for lid, k, ts in l_rows:
+        assert out[lid] == model(k, ts), (lid, k, ts, strict, tol)
