@@ -211,3 +211,95 @@ def two_level_macro_avg(
     else:
         per_subj = df.groupBy(subject_col).agg(F.avg(x).alias("_m"))
     return per_subj.agg(F.avg("_m").alias(out_col))
+
+
+def cohort_retention(
+    df: DataFrame,
+    subject_col: str = "subject_id",
+    ts_col: str = "timestamp",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention: subjects grouped by first-activity period
+    (their cohort), then for each (cohort, periods-since) offset the
+    count and share of cohort members active in that later period —
+    the standard product-analytics retention triangle.
+
+    Shape: one groupBy for cohort assignment (min ts per subject), a
+    broadcast-joinable (subject → cohort) relation back onto the
+    activity rows, one distinct on (cohort, offset, subject), one
+    final count groupBy — all keyed shuffles; at 100 TB the cohort
+    relation is |subjects| rows of two scalars (skinny) and everything
+    else is map-side-combinable counting.
+
+    ``period``: any ``date_trunc`` unit; offsets count whole periods
+    between cohort start and the activity period."""
+    cohorts = df.groupBy(subject_col).agg(
+        F.date_trunc(period, F.min(ts_col)).alias("cohort")
+    )
+    seconds = {"week": 604800, "day": 86400, "hour": 3600}[period]
+    active = (
+        df.join(cohorts, subject_col)
+        .select(
+            "cohort",
+            (
+                (
+                    F.unix_timestamp(F.date_trunc(period, F.col(ts_col)).cast("timestamp"))
+                    - F.unix_timestamp(F.col("cohort").cast("timestamp"))
+                )
+                / seconds
+            )
+            .cast("long")
+            .alias("offset"),
+            F.col(subject_col),
+        )
+        .distinct()
+    )
+    sizes = cohorts.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        active.groupBy("cohort", "offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            F.col("cohort").cast("timestamp_ntz").alias("cohort"),
+            "offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+        )
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    subject_col: str = "subject_id",
+    ts_col: str = "timestamp",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition statistics over per-subject event
+    sequences: for each (current type → next type) pair, the count and
+    the row-normalized probability — the path-analysis / next-event-
+    model baseline, and the input to any sequence-sanity diagnostic
+    ("do purchases ever follow errors?").
+
+    One keyed window (lead over the subject sequence) + one pair
+    groupBy; the per-source normalizing sum rides on a window over the
+    (|types|²)-row count relation, so nothing subject-sized shuffles
+    twice."""
+    w = W.partitionBy(subject_col).orderBy(ts_col, id_col)
+    pairs = (
+        df.select(
+            F.col(type_col).alias("src"),
+            F.lead(type_col).over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = W.partitionBy("src")
+    return pairs.select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"),
+    )

@@ -439,16 +439,18 @@ def knn_label_agreement(
     q = emb.filter(bucket == 0).select(
         F.col(id_col).alias("qid"),
         F.col(label_col).alias("qlabel"),
-        F.col(vec_col).alias("qv"),
+        unit_normalize(F.col(vec_col)).alias("qv"),
     )
     c = emb.select(
         F.col(id_col).alias("nn_id"),
         F.col(label_col).alias("nn_label"),
-        F.col(vec_col).alias("cv"),
+        unit_normalize(F.col(vec_col)).alias("cv"),
     )
     scored = c.crossJoin(F.broadcast(q)).filter(F.col("nn_id") != F.col("qid"))
+    # each side is unit-normalized ONCE before the join; per pair only
+    # the dot remains (cosine() would refold both norms per candidate)
     scored = scored.select(
-        "qid", "qlabel", "nn_id", "nn_label", cosine(F.col("qv"), F.col("cv")).alias("cos")
+        "qid", "qlabel", "nn_id", "nn_label", dot(F.col("qv"), F.col("cv")).alias("cos")
     )
     w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nn_id").asc())
     return (
@@ -489,16 +491,16 @@ def contrastive_triplets(
     a = emb.filter(bucket == 0).select(
         F.col(id_col).alias("anchor_id"),
         F.col(label_col).alias("label"),
-        F.col(vec_col).alias("av"),
+        unit_normalize(F.col(vec_col)).alias("av"),
     )
     c = emb.select(
         F.col(id_col).alias("cid"),
         F.col(label_col).alias("clabel"),
-        F.col(vec_col).alias("cv"),
+        unit_normalize(F.col(vec_col)).alias("cv"),
     )
     joined = c.crossJoin(F.broadcast(a)).filter(F.col("cid") != F.col("anchor_id"))
     same = joined.filter(F.col("clabel") == F.col("label")).select(
-        "anchor_id", "label", "cid", cosine(F.col("av"), F.col("cv")).alias("cos")
+        "anchor_id", "label", "cid", dot(F.col("av"), F.col("cv")).alias("cos")
     )
     w = W.partitionBy("anchor_id").orderBy(F.col("cos").desc(), F.col("cid").asc())
     pos = (

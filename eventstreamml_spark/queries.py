@@ -5217,3 +5217,65 @@ def q_cdc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("last_value"),
         )
     )
+
+
+@register(
+    "cohort_retention_weekly",
+    """
+    WITH cohorts AS (
+      SELECT user_id, date_trunc('week', min(ts))::TIMESTAMP AS cohort
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT c.cohort,
+             CAST((epoch(date_trunc('week', e.ts)) - epoch(c.cohort)) / 604800
+                  AS BIGINT) AS offset,
+             e.user_id
+      FROM events e JOIN cohorts c USING (user_id)
+    ),
+    sizes AS (SELECT cohort, count(*) AS cohort_size FROM cohorts GROUP BY cohort)
+    SELECT a.cohort, a.offset, count(*) AS n_active, s.cohort_size,
+           round(count(*) * 1.0 / s.cohort_size, 6) AS retention
+    FROM active a JOIN sizes s USING (cohort)
+    GROUP BY a.cohort, a.offset, s.cohort_size
+    """,
+)
+def q_cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: subjects bucketed by
+    first-activity week, per (cohort, weeks-since) the active count
+    and share — all keyed shuffles, cohort sizes broadcast back."""
+    return agg.cohort_retention(
+        _events(spark, sf_dir), subject_col="user_id", ts_col="ts", period="week"
+    )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH pairs AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    c AS (
+      SELECT src, dst, count(*) AS n FROM pairs
+      WHERE dst IS NOT NULL GROUP BY src, dst
+    )
+    SELECT src, dst, n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY src), 6) AS p
+    FROM c
+    """,
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts + row-normalized
+    probabilities over per-subject sequences (lead window + pair
+    groupBy; the normalizer windows over the |types|² count relation,
+    never the events)."""
+    return agg.transition_matrix(
+        _events(spark, sf_dir),
+        subject_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        id_col="event_id",
+    )
