@@ -320,12 +320,17 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs (brute force). Quadratic —
     intended for within-bucket verification after an LSH/IVF prefilter
     (see operators.similarity for the bucketed path)."""
-    from eventstreamml_spark.operators.similarity import cosine
+    from eventstreamml_spark.operators.similarity import dot, unit_normalize
 
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    a = emb.select(
+        F.col(id_col).alias("id_a"), unit_normalize(F.col(vec_col)).alias("_va")
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"), unit_normalize(F.col(vec_col)).alias("_vb")
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    out = pairs.withColumn("cosine", cosine(F.col("_va"), F.col("_vb")))
+    # each side unit-normalized once; the quadratic stage pays one dot
+    out = pairs.withColumn("cosine", dot(F.col("_va"), F.col("_vb")))
     return out.filter(F.col("cosine") >= threshold).select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     )
@@ -359,8 +364,9 @@ def embedding_near_dup_lsh(
     """
     from eventstreamml_spark.operators.similarity import (
         _hyperplanes,
-        cosine,
+        dot,
         hyperplane_bucket,
+        unit_normalize,
     )
 
     if dim is None:
@@ -400,12 +406,16 @@ def embedding_near_dup_lsh(
         .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b")
     )
-    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    va = emb.select(
+        F.col(id_col).alias("id_a"), unit_normalize(F.col(vec_col)).alias("_va")
+    )
+    vb = emb.select(
+        F.col(id_col).alias("id_b"), unit_normalize(F.col(vec_col)).alias("_vb")
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", cosine(F.col("_va"), F.col("_vb")))
+        .withColumn("cosine", dot(F.col("_va"), F.col("_vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )

@@ -156,8 +156,10 @@ def lsh_topk(
     if dim is None:
         dim = embedding_dim(corpus, vec_col)
     planes = _hyperplanes(dim, n_planes, seed)
+    # unit-normalize once per row (sign pattern unchanged: positive
+    # scale) so the within-bucket rerank is a dot, not a cosine refold
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"), unit_normalize(F.col(vec_col)).alias("_qv")
     ).withColumn("bucket", hyperplane_bucket(F.col("_qv"), planes))
     if n_probe_bits >= 1:
         probes = F.array(
@@ -166,13 +168,13 @@ def lsh_topk(
         )
         q = q.withColumn("bucket", F.explode(probes))
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        F.col(id_col).alias("neighbor_id"), unit_normalize(F.col(vec_col)).alias("_cv")
     ).withColumn("bucket", hyperplane_bucket(F.col("_cv"), planes))
     scored = (
         F.broadcast(q)
         .join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn("cosine", dot(F.col("_qv"), F.col("_cv")))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
