@@ -1,0 +1,89 @@
+"""Scale smoke: the per-subject core pipeline on millions of synthetic
+rows — ~30× the sf0.1 bench volume — with every assertion an aggregate
+(no driver materialization of any large frame). What this pins:
+
+- no stage collects or broadcasts the event set;
+- the distributed id assignment really is distributed (forced
+  ``strategy="distributed"`` — the path the size gate picks at real
+  scale, exercised here at a volume where the window path would still
+  work but mask regressions);
+- per-subject windows hold up when every subject has a long sequence.
+
+spark.range generates the data executor-side (no driver lists), so the
+test's memory footprint is O(1) regardless of N.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+N = 2_000_000
+N_SUBJECTS = 50_000
+
+
+def _events(spark):
+    # deterministic synthetic stream: 50k subjects × 40 events, minute
+    # spacing with collisions (id % 7 == 0 repeats the prior timestamp)
+    return spark.range(N).select(
+        (F.col("id") % N_SUBJECTS).alias("subject_id"),
+        F.timestamp_seconds(
+            F.lit(1_600_000_000)
+            + (F.col("id") / N_SUBJECTS).cast("long") * 60
+            - F.when(F.col("id") % 7 == 0, 60).otherwise(0)
+        ).alias("timestamp"),
+        F.concat(F.lit("t"), (F.col("id") % 5).cast("string")).alias("event_type"),
+        (F.col("id") % 1000).cast("double").alias("value"),
+        F.col("id").alias("event_id"),
+    )
+
+
+def test_scale_agg_by_time_type(spark):
+    from eventstreamml_spark.operators.aggregations import agg_by_time_type
+
+    ev = _events(spark)
+    out = agg_by_time_type(ev)
+    distinct_triples = ev.select("subject_id", "timestamp", "event_type").distinct().count()
+    stats = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("lo"),
+        F.max("event_id").alias("hi"),
+        F.sum("n_merged").alias("total"),
+    ).collect()[0]
+    assert stats["n"] == distinct_triples
+    assert (stats["lo"], stats["hi"]) == (0, distinct_triples - 1)  # dense renumber
+    assert stats["total"] == N  # every input row accounted for
+
+
+def test_scale_distributed_dense_ids(spark):
+    from eventstreamml_spark.operators.windows import dense_ids
+
+    ev = _events(spark)
+    out = dense_ids(
+        ev.drop("event_id"),
+        order_cols=["subject_id", "timestamp", "event_type", "value"],
+        out_col="new_id",
+        strategy="distributed",
+    )
+    stats = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("new_id").alias("lo"),
+        F.max("new_id").alias("hi"),
+        F.countDistinct("new_id").alias("nd"),
+    ).collect()[0]
+    assert stats["n"] == N
+    assert (stats["lo"], stats["hi"], stats["nd"]) == (0, N - 1, N)
+
+
+def test_scale_rolling_window(spark):
+    from eventstreamml_spark.operators.windows import rolling_time_agg
+
+    ev = _events(spark)
+    out = rolling_time_agg(
+        ev, window_seconds=3600.0, aggs={"n_1h": ("count", "*")}
+    )
+    stats = out.agg(
+        F.count(F.lit(1)).alias("n"), F.max("n_1h").alias("mx")
+    ).collect()[0]
+    assert stats["n"] == N
+    # minute spacing → at most ~61 events can fall into any hour window
+    assert 2 <= stats["mx"] <= 62
