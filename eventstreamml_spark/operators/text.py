@@ -402,3 +402,51 @@ def bpe_pair_counts(
         .filter(F.col("rk") <= k)
         .select("a", "b", "pair_count", "rk")
     )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing (MOSS) fingerprints: the distinct set of per-window
+    minimum char-k-gram hashes, one window per position sliding over
+    the k-gram hash sequence with width ``w``. The guarantee that makes
+    it the plagiarism/near-copy detector: any shared substring of
+    length ≥ w+k−1 contributes at least one SHARED fingerprint, while
+    storage stays ~2/(w+1) of the gram count — between the global
+    min-hash (one fingerprint, misses local overlap) and full shingle
+    sets (everything, too big to index).
+
+    Shape: explode the k-gram hash sequence once (each md5 computed
+    exactly once) and take the per-window minimum with a doc-keyed
+    sliding ROWS frame — one shuffle on the doc key, O(n) hash work
+    per document. The tempting pure-expression form
+    (``transform`` of ``array_min(slice(grams, i, w))``) re-evaluates
+    the captured gram array per window position — O(n²) md5 calls per
+    doc, measured ~40× slower on 250-char docs; same lesson as
+    word_shingles."""
+    text = F.col(text_col)
+    n_grams = F.length(text) - F.lit(k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: F.md5(F.substring(text, i, k))
+    )
+    long = docs.filter(F.length(text) >= k + w - 1).select(
+        F.col(id_col),
+        n_grams.alias("_n"),
+        F.posexplode(grams).alias("pos", "h"),
+    )
+    win = W.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        long.select(
+            F.col(id_col),
+            F.min("h").over(win).alias("fingerprint"),
+            "pos",
+            "_n",
+        )
+        .filter(F.col("pos") <= F.col("_n") - w)  # full windows only
+        .select(id_col, "fingerprint")
+        .distinct()
+    )

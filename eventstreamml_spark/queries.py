@@ -5279,3 +5279,94 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         type_col="event_type",
         id_col="event_id",
     )
+
+
+@register(
+    "doc_winnowing_digest",
+    """
+    WITH g AS (
+      SELECT doc_id, i, n_grams,
+             md5(substr(text, CAST(i AS INT), 20)) AS h
+      FROM (SELECT doc_id, text, len(text) - 19 AS n_grams,
+                   unnest(range(1, len(text) - 19 + 1)) AS i
+            FROM documents WHERE len(text) >= 23)
+    ),
+    wmin AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM g WHERE TRUE QUALIFY i <= n_grams - 3
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM wmin)
+    SELECT doc_id, count(*) AS n_fps,
+           md5(string_agg(fp, ',' ORDER BY fp)) AS fps_digest
+    FROM fps GROUP BY doc_id
+    """,
+)
+def q_doc_winnowing_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints — per-window minimum char-20-gram
+    hashes, window width 4 — digested per document (count + md5 of the
+    sorted set) so the harness collects one row per doc while the
+    ENTIRE fingerprint set is still value-checked. The long
+    (doc, fingerprint) relation (operators/text.py
+    winnowing_fingerprints) is what a plagiarism index equi-joins."""
+    from eventstreamml_spark.operators.text import winnowing_fingerprints
+
+    fps = winnowing_fingerprints(
+        load_table(spark, sf_dir, "documents"), k=20, w=4
+    )
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.md5(F.array_join(F.array_sort(F.collect_list("fingerprint")), ",")).alias(
+            "fps_digest"
+        ),
+    )
+
+
+@register(
+    "mad_outlier_bounds",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS median,
+             count(value) AS n
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, m.median, m.n,
+             quantile_cont(abs(e.value - m.median), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type, m.median, m.n
+    ),
+    b AS (
+      SELECT event_type, median, mad,
+             median - 3.0 * 1.4826022185056018 * mad AS lo,
+             median + 3.0 * 1.4826022185056018 * mad AS hi, n
+      FROM mad
+    )
+    SELECT b.event_type, round(b.median, 6) AS median, round(b.mad, 6) AS mad,
+           round(b.lo, 6) AS lo, round(b.hi, 6) AS hi, b.n,
+           CAST(sum(CASE WHEN e.value < b.lo OR e.value > b.hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM events e JOIN b USING (event_type)
+    GROUP BY b.event_type, b.median, b.mad, b.lo, b.hi, b.n
+    """,
+)
+def q_mad_outlier_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-key outlier bounds: median ± 3·1.4826·MAD
+    (preprocessing/outliers.py mad_outlier_bounds) — the
+    breakdown-resistant, iteration-free complement to the VIOD fit;
+    exact percentiles here, KLL-sketch approx_percentile at 100 TB."""
+    from eventstreamml_spark.preprocessing.outliers import mad_outlier_bounds
+
+    out = mad_outlier_bounds(
+        _events(spark, sf_dir), key_col="event_type", value_col="value", n_sigmas=3.0
+    )
+    return out.select(
+        "event_type",
+        F.round("median", 6).alias("median"),
+        F.round("mad", 6).alias("mad"),
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+        "n",
+        "n_outliers",
+    )

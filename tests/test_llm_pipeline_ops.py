@@ -573,3 +573,36 @@ def test_containment_vs_jaccard_asymmetry(spark):
     assert cont[(1, 2)] == 1.0
     assert jac[(1, 2)] < 0.3
     assert (1, 3) not in cont  # no shared shingle
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    # docs share a 30-char substring (> w+k-1 = 24) -> must share >= 1
+    # fingerprint; unrelated docs share none
+    shared = "abcdefghijklmnopqrstuvwxyz0123"
+    docs = _docs(spark, [
+        (1, "XXXX" + shared + "YYYYYYY"),
+        (2, "QQQQQQQ" + shared + "ZZZ"),
+        (3, "totally different content with no common twenty-gram at all here"),
+    ])
+    fps = text.winnowing_fingerprints(docs, k=20, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[1] & by_doc[2], "guaranteed shared fingerprint missing"
+    assert not (by_doc[1] & by_doc[3])
+
+
+def test_mad_bounds_flag_planted_outliers(spark):
+    import random
+
+    rng = random.Random(0)
+    rows = [(i, "a", rng.gauss(0, 1)) for i in range(500)] + [
+        (1000, "a", 50.0), (1001, "a", -50.0)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    from eventstreamml_spark.preprocessing.outliers import mad_outlier_bounds
+
+    out = mad_outlier_bounds(df, key_col="event_type").collect()[0]
+    assert out["n"] == 502
+    assert out["n_outliers"] >= 2  # the planted extremes
+    assert out["lo"] < 0 < out["hi"]
+    assert out["n_outliers"] <= 25  # ~<5% under normality
