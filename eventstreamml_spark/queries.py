@@ -5370,3 +5370,86 @@ def q_mad_outlier_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "n_outliers",
     )
+
+
+@register(
+    "json_props_histogram",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           count(*) AS n,
+           round(avg(value), 6) AS mean_value
+    FROM events GROUP BY 1
+    """,
+)
+def q_json_props_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: the JSON ``props`` payload parsed
+    with a TYPED schema (``from_json`` — vectorized JVM parse, not a
+    per-row Python loop) and aggregated by the extracted field. At
+    scale prefer from_json-with-schema over get_json_object chains:
+    one parse per row, all fields, pushdown-friendly nulls on
+    malformed input."""
+    ev = _events(spark, sf_dir)
+    parsed = ev.select(
+        F.from_json(F.col("props"), "k bigint").alias("_p"), "value"
+    )
+    return parsed.groupBy(F.col("_p.k").alias("k")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+    )
+
+
+@register(
+    "setops_intersect_except",
+    """
+    WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    both_u AS (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM buyers),
+    only_click AS (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM buyers)
+    SELECT 'click_and_buy' AS cohort, user_id FROM both_u
+    UNION ALL
+    SELECT 'click_no_buy' AS cohort, user_id FROM only_click
+    """,
+)
+def q_setops_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI set operators (INTERSECT / EXCEPT) over behavior cohorts —
+    distinct-set semantics, planned as semi/anti hash joins by
+    Catalyst (no sort-based set diff)."""
+    ev = _events(spark, sf_dir)
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    both_u = clickers.intersect(buyers).select(
+        F.lit("click_and_buy").alias("cohort"), "user_id"
+    )
+    only_click = clickers.exceptAll(buyers).distinct().select(
+        F.lit("click_no_buy").alias("cohort"), "user_id"
+    )
+    return both_u.unionByName(only_click)
+
+
+@register(
+    "order_value_rank_functions",
+    """
+    SELECT o_orderkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cum_dist,
+           dense_rank() OVER (ORDER BY o_orderpriority) AS prio_rank
+    FROM orders
+    WHERE o_orderkey % 50 = 0
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_order_value_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function coverage (percent_rank / cume_dist /
+    dense_rank) with pinned total orders. Global windows funnel one
+    partition by design — restricted to a deterministic key slice
+    here; at 100 TB derive ranks from sketch quantiles instead
+    (value_percentiles_by_type pins that contract)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    w = W.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    wp = W.orderBy(F.col("o_orderpriority").asc())
+    return orders.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        F.dense_rank().over(wp).alias("prio_rank"),
+    )
