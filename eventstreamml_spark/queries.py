@@ -3544,6 +3544,7 @@ def q_tensorize_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
            array_to_string(list_sort(list(ent.gidx)), ',') AS idx_csv,
            CAST(count(*) AS INT) AS n_null_vals
     FROM pos p JOIN ent USING (event_id)
+    WHERE p.user_id % 5 = 0
     GROUP BY p.user_id, p.pos
     """,
 )
@@ -3595,7 +3596,10 @@ def q_multilabel_event_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     }
     out = tensorize(ev, model.transform(md), vocabs)
-    per_event = out.select(
+    # fit/tensorize run over the FULL corpus; only the emitted slice is
+    # restricted (1/5 of subjects) to bound the harness's row-by-row
+    # collect — the oracle applies the same final-stage filter
+    per_event = out.filter(F.col("subject_id") % 5 == 0).select(
         "subject_id",
         F.posexplode(F.arrays_zip("dynamic_indices", "dynamic_values")).alias(
             "pos", "_e"
@@ -5082,7 +5086,7 @@ def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
     )
-    j = salted_join(li, orders, "l_orderkey", n_salt=8)
+    j = salted_join(li, orders, "l_orderkey", n_salt=4)
     return j.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.round(
