@@ -5457,3 +5457,29 @@ def q_order_value_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
         F.dense_rank().over(wp).alias("prio_rank"),
     )
+
+
+@register(
+    "synthetic_source_parity",
+    """
+    SELECT CAST(id % 400 AS BIGINT) AS subject_id,
+           make_timestamp((1600000000 + (id // 400) * 60
+                           - CASE WHEN id % 7 = 0 THEN 60 ELSE 0 END)
+                          * 1000000) AS timestamp,
+           't' || CAST(id % 5 AS VARCHAR) AS event_type,
+           CAST(id % 1000 AS DOUBLE) AS value,
+           id AS event_id
+    FROM range(10000) t(id)
+    """,
+)
+def q_synthetic_source_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The executor-side synthetic event source (sources/synthetic.py)
+    hash-checked against a series-generator replay: pure integer
+    arithmetic on ``id``, so the fixture every scale experiment runs
+    on is itself oracle-verified — sf-independent (ignores sf_dir)."""
+    from eventstreamml_spark.sources.synthetic import synthetic_events
+
+    out = synthetic_events(spark, 10_000, 400)
+    return out.withColumn(
+        "timestamp", F.col("timestamp").cast("timestamp_ntz")
+    )

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from eventstreamml_spark.sources.synthetic import synthetic_events
+
 N = 2_000_000
 N_SUBJECTS = 50_000
 
@@ -24,17 +26,7 @@ N_SUBJECTS = 50_000
 def _events(spark):
     # deterministic synthetic stream: 50k subjects × 40 events, minute
     # spacing with collisions (id % 7 == 0 repeats the prior timestamp)
-    return spark.range(N).select(
-        (F.col("id") % N_SUBJECTS).alias("subject_id"),
-        F.timestamp_seconds(
-            F.lit(1_600_000_000)
-            + (F.col("id") / N_SUBJECTS).cast("long") * 60
-            - F.when(F.col("id") % 7 == 0, 60).otherwise(0)
-        ).alias("timestamp"),
-        F.concat(F.lit("t"), (F.col("id") % 5).cast("string")).alias("event_type"),
-        (F.col("id") % 1000).cast("double").alias("value"),
-        F.col("id").alias("event_id"),
-    )
+    return synthetic_events(spark, N, N_SUBJECTS)
 
 
 def test_scale_agg_by_time_type(spark):
