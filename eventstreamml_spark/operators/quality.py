@@ -178,3 +178,62 @@ def order_violations(
         F.sum(F.when(F.col("_inv"), 1).otherwise(0)).alias("n_inversions"),
         (F.sum(F.when(F.col("_inv"), 1).otherwise(0)) == 0).alias("ordered"),
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_identifiers: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit before a data release: group by the
+    quasi-identifier tuple, count, and flag equivalence classes
+    smaller than ``k`` — every flagged row is a re-identification
+    risk the release must generalize or suppress. One keyed groupBy
+    (map-side combined); the QI-class relation is what generalization
+    loops iterate on, never the raw rows.
+
+    Returns (quasi-identifiers..., class_size, at_risk)."""
+    return (
+        df.groupBy(*quasi_identifiers)
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .withColumn("at_risk", F.col("class_size") < k)
+    )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """ε-differentially-private counts via the Laplace mechanism with
+    SEEDED noise: u ~ Uniform(0,1) derived from md5(group key ‖ seed)
+    (engine-portable integer arithmetic), noise = −(1/ε)·sign(u−½)·
+    ln(1−2|u−½|) — the inverse-CDF draw. Deterministic given (key,
+    seed), so runs are reproducible and the whole mechanism is
+    replayable by the oracle; rotate the seed per release in
+    production (a fixed seed across releases leaks the noise).
+
+    Count sensitivity is 1, so scale b = 1/ε. One keyed groupBy; the
+    noise is a pure expression over the group key."""
+    key = F.concat_ws("␟", *[F.col(c).cast("string") for c in group_cols])
+    u = (
+        F.conv(F.substring(F.md5(F.concat_ws("#", key, F.lit(str(seed)))), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(16**8))
+    )
+    centered = u - F.lit(0.5)
+    noise = (
+        -(1.0 / epsilon)
+        * F.signum(centered)
+        * F.log(1.0 - 2.0 * F.abs(centered))
+    )
+    return (
+        df.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .select(
+            *group_cols,
+            "true_count",
+            F.round(F.col("true_count") + noise, 6).alias("noisy_count"),
+        )
+    )

@@ -5483,3 +5483,56 @@ def q_synthetic_source_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "timestamp", F.col("timestamp").cast("timestamp_ntz")
     )
+
+
+@register(
+    "privacy_k_anonymity",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           count(*) AS class_size,
+           count(*) < 5 AS at_risk
+    FROM customer GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nation, segment) quasi-identifier:
+    equivalence classes smaller than k=5 are re-identification risks
+    a release must generalize away. One keyed groupBy."""
+    from eventstreamml_spark.operators.quality import k_anonymity_audit
+
+    return k_anonymity_audit(
+        load_table(spark, sf_dir, "customer"),
+        ["c_nationkey", "c_mktsegment"],
+        k=5,
+    )
+
+
+@register(
+    "privacy_dp_counts",
+    """
+    WITH g AS (
+      SELECT event_type, count(*) AS true_count FROM events GROUP BY event_type
+    ),
+    n AS (
+      SELECT event_type, true_count,
+             CAST(('0x' || substr(md5(event_type || '#' || '42'), 1, 8))::BIGINT
+                  AS DOUBLE) / 4294967296.0 AS u
+      FROM g
+    )
+    SELECT event_type, true_count,
+           round(true_count
+                 - (1.0 / 1.0) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)),
+                 6) AS noisy_count
+    FROM n
+    """,
+)
+def q_privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε=1 differentially-private histogram via the Laplace mechanism
+    with seeded, engine-replayable noise (md5-uniform → inverse CDF).
+    true_count rides along here for verification; a release drops it
+    and rotates the seed."""
+    from eventstreamml_spark.operators.quality import dp_noisy_counts
+
+    return dp_noisy_counts(
+        _events(spark, sf_dir), ["event_type"], epsilon=1.0, seed=42
+    )

@@ -161,3 +161,28 @@ def test_zorder_interleave_golden(spark):
     # quadrant property: z in [0,16) <=> x,y both in [0,4)
     for (x, y), zz in z.items():
         assert (zz < 16) == (x < 4 and y < 4)
+
+
+def test_dp_noise_distribution_and_determinism(spark):
+    """Seeded Laplace noise: deterministic across runs, zero-mean-ish
+    over many groups, scale consistent with 1/epsilon."""
+    import math
+
+    from eventstreamml_spark.operators.quality import dp_noisy_counts
+
+    df = spark.createDataFrame([(f"g{i}",) for i in range(2000)], "g string")
+    out1 = dp_noisy_counts(df, ["g"], epsilon=1.0, seed=7).collect()
+    out2 = dp_noisy_counts(df, ["g"], epsilon=1.0, seed=7).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))  # deterministic
+    noise = [r["noisy_count"] - r["true_count"] for r in out1]
+    mean = sum(noise) / len(noise)
+    mad = sum(abs(x) for x in noise) / len(noise)  # E|X| = b = 1/eps
+    assert abs(mean) < 0.15
+    assert 0.8 < mad < 1.2
+    # different seed -> different noise
+    out3 = dp_noisy_counts(df, ["g"], epsilon=1.0, seed=8).collect()
+    assert sorted(map(tuple, out1)) != sorted(map(tuple, out3))
+    # tighter epsilon -> larger noise scale
+    wide = dp_noisy_counts(df, ["g"], epsilon=0.1, seed=7).collect()
+    mad_wide = sum(abs(r["noisy_count"] - r["true_count"]) for r in wide) / len(wide)
+    assert mad_wide > 5 * mad
