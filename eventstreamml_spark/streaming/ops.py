@@ -419,3 +419,70 @@ def stream_ewma(
     return events.groupBy(subject_col).applyInPandasWithState(
         update, _EWMA_OUTPUT, _EWMA_STATE, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_running_counts_tws(
+    events: DataFrame,
+    subject_col: str = "subject_id",
+    value_col: str = "value",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Per-subject running (count, sum) on the ``transformWithState``
+    API (Spark 4's successor to ``applyInPandasWithState``): state is a
+    named, typed ValueState with optional per-state TTL — the state
+    store evicts idle subjects by itself, the eviction policy a manual
+    GroupStateTimeout dance used to hand-roll. Emits one updated
+    (subject, n_events, sum_value) row per key per micro-batch.
+
+    The TTL matters at 100 TB: subject key spaces grow without bound
+    on real feeds, and value-state TTL keeps the RocksDB footprint
+    proportional to ACTIVE subjects, not historical ones.
+
+    Requires ``google.protobuf`` (the transformWithState wire protocol
+    dependency, absent from this build environment — the test skips
+    without it; raise early here instead of crashing the streaming
+    Python runner mid-query)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "transformWithStateInPandas needs google.protobuf (pyspark's "
+            "streaming state protocol); install protobuf to use this "
+            "operator — applyInPandasWithState ops (stream_ewma, "
+            "stream_inter_event_times) cover the same semantics without it"
+        ) from exc
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "agg", "n BIGINT, s DOUBLE", ttlDurationMs=state_ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = (0, 0.0)
+            if self._state.exists():
+                n, s = self._state.get()
+            for pdf in rows:
+                vals = pdf[value_col].dropna()
+                n += int(len(pdf))
+                s += float(vals.sum())
+            self._state.update((n, s))
+            yield pd.DataFrame(
+                {"subject_id": [key[0]], "n_events": [n], "sum_value": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(subject_col).transformWithStateInPandas(
+        RunningCounts(),
+        outputStructType="subject_id LONG, n_events BIGINT, sum_value DOUBLE",
+        outputMode="Update",
+        timeMode="None",
+    )

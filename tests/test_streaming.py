@@ -436,3 +436,46 @@ def test_stream_ewma_matches_batch_fold_across_batches(spark, stream_dir, tmp_pa
     for u, (n, s) in final.items():
         assert n == cnt[u]
         assert abs(s - exp[u]) < 1e-9
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(), reason="transformWithState needs google.protobuf"
+)
+def test_transform_with_state_running_counts(spark, stream_dir, tmp_path):
+    from eventstreamml_spark.streaming.ops import stream_running_counts_tws
+
+    src = (
+        spark.readStream.schema("user long, t timestamp, et string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .withColumn("value", F.col("user").cast("double"))
+    )
+    out = stream_running_counts_tws(src, subject_col="user", value_col="value")
+    _run(out, "tws_counts", tmp_path, "update")
+    sink = spark.table("tws_counts")
+    final = {}
+    for r in sink.orderBy("n_events").collect():  # later updates win
+        final[r["subject_id"]] = (r["n_events"], r["sum_value"])
+    # subject 1: 3 events (2 in batch1, 1 in batch2) — state carries over
+    assert final[1] == (3, 3.0)
+    assert final[2] == (2, 4.0)
+
+
+@pytest.mark.skipif(_has_protobuf(), reason="raise-path only without protobuf")
+def test_transform_with_state_raises_early_without_protobuf(spark):
+    from eventstreamml_spark.streaming.ops import stream_running_counts_tws
+
+    src = spark.readStream.format("rate").load().withColumn(
+        "subject_id", F.col("value") % 5
+    )
+    with pytest.raises(ImportError, match="protobuf"):
+        stream_running_counts_tws(src, value_col="value")
