@@ -5536,3 +5536,42 @@ def q_privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_noisy_counts(
         _events(spark, sf_dir), ["event_type"], epsilon=1.0, seed=42
     )
+
+
+@register(
+    "null_safe_join_values",
+    """
+    WITH lv AS (
+      SELECT event_id,
+             CASE WHEN value < 100 THEN NULL ELSE floor(value / 100) END AS bucket
+      FROM events WHERE event_id % 25 = 0
+    ),
+    dim AS (
+      SELECT DISTINCT CASE WHEN value < 100 THEN NULL
+                           ELSE floor(value / 100) END AS bucket,
+             CASE WHEN value < 100 THEN 'small' ELSE 'big' END AS label
+      FROM events
+    )
+    SELECT l.event_id, l.bucket, d.label
+    FROM lv l JOIN dim d ON l.bucket IS NOT DISTINCT FROM d.bucket
+    """,
+)
+def q_null_safe_join_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): null keys
+    MATCH each other instead of vanishing — the semantics ETL needs
+    when null is a legitimate dimension value. Same hash-join
+    planning as a plain equi-join (null becomes an ordinary key)."""
+    ev = _events(spark, sf_dir)
+    bucket = F.when(F.col("value") < 100, F.lit(None)).otherwise(
+        F.floor(F.col("value") / 100)
+    )
+    lv = ev.filter(F.col("event_id") % 25 == 0).select(
+        "event_id", bucket.alias("bucket")
+    )
+    dim = ev.select(
+        bucket.alias("bucket"),
+        F.when(F.col("value") < 100, "small").otherwise("big").alias("label"),
+    ).distinct()
+    return lv.alias("l").join(
+        dim.alias("d"), F.col("l.bucket").eqNullSafe(F.col("d.bucket"))
+    ).select("l.event_id", "l.bucket", "d.label")

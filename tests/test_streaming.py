@@ -479,3 +479,23 @@ def test_transform_with_state_raises_early_without_protobuf(spark):
     )
     with pytest.raises(ImportError, match="protobuf"):
         stream_running_counts_tws(src, value_col="value")
+
+
+def test_state_operator_metrics_in_progress(spark, tmp_path):
+    """Observability: stateOperators in StreamingQueryProgress report
+    state row counts and memory for the sessionization aggregation —
+    the numbers a production alert watches for state-store growth."""
+    from eventstreamml_spark.streaming.ops import sessionize
+
+    schema = "subject_id long, timestamp timestamp"
+    d = str(tmp_path / "met_in")
+    spark.createDataFrame(
+        [(i % 7, _ts("2020-01-01 00:00:00")) for i in range(20)], schema
+    ).coalesce(1).write.mode("append").parquet(d)
+    src = spark.readStream.schema(schema).parquet(d)
+    out = sessionize(src, gap="30 minutes", watermark_delay="5 minutes")
+    q = _run(out, "met_out", tmp_path, "complete")
+    ops = [op for p in q.recentProgress for op in p.stateOperators]
+    assert ops, "no stateOperators reported"
+    assert any(op["operatorName"] == "sessionWindowStateStoreSaveExec" for op in ops)
+    assert any(op["numRowsTotal"] == 7 for op in ops)  # one session per subject
