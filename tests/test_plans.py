@@ -325,3 +325,19 @@ def test_incremental_dedup_digests_only_cross_shuffle(spark):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1)
+
+
+def test_jaccard_reuses_shingle_exchange(spark):
+    """Catalyst exchange reuse: the shingle-size aggregate feeds both
+    join sides (sa/sb) and the intersection self-join reads the same
+    shuffled shingle relation twice — the executed plan must contain
+    ReusedExchange nodes rather than recomputing/reshuffling the
+    identical subtree. Declarative plans make this free; an imperative
+    rewrite would pay the shingle shuffle twice."""
+    from eventstreamml_spark.operators.dedup import jaccard_pairs, word_shingles
+    from eventstreamml_spark.plans.inspect import executed_plan
+
+    docs = load_table(spark, SF, "documents")
+    q = jaccard_pairs(word_shingles(docs, k=4), threshold=0.1)
+    q.collect()
+    assert "ReusedExchange" in executed_plan(q)
