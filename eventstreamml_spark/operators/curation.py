@@ -293,3 +293,39 @@ def incremental_new_docs(
     )
     ref = reference.select(F.md5(F.col(text_col)).alias("digest")).distinct()
     return inc.join(ref, "digest", "left_anti").select(id_col, "digest")
+
+
+def mixture_weights(
+    docs: DataFrame,
+    temperature: float = 2.0,
+    stratum_col: str = "source",
+    size_col: str | None = None,
+) -> DataFrame:
+    """Temperature-scaled sampling weights per stratum (the
+    mT5/multilingual mixing rule): p_i ∝ (n_i/N)^(1/τ). τ=1 keeps the
+    natural distribution, τ→∞ approaches uniform — the knob that stops
+    a dominant source from drowning the tail without discarding it.
+
+    Returns (stratum, n, nat_share, weight, expected_share) — feed
+    ``weight`` into a Bernoulli/quota sampler per stratum. One tiny
+    keyed groupBy; the power/normalize arithmetic runs on the
+    |strata|-row relation."""
+    size = F.count(F.lit(1)) if size_col is None else F.sum(size_col)
+    counts = docs.groupBy(stratum_col).agg(size.alias("n"))
+    total = counts.agg(F.sum("n").alias("_tot"))
+    shares = counts.crossJoin(F.broadcast(total)).select(
+        stratum_col,
+        "n",
+        (F.col("n") / F.col("_tot")).alias("nat_share"),
+        F.pow(F.col("n") / F.col("_tot"), 1.0 / temperature).alias("_w"),
+    )
+    wtot = shares.agg(F.sum("_w").alias("_wtot"))
+    return shares.crossJoin(F.broadcast(wtot)).select(
+        stratum_col,
+        "n",
+        F.round("nat_share", 6).alias("nat_share"),
+        F.round(F.col("_w") / F.col("_wtot"), 6).alias("expected_share"),
+        F.round((F.col("_w") / F.col("_wtot")) / F.col("nat_share"), 6).alias(
+            "upweight"
+        ),
+    )

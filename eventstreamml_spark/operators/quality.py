@@ -237,3 +237,41 @@ def dp_noisy_counts(
             F.round(F.col("true_count") + noise, 6).alias("noisy_count"),
         )
     )
+
+
+def table_diff(
+    before: DataFrame,
+    after: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Snapshot reconciliation: full-outer join of two table versions
+    on the key, comparing an md5 digest of all non-key columns —
+    emits one row per differing key with status ``added`` /
+    ``removed`` / ``changed`` (unchanged rows drop out). The
+    CDC-validation / migration-check primitive.
+
+    Digests are computed BEFORE the join, so the shuffle carries
+    (key, 32-byte digest), never the payload; at 100 TB the join is
+    the only exchange and both inputs are digest-skinny."""
+    def digested(df: DataFrame, name: str) -> DataFrame:
+        payload = [c for c in df.columns if c not in key_cols]
+        return df.select(
+            *key_cols,
+            F.md5(F.concat_ws("␟", *[F.col(c).cast("string") for c in payload])).alias(
+                name
+            ),
+        )
+
+    b = digested(before, "_hb")
+    a = digested(after, "_ha")
+    j = b.join(a, key_cols, "full_outer")
+    status = (
+        F.when(F.col("_hb").isNull(), "added")
+        .when(F.col("_ha").isNull(), "removed")
+        .when(F.col("_hb") != F.col("_ha"), "changed")
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(*key_cols, "status")
+    )

@@ -5575,3 +5575,73 @@ def q_null_safe_join_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lv.alias("l").join(
         dim.alias("d"), F.col("l.bucket").eqNullSafe(F.col("d.bucket"))
     ).select("l.event_id", "l.bucket", "d.label")
+
+
+@register(
+    "doc_mixture_weights",
+    """
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    s AS (
+      SELECT source, n,
+             n * 1.0 / (SELECT sum(n) FROM c) AS nat_share,
+             pow(n * 1.0 / (SELECT sum(n) FROM c), 1.0 / 2.0) AS w
+      FROM c
+    )
+    SELECT source, n, round(nat_share, 6) AS nat_share,
+           round(w / (SELECT sum(w) FROM s), 6) AS expected_share,
+           round((w / (SELECT sum(w) FROM s)) / nat_share, 6) AS upweight
+    FROM s
+    """,
+)
+def q_doc_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled data-mixture weights (τ=2, the mT5 rule
+    p_i ∝ (n_i/N)^(1/τ)): per-source sampling shares that lift the
+    tail without discarding the head. All arithmetic on the
+    |sources|-row relation."""
+    from eventstreamml_spark.operators.curation import mixture_weights
+
+    return mixture_weights(load_table(spark, sf_dir, "documents"), temperature=2.0)
+
+
+@register(
+    "dq_table_diff",
+    """
+    WITH b AS (
+      SELECT event_id,
+             md5(concat_ws('␟', CAST(user_id AS VARCHAR), CAST(value AS VARCHAR)))
+               AS hb
+      FROM events WHERE event_id % 3 != 0
+    ),
+    a AS (
+      SELECT event_id,
+             md5(concat_ws('␟', CAST(user_id AS VARCHAR),
+                           CAST(CASE WHEN event_id % 5 = 0 THEN value + 1
+                                     ELSE value END AS VARCHAR))) AS ha
+      FROM events WHERE event_id % 7 != 0
+    )
+    SELECT coalesce(b.event_id, a.event_id) AS event_id,
+           CASE WHEN hb IS NULL THEN 'added'
+                WHEN ha IS NULL THEN 'removed'
+                WHEN hb != ha THEN 'changed' END AS status
+    FROM b FULL OUTER JOIN a USING (event_id)
+    WHERE (CASE WHEN hb IS NULL THEN 'added'
+                WHEN ha IS NULL THEN 'removed'
+                WHEN hb != ha THEN 'changed' END) IS NOT NULL
+    """,
+)
+def q_dq_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (quality.py table_diff): two synthetic versions of
+    the events table (disjoint key filters + a planted value change)
+    reconciled by digest — added/removed/changed per key, digests
+    computed before the only shuffle."""
+    from eventstreamml_spark.operators.quality import table_diff
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "value")
+    before = ev.filter(F.col("event_id") % 3 != 0)
+    after = ev.filter(F.col("event_id") % 7 != 0).withColumn(
+        "value",
+        F.when(F.col("event_id") % 5 == 0, F.col("value") + 1).otherwise(
+            F.col("value")
+        ),
+    )
+    return table_diff(before, after, ["event_id"])

@@ -186,3 +186,31 @@ def test_dp_noise_distribution_and_determinism(spark):
     wide = dp_noisy_counts(df, ["g"], epsilon=0.1, seed=7).collect()
     mad_wide = sum(abs(r["noisy_count"] - r["true_count"]) for r in wide) / len(wide)
     assert mad_wide > 5 * mad
+
+
+def test_mixture_weights_temperature_limits(spark):
+    from eventstreamml_spark.operators.curation import mixture_weights
+
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)], "doc_id long, source string"
+    )
+    t1 = {r["source"]: r for r in mixture_weights(docs, temperature=1.0).collect()}
+    assert abs(t1["big"]["expected_share"] - 0.9) < 1e-6  # tau=1: natural
+    t100 = {r["source"]: r for r in mixture_weights(docs, temperature=100.0).collect()}
+    assert abs(t100["big"]["expected_share"] - 0.5) < 0.02  # tau->inf: uniform
+    t2 = {r["source"]: r for r in mixture_weights(docs, temperature=2.0).collect()}
+    assert 0.5 < t2["big"]["expected_share"] < 0.9  # in between
+    assert t2["small"]["upweight"] > 1.0 > t2["big"]["upweight"]
+
+
+def test_table_diff_statuses(spark):
+    from eventstreamml_spark.operators.quality import table_diff
+
+    before = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], "k long, s string, v double"
+    )
+    after = spark.createDataFrame(
+        [(2, "b", 2.0), (3, "c", 99.0), (4, "d", 4.0)], "k long, s string, v double"
+    )
+    got = {r["k"]: r["status"] for r in table_diff(before, after, ["k"]).collect()}
+    assert got == {1: "removed", 3: "changed", 4: "added"}  # 2 unchanged drops out
