@@ -450,3 +450,93 @@ def winnowing_fingerprints(
         .select(id_col, "fingerprint")
         .distinct()
     )
+
+
+def bpe_learn_merges(
+    docs: DataFrame,
+    n_merges: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The iterative BPE trainer: learn ``n_merges`` merge rules over
+    the corpus — each round counts adjacent symbol pairs (weighted by
+    word frequency), merges the most frequent pair everywhere, and
+    recounts. Returns the merge table (step, a, b, merged, pair_count)
+    — the artifact a BPE tokenizer ships.
+
+    Scale shape: the corpus collapses ONCE to a (word, n) vocabulary
+    relation (the only corpus-sized shuffle); every round then works
+    on vocabulary-sized data — pair explode, argmax, merge-apply are
+    all bounded by |vocab|·word_len, independent of corpus size. The
+    driver coordinates the loop (one tiny limit-1 collect per round,
+    like the VIOD fit and connected components); the merge itself is
+    a pure string expression applied distributively.
+
+    Merge application uses the double-space trick so consecutive
+    occurrences all merge in one pass (" a b a b " single-space
+    replace would skip every other pair): boundaries carry two
+    spaces, each match consumes one from each side. Greedy
+    left-to-right non-overlapping replace — the standard BPE
+    convention, identical in Spark and the oracle's engine."""
+    words = (
+        words_table(docs, id_col, text_col)
+        .filter(F.col("word") != "")
+        .select(F.lower(F.col("word")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # symbol string: chars separated by single spaces (split("") can
+    # emit empty edge symbols — drop them)
+    sym = F.array_join(
+        F.filter(F.split(F.col("word"), ""), lambda x: x != ""), " "
+    )
+    vocab = words.select(sym.alias("sym"), "n").localCheckpoint()
+
+    spark = docs.sparkSession
+    merges = []
+    for step in range(1, n_merges + 1):
+        syms = F.split(F.col("sym"), " ")
+        idx = F.explode(F.sequence(F.lit(1), F.size(syms) - 1)).alias("i")
+        pairs = (
+            vocab.filter(F.size(syms) >= 2)
+            .select(syms.alias("s"), "n", idx)
+            .select(
+                F.get(F.col("s"), F.col("i") - 1).alias("a"),
+                F.get(F.col("s"), F.col("i")).alias("b"),
+                "n",
+            )
+        )
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("n").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
+        merges.append((step, a, b, a + b, c))
+        padded = F.concat(
+            F.lit(" "), F.regexp_replace(F.col("sym"), " ", "  "), F.lit(" ")
+        )
+        # padded string carries DOUBLE spaces at symbol boundaries; the
+        # pattern consumes one space from each side so consecutive
+        # occurrences still match (' a  b  a  b ' -> ' ab  ab ')
+        replaced = F.expr(
+            "replace(_padded, ' {}  {} ', ' {} ')".format(
+                a.replace("'", "\\'"), b.replace("'", "\\'"),
+                (a + b).replace("'", "\\'"),
+            )
+        )
+        vocab = (
+            vocab.withColumn("_padded", padded)
+            .withColumn("_r", replaced)
+            .select(
+                F.trim(F.regexp_replace(F.col("_r"), "  ", " ")).alias("sym"), "n"
+            )
+            .localCheckpoint()
+        )
+    return spark.createDataFrame(
+        merges, "step int, a string, b string, merged string, pair_count bigint"
+    )

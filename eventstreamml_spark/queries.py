@@ -5645,3 +5645,66 @@ def q_dq_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return table_diff(before, after, ["event_id"])
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Generate the DuckDB replay of ``bpe_learn_merges``: the loop is
+    data-dependent but its round count is fixed, so each round unrolls
+    into three CTEs (pair counts → argmax merge → merge-applied vocab)
+    — the same static-unroll idea as the VIOD recursive-CTE oracle."""
+    ctes = [
+        """w AS (
+      SELECT lower(x) AS word FROM (
+        SELECT unnest(string_split(text, ' ')) AS x FROM documents
+      ) WHERE x <> ''
+    )""",
+        "wc AS (SELECT word, count(*) AS n FROM w GROUP BY word)",
+        """v0 AS (
+      SELECT array_to_string(string_split(word, ''), ' ') AS sym, n FROM wc
+    )""",
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"v{i - 1}"
+        ctes.append(
+            f"""p{i} AS (
+      SELECT s[i] AS a, s[i + 1] AS b, n
+      FROM (SELECT string_split(sym, ' ') AS s, n,
+                   unnest(range(1, len(string_split(sym, ' ')))) AS i
+            FROM {prev} WHERE len(string_split(sym, ' ')) >= 2)
+    )"""
+        )
+        ctes.append(
+            f"""m{i} AS (
+      SELECT a, b, a || b AS merged, sum(n) AS c
+      FROM p{i} GROUP BY a, b ORDER BY c DESC, a, b LIMIT 1
+    )"""
+        )
+        ctes.append(
+            f"""v{i} AS (
+      SELECT trim(replace(replace(
+               ' ' || replace(sym, ' ', '  ') || ' ',
+               ' ' || m.a || '  ' || m.b || ' ',
+               ' ' || m.merged || ' '), '  ', ' ')) AS sym, n
+      FROM {prev}, m{i} m
+    )"""
+        )
+    unions = "\n    UNION ALL\n    ".join(
+        f"SELECT {i} AS step, a, b, merged, CAST(c AS BIGINT) AS pair_count FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + unions
+
+
+@register(
+    "bpe_learned_merges",
+    _bpe_oracle_sql(4),
+)
+def q_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The iterative distributed BPE trainer (operators/text.py
+    bpe_learn_merges): 4 merge rounds — pair count, argmax, merge-apply
+    on the vocabulary-sized relation per round; the oracle unrolls the
+    same 4 rounds into static CTE stages and must land on the
+    identical merge table."""
+    from eventstreamml_spark.operators.text import bpe_learn_merges
+
+    return bpe_learn_merges(load_table(spark, sf_dir, "documents"), n_merges=4)

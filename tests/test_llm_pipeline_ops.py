@@ -606,3 +606,22 @@ def test_mad_bounds_flag_planted_outliers(spark):
     assert out["n_outliers"] >= 2  # the planted extremes
     assert out["lo"] < 0 < out["hi"]
     assert out["n_outliers"] <= 25  # ~<5% under normality
+
+
+def test_bpe_learn_merges_golden(spark):
+    docs = _docs(spark, [(1, "abab ab"), (2, "ab")])
+    out = [tuple(r) for r in text.bpe_learn_merges(docs, n_merges=5).collect()]
+    # round 1: 'a b' appears 2x in abab + 1x in each 'ab' -> 4
+    # round 2: vocab is {'ab ab': 1, 'ab': 2} -> pair (ab, ab) x1
+    # round 3: no pairs left -> early stop
+    assert out == [(1, "a", "b", "ab", 4), (2, "ab", "ab", "abab", 1)]
+
+
+def test_bpe_merge_consecutive_pairs_all_merge(spark):
+    # 'aaaa' -> 'a a a a': pair (a,a) count 3; after merging, 'aa aa'
+    # (double-space trick: consecutive occurrences merge in ONE pass,
+    # greedy left-to-right)
+    docs = _docs(spark, [(1, "aaaa")])
+    out = [tuple(r) for r in text.bpe_learn_merges(docs, n_merges=2).collect()]
+    assert out[0] == (1, "a", "a", "aa", 3)
+    assert out[1] == (2, "aa", "aa", "aaaa", 1)
