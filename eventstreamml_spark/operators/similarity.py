@@ -526,3 +526,59 @@ def contrastive_triplets(
     return pos.join(neg, "anchor_id").select(
         "anchor_id", "label", "pos_id", "pos_cos", "neg_id"
     )
+
+
+def pandas_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k on the Arrow path: the (broadcast-small)
+    query matrix rides to executors inside a ``mapInPandas`` closure
+    and every corpus batch scores against it with one numpy matmul —
+    the designed "when you must use Python" shape (Arrow-batched,
+    BLAS-backed), NOT a per-row UDF.
+
+    Same contract and results as :func:`brute_force_topk`; use
+    whichever measures faster for the dimensionality at hand —
+    interpreted HOF folds win at low dims / tiny batches, the Arrow
+    matmul wins as dim·batch grows (it amortizes per-batch overhead
+    across a BLAS call). The corpus is never replicated; per-batch
+    output is the batch's candidate scores, ranked globally after."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows], dtype="int64")
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype="float64")
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            c_mat = np.array(list(pdf[vec_col]), dtype="float64")
+            norms = np.linalg.norm(c_mat, axis=1, keepdims=True)
+            c_mat = c_mat / norms
+            sims = c_mat @ q_mat.T  # (batch, n_queries)
+            n_b = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, n_b),
+                    "neighbor_id": np.tile(pdf[id_col].to_numpy(), len(q_ids)),
+                    "cosine": sims.T.reshape(-1),
+                }
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, cosine double"
+    )
+    scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk")
+    )

@@ -5708,3 +5708,34 @@ def q_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eventstreamml_spark.operators.text import bpe_learn_merges
 
     return bpe_learn_merges(load_table(spark, sf_dir, "documents"), n_merges=4)
+
+
+@register(
+    "ann_pandas_topk",
+    """
+    WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.e, c.e)
+               / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS cos
+      FROM q CROSS JOIN c WHERE q.vec_id != c.vec_id
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rk FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+def q_ann_pandas_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow/BLAS twin of ann_cosine_topk (same oracle, same
+    results): mapInPandas scores every corpus batch against the
+    query matrix with one numpy matmul — the vectorized-Python scale
+    path for high dims where interpreted HOF folds lose; both engine
+    paths are verified against the identical oracle, so choosing by
+    measurement is safe."""
+    from eventstreamml_spark.operators.similarity import pandas_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pandas_cosine_topk(emb.filter(F.col("vec_id") < 8), emb, k=5)
