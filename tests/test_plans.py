@@ -341,3 +341,54 @@ def test_jaccard_reuses_shingle_exchange(spark):
     q = jaccard_pairs(word_shingles(docs, k=4), threshold=0.1)
     q.collect()
     assert "ReusedExchange" in executed_plan(q)
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The engine's join-skew story is 'let AQE split it' (salting is
+    reserved for aggregations and non-AQE contexts, operators/skew.py)
+    — so prove AQE actually does: a hot-key join under lowered skew
+    thresholds must execute with SortMergeJoin(skew=true) over an
+    AQEShuffleRead marked skewed. Thresholds are scoped-set and
+    restored; the final adaptive plan is read AFTER executing the
+    frame itself (count() executes a different query)."""
+    import contextlib
+    import io
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(300_000).select(
+            F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(500).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 150_250
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain(mode="simple")
+        plan = buf.getvalue()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
