@@ -293,3 +293,54 @@ def extract_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+AHASH_SCHEMA = "media_id long, ahash_lo long, ahash_hi long, n_set int"
+
+
+def image_ahash(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Perceptual average-hash (aHash) per image: downsample to an 8×8
+    luminance grid, threshold each cell by the grid mean — a 64-bit
+    signature whose Hamming distance survives resizing/re-encoding,
+    feeding the SAME bounded Hamming-pair join as SimHash
+    (operators/dedup.simhash_near_pairs) for image near-dup mining.
+
+    Emitted as two 32-bit halves (lo = bits 0-31, hi = 32-63) so no
+    engine's signed 64-bit arithmetic overflows. Fake mode derives the
+    grid cyclically from payload bytes (grid[i] = byte[i mod n] —
+    SQL-replayable); the real path resizes via Pillow when importable
+    on the executor and raises otherwise. Same Arrow-batched
+    mapInPandas shape as the other media stages."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        image_mod = None if fake else _pil()
+        for pdf in batches:
+            if not fake and image_mod is None:
+                raise NotImplementedError(
+                    "image aHash requires Pillow for the real decode; pass "
+                    "fake=True for the deterministic stub"
+                )
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                if fake:
+                    if raw:
+                        grid = [raw[i % len(raw)] for i in range(64)]
+                    else:
+                        grid = [0] * 64
+                else:
+                    with image_mod.open(io.BytesIO(raw)) as im:
+                        small = im.convert("L").resize((8, 8))
+                        grid = list(small.getdata())
+                mean = sum(grid) / 64.0
+                bits = [1 if g >= mean else 0 for g in grid]
+                lo = sum(b << i for i, b in enumerate(bits[:32]))
+                hi = sum(b << i for i, b in enumerate(bits[32:]))
+                rows.append((int(mid), lo, hi, sum(bits)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "ahash_lo", "ahash_hi", "n_set"]
+            )
+
+    return df.mapInPandas(run, schema=AHASH_SCHEMA)

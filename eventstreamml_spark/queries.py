@@ -5739,3 +5739,44 @@ def q_ann_pandas_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pandas_cosine_topk(emb.filter(F.col("vec_id") < 8), emb, k=5)
+
+
+@register(
+    "image_ahash",
+    """
+    WITH g AS (
+      SELECT doc_id AS media_id,
+             list_transform(range(64),
+               i -> ascii(substr(text, CAST(i % length(text) AS INT) + 1, 1))) AS grid
+      FROM documents WHERE length(text) > 0
+    ),
+    m AS (SELECT media_id, grid, list_sum(grid) / 64.0 AS mean FROM g),
+    b AS (
+      SELECT media_id,
+             list_transform(range(64),
+               i -> CASE WHEN grid[CAST(i AS INT) + 1] >= mean THEN 1 ELSE 0 END)
+               AS bits
+      FROM m
+    )
+    SELECT media_id,
+           CAST(list_sum(list_transform(range(32),
+                 i -> bits[CAST(i AS INT) + 1] * pow(2, i))) AS BIGINT) AS ahash_lo,
+           CAST(list_sum(list_transform(range(32),
+                 i -> bits[CAST(i AS INT) + 33] * pow(2, i))) AS BIGINT) AS ahash_hi,
+           CAST(list_sum(bits) AS INT) AS n_set
+    FROM b
+    """,
+)
+def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash per image (8×8 luminance grid threshold
+    by mean, two 32-bit halves): the image analog of SimHash, feeding
+    the same bounded Hamming-pair join for near-dup mining. Fake-mode
+    byte math replayed by the oracle; the Pillow resize path is
+    unit-tested where importable."""
+    from eventstreamml_spark.operators.multimodal import image_ahash
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
+    )
+    return image_ahash(media, fake=True)

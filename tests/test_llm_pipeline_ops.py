@@ -625,3 +625,29 @@ def test_bpe_merge_consecutive_pairs_all_merge(spark):
     out = [tuple(r) for r in text.bpe_learn_merges(docs, n_merges=2).collect()]
     assert out[0] == (1, "a", "a", "aa", 3)
     assert out[1] == (2, "aa", "aa", "aaaa", 1)
+
+
+@pytest.mark.skipif(not _has_pil(), reason="Pillow not importable")
+def test_image_ahash_real_path_resize_invariance(spark):
+    """Real-path contract: aHash of an image and its 2x upscale agree
+    on most bits (that's the point of a perceptual hash)."""
+    import io
+
+    from PIL import Image
+
+    def png_bytes(im):
+        buf = io.BytesIO()
+        im.save(buf, format="PNG")
+        return buf.getvalue()
+
+    base = Image.new("L", (32, 32))
+    base.putdata([((x // 4) * 32 + (y // 8) * 16) % 256 for y in range(32) for x in range(32)])
+    big = base.resize((64, 64))
+    rows = [(1, bytearray(png_bytes(base))), (2, bytearray(png_bytes(big)))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: (r["ahash_lo"], r["ahash_hi"]) for r in
+           multimodal.image_ahash(df, fake=False).collect()}
+    lo1, hi1 = out[1]
+    lo2, hi2 = out[2]
+    ham = bin((lo1 ^ lo2) & 0xFFFFFFFF).count("1") + bin((hi1 ^ hi2) & 0xFFFFFFFF).count("1")
+    assert ham <= 8, f"perceptual hash unstable under resize: hamming={ham}"
