@@ -231,8 +231,9 @@ def cohort_retention(
     relation is |subjects| rows of two scalars (skinny) and everything
     else is map-side-combinable counting.
 
-    ``period``: any ``date_trunc`` unit; offsets count whole periods
-    between cohort start and the activity period."""
+    ``period``: a FIXED-LENGTH unit — week, day, or hour (offsets are
+    exact integer divisions; month/year are variable-length and need
+    months_between arithmetic instead)."""
     cohorts = df.groupBy(subject_col).agg(
         F.date_trunc(period, F.min(ts_col)).alias("cohort")
     )

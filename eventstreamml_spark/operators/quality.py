@@ -255,12 +255,12 @@ def table_diff(
     the only exchange and both inputs are digest-skinny."""
     def digested(df: DataFrame, name: str) -> DataFrame:
         payload = [c for c in df.columns if c not in key_cols]
-        return df.select(
-            *key_cols,
-            F.md5(F.concat_ws("␟", *[F.col(c).cast("string") for c in payload])).alias(
-                name
-            ),
-        )
+        # concat_ws SKIPS nulls, so ("a", null) and (null, "a") would
+        # collide — null-sentinel every column first
+        cols = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\u2400")) for c in payload
+        ]
+        return df.select(*key_cols, F.md5(F.concat_ws("␟", *cols)).alias(name))
 
     b = digested(before, "_hb")
     a = digested(after, "_ha")

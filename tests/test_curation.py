@@ -214,3 +214,12 @@ def test_table_diff_statuses(spark):
     )
     got = {r["k"]: r["status"] for r in table_diff(before, after, ["k"]).collect()}
     assert got == {1: "removed", 3: "changed", 4: "added"}  # 2 unchanged drops out
+
+
+def test_table_diff_null_patterns_not_confused(spark):
+    from eventstreamml_spark.operators.quality import table_diff
+
+    before = spark.createDataFrame([(1, "a", None)], "k long, x string, y string")
+    after = spark.createDataFrame([(1, None, "a")], "k long, x string, y string")
+    got = [r["status"] for r in table_diff(before, after, ["k"]).collect()]
+    assert got == ["changed"]  # concat_ws would have silently matched
