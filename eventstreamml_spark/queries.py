@@ -5293,7 +5293,7 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
              md5(substr(text, CAST(i AS INT), 20)) AS h
       FROM (SELECT doc_id, text, len(text) - 19 AS n_grams,
                    unnest(range(1, len(text) - 19 + 1)) AS i
-            FROM documents WHERE len(text) >= 23)
+            FROM documents WHERE len(text) >= 23 AND doc_id % 2 = 0)
     ),
     wmin AS (
       SELECT doc_id,
@@ -5311,13 +5311,16 @@ def q_doc_winnowing_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprints — per-window minimum char-20-gram
     hashes, window width 4 — digested per document (count + md5 of the
     sorted set) so the harness collects one row per doc while the
-    ENTIRE fingerprint set is still value-checked. The long
+    ENTIRE fingerprint set is still value-checked (deterministic 1/2
+    doc slice — output volume is grams-linear, the operator isn't). The long
     (doc, fingerprint) relation (operators/text.py
     winnowing_fingerprints) is what a plagiarism index equi-joins."""
     from eventstreamml_spark.operators.text import winnowing_fingerprints
 
     fps = winnowing_fingerprints(
-        load_table(spark, sf_dir, "documents"), k=20, w=4
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0),
+        k=20,
+        w=4,
     )
     return fps.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_fps"),
@@ -5330,15 +5333,16 @@ def q_doc_winnowing_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mad_outlier_bounds",
     """
-    WITH med AS (
+    WITH ev AS (SELECT * FROM events WHERE user_id % 3 = 0),
+    med AS (
       SELECT event_type, quantile_cont(value, 0.5) AS median,
              count(value) AS n
-      FROM events GROUP BY event_type
+      FROM ev GROUP BY event_type
     ),
     mad AS (
       SELECT e.event_type, m.median, m.n,
              quantile_cont(abs(e.value - m.median), 0.5) AS mad
-      FROM events e JOIN med m USING (event_type)
+      FROM ev e JOIN med m USING (event_type)
       GROUP BY e.event_type, m.median, m.n
     ),
     b AS (
@@ -5351,7 +5355,7 @@ def q_doc_winnowing_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(b.lo, 6) AS lo, round(b.hi, 6) AS hi, b.n,
            CAST(sum(CASE WHEN e.value < b.lo OR e.value > b.hi THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_outliers
-    FROM events e JOIN b USING (event_type)
+    FROM ev e JOIN b USING (event_type)
     GROUP BY b.event_type, b.median, b.mad, b.lo, b.hi, b.n
     """,
 )
@@ -5363,7 +5367,10 @@ def q_mad_outlier_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eventstreamml_spark.preprocessing.outliers import mad_outlier_bounds
 
     out = mad_outlier_bounds(
-        _events(spark, sf_dir), key_col="event_type", value_col="value", n_sigmas=3.0
+        _events(spark, sf_dir).filter(F.col("user_id") % 3 == 0),
+        key_col="event_type",
+        value_col="value",
+        n_sigmas=3.0,
     )
     return out.select(
         "event_type",
