@@ -121,3 +121,44 @@ def as_of_join(
     return out.select(
         *left.columns, *[F.col("_asof")[c].alias(c) for c in payload_cols]
     )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    block_keys: list[str],
+    left_str: str,
+    right_str: str,
+    max_edit: int = 1,
+) -> DataFrame:
+    """Blocked fuzzy (edit-distance) join — the entity-resolution
+    primitive: candidates pair only WITHIN a blocking key (the same
+    idea as LSH banding: never all-pairs), then a JVM ``levenshtein``
+    filter keeps pairs within ``max_edit``.
+
+    Block on something cheap and high-recall (nation + name prefix,
+    zip code, sorted-token fingerprint); at 100 TB the block sizes —
+    not the corpus — bound the quadratic term, exactly like LSH bucket
+    sizes. Spark's levenshtein accepts a threshold argument, which
+    short-circuits the DP once the bound is exceeded — pass it, don't
+    post-filter. Returns both sides' strings, the block keys, and the
+    distance."""
+    l = left.select(
+        *[F.col(c) for c in block_keys], F.col(left_str).alias("_sl")
+    )
+    r = right.select(
+        *[F.col(c) for c in block_keys], F.col(right_str).alias("_sr")
+    )
+    j = l.join(r, block_keys)
+    dist = F.levenshtein(F.col("_sl"), F.col("_sr"), max_edit)
+    return (
+        j.withColumn("edit_distance", dist)
+        # threshold form returns -1 when the bound is exceeded
+        .filter((F.col("edit_distance") >= 0) & (F.col("_sl") < F.col("_sr")))
+        .select(
+            *block_keys,
+            F.col("_sl").alias("left_value"),
+            F.col("_sr").alias("right_value"),
+            "edit_distance",
+        )
+    )

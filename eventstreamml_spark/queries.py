@@ -5787,3 +5787,27 @@ def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
     )
     return image_ahash(media, fake=True)
+
+
+@register(
+    "fuzzy_match_customers",
+    """
+    WITH c AS (SELECT c_nationkey, c_name FROM customer)
+    SELECT a.c_nationkey, a.c_name AS left_value, b.c_name AS right_value,
+           levenshtein(a.c_name, b.c_name) AS edit_distance
+    FROM c a JOIN c b
+      ON a.c_nationkey = b.c_nationkey AND a.c_name < b.c_name
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def q_fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: blocked fuzzy self-match of customer names —
+    pairs only within the nation block (block sizes bound the
+    quadratic term, like LSH buckets), JVM levenshtein WITH the
+    threshold argument so the DP short-circuits past the bound."""
+    from eventstreamml_spark.operators.joins import fuzzy_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    return fuzzy_join(
+        cust, cust, ["c_nationkey"], "c_name", "c_name", max_edit=1
+    )
