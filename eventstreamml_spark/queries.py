@@ -5811,3 +5811,121 @@ def q_fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_join(
         cust, cust, ["c_nationkey"], "c_name", "c_name", max_edit=1
     )
+
+
+@register(
+    "corpus_curation_funnel",
+    r"""
+    WITH raw AS (
+      SELECT doc_id, source, text,
+             string_split_regex(text, '\s+') AS w
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, source, text FROM raw
+      WHERE len(w) >= 10
+        AND len(list_distinct(w)) * 1.0 / len(w) >= 0.3
+    ),
+    ex AS (
+      SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)
+    ),
+    q2 AS (SELECT q.* FROM q JOIN ex USING (doc_id)),
+    words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM q2
+    ),
+    sh AS (
+      SELECT DISTINCT w0.doc_id,
+             w0.word || ' ' || w1.word || ' ' || w2.word || ' ' || w3.word AS shingle
+      FROM words w0
+      JOIN words w1 ON w1.doc_id = w0.doc_id AND w1.pos = w0.pos + 1
+      JOIN words w2 ON w2.doc_id = w0.doc_id AND w2.pos = w0.pos + 2
+      JOIN words w3 ON w3.doc_id = w0.doc_id AND w3.pos = w0.pos + 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    dropped AS (
+      SELECT DISTINCT id_b AS doc_id FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    ),
+    q3 AS (SELECT q2.* FROM q2 ANTI JOIN dropped USING (doc_id)),
+    sampled AS (
+      SELECT source, doc_id FROM (
+        SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+        FROM q3) t WHERE rk <= 20
+    )
+    SELECT d.source,
+           count(*) AS n_raw,
+           count(q.doc_id) AS n_quality,
+           count(q2.doc_id) AS n_exact,
+           count(q3.doc_id) AS n_neardup,
+           count(s.doc_id) AS n_sampled
+    FROM documents d
+    LEFT JOIN q ON d.doc_id = q.doc_id
+    LEFT JOIN q2 ON d.doc_id = q2.doc_id
+    LEFT JOIN q3 ON d.doc_id = q3.doc_id
+    LEFT JOIN sampled s ON d.doc_id = s.doc_id
+    GROUP BY d.source
+    """,
+)
+def q_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline as one composed query — the
+    showcase that the individually-verified stages actually chain:
+    quality gate (length + distinct-word ratio) → exact dedup (digest
+    groupBy, min-id keep) → near-dup drop (word-4-gram Jaccard ≥ 0.5,
+    pair-dominated policy; the transitive-closure keep-list is the
+    separately-verified dedup_groups_keep_list) → per-source quota
+    sample (md5-ranked top 20). Emits the per-source survivor funnel.
+    Every stage is the same operator the standalone queries verify."""
+    from eventstreamml_spark.operators.curation import quota_sample
+    from eventstreamml_spark.operators.dedup import (
+        exact_dedup,
+        jaccard_pairs,
+        word_shingles,
+    )
+    from eventstreamml_spark.operators.text import repetition_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = repetition_signals(docs)
+    q1 = docs.join(
+        sig.filter(
+            (F.col("n_words") >= 10) & (F.col("distinct_word_ratio") >= 0.3)
+        ).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    keep = exact_dedup(q1).select(F.col("keep_id").alias("doc_id"))
+    q2 = q1.join(keep, "doc_id", "left_semi")
+    pairs = jaccard_pairs(word_shingles(q2, k=4), threshold=0.5)
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    q3 = q2.join(dropped, "doc_id", "left_anti")
+    sampled = quota_sample(q3, k=20, stratum_col="source").select(
+        "doc_id"
+    )
+    base = docs.select("doc_id", "source")
+
+    def flag(df, name):
+        return df.select("doc_id").withColumn(name, F.lit(1))
+
+    j = (
+        base.join(flag(q1, "_q1"), "doc_id", "left")
+        .join(flag(q2, "_q2"), "doc_id", "left")
+        .join(flag(q3, "_q3"), "doc_id", "left")
+        .join(flag(sampled, "_s"), "doc_id", "left")
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.count("_q1").alias("n_quality"),
+        F.count("_q2").alias("n_exact"),
+        F.count("_q3").alias("n_neardup"),
+        F.count("_s").alias("n_sampled"),
+    )
