@@ -5929,3 +5929,88 @@ def q_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("_q3").alias("n_neardup"),
         F.count("_s").alias("n_sampled"),
     )
+
+
+@register(
+    "event_feature_frame",
+    """
+    WITH ev AS (SELECT * FROM events WHERE user_id % 7 = 0),
+    m AS (
+      SELECT user_id, ts, min(event_id) AS marker_id
+      FROM ev WHERE event_type = 'signup' GROUP BY user_id, ts
+    ),
+    feat AS (
+      SELECT e.event_id, e.user_id,
+             epoch_us(e.ts) - epoch_us(min(e.ts) OVER (PARTITION BY e.user_id))
+               AS since_start_us,
+             count(*) OVER (PARTITION BY e.user_id ORDER BY epoch_us(e.ts)
+                            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+               AS n_1h,
+             epoch_us(lead(e.ts) OVER (PARTITION BY e.user_id
+                                       ORDER BY e.ts, e.event_id))
+               - epoch_us(e.ts) AS tte_target_us
+      FROM ev e
+    ),
+    aj AS (
+      SELECT e.event_id, epoch_us(e.ts) - epoch_us(m.ts) AS since_signup_us
+      FROM ev e ASOF LEFT JOIN m ON e.user_id = m.user_id AND e.ts >= m.ts
+    )
+    SELECT f.event_id, f.user_id, f.since_start_us, f.n_1h,
+           a.since_signup_us, f.tte_target_us
+    FROM feat f JOIN aj a USING (event_id)
+    """,
+)
+def q_event_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-event training-feature frame, composed end-to-end from
+    the verified sequence operators: time-since-start (W3), rolling
+    1-hour activity (W9, rangeBetween µs), point-in-time signup
+    attachment (J10 as-of join — leak-free by construction), and the
+    next-event TTE target (W8). One subject-keyed shuffle serves every
+    window; the as-of join adds its single union+window pass.
+    Deterministic 1/7 subject slice bounds the harness collect."""
+    from eventstreamml_spark.operators.joins import as_of_join
+    from eventstreamml_spark.operators.windows import (
+        rolling_time_agg,
+        with_time_since_start,
+        with_tte_target,
+    )
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") % 7 == 0)
+    base = ev.select("event_id", "user_id", "ts")
+    f = with_time_since_start(
+        base, subject_col="user_id", ts_col="ts", out_col="since_start_us",
+        unit_seconds=None,
+    )
+    f = rolling_time_agg(
+        f, window_seconds=3600.0, aggs={"n_1h": ("count", "*")},
+        subject_col="user_id", ts_col="ts",
+    )
+    f = with_tte_target(
+        f, subject_col="user_id", ts_col="ts", id_col="event_id",
+        unit_seconds=None, out_col="tte_target_us",
+    )
+    markers = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("marker_id"))
+        .withColumn("marker_ts", F.col("ts"))
+    )
+    f = as_of_join(
+        f.select("event_id", "user_id", "ts", "since_start_us", "n_1h", "tte_target_us"),
+        markers,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["marker_ts"],
+    )
+    return f.select(
+        "event_id",
+        "user_id",
+        "since_start_us",
+        "n_1h",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("marker_ts").cast("timestamp"))
+        ).alias("since_signup_us"),
+        "tte_target_us",
+    )
