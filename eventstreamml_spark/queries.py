@@ -5792,24 +5792,38 @@ def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fuzzy_match_customers",
     """
-    WITH c AS (SELECT c_nationkey, c_name FROM customer)
-    SELECT a.c_nationkey, a.c_name AS left_value, b.c_name AS right_value,
+    WITH c AS (
+      SELECT c_nationkey, substr(c_name, 1, 16) AS name_prefix, c_name
+      FROM customer
+    )
+    SELECT a.c_nationkey, a.name_prefix,
+           a.c_name AS left_value, b.c_name AS right_value,
            levenshtein(a.c_name, b.c_name) AS edit_distance
     FROM c a JOIN c b
-      ON a.c_nationkey = b.c_nationkey AND a.c_name < b.c_name
+      ON a.c_nationkey = b.c_nationkey
+     AND a.name_prefix = b.name_prefix AND a.c_name < b.c_name
     WHERE levenshtein(a.c_name, b.c_name) <= 1
     """,
 )
 def q_fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity resolution: blocked fuzzy self-match of customer names —
-    pairs only within the nation block (block sizes bound the
-    quadratic term, like LSH buckets), JVM levenshtein WITH the
+    """Entity resolution: blocked fuzzy self-match of customer names.
+    Blocking is (nation, 16-char name prefix) — block sizes, not the
+    table, bound the quadratic term AND the match volume, exactly like
+    LSH buckets (nation-only blocking measured 11s at sf0.1: the block
+    grows with SF, the definition doesn't). JVM levenshtein takes the
     threshold argument so the DP short-circuits past the bound."""
     from eventstreamml_spark.operators.joins import fuzzy_join
 
-    cust = load_table(spark, sf_dir, "customer")
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "name_prefix", F.substring("c_name", 1, 16)
+    )
     return fuzzy_join(
-        cust, cust, ["c_nationkey"], "c_name", "c_name", max_edit=1
+        cust,
+        cust,
+        ["c_nationkey", "name_prefix"],
+        "c_name",
+        "c_name",
+        max_edit=1,
     )
 
 
