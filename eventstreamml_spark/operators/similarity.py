@@ -298,10 +298,43 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Index build: each vector lands in its nearest cell. At scale,
-    write partitioned by cell_id so probes prune to the touched cells."""
-    cents = [(r["cell_id"], r["centroid"]) for r in centroids.collect()]
-    cell = _nearest_cells(F.col(vec_col), cents, 1)[0]
-    return corpus.withColumn("cell_id", cell)
+    write partitioned by cell_id so probes prune to the touched cells.
+
+    Assignment runs on the Arrow path: the (tiny) unit-normalized
+    centroid matrix rides in the closure and each batch assigns with
+    one numpy matmul — the corpus-sized half of the index build is
+    where the BLAS path pays (the per-query probe selection stays the
+    HOF expression: queries are few). Ties break toward the larger
+    cell id, matching ``_nearest_cells``'s descending struct sort."""
+    import numpy as np
+    import pandas as pd
+
+    cents = sorted(
+        ((r["cell_id"], r["centroid"]) for r in centroids.collect()),
+        key=lambda t: -t[0],  # argmax picks FIRST max → largest cell id on ties
+    )
+    ids = np.array([c for c, _ in cents], dtype="int64")
+    m = np.array([v for _, v in cents], dtype="float64")
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    # never .add() onto df.schema — it mutates the DataFrame's CACHED
+    # schema object, so df.columns starts reporting a column the JVM
+    # side doesn't have
+    out_schema = StructType(
+        list(corpus.schema.fields) + [StructField("cell_id", IntegerType())]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            v = np.array(list(pdf[vec_col]), dtype="float64")
+            best = ids[np.argmax(v @ m.T, axis=1)]
+            pdf = pdf.copy()
+            pdf["cell_id"] = best.astype("int32")
+            yield pdf
+
+    return corpus.mapInPandas(assign, out_schema)
 
 
 def ivf_topk(
