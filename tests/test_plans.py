@@ -392,3 +392,17 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_global_topk_avoids_full_sort(spark):
+    """orderBy + limit must plan as TakeOrderedAndProject (per-partition
+    top-k + merge of k·partitions rows) — never a global Exchange+Sort.
+    This is why bounded top-k is safe at 100 TB while full ORDER BY is
+    not."""
+    orders = load_table(spark, SF, "orders")
+    q = orders.orderBy(F.col("o_totalprice").desc()).limit(10)
+    from eventstreamml_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(q)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
