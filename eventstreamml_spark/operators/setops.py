@@ -13,7 +13,7 @@ oracle can verify assignments exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 #: 2654435761 = floor(2^32 / φ), Knuth's multiplicative hash constant.
 _KNUTH = 2654435761
@@ -174,3 +174,44 @@ def stratified_sample(
         cond = (F.col(stratum_col) == name) & (u < F.lit(frac))
         expr = cond if expr is None else expr | cond
     return df.filter(expr)
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    n_target: int,
+    size_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Probability-proportional-to-size systematic sample: order rows
+    by a content-free md5 of the id (deterministic shuffle), take the
+    exact integer prefix-sum of the integer sizes, and select every
+    row whose weight interval crosses a step-grid point
+    (step = total // n_target) — heavy rows are proportionally likely
+    to straddle a grid line. The sampler behind "pick ~N docs weighted
+    by token count": deterministic, seed-free, engine-exact (every
+    comparison is BIGINT arithmetic — no float rank to flip between
+    engines), and one keyed-window pass.
+
+    Rows with size ≥ step are selected with certainty (they span ≥1
+    grid line); expected DISTINCT-row count is Σ min(wᵢ/step, 1) —
+    equal to ~n_target when all sizes ≪ step, lower when heavy rows
+    absorb several grid lines each (they still count once). The prefix sum
+    runs over the md5 order — a single global window over (id, size)
+    pairs; at 100 TB shard it per stratum like pack_documents."""
+    h = F.md5(F.col(id_col).cast("string"))
+    w = W.orderBy(h).rowsBetween(W.unboundedPreceding, W.currentRow)
+    tot = df.select(F.sum(F.col(size_col).cast("long")).alias("_tot"))
+    cum = df.select(
+        F.col(id_col),
+        F.col(size_col).cast("long").alias("_w"),
+        F.sum(F.col(size_col).cast("long")).over(w).alias("_cum"),
+    )
+    out = cum.crossJoin(F.broadcast(tot)).withColumn(
+        # integer division end to end — no double rounding anywhere
+        "_step",
+        F.greatest(F.expr(f"_tot DIV {int(n_target)}"), F.lit(1).cast("long")),
+    )
+    crosses = F.expr("(_cum - _w) DIV _step") < F.expr("_cum DIV _step")
+    return out.filter(crosses).select(
+        id_col, F.col("_w").alias("size"), F.col("_cum").alias("cum_size")
+    )

@@ -6028,3 +6028,32 @@ def q_event_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("since_signup_us"),
         "tte_target_us",
     )
+
+
+@register(
+    "pps_weighted_sample",
+    """
+    WITH cum AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+             sum(CAST(n_chars AS BIGINT)) OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR))
+               ROWS UNBOUNDED PRECEDING) AS c
+      FROM documents
+    ),
+    tot AS (SELECT sum(CAST(n_chars AS BIGINT)) AS t FROM documents)
+    SELECT doc_id, w AS size, c AS cum_size
+    FROM cum, tot
+    WHERE (c - w) // greatest(t // 100, 1) < c // greatest(t // 100, 1)
+    """,
+)
+def q_pps_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPS systematic sampling (~100 docs weighted by char count):
+    md5-ordered integer prefix sums against a step grid — every
+    comparison is BIGINT arithmetic, so selection is engine-exact with
+    no float rank to flip; heavy docs are proportionally likely to
+    straddle a grid line."""
+    from eventstreamml_spark.operators.setops import pps_systematic_sample
+
+    return pps_systematic_sample(
+        load_table(spark, sf_dir, "documents"), n_target=100, size_col="n_chars"
+    )

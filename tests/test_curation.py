@@ -223,3 +223,23 @@ def test_table_diff_null_patterns_not_confused(spark):
     after = spark.createDataFrame([(1, None, "a")], "k long, x string, y string")
     got = [r["status"] for r in table_diff(before, after, ["k"]).collect()]
     assert got == ["changed"]  # concat_ws would have silently matched
+
+
+def test_pps_sample_size_and_weighting(spark):
+    from eventstreamml_spark.operators.setops import pps_systematic_sample
+
+    # 1000 docs: 990 light (size 10), 10 heavy (size 1000)
+    rows = [(i, 10) for i in range(990)] + [(1000 + i, 1000) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = pps_systematic_sample(df, n_target=100, size_col="n_chars").collect()
+    n = len(out)
+    # total=19900, step=199: each light doc crosses w/step ~ 5% of grid
+    # lines (~50 selected); each heavy doc spans ~5 steps but counts
+    # once -> doc count is BELOW the 100 grid crossings by design
+    assert 45 <= n <= 75
+    heavy = sum(1 for r in out if r["doc_id"] >= 1000)
+    # every heavy doc (size >= step) is selected with certainty
+    assert heavy == 10
+    # deterministic across runs
+    out2 = pps_systematic_sample(df, n_target=100, size_col="n_chars").collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in out2)
