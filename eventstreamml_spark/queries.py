@@ -6057,3 +6057,91 @@ def q_pps_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pps_systematic_sample(
         load_table(spark, sf_dir, "documents"), n_target=100, size_col="n_chars"
     )
+
+
+@register(
+    "dedup_minhash_jaccard_estimate",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT w0.doc_id,
+             w0.word || ' ' || w1.word || ' ' || w2.word || ' ' || w3.word AS shingle
+      FROM words w0
+      JOIN words w1 ON w1.doc_id = w0.doc_id AND w1.pos = w0.pos + 1
+      JOIN words w2 ON w2.doc_id = w0.doc_id AND w2.pos = w0.pos + 2
+      JOIN words w3 ON w3.doc_id = w0.doc_id AND w3.pos = w0.pos + 3
+    ),
+    sig AS (
+      SELECT doc_id, list(m ORDER BY p) AS mh FROM (
+        SELECT doc_id, t.p,
+               min(md5(shingle || ':' || CAST(t.p AS VARCHAR))) AS m
+        FROM sh, range(16) t(p)
+        GROUP BY doc_id, t.p
+      ) GROUP BY doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    exact AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b,
+             round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6)
+               AS jaccard_exact
+      FROM exact
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.3
+    )
+    SELECT p.id_a, p.id_b, p.jaccard_exact,
+           round(len(list_filter(range(16),
+                 i -> ga.mh[CAST(i AS INT) + 1] = gb.mh[CAST(i AS INT) + 1]))
+                 / 16.0, 6) AS jaccard_minhash
+    FROM pairs p
+    JOIN sig ga ON ga.doc_id = p.id_a
+    JOIN sig gb ON gb.doc_id = p.id_b
+    """,
+)
+def q_dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close the MinHash loop: for true near-dup pairs (exact word-4-gram
+    Jaccard ≥ 0.3), the fraction of agreeing signature minima IS the
+    Jaccard estimator banding thresholds are derived from
+    (P[mhᵢ agrees] = J). Emitting both per pair makes the estimator's
+    bias/variance visible — the diagnostic for choosing n_perm."""
+    from eventstreamml_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    sh = word_shingles(load_table(spark, sf_dir, "documents"), k=4)
+    pairs = jaccard_pairs(sh, threshold=0.3).select(
+        "id_a", "id_b", F.col("jaccard").alias("jaccard_exact")
+    )
+    sig = minhash_signatures(sh, n_perm=16)
+    ga = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(16)],
+    )
+    gb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(16)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(16)
+    )
+    return (
+        pairs.join(F.broadcast(ga), "id_a")
+        .join(F.broadcast(gb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard_exact",
+            F.round(agree / 16.0, 6).alias("jaccard_minhash"),
+        )
+    )
