@@ -6145,3 +6145,82 @@ def q_dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFr
             F.round(agree / 16.0, 6).alias("jaccard_minhash"),
         )
     )
+
+
+@register(
+    "dedup_lsh_recall_audit",
+    f"""
+    WITH {_SHINGLE_SQL},
+    perms AS (SELECT unnest(range(0, 16)) AS perm),
+    sig AS (
+      SELECT doc_id, perm, min(md5(shingle || ':' || perm)) AS minhash
+      FROM sh CROSS JOIN perms GROUP BY doc_id, perm
+    ),
+    bands AS (
+      SELECT doc_id, perm // 4 AS band,
+             md5(string_agg(perm || ':' || minhash, '|' ORDER BY perm)) AS band_hash
+      FROM sig GROUP BY doc_id, perm // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    truth AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    )
+    SELECT count(*) AS n_true,
+           (SELECT count(*) FROM cand) AS n_candidates,
+           CAST(sum(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hit,
+           round(sum(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS recall
+    FROM truth t LEFT JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b
+    """,
+)
+def q_dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The self-measuring LSH pipeline: banding candidates scored
+    against the thresholded exact truth set (Jaccard ≥ 0.5) — one row
+    of (n_true, n_candidates, n_hit, recall). This is the audit a
+    production dedup run emits each cycle, so banding-parameter drift
+    shows up as a number, not as silently-missed duplicates. Both
+    pipelines replay in the oracle; the expected recall at s ≥ 0.5
+    with 4×4 banding is 1-(1-s⁴)⁴ ≥ 0.23 rising steeply with s."""
+    from eventstreamml_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    sh = word_shingles(load_table(spark, sf_dir, "documents"), k=4)
+    cand = lsh_candidate_pairs(minhash_signatures(sh, n_perm=16), 16, 4)
+    truth = jaccard_pairs(sh, threshold=0.5).select("id_a", "id_b")
+    hit = truth.join(cand.withColumn("_c", F.lit(1)), ["id_a", "id_b"], "left")
+    # candidate count rides in as a broadcast one-row aggregate — no
+    # driver action inside a plan builder
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    return (
+        hit.agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.when(F.col("_c").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hit"),
+            F.round(
+                F.sum(F.when(F.col("_c").isNotNull(), 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("recall"),
+        )
+        .crossJoin(F.broadcast(n_cand))
+        .select("n_true", "n_candidates", "n_hit", "recall")
+    )
