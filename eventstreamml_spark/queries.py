@@ -6224,3 +6224,79 @@ def q_dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_cand))
         .select("n_true", "n_candidates", "n_hit", "recall")
     )
+
+
+@register(
+    "multitouch_attribution",
+    """
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, event_id AS click_id, ts AS cts
+      FROM events WHERE event_type = 'click'
+    ),
+    touch AS (
+      SELECT p.user_id, p.purchase_id, c.click_id,
+             epoch_us(p.pts) - epoch_us(c.cts) AS age_us
+      FROM p JOIN c ON p.user_id = c.user_id
+       AND c.cts < p.pts AND c.cts >= p.pts - INTERVAL 6 HOUR
+    ),
+    w AS (
+      SELECT *,
+             exp(-(age_us / 3600000000.0)) AS raw_w,
+             count(*) OVER (PARTITION BY purchase_id) AS n_touch,
+             sum(exp(-(age_us / 3600000000.0)))
+               OVER (PARTITION BY purchase_id) AS z
+      FROM touch
+    )
+    SELECT user_id, purchase_id, click_id, age_us, n_touch,
+           round(1.0 / n_touch, 6) AS w_linear,
+           round(raw_w / z, 6) AS w_time_decay
+    FROM w
+    """,
+)
+def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution: every purchase distributes credit over
+    its preceding clicks within a 6-hour window — linear (1/n) and
+    exponential time-decay (e^{−Δt/1h}, normalized per purchase)
+    weights side by side. Shape: the J5/ST7 interval join (per-key
+    range condition — the candidate explosion is bounded by the
+    lookback, never user×user) plus one purchase-keyed window for the
+    normalizers. The batch twin of the streaming attribution join,
+    upgraded from "which clicks" to "how much credit"."""
+    ev = _events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    touch = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("cts") < F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 6 HOURS")),
+    ).select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        (
+            F.unix_micros(F.col("pts").cast("timestamp"))
+            - F.unix_micros(F.col("cts").cast("timestamp"))
+        ).alias("age_us"),
+    )
+    raw_w = F.exp(-(F.col("age_us") / 3_600_000_000.0))
+    win = W.partitionBy("purchase_id")
+    return touch.select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        "age_us",
+        F.count(F.lit(1)).over(win).alias("n_touch"),
+        F.round(1.0 / F.count(F.lit(1)).over(win), 6).alias("w_linear"),
+        F.round(raw_w / F.sum(raw_w).over(win), 6).alias("w_time_decay"),
+    )
