@@ -6300,3 +6300,55 @@ def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1.0 / F.count(F.lit(1)).over(win), 6).alias("w_linear"),
         F.round(raw_w / F.sum(raw_w).over(win), 6).alias("w_time_decay"),
     )
+
+
+@register(
+    "mutual_information_type_value",
+    """
+    WITH b AS (
+      SELECT event_type AS x,
+             CAST(least(floor(value / 200), 4) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL AND value >= 0
+    ),
+    jnt AS (SELECT x, y, count(*) AS nxy FROM b GROUP BY x, y),
+    mx AS (SELECT x, count(*) AS nx FROM b GROUP BY x),
+    my AS (SELECT y, count(*) AS ny FROM b GROUP BY y),
+    tot AS (SELECT count(*) * 1.0 AS n FROM b)
+    SELECT j.x AS event_type, j.y AS value_bucket, j.nxy,
+           round((j.nxy / n) * ln((j.nxy / n) / ((mx.nx / n) * (my.ny / n))), 6)
+             AS mi_contrib
+    FROM jnt j JOIN mx USING (x) JOIN my USING (y), tot
+    """,
+)
+def q_mutual_information_type_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-relevance diagnostic: per-cell mutual-information
+    contributions between event type and a bucketed value
+    (Σ = MI(X;Y), ~0 ⟺ independent) — the screening statistic for
+    "does this feature carry label signal". Three tiny groupBys over
+    one scan; the joint/marginal relations are |X|·|Y| rows."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("value").isNotNull() & (F.col("value") >= 0)
+    )
+    b = ev.select(
+        F.col("event_type").alias("x"),
+        F.least(F.floor(F.col("value") / 200), F.lit(4)).cast("long").alias("y"),
+    )
+    jnt = b.groupBy("x", "y").agg(F.count(F.lit(1)).alias("nxy"))
+    mx = b.groupBy("x").agg(F.count(F.lit(1)).alias("nx"))
+    my = b.groupBy("y").agg(F.count(F.lit(1)).alias("ny"))
+    tot = b.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    p = F.col("nxy") / F.col("n")
+    return (
+        jnt.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("x").alias("event_type"),
+            F.col("y").alias("value_bucket"),
+            "nxy",
+            F.round(
+                p * F.log(p / ((F.col("nx") / F.col("n")) * (F.col("ny") / F.col("n")))),
+                6,
+            ).alias("mi_contrib"),
+        )
+    )
