@@ -6352,3 +6352,39 @@ def q_mutual_information_type_value(spark: SparkSession, sf_dir: str) -> DataFra
             ).alias("mi_contrib"),
         )
     )
+
+
+@register(
+    "subject_activity_entropy",
+    """
+    WITH h AS (
+      SELECT user_id, extract(hour FROM ts) AS hr, count(*) AS n
+      FROM events GROUP BY user_id, hr
+    ),
+    t AS (SELECT user_id, sum(n) AS tot FROM h GROUP BY user_id)
+    SELECT h.user_id,
+           CAST(count(*) AS INT) AS n_active_hours,
+           round(-sum((n * 1.0 / tot) * ln(n * 1.0 / tot)), 6) AS entropy
+    FROM h JOIN t USING (user_id)
+    GROUP BY h.user_id
+    """,
+)
+def q_subject_activity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subject temporal-regularity feature: Shannon entropy of the
+    hour-of-day activity distribution (0 = always the same hour,
+    ln 24 ≈ 3.18 = uniform) — the bot-vs-human / shift-worker signal a
+    behavioral model reads. Two keyed groupBys over one scan."""
+    ev = _events(spark, sf_dir)
+    h = ev.groupBy(
+        "user_id", F.hour(F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = h.groupBy("user_id").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot")
+    return (
+        h.join(t, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_active_hours"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+    )
