@@ -6388,3 +6388,91 @@ def q_subject_activity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
         )
     )
+
+
+@register(
+    "growth_accounting_weekly",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts)::TIMESTAMP AS wk
+      FROM events
+    ),
+    lagged AS (
+      SELECT user_id, wk,
+             lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+             min(wk) OVER (PARTITION BY user_id) AS first_wk
+      FROM act
+    ),
+    states AS (
+      SELECT wk, user_id,
+             CASE WHEN wk = first_wk THEN 'new'
+                  WHEN prev_wk = wk - INTERVAL 7 DAY THEN 'retained'
+                  ELSE 'resurrected' END AS state
+      FROM lagged
+    ),
+    churn AS (
+      SELECT user_id, wk + INTERVAL 7 DAY AS wk, 'churned' AS state
+      FROM act a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM act b
+        WHERE b.user_id = a.user_id AND b.wk = a.wk + INTERVAL 7 DAY)
+        AND a.wk < (SELECT max(wk) FROM act)
+    )
+    SELECT wk, state, count(*) AS n_users FROM (
+      SELECT wk, user_id, state FROM states
+      UNION ALL SELECT wk, user_id, state FROM churn
+    ) GROUP BY wk, state
+    """,
+)
+def q_growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting: every active (user, week) classified
+    as new / retained / resurrected, plus churned rows for users
+    active one week but not the next — the product-analytics ledger
+    where MAU change decomposes exactly into new + resurrected −
+    churned. One distinct + per-user lag window + an anti-join for
+    churn; everything keyed by user, week states aggregate at the
+    end."""
+    ev = _events(spark, sf_dir)
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("wk")
+    lagged = act.select(
+        "user_id",
+        "wk",
+        F.lag("wk").over(w).alias("prev_wk"),
+        F.min("wk").over(W.partitionBy("user_id")).alias("first_wk"),
+    )
+    states = lagged.select(
+        "wk",
+        "user_id",
+        F.when(F.col("wk") == F.col("first_wk"), "new")
+        .when(
+            F.col("prev_wk") == F.col("wk") - F.expr("INTERVAL 7 DAYS"), "retained"
+        )
+        .otherwise("resurrected")
+        .alias("state"),
+    )
+    max_wk = act.agg(F.max("wk").alias("_max_wk"))
+    # churned in week W+1 = active in W with no activity row at W+1
+    # (left join against the shifted activity set) and W not the last week
+    churn = (
+        act.join(
+            act.select(
+                "user_id", (F.col("wk") - F.expr("INTERVAL 7 DAYS")).alias("wk")
+            ).withColumn("_next", F.lit(1)).distinct(),
+            ["user_id", "wk"],
+            "left",
+        )
+        .crossJoin(F.broadcast(max_wk))
+        .filter(F.col("_next").isNull() & (F.col("wk") < F.col("_max_wk")))
+        .select(
+            "user_id",
+            (F.col("wk") + F.expr("INTERVAL 7 DAYS")).alias("wk"),
+            F.lit("churned").alias("state"),
+        )
+    )
+    u = states.unionByName(churn.select("wk", "user_id", "state"))
+    return u.groupBy(
+        F.col("wk").cast("timestamp_ntz").alias("wk"), "state"
+    ).agg(F.count(F.lit(1)).alias("n_users"))
