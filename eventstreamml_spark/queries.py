@@ -6476,3 +6476,56 @@ def q_growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.groupBy(
         F.col("wk").cast("timestamp_ntz").alias("wk"), "state"
     ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "rfm_segmentation",
+    """
+    WITH rfm AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', max(o_orderdate), TIMESTAMP '2001-08-01')
+                  AS BIGINT) AS recency_days,
+             count(*) AS frequency,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    b AS (
+      SELECT quantile_cont(recency_days, 0.5) AS r_med,
+             quantile_cont(frequency, 0.5) AS f_med,
+             quantile_cont(monetary, 0.5) AS m_med
+      FROM rfm
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           CASE WHEN recency_days <= r_med THEN 2 ELSE 1 END AS r_score,
+           CASE WHEN frequency > f_med THEN 2 ELSE 1 END AS f_score,
+           CASE WHEN monetary > m_med THEN 2 ELSE 1 END AS m_score
+    FROM rfm, b
+    """,
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency/frequency/monetary per
+    customer, scored against MEDIAN boundaries that ride in as a
+    broadcast one-row aggregate — the scale-safe form of quantile
+    scoring (a global ntile would funnel one partition; boundaries
+    from exact-or-sketch percentiles bin as pure expressions)."""
+    orders = load_table(spark, sf_dir, "orders")
+    asof = F.lit("2001-08-01").cast("timestamp_ntz")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.datediff(asof, F.max("o_orderdate")).cast("long").alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    b = rfm.agg(
+        F.expr("percentile(recency_days, 0.5)").alias("r_med"),
+        F.expr("percentile(frequency, 0.5)").alias("f_med"),
+        F.expr("percentile(monetary, 0.5)").alias("m_med"),
+    )
+    return rfm.crossJoin(F.broadcast(b)).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.when(F.col("recency_days") <= F.col("r_med"), 2).otherwise(1).alias("r_score"),
+        F.when(F.col("frequency") > F.col("f_med"), 2).otherwise(1).alias("f_score"),
+        F.when(F.col("monetary") > F.col("m_med"), 2).otherwise(1).alias("m_score"),
+    )
