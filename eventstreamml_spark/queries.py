@@ -6529,3 +6529,61 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("frequency") > F.col("f_med"), 2).otherwise(1).alias("f_score"),
         F.when(F.col("monetary") > F.col("m_med"), 2).otherwise(1).alias("m_score"),
     )
+
+
+@register(
+    "batch_sessionization",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                       OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM g
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, session_no
+    """,
+)
+def q_batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization in BATCH form (the streaming twin is ST5's
+    native session_window): a 30-minute-gap start flag via lag, session
+    numbers via running sum, one grouped rollup — all on one
+    subject-keyed shuffle. Same session boundaries as the streaming
+    operator on the same data (session_end here is the LAST EVENT, not
+    last event + gap — the batch convention)."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    )
+    g = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            gap_us > 1_800_000_000, 1
+        ).when(F.lag("ts").over(w).isNull(), 1).otherwise(0).alias("is_start"),
+    )
+    s = g.select(
+        "user_id",
+        "ts",
+        F.sum("is_start")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_no"),
+    )
+    return s.groupBy("user_id", F.col("session_no").cast("long").alias("session_no")).agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
