@@ -6587,3 +6587,130 @@ def q_batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "funnel_three_step",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL 72 HOUR
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND e.ts <= s2.t2 + INTERVAL 72 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id,
+           epoch_us(s2.t2) - epoch_us(s1.t1) AS step2_latency_us,
+           epoch_us(s3.t3) - epoch_us(s2.t2) AS step3_latency_us,
+           s2.user_id IS NOT NULL AS reached_step2,
+           s3.user_id IS NOT NULL AS reached_step3
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    """,
+)
+def q_funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (signup → first click within 72h → first
+    purchase within 72h of that click): each stage is one
+    aggregate-then-join on the subject key — stage N's entry time
+    anchors stage N+1's window, so the pattern extends to any depth
+    without a row-explosion self-join. Latencies emitted as exact µs."""
+    ev = _events(spark, sf_dir)
+    s1 = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 72 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 72 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            (us("t2") - us("t1")).alias("step2_latency_us"),
+            (us("t3") - us("t2")).alias("step3_latency_us"),
+            F.col("t2").isNotNull().alias("reached_step2"),
+            F.col("t3").isNotNull().alias("reached_step3"),
+        )
+    )
+
+
+@register(
+    "sequence_log_likelihood",
+    """
+    WITH pairs AS (
+      SELECT user_id, event_type AS src,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    c AS (
+      SELECT src, dst, count(*) AS n FROM pairs
+      WHERE dst IS NOT NULL GROUP BY src, dst
+    ),
+    tm AS (
+      SELECT src, dst, ln(n * 1.0 / sum(n) OVER (PARTITION BY src)) AS lp
+      FROM c
+    )
+    SELECT p.user_id,
+           count(*) AS n_transitions,
+           round(-avg(tm.lp), 6) AS nll
+    FROM pairs p JOIN tm ON p.src = tm.src AND p.dst = tm.dst
+    GROUP BY p.user_id
+    """,
+)
+def q_sequence_log_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every subject's event sequence under the corpus-fitted
+    first-order Markov model (mean −ln p per transition) — the
+    sequence analog of the unigram-LM quality score: improbable
+    behavioral paths surface as high NLL (anomaly / bot signal). Fit
+    and score share the lead-window pair relation; the |types|² model
+    broadcasts back for scoring."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "user_id",
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    c = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    tm = c.select(
+        "src",
+        "dst",
+        F.log(F.col("n") / F.sum("n").over(W.partitionBy("src"))).alias("lp"),
+    )
+    return (
+        pairs.join(F.broadcast(tm), ["src", "dst"])
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.round(-F.avg("lp"), 6).alias("nll"),
+        )
+    )
