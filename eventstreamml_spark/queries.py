@@ -6714,3 +6714,92 @@ def q_sequence_log_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.avg("lp"), 6).alias("nll"),
         )
     )
+
+
+@register(
+    "higher_moments_by_type",
+    """
+    WITH s AS (
+      SELECT event_type,
+             count(value) AS n, sum(value) AS s1,
+             sum(value * value) AS s2,
+             sum(value * value * value) AS s3,
+             sum(value * value * value * value) AS s4
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round(s1 / n, 6) AS mean,
+           round((s2 / n) - (s1 / n) * (s1 / n), 6) AS var_pop,
+           round(((s3 / n) - 3 * (s1 / n) * (s2 / n)
+                  + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                 / pow((s2 / n) - (s1 / n) * (s1 / n), 1.5), 6) AS skew_pop,
+           round(((s4 / n) - 4 * (s1 / n) * (s3 / n)
+                  + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                  - 3 * pow(s1 / n, 4))
+                 / pow((s2 / n) - (s1 / n) * (s1 / n), 2) - 3, 6) AS kurt_excess
+    FROM s
+    """,
+)
+def q_higher_moments_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key skewness and excess kurtosis from raw power sums
+    (ΣX..ΣX⁴): one map-side-combinable aggregation — the
+    distribution-shape profile a drift monitor tracks beyond
+    mean/variance. Explicit population formulas on BOTH sides rather
+    than engine builtins, whose sample-vs-population conventions
+    differ between engines."""
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    v = F.col("value")
+    s = ev.groupBy("event_type").agg(
+        F.count(v).alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+    )
+    m = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - m * m
+    m3 = F.col("s3") / F.col("n") - 3 * m * (F.col("s2") / F.col("n")) + 2 * m * m * m
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * m * (F.col("s3") / F.col("n"))
+        + 6 * m * m * (F.col("s2") / F.col("n"))
+        - 3 * F.pow(m, F.lit(4))
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.round(m, 6).alias("mean"),
+        F.round(m2, 6).alias("var_pop"),
+        F.round(m3 / F.pow(m2, F.lit(1.5)), 6).alias("skew_pop"),
+        F.round(m4 / F.pow(m2, F.lit(2)) - 3, 6).alias("kurt_excess"),
+    )
+
+
+@register(
+    "impute_with_key_median",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events WHERE user_id % 9 = 0 GROUP BY event_type
+    )
+    SELECT e.event_id,
+           round(coalesce(e.value, m.med), 6) AS value_imputed,
+           e.value IS NULL AS was_imputed
+    FROM events e JOIN med m USING (event_type)
+    WHERE e.user_id % 9 = 0
+    """,
+)
+def q_impute_with_key_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data repair: null values imputed with their key's median (fit
+    on the same slice it transforms here; in the E2 pipeline the fit
+    reads train only) — one tiny median aggregate broadcast back, the
+    imputation a pure coalesce. Deterministic 1/9 subject slice."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id") % 9 == 0)
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    return ev.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        F.round(F.coalesce(F.col("value"), F.col("med")), 6).alias("value_imputed"),
+        F.col("value").isNull().alias("was_imputed"),
+    )
