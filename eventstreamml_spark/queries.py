@@ -6803,3 +6803,40 @@ def q_impute_with_key_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.coalesce(F.col("value"), F.col("med")), 6).alias("value_imputed"),
         F.col("value").isNull().alias("was_imputed"),
     )
+
+
+@register(
+    "target_encoding_loo",
+    """
+    WITH s AS (
+      SELECT event_type, sum(value) AS sv, count(value) AS nv
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT e.event_id,
+           CASE WHEN s.nv > 1 THEN round((s.sv - e.value) / (s.nv - 1), 6)
+           END AS te_loo
+    FROM events e JOIN s USING (event_type)
+    WHERE e.value IS NOT NULL AND e.user_id % 9 = 0
+    """,
+)
+def q_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding: each row's category encoded as
+    the mean target of its OTHER members ((Σ−x)/(n−1)) — the
+    leakage-safe categorical encoder. One key aggregate broadcast
+    back; the per-row exclusion is pure arithmetic, no self-join.
+    Emitted for a 1/9 subject slice; singleton categories null out."""
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    s = ev.groupBy("event_type").agg(
+        F.sum("value").alias("sv"), F.count("value").alias("nv")
+    )
+    return (
+        ev.filter(F.col("user_id") % 9 == 0)
+        .join(F.broadcast(s), "event_type")
+        .select(
+            "event_id",
+            F.when(
+                F.col("nv") > 1,
+                F.round((F.col("sv") - F.col("value")) / (F.col("nv") - 1), 6),
+            ).alias("te_loo"),
+        )
+    )
