@@ -542,3 +542,49 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "n_inter", F.round("containment", 6).alias("containment"))
     )
+
+
+def duplicate_passage_stats(
+    docs: DataFrame,
+    k: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-passage measure (the word-granular
+    analog of ExactSubstr dedup, Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better"): a position's word
+    ``k``-gram counts as duplicated iff that exact gram occurs ≥2
+    times corpus-wide (any document, including its own). Returns
+    (doc_id, n_grams, n_dup, dup_ratio) — the per-doc signal used to
+    drop or trim boilerplate-heavy documents.
+
+    Scale shape: grams are assembled with one per-doc window pass
+    (same plan as word_shingles, but keeping every position — the
+    multiset matters); each gram is immediately digested to its md5
+    so the corpus-wide count groupBy and the count join shuffle
+    16-byte digests, never gram text. Two keyed shuffles total, both
+    map-side combinable; nothing global, nothing collected.
+    """
+    from eventstreamml_spark.operators.text import words_table
+
+    words = words_table(docs, id_col, text_col)
+    w = W.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("word")] + [F.lead("word", i).over(w) for i in range(1, k)]
+    grams = (
+        words.select(
+            F.col(id_col),
+            F.md5(F.concat_ws(" ", *parts)).alias("gh"),
+            F.lead("word", k - 1).over(w).alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+    counts = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("cnt"))
+    flagged = grams.join(counts, "gh").select(
+        F.col(id_col), (F.col("cnt") >= 2).cast("int").alias("_dup")
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("_dup").alias("n_dup"),
+        F.round(F.sum("_dup") / F.count(F.lit(1)), 6).alias("dup_ratio"),
+    )

@@ -540,3 +540,109 @@ def bpe_learn_merges(
     return spark.createDataFrame(
         merges, "step int, a string, b string, merged string, pair_count bigint"
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 keyword retrieval: score every document against a bag of
+    query terms and return the top-``k`` as (doc_id, score, rk).
+    Okapi/Lucene idf = ln(1 + (N − df + 0.5)/(df + 0.5)); per-term
+    score = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+
+    Scale shape: document lengths come from a pure expression over the
+    un-exploded text (no shuffle); the exploded words relation is
+    filtered to the query terms IMMEDIATELY after the generator, so
+    the tf groupBy shuffles only rows mentioning a query term — at
+    100 TB that is the inverted-index posting list for the query, not
+    the corpus. df and the (N, avgdl) scalars broadcast; the final
+    top-k is orderBy+limit (TakeOrderedAndProject, no global sort).
+    Ranking is totalized by the (score desc, doc_id asc) tiebreak.
+    """
+    qt = sorted({t.lower() for t in query_terms})
+    dl = docs.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), " ")).alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    words = words_table(docs, id_col, text_col).select(
+        F.col(id_col), F.lower(F.col("word")).alias("term")
+    )
+    tf = (
+        words.filter(F.col("term").isin(qt))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.sum(idf * F.col("tf") * (k1 + 1.0) / norm).alias("_s"))
+    )
+    top = scored.orderBy(F.col("_s").desc(), F.col(id_col).asc()).limit(k)
+    w = W.orderBy(F.col("_s").desc(), F.col(id_col).asc())
+    return top.select(
+        id_col,
+        F.round("_s", 6).alias("score"),
+        F.row_number().over(w).alias("rk"),
+    )
+
+
+def token_js_divergence(
+    docs: DataFrame,
+    side_a: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen-Shannon divergence (natural log) between the unigram
+    token distributions of two corpus slices — the standard
+    domain-shift / contamination-drift diagnostic for training
+    mixtures. ``side_a`` is a boolean Column splitting the corpus;
+    returns ONE row (jsd, n_terms, n_tokens_a, n_tokens_b).
+
+    JSD = ½·KL(P‖M) + ½·KL(Q‖M), M = (P+Q)/2; zero-probability terms
+    contribute only their observed side (0·ln 0 := 0). One shuffle:
+    the per-term groupBy with conditional counts; totals broadcast
+    back as a one-row aggregate; the final sum is a scalar agg.
+    """
+    words = docs.select(
+        side_a.alias("_a"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+    )
+    per_term = words.groupBy("term").agg(
+        F.sum(F.when(F.col("_a"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("_a"), 0).otherwise(1)).alias("cb"),
+    )
+    totals = per_term.agg(
+        F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
+    )
+    p = F.col("ca") / F.col("ta")
+    q = F.col("cb") / F.col("tb")
+    m = (p + q) / 2.0
+    contrib = 0.5 * (
+        F.when(p > 0, p * F.log(p / m)).otherwise(0.0)
+        + F.when(q > 0, q * F.log(q / m)).otherwise(0.0)
+    )
+    return (
+        per_term.crossJoin(F.broadcast(totals))
+        .agg(
+            F.round(F.sum(contrib), 6).alias("jsd"),
+            F.count(F.lit(1)).alias("n_terms"),
+            F.first("ta").alias("n_tokens_a"),
+            F.first("tb").alias("n_tokens_b"),
+        )
+    )

@@ -457,3 +457,41 @@ def ewma_by_subject(
         F.size(F.col("_seq")).alias("n_obs"),
         folded.alias(out_col),
     )
+
+
+def rolling_percentiles(
+    df: DataFrame,
+    value_col: str,
+    percentiles: dict[str, float],
+    window_seconds: float,
+    subject_col: str = "subject_id",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Per-subject rolling exact interpolated percentiles over an
+    event-time range frame: for each event, the percentile of
+    ``value_col`` across that subject's events in ``[ts − window,
+    ts]`` (inclusive; exact integer-microsecond range arithmetic, so
+    timestamp peers share one frame). ``percentiles`` maps output
+    column → fraction, e.g. ``{"med_1h": 0.5, "p90_1h": 0.9}``.
+    The robust-statistics sibling of rolling_time_agg — rolling
+    medians/p90s are the standard robust baseline features and
+    anomaly denominators.
+
+    Plan shape: ONE shuffle on the subject key; the rangeBetween
+    frame slides incrementally within each partition (no self-join,
+    no per-row range probe). ``percentile`` is exact linear
+    interpolation — matching quantile_cont — not a sketch; frames are
+    per-subject-hour sized, so exactness is cheap even at 100 TB.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    win = (
+        W.partitionBy(subject_col)
+        .orderBy(F.col("_ts_us"))
+        .rangeBetween(-int(window_seconds * 1_000_000), 0)
+    )
+    out = df.withColumn("_ts_us", us)
+    for name, frac in percentiles.items():
+        out = out.withColumn(
+            name, F.expr(f"percentile({value_col}, {frac!r})").over(win)
+        )
+    return out.drop("_ts_us")

@@ -6840,3 +6840,166 @@ def q_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("te_loo"),
         )
     )
+
+
+@register(
+    "doc_bm25_topk",
+    """
+    WITH words AS (
+      SELECT doc_id, lower(unnest(string_split(text, ' '))) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM words
+      WHERE term IN ('hash', 'spark', 'window') GROUP BY doc_id, term
+    ),
+    idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    sc AS (
+      SELECT t.doc_id,
+             sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * t.tf * 2.2
+                 / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS s
+      FROM tf t JOIN idf d USING (term) JOIN dl l USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, round(s, 6) AS score, rk FROM (
+      SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rk
+      FROM sc
+    ) WHERE rk <= 20
+    """,
+)
+def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text retrieval: BM25 top-20 documents for a 3-term keyword
+    query (k1=1.2, b=0.75, Lucene idf). The exploded words relation is
+    filtered to the query terms before any shuffle, so the tf groupBy
+    moves only the query's posting list; doc lengths are a pure
+    expression over the un-exploded text; (N, avgdl) and df broadcast;
+    the top-k plans as TakeOrderedAndProject."""
+    from eventstreamml_spark.operators.text import bm25_topk
+
+    return bm25_topk(
+        load_table(spark, sf_dir, "documents"), ["hash", "spark", "window"], k=20
+    )
+
+
+@register(
+    "dedup_passage_duplication",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    g AS (
+      SELECT w0.doc_id,
+             md5(w0.word || ' ' || w1.word || ' ' || w2.word || ' ' || w3.word)
+               AS gh
+      FROM words w0
+      JOIN words w1 ON w1.doc_id = w0.doc_id AND w1.pos = w0.pos + 1
+      JOIN words w2 ON w2.doc_id = w0.doc_id AND w2.pos = w0.pos + 2
+      JOIN words w3 ON w3.doc_id = w0.doc_id AND w3.pos = w0.pos + 3
+    ),
+    c AS (SELECT gh, count(*) AS cnt FROM g GROUP BY gh)
+    SELECT g.doc_id, count(*) AS n_grams,
+           CAST(sum(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           round(sum(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS dup_ratio
+    FROM g JOIN c USING (gh)
+    GROUP BY g.doc_id
+    """,
+)
+def q_dedup_passage_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup: per-document duplicated-passage ratio — the share of a
+    doc's word-4-gram positions whose gram occurs ≥2 times corpus-wide
+    (ExactSubstr-style duplication signal at word granularity, the
+    drop/trim criterion for boilerplate-heavy documents). Grams digest
+    to md5 before the count groupBy and count join, so both shuffles
+    move 16-byte digests, not text."""
+    from eventstreamml_spark.operators.dedup import duplicate_passage_stats
+
+    return duplicate_passage_stats(load_table(spark, sf_dir, "documents"), k=4)
+
+
+@register(
+    "doc_token_js_divergence",
+    """
+    WITH words AS (
+      SELECT lang = 'en' AS a,
+             unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    pt AS (
+      SELECT term,
+             sum(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN a THEN 0 ELSE 1 END) AS cb
+      FROM words GROUP BY term
+    ),
+    tot AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS ta, CAST(sum(cb) AS BIGINT) AS tb
+      FROM pt
+    )
+    SELECT round(sum(
+             0.5 * (CASE WHEN ca > 0 THEN (ca::DOUBLE / ta)
+                      * ln((ca::DOUBLE / ta)
+                           / (((ca::DOUBLE / ta) + (cb::DOUBLE / tb)) / 2))
+                    ELSE 0 END
+                  + CASE WHEN cb > 0 THEN (cb::DOUBLE / tb)
+                      * ln((cb::DOUBLE / tb)
+                           / (((ca::DOUBLE / ta) + (cb::DOUBLE / tb)) / 2))
+                    ELSE 0 END)
+           ), 6) AS jsd,
+           count(*) AS n_terms,
+           max(ta) AS n_tokens_a,
+           max(tb) AS n_tokens_b
+    FROM pt CROSS JOIN tot
+    """,
+)
+def q_doc_token_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: Jensen-Shannon divergence (nats) between the
+    unigram token distributions of the English slice and the rest of
+    the corpus — the domain-shift diagnostic for training mixtures.
+    One per-term shuffle with conditional counts; slice totals ride
+    back as a broadcast one-row aggregate."""
+    from eventstreamml_spark.operators.text import token_js_divergence
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_js_divergence(docs, F.col("lang") == "en")
+
+
+@register(
+    "rolling_median_1h",
+    """
+    SELECT event_id,
+           round(quantile_cont(value, 0.5) OVER w, 6) AS med_1h,
+           round(quantile_cont(value, 0.9) OVER w, 6) AS p90_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_median_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust rolling features: per-event exact interpolated median
+    and p90 of the subject's values over the trailing hour
+    (rangeBetween over integer µs — one subject shuffle, incremental
+    frame, no self-join). The robust-baseline / anomaly-denominator
+    companion to rolling_hour_activity; exact percentile matches
+    quantile_cont, no sketch."""
+    from eventstreamml_spark.operators.windows import rolling_percentiles
+
+    ev = _events(spark, sf_dir)
+    out = rolling_percentiles(
+        ev,
+        "value",
+        {"med_1h": 0.5, "p90_1h": 0.9},
+        3600.0,
+        subject_col="user_id",
+        ts_col="ts",
+    )
+    return out.select(
+        "event_id",
+        F.round("med_1h", 6).alias("med_1h"),
+        F.round("p90_1h", 6).alias("p90_1h"),
+    )
