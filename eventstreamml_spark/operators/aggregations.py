@@ -304,3 +304,138 @@ def transition_matrix(
         "n",
         F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """Fixed-iteration weighted PageRank over an edge list — node
+    centrality for event-transition graphs, link graphs, and entity-
+    resolution graphs. pr⁰(v) = 1/N; pr(v) = (1−d)/N + d·(Σ_{u→v}
+    pr(u)·w(u,v)/outw(u) + dangling/N), where dangling is the rank
+    mass sitting on nodes with no out-edges.
+
+    Distributed shape: each iteration is one contribution groupBy on
+    the destination key plus a left join back to the node set; the
+    (N, dangling-mass) scalars ride as broadcast one-row aggregates —
+    NO driver-side .count()/.collect() anywhere, the whole fit is
+    plan-side. Iterations localCheckpoint to keep lineage flat (same
+    discipline as the connected-components fixpoint, dedup.py). Rank
+    mass is conserved to float precision each iteration.
+    """
+    if weight is None:
+        e0 = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"),
+                          F.lit(1.0).alias("_w"))
+    else:
+        e0 = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"),
+                          F.col(weight).cast("double").alias("_w"))
+    nodes = (
+        e0.select(F.col("_s").alias("node"))
+        .union(e0.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    outw = e0.groupBy("_s").agg(F.sum("_w").alias("_ow"))
+    e = e0.join(outw, "_s").select(
+        "_s", "_d", (F.col("_w") / F.col("_ow")).alias("_p")
+    )
+    nstats = nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    ranks = nodes.crossJoin(F.broadcast(nstats)).select(
+        "node", (F.lit(1.0) / F.col("_n")).alias("pr")
+    )
+    has_out = outw.select(F.col("_s").alias("node"))
+    for _ in range(n_iter):
+        dangling = (
+            ranks.join(has_out, "node", "left_anti")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dm"))
+        )
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "_s"), "_s")
+            .groupBy(F.col("_d").alias("node"))
+            .agg(F.sum(F.col("pr") * F.col("_p")).alias("_c"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(nstats))
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    (1.0 - damping) / F.col("_n")
+                    + damping
+                    * (F.coalesce(F.col("_c"), F.lit(0.0)) + F.col("_dm") / F.col("_n"))
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def merge_moments(
+    base: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Incremental aggregate maintenance: merge two per-key moment
+    relations (``n``, ``s1`` = Σx, ``s2`` = Σx²) into one, deriving
+    mean and sample std from the merged power sums — the algebraic-
+    aggregate pattern that lets a 100 TB nightly table absorb a delta
+    batch WITHOUT rescanning the base: moments are associative, so
+    state(old) ⊕ moments(delta) ≡ recompute(old ∪ delta).
+
+    Full outer join on the keys (either side may introduce new keys),
+    null-safe addition, derived stats guarded for n ≤ 1. The merged
+    relation is the same shape as its inputs, so merging chains
+    (base ⊕ day1 ⊕ day2 …) without ever widening.
+    """
+    b = base.select(
+        *keys,
+        F.col("n").alias("_bn"),
+        F.col("s1").alias("_bs1"),
+        F.col("s2").alias("_bs2"),
+    )
+    d = delta.select(
+        *keys,
+        F.col("n").alias("_dn"),
+        F.col("s1").alias("_ds1"),
+        F.col("s2").alias("_ds2"),
+    )
+    z = F.lit(0)
+    merged = b.join(d, keys, "full_outer").select(
+        *keys,
+        (F.coalesce("_bn", z) + F.coalesce("_dn", z)).alias("n"),
+        (F.coalesce("_bs1", F.lit(0.0)) + F.coalesce("_ds1", F.lit(0.0))).alias("s1"),
+        (F.coalesce("_bs2", F.lit(0.0)) + F.coalesce("_ds2", F.lit(0.0))).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var_samp = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    return merged.select(
+        *keys,
+        "n",
+        "s1",
+        "s2",
+        F.when(F.col("n") > 0, mean).alias("mean"),
+        F.when(F.col("n") > 1, F.sqrt(F.greatest(var_samp, F.lit(0.0)))).alias(
+            "std"
+        ),
+    )
+
+
+def moments_of(
+    df: DataFrame, value_col: str, keys: list[str]
+) -> DataFrame:
+    """Per-key power sums (n, Σx, Σx²) over non-null values — the
+    mergeable state produced once per ingest batch and consumed by
+    :func:`merge_moments`. One map-side-combined groupBy."""
+    x = F.col(value_col)
+    return df.filter(x.isNotNull()).groupBy(*keys).agg(
+        F.count(x).alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+    )

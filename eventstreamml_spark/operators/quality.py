@@ -18,7 +18,7 @@ the key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 
 def profile_table(
@@ -274,4 +274,56 @@ def table_diff(
         j.withColumn("status", status)
         .filter(F.col("status").isNotNull())
         .select(*key_cols, "status")
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    value_col: str = "value",
+    subject_col: str = "subject_id",
+    ts_col: str = "timestamp",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-subject CUSUM change-point score: standardize the subject's
+    values (sample std), take the running cumulative sum of deviations
+    S_i = Σ_{j≤i}(x_j − x̄)/s, and report the maximum |S_i| with the
+    earliest timestamp achieving it — the classic level-shift detector
+    (a subject whose mean drifts mid-sequence scores high; a stable
+    one stays near 0). Returns (subject, n_obs, cusum_max, ts_at_max).
+
+    One shuffle on the subject key serves the per-partition moment
+    window, the ordered cumsum window, and the final groupBy — the
+    partitioning is reused across all three. Subjects with zero
+    variance (or a single point) score 0 at their first timestamp.
+    """
+    w_all = W.partitionBy(subject_col)
+    w_ord = (
+        W.partitionBy(subject_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    x = F.col(value_col)
+    scored = (
+        df.filter(x.isNotNull())
+        .withColumn("_mu", F.avg(x).over(w_all))
+        .withColumn("_sd", F.stddev_samp(x).over(w_all))
+        .withColumn(
+            "_s",
+            F.when(
+                F.col("_sd") > 0,
+                F.sum(x - F.col("_mu")).over(w_ord) / F.col("_sd"),
+            ).otherwise(0.0),
+        )
+        .withColumn("_abs", F.abs(F.col("_s")))
+        .withColumn("_mx", F.max(F.abs(F.col("_s"))).over(w_all))
+    )
+    return (
+        scored.groupBy(subject_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(F.max("_abs"), 6).alias("cusum_max"),
+            F.min(F.when(F.col("_abs") == F.col("_mx"), F.col(ts_col))).alias(
+                "ts_at_max"
+            ),
+        )
     )

@@ -215,3 +215,47 @@ def pps_systematic_sample(
     return out.filter(crosses).select(
         id_col, F.col("_w").alias("size"), F.col("_cum").alias("cum_size")
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "event_id",
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """Efraimidis–Spirakis A-Res weighted sampling WITHOUT
+    replacement: each row draws u = md5-uniform(id) ∈ (0,1] and the k
+    rows maximizing u^(1/w) — equivalently ln(u)/w — form an exact
+    weighted sample (inclusion probability proportional to weight,
+    sequentially without replacement). Deterministic and seed-free
+    across engines/runs because u comes from the id's md5, the same
+    portable-uniform convention as quota_sample; rows with
+    non-positive or null weight are excluded (the estimator requires
+    w > 0).
+
+    Per-stratum when ``stratum_col`` is given (one keyed window —
+    this is the scale path); global selection plans as a bounded
+    TakeOrderedAndProject, not a full sort. Returns (stratum?, id,
+    weight, rk).
+    """
+    w = F.col(weight_col).cast("double")
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / F.lit(4294967296.0)
+    base = df.filter(w.isNotNull() & (w > 0)).select(
+        *([F.col(stratum_col)] if stratum_col else []),
+        F.col(id_col),
+        w.alias("weight"),
+        (F.log(u) / w).alias("_key"),
+    )
+    if stratum_col:
+        rk = F.row_number().over(
+            W.partitionBy(stratum_col).orderBy(F.col("_key").desc(), F.col(id_col))
+        )
+        return base.withColumn("rk", rk).filter(F.col("rk") <= k).drop("_key")
+    top = base.orderBy(F.col("_key").desc(), F.col(id_col)).limit(k)
+    rk = F.row_number().over(W.orderBy(F.col("_key").desc(), F.col(id_col)))
+    return top.withColumn("rk", rk).drop("_key")

@@ -646,3 +646,58 @@ def token_js_divergence(
             F.first("tb").alias("n_tokens_b"),
         )
     )
+
+
+def bigram_pmi(
+    docs: DataFrame,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent
+    word pairs, PMI = ln(p(ab)/(p(a)·p(b))) with p(ab) over the bigram
+    total and the marginals over the unigram total — the standard
+    phrase detector (Mikolov-style word2phrase scoring) for building
+    tokenizer merge candidates and stop-phrase lists. Returns every
+    bigram with count ≥ ``min_count``: (w1, w2, n_ab, pmi) — a
+    threshold, not a top-k, so output membership is not sensitive to
+    float rank boundaries.
+
+    One words explode feeds both the unigram counts and (via a
+    per-doc lead window) the bigram counts; marginal totals broadcast
+    as one-row aggregates; everything else is expression arithmetic.
+    """
+    words = words_table(docs, id_col, text_col).select(
+        F.col(id_col), "pos", F.lower(F.col("word")).alias("w")
+    )
+    uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    t_uni = uni.agg(F.sum("c").cast("double").alias("tu"))
+    win = W.partitionBy(id_col).orderBy("pos")
+    bi_all = (
+        words.select("w", F.lead("w").over(win).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+        .groupBy(F.col("w").alias("w1"), "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    t_bi = bi_all.agg(F.sum("n_ab").cast("double").alias("tb"))
+    bi = bi_all.filter(F.col("n_ab") >= min_count)
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bi.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(t_uni))
+        .crossJoin(F.broadcast(t_bi))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab") / F.col("tb"))
+                    / ((F.col("c1") / F.col("tu")) * (F.col("c2") / F.col("tu")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -7003,3 +7003,410 @@ def q_rolling_median_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("med_1h", 6).alias("med_1h"),
         F.round("p90_1h", 6).alias("p90_1h"),
     )
+
+
+@register(
+    "event_type_pagerank",
+    """
+    WITH pairs AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS dst
+      FROM events
+    ),
+    e AS (
+      SELECT src, dst, count(*)::DOUBLE AS w
+      FROM pairs WHERE dst IS NOT NULL GROUP BY src, dst
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    outw AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+    ep AS (SELECT e.src, e.dst, e.w / o.ow AS p FROM e JOIN outw o USING (src)),
+    pr0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+    d1 AS (SELECT coalesce(sum(pr), 0) AS dm FROM pr0
+           WHERE node NOT IN (SELECT src FROM outw)),
+    c1 AS (SELECT ep.dst AS node, sum(pr0.pr * ep.p) AS c
+           FROM ep JOIN pr0 ON pr0.node = ep.src GROUP BY ep.dst),
+    pr1 AS (SELECT p.node,
+                   0.15 / nn.n + 0.85 * (coalesce(c1.c, 0) + d1.dm / nn.n) AS pr
+            FROM pr0 p LEFT JOIN c1 ON c1.node = p.node
+            CROSS JOIN nn CROSS JOIN d1),
+    d2 AS (SELECT coalesce(sum(pr), 0) AS dm FROM pr1
+           WHERE node NOT IN (SELECT src FROM outw)),
+    c2 AS (SELECT ep.dst AS node, sum(pr1.pr * ep.p) AS c
+           FROM ep JOIN pr1 ON pr1.node = ep.src GROUP BY ep.dst),
+    pr2 AS (SELECT p.node,
+                   0.15 / nn.n + 0.85 * (coalesce(c2.c, 0) + d2.dm / nn.n) AS pr
+            FROM pr1 p LEFT JOIN c2 ON c2.node = p.node
+            CROSS JOIN nn CROSS JOIN d2),
+    d3 AS (SELECT coalesce(sum(pr), 0) AS dm FROM pr2
+           WHERE node NOT IN (SELECT src FROM outw)),
+    c3 AS (SELECT ep.dst AS node, sum(pr2.pr * ep.p) AS c
+           FROM ep JOIN pr2 ON pr2.node = ep.src GROUP BY ep.dst),
+    pr3 AS (SELECT p.node,
+                   0.15 / nn.n + 0.85 * (coalesce(c3.c, 0) + d3.dm / nn.n) AS pr
+            FROM pr2 p LEFT JOIN c3 ON c3.node = p.node
+            CROSS JOIN nn CROSS JOIN d3)
+    SELECT node AS event_type, round(pr, 6) AS pagerank FROM pr3
+    """,
+)
+def q_event_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph centrality: 3-iteration damped PageRank (d=0.85) over the
+    event-type transition graph (edges = Markov transition counts).
+    Every iteration is one destination-keyed groupBy + a node join;
+    the (N, dangling-mass) scalars ride as broadcast one-row
+    aggregates — no driver actions inside the loop beyond the
+    localCheckpoint lineage cuts. The oracle unrolls the three
+    iterations, dangling term included."""
+    from eventstreamml_spark.operators.aggregations import pagerank, transition_matrix
+
+    ev = _events(spark, sf_dir)
+    edges = transition_matrix(ev, subject_col="user_id", ts_col="ts")
+    pr = pagerank(edges, n_iter=3, damping=0.85, weight="n")
+    return pr.select(
+        F.col("node").alias("event_type"), F.round("pr", 6).alias("pagerank")
+    )
+
+
+@register(
+    "cusum_changepoint_by_subject",
+    """
+    WITH base AS (
+      SELECT user_id, ts, event_id, value,
+             avg(value) OVER (PARTITION BY user_id) AS mu,
+             stddev_samp(value) OVER (PARTITION BY user_id) AS sd
+      FROM events WHERE value IS NOT NULL
+    ),
+    cs AS (
+      SELECT user_id, ts,
+             CASE WHEN sd > 0 THEN
+               sum(value - mu) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / sd
+             ELSE 0 END AS s
+      FROM base
+    ),
+    mx AS (SELECT user_id, count(*) AS n_obs, max(abs(s)) AS m
+           FROM cs GROUP BY user_id)
+    SELECT c.user_id, mx.n_obs, round(mx.m, 6) AS cusum_max,
+           min(c.ts) AS ts_at_max
+    FROM cs c JOIN mx USING (user_id)
+    WHERE abs(c.s) = mx.m
+    GROUP BY c.user_id, mx.n_obs, mx.m
+    """,
+)
+def q_cusum_changepoint_by_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-point detection: per-subject CUSUM level-shift score —
+    max |running standardized deviation sum| with the earliest
+    timestamp achieving it. One subject shuffle reused by the moment
+    window, the ordered cumsum, and the final groupBy."""
+    from eventstreamml_spark.operators.quality import cusum_changepoint
+
+    ev = _events(spark, sf_dir)
+    return cusum_changepoint(
+        ev, "value", subject_col="user_id", ts_col="ts", id_col="event_id"
+    )
+
+
+def _events_evolved_copy(spark: SparkSession, sf_dir: str) -> str:
+    """Two-generation parquet layout for the schema-evolution read:
+    v=1 files lack the ``value`` column (even subjects), v=2 files
+    carry it (odd subjects). Cached like the CSV/JSONL twins."""
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    dst = os.path.join(tempfile.gettempdir(), f"esml_events_evo_{tag}")
+    marker = os.path.join(dst, "_done")
+    if not os.path.exists(marker) or os.path.getmtime(marker) < os.path.getmtime(src):
+        ev = _events(spark, sf_dir)
+        v1 = ev.filter(F.col("user_id") % 2 == 0).select(
+            "event_id", "ts", "user_id", "event_type"
+        )
+        v2 = ev.filter(F.col("user_id") % 2 == 1).select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        v1.write.mode("overwrite").parquet(os.path.join(dst, "v=1"))
+        v2.write.mode("overwrite").parquet(os.path.join(dst, "v=2"))
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return dst
+
+
+@register(
+    "schema_evolution_merge",
+    """
+    SELECT event_id, event_type,
+           CASE WHEN user_id % 2 = 1 THEN value END AS value
+    FROM events WHERE user_id % 5 = 0
+    """,
+)
+def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connector surface: schema-evolution read. Older parquet files
+    written before a column existed and newer files carrying it are
+    read in ONE scan with ``mergeSchema`` — the missing column nulls
+    out on old files, and the ``v=N`` directory key surfaces as a
+    partition column (pruned like any other). This is how a 100 TB
+    append-only lake absorbs additive schema changes without a
+    rewrite."""
+    base = _events_evolved_copy(spark, sf_dir)
+    df = spark.read.option("mergeSchema", "true").parquet(base)
+    return df.filter(F.col("user_id") % 5 == 0).select(
+        "event_id", "event_type", "value"
+    )
+
+
+@register(
+    "cms_point_estimates",
+    """
+    WITH src AS (
+      SELECT CAST(floor(value) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    h AS (
+      SELECT x, i,
+             ('0x' || substr(md5(x::VARCHAR || '#7#' || i::VARCHAR), 1, 8))::BIGINT
+               % 256 AS b
+      FROM src CROSS JOIN (SELECT unnest(range(3)) AS i)
+    ),
+    cms AS (SELECT i, b, count(*) AS cnt FROM h GROUP BY i, b),
+    probes AS (SELECT unnest(range(10)) AS p),
+    pb AS (
+      SELECT p, i,
+             ('0x' || substr(md5(p::VARCHAR || '#7#' || i::VARCHAR), 1, 8))::BIGINT
+               % 256 AS b
+      FROM probes CROSS JOIN (SELECT unnest(range(3)) AS i)
+    )
+    SELECT p AS probe, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+    FROM pb LEFT JOIN cms USING (i, b) GROUP BY p
+    """,
+)
+def q_cms_point_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketches: count-min point estimates (w=256, d=3, seeded
+    portable md5 hashes) for probe values 0..9 over floor(value).
+    The sketch is fixed-size and map-side mergeable — the groupBy
+    exchange moves ≤ d·w counters per task regardless of input size
+    or skew; estimates overestimate by ≤ ε·N. The oracle replays the
+    identical sketch bit-for-bit, not just its contract."""
+    from eventstreamml_spark.operators.sketches import cms_build, cms_estimate
+
+    ev = _events(spark, sf_dir)
+    src = ev.filter(F.col("value").isNotNull()).select(
+        F.floor("value").cast("long").alias("x")
+    )
+    cms = cms_build(src, "x", width=256, depth=3, seed=7)
+    probes = spark.range(10).select(F.col("id").alias("p"))
+    return cms_estimate(cms, probes, "p", width=256, depth=3, seed=7)
+
+
+@register(
+    "es_weighted_sample",
+    """
+    WITH base AS (
+      SELECT event_type, event_id, value AS weight,
+             ln((('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT + 1.0)
+                / 4294967296.0) / value AS k
+      FROM events WHERE value IS NOT NULL AND value > 0
+    )
+    SELECT event_type, event_id, round(weight, 6) AS weight, rk FROM (
+      SELECT event_type, event_id, weight,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY k DESC, event_id) AS rk
+      FROM base
+    ) WHERE rk <= 5
+    """,
+)
+def q_es_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling: Efraimidis–Spirakis A-Res weighted sampling without
+    replacement — top-5 per event type by u^(1/w) with the engine's
+    portable md5-uniform u, so the draw is deterministic across
+    engines and runs. One keyed window; inclusion probability is
+    proportional to weight, sequentially without replacement."""
+    from eventstreamml_spark.operators.setops import weighted_sample_topk
+
+    ev = _events(spark, sf_dir)
+    out = weighted_sample_topk(
+        ev, "value", k=5, id_col="event_id", stratum_col="event_type"
+    )
+    return out.select(
+        "event_type", "event_id", F.round("weight", 6).alias("weight"), "rk"
+    )
+
+
+@register(
+    "value_trend_by_subject",
+    """
+    WITH b AS (
+      SELECT user_id, value,
+             (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id))
+               / 3600000000.0 AS x
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT user_id, count(*) AS n_obs,
+           round(regr_slope(value, x), 6) AS slope,
+           round(regr_intercept(value, x), 6) AS intercept,
+           round(regr_r2(value, x), 6) AS r2
+    FROM b GROUP BY user_id
+    """,
+)
+def q_value_trend_by_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend detection: per-subject OLS of value against hours since
+    the subject's first event — slope/intercept/R² straight from the
+    SQL-standard regression aggregates (sufficient statistics, one
+    map-side-combinable pass; no per-subject model fitting loop). The
+    drift screen run over every entity of a 100 TB table."""
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = ev.select(
+        "user_id",
+        "value",
+        (
+            (us - F.min(us).over(W.partitionBy("user_id"))) / 3.6e9
+        ).alias("x"),
+    )
+    return b.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(F.expr("regr_slope(value, x)"), 6).alias("slope"),
+        F.round(F.expr("regr_intercept(value, x)"), 6).alias("intercept"),
+        F.round(F.expr("regr_r2(value, x)"), 6).alias("r2"),
+    )
+
+
+@register(
+    "cuped_adjusted_metric",
+    """
+    WITH cut AS (
+      SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS c FROM events
+    ),
+    users AS (
+      SELECT user_id, user_id % 2 AS variant,
+             sum(CASE WHEN epoch_us(ts) < cut.c THEN value ELSE 0 END) AS pre,
+             sum(CASE WHEN epoch_us(ts) >= cut.c THEN value ELSE 0 END) AS post
+      FROM events CROSS JOIN cut
+      WHERE value IS NOT NULL
+      GROUP BY user_id, cut.c
+    ),
+    st AS (
+      SELECT covar_pop(pre, post) / nullif(var_pop(pre), 0) AS theta,
+             avg(pre) AS mu_pre
+      FROM users
+    )
+    SELECT variant, count(*) AS n_users,
+           round(avg(post), 6) AS mean_post,
+           round(avg(post - st.theta * (pre - st.mu_pre)), 6) AS mean_adjusted,
+           round(stddev_samp(post), 6) AS sd_post,
+           round(stddev_samp(post - st.theta * (pre - st.mu_pre)), 6) AS sd_adjusted
+    FROM users CROSS JOIN st
+    GROUP BY variant, st.theta, st.mu_pre
+    """,
+)
+def q_cuped_adjusted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation: CUPED variance reduction — per-variant mean of
+    the post-period metric and its covariate-adjusted version
+    (θ = cov(pre,post)/var(pre), pooled), the standard trick that
+    shrinks A/B confidence intervals using pre-experiment data. Three
+    broadcast one-row scalars (cutoff, θ, mean-pre); one user-keyed
+    aggregation; no second scan of the raw table."""
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cut = _events(spark, sf_dir).agg(
+        ((F.min(us) + F.max(us)) / F.lit(2)).cast("long").alias("c")
+    )
+    users = (
+        ev.crossJoin(F.broadcast(cut))
+        .groupBy("user_id", (F.col("user_id") % 2).alias("variant"))
+        .agg(
+            F.sum(F.when(us < F.col("c"), F.col("value")).otherwise(0.0)).alias("pre"),
+            F.sum(F.when(us >= F.col("c"), F.col("value")).otherwise(0.0)).alias(
+                "post"
+            ),
+        )
+    )
+    st = users.agg(
+        (
+            F.covar_pop("pre", "post")
+            / F.when(F.var_pop("pre") != 0, F.var_pop("pre"))
+        ).alias("theta"),
+        F.avg("pre").alias("mu_pre"),
+    )
+    adj = F.col("post") - F.col("theta") * (F.col("pre") - F.col("mu_pre"))
+    return (
+        users.crossJoin(F.broadcast(st))
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg("post"), 6).alias("mean_post"),
+            F.round(F.avg(adj), 6).alias("mean_adjusted"),
+            F.round(F.stddev_samp("post"), 6).alias("sd_post"),
+            F.round(F.stddev_samp(adj), 6).alias("sd_adjusted"),
+        )
+    )
+
+
+@register(
+    "incremental_moments_merge",
+    """
+    SELECT event_type, count(value) AS n,
+           round(sum(value), 6) AS s1,
+           round(sum(value * value), 6) AS s2,
+           round(avg(value), 6) AS mean,
+           round(stddev_samp(value), 6) AS std
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
+    """,
+)
+def q_incremental_moments_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ETL: per-key power sums of a simulated "already
+    ingested" base (event_id % 3 ≠ 0) merged with a delta batch
+    (event_id % 3 = 0) via the algebraic-moments operator — the
+    oracle recomputes single-pass over the union, proving
+    state ⊕ delta ≡ recompute. This is how running statistics stay
+    current on an append-only 100 TB table without rescans."""
+    from eventstreamml_spark.operators.aggregations import merge_moments, moments_of
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    base = moments_of(ev.filter(F.col("event_id") % 3 != 0), "value", ["event_type"])
+    delta = moments_of(ev.filter(F.col("event_id") % 3 == 0), "value", ["event_type"])
+    out = merge_moments(base, delta, ["event_type"])
+    return out.select(
+        "event_type",
+        "n",
+        F.round("s1", 6).alias("s1"),
+        F.round("s2", 6).alias("s2"),
+        F.round("mean", 6).alias("mean"),
+        F.round("std", 6).alias("std"),
+    )
+
+
+@register(
+    "doc_bigram_pmi",
+    """
+    WITH words AS (
+      SELECT doc_id, lower(unnest(string_split(text, ' '))) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    uni AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+    tu AS (SELECT sum(c)::DOUBLE AS t FROM uni),
+    bi_all AS (
+      SELECT a.w AS w1, b.w AS w2, count(*) AS n_ab
+      FROM words a JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      GROUP BY a.w, b.w
+    ),
+    tb AS (SELECT sum(n_ab)::DOUBLE AS t FROM bi_all)
+    SELECT w1, w2, n_ab,
+           round(ln((n_ab / tb.t) / ((u1.c / tu.t) * (u2.c / tu.t))), 6) AS pmi
+    FROM bi_all
+    JOIN uni u1 ON u1.w = w1
+    JOIN uni u2 ON u2.w = w2
+    CROSS JOIN tu CROSS JOIN tb
+    WHERE n_ab >= 40
+    """,
+)
+def q_doc_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: PMI of adjacent word pairs with count ≥ 40
+    (word2phrase-style scoring for tokenizer merge candidates).
+    Threshold output, not top-k, so membership is insensitive to
+    float rank boundaries; marginal totals broadcast."""
+    from eventstreamml_spark.operators.text import bigram_pmi
+
+    return bigram_pmi(load_table(spark, sf_dir, "documents"), min_count=40)
