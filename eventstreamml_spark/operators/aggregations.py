@@ -339,8 +339,14 @@ def pagerank(
         .union(e0.select(F.col("_d").alias("node")))
         .distinct()
     )
-    outw = e0.groupBy("_s").agg(F.sum("_w").alias("_ow"))
-    e = e0.join(outw, "_s").select(
+    # Zero/negative-weight edges carry no rank mass; keeping their
+    # source in outw would exclude it from the dangling set while its
+    # contributions are 0/0 → null, silently dropping rank mass. Drop
+    # them from the propagation relations (nodes keeps the endpoints),
+    # so an all-zero-out-weight source is dangling and mass conserves.
+    e_pos = e0.filter(F.col("_w") > 0)
+    outw = e_pos.groupBy("_s").agg(F.sum("_w").alias("_ow"))
+    e = e_pos.join(outw, "_s").select(
         "_s", "_d", (F.col("_w") / F.col("_ow")).alias("_p")
     )
     nstats = nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))

@@ -178,6 +178,7 @@ def jaccard_pairs(
     threshold: float = 0.0,
     id_col: str = "doc_id",
     candidates: DataFrame | None = None,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for pairs sharing ≥1 shingle (optionally
     restricted to LSH ``candidates`` with columns id_a/id_b).
@@ -193,6 +194,14 @@ def jaccard_pairs(
     aggregated intersections are then semi-joined to the exact pair
     list (id-restriction alone would admit cross-pairs between
     unrelated candidates).
+
+    ``max_shingle_df`` is the hot-shingle safety valve for exact-truth
+    audits at scale: a shingle appearing in d documents contributes
+    d·(d−1)/2 join rows, so one boilerplate 4-gram shared by 10⁶ docs
+    is a 5·10¹¹-row blowup. With the cap set, shingles whose document
+    frequency exceeds it are dropped BEFORE the self-join (sizes still
+    count every shingle, so jaccard is then a lower bound — fine for a
+    recall audit, wrong for exact dedup; leave it None there).
     """
     cand_pairs = None
     if candidates is not None:
@@ -204,6 +213,14 @@ def jaccard_pairs(
         )
         shingles = shingles.join(cand_ids, id_col, "left_semi")
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_shingle_df is not None:
+        cold = (
+            shingles.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        shingles = shingles.join(cold, "shingle", "left_semi")
     a, b = shingles.alias("a"), shingles.alias("b")
     inter = (
         a.join(

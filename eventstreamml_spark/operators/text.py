@@ -567,7 +567,7 @@ def bm25_topk(
     """
     qt = sorted({t.lower() for t in query_terms})
     dl = docs.select(
-        F.col(id_col), F.size(F.split(F.col(text_col), " ")).alias("dl")
+        F.col(id_col), F.size(whitespace_tokens(F.col(text_col))).alias("dl")
     )
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
@@ -664,8 +664,10 @@ def bigram_pmi(
     float rank boundaries.
 
     One words explode feeds both the unigram counts and (via a
-    per-doc lead window) the bigram counts; marginal totals broadcast
-    as one-row aggregates; everything else is expression arithmetic.
+    per-doc lead window) the bigram counts; only the one-row marginal
+    totals are force-broadcast. The unigram relation is unbounded on a
+    large corpus, so its two joins carry no broadcast hint — AQE picks
+    broadcast when the measured size allows and sort-merge otherwise.
     """
     words = words_table(docs, id_col, text_col).select(
         F.col(id_col), "pos", F.lower(F.col("word")).alias("w")
@@ -684,8 +686,8 @@ def bigram_pmi(
     u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
     return (
-        bi.join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        bi.join(u1, "w1")
+        .join(u2, "w2")
         .crossJoin(F.broadcast(t_uni))
         .crossJoin(F.broadcast(t_bi))
         .select(

@@ -83,6 +83,14 @@ def get_spark(
             "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
             "true",
         )
+        # ContextCleaner only reclaims shuffle files / broadcast blocks
+        # when driver GC collects their references; the 30min default
+        # periodicGC never fires inside a multi-query job segment, so
+        # hundreds of queries on one session accumulate shuffle state
+        # and slow later queries (round-3 bench regression on unchanged
+        # code). 1min keeps long-lived sessions flat; single-query jobs
+        # never notice it.
+        .config("spark.cleaner.periodicGC.interval", "1min")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

@@ -575,6 +575,27 @@ def test_containment_vs_jaccard_asymmetry(spark):
     assert (1, 3) not in cont  # no shared shingle
 
 
+def test_jaccard_max_shingle_df_drops_hot_shingles(spark):
+    # "a b c" appears in all 3 docs (hot); the doc-frequency cap must
+    # drop it from the intersection join while sizes still count it,
+    # so capped jaccard is a lower bound of the exact value.
+    docs = _docs(spark, [
+        (1, "a b c p q r"),
+        (2, "a b c p q s"),
+        (3, "a b c x y z"),
+    ])
+    sh = dedup.word_shingles(docs, k=3)
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.jaccard_pairs(sh, threshold=0.0).collect()}
+    capped = {(r["id_a"], r["id_b"]): r["jaccard"]
+              for r in dedup.jaccard_pairs(
+                  sh, threshold=0.0, max_shingle_df=2).collect()}
+    # every hot-only pair vanishes; surviving pairs are lower bounds
+    assert (1, 3) in exact and (1, 3) not in capped
+    assert capped[(1, 2)] <= exact[(1, 2)]
+    assert capped[(1, 2)] > 0
+
+
 def test_winnowing_shared_substring_guarantee(spark):
     # docs share a 30-char substring (> w+k-1 = 24) -> must share >= 1
     # fingerprint; unrelated docs share none

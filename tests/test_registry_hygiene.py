@@ -38,6 +38,63 @@ def test_oracle_query_has_scalar_cells_only(spark, name):
     )
 
 
+FORBIDDEN_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def _bad_oracle_columns(conn, sql: str) -> list[tuple[str, str]]:
+    rel = conn.sql(sql)
+    return [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if any(str(t).upper().startswith(ft) for ft in FORBIDDEN_DUCK_TYPES)
+    ]
+
+
+def test_oracle_output_types_are_driver_hashable():
+    """DuckDB promotes integer ``sum()`` (plain and windowed) to
+    HUGEINT (int128), which the driver's value-hasher digests
+    differently from Spark's bigint — CORRECTNESS_r03 flagged three
+    value-identical queries red for exactly this. Every oracle must
+    bind to driver-hashable types: no HUGEINT/UHUGEINT/DECIMAL columns
+    (fix: ``CAST(sum(...) AS BIGINT)`` / ``AS DOUBLE``). Binding is
+    lazy — no oracle actually executes here."""
+    from tests.oracle import duckdb_conn
+
+    conn = duckdb_conn(SF_SMOKE)
+    offenders = {
+        name: bad
+        for name, sql in q.oracle_sql().items()
+        if (bad := _bad_oracle_columns(conn, sql))
+    }
+    conn.close()
+    assert not offenders, (
+        f"oracles with driver-unhashable DuckDB output types: {offenders}"
+    )
+
+
+def test_oracle_type_guard_catches_injected_hugeint():
+    import duckdb
+
+    conn = duckdb.connect()
+    bad = _bad_oracle_columns(conn, "SELECT sum(1) AS s FROM range(3)")
+    conn.close()
+    assert bad == [("s", "HUGEINT")]
+
+
+def test_every_registry_name_appears_in_survey():
+    """SURVEY §2's inventory is the judge's coverage checklist; a query
+    registered here but absent there silently under-reports coverage
+    (it drifted mid-round-3). Every registry name must appear in
+    SURVEY.md."""
+    import pathlib
+
+    survey = (
+        pathlib.Path(__file__).resolve().parents[1] / "SURVEY.md"
+    ).read_text()
+    missing = [n for n in q.queries() if n not in survey]
+    assert not missing, f"registry names missing from SURVEY.md: {missing}"
+
+
 def test_guard_catches_injected_array_query(spark):
     """The guard itself must fire on an array-typed output."""
     from pyspark.sql import functions as F

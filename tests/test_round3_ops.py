@@ -138,6 +138,20 @@ class TestPageRank:
         pr = {r["node"]: r["pr"] for r in pagerank(edges, n_iter=4).collect()}
         assert sum(pr.values()) == pytest.approx(1.0, abs=1e-9)
 
+    def test_zero_out_weight_source_is_dangling(self, spark):
+        """A source whose out-edges all weigh 0 propagates nothing —
+        its mass must flow through the dangling term, not vanish as
+        0/0 nulls (round-3 advice)."""
+        from eventstreamml_spark.operators.aggregations import pagerank
+
+        edges = spark.createDataFrame(
+            [("a", "b", 1.0), ("b", "c", 0.0), ("c", "a", 1.0)],
+            "src string, dst string, w double",
+        )
+        pr = {r["node"]: r["pr"] for r in pagerank(edges, n_iter=4, weight="w").collect()}
+        assert len(pr) == 3
+        assert sum(pr.values()) == pytest.approx(1.0, abs=1e-9)
+
     def test_weighted_edges_shift_rank(self, spark):
         from eventstreamml_spark.operators.aggregations import pagerank
 
