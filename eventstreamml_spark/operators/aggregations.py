@@ -445,3 +445,53 @@ def moments_of(
         F.sum(x).alias("s1"),
         F.sum(x * x).alias("s2"),
     )
+
+
+def type_cooccurrence_lift(
+    events: DataFrame,
+    subject_col: str = "user_id",
+    type_col: str = "event_type",
+    min_subjects: int = 5,
+) -> DataFrame:
+    """Market-basket lift over per-subject event-type sets:
+    lift(a,b) = P(a,b)/(P(a)·P(b)) with probabilities over subjects —
+    the association measure behind "users who error also churn"
+    co-behavior mining and feature-pair pruning.
+
+    Scale shape: the corpus first collapses to the DISTINCT
+    (subject, type) relation (one shuffle, output ≤ subjects×|types|);
+    pairs come from a self-equi-join on the subject key with a,b
+    ordered (never all-pairs across subjects — each subject contributes
+    at most |types|² rows, and |types| is vocabulary-bounded); the
+    per-type marginals are a |types|-row broadcast. min_subjects
+    thresholds membership so output is not float-rank sensitive.
+    """
+    st = events.select(subject_col, type_col).distinct()
+    n_subj = st.agg(
+        F.count_distinct(F.col(subject_col)).cast("double").alias("_ns")
+    )
+    marg = st.groupBy(type_col).agg(F.count(F.lit(1)).alias("_n"))
+    a = st.select(F.col(subject_col).alias("_s"), F.col(type_col).alias("type_a"))
+    b = st.select(F.col(subject_col).alias("_s"), F.col(type_col).alias("type_b"))
+    pairs = (
+        a.join(b, "_s")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= min_subjects)
+    )
+    ma = marg.select(F.col(type_col).alias("type_a"), F.col("_n").alias("_na"))
+    mb = marg.select(F.col(type_col).alias("type_b"), F.col("_n").alias("_nb"))
+    return (
+        pairs.join(F.broadcast(ma), "type_a")
+        .join(F.broadcast(mb), "type_b")
+        .crossJoin(F.broadcast(n_subj))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                F.col("n_both") * F.col("_ns") / (F.col("_na") * F.col("_nb")), 6
+            ).alias("lift"),
+        )
+    )

@@ -295,6 +295,70 @@ def incremental_new_docs(
     return inc.join(ref, "digest", "left_anti").select(id_col, "digest")
 
 
+def dsir_importance(
+    docs: DataFrame,
+    target_pred: Column,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023, arXiv:2302.03169): score every
+    non-target document by how target-like its hashed-unigram
+    distribution is, log w(doc) = Σ_b c_b(doc)·(ln p̂_t(b) − ln p̂_r(b))
+    with add-1-smoothed bucket models fitted on the target slice
+    (``target_pred`` true) and the raw remainder. Resampling the raw
+    pool ∝ exp(log_w) tilts a 100 TB crawl toward a curated target
+    domain without training a classifier.
+
+    Scale shape: ONE words explode feeds (a) the two bucket models —
+    a single groupBy on the bucket key with conditional sums, emitting
+    exactly ``n_buckets`` rows — and (b) per-doc bucket counts (one
+    groupBy on (doc, bucket)). The model relation is buckets-sized,
+    so it broadcast-joins onto the per-doc counts; the final score is
+    a map-side-combined groupBy on the doc key. Nothing here scales
+    with corpus size except the two count shuffles.
+
+    Returns (doc_id, n_tokens, log_w) for raw documents, 6dp.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.lower(F.col("_w"))), 1, 8), 16, 10)
+        .cast("long") % n_buckets
+    )
+    words = docs.select(
+        F.col(id_col),
+        target_pred.alias("_t"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("_w"),
+    ).select(id_col, "_t", bucket.alias("_b"))
+    model = words.groupBy("_b").agg(
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("_ct"),
+        F.sum(F.when(~F.col("_t"), 1).otherwise(0)).alias("_cr"),
+    )
+    totals = model.agg(
+        F.sum("_ct").alias("_Tt"), F.sum("_cr").alias("_Tr")
+    )
+    llr = model.crossJoin(F.broadcast(totals)).select(
+        "_b",
+        (
+            F.log((F.col("_ct") + 1.0) / (F.col("_Tt") + float(n_buckets)))
+            - F.log((F.col("_cr") + 1.0) / (F.col("_Tr") + float(n_buckets)))
+        ).alias("_llr"),
+    )
+    doc_counts = (
+        words.filter(~F.col("_t"))
+        .groupBy(id_col, "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return (
+        doc_counts.join(F.broadcast(llr), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("_c") * F.col("_llr")), 6).alias("log_w"),
+        )
+    )
+
+
 def mixture_weights(
     docs: DataFrame,
     temperature: float = 2.0,

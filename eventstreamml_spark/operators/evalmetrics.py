@@ -1,0 +1,135 @@
+"""Distributed model-evaluation metrics over scored relations.
+
+A training-data engine's output gets consumed by models whose quality
+must be measured at the same scale the data was built at — scoring
+100 TB of eval traffic and THEN computing AUC/calibration on a single
+node defeats the point. These operators keep the whole computation
+plan-side: rank statistics via one window shuffle, calibration and
+threshold sweeps via groupBy over pure expressions. No reference
+analog (the reference delegates metrics to torch-side code, e.g.
+EventStreamML's pytorch eval loop); declared-new per SURVEY §2.8b.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def binary_auc(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+    by: str | None = None,
+) -> DataFrame:
+    """ROC AUC via the Mann-Whitney U rank statistic with midrank tie
+    handling — exactly the trapezoidal-ROC AUC, no curve construction:
+    AUC = (Σ midrank(positives) − n⁺(n⁺+1)/2) / (n⁺·n⁻).
+
+    Distributed shape: ONE shuffle (the rank window, partitioned by
+    the group key and ordered by score); everything after is a
+    map-side-combined groupBy. Sorting within key partitions is how a
+    1000-executor cluster ranks 10¹¹ scores — there is no global sort
+    and no driver collection. Ties get the midrank (rank_min +
+    rank_max)/2, so duplicate scores are handled exactly, not by
+    epsilon jitter. Groups with a single class emit NULL auc (the
+    statistic is undefined), not a crash.
+    """
+    keys = [by] if by else []
+    part = W.partitionBy(*keys) if keys else W.partitionBy()
+    rk_min = F.rank().over(part.orderBy(F.col(score_col).asc()))
+    n_ties = F.count(F.lit(1)).over(
+        part.orderBy(F.col(score_col).asc()).rangeBetween(0, 0)
+    )
+    midrank = rk_min + (n_ties - F.lit(1)) / F.lit(2.0)
+    ranked = scored.select(
+        *keys,
+        F.col(label_col).cast("int").alias("_y"),
+        midrank.alias("_r"),
+    )
+    agg = ranked.groupBy(*keys).agg(
+        F.sum(F.when(F.col("_y") == 1, F.col("_r"))).alias("_rpos"),
+        F.sum(F.when(F.col("_y") == 1, 1).otherwise(0)).cast("long").alias("n_pos"),
+        F.sum(F.when(F.col("_y") == 0, 1).otherwise(0)).cast("long").alias("n_neg"),
+    )
+    auc = (F.col("_rpos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0) / (
+        F.col("n_pos") * F.col("n_neg")
+    )
+    return agg.select(
+        *keys,
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0), F.round(auc, 6)
+        ).alias("auc"),
+    )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins: equal-width probability buckets with
+    (count, mean predicted, empirical rate, |gap|) per bin — the
+    substrate for ECE = Σ (nᵇ/N)·|conf(b) − acc(b)| and for the
+    calibration plot itself. One map-side-combined groupBy; scores at
+    exactly 1.0 fold into the top bin rather than spilling into an
+    n_bins+1st."""
+    b = F.least(
+        F.floor(F.col(score_col) * n_bins).cast("long"), F.lit(n_bins - 1)
+    )
+    return (
+        scored.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(F.col(score_col)), 6).alias("mean_score"),
+            F.round(F.avg(F.col(label_col).cast("double")), 6).alias("event_rate"),
+        )
+        .withColumn(
+            "abs_gap", F.round(F.abs(F.col("mean_score") - F.col("event_rate")), 6)
+        )
+    )
+
+
+def threshold_metrics(
+    scored: DataFrame,
+    thresholds: list[float],
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Operating-point sweep: precision / recall / F1 at each cut in
+    ``thresholds``. The threshold list rides as an exploded literal
+    array (|thresholds| ≪ rows — a bounded fan-out, not a join), so a
+    single pass over the scored relation feeds every operating point;
+    one groupBy on the threshold key aggregates the confusion counts.
+    Zero-denominator points emit NULL, not NaN."""
+    t = F.explode(
+        F.array(*[F.lit(float(x)) for x in sorted(thresholds)])
+    ).alias("threshold")
+    y = F.col(label_col).cast("int")
+    pred = (F.col(score_col) >= F.col("threshold")).cast("int")
+    base = scored.select(y.alias("_y"), F.col(score_col), t).select(
+        "threshold",
+        (F.col("_y") * pred).alias("_tp"),
+        ((1 - F.col("_y")) * pred).alias("_fp"),
+        (F.col("_y") * (1 - pred)).alias("_fn"),
+    )
+    agg = base.groupBy("threshold").agg(
+        F.sum("_tp").cast("long").alias("tp"),
+        F.sum("_fp").cast("long").alias("fp"),
+        F.sum("_fn").cast("long").alias("fn"),
+    )
+    # try_divide: 0-denominator operating points are NULL, and ANSI
+    # mode (Spark 4 default) would otherwise throw on the 0/0.
+    prec = F.try_divide(F.col("tp"), F.col("tp") + F.col("fp"))
+    rec = F.try_divide(F.col("tp"), F.col("tp") + F.col("fn"))
+    return agg.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(F.try_divide(2 * prec * rec, prec + rec), 6).alias("f1"),
+    )

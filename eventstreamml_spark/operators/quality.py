@@ -327,3 +327,73 @@ def cusum_changepoint(
             ),
         )
     )
+
+
+def seasonal_hourweek_anomaly(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Seasonal-profile anomaly detection: per (type, hour-of-week)
+    slot, compare the LAST week's event count against the mean/std of
+    all prior weeks in the same slot — the weekly-seasonality z-score
+    that separates "quiet Sunday 3am" from "the pipeline stopped".
+    Complements the CUSUM detector (level shifts in values) with a
+    rate detector that respects periodicity.
+
+    Portability/scale: hour-of-week and week index are pure integer
+    arithmetic on epoch seconds (no locale-dependent dow functions, so
+    the oracle replays bit-exactly); the whole computation is two
+    map-side-combined groupBys — (type, week, slot) counts, then slot
+    baselines — with the global last-week index riding as a broadcast
+    one-row aggregate. Output is |types|×168-bounded.
+
+    Emits (type, hour_of_week, n_weeks, mean_c, std_c, last_c, z); z
+    is NULL when the slot lacks ≥2 prior weeks or has zero variance.
+    """
+    epoch = F.unix_timestamp(F.col(ts_col))
+    slot = ((epoch / 3600).cast("long") % 168).alias("hour_of_week")
+    week = (epoch / (168 * 3600)).cast("long").alias("_wk")
+    counts = events.select(F.col(type_col), slot, week).groupBy(
+        type_col, "hour_of_week", "_wk"
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    # Zero-fill: a week with NO events in a slot is a 0 observation —
+    # the exact signal an anomaly detector must not silently drop from
+    # its baseline. The scaffold is (types×168)×weeks — vocabulary-
+    # bounded, broadcastable, never corpus-sized.
+    wk_dim = counts.agg(
+        F.min("_wk").alias("_w0"), F.max("_wk").alias("_w1")
+    ).select(F.explode(F.sequence("_w0", "_w1")).alias("_wk"))
+    slot_dim = counts.select(type_col, "hour_of_week").distinct()
+    wc = (
+        slot_dim.crossJoin(F.broadcast(wk_dim))
+        .join(counts, [type_col, "hour_of_week", "_wk"], "left")
+        .withColumn("_c", F.coalesce(F.col("_c"), F.lit(0)))
+    )
+    last_wk = wc.agg(F.max("_wk").alias("_last"))
+    wc = wc.crossJoin(F.broadcast(last_wk))
+    base = wc.groupBy(type_col, "hour_of_week").agg(
+        F.sum(F.when(F.col("_wk") < F.col("_last"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_weeks"),
+        F.avg(F.when(F.col("_wk") < F.col("_last"), F.col("_c"))).alias("_mean"),
+        F.stddev_samp(
+            F.when(F.col("_wk") < F.col("_last"), F.col("_c"))
+        ).alias("_std"),
+        F.sum(F.when(F.col("_wk") == F.col("_last"), F.col("_c")))
+        .cast("long")
+        .alias("last_c"),
+    )
+    z = F.when(
+        (F.col("n_weeks") >= 2) & (F.col("_std") > 0),
+        (F.coalesce(F.col("last_c"), F.lit(0)) - F.col("_mean")) / F.col("_std"),
+    )
+    return base.select(
+        type_col,
+        "hour_of_week",
+        "n_weeks",
+        F.round("_mean", 6).alias("mean_c"),
+        F.round("_std", 6).alias("std_c"),
+        "last_c",
+        F.round(z, 6).alias("z"),
+    )

@@ -85,6 +85,46 @@ def quality_features(
     )
 
 
+DEFAULT_QUALITY_LOGIT = {
+    "bias": -2.0,
+    "mean_word_len": 0.35,
+    "punct_ratio": -4.0,
+    "alpha_ratio": 2.5,
+    "stopword_ratio": 6.0,
+}
+
+
+def quality_logit_score(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """FastText-classifier-style quality scoring as a pure expression:
+    a fixed-weight logistic over the §2.8b quality features (the
+    CCNet/LLaMA-pipeline "probability the page is reference-like"
+    gate, with the learned weights supplied as a dict rather than a
+    model file). score = σ(b + Σ wᵢ·xᵢ); ``keep`` = score ≥ 0.5.
+
+    Because the features and the dot product are all expressions over
+    one scan, the filter costs a projection — no UDF, no model
+    broadcast, no shuffle. Swap in real trained weights without
+    touching the plan."""
+    w = dict(DEFAULT_QUALITY_LOGIT)
+    if weights:
+        w.update(weights)
+    feats = quality_features(docs, id_col=id_col, text_col=text_col)
+    z = F.lit(float(w["bias"]))
+    for name in ("mean_word_len", "punct_ratio", "alpha_ratio", "stopword_ratio"):
+        z = z + F.lit(float(w[name])) * F.col(name)
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feats.select(
+        id_col,
+        F.round(score, 6).alias("q_score"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
 def repetition_signals(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -332,3 +332,38 @@ def mad_outlier_bounds(
         ).alias("n_outliers")
     )
     return flagged
+
+
+def winsorize_by_key(
+    df: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    lower_q: float = 0.05,
+    upper_q: float = 0.95,
+) -> DataFrame:
+    """Per-key winsorization: clamp values to the key's exact
+    interpolated [lower_q, upper_q] quantiles — the gentler sibling of
+    drop_or_censor (P5) that preserves row count while killing tail
+    leverage, the standard pre-normalization step for heavy-tailed
+    measurements.
+
+    Shape: quantile fit is one groupBy over the keys (Spark's
+    ``percentile`` is a single-pass exact aggregate); the per-key
+    bounds relation is |keys|-sized, so it broadcast-joins back onto
+    the data — same fit/transform join discipline as the VIOD and
+    normalizer paths. Nulls pass through unclamped (they carry "not
+    measured", not "extreme").
+    """
+    bounds = df.groupBy(key_col).agg(
+        F.percentile(value_col, F.lit(lower_q)).alias("_lo"),
+        F.percentile(value_col, F.lit(upper_q)).alias("_hi"),
+    )
+    clamped = F.when(
+        F.col(value_col).isNotNull(),
+        F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi")),
+    )
+    return (
+        df.join(F.broadcast(bounds), key_col)
+        .withColumn(value_col, clamped)
+        .drop("_lo", "_hi")
+    )

@@ -7450,3 +7450,325 @@ def q_doc_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eventstreamml_spark.operators.text import bigram_pmi
 
     return bigram_pmi(load_table(spark, sf_dir, "documents"), min_count=40)
+
+
+# ---------------------------------------------------------------------------
+# Round 4: distributed eval metrics, DSIR selection, quality gate,
+# winsorization, co-occurrence lift, seasonal anomaly (§2.8b additions)
+# ---------------------------------------------------------------------------
+
+# Deterministic scored relation shared by the eval-metric queries: a
+# hash-uniform base score tilted toward the (user_id % 3 == 0) label so
+# AUC is materially > 0.5; 1000 score buckets over 10k+ rows force heavy
+# ties, exercising the midrank path on purpose.
+_SCORED_SQL = """
+    scored AS (
+      SELECT event_type,
+             CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS y,
+             0.3 * (CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END)
+               + 0.7 * ((('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT
+                         % 1000) / 999.0) AS score
+      FROM events
+    )
+"""
+
+
+def _scored_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    y = F.when(F.col("user_id") % 3 == 0, 1).otherwise(0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 1000
+    ) / 999.0
+    return ev.select(
+        "event_type", y.alias("label"), (0.3 * y + 0.7 * u).alias("score")
+    )
+
+
+@register(
+    "eval_auc_by_type",
+    f"""
+    WITH {_SCORED_SQL},
+    r AS (
+      SELECT event_type, y,
+             rank() OVER (PARTITION BY event_type ORDER BY score)
+               + (count(*) OVER (PARTITION BY event_type, score) - 1) / 2.0
+               AS midrank
+      FROM scored
+    ),
+    a AS (
+      SELECT event_type,
+             sum(CASE WHEN y = 1 THEN midrank END) AS rpos,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(1 - y) AS BIGINT) AS n_neg
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type, n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             round((rpos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6)
+           END AS auc
+    FROM a
+    """,
+)
+def q_eval_auc_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ROC AUC per event type via the Mann-Whitney rank
+    statistic with midrank ties — one window shuffle, no curve, no
+    driver collection (operators/evalmetrics.py binary_auc). The
+    deterministic hash scores carry ~10 ties per bucket, so the
+    midrank path (not the happy no-ties path) is what's verified."""
+    from eventstreamml_spark.operators.evalmetrics import binary_auc
+
+    return binary_auc(_scored_events(spark, sf_dir), by="event_type")
+
+
+@register(
+    "eval_calibration_bins",
+    f"""
+    WITH {_SCORED_SQL}
+    SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+           count(*) AS n,
+           round(avg(score), 6) AS mean_score,
+           round(avg(y), 6) AS event_rate,
+           round(abs(round(avg(score), 6) - round(avg(y), 6)), 6) AS abs_gap
+    FROM scored GROUP BY 1
+    """,
+)
+def q_eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins (the ECE substrate): equal-width score
+    buckets with count / mean predicted / empirical rate / |gap| — one
+    map-side-combined groupBy (operators/evalmetrics.py)."""
+    from eventstreamml_spark.operators.evalmetrics import calibration_bins
+
+    return calibration_bins(
+        _scored_events(spark, sf_dir), label_col="label", n_bins=10
+    )
+
+
+@register(
+    "eval_threshold_sweep",
+    f"""
+    WITH {_SCORED_SQL},
+    t AS (SELECT CAST(unnest([0.2, 0.5, 0.8]) AS DOUBLE) AS threshold),
+    c AS (
+      SELECT threshold,
+             CAST(sum(CASE WHEN score >= threshold AND y = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN score >= threshold AND y = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN score < threshold AND y = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fn
+      FROM scored CROSS JOIN t GROUP BY threshold
+    )
+    SELECT threshold, tp, fp, fn,
+           round(tp / nullif(tp + fp, 0), 6) AS precision,
+           round(tp / nullif(tp + fn, 0), 6) AS recall,
+           round((2.0 * (tp / nullif(tp + fp, 0)) * (tp / nullif(tp + fn, 0)))
+                 / nullif((tp / nullif(tp + fp, 0)) + (tp / nullif(tp + fn, 0)), 0),
+                 6) AS f1
+    FROM c
+    """,
+)
+def q_eval_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point sweep: precision/recall/F1 at three cuts from
+    ONE pass over the scored relation — the threshold list is an
+    exploded literal array, so the plan reads the data once, not once
+    per threshold (operators/evalmetrics.py threshold_metrics)."""
+    from eventstreamml_spark.operators.evalmetrics import threshold_metrics
+
+    return threshold_metrics(
+        _scored_events(spark, sf_dir), [0.2, 0.5, 0.8], label_col="label"
+    )
+
+
+@register(
+    "doc_dsir_importance",
+    r"""
+    WITH w AS (
+      SELECT doc_id, lang = 'en' AS t,
+             ('0x' || substr(md5(lower(x)), 1, 8))::BIGINT % 1024 AS b
+      FROM (
+        SELECT doc_id, lang, unnest(regexp_split_to_array(text, '\s+')) AS x
+        FROM documents
+      )
+    ),
+    model AS (
+      SELECT b,
+             sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+             sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS cr
+      FROM w GROUP BY b
+    ),
+    tot AS (SELECT sum(ct)::DOUBLE AS tt, sum(cr)::DOUBLE AS tr FROM model),
+    llr AS (
+      SELECT b, ln((ct + 1.0) / (tt + 1024)) - ln((cr + 1.0) / (tr + 1024)) AS llr
+      FROM model CROSS JOIN tot
+    ),
+    dc AS (
+      SELECT doc_id, b, count(*) AS c FROM w WHERE NOT t GROUP BY doc_id, b
+    )
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           round(sum(c * llr.llr), 6) AS log_w
+    FROM dc JOIN llr USING (b) GROUP BY doc_id
+    """,
+)
+def q_doc_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    hashed-unigram log-likelihood ratio of each non-English document
+    against the English target slice — the importance-resampling score
+    that tilts a raw crawl toward a target domain with two bucket-count
+    shuffles and a broadcast 1024-row model
+    (operators/curation.py dsir_importance)."""
+    from eventstreamml_spark.operators.curation import dsir_importance
+
+    return dsir_importance(
+        load_table(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )
+
+
+@register(
+    "doc_quality_logit",
+    r"""
+    WITH f AS (
+      SELECT doc_id,
+             length(text)::DOUBLE / len(string_split(text, ' ')) AS mean_word_len,
+             (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE
+               / length(text) AS punct_ratio,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+               / length(text) AS alpha_ratio,
+             len(list_filter(string_split(text, ' '),
+                 x -> list_contains(['the','and','of','to','a','in','is','it'],
+                                    lower(x))))::DOUBLE
+               / len(string_split(text, ' ')) AS stopword_ratio
+      FROM documents
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(-2.0 + 0.35 * mean_word_len
+                                    - 4.0 * punct_ratio + 2.5 * alpha_ratio
+                                    + 6.0 * stopword_ratio))), 6) AS q_score,
+           1.0 / (1.0 + exp(-(-2.0 + 0.35 * mean_word_len - 4.0 * punct_ratio
+                              + 2.5 * alpha_ratio + 6.0 * stopword_ratio)))
+             >= 0.5 AS keep
+    FROM f
+    """,
+)
+def q_doc_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastText-style quality gate as a pure expression: fixed-weight
+    logistic over the C4/Gopher quality features — the whole classifier
+    is a projection, zero shuffle (operators/text.py
+    quality_logit_score; plan pinned shuffle-free in
+    tests/test_round4_ops.py)."""
+    from eventstreamml_spark.operators.text import quality_logit_score
+
+    return quality_logit_score(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "winsorize_value_by_type",
+    """
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type,
+           round(least(greatest(e.value, b.lo), b.hi), 6) AS value_w
+    FROM events e JOIN b USING (event_type)
+    """,
+)
+def q_winsorize_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key winsorization: clamp values to the exact interpolated
+    per-type [p05, p95] — row-count-preserving tail control before
+    normalization; single-pass exact percentile fit, |keys|-row bounds
+    broadcast back (preprocessing/outliers.py winsorize_by_key)."""
+    from eventstreamml_spark.preprocessing.outliers import winsorize_by_key
+
+    out = winsorize_by_key(
+        _events(spark, sf_dir), "event_type", "value", 0.05, 0.95
+    )
+    return out.select(
+        "event_id", "event_type", F.round("value", 6).alias("value_w")
+    )
+
+
+@register(
+    "event_type_lift",
+    """
+    WITH st AS (SELECT DISTINCT user_id, event_type FROM events),
+    ns AS (SELECT count(DISTINCT user_id)::DOUBLE AS n FROM st),
+    m AS (SELECT event_type, count(*) AS c FROM st GROUP BY event_type),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM st a JOIN st b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    )
+    SELECT type_a, type_b, n_both,
+           round(n_both * ns.n / (ma.c * mb.c), 6) AS lift
+    FROM p
+    JOIN m ma ON ma.event_type = type_a
+    JOIN m mb ON mb.event_type = type_b
+    CROSS JOIN ns
+    """,
+)
+def q_event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift over per-subject event-type sets: which
+    behaviors co-occur beyond chance. The corpus collapses to distinct
+    (subject, type) before the subject-keyed pair join, so each subject
+    contributes at most |types|² rows
+    (operators/aggregations.py type_cooccurrence_lift)."""
+    from eventstreamml_spark.operators.aggregations import type_cooccurrence_lift
+
+    return type_cooccurrence_lift(_events(spark, sf_dir), min_subjects=5)
+
+
+@register(
+    "seasonal_hourweek_anomaly",
+    """
+    WITH c AS (
+      SELECT event_type,
+             (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 168 AS hour_of_week,
+             CAST(floor(epoch(ts)) AS BIGINT) // (168 * 3600) AS wk,
+             count(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    ),
+    wks AS (
+      SELECT unnest(generate_series(min(wk), max(wk))) AS wk FROM c
+    ),
+    slots AS (SELECT DISTINCT event_type, hour_of_week FROM c),
+    z AS (
+      SELECT s.event_type, s.hour_of_week, w.wk,
+             coalesce(c.n, 0) AS n,
+             max(w.wk) OVER () AS last_wk
+      FROM slots s CROSS JOIN wks w
+      LEFT JOIN c ON c.event_type = s.event_type
+                 AND c.hour_of_week = s.hour_of_week AND c.wk = w.wk
+    ),
+    base AS (
+      SELECT event_type, hour_of_week,
+             CAST(count(*) FILTER (wk < last_wk) AS BIGINT) AS n_weeks,
+             avg(n) FILTER (wk < last_wk) AS mean_raw,
+             stddev_samp(n) FILTER (wk < last_wk) AS std_raw,
+             CAST(sum(n) FILTER (wk = last_wk) AS BIGINT) AS last_c
+      FROM z GROUP BY 1, 2
+    )
+    SELECT event_type, hour_of_week, n_weeks,
+           round(mean_raw, 6) AS mean_c,
+           round(std_raw, 6) AS std_c,
+           last_c,
+           CASE WHEN n_weeks >= 2 AND std_raw > 0 THEN
+             round((coalesce(last_c, 0) - mean_raw) / std_raw, 6)
+           END AS z
+    FROM base
+    """,
+)
+def q_seasonal_hourweek_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-seasonality rate anomaly: last week's count per (type,
+    hour-of-week) slot z-scored against a ZERO-FILLED all-prior-weeks
+    baseline (missing weeks are 0 observations — exactly the signal a
+    rate detector must keep). Two groupBys plus a vocabulary-bounded
+    scaffold; integer epoch arithmetic keeps the oracle bit-exact
+    (operators/quality.py seasonal_hourweek_anomaly)."""
+    from eventstreamml_spark.operators.quality import seasonal_hourweek_anomaly
+
+    return seasonal_hourweek_anomaly(_events(spark, sf_dir))

@@ -1,0 +1,237 @@
+"""Round-4 operators: eval metrics (AUC / calibration / threshold
+sweep), DSIR importance weights, quality logit gate, winsorization,
+type-co-occurrence lift, seasonal hour-of-week anomaly."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _scored(spark, rows):
+    return spark.createDataFrame(rows, "label int, score double")
+
+
+class TestBinaryAUC:
+    def test_perfect_and_reversed_ranking(self, spark):
+        from eventstreamml_spark.operators.evalmetrics import binary_auc
+
+        rows = [(1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)]
+        out = binary_auc(_scored(spark, rows)).collect()[0]
+        assert out["auc"] == 1.0 and out["n_pos"] == 2 and out["n_neg"] == 2
+        rev = [(0, 0.9), (0, 0.8), (1, 0.2), (1, 0.1)]
+        assert binary_auc(_scored(spark, rev)).collect()[0]["auc"] == 0.0
+
+    def test_matches_sklearn_formula_with_ties(self, spark):
+        from eventstreamml_spark.operators.evalmetrics import binary_auc
+
+        # hand-computed midrank AUC with duplicate scores
+        rows = [(1, 0.5), (0, 0.5), (1, 0.7), (0, 0.3), (1, 0.3)]
+        # ranks asc: 0.3 -> midrank 1.5 (x2), 0.5 -> 3.5 (x2), 0.7 -> 5
+        # sum ranks of positives = 3.5 + 5 + 1.5 = 10
+        # auc = (10 - 3*4/2) / (3*2) = 4/6
+        out = binary_auc(_scored(spark, rows)).collect()[0]
+        assert out["auc"] == pytest.approx(round(4 / 6, 6))
+
+    def test_single_class_group_is_null(self, spark):
+        from eventstreamml_spark.operators.evalmetrics import binary_auc
+
+        rows = [(1, 0.2), (1, 0.9)]
+        assert binary_auc(_scored(spark, rows)).collect()[0]["auc"] is None
+
+    def test_grouped(self, spark):
+        from eventstreamml_spark.operators.evalmetrics import binary_auc
+
+        df = spark.createDataFrame(
+            [("a", 1, 0.9), ("a", 0, 0.1), ("b", 0, 0.9), ("b", 1, 0.1)],
+            "g string, label int, score double",
+        )
+        out = {r["g"]: r["auc"] for r in binary_auc(df, by="g").collect()}
+        assert out == {"a": 1.0, "b": 0.0}
+
+
+class TestCalibrationBins:
+    def test_bins_and_top_edge_fold(self, spark):
+        from eventstreamml_spark.operators.evalmetrics import calibration_bins
+
+        df = _scored(spark, [(1, 1.0), (0, 0.95), (1, 0.05), (0, 0.0)])
+        out = {r["bin"]: r for r in calibration_bins(df, n_bins=10).collect()}
+        assert set(out) == {0, 9}  # score 1.0 folds into bin 9
+        assert out[9]["n"] == 2 and out[0]["n"] == 2
+        assert out[9]["event_rate"] == 0.5
+
+
+class TestThresholdMetrics:
+    def test_sweep_counts(self, spark):
+        from eventstreamml_spark.operators.evalmetrics import threshold_metrics
+
+        df = _scored(spark, [(1, 0.9), (1, 0.4), (0, 0.6), (0, 0.1)])
+        out = {r["threshold"]: r for r in
+               threshold_metrics(df, [0.5, 0.95]).collect()}
+        r5 = out[0.5]
+        assert (r5["tp"], r5["fp"], r5["fn"]) == (1, 1, 1)
+        assert r5["precision"] == 0.5 and r5["recall"] == 0.5
+        r95 = out[0.95]
+        assert (r95["tp"], r95["fp"], r95["fn"]) == (0, 0, 2)
+        assert r95["precision"] is None  # 0/0 -> null, not NaN
+
+
+class TestDsirImportance:
+    def test_target_like_docs_score_higher(self, spark):
+        from eventstreamml_spark.operators.curation import dsir_importance
+
+        rows = [
+            # target domain: about cats
+            (1, "cat cat feline cat", "t"),
+            (2, "cat feline purr", "t"),
+            # raw pool: one cat-like, one finance-like
+            (3, "cat feline cat cat", "r"),
+            (4, "stock bond market stock", "r"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, grp string")
+        out = {
+            r["doc_id"]: r["log_w"]
+            for r in dsir_importance(docs, F.col("grp") == "t").collect()
+        }
+        assert set(out) == {3, 4}  # only raw docs scored
+        assert out[3] > out[4]
+
+    def test_weights_are_token_additive(self, spark):
+        from eventstreamml_spark.operators.curation import dsir_importance
+
+        rows = [
+            (1, "a a b", "t"),
+            (2, "a", "r"),
+            (3, "a a", "r"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, grp string")
+        out = {
+            r["doc_id"]: r["log_w"]
+            for r in dsir_importance(docs, F.col("grp") == "t").collect()
+        }
+        assert out[3] == pytest.approx(2 * out[2], abs=1e-5)
+
+
+class TestQualityLogit:
+    def test_scores_in_unit_interval_and_keep_matches(self, spark):
+        from eventstreamml_spark.operators.text import quality_logit_score
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the cat sat on the mat and it is a fine day in the sun"),
+                (2, "$$$ !!! ### @@@ %%% ^^^ &&& *** ((( )))"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in quality_logit_score(docs).collect()}
+        for r in out.values():
+            assert 0.0 <= r["q_score"] <= 1.0
+            assert r["keep"] == (r["q_score"] >= 0.5)
+        assert out[1]["q_score"] > out[2]["q_score"]
+
+    def test_no_shuffle_in_plan(self, spark):
+        from eventstreamml_spark.operators.text import quality_logit_score
+
+        docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        plan = quality_logit_score(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestWinsorize:
+    def test_clamps_to_exact_quantiles_preserving_rows(self, spark):
+        from eventstreamml_spark.preprocessing.outliers import winsorize_by_key
+
+        vals = [float(i) for i in range(1, 101)]  # 1..100
+        df = spark.createDataFrame(
+            [("k", v) for v in vals] + [("k", None)],
+            "event_type string, value double",
+        )
+        out = winsorize_by_key(df, lower_q=0.05, upper_q=0.95)
+        rows = out.collect()
+        assert len(rows) == 101  # row count preserved (incl. null)
+        vs = [r["value"] for r in rows if r["value"] is not None]
+        # exact interpolated p05/p95 of 1..100 = 5.95 / 95.05
+        assert min(vs) == pytest.approx(5.95)
+        assert max(vs) == pytest.approx(95.05)
+        assert any(r["value"] is None for r in rows)  # nulls pass through
+
+    def test_interior_values_untouched(self, spark):
+        from eventstreamml_spark.preprocessing.outliers import winsorize_by_key
+
+        df = spark.createDataFrame(
+            [("k", v) for v in [0.0, 10.0, 11.0, 12.0, 100.0]],
+            "event_type string, value double",
+        )
+        out = sorted(
+            r["value"]
+            for r in winsorize_by_key(df, lower_q=0.2, upper_q=0.8).collect()
+        )
+        assert out[1:4] == [10.0, 11.0, 12.0]
+
+
+class TestTypeLift:
+    def test_lift_separates_coupled_from_independent(self, spark):
+        from eventstreamml_spark.operators.aggregations import type_cooccurrence_lift
+
+        rows = []
+        # a & b always co-occur (10 subjects); c occurs alone in 10 others
+        for s in range(10):
+            rows += [(s, "a"), (s, "b")]
+        for s in range(10, 20):
+            rows.append((s, "c"))
+        # a & c co-occur for 5 subjects 20..24
+        for s in range(20, 25):
+            rows += [(s, "a"), (s, "c")]
+        ev = spark.createDataFrame(rows, "user_id long, event_type string")
+        out = {(r["type_a"], r["type_b"]): r for r in
+               type_cooccurrence_lift(ev, min_subjects=5).collect()}
+        # P(ab)=10/25, P(a)=15/25, P(b)=10/25 -> lift=10*25/(15*10)
+        assert out[("a", "b")]["lift"] == pytest.approx(round(10 * 25 / 150, 6))
+        assert out[("a", "c")]["lift"] < out[("a", "b")]["lift"]
+
+    def test_min_subjects_thresholds(self, spark):
+        from eventstreamml_spark.operators.aggregations import type_cooccurrence_lift
+
+        ev = spark.createDataFrame(
+            [(1, "x"), (1, "y")], "user_id long, event_type string"
+        )
+        assert type_cooccurrence_lift(ev, min_subjects=2).count() == 0
+
+
+class TestSeasonalAnomaly:
+    def test_spike_in_last_week_scores_high_z(self, spark):
+        from eventstreamml_spark.operators.quality import seasonal_hourweek_anomaly
+
+        # slot 0 of weeks 0..4: one event each; week 5: 40 events (spike)
+        rows = []
+        for wk in range(5):
+            rows.append((f"e{wk}", wk * 168 * 3600, "click"))
+        for i in range(40):
+            rows.append((f"s{i}", 5 * 168 * 3600, "click"))
+        df = spark.createDataFrame(rows, "event_id string, sec long, event_type string")
+        df = df.select("event_type", F.timestamp_seconds("sec").alias("ts"))
+        out = {r["hour_of_week"]: r for r in seasonal_hourweek_anomaly(df).collect()}
+        r0 = out[0]
+        assert r0["n_weeks"] == 5 and r0["last_c"] == 40
+        assert r0["mean_c"] == 1.0 and r0["std_c"] == 0.0
+        assert r0["z"] is None  # zero-variance baseline guarded
+
+    def test_zero_fill_weeks_enter_baseline(self, spark):
+        from eventstreamml_spark.operators.quality import seasonal_hourweek_anomaly
+
+        # slot 0: events in weeks 0 and 2 only; week 3 is last.
+        # baseline over weeks 0,1,2 = [2, 0, 2] -> mean 4/3 (week 1 zero-filled)
+        rows = [("a", 0), ("b", 1), ("c", 2 * 168 * 3600), ("d", 2 * 168 * 3600 + 1),
+                ("e", 3 * 168 * 3600)]
+        df = spark.createDataFrame(rows, "event_id string, sec long").select(
+            F.lit("click").alias("event_type"),
+            F.timestamp_seconds("sec").alias("ts"),
+        )
+        out = {r["hour_of_week"]: r for r in seasonal_hourweek_anomaly(df).collect()}
+        r0 = out[0]
+        assert r0["n_weeks"] == 3
+        assert r0["mean_c"] == pytest.approx(round(4 / 3, 6))
+        assert r0["last_c"] == 1
+        assert r0["z"] is not None
