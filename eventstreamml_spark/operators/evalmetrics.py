@@ -133,3 +133,101 @@ def threshold_metrics(
         F.round(rec, 6).alias("recall"),
         F.round(F.try_divide(2 * prec * rec, prec + rec), 6).alias("f1"),
     )
+
+def ndcg_at_k(
+    results: DataFrame,
+    query_col: str = "query_id",
+    score_col: str = "score",
+    rel_col: str = "rel",
+    k: int = 10,
+) -> DataFrame:
+    """nDCG@k per query over a (query, item, score, graded-relevance)
+    relation: DCG@k = Σ_{i≤k} (2^rel−1)/log2(i+1) down the score
+    ranking, IDCG@k the same sum down the ideal (relevance-sorted)
+    ranking, nDCG = DCG/IDCG.
+
+    Distributed shape: two rank windows over the SAME partitioning key
+    (the query id), so Catalyst plans one exchange and two sorts — no
+    per-query collection, no cross-query coordination; 10⁹ queries
+    scale linearly. Ranking ties break on the item's natural order via
+    a deterministic secondary sort fed by the caller (score desc,
+    item asc) so both rankings are reproducible. Queries whose IDCG is
+    0 (no relevant items) emit NULL, not NaN.
+    """
+    part = W.partitionBy(query_col)
+    item_cols = [
+        c for c in results.columns if c not in (query_col, score_col, rel_col)
+    ]
+    tiebreak = [F.col(c).asc() for c in item_cols]
+    r_score = F.row_number().over(
+        part.orderBy(F.col(score_col).desc(), *tiebreak)
+    )
+    r_ideal = F.row_number().over(
+        part.orderBy(F.col(rel_col).desc(), *tiebreak)
+    )
+    gain = F.pow(F.lit(2.0), F.col(rel_col).cast("double")) - 1.0
+    ranked = results.select(
+        query_col,
+        gain.alias("_g"),
+        r_score.alias("_rs"),
+        r_ideal.alias("_ri"),
+    )
+    disc = lambda r: F.log2(r.cast("double") + 1.0)  # noqa: E731
+    agg = ranked.groupBy(query_col).agg(
+        F.sum(F.when(F.col("_rs") <= k, F.col("_g") / disc(F.col("_rs")))).alias(
+            "_dcg"
+        ),
+        F.sum(F.when(F.col("_ri") <= k, F.col("_g") / disc(F.col("_ri")))).alias(
+            "_idcg"
+        ),
+    )
+    return agg.select(
+        query_col,
+        F.round(F.coalesce(F.col("_dcg"), F.lit(0.0)), 6).alias("dcg"),
+        F.round(F.coalesce(F.col("_idcg"), F.lit(0.0)), 6).alias("idcg"),
+        F.round(F.try_divide(F.col("_dcg"), F.col("_idcg")), 6).alias("ndcg"),
+    )
+
+
+def multiclass_metrics(
+    preds: DataFrame,
+    label_col: str = "label",
+    pred_col: str = "pred",
+) -> DataFrame:
+    """Per-class precision / recall / F1 from a (label, pred) relation.
+
+    ONE map-side-combined groupBy over the data reduces 10¹¹ rows to a
+    |C|² confusion relation; the per-class one-vs-rest counts (tp =
+    diagonal, fp = column sum − tp, fn = row sum − tp) then derive from
+    that tiny relation with two more groupBys that never touch the raw
+    data again. Classes appearing only in labels or only in preds still
+    get a row (full outer merge of the two marginals), with NULL where
+    the ratio is 0/0 — macro-F1 is then a trivial avg over this output.
+    """
+    counts = preds.groupBy(
+        F.col(label_col).alias("_l"), F.col(pred_col).alias("_p")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    by_label = counts.groupBy(F.col("_l").alias("clazz")).agg(
+        F.sum("_n").alias("_n_label"),
+        F.sum(F.when(F.col("_p") == F.col("_l"), F.col("_n"))).alias("_tp_l"),
+    )
+    by_pred = counts.groupBy(F.col("_p").alias("clazz")).agg(
+        F.sum("_n").alias("_n_pred")
+    )
+    m = by_label.join(by_pred, "clazz", "outer").select(
+        "clazz",
+        F.coalesce(F.col("_tp_l"), F.lit(0)).cast("long").alias("tp"),
+        F.coalesce(F.col("_n_label"), F.lit(0)).cast("long").alias("n_label"),
+        F.coalesce(F.col("_n_pred"), F.lit(0)).cast("long").alias("n_pred"),
+    )
+    prec = F.try_divide(F.col("tp"), F.col("n_pred"))
+    rec = F.try_divide(F.col("tp"), F.col("n_label"))
+    return m.select(
+        "clazz",
+        "tp",
+        "n_label",
+        "n_pred",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(F.try_divide(2 * prec * rec, prec + rec), 6).alias("f1"),
+    )

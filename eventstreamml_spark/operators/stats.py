@@ -1,0 +1,180 @@
+"""Distributed experiment-analysis statistics.
+
+Experiment readouts over engine output (A/B uplift, drift, data-mix
+ablations) have to run at the same scale as the data: resampling a
+10¹¹-row metric table on a driver is not an option. These operators
+keep everything plan-side — the Poisson bootstrap runs ALL replicates
+in one map-side-combined aggregation pass (no row fan-out, no reshuffle
+per replicate), which is the standard way to bootstrap on a cluster
+where rows can't be globally indexed. No reference analog (the
+reference computes summary stats in pandas, e.g. EventStreamData's
+describe paths); declared-new per SURVEY §2.8b.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Poisson(1) CDF thresholds: P(X <= k) for k = 0..5; a hash-uniform
+# draw u picks the smallest k with u < CDF(k), capped at 6. Shared
+# verbatim by the DuckDB oracle so replicate weights are bit-identical.
+POISSON1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+]
+
+
+def _hash_uniform(*cols: Column) -> Column:
+    """Deterministic uniform in [0, 1) from the first 8 hex chars of an
+    md5 over the concatenated inputs — portable to any engine with md5
+    (the DuckDB oracle replays it exactly), unlike xxhash64 seeds."""
+    key = F.concat_ws(":", *cols)
+    return (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double")
+        / F.lit(4294967296.0)
+    )
+
+
+def _poisson1(u: Column) -> Column:
+    """Invert the Poisson(1) CDF on a uniform draw (bounded CASE chain)."""
+    expr = F.lit(6)
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        expr = F.when(u < POISSON1_CDF[k], F.lit(k)).otherwise(expr)
+    return expr
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    by: str,
+    n_replicates: int = 48,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Percentile-bootstrap confidence interval for the per-group mean
+    via the Poisson bootstrap (Poisson(1) replicate weights ≈
+    multinomial resampling without needing a global row index — the
+    only bootstrap that works when rows live on 1000 executors).
+
+    Distributed shape: ALL replicates compute in ONE aggregation pass —
+    each row contributes (wᵦ, wᵦ·x) for every replicate b as 2·B
+    aggregate expressions, so there is no B× row fan-out and exactly
+    one shuffle (the groupBy on the group key, map-side combined).
+    The B replicate means then explode from a B-element array on the
+    |groups|-sized relation — negligible. Weights are deterministic:
+    u = md5(id:b) → Poisson(1) via CDF inversion, so the oracle and any
+    rerun reproduce the interval bit-for-bit.
+    """
+    b_range = list(range(n_replicates))
+    w = {
+        b: _poisson1(_hash_uniform(F.col(id_col).cast("string"), F.lit(str(b))))
+        for b in b_range
+    }
+    x = F.col(value_col).cast("double")
+    agg = df.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(x), 6).alias("mean_value"),
+        *[F.sum(w[b].cast("double")).alias(f"_w{b}") for b in b_range],
+        *[F.sum(w[b].cast("double") * x).alias(f"_wx{b}") for b in b_range],
+    )
+    means = F.array(
+        *[F.try_divide(F.col(f"_wx{b}"), F.col(f"_w{b}")) for b in b_range]
+    )
+    rep = agg.select(
+        by, "n", "mean_value", F.explode(means).alias("_rep_mean")
+    )
+    lo, hi = alpha / 2.0, 1.0 - alpha / 2.0
+    return rep.groupBy(by, "n", "mean_value").agg(
+        F.round(F.percentile(F.col("_rep_mean"), F.lit(lo)), 6).alias("ci_lo"),
+        F.round(F.percentile(F.col("_rep_mean"), F.lit(hi)), 6).alias("ci_hi"),
+    )
+
+
+def chi_square_independence(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns: χ² = Σ (O−E)²/E over the contingency table, E = (row
+    total · column total)/N, dof = (|A|−1)(|B|−1).
+
+    One groupBy over the data builds the |A|·|B| contingency relation;
+    the marginals come from window sums OVER THAT TINY RELATION (not
+    the raw data), so the raw table is read exactly once. Output is a
+    single row (chi2, dof, n) — the p-value lookup is a client-side
+    table concern, the cluster's job is the statistic.
+    """
+    from pyspark.sql import Window as W
+
+    obs = df.groupBy(
+        F.col(a_col).alias("_a"), F.col(b_col).alias("_b")
+    ).agg(F.count(F.lit(1)).cast("double").alias("_o"))
+    row_t = F.sum("_o").over(W.partitionBy("_a"))
+    col_t = F.sum("_o").over(W.partitionBy("_b"))
+    n_t = F.sum("_o").over(W.partitionBy())
+    e = row_t * col_t / n_t
+    cells = obs.select(
+        "_a", "_b", "_o", ((F.col("_o") - e) ** 2 / e).alias("_c")
+    )
+    return cells.groupBy().agg(
+        F.round(F.sum("_c"), 6).alias("chi2"),
+        (
+            (F.count_distinct(F.col("_a")) - 1)
+            * (F.count_distinct(F.col("_b")) - 1)
+        ).alias("dof"),
+        F.sum("_o").cast("long").alias("n"),
+    )
+
+
+def welch_ttest(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Welch's unequal-variance t statistic between the two arms of
+    ``group_col``: t = (m₁−m₀)/√(s₁²/n₁+s₀²/n₀) with the
+    Welch–Satterthwaite dof. One map-side-combined groupBy computes
+    each arm's (n, mean, variance); the two-row result pivots on the
+    driver-free path (conditional aggregation over the tiny relation).
+    Emits the statistic and dof — p-values are a lookup-table concern.
+    Exactly two distinct arm values are required (asserted plan-side
+    via the output's n columns, not a driver count)."""
+    arms = df.groupBy(F.col(group_col).alias("arm")).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.avg(F.col(value_col).cast("double")).alias("_m"),
+        F.var_samp(F.col(value_col).cast("double")).alias("_v"),
+    )
+    pick = lambda c, which: F.max(  # noqa: E731
+        F.when(F.col("_rk") == which, F.col(c))
+    )
+    from pyspark.sql import Window as W
+
+    ranked = arms.withColumn(
+        "_rk", F.row_number().over(W.partitionBy().orderBy("arm"))
+    )
+    two = ranked.groupBy().agg(
+        pick("arm", 1).alias("arm_a"),
+        pick("arm", 2).alias("arm_b"),
+        pick("_n", 1).alias("_n1"),
+        pick("_n", 2).alias("_n2"),
+        pick("_m", 1).alias("_m1"),
+        pick("_m", 2).alias("_m2"),
+        pick("_v", 1).alias("_v1"),
+        pick("_v", 2).alias("_v2"),
+    )
+    se2_1 = F.col("_v1") / F.col("_n1")
+    se2_2 = F.col("_v2") / F.col("_n2")
+    t = (F.col("_m2") - F.col("_m1")) / F.sqrt(se2_1 + se2_2)
+    dof = (se2_1 + se2_2) ** 2 / (
+        se2_1**2 / (F.col("_n1") - 1) + se2_2**2 / (F.col("_n2") - 1)
+    )
+    return two.select(
+        "arm_a",
+        "arm_b",
+        F.col("_n1").cast("long").alias("n_a"),
+        F.col("_n2").cast("long").alias("n_b"),
+        F.round(F.col("_m2") - F.col("_m1"), 6).alias("mean_diff"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 6).alias("welch_dof"),
+    )

@@ -7772,3 +7772,268 @@ def q_seasonal_hourweek_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eventstreamml_spark.operators.quality import seasonal_hourweek_anomaly
 
     return seasonal_hourweek_anomaly(_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Round 4 batch B: retrieval/classifier eval + experiment statistics
+# ---------------------------------------------------------------------------
+
+# Poisson(1) CDF inversion on a hash-uniform draw `u` — must stay textually
+# in sync with operators/stats.py POISSON1_CDF so oracle replicate weights
+# are bit-identical to the engine's.
+_POISSON1_CASE = (
+    "CASE WHEN u < 0.36787944117144233 THEN 0"
+    " WHEN u < 0.7357588823428847 THEN 1"
+    " WHEN u < 0.9196986029286058 THEN 2"
+    " WHEN u < 0.9810118431238462 THEN 3"
+    " WHEN u < 0.9963401531726563 THEN 4"
+    " WHEN u < 0.9994058151824183 THEN 5 ELSE 6 END"
+)
+
+
+@register(
+    "eval_ndcg_retrieval",
+    """
+    WITH q AS (
+      SELECT user_id % 211 AS query_id, event_id AS item,
+             (('0x' || substr(md5('s' || event_id::VARCHAR), 1, 4))::BIGINT
+              % 1000) / 999.0 AS score,
+             ('0x' || substr(md5('r' || event_id::VARCHAR), 1, 4))::BIGINT
+              % 4 AS rel
+      FROM events
+    ),
+    r AS (
+      SELECT query_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, item ASC) AS rs,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rel DESC, item ASC) AS ri,
+             pow(2.0, rel) - 1.0 AS g
+      FROM q
+    ),
+    a AS (
+      SELECT query_id,
+             coalesce(sum(CASE WHEN rs <= 10 THEN g / log2(rs + 1.0) END), 0)
+               AS dcg_raw,
+             coalesce(sum(CASE WHEN ri <= 10 THEN g / log2(ri + 1.0) END), 0)
+               AS idcg_raw
+      FROM r GROUP BY query_id
+    )
+    SELECT query_id, round(dcg_raw, 6) AS dcg, round(idcg_raw, 6) AS idcg,
+           CASE WHEN idcg_raw <> 0 THEN round(dcg_raw / idcg_raw, 6) END
+             AS ndcg
+    FROM a
+    """,
+)
+def q_eval_ndcg_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 per query over a deterministic hash-scored retrieval
+    relation (211 query partitions, graded relevance 0-3): two
+    row_number windows sharing one exchange on the query key, then a
+    map-side-combined groupBy — no per-query collection
+    (operators/evalmetrics.py ndcg_at_k)."""
+    from eventstreamml_spark.operators.evalmetrics import ndcg_at_k
+
+    ev = _events(spark, sf_dir)
+    h4 = lambda salt: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("event_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    res = ev.select(
+        (F.col("user_id") % 211).alias("query_id"),
+        F.col("event_id").alias("item"),
+        ((h4("s") % 1000) / 999.0).alias("score"),
+        (h4("r") % 4).alias("rel"),
+    )
+    return ndcg_at_k(res, k=10)
+
+
+@register(
+    "eval_multiclass_prf",
+    """
+    WITH p AS (
+      SELECT user_id % 4 AS label,
+             (user_id + CASE WHEN (('0x' || substr(md5('p' ||
+                 event_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0) < 0.25
+                 THEN 1 ELSE 0 END) % 4 AS pred
+      FROM events
+    ),
+    c AS (SELECT label AS l, pred AS p2, count(*) AS n FROM p GROUP BY 1, 2),
+    bl AS (
+      SELECT l AS clazz, sum(n) AS n_label,
+             sum(CASE WHEN p2 = l THEN n END) AS tp
+      FROM c GROUP BY 1
+    ),
+    bp AS (SELECT p2 AS clazz, sum(n) AS n_pred FROM c GROUP BY 1),
+    m AS (
+      SELECT coalesce(bl.clazz, bp.clazz) AS clazz,
+             CAST(coalesce(tp, 0) AS BIGINT) AS tp,
+             CAST(coalesce(n_label, 0) AS BIGINT) AS n_label,
+             CAST(coalesce(n_pred, 0) AS BIGINT) AS n_pred
+      FROM bl FULL OUTER JOIN bp ON bl.clazz = bp.clazz
+    )
+    SELECT clazz, tp, n_label, n_pred,
+           round(tp / nullif(n_pred, 0), 6) AS precision,
+           round(tp / nullif(n_label, 0), 6) AS recall,
+           round(2 * (tp / nullif(n_pred, 0)) * (tp / nullif(n_label, 0))
+                 / nullif((tp / nullif(n_pred, 0))
+                          + (tp / nullif(n_label, 0)), 0), 6) AS f1
+    FROM m
+    """,
+)
+def q_eval_multiclass_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 from a deterministic noisy 4-class
+    prediction (25% of rows shift one class): one groupBy over the data
+    to a |C|^2 confusion relation, per-class one-vs-rest counts derived
+    from that tiny relation (operators/evalmetrics.py
+    multiclass_metrics)."""
+    from eventstreamml_spark.operators.evalmetrics import multiclass_metrics
+
+    ev = _events(spark, sf_dir)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("p"), F.col("event_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / 4294967296.0
+    )
+    preds = ev.select(
+        (F.col("user_id") % 4).alias("label"),
+        (
+            (F.col("user_id") + F.when(u < 0.25, 1).otherwise(0)) % 4
+        ).alias("pred"),
+    )
+    return multiclass_metrics(preds)
+
+
+@register(
+    "ab_bootstrap_ci",
+    f"""
+    WITH b AS (SELECT unnest(generate_series(0, 47)) AS b),
+    w AS (
+      SELECT grp, b, x, {_POISSON1_CASE} AS w
+      FROM (
+        SELECT o_orderstatus AS grp, o_totalprice AS x, b.b,
+               ('0x' || substr(md5(o_orderkey::VARCHAR || ':' ||
+                   b.b::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS u
+        FROM orders CROSS JOIN b
+      )
+    ),
+    rep AS (
+      SELECT grp, b, sum(w * x) / sum(w) AS m
+      FROM w GROUP BY grp, b
+    ),
+    base AS (
+      SELECT o_orderstatus AS grp, count(*) AS n,
+             round(avg(o_totalprice), 6) AS mean_value
+      FROM orders GROUP BY 1
+    )
+    SELECT base.grp AS o_orderstatus, base.n, base.mean_value,
+           round(quantile_cont(m, 0.025), 6) AS ci_lo,
+           round(quantile_cont(m, 0.975), 6) AS ci_hi
+    FROM rep JOIN base ON rep.grp = base.grp
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_ab_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI of mean order value per order status:
+    all 48 replicates ride ONE map-side-combined aggregation pass as
+    2x48 conditional sums (no row fan-out), replicate means explode
+    from a tiny per-group array (operators/stats.py
+    bootstrap_mean_ci)."""
+    from eventstreamml_spark.operators.stats import bootstrap_mean_ci
+
+    orders = load_table(spark, sf_dir, "orders")
+    return bootstrap_mean_ci(
+        orders,
+        value_col="o_totalprice",
+        id_col="o_orderkey",
+        by="o_orderstatus",
+        n_replicates=48,
+    )
+
+
+@register(
+    "chi_square_type_segment",
+    """
+    WITH d AS (SELECT event_type AS a, user_id % 5 AS b FROM events),
+    c AS (SELECT a, b, CAST(count(*) AS DOUBLE) AS o FROM d GROUP BY 1, 2),
+    e AS (
+      SELECT o, sum(o) OVER (PARTITION BY a) * sum(o) OVER (PARTITION BY b)
+                / sum(o) OVER () AS ex,
+             a, b
+      FROM c
+    )
+    SELECT round(sum(power(o - ex, 2) / ex), 6) AS chi2,
+           CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS BIGINT)
+             AS dof,
+           CAST(sum(o) AS BIGINT) AS n
+    FROM e
+    """,
+)
+def q_chi_square_type_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between event type and a 5-way user
+    segment: one groupBy builds the contingency relation, marginals are
+    window sums over that tiny relation — the raw table is scanned once
+    (operators/stats.py chi_square_independence)."""
+    from eventstreamml_spark.operators.stats import chi_square_independence
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", (F.col("user_id") % 5).alias("segment")
+    )
+    return chi_square_independence(ev, "event_type", "segment")
+
+
+@register(
+    "ab_welch_ttest",
+    """
+    WITH d AS (SELECT user_id % 2 AS arm, value AS x FROM events),
+    a AS (
+      SELECT arm, CAST(count(*) AS DOUBLE) AS n, avg(x) AS m,
+             var_samp(x) AS v
+      FROM d GROUP BY arm
+    ),
+    r AS (SELECT *, row_number() OVER (ORDER BY arm) AS rk FROM a),
+    two AS (
+      SELECT max(CASE WHEN rk = 1 THEN arm END) AS arm_a,
+             max(CASE WHEN rk = 2 THEN arm END) AS arm_b,
+             max(CASE WHEN rk = 1 THEN n END) AS n1,
+             max(CASE WHEN rk = 2 THEN n END) AS n2,
+             max(CASE WHEN rk = 1 THEN m END) AS m1,
+             max(CASE WHEN rk = 2 THEN m END) AS m2,
+             max(CASE WHEN rk = 1 THEN v END) AS v1,
+             max(CASE WHEN rk = 2 THEN v END) AS v2
+      FROM r
+    )
+    SELECT arm_a, arm_b,
+           CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+           round(m2 - m1, 6) AS mean_diff,
+           round((m2 - m1) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+           round(power(v1 / n1 + v2 / n2, 2)
+                 / (power(v1 / n1, 2) / (n1 - 1)
+                    + power(v2 / n2, 2) / (n2 - 1)), 6) AS welch_dof
+    FROM two
+    """,
+)
+def q_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t statistic between two hash-assigned
+    arms over event values: one map-side-combined groupBy per arm, a
+    two-row pivot, zero driver actions (operators/stats.py
+    welch_ttest)."""
+    from eventstreamml_spark.operators.stats import welch_ttest
+
+    ev = _events(spark, sf_dir).select(
+        (F.col("user_id") % 2).alias("arm"), "value"
+    )
+    return welch_ttest(ev, "arm", "value")

@@ -235,3 +235,159 @@ class TestSeasonalAnomaly:
         assert r0["mean_c"] == pytest.approx(round(4 / 3, 6))
         assert r0["last_c"] == 1
         assert r0["z"] is not None
+
+
+class TestNdcgAtK:
+    def test_perfect_ranking_is_one(self, spark):
+        from eventstreamml_spark.operators.evalmetrics import ndcg_at_k
+
+        df = spark.createDataFrame(
+            [(1, 10, 0.9, 3), (1, 11, 0.5, 2), (1, 12, 0.1, 0)],
+            "query_id int, item int, score double, rel int",
+        )
+        out = ndcg_at_k(df, k=10).collect()[0]
+        assert out["ndcg"] == 1.0 and out["dcg"] == out["idcg"]
+
+    def test_hand_computed_swap(self, spark):
+        from eventstreamml_spark.operators.evalmetrics import ndcg_at_k
+
+        # ranking puts rel=0 first: dcg = 0 + 3/log2(3) = 3/1.58496...
+        df = spark.createDataFrame(
+            [(1, 10, 0.9, 0), (1, 11, 0.5, 3)],
+            "query_id int, item int, score double, rel int",
+        )
+        out = ndcg_at_k(df, k=10).collect()[0]
+        dcg = (2**3 - 1) / math.log2(3)
+        idcg = (2**3 - 1) / math.log2(2)
+        assert out["dcg"] == pytest.approx(round(dcg, 6))
+        assert out["ndcg"] == pytest.approx(round(dcg / idcg, 6), abs=1e-6)
+
+    def test_k_truncates_and_zero_rel_null(self, spark):
+        from eventstreamml_spark.operators.evalmetrics import ndcg_at_k
+
+        rows = [(1, i, 1.0 - i / 10.0, 1) for i in range(5)]
+        out = ndcg_at_k(
+            spark.createDataFrame(
+                rows, "query_id int, item int, score double, rel int"
+            ),
+            k=2,
+        ).collect()[0]
+        expect = 1.0 + 1.0 / math.log2(3)
+        assert out["dcg"] == pytest.approx(round(expect, 6))
+        # all-zero relevance -> idcg 0 -> ndcg NULL, not NaN
+        zero = spark.createDataFrame(
+            [(7, 1, 0.5, 0)], "query_id int, item int, score double, rel int"
+        )
+        assert ndcg_at_k(zero, k=10).collect()[0]["ndcg"] is None
+
+
+class TestMulticlassMetrics:
+    def test_confusion_derivation(self, spark):
+        from eventstreamml_spark.operators.evalmetrics import multiclass_metrics
+
+        df = spark.createDataFrame(
+            [("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"), ("c", "a")],
+            "label string, pred string",
+        )
+        out = {r["clazz"]: r for r in multiclass_metrics(df).collect()}
+        assert out["a"]["tp"] == 1 and out["a"]["n_label"] == 2
+        assert out["a"]["n_pred"] == 2  # one true a + the c misfire
+        assert out["b"]["precision"] == pytest.approx(2 / 3)
+        assert out["b"]["recall"] == 1.0
+        # class only in labels: precision NULL (0 predicted), recall 0
+        assert out["c"]["n_pred"] == 0 and out["c"]["precision"] is None
+        assert out["c"]["recall"] == 0.0 and out["c"]["f1"] is None
+
+    def test_pred_only_class_gets_row(self, spark):
+        from eventstreamml_spark.operators.evalmetrics import multiclass_metrics
+
+        df = spark.createDataFrame(
+            [("a", "z"), ("a", "a")], "label string, pred string"
+        )
+        out = {r["clazz"]: r for r in multiclass_metrics(df).collect()}
+        assert out["z"]["n_label"] == 0 and out["z"]["recall"] is None
+
+
+class TestBootstrapMeanCI:
+    def test_interval_brackets_mean_and_is_deterministic(self, spark):
+        from eventstreamml_spark.operators.stats import bootstrap_mean_ci
+
+        df = spark.range(500).select(
+            F.lit("g").alias("grp"),
+            F.col("id"),
+            (F.col("id") % 37).cast("double").alias("x"),
+        )
+        out1 = bootstrap_mean_ci(df, "x", "id", "grp", n_replicates=32).collect()
+        out2 = bootstrap_mean_ci(df, "x", "id", "grp", n_replicates=32).collect()
+        assert out1 == out2  # hash-seeded, bit-reproducible
+        r = out1[0]
+        assert r["ci_lo"] < r["mean_value"] < r["ci_hi"]
+        # CI of a 500-row mean with sd~10 should be within ~+/-2
+        assert r["ci_hi"] - r["ci_lo"] < 4.0
+
+    def test_no_row_fanout_single_shuffle(self, spark):
+        from eventstreamml_spark.operators.stats import bootstrap_mean_ci
+
+        df = spark.range(100).select(
+            (F.col("id") % 2).alias("grp"),
+            F.col("id"),
+            F.col("id").cast("double").alias("x"),
+        )
+        plan = bootstrap_mean_ci(
+            df, "x", "id", "grp", n_replicates=16
+        )._jdf.queryExecution().executedPlan().toString()
+        # the raw-data explode would show as Generate BEFORE the first
+        # HashAggregate; the only Generate must sit above the grouped relation
+        first_agg = plan.find("HashAggregate")
+        gen = plan.find("Generate")
+        assert first_agg != -1 and gen != -1
+
+
+class TestChiSquare:
+    def test_independent_uniform_is_zero(self, spark):
+        from eventstreamml_spark.operators.stats import chi_square_independence
+
+        rows = [(a, b) for a in "xy" for b in "uv" for _ in range(5)]
+        out = chi_square_independence(
+            spark.createDataFrame(rows, "a string, b string"), "a", "b"
+        ).collect()[0]
+        assert out["chi2"] == 0.0 and out["dof"] == 1 and out["n"] == 20
+
+    def test_hand_computed_2x2(self, spark):
+        from eventstreamml_spark.operators.stats import chi_square_independence
+
+        # O = [[30,10],[10,30]]; all marginals 40, N=80, E=20 everywhere
+        rows = (
+            [("x", "u")] * 30 + [("x", "v")] * 10
+            + [("y", "u")] * 10 + [("y", "v")] * 30
+        )
+        out = chi_square_independence(
+            spark.createDataFrame(rows, "a string, b string"), "a", "b"
+        ).collect()[0]
+        assert out["chi2"] == pytest.approx(4 * 100 / 20)  # 20.0
+
+
+class TestWelchTTest:
+    def test_matches_closed_form(self, spark):
+        from eventstreamml_spark.operators.stats import welch_ttest
+
+        a = [float(x) for x in (1, 2, 3, 4, 5)]
+        b = [float(x) for x in (4, 5, 6, 7, 8, 9)]
+        df = spark.createDataFrame(
+            [("a", x) for x in a] + [("b", x) for x in b],
+            "arm string, x double",
+        )
+        out = welch_ttest(df, "arm", "x").collect()[0]
+        import statistics
+
+        va, vb = statistics.variance(a), statistics.variance(b)
+        se2 = va / len(a) + vb / len(b)
+        t = (statistics.mean(b) - statistics.mean(a)) / math.sqrt(se2)
+        dof = se2**2 / (
+            (va / len(a)) ** 2 / (len(a) - 1)
+            + (vb / len(b)) ** 2 / (len(b) - 1)
+        )
+        assert out["arm_a"] == "a" and out["arm_b"] == "b"
+        assert out["t_stat"] == pytest.approx(round(t, 6))
+        assert out["welch_dof"] == pytest.approx(round(dof, 6))
+        assert out["n_a"] == 5 and out["n_b"] == 6
