@@ -743,3 +743,72 @@ def bigram_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def bpe_encode_words(
+    docs: DataFrame,
+    n_merges: int = 6,
+    top_words: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned BPE merge table to the corpus vocabulary — the
+    ENCODE half of the tokenizer (``bpe_learn_merges`` is the train
+    half): every distinct word is segmented by replaying the merges in
+    rank order, and the ``top_words`` most frequent words come back as
+    (rk, word, n, tokens, n_tokens).
+
+    Scale shape: encoding happens on the DISTINCT-word relation (the
+    corpus collapses once; everything after is vocabulary-sized), and
+    the whole merge replay is ONE nested pure-string expression — no
+    per-merge shuffle, no UDF. The merge rules are a driver-side list
+    (n_merges rows, the same bounded collect the trainer already does),
+    folded into the plan as literals. Each merge uses the double-space
+    boundary trick from the trainer: pad symbol boundaries to two
+    spaces so one greedy left-to-right replace merges consecutive
+    occurrences correctly (' a  a  a  a ' -> ' aa  aa '), exactly the
+    convention a real BPE tokenizer implements and the oracle's
+    replace() reproduces verbatim."""
+    rules = [
+        (r["a"], r["b"], r["merged"])
+        for r in bpe_learn_merges(
+            docs, n_merges=n_merges, id_col=id_col, text_col=text_col
+        )
+        .orderBy("step")
+        .collect()
+    ]
+    words = (
+        words_table(docs, id_col, text_col)
+        .filter(F.col("word") != "")
+        .select(F.lower(F.col("word")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sym = F.array_join(
+        F.filter(F.split(F.col("word"), ""), lambda x: x != ""), " "
+    )
+    for a, b, merged in rules:
+        padded = F.concat(
+            F.lit(" "), F.regexp_replace(sym, " ", "  "), F.lit(" ")
+        )
+        replaced = F.replace(
+            padded, F.lit(f" {a}  {b} "), F.lit(f" {merged} ")
+        )
+        sym = F.trim(F.regexp_replace(replaced, "  ", " "))
+    # TakeOrdered (orderBy+limit) selects the head distributively —
+    # per-partition top-N then a driver-side merge of N-row slices —
+    # so the global rank window only ever sees top_words rows.
+    top = (
+        words.select("word", "n", sym.alias("tokens"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(top_words)
+    )
+    return top.select(
+        F.row_number()
+        .over(W.partitionBy().orderBy(F.col("n").desc(), F.col("word").asc()))
+        .alias("rk"),
+        "word",
+        "n",
+        "tokens",
+        F.size(F.split(F.col("tokens"), " ")).alias("n_tokens"),
+    )

@@ -8037,3 +8037,123 @@ def q_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 2).alias("arm"), "value"
     )
     return welch_ttest(ev, "arm", "value")
+
+
+def _bpe_encode_oracle_sql(n_merges: int, top: int) -> str:
+    """DuckDB replay of ``bpe_encode_words``: the train half reuses the
+    proven ``_bpe_oracle_sql`` unroll (pair counts → argmax → apply),
+    except every vocabulary stage carries the original word through, so
+    the final stage IS the encoded vocabulary; the top-``top`` cut then
+    ranks by frequency."""
+    ctes = [
+        """w AS (
+      SELECT lower(x) AS word FROM (
+        SELECT unnest(string_split(text, ' ')) AS x FROM documents
+      ) WHERE x <> ''
+    )""",
+        "wc AS (SELECT word, count(*) AS n FROM w GROUP BY word)",
+        """v0 AS (
+      SELECT word, array_to_string(string_split(word, ''), ' ') AS sym, n
+      FROM wc
+    )""",
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"v{i - 1}"
+        ctes.append(
+            f"""p{i} AS (
+      SELECT s[i] AS a, s[i + 1] AS b, n
+      FROM (SELECT string_split(sym, ' ') AS s, n,
+                   unnest(range(1, len(string_split(sym, ' ')))) AS i
+            FROM {prev} WHERE len(string_split(sym, ' ')) >= 2)
+    )"""
+        )
+        ctes.append(
+            f"""m{i} AS (
+      SELECT a, b, a || b AS merged, sum(n) AS c
+      FROM p{i} GROUP BY a, b ORDER BY c DESC, a, b LIMIT 1
+    )"""
+        )
+        ctes.append(
+            f"""v{i} AS (
+      SELECT word, trim(replace(replace(
+               ' ' || replace(sym, ' ', '  ') || ' ',
+               ' ' || m.a || '  ' || m.b || ' ',
+               ' ' || m.merged || ' '), '  ', ' ')) AS sym, n
+      FROM {prev}, m{i} m
+    )"""
+        )
+    ctes.append(
+        f"""ranked AS (
+      SELECT word, n, sym AS tokens,
+             row_number() OVER (ORDER BY n DESC, word ASC) AS rk
+      FROM v{n_merges}
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT rk, word, CAST(n AS BIGINT) AS n, tokens,
+           len(string_split(tokens, ' ')) AS n_tokens
+    FROM ranked WHERE rk <= {top}"""
+    )
+
+
+@register("bpe_encode_top_words", _bpe_encode_oracle_sql(6, 100))
+def q_bpe_encode_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENCODE half of the BPE tokenizer: learn 6 merges (same
+    trainer as bpe_learned_merges), then segment the distinct-word
+    vocabulary by replaying them as one nested pure-string expression —
+    no per-merge shuffle, no UDF; top-100 words by corpus frequency
+    with their tokenization (operators/text.py bpe_encode_words)."""
+    from eventstreamml_spark.operators.text import bpe_encode_words
+
+    return bpe_encode_words(
+        load_table(spark, sf_dir, "documents"), n_merges=6, top_words=100
+    )
+
+
+@register(
+    "value_quantile_sketch",
+    """
+    WITH pos AS (
+      SELECT event_type AS g, value AS x FROM events WHERE value IS NOT NULL
+    ),
+    binned AS (
+      SELECT g,
+             CASE WHEN x > 0 THEN CAST(floor(ln(x) * 20) AS BIGINT) END AS bin
+      FROM pos
+    ),
+    hist AS (SELECT g, bin, count(*) AS c FROM binned GROUP BY 1, 2),
+    h AS (
+      SELECT g, bin, c,
+             coalesce(sum(CASE WHEN bin IS NOT NULL THEN c END)
+                        OVER (PARTITION BY g), 0) AS n,
+             coalesce(sum(CASE WHEN bin IS NULL THEN c END)
+                        OVER (PARTITION BY g), 0) AS n_nonpos,
+             sum(c) OVER (PARTITION BY g ORDER BY bin ASC NULLS LAST) AS cum
+      FROM hist
+    ),
+    hb AS (SELECT * FROM h WHERE bin IS NOT NULL),
+    p AS (SELECT CAST(unnest([0.5, 0.95, 0.99]) AS DOUBLE) AS p)
+    SELECT g AS event_type, p.p,
+           round(exp((min(bin) + 0.5) / 20.0), 6) AS estimate,
+           CAST(max(n) AS BIGINT) AS n_pos,
+           CAST(max(n_nonpos) AS BIGINT) AS n_nonpos
+    FROM hb CROSS JOIN p
+    WHERE cum >= ceil(p.p * n)
+    GROUP BY 1, 2
+    """,
+)
+def q_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-binned mergeable quantile sketch (p50/p95/p99 of event value
+    per type, ~2.5% relative error at 20 bins/e-fold): one groupBy
+    builds fixed-size histograms; cumulative pick + probs fan-out run
+    on the histogram relation, never the data — the bounded-memory
+    alternative to exact percentile sorts at 100 TB
+    (operators/sketches.py quantile_sketch)."""
+    from eventstreamml_spark.operators.sketches import quantile_sketch
+
+    return quantile_sketch(
+        _events(spark, sf_dir), "value", "event_type", probs=[0.5, 0.95, 0.99]
+    )

@@ -391,3 +391,96 @@ class TestWelchTTest:
         assert out["t_stat"] == pytest.approx(round(t, 6))
         assert out["welch_dof"] == pytest.approx(round(dof, 6))
         assert out["n_a"] == 5 and out["n_b"] == 6
+
+
+class TestBpeEncodeWords:
+    def test_run_merging_matches_greedy_bpe(self, spark):
+        from eventstreamml_spark.operators.text import bpe_encode_words
+
+        docs = spark.createDataFrame(
+            [(1, "aaaa aaaa"), (2, "aaaa")], "doc_id int, text string"
+        )
+        # round 1 merges (a,a): 'a a a a' -> '(aa)(aa)' greedily;
+        # round 2 merges (aa,aa) -> one 'aaaa' token
+        out = bpe_encode_words(docs, n_merges=2, top_words=10).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["word"] == "aaaa" and r["n"] == 3
+        assert r["tokens"] == "aaaa" and r["n_tokens"] == 1
+
+    def test_partial_merge_and_ranking(self, spark):
+        from eventstreamml_spark.operators.text import bpe_encode_words
+
+        docs = spark.createDataFrame(
+            [(1, "abc abc abc xy"), (2, "xy abq")],
+            "doc_id int, text string",
+        )
+        # best pair: (a,b) count 4 -> merge 'ab'
+        out = {
+            r["word"]: r
+            for r in bpe_encode_words(docs, n_merges=1, top_words=10).collect()
+        }
+        assert out["abc"]["tokens"] == "ab c"
+        assert out["abc"]["n_tokens"] == 2
+        assert out["abq"]["tokens"] == "ab q"
+        assert out["xy"]["tokens"] == "x y"
+        # rk orders by frequency desc then word
+        assert out["abc"]["rk"] == 1 and out["xy"]["rk"] == 2
+
+    def test_top_words_cut(self, spark):
+        from eventstreamml_spark.operators.text import bpe_encode_words
+
+        docs = spark.createDataFrame(
+            [(1, "q w e r t y")], "doc_id int, text string"
+        )
+        assert bpe_encode_words(docs, n_merges=1, top_words=3).count() == 3
+
+
+class TestQuantileSketch:
+    def test_estimates_within_relative_error(self, spark):
+        from eventstreamml_spark.operators.sketches import quantile_sketch
+
+        df = spark.range(1, 10001).select(
+            F.lit("g").alias("grp"), F.col("id").cast("double").alias("x")
+        )
+        out = {r["p"]: r for r in quantile_sketch(df, "x", "grp").collect()}
+        import math
+
+        tol = math.exp(0.5 / 20)  # half-bin geometric radius
+        for p, truth in [(0.5, 5000), (0.95, 9500), (0.99, 9900)]:
+            est = out[p]["estimate"]
+            assert truth / tol <= est <= truth * tol
+            assert out[p]["n_pos"] == 10000 and out[p]["n_nonpos"] == 0
+
+    def test_nonpositive_values_reported_not_binned(self, spark):
+        from eventstreamml_spark.operators.sketches import quantile_sketch
+
+        rows = [("g", -1.0), ("g", 0.0)] + [("g", float(2**i)) for i in range(8)]
+        out = quantile_sketch(
+            spark.createDataFrame(rows, "grp string, x double"),
+            "x",
+            "grp",
+            probs=[0.5],
+        ).collect()[0]
+        assert out["n_nonpos"] == 2 and out["n_pos"] == 8
+        # the sketch's median (first bin with cum >= ceil(0.5*8) = 4
+        # -> the 4th positive, 8.0) estimated within half a bin
+        import math
+
+        assert abs(math.log(out["estimate"] / 8.0)) <= 0.5 / 20
+
+    def test_sketch_is_histogram_sized(self, spark):
+        from eventstreamml_spark.operators.sketches import quantile_sketch
+
+        df = spark.range(1, 1001).select(
+            (F.col("id") % 2).alias("grp"), F.col("id").cast("double").alias("x")
+        )
+        plan = (
+            quantile_sketch(df, "x", "grp")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the probs explode (Generate) must sit ABOVE the first
+        # aggregation, i.e. fan-out happens on histograms, not raw rows
+        assert plan.find("Generate") < plan.rfind("HashAggregate")
