@@ -617,3 +617,120 @@ def pandas_cosine_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk")
     )
+
+
+def fit_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    max_iter: int = 8,
+    sample_cap: int = 16384,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebook fit: split the vector space into
+    ``m`` contiguous subspaces and run Lloyd's iterations per subspace
+    on a bounded sample (same rationale as ``fit_ivf_centroids`` —
+    FAISS trains PQ on a sample too; codebook quality converges long
+    before the corpus does, so the training set stays
+    O(sample_cap × dim) at any corpus size; one Spark job total).
+    Returns (subspace int, code int, centroid array<double>)."""
+    import numpy as np
+
+    n = corpus.count()
+    frac = min(1.0, (sample_cap * 1.25) / max(1, n))
+    sampled = (
+        corpus.select(vec_col)
+        if frac >= 1.0
+        else corpus.select(vec_col).sample(fraction=frac, seed=seed)
+    )
+    x = np.asarray(
+        [r[0] for r in sampled.limit(sample_cap).collect()], dtype="float64"
+    )
+    dim = x.shape[1]
+    assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+    d_sub = dim // m
+    rng = np.random.default_rng(seed)
+    rows = []
+    for s in range(m):
+        xs = x[:, s * d_sub : (s + 1) * d_sub]
+        k = min(n_codes, len(xs))
+        cent = xs[rng.choice(len(xs), size=k, replace=False)]
+        for _ in range(max_iter):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            new = np.stack(
+                [
+                    xs[assign == c].mean(axis=0)
+                    if (assign == c).any()
+                    else cent[c]
+                    for c in range(k)
+                ]
+            )
+            if np.allclose(new, cent, atol=1e-9):
+                cent = new
+                break
+            cent = new
+        rows.extend(
+            (s, c, [float(v) for v in cent[c]]) for c in range(k)
+        )
+    return corpus.sparkSession.createDataFrame(
+        rows, "subspace int, code int, centroid array<double>"
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[tuple[int, int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization encoding: every vector becomes ``m`` small
+    codes (one per subspace, nearest sub-centroid by L2) — the 64×
+    compression that makes billion-vector ANN indexes fit in memory.
+    Emits one row per (vector, subspace): (id, subspace, code,
+    sq_err), where sq_err is that subspace's quantization error.
+
+    Plan shape: the codebook folds into the plan as LITERALS (it is
+    KB-sized by construction — m·n_codes·d_sub floats), so encoding is
+    a pure projection: per subspace an array_min over a (distance,
+    code) struct array picks the argmin inside whole-stage codegen —
+    no join, no shuffle, no UDF; 10¹¹ vectors encode embarrassingly
+    parallel. Struct ordering breaks distance ties on the lower code
+    id, which the oracle replays."""
+    by_sub: dict[int, list[tuple[int, list[float]]]] = {}
+    for s, c, cent in codebooks:
+        by_sub.setdefault(s, []).append((c, cent))
+    d_sub = len(next(iter(by_sub.values()))[0][1])
+    vec = F.col(vec_col).cast("array<double>")
+
+    per_sub = []
+    for s in sorted(by_sub):
+        sub = F.slice(vec, s * d_sub + 1, d_sub)
+        cands = []
+        for c, cent in sorted(by_sub[s]):
+            diff = F.zip_with(
+                sub,
+                F.array(*[F.lit(float(v)) for v in cent]),
+                lambda a, b: (a - b) * (a - b),
+            )
+            d2 = F.aggregate(
+                diff, F.lit(0.0), lambda acc, z: acc + z
+            )
+            cands.append(F.struct(d2.alias("d"), F.lit(c).alias("c")))
+        best = F.array_min(F.array(*cands))
+        per_sub.append(
+            F.struct(
+                F.lit(s).alias("subspace"),
+                best["c"].alias("code"),
+                F.round(best["d"], 6).alias("sq_err"),
+            )
+        )
+    return corpus.select(
+        F.col(id_col), F.explode(F.array(*per_sub)).alias("_e")
+    ).select(
+        id_col,
+        F.col("_e.subspace").alias("subspace"),
+        F.col("_e.code").alias("code"),
+        F.col("_e.sq_err").alias("sq_err"),
+    )

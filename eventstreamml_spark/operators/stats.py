@@ -178,3 +178,68 @@ def welch_ttest(
         F.round(t, 6).alias("t_stat"),
         F.round(dof, 6).alias("welch_dof"),
     )
+
+
+def conformal_calibration(
+    scored: DataFrame,
+    id_col: str,
+    label_col: str = "label",
+    score_col: str = "score",
+    alpha: float = 0.1,
+    calib_frac: float = 0.5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Split conformal prediction: hash-split the scored relation into
+    calibration/test, take q̂ = the ⌈(n+1)(1−α)⌉-th smallest
+    calibration nonconformity |y − score|, and report the achieved
+    test coverage of the interval score ± q̂ (valid coverage ≥ 1−α by
+    the conformal guarantee, up to the nonconformity rounding).
+
+    The order statistic is computed WITHOUT a global sort: scores are
+    rounded to ``round_dp`` and histogrammed (one map-side-combined
+    groupBy — the distinct-value relation is bounded by 10^dp), and
+    q̂ reads off the cumulative histogram — same selection trick as the
+    engine's quantile sketch, exact on the rounded grid. The split is
+    the engine's portable md5-uniform, so calib membership is
+    bit-reproducible by the oracle."""
+    from pyspark.sql import Window as W
+
+    u = _hash_uniform(F.col(id_col).cast("string"), F.lit("conformal"))
+    nc = F.round(
+        F.abs(F.col(label_col).cast("double") - F.col(score_col)), round_dp
+    )
+    tagged = scored.select(
+        (u < calib_frac).alias("_calib"), nc.alias("_nc")
+    )
+    hist = (
+        tagged.filter(F.col("_calib"))
+        .groupBy("_nc")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    cum = F.sum("_c").over(W.partitionBy().orderBy("_nc"))
+    n_cal = F.sum("_c").over(W.partitionBy())
+    h = hist.select(
+        "_nc", cum.alias("_cum"), n_cal.alias("_n")
+    )
+    k = F.ceil((F.col("_n") + 1) * F.lit(1.0 - alpha))
+    qhat = h.filter(F.col("_cum") >= k).groupBy().agg(
+        F.min("_nc").alias("qhat"), F.max("_n").cast("long").alias("n_calib")
+    )
+    cov = (
+        tagged.filter(~F.col("_calib"))
+        .crossJoin(F.broadcast(qhat))
+        .groupBy("qhat", "n_calib")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.round(
+                F.avg((F.col("_nc") <= F.col("qhat")).cast("double")), 6
+            ).alias("coverage"),
+        )
+    )
+    return cov.select(
+        "n_calib",
+        "n_test",
+        "qhat",
+        "coverage",
+        F.round(F.lit(1.0 - alpha), 6).alias("target"),
+    )

@@ -8157,3 +8157,171 @@ def q_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_sketch(
         _events(spark, sf_dir), "value", "event_type", probs=[0.5, 0.95, 0.99]
     )
+
+
+def _pq_codebooks_fixed() -> list:
+    """Seeded deterministic PQ codebooks (8 subspaces × 16 codes × 8
+    dims) shared by the engine query and the oracle generator."""
+    from eventstreamml_spark.operators.similarity import _hyperplanes
+
+    books = []
+    for s in range(8):
+        for c, cent in enumerate(_hyperplanes(8, 16, 100 + s)):
+            books.append((s, c, cent))
+    return books
+
+
+def _pq_fixed_oracle_sql() -> str:
+    rows = ",\n      ".join(
+        "({}, {}, [{}]::DOUBLE[])".format(
+            s, c, ", ".join(repr(float(v)) for v in cent)
+        )
+        for s, c, cent in _pq_codebooks_fixed()
+    )
+    return f"""
+    WITH cb(s, c, cent) AS (VALUES
+      {rows}
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sub AS (
+      SELECT vec_id, cb.s AS subspace, cb.c AS code,
+             list_sum(list_transform(range(8),
+               i -> power(v[cb.s * 8 + i + 1] - cent[i + 1], 2))) AS d2
+      FROM e CROSS JOIN cb
+    ),
+    rk AS (
+      SELECT vec_id, subspace, code, d2,
+             row_number() OVER (PARTITION BY vec_id, subspace
+                                ORDER BY d2, code) AS r
+      FROM sub
+    )
+    SELECT vec_id, subspace, code, round(d2, 6) AS sq_err
+    FROM rk WHERE r = 1
+    """
+
+
+@register("embedding_pq_codes", _pq_fixed_oracle_sql())
+def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding with fixed seeded codebooks (the
+    twin pattern of ann_ivf_fixed_centroids — the sampled-KMeans
+    codebook FIT is exercised by unit tests; this query hash-verifies
+    everything downstream): codebooks fold into the plan as literals,
+    each subspace's argmin is an array_min over (distance, code)
+    structs inside codegen — no join, no shuffle, no UDF
+    (operators/similarity.py pq_encode)."""
+    from eventstreamml_spark.operators.similarity import pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_encode(emb, _pq_codebooks_fixed())
+
+
+@register(
+    "graph_triangle_counts",
+    """
+    WITH raw AS (
+      SELECT user_id % 997 AS a, event_id % 997 AS b
+      FROM events WHERE event_id % 10 = 0
+    ),
+    und AS (
+      SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
+      FROM raw WHERE a <> b
+    ),
+    deg AS (
+      SELECT node, count(*) AS deg FROM (
+        SELECT lo AS node FROM und UNION ALL SELECT hi AS node FROM und
+      ) GROUP BY node
+    ),
+    wd AS (
+      SELECT und.lo, und.hi, d1.deg AS dlo, d2.deg AS dhi
+      FROM und
+      JOIN deg d1 ON d1.node = und.lo
+      JOIN deg d2 ON d2.node = und.hi
+    ),
+    o AS (
+      SELECT CASE WHEN dlo < dhi OR (dlo = dhi AND lo < hi)
+                  THEN lo ELSE hi END AS u,
+             CASE WHEN dlo < dhi OR (dlo = dhi AND lo < hi)
+                  THEN hi ELSE lo END AS v
+      FROM wd
+    ),
+    tri AS (
+      SELECT e1.u AS u, e1.v AS v, e2.v AS w
+      FROM o e1
+      JOIN o e2 ON e2.u = e1.u AND e1.v <> e2.v
+      JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    corners AS (
+      SELECT u AS node FROM tri
+      UNION ALL SELECT v AS node FROM tri
+      UNION ALL SELECT w AS node FROM tri
+    )
+    SELECT node, count(*) AS n_triangles FROM corners GROUP BY node
+    """,
+)
+def q_graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on a deterministic hash-derived event
+    graph via degree-ordered orientation: each triangle generated
+    exactly once, wedge fan-out bounded by oriented out-degree O(√m)
+    even on power-law graphs (operators/graph.py triangle_count)."""
+    from eventstreamml_spark.operators.graph import triangle_count
+
+    ev = _events(spark, sf_dir).filter(F.col("event_id") % 10 == 0)
+    edges = ev.select(
+        (F.col("user_id") % 997).alias("src"),
+        (F.col("event_id") % 997).alias("dst"),
+    )
+    return triangle_count(edges)
+
+
+@register(
+    "conformal_coverage",
+    """
+    WITH scored AS (
+      SELECT event_id,
+             CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS y,
+             0.3 * (CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END)
+               + 0.7 * ((('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT
+                         % 1000) / 999.0) AS score
+      FROM events
+    ),
+    t AS (
+      SELECT (('0x' || substr(md5(event_id::VARCHAR || ':conformal'), 1, 8))
+                ::BIGINT / 4294967296.0) < 0.5 AS calib,
+             round(abs(y - score), 6) AS nc
+      FROM scored
+    ),
+    hist AS (SELECT nc, count(*) AS c FROM t WHERE calib GROUP BY nc),
+    h AS (
+      SELECT nc, sum(c) OVER (ORDER BY nc) AS cum, sum(c) OVER () AS n
+      FROM hist
+    ),
+    q AS (
+      SELECT min(nc) AS qhat, CAST(max(n) AS BIGINT) AS n_calib
+      FROM h WHERE cum >= ceil((n + 1) * 0.9)
+    )
+    SELECT n_calib, CAST(count(*) AS BIGINT) AS n_test, qhat,
+           round(avg(CASE WHEN nc <= qhat THEN 1.0 ELSE 0.0 END), 6)
+             AS coverage,
+           CAST(0.9 AS DOUBLE) AS target
+    FROM t CROSS JOIN q WHERE NOT calib GROUP BY n_calib, qhat
+    """,
+)
+def q_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal prediction over the deterministic scored
+    relation: q-hat is the ceil((n+1)(1-alpha))-th smallest calibration
+    nonconformity read off a cumulative HISTOGRAM (no global sort —
+    the same rounded-grid selection as the quantile sketch), and the
+    achieved test coverage is reported against the 0.9 target
+    (operators/stats.py conformal_calibration)."""
+    from eventstreamml_spark.operators.stats import conformal_calibration
+
+    ev = _events(spark, sf_dir)
+    y = F.when(F.col("user_id") % 3 == 0, 1).otherwise(0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 1000
+    ) / 999.0
+    scored = ev.select(
+        "event_id", y.alias("label"), (0.3 * y + 0.7 * u).alias("score")
+    )
+    return conformal_calibration(scored, id_col="event_id", alpha=0.1)

@@ -484,3 +484,127 @@ class TestQuantileSketch:
         # the probs explode (Generate) must sit ABOVE the first
         # aggregation, i.e. fan-out happens on histograms, not raw rows
         assert plan.find("Generate") < plan.rfind("HashAggregate")
+
+
+class TestTriangleCount:
+    def test_single_triangle_plus_tail(self, spark):
+        from eventstreamml_spark.operators.graph import triangle_count
+
+        # triangle 1-2-3 plus a dangling edge 3-4
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (3, 4)], "src int, dst int"
+        )
+        out = {r["node"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+        assert out == {1: 1, 2: 1, 3: 1}
+
+    def test_k4_every_node_in_three(self, spark):
+        from eventstreamml_spark.operators.graph import triangle_count
+
+        nodes = [1, 2, 3, 4]
+        edges = spark.createDataFrame(
+            [(a, b) for a in nodes for b in nodes if a < b], "src int, dst int"
+        )
+        out = {r["node"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+        assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_duplicate_and_reversed_edges_collapse(self, spark):
+        from eventstreamml_spark.operators.graph import triangle_count
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (1, 1)],
+            "src int, dst int",
+        )
+        out = {r["node"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+        assert out == {1: 1, 2: 1, 3: 1}
+
+
+class TestConformalCalibration:
+    def test_coverage_meets_target_and_deterministic(self, spark):
+        from eventstreamml_spark.operators.stats import conformal_calibration
+
+        df = spark.range(4000).select(
+            F.col("id"),
+            (F.col("id") % 2).alias("label"),
+            ((F.col("id") % 100) / 100.0).alias("score"),
+        )
+        r1 = conformal_calibration(df, id_col="id", alpha=0.1).collect()
+        r2 = conformal_calibration(df, id_col="id", alpha=0.1).collect()
+        assert r1 == r2
+        out = r1[0]
+        # conformal guarantee: coverage >= 1 - alpha (up to grid rounding)
+        assert out["coverage"] >= 0.9 - 0.02
+        assert out["n_calib"] + out["n_test"] == 4000
+        assert out["target"] == 0.9
+
+    def test_qhat_is_the_order_statistic(self, spark):
+        from eventstreamml_spark.operators.stats import conformal_calibration
+
+        # force everything into calibration via calib_frac=1.0? split is
+        # hashed — instead verify qhat against a python replay of the split
+        import hashlib
+
+        rows = [(i, i % 2, (i % 10) / 10.0) for i in range(500)]
+        df = spark.createDataFrame(rows, "id long, label int, score double")
+        out = conformal_calibration(df, id_col="id", alpha=0.2).collect()[0]
+        calib_nc = []
+        for i, y, s in rows:
+            u = int(hashlib.md5(f"{i}:conformal".encode()).hexdigest()[:8], 16) / 2**32
+            if u < 0.5:
+                calib_nc.append(round(abs(y - s), 6))
+        calib_nc.sort()
+        k = math.ceil((len(calib_nc) + 1) * 0.8)
+        assert out["qhat"] == pytest.approx(calib_nc[k - 1])
+        assert out["n_calib"] == len(calib_nc)
+
+
+class TestProductQuantization:
+    def test_encode_picks_nearest_and_tiebreaks_low_code(self, spark):
+        from eventstreamml_spark.operators.similarity import pq_encode
+
+        # 1 subspace of dim 2, codes at (0,0) and (1,1)
+        books = [(0, 0, [0.0, 0.0]), (0, 1, [1.0, 1.0])]
+        df = spark.createDataFrame(
+            [(1, [0.1, 0.1]), (2, [0.9, 0.8]), (3, [0.5, 0.5])],
+            "vec_id int, embedding array<double>",
+        )
+        out = {r["vec_id"]: r for r in pq_encode(df, books).collect()}
+        assert out[1]["code"] == 0 and out[2]["code"] == 1
+        # equidistant -> lower code id wins
+        assert out[3]["code"] == 0
+        assert out[1]["sq_err"] == pytest.approx(0.02)
+
+    def test_multi_subspace_rows(self, spark):
+        from eventstreamml_spark.operators.similarity import pq_encode
+
+        books = [
+            (0, 0, [0.0]), (0, 1, [1.0]),
+            (1, 0, [0.0]), (1, 1, [1.0]),
+        ]
+        df = spark.createDataFrame(
+            [(7, [0.9, 0.1])], "vec_id int, embedding array<double>"
+        )
+        out = {(r["subspace"]): r["code"] for r in pq_encode(df, books).collect()}
+        assert out == {0: 1, 1: 0}
+
+    def test_fit_shapes_and_encode_consistency(self, spark):
+        from eventstreamml_spark.operators.similarity import (
+            fit_pq_codebooks,
+            pq_encode,
+        )
+
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        rows = [
+            (i, [float(x) for x in rng.standard_normal(8)]) for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+        cb = fit_pq_codebooks(df, m=4, n_codes=4, seed=1, sample_cap=200)
+        books = [(r["subspace"], r["code"], r["centroid"]) for r in cb.collect()]
+        assert len(books) == 16 and len(books[0][2]) == 2
+        enc = pq_encode(df, books)
+        assert enc.count() == 200 * 4
+        # every subspace's mean sq_err must beat the variance of raw
+        # coords (2 dims/subspace, unit-normal): quantization helps
+        err = enc.groupBy("subspace").agg(F.avg("sq_err").alias("e")).collect()
+        assert all(r["e"] < 2.0 for r in err)
