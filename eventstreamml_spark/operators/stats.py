@@ -39,12 +39,16 @@ def _hash_uniform(*cols: Column) -> Column:
     )
 
 
-def _poisson1(u: Column) -> Column:
-    """Invert the Poisson(1) CDF on a uniform draw (bounded CASE chain)."""
-    expr = F.lit(6)
-    for k in range(len(POISSON1_CDF) - 1, -1, -1):
-        expr = F.when(u < POISSON1_CDF[k], F.lit(k)).otherwise(expr)
-    return expr
+def poisson1_hex16_thresholds() -> list[str]:
+    """The Poisson(1) CDF quantized to a 16-bit hex grid: replicate b
+    draws its uniform from FOUR md5 hex chars, and the CDF inversion is
+    pure lexicographic string comparison (lowercase fixed-width hex
+    sorts numerically), so no base conversion runs in the hot path.
+    seg/65536 < CDF(k)  ⇔  seg < ⌈CDF(k)·65536⌉  ⇔  seg_str < hex4(⌈·⌉).
+    Shared verbatim with the DuckDB oracle."""
+    import math
+
+    return [format(math.ceil(c * 65536), "04x") for c in POISSON1_CDF]
 
 
 def bootstrap_mean_ci(
@@ -65,21 +69,43 @@ def bootstrap_mean_ci(
     aggregate expressions, so there is no B× row fan-out and exactly
     one shuffle (the groupBy on the group key, map-side combined).
     The B replicate means then explode from a B-element array on the
-    |groups|-sized relation — negligible. Weights are deterministic:
-    u = md5(id:b) → Poisson(1) via CDF inversion, so the oracle and any
-    rerun reproduce the interval bit-for-bit.
+    |groups|-sized relation — negligible.
+
+    The weight hot path is tuned from measurement (sf0.1, local[32]):
+    one md5 feeds EIGHT replicates (4 hex chars each — 26s → 7s vs one
+    md5+conv per replicate), the Poisson CDF inverts by lexicographic
+    hex comparison (``conv`` alone cost ~4s/150k rows), and weights
+    materialize once in a projection BELOW the aggregate so the 2·B
+    sums read plain columns instead of re-evaluating the hash chain
+    per aggregate. Deterministic: seg = md5(id:⌊b/8⌋)[4(b%8)+1 ..+4],
+    so the oracle and any rerun reproduce the interval bit-for-bit.
     """
+    hex_thresholds = poisson1_hex16_thresholds()
     b_range = list(range(n_replicates))
-    w = {
-        b: _poisson1(_hash_uniform(F.col(id_col).cast("string"), F.lit(str(b))))
-        for b in b_range
-    }
+    wcols = []
+    for g in range((n_replicates + 7) // 8):
+        h = F.md5(
+            F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(g)))
+        )
+        for j in range(8):
+            b = g * 8 + j
+            if b >= n_replicates:
+                break
+            seg = F.substring(h, 1 + 4 * j, 4)
+            w = F.lit(6)
+            for k in range(len(hex_thresholds) - 1, -1, -1):
+                w = F.when(seg < hex_thresholds[k], F.lit(k)).otherwise(w)
+            wcols.append(w.cast("double").alias(f"_v{b}"))
     x = F.col(value_col).cast("double")
-    agg = df.groupBy(by).agg(
+    proj = df.select(F.col(by), x.alias("_x"), *wcols)
+    agg = proj.groupBy(by).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg(x), 6).alias("mean_value"),
-        *[F.sum(w[b].cast("double")).alias(f"_w{b}") for b in b_range],
-        *[F.sum(w[b].cast("double") * x).alias(f"_wx{b}") for b in b_range],
+        F.round(F.avg("_x"), 6).alias("mean_value"),
+        *[F.sum(F.col(f"_v{b}")).alias(f"_w{b}") for b in b_range],
+        *[
+            F.sum(F.col(f"_v{b}") * F.col("_x")).alias(f"_wx{b}")
+            for b in b_range
+        ],
     )
     means = F.array(
         *[F.try_divide(F.col(f"_wx{b}"), F.col(f"_w{b}")) for b in b_range]

@@ -7778,16 +7778,17 @@ def q_seasonal_hourweek_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round 4 batch B: retrieval/classifier eval + experiment statistics
 # ---------------------------------------------------------------------------
 
-# Poisson(1) CDF inversion on a hash-uniform draw `u` — must stay textually
-# in sync with operators/stats.py POISSON1_CDF so oracle replicate weights
-# are bit-identical to the engine's.
-_POISSON1_CASE = (
-    "CASE WHEN u < 0.36787944117144233 THEN 0"
-    " WHEN u < 0.7357588823428847 THEN 1"
-    " WHEN u < 0.9196986029286058 THEN 2"
-    " WHEN u < 0.9810118431238462 THEN 3"
-    " WHEN u < 0.9963401531726563 THEN 4"
-    " WHEN u < 0.9994058151824183 THEN 5 ELSE 6 END"
+# Poisson(1) CDF inversion on a 4-hex-char segment `seg` by lexicographic
+# comparison — must stay in sync with operators/stats.py
+# poisson1_hex16_thresholds() so oracle replicate weights are
+# bit-identical to the engine's.
+_POISSON1_HEX16_CASE = (
+    "CASE WHEN seg < '5e2e' THEN 0"
+    " WHEN seg < 'bc5b' THEN 1"
+    " WHEN seg < 'eb72' THEN 2"
+    " WHEN seg < 'fb24' THEN 3"
+    " WHEN seg < 'ff11' THEN 4"
+    " WHEN seg < 'ffda' THEN 5 ELSE 6 END"
 )
 
 
@@ -7922,11 +7923,11 @@ def q_eval_multiclass_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH b AS (SELECT unnest(generate_series(0, 47)) AS b),
     w AS (
-      SELECT grp, b, x, {_POISSON1_CASE} AS w
+      SELECT grp, b, x, {_POISSON1_HEX16_CASE} AS w
       FROM (
         SELECT o_orderstatus AS grp, o_totalprice AS x, b.b,
-               ('0x' || substr(md5(o_orderkey::VARCHAR || ':' ||
-                   b.b::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS u
+               substr(md5(o_orderkey::VARCHAR || ':' || (b.b // 8)::VARCHAR),
+                      (b.b % 8) * 4 + 1, 4) AS seg
         FROM orders CROSS JOIN b
       )
     ),
