@@ -231,3 +231,54 @@ def multiclass_metrics(
         F.round(rec, 6).alias("recall"),
         F.round(F.try_divide(2 * prec * rec, prec + rec), 6).alias("f1"),
     )
+
+
+def average_precision_at_k(
+    results: DataFrame,
+    query_col: str = "query_id",
+    score_col: str = "score",
+    rel_col: str = "rel",
+    k: int = 10,
+) -> DataFrame:
+    """Average precision @k per query (the per-query term of MAP):
+    AP = Σ_{i≤k, rel(i)} P(i) / min(R, k) with P(i) the precision at
+    cut i down the score ranking and R the query's total relevant
+    count. Binary relevance: rel > 0.
+
+    Same distributed shape as nDCG: one rank window on the query key
+    (deterministic item tiebreak) plus a cumulative-hit window over the
+    SAME partitioning — Catalyst plans a single exchange; the final
+    groupBy is map-side combined. Queries with zero relevant items
+    emit NULL ap."""
+    part = W.partitionBy(query_col)
+    item_cols = [
+        c for c in results.columns if c not in (query_col, score_col, rel_col)
+    ]
+    tiebreak = [F.col(c).asc() for c in item_cols]
+    order = part.orderBy(F.col(score_col).desc(), *tiebreak)
+    rk = F.row_number().over(order)
+    hit = (F.col(rel_col) > 0).cast("int")
+    cum_hits = F.sum(hit).over(order.rowsBetween(W.unboundedPreceding, 0))
+    ranked = results.select(
+        query_col,
+        hit.alias("_h"),
+        rk.alias("_rk"),
+        cum_hits.alias("_ch"),
+    )
+    agg = ranked.groupBy(query_col).agg(
+        F.sum(
+            F.when(
+                (F.col("_rk") <= k) & (F.col("_h") == 1),
+                F.col("_ch") / F.col("_rk"),
+            )
+        ).alias("_psum"),
+        F.sum("_h").cast("long").alias("n_rel"),
+    )
+    denom = F.least(F.col("n_rel"), F.lit(k))
+    return agg.select(
+        query_col,
+        "n_rel",
+        F.round(
+            F.try_divide(F.coalesce(F.col("_psum"), F.lit(0.0)), denom), 6
+        ).alias("ap"),
+    )

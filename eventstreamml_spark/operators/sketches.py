@@ -155,3 +155,76 @@ def quantile_sketch(
             F.col("n_nonpos").cast("long").alias("n_nonpos"),
         )
     )
+
+
+def hll_distinct_estimate(
+    df: DataFrame,
+    key_col: str,
+    by: str | None = None,
+    p: int = 10,
+) -> DataFrame:
+    """Portable HyperLogLog distinct-count estimate: 2^p registers per
+    group, register = max ρ (position of the first 1-bit after the
+    bucket bits) over the keys hashing there; the raw estimate is
+    α·m²/Σ2^(−Mⱼ) with the standard small-range linear-counting
+    correction. Relative error ≈ 1.04/√m (~3.2% at p=10).
+
+    Unlike Spark's built-in approx_count_distinct (whose xxhash64-based
+    sketch no other engine can replay), every bit here derives from the
+    engine's md5 convention, so the DuckDB oracle reproduces the
+    ESTIMATE exactly — the sketch itself is the verified artifact, the
+    same bar the engine's count-min sketch meets.
+
+    ρ is extracted from the hex string with STRING ops only (the same
+    no-base-conversion lesson the bootstrap hot path measured): leading
+    zero HEX DIGITS count 4 bits each via a regexp anchor, and the
+    first non-zero hex digit contributes its within-digit leading
+    zeros by a 15-way CASE. Plan shape: groupBy(group, bucket) max →
+    groupBy(group) harmonic sum — two map-side-combined shuffles, a
+    fixed-size mergeable sketch in between."""
+    import math
+
+    keys = [by] if by else []
+    m = 1 << p
+    hx = F.md5(F.col(key_col).cast("string"))
+    # bucket: first 3 hex digits = 12 bits; take mod m (p <= 12)
+    bucket = (
+        F.conv(F.substring(hx, 1, 3), 16, 10).cast("long") % m
+    ).alias("_bucket")
+    # rho over the NEXT 16 hex digits (64 bits): leading zero digits
+    # count 4 bits each; the first nonzero digit adds 0-3 bits
+    tail = F.substring(hx, 4, 16)
+    zeros = F.length(F.regexp_extract(tail, "^(0*)", 1))
+    first_nz = F.substring(F.ltrim(tail, F.lit("0")), 1, 1)
+    within = (
+        F.when(first_nz.isin("8", "9", "a", "b", "c", "d", "e", "f"), 0)
+        .when(first_nz.isin("4", "5", "6", "7"), 1)
+        .when(first_nz.isin("2", "3"), 2)
+        .when(first_nz == "1", 3)
+        .otherwise(0)  # unreachable: first_nz is 1-f when tail nonzero
+    )
+    rho = F.when(F.length(F.ltrim(tail, F.lit("0"))) == 0, F.lit(65)).otherwise(
+        zeros * 4 + within + 1
+    )
+    regs = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(*keys, bucket, rho.alias("_rho"))
+        .groupBy(*keys, "_bucket")
+        .agg(F.max("_rho").alias("_r"))
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = regs.groupBy(*keys).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("_r"))).alias("_hsum"),
+        F.count(F.lit(1)).alias("_nz"),  # buckets hit at least once
+    )
+    raw = F.lit(alpha * m * m) / (F.col("_hsum") + (F.lit(m) - F.col("_nz")))
+    # linear counting when raw <= 2.5m and empty buckets exist
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / (F.lit(m) - F.col("_nz")))
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("_nz") < m), lc
+    ).otherwise(raw)
+    return agg.select(
+        *keys,
+        F.round(est, 3).alias("estimate"),
+        F.col("_nz").cast("long").alias("buckets_used"),
+    )

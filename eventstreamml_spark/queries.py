@@ -8326,3 +8326,193 @@ def q_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", y.alias("label"), (0.3 * y + 0.7 * u).alias("score")
     )
     return conformal_calibration(scored, id_col="event_id", alpha=0.1)
+
+
+@register(
+    "eval_map_retrieval",
+    """
+    WITH q AS (
+      SELECT user_id % 211 AS query_id, event_id AS item,
+             (('0x' || substr(md5('s' || event_id::VARCHAR), 1, 4))::BIGINT
+              % 1000) / 999.0 AS score,
+             ('0x' || substr(md5('r' || event_id::VARCHAR), 1, 4))::BIGINT
+              % 4 AS rel
+      FROM events
+    ),
+    r AS (
+      SELECT query_id,
+             row_number() OVER w AS rk,
+             CASE WHEN rel > 0 THEN 1 ELSE 0 END AS h,
+             sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+               OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS ch
+      FROM q WINDOW w AS (PARTITION BY query_id ORDER BY score DESC, item ASC)
+    ),
+    a AS (
+      SELECT query_id,
+             sum(CASE WHEN rk <= 10 AND h = 1 THEN ch * 1.0 / rk END) AS psum,
+             CAST(sum(h) AS BIGINT) AS n_rel
+      FROM r GROUP BY query_id
+    )
+    SELECT query_id, n_rel,
+           round(coalesce(psum, 0) / nullif(least(n_rel, 10), 0), 6) AS ap
+    FROM a
+    """,
+)
+def q_eval_map_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision @10 per query over the same deterministic
+    scored relation as eval_ndcg_retrieval (binary relevance rel>0):
+    one rank window plus a cumulative-hit window on the same partition
+    key — a single exchange (operators/evalmetrics.py
+    average_precision_at_k)."""
+    from eventstreamml_spark.operators.evalmetrics import average_precision_at_k
+
+    ev = _events(spark, sf_dir)
+    h4 = lambda salt: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("event_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    res = ev.select(
+        (F.col("user_id") % 211).alias("query_id"),
+        F.col("event_id").alias("item"),
+        ((h4("s") % 1000) / 999.0).alias("score"),
+        (h4("r") % 4).alias("rel"),
+    )
+    return average_precision_at_k(res, k=10)
+
+
+@register(
+    "approx_distinct_hll_portable",
+    """
+    WITH h AS (
+      SELECT event_type, md5(user_id::VARCHAR) AS hx
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    b AS (
+      SELECT event_type,
+             ('0x' || substr(hx, 1, 3))::BIGINT % 1024 AS bucket,
+             substr(hx, 4, 16) AS tail
+      FROM h
+    ),
+    r AS (
+      SELECT event_type, bucket,
+             CASE WHEN length(ltrim(tail, '0')) = 0 THEN 65
+                  ELSE length(regexp_extract(tail, '^(0*)', 1)) * 4
+                       + CASE WHEN substr(ltrim(tail, '0'), 1, 1) IN
+                                ('8','9','a','b','c','d','e','f') THEN 0
+                              WHEN substr(ltrim(tail, '0'), 1, 1) IN
+                                ('4','5','6','7') THEN 1
+                              WHEN substr(ltrim(tail, '0'), 1, 1) IN
+                                ('2','3') THEN 2
+                              WHEN substr(ltrim(tail, '0'), 1, 1) = '1' THEN 3
+                              ELSE 0 END + 1
+             END AS rho
+      FROM b
+    ),
+    regs AS (SELECT event_type, bucket, max(rho) AS r FROM r GROUP BY 1, 2),
+    agg AS (
+      SELECT event_type, sum(power(2.0, -r)) AS hsum, count(*) AS nz
+      FROM regs GROUP BY event_type
+    )
+    SELECT event_type,
+           round(CASE WHEN raw <= 2.5 * 1024 AND nz < 1024
+                      THEN 1024.0 * ln(1024.0 / (1024 - nz))
+                      ELSE raw END, 3) AS estimate,
+           CAST(nz AS BIGINT) AS buckets_used
+    FROM (
+      SELECT event_type, nz,
+             (0.7213 / (1.0 + 1.079 / 1024)) * 1024 * 1024
+               / (hsum + (1024 - nz)) AS raw
+      FROM agg
+    )
+    """,
+)
+def q_approx_distinct_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog distinct-users-per-type (p=10, ~3.2% rel
+    error): unlike approx_distinct_users_by_type (Spark's internal
+    xxhash64 sketch, rows-only check), every bit here derives from the
+    engine's md5 convention, so the DuckDB oracle reproduces the
+    ESTIMATE exactly — the sketch itself is the hash-verified artifact
+    (operators/sketches.py hll_distinct_estimate)."""
+    from eventstreamml_spark.operators.sketches import hll_distinct_estimate
+
+    return hll_distinct_estimate(
+        _events(spark, sf_dir), "user_id", by="event_type", p=10
+    )
+
+
+@register(
+    "streaming_value_quantiles",
+    """
+    WITH binned AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             CASE WHEN value > 0 THEN CAST(floor(ln(value) * 20) AS BIGINT)
+             END AS bin
+      FROM events WHERE value IS NOT NULL
+    ),
+    hist AS (
+      SELECT window_start, event_type, bin, count(*) AS c
+      FROM binned GROUP BY 1, 2, 3
+    ),
+    h AS (
+      SELECT window_start, event_type, bin, c,
+             sum(CASE WHEN bin IS NOT NULL THEN c END)
+               OVER (PARTITION BY window_start, event_type) AS n,
+             sum(c) OVER (PARTITION BY window_start, event_type
+                          ORDER BY bin ASC NULLS LAST) AS cum
+      FROM hist
+    ),
+    hb AS (SELECT * FROM h WHERE bin IS NOT NULL),
+    p AS (SELECT CAST(unnest([0.5, 0.95]) AS DOUBLE) AS p)
+    SELECT window_start, event_type, p.p,
+           round(exp((min(bin) + 0.5) / 20.0), 6) AS estimate,
+           CAST(max(n) AS BIGINT) AS n_pos
+    FROM hb CROSS JOIN p
+    WHERE cum >= ceil(p.p * n)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_streaming_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-window quantile sketch: the log-bin histogram
+    builds INCREMENTALLY as a watermarked windowed aggregation (bounded
+    per-window state — the sketch property is what makes quantiles
+    streamable), the p50/p95 read-off is a batch select over the
+    finalized histogram; an availableNow run equals the batch sketch
+    bit-for-bit (streaming/ops.py windowed_quantile_bins)."""
+    from pyspark.sql import Window as W
+    from eventstreamml_spark.streaming.ops import windowed_quantile_bins
+
+    ev = _events_stream(spark, sf_dir)
+    bins = windowed_quantile_bins(
+        ev, "1 hour", "10 minutes", ts_col="ts", value_col="value"
+    )
+    hist = _run_available_now(bins, "complete")
+    part = ["window_start", "event_type"]
+    n = F.sum(F.when(F.col("bin").isNotNull(), F.col("c"))).over(
+        W.partitionBy(*part)
+    )
+    cum = F.sum("c").over(
+        W.partitionBy(*part).orderBy(F.col("bin").asc_nulls_last())
+    )
+    h = hist.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "bin",
+        n.alias("_n"),
+        cum.alias("_cum"),
+    ).filter(F.col("bin").isNotNull())
+    p = F.explode(F.array(F.lit(0.5), F.lit(0.95))).alias("p")
+    hits = h.select("window_start", "event_type", "bin", "_n", "_cum", p).filter(
+        F.col("_cum") >= F.ceil(F.col("p") * F.col("_n"))
+    )
+    return hits.groupBy("window_start", "event_type", "p").agg(
+        F.round(F.exp((F.min("bin") + 0.5) / 20.0), 6).alias("estimate"),
+        F.max("_n").cast("long").alias("n_pos"),
+    )

@@ -66,6 +66,12 @@ def get_spark(
         # target governs and this floor never binds.
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime bloom filters: a selective dim-side filter makes the
+        # optimizer inject might_contain() on the fact side BEFORE its
+        # shuffle — the 100 TB semi-join-reduction pattern, free when
+        # Catalyst owns it (pinned on; thresholds stay at defaults so
+        # tiny local relations don't pay sketch-build overhead)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

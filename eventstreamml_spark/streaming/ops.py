@@ -486,3 +486,42 @@ def stream_running_counts_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def windowed_quantile_bins(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+    ts_col: str = "timestamp",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    bins_per_e: int = 20,
+) -> DataFrame:
+    """The streaming half of the engine's log-binned quantile sketch
+    (operators/sketches.py quantile_sketch): per (tumbling window, type,
+    log-bin) counts as an incremental watermarked aggregation. The
+    sketch property is what makes quantiles STREAMABLE at all — bin
+    counts merge by addition, so every micro-batch folds into bounded
+    per-window state (|bins| counters, never raw values), while an
+    exact streaming percentile would need unbounded value retention.
+    The quantile read-off is a batch select over the finalized
+    histogram (the caller composes it); an availableNow run therefore
+    equals the batch sketch bit-for-bit."""
+    x = F.col(value_col).cast("double")
+    b = F.when(x > 0, F.floor(F.log(x) * bins_per_e)).alias("bin")
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .filter(x.isNotNull())
+        .groupBy(
+            F.window(F.col(ts_col), window_duration).alias("window"),
+            F.col(type_col),
+            b,
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            type_col,
+            "bin",
+            "c",
+        )
+    )

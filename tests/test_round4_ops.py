@@ -608,3 +608,109 @@ class TestProductQuantization:
         # coords (2 dims/subspace, unit-normal): quantization helps
         err = enc.groupBy("subspace").agg(F.avg("sq_err").alias("e")).collect()
         assert all(r["e"] < 2.0 for r in err)
+
+
+class TestHllDistinct:
+    def test_accuracy_across_cardinalities(self, spark):
+        from eventstreamml_spark.operators.sketches import hll_distinct_estimate
+
+        for n in (50, 2000, 50000):
+            df = spark.range(n).select(F.col("id").alias("k"))
+            est = hll_distinct_estimate(df, "k").collect()[0]["estimate"]
+            assert abs(est - n) / n < 0.05, (n, est)
+
+    def test_grouped_and_duplicates_ignored(self, spark):
+        from eventstreamml_spark.operators.sketches import hll_distinct_estimate
+
+        df = spark.range(30000).select(
+            (F.col("id") % 2 == 0).alias("g"),
+            (F.col("id") % 1000).alias("k"),  # only 1000 distinct
+        )
+        out = {r["g"]: r["estimate"] for r in
+               hll_distinct_estimate(df, "k", by="g").collect()}
+        for est in out.values():
+            # p=10 -> sigma ~3.2%; allow 3 sigma for this fixed key set
+            assert abs(est - 500) / 500 < 0.10
+
+    def test_deterministic(self, spark):
+        from eventstreamml_spark.operators.sketches import hll_distinct_estimate
+
+        df = spark.range(5000).select(F.col("id").alias("k"))
+        a = hll_distinct_estimate(df, "k").collect()
+        b = hll_distinct_estimate(df, "k").collect()
+        assert a == b
+
+
+class TestAveragePrecision:
+    def test_hand_computed(self, spark):
+        from eventstreamml_spark.operators.evalmetrics import (
+            average_precision_at_k,
+        )
+
+        # ranking by score desc: rel pattern [1, 0, 1, 0]
+        df = spark.createDataFrame(
+            [(1, 10, 0.9, 1), (1, 11, 0.8, 0), (1, 12, 0.7, 2), (1, 13, 0.6, 0)],
+            "query_id int, item int, score double, rel int",
+        )
+        out = average_precision_at_k(df, k=10).collect()[0]
+        # AP = (1/1 + 2/3) / 2
+        assert out["ap"] == pytest.approx(round((1 + 2 / 3) / 2, 6))
+        assert out["n_rel"] == 2
+
+    def test_k_cut_and_no_relevant(self, spark):
+        from eventstreamml_spark.operators.evalmetrics import (
+            average_precision_at_k,
+        )
+
+        rows = [(1, i, 1.0 - i / 100.0, 1 if i == 5 else 0) for i in range(8)]
+        out = average_precision_at_k(
+            spark.createDataFrame(
+                rows, "query_id int, item int, score double, rel int"
+            ),
+            k=3,
+        ).collect()[0]
+        # the only hit sits at rank 6 > k -> psum 0, denom min(1, 3) = 1
+        assert out["ap"] == 0.0
+        none = spark.createDataFrame(
+            [(2, 1, 0.5, 0)], "query_id int, item int, score double, rel int"
+        )
+        assert average_precision_at_k(none, k=3).collect()[0]["ap"] is None
+
+
+class TestRuntimeBloomFilter:
+    def test_injected_on_selective_dim_join(self, spark, tmp_path):
+        # engine sessions pin bloomFilter.enabled=true; with test-scope
+        # thresholds lowered, a selective dim filter must inject
+        # might_contain on the fact side BEFORE its shuffle
+        confs = {
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        old = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            big_p = str(tmp_path / "big")
+            dim_p = str(tmp_path / "dim")
+            spark.range(50000).select(
+                F.col("id").alias("k"), (F.col("id") % 100).alias("v")
+            ).write.mode("overwrite").parquet(big_p)
+            spark.range(50000).select(
+                F.col("id").alias("k"), (F.col("id") % 7).alias("f")
+            ).write.mode("overwrite").parquet(dim_p)
+            big = spark.read.parquet(big_p)
+            dim = spark.read.parquet(dim_p).filter(F.col("f") == 3)
+            plan = (
+                big.join(dim, "k")
+                ._jdf.queryExecution()
+                .optimizedPlan()
+                .toString()
+            )
+            assert "might_contain" in plan
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
