@@ -393,3 +393,52 @@ def mixture_weights(
             "upweight"
         ),
     )
+
+
+def negative_sample_interactions(
+    events: DataFrame,
+    subject_col: str = "user_id",
+    type_col: str = "event_type",
+    neg_pct: int = 30,
+) -> DataFrame:
+    """Deterministic negative sampling for interaction modeling: the
+    positives are the observed distinct (subject, type) pairs; the
+    negative candidates are the subject × type grid minus the
+    positives, thinned to ``neg_pct``% by the engine's portable md5
+    hash. Emits (subject, type, label) with label 1/0.
+
+    Scale shape: the grid is subjects × |types| where the type
+    dimension is a BROADCAST distinct relation (vocabulary-sized —
+    never subjects × subjects); the positives subtraction is one
+    anti-join on the pair key; the thinning is a pure expression. On a
+    10⁹-subject corpus the output is O(subjects · |types| · pct) with
+    exactly two shuffles (the two distincts)."""
+    pos = events.select(subject_col, type_col).distinct()
+    types = events.select(type_col).distinct()
+    grid = pos.select(subject_col).distinct().crossJoin(F.broadcast(types))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col(subject_col).cast("string"),
+                        F.col(type_col),
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    negs = (
+        grid.join(pos, [subject_col, type_col], "left_anti")
+        .filter(u < neg_pct)
+        .select(subject_col, type_col, F.lit(0).alias("label"))
+    )
+    return pos.select(subject_col, type_col, F.lit(1).alias("label")).unionAll(
+        negs
+    )

@@ -259,3 +259,84 @@ def weighted_sample_topk(
     top = base.orderBy(F.col("_key").desc(), F.col(id_col)).limit(k)
     rk = F.row_number().over(W.orderBy(F.col("_key").desc(), F.col(id_col)))
     return top.withColumn("rk", rk).drop("_key")
+
+
+def class_balanced_resample(
+    df: DataFrame, label_col: str, value_col: str
+) -> DataFrame:
+    """Integer-factor oversampling plan for class imbalance: every
+    minority-class row replicates ⌊max_class_n / class_n⌋ times (the
+    factor every row of a class shares, so the resampled distribution
+    stays within one replication step of balanced and NO row of the
+    majority class is dropped — the deterministic alternative to
+    fractional random oversampling).
+
+    The replication itself is an explode over a per-row
+    ``sequence(1, factor)`` — a bounded generator, not a join — and the
+    class factors ride a broadcast of the |classes|-sized count
+    relation. Emits per-class audit rows (orig_n, factor, resampled_n,
+    value_checksum) where the checksum (sum of replicated values
+    rounded) pins that the explode actually happened — the caller's
+    trainer consumes the same exploded relation."""
+    counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("_n"))
+    from pyspark.sql import Window as W
+
+    mx = F.max("_n").over(W.partitionBy())
+    factors = counts.select(
+        label_col, "_n", F.floor(mx / F.col("_n")).cast("int").alias("_k")
+    )
+    x = F.col(value_col).cast("double")
+    resampled = (
+        df.select(label_col, x.alias("_x"))
+        .join(F.broadcast(factors), label_col)
+        .select(
+            label_col,
+            "_n",
+            "_k",
+            F.explode(F.sequence(F.lit(1), F.col("_k"))).alias("_r"),
+            "_x",
+        )
+    )
+    return resampled.groupBy(label_col).agg(
+        F.max("_n").cast("long").alias("orig_n"),
+        F.max("_k").cast("long").alias("factor"),
+        F.count(F.lit(1)).cast("long").alias("resampled_n"),
+        F.round(F.sum("_x"), 4).alias("value_checksum"),
+    )
+
+
+def temporal_embargo_split(
+    events: DataFrame,
+    test_frac: float = 0.2,
+    embargo_us: int = 3_600_000_000,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Leakage-safe temporal split: the newest ``test_frac`` of events
+    (by exact time quantile) becomes test, an ``embargo_us`` gap before
+    the cutoff is EXCLUDED from training (events whose labels/windows
+    could straddle the boundary — the purge step financial ML calls
+    embargoing), and everything earlier trains. Returns per-split
+    counts and time extents.
+
+    The cutoff is one exact-percentile aggregate broadcast as a
+    one-row relation (the engine's scalar-crossJoin convention); the
+    split itself is a pure projection — no sort, no repartition."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    cut = events.agg(
+        F.percentile(us, F.lit(1.0 - test_frac)).alias("_cut")
+    )
+    tagged = events.select(us.alias("_us")).crossJoin(F.broadcast(cut))
+    split = (
+        F.when(F.col("_us") >= F.col("_cut"), F.lit("test"))
+        .when(F.col("_us") >= F.col("_cut") - embargo_us, F.lit("embargoed"))
+        .otherwise(F.lit("train"))
+    )
+    return (
+        tagged.select(split.alias("split"), "_us")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("_us").alias("min_us"),
+            F.max("_us").alias("max_us"),
+        )
+    )

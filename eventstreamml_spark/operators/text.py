@@ -812,3 +812,48 @@ def bpe_encode_words(
         "tokens",
         F.size(F.split(F.col("tokens"), " ")).alias("n_tokens"),
     )
+
+
+def skipgram_pairs(
+    docs: DataFrame,
+    window: int = 2,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Word2vec-style training-pair extraction: symmetric (center,
+    context) co-occurrence counts within ±``window`` token positions,
+    thresholded at ``min_count`` — the relation a skip-gram trainer (or
+    a PMI embedder) consumes.
+
+    Plan shape: the token relation explodes once; the ±d matches come
+    from ONE equi-join on (doc, pos+d) after a bounded ``window``-way
+    distance fan-out (never a range join, whose O(len·window) per-doc
+    scan Catalyst can't hash-partition), and both directions of each
+    match derive from the single join output — so the whole operator
+    is one explode, one join, one groupBy regardless of window size."""
+    toks = (
+        words_table(docs, id_col, text_col)
+        .filter(F.col("word") != "")
+        .select(id_col, "pos", F.lower(F.col("word")).alias("w"))
+    )
+    d = F.explode(
+        F.array(*[F.lit(i) for i in range(1, window + 1)])
+    ).alias("d")
+    left = toks.select(id_col, "pos", F.col("w").alias("w1"), d).select(
+        id_col, (F.col("pos") + F.col("d")).alias("_tgt"), "w1"
+    )
+    right = toks.select(
+        id_col, F.col("pos").alias("_tgt"), F.col("w").alias("w2")
+    )
+    m = left.join(right, [id_col, "_tgt"])
+    pairs = m.select(
+        F.col("w1").alias("center"), F.col("w2").alias("context")
+    ).unionAll(
+        m.select(F.col("w2").alias("center"), F.col("w1").alias("context"))
+    )
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )

@@ -8516,3 +8516,134 @@ def q_streaming_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp((F.min("bin") + 0.5) / 20.0), 6).alias("estimate"),
         F.max("_n").cast("long").alias("n_pos"),
     )
+
+
+@register(
+    "doc_skipgram_pairs",
+    r"""
+    WITH t AS (
+      SELECT doc_id, i AS pos, lower(toks[i + 1]) AS w
+      FROM (
+        SELECT doc_id, toks, unnest(range(len(toks))) AS i
+        FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
+              FROM documents)
+      ) WHERE toks[i + 1] <> ''
+    ),
+    m AS (
+      SELECT a.w AS w1, b.w AS w2
+      FROM t a, (SELECT unnest([1, 2]) AS d) d, t b
+      WHERE b.doc_id = a.doc_id AND b.pos = a.pos + d.d
+    ),
+    pairs AS (
+      SELECT w1 AS center, w2 AS context FROM m
+      UNION ALL
+      SELECT w2 AS center, w1 AS context FROM m
+    )
+    SELECT center, context, count(*) AS n
+    FROM pairs GROUP BY 1, 2 HAVING count(*) >= 25
+    """,
+)
+def q_doc_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word2vec skip-gram training pairs (±2 window, symmetric counts,
+    min_count 25): one token explode, ONE equi-join after a bounded
+    distance fan-out (no range join), one groupBy
+    (operators/text.py skipgram_pairs)."""
+    from eventstreamml_spark.operators.text import skipgram_pairs
+
+    return skipgram_pairs(
+        load_table(spark, sf_dir, "documents"), window=2, min_count=25
+    )
+
+
+@register(
+    "interaction_negative_samples",
+    """
+    WITH pos AS (SELECT DISTINCT user_id, event_type FROM events),
+    types AS (SELECT DISTINCT event_type FROM events),
+    grid AS (
+      SELECT u.user_id, t.event_type
+      FROM (SELECT DISTINCT user_id FROM pos) u CROSS JOIN types t
+    ),
+    negs AS (
+      SELECT g.user_id, g.event_type, 0 AS label
+      FROM grid g ANTI JOIN pos p
+        ON g.user_id = p.user_id AND g.event_type = p.event_type
+      WHERE ('0x' || substr(md5(g.user_id::VARCHAR || ':' || g.event_type),
+                            1, 4))::BIGINT % 100 < 30
+    )
+    SELECT user_id, event_type, 1 AS label FROM pos
+    UNION ALL
+    SELECT user_id, event_type, label FROM negs
+    """,
+)
+def q_interaction_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling over the (subject, type)
+    interaction grid: broadcast type dimension, one anti-join, md5
+    thinning to 30% (operators/curation.py
+    negative_sample_interactions)."""
+    from eventstreamml_spark.operators.curation import (
+        negative_sample_interactions,
+    )
+
+    return negative_sample_interactions(_events(spark, sf_dir), neg_pct=30)
+
+
+@register(
+    "class_balanced_resample",
+    """
+    WITH c AS (
+      SELECT event_type, count(*) AS n FROM events GROUP BY 1
+    ),
+    f AS (
+      SELECT event_type, n,
+             CAST(floor(max(n) OVER () / n) AS INT) AS k
+      FROM c
+    ),
+    r AS (
+      SELECT e.event_type, f.n, f.k, e.value
+      FROM events e JOIN f ON e.event_type = f.event_type
+      CROSS JOIN (SELECT unnest(range(100)) AS i) i
+      WHERE i.i < f.k
+    )
+    SELECT event_type, CAST(max(n) AS BIGINT) AS orig_n,
+           CAST(max(k) AS BIGINT) AS factor,
+           CAST(count(*) AS BIGINT) AS resampled_n,
+           round(sum(value), 4) AS value_checksum
+    FROM r GROUP BY event_type
+    """,
+)
+def q_class_balanced_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-factor class-balancing oversample audit: every class
+    replicates floor(max_n/n) times via a bounded sequence explode with
+    broadcast factors; the checksum pins the explode happened
+    (operators/setops.py class_balanced_resample)."""
+    from eventstreamml_spark.operators.setops import class_balanced_resample
+
+    return class_balanced_resample(
+        _events(spark, sf_dir), "event_type", "value"
+    )
+
+
+@register(
+    "temporal_embargo_split",
+    """
+    WITH e AS (SELECT epoch_us(ts) AS us FROM events),
+    cut AS (SELECT quantile_cont(us, 0.8) AS c FROM e)
+    SELECT CASE WHEN us >= c THEN 'test'
+                WHEN us >= c - 3600000000 THEN 'embargoed'
+                ELSE 'train' END AS split,
+           CAST(count(*) AS BIGINT) AS n,
+           min(us) AS min_us, max(us) AS max_us
+    FROM e CROSS JOIN cut GROUP BY 1
+    """,
+)
+def q_temporal_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe temporal split: newest 20% by exact time quantile
+    is test, a 1-hour embargo purge before the cutoff is excluded from
+    training; the cutoff is one broadcast scalar, the split a pure
+    projection (operators/setops.py temporal_embargo_split)."""
+    from eventstreamml_spark.operators.setops import temporal_embargo_split
+
+    return temporal_embargo_split(
+        _events(spark, sf_dir), test_frac=0.2, embargo_us=3_600_000_000
+    )

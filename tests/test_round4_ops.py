@@ -714,3 +714,109 @@ class TestRuntimeBloomFilter:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestSkipgramPairs:
+    def test_window_and_symmetry(self, spark):
+        from eventstreamml_spark.operators.text import skipgram_pairs
+
+        docs = spark.createDataFrame(
+            [(1, "a b c")], "doc_id int, text string"
+        )
+        out = {(r["center"], r["context"]): r["n"] for r in
+               skipgram_pairs(docs, window=2, min_count=1).collect()}
+        # pairs within +-2: (a,b),(a,c),(b,c) each symmetric
+        assert out[("a", "b")] == 1 and out[("b", "a")] == 1
+        assert out[("a", "c")] == 1 and out[("c", "a")] == 1
+        assert len(out) == 6
+
+    def test_window_one_excludes_distance_two(self, spark):
+        from eventstreamml_spark.operators.text import skipgram_pairs
+
+        docs = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+        out = {(r["center"], r["context"]) for r in
+               skipgram_pairs(docs, window=1, min_count=1).collect()}
+        assert ("a", "c") not in out and ("a", "b") in out
+
+    def test_min_count_and_lowercase(self, spark):
+        from eventstreamml_spark.operators.text import skipgram_pairs
+
+        docs = spark.createDataFrame(
+            [(1, "The cat"), (2, "the cat")], "doc_id int, text string"
+        )
+        out = {(r["center"], r["context"]): r["n"] for r in
+               skipgram_pairs(docs, window=1, min_count=2).collect()}
+        assert out == {("the", "cat"): 2, ("cat", "the"): 2}
+
+
+class TestNegativeSampling:
+    def test_labels_and_determinism(self, spark):
+        from eventstreamml_spark.operators.curation import (
+            negative_sample_interactions,
+        )
+
+        ev = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (2, "a"), (3, "c")],
+            "user_id long, event_type string",
+        )
+        out1 = negative_sample_interactions(ev, neg_pct=100).collect()
+        out2 = negative_sample_interactions(ev, neg_pct=100).collect()
+        assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+        rows = {(r["user_id"], r["event_type"]): r["label"] for r in out1}
+        # at 100% sampling: every non-positive grid cell is a negative
+        assert rows[(1, "a")] == 1 and rows[(1, "c")] == 0
+        assert rows[(3, "c")] == 1 and rows[(3, "a")] == 0
+        assert len(rows) == 9  # 3 users x 3 types
+
+    def test_no_overlap_between_labels(self, spark):
+        from eventstreamml_spark.operators.curation import (
+            negative_sample_interactions,
+        )
+
+        ev = spark.createDataFrame(
+            [(u, t) for u in range(50) for t in ("x", "y") if (u + len(t)) % 3],
+            "user_id long, event_type string",
+        )
+        out = negative_sample_interactions(ev, neg_pct=50)
+        dup = (
+            out.groupBy("user_id", "event_type")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        assert dup == 0
+
+
+class TestClassBalancedResample:
+    def test_factors_and_checksum(self, spark):
+        from eventstreamml_spark.operators.setops import class_balanced_resample
+
+        rows = [("big", 1.0)] * 10 + [("small", 2.0)] * 3
+        df = spark.createDataFrame(rows, "label string, x double")
+        out = {r["label"]: r for r in
+               class_balanced_resample(df, "label", "x").collect()}
+        assert out["big"]["factor"] == 1 and out["big"]["resampled_n"] == 10
+        assert out["small"]["factor"] == 3  # floor(10/3)
+        assert out["small"]["resampled_n"] == 9
+        assert out["small"]["value_checksum"] == pytest.approx(2.0 * 9)
+
+
+class TestTemporalEmbargoSplit:
+    def test_split_counts_and_gap(self, spark):
+        from eventstreamml_spark.operators.setops import temporal_embargo_split
+
+        # 100 events one minute apart
+        df = spark.sql(
+            "SELECT timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,id,0) AS ts "
+            "FROM range(100)"
+        )
+        out = {r["split"]: r for r in
+               temporal_embargo_split(df, test_frac=0.2,
+                                      embargo_us=600_000_000).collect()}
+        # cutoff = p80 of 0..99 min; test = newest ~20, embargo = 10 min
+        assert out["test"]["n"] == 20
+        assert out["embargoed"]["n"] == 10
+        assert out["train"]["n"] == 70
+        # no overlap: max train < min embargoed < min test
+        assert out["train"]["max_us"] < out["embargoed"]["min_us"]
+        assert out["embargoed"]["max_us"] < out["test"]["min_us"]
