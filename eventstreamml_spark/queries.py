@@ -8647,3 +8647,71 @@ def q_temporal_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal_embargo_split(
         _events(spark, sf_dir), test_frac=0.2, embargo_us=3_600_000_000
     )
+
+
+@register(
+    "bucketed_join_parity",
+    """
+    WITH a AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
+    b AS (
+      SELECT o_custkey AS user_id, count(*) AS n_orders,
+             round(sum(o_totalprice), 4) AS total_spend
+      FROM orders GROUP BY 1
+    )
+    SELECT a.user_id, a.n_events, b.n_orders, b.total_spend
+    FROM a JOIN b ON a.user_id = b.user_id
+    """,
+)
+def q_bucketed_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located bucketed join: both per-user aggregates persist as
+    same-bucketed sorted tables (the shuffle paid ONCE at write time),
+    then join through the catalog — the repeated-fact-join layout that
+    amortizes at 100 TB; the zero-Exchange plan is pinned by
+    tests/test_round4_ops.py (operators/storage.py
+    write_bucketed/bucketed_pair)."""
+    import os
+
+    from eventstreamml_spark.operators.storage import bucketed_pair
+
+    ev = _events(spark, sf_dir).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_spend"),
+        )
+    )
+    left, right = bucketed_pair(
+        spark, ev, od, "user_id", cache_tag=os.path.abspath(sf_dir)
+    )
+    return left.join(right, "user_id")
+
+
+@register(
+    "partition_pruned_hourly_clicks",
+    """
+    SELECT date_trunc('hour', ts) AS hour, count(*) AS n
+    FROM events WHERE event_type = 'click' GROUP BY 1
+    """,
+)
+def q_partition_pruned_hourly_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned scan: events re-laid-out as a hive-partitioned
+    copy (directory per event_type), so the 'click' filter prunes
+    4/5 of the bytes at PLANNING time — PartitionFilters reaching the
+    scan is pinned by tests/test_round4_ops.py (operators/storage.py
+    partitioned_copy)."""
+    import os
+
+    from eventstreamml_spark.operators.storage import partitioned_copy
+
+    src = os.path.join(sf_dir, "events.parquet")
+    path = partitioned_copy(_events(spark, sf_dir), src)
+    part = spark.read.parquet(path)
+    return (
+        part.filter(F.col("event_type") == "click")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -820,3 +820,61 @@ class TestTemporalEmbargoSplit:
         # no overlap: max train < min embargoed < min test
         assert out["train"]["max_us"] < out["embargoed"]["min_us"]
         assert out["embargoed"]["max_us"] < out["test"]["min_us"]
+
+
+class TestStorageLayouts:
+    def test_bucketed_join_has_no_exchange(self, spark):
+        import uuid
+
+        from eventstreamml_spark.operators.storage import bucketed_pair
+
+        left = spark.range(2000).select(
+            F.col("id").alias("k"), (F.col("id") % 9).alias("a")
+        )
+        right = spark.range(2000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("b")
+        )
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            l, r = bucketed_pair(
+                spark, left, right, "k", cache_tag=f"plan-test-{uuid.uuid4()}"
+            )
+            plan = (
+                l.join(r, "k")._jdf.queryExecution().executedPlan().toString()
+            )
+            # the whole point: both scans bucketed, zero shuffle
+            assert "Exchange hashpartitioning" not in plan
+            assert plan.count("Bucketed: true") == 2
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    def test_partition_filter_reaches_scan(self, spark, tmp_path):
+        from eventstreamml_spark.operators.storage import partitioned_copy
+
+        src = str(tmp_path / "src.parquet")
+        df = spark.range(1000).select(
+            F.col("id"), (F.col("id") % 3).cast("string").alias("part")
+        )
+        df.write.parquet(src)
+        path = partitioned_copy(spark.read.parquet(src), src, "part")
+        scan = spark.read.parquet(path).filter(F.col("part") == "1")
+        plan = scan._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(part" in plan
+        assert scan.count() == 333  # ids 1,4,...,997
+
+    def test_partitioned_copy_is_cached(self, spark, tmp_path):
+        import os
+
+        from eventstreamml_spark.operators.storage import partitioned_copy
+
+        src = str(tmp_path / "src2.parquet")
+        spark.range(10).select(
+            F.col("id"), F.lit("x").alias("part")
+        ).write.parquet(src)
+        df = spark.read.parquet(src)
+        p1 = partitioned_copy(df, src, "part")
+        m1 = os.path.getmtime(os.path.join(os.path.dirname(p1), "_done"))
+        p2 = partitioned_copy(df, src, "part")
+        m2 = os.path.getmtime(os.path.join(os.path.dirname(p2), "_done"))
+        assert p1 == p2 and m1 == m2  # second call reused the layout
