@@ -495,3 +495,37 @@ def type_cooccurrence_lift(
             ).alias("lift"),
         )
     )
+
+
+def time_decay_features(
+    events: DataFrame,
+    half_life_hours: float = 24.0,
+    subject_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Exponential time-decay features per subject — the feature-store
+    recency encoding: each event contributes 2^(−Δt/half_life) toward a
+    decayed event count and a decayed value sum, with Δt measured from
+    the corpus max timestamp ("now"). A subject's burst last hour and a
+    subject's identical burst last month land orders of magnitude
+    apart, which plain counts can't express.
+
+    One scalar aggregate (the reference instant) broadcasts into a pure
+    projection; one map-side-combined groupBy does the rest — the decay
+    weights never materialize per row beyond the projection."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    now = events.agg(F.max(us).alias("_now"))
+    hl_us = half_life_hours * 3_600_000_000.0
+    w = F.pow(F.lit(2.0), -(F.col("_now") - us) / F.lit(hl_us))
+    x = F.col(value_col).cast("double")
+    return (
+        events.crossJoin(F.broadcast(now))
+        .select(F.col(subject_col), w.alias("_w"), (w * x).alias("_wx"))
+        .groupBy(subject_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("_w"), 6).alias("decayed_count"),
+            F.round(F.sum("_wx"), 6).alias("decayed_value_sum"),
+        )
+    )

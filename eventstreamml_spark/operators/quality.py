@@ -397,3 +397,45 @@ def seasonal_hourweek_anomaly(
         "last_c",
         F.round(z, 6).alias("z"),
     )
+
+
+def cascade_delete_audit(
+    tables: list[tuple[str, DataFrame, str]],
+    subjects: DataFrame,
+    subject_col: str = "subject_id",
+) -> DataFrame:
+    """Right-to-erasure cascade audit: given a deletion list of
+    subjects and the tables referencing them, report per table how many
+    rows the cascade removes and retains — the verification artifact a
+    GDPR/CCPA deletion pipeline must produce BEFORE the destructive
+    rewrite.
+
+    The deletion list broadcasts (it is human-scale by construction);
+    each table pays one scan with a conditional count — no anti-join
+    materialization, no rewrite. The retained relations themselves are
+    one ``left_anti`` join away using the same broadcast, so audit and
+    execution share a plan shape."""
+    outs = []
+    keys = F.broadcast(
+        subjects.select(F.col(subject_col).alias("_k")).distinct()
+    )
+    for name, df, key_col in tables:
+        joined = df.join(
+            keys, df[key_col] == F.col("_k"), "left"
+        )
+        outs.append(
+            joined.agg(
+                F.lit(name).alias("table_name"),
+                F.count(F.lit(1)).cast("long").alias("n_before"),
+                F.sum(F.col("_k").isNotNull().cast("long"))
+                .cast("long")
+                .alias("n_deleted"),
+                F.sum(F.col("_k").isNull().cast("long"))
+                .cast("long")
+                .alias("n_after"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

@@ -269,3 +269,62 @@ def conformal_calibration(
         "coverage",
         F.round(F.lit(1.0 - alpha), 6).alias("target"),
     )
+
+
+def woe_bins(
+    df: DataFrame,
+    value_col: str,
+    target_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Weight-of-evidence feature binning (the credit-scoring encoder):
+    bin a numeric feature at its exact deciles and report per bin the
+    event rate, WOE = ln((posᵢ/pos)/(negᵢ/neg)) with 0.5 Laplace
+    smoothing, and the information-value contribution
+    IV_i = (posᵢ/pos − negᵢ/neg)·WOE.
+
+    Distributed shape: the bin BOUNDARIES are one exact-percentile
+    aggregate broadcast as a one-row array relation (no ntile — a
+    global ntile window would funnel every row through one task); bin
+    assignment is a pure expression (count of boundaries below the
+    value); one groupBy aggregates the counts. Total: two passes, one
+    shuffle of |bins| rows."""
+    x = F.col(value_col).cast("double")
+    y = F.col(target_col).cast("int")
+    probs = F.array(
+        *[F.lit(i / n_bins) for i in range(1, n_bins)]
+    )
+    bnds = df.agg(F.percentile(x, probs).alias("_bnds"))
+    binned = (
+        df.select(x.alias("_x"), y.alias("_y"))
+        .filter(F.col("_x").isNotNull())
+        .crossJoin(F.broadcast(bnds))
+        .select(
+            F.size(F.filter(F.col("_bnds"), lambda b: b < F.col("_x"))).alias(
+                "bin"
+            ),
+            "_y",
+        )
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_y").cast("long").alias("n_pos"),
+    )
+    tot = agg.agg(
+        F.sum("n").cast("double").alias("_tn"),
+        F.sum("n_pos").cast("double").alias("_tp"),
+    )
+    w = agg.crossJoin(F.broadcast(tot))
+    pos_share = (F.col("n_pos") + 0.5) / (F.col("_tp") + 0.5)
+    neg_share = (F.col("n") - F.col("n_pos") + 0.5) / (
+        F.col("_tn") - F.col("_tp") + 0.5
+    )
+    woe = F.log(pos_share / neg_share)
+    return w.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round(F.col("n_pos") / F.col("n"), 6).alias("event_rate"),
+        F.round(woe, 6).alias("woe"),
+        F.round((pos_share - neg_share) * woe, 6).alias("iv_contrib"),
+    )

@@ -8715,3 +8715,116 @@ def q_partition_pruned_hourly_clicks(spark: SparkSession, sf_dir: str) -> DataFr
         .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "value_woe_bins",
+    """
+    WITH b AS (
+      SELECT quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                   0.6, 0.7, 0.8, 0.9]) AS bnds
+      FROM events
+    ),
+    t AS (
+      SELECT value AS x,
+             CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    binned AS (
+      SELECT len(list_filter(bnds, bb -> bb < x)) AS bin, y
+      FROM t CROSS JOIN b
+    ),
+    agg AS (SELECT bin, count(*) AS n, sum(y) AS n_pos FROM binned GROUP BY 1),
+    tot AS (SELECT sum(n)::DOUBLE AS tn, sum(n_pos)::DOUBLE AS tp FROM agg),
+    s AS (
+      SELECT bin, n, n_pos,
+             (n_pos + 0.5) / (tp + 0.5) AS ps,
+             (n - n_pos + 0.5) / (tn - tp + 0.5) AS ns
+      FROM agg CROSS JOIN tot
+    )
+    SELECT bin, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+           round(n_pos / n, 6) AS event_rate,
+           round(ln(ps / ns), 6) AS woe,
+           round((ps - ns) * ln(ps / ns), 6) AS iv_contrib
+    FROM s
+    """,
+)
+def q_value_woe_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence decile binning of event value against the
+    deterministic target: boundaries are ONE exact-percentile aggregate
+    broadcast as an array (no global ntile window), bin assignment a
+    pure expression, smoothing 0.5 (operators/stats.py woe_bins)."""
+    from eventstreamml_spark.operators.stats import woe_bins
+
+    ev = _events(spark, sf_dir).select(
+        "value", F.when(F.col("user_id") % 3 == 0, 1).otherwise(0).alias("y")
+    )
+    return woe_bins(ev, "value", "y", n_bins=10)
+
+
+@register(
+    "user_time_decay_features",
+    """
+    WITH n AS (SELECT max(epoch_us(ts)) AS now FROM events)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(pow(2.0, -(now - epoch_us(ts)) / 86400000000.0)), 6)
+             AS decayed_count,
+           round(sum(pow(2.0, -(now - epoch_us(ts)) / 86400000000.0) * value),
+                 6) AS decayed_value_sum
+    FROM events CROSS JOIN n GROUP BY user_id
+    """,
+)
+def q_user_time_decay_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay recency features per subject (24h
+    half-life, decayed from the corpus max timestamp): one broadcast
+    scalar, one projection, one map-side-combined groupBy
+    (operators/aggregations.py time_decay_features)."""
+    from eventstreamml_spark.operators.aggregations import time_decay_features
+
+    return time_decay_features(_events(spark, sf_dir), half_life_hours=24.0)
+
+
+@register(
+    "gdpr_cascade_audit",
+    """
+    WITH del AS (
+      SELECT DISTINCT user_id AS k FROM events WHERE user_id % 97 = 0
+    )
+    SELECT 'events' AS table_name, CAST(count(*) AS BIGINT) AS n_before,
+           CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_deleted,
+           CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_after
+    FROM events LEFT JOIN del ON user_id = k
+    UNION ALL
+    SELECT 'orders', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders LEFT JOIN del ON o_custkey = k
+    UNION ALL
+    SELECT 'customer', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM customer LEFT JOIN del ON c_custkey = k
+    """,
+)
+def q_gdpr_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure cascade audit across events/orders/customer for
+    a deterministic deletion list: the list broadcasts, each table pays
+    one scan with conditional counts — the verification artifact a
+    deletion pipeline produces before the destructive rewrite
+    (operators/quality.py cascade_delete_audit)."""
+    from eventstreamml_spark.operators.quality import cascade_delete_audit
+
+    ev = _events(spark, sf_dir)
+    subjects = ev.filter(F.col("user_id") % 97 == 0).select(
+        F.col("user_id").alias("subject_id")
+    )
+    return cascade_delete_audit(
+        [
+            ("events", ev, "user_id"),
+            ("orders", load_table(spark, sf_dir, "orders"), "o_custkey"),
+            ("customer", load_table(spark, sf_dir, "customer"), "c_custkey"),
+        ],
+        subjects,
+    )

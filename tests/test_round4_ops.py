@@ -878,3 +878,87 @@ class TestStorageLayouts:
         p2 = partitioned_copy(df, src, "part")
         m2 = os.path.getmtime(os.path.join(os.path.dirname(p2), "_done"))
         assert p1 == p2 and m1 == m2  # second call reused the layout
+
+
+class TestWoeBins:
+    def test_separating_feature_monotone_woe(self, spark):
+        from eventstreamml_spark.operators.stats import woe_bins
+
+        # x < 50 -> y=0, x >= 50 -> y=1: WOE must rise with bin
+        rows = [(float(i), 1 if i >= 50 else 0) for i in range(100)]
+        df = spark.createDataFrame(rows, "x double, y int")
+        out = sorted(
+            woe_bins(df, "x", "y", n_bins=4).collect(), key=lambda r: r["bin"]
+        )
+        woes = [r["woe"] for r in out]
+        assert woes == sorted(woes) and woes[0] < 0 < woes[-1]
+        assert sum(r["n"] for r in out) == 100
+        # IV contributions are non-negative by construction
+        assert all(r["iv_contrib"] >= 0 for r in out)
+
+    def test_uninformative_feature_near_zero(self, spark):
+        from eventstreamml_spark.operators.stats import woe_bins
+
+        rows = [(float(i), i % 2) for i in range(200)]
+        df = spark.createDataFrame(rows, "x double, y int")
+        out = woe_bins(df, "x", "y", n_bins=5).collect()
+        assert all(abs(r["woe"]) < 0.2 for r in out)
+
+
+class TestTimeDecayFeatures:
+    def test_recent_outweighs_old(self, spark):
+        from eventstreamml_spark.operators.aggregations import (
+            time_decay_features,
+        )
+
+        df = spark.sql(
+            """SELECT * FROM VALUES
+               (1, timestamp'2024-01-02 00:00:00', 10.0),
+               (1, timestamp'2024-01-01 00:00:00', 10.0),
+               (2, timestamp'2024-01-02 00:00:00', 10.0)
+               AS t(user_id, ts, value)"""
+        )
+        out = {r["user_id"]: r for r in
+               time_decay_features(df, half_life_hours=24.0).collect()}
+        # subject 1: weight 1 (at now) + 0.5 (one half-life old)
+        assert out[1]["decayed_count"] == pytest.approx(1.5)
+        assert out[1]["decayed_value_sum"] == pytest.approx(15.0)
+        assert out[2]["decayed_count"] == pytest.approx(1.0)
+
+    def test_null_value_skipped_in_sum_not_count(self, spark):
+        from eventstreamml_spark.operators.aggregations import (
+            time_decay_features,
+        )
+
+        df = spark.sql(
+            """SELECT * FROM VALUES
+               (1, timestamp'2024-01-01 00:00:00', CAST(NULL AS DOUBLE)),
+               (1, timestamp'2024-01-01 00:00:00', 4.0)
+               AS t(user_id, ts, value)"""
+        )
+        out = time_decay_features(df).collect()[0]
+        assert out["n_events"] == 2 and out["decayed_count"] == 2.0
+        assert out["decayed_value_sum"] == pytest.approx(4.0)
+
+
+class TestCascadeDeleteAudit:
+    def test_counts_balance_across_tables(self, spark):
+        from eventstreamml_spark.operators.quality import cascade_delete_audit
+
+        ev = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c"), (1, "d")],
+            "user_id long, x string",
+        )
+        od = spark.createDataFrame(
+            [(1, 10.0), (9, 5.0)], "cust long, total double"
+        )
+        subjects = spark.createDataFrame([(1,), (3,)], "subject_id long")
+        out = {r["table_name"]: r for r in cascade_delete_audit(
+            [("ev", ev, "user_id"), ("od", od, "cust")], subjects
+        ).collect()}
+        assert out["ev"]["n_before"] == 4
+        assert out["ev"]["n_deleted"] == 3  # two user 1 rows + user 3
+        assert out["ev"]["n_after"] == 1
+        assert out["od"]["n_deleted"] == 1 and out["od"]["n_after"] == 1
+        for r in out.values():
+            assert r["n_before"] == r["n_deleted"] + r["n_after"]
