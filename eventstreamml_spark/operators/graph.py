@@ -85,3 +85,72 @@ def triangle_count(
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    n_steps: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Deterministic uniform random-walk corpus generation — the
+    node2vec/DeepWalk data-prep step: one walk of ``n_steps`` hops from
+    every node, each hop choosing a neighbor by the engine's portable
+    md5 hash of (walk start, step), so the corpus is bit-reproducible
+    (and oracle-replayable) with no RNG state to ship.
+
+    Plan shape: adjacency materializes ONCE as sorted neighbor arrays
+    (one groupBy); each hop is then one equi-join of the walk frontier
+    against that adjacency — n_steps bounded joins total, never an
+    explode of the neighborhood. On power-law graphs a hub's array is
+    its degree; pass ``max_degree`` to clip adjacency lists (keeping
+    the id-lowest neighbors — still deterministic) so no single row
+    exceeds memory — the standard degree-cap every production walker
+    applies.
+
+    Emits (start, path, end) with path as '->'-joined node ids; walks
+    from isolated nodes don't exist (no neighbors to hop to)."""
+    und = canonical_edges(edges, src_col, dst_col)
+    both = und.select(
+        F.col("lo").alias("node"), F.col("hi").alias("nbr")
+    ).unionAll(und.select(F.col("hi").alias("node"), F.col("lo").alias("nbr")))
+    adj = both.groupBy("node").agg(
+        F.array_sort(F.collect_list("nbr")).alias("nbrs")
+    )
+    if max_degree is not None:
+        adj = adj.select(
+            "node", F.slice(F.col("nbrs"), 1, max_degree).alias("nbrs")
+        )
+    walks = adj.select(
+        F.col("node").alias("start"),
+        F.col("node").alias("cur"),
+        F.col("node").cast("string").alias("path"),
+    )
+    for s in range(1, n_steps + 1):
+        step = walks.join(adj, walks["cur"] == adj["node"])
+        idx = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col("start").cast("string"), F.lit(str(s))
+                        )
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % F.size(F.col("nbrs"))
+        )
+        nxt = F.get(F.col("nbrs"), idx)
+        walks = step.select(
+            "start",
+            nxt.alias("cur"),
+            F.concat(F.col("path"), F.lit("->"), nxt.cast("string")).alias(
+                "path"
+            ),
+        )
+    return walks.select("start", "path", F.col("cur").alias("end"))

@@ -8828,3 +8828,62 @@ def q_gdpr_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         subjects,
     )
+
+
+def _random_walk_oracle_sql(n_steps: int) -> str:
+    """DuckDB replay of ``random_walks`` on the hash-derived event
+    graph: one walk CTE per hop (static unroll of the bounded loop),
+    each indexing the sorted adjacency list with the same md5(start:s)
+    arithmetic the engine folds into its hop joins."""
+    walk_ctes = []
+    prev = "w0"
+    for s in range(1, n_steps + 1):
+        pick = (
+            f"nbrs[CAST(('0x' || substr(md5(start::VARCHAR || ':{s}'), 1, 4))"
+            f"::BIGINT % len(nbrs) AS INT) + 1]"
+        )
+        walk_ctes.append(
+            f"""w{s} AS (
+      SELECT start, {pick} AS cur,
+             path || '->' || {pick}::VARCHAR AS path
+      FROM {prev} JOIN adj ON adj.node = {prev}.cur
+    )"""
+        )
+        prev = f"w{s}"
+    return f"""
+    WITH raw AS (
+      SELECT user_id % 997 AS a, event_id % 997 AS b
+      FROM events WHERE event_id % 10 = 0
+    ),
+    und AS (
+      SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
+      FROM raw WHERE a <> b
+    ),
+    adj AS (
+      SELECT node, list_sort(list(nbr)) AS nbrs FROM (
+        SELECT lo AS node, hi AS nbr FROM und
+        UNION ALL SELECT hi AS node, lo AS nbr FROM und
+      ) GROUP BY node
+    ),
+    w0 AS (SELECT node AS start, node AS cur, node::VARCHAR AS path FROM adj),
+    {','.join(walk_ctes)}
+    SELECT start, path, cur AS end FROM w{n_steps}
+    """
+
+
+@register("graph_random_walks", _random_walk_oracle_sql(4))
+def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec/DeepWalk corpus generation on the hash-derived event
+    graph: one deterministic 4-hop walk per node, each hop one
+    equi-join of the walk frontier against the once-materialized sorted
+    adjacency (md5(start:step) picks the neighbor — bit-reproducible,
+    no RNG state); the oracle statically unrolls the same hops
+    (operators/graph.py random_walks)."""
+    from eventstreamml_spark.operators.graph import random_walks
+
+    ev = _events(spark, sf_dir).filter(F.col("event_id") % 10 == 0)
+    edges = ev.select(
+        (F.col("user_id") % 997).alias("src"),
+        (F.col("event_id") % 997).alias("dst"),
+    )
+    return random_walks(edges, n_steps=4)

@@ -962,3 +962,34 @@ class TestCascadeDeleteAudit:
         assert out["od"]["n_deleted"] == 1 and out["od"]["n_after"] == 1
         for r in out.values():
             assert r["n_before"] == r["n_deleted"] + r["n_after"]
+
+
+class TestRandomWalks:
+    def test_walks_follow_edges_and_are_deterministic(self, spark):
+        from eventstreamml_spark.operators.graph import random_walks
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (3, 4)], "src int, dst int"
+        )
+        adj = {1: [2, 3], 2: [1, 3], 3: [1, 2, 4], 4: [3]}
+        out1 = random_walks(edges, n_steps=3).collect()
+        out2 = random_walks(edges, n_steps=3).collect()
+        assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+        assert len(out1) == 4  # one walk per non-isolated node
+        for r in out1:
+            nodes = [int(x) for x in r["path"].split("->")]
+            assert nodes[0] == r["start"] and nodes[-1] == r["end"]
+            assert len(nodes) == 4  # start + 3 hops
+            for a, b in zip(nodes, nodes[1:]):
+                assert b in adj[a]  # every hop is a real edge
+
+    def test_max_degree_cap_keeps_lowest_ids(self, spark):
+        from eventstreamml_spark.operators.graph import random_walks
+
+        # star: hub 1 connected to 2..6; cap hub adjacency at 2
+        edges = spark.createDataFrame(
+            [(1, n) for n in range(2, 7)], "src int, dst int"
+        )
+        out = random_walks(edges, n_steps=1, max_degree=2).collect()
+        hub = next(r for r in out if r["start"] == 1)
+        assert hub["end"] in (2, 3)  # only the two lowest ids survive
