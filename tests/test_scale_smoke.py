@@ -79,3 +79,48 @@ def test_scale_rolling_window(spark):
     assert stats["n"] == N
     # minute spacing → at most ~61 events can fall into any hour window
     assert 2 <= stats["mx"] <= 62
+
+
+def test_scale_sketches_and_bootstrap(spark):
+    """Round-4 sketch/resampling ops at ~30x bench volume: the HLL and
+    the quantile sketch reduce 2M rows to fixed-size register/histogram
+    relations; the Poisson bootstrap's 2B aggregate expressions ride
+    one map-side-combined pass. Every assertion is an aggregate —
+    nothing row-sized reaches the driver."""
+    from eventstreamml_spark.operators.sketches import (
+        hll_distinct_estimate,
+        quantile_sketch,
+    )
+    from eventstreamml_spark.operators.stats import bootstrap_mean_ci
+
+    ev = _events(spark).withColumn(
+        "row_id", F.monotonically_increasing_id()
+    )
+
+    hll = hll_distinct_estimate(ev, "subject_id", by="event_type").collect()
+    assert len(hll) == 5  # one row per type — the sketch is the output
+    for r in hll:
+        # subject_id = id%50k and type = id%5 couple (50000 % 5 == 0):
+        # each type sees exactly N_SUBJECTS/5 distinct subjects
+        expect = N_SUBJECTS / 5
+        assert abs(r["estimate"] - expect) / expect < 0.15
+
+    qs = {
+        (r["event_type"], r["p"]): r["estimate"]
+        for r in quantile_sketch(
+            ev.filter(F.col("value") > 0), "value", "event_type", probs=[0.5]
+        ).collect()
+    }
+    assert len(qs) == 5
+    for est in qs.values():
+        # value = id % 1000 uniform -> median ~500, sketch rel err ~2.5%
+        assert 450 <= est <= 550
+
+    ci = bootstrap_mean_ci(
+        ev, "value", "row_id", "event_type", n_replicates=16
+    ).collect()
+    assert len(ci) == 5
+    for r in ci:
+        assert r["ci_lo"] < r["mean_value"] < r["ci_hi"]
+        # 400k rows per type: the CI of the mean must be tight
+        assert r["ci_hi"] - r["ci_lo"] < 10.0
