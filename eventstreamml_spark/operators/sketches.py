@@ -228,3 +228,58 @@ def hll_distinct_estimate(
         F.round(est, 3).alias("estimate"),
         F.col("_nz").cast("long").alias("buckets_used"),
     )
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Sketch-based equi-join cardinality estimation — the statistic a
+    cost-based planner wants BEFORE paying for the join: hash both key
+    columns into ``n_buckets`` md5 buckets, and Σ cntₗ(b)·cntᵣ(b) over
+    the bucket pairs upper-bounds |A ⋈ B| (exact when no two distinct
+    keys share a bucket; collisions only ever overcount). Each side
+    pays one map-side-combined groupBy to a fixed-size count vector;
+    the product-sum joins two |buckets|-sized relations. The output
+    also carries the exact join count and the relative overcount so the
+    estimator audits itself."""
+
+    def counts(df: DataFrame, key: str, out: str) -> DataFrame:
+        b = (
+            F.conv(
+                F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            % n_buckets
+        )
+        return (
+            df.filter(F.col(key).isNotNull())
+            .groupBy(b.alias("b"))
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+    cl = counts(left, left_key, "cl")
+    cr = counts(right, right_key, "cr")
+    est = cl.join(cr, "b").agg(
+        F.sum(F.col("cl") * F.col("cr")).cast("long").alias("estimate")
+    )
+    exact = (
+        left.select(F.col(left_key).alias("_k"))
+        .join(right.select(F.col(right_key).alias("_k")), "_k")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact"))
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            "estimate",
+            "exact",
+            F.round(
+                F.try_divide(
+                    (F.col("estimate") - F.col("exact")).cast("double"),
+                    F.col("exact"),
+                ),
+                6,
+            ).alias("rel_overcount"),
+        )
+    )

@@ -8887,3 +8887,151 @@ def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_id") % 997).alias("dst"),
     )
     return random_walks(edges, n_steps=4)
+
+
+@register(
+    "streaming_psi_drift",
+    """
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS w,
+             CAST(least(greatest(floor(value / 100), 0), 9) AS INT) AS bin,
+             count(*) AS c
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    wins AS (SELECT DISTINCT w FROM h),
+    bins AS (SELECT CAST(unnest(range(10)) AS INT) AS bin),
+    scaf AS (SELECT w, bin FROM wins CROSS JOIN bins),
+    wj AS (
+      SELECT s.w, s.bin, coalesce(h.c, 0) AS c
+      FROM scaf s LEFT JOIN h ON h.w = s.w AND h.bin = s.bin
+    ),
+    wn AS (SELECT w, bin, c, sum(c) OVER (PARTITION BY w) AS nw FROM wj),
+    bl AS (
+      SELECT CAST(least(greatest(floor(value / 100), 0), 9) AS INT) AS bin,
+             count(*) AS bc
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    blf AS (
+      SELECT bins.bin, coalesce(bl.bc, 0) AS bc
+      FROM bins LEFT JOIN bl ON bl.bin = bins.bin
+    ),
+    nb AS (SELECT count(*) AS n FROM events WHERE value IS NOT NULL),
+    p AS (
+      SELECT wn.w, wn.c, wn.nw,
+             (CAST(wn.c AS DOUBLE) + 0.5) / (CAST(wn.nw AS DOUBLE) + 5.0)
+               AS pw,
+             (CAST(blf.bc AS DOUBLE) + 0.5) / (CAST(nb.n AS DOUBLE) + 5.0)
+               AS pb
+      FROM wn JOIN blf ON blf.bin = wn.bin CROSS JOIN nb
+    )
+    SELECT w AS window_start, CAST(max(nw) AS BIGINT) AS n_events,
+           round(sum((pw - pb) * ln(pw / pb)), 6) AS psi
+    FROM p GROUP BY w
+    """,
+)
+def q_streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor: hourly value histograms build
+    INCREMENTALLY (bounded per-window state, streaming/ops.py
+    windowed_value_bins); the PSI of each window against the corpus
+    baseline — zero-filled bins, 0.5 smoothing — is a batch read-off
+    over the finalized histogram, so an availableNow run equals the
+    batch computation bit-for-bit."""
+    from pyspark.sql import Window as W
+    from eventstreamml_spark.streaming.ops import windowed_value_bins
+
+    ev = _events_stream(spark, sf_dir)
+    hist = _run_available_now(
+        windowed_value_bins(ev, ts_col="ts"), "complete"
+    ).select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "bin",
+        "c",
+    )
+    wins = hist.select("window_start").distinct()
+    scaf = wins.select(
+        "window_start", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin")
+    )
+    wj = scaf.join(hist, ["window_start", "bin"], "left").select(
+        "window_start", "bin", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    wn = wj.select(
+        "window_start",
+        "bin",
+        "c",
+        F.sum("c").over(W.partitionBy("window_start")).alias("nw"),
+    )
+    batch = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    bl = batch.groupBy(
+        F.least(
+            F.greatest(F.floor(F.col("value") / 100), F.lit(0)), F.lit(9)
+        )
+        .cast("int")
+        .alias("bin")
+    ).agg(F.count(F.lit(1)).alias("bc"))
+    blf = (
+        wins.sparkSession.range(10)
+        .select(F.col("id").cast("int").alias("bin"))
+        .join(bl, "bin", "left")
+        .select("bin", F.coalesce(F.col("bc"), F.lit(0)).alias("bc"))
+    )
+    nb = batch.agg(F.count(F.lit(1)).alias("n"))
+    p = (
+        wn.join(F.broadcast(blf), "bin")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "window_start",
+            "nw",
+            ((F.col("c").cast("double") + 0.5) / (F.col("nw").cast("double") + 5.0)).alias("pw"),
+            ((F.col("bc").cast("double") + 0.5) / (F.col("n").cast("double") + 5.0)).alias("pb"),
+        )
+    )
+    return p.groupBy("window_start").agg(
+        F.max("nw").cast("long").alias("n_events"),
+        F.round(
+            F.sum((F.col("pw") - F.col("pb")) * F.log(F.col("pw") / F.col("pb"))),
+            6,
+        ).alias("psi"),
+    )
+
+
+@register(
+    "join_size_estimate",
+    """
+    WITH cl AS (
+      SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 4096
+               AS b, count(*) AS cl
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    cr AS (
+      SELECT ('0x' || substr(md5(o_custkey::VARCHAR), 1, 8))::BIGINT % 4096
+               AS b, count(*) AS cr
+      FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+    ),
+    est AS (
+      SELECT CAST(sum(cl.cl * cr.cr) AS BIGINT) AS estimate
+      FROM cl JOIN cr ON cl.b = cr.b
+    ),
+    ex AS (
+      SELECT CAST(count(*) AS BIGINT) AS exact
+      FROM events e JOIN orders o ON e.user_id = o.o_custkey
+    )
+    SELECT estimate, exact,
+           round((estimate - exact) / CAST(exact AS DOUBLE), 6)
+             AS rel_overcount
+    FROM est CROSS JOIN ex
+    """,
+)
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based join cardinality estimation (4096 md5 buckets):
+    each side reduces to a fixed-size bucket-count vector, the
+    product-sum upper-bounds the equi-join size (collisions only
+    overcount), and the output audits itself against the exact count
+    (operators/sketches.py join_size_estimate)."""
+    from eventstreamml_spark.operators.sketches import join_size_estimate
+
+    return join_size_estimate(
+        _events(spark, sf_dir),
+        load_table(spark, sf_dir, "orders"),
+        "user_id",
+        "o_custkey",
+    )

@@ -525,3 +525,35 @@ def windowed_quantile_bins(
             "c",
         )
     )
+
+
+def windowed_value_bins(
+    events: DataFrame,
+    n_bins: int = 10,
+    bin_width: float = 100.0,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+    ts_col: str = "timestamp",
+    value_col: str = "value",
+) -> DataFrame:
+    """Fixed-width value binning as an incremental watermarked windowed
+    aggregation — the streaming substrate for the PSI drift monitor:
+    per (tumbling window, bin) counts with bounded per-window state
+    (``n_bins`` counters). The PSI read-off against a static baseline
+    is a batch join over the finalized histogram (the caller composes
+    it), so an availableNow run equals the batch computation
+    bit-for-bit."""
+    x = F.col(value_col).cast("double")
+    b = F.least(
+        F.greatest(F.floor(x / bin_width), F.lit(0)), F.lit(n_bins - 1)
+    ).cast("int")
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .filter(x.isNotNull())
+        .groupBy(
+            F.window(F.col(ts_col), window_duration).alias("window"),
+            b.alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("window.start").alias("window_start"), "bin", "c")
+    )

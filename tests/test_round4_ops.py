@@ -993,3 +993,45 @@ class TestRandomWalks:
         out = random_walks(edges, n_steps=1, max_degree=2).collect()
         hub = next(r for r in out if r["start"] == 1)
         assert hub["end"] in (2, 3)  # only the two lowest ids survive
+
+
+class TestJoinSizeEstimate:
+    def test_exact_when_no_collisions(self, spark):
+        from eventstreamml_spark.operators.sketches import join_size_estimate
+
+        a = spark.createDataFrame([(1,), (1,), (2,), (3,)], "k long")
+        b = spark.createDataFrame([(1,), (2,), (2,), (9,)], "k long")
+        out = join_size_estimate(a, b, "k", "k", n_buckets=4096).collect()[0]
+        # |join| = 2*1 + 1*2 = 4; 4 keys in 4096 buckets: no collisions
+        assert out["exact"] == 4 and out["estimate"] == 4
+        assert out["rel_overcount"] == 0.0
+
+    def test_collisions_only_overcount(self, spark):
+        from eventstreamml_spark.operators.sketches import join_size_estimate
+
+        a = spark.range(500).select(F.col("id").alias("k"))
+        b = spark.range(500).select(F.col("id").alias("k"))
+        out = join_size_estimate(a, b, "k", "k", n_buckets=64).collect()[0]
+        assert out["exact"] == 500
+        assert out["estimate"] >= out["exact"]  # never undercounts
+
+
+class TestWindowedValueBins:
+    def test_bin_edges_clamped(self, spark):
+        from eventstreamml_spark.streaming.ops import windowed_value_bins
+
+        # batch frame through the same expression path (no stream needed
+        # for the binning semantics): negative clamps to 0, huge to 9
+        df = spark.sql(
+            """SELECT * FROM VALUES
+               (timestamp'2024-01-01 00:10:00', -5.0),
+               (timestamp'2024-01-01 00:20:00', 950.0),
+               (timestamp'2024-01-01 00:30:00', 99999.0),
+               (timestamp'2024-01-01 00:40:00', CAST(NULL AS DOUBLE))
+               AS t(timestamp, value)"""
+        )
+        out = {
+            r["bin"]: r["c"]
+            for r in windowed_value_bins(df).collect()
+        }
+        assert out == {0: 1, 9: 2}  # null dropped, extremes clamped
