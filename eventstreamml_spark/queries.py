@@ -9035,3 +9035,52 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "o_custkey",
     )
+
+
+@register(
+    "subject_group_kfold",
+    """
+    WITH f AS (
+      SELECT user_id,
+             ('0x' || substr(md5('fold:' || user_id::VARCHAR), 1, 4))::BIGINT
+               % 5 AS fold,
+             CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS y
+      FROM events
+    )
+    SELECT fold,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_subjects,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(avg(y), 6) AS label_rate
+    FROM f GROUP BY fold
+    """,
+)
+def q_subject_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group k-fold assignment for leakage-safe cross-validation: the
+    fold is a pure md5 hash of the SUBJECT (every event of a subject
+    lands in one fold — the grouping that stops a subject's events
+    straddling train and validation), audited per fold with subject
+    count, event count, and label rate. Zero joins — a projection and
+    one groupBy."""
+    ev = _events(spark, sf_dir)
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fold:"), F.col("user_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    )
+    y = F.when(F.col("user_id") % 3 == 0, 1).otherwise(0)
+    return (
+        ev.select(fold.alias("fold"), "user_id", y.alias("_y"))
+        .groupBy("fold")
+        .agg(
+            F.count_distinct(F.col("user_id")).cast("long").alias("n_subjects"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.avg("_y"), 6).alias("label_rate"),
+        )
+    )
