@@ -6861,7 +6861,7 @@ def q_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_bm25_topk",
-    """
+    r"""
     WITH words AS (
       SELECT doc_id, lower(unnest(regexp_split_to_array(text, '\s+'))) AS term
       FROM documents
