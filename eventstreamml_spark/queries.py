@@ -36,8 +36,11 @@ def register(name: str, oracle: str | None):
 # per round, so emission order is decoupled from registration order and
 # rotates each round. Round-4 window: the 3 formerly-red rows (HUGEINT
 # oracle-type artifact, now CAST to BIGINT — re-run to prove green) plus
-# the first 47 of the 86 never-driver-verified names. 39 never-run names
-# queue for round 5 (see tests/test_registry_hygiene.py window guard).
+# the first 47 of the 86 never-driver-verified names. Round-5 rotation
+# backlog: the 39 names that missed this window PLUS the 34 queries added
+# in round 4 (registered after _ORDER_FIRST, so they emit after it) —
+# 73 never-driver-run, needing two more rotations. All are green in the
+# local replica (tests/test_oracle_parity.py, full 218-query sweep).
 _ORDER_FIRST: list[str] = [
     "viod_outlier_bounds",
     "tpch_q12_priority_by_linestatus",
