@@ -9087,3 +9087,146 @@ def q_subject_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("_y"), 6).alias("label_rate"),
         )
     )
+
+
+@register(
+    "fairness_rate_gaps",
+    """
+    WITH p AS (
+      SELECT user_id % 5 AS segment,
+             CASE WHEN (('0x' || substr(md5('s' || event_id::VARCHAR), 1, 4))
+                        ::BIGINT % 1000) / 999.0 >= 0.5
+                  THEN 1 ELSE 0 END AS pred
+      FROM events
+    ),
+    seg AS (
+      SELECT segment, CAST(count(*) AS BIGINT) AS n,
+             avg(pred) AS rate
+      FROM p GROUP BY segment
+    ),
+    o AS (SELECT avg(pred) AS overall FROM p)
+    SELECT segment, n, round(rate, 6) AS positive_rate,
+           round(rate - overall, 6) AS gap_to_overall,
+           round(abs(rate - overall), 6) AS abs_gap
+    FROM seg CROSS JOIN o
+    """,
+)
+def q_fairness_rate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demographic-parity audit of the deterministic classifier across
+    5 hash segments: positive-prediction rate per segment and its gap
+    to the overall rate (the statistic fairness dashboards alert on) —
+    one groupBy plus a broadcast overall scalar."""
+    ev = _events(spark, sf_dir)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("s"), F.col("event_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long") % 1000
+    ) / 999.0
+    p = ev.select(
+        (F.col("user_id") % 5).alias("segment"),
+        (u >= 0.5).cast("int").alias("pred"),
+    )
+    seg = p.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("pred").alias("_rate"),
+    )
+    overall = p.agg(F.avg("pred").alias("_overall"))
+    return seg.crossJoin(F.broadcast(overall)).select(
+        "segment",
+        "n",
+        F.round(F.col("_rate"), 6).alias("positive_rate"),
+        F.round(F.col("_rate") - F.col("_overall"), 6).alias("gap_to_overall"),
+        F.round(F.abs(F.col("_rate") - F.col("_overall")), 6).alias("abs_gap"),
+    )
+
+
+@register(
+    "corpus_source_diversity",
+    """
+    WITH c AS (
+      SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT lang, source, n, sum(n) OVER (PARTITION BY lang) AS tot FROM c
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_sources,
+           CAST(max(tot) AS BIGINT) AS n_docs,
+           round(exp(-sum((n / CAST(tot AS DOUBLE))
+                          * ln(n / CAST(tot AS DOUBLE)))), 6)
+             AS effective_sources
+    FROM t GROUP BY lang
+    """,
+)
+def q_corpus_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix diversity per language as the Hill number of order
+    1 (exp of the source-share entropy): 'how many equally-weighted
+    sources is this mix worth' — the number a data-mixture dashboard
+    tracks; window marginals over the tiny (lang, source) count
+    relation, raw docs scanned once."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("_n"))
+    tot = F.sum("_n").over(W.partitionBy("lang"))
+    share = F.col("_n") / tot.cast("double")
+    t = c.select("lang", "_n", tot.alias("_tot"), share.alias("_p"))
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.max("_tot").cast("long").alias("n_docs"),
+        F.round(F.exp(-F.sum(F.col("_p") * F.log(F.col("_p")))), 6).alias(
+            "effective_sources"
+        ),
+    )
+
+
+@register(
+    "dq_benford_values",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(abs(value)) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INT) AS digit
+      FROM events WHERE value IS NOT NULL AND abs(value) >= 1
+    ),
+    c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT sum(n) AS tot FROM c)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           round(n / CAST(tot AS DOUBLE), 6) AS observed,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford,
+           round(n / CAST(tot AS DOUBLE) - log10(1.0 + 1.0 / digit), 6)
+             AS deviation
+    FROM c CROSS JOIN t
+    """,
+)
+def q_dq_benford_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit profile of event values — the
+    fabricated-data / unit-mix-up detector auditors run on numeric
+    feeds: observed first-significant-digit shares against log10(1+1/d)
+    with per-digit deviation; one projection and one 9-row groupBy."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("value").isNotNull() & (F.abs(F.col("value")) >= 1)
+    )
+    digit = (
+        F.substring(
+            F.floor(F.abs(F.col("value"))).cast("long").cast("string"), 1, 1
+        ).cast("int")
+    )
+    c = ev.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    tot = c.agg(F.sum("_n").alias("_tot"))
+    benford = F.log10(1.0 + 1.0 / F.col("digit"))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("_n").cast("long").alias("n"),
+        F.round(F.col("_n") / F.col("_tot").cast("double"), 6).alias("observed"),
+        F.round(benford, 6).alias("benford"),
+        F.round(
+            F.col("_n") / F.col("_tot").cast("double") - benford, 6
+        ).alias("deviation"),
+    )
