@@ -1035,3 +1035,56 @@ class TestWindowedValueBins:
             for r in windowed_value_bins(df).collect()
         }
         assert out == {0: 1, 9: 2}  # null dropped, extremes clamped
+
+
+class TestRound4PlanShapes:
+    """Pin the documented shuffle shapes of the round-4 operators — a
+    regression that adds an exchange is a scale bug even when results
+    stay correct."""
+
+    def _plan(self, df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def _retrieval(self, spark):
+        return spark.range(100).select(
+            (F.col("id") % 5).alias("query_id"),
+            F.col("id").alias("item"),
+            (F.col("id") % 17 / 17.0).alias("score"),
+            (F.col("id") % 3).alias("rel"),
+        )
+
+    def test_ndcg_single_exchange(self, spark):
+        from eventstreamml_spark.operators.evalmetrics import ndcg_at_k
+
+        plan = self._plan(ndcg_at_k(self._retrieval(spark)))
+        # both rank windows AND the groupBy share the query-id
+        # partitioning: exactly one hash exchange in the whole plan
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_average_precision_single_exchange(self, spark):
+        from eventstreamml_spark.operators.evalmetrics import (
+            average_precision_at_k,
+        )
+
+        plan = self._plan(average_precision_at_k(self._retrieval(spark)))
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_skipgram_no_nested_loop(self, spark):
+        from eventstreamml_spark.operators.text import skipgram_pairs
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e")], "doc_id int, text string"
+        )
+        plan = self._plan(skipgram_pairs(docs, window=2, min_count=1))
+        # the distance fan-out must stay an equi-join — a range join
+        # would plan as a nested-loop/cartesian and explode at scale
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+    def test_hll_register_reduction_single_hash_exchange(self, spark):
+        from eventstreamml_spark.operators.sketches import hll_distinct_estimate
+
+        df = spark.range(100).select(F.col("id").alias("k"))
+        plan = self._plan(hll_distinct_estimate(df, "k"))
+        # raw rows reduce to registers with ONE hash exchange; the
+        # final harmonic sum is a single-partition agg of <=1024 rows
+        assert plan.count("Exchange hashpartitioning") == 1
