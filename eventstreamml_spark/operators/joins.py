@@ -162,3 +162,51 @@ def fuzzy_join(
             "edit_distance",
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    window: int = 3,
+    max_edit: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood entity-resolution candidates — the
+    complement to :func:`fuzzy_join`'s hash blocking: sort the corpus
+    once by the match key and compare each record only against its
+    ``window`` successors, so near-duplicates land adjacent even when a
+    typo sits IN the blocking key itself (where an equality block
+    silently drops the pair).
+
+    Scale shape: the global order comes from the engine's distributed
+    dense-rank (``dense_ids`` — range-partitioned sort, no single-task
+    window), and the neighborhood is a bounded ``window``-way distance
+    fan-out joined back on rank equality — the same one-equi-join
+    pattern as skip-gram extraction. The quadratic term is
+    window·n, not block-size², regardless of key skew. Levenshtein runs
+    with the threshold argument (short-circuits the DP past the
+    bound)."""
+    from eventstreamml_spark.operators.windows import dense_ids
+
+    base = df.select(F.col(id_col), F.col(str_col))
+    ranked = dense_ids(
+        base, order_cols=[str_col, id_col], out_col="_rk"
+    )
+    d = F.explode(
+        F.array(*[F.lit(i) for i in range(1, window + 1)])
+    ).alias("_d")
+    left = ranked.select(
+        F.col(id_col).alias("a_id"), F.col(str_col).alias("a_val"), "_rk", d
+    ).select("a_id", "a_val", (F.col("_rk") + F.col("_d")).alias("_tgt"))
+    right = ranked.select(
+        F.col("_rk").alias("_tgt"),
+        F.col(id_col).alias("b_id"),
+        F.col(str_col).alias("b_val"),
+    )
+    pairs = left.join(right, "_tgt")
+    dist = F.levenshtein(F.col("a_val"), F.col("b_val"), max_edit)
+    return (
+        pairs.withColumn("edit_distance", dist)
+        .filter(F.col("edit_distance") >= 0)
+        .select("a_id", "b_id", "a_val", "b_val", "edit_distance")
+    )

@@ -9230,3 +9230,35 @@ def q_dq_benford_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_n") / F.col("_tot").cast("double") - benford, 6
         ).alias("deviation"),
     )
+
+
+@register(
+    "snm_customer_pairs",
+    """
+    WITH r AS (
+      SELECT c_custkey AS id, c_name AS v,
+             row_number() OVER (ORDER BY c_name, c_custkey) - 1 AS rk
+      FROM customer
+    ),
+    d AS (SELECT unnest([1, 2, 3]) AS d),
+    p AS (
+      SELECT a.id AS a_id, b.id AS b_id, a.v AS a_val, b.v AS b_val
+      FROM r a, d, r b WHERE b.rk = a.rk + d.d
+    )
+    SELECT a_id, b_id, a_val, b_val,
+           levenshtein(a_val, b_val) AS edit_distance
+    FROM p WHERE levenshtein(a_val, b_val) <= 2
+    """,
+)
+def q_snm_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood ER candidates over customer names (window 3,
+    edit distance <= 2): distributed dense-rank sort + bounded rank
+    fan-out equi-join — the blocking discipline that still pairs
+    records whose typo sits in the blocking key itself
+    (operators/joins.py sorted_neighborhood_pairs)."""
+    from eventstreamml_spark.operators.joins import sorted_neighborhood_pairs
+
+    cust = load_table(spark, sf_dir, "customer")
+    return sorted_neighborhood_pairs(
+        cust, "c_custkey", "c_name", window=3, max_edit=2
+    )

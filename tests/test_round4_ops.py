@@ -1088,3 +1088,38 @@ class TestRound4PlanShapes:
         # raw rows reduce to registers with ONE hash exchange; the
         # final harmonic sum is a single-partition agg of <=1024 rows
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestSortedNeighborhood:
+    def test_typo_in_block_key_still_pairs(self, spark):
+        from eventstreamml_spark.operators.joins import (
+            sorted_neighborhood_pairs,
+        )
+
+        # 'smith'/'smyth' sort adjacent; a hash block on the full name
+        # would separate them — SNM's whole point
+        df = spark.createDataFrame(
+            [(1, "smith"), (2, "smyth"), (3, "zzz")],
+            "id long, name string",
+        )
+        out = sorted_neighborhood_pairs(
+            df, "id", "name", window=2, max_edit=1
+        ).collect()
+        pairs = {(r["a_id"], r["b_id"]): r["edit_distance"] for r in out}
+        assert pairs == {(1, 2): 1}
+
+    def test_window_bounds_candidates(self, spark):
+        from eventstreamml_spark.operators.joins import (
+            sorted_neighborhood_pairs,
+        )
+
+        rows = [(i, f"name{i:03d}") for i in range(10)]
+        df = spark.createDataFrame(rows, "id long, name string")
+        out = sorted_neighborhood_pairs(
+            df, "id", "name", window=2, max_edit=3
+        )
+        # each record pairs with at most 2 successors: <= 2n candidates
+        assert out.count() <= 2 * 10
+        # every pair is within 2 rank positions: ids sort like names here
+        for r in out.collect():
+            assert 0 < r["b_id"] - r["a_id"] <= 2
