@@ -9262,3 +9262,222 @@ def q_snm_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_neighborhood_pairs(
         cust, "c_custkey", "c_name", window=3, max_edit=2
     )
+
+
+@register(
+    "hourly_seasonal_naive_mae",
+    """
+    WITH c AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+    hours AS (
+      SELECT unnest(generate_series(lo + 168, hi)) AS h FROM span
+    ),
+    types AS (SELECT DISTINCT event_type FROM c),
+    scaf AS (SELECT t.event_type, hours.h FROM types t CROSS JOIN hours),
+    ev AS (
+      SELECT s.event_type, s.h,
+             coalesce(a.n, 0) AS actual,
+             coalesce(p.n, 0) AS pred
+      FROM scaf s
+      LEFT JOIN c a ON a.event_type = s.event_type AND a.h = s.h
+      LEFT JOIN c p ON p.event_type = s.event_type AND p.h = s.h - 168
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+           round(avg(abs(actual - pred)), 6) AS mae,
+           round(avg(CASE WHEN actual + pred > 0
+                          THEN 2.0 * abs(actual - pred) / (actual + pred)
+                     END), 6) AS smape
+    FROM ev GROUP BY event_type
+    """,
+)
+def q_hourly_seasonal_naive_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast baseline (predict hour h with hour
+    h-168) evaluated per event type over a zero-filled hour scaffold —
+    the benchmark every fancier forecaster must beat, and the oncall
+    answer to 'is this week weird': MAE and sMAPE per type. The
+    scaffold is a broadcast min..max sequence (missing hours count as
+    0 on both sides); two left joins against the hourly counts."""
+    ev = _events(spark, sf_dir)
+    us = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    c = ev.groupBy(
+        "event_type", (us / 3600).cast("long").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    span = c.agg(F.min("h").alias("_lo"), F.max("h").alias("_hi"))
+    hours = span.select(
+        F.explode(F.sequence(F.col("_lo") + 168, F.col("_hi"))).alias("h")
+    )
+    types = c.select("event_type").distinct()
+    scaf = types.crossJoin(hours)
+    a = c.select("event_type", "h", F.col("n").alias("_na"))
+    p = c.select(
+        "event_type", (F.col("h") + 168).alias("h"), F.col("n").alias("_np")
+    )
+    evl = (
+        scaf.join(a, ["event_type", "h"], "left")
+        .join(p, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.coalesce(F.col("_na"), F.lit(0)).alias("actual"),
+            F.coalesce(F.col("_np"), F.lit(0)).alias("pred"),
+        )
+    )
+    diff = F.abs(F.col("actual") - F.col("pred"))
+    return evl.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.round(F.avg(diff), 6).alias("mae"),
+        F.round(
+            F.avg(
+                F.when(
+                    (F.col("actual") + F.col("pred")) > 0,
+                    2.0 * diff / (F.col("actual") + F.col("pred")),
+                )
+            ),
+            6,
+        ).alias("smape"),
+    )
+
+
+@register(
+    "retrieval_rrf_fusion",
+    """
+    WITH q AS (
+      SELECT user_id % 211 AS query_id, event_id AS item,
+             (('0x' || substr(md5('s' || event_id::VARCHAR), 1, 4))::BIGINT
+              % 1000) / 999.0 AS s1,
+             (('0x' || substr(md5('q' || event_id::VARCHAR), 1, 4))::BIGINT
+              % 1000) / 999.0 AS s2
+      FROM events
+    ),
+    r AS (
+      SELECT query_id, item,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s1 DESC, item) AS r1,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s2 DESC, item) AS r2
+      FROM q
+    ),
+    f AS (
+      SELECT query_id, item,
+             1.0 / (60 + r1) + 1.0 / (60 + r2) AS rrf
+      FROM r
+    )
+    SELECT query_id, item, round(rrf, 6) AS rrf_score, rk FROM (
+      SELECT query_id, item, rrf,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf DESC, item) AS rk
+      FROM f
+    ) WHERE rk <= 5
+    """,
+)
+def q_retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two independent rankings (k=60, top-5
+    per query): three rank windows ALL partitioned by the query key —
+    Catalyst plans one exchange; the hybrid-search merge every
+    BM25+vector stack runs, with deterministic item tiebreaks."""
+    from pyspark.sql import Window as W
+
+    ev = _events(spark, sf_dir)
+    h4 = lambda salt: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("event_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    q = ev.select(
+        (F.col("user_id") % 211).alias("query_id"),
+        F.col("event_id").alias("item"),
+        ((h4("s") % 1000) / 999.0).alias("s1"),
+        ((h4("q") % 1000) / 999.0).alias("s2"),
+    )
+    part = W.partitionBy("query_id")
+    r1 = F.row_number().over(part.orderBy(F.col("s1").desc(), F.col("item")))
+    r2 = F.row_number().over(part.orderBy(F.col("s2").desc(), F.col("item")))
+    f = q.select(
+        "query_id",
+        "item",
+        (1.0 / (60 + r1) + 1.0 / (60 + r2)).alias("_rrf"),
+    )
+    rk = F.row_number().over(part.orderBy(F.col("_rrf").desc(), F.col("item")))
+    return (
+        f.select("query_id", "item", "_rrf", rk.alias("rk"))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "item", F.round(F.col("_rrf"), 6).alias("rrf_score"), "rk")
+    )
+
+
+@register(
+    "doc_langid_confusion",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(lower(text),' '),
+                 w -> list_contains(['der','die','und','das','von','ein','zu','mit'], w)))::DOUBLE
+               / len(string_split(lower(text),' ')) AS s_de,
+             len(list_filter(string_split(lower(text),' '),
+                 w -> list_contains(['the','and','of','to','a','in','is','it'], w)))::DOUBLE
+               / len(string_split(lower(text),' ')) AS s_en,
+             len(list_filter(string_split(lower(text),' '),
+                 w -> list_contains(['el','la','de','que','y','en','un','es'], w)))::DOUBLE
+               / len(string_split(lower(text),' ')) AS s_es,
+             len(list_filter(string_split(lower(text),' '),
+                 w -> list_contains(['le','la','de','et','un','les','des','en'], w)))::DOUBLE
+               / len(string_split(lower(text),' ')) AS s_fr
+      FROM documents
+    ),
+    p AS (
+      SELECT lang AS label,
+             CASE WHEN greatest(s_de,s_en,s_es,s_fr) = 0 THEN 'und'
+                  WHEN s_fr = greatest(s_de,s_en,s_es,s_fr) THEN 'fr'
+                  WHEN s_es = greatest(s_de,s_en,s_es,s_fr) THEN 'es'
+                  WHEN s_en = greatest(s_de,s_en,s_es,s_fr) THEN 'en'
+                  ELSE 'de' END AS pred
+      FROM scored
+    ),
+    c AS (SELECT label AS l, pred AS p2, count(*) AS n FROM p GROUP BY 1, 2),
+    bl AS (
+      SELECT l AS clazz, sum(n) AS n_label,
+             sum(CASE WHEN p2 = l THEN n END) AS tp
+      FROM c GROUP BY 1
+    ),
+    bp AS (SELECT p2 AS clazz, sum(n) AS n_pred FROM c GROUP BY 1),
+    m AS (
+      SELECT coalesce(bl.clazz, bp.clazz) AS clazz,
+             CAST(coalesce(tp, 0) AS BIGINT) AS tp,
+             CAST(coalesce(n_label, 0) AS BIGINT) AS n_label,
+             CAST(coalesce(n_pred, 0) AS BIGINT) AS n_pred
+      FROM bl FULL OUTER JOIN bp ON bl.clazz = bp.clazz
+    )
+    SELECT clazz, tp, n_label, n_pred,
+           round(tp / nullif(n_pred, 0), 6) AS precision,
+           round(tp / nullif(n_label, 0), 6) AS recall,
+           round(2 * (tp / nullif(n_pred, 0)) * (tp / nullif(n_label, 0))
+                 / nullif((tp / nullif(n_pred, 0))
+                          + (tp / nullif(n_label, 0)), 0), 6) AS f1
+    FROM m
+    """,
+)
+def q_doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end language-ID quality audit: the heuristic lang-ID's
+    predictions against the labeled lang column, reduced to per-class
+    precision/recall/F1 — two verified components composed (text.py
+    lang_id -> evalmetrics.py multiclass_metrics), so the zh class
+    (absent from the heuristic's profiles) shows up honestly as a
+    recall-0 row."""
+    from eventstreamml_spark.operators.evalmetrics import multiclass_metrics
+    from eventstreamml_spark.operators.text import language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    preds = language_id(docs).select(
+        "doc_id", F.col("lang_pred").alias("pred")
+    ).join(docs.select("doc_id", F.col("lang").alias("label")), "doc_id")
+    return multiclass_metrics(preds.select("label", "pred"))
