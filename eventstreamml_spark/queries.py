@@ -9481,3 +9481,115 @@ def q_doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("lang_pred").alias("pred")
     ).join(docs.select("doc_id", F.col("lang").alias("label")), "doc_id")
     return multiclass_metrics(preds.select("label", "pred"))
+
+
+@register(
+    "order_backlog_aging",
+    """
+    WITH mx AS (SELECT max(o_orderdate) AS as_of FROM orders),
+    open_o AS (
+      SELECT o_orderkey, o_totalprice,
+             date_diff('day', o_orderdate, as_of) AS age_days
+      FROM orders CROSS JOIN mx WHERE o_orderstatus = 'O'
+    )
+    SELECT CASE WHEN age_days < 30 THEN '00-29'
+                WHEN age_days < 90 THEN '30-89'
+                WHEN age_days < 365 THEN '90-364'
+                ELSE '365+' END AS age_bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 4) AS open_value,
+           CAST(min(age_days) AS BIGINT) AS min_age,
+           CAST(max(age_days) AS BIGINT) AS max_age
+    FROM open_o GROUP BY 1
+    """,
+)
+def q_order_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging buckets as of the newest order date
+    (the ops dashboard every fulfillment team runs): one broadcast
+    as-of scalar, one projection, one 4-row groupBy."""
+    od = load_table(spark, sf_dir, "orders")
+    asof = od.agg(F.max("o_orderdate").alias("_asof"))
+    aged = (
+        od.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(asof))
+        .select(
+            "o_totalprice",
+            F.datediff(F.col("_asof"), F.col("o_orderdate")).alias("age_days"),
+        )
+    )
+    bucket = (
+        F.when(F.col("age_days") < 30, "00-29")
+        .when(F.col("age_days") < 90, "30-89")
+        .when(F.col("age_days") < 365, "90-364")
+        .otherwise("365+")
+    )
+    return aged.groupBy(bucket.alias("age_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("open_value"),
+        F.min("age_days").cast("long").alias("min_age"),
+        F.max("age_days").cast("long").alias("max_age"),
+    )
+
+
+@register(
+    "hourly_autocorrelation",
+    """
+    WITH c AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+    hours AS (SELECT unnest(generate_series(lo, hi)) AS h FROM span),
+    types AS (SELECT DISTINCT event_type FROM c),
+    z AS (
+      SELECT t.event_type, hours.h, coalesce(c.n, 0) AS n
+      FROM types t CROSS JOIN hours
+      LEFT JOIN c ON c.event_type = t.event_type AND c.h = hours.h
+    ),
+    lags AS (SELECT CAST(unnest([1, 24]) AS BIGINT) AS lag),
+    pairs AS (
+      SELECT a.event_type, l.lag, a.n AS x, b.n AS y
+      FROM z a JOIN lags l ON TRUE
+      JOIN z b ON b.event_type = a.event_type AND b.h = a.h + l.lag
+    )
+    SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(corr(x, y), 6) AS acf
+    FROM pairs GROUP BY 1, 2
+    """,
+)
+def q_hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly-count autocorrelation at lags 1 and 24 per event type
+    over a zero-filled hour scaffold — the seasonality detector that
+    justifies the seasonal-naive baseline's 168h choice: one scaffold,
+    one shifted self-join per the bounded lag fan-out, Pearson corr as
+    the aggregate."""
+    ev = _events(spark, sf_dir)
+    us = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    c = ev.groupBy(
+        "event_type", (us / 3600).cast("long").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    span = c.agg(F.min("h").alias("_lo"), F.max("h").alias("_hi"))
+    hours = span.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("h")
+    )
+    types = c.select("event_type").distinct()
+    z = (
+        types.crossJoin(hours)
+        .join(c, ["event_type", "h"], "left")
+        .select(
+            "event_type", "h", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+        )
+    )
+    lag = F.explode(F.array(F.lit(1), F.lit(24))).alias("lag")
+    a = z.select("event_type", "h", F.col("n").alias("x"), lag).select(
+        "event_type", "lag", (F.col("h") + F.col("lag")).alias("_tgt"), "x"
+    )
+    b = z.select(
+        "event_type", F.col("h").alias("_tgt"), F.col("n").alias("y")
+    )
+    pairs = a.join(b, ["event_type", "_tgt"])
+    return pairs.groupBy("event_type", F.col("lag").cast("long").alias("lag")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.corr("x", "y"), 6).alias("acf"),
+    )
