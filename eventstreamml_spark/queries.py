@@ -9593,3 +9593,119 @@ def q_hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.round(F.corr("x", "y"), 6).alias("acf"),
     )
+
+
+@register(
+    "power_user_curve",
+    """
+    WITH d AS (
+      SELECT user_id, count(DISTINCT CAST(ts AS DATE)) AS days_active
+      FROM events GROUP BY user_id
+    )
+    SELECT days_active, CAST(count(*) AS BIGINT) AS n_users,
+           round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6)
+             AS user_share
+    FROM d GROUP BY days_active
+    """,
+)
+def q_power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The L28-style power-user curve: distribution of distinct active
+    days per user over the corpus — the engagement shape (smile vs
+    decay) product analytics reads first; two groupBys, the share via
+    a window over the tiny histogram."""
+    from pyspark.sql import Window as W
+
+    ev = _events(spark, sf_dir)
+    d = ev.groupBy("user_id").agg(
+        F.count_distinct(F.col("ts").cast("date")).alias("days_active")
+    )
+    h = d.groupBy("days_active").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    tot = F.sum("n_users").over(W.partitionBy())
+    return h.select(
+        "days_active",
+        "n_users",
+        F.round(F.col("n_users") / tot.cast("double"), 6).alias("user_share"),
+    )
+
+
+@register(
+    "market_basket_lift",
+    """
+    WITH b AS (
+      SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    nb AS (SELECT count(DISTINCT o) AS n_baskets FROM b),
+    bc AS (SELECT brand, count(*) AS c FROM b GROUP BY brand),
+    pairs AS (
+      SELECT a.brand AS brand_a, c.brand AS brand_b, count(*) AS both_c
+      FROM b a JOIN b c ON a.o = c.o AND a.brand < c.brand
+      GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, CAST(both_c AS BIGINT) AS n_both,
+           round(both_c / CAST(n_baskets AS DOUBLE), 6) AS support,
+           round(both_c / CAST(ca.c AS DOUBLE), 6) AS confidence,
+           round((both_c / CAST(n_baskets AS DOUBLE))
+                 / ((ca.c / CAST(n_baskets AS DOUBLE))
+                    * (cb.c / CAST(n_baskets AS DOUBLE))), 6) AS lift
+    FROM pairs
+    JOIN bc ca ON ca.brand = pairs.brand_a
+    JOIN bc cb ON cb.brand = pairs.brand_b
+    CROSS JOIN nb
+    WHERE both_c >= 20
+    """,
+)
+def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets (brand co-occurrence):
+    support / confidence / lift for brand pairs appearing in >= 20
+    common baskets. The pair join is WITHIN the basket key (order) —
+    the quadratic term is basket-size^2, never corpus^2, the same
+    bounded-block discipline as the dedup candidate joins; brand
+    marginals and the basket count broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    b = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    nb = b.select("o").distinct().agg(
+        F.count(F.lit(1)).alias("_nb")
+    )
+    bc = b.groupBy("brand").agg(F.count(F.lit(1)).alias("_c"))
+    a = b.select("o", F.col("brand").alias("brand_a"))
+    c2 = b.select("o", F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(c2, "o")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("_both"))
+        .filter(F.col("_both") >= 20)
+    )
+    ca = bc.select(F.col("brand").alias("brand_a"), F.col("_c").alias("_ca"))
+    cb = bc.select(F.col("brand").alias("brand_b"), F.col("_c").alias("_cb"))
+    out = (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(nb))
+    )
+    sup = F.col("_both") / F.col("_nb").cast("double")
+    return out.select(
+        "brand_a",
+        "brand_b",
+        F.col("_both").cast("long").alias("n_both"),
+        F.round(sup, 6).alias("support"),
+        F.round(F.col("_both") / F.col("_ca").cast("double"), 6).alias(
+            "confidence"
+        ),
+        F.round(
+            sup
+            / (
+                (F.col("_ca") / F.col("_nb").cast("double"))
+                * (F.col("_cb") / F.col("_nb").cast("double"))
+            ),
+            6,
+        ).alias("lift"),
+    )
