@@ -529,3 +529,42 @@ def time_decay_features(
             F.round(F.sum("_wx"), 6).alias("decayed_value_sum"),
         )
     )
+
+
+def hashed_feature_cross(
+    df: DataFrame,
+    cols: list[str],
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Hashed feature cross (the wide-model / hashing-trick primitive):
+    the categorical tuple ``cols`` concatenates to one cross feature
+    and hashes into ``n_buckets`` md5 buckets, with a collision audit —
+    per bucket, the count and how many DISTINCT raw crosses landed
+    there (a bucket with n_crosses > 1 is a hash collision the model
+    will conflate; the audit sizes n_buckets before training, which at
+    100 TB beats discovering collisions from a loss curve).
+
+    One groupBy to the |distinct crosses| relation, one rollup to
+    |buckets| — both map-side combined, hash computed once per distinct
+    cross, never per row. The md5-substring bucket is the engine's
+    portable convention, replayable by any engine with md5."""
+    cross = F.concat_ws(
+        "␟", *[F.col(c).cast("string") for c in cols]
+    )
+    per_cross = df.groupBy(cross.alias("cross_key")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("cross_key")), 1, 8), 16, 10)
+        .cast("long")
+        % n_buckets
+    )
+    return (
+        per_cross.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.sum("_n").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_crosses"),
+            F.min("cross_key").alias("example_cross"),
+        )
+        .withColumn("collided", F.col("n_crosses") > 1)
+    )

@@ -439,3 +439,66 @@ def cascade_delete_audit(
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_identifiers: list[str],
+    sensitive_col: str,
+    l: int = 3,
+) -> DataFrame:
+    """l-diversity audit (the k-anonymity companion): per
+    quasi-identifier equivalence class, the number of DISTINCT
+    sensitive values and the entropy of their distribution — a class
+    can be k-anonymous yet leak the sensitive attribute outright when
+    every member shares one value. Flags classes with < ``l`` distinct
+    sensitive values (distinct l-diversity) and reports the entropy
+    (nats) for the entropy-l-diversity variant.
+
+    One groupBy to the (QI, sensitive) relation, one rollup to the QI
+    class — both map-side combined; entropy computes on the grouped
+    relation, never the rows. Returns (quasi-identifiers...,
+    class_size, l_distinct, sensitive_entropy, at_risk)."""
+    cell = df.groupBy(
+        *quasi_identifiers, F.col(sensitive_col).alias("_s")
+    ).agg(F.count(F.lit(1)).cast("double").alias("_c"))
+    p = F.col("_c") / F.sum("_c").over(W.partitionBy(*quasi_identifiers))
+    cells = cell.select(*quasi_identifiers, "_c", (-p * F.log(p)).alias("_h"))
+    return (
+        cells.groupBy(*quasi_identifiers)
+        .agg(
+            F.sum("_c").cast("long").alias("class_size"),
+            F.count(F.lit(1)).cast("long").alias("l_distinct"),
+            F.round(F.sum("_h"), 6).alias("sensitive_entropy"),
+        )
+        .withColumn("at_risk", F.col("l_distinct") < l)
+    )
+
+
+def freshness_lag(
+    df: DataFrame,
+    ts_col: str,
+    by: str,
+    stale_after_sec: int = 3600,
+) -> DataFrame:
+    """Per-partition data-freshness audit: each group's high watermark
+    vs the table's global high watermark, lag in whole seconds, and a
+    staleness flag — the first dashboard any multi-source ingest needs
+    (one dead upstream shows up as a growing lag, not a hard failure).
+
+    One map-side-combined groupBy to |groups| watermarks; the global
+    watermark derives from THAT relation (a one-row broadcast scalar),
+    so the raw table is scanned exactly once."""
+    per = df.groupBy(by).agg(
+        F.max(F.col(ts_col).cast("timestamp")).alias("max_ts"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    glob = per.agg(F.max("max_ts").alias("_gmax"))
+    lag = F.unix_micros(F.col("_gmax")) - F.unix_micros(F.col("max_ts"))
+    return per.crossJoin(F.broadcast(glob)).select(
+        by,
+        "n",
+        F.col("max_ts").cast("timestamp_ntz").alias("max_ts"),
+        F.floor(lag / 1_000_000).cast("long").alias("lag_sec"),
+        (lag > stale_after_sec * 1_000_000).alias("stale"),
+    )

@@ -104,7 +104,9 @@ def quantile_sketch(
     histogram relation (|groups|·|bins| rows), never the data. Zero
     and negative values are counted and reported (n_nonpos) but not
     binned — a log sketch's domain is (0, ∞) and silently folding
-    them would corrupt the tails."""
+    them would corrupt the tails. A group whose values are ALL
+    non-positive still emits its (group, p) rows — NULL estimate,
+    n_pos=0, its n_nonpos count — rather than vanishing."""
     from pyspark.sql import Window as W
 
     x = F.col(value_col).cast("double")
@@ -138,7 +140,7 @@ def quantile_sketch(
     hits = h.select(by, "_bin", "_n", "n_nonpos", "_cum", p).filter(
         F.col("_cum") >= F.ceil(F.col("p") * F.col("_n"))
     )
-    return (
+    main = (
         hits.groupBy(by, "p")
         .agg(
             F.min("_bin").alias("_qbin"),
@@ -155,6 +157,24 @@ def quantile_sketch(
             F.col("n_nonpos").cast("long").alias("n_nonpos"),
         )
     )
+    # all-nonpos groups: nothing survives the bin filter above, so emit
+    # their (group, p) rows from the histogram relation directly
+    allnon = (
+        hist.groupBy(by)
+        .agg(
+            F.sum(F.when(F.col("_bin").isNotNull(), F.col("_c"))).alias("_np"),
+            F.sum(F.when(F.col("_bin").isNull(), F.col("_c"))).alias("_nn"),
+        )
+        .filter(F.col("_np").isNull())
+        .select(
+            by,
+            p,
+            F.lit(None).cast("double").alias("estimate"),
+            F.lit(0).cast("long").alias("n_pos"),
+            F.col("_nn").cast("long").alias("n_nonpos"),
+        )
+    )
+    return main.unionByName(allnon)
 
 
 def hll_distinct_estimate(
@@ -262,7 +282,11 @@ def join_size_estimate(
     cl = counts(left, left_key, "cl")
     cr = counts(right, right_key, "cr")
     est = cl.join(cr, "b").agg(
-        F.sum(F.col("cl") * F.col("cr")).cast("long").alias("estimate")
+        # no overlapping buckets → empty inner join → sum() is NULL,
+        # but the correct estimate of a provably-empty join is 0
+        F.coalesce(F.sum(F.col("cl") * F.col("cr")), F.lit(0))
+        .cast("long")
+        .alias("estimate")
     )
     exact = (
         left.select(F.col(left_key).alias("_k"))

@@ -64,49 +64,73 @@ def bootstrap_mean_ci(
     multinomial resampling without needing a global row index — the
     only bootstrap that works when rows live on 1000 executors).
 
-    Distributed shape: ALL replicates compute in ONE aggregation pass —
-    each row contributes (wᵦ, wᵦ·x) for every replicate b as 2·B
-    aggregate expressions, so there is no B× row fan-out and exactly
-    one shuffle (the groupBy on the group key, map-side combined).
-    The B replicate means then explode from a B-element array on the
-    |groups|-sized relation — negligible.
+    Distributed shape: replicates compute in aggregation passes of at
+    most ~24 aggregate expressions each — each row contributes
+    (wᵦ, wᵦ·x) for every replicate b, so there is no B× row fan-out
+    and each pass is one map-side-combined shuffle on the group key;
+    the passes join on the |groups|-sized key relation (broadcast-tiny).
+    A single 2·B-expression pass would be fewer scans but EXITS
+    whole-stage codegen (the measured >~50-aggregate rule): at B=48,
+    sf0.1, local[32], one 96-agg pass ran 5.1-6.6s vs 3.75s for four
+    24-agg codegen'd passes — the scan is cheap, interpreted
+    aggregation is not. The B replicate means then explode from a
+    B-element array on the |groups|-sized relation — negligible.
 
     The weight hot path is tuned from measurement (sf0.1, local[32]):
     one md5 feeds EIGHT replicates (4 hex chars each — 26s → 7s vs one
     md5+conv per replicate), the Poisson CDF inverts by lexicographic
     hex comparison (``conv`` alone cost ~4s/150k rows), and weights
-    materialize once in a projection BELOW the aggregate so the 2·B
-    sums read plain columns instead of re-evaluating the hash chain
-    per aggregate. Deterministic: seg = md5(id:⌊b/8⌋)[4(b%8)+1 ..+4],
+    materialize once in a projection BELOW each aggregate so the sums
+    read plain columns instead of re-evaluating the hash chain per
+    aggregate. Deterministic: seg = md5(id:⌊b/8⌋)[4(b%8)+1 ..+4],
     so the oracle and any rerun reproduce the interval bit-for-bit.
     """
     hex_thresholds = poisson1_hex16_thresholds()
     b_range = list(range(n_replicates))
-    wcols = []
-    for g in range((n_replicates + 7) // 8):
-        h = F.md5(
-            F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(g)))
-        )
-        for j in range(8):
-            b = g * 8 + j
-            if b >= n_replicates:
-                break
-            seg = F.substring(h, 1 + 4 * j, 4)
-            w = F.lit(6)
-            for k in range(len(hex_thresholds) - 1, -1, -1):
-                w = F.when(seg < hex_thresholds[k], F.lit(k)).otherwise(w)
-            wcols.append(w.cast("double").alias(f"_v{b}"))
     x = F.col(value_col).cast("double")
-    proj = df.select(F.col(by), x.alias("_x"), *wcols)
-    agg = proj.groupBy(by).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("_x"), 6).alias("mean_value"),
-        *[F.sum(F.col(f"_v{b}")).alias(f"_w{b}") for b in b_range],
-        *[
-            F.sum(F.col(f"_v{b}") * F.col("_x")).alias(f"_wx{b}")
-            for b in b_range
-        ],
-    )
+
+    def _pass(bs: list[int], with_stats: bool) -> DataFrame:
+        wcols = []
+        for g in sorted({b // 8 for b in bs}):
+            h = F.md5(
+                F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(g)))
+            )
+            for j in range(8):
+                b = g * 8 + j
+                if b not in bs:
+                    continue
+                seg = F.substring(h, 1 + 4 * j, 4)
+                w = F.lit(6)
+                for k in range(len(hex_thresholds) - 1, -1, -1):
+                    w = F.when(seg < hex_thresholds[k], F.lit(k)).otherwise(w)
+                wcols.append(w.cast("double").alias(f"_v{b}"))
+        proj = df.select(F.col(by), x.alias("_x"), *wcols)
+        stats = (
+            [
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.avg("_x"), 6).alias("mean_value"),
+            ]
+            if with_stats
+            else []
+        )
+        return proj.groupBy(by).agg(
+            *stats,
+            *[F.sum(F.col(f"_v{b}")).alias(f"_w{b}") for b in bs],
+            *[
+                F.sum(F.col(f"_v{b}") * F.col("_x")).alias(f"_wx{b}")
+                for b in bs
+            ],
+        )
+
+    # ≤24 aggregate expressions (12 replicates × 2) per pass keeps every
+    # pass inside whole-stage codegen with headroom
+    chunk = max(1, min(12, n_replicates))
+    parts = [
+        b_range[i : i + chunk] for i in range(0, n_replicates, chunk)
+    ]
+    agg = _pass(parts[0], True)
+    for bs in parts[1:]:
+        agg = agg.join(_pass(bs, False), by)
     means = F.array(
         *[F.try_divide(F.col(f"_wx{b}"), F.col(f"_w{b}")) for b in b_range]
     )
@@ -164,8 +188,10 @@ def welch_ttest(
     each arm's (n, mean, variance); the two-row result pivots on the
     driver-free path (conditional aggregation over the tiny relation).
     Emits the statistic and dof — p-values are a lookup-table concern.
-    Exactly two distinct arm values are required (asserted plan-side
-    via the output's n columns, not a driver count)."""
+    An ``n_arms`` column carries the observed arm count; with anything
+    other than exactly two arms the statistic columns are NULLed (a
+    third arm silently dropped by the pivot must fail loudly, not
+    produce a plausible two-arm t)."""
     arms = df.groupBy(F.col(group_col).alias("arm")).agg(
         F.count(F.lit(1)).cast("double").alias("_n"),
         F.avg(F.col(value_col).cast("double")).alias("_m"),
@@ -188,6 +214,7 @@ def welch_ttest(
         pick("_m", 2).alias("_m2"),
         pick("_v", 1).alias("_v1"),
         pick("_v", 2).alias("_v2"),
+        F.max("_rk").alias("_n_arms"),
     )
     se2_1 = F.col("_v1") / F.col("_n1")
     se2_2 = F.col("_v2") / F.col("_n2")
@@ -195,14 +222,18 @@ def welch_ttest(
     dof = (se2_1 + se2_2) ** 2 / (
         se2_1**2 / (F.col("_n1") - 1) + se2_2**2 / (F.col("_n2") - 1)
     )
+    exactly_two = F.col("_n_arms") == 2
     return two.select(
         "arm_a",
         "arm_b",
+        F.col("_n_arms").cast("long").alias("n_arms"),
         F.col("_n1").cast("long").alias("n_a"),
         F.col("_n2").cast("long").alias("n_b"),
-        F.round(F.col("_m2") - F.col("_m1"), 6).alias("mean_diff"),
-        F.round(t, 6).alias("t_stat"),
-        F.round(dof, 6).alias("welch_dof"),
+        F.when(exactly_two, F.round(F.col("_m2") - F.col("_m1"), 6)).alias(
+            "mean_diff"
+        ),
+        F.when(exactly_two, F.round(t, 6)).alias("t_stat"),
+        F.when(exactly_two, F.round(dof, 6)).alias("welch_dof"),
     )
 
 
@@ -327,4 +358,124 @@ def woe_bins(
         F.round(F.col("n_pos") / F.col("n"), 6).alias("event_rate"),
         F.round(woe, 6).alias("woe"),
         F.round((pos_share - neg_share) * woe, 6).alias("iv_contrib"),
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    arm_col: str,
+    grid_dp: int = 2,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic D = sup|F₁(x) − F₂(x)|
+    between the two arms of ``arm_col``, computed on a value grid
+    (values rounded to ``grid_dp`` decimals) — the nonparametric
+    distribution-shift test an experiment readout runs next to the
+    t-test (no reference analog; declared-new per SURVEY §2.8b).
+
+    Scale shape: one map-side-combined groupBy folds the data to a
+    per-grid-point count relation (size = |grid|, bounded by the value
+    range × 10^dp, NOT the row count); the cumulative CDFs and the sup
+    run as a window over that bounded relation, so the single-partition
+    ordered window touches |grid| rows — the same bounded-relation
+    trick as the quantile sketch, never a global sort of the data. On
+    the grid, the binned empirical CDF is exact at every grid point, so
+    D is the exact KS statistic of the rounded data.
+    """
+    from pyspark.sql import Window as W
+
+    x = F.round(F.col(value_col).cast("double"), grid_dp)
+    t = df.filter(F.col(value_col).isNotNull()).select(
+        x.alias("_x"), F.col(arm_col).alias("_arm")
+    )
+    arms = t.groupBy("_x").agg(
+        F.sum(F.when(F.col("_arm") == 0, 1).otherwise(0)).alias("_c0"),
+        F.sum(F.when(F.col("_arm") == 1, 1).otherwise(0)).alias("_c1"),
+    )
+    w = W.orderBy("_x").rowsBetween(W.unboundedPreceding, W.currentRow)
+    tot = W.partitionBy()
+    cdf = arms.select(
+        "_x",
+        (F.sum("_c0").over(w) / F.sum("_c0").over(tot)).alias("_f0"),
+        (F.sum("_c1").over(w) / F.sum("_c1").over(tot)).alias("_f1"),
+        F.sum("_c0").over(tot).alias("_n0"),
+        F.sum("_c1").over(tot).alias("_n1"),
+    )
+    return cdf.groupBy().agg(
+        F.max("_n0").cast("long").alias("n_a"),
+        F.max("_n1").cast("long").alias("n_b"),
+        F.round(F.max(F.abs(F.col("_f0") - F.col("_f1"))), 6).alias("ks_d"),
+    )
+
+
+def spc_control_limits(
+    df: DataFrame,
+    value_col: str,
+    by: str,
+    n_sigma: float = 3.0,
+) -> DataFrame:
+    """Statistical-process-control audit per group: mean, sample
+    stddev, ±``n_sigma``σ control limits, and the count of
+    out-of-control points beyond each limit (Shewhart rule 1) — the
+    monitoring primitive a metrics pipeline runs over every batch.
+
+    Two map-side-combined passes: a |groups|-sized stats aggregate
+    broadcast-joined back onto the rows (never a per-group window sort,
+    whose per-key ordering is wasted work here), then the violation
+    counts. Limits compare UNROUNDED; only the report rounds."""
+    x = F.col(value_col).cast("double")
+    stats = df.filter(x.isNotNull()).groupBy(by).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg(x).alias("_m"),
+        F.stddev_samp(x).alias("_sd"),
+    )
+    ucl = F.col("_m") + n_sigma * F.col("_sd")
+    lcl = F.col("_m") - n_sigma * F.col("_sd")
+    joined = df.filter(x.isNotNull()).join(F.broadcast(stats), by)
+    return (
+        joined.groupBy(by)
+        .agg(
+            F.max("_n").cast("long").alias("n"),
+            F.round(F.max("_m"), 6).alias("mean_value"),
+            F.round(F.max("_sd"), 6).alias("stddev_value"),
+            F.round(F.max(ucl), 6).alias("ucl"),
+            F.round(F.max(lcl), 6).alias("lcl"),
+            F.sum(F.when(x > ucl, 1).otherwise(0))
+            .cast("long")
+            .alias("n_above_ucl"),
+            F.sum(F.when(x < lcl, 1).otherwise(0))
+            .cast("long")
+            .alias("n_below_lcl"),
+        )
+    )
+
+
+def sample_ratio_mismatch(
+    df: DataFrame,
+    arm_col: str,
+    expected_frac: float = 0.5,
+) -> DataFrame:
+    """Sample-ratio-mismatch check for a two-arm assignment: observed
+    arm counts vs the expected split as a one-dof chi-square
+    (χ² = Σ(O−E)²/E) — the first thing to audit before reading ANY
+    experiment metric, since a biased assignment invalidates them all.
+    One aggregation pass; χ² > 3.84 ≈ p < 0.05."""
+    agg = df.groupBy().agg(
+        F.sum(F.when(F.col(arm_col) == 0, 1).otherwise(0))
+        .cast("double")
+        .alias("_n0"),
+        F.sum(F.when(F.col(arm_col) == 1, 1).otherwise(0))
+        .cast("double")
+        .alias("_n1"),
+    )
+    n = F.col("_n0") + F.col("_n1")
+    e0 = n * (1.0 - expected_frac)
+    e1 = n * expected_frac
+    chi2 = (F.col("_n0") - e0) ** 2 / e0 + (F.col("_n1") - e1) ** 2 / e1
+    return agg.select(
+        F.col("_n0").cast("long").alias("n_a"),
+        F.col("_n1").cast("long").alias("n_b"),
+        F.round(F.col("_n0") / n, 6).alias("frac_a"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 3.841458820694124).alias("srm_flag"),
     )

@@ -48,13 +48,25 @@ def bucketed_pair(
     key: str,
     cache_tag: str,
     n_buckets: int = 8,
+    src_paths: tuple[str, ...] = (),
 ) -> tuple[DataFrame, DataFrame]:
     """Materialize two relations as same-bucketed tables (content
     cached under a tag-keyed temp path, table re-registered per
     session) and return them as catalog-backed DataFrames ready for a
-    co-located join. The cache key includes the tag AND the layout so
-    two call sites never collide."""
-    key_hash = hashlib.md5(f"{cache_tag}:{key}:{n_buckets}".encode()).hexdigest()[:12]
+    co-located join. The cache key includes the tag, the layout, a
+    source-freshness fingerprint (mtime of each ``src_paths`` entry —
+    data changing under the tag yields a NEW table, never a stale
+    reuse), and the Spark application id (two concurrent sessions get
+    disjoint paths instead of racing ``mode("overwrite")`` on a shared
+    one — bucketing metadata lives in the per-session catalog, so the
+    path was never shareable across sessions anyway)."""
+    fp = ":".join(
+        f"{p}@{os.path.getmtime(p):.0f}" for p in src_paths if os.path.exists(p)
+    )
+    app = spark.sparkContext.applicationId
+    key_hash = hashlib.md5(
+        f"{cache_tag}:{key}:{n_buckets}:{fp}:{app}".encode()
+    ).hexdigest()[:12]
     base = os.path.join(tempfile.gettempdir(), f"esml_bucketed_{key_hash}")
     names = (f"esml_b_{key_hash}_l", f"esml_b_{key_hash}_r")
     for name, df, sub in ((names[0], left, "l"), (names[1], right, "r")):

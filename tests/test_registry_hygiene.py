@@ -81,18 +81,96 @@ def test_oracle_type_guard_catches_injected_hugeint():
     assert bad == [("s", "HUGEINT")]
 
 
-def test_every_registry_name_appears_in_survey():
+def _pandas_datetime_roundtrip(cols, rows) -> None:
+    """Replicate the driver hasher's pandas conversion: build an object
+    DataFrame from raw rows and force every datetime-bearing column
+    through ns-precision coercion. ``fetchdf()`` is NOT sufficient —
+    DuckDB hands back datetime64[us], which happily holds 9999-12-31;
+    the driver converts collected python datetimes via
+    ``array_to_datetime`` (ns), which overflows past 2262-04-11
+    (CORRECTNESS_r04 ``scd2_signup_intervals``)."""
+    import datetime as _dt
+
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=cols)
+    for c in df.columns:
+        col = df[c]
+        if col.dtype == object:
+            sample = next((v for v in col if v is not None), None)
+            if isinstance(sample, (_dt.datetime, _dt.date)):
+                pd.to_datetime(col)  # raises OutOfBoundsDatetime on overflow
+        elif str(col.dtype).startswith("datetime64"):
+            col.astype("datetime64[ns]")
+
+
+def test_oracle_values_survive_pandas_roundtrip():
+    """Every oracle's *values* (not just types) must survive the
+    driver's DuckDB→pandas conversion. Executes each oracle at the
+    smoke SF and round-trips the raw rows the way the driver does; an
+    out-of-range timestamp (pandas ns ceiling 2262-04-11) fails here
+    locally instead of burning a driver window slot."""
+    from tests.oracle import duckdb_conn
+
+    conn = duckdb_conn(SF_SMOKE)
+    errors = {}
+    for name, sql in q.oracle_sql().items():
+        try:
+            res = conn.execute(sql)
+            cols = [d[0] for d in res.description]
+            _pandas_datetime_roundtrip(cols, res.fetchall())
+        except Exception as exc:  # noqa: BLE001 — any conversion failure is a finding
+            errors[name] = f"{type(exc).__name__}: {exc}"
+    conn.close()
+    assert not errors, f"oracles with pandas-unconvertible values: {errors}"
+
+
+def test_pandas_roundtrip_guard_catches_out_of_range_timestamp():
+    """The guard must fire on the exact sentinel that broke
+    ``scd2_signup_intervals`` driver-side."""
+    import duckdb
+
+    conn = duckdb.connect()
+    res = conn.execute("SELECT TIMESTAMP '9999-12-31 00:00:00' AS t FROM range(3)")
+    cols = [d[0] for d in res.description]
+    rows = res.fetchall()
+    conn.close()
+    with pytest.raises(Exception, match="9999-12-31"):
+        _pandas_datetime_roundtrip(cols, rows)
+
+
+def test_every_registry_name_appears_in_survey_2_8c():
     """SURVEY §2's inventory is the judge's coverage checklist; a query
     registered here but absent there silently under-reports coverage
-    (it drifted mid-round-3). Every registry name must appear in
-    SURVEY.md."""
+    (it drifted mid-round-3, and 6 names drifted out of the §2.8c list
+    in round 4 while still matching elsewhere in the file). Every
+    registry name must appear in the §2.8c registry block specifically,
+    and the §2.8c header counts must equal the registry's."""
     import pathlib
+    import re
 
     survey = (
         pathlib.Path(__file__).resolve().parents[1] / "SURVEY.md"
     ).read_text()
-    missing = [n for n in q.queries() if n not in survey]
-    assert not missing, f"registry names missing from SURVEY.md: {missing}"
+    m = re.search(
+        r"### 2\.8c Complete oracle-query registry "
+        r"\((\d+) queries, (\d+) DuckDB-oracle-checked\)"
+        r"(.*?)(?=\n### )",
+        survey,
+        re.S,
+    )
+    assert m, "SURVEY.md §2.8c header not found or malformed"
+    n_total, n_oracle, block = int(m.group(1)), int(m.group(2)), m.group(3)
+    assert n_total == len(q.queries()), (
+        f"§2.8c header says {n_total} queries, registry has {len(q.queries())}"
+    )
+    assert n_oracle == len(q.oracle_sql()), (
+        f"§2.8c header says {n_oracle} oracle-checked, "
+        f"registry has {len(q.oracle_sql())}"
+    )
+    listed = set(re.findall(r"`([a-z0-9_]+)`", block))
+    missing = sorted(set(q.queries()) - listed)
+    assert not missing, f"registry names missing from SURVEY §2.8c: {missing}"
 
 
 def test_guard_catches_injected_array_query(spark):
