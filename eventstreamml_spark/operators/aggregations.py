@@ -327,6 +327,12 @@ def pagerank(
     plan-side. Iterations localCheckpoint to keep lineage flat (same
     discipline as the connected-components fixpoint, dedup.py). Rank
     mass is conserved to float precision each iteration.
+
+    (Measured dead end, do not re-try: coalescing the per-iteration
+    relations to one partition — the trick that paid 2.5x on the PCA
+    iteration — made THIS loop 35% slower at sf0.1, because each
+    iteration's localCheckpoint re-materializes through the coalesced
+    single task while AQE already right-sizes these tiny shuffles.)
     """
     if weight is None:
         e0 = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"),
@@ -567,4 +573,65 @@ def hashed_feature_cross(
             F.min("cross_key").alias("example_cross"),
         )
         .withColumn("collided", F.col("n_crosses") > 1)
+    )
+
+
+def revenue_concentration(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    top_frac: float = 0.2,
+) -> DataFrame:
+    """Revenue-concentration (Pareto/80-20) readout: the share of total
+    value captured by the top ``top_frac`` of keys, plus the Gini
+    coefficient — one row that tells a marketplace/corpus owner how
+    head-heavy the distribution is (a corpus where 1% of sources carry
+    80% of tokens is a dedup and diversity risk, same math).
+
+    One map-side-combined groupBy folds the raw table to the |keys|
+    relation; ranking and the cumulative share run as windows over
+    THAT relation. Gini via the rank identity
+    G = 2·Σᵢ i·yᵢ / (n·Σy) − (n+1)/n over ascending-sorted y. The
+    |keys| relation is the scale ceiling here (fine for customers or
+    sources; for billion-key cardinalities switch to the engine's
+    quantile sketch and integrate the Lorenz curve on the sketch).
+
+    The report emits the MEAN per-key value, not the raw total: a
+    global float total over 100k+ keys carries summation-order noise
+    larger than a fine rounding grid (about sqrt(n)*eps*total), while
+    the mean divides that noise back below any rounding edge — and
+    every other output is a ratio of same-engine sums, immune by
+    construction."""
+    from pyspark.sql import Window as W
+
+    per = df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.sum(F.col(value_col).cast("double")).alias("_v")
+    )
+    asc = W.orderBy(F.col("_v").asc(), F.col("_k").asc())
+    desc = W.orderBy(F.col("_v").desc(), F.col("_k").asc())
+    ranked = per.select(
+        "_v",
+        F.row_number().over(asc).alias("_i"),
+        F.row_number().over(desc).alias("_rd"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("_n"),
+    )
+    flagged = ranked.select(
+        "_v",
+        "_i",
+        "_n",
+        (F.col("_rd") <= F.ceil(F.lit(top_frac) * F.col("_n"))).alias("_top"),
+    )
+    n = F.max("_n")
+    total = F.sum("_v")
+    return flagged.groupBy().agg(
+        n.cast("long").alias("n_keys"),
+        F.round(total / n, 4).alias("mean_value"),
+        F.round(
+            F.sum(F.when(F.col("_top"), F.col("_v"))) / total, 6
+        ).alias("top_share"),
+        F.round(
+            2.0 * F.sum(F.col("_i") * F.col("_v")) / (n * total)
+            - (n + 1) / n,
+            6,
+        ).alias("gini"),
     )

@@ -487,15 +487,17 @@ def freshness_lag(
     (one dead upstream shows up as a growing lag, not a hard failure).
 
     One map-side-combined groupBy to |groups| watermarks; the global
-    watermark derives from THAT relation (a one-row broadcast scalar),
-    so the raw table is scanned exactly once."""
+    watermark is a SinglePartition window over THAT relation (|groups|
+    rows — a scalar-aggregate branch would make Spark re-scan the raw
+    table for the broadcast side, since subplans aren't shared without
+    caching), so the raw table is scanned exactly once."""
     per = df.groupBy(by).agg(
         F.max(F.col(ts_col).cast("timestamp")).alias("max_ts"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
-    glob = per.agg(F.max("max_ts").alias("_gmax"))
-    lag = F.unix_micros(F.col("_gmax")) - F.unix_micros(F.col("max_ts"))
-    return per.crossJoin(F.broadcast(glob)).select(
+    gmax = F.max("max_ts").over(W.partitionBy())
+    lag = F.unix_micros(gmax) - F.unix_micros(F.col("max_ts"))
+    return per.select(
         by,
         "n",
         F.col("max_ts").cast("timestamp_ntz").alias("max_ts"),

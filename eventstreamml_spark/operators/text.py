@@ -857,3 +857,102 @@ def skipgram_pairs(
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_count)
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_n: int = 100,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus frequency spectrum: OLS of
+    ln(freq) on ln(rank) for the ``top_n`` most frequent tokens —
+    slope ≈ −1 for natural language, and the deviation is a cheap
+    corpus-health fingerprint (template/boilerplate-heavy corpora
+    flatten the head, spam steepens it). Returns ONE row
+    (slope, intercept, r2, n_ranks, n_tokens_total).
+
+    One shuffle (the token groupBy); the head extracts via
+    ``orderBy().limit(top_n)`` — TakeOrderedAndProject, a bounded
+    per-partition heap + driverless merge, never a global sort of the
+    vocabulary — and ranks assign on the ``top_n``-row result where a
+    single-partition window costs nothing. The closed-form OLS is a
+    scalar aggregate over those rows. Ties rank deterministically
+    (freq desc, token asc)."""
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    head = counts.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(top_n)
+    w = W.orderBy(F.col("n").desc(), F.col("tok").asc())
+    top = head.withColumn("rank", F.row_number().over(w))
+    lx = F.log(F.col("rank").cast("double"))
+    ly = F.log(F.col("n").cast("double"))
+    pts = top.select(lx.alias("_x"), ly.alias("_y"), F.col("n"))
+    return pts.groupBy().agg(
+        F.round(
+            F.covar_samp("_x", "_y") / F.var_samp("_x"), 6
+        ).alias("slope"),
+        F.round(
+            F.avg("_y")
+            - (F.covar_samp("_x", "_y") / F.var_samp("_x")) * F.avg("_x"),
+            6,
+        ).alias("intercept"),
+        F.round(F.corr("_x", "_y") ** 2, 6).alias("r2"),
+        F.count(F.lit(1)).cast("long").alias("n_ranks"),
+        F.sum("n").cast("long").alias("n_tokens_total"),
+    )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty against everything that came before
+    it (by ascending ``doc_id_col`` — ingestion order): the fraction
+    of a doc's DISTINCT word n-grams whose FIRST appearance in the
+    corpus is this doc. The curation signal between exact dedup and
+    similarity dedup — boilerplate-heavy near-copies score near 0
+    without any pairwise comparison.
+
+    Shape: one shingle explode (posexplode + slide, O(len) per doc),
+    dedup to (doc, shingle), then the global first-owner per shingle
+    is a min aggregate — the novelty join is shingle-keyed equi, so
+    the whole operator is two map-side-combined groupBys and one
+    equi-join, never any doc×doc pairing. Returns (doc_id,
+    n_shingles, n_novel, novelty)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
+    )
+    ds = docs.select(
+        F.col(doc_id_col).alias("_doc"), toks.alias("_t")
+    ).filter(F.size("_t") >= n)
+    sh = ds.select(
+        "_doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_t") - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.get(F.col("_t"), i + k) for k in range(n)]
+                ),
+            )
+        ).alias("_sh"),
+    ).distinct()
+    first = sh.groupBy("_sh").agg(F.min("_doc").alias("_first"))
+    return (
+        sh.join(first, "_sh")
+        .groupBy(F.col("_doc").alias(doc_id_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("_first") == F.col("_doc"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6),
+        )
+    )

@@ -495,3 +495,58 @@ def rolling_percentiles(
             name, F.expr(f"percentile({value_col}, {frac!r})").over(win)
         )
     return out.drop("_ts_us")
+
+
+def rolling_distinct_subjects(
+    df: DataFrame,
+    subject_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing-N-day distinct active subjects per day (the DAU/WAU
+    surface): a sliding COUNT DISTINCT, which no window frame computes
+    directly — distinct doesn't decompose over overlapping frames. The
+    scalable shape: dedup to the (subject, active-day) relation first
+    (one map-side-combined groupBy — the only pass over the raw log),
+    then fan each active-day out to the ``window_days`` report days it
+    contributes to (bounded ×N explode on the DEDUPED relation, not the
+    log) and count per report day. Report days with no activity in
+    range simply don't appear (no zero-fill — compose with a calendar
+    scaffold if needed). Returns (day, n_active, n_active_today)."""
+    day = F.date_trunc("DAY", F.col(ts_col).cast("timestamp"))
+    active = df.select(
+        F.col(subject_col).alias("_s"), day.alias("_d")
+    ).distinct()
+    offsets = F.explode(
+        F.sequence(F.lit(0), F.lit(window_days - 1))
+    ).alias("_o")
+    fanned = active.select(
+        "_s", "_d", offsets
+    ).select(
+        "_s",
+        "_d",
+        F.date_add(F.col("_d").cast("date"), F.col("_o")).alias("_report"),
+    )
+    per_day = fanned.groupBy(F.col("_report").alias("day")).agg(
+        F.count_distinct("_s").cast("long").alias("n_active")
+    )
+    today = active.groupBy(F.col("_d").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_active_today")
+    )
+    joined = per_day.join(today, "day", "left")
+    # the fan-out projects up to N-1 days past the last active day —
+    # clip to the data's horizon (a window over the |days| relation)
+    gmax = F.max(F.when(F.col("n_active_today").isNotNull(), F.col("day"))).over(
+        W.partitionBy()
+    )
+    return (
+        joined.withColumn("_gmax", gmax)
+        .filter(F.col("day") <= F.col("_gmax"))
+        .select(
+            F.col("day").cast("date").alias("day"),
+            "n_active",
+            F.coalesce("n_active_today", F.lit(0)).cast("long").alias(
+                "n_active_today"
+            ),
+        )
+    )

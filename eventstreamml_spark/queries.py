@@ -49,11 +49,17 @@ def register(name: str, oracle: str | None):
 # subject_group_kfold fairness_rate_gaps corpus_source_diversity
 # dq_benford_values snm_customer_pairs hourly_seasonal_naive_mae
 # retrieval_rrf_fusion doc_langid_confusion order_backlog_aging
-# hourly_autocorrelation power_user_curve market_basket_lift — PLUS any
-# queries added in round 5 or later. The 3 rows-only names
-# (approx_distinct_users_by_type, dedup_simhash_pairs, ann_ivf_topk) can
-# never go green (err: no_oracle) and stay OUT of every window. All
-# backlog names are green in the local replica (tests/test_oracle_parity.py).
+# hourly_autocorrelation power_user_curve market_basket_lift — PLUS the
+# 15 round-5 additions (ks_test_value_by_arm spc_value_control_limits
+# ab_srm_check privacy_l_diversity feature_cross_hashed
+# session_markov_transitions dq_freshness_lag corpus_zipf_fit
+# embedding_pca_top_component user_churn_labels streaming_rate_alert
+# rolling_active_users_7d revenue_pareto_concentration
+# hourly_robust_z_anomaly doc_ngram_novelty) = exactly 50, one full
+# round-6 window. The 3 rows-only names (approx_distinct_users_by_type,
+# dedup_simhash_pairs, ann_ivf_topk) can never go green (err: no_oracle)
+# and stay OUT of every window. All backlog names are green in the local
+# replica (tests/test_oracle_parity.py).
 _ORDER_FIRST: list[str] = [
     "scd2_signup_intervals",
     "synthetic_source_parity",
@@ -9824,4 +9830,658 @@ def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("lift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: experiment stats, monitoring, privacy, features,
+# corpus diagnostics, plan-side PCA, label building, streaming alerting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ks_test_value_by_arm",
+    """
+    WITH t AS (
+      SELECT CAST(floor(value * 100) AS BIGINT) AS xb, user_id % 2 AS arm
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT xb,
+             count(*) FILTER (arm = 0) AS c0,
+             count(*) FILTER (arm = 1) AS c1
+      FROM t GROUP BY xb
+    ),
+    c AS (
+      SELECT xb,
+             sum(c0) OVER (ORDER BY xb ROWS UNBOUNDED PRECEDING)
+               / (sum(c0) OVER ()) AS f0,
+             sum(c1) OVER (ORDER BY xb ROWS UNBOUNDED PRECEDING)
+               / (sum(c1) OVER ()) AS f1,
+             sum(c0) OVER () AS n0, sum(c1) OVER () AS n1
+      FROM g
+    )
+    SELECT CAST(max(n0) AS BIGINT) AS n_a, CAST(max(n1) AS BIGINT) AS n_b,
+           round(max(abs(f0 - f1)), 6) AS ks_d
+    FROM c
+    """,
+)
+def q_ks_test_value_by_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS statistic between hash-assigned arms on a
+    1/100-width value grid: the data folds to a bounded per-grid-point
+    relation in one map-side-combined pass, CDFs and the sup run over
+    that bounded relation (operators/stats.py ks_two_sample). The grid
+    key is floor(value*100) — integer, so both engines bin identically
+    with no round-half edge."""
+    from eventstreamml_spark.operators.stats import ks_two_sample
+
+    ev = _events(spark, sf_dir).select(
+        "value", (F.col("user_id") % 2).alias("arm")
+    )
+    return ks_two_sample(ev, "value", "arm", grid_dp=2)
+
+
+@register(
+    "spc_value_control_limits",
+    """
+    WITH s AS (
+      SELECT event_type, count(*) AS n, avg(value) AS m,
+             stddev_samp(value) AS sd
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    )
+    SELECT e.event_type, CAST(max(s.n) AS BIGINT) AS n,
+           round(max(s.m), 6) AS mean_value,
+           round(max(s.sd), 6) AS stddev_value,
+           round(max(s.m + 3 * s.sd), 6) AS ucl,
+           round(max(s.m - 3 * s.sd), 6) AS lcl,
+           CAST(count(*) FILTER (e.value > s.m + 3 * s.sd) AS BIGINT)
+             AS n_above_ucl,
+           CAST(count(*) FILTER (e.value < s.m - 3 * s.sd) AS BIGINT)
+             AS n_below_lcl
+    FROM events e JOIN s USING (event_type)
+    WHERE e.value IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_spc_value_control_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart control-chart audit per event type: ±3σ limits and
+    out-of-control counts via a |groups|-sized stats aggregate
+    broadcast back onto the rows — two map-side passes, never a
+    per-group window sort (operators/stats.py spc_control_limits)."""
+    from eventstreamml_spark.operators.stats import spc_control_limits
+
+    return spc_control_limits(_events(spark, sf_dir), "value", "event_type")
+
+
+@register(
+    "ab_srm_check",
+    """
+    WITH a AS (
+      SELECT CAST(count(*) FILTER (user_id % 2 = 0) AS DOUBLE) AS n0,
+             CAST(count(*) FILTER (user_id % 2 = 1) AS DOUBLE) AS n1
+      FROM events
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
+           round(n0 / (n0 + n1), 6) AS frac_a,
+           round(power(n0 - (n0 + n1) * 0.5, 2) / ((n0 + n1) * 0.5)
+                 + power(n1 - (n0 + n1) * 0.5, 2) / ((n0 + n1) * 0.5), 6)
+             AS chi2,
+           (power(n0 - (n0 + n1) * 0.5, 2) / ((n0 + n1) * 0.5)
+            + power(n1 - (n0 + n1) * 0.5, 2) / ((n0 + n1) * 0.5))
+             > 3.841458820694124 AS srm_flag
+    FROM a
+    """,
+)
+def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch audit of the two-arm hash assignment: a
+    one-dof chi-square of observed vs expected 50/50 counts, the gate
+    every experiment readout runs first (operators/stats.py
+    sample_ratio_mismatch). One aggregation pass."""
+    from eventstreamml_spark.operators.stats import sample_ratio_mismatch
+
+    ev = _events(spark, sf_dir).select((F.col("user_id") % 2).alias("arm"))
+    return sample_ratio_mismatch(ev, "arm", expected_frac=0.5)
+
+
+@register(
+    "privacy_l_diversity",
+    """
+    WITH cell AS (
+      SELECT user_id % 50 AS qi, event_type AS s,
+             CAST(count(*) AS DOUBLE) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    cl AS (
+      SELECT qi, c, c / (sum(c) OVER (PARTITION BY qi)) AS p
+      FROM cell
+    )
+    SELECT qi, CAST(sum(c) AS BIGINT) AS class_size,
+           CAST(count(*) AS BIGINT) AS l_distinct,
+           round(sum(-p * ln(p)), 6) AS sensitive_entropy,
+           count(*) < 3 AS at_risk
+    FROM cl GROUP BY qi
+    """,
+)
+def q_privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (k-anonymity's companion): distinct-count and
+    entropy of the sensitive attribute per quasi-identifier class,
+    flagging classes an attacker could read the sensitive value from
+    (operators/quality.py l_diversity_audit). Two map-side-combined
+    groupBys over the bounded class relation."""
+    from eventstreamml_spark.operators.quality import l_diversity_audit
+
+    ev = _events(spark, sf_dir).select(
+        (F.col("user_id") % 50).alias("qi"), "event_type"
+    )
+    return l_diversity_audit(ev, ["qi"], "event_type", l=3)
+
+
+@register(
+    "feature_cross_hashed",
+    """
+    WITH pc AS (
+      SELECT event_type || '␟' || CAST(hour(ts) AS VARCHAR)
+               AS cross_key,
+             count(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT ('0x' || substr(md5(cross_key), 1, 8))::BIGINT % 1024 AS bucket,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_crosses,
+           min(cross_key) AS example_cross,
+           count(*) > 1 AS collided
+    FROM pc GROUP BY 1
+    """,
+)
+def q_feature_cross_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed feature cross of (event_type × hour-of-day) into 1024
+    md5 buckets with a collision audit — the hashing-trick primitive
+    plus the check that sizes the bucket count before training
+    (operators/aggregations.py hashed_feature_cross). Hash computed
+    once per DISTINCT cross, never per row."""
+    from eventstreamml_spark.operators.aggregations import hashed_feature_cross
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.hour(F.col("ts").cast("timestamp")).alias("hour"),
+    )
+    return hashed_feature_cross(ev, ["event_type", "hour"], n_buckets=1024)
+
+
+@register(
+    "session_markov_transitions",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                       OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM g
+    ),
+    tr AS (
+      SELECT event_type AS cur_type,
+             lead(event_type) OVER (PARTITION BY user_id, session_no
+                                    ORDER BY ts, event_id) AS next_type
+      FROM s
+    ),
+    cnt AS (
+      SELECT cur_type, next_type, count(*) AS n
+      FROM tr WHERE next_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT cur_type, next_type, CAST(n AS BIGINT) AS n,
+           round(n / (sum(n) OVER (PARTITION BY cur_type)), 6) AS p
+    FROM cnt
+    """,
+)
+def q_session_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session Markov transition matrix: gap sessionization
+    (the batch_sessionization boundaries) composed with a lead window
+    INSIDE each session, normalized to P(next|cur) on the
+    |types|²-sized count relation — session boundaries stop
+    transitions from leaking across visits, which the plain
+    event_transition_matrix can't express. One subject-keyed shuffle
+    carries both windows."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    )
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(gap_us > 1_800_000_000, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0)
+        .alias("is_start"),
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("is_start")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_no"),
+    )
+    ws = W.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+    tr = s.select(
+        F.col("event_type").alias("cur_type"),
+        F.lead("event_type").over(ws).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    cnt = tr.groupBy("cur_type", "next_type").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    wt = W.partitionBy("cur_type")
+    return cnt.select(
+        "cur_type",
+        "next_type",
+        F.col("_n").cast("long").alias("n"),
+        F.round(F.col("_n") / F.sum("_n").over(wt), 6).alias("p"),
+    )
+
+
+@register(
+    "dq_freshness_lag",
+    """
+    WITH per AS (
+      SELECT event_type, max(ts) AS max_ts, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    g AS (SELECT max(max_ts) AS gmax FROM per)
+    SELECT event_type, n, max_ts,
+           CAST(floor((epoch_us(gmax) - epoch_us(max_ts)) / 1000000.0)
+                AS BIGINT) AS lag_sec,
+           epoch_us(gmax) - epoch_us(max_ts) > 3600000000 AS stale
+    FROM per CROSS JOIN g
+    """,
+)
+def q_dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type data-freshness audit: each partition's high watermark
+    vs the table's global watermark with a staleness flag — one scan
+    to |groups| watermarks, global max derived from that relation as a
+    broadcast scalar (operators/quality.py freshness_lag)."""
+    from eventstreamml_spark.operators.quality import freshness_lag
+
+    return freshness_lag(
+        _events(spark, sf_dir), "ts", "event_type", stale_after_sec=3600
+    )
+
+
+@register(
+    "corpus_zipf_fit",
+    """
+    WITH toks AS (
+      SELECT lower(x) AS tok FROM (
+        SELECT unnest(string_split(text, ' ')) AS x FROM documents
+      ) WHERE x <> ''
+    ),
+    c AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+    top AS (
+      SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rank
+      FROM c QUALIFY rank <= 100
+    ),
+    pts AS (
+      SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y, n
+      FROM top
+    )
+    SELECT round(covar_samp(x, y) / var_samp(x), 6) AS slope,
+           round(avg(y) - (covar_samp(x, y) / var_samp(x)) * avg(x), 6)
+             AS intercept,
+           round(power(corr(x, y), 2), 6) AS r2,
+           CAST(count(*) AS BIGINT) AS n_ranks,
+           CAST(sum(n) AS BIGINT) AS n_tokens_total
+    FROM pts
+    """,
+)
+def q_corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus head (OLS of log-freq on
+    log-rank, top 100 tokens): slope ≈ −1 is the natural-language
+    fingerprint, deviations flag template or spam corpora. Head
+    extraction is TakeOrderedAndProject — a bounded heap, never a
+    vocabulary sort (operators/text.py zipf_fit)."""
+    from eventstreamml_spark.operators.text import zipf_fit
+
+    return zipf_fit(load_table(spark, sf_dir, "documents"), top_n=100)
+
+
+def _pca_oracle_sql(d: int = 64, n_iter: int = 3) -> str:
+    """DuckDB replay of ``pca_top_component``: covariance from the
+    exploded embedding relation (rounded 6dp — the determinism
+    boundary shared with the Spark side), then ``n_iter`` power-
+    iteration steps unrolled as CTE triples (matvec, norm, normalize),
+    sign fixed on component 0."""
+    v0 = repr(1.0 / d**0.5)
+    steps = []
+    for k in range(1, n_iter + 1):
+        if k == 1:
+            u = f"u1 AS (SELECT i, sum(c * {v0}) AS u FROM cov GROUP BY i)"
+        else:
+            u = (
+                f"u{k} AS (SELECT cov.i AS i, sum(cov.c * v{k-1}.v) AS u "
+                f"FROM cov JOIN v{k-1} ON cov.j = v{k-1}.i GROUP BY cov.i)"
+            )
+        steps += [
+            u,
+            f"n{k} AS (SELECT sqrt(sum(u * u)) AS nrm FROM u{k})",
+            f"v{k} AS (SELECT i, u / (SELECT nrm FROM n{k}) AS v FROM u{k})",
+        ]
+    body = ",\n    ".join(steps)
+    last = f"v{n_iter}"
+    nlast = f"n{n_iter}"
+    return f"""
+    WITH e AS (
+      SELECT vec_id AS r, generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS xi
+      FROM embeddings
+    ),
+    m AS (SELECT i, round(avg(xi), 6) AS mu FROM e GROUP BY i),
+    ce AS (SELECT e.r, e.i, e.xi - m.mu AS cx FROM e JOIN m USING (i)),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+    cov AS (
+      SELECT a.i AS i, b.i AS j,
+             round(sum(a.cx * b.cx) / ((SELECT n FROM nn) - 1), 6) AS c
+      FROM ce a JOIN ce b ON a.r = b.r
+      GROUP BY 1, 2
+    ),
+    {body},
+    sgn AS (SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS s
+            FROM {last} WHERE i = 0)
+    SELECT CAST({last}.i AS BIGINT) AS i,
+           round({last}.v * (SELECT s FROM sgn), 5) AS loading,
+           round((SELECT nrm FROM {nlast}), 5) AS eigval
+    FROM {last}
+    """
+
+
+@register("embedding_pca_top_component", _pca_oracle_sql())
+def q_embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by PLAN-SIDE
+    power iteration: Arrow-batched partial Gram matrices fold to the
+    d×d covariance (d² scalars per partition cross the shuffle, never
+    a d²-per-row explode), and each iteration is a |d²|⋈|d| join — no
+    driver linear algebra, no collect anywhere
+    (operators/similarity.py pca_top_component). The oracle replays
+    every step off the 6dp-rounded covariance."""
+    from eventstreamml_spark.operators.similarity import pca_top_component
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_top_component(emb, "embedding", dim=64, n_iter=3)
+
+
+@register(
+    "user_churn_labels",
+    """
+    WITH hz AS (SELECT max(epoch_us(ts)) AS hzus FROM events)
+    SELECT user_id,
+           max(ts) AS last_ts,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (
+             epoch_us(ts) >= (SELECT hzus FROM hz) - 604800000000
+           ) AS BIGINT) AS n_events_recent,
+           CAST(floor(((SELECT hzus FROM hz) - max(epoch_us(ts)))
+                      / 86400000000.0) AS BIGINT) AS days_inactive,
+           max(epoch_us(ts)) < (SELECT hzus FROM hz) - 1209600000000
+             AS churned
+    FROM events GROUP BY user_id
+    """,
+)
+def q_user_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-label builder anchored to the data's high watermark:
+    last-activity, trailing-7-day volume, days inactive, and a
+    14-day-inactivity churn label per subject — the supervised-label
+    derivation a training pipeline runs over the raw log, reproducible
+    under backfill because nothing reads the wall clock (tasks.py
+    churn_labels). One conditional-aggregate pass after a
+    footer-stats-cheap max(ts) scan."""
+    from eventstreamml_spark.tasks import churn_labels
+
+    return churn_labels(
+        _events(spark, sf_dir), "user_id", "ts", churn_days=14, active_days=7
+    )
+
+
+@register(
+    "streaming_rate_alert",
+    """
+    WITH c AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    a AS (
+      SELECT window_start, event_type, n_events,
+             avg(n_events) OVER (PARTITION BY event_type ORDER BY window_start
+                                 ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+               AS tavg,
+             count(*) OVER (PARTITION BY event_type ORDER BY window_start
+                            ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS tcnt
+      FROM c
+    )
+    SELECT window_start, event_type, n_events,
+           round(CASE WHEN tcnt >= 3 THEN tavg END, 6) AS trailing_avg,
+           coalesce(CASE WHEN tcnt >= 3 THEN n_events > 1.5 * tavg END,
+                    FALSE) AS alert
+    FROM a
+    """,
+)
+def q_streaming_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-spike alerting: the incremental watermarked hourly count
+    (bounded per-window state) feeds a serving-side trailing-3-window
+    comparison over the windows×types sink relation — the split
+    Structured Streaming forces, since a lag over completed windows
+    isn't incremental (streaming/ops.py rate_alerts). Warm-up windows
+    never alert."""
+    from eventstreamml_spark.streaming.ops import (
+        rate_alerts,
+        windowed_event_type_counts,
+    )
+
+    ev = _events_stream(spark, sf_dir)
+    counts = windowed_event_type_counts(
+        ev, "1 hour", "10 minutes", ts_col="ts", type_col="event_type"
+    )
+    sink = _run_available_now(counts, "complete")
+    out = rate_alerts(
+        sink, "event_type", "window_start", "n_events", factor=1.5, trailing=3
+    )
+    return out.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        "trailing_avg",
+        "alert",
+    )
+
+
+@register(
+    "rolling_active_users_7d",
+    """
+    WITH active AS (
+      SELECT DISTINCT user_id AS s, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    fanned AS (
+      SELECT s, d + CAST(o AS INT) AS report
+      FROM active CROSS JOIN (SELECT unnest(range(7)) AS o) t
+    ),
+    per AS (
+      SELECT report AS day, count(DISTINCT s) AS n_active
+      FROM fanned GROUP BY 1
+    ),
+    today AS (
+      SELECT d AS day, count(DISTINCT s) AS n_active_today
+      FROM active GROUP BY 1
+    ),
+    g AS (SELECT max(day) AS gm FROM today)
+    SELECT per.day, CAST(n_active AS BIGINT) AS n_active,
+           CAST(coalesce(n_active_today, 0) AS BIGINT) AS n_active_today
+    FROM per LEFT JOIN today USING (day) CROSS JOIN g
+    WHERE per.day <= g.gm
+    """,
+)
+def q_rolling_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day (WAU): sliding
+    COUNT DISTINCT doesn't decompose over overlapping frames, so the
+    scalable shape dedups to the (user, active-day) relation first and
+    fans THAT out 7× to the report days it serves — the explode hits
+    the deduped relation, never the log (operators/windows.py
+    rolling_distinct_subjects)."""
+    from eventstreamml_spark.operators.windows import rolling_distinct_subjects
+
+    return rolling_distinct_subjects(
+        _events(spark, sf_dir), "user_id", "ts", window_days=7
+    )
+
+
+@register(
+    "revenue_pareto_concentration",
+    """
+    WITH per AS (
+      SELECT o_custkey AS k, sum(o_totalprice) AS v FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT v,
+             row_number() OVER (ORDER BY v ASC, k ASC) AS i,
+             row_number() OVER (ORDER BY v DESC, k ASC) AS rd,
+             count(*) OVER () AS n
+      FROM per
+    ),
+    f AS (SELECT v, i, n, rd <= ceil(0.2 * n) AS top FROM r)
+    SELECT CAST(max(n) AS BIGINT) AS n_keys,
+           round(sum(v) / max(n), 4) AS mean_value,
+           round(sum(CASE WHEN top THEN v END) / sum(v), 6) AS top_share,
+           round(2.0 * sum(i * v) / (max(n) * sum(v))
+                 - (max(n) + 1.0) / max(n), 6) AS gini
+    FROM f
+    """,
+)
+def q_revenue_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/80-20 revenue concentration over customers: top-20%
+    share and Gini coefficient from windows over the |customers|
+    relation — the head-heaviness readout that doubles as a corpus
+    source-concentration audit (operators/aggregations.py
+    revenue_concentration)."""
+    from eventstreamml_spark.operators.aggregations import revenue_concentration
+
+    return revenue_concentration(
+        load_table(spark, sf_dir, "orders"),
+        "o_custkey",
+        "o_totalprice",
+        top_frac=0.2,
+    )
+
+
+@register(
+    "hourly_robust_z_anomaly",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(n, 0.5) AS med
+      FROM hourly GROUP BY 1
+    ),
+    j AS (
+      SELECT h.event_type, h.hour, h.n, m.med
+      FROM hourly h JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(abs(n - med), 0.5) AS mad
+      FROM j GROUP BY 1
+    )
+    SELECT j.event_type, j.hour, CAST(j.n AS BIGINT) AS n,
+           round(j.med, 6) AS med,
+           round(mad.mad, 6) AS mad,
+           round(CASE WHEN mad.mad > 0
+                      THEN 0.6745 * (j.n - j.med) / mad.mad END, 6)
+             AS robust_z,
+           coalesce(CASE WHEN mad.mad > 0
+                         THEN abs(0.6745 * (j.n - j.med) / mad.mad) > 3.5
+                    END, FALSE) AS anomaly
+    FROM j JOIN mad USING (event_type)
+    """,
+)
+def q_hourly_robust_z_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust-z anomaly flags over hourly event-rate series: modified
+    z-score 0.6745·(n−median)/MAD per type — outlier-proof where the
+    3σ rule self-blinds (a spike inflates its own σ). Two grouped
+    percentile passes run on the |hours×types| count relation, never
+    the raw log; medians broadcast back."""
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    med = hourly.groupBy("event_type").agg(
+        F.percentile(F.col("n"), F.lit(0.5)).alias("med")
+    )
+    j = hourly.join(F.broadcast(med), "event_type")
+    mad = j.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("n") - F.col("med")), F.lit(0.5)).alias(
+            "mad"
+        )
+    )
+    out = j.join(F.broadcast(mad), "event_type")
+    rz = 0.6745 * (F.col("n") - F.col("med")) / F.col("mad")
+    return out.select(
+        "event_type",
+        F.col("hour").cast("timestamp_ntz").alias("hour"),
+        F.col("n").cast("long").alias("n"),
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        F.round(F.when(F.col("mad") > 0, rz), 6).alias("robust_z"),
+        F.coalesce(
+            F.when(F.col("mad") > 0, F.abs(rz) > 3.5), F.lit(False)
+        ).alias("anomaly"),
+    )
+
+
+@register(
+    "doc_ngram_novelty",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    ds AS (SELECT doc_id, w FROM t WHERE len(w) >= 3),
+    pos AS (
+      SELECT doc_id, w, unnest(range(len(w) - 2)) AS i FROM ds
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS s
+      FROM pos
+    ),
+    first AS (SELECT s, min(doc_id) AS f FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(*) FILTER (first.f = sh.doc_id) AS BIGINT) AS n_novel,
+           round(count(*) FILTER (first.f = sh.doc_id)
+                 / CAST(count(*) AS DOUBLE), 6) AS novelty
+    FROM sh JOIN first USING (s)
+    GROUP BY sh.doc_id
+    """,
+)
+def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty vs everything earlier in ingestion
+    order: share of a doc's distinct shingles whose corpus-first owner
+    is the doc itself — the curation signal between exact and
+    similarity dedup, computed with one shingle explode, a min
+    aggregate, and a shingle-keyed equi-join — never doc×doc pairs
+    (operators/text.py ngram_novelty)."""
+    from eventstreamml_spark.operators.text import ngram_novelty
+
+    return ngram_novelty(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3
     )

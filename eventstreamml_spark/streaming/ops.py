@@ -557,3 +557,44 @@ def windowed_value_bins(
         .agg(F.count(F.lit(1)).alias("c"))
         .select(F.col("window.start").alias("window_start"), "bin", "c")
     )
+
+
+def rate_alerts(
+    counts_sink: DataFrame,
+    key_col: str = "event_type",
+    window_col: str = "window_start",
+    count_col: str = "n_events",
+    factor: float = 1.5,
+    trailing: int = 3,
+) -> DataFrame:
+    """Rate-spike alerting over a finalized windowed-count sink: per
+    key, each window's count against the average of the ``trailing``
+    preceding windows; alert when count > ``factor`` × trailing mean.
+    This is the serving half of the monitor — the streaming half is
+    the incremental watermarked count (windowed_event_type_counts),
+    whose per-window state Structured Streaming already bounds; the
+    lag comparison is NOT incremental (it reads completed windows), so
+    it runs over the sink relation, which is windows×keys — tiny next
+    to the stream. The first ``trailing`` windows of a key have no
+    baseline and never alert (trailing_avg NULL)."""
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(key_col)
+        .orderBy(window_col)
+        .rowsBetween(-trailing, -1)
+    )
+    trailing_avg = F.avg(F.col(count_col).cast("double")).over(w)
+    full = F.count(F.lit(1)).over(w) >= trailing
+    return counts_sink.select(
+        window_col,
+        key_col,
+        count_col,
+        F.round(F.when(full, trailing_avg), 6).alias("trailing_avg"),
+        F.coalesce(
+            F.when(
+                full, F.col(count_col) > factor * trailing_avg
+            ),
+            F.lit(False),
+        ).alias("alert"),
+    )

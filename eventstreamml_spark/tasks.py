@@ -113,3 +113,49 @@ def events_in_task_windows(
 def restrict_tasks_to_subjects(task_df: DataFrame, subjects: DataFrame) -> DataFrame:
     """J6: ``task_df[subject_id.isin(subject_ids)]`` as a semi-join."""
     return task_df.join(subjects.select("subject_id"), "subject_id", "left_semi")
+
+
+def churn_labels(
+    events: DataFrame,
+    subject_col: str = "user_id",
+    ts_col: str = "ts",
+    churn_days: int = 14,
+    active_days: int = 7,
+) -> DataFrame:
+    """Churn-label builder: per subject, the last-activity watermark,
+    activity volume in the trailing ``active_days`` window, and a
+    ``churned`` label (no activity in the last ``churn_days`` of the
+    observation horizon) — the canonical supervised-label derivation a
+    training pipeline runs over the raw event log, with the horizon
+    anchored to the DATA's high watermark so backfills are
+    reproducible (wall-clock anchors are not).
+
+    Two scans, both cheap where it matters: the horizon is a bare
+    max(ts) over the pruned timestamp column (parquet footer stats
+    answer it without reading data pages), broadcast as a one-row
+    scalar onto the single map-side-combined per-subject groupBy whose
+    conditional aggregates produce every label column — per-subject
+    state is a handful of counters, never a timestamp list. Returns
+    (subject, last_ts, n_events, n_events_recent, days_inactive,
+    churned)."""
+    ts = F.col(ts_col).cast("timestamp")
+    day_us = 86_400_000_000
+    horizon = events.agg(F.max(F.unix_micros(ts)).alias("_hz_us"))
+    us = F.unix_micros(ts)
+    recent_cut = F.col("_hz_us") - active_days * day_us
+    churn_cut = F.col("_hz_us") - churn_days * day_us
+    return (
+        events.crossJoin(F.broadcast(horizon))
+        .groupBy(F.col(subject_col))
+        .agg(
+            F.max(ts.cast("timestamp_ntz")).alias("last_ts"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.when(us >= recent_cut, 1).otherwise(0))
+            .cast("long")
+            .alias("n_events_recent"),
+            F.floor((F.max(F.col("_hz_us")) - F.max(us)) / F.lit(day_us))
+            .cast("long")
+            .alias("days_inactive"),
+            (F.max(us) < F.max(churn_cut)).alias("churned"),
+        )
+    )

@@ -101,3 +101,221 @@ class TestBucketedPairFreshness:
         l1, r1 = bucketed_pair(spark, df, df, "k", cache_tag="nosrc-test")
         l2, r2 = bucketed_pair(spark, df, df, "k", cache_tag="nosrc-test")
         assert l1.count() == l2.count() == 5
+
+
+class TestRound5NewOps:
+    def test_zipf_head_is_bounded_take_ordered(self, spark):
+        from eventstreamml_spark.operators.text import zipf_fit
+
+        docs = spark.createDataFrame(
+            [(1, "a a a b b c"), (2, "a b c d e f")], "doc_id long, text string"
+        )
+        plan = (
+            zipf_fit(docs, top_n=3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan  # never a global vocab sort
+        row = zipf_fit(docs, top_n=3).collect()[0]
+        assert row["n_ranks"] == 3
+        assert row["slope"] < 0  # frequency decreases with rank
+
+    def test_pca_matches_numpy(self, spark):
+        import numpy as np
+
+        from eventstreamml_spark.operators.similarity import pca_top_component
+
+        rng = np.random.default_rng(7)
+        base = rng.normal(size=(60, 6))
+        base[:, 0] += 3.0 * base[:, 5]  # plant a dominant direction
+        rows = [(i, [float(x) for x in base[i]]) for i in range(60)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = pca_top_component(df, "embedding", dim=6, n_iter=12)
+        got = {r["i"]: r["loading"] for r in out.collect()}
+        v = np.array([got[i] for i in range(6)])
+
+        X = base - base.mean(axis=0)
+        C = X.T @ X / (len(base) - 1)
+        w, V = np.linalg.eigh(C)
+        top = V[:, -1]
+        top = top if top[0] >= 0 else -top
+        assert np.allclose(v, top, atol=5e-3), (v, top)
+
+    def test_pca_plan_side_no_collect(self, spark):
+        # the operator builds a DataFrame lazily: constructing the plan
+        # must not launch any job (no .collect()/.first() inside)
+        from eventstreamml_spark.operators.similarity import pca_top_component
+
+        tracker = spark.sparkContext.statusTracker()
+        before = tracker.getJobIdsForGroup(None)
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0]), (2, [2.0, 1.0]), (3, [0.5, 0.7])],
+            "vec_id long, embedding array<double>",
+        )
+        _ = pca_top_component(df, "embedding", dim=2, n_iter=2)
+        after = tracker.getJobIdsForGroup(None)
+        assert len(after) == len(before)
+
+    def test_ks_two_sample_exact_small(self, spark):
+        from eventstreamml_spark.operators.stats import ks_two_sample
+
+        # arm0: {1,2,3,4}, arm1: {3,4,5,6} -> D = 0.5 at x in [2,3)
+        rows = [(0, 1.0), (0, 2.0), (0, 3.0), (0, 4.0),
+                (1, 3.0), (1, 4.0), (1, 5.0), (1, 6.0)]
+        df = spark.createDataFrame(rows, "arm int, value double")
+        r = ks_two_sample(df, "value", "arm").collect()[0]
+        assert r["n_a"] == 4 and r["n_b"] == 4
+        assert r["ks_d"] == 0.5
+
+    def test_churn_labels_small(self, spark):
+        from eventstreamml_spark.tasks import churn_labels
+
+        rows = [
+            (1, "2024-01-30 12:00:00"),  # horizon anchor, active
+            (1, "2024-01-29 12:00:00"),
+            (2, "2024-01-01 12:00:00"),  # 29 days inactive -> churned
+            (3, "2024-01-20 12:00:00"),  # 10 days -> not churned, not recent
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts string").select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts")
+        )
+        got = {r["user_id"]: r for r in churn_labels(df).collect()}
+        assert got[1]["churned"] is False and got[1]["n_events_recent"] == 2
+        assert got[2]["churned"] is True and got[2]["days_inactive"] == 29
+        assert got[3]["churned"] is False and got[3]["n_events_recent"] == 0
+
+    def test_rate_alerts_warmup_never_alerts(self, spark):
+        from eventstreamml_spark.streaming.ops import rate_alerts
+
+        rows = [
+            ("a", i, 10 if i < 5 else 100) for i in range(6)
+        ]
+        sink = spark.createDataFrame(
+            rows, "event_type string, window_start int, n_events long"
+        )
+        out = {r["window_start"]: r for r in rate_alerts(sink).collect()}
+        for i in range(3):  # no 3-window baseline yet
+            assert out[i]["alert"] is False
+            assert out[i]["trailing_avg"] is None
+        assert out[4]["alert"] is False  # 10 vs trailing avg 10
+        assert out[5]["alert"] is True  # 100 > 1.5 * avg(10,10,10)
+
+    def test_l_diversity_flags_homogeneous_class(self, spark):
+        from eventstreamml_spark.operators.quality import l_diversity_audit
+
+        rows = [(1, "x")] * 5 + [(2, "x"), (2, "y"), (2, "z")]
+        df = spark.createDataFrame(rows, "qi int, s string")
+        got = {r["qi"]: r for r in l_diversity_audit(df, ["qi"], "s", l=3).collect()}
+        assert got[1]["at_risk"] is True and got[1]["l_distinct"] == 1
+        assert got[1]["sensitive_entropy"] == 0.0
+        assert got[2]["at_risk"] is False and got[2]["l_distinct"] == 3
+
+    def test_session_markov_rows_sum_to_one(self, spark):
+        from eventstreamml_spark.queries import queries
+
+        from tests.conftest import SF_SMOKE
+
+        df = queries()["session_markov_transitions"](spark, SF_SMOKE)
+        sums = (
+            df.groupBy("cur_type").agg(F.round(F.sum("p"), 3).alias("s"))
+        ).collect()
+        for r in sums:
+            assert abs(r["s"] - 1.0) < 0.01  # rounding of 6dp p's
+
+
+class TestRound5PlanShapes:
+    """Pin the documented shuffle shapes of the round-5 operators — a
+    regression that adds an exchange is a scale bug even when results
+    stay correct."""
+
+    def _plan(self, df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def _ev(self, spark):
+        return spark.range(1000).select(
+            (F.col("id") % 7).alias("user_id"),
+            (F.col("id") % 5).cast("string").alias("event_type"),
+            (F.col("id") % 100 / 3.0).alias("value"),
+        )
+
+    def test_ks_single_data_exchange(self, spark):
+        from eventstreamml_spark.operators.stats import ks_two_sample
+
+        df = self._ev(spark).select(
+            "value", (F.col("user_id") % 2).alias("arm")
+        )
+        plan = self._plan(ks_two_sample(df, "value", "arm"))
+        # one grid groupBy over the data; the CDF windows run on the
+        # bounded grid relation (SinglePartition exchange over |grid|)
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_spc_broadcasts_stats_not_shuffle_join(self, spark):
+        from eventstreamml_spark.operators.stats import spc_control_limits
+
+        plan = self._plan(
+            spc_control_limits(self._ev(spark), "value", "event_type")
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_feature_cross_hashes_distinct_not_rows(self, spark):
+        from eventstreamml_spark.operators.aggregations import (
+            hashed_feature_cross,
+        )
+
+        import contextlib
+        import io
+
+        df = hashed_feature_cross(self._ev(spark), ["event_type", "user_id"])
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        blocks = buf.getvalue().split("\n\n")
+        md5_blocks = [b for b in blocks if "md5" in b]
+        # md5 runs once per DISTINCT cross: every occurrence lives in a
+        # HashAggregate projection over the cross relation, never in the
+        # per-row scan-side Project
+        assert md5_blocks
+        for b in md5_blocks:
+            assert b.lstrip().splitlines()[0].endswith("HashAggregate"), b
+
+    def test_churn_single_subject_shuffle_plus_broadcast(self, spark):
+        from eventstreamml_spark.tasks import churn_labels
+
+        ev = self._ev(spark).select(
+            "user_id",
+            F.timestamp_seconds(F.col("value").cast("long") * 86400).alias(
+                "ts"
+            ),
+        )
+        plan = self._plan(churn_labels(ev))
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+    def test_freshness_single_group_exchange(self, spark):
+        from eventstreamml_spark.operators.quality import freshness_lag
+
+        ev = self._ev(spark).select(
+            "event_type",
+            F.timestamp_seconds(F.col("value").cast("long") * 3600).alias(
+                "ts"
+            ),
+        )
+        plan = self._plan(freshness_lag(ev, "ts", "event_type"))
+        # one per-group exchange; the global watermark is a window over
+        # the |groups| relation, never a second scan of the data
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert plan.count("HashAggregate") == 2  # one partial+final pair
+
+    def test_pca_gram_stage_is_arrow_map_in_pandas(self, spark):
+        from eventstreamml_spark.operators.similarity import pca_top_component
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0]), (2, [2.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        plan = self._plan(pca_top_component(df, "embedding", dim=2, n_iter=2))
+        assert "MapInPandas" in plan  # Gram partials, Arrow-batched
+        # covariance-vector joins broadcast the d-sized vector side
+        assert "BroadcastHashJoin" in plan

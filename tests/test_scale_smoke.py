@@ -124,3 +124,37 @@ def test_scale_sketches_and_bootstrap(spark):
         assert r["ci_lo"] < r["mean_value"] < r["ci_hi"]
         # 400k rows per type: the CI of the mean must be tight
         assert r["ci_hi"] - r["ci_lo"] < 10.0
+
+
+def test_scale_round5_ops(spark):
+    """Round-5 ops at ~30x bench volume: the KS grid relation stays
+    bounded regardless of row count, churn labels fold 2M rows to one
+    row per subject in a single conditional-aggregate pass, and the
+    7-day rolling distinct fans out the DEDUPED (subject, day)
+    relation, never the log. Aggregate-only assertions."""
+    from eventstreamml_spark.operators.stats import ks_two_sample
+    from eventstreamml_spark.operators.windows import (
+        rolling_distinct_subjects,
+    )
+    from eventstreamml_spark.tasks import churn_labels
+
+    ev = _events(spark)
+
+    ks = ks_two_sample(
+        ev.select("value", (F.col("subject_id") % 2).alias("arm")),
+        "value",
+        "arm",
+    ).collect()[0]
+    assert ks["n_a"] + ks["n_b"] == N
+    assert 0.0 <= ks["ks_d"] <= 0.05  # same distribution in both arms
+
+    ch = churn_labels(ev, "subject_id", "timestamp")
+    st = ch.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_events").alias("total"),
+    ).collect()[0]
+    assert st["n"] == N_SUBJECTS and st["total"] == N
+
+    rd = rolling_distinct_subjects(ev, "subject_id", "timestamp", 7)
+    mx = rd.agg(F.max("n_active").alias("m")).collect()[0]["m"]
+    assert mx <= N_SUBJECTS
