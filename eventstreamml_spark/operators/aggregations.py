@@ -553,9 +553,17 @@ def hashed_feature_cross(
     One groupBy to the |distinct crosses| relation, one rollup to
     |buckets| — both map-side combined, hash computed once per distinct
     cross, never per row. The md5-substring bucket is the engine's
-    portable convention, replayable by any engine with md5."""
+    portable convention, replayable by any engine with md5. Columns are
+    null-sentineled (␀) before the concat — concat_ws silently SKIPS
+    nulls, which would conflate ('a', NULL) with (NULL, 'a') and with a
+    bare 'a', corrupting the collision audit (same guard as
+    quality.table_diff)."""
     cross = F.concat_ws(
-        "␟", *[F.col(c).cast("string") for c in cols]
+        "␟",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("␀"))
+            for c in cols
+        ],
     )
     per_cross = df.groupBy(cross.alias("cross_key")).agg(
         F.count(F.lit(1)).alias("_n")

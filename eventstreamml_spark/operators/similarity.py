@@ -765,6 +765,8 @@ def pca_top_component(
     import numpy as np
     import pandas as pd
 
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
     d = dim if dim is not None else embedding_dim(df, vec_col)
     spark = df.sparkSession
 
@@ -813,12 +815,12 @@ def pca_top_component(
         )
         # d² rows by construction at ANY corpus scale: collapse to one
         # partition so the iteration stages schedule 1 task instead of
-        # |shuffle.partitions| empty ones (measured 5.4s → 2.1s at
-        # sf0.1/local[32]), and lazily cache — every iteration and every
-        # norm-broadcast branch references cov, and broadcast subplans
-        # execute independently (lazy keeps plan construction job-free).
+        # |shuffle.partitions| empty ones (measured 5.4s → 2.2s at
+        # sf0.1/local[32]). Deliberately NOT cached: caching measured
+        # 0% faster warm here, and a cache owned by a returned lazy
+        # plan can never be unpersisted — it would leak one pinned
+        # relation per call for the session lifetime.
         .coalesce(1)
-        .cache()
     )
 
     v = spark.range(d).coalesce(1).select(

@@ -130,7 +130,13 @@ def bootstrap_mean_ci(
     ]
     agg = _pass(parts[0], True)
     for bs in parts[1:]:
-        agg = agg.join(_pass(bs, False), by)
+        # null-SAFE key equality: a NULL group key is a legitimate group
+        # out of the groupBy, and a plain equi-join would silently drop
+        # its CI row (the single-pass form never had this hazard)
+        nxt = _pass(bs, False).withColumnRenamed(by, "_by_r")
+        agg = agg.join(
+            nxt, F.col(by).eqNullSafe(F.col("_by_r"))
+        ).drop("_by_r")
     means = F.array(
         *[F.try_divide(F.col(f"_wx{b}"), F.col(f"_w{b}")) for b in b_range]
     )
@@ -369,9 +375,15 @@ def ks_two_sample(
 ) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov statistic D = sup|F₁(x) − F₂(x)|
     between the two arms of ``arm_col``, computed on a value grid
-    (values rounded to ``grid_dp`` decimals) — the nonparametric
-    distribution-shift test an experiment readout runs next to the
-    t-test (no reference analog; declared-new per SURVEY §2.8b).
+    (grid key = ``floor(value·10^grid_dp)`` — an INTEGER key, so every
+    engine bins identically; ``round`` would re-open cross-engine
+    half-way-tie daylight) — the nonparametric distribution-shift test
+    an experiment readout runs next to the t-test (no reference
+    analog; declared-new per SURVEY §2.8b). Arms must be encoded 0/1
+    (welch_ttest's arbitrary-label pivot doesn't apply here — the
+    conditional counts are the cheap binary form); a side with zero
+    rows yields NULL ks_d via try_divide rather than an ANSI
+    divide-by-zero.
 
     Scale shape: one map-side-combined groupBy folds the data to a
     per-grid-point count relation (size = |grid|, bounded by the value
@@ -384,7 +396,9 @@ def ks_two_sample(
     """
     from pyspark.sql import Window as W
 
-    x = F.round(F.col(value_col).cast("double"), grid_dp)
+    x = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(10**grid_dp))
+    ).cast("long")
     t = df.filter(F.col(value_col).isNotNull()).select(
         x.alias("_x"), F.col(arm_col).alias("_arm")
     )
@@ -396,8 +410,12 @@ def ks_two_sample(
     tot = W.partitionBy()
     cdf = arms.select(
         "_x",
-        (F.sum("_c0").over(w) / F.sum("_c0").over(tot)).alias("_f0"),
-        (F.sum("_c1").over(w) / F.sum("_c1").over(tot)).alias("_f1"),
+        F.try_divide(F.sum("_c0").over(w), F.sum("_c0").over(tot)).alias(
+            "_f0"
+        ),
+        F.try_divide(F.sum("_c1").over(w), F.sum("_c1").over(tot)).alias(
+            "_f1"
+        ),
         F.sum("_c0").over(tot).alias("_n0"),
         F.sum("_c1").over(tot).alias("_n1"),
     )

@@ -60,9 +60,13 @@ def bucketed_pair(
     disjoint paths instead of racing ``mode("overwrite")`` on a shared
     one — bucketing metadata lives in the per-session catalog, so the
     path was never shareable across sessions anyway)."""
-    fp = ":".join(
-        f"{p}@{os.path.getmtime(p):.0f}" for p in src_paths if os.path.exists(p)
-    )
+    missing = [p for p in src_paths if not os.path.exists(p)]
+    if missing:
+        # silently skipping a typo'd path would freeze the fingerprint
+        # and quietly revive the stale-reuse bug this parameter fixes
+        raise FileNotFoundError(f"bucketed_pair src_paths not found: {missing}")
+    # full mtime precision: a same-second rewrite must still miss the cache
+    fp = ":".join(f"{p}@{os.path.getmtime(p)!r}" for p in src_paths)
     app = spark.sparkContext.applicationId
     key_hash = hashlib.md5(
         f"{cache_tag}:{key}:{n_buckets}:{fp}:{app}".encode()

@@ -8048,10 +8048,11 @@ def q_eval_multiclass_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ab_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap 95% CI of mean order value per order status:
-    all 48 replicates ride ONE map-side-combined aggregation pass as
-    2x48 conditional sums (no row fan-out), replicate means explode
-    from a tiny per-group array (operators/stats.py
-    bootstrap_mean_ci)."""
+    the 48 replicates ride map-side-combined aggregation passes of 12
+    replicates each (four passes joined on the group key — a single
+    96-expression pass exits whole-stage codegen, the measured >~50-agg
+    rule; no row fan-out either way), replicate means explode from a
+    tiny per-group array (operators/stats.py bootstrap_mean_ci)."""
     from eventstreamml_spark.operators.stats import bootstrap_mean_ci
 
     orders = load_table(spark, sf_dir, "orders")
@@ -9980,8 +9981,8 @@ def q_privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "feature_cross_hashed",
     """
     WITH pc AS (
-      SELECT event_type || '␟' || CAST(hour(ts) AS VARCHAR)
-               AS cross_key,
+      SELECT coalesce(event_type, '␀') || '␟'
+               || coalesce(CAST(hour(ts) AS VARCHAR), '␀') AS cross_key,
              count(*) AS n
       FROM events GROUP BY 1
     )

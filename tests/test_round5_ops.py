@@ -1,6 +1,9 @@
-"""Round-5 edge-case behavior pinned by the round-4 advice review:
-welch_ttest arm-count guard, quantile_sketch all-nonpositive groups,
-join_size_estimate empty-overlap zero, bucketed_pair source freshness.
+"""Round-5 behavior pins: the round-4 advice fixes (welch_ttest
+arm-count guard, quantile_sketch all-nonpositive groups,
+join_size_estimate empty-overlap zero, bucketed_pair source
+freshness), the round-5 operator batch (correctness + plan shapes),
+and the round-5 review regression fixes (KS grid parity at bench
+scale, null-safe multi-pass joins, null-sentinel feature crossing).
 """
 
 from __future__ import annotations
@@ -319,3 +322,107 @@ class TestRound5PlanShapes:
         assert "MapInPandas" in plan  # Gram partials, Arrow-batched
         # covariance-vector joins broadcast the d-sized vector side
         assert "BroadcastHashJoin" in plan
+
+    def test_novelty_never_pairs_docs(self, spark):
+        from eventstreamml_spark.operators.text import ngram_novelty
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")],
+            "doc_id long, text string",
+        )
+        plan = self._plan(ngram_novelty(docs))
+        # the novelty join is shingle-keyed equi — a doc×doc pairing
+        # would plan as nested-loop/cartesian and explode at scale
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
+        got = {r["doc_id"]: r["novelty"] for r in ngram_novelty(docs).collect()}
+        assert got[1] == 1.0  # first doc: everything novel
+        assert got[2] < 1.0  # shares 'a b c' with doc 1
+        assert got[3] == 1.0  # disjoint vocabulary
+
+    def test_rolling_active_fans_deduped_relation(self, spark):
+        from eventstreamml_spark.operators.windows import (
+            rolling_distinct_subjects,
+        )
+
+        ev = self._ev(spark).select(
+            "user_id",
+            F.timestamp_seconds(
+                (F.col("value") * 86400).cast("long")
+            ).alias("ts"),
+        )
+        plan = self._plan(rolling_distinct_subjects(ev, "user_id", "ts"))
+        # the generator (7x fan) must sit ABOVE the dedup aggregate:
+        # below it, the explode would multiply the raw log
+        gen_pos = plan.find("Generate")
+        assert gen_pos != -1
+        assert "HashAggregate" in plan[gen_pos:]
+
+
+class TestReviewRegressionFixes:
+    """Pins for the round-5 review findings: grid parity at bench
+    scale, NULL-group survival, null-sentinel crossing, loud cache-key
+    failures, and construction-time validation."""
+
+    def test_ks_parity_at_bench_scale(self, spark):
+        # round-vs-floor grids agreed at sf0.01 by coincidence and
+        # diverged at sf0.1 (0.004487 vs 0.004469) — pin the big SF
+        from eventstreamml_spark import queries as q
+        from tests.oracle import compare
+
+        compare(
+            spark,
+            "/root/testdata/sf0.1",
+            q.queries()["ks_test_value_by_arm"],
+            q.oracle_sql()["ks_test_value_by_arm"],
+        )
+
+    def test_ks_one_empty_arm_yields_null_not_crash(self, spark):
+        from eventstreamml_spark.operators.stats import ks_two_sample
+
+        df = spark.createDataFrame(
+            [(0, 1.0), (0, 2.0)], "arm int, value double"
+        )
+        r = ks_two_sample(df, "value", "arm").collect()[0]
+        assert r["n_b"] == 0
+        assert r["ks_d"] is None  # try_divide, not ANSI DIVIDE_BY_ZERO
+
+    def test_bootstrap_null_group_keeps_its_ci_row(self, spark):
+        from eventstreamml_spark.operators.stats import bootstrap_mean_ci
+
+        rows = [(i, "a" if i % 2 else None, float(i)) for i in range(40)]
+        df = spark.createDataFrame(rows, "id long, g string, x double")
+        out = bootstrap_mean_ci(df, "x", "id", "g", n_replicates=48)
+        groups = {r["g"] for r in out.collect()}
+        assert groups == {"a", None}  # multi-pass join must be null-safe
+
+    def test_feature_cross_null_columns_not_conflated(self, spark):
+        from eventstreamml_spark.operators.aggregations import (
+            hashed_feature_cross,
+        )
+
+        df = spark.createDataFrame(
+            [("a", None), (None, "a"), ("a", "x")], "c1 string, c2 string"
+        )
+        out = hashed_feature_cross(df, ["c1", "c2"], n_buckets=1 << 20)
+        crosses = {r["example_cross"] for r in out.collect()}
+        assert len(crosses) == 3  # ('a',NULL) != (NULL,'a') != ('a','x')
+
+    def test_bucketed_pair_missing_src_path_raises(self, spark):
+        from eventstreamml_spark.operators.storage import bucketed_pair
+
+        df = spark.range(3).select(F.col("id").alias("k"))
+        with pytest.raises(FileNotFoundError, match="src_paths"):
+            bucketed_pair(
+                spark, df, df, "k",
+                cache_tag="typo-test",
+                src_paths=("/no/such/file.parqet",),
+            )
+
+    def test_pca_zero_iterations_rejected(self, spark):
+        from eventstreamml_spark.operators.similarity import pca_top_component
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="n_iter"):
+            pca_top_component(df, "embedding", dim=2, n_iter=0)
