@@ -41,6 +41,25 @@ def main() -> None:
 
     load_table(spark, sf_dir, "events").count()
 
+    # machine calibration: a fixed engine-independent workload (pure
+    # spark.range aggregate — no files, no engine code) measured the
+    # same way as the queries. Round-over-round query comparisons on a
+    # shared VM are polluted by host drift (round 5 measured ~1.1x
+    # uniform slowdown on byte-identical plans); dividing per-query
+    # times by this scalar separates engine regressions from the
+    # machine having a bad day.
+    def _calibrate() -> float:
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(50_000_000).selectExpr(
+                "sum(id * 2654435761 % 1000003) AS s"
+            ).collect()
+            ts.append(time.perf_counter() - t0)
+        return round(statistics.median(ts), 4)
+
+    calibration = _calibrate()
+
     raw: dict[str, list[float]] = {}
     for name, fn in q.queries().items():
         times = []
@@ -67,6 +86,7 @@ def main() -> None:
         "queries_raw": raw,
         "queries": medians,
         "n_queries": len(medians),
+        "calibration_sec": calibration,
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     with open(full_path, "w") as f:
@@ -85,6 +105,9 @@ def main() -> None:
                 # normalized by n_queries
                 "n_queries": len(medians),
                 "reps": reps,
+                # fixed spark.range workload; normalize per-query times
+                # by this to remove host drift before comparing rounds
+                "calibration_sec": calibration,
             }
         )
     )

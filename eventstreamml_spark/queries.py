@@ -2948,6 +2948,33 @@ _SHINGLE_SQL = """
       )
 """
 
+#: DuckDB replay of the MinHash (16 perms, md5 family) + LSH banding
+#: (4 bands x 4 rows) candidate stage — shared by every oracle that
+#: checks a banding-downstream result. Downstream oracles MUST restrict
+#: to these candidates rather than the full exact pair set: banding
+#: recall is ~0.98 per pair at jaccard 0.89, so on a large enough
+#: fixture the full set WILL contain pairs banding legitimately misses
+#: (found at sf0.1 by tests/test_oracle_parity_sf01.py — one 0.889 pair
+#: of 255; recall-vs-exact is measured separately by
+#: dedup_lsh_recall_audit, not smuggled into a parity check).
+_LSH_CAND_SQL = """
+    perms AS (SELECT unnest(range(0, 16)) AS perm),
+    sig AS (
+      SELECT doc_id, perm, min(md5(shingle || ':' || perm)) AS minhash
+      FROM sh CROSS JOIN perms GROUP BY doc_id, perm
+    ),
+    bands AS (
+      SELECT doc_id, perm // 4 AS band,
+             md5(string_agg(perm || ':' || minhash, '|' ORDER BY perm)) AS band_hash
+      FROM sig GROUP BY doc_id, perm // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    )
+"""
+
 
 @register(
     "dedup_ngram_jaccard",
@@ -3011,19 +3038,8 @@ def q_doc_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh_candidates",
     f"""
     WITH {_SHINGLE_SQL},
-    perms AS (SELECT unnest(range(0, 16)) AS perm),
-    sig AS (
-      SELECT doc_id, perm, min(md5(shingle || ':' || perm)) AS minhash
-      FROM sh CROSS JOIN perms GROUP BY doc_id, perm
-    ),
-    bands AS (
-      SELECT doc_id, perm // 4 AS band,
-             md5(string_agg(perm || ':' || minhash, '|' ORDER BY perm)) AS band_hash
-      FROM sig GROUP BY doc_id, perm // 4
-    )
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    {_LSH_CAND_SQL}
+    SELECT id_a, id_b FROM cand
     """,
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3044,10 +3060,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_lsh_verified",
     f"""
     WITH {_SHINGLE_SQL},
+    {_LSH_CAND_SQL},
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT id_a, id_b,
@@ -3064,9 +3082,10 @@ def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     full prefilter→verify shape a 100 TB dedup run uses. The shingle
     self-join inside the verify step sees ONLY candidate documents
     (operators/dedup.py jaccard_pairs candidate restriction). The
-    oracle is the thresholded exact pair set: banding with 4 bands ×
-    4 rows has recall ≈ 1 at jaccard ≥ 0.8 (1-(1-s^4)^4 > 0.998),
-    and the match is exact on this corpus."""
+    oracle replays the banding and verifies the SAME candidate set —
+    never the full exact pair set, whose ~2%-per-pair banding miss
+    rate at jaccard ≈ 0.89 materialized as a real missed pair at
+    sf0.1 (recall itself is measured by dedup_lsh_recall_audit)."""
     from eventstreamml_spark.operators.dedup import (
         jaccard_pairs,
         lsh_candidate_pairs,
@@ -3087,10 +3106,12 @@ def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_groups_keep_list",
     f"""
     WITH RECURSIVE {_SHINGLE_SQL},
+    {_LSH_CAND_SQL},
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
       GROUP BY a.doc_id, b.doc_id
     ),
     pairs AS (
@@ -3118,7 +3139,10 @@ def q_dedup_groups_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs collapse into connected components via distributed min-label
     propagation — every document labeled with its group's canonical
     (minimum) id; the keep-list is is_canonical. The oracle replays
-    components with a recursive CTE over the exact-jaccard pair set."""
+    components with a recursive CTE over the banding-replayed,
+    jaccard-verified pair set (the same edges the engine sees — an
+    exact-pair oracle diverges once the fixture grows a pair banding
+    legitimately misses)."""
     from eventstreamml_spark.operators.dedup import (
         jaccard_pairs,
         lsh_candidate_pairs,
