@@ -55,8 +55,11 @@ def register(name: str, oracle: str | None):
 # session_markov_transitions dq_freshness_lag corpus_zipf_fit
 # embedding_pca_top_component user_churn_labels streaming_rate_alert
 # rolling_active_users_7d revenue_pareto_concentration
-# hourly_robust_z_anomaly doc_ngram_novelty) = exactly 50, one full
-# round-6 window. The 3 rows-only names (approx_distinct_users_by_type,
+# hourly_robust_z_anomaly doc_ngram_novelty) and the 5 late-round-5
+# additions (cohort_ltv_weekly_curve funnel_convert_time_quantiles
+# subject_burstiness privacy_small_count_suppression
+# storage_compaction_plan) = 55 total: round 6 rotates the first 50,
+# round 7 picks up the remaining 5 plus round-6 additions. The 3 rows-only names (approx_distinct_users_by_type,
 # dedup_simhash_pairs, ann_ivf_topk) can never go green (err: no_oracle)
 # and stay OUT of every window. All backlog names are green in the local
 # replica (tests/test_oracle_parity.py).
@@ -10509,4 +10512,293 @@ def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return ngram_novelty(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3
+    )
+
+
+@register(
+    "cohort_ltv_weekly_curve",
+    """
+    WITH first_signup AS (
+      SELECT user_id, min(ts) AS c_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT CAST(date_trunc('week', f.c_ts) AS TIMESTAMP) AS cohort_week,
+             CAST(floor((epoch_us(e.ts) - epoch_us(f.c_ts)) / 604800000000.0)
+                  AS BIGINT) AS week_idx,
+             e.value
+      FROM events e JOIN first_signup f USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= f.c_ts
+        AND e.value IS NOT NULL
+    ),
+    wk AS (
+      SELECT cohort_week, week_idx,
+             CAST(count(*) AS BIGINT) AS n_purchases,
+             sum(value) AS rev
+      FROM p GROUP BY 1, 2
+    )
+    SELECT cohort_week, week_idx, n_purchases,
+           round(rev, 4) AS revenue,
+           round(sum(rev) OVER (PARTITION BY cohort_week ORDER BY week_idx
+                                ROWS UNBOUNDED PRECEDING), 4) AS cum_revenue
+    FROM wk
+    """,
+)
+def q_cohort_ltv_weekly_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve: users cohorted by first-signup week, purchase
+    revenue accumulated per weeks-since-signup — the
+    lifetime-value-over-age readout (growth_accounting's companion).
+    One join against the broadcast-able first-signup relation, one
+    groupBy to the |cohorts×weeks| relation; the cumulative runs over
+    THAT relation."""
+    ev = _events(spark, sf_dir)
+    first = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+        )
+        .join(F.broadcast(first), "user_id")
+        .filter(F.col("ts") >= F.col("c_ts"))
+        .select(
+            F.date_trunc("week", F.col("c_ts")).alias("cohort_week"),
+            F.floor(
+                (
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(F.col("c_ts").cast("timestamp"))
+                )
+                / F.lit(604_800_000_000.0)
+            )
+            .cast("long")
+            .alias("week_idx"),
+            "value",
+        )
+    )
+    wk = p.groupBy("cohort_week", "week_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum("value").alias("_rev"),
+    )
+    w = (
+        W.partitionBy("cohort_week")
+        .orderBy("week_idx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return wk.select(
+        F.col("cohort_week").cast("timestamp_ntz").alias("cohort_week"),
+        "week_idx",
+        "n_purchases",
+        F.round("_rev", 4).alias("revenue"),
+        F.round(F.sum("_rev").over(w), 4).alias("cum_revenue"),
+    )
+
+
+@register(
+    "funnel_convert_time_quantiles",
+    """
+    WITH s AS (
+      SELECT user_id, min(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(epoch_us(e.ts) - epoch_us(s.s_ts)) AS delay_us
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= s.s_ts
+      GROUP BY e.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(delay_us / 1000000.0, 0.25), 6) AS q25_sec,
+           round(quantile_cont(delay_us / 1000000.0, 0.50), 6) AS q50_sec,
+           round(quantile_cont(delay_us / 1000000.0, 0.75), 6) AS q75_sec,
+           round(quantile_cont(delay_us / 1000000.0, 0.90), 6) AS q90_sec
+    FROM c
+    """,
+)
+def q_funnel_convert_time_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per converting user the delay from
+    first signup to first subsequent purchase, summarized as exact
+    quantiles — the funnel-latency readout product teams tune against.
+    Two keyed aggregations to a |users| relation, one scalar
+    percentile over it (at true scale swap the exact percentile for
+    the engine's quantile sketch, same contract)."""
+    ev = _events(spark, sf_dir)
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    delay = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(s), "user_id")
+        .filter(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("s_ts").cast("timestamp"))
+            ).alias("delay_us")
+        )
+    )
+    d = F.col("delay_us") / F.lit(1_000_000.0)
+    return delay.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.percentile(d, F.lit(0.25)), 6).alias("q25_sec"),
+        F.round(F.percentile(d, F.lit(0.50)), 6).alias("q50_sec"),
+        F.round(F.percentile(d, F.lit(0.75)), 6).alias("q75_sec"),
+        F.round(F.percentile(d, F.lit(0.90)), 6).alias("q90_sec"),
+    )
+
+
+@register(
+    "subject_burstiness",
+    """
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id))
+               AS gap_us
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+             avg(gap_us / 1000000.0) AS m,
+             stddev_samp(gap_us / 1000000.0) AS sd
+      FROM g WHERE gap_us IS NOT NULL
+      GROUP BY user_id HAVING count(*) >= 2
+    )
+    SELECT user_id, n_gaps,
+           round(m, 6) AS mean_gap_sec,
+           round(sd / m, 6) AS cv,
+           round((sd - m) / (sd + m), 6) AS burstiness
+    FROM s
+    """,
+)
+def q_subject_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subject inter-arrival burstiness B = (σ−μ)/(σ+μ) (Goh &
+    Barabási): −1 = metronome, 0 = Poisson, →1 = extreme bursts — the
+    temporal-pattern feature that separates bots from humans and
+    machine feeds from organic ones. One subject-keyed window for the
+    gaps, one grouped moment pass; everything else is arithmetic on
+    the |subjects| relation."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    ) / F.lit(1_000_000.0)
+    g = ev.select("user_id", gap.alias("_gap")).filter(
+        F.col("_gap").isNotNull()
+    )
+    s = (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.avg("_gap").alias("_m"),
+            F.stddev_samp("_gap").alias("_sd"),
+        )
+        .filter(F.col("n_gaps") >= 2)
+    )
+    return s.select(
+        "user_id",
+        "n_gaps",
+        F.round("_m", 6).alias("mean_gap_sec"),
+        F.round(F.col("_sd") / F.col("_m"), 6).alias("cv"),
+        F.round(
+            (F.col("_sd") - F.col("_m")) / (F.col("_sd") + F.col("_m")), 6
+        ).alias("burstiness"),
+    )
+
+
+@register(
+    "privacy_small_count_suppression",
+    """
+    WITH c AS (
+      SELECT event_type, user_id % 20 AS qi, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(qi AS VARCHAR) AS cell,
+           CAST(n AS BIGINT) AS n, FALSE AS suppressed_rollup
+    FROM c WHERE n >= 10
+    UNION ALL
+    SELECT event_type, 'OTHER' AS cell,
+           CAST(sum(n) AS BIGINT) AS n, TRUE AS suppressed_rollup
+    FROM c WHERE n < 10
+    GROUP BY event_type
+    """,
+)
+def q_privacy_small_count_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-cell suppression for safe reporting: cells under the
+    disclosure threshold (n < 10) are withheld and folded into one
+    OTHER rollup per report dimension, so no published cell
+    re-identifies a small group while marginals stay additive — the
+    k-anonymity sibling for aggregate releases. Pure integer logic on
+    the |cells| relation; one groupBy over the data."""
+    ev = _events(spark, sf_dir)
+    c = ev.groupBy(
+        "event_type", (F.col("user_id") % 20).alias("qi")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    keep = c.filter(F.col("n") >= 10).select(
+        "event_type",
+        F.col("qi").cast("string").alias("cell"),
+        F.col("n").cast("long").alias("n"),
+        F.lit(False).alias("suppressed_rollup"),
+    )
+    other = (
+        c.filter(F.col("n") < 10)
+        .groupBy("event_type")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .select(
+            "event_type",
+            F.lit("OTHER").alias("cell"),
+            "n",
+            F.lit(True).alias("suppressed_rollup"),
+        )
+    )
+    return keep.unionByName(other)
+
+
+@register(
+    "storage_compaction_plan",
+    """
+    WITH files AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             count(*) * 64 AS est_bytes
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, hour, CAST(est_bytes AS BIGINT) AS est_bytes,
+           CAST(sum(est_bytes) OVER w - est_bytes AS BIGINT) AS start_offset,
+           CAST(floor((sum(est_bytes) OVER w - est_bytes) / 65536.0) AS BIGINT)
+             AS compact_group
+    FROM files
+    WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                 ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def q_storage_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner: per-partition file inventory
+    (here the hourly micro-files an hourly ingest would leave, sized
+    by row count × est row width) binned into target-sized compaction
+    groups by the same offset-binning prefix-sum as sequence packing —
+    the table-maintenance pass that keeps a 100 TB table's file count
+    sane without a global sort. Runs entirely on the |files| relation."""
+    ev = _events(spark, sf_dir)
+    files = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+    ).agg((F.count(F.lit(1)) * 64).alias("est_bytes"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    off = F.sum("est_bytes").over(w) - F.col("est_bytes")
+    return files.select(
+        "event_type",
+        F.col("hour").cast("timestamp_ntz").alias("hour"),
+        F.col("est_bytes").cast("long").alias("est_bytes"),
+        off.cast("long").alias("start_offset"),
+        F.floor(off / F.lit(65536.0)).cast("long").alias("compact_group"),
     )
