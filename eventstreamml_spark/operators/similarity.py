@@ -770,6 +770,10 @@ def pca_top_component(
     d = dim if dim is not None else embedding_dim(df, vec_col)
     spark = df.sparkSession
 
+    # NULL vectors would crash np.stack in the Gram stage and inflate
+    # the n-1 divisor — drop them up front (oracle mirrors IS NOT NULL)
+    df = df.filter(F.col(vec_col).isNotNull())
+
     e = df.select(
         F.posexplode(F.col(vec_col)).alias("_i", "_xi")
     ).select("_i", F.col("_xi").cast("double").alias("_xi"))

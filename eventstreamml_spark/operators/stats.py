@@ -449,7 +449,12 @@ def spc_control_limits(
     )
     ucl = F.col("_m") + n_sigma * F.col("_sd")
     lcl = F.col("_m") - n_sigma * F.col("_sd")
-    joined = df.filter(x.isNotNull()).join(F.broadcast(stats), by)
+    # eqNullSafe: a plain equi-join would drop the NULL-key group the
+    # groupBy itself produced (same hazard bootstrap_mean_ci fixed)
+    rows = df.filter(x.isNotNull())
+    joined = rows.join(
+        F.broadcast(stats), rows[by].eqNullSafe(stats[by])
+    ).drop(stats[by])
     return (
         joined.groupBy(by)
         .agg(

@@ -530,8 +530,10 @@ def rolling_distinct_subjects(
     per_day = fanned.groupBy(F.col("_report").alias("day")).agg(
         F.count_distinct("_s").cast("long").alias("n_active")
     )
+    # count_distinct (not count(*)) so a NULL subject row in the deduped
+    # relation is excluded, matching the oracle's count(DISTINCT s)
     today = active.groupBy(F.col("_d").cast("date").alias("day")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_active_today")
+        F.count_distinct("_s").cast("long").alias("n_active_today")
     )
     joined = per_day.join(today, "day", "left")
     # the fan-out projects up to N-1 days past the last active day —

@@ -288,19 +288,29 @@ def mad_outlier_bounds(
     key_col: str = "event_type",
     value_col: str = "value",
     n_sigmas: float = 3.0,
+    approx: bool = False,
+    approx_accuracy: int = 10_000,
 ) -> DataFrame:
     """Robust per-key outlier bounds via median ± n·1.4826·MAD (the
     normal-consistent median-absolute-deviation scale): the
     breakdown-resistant alternative to mean±kσ and the cheap
-    complement to the VIOD fit — two exact-percentile aggregations,
-    no iteration, no Python.
+    complement to the VIOD fit — two percentile aggregations, no
+    iteration, no Python.
 
-    Scale: exact ``percentile`` shuffles per key; swap in
-    ``approx_percentile`` (KLL sketch, mergeable map-side) at 100 TB —
-    the contract (bounds, outlier counts) is unchanged. Returns
+    Scale: the exact ``percentile`` path (``approx=False``, the
+    oracle-parity default) buffers every value per key in an
+    ObjectHashAggregate — row-proportional memory per key, the one
+    thing here that does not survive 100 TB. ``approx=True`` swaps
+    both medians to ``approx_percentile`` (a fixed-size mergeable
+    sketch with map-side partial merge; rank error ≤ n/accuracy),
+    leaving the contract (bounds, outlier counts) unchanged. Returns
     (key, median, mad, lo, hi, n, n_outliers)."""
+    if approx:
+        pct = lambda c: f"approx_percentile({c}, 0.5, {int(approx_accuracy)})"  # noqa: E731
+    else:
+        pct = lambda c: f"percentile({c}, 0.5)"  # noqa: E731
     med = df.groupBy(key_col).agg(
-        F.expr(f"percentile({value_col}, 0.5)").alias("median"),
+        F.expr(pct(value_col)).alias("median"),
         F.count(value_col).alias("n"),
     )
     dev = df.join(F.broadcast(med), key_col).select(
@@ -311,7 +321,7 @@ def mad_outlier_bounds(
         "n",
     )
     mad = dev.groupBy(key_col, "median", "n").agg(
-        F.expr("percentile(_ad, 0.5)").alias("mad")
+        F.expr(pct("_ad")).alias("mad")
     )
     c = 1.4826022185056018  # 1/Φ⁻¹(3/4): MAD → σ under normality
     bounds = mad.select(

@@ -2226,8 +2226,10 @@ def _zorder_oracle_sql(bits: int = 16) -> str:
     SELECT l_orderkey % 256 AS bucket,
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(('0x' || substr(md5(
-                 l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR
-                 || ':' || zval::VARCHAR), 1, 10))::BIGINT) AS BIGINT)
+                 coalesce(l_orderkey::VARCHAR, chr(9216)) || ':'
+                 || coalesce(l_linenumber::VARCHAR, chr(9216))
+                 || ':' || coalesce(zval::VARCHAR, chr(9216))), 1, 10))::BIGINT)
+             AS BIGINT)
              AS zval_checksum
     FROM z GROUP BY 1
     """
@@ -2258,14 +2260,18 @@ def q_zorder_clustering_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             bits=16,
         ).alias("zval"),
     )
+    # null-sentinel fields before concat (concat_ws skips nulls, the
+    # oracle's || propagates — see events_upsert_merge)
     row_hash = F.conv(
         F.substring(
             F.md5(
                 F.concat_ws(
                     ":",
-                    F.col("l_orderkey").cast("string"),
-                    F.col("l_linenumber").cast("string"),
-                    F.col("zval").cast("string"),
+                    F.coalesce(F.col("l_orderkey").cast("string"), F.lit("␀")),
+                    F.coalesce(
+                        F.col("l_linenumber").cast("string"), F.lit("␀")
+                    ),
+                    F.coalesce(F.col("zval").cast("string"), F.lit("␀")),
                 )
             ),
             1,
@@ -2396,7 +2402,8 @@ def q_corr_qty_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id % 256 AS bucket,
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(('0x' || substr(md5(
-                 event_id::VARCHAR || ':' || user_id::VARCHAR), 1, 10))::BIGINT)
+                 coalesce(event_id::VARCHAR, chr(9216)) || ':'
+                 || coalesce(user_id::VARCHAR, chr(9216))), 1, 10))::BIGINT)
              AS BIGINT) AS id_checksum,
            round(sum(value), 4) AS value_sum,
            CAST(count(*) FILTER (value IS NULL) AS BIGINT) AS n_null_value
@@ -2421,13 +2428,15 @@ def q_events_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = base.join(updates, "event_id", "left").select(
         "event_id", "user_id", F.coalesce("_new", "value").alias("value")
     )
+    # null-sentinel each field (concat_ws silently SKIPS nulls, the
+    # oracle's || propagates them — either way checksum parity breaks)
     id_hash = F.conv(
         F.substring(
             F.md5(
                 F.concat_ws(
                     ":",
-                    F.col("event_id").cast("string"),
-                    F.col("user_id").cast("string"),
+                    F.coalesce(F.col("event_id").cast("string"), F.lit("␀")),
+                    F.coalesce(F.col("user_id").cast("string"), F.lit("␀")),
                 )
             ),
             1,
@@ -9926,7 +9935,7 @@ def q_ks_test_value_by_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_above_ucl,
            CAST(count(*) FILTER (e.value < s.m - 3 * s.sd) AS BIGINT)
              AS n_below_lcl
-    FROM events e JOIN s USING (event_type)
+    FROM events e JOIN s ON e.event_type IS NOT DISTINCT FROM s.event_type
     WHERE e.value IS NOT NULL
     GROUP BY 1
     """,
@@ -10209,11 +10218,12 @@ def _pca_oracle_sql(d: int = 64, n_iter: int = 3) -> str:
     WITH e AS (
       SELECT vec_id AS r, generate_subscripts(embedding, 1) - 1 AS i,
              CAST(unnest(embedding) AS DOUBLE) AS xi
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     m AS (SELECT i, round(avg(xi), 6) AS mu FROM e GROUP BY i),
     ce AS (SELECT e.r, e.i, e.xi - m.mu AS cx FROM e JOIN m USING (i)),
-    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings
+           WHERE embedding IS NOT NULL),
     cov AS (
       SELECT a.i AS i, b.i AS j,
              round(sum(a.cx * b.cx) / ((SELECT n FROM nn) - 1), 6) AS c
@@ -10671,8 +10681,9 @@ def q_funnel_convert_time_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
     )
     SELECT user_id, n_gaps,
            round(m, 6) AS mean_gap_sec,
-           round(sd / m, 6) AS cv,
-           round((sd - m) / (sd + m), 6) AS burstiness
+           CASE WHEN m <> 0 THEN round(sd / m, 6) END AS cv,
+           CASE WHEN (sd + m) <> 0
+                THEN round((sd - m) / (sd + m), 6) END AS burstiness
     FROM s
     """,
 )
@@ -10705,9 +10716,12 @@ def q_subject_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "n_gaps",
         F.round("_m", 6).alias("mean_gap_sec"),
-        F.round(F.col("_sd") / F.col("_m"), 6).alias("cv"),
+        F.round(F.try_divide(F.col("_sd"), F.col("_m")), 6).alias("cv"),
         F.round(
-            (F.col("_sd") - F.col("_m")) / (F.col("_sd") + F.col("_m")), 6
+            F.try_divide(
+                F.col("_sd") - F.col("_m"), F.col("_sd") + F.col("_m")
+            ),
+            6,
         ).alias("burstiness"),
     )
 

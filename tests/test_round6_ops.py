@@ -1,0 +1,214 @@
+"""Round-6 regression pins for the round-6 ADVICE findings: null- and
+zero-denominator edges that current fixtures never exercise but one
+data drop away would crash a query (ANSI DIVIDE_BY_ZERO, np.stack on
+NULL) or silently break oracle parity (concat_ws null-skipping,
+count(*) vs count(DISTINCT), equi-join dropping a NULL-key group).
+
+Each test writes a tiny synthetic parquet table that HAS the edge and
+runs the full Spark-vs-DuckDB compare on it, so the fix is pinned at
+the same contract the driver checks.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from eventstreamml_spark import queries as q
+from tests.oracle import compare
+
+US = 1_000_000
+
+
+def _write_events(dirpath: str, rows: list[tuple]) -> str:
+    """rows: (event_id, ts_us, user_id, event_type, value, props)."""
+    cols = list(zip(*rows))
+    table = pa.table(
+        {
+            "event_id": pa.array(cols[0], pa.int64()),
+            "ts": pa.array(cols[1], pa.timestamp("us")),
+            "user_id": pa.array(cols[2], pa.int64()),
+            "event_type": pa.array(cols[3], pa.string()),
+            "value": pa.array(cols[4], pa.float64()),
+            "props": pa.array(cols[5], pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(dirpath, "events.parquet"))
+    return dirpath
+
+
+def _ev(eid, ts_us, uid, etype="click", value=1.0, props="{}"):
+    return (eid, ts_us, uid, etype, value, props)
+
+
+class TestBurstinessZeroMeanGap:
+    def test_identical_timestamps_null_not_crash(self, spark, tmp_path):
+        # subject 1: 3 events at the SAME instant -> mean gap 0 ->
+        # sd/m and (sd-m)/(sd+m) must be NULL on both sides, not a
+        # DIVIDE_BY_ZERO crash under ANSI mode
+        t0 = 1_700_000_000 * US
+        rows = [
+            _ev(1, t0, 1),
+            _ev(2, t0, 1),
+            _ev(3, t0, 1),
+            _ev(4, t0, 2),
+            _ev(5, t0 + 10 * US, 2),
+            _ev(6, t0 + 40 * US, 2),
+        ]
+        sf = _write_events(str(tmp_path), rows)
+        fn, sql = q._REGISTRY["subject_burstiness"]
+        compare(spark, sf, fn, sql)
+        got = {r["user_id"]: r for r in fn(spark, sf).collect()}
+        assert got[1]["cv"] is None and got[1]["burstiness"] is None
+        assert got[2]["cv"] is not None and got[2]["burstiness"] is not None
+
+
+class TestRollingActivesNullSubject:
+    def test_null_subject_excluded_both_sides(self, spark, tmp_path):
+        t0 = 1_700_000_000 * US
+        day = 86_400 * US
+        rows = [
+            _ev(1, t0, 1),
+            _ev(2, t0, 2),
+            _ev(3, t0, None),  # NULL subject on day 0
+            _ev(4, t0 + day, 1),
+            _ev(5, t0 + 2 * day, None),  # a day with ONLY a NULL subject
+        ]
+        sf = _write_events(str(tmp_path), rows)
+        fn, sql = q._REGISTRY["rolling_active_users_7d"]
+        compare(spark, sf, fn, sql)
+        got = {str(r["day"]): r for r in fn(spark, sf).collect()}
+        # day 0 has users {1,2} plus a NULL row -> 2, not 3
+        assert got["2023-11-14"]["n_active_today"] == 2
+
+    def test_unit_count_distinct(self, spark):
+        from eventstreamml_spark.operators.windows import (
+            rolling_distinct_subjects,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "2024-01-01 00:00:00"),
+                (2, "2024-01-01 01:00:00"),
+                (None, "2024-01-01 02:00:00"),
+            ],
+            "user_id long, ts string",
+        ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        out = rolling_distinct_subjects(df, "user_id", "ts", 7).collect()
+        assert len(out) == 1
+        assert out[0]["n_active_today"] == 2
+        assert out[0]["n_active"] == 2
+
+
+class TestUpsertChecksumNullId:
+    def test_null_user_id_checksum_parity(self, spark, tmp_path):
+        t0 = 1_700_000_000 * US
+        rows = [
+            _ev(1, t0, 1, "purchase", 10.0),
+            _ev(2, t0, None, "click", 2.0),  # NULL user_id
+            _ev(3, t0, 3, "view", None),  # NULL value
+        ]
+        sf = _write_events(str(tmp_path), rows)
+        fn, sql = q._REGISTRY["events_upsert_merge"]
+        compare(spark, sf, fn, sql)
+        # the NULL-id row still contributes a non-null hash term
+        total = (
+            fn(spark, sf)
+            .agg(F.sum("id_checksum").alias("s"), F.sum("n").alias("n"))
+            .collect()[0]
+        )
+        assert total["n"] == 3 and total["s"] is not None
+
+
+class TestSpcNullGroup:
+    def test_null_key_group_keeps_row(self, spark, tmp_path):
+        t0 = 1_700_000_000 * US
+        rows = [_ev(i, t0 + i * US, i, None, float(i)) for i in range(1, 6)]
+        rows += [
+            _ev(10 + i, t0 + i * US, i, "click", float(i))
+            for i in range(1, 6)
+        ]
+        sf = _write_events(str(tmp_path), rows)
+        fn, sql = q._REGISTRY["spc_value_control_limits"]
+        compare(spark, sf, fn, sql)
+        types = {r["event_type"] for r in fn(spark, sf).collect()}
+        assert None in types and "click" in types
+
+    def test_unit_null_group(self, spark):
+        from eventstreamml_spark.operators.stats import spc_control_limits
+
+        df = spark.createDataFrame(
+            [(None, 1.0), (None, 2.0), (None, 3.0), ("a", 5.0), ("a", 7.0)],
+            "g string, x double",
+        )
+        out = {r["g"]: r for r in spc_control_limits(df, "x", "g").collect()}
+        assert None in out and out[None]["n"] == 3
+
+
+class TestMadApproxPath:
+    def test_approx_tracks_exact(self, spark):
+        from eventstreamml_spark.preprocessing.outliers import (
+            mad_outlier_bounds,
+        )
+
+        df = spark.range(20_000).select(
+            (F.col("id") % 4).cast("string").alias("event_type"),
+            # deterministic heavy-tailed-ish values, a few huge outliers
+            (
+                F.pmod(F.col("id") * 2654435761, F.lit(1000)).cast("double")
+                + F.when(F.col("id") % 997 == 0, 1e6).otherwise(0.0)
+            ).alias("value"),
+        )
+        exact = {
+            r["event_type"]: r
+            for r in mad_outlier_bounds(df, approx=False).collect()
+        }
+        approx = {
+            r["event_type"]: r
+            for r in mad_outlier_bounds(df, approx=True).collect()
+        }
+        assert exact.keys() == approx.keys()
+        for k, e in exact.items():
+            a = approx[k]
+            assert a["n"] == e["n"]
+            # rank error <= n/accuracy = 5000/10000 rows: on this value
+            # grid that is a <=1% relative error on median and MAD
+            assert abs(a["median"] - e["median"]) <= 0.01 * max(
+                1.0, abs(e["median"])
+            )
+            assert abs(a["mad"] - e["mad"]) <= 0.01 * max(1.0, abs(e["mad"]))
+            # the huge outliers are flagged on both paths
+            assert a["n_outliers"] == e["n_outliers"]
+
+
+class TestPcaNullEmbedding:
+    def test_null_vector_filtered_not_crash(self, spark, tmp_path):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        vecs = [
+            [float(x) for x in rng.normal(size=64).astype(np.float32)]
+            for _ in range(20)
+        ]
+        emb = pa.table(
+            {
+                "vec_id": pa.array(list(range(21)), pa.int64()),
+                "embedding": pa.array(
+                    vecs + [None], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * 21, pa.int32()),
+            }
+        )
+        pq.write_table(
+            emb, os.path.join(str(tmp_path), "embeddings.parquet")
+        )
+        fn, sql = q._REGISTRY["embedding_pca_top_component"]
+        compare(spark, str(tmp_path), fn, sql)
+        out = fn(spark, str(tmp_path)).collect()
+        assert len(out) == 64
+        assert all(r["loading"] is not None for r in out)
