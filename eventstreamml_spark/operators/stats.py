@@ -502,3 +502,312 @@ def sample_ratio_mismatch(
         F.round(chi2, 6).alias("chi2"),
         (chi2 > 3.841458820694124).alias("srm_flag"),
     )
+
+
+def _midranks_by_value(
+    df: DataFrame, group_col: str, value_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared substrate for global-rank tests (Mann-Whitney, Kruskal-
+    Wallis): per (value, group) tie counts joined with per-value
+    midranks, computed WITHOUT ranking raw rows.
+
+    A global rank window would funnel every row through one partition;
+    instead the raw table folds once into the |distinct values × groups|
+    contingency relation (map-side-combined groupBy), and the ordered
+    cumulative that midranks need runs over the |distinct values|
+    relation only — the same "window over the tiny relation, never the
+    data" discipline as :func:`chi_square_independence`.
+
+    Cross-engine exactness: tie counts are integers and midranks are
+    half-integers, so every rank sum downstream is EXACT in double —
+    summation order cannot perturb it. The Σ(t³−t) tie term is
+    therefore returned as its own one-row relation built from the
+    per-VALUE relation (one integer term per distinct value), not
+    smeared across (value, group) rows through a float division.
+
+    Returns (joined, tie) where joined = (_g, _v, _t_vg, _t_v, _r) and
+    tie = one row (_tie = Σ(t³−t)).
+    """
+    from pyspark.sql import Window as W
+
+    vg = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(value_col).cast("double").alias("_v"),
+            F.col(group_col).alias("_g"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("_t_vg"))
+    )
+    vt = vg.groupBy("_v").agg(F.sum("_t_vg").alias("_t_v"))
+    cum = F.sum("_t_v").over(
+        W.partitionBy().orderBy("_v").rowsBetween(W.unboundedPreceding, 0)
+    )
+    mr = vt.select(
+        "_v",
+        "_t_v",
+        (cum - F.col("_t_v") + (F.col("_t_v") + 1) / 2.0).alias("_r"),
+    )
+    tie = vt.groupBy().agg(
+        F.sum(F.col("_t_v") ** 3 - F.col("_t_v")).alias("_tie")
+    )
+    return vg.join(mr, "_v"), tie
+
+
+def mann_whitney_u(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between the two arms of
+    ``group_col``: U₁ = R₁ − n₁(n₁+1)/2 with midrank ties and the
+    tie-corrected normal approximation
+    z = (U₁ − n₀n₁/2) / √(n₀n₁/12 · (N+1 − ΣT/(N(N−1)))), ΣT = Σ(t³−t)
+    over tie groups. No continuity correction (keeps the arithmetic
+    identical across engines). The nonparametric complement to
+    :func:`welch_ttest` — rank arithmetic rides the contingency
+    relation (see :func:`_midranks_by_value`), never a global row sort.
+    Like welch_ttest, an ``n_arms`` column guards the two-arm contract:
+    anything else NULLs the statistic rather than reporting a plausible
+    two-arm z. Arm identity: arm "a" is the smaller group key."""
+    j, tie = _midranks_by_value(df, group_col, value_col)
+    arms = j.groupBy().agg(
+        F.count_distinct("_g").cast("long").alias("n_arms"),
+        F.min("_g").alias("_ga"),
+        F.max("_g").alias("_gb"),
+    )
+    per = (
+        j.crossJoin(F.broadcast(arms))
+        .groupBy()
+        .agg(
+            F.max("n_arms").alias("n_arms"),
+            F.sum(F.when(F.col("_g") == F.col("_ga"), F.col("_t_vg"))).alias(
+                "_n0"
+            ),
+            F.sum(F.when(F.col("_g") == F.col("_gb"), F.col("_t_vg"))).alias(
+                "_n1"
+            ),
+            F.sum(
+                F.when(
+                    F.col("_g") == F.col("_ga"), F.col("_t_vg") * F.col("_r")
+                )
+            ).alias("_r0"),
+        )
+        .crossJoin(F.broadcast(tie))
+    )
+    n, n0, n1 = (
+        F.col("_n0") + F.col("_n1"),
+        F.col("_n0"),
+        F.col("_n1"),
+    )
+    u1 = F.col("_r0") - n0 * (n0 + 1) / 2.0
+    var = n0 * n1 / 12.0 * ((n + 1) - F.col("_tie") / (n * (n - 1)))
+    z = F.try_divide(u1 - n0 * n1 / 2.0, F.sqrt(var))
+    two_arms = F.col("n_arms") == 2
+    return per.select(
+        "n_arms",
+        n0.cast("long").alias("n_a"),
+        n1.cast("long").alias("n_b"),
+        F.when(two_arms, F.round(u1, 6)).alias("u_stat"),
+        F.when(two_arms, F.round(z, 6)).alias("z"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Kruskal-Wallis H across k groups: H = 12/(N(N+1))·ΣR²_g/n_g −
+    3(N+1) with midrank ties, tie-corrected H' = H/(1 − ΣT/(N³−N)) —
+    the k-arm generalization of Mann-Whitney, for "does ANY segment's
+    value distribution differ". Same contingency-relation rank
+    substrate as :func:`mann_whitney_u`; one extra |groups|-sized
+    aggregate. All-tied data (correction 0) NULLs H' instead of
+    dividing by zero."""
+    j, tie = _midranks_by_value(df, group_col, value_col)
+    per_g = j.groupBy("_g").agg(
+        F.sum("_t_vg").alias("_ng"),
+        F.sum(F.col("_t_vg") * F.col("_r")).alias("_rg"),
+    )
+    agg = (
+        per_g.groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_groups"),
+            F.sum("_ng").alias("_n"),
+            F.sum(F.round(F.col("_rg") ** 2 / F.col("_ng"), 6)).alias("_s"),
+        )
+        .crossJoin(F.broadcast(tie))
+    )
+    n = F.col("_n")
+    h = 12.0 / (n * (n + 1)) * F.col("_s") - 3.0 * (n + 1)
+    corr = 1.0 - F.col("_tie") / (n**3 - n)
+    return agg.select(
+        "k_groups",
+        n.cast("long").alias("n"),
+        (F.col("k_groups") - 1).cast("long").alias("dof"),
+        F.round(h, 6).alias("h_stat"),
+        F.round(F.try_divide(h, corr), 6).alias("h_tie_corrected"),
+    )
+
+
+def bayes_ab_beta_posterior(
+    converted: DataFrame,
+    arm_col: str = "arm",
+    conv_col: str = "converted",
+) -> DataFrame:
+    """Bayesian A/B readout on a per-unit conversion table: Beta(1,1)
+    prior → per-arm posterior Beta(1+c, 1+n−c) mean/sd, and
+    P(B > A) by the normal approximation of the posterior difference
+    with Φ via the logistic surrogate Φ(x) ≈ σ(1.702x) (|err| < 0.01;
+    no erf primitive is shared across engines, so the surrogate IS the
+    contract and the oracle replays it). One groupBy over the unit
+    table; everything else is arithmetic on the two-row relation.
+    Arm "a" is the smaller arm key."""
+    # aggregate per arm first, then pivot the 2-row relation (a min()
+    # inside a conditional sum is not legal in one aggregate)
+    arms = converted.groupBy(F.col(arm_col).alias("_g")).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(F.col(conv_col).cast("int")).cast("double").alias("_c"),
+    )
+    lo = arms.agg(F.min("_g").alias("_ga")).select("_ga")
+    piv = arms.crossJoin(F.broadcast(lo)).groupBy().agg(
+        F.sum(F.when(F.col("_g") == F.col("_ga"), F.col("_n"))).alias("_na"),
+        F.sum(F.when(F.col("_g") == F.col("_ga"), F.col("_c"))).alias("_ca"),
+        F.sum(F.when(F.col("_g") != F.col("_ga"), F.col("_n"))).alias("_nb"),
+        F.sum(F.when(F.col("_g") != F.col("_ga"), F.col("_c"))).alias("_cb"),
+    )
+    def post(nc, cc):
+        a = F.col(cc) + 1.0
+        b = F.col(nc) - F.col(cc) + 1.0
+        mean = a / (a + b)
+        # (a+b)*(a+b), not **2: pow() is only 1-ulp-accurate while the
+        # product of exact integer-valued doubles is EXACT, keeping the
+        # whole posterior bit-identical to the oracle's replay
+        var = a * b / (((a + b) * (a + b)) * (a + b + 1.0))
+        return mean, var
+
+    ma, va = post("_na", "_ca")
+    mb, vb = post("_nb", "_cb")
+    zdiff = F.try_divide(mb - ma, F.sqrt(va + vb))
+    p_b_gt_a = 1.0 / (1.0 + F.exp(-1.702 * zdiff))
+    return piv.select(
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_ca").cast("long").alias("conv_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.col("_cb").cast("long").alias("conv_b"),
+        F.round(ma, 6).alias("post_mean_a"),
+        F.round(mb, 6).alias("post_mean_b"),
+        F.round(F.sqrt(va), 6).alias("post_sd_a"),
+        F.round(F.sqrt(vb), 6).alias("post_sd_b"),
+        F.round(p_b_gt_a, 6).alias("p_b_gt_a"),
+    )
+
+
+Z975 = 1.959963984540054  # Φ⁻¹(0.975)
+Z80 = 0.8416212335729143  # Φ⁻¹(0.80)
+
+
+def ab_power_mde(
+    df: DataFrame,
+    arm_col: str,
+    value_col: str,
+    rel_effect: float = 0.05,
+) -> DataFrame:
+    """Experiment power planning from observed data: the minimum
+    detectable effect at α=0.05 / power=0.80 given the current arm
+    sizes (MDE = (z₀.₉₇₅+z₀.₈)·√(s₀²/n₀+s₁²/n₁)), and the required
+    per-arm n to detect a ``rel_effect`` relative lift of the pooled
+    mean (n = (z₀.₉₇₅+z₀.₈)²·(s₀²+s₁²)/Δ²). Pure arithmetic over a
+    two-row groupBy — the pre-registration readout every experiment
+    platform computes before launch. Arm "a" is the smaller arm key."""
+    x = F.col(value_col).cast("double")
+    arms = df.filter(x.isNotNull()).groupBy(F.col(arm_col).alias("_g")).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.avg(x).alias("_m"),
+        F.var_samp(x).alias("_v"),
+    )
+    lo = arms.agg(F.min("_g").alias("_ga")).select("_ga")
+    piv = arms.crossJoin(F.broadcast(lo)).groupBy().agg(
+        F.sum(F.when(F.col("_g") == F.col("_ga"), F.col("_n"))).alias("_na"),
+        F.sum(F.when(F.col("_g") == F.col("_ga"), F.col("_v"))).alias("_va"),
+        F.sum(F.when(F.col("_g") == F.col("_ga"), F.col("_m") * F.col("_n"))).alias("_sma"),
+        F.sum(F.when(F.col("_g") != F.col("_ga"), F.col("_n"))).alias("_nb"),
+        F.sum(F.when(F.col("_g") != F.col("_ga"), F.col("_v"))).alias("_vb"),
+        F.sum(F.when(F.col("_g") != F.col("_ga"), F.col("_m") * F.col("_n"))).alias("_smb"),
+    )
+    zsum = F.lit(Z975 + Z80)
+    mde = zsum * F.sqrt(F.col("_va") / F.col("_na") + F.col("_vb") / F.col("_nb"))
+    pooled_mean = (F.col("_sma") + F.col("_smb")) / (F.col("_na") + F.col("_nb"))
+    delta = F.lit(rel_effect) * pooled_mean
+    # round to 6dp BEFORE ceil on both engines: var_samp summation-order
+    # noise near an integer boundary must not flip the ceiling
+    n_req = F.ceil(
+        F.round(zsum**2 * (F.col("_va") + F.col("_vb")) / delta**2, 6)
+    )
+    return piv.select(
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.round(pooled_mean, 6).alias("pooled_mean"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(F.try_divide(mde, pooled_mean), 6).alias("mde_rel"),
+        n_req.cast("long").alias("n_per_arm_for_rel_effect"),
+    )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    min_points: int = 3,
+) -> DataFrame:
+    """Per-key Theil-Sen trend: the MEDIAN of all pairwise slopes
+    (y_j−y_i)/(x_j−x_i) — the 29%-breakdown robust alternative to the
+    OLS slope in :mod:`value_trend_by_subject`-style readouts, immune
+    to a single wild value per key.
+
+    Distributed shape: the pair fan-out is a PER-KEY self-join
+    (shuffle on the key, then pairs form within each key's bounded
+    event sequence — O(m²) per key where m is the per-key sequence
+    length, never a global pair explosion); the median is an exact
+    percentile over each key's pair relation. Keys with fewer than
+    ``min_points`` non-null points are dropped; zero-dx pairs
+    (identical timestamps) are excluded from the slope set."""
+    from pyspark.sql import Window as W
+
+    seq = W.partitionBy("_k").orderBy("_x", "_y")
+    base = (
+        df.select(
+            F.col(key_col).alias("_k"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).cast("double")
+            .alias("_x"),
+            F.col(value_col).cast("double").alias("_y"),
+        )
+        .filter(F.col("_y").isNotNull())
+        .withColumn("_i", F.row_number().over(seq))
+    )
+    counts = base.groupBy("_k").agg(F.count(F.lit(1)).alias("n_points"))
+    eligible = base.join(
+        F.broadcast(counts.filter(F.col("n_points") >= min_points)), "_k"
+    )
+    a = eligible.select("_k", "n_points", "_i", "_x", "_y")
+    b = eligible.select(
+        F.col("_k").alias("_k2"),
+        F.col("_i").alias("_j"),
+        F.col("_x").alias("_x2"),
+        F.col("_y").alias("_y2"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("_k") == F.col("_k2"))
+        & (F.col("_i") < F.col("_j"))
+        & (F.col("_x") != F.col("_x2")),
+    ).select(
+        "_k",
+        "n_points",
+        ((F.col("_y2") - F.col("_y")) / (F.col("_x2") - F.col("_x")))
+        .alias("_slope"),
+    )
+    return pairs.groupBy(F.col("_k").alias(key_col)).agg(
+        F.max("n_points").cast("long").alias("n_points"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(
+            F.percentile(F.col("_slope"), F.lit(0.5)) * 1_000_000.0, 6
+        ).alias("slope_per_sec"),
+    )

@@ -34,86 +34,71 @@ def register(name: str, oracle: str | None):
 
 # The driver's correctness pass covers only the FIRST 50 registry entries
 # per round, so emission order is decoupled from registration order and
-# rotates each round. Round-5 window: `scd2_signup_intervals` (round-4's
-# one red row — the 9999-12-31 sentinel overflowed pandas datetime64[ns]
-# in the driver hasher; now 2200-01-01 on both sides — re-run to prove
-# green) plus the first 49 of the 84 never-driver-verified names.
-# Round-6 rotation backlog (35): ab_bootstrap_ci chi_square_type_segment
-# ab_welch_ttest bpe_encode_top_words value_quantile_sketch
-# embedding_pq_codes graph_triangle_counts conformal_coverage
-# eval_map_retrieval approx_distinct_hll_portable streaming_value_quantiles
-# doc_skipgram_pairs interaction_negative_samples class_balanced_resample
-# temporal_embargo_split bucketed_join_parity partition_pruned_hourly_clicks
-# value_woe_bins user_time_decay_features gdpr_cascade_audit
-# graph_random_walks streaming_psi_drift join_size_estimate
-# subject_group_kfold fairness_rate_gaps corpus_source_diversity
-# dq_benford_values snm_customer_pairs hourly_seasonal_naive_mae
-# retrieval_rrf_fusion doc_langid_confusion order_backlog_aging
-# hourly_autocorrelation power_user_curve market_basket_lift — PLUS the
-# 15 round-5 additions (ks_test_value_by_arm spc_value_control_limits
-# ab_srm_check privacy_l_diversity feature_cross_hashed
-# session_markov_transitions dq_freshness_lag corpus_zipf_fit
-# embedding_pca_top_component user_churn_labels streaming_rate_alert
-# rolling_active_users_7d revenue_pareto_concentration
-# hourly_robust_z_anomaly doc_ngram_novelty) and the 5 late-round-5
-# additions (cohort_ltv_weekly_curve funnel_convert_time_quantiles
-# subject_burstiness privacy_small_count_suppression
-# storage_compaction_plan) = 55 total: round 6 rotates the first 50,
-# round 7 picks up the remaining 5 plus round-6 additions. The 3 rows-only names (approx_distinct_users_by_type,
-# dedup_simhash_pairs, ann_ivf_topk) can never go green (err: no_oracle)
-# and stay OUT of every window. All backlog names are green in the local
-# replica (tests/test_oracle_parity.py).
+# rotates each round. Round-6 window: the first 50 of the 55-name
+# never-driver-run backlog left after round 5 (35 carried + the 15
+# round-5 additions; all green in CORRECTNESS-replica and in the
+# committed sf0.1 sweep artifact PARITY_SF01.json). Remaining backlog
+# after round 6: the 5 late-round-5 additions (cohort_ltv_weekly_curve
+# funnel_convert_time_quantiles subject_burstiness
+# privacy_small_count_suppression storage_compaction_plan) plus every
+# round-6 addition — round 7's window takes ALL of them (5 + round-6
+# additions must stay <= 50, i.e. cap round-6 additions at 45) and ends
+# with zero never-driver-run names. The 3 rows-only names
+# (approx_distinct_users_by_type, dedup_simhash_pairs, ann_ivf_topk)
+# can never go green (err: no_oracle) and stay OUT of every window.
 _ORDER_FIRST: list[str] = [
-    "scd2_signup_intervals",
-    "synthetic_source_parity",
-    "privacy_k_anonymity",
-    "privacy_dp_counts",
-    "null_safe_join_values",
-    "doc_mixture_weights",
-    "dq_table_diff",
-    "bpe_learned_merges",
-    "ann_pandas_topk",
-    "image_ahash",
-    "fuzzy_match_customers",
-    "corpus_curation_funnel",
-    "event_feature_frame",
-    "pps_weighted_sample",
-    "dedup_minhash_jaccard_estimate",
-    "dedup_lsh_recall_audit",
-    "multitouch_attribution",
-    "mutual_information_type_value",
-    "subject_activity_entropy",
-    "growth_accounting_weekly",
-    "rfm_segmentation",
-    "batch_sessionization",
-    "funnel_three_step",
-    "sequence_log_likelihood",
-    "higher_moments_by_type",
-    "impute_with_key_median",
-    "target_encoding_loo",
-    "doc_bm25_topk",
-    "dedup_passage_duplication",
-    "doc_token_js_divergence",
-    "rolling_median_1h",
-    "event_type_pagerank",
-    "cusum_changepoint_by_subject",
-    "schema_evolution_merge",
-    "cms_point_estimates",
-    "es_weighted_sample",
-    "value_trend_by_subject",
-    "cuped_adjusted_metric",
-    "incremental_moments_merge",
-    "doc_bigram_pmi",
-    "eval_auc_by_type",
-    "eval_calibration_bins",
-    "eval_threshold_sweep",
-    "doc_dsir_importance",
-    "doc_quality_logit",
-    "winsorize_value_by_type",
-    "event_type_lift",
-    "seasonal_hourweek_anomaly",
-    "eval_ndcg_retrieval",
-    "eval_multiclass_prf",
+    # 35 carried from the round-4/5 backlog
+    "ab_bootstrap_ci",
+    "chi_square_type_segment",
+    "ab_welch_ttest",
+    "bpe_encode_top_words",
+    "value_quantile_sketch",
+    "embedding_pq_codes",
+    "graph_triangle_counts",
+    "conformal_coverage",
+    "eval_map_retrieval",
+    "approx_distinct_hll_portable",
+    "streaming_value_quantiles",
+    "doc_skipgram_pairs",
+    "interaction_negative_samples",
+    "class_balanced_resample",
+    "temporal_embargo_split",
+    "bucketed_join_parity",
+    "partition_pruned_hourly_clicks",
+    "value_woe_bins",
+    "user_time_decay_features",
+    "gdpr_cascade_audit",
+    "graph_random_walks",
+    "streaming_psi_drift",
+    "join_size_estimate",
+    "subject_group_kfold",
+    "fairness_rate_gaps",
+    "corpus_source_diversity",
+    "dq_benford_values",
+    "snm_customer_pairs",
+    "hourly_seasonal_naive_mae",
+    "retrieval_rrf_fusion",
+    "doc_langid_confusion",
+    "order_backlog_aging",
+    "hourly_autocorrelation",
+    "power_user_curve",
+    "market_basket_lift",
+    # the 15 round-5 additions
+    "ks_test_value_by_arm",
+    "spc_value_control_limits",
+    "ab_srm_check",
+    "privacy_l_diversity",
+    "feature_cross_hashed",
+    "session_markov_transitions",
+    "dq_freshness_lag",
+    "corpus_zipf_fit",
+    "embedding_pca_top_component",
+    "user_churn_labels",
+    "streaming_rate_alert",
+    "rolling_active_users_7d",
+    "revenue_pareto_concentration",
+    "hourly_robust_z_anomaly",
+    "doc_ngram_novelty",
 ]
 
 
@@ -10815,4 +10800,262 @@ def q_storage_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_bytes").cast("long").alias("est_bytes"),
         off.cast("long").alias("start_offset"),
         F.floor(off / F.lit(65536.0)).cast("long").alias("compact_group"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions: nonparametric tests, Bayesian/power experiment
+# readouts, robust trends (SURVEY §2.8b)
+# ---------------------------------------------------------------------------
+
+from eventstreamml_spark.operators.stats import Z80, Z975  # noqa: E402
+
+_RANK_SUBSTRATE_SQL = """
+    vg AS (
+      SELECT CAST(value AS DOUBLE) AS v, {grp} AS g,
+             CAST(count(*) AS DOUBLE) AS t_vg
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    vt AS (SELECT v, sum(t_vg) AS t_v FROM vg GROUP BY v),
+    mr AS (SELECT v, t_v,
+                  sum(t_v) OVER (ORDER BY v) - t_v + (t_v + 1) / 2.0 AS r
+           FROM vt),
+    j AS (SELECT vg.g, vg.t_vg, mr.r FROM vg JOIN mr USING (v)),
+    tie AS (SELECT sum(t_v * t_v * t_v - t_v) AS tt FROM vt)
+"""
+
+
+@register(
+    "mw_u_test_value_by_arm",
+    f"""
+    WITH {_RANK_SUBSTRATE_SQL.format(grp="user_id % 2")},
+    a AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS n_arms,
+                 min(g) AS ga, max(g) AS gb FROM j),
+    s AS (SELECT sum(t_vg) FILTER (g = (SELECT ga FROM a)) AS n0,
+                 sum(t_vg) FILTER (g = (SELECT gb FROM a)) AS n1,
+                 sum(t_vg * r) FILTER (g = (SELECT ga FROM a)) AS r0
+          FROM j),
+    f AS (SELECT s.n0, s.n1,
+                 s.r0 - s.n0 * (s.n0 + 1) / 2.0 AS u1,
+                 s.n0 * s.n1 / 12.0
+                   * ((s.n0 + s.n1 + 1)
+                      - tie.tt / ((s.n0 + s.n1) * (s.n0 + s.n1 - 1))) AS vr
+          FROM s, tie)
+    SELECT a.n_arms,
+           CAST(f.n0 AS BIGINT) AS n_a,
+           CAST(f.n1 AS BIGINT) AS n_b,
+           CASE WHEN a.n_arms = 2 THEN round(f.u1, 6) END AS u_stat,
+           CASE WHEN a.n_arms = 2 AND f.vr > 0
+                THEN round((f.u1 - f.n0 * f.n1 / 2.0) / sqrt(f.vr), 6)
+           END AS z
+    FROM f, a
+    """,
+)
+def q_mw_u_test_value_by_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between the two hash arms on event value: the
+    nonparametric complement to `ab_welch_ttest` for skewed metrics.
+    Ranks never touch raw rows — the test rides the |distinct values ×
+    arms| contingency relation with midranks from a window over the
+    |distinct values| relation (operators/stats.py mann_whitney_u);
+    every rank sum is half-integer-exact, so both engines agree
+    bit-for-bit before the 6dp rounding."""
+    from eventstreamml_spark.operators.stats import mann_whitney_u
+
+    ev = _events(spark, sf_dir)
+    return mann_whitney_u(
+        ev.select((F.col("user_id") % 2).alias("arm"), "value"),
+        "arm",
+        "value",
+    )
+
+
+@register(
+    "kruskal_wallis_value_by_type",
+    f"""
+    WITH {_RANK_SUBSTRATE_SQL.format(grp="event_type")},
+    per_g AS (SELECT g, sum(t_vg) AS ng, sum(t_vg * r) AS rg
+              FROM j GROUP BY g),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS k_groups, sum(ng) AS n,
+                   sum(round(rg * rg / ng, 6)) AS s
+            FROM per_g)
+    SELECT agg.k_groups,
+           CAST(agg.n AS BIGINT) AS n,
+           CAST(agg.k_groups - 1 AS BIGINT) AS dof,
+           round(12.0 / (agg.n * (agg.n + 1)) * agg.s
+                 - 3.0 * (agg.n + 1), 6) AS h_stat,
+           CASE WHEN (1.0 - tie.tt / (agg.n * agg.n * agg.n - agg.n)) <> 0
+                THEN round((12.0 / (agg.n * (agg.n + 1)) * agg.s
+                            - 3.0 * (agg.n + 1))
+                           / (1.0 - tie.tt
+                              / (agg.n * agg.n * agg.n - agg.n)), 6)
+           END AS h_tie_corrected
+    FROM agg, tie
+    """,
+)
+def q_kruskal_wallis_value_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kruskal-Wallis H across the five event types on value — "does
+    ANY segment's distribution differ", the k-arm rank test feeding
+    segment triage. Same contingency-relation rank substrate as the
+    Mann-Whitney query; the only windows run over the |distinct
+    values| relation (operators/stats.py kruskal_wallis)."""
+    from eventstreamml_spark.operators.stats import kruskal_wallis
+
+    return kruskal_wallis(_events(spark, sf_dir), "event_type", "value")
+
+
+@register(
+    "bayes_ab_conversion_posterior",
+    """
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS arm,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ),
+    arms AS (SELECT arm AS g, CAST(count(*) AS DOUBLE) AS n,
+                    CAST(sum(converted) AS DOUBLE) AS c
+             FROM u GROUP BY 1),
+    lo AS (SELECT min(g) AS ga FROM arms),
+    piv AS (SELECT
+      sum(n) FILTER (g = (SELECT ga FROM lo)) AS na,
+      sum(c) FILTER (g = (SELECT ga FROM lo)) AS ca,
+      sum(n) FILTER (g <> (SELECT ga FROM lo)) AS nb,
+      sum(c) FILTER (g <> (SELECT ga FROM lo)) AS cb
+      FROM arms),
+    post AS (SELECT na, ca, nb, cb,
+      (ca + 1.0) / ((ca + 1.0) + (na - ca + 1.0)) AS ma,
+      ((ca + 1.0) * (na - ca + 1.0))
+        / ((((ca + 1.0) + (na - ca + 1.0)) * ((ca + 1.0) + (na - ca + 1.0)))
+           * ((ca + 1.0) + (na - ca + 1.0) + 1.0)) AS va,
+      (cb + 1.0) / ((cb + 1.0) + (nb - cb + 1.0)) AS mb,
+      ((cb + 1.0) * (nb - cb + 1.0))
+        / ((((cb + 1.0) + (nb - cb + 1.0)) * ((cb + 1.0) + (nb - cb + 1.0)))
+           * ((cb + 1.0) + (nb - cb + 1.0) + 1.0)) AS vb
+      FROM piv)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
+           CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
+           round(ma, 6) AS post_mean_a,
+           round(mb, 6) AS post_mean_b,
+           round(sqrt(va), 6) AS post_sd_a,
+           round(sqrt(vb), 6) AS post_sd_b,
+           round(1.0 / (1.0 + exp(-1.702 * ((mb - ma) / sqrt(va + vb)))), 6)
+             AS p_b_gt_a
+    FROM post
+    """,
+)
+def q_bayes_ab_conversion_posterior(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bayesian A/B readout on per-user purchase conversion between
+    the two hash arms: Beta(1,1)-prior posterior mean/sd per arm and
+    P(B>A) via the logistic Φ surrogate (shared verbatim with the
+    oracle — no erf primitive exists on both engines). One per-user
+    groupBy then arithmetic on the two-row arm relation
+    (operators/stats.py bayes_ab_beta_posterior)."""
+    from eventstreamml_spark.operators.stats import bayes_ab_beta_posterior
+
+    ev = _events(spark, sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).select((F.col("user_id") % 2).alias("arm"), "converted")
+    return bayes_ab_beta_posterior(u, "arm", "converted")
+
+
+@register(
+    "ab_power_mde_planner",
+    f"""
+    WITH arms AS (
+      SELECT user_id % 2 AS g, CAST(count(*) AS DOUBLE) AS n,
+             avg(CAST(value AS DOUBLE)) AS m,
+             var_samp(CAST(value AS DOUBLE)) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    lo AS (SELECT min(g) AS ga FROM arms),
+    piv AS (SELECT
+      sum(n) FILTER (g = (SELECT ga FROM lo)) AS na,
+      sum(v) FILTER (g = (SELECT ga FROM lo)) AS va,
+      sum(m * n) FILTER (g = (SELECT ga FROM lo)) AS sma,
+      sum(n) FILTER (g <> (SELECT ga FROM lo)) AS nb,
+      sum(v) FILTER (g <> (SELECT ga FROM lo)) AS vb,
+      sum(m * n) FILTER (g <> (SELECT ga FROM lo)) AS smb
+      FROM arms),
+    f AS (SELECT na, nb,
+                 {Z975 + Z80!r} * sqrt(va / na + vb / nb) AS mde,
+                 (sma + smb) / (na + nb) AS pm,
+                 va, vb
+          FROM piv)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(pm, 6) AS pooled_mean,
+           round(mde, 6) AS mde_abs,
+           round(mde / pm, 6) AS mde_rel,
+           CAST(ceil(round({Z975 + Z80!r} * {Z975 + Z80!r} * (va + vb)
+                           / ((0.05 * pm) * (0.05 * pm)), 6)) AS BIGINT)
+             AS n_per_arm_for_rel_effect
+    FROM f
+    """,
+)
+def q_ab_power_mde_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power planning from observed arm data: the minimum
+    detectable effect at alpha=0.05 / power=0.80 and the per-arm n
+    required to detect a 5% relative lift — the pre-launch readout
+    every experiment platform runs. Two-row arm aggregate, then pure
+    arithmetic; ceil() applies to the 6dp-rounded value on both
+    engines so variance summation-order noise can't flip the integer
+    (operators/stats.py ab_power_mde)."""
+    from eventstreamml_spark.operators.stats import ab_power_mde
+
+    ev = _events(spark, sf_dir)
+    return ab_power_mde(
+        ev.select((F.col("user_id") % 2).alias("arm"), "value"),
+        "arm",
+        "value",
+        rel_effect=0.05,
+    )
+
+
+@register(
+    "theil_sen_trend_by_subject",
+    """
+    WITH b AS (
+      SELECT user_id AS k,
+             CAST(epoch_us(ts) AS DOUBLE) AS x,
+             CAST(value AS DOUBLE) AS y,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), value) AS i
+      FROM events WHERE value IS NOT NULL
+    ),
+    cnt AS (SELECT k, CAST(count(*) AS BIGINT) AS n_points
+            FROM b GROUP BY k HAVING count(*) >= 3),
+    p AS (
+      SELECT a.k, cnt.n_points,
+             (c.y - a.y) / (c.x - a.x) AS slope
+      FROM b a
+      JOIN b c ON a.k = c.k AND a.i < c.i AND a.x <> c.x
+      JOIN cnt ON cnt.k = a.k
+    )
+    SELECT k AS user_id,
+           max(n_points) AS n_points,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(quantile_cont(slope, 0.5) * 1000000.0, 6) AS slope_per_sec
+    FROM p GROUP BY k
+    """,
+)
+def q_theil_sen_trend_by_subject(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-subject Theil-Sen value trend: the median of all pairwise
+    slopes — robust to a single wild value where the OLS slope in
+    `value_trend_by_subject` is not. The pair fan-out is a PER-KEY
+    self-join (bounded O(m²) within each subject's sequence, never a
+    global pair explosion); equal-timestamp pairs are excluded and
+    the slope multiset is permutation-invariant, so both engines'
+    medians agree exactly (operators/stats.py theil_sen_trend)."""
+    from eventstreamml_spark.operators.stats import theil_sen_trend
+
+    return theil_sen_trend(
+        _events(spark, sf_dir), "user_id", "ts", "value", min_points=3
     )

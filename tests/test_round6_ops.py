@@ -212,3 +212,103 @@ class TestPcaNullEmbedding:
         out = fn(spark, str(tmp_path)).collect()
         assert len(out) == 64
         assert all(r["loading"] is not None for r in out)
+
+
+class TestRound6Stats:
+    def test_mann_whitney_known_values(self, spark):
+        from eventstreamml_spark.operators.stats import mann_whitney_u
+
+        df = spark.createDataFrame(
+            [(0, 1.0), (0, 2.0), (0, 3.0), (1, 4.0), (1, 5.0), (1, 6.0)],
+            "arm int, x double",
+        )
+        r = mann_whitney_u(df, "arm", "x").collect()[0]
+        assert r["n_arms"] == 2 and r["n_a"] == 3 and r["n_b"] == 3
+        # R_a = 1+2+3 = 6 -> U1 = 0; z = -4.5/sqrt(5.25)
+        assert r["u_stat"] == 0.0
+        assert abs(r["z"] - (-4.5 / 5.25**0.5)) < 1e-5
+
+    def test_mann_whitney_three_arms_nulls(self, spark):
+        from eventstreamml_spark.operators.stats import mann_whitney_u
+
+        rows = [(a, float(v)) for a in (0, 1, 2) for v in range(5)]
+        r = mann_whitney_u(
+            spark.createDataFrame(rows, "arm int, x double"), "arm", "x"
+        ).collect()[0]
+        assert r["n_arms"] == 3
+        assert r["u_stat"] is None and r["z"] is None
+
+    def test_kruskal_wallis_identical_groups(self, spark):
+        from eventstreamml_spark.operators.stats import kruskal_wallis
+
+        # identical distributions -> H near 0; k and dof exact
+        rows = [(g, float(v)) for g in ("a", "b", "c") for v in range(10)]
+        r = kruskal_wallis(
+            spark.createDataFrame(rows, "g string, x double"), "g", "x"
+        ).collect()[0]
+        assert r["k_groups"] == 3 and r["dof"] == 2 and r["n"] == 30
+        assert abs(r["h_stat"]) < 1e-6
+        assert abs(r["h_tie_corrected"]) < 1e-6
+
+    def test_bayes_posterior_directional(self, spark):
+        from eventstreamml_spark.operators.stats import (
+            bayes_ab_beta_posterior,
+        )
+
+        rows = [(0, 0), (0, 1), (1, 1), (1, 1)]
+        r = bayes_ab_beta_posterior(
+            spark.createDataFrame(rows, "arm int, converted int"),
+            "arm",
+            "converted",
+        ).collect()[0]
+        assert r["post_mean_a"] == 0.5  # Beta(2,2)
+        assert r["post_mean_b"] == 0.75  # Beta(3,1)
+        assert r["p_b_gt_a"] > 0.5
+
+    def test_power_mde_sane(self, spark):
+        from eventstreamml_spark.operators.stats import ab_power_mde
+
+        rows = [(i % 2, float(100 + (i * 37) % 50)) for i in range(2000)]
+        r = ab_power_mde(
+            spark.createDataFrame(rows, "arm int, x double"), "arm", "x"
+        ).collect()[0]
+        assert r["n_a"] == 1000 and r["n_b"] == 1000
+        assert r["mde_abs"] > 0 and r["n_per_arm_for_rel_effect"] > 0
+        # detecting a 5%-of-mean lift (~5.6 units) with sd~14 needs few
+        # hundred per arm, not millions
+        assert 10 < r["n_per_arm_for_rel_effect"] < 100_000
+
+    def test_theil_sen_hand_computed(self, spark):
+        from eventstreamml_spark.operators.stats import theil_sen_trend
+
+        rows = [
+            (1, "2024-01-01 00:00:00", 0.0),
+            (1, "2024-01-01 00:00:01", 1.0),
+            (1, "2024-01-01 00:00:02", 2.0),
+            (1, "2024-01-01 00:00:03", 103.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts string, value double"
+        ).select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+        )
+        r = theil_sen_trend(df, "user_id", "ts", "value").collect()[0]
+        assert r["n_points"] == 4 and r["n_pairs"] == 6
+        # slopes/sec: 1,1,1, 103/3, 51, 101 -> median = (1 + 34.3333)/2
+        assert abs(r["slope_per_sec"] - (1 + 103 / 3) / 2) < 1e-4
+
+    def test_theil_sen_equal_ts_pairs_excluded(self, spark):
+        from eventstreamml_spark.operators.stats import theil_sen_trend
+
+        rows = [
+            (1, "2024-01-01 00:00:00", 0.0),
+            (1, "2024-01-01 00:00:00", 5.0),
+            (1, "2024-01-01 00:00:01", 1.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts string, value double"
+        ).select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+        )
+        r = theil_sen_trend(df, "user_id", "ts", "value").collect()[0]
+        assert r["n_pairs"] == 2  # the equal-ts pair contributes nothing
