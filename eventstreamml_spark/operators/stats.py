@@ -811,3 +811,262 @@ def theil_sen_trend(
             F.percentile(F.col("_slope"), F.lit(0.5)) * 1_000_000.0, 6
         ).alias("slope_per_sec"),
     )
+
+
+def _phi_logistic(x: Column) -> Column:
+    """Φ via the logistic surrogate Φ(x) ≈ σ(1.702x) (|err| < 0.01) —
+    the same cross-engine normal-CDF contract as
+    :func:`bayes_ab_beta_posterior`: no erf primitive is shared with
+    the oracle engine, so the surrogate IS the spec and oracles replay
+    ``1/(1+exp(-1.702*x))`` verbatim."""
+    return 1.0 / (1.0 + F.exp(-1.702 * x))
+
+
+def spearman_corr(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Per-group Spearman rank correlation with midrank ties: Pearson
+    correlation of the within-group midranks of x and y.
+
+    Distributed shape — the same "rank the contingency relation, never
+    the rows" discipline as :func:`_midranks_by_value`, but per group
+    and per axis: each axis folds to the |group × distinct values|
+    relation (map-side-combined groupBy), midranks come from a
+    cumulative window over that small relation (partitioned by group,
+    so no single-partition funnel), and the row relation equi-joins
+    the two rank relations back on (group, value). Midranks are exact
+    half-integers, so the correlation sums are exact (sf0.1 scale) or
+    deterministic-to-the-ulp beyond; the final ρ rounds at 6dp on
+    both engines.
+    """
+    from pyspark.sql import Window as W
+
+    d = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+
+    def ranks(col: str) -> DataFrame:
+        vt = d.groupBy("_g", col).agg(
+            F.count(F.lit(1)).cast("double").alias("_t")
+        )
+        cum = F.sum("_t").over(W.partitionBy("_g").orderBy(col))
+        return vt.select(
+            "_g", col, (cum - F.col("_t") + (F.col("_t") + 1) / 2.0).alias(f"_r{col}")
+        )
+
+    j = d.join(ranks("_x"), ["_g", "_x"]).join(ranks("_y"), ["_g", "_y"])
+    agg = j.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("_r_x").alias("_sx"),
+        F.sum("_r_y").alias("_sy"),
+        F.sum(F.col("_r_x") * F.col("_r_y")).alias("_sxy"),
+        F.sum(F.col("_r_x") * F.col("_r_x")).alias("_sxx"),
+        F.sum(F.col("_r_y") * F.col("_r_y")).alias("_syy"),
+    )
+    n = F.col("_n")
+    num = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = F.sqrt(
+        (n * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+        * (n * F.col("_syy") - F.col("_sy") * F.col("_sy"))
+    )
+    return agg.select(
+        F.col("_g").alias(group_col),
+        n.cast("long").alias("n"),
+        F.round(F.try_divide(num, den), 6).alias("spearman_rho"),
+    )
+
+
+def anova_oneway(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """One-way ANOVA F across the groups of ``group_col``: F =
+    (SSB/(k−1)) / (SSW/(n−k)) from per-group moments (n, Σx, Σx²).
+
+    One map-side-combined groupBy folds the data to the k-row moment
+    relation; SSB/SSW and F are pure arithmetic on those k rows. Only
+    RATIOS are emitted (f_stat, eta_sq): the raw sums of squares are
+    global float sums whose summation-order noise (~√n·ε·Σx²) exceeds
+    a 6dp grid at 100k+ rows — the ratio cancels it (CLAUDE.md rule).
+    Groups with NULL values contribute nothing; k<2 or zero SSW NULLs
+    the statistic rather than dividing by zero."""
+    g = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("_g"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            F.sum(F.col(value_col).cast("double")).alias("_s1"),
+            F.sum(
+                F.col(value_col).cast("double") * F.col(value_col).cast("double")
+            ).alias("_s2"),
+        )
+    )
+    tot = g.groupBy().agg(
+        F.count(F.lit(1)).cast("double").alias("_k"),
+        F.sum("_n").alias("_nt"),
+        F.sum("_s1").alias("_st"),
+        F.sum(F.col("_s2") - F.col("_s1") * F.col("_s1") / F.col("_n")).alias(
+            "_ssw"
+        ),
+        F.sum(F.col("_s1") * F.col("_s1") / F.col("_n")).alias("_sb_part"),
+    )
+    ssb = F.col("_sb_part") - F.col("_st") * F.col("_st") / F.col("_nt")
+    ssw = F.col("_ssw")
+    fstat = F.try_divide(
+        F.try_divide(ssb, F.col("_k") - 1.0),
+        F.try_divide(ssw, F.col("_nt") - F.col("_k")),
+    )
+    return tot.select(
+        F.col("_k").cast("long").alias("k_groups"),
+        F.col("_nt").cast("long").alias("n_total"),
+        F.round(fstat, 6).alias("f_stat"),
+        F.round(F.try_divide(ssb, ssb + ssw), 6).alias("eta_sq"),
+    )
+
+
+def brown_forsythe(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test (the median-centered
+    Levene): one-way ANOVA F on z = |x − median_g|. Robust to
+    non-normality where the mean-centered Levene is not — the standard
+    pre-check before pooling variances in a Welch/ANOVA readout.
+
+    Group medians are exact interpolated percentiles computed per
+    group (broadcast-joined back; the |groups|-row relation is tiny),
+    then the deviations reuse :func:`anova_oneway`'s moment shape.
+    """
+    med = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("_mg"))
+        .agg(F.percentile(F.col(value_col).cast("double"), F.lit(0.5)).alias("_med"))
+    )
+    z = (
+        df.filter(F.col(value_col).isNotNull())
+        .join(F.broadcast(med), F.col(group_col) == F.col("_mg"))
+        .select(
+            F.col(group_col),
+            F.abs(F.col(value_col).cast("double") - F.col("_med")).alias("_z"),
+        )
+    )
+    return anova_oneway(z, group_col, "_z").withColumnsRenamed(
+        {"f_stat": "bf_stat"}
+    )
+
+
+def two_proportion_ztest(
+    df: DataFrame, arm_col: str, success_col: str
+) -> DataFrame:
+    """Two-proportion z-test between the two arms of ``arm_col``
+    (arm "a" = smaller arm key): pooled-variance z and the two-sided
+    p-value via the logistic Φ surrogate (:func:`_phi_logistic`).
+    One groupBy to the 2-row arm relation; counts are exact integers
+    so z is deterministic to the ulp on both engines. Degenerate
+    pooled variance (all successes / all failures) NULLs z instead of
+    dividing by zero."""
+    arms = df.groupBy(F.col(arm_col).alias("_g")).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(F.col(success_col).cast("int")).cast("double").alias("_c"),
+    )
+    lo = arms.agg(F.min("_g").alias("_ga")).select("_ga")
+    piv = arms.crossJoin(F.broadcast(lo)).groupBy().agg(
+        F.sum(F.when(F.col("_g") == F.col("_ga"), F.col("_n"))).alias("_na"),
+        F.sum(F.when(F.col("_g") == F.col("_ga"), F.col("_c"))).alias("_ca"),
+        F.sum(F.when(F.col("_g") != F.col("_ga"), F.col("_n"))).alias("_nb"),
+        F.sum(F.when(F.col("_g") != F.col("_ga"), F.col("_c"))).alias("_cb"),
+    )
+    pa = F.col("_ca") / F.col("_na")
+    pb = F.col("_cb") / F.col("_nb")
+    pp = (F.col("_ca") + F.col("_cb")) / (F.col("_na") + F.col("_nb"))
+    se = F.sqrt(pp * (1.0 - pp) * (1.0 / F.col("_na") + 1.0 / F.col("_nb")))
+    z = F.try_divide(pb - pa, se)
+    p2 = 2.0 * (1.0 - _phi_logistic(F.abs(z)))
+    return piv.select(
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_ca").cast("long").alias("succ_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.col("_cb").cast("long").alias("succ_b"),
+        F.round(pa, 6).alias("p_a"),
+        F.round(pb, 6).alias("p_b"),
+        F.round(z, 6).alias("z_stat"),
+        F.round(p2, 6).alias("p_value"),
+    )
+
+
+def poisson_rate_ratio(
+    df: DataFrame, arm_col: str, exposure: dict | None = None
+) -> DataFrame:
+    """Poisson rate-ratio test between the two arms of ``arm_col``
+    (event counts n_a, n_b over exposures t_a, t_b — equal exposures
+    when ``exposure`` is None): RR = (n_b/t_b)/(n_a/t_a), the log-RR
+    normal approximation z = ln(RR)/√(1/n_a+1/n_b), two-sided p via
+    the logistic Φ surrogate. The incident-rate comparison behind
+    "did the error rate really double this week". Counts are exact
+    integers; a zero count NULLs the statistic (ln(0))."""
+    arms = df.groupBy(F.col(arm_col).alias("_g")).agg(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    )
+    lo = arms.agg(F.min("_g").alias("_ga")).select("_ga")
+    piv = arms.crossJoin(F.broadcast(lo)).groupBy().agg(
+        F.sum(F.when(F.col("_g") == F.col("_ga"), F.col("_n"))).alias("_na"),
+        F.sum(F.when(F.col("_g") != F.col("_ga"), F.col("_n"))).alias("_nb"),
+    )
+    ta = F.lit(float(exposure["a"])) if exposure else F.lit(1.0)
+    tb = F.lit(float(exposure["b"])) if exposure else F.lit(1.0)
+    rr = F.try_divide(F.col("_nb") / tb, F.col("_na") / ta)
+    z = F.try_divide(
+        F.log(rr), F.sqrt(1.0 / F.col("_na") + 1.0 / F.col("_nb"))
+    )
+    p2 = 2.0 * (1.0 - _phi_logistic(F.abs(z)))
+    return piv.select(
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.round(rr, 6).alias("rate_ratio"),
+        F.round(z, 6).alias("z_stat"),
+        F.round(p2, 6).alias("p_value"),
+    )
+
+
+def bh_fdr(
+    df: DataFrame, id_col: str, p_col: str, alpha: float = 0.05
+) -> DataFrame:
+    """Benjamini-Hochberg FDR adjustment over a table of test
+    p-values: rank ascending (id tiebreak, so both engines agree on
+    tied p), p_adj_i = min_{j≥i}(m·p_j/j) capped at 1 (the reverse
+    running-min form), reject where p_adj ≤ alpha.
+
+    Windows run over the |tests|-sized relation — the thing being
+    ranked is a derived test table (one row per metric/segment), never
+    the raw data, so the unpartitioned window is bounded by
+    construction (same rationale as the vocabulary sort, O2); m rides
+    the same window pass instead of a separate count() action, so the
+    upstream p-value pipeline computes once."""
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(p_col, id_col)
+    wall = W.partitionBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    wrev = (
+        W.orderBy(F.col(p_col).desc(), F.col(id_col).desc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    ranked = (
+        df.withColumn("rank_i", F.row_number().over(w))
+        .withColumn("_m", F.count(F.lit(1)).over(wall).cast("double"))
+        .withColumn(
+            "p_adj",
+            F.least(
+                F.lit(1.0),
+                F.min(F.col("_m") * F.col(p_col) / F.col("rank_i")).over(wrev),
+            ),
+        )
+    )
+    return ranked.select(
+        F.col(id_col),
+        F.col("rank_i").cast("long").alias("rank_i"),
+        F.round(F.col(p_col), 6).alias("p_value"),
+        F.round("p_adj", 6).alias("p_adj"),
+        (F.col("p_adj") <= F.lit(alpha)).alias("reject"),
+    )

@@ -11076,3 +11076,332 @@ def q_theil_sen_trend_by_subject(
     return theil_sen_trend(
         _events(spark, sf_dir), "user_id", "ts", "value", min_points=3
     )
+
+
+# --------------------------------------------------------------------------
+# Round 6: classical statistics batch (Spearman, ANOVA, Brown-Forsythe,
+# two-proportion z, Poisson rate ratio, Benjamini-Hochberg FDR)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "spearman_qty_price_by_flag",
+    """
+    WITH d AS (
+      SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS x,
+             CAST(l_extendedprice AS DOUBLE) AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    gx AS (SELECT g, x, CAST(count(*) AS DOUBLE) AS t FROM d GROUP BY 1, 2),
+    rx AS (SELECT g, x,
+                  sum(t) OVER (PARTITION BY g ORDER BY x) - t + (t + 1) / 2.0 AS r
+           FROM gx),
+    gy AS (SELECT g, y, CAST(count(*) AS DOUBLE) AS t FROM d GROUP BY 1, 2),
+    ry AS (SELECT g, y,
+                  sum(t) OVER (PARTITION BY g ORDER BY y) - t + (t + 1) / 2.0 AS r
+           FROM gy),
+    j AS (
+      SELECT d.g, rx.r AS rxv, ry.r AS ryv
+      FROM d
+      JOIN rx ON d.g = rx.g AND d.x = rx.x
+      JOIN ry ON d.g = ry.g AND d.y = ry.y
+    ),
+    a AS (
+      SELECT g, CAST(count(*) AS DOUBLE) AS n,
+             sum(rxv) AS sx, sum(ryv) AS sy, sum(rxv * ryv) AS sxy,
+             sum(rxv * rxv) AS sxx, sum(ryv * ryv) AS syy
+      FROM j GROUP BY g
+    )
+    SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+                THEN round((n * sxy - sx * sy)
+                           / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           END AS spearman_rho
+    FROM a
+    """,
+)
+def q_spearman_qty_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag Spearman rank correlation of quantity vs price
+    with midrank ties — the monotone-association readout robust to the
+    price scale. Ranks come from per-(group, distinct-value)
+    contingency relations (never a raw-row rank window), so the
+    correlation sums are exact half-integer arithmetic on both engines
+    (operators/stats.py spearman_corr)."""
+    from eventstreamml_spark.operators.stats import spearman_corr
+
+    return spearman_corr(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_returnflag",
+        "l_quantity",
+        "l_extendedprice",
+    )
+
+
+@register(
+    "anova_value_by_type",
+    """
+    WITH g AS (
+      SELECT event_type AS g, CAST(count(*) AS DOUBLE) AS n,
+             sum(CAST(value AS DOUBLE)) AS s1,
+             sum(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)) AS s2
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(count(*) AS DOUBLE) AS k, sum(n) AS nt, sum(s1) AS st,
+             sum(s2 - s1 * s1 / n) AS ssw, sum(s1 * s1 / n) AS sbp
+      FROM g
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups, CAST(nt AS BIGINT) AS n_total,
+           CASE WHEN k > 1 AND ssw > 0 AND nt > k
+                THEN round(((sbp - st * st / nt) / (k - 1))
+                           / (ssw / (nt - k)), 6)
+           END AS f_stat,
+           CASE WHEN (sbp - st * st / nt) + ssw > 0
+                THEN round((sbp - st * st / nt)
+                           / ((sbp - st * st / nt) + ssw), 6)
+           END AS eta_sq
+    FROM t
+    """,
+)
+def q_anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F of event value across event types — "do the
+    type means differ at all" before any pairwise test. One
+    map-side-combined groupBy to the k-row moment relation; only
+    ratios (F, eta-squared) are emitted because raw sums of squares
+    carry summation-order noise beyond a 6dp grid at 100k+ rows
+    (operators/stats.py anova_oneway)."""
+    from eventstreamml_spark.operators.stats import anova_oneway
+
+    return anova_oneway(_events(spark, sf_dir), "event_type", "value")
+
+
+@register(
+    "levene_brown_forsythe_by_type",
+    """
+    WITH med AS (
+      SELECT event_type AS mg, quantile_cont(CAST(value AS DOUBLE), 0.5) AS md
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    z AS (
+      SELECT e.event_type AS g, abs(CAST(e.value AS DOUBLE) - med.md) AS v
+      FROM events e JOIN med ON e.event_type = med.mg
+      WHERE e.value IS NOT NULL
+    ),
+    g AS (
+      SELECT g, CAST(count(*) AS DOUBLE) AS n, sum(v) AS s1,
+             sum(v * v) AS s2
+      FROM z GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(count(*) AS DOUBLE) AS k, sum(n) AS nt, sum(s1) AS st,
+             sum(s2 - s1 * s1 / n) AS ssw, sum(s1 * s1 / n) AS sbp
+      FROM g
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups, CAST(nt AS BIGINT) AS n_total,
+           CASE WHEN k > 1 AND ssw > 0 AND nt > k
+                THEN round(((sbp - st * st / nt) / (k - 1))
+                           / (ssw / (nt - k)), 6)
+           END AS bf_stat,
+           CASE WHEN (sbp - st * st / nt) + ssw > 0
+                THEN round((sbp - st * st / nt)
+                           / ((sbp - st * st / nt) + ssw), 6)
+           END AS eta_sq
+    FROM t
+    """,
+)
+def q_levene_brown_forsythe_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) variance-homogeneity
+    test across event types — the robust pre-check before pooling
+    variances. Exact interpolated group medians broadcast back, then
+    the ANOVA moment shape on |x − median| (operators/stats.py
+    brown_forsythe)."""
+    from eventstreamml_spark.operators.stats import brown_forsythe
+
+    return brown_forsythe(_events(spark, sf_dir), "event_type", "value")
+
+
+@register(
+    "two_proportion_ztest_arms",
+    """
+    WITH a AS (
+      SELECT user_id % 2 AS g, CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CASE WHEN value IS NOT NULL AND value > 60
+                           THEN 1 ELSE 0 END) AS DOUBLE) AS c
+      FROM events GROUP BY 1
+    ),
+    lo AS (SELECT min(g) AS ga FROM a),
+    piv AS (
+      SELECT sum(n) FILTER (g = (SELECT ga FROM lo)) AS na,
+             sum(c) FILTER (g = (SELECT ga FROM lo)) AS ca,
+             sum(n) FILTER (g <> (SELECT ga FROM lo)) AS nb,
+             sum(c) FILTER (g <> (SELECT ga FROM lo)) AS cb
+      FROM a
+    ),
+    f AS (
+      SELECT na, ca, nb, cb, ca / na AS pa, cb / nb AS pb,
+             sqrt(((ca + cb) / (na + nb)) * (1.0 - (ca + cb) / (na + nb))
+                  * (1.0 / na + 1.0 / nb)) AS se
+      FROM piv
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS succ_a,
+           CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS succ_b,
+           round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+           CASE WHEN se > 0 THEN round((pb - pa) / se, 6) END AS z_stat,
+           CASE WHEN se > 0 THEN round(
+             2.0 * (1.0 - 1.0 / (1.0 + exp(-1.702 * abs((pb - pa) / se)))), 6)
+           END AS p_value
+    FROM f
+    """,
+)
+def q_two_proportion_ztest_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test of the value>60 conversion rate (~30%)
+    between the user_id%2 arms — the workhorse A/B significance
+    readout. Counts are exact integers so z is ulp-deterministic; the
+    two-sided p uses the logistic Φ surrogate shared with the oracle
+    (operators/stats.py two_proportion_ztest)."""
+    from eventstreamml_spark.operators.stats import two_proportion_ztest
+
+    ev = _events(spark, sf_dir).select(
+        (F.col("user_id") % 2).alias("arm"),
+        (F.col("value").isNotNull() & (F.col("value") > 60)).alias("converted"),
+    )
+    return two_proportion_ztest(ev, "arm", "converted")
+
+
+@register(
+    "poisson_rate_ratio_halves",
+    """
+    WITH b AS (
+      SELECT min(epoch_us(ts)) + max(epoch_us(ts)) AS mm FROM events
+    ),
+    a AS (
+      SELECT CASE WHEN 2 * epoch_us(ts) >= (SELECT mm FROM b)
+                  THEN 1 ELSE 0 END AS g,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1
+    ),
+    lo AS (SELECT min(g) AS ga FROM a),
+    piv AS (
+      SELECT sum(n) FILTER (g = (SELECT ga FROM lo)) AS na,
+             sum(n) FILTER (g <> (SELECT ga FROM lo)) AS nb
+      FROM a
+    ),
+    f AS (
+      SELECT na, nb, (nb / 1.0) / (na / 1.0) AS rr,
+             ln((nb / 1.0) / (na / 1.0))
+               / sqrt(1.0 / na + 1.0 / nb) AS z
+      FROM piv WHERE na > 0 AND nb > 0
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(rr, 6) AS rate_ratio, round(z, 6) AS z_stat,
+           round(2.0 * (1.0 - 1.0 / (1.0 + exp(-1.702 * abs(z)))), 6)
+             AS p_value
+    FROM f
+    """,
+)
+def q_poisson_rate_ratio_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson rate-ratio test between the first and second halves of
+    the event stream (equal exposure by construction — the boundary is
+    the integer midpoint of the epoch-µs range, compared as
+    2·ts ≥ min+max so no division touches the cut): "did the event
+    rate really change". The z on ln(RR) with 1/n_a+1/n_b variance;
+    p via the logistic Φ surrogate (operators/stats.py
+    poisson_rate_ratio)."""
+    from eventstreamml_spark.operators.stats import poisson_rate_ratio
+
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = ev.agg((F.min(us) + F.max(us)).alias("_mm"))
+    armed = ev.crossJoin(F.broadcast(bounds)).select(
+        F.when(2 * us >= F.col("_mm"), F.lit(1)).otherwise(F.lit(0)).alias("arm")
+    )
+    return poisson_rate_ratio(armed, "arm")
+
+
+@register(
+    "bh_fdr_type_tests",
+    """
+    WITH t AS (
+      SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CASE WHEN value IS NOT NULL AND value > 60
+                           THEN 1 ELSE 0 END) AS DOUBLE) AS c
+      FROM events GROUP BY 1
+    ),
+    g AS (SELECT sum(n) AS nt, sum(c) AS ct FROM t),
+    p AS (
+      SELECT event_type,
+             2.0 * (1.0 - 1.0 / (1.0 + exp(-1.702 * abs(
+               ((ct - c) / (nt - n) - c / n)
+               / sqrt((ct / nt) * (1.0 - ct / nt)
+                      * (1.0 / n + 1.0 / (nt - n)))
+             )))) AS pv
+      FROM t, g
+      WHERE n < nt AND ct > 0 AND ct < nt
+    ),
+    r AS (
+      SELECT event_type, pv,
+             row_number() OVER (ORDER BY pv, event_type) AS i,
+             CAST(count(*) OVER () AS DOUBLE) AS m
+      FROM p
+    )
+    SELECT event_type, CAST(i AS BIGINT) AS rank_i,
+           round(pv, 6) AS p_value,
+           round(least(1.0, min(m * pv / i) OVER (
+             ORDER BY pv DESC, event_type DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS p_adj,
+           least(1.0, min(m * pv / i) OVER (
+             ORDER BY pv DESC, event_type DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) <= 0.05
+             AS reject
+    FROM r
+    """,
+)
+def q_bh_fdr_type_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR over one two-proportion test per event
+    type (type conversion rate vs all other types) — the multiple-
+    comparisons correction every metrics platform needs once it tests
+    5 segments at once. The per-type p-values fold from exact counts;
+    the BH reverse-running-min runs over the |types|-sized relation
+    (operators/stats.py bh_fdr)."""
+    from eventstreamml_spark.operators.stats import bh_fdr
+
+    t = (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            F.sum(
+                (F.col("value").isNotNull() & (F.col("value") > 60)).cast("int")
+            ).cast("double").alias("_c"),
+        )
+    )
+    g = t.groupBy().agg(F.sum("_n").alias("_nt"), F.sum("_c").alias("_ct"))
+    z = (
+        (F.col("_ct") - F.col("_c")) / (F.col("_nt") - F.col("_n"))
+        - F.col("_c") / F.col("_n")
+    ) / F.sqrt(
+        (F.col("_ct") / F.col("_nt"))
+        * (1.0 - F.col("_ct") / F.col("_nt"))
+        * (1.0 / F.col("_n") + 1.0 / (F.col("_nt") - F.col("_n")))
+    )
+    from eventstreamml_spark.operators.stats import _phi_logistic
+
+    pv = (
+        t.crossJoin(F.broadcast(g))
+        # degenerate tests (single-type corpus, all-or-none global
+        # conversion) have zero pooled variance: drop them identically
+        # on both engines instead of dividing by zero under ANSI mode
+        .filter(
+            (F.col("_n") < F.col("_nt"))
+            & (F.col("_ct") > 0)
+            & (F.col("_ct") < F.col("_nt"))
+        )
+        .select(
+            "event_type",
+            (2.0 * (1.0 - _phi_logistic(F.abs(z)))).alias("pv"),
+        )
+    )
+    return bh_fdr(pv, "event_type", "pv", alpha=0.05)

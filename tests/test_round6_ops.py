@@ -312,3 +312,129 @@ class TestRound6Stats:
         )
         r = theil_sen_trend(df, "user_id", "ts", "value").collect()[0]
         assert r["n_pairs"] == 2  # the equal-ts pair contributes nothing
+
+
+class TestClassicalStatsBatch:
+    """Hand-computed pins for the round-6 classical-stats operators."""
+
+    def test_spearman_monotone_and_anti(self, spark):
+        from eventstreamml_spark.operators.stats import spearman_corr
+
+        rows = [("g", float(i), float(i * 2)) for i in range(1, 6)] + [
+            ("h", float(i), float(10 - i)) for i in range(1, 6)
+        ]
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        out = {r["g"]: r["spearman_rho"] for r in
+               spearman_corr(df, "g", "x", "y").collect()}
+        assert out["g"] == 1.0 and out["h"] == -1.0
+
+    def test_spearman_ties_midrank(self, spark):
+        from eventstreamml_spark.operators.stats import spearman_corr
+
+        # x = [1,2,2,3], y = [1,2,3,4]: midranks x = [1,2.5,2.5,4]
+        # rho = Pearson([1,2.5,2.5,4],[1,2,3,4]) = 4.5/sqrt(4.5*5)
+        #     = 0.9486832980505138
+        df = spark.createDataFrame(
+            [("g", 1.0, 1.0), ("g", 2.0, 2.0), ("g", 2.0, 3.0), ("g", 3.0, 4.0)],
+            "g string, x double, y double",
+        )
+        rho = spearman_corr(df, "g", "x", "y").collect()[0]["spearman_rho"]
+        assert abs(rho - 0.948683) < 1e-5
+
+    def test_anova_identical_groups_f_zero(self, spark):
+        from eventstreamml_spark.operators.stats import anova_oneway
+
+        rows = [("a", v) for v in (1.0, 2.0, 3.0)] + [
+            ("b", v) for v in (1.0, 2.0, 3.0)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = anova_oneway(df, "g", "v").collect()[0]
+        assert r["k_groups"] == 2 and r["n_total"] == 6
+        assert r["f_stat"] == 0.0 and r["eta_sq"] == 0.0
+
+    def test_anova_known_f(self, spark):
+        from eventstreamml_spark.operators.stats import anova_oneway
+
+        # groups [1,2,3] vs [4,5,6]: ssb = 13.5, ssw = 4, F = 13.5/(4/4) = 13.5
+        rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+                ("b", 4.0), ("b", 5.0), ("b", 6.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = anova_oneway(df, "g", "v").collect()[0]
+        assert abs(r["f_stat"] - 13.5) < 1e-9
+
+    def test_anova_single_group_nulls_stat(self, spark):
+        from eventstreamml_spark.operators.stats import anova_oneway
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0)], "g string, v double"
+        )
+        r = anova_oneway(df, "g", "v").collect()[0]
+        assert r["f_stat"] is None
+
+    def test_brown_forsythe_equal_spread(self, spark):
+        from eventstreamml_spark.operators.stats import brown_forsythe
+
+        # same |x - median| multiset in both groups -> BF stat 0
+        rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+                ("b", 11.0), ("b", 12.0), ("b", 13.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = brown_forsythe(df, "g", "v").collect()[0]
+        assert r["bf_stat"] == 0.0
+
+    def test_two_proportion_known_z(self, spark):
+        from eventstreamml_spark.operators.stats import two_proportion_ztest
+
+        # arm 0: 30/100, arm 1: 45/100 -> pooled 0.375,
+        # se = sqrt(0.375*0.625*0.02) = 0.068465...; z = 0.15/se = 2.190890
+        rows = [(0, i < 30) for i in range(100)] + [
+            (1, i < 45) for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, "arm int, converted boolean")
+        r = two_proportion_ztest(df, "arm", "converted").collect()[0]
+        assert r["n_a"] == 100 and r["succ_a"] == 30 and r["succ_b"] == 45
+        assert abs(r["z_stat"] - 2.19089) < 1e-5
+        assert 0 < r["p_value"] < 0.05
+
+    def test_two_proportion_degenerate_nulls(self, spark):
+        from eventstreamml_spark.operators.stats import two_proportion_ztest
+
+        rows = [(0, True)] * 5 + [(1, True)] * 5
+        df = spark.createDataFrame(rows, "arm int, converted boolean")
+        r = two_proportion_ztest(df, "arm", "converted").collect()[0]
+        assert r["z_stat"] is None and r["p_value"] is None
+
+    def test_poisson_rate_ratio_known(self, spark):
+        from eventstreamml_spark.operators.stats import poisson_rate_ratio
+
+        # n_a=50, n_b=100: RR=2, z = ln(2)/sqrt(0.02+0.01) = 4.001887
+        rows = [(0,)] * 50 + [(1,)] * 100
+        df = spark.createDataFrame(rows, "arm int")
+        r = poisson_rate_ratio(df, "arm").collect()[0]
+        assert r["rate_ratio"] == 2.0
+        assert abs(r["z_stat"] - 4.001887) < 1e-5
+
+    def test_bh_fdr_textbook(self, spark):
+        from eventstreamml_spark.operators.stats import bh_fdr
+
+        df = spark.createDataFrame(
+            [("t1", 0.01), ("t2", 0.02), ("t3", 0.03), ("t4", 0.04),
+             ("t5", 0.20)],
+            "test_id string, p double",
+        )
+        out = {r["test_id"]: r for r in
+               bh_fdr(df, "test_id", "p", alpha=0.05).collect()}
+        # m*p/i = [.05,.05,.05,.05,.2]; reverse running min keeps them
+        for t in ("t1", "t2", "t3", "t4"):
+            assert out[t]["p_adj"] == 0.05 and out[t]["reject"]
+        assert out["t5"]["p_adj"] == 0.2 and not out["t5"]["reject"]
+
+    def test_bh_fdr_monotone_adjustment(self, spark):
+        from eventstreamml_spark.operators.stats import bh_fdr
+
+        # p = [0.03, 0.04]: m*p/i = [0.06, 0.04] -> rev-min -> [0.04, 0.04]
+        df = spark.createDataFrame(
+            [("a", 0.03), ("b", 0.04)], "test_id string, p double"
+        )
+        out = {r["test_id"]: r["p_adj"] for r in
+               bh_fdr(df, "test_id", "p").collect()}
+        assert out["a"] == 0.04 and out["b"] == 0.04
