@@ -1070,3 +1070,136 @@ def bh_fdr(
         F.round("p_adj", 6).alias("p_adj"),
         (F.col("p_adj") <= F.lit(alpha)).alias("reject"),
     )
+
+
+def sprt_bernoulli(
+    df: DataFrame,
+    arm_col: str,
+    day_col: str,
+    success_col: str,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+) -> DataFrame:
+    """Wald's sequential probability ratio test (SPRT) for a Bernoulli
+    rate, evaluated per arm on the DAILY aggregate sequence: after each
+    day the cumulative log-likelihood ratio
+    Λ_t = Σ c_d·ln(p1/p0) + (n_d−c_d)·ln((1−p1)/(1−p0)) crosses
+    ln((1−β)/α) → reject H0 (rate is p1), crosses ln(β/(1−α)) →
+    accept H0, else continue — the always-valid peeking monitor a
+    batch z-test cannot provide.
+
+    Distributed shape: the raw stream folds map-side to the
+    |arm × day| relation; the cumulative window runs per arm over that
+    bounded relation, never the events (the same daily-aggregation
+    discipline as :func:`cusum`-style monitors — a per-event cumsum
+    would funnel each arm's full history through one partition at
+    100 TB). ln() constants are Python-float literals injected into
+    both engines, and day increments are integer-count multiples of
+    them, so Λ is ulp-deterministic."""
+    import math
+
+    l1 = math.log(p1 / p0)
+    l0 = math.log((1.0 - p1) / (1.0 - p0))
+    a_bound = math.log((1.0 - beta) / alpha)
+    b_bound = math.log(beta / (1.0 - alpha))
+    from pyspark.sql import Window as W
+
+    daily = df.groupBy(
+        F.col(arm_col).alias("arm"),
+        F.date_trunc("DAY", F.col(day_col)).alias("day"),
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(F.col(success_col).cast("int")).cast("double").alias("_c"),
+    )
+    w = W.partitionBy("arm").orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    llr = F.sum(
+        F.col("_c") * F.lit(l1) + (F.col("_n") - F.col("_c")) * F.lit(l0)
+    ).over(w)
+    return daily.select(
+        "arm",
+        "day",
+        F.col("_n").cast("long").alias("n_day"),
+        F.col("_c").cast("long").alias("succ_day"),
+        F.round(llr, 6).alias("llr_cum"),
+        F.when(llr >= F.lit(a_bound), F.lit("reject_h0"))
+        .when(llr <= F.lit(b_bound), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )
+
+
+def t_closeness(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_bins: int = 10,
+    t: float = 0.15,
+) -> DataFrame:
+    """t-closeness audit for a numeric sensitive attribute: per
+    quasi-identifier group, the ordered earth-mover's distance between
+    the group's value distribution and the global one over ``n_bins``
+    fixed-width bins — EMD = Σ|cumP_g − cumP| / (k−1) — flagged when
+    it exceeds ``t``. The release gate l-diversity misses: a group can
+    be diverse yet still skew far from the corpus distribution.
+
+    Bin arithmetic is IDENTICAL on both engines (the round-5 KS-grid
+    lesson): bin = least(floor((v−min)·k/(max−min)), k−1) on global
+    min/max doubles. The group×bin grid is densified (explode of a
+    k-element sequence per group) so zero-count bins contribute to the
+    cumulative; every window runs over the |groups × k| relation."""
+    from pyspark.sql import Window as W
+
+    d = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    mm = d.groupBy().agg(F.min("_v").alias("_mn"), F.max("_v").alias("_mx"))
+    binned = (
+        d.crossJoin(F.broadcast(mm))
+        .filter(F.col("_mx") > F.col("_mn"))
+        .select(
+            "_g",
+            F.least(
+                F.floor(
+                    (F.col("_v") - F.col("_mn"))
+                    * float(n_bins)
+                    / (F.col("_mx") - F.col("_mn"))
+                ),
+                F.lit(n_bins - 1),
+            ).cast("long").alias("_b"),
+        )
+    )
+    gb = binned.groupBy("_g", "_b").agg(F.count(F.lit(1)).cast("double").alias("_c"))
+    gn = gb.groupBy("_g").agg(F.sum("_c").alias("_ng"))
+    glob = binned.groupBy("_b").agg(F.count(F.lit(1)).cast("double").alias("_cg"))
+    tot = binned.groupBy().agg(F.count(F.lit(1)).cast("double").alias("_nt"))
+    grid = (
+        gn.select("_g", "_ng")
+        .select("_g", "_ng", F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("_b"))
+        .join(gb, ["_g", "_b"], "left")
+        .join(F.broadcast(glob), "_b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_g",
+            "_b",
+            "_ng",
+            (F.coalesce(F.col("_c"), F.lit(0.0)) / F.col("_ng")).alias("_p"),
+            (F.coalesce(F.col("_cg"), F.lit(0.0)) / F.col("_nt")).alias("_pg"),
+        )
+    )
+    w = W.partitionBy("_g").orderBy("_b").rowsBetween(W.unboundedPreceding, 0)
+    cum = grid.select(
+        "_g",
+        "_ng",
+        "_b",
+        (F.sum("_p").over(w) - F.sum("_pg").over(w)).alias("_dc"),
+    )
+    return cum.groupBy(F.col("_g").alias(group_col)).agg(
+        F.max("_ng").cast("long").alias("n"),
+        F.round(F.sum(F.abs(F.col("_dc"))) / float(n_bins - 1), 6).alias("emd"),
+        (F.sum(F.abs(F.col("_dc"))) / float(n_bins - 1) > F.lit(t)).alias(
+            "violates_t"
+        ),
+    )

@@ -11405,3 +11405,235 @@ def q_bh_fdr_type_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return bh_fdr(pv, "event_type", "pv", alpha=0.05)
+
+
+# --------------------------------------------------------------------------
+# Round 6: experiment designs and privacy (SPRT, DiD, stratified ATE,
+# t-closeness)
+# --------------------------------------------------------------------------
+
+import math as _math
+
+_SPRT_P0, _SPRT_P1 = 0.28, 0.32
+_SPRT_L1 = _math.log(_SPRT_P1 / _SPRT_P0)
+_SPRT_L0 = _math.log((1.0 - _SPRT_P1) / (1.0 - _SPRT_P0))
+_SPRT_A = _math.log((1.0 - 0.05) / 0.05)
+_SPRT_B = _math.log(0.05 / (1.0 - 0.05))
+
+
+@register(
+    "ab_sequential_sprt_daily",
+    f"""
+    WITH daily AS (
+      SELECT user_id % 2 AS arm, date_trunc('day', ts)::TIMESTAMP AS day,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CASE WHEN value > 60 THEN 1 ELSE 0 END) AS DOUBLE) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT arm, day, n, c,
+             sum(c * {_SPRT_L1!r} + (n - c) * {_SPRT_L0!r})
+               OVER (PARTITION BY arm ORDER BY day) AS llr
+      FROM daily
+    )
+    SELECT arm, day, CAST(n AS BIGINT) AS n_day,
+           CAST(c AS BIGINT) AS succ_day,
+           round(llr, 6) AS llr_cum,
+           CASE WHEN llr >= {_SPRT_A!r} THEN 'reject_h0'
+                WHEN llr <= {_SPRT_B!r} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM cum
+    """,
+)
+def q_ab_sequential_sprt_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT monitor of the value>60 conversion rate per arm
+    (H0 p=0.28 vs H1 p=0.32, α=β=0.05), evaluated after each day — the
+    always-valid sequential readout that lets an experimenter peek
+    daily without inflating false positives. The cumulative LLR runs
+    over the |arm × day| relation, never per event
+    (operators/stats.py sprt_bernoulli)."""
+    from eventstreamml_spark.operators.stats import sprt_bernoulli
+
+    ev = _events(spark, sf_dir).select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.col("ts"),
+        (F.col("value") > 60).alias("converted"),
+    )
+    return sprt_bernoulli(
+        ev, "arm", "ts", "converted", p0=_SPRT_P0, p1=_SPRT_P1
+    )
+
+
+@register(
+    "diff_in_diff_order_value",
+    """
+    WITH c AS (
+      SELECT CAST(o_custkey % 2 AS INT) AS treat,
+             CASE WHEN o_orderdate >= TIMESTAMP '1995-06-01'
+                  THEN 1 ELSE 0 END AS post,
+             avg(o_totalprice) AS m, count(*) AS n
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n_orders,
+           round(sum(m) FILTER (treat = 0 AND post = 0), 6) AS m_ctrl_pre,
+           round(sum(m) FILTER (treat = 0 AND post = 1), 6) AS m_ctrl_post,
+           round(sum(m) FILTER (treat = 1 AND post = 0), 6) AS m_treat_pre,
+           round(sum(m) FILTER (treat = 1 AND post = 1), 6) AS m_treat_post,
+           round((sum(m) FILTER (treat = 1 AND post = 1)
+                  - sum(m) FILTER (treat = 1 AND post = 0))
+                 - (sum(m) FILTER (treat = 0 AND post = 1)
+                    - sum(m) FILTER (treat = 0 AND post = 0)), 6)
+             AS did_estimate
+    FROM c
+    """,
+)
+def q_diff_in_diff_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate of mean order value
+    (treat = custkey parity, post = orderdate ≥ 1995-06-01): the 2×2
+    cell means and (ΔT − ΔC) — the workhorse quasi-experimental
+    estimator when randomization isn't available. One groupBy to the
+    4-row cell relation, then pure pivot arithmetic."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy(
+        (F.col("o_custkey") % 2).cast("int").alias("treat"),
+        F.when(
+            F.col("o_orderdate") >= F.lit("1995-06-01").cast("timestamp"),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("post"),
+    ).agg(F.avg("o_totalprice").alias("m"), F.count(F.lit(1)).alias("n"))
+
+    def cell(t: int, p: int):
+        return F.sum(
+            F.when((F.col("treat") == t) & (F.col("post") == p), F.col("m"))
+        )
+
+    return c.groupBy().agg(
+        F.sum("n").cast("long").alias("n_orders"),
+        F.round(cell(0, 0), 6).alias("m_ctrl_pre"),
+        F.round(cell(0, 1), 6).alias("m_ctrl_post"),
+        F.round(cell(1, 0), 6).alias("m_treat_pre"),
+        F.round(cell(1, 1), 6).alias("m_treat_post"),
+        F.round(
+            (cell(1, 1) - cell(1, 0)) - (cell(0, 1) - cell(0, 0)), 6
+        ).alias("did_estimate"),
+    )
+
+
+@register(
+    "ab_stratified_ate",
+    """
+    WITH s AS (
+      SELECT o_orderpriority AS stratum, CAST(o_custkey % 2 AS INT) AS arm,
+             CAST(count(*) AS DOUBLE) AS n, avg(o_totalprice) AS m
+      FROM orders GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT stratum, sum(n) AS ns,
+             sum(m) FILTER (arm = 0) AS m0,
+             sum(m) FILTER (arm = 1) AS m1
+      FROM s GROUP BY stratum
+    ),
+    t AS (SELECT sum(ns) AS nt FROM p)
+    SELECT stratum, CAST(ns AS BIGINT) AS n_stratum,
+           round(ns / nt, 6) AS weight,
+           round(m0, 6) AS mean_ctrl, round(m1, 6) AS mean_treat,
+           round(m1 - m0, 6) AS diff,
+           round((m1 - m0) * ns / nt, 6) AS contrib,
+           round(sum((m1 - m0) * ns / nt) OVER (), 6) AS ate_total
+    FROM p, t
+    """,
+)
+def q_ab_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratified average treatment effect on order value
+    (strata = order priority, arm = custkey parity): per-stratum arm
+    means, stratum weights n_s/N, and the weighted ATE — the variance
+    reduction every experiment platform applies when arms are
+    imbalanced across strata. Two tiny aggregates; the ATE total rides
+    an unpartitioned window over the |strata| relation."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.groupBy(
+        F.col("o_orderpriority").alias("stratum"),
+        (F.col("o_custkey") % 2).cast("int").alias("arm"),
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("o_totalprice").alias("m"),
+    )
+    p = s.groupBy("stratum").agg(
+        F.sum("n").alias("ns"),
+        F.sum(F.when(F.col("arm") == 0, F.col("m"))).alias("m0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("m"))).alias("m1"),
+    )
+    t = p.groupBy().agg(F.sum("ns").alias("nt"))
+    contrib = (F.col("m1") - F.col("m0")) * F.col("ns") / F.col("nt")
+    wall = W.partitionBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return (
+        p.crossJoin(F.broadcast(t))
+        .select(
+            "stratum",
+            F.col("ns").cast("long").alias("n_stratum"),
+            F.round(F.col("ns") / F.col("nt"), 6).alias("weight"),
+            F.round("m0", 6).alias("mean_ctrl"),
+            F.round("m1", 6).alias("mean_treat"),
+            F.round(F.col("m1") - F.col("m0"), 6).alias("diff"),
+            F.round(contrib, 6).alias("contrib"),
+            F.round(F.sum(contrib).over(wall), 6).alias("ate_total"),
+        )
+    )
+
+
+@register(
+    "privacy_t_closeness",
+    """
+    WITH d AS (
+      SELECT user_id % 7 AS g, CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    mm AS (SELECT min(v) AS mn, max(v) AS mx FROM d),
+    b AS (
+      SELECT g, CAST(least(floor((v - mn) * 10.0 / (mx - mn)), 9) AS BIGINT)
+               AS bin
+      FROM d, mm WHERE mx > mn
+    ),
+    gb AS (SELECT g, bin, CAST(count(*) AS DOUBLE) AS c FROM b GROUP BY 1, 2),
+    gn AS (SELECT g, sum(c) AS ng FROM gb GROUP BY g),
+    gl AS (SELECT bin, CAST(count(*) AS DOUBLE) AS cg FROM b GROUP BY bin),
+    tt AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM b),
+    grid AS (
+      SELECT gn.g, gn.ng, gs.i AS bin,
+             coalesce(gb.c, 0.0) / gn.ng AS p,
+             coalesce(gl.cg, 0.0) / tt.nt AS pg
+      FROM gn
+      CROSS JOIN (SELECT unnest(range(0, 10)) AS i) gs
+      LEFT JOIN gb ON gb.g = gn.g AND gb.bin = gs.i
+      LEFT JOIN gl ON gl.bin = gs.i
+      CROSS JOIN tt
+    ),
+    cum AS (
+      SELECT g, ng, bin,
+             sum(p) OVER (PARTITION BY g ORDER BY bin)
+             - sum(pg) OVER (PARTITION BY g ORDER BY bin) AS dc
+      FROM grid
+    )
+    SELECT g AS grp, CAST(max(ng) AS BIGINT) AS n,
+           round(sum(abs(dc)) / 9.0, 6) AS emd,
+           sum(abs(dc)) / 9.0 > 0.15 AS violates_t
+    FROM cum GROUP BY g
+    """,
+)
+def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit of the value distribution per user_id%7
+    quasi-group: ordered EMD between group and global distributions
+    over 10 fixed-width bins, flagged above t=0.15 — the release gate
+    l-diversity misses. Bin arithmetic is byte-identical on both
+    engines (the KS-grid lesson); all windows run over the
+    |groups × bins| grid (operators/stats.py t_closeness)."""
+    from eventstreamml_spark.operators.stats import t_closeness
+
+    d = _events(spark, sf_dir).select(
+        (F.col("user_id") % 7).alias("grp"), F.col("value")
+    )
+    return t_closeness(d, "grp", "value", n_bins=10, t=0.15)

@@ -438,3 +438,64 @@ class TestClassicalStatsBatch:
         out = {r["test_id"]: r["p_adj"] for r in
                bh_fdr(df, "test_id", "p").collect()}
         assert out["a"] == 0.04 and out["b"] == 0.04
+
+
+class TestExperimentDesignBatch:
+    def test_sprt_crosses_reject(self, spark):
+        from eventstreamml_spark.operators.stats import sprt_bernoulli
+        import math
+        from datetime import datetime
+
+        # 3 days, 100 obs/day at 60% success with H0 p=0.3 vs H1 p=0.4:
+        # daily llr = 60*ln(4/3) + 40*ln(0.6/0.7) = 11.093 -> crosses
+        # ln(19)=2.944 on day 1 already
+        rows = []
+        for d in range(3):
+            for i in range(100):
+                rows.append((0, datetime(2024, 1, d + 1, 12), i < 60))
+        df = spark.createDataFrame(rows, "arm int, ts timestamp, conv boolean")
+        out = sprt_bernoulli(df, "arm", "ts", "conv", p0=0.3, p1=0.4)
+        rows_out = sorted(out.collect(), key=lambda r: r["day"])
+        day1 = 60 * math.log(0.4 / 0.3) + 40 * math.log(0.6 / 0.7)
+        assert abs(rows_out[0]["llr_cum"] - round(day1, 6)) < 1e-9
+        assert all(r["decision"] == "reject_h0" for r in rows_out)
+        assert abs(rows_out[2]["llr_cum"] - round(3 * day1, 6)) < 1e-6
+
+    def test_sprt_continues_at_null_rate(self, spark):
+        from eventstreamml_spark.operators.stats import sprt_bernoulli
+        from datetime import datetime
+
+        # exactly between p0 and p1 -> llr hovers near 0 -> continue
+        rows = [
+            (0, datetime(2024, 1, 1, 12), i < 35) for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, "arm int, ts timestamp, conv boolean")
+        r = sprt_bernoulli(df, "arm", "ts", "conv", p0=0.3, p1=0.4).collect()[0]
+        assert r["decision"] == "continue"
+
+    def test_t_closeness_identical_group_zero_emd(self, spark):
+        from eventstreamml_spark.operators.stats import t_closeness
+
+        # two groups with the same value multiset: both EMD 0
+        rows = [("a", float(v)) for v in range(10)] + [
+            ("b", float(v)) for v in range(10)
+        ]
+        df = spark.createDataFrame(rows, "grp string, value double")
+        out = {r["grp"]: r for r in
+               t_closeness(df, "grp", "value").collect()}
+        assert out["a"]["emd"] == 0.0 and not out["a"]["violates_t"]
+        assert out["b"]["emd"] == 0.0
+
+    def test_t_closeness_skewed_group_flagged(self, spark):
+        from eventstreamml_spark.operators.stats import t_closeness
+
+        # group "lo" sits entirely in bin 0, "hi" entirely in bin 9:
+        # global is 50/50, each group EMD = sum|cum diff|/9
+        rows = [("lo", 0.0)] * 10 + [("hi", 100.0)] * 10
+        df = spark.createDataFrame(rows, "grp string, value double")
+        out = {r["grp"]: r for r in
+               t_closeness(df, "grp", "value", t=0.15).collect()}
+        # lo: p=[1,0..], pg=[.5,0...,.5]; cumdiff = .5 for all 9 gaps
+        # (bins 0..8), last bin cum is 0 -> emd = (9*0.5 - 0.5 + 0.5*0)/9
+        assert out["lo"]["emd"] == 0.5 and out["lo"]["violates_t"]
+        assert out["hi"]["emd"] == 0.5 and out["hi"]["violates_t"]
