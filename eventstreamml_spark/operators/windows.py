@@ -552,3 +552,120 @@ def rolling_distinct_subjects(
             ),
         )
     )
+
+
+def peak_concurrency_by_day(
+    intervals: DataFrame,
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+) -> DataFrame:
+    """Peak concurrency per day over an interval table (sessions,
+    connections, jobs): for each day with at least one interval
+    boundary, the maximum number of simultaneously-open intervals —
+    conc(t) = #{start ≤ t} − #{end < t}, evaluated at boundary points
+    (concurrency is piecewise-constant between them; ends at exactly t
+    still count as open, the closed-interval convention).
+
+    Distributed shape — NO global ordered window over boundaries (the
+    naive sweep line funnels every boundary through one partition):
+    boundaries fold to the |distinct timestamp| grid, per-DAY windows
+    compute within-day cumulative starts/ends, and cross-day carry-in
+    comes from a cumulative window over the |days| relation only (the
+    classic two-level prefix-sum decomposition). Emitted days are the
+    days owning ≥1 boundary; a fully-covered quiet day holds the carry
+    level and is omitted. ``day_index`` is the epoch-day integer
+    (µs div 86400e6) — integer arithmetic, engine-portable."""
+    day_us = 86_400_000_000
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+    starts = intervals.groupBy(s_us.alias("_t")).agg(
+        F.count(F.lit(1)).cast("long").alias("_cs")
+    )
+    ends = intervals.groupBy(e_us.alias("_t")).agg(
+        F.count(F.lit(1)).cast("long").alias("_ce")
+    )
+    grid = (
+        starts.join(ends, "_t", "full_outer")
+        .select(
+            "_t",
+            F.coalesce("_cs", F.lit(0)).alias("_cs"),
+            F.coalesce("_ce", F.lit(0)).alias("_ce"),
+            (F.col("_t") - (F.col("_t") % day_us)).alias("_dt"),
+        )
+    )
+    days = grid.groupBy("_dt").agg(
+        F.sum("_cs").alias("_ds"), F.sum("_ce").alias("_de")
+    )
+    wdays = W.orderBy("_dt").rowsBetween(W.unboundedPreceding, -1)
+    carry = days.select(
+        "_dt",
+        F.coalesce(F.sum("_ds").over(wdays), F.lit(0)).alias("_carry_s"),
+        F.coalesce(F.sum("_de").over(wdays), F.lit(0)).alias("_carry_e"),
+    )
+    win = W.partitionBy("_dt").orderBy("_t")
+    wcs = F.sum("_cs").over(win.rowsBetween(W.unboundedPreceding, 0))
+    wce_strict = F.sum("_ce").over(win.rowsBetween(W.unboundedPreceding, -1))
+    conc = grid.join(carry, "_dt").select(
+        "_dt",
+        (
+            F.col("_carry_s")
+            + wcs
+            - (F.col("_carry_e") + F.coalesce(wce_strict, F.lit(0)))
+        ).alias("_conc"),
+    )
+    return conc.groupBy(
+        (F.col("_dt") / F.lit(day_us)).cast("long").alias("day_index")
+    ).agg(F.max("_conc").cast("long").alias("peak_concurrency"))
+
+
+def watermark_lateness(
+    df: DataFrame,
+    order_col: str = "event_id",
+    ts_col: str = "ts",
+    by_col: str = "event_type",
+    threshold_sec: int = 900,
+    bucket_size: int = 10_000,
+) -> DataFrame:
+    """Batch replay of a streaming watermark audit: in arrival order
+    (``order_col`` — the monotone ingest id), the watermark before each
+    event is the running max event-time strictly earlier in arrival;
+    an event later than the watermark by more than ``threshold_sec``
+    would have been DROPPED by a streaming job with that watermark.
+    Returns per-``by_col``: event count, late count/ratio, and the
+    worst lateness — the number that tells you what watermark delay a
+    streaming deployment of this pipeline needs.
+
+    Distributed shape: the arrival sequence is bucketed
+    (order div bucket_size), the running max runs within each bounded
+    bucket, and cross-bucket carry is a cumulative max over the
+    |buckets| relation — the same two-level prefix decomposition as
+    :func:`peak_concurrency_by_day`; no global ordered window."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    d = df.select(
+        F.col(by_col).alias("_by"),
+        F.col(order_col).alias("_o"),
+        us.alias("_us"),
+        (F.col(order_col) - (F.col(order_col) % bucket_size)).alias("_bk"),
+    )
+    win = W.partitionBy("_bk").orderBy("_o")
+    local = F.max("_us").over(win.rowsBetween(W.unboundedPreceding, -1))
+    bmax = d.groupBy("_bk").agg(F.max("_us").alias("_bm"))
+    wb = W.orderBy("_bk").rowsBetween(W.unboundedPreceding, -1)
+    carry = bmax.select("_bk", F.max("_bm").over(wb).alias("_carry"))
+    wm = F.greatest(
+        F.coalesce(local, F.col("_carry")), F.coalesce(F.col("_carry"), local)
+    )
+    lateness = wm - F.col("_us")
+    flagged = d.join(F.broadcast(carry), "_bk").select(
+        "_by",
+        lateness.alias("_late_us"),
+        F.coalesce(
+            lateness > F.lit(threshold_sec * 1_000_000), F.lit(False)
+        ).cast("int").alias("_is_late"),
+    )
+    return flagged.groupBy(F.col("_by").alias(by_col)).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("_is_late").cast("long").alias("n_late"),
+        F.round(F.sum("_is_late") / F.count(F.lit(1)), 6).alias("late_ratio"),
+        F.round(F.max("_late_us") / 1_000_000.0, 6).alias("max_lateness_sec"),
+    )

@@ -11637,3 +11637,348 @@ def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 7).alias("grp"), F.col("value")
     )
     return t_closeness(d, "grp", "value", n_bins=10, t=0.15)
+
+
+# --------------------------------------------------------------------------
+# Round 6: time-series / operational batch (peak concurrency, lagged
+# cross-correlation, watermark lateness audit, rolling-origin CV folds)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "max_concurrent_sessions",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                       OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM g
+    ),
+    sess AS (
+      SELECT user_id, session_no, min(ts) AS st, max(ts) AS en
+      FROM s GROUP BY 1, 2
+    ),
+    stp AS (SELECT epoch_us(st) AS t, count(*) AS cs FROM sess GROUP BY 1),
+    enp AS (SELECT epoch_us(en) AS t, count(*) AS ce FROM sess GROUP BY 1),
+    grid AS (
+      SELECT coalesce(stp.t, enp.t) AS t,
+             coalesce(cs, 0) AS cs, coalesce(ce, 0) AS ce,
+             coalesce(stp.t, enp.t)
+               - (coalesce(stp.t, enp.t) % 86400000000) AS dt
+      FROM stp FULL OUTER JOIN enp ON stp.t = enp.t
+    ),
+    days AS (SELECT dt, sum(cs) AS ds, sum(ce) AS de FROM grid GROUP BY dt),
+    carry AS (
+      SELECT dt,
+             coalesce(sum(ds) OVER (ORDER BY dt ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING), 0) AS carry_s,
+             coalesce(sum(de) OVER (ORDER BY dt ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING), 0) AS carry_e
+      FROM days
+    ),
+    conc AS (
+      SELECT g.dt,
+             carry_s
+             + sum(cs) OVER (PARTITION BY g.dt ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - (carry_e + coalesce(sum(ce) OVER (PARTITION BY g.dt ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) AS c
+      FROM grid g JOIN carry ON g.dt = carry.dt
+    )
+    SELECT CAST(dt / 86400000000 AS BIGINT) AS day_index,
+           CAST(max(c) AS BIGINT) AS peak_concurrency
+    FROM conc GROUP BY 1
+    """,
+)
+def q_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent 30-min-gap sessions per day — the capacity-
+    planning number ("how many users were on at once"). Sessionization
+    is the batch_sessionization shape; the sweep line is the two-level
+    prefix decomposition (per-day windows + a |days|-relation carry),
+    NEVER a global ordered window over boundaries (operators/windows.py
+    peak_concurrency_by_day)."""
+    from eventstreamml_spark.operators.windows import peak_concurrency_by_day
+
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    )
+    g = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap_us > 1_800_000_000, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    s = g.select(
+        "user_id",
+        "ts",
+        F.sum("is_start")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_no"),
+    )
+    sess = s.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"), F.max("ts").alias("session_end")
+    )
+    return peak_concurrency_by_day(sess)
+
+
+@register(
+    "cross_correlation_click_purchase",
+    """
+    WITH e AS (
+      SELECT epoch_us(ts) // 3600000000 AS h, event_type FROM events
+    ),
+    bounds AS (SELECT min(h) AS hmin, max(h) AS hmax FROM e),
+    grid AS (
+      SELECT unnest(range((SELECT hmin FROM bounds),
+                          (SELECT hmax FROM bounds) + 1)) AS h
+    ),
+    x AS (SELECT h, count(*) AS c FROM e WHERE event_type = 'click'
+          GROUP BY h),
+    y AS (SELECT h, count(*) AS c FROM e WHERE event_type = 'purchase'
+          GROUP BY h),
+    gx AS (SELECT g.h, CAST(coalesce(x.c, 0) AS DOUBLE) AS x
+           FROM grid g LEFT JOIN x ON g.h = x.h),
+    gy AS (SELECT g.h, CAST(coalesce(y.c, 0) AS DOUBLE) AS y
+           FROM grid g LEFT JOIN y ON g.h = y.h),
+    lags AS (SELECT unnest(range(0, 7)) AS lag),
+    p AS (
+      SELECT l.lag, gx.x, gy.y
+      FROM lags l JOIN gx ON TRUE JOIN gy ON gy.h = gx.h + l.lag
+    ),
+    a AS (
+      SELECT lag, CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM p GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag_hours, CAST(n AS BIGINT) AS n_hours,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+                THEN round((n * sxy - sx * sy)
+                           / sqrt((n * sxx - sx * sx)
+                                  * (n * syy - sy * sy)), 6)
+           END AS xcorr
+    FROM a
+    """,
+)
+def q_cross_correlation_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lagged cross-correlation (lags 0..6h) between the hourly click
+    and purchase count series on the zero-filled hour grid — "do
+    clicks lead purchases, and by how long". Counts are exact
+    integers, so the correlation sums are summation-order-exact; the
+    lag join is an integer-hour equi-join on the bounded grid
+    relation, never the raw events."""
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    hour = ((us - F.pmod(us, F.lit(3_600_000_000))) / F.lit(3_600_000_000)).cast(
+        "long"
+    )
+    e = ev.select(hour.alias("h"), "event_type")
+    bounds = e.groupBy().agg(F.min("h").alias("hmin"), F.max("h").alias("hmax"))
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("hmin"), F.col("hmax"))).alias("h")
+    )
+    x = e.filter(F.col("event_type") == "click").groupBy("h").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    y = e.filter(F.col("event_type") == "purchase").groupBy("h").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    gx = grid.join(x, "h", "left").select(
+        "h", F.coalesce("c", F.lit(0)).cast("double").alias("x")
+    )
+    gy = grid.join(y, "h", "left").select(
+        F.col("h").alias("h2"), F.coalesce("c", F.lit(0)).cast("double").alias("y")
+    )
+    lags = spark.range(0, 7).select(F.col("id").alias("lag"))
+    p = (
+        F.broadcast(lags)
+        .crossJoin(gx)
+        .join(gy, F.col("h2") == F.col("h") + F.col("lag"))
+    )
+    a = p.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den2 = (n * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        n * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return a.select(
+        F.col("lag").cast("long").alias("lag_hours"),
+        n.cast("long").alias("n_hours"),
+        F.when(den2 > 0, F.round(num / F.sqrt(den2), 6)).alias("xcorr"),
+    )
+
+
+@register(
+    "watermark_late_event_audit",
+    """
+    WITH d AS (
+      SELECT event_type AS b, event_id AS o, epoch_us(ts) AS us,
+             event_id - (event_id % 10000) AS bk
+      FROM events
+    ),
+    bm AS (SELECT bk, max(us) AS bmx FROM d GROUP BY bk),
+    carry AS (
+      SELECT bk, max(bmx) OVER (ORDER BY bk ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING) AS cr
+      FROM bm
+    ),
+    w AS (
+      SELECT d.b, d.us,
+             max(us) OVER (PARTITION BY d.bk ORDER BY o ROWS BETWEEN
+               UNBOUNDED PRECEDING AND 1 PRECEDING) AS loc,
+             carry.cr
+      FROM d JOIN carry ON d.bk = carry.bk
+    ),
+    l AS (
+      SELECT b,
+             greatest(coalesce(loc, cr), coalesce(cr, loc)) - us AS late_us
+      FROM w
+    )
+    SELECT b AS event_type, count(*) AS n_events,
+           CAST(sum(CASE WHEN late_us > 900000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_late,
+           round(sum(CASE WHEN late_us > 900000000 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS late_ratio,
+           round(max(late_us) / 1000000.0, 6) AS max_lateness_sec
+    FROM l GROUP BY b
+    """,
+)
+def q_watermark_late_event_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch replay of a streaming watermark audit: per event type, how
+    many events arrive (in ingest-id order) more than 15 minutes behind
+    the running max event-time — exactly the rows a streaming job with
+    a 15-min watermark would drop. Two-level bucketed running max (per-
+    bucket window + |buckets| carry), no global ordered window
+    (operators/windows.py watermark_lateness)."""
+    from eventstreamml_spark.operators.windows import watermark_lateness
+
+    return watermark_lateness(
+        _events(spark, sf_dir),
+        order_col="event_id",
+        ts_col="ts",
+        by_col="event_type",
+        threshold_sec=900,
+        bucket_size=10_000,
+    )
+
+
+@register(
+    "temporal_cv_folds",
+    """
+    WITH q AS (
+      SELECT quantile_cont(epoch_us(ts), 0.2) AS q1,
+             quantile_cont(epoch_us(ts), 0.4) AS q2,
+             quantile_cont(epoch_us(ts), 0.6) AS q3,
+             quantile_cont(epoch_us(ts), 0.8) AS q4,
+             CAST(max(epoch_us(ts)) AS DOUBLE) AS q5
+      FROM events
+    ),
+    f AS (
+      SELECT 1 AS fold_id, q1 AS train_end, q2 AS test_end FROM q
+      UNION ALL SELECT 2, q2, q3 FROM q
+      UNION ALL SELECT 3, q3, q4 FROM q
+      UNION ALL SELECT 4, q4, q5 FROM q
+    ),
+    cnt AS (
+      SELECT f.fold_id, f.train_end,
+             sum(CASE WHEN epoch_us(ts) <= f.train_end THEN 1 ELSE 0 END)
+               AS n_train,
+             sum(CASE WHEN epoch_us(ts) > f.train_end
+                       AND epoch_us(ts) <= f.test_end THEN 1 ELSE 0 END)
+               AS n_test
+      FROM events CROSS JOIN f
+      GROUP BY 1, 2
+    )
+    SELECT fold_id, CAST(floor(train_end) AS BIGINT) AS train_end_us,
+           CAST(n_train AS BIGINT) AS n_train, CAST(n_test AS BIGINT) AS n_test
+    FROM cnt
+    """,
+)
+def q_temporal_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin (expanding-window) cross-validation folds over
+    event time: 4 folds whose train window ends at the 20/40/60/80%
+    time quantiles and whose test window runs to the next boundary —
+    the only CV scheme that never leaks the future into training.
+    Boundaries are exact interpolated percentiles of integer epoch-µs
+    (identical interpolation on both engines); fold counts are one
+    conditional aggregate over events × the 4-row fold relation."""
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    qrow = ev.agg(
+        F.percentile(us, F.lit(0.2)).alias("q1"),
+        F.percentile(us, F.lit(0.4)).alias("q2"),
+        F.percentile(us, F.lit(0.6)).alias("q3"),
+        F.percentile(us, F.lit(0.8)).alias("q4"),
+        F.max(us).cast("double").alias("q5"),
+    )
+    folds = qrow.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("fold_id"),
+                    F.col("q1").alias("train_end"),
+                    F.col("q2").alias("test_end"),
+                ),
+                F.struct(
+                    F.lit(2).alias("fold_id"),
+                    F.col("q2").alias("train_end"),
+                    F.col("q3").alias("test_end"),
+                ),
+                F.struct(
+                    F.lit(3).alias("fold_id"),
+                    F.col("q3").alias("train_end"),
+                    F.col("q4").alias("test_end"),
+                ),
+                F.struct(
+                    F.lit(4).alias("fold_id"),
+                    F.col("q4").alias("train_end"),
+                    F.col("q5").alias("test_end"),
+                ),
+            )
+        ).alias("f")
+    ).select("f.fold_id", "f.train_end", "f.test_end")
+    cnt = (
+        ev.select(us.alias("_us"))
+        .crossJoin(F.broadcast(folds))
+        .groupBy("fold_id", "train_end")
+        .agg(
+            F.sum(
+                F.when(F.col("_us") <= F.col("train_end"), 1).otherwise(0)
+            ).alias("n_train"),
+            F.sum(
+                F.when(
+                    (F.col("_us") > F.col("train_end"))
+                    & (F.col("_us") <= F.col("test_end")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_test"),
+        )
+    )
+    return cnt.select(
+        "fold_id",
+        F.floor("train_end").cast("long").alias("train_end_us"),
+        F.col("n_train").cast("long").alias("n_train"),
+        F.col("n_test").cast("long").alias("n_test"),
+    )

@@ -499,3 +499,93 @@ class TestExperimentDesignBatch:
         # (bins 0..8), last bin cum is 0 -> emd = (9*0.5 - 0.5 + 0.5*0)/9
         assert out["lo"]["emd"] == 0.5 and out["lo"]["violates_t"]
         assert out["hi"]["emd"] == 0.5 and out["hi"]["violates_t"]
+
+
+class TestTimeSeriesBatch:
+    def test_peak_concurrency_hand_case(self, spark):
+        from eventstreamml_spark.operators.windows import (
+            peak_concurrency_by_day,
+        )
+        from datetime import datetime
+
+        # day 0: [0,10], [5,15], [12,20] -> peak 2 (at t=5 and t=12;
+        # end-at-12 still open at 12 under the closed convention ->
+        # conc(12) = 3 starts - 1 end(<12)... end of [0,10] is <12 ->
+        # conc(12)=2); day 1: one interval -> peak 1, plus carry from
+        # a session spanning midnight
+        d0 = datetime(2024, 1, 1)
+        rows = [
+            (datetime(2024, 1, 1, 0, 0), datetime(2024, 1, 1, 0, 10)),
+            (datetime(2024, 1, 1, 0, 5), datetime(2024, 1, 1, 0, 15)),
+            (datetime(2024, 1, 1, 0, 12), datetime(2024, 1, 1, 0, 20)),
+            # spans midnight into day 2
+            (datetime(2024, 1, 1, 23, 50), datetime(2024, 1, 2, 0, 30)),
+            (datetime(2024, 1, 2, 0, 10), datetime(2024, 1, 2, 0, 20)),
+        ]
+        df = spark.createDataFrame(
+            rows, "session_start timestamp, session_end timestamp"
+        )
+        out = {r["day_index"]: r["peak_concurrency"] for r in
+               peak_concurrency_by_day(df).collect()}
+        base = 19723  # 2024-01-01 epoch days
+        assert out[base] == 2
+        # day 2: midnight-spanner still open (carry) + new session -> 2
+        assert out[base + 1] == 2
+
+    def test_peak_concurrency_end_at_start_overlaps(self, spark):
+        from eventstreamml_spark.operators.windows import (
+            peak_concurrency_by_day,
+        )
+        from datetime import datetime
+
+        # [0,10] and [10,20]: at t=10 the first has NOT ended (end<t is
+        # strict) -> peak 2 under the closed-interval convention
+        rows = [
+            (datetime(2024, 1, 1, 0, 0), datetime(2024, 1, 1, 0, 10)),
+            (datetime(2024, 1, 1, 0, 10), datetime(2024, 1, 1, 0, 20)),
+        ]
+        df = spark.createDataFrame(
+            rows, "session_start timestamp, session_end timestamp"
+        )
+        out = peak_concurrency_by_day(df).collect()
+        assert out[0]["peak_concurrency"] == 2
+
+    def test_watermark_lateness_hand_case(self, spark):
+        from eventstreamml_spark.operators.windows import watermark_lateness
+        from datetime import datetime, timedelta
+
+        t0 = datetime(2024, 1, 1)
+        # arrival order 1..4; event 3 is 20 min behind the watermark
+        # set by event 2 -> late at threshold 900s; event 4 in order
+        rows = [
+            (1, t0, "a"),
+            (2, t0 + timedelta(minutes=30), "a"),
+            (3, t0 + timedelta(minutes=10), "a"),   # 20 min late
+            (4, t0 + timedelta(minutes=31), "b"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string"
+        )
+        out = {r["event_type"]: r for r in watermark_lateness(
+            df, bucket_size=2).collect()}
+        assert out["a"]["n_events"] == 3 and out["a"]["n_late"] == 1
+        assert out["a"]["max_lateness_sec"] == 1200.0
+        assert out["b"]["n_late"] == 0
+
+    def test_watermark_lateness_cross_bucket_carry(self, spark):
+        from eventstreamml_spark.operators.windows import watermark_lateness
+        from datetime import datetime, timedelta
+
+        t0 = datetime(2024, 1, 1)
+        # bucket_size=2: event 3 opens bucket 2 with no local history;
+        # its watermark must come from bucket 0's carry (event 2's ts)
+        rows = [
+            (0, t0 + timedelta(hours=2), "a"),
+            (1, t0 + timedelta(hours=3), "a"),
+            (2, t0, "a"),  # 3h behind carry watermark
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string"
+        )
+        r = watermark_lateness(df, bucket_size=2).collect()[0]
+        assert r["n_late"] == 1 and r["max_lateness_sec"] == 10800.0
