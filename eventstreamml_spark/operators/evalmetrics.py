@@ -282,3 +282,103 @@ def average_precision_at_k(
             F.try_divide(F.coalesce(F.col("_psum"), F.lit(0.0)), denom), 6
         ).alias("ap"),
     )
+
+
+def regression_metrics(
+    df: DataFrame, y_col: str, yhat_col: str, by: str
+) -> DataFrame:
+    """Per-group regression eval: RMSE, MAE, MAPE and R² of a
+    prediction column against truth — the standard forecast/regression
+    readout. One map-side-combined groupBy folds the data to per-group
+    moment sums; every emitted number is a RATIO of those sums (the
+    summation-order rule: raw SS never leaves the plan). R² uses the
+    moment identity Σ(y−ȳ)² = Σy² − (Σy)²/n; a constant-truth group
+    NULLs R² instead of dividing by zero. Rows with NULL prediction or
+    truth are excluded from every metric (count rides along as n)."""
+    d = df.select(
+        F.col(by),
+        F.col(y_col).cast("double").alias("_y"),
+        F.col(yhat_col).cast("double").alias("_f"),
+    ).filter(F.col("_y").isNotNull() & F.col("_f").isNotNull())
+    e = F.col("_y") - F.col("_f")
+    agg = d.groupBy(by).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(e * e).alias("_se2"),
+        F.sum(F.abs(e)).alias("_sae"),
+        F.sum(F.try_divide(F.abs(e), F.abs(F.col("_y")))).alias("_sape"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    sst = F.col("_syy") - F.col("_sy") * F.col("_sy") / F.col("_n")
+    return agg.select(
+        F.col(by),
+        F.col("_n").cast("long").alias("n"),
+        F.round(F.sqrt(F.col("_se2") / F.col("_n")), 6).alias("rmse"),
+        F.round(F.col("_sae") / F.col("_n"), 6).alias("mae"),
+        F.round(F.col("_sape") / F.col("_n"), 6).alias("mape"),
+        F.when(
+            sst > 0, F.round(1.0 - F.col("_se2") / sst, 6)
+        ).alias("r2"),
+    )
+
+
+def brier_decomposition(
+    df: DataFrame, y_col: str, p_col: str, n_bins: int = 10
+) -> DataFrame:
+    """Murphy decomposition of the Brier score over fixed-width
+    probability bins: BS = reliability − resolution + uncertainty
+    (the binned identity), where reliability = Σ n_k(p̄_k−ȳ_k)²/n,
+    resolution = Σ n_k(ȳ_k−ȳ)²/n, uncertainty = ȳ(1−ȳ) — the readout
+    that says WHY a model's probabilities are bad (miscalibrated vs
+    undiscriminating). The directly-computed mean (p−y)² rides along;
+    with binned p̄ it differs from the identity by the within-bin
+    variance of p (emitted as within_bin_var so the identity is
+    checkable). Bins are least(floor(p·k), k−1) — fixed arithmetic,
+    both engines identical; one groupBy to the k-bin relation, then
+    arithmetic on k rows."""
+    b = F.least(
+        F.floor(F.col(p_col) * float(n_bins)), F.lit(n_bins - 1)
+    ).cast("long")
+    d = df.select(
+        F.col(y_col).cast("double").alias("_y"),
+        F.col(p_col).cast("double").alias("_p"),
+        b.alias("_b"),
+    ).filter(F.col("_y").isNotNull() & F.col("_p").isNotNull())
+    binned = d.groupBy("_b").agg(
+        F.count(F.lit(1)).cast("double").alias("_nk"),
+        F.sum("_y").alias("_syk"),
+        F.sum("_p").alias("_spk"),
+        F.sum(
+            (F.col("_p") - F.col("_y")) * (F.col("_p") - F.col("_y"))
+        ).alias("_sbk"),
+        F.sum(F.col("_p") * F.col("_p")).alias("_sppk"),
+    )
+    tot = binned.groupBy().agg(
+        F.sum("_nk").alias("_n"),
+        F.sum("_syk").alias("_sy"),
+        F.sum("_sbk").alias("_sb"),
+        F.sum(
+            (F.col("_spk") / F.col("_nk") - F.col("_syk") / F.col("_nk"))
+            * (F.col("_spk") / F.col("_nk") - F.col("_syk") / F.col("_nk"))
+            * F.col("_nk")
+        ).alias("_rel"),
+        F.sum(
+            F.col("_nk")
+            * (F.col("_syk") / F.col("_nk")) * (F.col("_syk") / F.col("_nk"))
+        ).alias("_res_part"),
+        F.sum(
+            F.col("_sppk")
+            - F.col("_spk") * F.col("_spk") / F.col("_nk")
+        ).alias("_wvar"),
+    )
+    ybar = F.col("_sy") / F.col("_n")
+    return tot.select(
+        F.col("_n").cast("long").alias("n"),
+        F.round(F.col("_sb") / F.col("_n"), 6).alias("brier"),
+        F.round(F.col("_rel") / F.col("_n"), 6).alias("reliability"),
+        F.round(
+            F.col("_res_part") / F.col("_n") - ybar * ybar, 6
+        ).alias("resolution"),
+        F.round(ybar * (1.0 - ybar), 6).alias("uncertainty"),
+        F.round(F.col("_wvar") / F.col("_n"), 6).alias("within_bin_var"),
+    )

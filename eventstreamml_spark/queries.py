@@ -11982,3 +11982,261 @@ def q_temporal_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_train").cast("long").alias("n_train"),
         F.col("n_test").cast("long").alias("n_test"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 6: model-eval batch (regression metrics, lift/gains, Brier
+# decomposition, pinball loss)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "eval_regression_metrics",
+    """
+    WITH p AS (
+      SELECT event_type, CAST(value AS DOUBLE) AS y,
+             lag(CAST(value AS DOUBLE)) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS f
+      FROM events WHERE value IS NOT NULL
+    ),
+    d AS (SELECT event_type, y, f FROM p WHERE f IS NOT NULL),
+    a AS (
+      SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+             sum((y - f) * (y - f)) AS se2, sum(abs(y - f)) AS sae,
+             sum(CASE WHEN abs(y) > 0 THEN abs(y - f) / abs(y) END) AS sape,
+             sum(y) AS sy, sum(y * y) AS syy
+      FROM d GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(sqrt(se2 / n), 6) AS rmse,
+           round(sae / n, 6) AS mae,
+           round(sape / n, 6) AS mape,
+           CASE WHEN syy - sy * sy / n > 0
+                THEN round(1.0 - se2 / (syy - sy * sy / n), 6)
+           END AS r2
+    FROM a
+    """,
+)
+def q_eval_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RMSE/MAE/MAPE/R² per event type of the per-subject naive
+    (previous-value) predictor — the regression-eval readout and the
+    forecast baseline every model must beat. One subject-keyed window
+    for the lag, one groupBy to per-type moments; every metric is a
+    ratio of sums (operators/evalmetrics.py regression_metrics)."""
+    from eventstreamml_spark.operators.evalmetrics import regression_metrics
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.select(
+        "event_type",
+        F.col("value").cast("double").alias("y"),
+        F.lag(F.col("value").cast("double")).over(w).alias("yhat"),
+    )
+    return regression_metrics(p, "y", "yhat", "event_type")
+
+
+@register(
+    "eval_lift_gains_by_band",
+    f"""
+    WITH {_SCORED_SQL},
+    b AS (
+      SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS band, y
+      FROM scored
+    ),
+    g AS (
+      SELECT band, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos
+      FROM b GROUP BY band
+    ),
+    t AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS nt, CAST(sum(n_pos) AS DOUBLE) AS pt
+      FROM g
+    ),
+    c AS (
+      SELECT band, n, n_pos,
+             sum(n) OVER (ORDER BY band DESC ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS cum_n,
+             sum(n_pos) OVER (ORDER BY band DESC ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS cum_pos
+      FROM g
+    )
+    SELECT band, n, n_pos,
+           CAST(cum_n AS BIGINT) AS cum_n, CAST(cum_pos AS BIGINT) AS cum_pos,
+           round(cum_pos / CAST(cum_n AS DOUBLE), 6) AS cum_pos_rate,
+           CASE WHEN pt > 0
+                THEN round((cum_pos / CAST(cum_n AS DOUBLE)) / (pt / nt), 6)
+           END AS lift,
+           CASE WHEN pt > 0 THEN round(cum_pos / pt, 6) END AS gain
+    FROM c, t
+    """,
+)
+def q_eval_lift_gains_by_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lift/gains table by descending score band (fixed-width score
+    bins, NOT ntile — row-split of tied scores is engine-dependent,
+    fixed bin arithmetic is not): cumulative capture rate and lift
+    over random targeting — the campaign-targeting readout. Counts
+    are exact; cumulative windows run over the 10-band relation."""
+    from pyspark.sql import Window as W
+
+    s = _scored_events(spark, sf_dir)
+    b = s.select(
+        F.least(F.floor(F.col("score") * 10), F.lit(9)).cast("long").alias(
+            "band"
+        ),
+        F.col("label").alias("y"),
+    )
+    g = b.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").cast("long").alias("n_pos")
+    )
+    t = g.groupBy().agg(
+        F.sum("n").cast("double").alias("nt"),
+        F.sum("n_pos").cast("double").alias("pt"),
+    )
+    wc = W.orderBy(F.col("band").desc()).rowsBetween(W.unboundedPreceding, 0)
+    c = g.select(
+        "band",
+        "n",
+        "n_pos",
+        F.sum("n").over(wc).alias("cum_n"),
+        F.sum("n_pos").over(wc).alias("cum_pos"),
+    )
+    rate = F.col("cum_pos") / F.col("cum_n").cast("double")
+    return c.crossJoin(F.broadcast(t)).select(
+        "band",
+        "n",
+        "n_pos",
+        F.col("cum_n").cast("long").alias("cum_n"),
+        F.col("cum_pos").cast("long").alias("cum_pos"),
+        F.round(rate, 6).alias("cum_pos_rate"),
+        F.when(
+            F.col("pt") > 0, F.round(rate / (F.col("pt") / F.col("nt")), 6)
+        ).alias("lift"),
+        F.when(
+            F.col("pt") > 0, F.round(F.col("cum_pos") / F.col("pt"), 6)
+        ).alias("gain"),
+    )
+
+
+@register(
+    "eval_brier_decomposition",
+    f"""
+    WITH {_SCORED_SQL},
+    d AS (
+      SELECT CAST(y AS DOUBLE) AS y, score AS p,
+             CAST(least(floor(score * 10), 9) AS BIGINT) AS b
+      FROM scored
+    ),
+    bn AS (
+      SELECT b, CAST(count(*) AS DOUBLE) AS nk, sum(y) AS syk,
+             sum(p) AS spk, sum((p - y) * (p - y)) AS sbk,
+             sum(p * p) AS sppk
+      FROM d GROUP BY b
+    ),
+    t AS (
+      SELECT sum(nk) AS n, sum(syk) AS sy, sum(sbk) AS sb,
+             sum((spk / nk - syk / nk) * (spk / nk - syk / nk) * nk) AS rel,
+             sum(nk * (syk / nk) * (syk / nk)) AS res_part,
+             sum(sppk - spk * spk / nk) AS wvar
+      FROM bn
+    )
+    SELECT CAST(n AS BIGINT) AS n, round(sb / n, 6) AS brier,
+           round(rel / n, 6) AS reliability,
+           round(res_part / n - (sy / n) * (sy / n), 6) AS resolution,
+           round((sy / n) * (1.0 - sy / n), 6) AS uncertainty,
+           round(wvar / n, 6) AS within_bin_var
+    FROM t
+    """,
+)
+def q_eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score on the deterministic
+    scored relation: reliability − resolution + uncertainty over 10
+    fixed-width probability bins, with the directly-computed Brier and
+    the within-bin variance that closes the identity — says WHY the
+    probabilities are bad, not just that they are
+    (operators/evalmetrics.py brier_decomposition)."""
+    from eventstreamml_spark.operators.evalmetrics import brier_decomposition
+
+    s = _scored_events(spark, sf_dir)
+    return brier_decomposition(s, "label", "score", n_bins=10)
+
+
+@register(
+    "eval_pinball_loss",
+    """
+    WITH b AS (
+      SELECT min(epoch_us(ts)) + max(epoch_us(ts)) AS mm FROM events
+    ),
+    tr AS (
+      SELECT event_type,
+             quantile_cont(CAST(value AS DOUBLE), 0.1) AS q10,
+             quantile_cont(CAST(value AS DOUBLE), 0.5) AS q50,
+             quantile_cont(CAST(value AS DOUBLE), 0.9) AS q90
+      FROM events
+      WHERE value IS NOT NULL AND 2 * epoch_us(ts) < (SELECT mm FROM b)
+      GROUP BY event_type
+    ),
+    te AS (
+      SELECT event_type, CAST(value AS DOUBLE) AS y FROM events
+      WHERE value IS NOT NULL AND 2 * epoch_us(ts) >= (SELECT mm FROM b)
+    ),
+    q AS (
+      SELECT CAST(0.1 AS DOUBLE) AS q, event_type, q10 AS f FROM tr
+      UNION ALL SELECT CAST(0.5 AS DOUBLE), event_type, q50 FROM tr
+      UNION ALL SELECT CAST(0.9 AS DOUBLE), event_type, q90 FROM tr
+    ),
+    l AS (
+      SELECT q.event_type, q.q, q.f, te.y
+      FROM q JOIN te ON q.event_type = te.event_type
+    )
+    SELECT event_type, q, CAST(count(*) AS BIGINT) AS n_test,
+           round(min(f), 6) AS forecast,
+           round(avg(CASE WHEN y >= f THEN q * (y - f)
+                          ELSE (1.0 - q) * (f - y) END), 6) AS pinball
+    FROM l GROUP BY event_type, q
+    """,
+)
+def q_eval_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss of per-type q10/q50/q90 forecasts fit
+    on the first time-half and evaluated on the second — the proper
+    scoring rule for quantile forecasts (a SLA latency or demand
+    band). The time cut is the integer epoch midpoint (2·ts vs
+    min+max, no division); forecasts are exact interpolated
+    percentiles, identical on both engines."""
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = ev.agg((F.min(us) + F.max(us)).alias("mm"))
+    evb = ev.crossJoin(F.broadcast(bounds)).filter(F.col("value").isNotNull())
+    tr = (
+        evb.filter(2 * us < F.col("mm"))
+        .groupBy("event_type")
+        .agg(
+            F.percentile(F.col("value").cast("double"), F.lit(0.1)).alias("q10"),
+            F.percentile(F.col("value").cast("double"), F.lit(0.5)).alias("q50"),
+            F.percentile(F.col("value").cast("double"), F.lit(0.9)).alias("q90"),
+        )
+    )
+    te = evb.filter(2 * us >= F.col("mm")).select(
+        "event_type", F.col("value").cast("double").alias("y")
+    )
+    q = tr.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0.1).alias("q"), F.col("q10").alias("f")),
+                F.struct(F.lit(0.5).alias("q"), F.col("q50").alias("f")),
+                F.struct(F.lit(0.9).alias("q"), F.col("q90").alias("f")),
+            )
+        ).alias("s"),
+    ).select("event_type", "s.q", "s.f")
+    loss = F.when(
+        F.col("y") >= F.col("f"), F.col("q") * (F.col("y") - F.col("f"))
+    ).otherwise((1.0 - F.col("q")) * (F.col("f") - F.col("y")))
+    return (
+        te.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "q")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.round(F.min("f"), 6).alias("forecast"),
+            F.round(F.avg(loss), 6).alias("pinball"),
+        )
+    )

@@ -589,3 +589,72 @@ class TestTimeSeriesBatch:
         )
         r = watermark_lateness(df, bucket_size=2).collect()[0]
         assert r["n_late"] == 1 and r["max_lateness_sec"] == 10800.0
+
+
+class TestEvalBatch:
+    def test_regression_metrics_perfect_prediction(self, spark):
+        from eventstreamml_spark.operators.evalmetrics import (
+            regression_metrics,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 1.0, 1.0), ("a", 2.0, 2.0), ("a", 3.0, 3.0)],
+            "g string, y double, f double",
+        )
+        r = regression_metrics(df, "y", "f", "g").collect()[0]
+        assert r["rmse"] == 0.0 and r["mae"] == 0.0 and r["r2"] == 1.0
+
+    def test_regression_metrics_known_values(self, spark):
+        from eventstreamml_spark.operators.evalmetrics import (
+            regression_metrics,
+        )
+
+        # y=[1,2,3,4], f=[2,2,2,2]: errors [-1,0,1,2]
+        # rmse=sqrt(6/4)=1.224745, mae=1.0, sst=5, r2=1-6/5=-0.2
+        rows = [("a", 1.0, 2.0), ("a", 2.0, 2.0), ("a", 3.0, 2.0),
+                ("a", 4.0, 2.0)]
+        df = spark.createDataFrame(rows, "g string, y double, f double")
+        r = regression_metrics(df, "y", "f", "g").collect()[0]
+        assert abs(r["rmse"] - 1.224745) < 1e-6
+        assert r["mae"] == 1.0
+        assert abs(r["r2"] - (-0.2)) < 1e-9
+
+    def test_regression_metrics_constant_truth_nulls_r2(self, spark):
+        from eventstreamml_spark.operators.evalmetrics import (
+            regression_metrics,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 5.0, 4.0), ("a", 5.0, 6.0)], "g string, y double, f double"
+        )
+        r = regression_metrics(df, "y", "f", "g").collect()[0]
+        assert r["r2"] is None and r["rmse"] == 1.0
+
+    def test_brier_identity_closes(self, spark):
+        from eventstreamml_spark.operators.evalmetrics import (
+            brier_decomposition,
+        )
+
+        rows = [(1, 0.9), (0, 0.9), (1, 0.8), (1, 0.3), (0, 0.2), (0, 0.1)]
+        df = spark.createDataFrame(rows, "y int, p double")
+        r = brier_decomposition(df, "y", "p", n_bins=10).collect()[0]
+        # BS = reliability - resolution + uncertainty + within_bin_var
+        # (binned identity; within-bin variance of p is the residual)
+        lhs = r["brier"]
+        rhs = (r["reliability"] - r["resolution"] + r["uncertainty"]
+               + r["within_bin_var"])
+        assert abs(lhs - rhs) < 5e-6
+        assert r["n"] == 6
+
+    def test_brier_perfect_calibration_zero_reliability(self, spark):
+        from eventstreamml_spark.operators.evalmetrics import (
+            brier_decomposition,
+        )
+
+        # bin 0.35: 2 of 4 positive -> pbar 0.35 vs ybar 0.5; use p
+        # exactly equal to within-bin base rate for zero reliability
+        rows = [(1, 0.5), (0, 0.5), (1, 0.5), (0, 0.5)]
+        df = spark.createDataFrame(rows, "y int, p double")
+        r = brier_decomposition(df, "y", "p", n_bins=10).collect()[0]
+        assert r["reliability"] == 0.0 and r["resolution"] == 0.0
+        assert r["uncertainty"] == 0.25 and r["brier"] == 0.25
