@@ -307,3 +307,102 @@ def join_size_estimate(
             ).alias("rel_overcount"),
         )
     )
+
+
+def bloom_membership_audit(
+    build: DataFrame,
+    probe: DataFrame,
+    key_col: str = "key",
+    m_bits: int = 8192,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-filter build/probe audit with a PORTABLE bit layout: bit
+    positions are md5(key:j) hex prefixes mod ``m_bits`` (any engine
+    reproduces the filter bit-for-bit — the same portability contract
+    as the HLL and CMS sketches here), membership = all ``k_hashes``
+    positions set. Returns one row comparing the filter verdicts to
+    the exact semi-join truth: candidate/true/false-positive counts,
+    the measured false-positive rate, and the theoretical
+    (1−e^{−kn/m})^k — the number that says whether a bloom prefilter
+    in front of a 100 TB shuffle join is worth it at this load factor.
+
+    Distributed shape: the bit set is |distinct positions| ≤ m_bits
+    rows (broadcast-tiny by construction); probes explode ×k and
+    equi-join the bit set — the exact prefilter topology a real
+    bloom-join deployment uses, so the audit measures the real thing.
+    """
+    ks = F.explode(F.array(*[F.lit(j) for j in range(k_hashes)])).alias("_j")
+
+    def pos(key: Column, j: Column) -> Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", key.cast("string"), j.cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+        )
+
+    bkeys = build.select(F.col(key_col).alias("_k")).distinct()
+    bits = (
+        bkeys.select("_k", ks)
+        .select(pos(F.col("_k"), F.col("_j")).alias("_pos"))
+        .distinct()
+    )
+    pkeys = probe.select(F.col(key_col).alias("_k")).distinct()
+    probes = pkeys.select("_k", ks).select(
+        "_k", pos(F.col("_k"), F.col("_j")).alias("_pos")
+    )
+    hits = (
+        probes.join(F.broadcast(bits), "_pos", "left_semi")
+        .groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_nhit"))
+        .filter(F.col("_nhit") == k_hashes)
+        .select("_k", F.lit(1).alias("_cand"))
+    )
+    truth = bkeys.select("_k", F.lit(1).alias("_member"))
+    audit = (
+        pkeys.join(hits, "_k", "left")
+        .join(truth, "_k", "left")
+        .select(
+            F.coalesce("_cand", F.lit(0)).alias("_c"),
+            F.coalesce("_member", F.lit(0)).alias("_m"),
+        )
+    )
+    n_build = bkeys.groupBy().agg(F.count(F.lit(1)).cast("double").alias("_nb"))
+    n_bits = bits.groupBy().agg(F.count(F.lit(1)).cast("long").alias("_nbits"))
+    agg = audit.groupBy().agg(
+        F.count(F.lit(1)).alias("_np"),
+        F.sum("_c").alias("_nc"),
+        F.sum(F.col("_c") * F.col("_m")).alias("_tp"),
+        F.sum(F.col("_c") * (1 - F.col("_m"))).alias("_fp"),
+        F.sum("_m").alias("_nm"),
+    )
+    fpr_th = (
+        1.0
+        - F.exp(-F.lit(float(k_hashes)) * F.col("_nb") / F.lit(float(m_bits)))
+    ) ** k_hashes
+    return (
+        agg.crossJoin(F.broadcast(n_build))
+        .crossJoin(F.broadcast(n_bits))
+        .select(
+            F.col("_nb").cast("long").alias("n_build_keys"),
+            F.col("_nbits").alias("n_bits_set"),
+            F.col("_np").cast("long").alias("n_probes"),
+            F.col("_nc").cast("long").alias("n_candidates"),
+            F.col("_tp").cast("long").alias("n_true_pos"),
+            F.col("_fp").cast("long").alias("n_false_pos"),
+            F.round(
+                F.try_divide(
+                    F.col("_fp").cast("double"),
+                    (F.col("_np") - F.col("_nm")).cast("double"),
+                ),
+                6,
+            ).alias("fpr_measured"),
+            F.round(fpr_th, 6).alias("fpr_theoretical"),
+        )
+    )

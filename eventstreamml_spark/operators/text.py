@@ -970,3 +970,203 @@ def ngram_novelty(
             F.round(F.col("n_novel") / F.col("n_shingles"), 6),
         )
     )
+
+
+def rake_keyphrases(
+    docs: DataFrame,
+    top_k: int = 15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free word runs; each word scores
+    degree/frequency where degree sums the lengths of every phrase
+    containing it; a phrase scores the sum of its word scores. Returns
+    the corpus top-``top_k`` phrases by (rounded score desc, phrase) —
+    the unsupervised keyword extractor that needs no model artifact.
+
+    Distributed shape: phrase segmentation is a per-doc window cumsum
+    of the stopword flag (subject-keyed, bounded); word stats and
+    phrase grouping are map-side-combined groupBys; the only ordered
+    window is the final top-k over the |distinct phrases| relation
+    (vocabulary-sized, the O2 rationale). The tie order is pinned on
+    the ROUNDED score so engines with ulp-different word-score sums
+    agree on rank."""
+    words = words_table(docs, id_col, text_col).select(
+        F.col(id_col), "pos", F.lower(F.col("word")).alias("word")
+    ).filter(F.col("word") != "")
+    is_stop = F.col("word").isin(*stopwords)
+    w = W.partitionBy(id_col).orderBy("pos")
+    seg = words.select(
+        F.col(id_col),
+        "pos",
+        "word",
+        is_stop.alias("_stop"),
+        F.sum(is_stop.cast("int"))
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .alias("_ph"),
+    ).filter(~F.col("_stop"))
+    occ = seg.groupBy(id_col, "_ph").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("word")))
+                ),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("_len"),
+        F.collect_list("word").alias("_words"),
+    )
+    wstat = (
+        occ.select(F.explode("_words").alias("word"), "_len")
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("_freq"),
+            F.sum("_len").cast("double").alias("_deg"),
+        )
+        .select("word", (F.col("_deg") / F.col("_freq")).alias("_wscore"))
+    )
+    occ_scored = (
+        occ.select(F.col(id_col), "_ph", "phrase", F.explode("_words").alias("word"))
+        .join(wstat, "word")
+        .groupBy(id_col, "_ph", "phrase")
+        .agg(F.sum("_wscore").alias("_score"))
+    )
+    phrases = occ_scored.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.round(F.min("_score"), 6).alias("score"),
+    )
+    wtop = W.orderBy(F.col("score").desc(), F.col("phrase"))
+    return (
+        phrases.withColumn("rank", F.row_number().over(wtop))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "phrase",
+            "n_occurrences",
+            "score",
+        )
+    )
+
+
+def heaps_law_fit(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heaps'-law fit V(N) = k·N^b over the corpus growth curve: order
+    documents by id, accumulate token count N_d and vocabulary size
+    V_d (a word joins the vocabulary at its FIRST document — min doc
+    per word, so the cumulative distinct needs no per-prefix rescan),
+    then OLS on (ln N_d, ln V_d). Returns one row (n_docs, slope_b,
+    log_k, r2) — the growth diagnostic that predicts vocabulary size
+    at 100× the corpus.
+
+    Distributed shape: two map-side-combined groupBys (per-word first
+    doc, per-doc token count) fold the corpus; the cumulative windows
+    and the OLS sums run over the |docs| relation only."""
+    words = words_table(docs, id_col, text_col).select(
+        F.col(id_col).alias("_d"), F.lower(F.col("word")).alias("word")
+    ).filter(F.col("word") != "")
+    toks = words.groupBy("_d").agg(F.count(F.lit(1)).cast("double").alias("_nw"))
+    first = words.groupBy("word").agg(F.min("_d").alias("_d"))
+    news = first.groupBy("_d").agg(F.count(F.lit(1)).cast("double").alias("_nv"))
+    per_doc = toks.join(news, "_d", "left").select(
+        "_d", "_nw", F.coalesce("_nv", F.lit(0.0)).alias("_nv")
+    )
+    w = W.orderBy("_d").rowsBetween(W.unboundedPreceding, 0)
+    curve = per_doc.select(
+        "_d",
+        F.sum("_nw").over(w).alias("_N"),
+        F.sum("_nv").over(w).alias("_V"),
+    ).filter(F.col("_V") > 0)
+    pts = curve.select(
+        F.log("_N").alias("_x"), F.log("_V").alias("_y")
+    )
+    a = pts.groupBy().agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    n = F.col("_n")
+    sxx_c = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    syy_c = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    sxy_c = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    slope = F.try_divide(sxy_c, sxx_c)
+    intercept = (F.col("_sy") - slope * F.col("_sx")) / n
+    r2 = F.try_divide(sxy_c * sxy_c, sxx_c * syy_c)
+    return a.select(
+        n.cast("long").alias("n_docs"),
+        F.round(slope, 6).alias("slope_b"),
+        F.round(intercept, 6).alias("log_k"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+def bigram_lm_nll(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_filter: Column | None = None,
+) -> DataFrame:
+    """Per-document bigram language-model negative log-likelihood with
+    add-1 smoothing: train P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V) on the
+    ``train_filter`` slice (V = train unigram vocabulary), score every
+    held-out document by mean −ln P over its bigrams, and emit
+    (doc_id, n_bigrams, avg_nll, ppl) — the LM-quality filter one step
+    up from the unigram NLL in ``doc_unigram_nll`` (it catches
+    scrambled word ORDER, which unigrams cannot).
+
+    Distributed shape: bigram assembly is the shingling window (one
+    doc-keyed shuffle each side); the model is two vocabulary-sized
+    count relations joined back to held-out bigrams (broadcastable);
+    unseen history backs off to (0+1)/(0+V) — the smoothing, not a
+    special case."""
+    from pyspark.sql import Window as W
+
+    words = words_table(docs, id_col, text_col).select(
+        F.col(id_col), "pos", F.lower(F.col("word")).alias("word")
+    ).filter(F.col("word") != "")
+    if train_filter is None:
+        train_filter = F.col(id_col) % 2 == 0
+    w = W.partitionBy(id_col).orderBy("pos")
+    big = words.select(
+        F.col(id_col),
+        F.col("word").alias("w1"),
+        F.lead("word").over(w).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    train_b = big.filter(train_filter)
+    train_w = words.filter(train_filter)
+    pair_c = train_b.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("_cp")
+    )
+    uni_c = train_w.groupBy(F.col("word").alias("w1")).agg(
+        F.count(F.lit(1)).cast("double").alias("_cu")
+    )
+    vocab = train_w.agg(
+        F.count_distinct("word").cast("double").alias("_V")
+    )
+    test_b = big.filter(~train_filter)
+    scored = (
+        test_b.join(F.broadcast(pair_c), ["w1", "w2"], "left")
+        .join(F.broadcast(uni_c), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            (
+                -F.log(
+                    (F.coalesce("_cp", F.lit(0.0)) + 1.0)
+                    / (F.coalesce("_cu", F.lit(0.0)) + F.col("_V"))
+                )
+            ).alias("_nll"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("_nll"), 6).alias("avg_nll"),
+        F.round(F.exp(F.avg("_nll")), 6).alias("ppl"),
+    )

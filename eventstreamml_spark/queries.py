@@ -12240,3 +12240,241 @@ def q_eval_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(loss), 6).alias("pinball"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round 6: text/corpus batch (RAKE keyphrases, Heaps'-law fit, bigram LM
+# perplexity, bloom-filter probe audit)
+# --------------------------------------------------------------------------
+
+_RAKE_STOPS_SQL = "('the','and','of','to','a','in','is','it')"
+
+
+@register(
+    "doc_keyphrase_rake",
+    f"""
+    WITH w0 AS (
+      SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+             lower(unnest(string_split(text, ' '))) AS word
+      FROM documents
+    ),
+    ww AS (SELECT doc_id, pos, word FROM w0 WHERE word <> ''),
+    seg AS (
+      SELECT doc_id, pos, word,
+             sum(CASE WHEN word IN {_RAKE_STOPS_SQL} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS ph
+      FROM ww
+      QUALIFY word NOT IN {_RAKE_STOPS_SQL}
+    ),
+    occ AS (
+      SELECT doc_id, ph, string_agg(word, ' ' ORDER BY pos) AS phrase,
+             count(*) AS len
+      FROM seg GROUP BY 1, 2
+    ),
+    wstat AS (
+      SELECT word, CAST(count(*) AS DOUBLE) AS freq,
+             CAST(sum(len) AS DOUBLE) AS deg
+      FROM seg JOIN occ USING (doc_id, ph) GROUP BY word
+    ),
+    osc AS (
+      SELECT seg.doc_id, seg.ph, occ.phrase,
+             sum(deg / freq) AS s
+      FROM seg
+      JOIN occ USING (doc_id, ph)
+      JOIN wstat USING (word)
+      GROUP BY 1, 2, 3
+    ),
+    phr AS (
+      SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+             round(min(s), 6) AS score
+      FROM osc GROUP BY phrase
+    )
+    SELECT CAST(row_number() OVER (ORDER BY score DESC, phrase) AS BIGINT)
+             AS rank,
+           phrase, n_occurrences, score
+    FROM phr
+    QUALIFY row_number() OVER (ORDER BY score DESC, phrase) <= 15
+    """,
+)
+def q_doc_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction over the corpus: stopword-delimited
+    candidate phrases scored by summed word degree/frequency, top-15
+    by (rounded score, phrase) — the model-free keyword extractor.
+    Per-doc window segmentation + vocabulary-sized groupBys; the only
+    ordered window is the final top-k over distinct phrases
+    (operators/text.py rake_keyphrases)."""
+    from eventstreamml_spark.operators.text import rake_keyphrases
+
+    return rake_keyphrases(load_table(spark, sf_dir, "documents"), top_k=15)
+
+
+@register(
+    "corpus_heaps_law_fit",
+    """
+    WITH w AS (
+      SELECT doc_id AS d, lower(unnest(string_split(text, ' '))) AS word
+      FROM documents
+    ),
+    ww AS (SELECT d, word FROM w WHERE word <> ''),
+    toks AS (SELECT d, CAST(count(*) AS DOUBLE) AS nw FROM ww GROUP BY d),
+    fo AS (SELECT word, min(d) AS d FROM ww GROUP BY word),
+    news AS (SELECT d, CAST(count(*) AS DOUBLE) AS nv FROM fo GROUP BY d),
+    pd AS (
+      SELECT toks.d, nw, coalesce(nv, 0.0) AS nv
+      FROM toks LEFT JOIN news ON toks.d = news.d
+    ),
+    curve AS (
+      SELECT d, sum(nw) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS N,
+             sum(nv) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS V
+      FROM pd
+    ),
+    pts AS (SELECT ln(N) AS x, ln(V) AS y FROM curve WHERE V > 0),
+    a AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CASE WHEN n * sxx - sx * sx <> 0
+                THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+           END AS slope_b,
+           CASE WHEN n * sxx - sx * sx <> 0
+                THEN round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                            * sx) / n, 6)
+           END AS log_k,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+                THEN round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                           / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           END AS r2
+    FROM a
+    """,
+)
+def q_corpus_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V = k·N^b of vocabulary growth vs corpus size:
+    each word enters at its FIRST document (min-doc per word — the
+    cumulative distinct without per-prefix rescans), OLS on the
+    log-log growth curve. Predicts the vocabulary at 100× the corpus
+    (operators/text.py heaps_law_fit)."""
+    from eventstreamml_spark.operators.text import heaps_law_fit
+
+    return heaps_law_fit(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_bigram_perplexity",
+    """
+    WITH w AS (
+      SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+             lower(unnest(string_split(text, ' '))) AS word
+      FROM documents
+    ),
+    ww AS (SELECT doc_id, pos, word FROM w WHERE word <> ''),
+    big AS (
+      SELECT doc_id, word AS w1,
+             lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM ww QUALIFY w2 IS NOT NULL
+    ),
+    trb AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS cp FROM big
+            WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+    tru AS (SELECT word AS w1, CAST(count(*) AS DOUBLE) AS cu FROM ww
+            WHERE doc_id % 2 = 0 GROUP BY 1),
+    v AS (SELECT CAST(count(DISTINCT word) AS DOUBLE) AS V FROM ww
+          WHERE doc_id % 2 = 0),
+    te AS (SELECT doc_id, w1, w2 FROM big WHERE doc_id % 2 <> 0),
+    sc AS (
+      SELECT te.doc_id,
+             -ln((coalesce(cp, 0.0) + 1.0) / (coalesce(cu, 0.0) + v.V))
+               AS nll
+      FROM te
+      LEFT JOIN trb ON te.w1 = trb.w1 AND te.w2 = trb.w2
+      LEFT JOIN tru ON te.w1 = tru.w1
+      CROSS JOIN v
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(nll), 6) AS avg_nll,
+           round(exp(avg(nll)), 6) AS ppl
+    FROM sc GROUP BY doc_id
+    """,
+)
+def q_doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM perplexity (add-1 smoothing, trained on
+    even doc ids, scored on odd) — the word-ORDER-sensitive quality
+    filter one step up from doc_unigram_nll; scrambled text scores
+    high perplexity even with a natural unigram mix. Model = two
+    broadcastable count relations (operators/text.py bigram_lm_nll)."""
+    from eventstreamml_spark.operators.text import bigram_lm_nll
+
+    return bigram_lm_nll(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "bloom_filter_probe_audit",
+    """
+    WITH bk AS (SELECT DISTINCT o_custkey AS k FROM orders
+                WHERE o_totalprice > 490000),
+    js AS (SELECT unnest(range(0, 3)) AS j),
+    bits AS (
+      SELECT DISTINCT ('0x' || substr(md5(k::VARCHAR || ':' || j::VARCHAR),
+                       1, 8))::BIGINT % 8192 AS pos
+      FROM bk, js
+    ),
+    pk AS (SELECT DISTINCT c_custkey AS k FROM customer),
+    pp AS (
+      SELECT k, ('0x' || substr(md5(k::VARCHAR || ':' || j::VARCHAR),
+                 1, 8))::BIGINT % 8192 AS pos
+      FROM pk, js
+    ),
+    hits AS (
+      SELECT k FROM pp WHERE pos IN (SELECT pos FROM bits)
+      GROUP BY k HAVING count(*) = 3
+    ),
+    audit AS (
+      SELECT pk.k,
+             CASE WHEN hits.k IS NOT NULL THEN 1 ELSE 0 END AS c,
+             CASE WHEN bk2.k IS NOT NULL THEN 1 ELSE 0 END AS m
+      FROM pk
+      LEFT JOIN hits ON pk.k = hits.k
+      LEFT JOIN (SELECT k FROM bk) bk2 ON pk.k = bk2.k
+    ),
+    nb AS (SELECT CAST(count(*) AS DOUBLE) AS nb FROM bk),
+    nbits AS (SELECT CAST(count(*) AS BIGINT) AS nbits FROM bits),
+    a AS (
+      SELECT count(*) AS np, CAST(sum(c) AS BIGINT) AS nc,
+             CAST(sum(c * m) AS BIGINT) AS tp,
+             CAST(sum(c * (1 - m)) AS BIGINT) AS fp,
+             CAST(sum(m) AS BIGINT) AS nm
+      FROM audit
+    )
+    SELECT CAST(nb AS BIGINT) AS n_build_keys, nbits AS n_bits_set,
+           np AS n_probes, nc AS n_candidates, tp AS n_true_pos,
+           fp AS n_false_pos,
+           CASE WHEN np - nm > 0
+                THEN round(CAST(fp AS DOUBLE) / CAST(np - nm AS DOUBLE), 6)
+           END AS fpr_measured,
+           round(power(1.0 - exp(-3.0 * nb / 8192.0), 3), 6)
+             AS fpr_theoretical
+    FROM a, nb, nbits
+    """,
+)
+def q_bloom_filter_probe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable bloom-filter build/probe audit: high-value-order
+    custkeys build an 8192-bit/3-hash filter (md5-prefix bit layout —
+    any engine reproduces it bit-for-bit), every customer probes it,
+    and the verdicts are scored against the exact semi-join: measured
+    vs theoretical FPR — the go/no-go number for a bloom prefilter in
+    front of a big shuffle join (operators/sketches.py
+    bloom_membership_audit)."""
+    from eventstreamml_spark.operators.sketches import bloom_membership_audit
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return bloom_membership_audit(
+        orders.filter(F.col("o_totalprice") > 490000).select(
+            F.col("o_custkey").alias("key")
+        ),
+        cust.select(F.col("c_custkey").alias("key")),
+        key_col="key",
+        m_bits=8192,
+        k_hashes=3,
+    )

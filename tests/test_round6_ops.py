@@ -658,3 +658,79 @@ class TestEvalBatch:
         r = brier_decomposition(df, "y", "p", n_bins=10).collect()[0]
         assert r["reliability"] == 0.0 and r["resolution"] == 0.0
         assert r["uncertainty"] == 0.25 and r["brier"] == 0.25
+
+
+class TestTextCorpusBatch:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_rake_hand_case(self, spark):
+        from eventstreamml_spark.operators.text import rake_keyphrases
+
+        # "deep learning" appears twice as a phrase; "deep" also alone.
+        # deg(deep)=2+2+1=5, freq=3 -> 5/3; deg(learning)=4, freq=2 -> 2
+        # score("deep learning") = 5/3 + 2 = 3.666667; score("deep")=5/3
+        docs = self._docs(spark, [
+            (1, "deep learning is the deep learning of it"),
+            (2, "deep and shallow"),
+        ])
+        out = {r["phrase"]: r for r in
+               rake_keyphrases(docs, top_k=10).collect()}
+        assert abs(out["deep learning"]["score"] - 3.666667) < 1e-6
+        assert out["deep learning"]["n_occurrences"] == 2
+        assert abs(out["deep"]["score"] - 1.666667) < 1e-6
+        assert out["shallow"]["score"] == 1.0
+
+    def test_rake_rank_deterministic_ties(self, spark):
+        from eventstreamml_spark.operators.text import rake_keyphrases
+
+        docs = self._docs(spark, [(1, "alpha and beta and gamma")])
+        out = rake_keyphrases(docs, top_k=3).collect()
+        # all singleton phrases score 1.0; rank order = phrase asc
+        assert [r["phrase"] for r in out] == ["alpha", "beta", "gamma"]
+
+    def test_heaps_monotone_curve(self, spark):
+        from eventstreamml_spark.operators.text import heaps_law_fit
+
+        # vocabulary growth slower than token growth -> 0 < b < 1
+        docs = self._docs(spark, [
+            (i, " ".join(f"w{j % (5 + i)}" for j in range(20)))
+            for i in range(1, 11)
+        ])
+        r = heaps_law_fit(docs).collect()[0]
+        assert r["n_docs"] == 10
+        assert 0.0 < r["slope_b"] < 1.0
+        assert r["r2"] is not None and r["r2"] > 0.5
+
+    def test_bigram_lm_prefers_in_domain_order(self, spark):
+        from eventstreamml_spark.operators.text import bigram_lm_nll
+
+        # train docs (even ids) all use the bigram "a b" repeatedly;
+        # test doc 1 repeats it (low nll), test doc 3 reverses (high)
+        docs = self._docs(spark, [
+            (0, "a b a b a b a b"),
+            (2, "a b a b a b"),
+            (1, "a b a b"),
+            (3, "b a b a"),
+        ])
+        out = {r["doc_id"]: r for r in bigram_lm_nll(docs).collect()}
+        assert out[1]["avg_nll"] < out[3]["avg_nll"]
+        assert out[1]["ppl"] < out[3]["ppl"]
+        assert out[1]["n_bigrams"] == 3
+
+    def test_bloom_audit_no_false_negatives(self, spark):
+        from eventstreamml_spark.operators.sketches import (
+            bloom_membership_audit,
+        )
+
+        build = spark.range(0, 50).select(F.col("id").alias("key"))
+        probe = spark.range(0, 500).select(F.col("id").alias("key"))
+        r = bloom_membership_audit(build, probe, m_bits=4096,
+                                   k_hashes=3).collect()[0]
+        # bloom filters never miss a member
+        assert r["n_true_pos"] == 50
+        assert r["n_build_keys"] == 50 and r["n_probes"] == 500
+        assert r["n_candidates"] == 50 + r["n_false_pos"]
+        # at n=50,m=4096,k=3 theoretical fpr ~ 4e-5: measured near it
+        assert r["fpr_measured"] <= 0.05
+        assert 0.0 <= r["fpr_theoretical"] < 0.001
