@@ -12478,3 +12478,288 @@ def q_bloom_filter_probe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         m_bits=8192,
         k_hashes=3,
     )
+
+
+# --------------------------------------------------------------------------
+# Round 6: graph / embedding / operational-audit batch
+# --------------------------------------------------------------------------
+
+
+@register(
+    "graph_degree_assortativity",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS a,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS b
+      FROM events
+    ),
+    e AS (
+      SELECT a, b, CAST(count(*) AS DOUBLE) AS w
+      FROM seq WHERE b IS NOT NULL GROUP BY a, b
+    ),
+    deg AS (
+      SELECT node, sum(w) AS d FROM (
+        SELECT a AS node, w FROM e
+        UNION ALL SELECT b AS node, w FROM e
+      ) GROUP BY node
+    ),
+    j AS (
+      SELECT e.w, da.d AS dx, db.d AS dy
+      FROM e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node
+    ),
+    s AS (
+      SELECT sum(w) AS n, sum(w * dx) AS sx, sum(w * dy) AS sy,
+             sum(w * dx * dy) AS sxy, sum(w * dx * dx) AS sxx,
+             sum(w * dy * dy) AS syy
+      FROM j
+    ),
+    c AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+    ce AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+    SELECT n_nodes, n_edges,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+                THEN round((n * sxy - sx * sy)
+                           / sqrt((n * sxx - sx * sx)
+                                  * (n * syy - sy * sy)), 6)
+           END AS assortativity
+    FROM s, c, ce
+    """,
+)
+def q_graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted degree assortativity of the event-type transition
+    graph: Pearson correlation of endpoint degrees over edges (weight
+    = transition count) — do high-traffic states connect to each
+    other (r>0, jam-prone) or to the periphery (r<0, hub-and-spoke)?
+    The graph relation is |types|² edges; every sum is an exact
+    integer fold, so the statistic is deterministic."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    ).filter(F.col("b").isNotNull())
+    e = seq.groupBy("a", "b").agg(F.count(F.lit(1)).cast("double").alias("w"))
+    deg = (
+        e.select(F.col("a").alias("node"), "w")
+        .union(e.select(F.col("b").alias("node"), "w"))
+        .groupBy("node")
+        .agg(F.sum("w").alias("d"))
+    )
+    j = (
+        e.join(F.broadcast(deg.select(F.col("node").alias("a"), F.col("d").alias("dx"))), "a")
+        .join(F.broadcast(deg.select(F.col("node").alias("b"), F.col("d").alias("dy"))), "b")
+    )
+    s = j.groupBy().agg(
+        F.sum("w").alias("n"),
+        F.sum(F.col("w") * F.col("dx")).alias("sx"),
+        F.sum(F.col("w") * F.col("dy")).alias("sy"),
+        F.sum(F.col("w") * F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("w") * F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("w") * F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    c = deg.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    ce = e.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den2 = (n * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        n * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return (
+        s.crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(ce))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.when(den2 > 0, F.round(num / F.sqrt(den2), 6)).alias(
+                "assortativity"
+            ),
+        )
+    )
+
+
+@register(
+    "embedding_dim_stats",
+    """
+    WITH x AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding)::DOUBLE AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    )
+    SELECT dim, CAST(count(*) AS BIGINT) AS n,
+           round(avg(v), 6) AS mean,
+           round(stddev_samp(v), 6) AS std,
+           round(min(v), 6) AS min_v,
+           round(max(v), 6) AS max_v
+    FROM x GROUP BY dim
+    """,
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (mean/std/min/max) — the
+    whitening/normalization fit and the drift baseline every vector
+    pipeline needs before indexing. One posexplode + map-side-combined
+    groupBy to the |dims| relation; NULL vectors are filtered before
+    the explode (the round-5 PCA lesson)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.filter(F.col("embedding").isNotNull()).select(
+        F.posexplode("embedding").alias("dim", "v")
+    ).select("dim", F.col("v").cast("double").alias("v"))
+    return x.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("v"), 6).alias("mean"),
+        F.round(F.stddev_samp("v"), 6).alias("std"),
+        F.round(F.min("v"), 6).alias("min_v"),
+        F.round(F.max("v"), 6).alias("max_v"),
+    )
+
+
+@register(
+    "session_path_topk",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                       OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM g
+    ),
+    r AS (
+      SELECT user_id, session_no, event_type,
+             row_number() OVER (PARTITION BY user_id, session_no
+                                ORDER BY ts, event_id) AS rn
+      FROM s
+    ),
+    p AS (
+      SELECT user_id, session_no,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= 8 GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+      FROM p GROUP BY path
+    )
+    SELECT CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS BIGINT)
+             AS rank,
+           path, n_sessions
+    FROM t
+    QUALIFY row_number() OVER (ORDER BY n_sessions DESC, path) <= 15
+    """,
+)
+def q_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 session paths (first 8 event types per 30-min-gap
+    session, '>'-joined) — the "what do users actually do" readout
+    behind funnel design. Sessionization + per-session truncation are
+    subject-keyed windows; the only ordered window is the final top-k
+    over the |distinct paths| relation, with (count desc, path)
+    deterministic tie order."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    )
+    g = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(gap_us > 1_800_000_000, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    s = g.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("is_start")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_no"),
+    )
+    ws = W.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+    r = s.select(
+        "user_id", "session_no", "event_type",
+        F.row_number().over(ws).alias("rn"),
+    ).filter(F.col("rn") <= 8)
+    p = r.groupBy("user_id", "session_no").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("rn"), F.col("event_type")))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    t = p.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    wtop = W.orderBy(F.col("n_sessions").desc(), F.col("path"))
+    return (
+        t.withColumn("rank", F.row_number().over(wtop))
+        .filter(F.col("rank") <= 15)
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "path",
+            F.col("n_sessions").cast("long").alias("n_sessions"),
+        )
+    )
+
+
+@register(
+    "join_skew_key_audit",
+    """
+    WITH k AS (
+      SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS nt, CAST(count(*) AS DOUBLE) AS nk,
+             CAST(max(n) AS DOUBLE) AS mx
+      FROM k
+    )
+    SELECT CAST(row_number() OVER (ORDER BY n DESC, key) AS BIGINT) AS rank,
+           key, n,
+           round(n / nt, 6) AS share,
+           round(mx / (nt / nk), 6) AS skew_ratio
+    FROM k, t
+    QUALIFY row_number() OVER (ORDER BY n DESC, key) <= 10
+    """,
+)
+def q_join_skew_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter audit of the orders⋈customer join key: top-10
+    custkeys by row count, their share of the table, and the global
+    skew ratio max/mean — the pre-join readout that decides between a
+    plain shuffle join, salting, or AQE skew handling at 100 TB. One
+    map-side-combined groupBy; the top-k window runs over the
+    |distinct keys| relation."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = k.groupBy().agg(
+        F.sum("n").cast("double").alias("nt"),
+        F.count(F.lit(1)).cast("double").alias("nk"),
+        F.max("n").cast("double").alias("mx"),
+    )
+    wtop = W.orderBy(F.col("n").desc(), F.col("key"))
+    return (
+        k.crossJoin(F.broadcast(t))
+        .withColumn("rank", F.row_number().over(wtop))
+        .filter(F.col("rank") <= 10)
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "key",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("nt"), 6).alias("share"),
+            F.round(F.col("mx") / (F.col("nt") / F.col("nk")), 6).alias(
+                "skew_ratio"
+            ),
+        )
+    )

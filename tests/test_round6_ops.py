@@ -734,3 +734,58 @@ class TestTextCorpusBatch:
         # at n=50,m=4096,k=3 theoretical fpr ~ 4e-5: measured near it
         assert r["fpr_measured"] <= 0.05
         assert 0.0 <= r["fpr_theoretical"] < 0.001
+
+
+class TestGraphAuditBatch:
+    def test_assortativity_star_graph_negative(self, spark, tmp_path):
+        # hub-and-spoke transitions: hub type "h" alternating with
+        # distinct leaves -> high-degree hub connects to low-degree
+        # leaves -> assortativity < 0; parity-checked vs DuckDB
+        t0 = 1_700_000_000 * US
+        rows, eid = [], 1
+        for u, leaf in enumerate(["a", "b", "c", "d"]):
+            for i in range(3):
+                rows.append(_ev(eid, t0 + eid * US, u, "h"))
+                eid += 1
+                rows.append(_ev(eid, t0 + eid * US, u, leaf))
+                eid += 1
+        sf = _write_events(str(tmp_path), rows)
+        fn, sql = q._REGISTRY["graph_degree_assortativity"]
+        compare(spark, sf, fn, sql)
+        r = fn(spark, sf).collect()[0]
+        assert r["assortativity"] < 0
+
+    def test_session_path_truncates_at_8(self, spark, tmp_path):
+        t0 = 1_700_000_000 * US
+        # one 12-event session: path must contain exactly 8 steps
+        rows = [_ev(i, t0 + i * US, 1, "click") for i in range(1, 13)]
+        sf = _write_events(str(tmp_path), rows)
+        fn, sql = q._REGISTRY["session_path_topk"]
+        compare(spark, sf, fn, sql)
+        r = fn(spark, sf).collect()[0]
+        assert r["path"].count(">") == 7 and r["n_sessions"] == 1
+
+    def test_join_skew_audit_detects_hot_key(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import os
+        from datetime import datetime
+
+        n_hot, n_cold = 50, 10
+        keys = [1] * n_hot + list(range(2, 2 + n_cold))
+        table = pa.table({
+            "o_orderkey": pa.array(range(len(keys)), pa.int64()),
+            "o_custkey": pa.array(keys, pa.int64()),
+            "o_orderstatus": pa.array(["O"] * len(keys)),
+            "o_totalprice": pa.array([1.0] * len(keys), pa.float64()),
+            "o_orderdate": pa.array([datetime(2024, 1, 1)] * len(keys),
+                                    pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * len(keys)),
+        })
+        pq.write_table(table, os.path.join(str(tmp_path), "orders.parquet"))
+        fn, sql = q._REGISTRY["join_skew_key_audit"]
+        compare(spark, str(tmp_path), fn, sql)
+        top = fn(spark, str(tmp_path)).collect()[0]
+        # hot key 1: 50 rows of 60 total over 11 keys; mean = 60/11
+        assert top["key"] == 1 and top["n"] == 50
+        assert abs(top["skew_ratio"] - 50 / (60 / 11)) < 1e-6
