@@ -12763,3 +12763,265 @@ def q_join_skew_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "embedding_centroid_drift",
+    """
+    WITH x AS (
+      SELECT vec_id % 2 AS half,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding)::DOUBLE AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    c AS (
+      SELECT half, dim, avg(v) AS m, count(*) AS n
+      FROM x GROUP BY half, dim
+    ),
+    jn AS (
+      SELECT a.dim, a.m AS ma, b.m AS mb
+      FROM c a JOIN c b ON a.dim = b.dim AND a.half = 0 AND b.half = 1
+    ),
+    s AS (
+      SELECT sum(ma * mb) AS dot, sum(ma * ma) AS na, sum(mb * mb) AS nb,
+             sum((ma - mb) * (ma - mb)) AS l2sq
+      FROM jn
+    ),
+    cnt AS (
+      SELECT CAST(sum(CASE WHEN half = 0 THEN n ELSE 0 END)
+                  / count(DISTINCT dim) AS BIGINT) AS n_old,
+             CAST(sum(CASE WHEN half = 1 THEN n ELSE 0 END)
+                  / count(DISTINCT dim) AS BIGINT) AS n_new
+      FROM c
+    )
+    SELECT n_old, n_new,
+           CASE WHEN na * nb > 0
+                THEN round(dot / sqrt(na * nb), 6)
+           END AS centroid_cosine,
+           round(sqrt(l2sq), 6) AS centroid_l2
+    FROM s, cnt
+    """,
+)
+def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor between two snapshots (vec_id parity as
+    the old/new split): cosine and L2 between per-dimension centroid
+    means — the cheap first-line alarm before any expensive
+    distributional test when an upstream encoder changes. One explode
+    + groupBy to the 2×|dims| relation; drift arithmetic on |dims|
+    rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = (
+        emb.filter(F.col("embedding").isNotNull())
+        .select(
+            (F.col("vec_id") % 2).alias("half"),
+            F.posexplode("embedding").alias("dim", "v"),
+        )
+        .select("half", "dim", F.col("v").cast("double").alias("v"))
+    )
+    c = x.groupBy("half", "dim").agg(
+        F.avg("v").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    a = c.filter(F.col("half") == 0).select(
+        "dim", F.col("m").alias("ma")
+    )
+    b = c.filter(F.col("half") == 1).select(
+        F.col("dim").alias("dim2"), F.col("m").alias("mb")
+    )
+    jn = a.join(b, F.col("dim") == F.col("dim2"))
+    s = jn.groupBy().agg(
+        F.sum(F.col("ma") * F.col("mb")).alias("dot"),
+        F.sum(F.col("ma") * F.col("ma")).alias("na"),
+        F.sum(F.col("mb") * F.col("mb")).alias("nb"),
+        F.sum((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb"))).alias(
+            "l2sq"
+        ),
+    )
+    cnt = c.groupBy().agg(
+        (
+            F.sum(F.when(F.col("half") == 0, F.col("n")).otherwise(0))
+            / F.count_distinct("dim")
+        ).cast("long").alias("n_old"),
+        (
+            F.sum(F.when(F.col("half") == 1, F.col("n")).otherwise(0))
+            / F.count_distinct("dim")
+        ).cast("long").alias("n_new"),
+    )
+    return s.crossJoin(F.broadcast(cnt)).select(
+        "n_old",
+        "n_new",
+        F.when(
+            F.col("na") * F.col("nb") > 0,
+            F.round(F.col("dot") / F.sqrt(F.col("na") * F.col("nb")), 6),
+        ).alias("centroid_cosine"),
+        F.round(F.sqrt("l2sq"), 6).alias("centroid_l2"),
+    )
+
+
+@register(
+    "storage_partition_skew_audit",
+    """
+    WITH p AS (
+      SELECT epoch_us(ts) // 86400000000 AS day_index,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_partitions,
+             CAST(sum(n_rows) AS DOUBLE) / count(*) AS mean_rows,
+             CAST(max(n_rows) AS DOUBLE) AS mx
+      FROM p
+    )
+    SELECT CAST(row_number() OVER (ORDER BY n_rows DESC, day_index)
+                AS BIGINT) AS rank,
+           day_index, n_rows,
+           round(n_rows / mean_rows, 6) AS ratio_to_mean,
+           n_partitions,
+           round(mx / mean_rows, 6) AS skew_ratio
+    FROM p, t
+    QUALIFY row_number() OVER (ORDER BY n_rows DESC, day_index) <= 5
+    """,
+)
+def q_storage_partition_skew_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Date-partition skew audit: top-5 heaviest day partitions, their
+    ratio to the mean, and the global max/mean skew — the layout
+    readout that decides whether a date-partitioned 100 TB table needs
+    sub-bucketing before its partitions OOM a reader. Integer-day
+    arithmetic; top-k over the |days| relation."""
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    day = ((us - F.pmod(us, F.lit(86_400_000_000))) / F.lit(86_400_000_000)).cast(
+        "long"
+    )
+    p = ev.groupBy(day.alias("day_index")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    t = p.groupBy().agg(
+        F.count(F.lit(1)).alias("n_partitions"),
+        (F.sum("n_rows").cast("double") / F.count(F.lit(1))).alias("mean_rows"),
+        F.max("n_rows").cast("double").alias("mx"),
+    )
+    wtop = W.orderBy(F.col("n_rows").desc(), F.col("day_index"))
+    return (
+        p.crossJoin(F.broadcast(t))
+        .withColumn("rank", F.row_number().over(wtop))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "day_index",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.round(F.col("n_rows") / F.col("mean_rows"), 6).alias(
+                "ratio_to_mean"
+            ),
+            F.col("n_partitions").cast("long").alias("n_partitions"),
+            F.round(F.col("mx") / F.col("mean_rows"), 6).alias("skew_ratio"),
+        )
+    )
+
+
+@register(
+    "dq_uniqueness_audit",
+    """
+    WITH k AS (
+      SELECT event_id, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_id
+    )
+    SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(c) - count(*) AS BIGINT) AS n_dup_rows,
+           round((sum(c) - count(*)) / CAST(sum(c) AS DOUBLE), 6)
+             AS dup_ratio,
+           CAST(max(c) AS BIGINT) AS max_key_multiplicity
+    FROM k
+    """,
+)
+def q_dq_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit on events.event_id: duplicate-row
+    count/ratio and the worst key multiplicity — the ingest-contract
+    check that catches a replayed batch before it double-counts
+    revenue. One map-side-combined groupBy; the audit relation is
+    |distinct keys| but folds to one row."""
+    ev = _events(spark, sf_dir)
+    k = ev.groupBy("event_id").agg(F.count(F.lit(1)).alias("c"))
+    return k.groupBy().agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        (F.sum("c") - F.count(F.lit(1))).cast("long").alias("n_dup_rows"),
+        F.round(
+            (F.sum("c") - F.count(F.lit(1))) / F.sum("c").cast("double"), 6
+        ).alias("dup_ratio"),
+        F.max("c").cast("long").alias("max_key_multiplicity"),
+    )
+
+
+@register(
+    "seasonality_strength_by_type",
+    """
+    WITH h AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+             CAST(count(*) AS DOUBLE) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    prof AS (
+      SELECT event_type, hr % 168 AS how, avg(c) AS m
+      FROM h GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT h.event_type, h.c, prof.m
+      FROM h JOIN prof ON h.event_type = prof.event_type
+                      AND h.hr % 168 = prof.how
+    ),
+    a AS (
+      SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+             sum(c) AS sc, sum(c * c) AS scc,
+             sum((c - m) * (c - m)) AS sr
+      FROM j GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+           CASE WHEN scc - sc * sc / n > 0
+                THEN round(1.0 - sr / (scc - sc * sc / n), 6)
+           END AS seasonality_strength
+    FROM a
+    """,
+)
+def q_seasonality_strength_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hour-of-week seasonality strength per event type: 1 −
+    var(residual)/var(total) of the hourly count series against its
+    168-slot profile — the STL-style "how periodic is this stream"
+    score that gates whether a seasonal-naive forecast (or the
+    seasonal anomaly detector) is even applicable. Counts fold to the
+    |type × hour| relation; the profile is |type × 168|; the score is
+    a ratio of sums."""
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    hr = ((us - F.pmod(us, F.lit(3_600_000_000))) / F.lit(3_600_000_000)).cast(
+        "long"
+    )
+    h = ev.groupBy("event_type", hr.alias("hr")).agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    prof = h.groupBy(
+        "event_type", (F.col("hr") % 168).alias("how")
+    ).agg(F.avg("c").alias("m"))
+    j = h.withColumn("how", F.col("hr") % 168).join(
+        F.broadcast(prof), ["event_type", "how"]
+    )
+    a = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+        F.sum((F.col("c") - F.col("m")) * (F.col("c") - F.col("m"))).alias(
+            "sr"
+        ),
+    )
+    sst = F.col("scc") - F.col("sc") * F.col("sc") / F.col("n")
+    return a.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_hours"),
+        F.when(sst > 0, F.round(1.0 - F.col("sr") / sst, 6)).alias(
+            "seasonality_strength"
+        ),
+    )

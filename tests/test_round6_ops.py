@@ -789,3 +789,34 @@ class TestGraphAuditBatch:
         # hot key 1: 50 rows of 60 total over 11 keys; mean = 60/11
         assert top["key"] == 1 and top["n"] == 50
         assert abs(top["skew_ratio"] - 50 / (60 / 11)) < 1e-6
+
+
+class TestDriftQualityBatch:
+    def test_dq_uniqueness_flags_duplicates(self, spark, tmp_path):
+        t0 = 1_700_000_000 * US
+        # event_id 1 appears 3x, id 2 once
+        rows = [_ev(1, t0, 1), _ev(1, t0 + US, 1), _ev(1, t0 + 2 * US, 2),
+                _ev(2, t0, 3)]
+        sf = _write_events(str(tmp_path), rows)
+        fn, sql = q._REGISTRY["dq_uniqueness_audit"]
+        compare(spark, sf, fn, sql)
+        r = fn(spark, sf).collect()[0]
+        assert r["n_rows"] == 4 and r["n_keys"] == 2
+        assert r["n_dup_rows"] == 2 and r["max_key_multiplicity"] == 3
+        assert r["dup_ratio"] == 0.5
+
+    def test_seasonality_strength_pure_periodic(self, spark, tmp_path):
+        t0 = (1_700_000_000 // 604800) * 604800 * US  # week-aligned
+        rows, eid = [], 1
+        # two weeks: hour-of-week slot 0 gets 3 events, slot 1 gets 1 -
+        # perfectly periodic -> residual 0 -> strength 1
+        for week in range(2):
+            base = t0 + week * 604800 * US
+            for _ in range(3):
+                rows.append(_ev(eid, base + eid, 1)); eid += 1
+            rows.append(_ev(eid, base + 3_600_000_000 + eid, 1)); eid += 1
+        sf = _write_events(str(tmp_path), rows)
+        fn, sql = q._REGISTRY["seasonality_strength_by_type"]
+        compare(spark, sf, fn, sql)
+        r = fn(spark, sf).collect()[0]
+        assert r["seasonality_strength"] == 1.0
