@@ -1203,3 +1203,114 @@ def t_closeness(
             "violates_t"
         ),
     )
+
+
+def ridge_regression_3f(
+    df: DataFrame,
+    y_col: str,
+    x_cols: tuple[str, str, str],
+    lam: float = 1.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """Closed-form ridge regression with three features: center
+    everything, solve (XᵀX + λI)β = Xᵀy by Cramer's rule on the 3×3
+    normal equations, recover the intercept from the means — the
+    entire fit is ONE map-side-combined aggregation pass plus scalar
+    arithmetic, the pattern for fitting small linear models on 100 TB
+    without any iterative solver or collect.
+
+    Every output is a ratio of moment sums (the summation-order rule);
+    the λ ridge keeps the system well-conditioned so the Cramer
+    cancellations don't amplify float noise. A singular system
+    (det = 0, λ = 0 with collinear features) NULLs the coefficients.
+    R² is computed on the centered system: 1 − SSE/Syy with
+    SSE = Syy − 2βᵀb + βᵀSβ (S WITHOUT the ridge — the fit is
+    penalized, the reported fit quality is not)."""
+    x1, x2, x3 = (F.col(c).cast("double") for c in x_cols)
+    y = F.col(y_col).cast("double")
+    d = df.filter(
+        y.isNotNull() & x1.isNotNull() & x2.isNotNull() & x3.isNotNull()
+    ).select(
+        y.alias("_y"), x1.alias("_x1"), x2.alias("_x2"), x3.alias("_x3")
+    )
+    c = {}
+    cols = {"_y": F.col("_y"), "_x1": F.col("_x1"), "_x2": F.col("_x2"),
+            "_x3": F.col("_x3")}
+    aggs = [F.count(F.lit(1)).cast("double").alias("_n")]
+    for name, col in cols.items():
+        aggs.append(F.sum(col).alias(f"_s{name}"))
+    for i, (ni, ci) in enumerate(cols.items()):
+        for nj, cj in list(cols.items())[i:]:
+            aggs.append(F.sum(ci * cj).alias(f"_s{ni}{nj}"))
+    m = d.groupBy().agg(*aggs)
+
+    n = F.col("_n")
+
+    def cen(a: str, b: str) -> Column:
+        # centered moment S_ab = Σab − ΣaΣb/n
+        return F.col(f"_s{a}{b}") - F.col(f"_s{a}") * F.col(f"_s{b}") / n
+
+    syy = cen("_y", "_y")
+    a11 = cen("_x1", "_x1") + F.lit(lam)
+    a22 = cen("_x2", "_x2") + F.lit(lam)
+    a33 = cen("_x3", "_x3") + F.lit(lam)
+    a12 = cen("_x1", "_x2")
+    a13 = cen("_x1", "_x3")
+    a23 = cen("_x2", "_x3")
+    b1 = F.col("_s_y_x1") - F.col("_s_y") * F.col("_s_x1") / n
+    b2 = F.col("_s_y_x2") - F.col("_s_y") * F.col("_s_x2") / n
+    b3 = F.col("_s_y_x3") - F.col("_s_y") * F.col("_s_x3") / n
+
+    det = (
+        a11 * (a22 * a33 - a23 * a23)
+        - a12 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * a23 - a22 * a13)
+    )
+    beta1 = F.try_divide(
+        b1 * (a22 * a33 - a23 * a23)
+        - a12 * (b2 * a33 - a23 * b3)
+        + a13 * (b2 * a23 - a22 * b3),
+        det,
+    )
+    beta2 = F.try_divide(
+        a11 * (b2 * a33 - a23 * b3)
+        - b1 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * b3 - b2 * a13),
+        det,
+    )
+    beta3 = F.try_divide(
+        a11 * (a22 * b3 - b2 * a23)
+        - a12 * (a12 * b3 - b2 * a13)
+        + b1 * (a12 * a23 - a22 * a13),
+        det,
+    )
+    s11, s22, s33 = a11 - F.lit(lam), a22 - F.lit(lam), a33 - F.lit(lam)
+    sse = (
+        syy
+        - 2.0 * (beta1 * b1 + beta2 * b2 + beta3 * b3)
+        + (
+            beta1 * (s11 * beta1 + a12 * beta2 + a13 * beta3)
+            + beta2 * (a12 * beta1 + s22 * beta2 + a23 * beta3)
+            + beta3 * (a13 * beta1 + a23 * beta2 + s33 * beta3)
+        )
+    )
+    intercept = (
+        F.col("_s_y")
+        - beta1 * F.col("_s_x1")
+        - beta2 * F.col("_s_x2")
+        - beta3 * F.col("_s_x3")
+    ) / n
+    # ``decimals`` applies to the coefficient columns only (callers on
+    # ill-scaled data pass 4 — the det-ratio amplifies summation noise
+    # past a 6dp grid, see q_ridge_regression_price); r2 is a bounded
+    # ratio and always rounds at 6dp. Single rounding — a 6dp-then-4dp
+    # double round can cross a 4dp boundary the oracle's single round
+    # does not.
+    return m.select(
+        n.cast("long").alias("n"),
+        F.round(intercept, decimals).alias("intercept"),
+        F.round(beta1, decimals).alias("beta_1"),
+        F.round(beta2, decimals).alias("beta_2"),
+        F.round(beta3, decimals).alias("beta_3"),
+        F.when(syy > 0, F.round(1.0 - sse / syy, 6)).alias("r2"),
+    )

@@ -38,11 +38,14 @@ def register(name: str, oracle: str | None):
 # never-driver-run backlog left after round 5 (35 carried + the 15
 # round-5 additions; all green in CORRECTNESS-replica and in the
 # committed sf0.1 sweep artifact PARITY_SF01.json). Remaining backlog
-# after round 6: the 5 late-round-5 additions (cohort_ltv_weekly_curve
-# funnel_convert_time_quantiles subject_burstiness
-# privacy_small_count_suppression storage_compaction_plan) plus every
-# round-6 addition — round 7's window takes ALL of them (5 + round-6
-# additions must stay <= 50, i.e. cap round-6 additions at 45) and ends
+# after round 6 = exactly 41 names: the 5 late-round-5 additions
+# (cohort_ltv_weekly_curve funnel_convert_time_quantiles
+# subject_burstiness privacy_small_count_suppression
+# storage_compaction_plan) plus the 36 round-6 additions (5 rank/Bayes/
+# power stats from early round 6, then the 31 registered after the
+# window was set: the classical-stats, experiment-design, time-series,
+# eval, text/corpus, graph/audit, drift/quality, and ridge batches —
+# see git log). Round 7's window takes ALL 41 (<= 50, 9 spare) and ends
 # with zero never-driver-run names. The 3 rows-only names
 # (approx_distinct_users_by_type, dedup_simhash_pairs, ann_ivf_topk)
 # can never go green (err: no_oracle) and stay OUT of every window.
@@ -13024,4 +13027,104 @@ def q_seasonality_strength_by_type(
         F.when(sst > 0, F.round(1.0 - F.col("sr") / sst, 6)).alias(
             "seasonality_strength"
         ),
+    )
+
+
+@register(
+    "ridge_regression_price",
+    """
+    WITH d AS (
+      SELECT CAST(l_extendedprice AS DOUBLE) AS y,
+             CAST(l_quantity AS DOUBLE) AS x1,
+             CAST(l_discount AS DOUBLE) AS x2,
+             CAST(l_tax AS DOUBLE) AS x3
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+    ),
+    m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             sum(y) AS sy, sum(x1) AS sx1, sum(x2) AS sx2, sum(x3) AS sx3,
+             sum(y * y) AS syy0, sum(y * x1) AS syx1, sum(y * x2) AS syx2,
+             sum(y * x3) AS syx3,
+             sum(x1 * x1) AS s110, sum(x1 * x2) AS s120,
+             sum(x1 * x3) AS s130, sum(x2 * x2) AS s220,
+             sum(x2 * x3) AS s230, sum(x3 * x3) AS s330
+      FROM d
+    ),
+    c AS (
+      SELECT n, sy, sx1, sx2, sx3,
+             syy0 - sy * sy / n AS syy,
+             s110 - sx1 * sx1 / n + 1.0 AS a11,
+             s220 - sx2 * sx2 / n + 1.0 AS a22,
+             s330 - sx3 * sx3 / n + 1.0 AS a33,
+             s120 - sx1 * sx2 / n AS a12,
+             s130 - sx1 * sx3 / n AS a13,
+             s230 - sx2 * sx3 / n AS a23,
+             syx1 - sy * sx1 / n AS b1,
+             syx2 - sy * sx2 / n AS b2,
+             syx3 - sy * sx3 / n AS b3
+      FROM m
+    ),
+    s AS (
+      SELECT *,
+             a11 * (a22 * a33 - a23 * a23)
+             - a12 * (a12 * a33 - a23 * a13)
+             + a13 * (a12 * a23 - a22 * a13) AS det
+      FROM c
+    ),
+    bexpr AS (
+      SELECT *,
+             (b1 * (a22 * a33 - a23 * a23)
+              - a12 * (b2 * a33 - a23 * b3)
+              + a13 * (b2 * a23 - a22 * b3)) / det AS beta1,
+             (a11 * (b2 * a33 - a23 * b3)
+              - b1 * (a12 * a33 - a23 * a13)
+              + a13 * (a12 * b3 - b2 * a13)) / det AS beta2,
+             (a11 * (a22 * b3 - b2 * a23)
+              - a12 * (a12 * b3 - b2 * a13)
+              + b1 * (a12 * a23 - a22 * a13)) / det AS beta3
+      FROM s WHERE det <> 0
+    ),
+    f AS (
+      SELECT n, syy, b1, b2, b3, a12, a13, a23,
+             a11 - 1.0 AS s11, a22 - 1.0 AS s22, a33 - 1.0 AS s33,
+             beta1, beta2, beta3,
+             (sy - beta1 * sx1 - beta2 * sx2 - beta3 * sx3) / n AS icept
+      FROM bexpr
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(icept, 4) AS intercept,
+           round(beta1, 4) AS beta_1,
+           round(beta2, 4) AS beta_2,
+           round(beta3, 4) AS beta_3,
+           CASE WHEN syy > 0 THEN round(1.0 - (
+             syy - 2.0 * (beta1 * b1 + beta2 * b2 + beta3 * b3)
+             + (beta1 * (s11 * beta1 + a12 * beta2 + a13 * beta3)
+                + beta2 * (a12 * beta1 + s22 * beta2 + a23 * beta3)
+                + beta3 * (a13 * beta1 + a23 * beta2 + s33 * beta3))
+           ) / syy, 6) END AS r2
+    FROM f
+    """,
+)
+def q_ridge_regression_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ridge regression (λ=1) of extended price on
+    (quantity, discount, tax): one moment-aggregation pass + Cramer's
+    rule on the 3×3 normal equations — fitting a small linear model on
+    100 TB with zero iterations and zero collects. Coefficients round
+    at 4dp, not the house 6dp: the determinant ratio amplifies
+    summation-order noise by the system's conditioning, and at
+    β ~ 10³-10⁴ a 6dp grid is inside the analytic noise bound while
+    4dp has 50× headroom (the KS-grid lesson applied ex ante).
+    operators/stats.py ridge_regression_3f; unit-pinned against
+    numpy's solve on synthetic data."""
+    from eventstreamml_spark.operators.stats import ridge_regression_3f
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return ridge_regression_3f(
+        li,
+        "l_extendedprice",
+        ("l_quantity", "l_discount", "l_tax"),
+        lam=1.0,
+        decimals=4,
     )

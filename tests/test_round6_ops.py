@@ -820,3 +820,117 @@ class TestDriftQualityBatch:
         compare(spark, sf, fn, sql)
         r = fn(spark, sf).collect()[0]
         assert r["seasonality_strength"] == 1.0
+
+
+class TestRound6PlanShapes:
+    """Pin the documented shuffle shapes of the round-6 operators — a
+    regression that adds an exchange or flips a broadcast to a shuffle
+    join is a scale bug even when results stay correct."""
+
+    def _plan(self, df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_sprt_windows_partition_by_arm(self, spark):
+        from eventstreamml_spark.operators.stats import sprt_bernoulli
+        from datetime import datetime
+
+        rows = [(i % 2, datetime(2024, 1, 1 + i % 5), True)
+                for i in range(50)]
+        df = spark.createDataFrame(rows, "arm int, ts timestamp, c boolean")
+        plan = self._plan(sprt_bernoulli(df, "arm", "ts", "c", 0.3, 0.4))
+        # the cumulative LLR window must run per-arm over the DAILY
+        # aggregate, never single-partition over raw events
+        assert "Exchange SinglePartition" not in plan
+        assert plan.count("Window") == 1
+
+    def test_watermark_bucketed_window_no_global_sort(self, spark):
+        from eventstreamml_spark.operators.windows import watermark_lateness
+        from datetime import datetime
+
+        rows = [(i, datetime(2024, 1, 1), "a") for i in range(100)]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string"
+        )
+        plan = self._plan(watermark_lateness(df, bucket_size=10))
+        # the per-event running max partitions by bucket; the ONLY
+        # single-partition stage is the |buckets|-relation carry window
+        assert "hashpartitioning(_bk" in plan
+        assert plan.count("Exchange SinglePartition") <= 1
+
+    def test_bigram_lm_model_joins_broadcast(self, spark):
+        from eventstreamml_spark.operators.text import bigram_lm_nll
+
+        docs = spark.createDataFrame(
+            [(i, "a b c d e f g") for i in range(8)],
+            "doc_id long, text string",
+        )
+        plan = self._plan(bigram_lm_nll(docs))
+        # pair counts, unigram counts, and V are model state: all three
+        # reach the held-out bigrams as broadcasts, never a shuffle join
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "SortMergeJoin" not in plan
+
+    def test_bloom_bit_set_broadcast(self, spark):
+        from eventstreamml_spark.operators.sketches import (
+            bloom_membership_audit,
+        )
+
+        build = spark.range(20).select(F.col("id").alias("key"))
+        probe = spark.range(200).select(F.col("id").alias("key"))
+        plan = self._plan(bloom_membership_audit(build, probe))
+        # the bit set is <= m_bits rows by construction: the probe-side
+        # membership check must be a broadcast semi-join
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+    def test_t_closeness_windows_on_grid_only(self, spark):
+        from eventstreamml_spark.operators.stats import t_closeness
+
+        df = spark.range(1000).select(
+            (F.col("id") % 7).alias("g"),
+            (F.col("id") % 97).cast("double").alias("v"),
+        )
+        plan = self._plan(t_closeness(df, "g", "v"))
+        # cumulative EMD windows partition by group over the group x bin
+        # grid — never an unpartitioned window (the SinglePartition
+        # exchanges in this plan are the one-row min/max scalar
+        # aggregates, the documented broadcast-scalar pattern)
+        n_specs = plan.count("windowspecdefinition(")
+        assert n_specs >= 1
+        assert plan.count("windowspecdefinition(_g") == n_specs
+
+
+class TestRidgeRegression:
+    def test_matches_numpy_closed_form(self, spark):
+        import numpy as np
+        from eventstreamml_spark.operators.stats import ridge_regression_3f
+
+        rng = np.random.default_rng(11)
+        n = 500
+        X = rng.normal(size=(n, 3)) * [2.0, 0.5, 5.0]
+        beta_true = np.array([3.0, -7.0, 0.25])
+        yv = 10.0 + X @ beta_true + rng.normal(size=n) * 0.1
+        rows = [(float(yv[i]), float(X[i, 0]), float(X[i, 1]),
+                 float(X[i, 2])) for i in range(n)]
+        df = spark.createDataFrame(rows, "y double, x1 double, x2 double, x3 double")
+        lam = 1.0
+        r = ridge_regression_3f(df, "y", ("x1", "x2", "x3"), lam=lam).collect()[0]
+        # numpy reference: centered ridge normal equations
+        Xc = X - X.mean(axis=0)
+        yc = yv - yv.mean()
+        A = Xc.T @ Xc + lam * np.eye(3)
+        beta = np.linalg.solve(A, Xc.T @ yc)
+        icept = yv.mean() - X.mean(axis=0) @ beta
+        assert abs(r["beta_1"] - beta[0]) < 1e-3
+        assert abs(r["beta_2"] - beta[1]) < 1e-3
+        assert abs(r["beta_3"] - beta[2]) < 1e-3
+        assert abs(r["intercept"] - icept) < 1e-3
+        assert r["r2"] > 0.99 and r["n"] == n
+
+    def test_singular_unregularized_nulls(self, spark):
+        from eventstreamml_spark.operators.stats import ridge_regression_3f
+
+        # x2 = 2*x1 exactly collinear, lam=0 -> det 0 -> NULL betas
+        rows = [(float(i), float(i), 2.0 * i, 1.0) for i in range(20)]
+        df = spark.createDataFrame(rows, "y double, x1 double, x2 double, x3 double")
+        r = ridge_regression_3f(df, "y", ("x1", "x2", "x3"), lam=0.0).collect()[0]
+        assert r["beta_1"] is None and r["beta_2"] is None
