@@ -382,3 +382,138 @@ def brier_decomposition(
         F.round(ybar * (1.0 - ybar), 6).alias("uncertainty"),
         F.round(F.col("_wvar") / F.col("_n"), 6).alias("within_bin_var"),
     )
+
+
+def cohens_kappa(
+    preds: DataFrame,
+    label_col: str = "label",
+    pred_col: str = "pred",
+) -> DataFrame:
+    """Cohen's kappa chance-corrected agreement between two labelings:
+    κ = (p_o − p_e)/(1 − p_e) with p_o the diagonal mass and p_e the
+    product-of-marginals mass Σ_k (row_k · col_k)/N². Same
+    single-scan confusion reduction as multiclass_metrics — one
+    map-side-combined groupBy to the |C|² relation, marginals reduced
+    from that tiny relation. Perfect chance agreement
+    (p_e = 1, a single shared class) NULLs κ via try_divide rather
+    than fabricating 0/0."""
+    counts = preds.groupBy(
+        F.col(label_col).alias("_l"), F.col(pred_col).alias("_p")
+    ).agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    # p_e = Σ_k row_k · col_k / N² where k ranges over classes seen in
+    # EITHER role: reduce each marginal separately and outer-join on
+    # the class key (missing side = 0 contributes nothing).
+    by_l = counts.groupBy(F.col("_l").alias("clazz")).agg(
+        F.sum("_n").alias("_row")
+    )
+    by_p = counts.groupBy(F.col("_p").alias("clazz")).agg(
+        F.sum("_n").alias("_col")
+    )
+    marg = by_l.join(by_p, "clazz", "outer").select(
+        (
+            F.coalesce(F.col("_row"), F.lit(0.0))
+            * F.coalesce(F.col("_col"), F.lit(0.0))
+        ).alias("_rc")
+    )
+    tot = counts.groupBy().agg(
+        F.sum("_n").alias("_nt"),
+        F.sum(
+            F.when(F.col("_l") == F.col("_p"), F.col("_n")).otherwise(0.0)
+        ).alias("_diag"),
+    )
+    pe_rel = marg.groupBy().agg(F.sum("_rc").alias("_sum_rc"))
+    j = tot.crossJoin(F.broadcast(pe_rel))
+    po = F.col("_diag") / F.col("_nt")
+    pe = F.col("_sum_rc") / (F.col("_nt") * F.col("_nt"))
+    return j.select(
+        F.col("_nt").cast("long").alias("n"),
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        F.round(F.try_divide(po - pe, 1.0 - pe), 6).alias("kappa"),
+    )
+
+
+def kendall_tau_groups(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    score_a_col: str,
+    score_b_col: str,
+) -> DataFrame:
+    """Per-group Kendall tau-a rank agreement between two scoring
+    functions over a BOUNDED per-group item set (hours of day, top-k
+    candidates, ...): concordant/discordant pairs via a within-group
+    self-join on item_i < item_j — O(k²) per group with k bounded by
+    construction, never a cross-group pair. Ties on either score
+    count as neither (tau-a: denominator stays k(k−1)/2). Scores
+    should be exact integers (counts, integer-scaled sums) so the
+    pairwise comparisons are bit-identical across engines — float
+    scores risk summation-order rank flips at scale."""
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(item_col).alias("_i"),
+        F.col(score_a_col).alias("_sa"),
+        F.col(score_b_col).alias("_sb"),
+    )
+    left = base.select(
+        "_g",
+        F.col("_i").alias("_i1"),
+        F.col("_sa").alias("_sa1"),
+        F.col("_sb").alias("_sb1"),
+    )
+    right = base.select(
+        "_g",
+        F.col("_i").alias("_i2"),
+        F.col("_sa").alias("_sa2"),
+        F.col("_sb").alias("_sb2"),
+    )
+    # eqNullSafe: a NULL group key is still a group — a plain equi-join
+    # would silently drop its pairs (the spc_control_limits lesson)
+    pairs = left.join(
+        right, left["_g"].eqNullSafe(right["_g"])
+    ).drop(right["_g"]).filter(F.col("_i1") < F.col("_i2"))
+    sga = F.signum((F.col("_sa1") - F.col("_sa2")).cast("double"))
+    sgb = F.signum((F.col("_sb1") - F.col("_sb2")).cast("double"))
+    scored = pairs.select(
+        "_g",
+        F.when(sga * sgb > 0, 1).otherwise(0).alias("_conc"),
+        F.when(sga * sgb < 0, 1).otherwise(0).alias("_disc"),
+    )
+    per_group_n = base.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n_items")
+    )
+    agg = scored.groupBy("_g").agg(
+        F.sum("_conc").alias("n_concordant"),
+        F.sum("_disc").alias("n_discordant"),
+    )
+    denom = (
+        F.col("n_items") * (F.col("n_items") - 1) / F.lit(2.0)
+    )
+    return (
+        per_group_n.join(
+            agg,
+            per_group_n["_g"].eqNullSafe(agg["_g"]),
+            "left",
+        )
+        .drop(agg["_g"])
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("n_items").cast("long").alias("n_items"),
+            F.coalesce(F.col("n_concordant"), F.lit(0))
+            .cast("long")
+            .alias("n_concordant"),
+            F.coalesce(F.col("n_discordant"), F.lit(0))
+            .cast("long")
+            .alias("n_discordant"),
+            F.round(
+                F.try_divide(
+                    (
+                        F.coalesce(F.col("n_concordant"), F.lit(0))
+                        - F.coalesce(F.col("n_discordant"), F.lit(0))
+                    ).cast("double"),
+                    denom,
+                ),
+                6,
+            ).alias("kendall_tau"),
+        )
+    )

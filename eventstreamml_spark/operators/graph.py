@@ -154,3 +154,91 @@ def random_walks(
             ),
         )
     return walks.select("start", "path", F.col("cur").alias("end"))
+
+
+def common_neighbor_link_scores(
+    edges: DataFrame,
+    top_k: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hub_degree: int | None = None,
+) -> DataFrame:
+    """Jaccard common-neighbor link prediction over an undirected
+    graph: for every NON-adjacent pair (u, v) sharing at least one
+    neighbor, score = |Γ(u) ∩ Γ(v)| / |Γ(u) ∪ Γ(v)|, emit the top_k
+    by (score, common-count, pair id) with a deterministic total
+    order.
+
+    Plan: canonicalize edges (1 shuffle) → symmetric adjacency →
+    wedge self-join on the shared middle node w (fan-out deg(w)² —
+    the honest scale bound; on power-law graphs pass
+    ``max_hub_degree`` to drop super-hub middles, the standard
+    candidate-capping trade of recall for a bounded join, mirroring
+    minhash_lsh's ``max_shingle_df``) → anti-join against the edge
+    set → degree lookups. Every join is an equi-join on node ids;
+    the score is an exact ratio of integers, so cross-engine ordering
+    is bit-stable."""
+    und = canonical_edges(edges, src_col, dst_col)
+    adj = und.select(
+        F.col("lo").alias("a"), F.col("hi").alias("b")
+    ).unionAll(und.select(F.col("hi").alias("a"), F.col("lo").alias("b")))
+    deg = adj.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    mid = adj.select(F.col("b").alias("w"), F.col("a").alias("u"))
+    if max_hub_degree is not None:
+        keep = deg.filter(F.col("deg") <= max_hub_degree).select(
+            F.col("node").alias("w")
+        )
+        mid = mid.join(F.broadcast(keep), "w")
+    left = mid.select("w", F.col("u").alias("u"))
+    right = mid.select("w", F.col("u").alias("v"))
+    wedges = left.join(right, "w").filter(F.col("u") < F.col("v"))
+    cn = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    non_adj = cn.join(
+        und,
+        (cn["u"] == und["lo"]) & (cn["v"] == und["hi"]),
+        "left_anti",
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    scored = (
+        non_adj.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "n_common",
+            "deg_u",
+            "deg_v",
+            F.try_divide(
+                F.col("n_common").cast("double"),
+                (F.col("deg_u") + F.col("deg_v") - F.col("n_common")).cast(
+                    "double"
+                ),
+            ).alias("_j"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(
+        F.col("_j").desc(),
+        F.col("n_common").desc(),
+        F.col("u"),
+        F.col("v"),
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            F.col("u").cast("long").alias("u"),
+            F.col("v").cast("long").alias("v"),
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("deg_u").cast("long").alias("deg_u"),
+            F.col("deg_v").cast("long").alias("deg_v"),
+            F.round(F.col("_j"), 6).alias("jaccard"),
+        )
+    )

@@ -162,6 +162,11 @@ def chi_square_independence(
     the raw data), so the raw table is read exactly once. Output is a
     single row (chi2, dof, n) — the p-value lookup is a client-side
     table concern, the cluster's job is the statistic.
+
+    Cells with zero observations never appear in the groupBy output,
+    but each contributes (0−E)²/E = E to χ²; since ΣE over the FULL
+    r×c grid is exactly N, the missing-cell mass is N − ΣE(observed)
+    — added as a closed-form correction, no dense grid materialized.
     """
     from pyspark.sql import Window as W
 
@@ -173,10 +178,16 @@ def chi_square_independence(
     n_t = F.sum("_o").over(W.partitionBy())
     e = row_t * col_t / n_t
     cells = obs.select(
-        "_a", "_b", "_o", ((F.col("_o") - e) ** 2 / e).alias("_c")
+        "_a",
+        "_b",
+        "_o",
+        ((F.col("_o") - e) ** 2 / e).alias("_c"),
+        e.alias("_e"),
     )
     return cells.groupBy().agg(
-        F.round(F.sum("_c"), 6).alias("chi2"),
+        F.round(
+            F.sum("_c") + (F.sum("_o") - F.sum("_e")), 6
+        ).alias("chi2"),
         (
             (F.count_distinct(F.col("_a")) - 1)
             * (F.count_distinct(F.col("_b")) - 1)
@@ -783,9 +794,14 @@ def theil_sen_trend(
         .withColumn("_i", F.row_number().over(seq))
     )
     counts = base.groupBy("_k").agg(F.count(F.lit(1)).alias("n_points"))
-    eligible = base.join(
-        F.broadcast(counts.filter(F.col("n_points") >= min_points)), "_k"
+    # eqNullSafe on the subject key: a NULL subject is still a series
+    # and a plain equi-join would silently drop it (spc lesson)
+    cnt = counts.filter(F.col("n_points") >= min_points).withColumnRenamed(
+        "_k", "_kc"
     )
+    eligible = base.join(
+        F.broadcast(cnt), F.col("_k").eqNullSafe(F.col("_kc"))
+    ).drop("_kc")
     a = eligible.select("_k", "n_points", "_i", "_x", "_y")
     b = eligible.select(
         F.col("_k").alias("_k2"),
@@ -795,7 +811,7 @@ def theil_sen_trend(
     )
     pairs = a.join(
         b,
-        (F.col("_k") == F.col("_k2"))
+        F.col("_k").eqNullSafe(F.col("_k2"))
         & (F.col("_i") < F.col("_j"))
         & (F.col("_x") != F.col("_x2")),
     ).select(
@@ -856,7 +872,24 @@ def spearman_corr(
             "_g", col, (cum - F.col("_t") + (F.col("_t") + 1) / 2.0).alias(f"_r{col}")
         )
 
-    j = d.join(ranks("_x"), ["_g", "_x"]).join(ranks("_y"), ["_g", "_y"])
+    # group key may be NULL: join null-safely (values are non-null by
+    # the filter above, so only _g needs the null-safe form)
+    rx = ranks("_x").withColumnRenamed("_g", "_gx")
+    ry = ranks("_y").withColumnRenamed("_g", "_gy")
+    j = (
+        d.join(
+            rx,
+            F.col("_g").eqNullSafe(F.col("_gx"))
+            & (d["_x"] == rx["_x"]),
+        )
+        .drop(rx["_x"]).drop("_gx")
+        .join(
+            ry,
+            F.col("_g").eqNullSafe(F.col("_gy"))
+            & (d["_y"] == ry["_y"]),
+        )
+        .drop(ry["_y"]).drop("_gy")
+    )
     agg = j.groupBy("_g").agg(
         F.count(F.lit(1)).cast("double").alias("_n"),
         F.sum("_r_x").alias("_sx"),
@@ -944,7 +977,7 @@ def brown_forsythe(
     )
     z = (
         df.filter(F.col(value_col).isNotNull())
-        .join(F.broadcast(med), F.col(group_col) == F.col("_mg"))
+        .join(F.broadcast(med), F.col(group_col).eqNullSafe(F.col("_mg")))
         .select(
             F.col(group_col),
             F.abs(F.col(value_col).cast("double") - F.col("_med")).alias("_z"),
@@ -1178,7 +1211,13 @@ def t_closeness(
     grid = (
         gn.select("_g", "_ng")
         .select("_g", "_ng", F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("_b"))
-        .join(gb, ["_g", "_b"], "left")
+        .join(
+            gb.withColumnRenamed("_g", "_gb").withColumnRenamed("_b", "_bb"),
+            F.col("_g").eqNullSafe(F.col("_gb"))
+            & (F.col("_b") == F.col("_bb")),
+            "left",
+        )
+        .drop("_gb", "_bb")
         .join(F.broadcast(glob), "_b", "left")
         .crossJoin(F.broadcast(tot))
         .select(
@@ -1313,4 +1352,203 @@ def ridge_regression_3f(
         F.round(beta2, decimals).alias("beta_2"),
         F.round(beta3, decimals).alias("beta_3"),
         F.when(syy > 0, F.round(1.0 - sse / syy, 6)).alias("r2"),
+    )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str = "duration",
+    observed_col: str = "observed",
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival estimator over a
+    (duration, observed) relation: one map-side-combined groupBy folds
+    the data to the |distinct durations| relation, then the at-risk
+    counts and the running product S(t) = Π (1 - d_i/n_i) come from
+    window cumulatives OVER THAT TINY RELATION — the raw table is
+    scanned exactly once and nothing row-proportional is sorted.
+
+    The product runs as exp(Σ ln(1 - d/n)) restricted to positive
+    terms, with a cumulative zero-term counter forcing S(t) = 0 from
+    the first time every at-risk subject exits by event — Spark's
+    ln(0) is NULL while DuckDB's is -inf, so the log-sum must never
+    see a zero term on either engine. Emits one row per duration with
+    at least one observed event: (t, n_at_risk, n_events, survival).
+    Durations should be integers (e.g. whole days); survival rounds
+    at 6dp (a product of <= |distinct t| factors, each a ratio of
+    integers — summation-order noise is bounded far below the grid).
+    """
+    from pyspark.sql import Window as W
+
+    t = F.col(duration_col).cast("long")
+    g = (
+        df.filter(t.isNotNull())
+        .groupBy(t.alias("t"))
+        .agg(
+            F.count(F.lit(1)).alias("_exits"),
+            F.sum(
+                F.when(F.col(observed_col).cast("int") == 1, 1).otherwise(0)
+            ).alias("n_events"),
+        )
+    )
+    w = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    total = F.sum("_exits").over(
+        W.orderBy("t").rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        )
+    )
+    n_at_risk = total - (F.sum("_exits").over(w) - F.col("_exits"))
+    term = 1.0 - F.col("n_events") / F.col("n_at_risk").cast("double")
+    staged = g.select(
+        "t",
+        "n_events",
+        n_at_risk.alias("n_at_risk"),
+    ).select(
+        "t",
+        "n_events",
+        "n_at_risk",
+        F.when(term > 0, F.log(term)).otherwise(F.lit(0.0)).alias("_lt"),
+        F.when(term <= 0, 1).otherwise(0).alias("_z"),
+    )
+    surv = F.when(
+        F.sum("_z").over(w) > 0, F.lit(0.0)
+    ).otherwise(F.exp(F.sum("_lt").over(w)))
+    return (
+        staged.select(
+            "t",
+            F.col("n_at_risk").cast("long").alias("n_at_risk"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round(surv, 6).alias("survival"),
+        )
+        .filter(F.col("n_events") > 0)
+    )
+
+
+def wasserstein_grid(
+    df: DataFrame,
+    value_col: str = "value",
+    arm_col: str = "arm",
+    grid_dp: int = 2,
+) -> DataFrame:
+    """1-Wasserstein (earth-mover) distance between the two arms'
+    value distributions on a 10^-grid_dp grid: W1 = Σ |F_a - F_b| · Δx
+    over the binned support. Like ks_two_sample, the data folds to a
+    bounded per-grid-cell relation in one map-side pass (integer
+    floor(value·10^dp) keys — both engines bin identically, the
+    round-5 KS grid lesson applied), and the CDF cumulative runs over
+    that bounded relation, never a row-proportional sort. Emits
+    (n_a, n_b, w1) with w1 rounded 6dp — each term is a bounded
+    |CDF gap| · cell width, so the sum's summation-order noise is
+    orders below the grid."""
+    from pyspark.sql import Window as W
+
+    scale = float(10**grid_dp)
+    v = F.col(value_col).cast("double")
+    binned = df.filter(v.isNotNull()).select(
+        F.floor(v * scale).cast("long").alias("xb"),
+        F.col(arm_col).alias("_arm"),
+    )
+    g = binned.groupBy("xb").agg(
+        F.sum(F.when(F.col("_arm") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("_arm") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    wcum = W.orderBy("xb").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.orderBy("xb").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    # try_divide: a dataset where one arm is empty must yield a NULL
+    # distance (DuckDB's x/0 is NULL), not an ANSI DIVIDE_BY_ZERO crash
+    f0 = F.try_divide(F.sum("c0").over(wcum), F.sum("c0").over(wall))
+    f1 = F.try_divide(F.sum("c1").over(wcum), F.sum("c1").over(wall))
+    gap = (F.lead("xb").over(W.orderBy("xb")) - F.col("xb")) / F.lit(scale)
+    c = g.select(
+        F.sum("c0").over(wall).alias("_n0"),
+        F.sum("c1").over(wall).alias("_n1"),
+        (F.abs(f0 - f1) * gap).alias("_term"),
+    )
+    return c.groupBy().agg(
+        F.max("_n0").cast("long").alias("n_a"),
+        F.max("_n1").cast("long").alias("n_b"),
+        F.round(F.sum("_term"), 6).alias("w1"),
+    )
+
+
+def cramers_v(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Cramér's V association strength between two categoricals:
+    V = √(χ² / (N · (min(r,c) − 1))), the bounded-[0,1] effect size
+    the chi-square statistic alone doesn't give. Same single-scan
+    contingency plan as chi_square_independence, including its
+    zero-cell correction (each unobserved cell contributes E to χ²
+    and ΣE over the full grid is N, so the missing mass is
+    N − ΣE(observed)); a single-level factor on either side NULLs V
+    (0/0) via try_divide."""
+    from pyspark.sql import Window as W
+
+    obs = df.groupBy(
+        F.col(a_col).alias("_a"), F.col(b_col).alias("_b")
+    ).agg(F.count(F.lit(1)).cast("double").alias("_o"))
+    row_t = F.sum("_o").over(W.partitionBy("_a"))
+    col_t = F.sum("_o").over(W.partitionBy("_b"))
+    n_t = F.sum("_o").over(W.partitionBy())
+    e = row_t * col_t / n_t
+    cells = obs.select(
+        "_a",
+        "_b",
+        "_o",
+        ((F.col("_o") - e) ** 2 / e).alias("_c"),
+        e.alias("_e"),
+    )
+    agg = cells.groupBy().agg(
+        (F.sum("_c") + (F.sum("_o") - F.sum("_e"))).alias("_chi2"),
+        F.count_distinct(F.col("_a")).alias("_r"),
+        F.count_distinct(F.col("_b")).alias("_k"),
+        F.sum("_o").alias("_n"),
+    )
+    mindim = F.least(F.col("_r"), F.col("_k")) - 1
+    return agg.select(
+        F.round(F.col("_chi2"), 6).alias("chi2"),
+        ((F.col("_r") - 1) * (F.col("_k") - 1)).cast("long").alias("dof"),
+        F.col("_n").cast("long").alias("n"),
+        F.col("_r").cast("long").alias("n_rows_levels"),
+        F.col("_k").cast("long").alias("n_col_levels"),
+        F.round(
+            F.sqrt(
+                F.try_divide(
+                    F.col("_chi2"), F.col("_n") * mindim.cast("double")
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    before_col: str = "before",
+    after_col: str = "after",
+) -> DataFrame:
+    """McNemar's test for paired binary outcomes (one row per unit,
+    0/1 before/after flags): the statistic lives entirely on the
+    discordant counts b = 1→0 and c = 0→1, χ²_cc = (|b−c|−1)²/(b+c)
+    with the standard continuity correction. One map-side-combined
+    aggregation over the pair relation; b + c = 0 NULLs the statistic
+    via try_divide (no discordance = no test, not a zero)."""
+    bf = F.col(before_col).cast("int")
+    af = F.col(after_col).cast("int")
+    agg = df.groupBy().agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when((bf == 1) & (af == 0), 1).otherwise(0)).alias("_b"),
+        F.sum(F.when((bf == 0) & (af == 1), 1).otherwise(0)).alias("_c"),
+    )
+    num = (F.abs(F.col("_b") - F.col("_c")) - 1) ** 2
+    return agg.select(
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("_b").cast("long").alias("n_yes_no"),
+        F.col("_c").cast("long").alias("n_no_yes"),
+        F.round(
+            F.try_divide(
+                num.cast("double"),
+                (F.col("_b") + F.col("_c")).cast("double"),
+            ),
+            6,
+        ).alias("mcnemar_chi2_cc"),
     )

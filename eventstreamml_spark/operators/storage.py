@@ -117,3 +117,82 @@ def partitioned_copy(
         except OSError:
             pass  # lost the race; the winner's layout is complete
     return os.path.join(dst, "data")
+
+
+def zone_map_audit(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Zone-map (min/max data-skipping) effectiveness audit for a
+    ``value > T`` predicate over day-partitioned data: per-day zones
+    carry (min, max, rows); a partition is PRUNED when max ≤ T (never
+    scanned), FULL when min > T (scanned, every row matches), PARTIAL
+    otherwise. Emits one row: partition counts per class, the scan
+    ratio a zone-map-aware reader would pay, and the predicate's true
+    selectivity — the layout readout that decides whether a 100 TB
+    table needs sort-clustering on the filter column (Z-order's
+    cheaper cousin).
+
+    T is derived engine-stably as an integer: floor of the global
+    mean via exact integer arithmetic on floor(value·100) (a float
+    mean floored at an integer edge is the KS-grid trap). Two
+    map-side-combined passes: the global T aggregate (broadcast back)
+    and the per-day zone aggregate."""
+    from pyspark.sql import functions as F
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    day = ((us - F.pmod(us, F.lit(86_400_000_000))) / F.lit(86_400_000_000)).cast(
+        "long"
+    )
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull()).select(
+        day.alias("_day"),
+        v.alias("_v"),
+        F.floor(v * 100).cast("long").alias("_v100"),
+    )
+    t_rel = base.groupBy().agg(
+        F.floor(
+            F.sum("_v100") / (F.lit(100) * F.count(F.lit(1)))
+        ).cast("long").alias("_t")
+    )
+    zones = base.crossJoin(F.broadcast(t_rel)).groupBy("_day").agg(
+        F.count(F.lit(1)).alias("_rows"),
+        F.min("_v").alias("_mn"),
+        F.max("_v").alias("_mx"),
+        F.sum(
+            F.when(F.col("_v") > F.col("_t").cast("double"), 1).otherwise(0)
+        ).alias("_match"),
+        F.max("_t").alias("_t"),
+    )
+    pruned = F.col("_mx") <= F.col("_t").cast("double")
+    full = F.col("_mn") > F.col("_t").cast("double")
+    return zones.groupBy().agg(
+        F.max("_t").cast("long").alias("threshold"),
+        F.count(F.lit(1)).cast("long").alias("n_partitions"),
+        F.sum(F.when(pruned, 1).otherwise(0)).cast("long").alias("n_pruned"),
+        F.sum(F.when(full, 1).otherwise(0)).cast("long").alias("n_full"),
+        F.sum(F.when(~pruned & ~full, 1).otherwise(0))
+        .cast("long")
+        .alias("n_partial"),
+        F.sum("_rows").cast("long").alias("n_rows"),
+        F.sum(F.when(~pruned, F.col("_rows")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_scanned"),
+        F.sum("_match").cast("long").alias("n_rows_matching"),
+        F.round(
+            F.try_divide(
+                F.sum(F.when(~pruned, F.col("_rows")).otherwise(0)).cast(
+                    "double"
+                ),
+                F.sum("_rows").cast("double"),
+            ),
+            6,
+        ).alias("scan_ratio"),
+        F.round(
+            F.try_divide(
+                F.sum("_match").cast("double"), F.sum("_rows").cast("double")
+            ),
+            6,
+        ).alias("selectivity"),
+    )

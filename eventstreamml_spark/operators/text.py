@@ -1170,3 +1170,73 @@ def bigram_lm_nll(
         F.round(F.avg("_nll"), 6).alias("avg_nll"),
         F.round(F.exp(F.avg("_nll")), 6).alias("ppl"),
     )
+
+
+def flesch_reading_ease(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flesch reading-ease score per document from three pure-regex
+    counts — words (non-empty whitespace tokens), sentences
+    (non-overlapping [.!?]+ runs, floored at 1), syllables
+    (vowel-group runs [aeiouy]+ in the lowercased text, the standard
+    cheap approximation): 206.835 − 1.015·(W/S) − 84.6·(Syl/W).
+    Everything stays in whole-stage codegen (regexp_count +
+    arithmetic, no UDF); the per-doc score is a deterministic function
+    of integer counts, so both engines produce bit-identical doubles.
+    Zero-word docs NULL the score via try_divide."""
+    txt = F.col(text_col)
+    words = F.size(F.filter(F.split(txt, " "), lambda x: x != ""))
+    sentences = F.greatest(F.regexp_count(txt, F.lit(r"[.!?]+")), F.lit(1))
+    syllables = F.regexp_count(F.lower(txt), F.lit("[aeiouy]+"))
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015)
+            * F.try_divide(words.cast("double"), sentences.cast("double"))
+        - F.lit(84.6)
+            * F.try_divide(syllables.cast("double"), words.cast("double"))
+    )
+    return docs.select(
+        F.col(id_col),
+        words.cast("long").alias("n_words"),
+        sentences.cast("long").alias("n_sentences"),
+        syllables.cast("long").alias("n_syllables"),
+        F.when(words > 0, score).alias("flesch_score"),
+    )
+
+
+def flesch_band_histogram(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus readability profile: Flesch scores banded into the
+    standard difficulty buckets with per-band counts and mean score —
+    the corpus-curation readout ("is this crawl slab mostly
+    college-level text?") that gates readability-based quality
+    filtering. One scan + one tiny groupBy; band edges compare
+    bit-identical per-doc doubles against constants, so banding is
+    engine-stable."""
+    scored = flesch_reading_ease(docs, text_col, id_col)
+    s = F.col("flesch_score")
+    band = (
+        F.when(s.isNull(), F.lit("empty"))
+        .when(s < 30, F.lit("00_very_hard"))
+        .when(s < 50, F.lit("01_hard"))
+        .when(s < 60, F.lit("02_fairly_hard"))
+        .when(s < 70, F.lit("03_standard"))
+        .when(s < 90, F.lit("04_easy"))
+        .otherwise(F.lit("05_very_easy"))
+    )
+    return (
+        scored.select(band.alias("band"), s.alias("_s"), "n_words")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("_s"), 6).alias("avg_score"),
+            F.round(F.avg(F.col("n_words").cast("double")), 6).alias(
+                "avg_words"
+            ),
+        )
+    )

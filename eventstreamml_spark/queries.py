@@ -38,15 +38,18 @@ def register(name: str, oracle: str | None):
 # never-driver-run backlog left after round 5 (35 carried + the 15
 # round-5 additions; all green in CORRECTNESS-replica and in the
 # committed sf0.1 sweep artifact PARITY_SF01.json). Remaining backlog
-# after round 6 = exactly 41 names: the 5 late-round-5 additions
+# after round 6 = exactly 50 names: the 5 late-round-5 additions
 # (cohort_ltv_weekly_curve funnel_convert_time_quantiles
 # subject_burstiness privacy_small_count_suppression
-# storage_compaction_plan) plus the 36 round-6 additions (5 rank/Bayes/
-# power stats from early round 6, then the 31 registered after the
-# window was set: the classical-stats, experiment-design, time-series,
-# eval, text/corpus, graph/audit, drift/quality, and ridge batches —
-# see git log). Round 7's window takes ALL 41 (<= 50, 9 spare) and ends
-# with zero never-driver-run names. The 3 rows-only names
+# storage_compaction_plan) plus the 45 round-6 additions — every
+# registry name from mw_u_test_value_by_arm onward in registration
+# order: the 5 early rank/Bayes/power stats, then the classical-stats,
+# experiment-design, time-series, eval, text/corpus, graph/audit,
+# drift/quality, and ridge batches, and the final survival/Wasserstein/
+# Cramér-V/McNemar/kappa/Kendall/link-prediction/readability/zone-map
+# batch (see git log). Round 7's
+# window takes ALL 50 (0 spare — round-7 additions wait for the
+# round-8 window) and ends with zero never-driver-run names. The 3 rows-only names
 # (approx_distinct_users_by_type, dedup_simhash_pairs, ann_ivf_topk)
 # can never go green (err: no_oracle) and stay OUT of every window.
 _ORDER_FIRST: list[str] = [
@@ -8117,7 +8120,8 @@ def q_ab_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
              a, b
       FROM c
     )
-    SELECT round(sum(power(o - ex, 2) / ex), 6) AS chi2,
+    SELECT round(sum(power(o - ex, 2) / ex) + (sum(o) - sum(ex)), 6)
+             AS chi2,
            CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS BIGINT)
              AS dof,
            CAST(sum(o) AS BIGINT) AS n
@@ -11054,8 +11058,9 @@ def q_ab_power_mde_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.k, cnt.n_points,
              (c.y - a.y) / (c.x - a.x) AS slope
       FROM b a
-      JOIN b c ON a.k = c.k AND a.i < c.i AND a.x <> c.x
-      JOIN cnt ON cnt.k = a.k
+      JOIN b c ON a.k IS NOT DISTINCT FROM c.k
+              AND a.i < c.i AND a.x <> c.x
+      JOIN cnt ON cnt.k IS NOT DISTINCT FROM a.k
     )
     SELECT k AS user_id,
            max(n_points) AS n_points,
@@ -11107,8 +11112,8 @@ def q_theil_sen_trend_by_subject(
     j AS (
       SELECT d.g, rx.r AS rxv, ry.r AS ryv
       FROM d
-      JOIN rx ON d.g = rx.g AND d.x = rx.x
-      JOIN ry ON d.g = ry.g AND d.y = ry.y
+      JOIN rx ON d.g IS NOT DISTINCT FROM rx.g AND d.x = rx.x
+      JOIN ry ON d.g IS NOT DISTINCT FROM ry.g AND d.y = ry.y
     ),
     a AS (
       SELECT g, CAST(count(*) AS DOUBLE) AS n,
@@ -11188,7 +11193,8 @@ def q_anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     z AS (
       SELECT e.event_type AS g, abs(CAST(e.value AS DOUBLE) - med.md) AS v
-      FROM events e JOIN med ON e.event_type = med.mg
+      FROM events e
+      JOIN med ON e.event_type IS NOT DISTINCT FROM med.mg
       WHERE e.value IS NOT NULL
     ),
     g AS (
@@ -11611,7 +11617,8 @@ def q_ab_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
              coalesce(gl.cg, 0.0) / tt.nt AS pg
       FROM gn
       CROSS JOIN (SELECT unnest(range(0, 10)) AS i) gs
-      LEFT JOIN gb ON gb.g = gn.g AND gb.bin = gs.i
+      LEFT JOIN gb ON gb.g IS NOT DISTINCT FROM gn.g
+                   AND gb.bin = gs.i
       LEFT JOIN gl ON gl.bin = gs.i
       CROSS JOIN tt
     ),
@@ -12189,7 +12196,8 @@ def q_eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     l AS (
       SELECT q.event_type, q.q, q.f, te.y
-      FROM q JOIN te ON q.event_type = te.event_type
+      FROM q
+      JOIN te ON q.event_type IS NOT DISTINCT FROM te.event_type
     )
     SELECT event_type, q, CAST(count(*) AS BIGINT) AS n_test,
            round(min(f), 6) AS forecast,
@@ -12235,7 +12243,11 @@ def q_eval_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y") >= F.col("f"), F.col("q") * (F.col("y") - F.col("f"))
     ).otherwise((1.0 - F.col("q")) * (F.col("f") - F.col("y")))
     return (
-        te.join(F.broadcast(q), "event_type")
+        te.join(
+            F.broadcast(q.withColumnRenamed("event_type", "_et")),
+            F.col("event_type").eqNullSafe(F.col("_et")),
+        )
+        .drop("_et")
         .groupBy("event_type", "q")
         .agg(
             F.count(F.lit(1)).alias("n_test"),
@@ -12972,7 +12984,7 @@ def q_dq_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     j AS (
       SELECT h.event_type, h.c, prof.m
-      FROM h JOIN prof ON h.event_type = prof.event_type
+      FROM h JOIN prof ON h.event_type IS NOT DISTINCT FROM prof.event_type
                       AND h.hr % 168 = prof.how
     ),
     a AS (
@@ -13009,9 +13021,13 @@ def q_seasonality_strength_by_type(
     prof = h.groupBy(
         "event_type", (F.col("hr") % 168).alias("how")
     ).agg(F.avg("c").alias("m"))
-    j = h.withColumn("how", F.col("hr") % 168).join(
-        F.broadcast(prof), ["event_type", "how"]
-    )
+    h2 = h.withColumn("how", F.col("hr") % 168)
+    # eqNullSafe on the type key: a NULL event_type still has a profile
+    j = h2.join(
+        F.broadcast(prof),
+        h2["event_type"].eqNullSafe(prof["event_type"])
+        & (h2["how"] == prof["how"]),
+    ).select(h2["event_type"], h2["c"], prof["m"])
     a = j.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("c").alias("sc"),
@@ -13128,3 +13144,533 @@ def q_ridge_regression_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         lam=1.0,
         decimals=4,
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 final batch: survival analysis, distribution drift, association
+# strength, paired tests, rank agreement, link prediction, readability,
+# zone-map data skipping
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "survival_km_purchase",
+    """
+    WITH u AS (
+      SELECT user_id, min(epoch_us(ts)) AS t0,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(ts) END) AS tp,
+             max(epoch_us(ts)) AS tl
+      FROM events GROUP BY 1
+    ),
+    d AS (
+      SELECT CASE WHEN tp IS NOT NULL THEN (tp - t0) // 86400000000
+                  ELSE (tl - t0) // 86400000000 END AS t,
+             CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ob
+      FROM u
+    ),
+    g AS (
+      SELECT t, count(*) AS exits, sum(ob) AS n_events FROM d GROUP BY t
+    ),
+    c AS (
+      SELECT t, n_events,
+             sum(exits) OVER ()
+               - (sum(exits) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                  - exits) AS n_at_risk
+      FROM g
+    ),
+    s AS (
+      SELECT t, n_events, n_at_risk,
+             CASE WHEN n_events < n_at_risk
+                  THEN ln(1.0 - n_events / CAST(n_at_risk AS DOUBLE))
+                  ELSE 0.0 END AS lt,
+             CASE WHEN n_events >= n_at_risk THEN 1 ELSE 0 END AS z
+      FROM c
+    ),
+    f AS (
+      SELECT t, n_events, n_at_risk,
+             sum(z) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS zc,
+             sum(lt) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS ls
+      FROM s
+    )
+    SELECT CAST(t AS BIGINT) AS t,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(n_events AS BIGINT) AS n_events,
+           round(CASE WHEN zc > 0 THEN 0.0 ELSE exp(ls) END, 6) AS survival
+    FROM f WHERE n_events > 0
+    """,
+)
+def q_survival_km_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase (whole
+    days from a subject's first event), right-censored at the
+    subject's last activity: the per-subject duration reduction is one
+    map-side-combined groupBy, the product-limit estimator runs over
+    the bounded |distinct durations| relation (operators/stats.py
+    kaplan_meier). Durations are exact integer-µs floor-division days;
+    the survival product is exp(Σ ln) with a zero-term guard because
+    Spark's ln(0) is NULL while DuckDB's is -inf."""
+    from eventstreamml_spark.operators.stats import kaplan_meier
+
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    u = ev.groupBy("user_id").agg(
+        F.min(us).alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("tp"),
+        F.max(us).alias("tl"),
+    )
+    day = F.lit(86_400_000_000)
+    end = F.coalesce(F.col("tp"), F.col("tl"))
+    dur = ((end - F.col("t0")) - F.pmod(end - F.col("t0"), day)) / day
+    d = u.select(
+        dur.cast("long").alias("duration"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("observed"),
+    )
+    return kaplan_meier(d, "duration", "observed")
+
+
+@register(
+    "drift_wasserstein_value",
+    """
+    WITH t AS (
+      SELECT CAST(floor(value * 100) AS BIGINT) AS xb, user_id % 2 AS arm
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT xb,
+             count(*) FILTER (arm = 0) AS c0,
+             count(*) FILTER (arm = 1) AS c1
+      FROM t GROUP BY xb
+    ),
+    c AS (
+      SELECT sum(c0) OVER (ORDER BY xb ROWS UNBOUNDED PRECEDING)
+               / (sum(c0) OVER ()) AS f0,
+             sum(c1) OVER (ORDER BY xb ROWS UNBOUNDED PRECEDING)
+               / (sum(c1) OVER ()) AS f1,
+             sum(c0) OVER () AS n0, sum(c1) OVER () AS n1,
+             (lead(xb) OVER (ORDER BY xb) - xb) / 100.0 AS gap
+      FROM g
+    )
+    SELECT CAST(max(n0) AS BIGINT) AS n_a, CAST(max(n1) AS BIGINT) AS n_b,
+           round(sum(abs(f0 - f1) * gap), 6) AS w1
+    FROM c
+    """,
+)
+def q_drift_wasserstein_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-Wasserstein (earth-mover) drift between the two hash-assigned
+    arms' value distributions on the same integer 1/100 grid as the KS
+    test: W1 = Σ |CDF gap| · cell width over the bounded binned
+    support — the drift metric that, unlike KS, weights HOW FAR the
+    mass moved, which is what a feature-drift gate actually cares
+    about (operators/stats.py wasserstein_grid)."""
+    from eventstreamml_spark.operators.stats import wasserstein_grid
+
+    ev = _events(spark, sf_dir).select(
+        "value", (F.col("user_id") % 2).alias("arm")
+    )
+    return wasserstein_grid(ev, "value", "arm", grid_dp=2)
+
+
+@register(
+    "cramers_v_type_segment",
+    """
+    WITH d AS (SELECT event_type AS a, user_id % 4 AS b FROM events),
+    c AS (SELECT a, b, CAST(count(*) AS DOUBLE) AS o FROM d GROUP BY 1, 2),
+    e AS (
+      SELECT o, a, b,
+             sum(o) OVER (PARTITION BY a) * sum(o) OVER (PARTITION BY b)
+               / sum(o) OVER () AS ex
+      FROM c
+    ),
+    agg AS (
+      SELECT sum(power(o - ex, 2) / ex) + (sum(o) - sum(ex)) AS chi2,
+             count(DISTINCT a) AS r, count(DISTINCT b) AS k,
+             sum(o) AS n
+      FROM e
+    )
+    SELECT round(chi2, 6) AS chi2,
+           CAST((r - 1) * (k - 1) AS BIGINT) AS dof,
+           CAST(n AS BIGINT) AS n,
+           CAST(r AS BIGINT) AS n_rows_levels,
+           CAST(k AS BIGINT) AS n_col_levels,
+           round(sqrt(chi2 / nullif(n * (least(r, k) - 1), 0)), 6)
+             AS cramers_v
+    FROM agg
+    """,
+)
+def q_cramers_v_type_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size between event type and a 4-way user
+    segment: the chi-square contingency plan (one raw scan, marginals
+    as window sums over the tiny cell relation) extended with the
+    bounded-[0,1] normalization V = √(χ²/(N·(min(r,c)−1))) — the
+    number a feature-selection pass ranks categorical pairs by
+    (operators/stats.py cramers_v)."""
+    from eventstreamml_spark.operators.stats import cramers_v
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", (F.col("user_id") % 4).alias("segment")
+    )
+    return cramers_v(ev, "event_type", "segment")
+
+
+@register(
+    "mcnemar_purchase_halves",
+    """
+    WITH b AS (
+      SELECT min(epoch_us(ts)) AS mn,
+             min(epoch_us(ts))
+               + (max(epoch_us(ts)) - min(epoch_us(ts))) // 2 AS mid
+      FROM events
+    ),
+    u AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase'
+                       AND epoch_us(ts) <= mid THEN 1 ELSE 0 END) AS bf,
+             max(CASE WHEN event_type = 'purchase'
+                       AND epoch_us(ts) > mid THEN 1 ELSE 0 END) AS af
+      FROM events CROSS JOIN b GROUP BY user_id
+    ),
+    a AS (
+      SELECT count(*) AS n_pairs,
+             sum(CASE WHEN bf = 1 AND af = 0 THEN 1 ELSE 0 END) AS nb,
+             sum(CASE WHEN bf = 0 AND af = 1 THEN 1 ELSE 0 END) AS nc
+      FROM u
+    )
+    SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(nb AS BIGINT) AS n_yes_no,
+           CAST(nc AS BIGINT) AS n_no_yes,
+           round(power(abs(nb - nc) - 1, 2)
+                 / nullif(CAST(nb + nc AS DOUBLE), 0), 6)
+             AS mcnemar_chi2_cc
+    FROM a
+    """,
+)
+def q_mcnemar_purchase_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test on per-user purchase behavior between the
+    first and second half of the observation window (did the same
+    users who purchased early keep purchasing late?): the paired flags
+    are one groupBy over events against a broadcast integer midpoint
+    (mn + (mx−mn)//2 — integer-µs arithmetic; (mn+mx)/2 as a double
+    would lose µs precision past 2^53), the statistic is the standard
+    continuity-corrected (|b−c|−1)²/(b+c) on the discordant counts
+    (operators/stats.py mcnemar_test)."""
+    from eventstreamml_spark.operators.stats import mcnemar_test
+
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = ev.groupBy().agg(
+        (
+            F.min(us)
+            + F.floor((F.max(us) - F.min(us)) / 2).cast("long")
+        ).alias("mid")
+    )
+    flagged = ev.crossJoin(F.broadcast(b)).groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (us <= F.col("mid")), 1
+            ).otherwise(0)
+        ).alias("bf"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (us > F.col("mid")), 1
+            ).otherwise(0)
+        ).alias("af"),
+    )
+    return mcnemar_test(flagged, "bf", "af")
+
+
+@register(
+    "cohens_kappa_langid",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(lower(text),' '),
+                 w -> list_contains(['der','die','und','das','von','ein','zu','mit'], w)))::DOUBLE
+               / len(string_split(lower(text),' ')) AS s_de,
+             len(list_filter(string_split(lower(text),' '),
+                 w -> list_contains(['the','and','of','to','a','in','is','it'], w)))::DOUBLE
+               / len(string_split(lower(text),' ')) AS s_en,
+             len(list_filter(string_split(lower(text),' '),
+                 w -> list_contains(['el','la','de','que','y','en','un','es'], w)))::DOUBLE
+               / len(string_split(lower(text),' ')) AS s_es,
+             len(list_filter(string_split(lower(text),' '),
+                 w -> list_contains(['le','la','de','et','un','les','des','en'], w)))::DOUBLE
+               / len(string_split(lower(text),' ')) AS s_fr
+      FROM documents
+    ),
+    p AS (
+      SELECT lang AS label,
+             CASE WHEN greatest(s_de,s_en,s_es,s_fr) = 0 THEN 'und'
+                  WHEN s_fr = greatest(s_de,s_en,s_es,s_fr) THEN 'fr'
+                  WHEN s_es = greatest(s_de,s_en,s_es,s_fr) THEN 'es'
+                  WHEN s_en = greatest(s_de,s_en,s_es,s_fr) THEN 'en'
+                  ELSE 'de' END AS pred
+      FROM scored
+    ),
+    c AS (
+      SELECT label AS l, pred AS p2, CAST(count(*) AS DOUBLE) AS n
+      FROM p GROUP BY 1, 2
+    ),
+    bl AS (SELECT l AS clazz, sum(n) AS r FROM c GROUP BY 1),
+    bp AS (SELECT p2 AS clazz, sum(n) AS col FROM c GROUP BY 1),
+    m AS (
+      SELECT sum(coalesce(r, 0) * coalesce(col, 0)) AS src
+      FROM bl FULL OUTER JOIN bp USING (clazz)
+    ),
+    t AS (
+      SELECT sum(n) AS nt,
+             sum(CASE WHEN l = p2 THEN n ELSE 0 END) AS diag
+      FROM c
+    )
+    SELECT CAST(nt AS BIGINT) AS n,
+           round(diag / nt, 6) AS p_observed,
+           round(src / (nt * nt), 6) AS p_expected,
+           round((diag / nt - src / (nt * nt))
+                 / nullif(1.0 - src / (nt * nt), 0), 6) AS kappa
+    FROM t CROSS JOIN m
+    """,
+)
+def q_cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the labeled lang column and the heuristic
+    language-ID's predictions — the chance-corrected single-number
+    companion to doc_langid_confusion's per-class P/R/F1 (raw accuracy
+    flatters a skewed-language corpus; kappa doesn't). Composes the
+    verified text.py language_id with evalmetrics.py cohens_kappa: one
+    scan to the |C|² confusion relation, marginal products reduced
+    from that tiny relation."""
+    from eventstreamml_spark.operators.evalmetrics import cohens_kappa
+    from eventstreamml_spark.operators.text import language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    preds = language_id(docs).select(
+        "doc_id", F.col("lang_pred").alias("pred")
+    ).join(docs.select("doc_id", F.col("lang").alias("label")), "doc_id")
+    return cohens_kappa(preds.select("label", "pred"))
+
+
+@register(
+    "eval_rank_kendall_hours",
+    """
+    WITH h AS (
+      SELECT event_type,
+             (epoch_us(ts) // 3600000000) % 24 AS item,
+             CAST(count(*) AS BIGINT) AS sa,
+             CAST(coalesce(sum(CAST(floor(value * 100) AS BIGINT)), 0)
+                  AS BIGINT) AS sb
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.event_type AS g,
+             sign(a.sa - b.sa) AS x, sign(a.sb - b.sb) AS y
+      FROM h a JOIN h b ON a.event_type IS NOT DISTINCT FROM b.event_type
+                       AND a.item < b.item
+    ),
+    n AS (SELECT event_type AS g, count(*) AS n_items FROM h GROUP BY 1),
+    agg AS (
+      SELECT g,
+             sum(CASE WHEN x * y > 0 THEN 1 ELSE 0 END) AS conc,
+             sum(CASE WHEN x * y < 0 THEN 1 ELSE 0 END) AS disc
+      FROM p GROUP BY g
+    )
+    SELECT n.g AS event_type,
+           CAST(n_items AS BIGINT) AS n_items,
+           CAST(coalesce(conc, 0) AS BIGINT) AS n_concordant,
+           CAST(coalesce(disc, 0) AS BIGINT) AS n_discordant,
+           round((coalesce(conc, 0) - coalesce(disc, 0))
+                 / nullif(n_items * (n_items - 1) / 2.0, 0), 6)
+             AS kendall_tau
+    FROM n LEFT JOIN agg ON n.g IS NOT DISTINCT FROM agg.g
+    """,
+)
+def q_eval_rank_kendall_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-a rank agreement, per event type, between two
+    rankers of the 24 hours of day — by activity (count) and by
+    integer-scaled value mass: do the busy hours carry the value? The
+    per-group item set is bounded at 24 by construction, so the
+    within-group pair self-join is O(24²) per group regardless of data
+    scale; both scores are exact integers, so pairwise comparisons are
+    bit-identical across engines (operators/evalmetrics.py
+    kendall_tau_groups)."""
+    from eventstreamml_spark.operators.evalmetrics import kendall_tau_groups
+
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    hod = F.pmod(
+        ((us - F.pmod(us, F.lit(3_600_000_000))) / F.lit(3_600_000_000)).cast(
+            "long"
+        ),
+        F.lit(24),
+    )
+    h = ev.groupBy("event_type", hod.alias("item")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.coalesce(
+            F.sum(F.floor(F.col("value") * 100).cast("long")), F.lit(0)
+        ).alias("vmass"),
+    )
+    return kendall_tau_groups(h, "event_type", "item", "cnt", "vmass")
+
+
+@register(
+    "graph_link_prediction_jaccard",
+    """
+    WITH raw AS (
+      SELECT user_id % 997 AS a, event_id % 997 AS b
+      FROM events WHERE event_id % 10 = 0
+    ),
+    und AS (
+      SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
+      FROM raw WHERE a <> b
+    ),
+    adj AS (
+      SELECT lo AS a, hi AS b FROM und
+      UNION ALL SELECT hi AS a, lo AS b FROM und
+    ),
+    deg AS (SELECT a AS node, count(*) AS deg FROM adj GROUP BY 1),
+    cn AS (
+      SELECT l.a AS u, r.a AS v, count(*) AS n_common
+      FROM adj l JOIN adj r ON l.b = r.b AND l.a < r.a
+      GROUP BY 1, 2
+    ),
+    nonadj AS (
+      SELECT u, v, n_common FROM cn
+      WHERE NOT EXISTS (
+        SELECT 1 FROM und WHERE und.lo = cn.u AND und.hi = cn.v
+      )
+    ),
+    scored AS (
+      SELECT u, v, n_common, du.deg AS deg_u, dv.deg AS deg_v,
+             n_common / CAST(du.deg + dv.deg - n_common AS DOUBLE) AS j
+      FROM nonadj
+      JOIN deg du ON du.node = u
+      JOIN deg dv ON dv.node = v
+    )
+    SELECT CAST(row_number() OVER (ORDER BY j DESC, n_common DESC, u, v)
+                AS BIGINT) AS rank,
+           CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(deg_u AS BIGINT) AS deg_u,
+           CAST(deg_v AS BIGINT) AS deg_v,
+           round(j, 6) AS jaccard
+    FROM scored
+    QUALIFY row_number() OVER (ORDER BY j DESC, n_common DESC, u, v) <= 10
+    """,
+)
+def q_graph_link_prediction_jaccard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Common-neighbor Jaccard link prediction on the same
+    deterministic hash graph as the triangle counts: top-10
+    non-adjacent pairs by |Γ(u)∩Γ(v)|/|Γ(u)∪Γ(v)|. The wedge
+    self-join fans out by the middle node's degree (the documented
+    max_hub_degree cap is the 100 TB trade); the score is an exact
+    ratio of integers so cross-engine ordering is bit-stable
+    (operators/graph.py common_neighbor_link_scores)."""
+    from eventstreamml_spark.operators.graph import (
+        common_neighbor_link_scores,
+    )
+
+    ev = _events(spark, sf_dir).filter(F.col("event_id") % 10 == 0)
+    edges = ev.select(
+        (F.col("user_id") % 997).alias("src"),
+        (F.col("event_id") % 997).alias("dst"),
+    )
+    return common_neighbor_link_scores(edges, top_k=10)
+
+
+@register(
+    "doc_readability_flesch",
+    """
+    WITH s AS (
+      SELECT len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS w,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS st,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl
+      FROM documents
+    ),
+    sc AS (
+      SELECT w,
+             CASE WHEN w > 0
+                  THEN 206.835 - 1.015 * (w / CAST(st AS DOUBLE))
+                       - 84.6 * (syl / CAST(w AS DOUBLE)) END AS score
+      FROM s
+    ),
+    b AS (
+      SELECT CASE WHEN score IS NULL THEN 'empty'
+                  WHEN score < 30 THEN '00_very_hard'
+                  WHEN score < 50 THEN '01_hard'
+                  WHEN score < 60 THEN '02_fairly_hard'
+                  WHEN score < 70 THEN '03_standard'
+                  WHEN score < 90 THEN '04_easy'
+                  ELSE '05_very_easy' END AS band,
+             score, w
+      FROM sc
+    )
+    SELECT band, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(score), 6) AS avg_score,
+           round(avg(CAST(w AS DOUBLE)), 6) AS avg_words
+    FROM b GROUP BY band
+    """,
+)
+def q_doc_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus readability profile: Flesch reading-ease per document
+    from three pure-regex counts (words, sentence runs, vowel-group
+    syllables — no UDF, everything in whole-stage codegen), banded
+    into the standard difficulty buckets with per-band counts and mean
+    score. The per-doc score is a deterministic function of integer
+    counts, so band edges compare bit-identical doubles on both
+    engines (operators/text.py flesch_band_histogram)."""
+    from eventstreamml_spark.operators.text import flesch_band_histogram
+
+    docs = load_table(spark, sf_dir, "documents")
+    return flesch_band_histogram(docs)
+
+
+@register(
+    "storage_zone_map_audit",
+    """
+    WITH base AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(value AS DOUBLE) AS v,
+             CAST(floor(value * 100) AS BIGINT) AS v100
+      FROM events WHERE value IS NOT NULL
+    ),
+    t AS (
+      SELECT CAST(floor(sum(v100) / (100.0 * count(*))) AS BIGINT) AS th
+      FROM base
+    ),
+    z AS (
+      SELECT day, count(*) AS rows_, min(v) AS mn, max(v) AS mx,
+             sum(CASE WHEN v > th THEN 1 ELSE 0 END) AS match_,
+             max(th) AS th2
+      FROM base CROSS JOIN t GROUP BY day
+    )
+    SELECT CAST(max(th2) AS BIGINT) AS threshold,
+           CAST(count(*) AS BIGINT) AS n_partitions,
+           CAST(sum(CASE WHEN mx <= th2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pruned,
+           CAST(sum(CASE WHEN mn > th2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_full,
+           CAST(sum(CASE WHEN mx > th2 AND mn <= th2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_partial,
+           CAST(sum(rows_) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN mx > th2 THEN rows_ ELSE 0 END) AS BIGINT)
+             AS n_rows_scanned,
+           CAST(sum(match_) AS BIGINT) AS n_rows_matching,
+           round(sum(CASE WHEN mx > th2 THEN rows_ ELSE 0 END)
+                 / nullif(CAST(sum(rows_) AS DOUBLE), 0), 6) AS scan_ratio,
+           round(sum(match_) / nullif(CAST(sum(rows_) AS DOUBLE), 0), 6)
+             AS selectivity
+    FROM z
+    """,
+)
+def q_storage_zone_map_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data-skipping audit for a value > mean predicate over
+    day-partitioned events: per-day (min, max, rows) zones classify
+    each partition as pruned / full / partial, yielding the scan ratio
+    a min-max-skipping reader would pay vs the predicate's true
+    selectivity — the readout that decides whether the 100 TB table
+    needs sort-clustering on the filter column. The threshold is
+    floor(mean) derived from exact integer sums so both engines land
+    on the same integer (operators/storage.py zone_map_audit)."""
+    from eventstreamml_spark.operators.storage import zone_map_audit
+
+    return zone_map_audit(_events(spark, sf_dir), "value", "ts")

@@ -934,3 +934,438 @@ class TestRidgeRegression:
         df = spark.createDataFrame(rows, "y double, x1 double, x2 double, x3 double")
         r = ridge_regression_3f(df, "y", ("x1", "x2", "x3"), lam=0.0).collect()[0]
         assert r["beta_1"] is None and r["beta_2"] is None
+
+
+class TestSurvivalKM:
+    def test_textbook_km_curve(self, spark):
+        # classic worked example: durations (t, observed):
+        # 1+, 2, 3, 3, 4+, 5  -> events at 2 (n=5), 3 (d=2, n=4), 5 (n=1)
+        from eventstreamml_spark.operators.stats import kaplan_meier
+
+        df = spark.createDataFrame(
+            [(1, 0), (2, 1), (3, 1), (3, 1), (4, 0), (5, 1)],
+            "duration int, observed int",
+        )
+        rows = {r["t"]: r for r in kaplan_meier(df).collect()}
+        assert set(rows) == {2, 3, 5}
+        assert rows[2]["n_at_risk"] == 5
+        assert rows[2]["survival"] == round(4 / 5, 6)
+        assert rows[3]["n_at_risk"] == 4
+        assert rows[3]["survival"] == round(4 / 5 * 2 / 4, 6)
+        # last subject exits by event: survival hits exactly 0, not
+        # ln(0) (NULL on Spark, -inf on DuckDB)
+        assert rows[5]["n_at_risk"] == 1
+        assert rows[5]["survival"] == 0.0
+
+    def test_censored_only_times_absent_but_at_risk_correct(self, spark):
+        from eventstreamml_spark.operators.stats import kaplan_meier
+
+        df = spark.createDataFrame(
+            [(1, 0), (1, 0), (2, 1), (2, 1)], "duration int, observed int"
+        )
+        rows = kaplan_meier(df).collect()
+        assert len(rows) == 1 and rows[0]["t"] == 2
+        # the two censored exits at t=1 reduce the at-risk set
+        assert rows[0]["n_at_risk"] == 2
+        assert rows[0]["survival"] == 0.0
+
+
+class TestWassersteinGrid:
+    def test_identical_arms_zero(self, spark):
+        from eventstreamml_spark.operators.stats import wasserstein_grid
+
+        df = spark.createDataFrame(
+            [(1.0, 0), (2.0, 0), (1.0, 1), (2.0, 1)], "value double, arm int"
+        )
+        assert wasserstein_grid(df).collect()[0]["w1"] == 0.0
+
+    def test_unit_shift_unit_distance(self, spark):
+        from eventstreamml_spark.operators.stats import wasserstein_grid
+
+        # arm 1 = arm 0 shifted by exactly +1.0 -> W1 = 1.0 on the grid
+        df = spark.createDataFrame(
+            [(0.0, 0), (2.0, 0), (1.0, 1), (3.0, 1)], "value double, arm int"
+        )
+        assert wasserstein_grid(df).collect()[0]["w1"] == 1.0
+
+
+class TestCramersV:
+    def test_perfect_association_is_one(self, spark):
+        from eventstreamml_spark.operators.stats import cramers_v
+
+        df = spark.createDataFrame(
+            [("a", 0), ("a", 0), ("b", 1), ("b", 1)], "x string, y int"
+        )
+        row = cramers_v(df, "x", "y").collect()[0]
+        assert row["cramers_v"] == 1.0
+
+    def test_single_level_factor_nulls_v(self, spark):
+        from eventstreamml_spark.operators.stats import cramers_v
+
+        df = spark.createDataFrame(
+            [("a", 0), ("a", 1)], "x string, y int"
+        )
+        row = cramers_v(df, "x", "y").collect()[0]
+        assert row["cramers_v"] is None  # min(r,c)-1 = 0, not a crash
+
+
+class TestMcNemar:
+    def test_known_discordant_counts(self, spark):
+        from eventstreamml_spark.operators.stats import mcnemar_test
+
+        df = spark.createDataFrame(
+            [(1, 1), (1, 0), (1, 0), (0, 1), (0, 0)], "before int, after int"
+        )
+        row = mcnemar_test(df).collect()[0]
+        assert (row["n_yes_no"], row["n_no_yes"]) == (2, 1)
+        assert row["mcnemar_chi2_cc"] == 0.0  # (|2-1|-1)^2 / 3
+
+    def test_no_discordance_nulls_statistic(self, spark):
+        from eventstreamml_spark.operators.stats import mcnemar_test
+
+        df = spark.createDataFrame([(1, 1), (0, 0)], "before int, after int")
+        row = mcnemar_test(df).collect()[0]
+        assert row["mcnemar_chi2_cc"] is None
+
+
+class TestCohensKappa:
+    def test_perfect_agreement_two_classes(self, spark):
+        from eventstreamml_spark.operators.evalmetrics import cohens_kappa
+
+        df = spark.createDataFrame(
+            [("a", "a"), ("b", "b"), ("a", "a"), ("b", "b")],
+            "label string, pred string",
+        )
+        row = cohens_kappa(df).collect()[0]
+        assert row["kappa"] == 1.0 and row["p_observed"] == 1.0
+
+    def test_single_shared_class_nulls_kappa(self, spark):
+        from eventstreamml_spark.operators.evalmetrics import cohens_kappa
+
+        # p_e = 1 -> 0/0 must be NULL, not a crash or a fake 0
+        df = spark.createDataFrame(
+            [("a", "a"), ("a", "a")], "label string, pred string"
+        )
+        assert cohens_kappa(df).collect()[0]["kappa"] is None
+
+    def test_marginal_only_classes_count_in_pe(self, spark):
+        from eventstreamml_spark.operators.evalmetrics import cohens_kappa
+
+        # class 'c' appears only as a prediction: its row marginal is 0
+        # so it adds nothing to p_e, but must not crash the outer join
+        df = spark.createDataFrame(
+            [("a", "a"), ("a", "c"), ("b", "b")], "label string, pred string"
+        )
+        row = cohens_kappa(df).collect()[0]
+        po, pe = 2 / 3, (2 * 1 + 1 * 1 + 0 * 1) / 9
+        assert row["kappa"] == round((po - pe) / (1 - pe), 6)
+
+
+class TestKendallTauGroups:
+    def test_reversed_ranking_minus_one(self, spark):
+        from eventstreamml_spark.operators.evalmetrics import (
+            kendall_tau_groups,
+        )
+
+        df = spark.createDataFrame(
+            [("g", 1, 1, 30), ("g", 2, 2, 20), ("g", 3, 3, 10)],
+            "grp string, item int, sa int, sb int",
+        )
+        row = kendall_tau_groups(df, "grp", "item", "sa", "sb").collect()[0]
+        assert row["kendall_tau"] == -1.0
+        assert (row["n_concordant"], row["n_discordant"]) == (0, 3)
+
+    def test_ties_count_as_neither(self, spark):
+        from eventstreamml_spark.operators.evalmetrics import (
+            kendall_tau_groups,
+        )
+
+        # sb ties on the (1,2) pair: tau-a keeps the full denominator
+        df = spark.createDataFrame(
+            [("g", 1, 1, 10), ("g", 2, 2, 10), ("g", 3, 3, 20)],
+            "grp string, item int, sa int, sb int",
+        )
+        row = kendall_tau_groups(df, "grp", "item", "sa", "sb").collect()[0]
+        assert (row["n_concordant"], row["n_discordant"]) == (2, 0)
+        assert row["kendall_tau"] == round(2 / 3, 6)
+
+    def test_single_item_group_nulls_tau(self, spark):
+        from eventstreamml_spark.operators.evalmetrics import (
+            kendall_tau_groups,
+        )
+
+        df = spark.createDataFrame(
+            [("g", 1, 1, 1)], "grp string, item int, sa int, sb int"
+        )
+        row = kendall_tau_groups(df, "grp", "item", "sa", "sb").collect()[0]
+        assert row["kendall_tau"] is None and row["n_items"] == 1
+
+
+class TestCommonNeighborLinkScores:
+    def test_path_graph_predicts_endpoints(self, spark):
+        from eventstreamml_spark.operators.graph import (
+            common_neighbor_link_scores,
+        )
+
+        # path 1-2-3: only candidate pair is (1,3) through middle 2
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3)], "src int, dst int"
+        )
+        rows = common_neighbor_link_scores(edges, top_k=5).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["u"], r["v"], r["n_common"]) == (1, 3, 1)
+        assert r["jaccard"] == 1.0  # deg 1 + deg 1 - 1 common
+
+    def test_existing_edges_excluded(self, spark):
+        from eventstreamml_spark.operators.graph import (
+            common_neighbor_link_scores,
+        )
+
+        # triangle: every pair already adjacent -> no candidates
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3)], "src int, dst int"
+        )
+        assert common_neighbor_link_scores(edges).count() == 0
+
+    def test_hub_degree_cap_drops_hub_wedges(self, spark):
+        from eventstreamml_spark.operators.graph import (
+            common_neighbor_link_scores,
+        )
+
+        # star around 9 (deg 3) plus path through 5 (deg 2): capping
+        # hub degree at 2 keeps only the path's candidate pair
+        edges = spark.createDataFrame(
+            [(1, 9), (2, 9), (3, 9), (1, 5), (4, 5)], "src int, dst int"
+        )
+        uncapped = common_neighbor_link_scores(edges, top_k=100)
+        # (1,2),(1,3),(2,3) via 9; (1,4) via 5; (5,9) via 1
+        assert uncapped.count() == 5
+        capped = common_neighbor_link_scores(
+            edges, top_k=100, max_hub_degree=2
+        ).collect()
+        # hub 9 (deg 3) is no longer a valid middle; 1 and 5 (deg 2) are
+        assert sorted((r["u"], r["v"]) for r in capped) == [(1, 4), (5, 9)]
+
+
+class TestFleschReadability:
+    def test_known_sentence_counts(self, spark):
+        from eventstreamml_spark.operators.text import flesch_reading_ease
+
+        docs = spark.createDataFrame(
+            [(1, "the cat sat. the dog ran!")], "doc_id long, text string"
+        )
+        r = flesch_reading_ease(docs).collect()[0]
+        assert r["n_words"] == 6
+        assert r["n_sentences"] == 2
+        # vowel groups: e/a/a/e/o/a -> 6
+        assert r["n_syllables"] == 6
+        expected = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+        assert abs(r["flesch_score"] - expected) < 1e-9
+
+    def test_empty_doc_null_score_empty_band(self, spark):
+        from eventstreamml_spark.operators.text import flesch_band_histogram
+
+        docs = spark.createDataFrame(
+            [(1, ""), (2, "a b c.")], "doc_id long, text string"
+        )
+        bands = {r["band"]: r for r in flesch_band_histogram(docs).collect()}
+        assert bands["empty"]["n_docs"] == 1
+        assert bands["empty"]["avg_score"] is None
+
+
+class TestZoneMapAudit:
+    def test_partition_classes(self, spark, tmp_path):
+        from eventstreamml_spark.operators.storage import zone_map_audit
+
+        # three days: all-below, straddling, all-above a mean of ~2
+        t0 = 1_700_000_000 * US
+        rows = [
+            _ev(1, t0, 1, value=0.0),
+            _ev(2, t0 + US, 1, value=1.0),
+            _ev(3, t0 + 86_400 * US, 2, value=1.0),
+            _ev(4, t0 + 86_401 * US, 2, value=5.0),
+            _ev(5, t0 + 2 * 86_400 * US, 3, value=4.0),
+            _ev(6, t0 + 2 * 86_400 * US + US, 3, value=7.0),
+        ]
+        _write_events(str(tmp_path), rows)
+        df = spark.read.parquet(os.path.join(str(tmp_path), "events.parquet"))
+        r = zone_map_audit(df).collect()[0]
+        # mean = 3.0 -> threshold floor(mean) = 3
+        assert r["threshold"] == 3
+        assert (r["n_pruned"], r["n_full"], r["n_partial"]) == (1, 1, 1)
+        assert r["n_rows_scanned"] == 4
+        assert r["n_rows_matching"] == 3
+        assert r["scan_ratio"] == round(4 / 6, 6)
+        assert r["selectivity"] == 0.5
+
+
+class TestRound6FinalBatchPlanShapes:
+    """Shuffle-shape pins for the final round-6 batch."""
+
+    def _plan(self, df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_kaplan_meier_windows_on_duration_grid_only(self, spark):
+        from eventstreamml_spark.operators.stats import kaplan_meier
+
+        df = spark.range(1000).select(
+            (F.col("id") % 30).alias("duration"),
+            (F.col("id") % 3 == 0).cast("int").alias("observed"),
+        )
+        plan = self._plan(kaplan_meier(df))
+        # exactly one reduction of the raw data (the duration groupBy);
+        # every window runs over that bounded |distinct t| relation
+        assert plan.count("HashAggregate") >= 2  # partial+final of one agg
+        assert plan.count("Exchange SinglePartition") <= 1
+
+    def test_wasserstein_single_data_exchange(self, spark):
+        from eventstreamml_spark.operators.stats import wasserstein_grid
+
+        df = spark.range(1000).select(
+            (F.col("id") % 97).cast("double").alias("value"),
+            (F.col("id") % 2).alias("arm"),
+        )
+        plan = self._plan(wasserstein_grid(df))
+        # one map-side-combined groupBy folds the data to the grid;
+        # the CDF windows never see raw rows (same pin as the KS test)
+        assert "hashpartitioning(xb" in plan
+
+    def test_link_prediction_no_cartesian(self, spark):
+        from eventstreamml_spark.operators.graph import (
+            common_neighbor_link_scores,
+        )
+
+        edges = spark.createDataFrame(
+            [(i, (i * 7) % 23) for i in range(40)], "src int, dst int"
+        )
+        plan = self._plan(common_neighbor_link_scores(edges))
+        # wedge build and close are equi-joins; the candidate filter is
+        # an anti join — nothing all-pairs
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_zone_map_threshold_broadcast_not_shuffled(self, spark):
+        from eventstreamml_spark.operators.storage import zone_map_audit
+        from datetime import datetime
+
+        df = spark.createDataFrame(
+            [(i, datetime(2024, 1, 1 + i % 5), i, "t", float(i), "{}")
+             for i in range(50)],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+        plan = self._plan(zone_map_audit(df))
+        # the global threshold is a one-row scalar: it must reach the
+        # per-day aggregate as a broadcast, never a shuffle join
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_kendall_pairs_join_within_group_key(self, spark):
+        from eventstreamml_spark.operators.evalmetrics import (
+            kendall_tau_groups,
+        )
+
+        df = spark.createDataFrame(
+            [("g%d" % (i % 4), i % 24, i, i * 2) for i in range(96)],
+            "grp string, item int, sa long, sb long",
+        )
+        plan = self._plan(
+            kendall_tau_groups(df, "grp", "item", "sa", "sb")
+        )
+        # the pair self-join keys on the group column — candidate pairs
+        # never cross groups
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestFinalBatchNullEdges:
+    def test_wasserstein_empty_arm_null_not_crash(self, spark):
+        from eventstreamml_spark.operators.stats import wasserstein_grid
+
+        df = spark.createDataFrame(
+            [(1.0, 0), (2.0, 0)], "value double, arm int"
+        )
+        row = wasserstein_grid(df).collect()[0]
+        assert row["n_b"] == 0 and row["w1"] is None
+
+    def test_kendall_null_group_pairs_counted(self, spark):
+        from eventstreamml_spark.operators.evalmetrics import (
+            kendall_tau_groups,
+        )
+
+        df = spark.createDataFrame(
+            [(None, 1, 1, 10), (None, 2, 2, 20), ("g", 1, 1, 5)],
+            "grp string, item int, sa int, sb int",
+        )
+        rows = {r["grp"]: r for r in
+                kendall_tau_groups(df, "grp", "item", "sa", "sb").collect()}
+        # the NULL group's pair is concordant, not silently dropped
+        assert rows[None]["n_concordant"] == 1
+        assert rows[None]["kendall_tau"] == 1.0
+
+    def test_seasonality_null_type_keeps_group(self, spark, tmp_path):
+        t0 = 1_700_000_000 * US
+        rows = [_ev(i, t0 + i * 3600 * US, 1, None, 1.0) for i in range(6)]
+        rows += [_ev(10 + i, t0 + i * 3600 * US, 1, "click", 1.0)
+                 for i in range(6)]
+        sf = _write_events(str(tmp_path), rows)
+        fn, sql = q._REGISTRY["seasonality_strength_by_type"]
+        compare(spark, sf, fn, sql)
+        types = {r["event_type"] for r in fn(spark, sf).collect()}
+        assert None in types and "click" in types
+
+
+class TestNullGroupJoins:
+    """The spc_control_limits lesson applied to every round-6 operator
+    that joins groupBy-produced stats back on the group key: a NULL
+    key is a legitimate group and must keep its row on BOTH engines."""
+
+    def test_theil_sen_null_subject_kept(self, spark):
+        from eventstreamml_spark.operators.stats import theil_sen_trend
+        from datetime import datetime, timedelta
+
+        t0 = datetime(2024, 1, 1)
+        rows = [(None, t0 + timedelta(seconds=i), float(i)) for i in range(4)]
+        rows += [(1, t0 + timedelta(seconds=i), float(2 * i)) for i in range(4)]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        out = {
+            r["user_id"]: r
+            for r in theil_sen_trend(df, "user_id", "ts", "value").collect()
+        }
+        assert None in out and out[None]["slope_per_sec"] == 1.0
+        assert out[1]["slope_per_sec"] == 2.0
+
+    def test_spearman_null_group_kept(self, spark):
+        from eventstreamml_spark.operators.stats import spearman_corr
+
+        df = spark.createDataFrame(
+            [(None, 1.0, 2.0), (None, 2.0, 4.0), (None, 3.0, 5.0),
+             ("a", 1.0, 3.0), ("a", 2.0, 2.0), ("a", 3.0, 1.0)],
+            "g string, x double, y double",
+        )
+        out = {r["g"]: r for r in spearman_corr(df, "g", "x", "y").collect()}
+        assert out[None]["spearman_rho"] == 1.0
+        assert out["a"]["spearman_rho"] == -1.0
+
+    def test_brown_forsythe_null_group_counted(self, spark):
+        from eventstreamml_spark.operators.stats import brown_forsythe
+
+        df = spark.createDataFrame(
+            [(None, 1.0), (None, 3.0), ("a", 2.0), ("a", 8.0)],
+            "g string, v double",
+        )
+        row = brown_forsythe(df, "g", "v").collect()[0]
+        # both groups present: k = 2, n = 4
+        assert row["k_groups"] == 2 and row["n_total"] == 4
+
+    def test_t_closeness_null_group_audited(self, spark):
+        from eventstreamml_spark.operators.stats import t_closeness
+
+        df = spark.createDataFrame(
+            [(None, float(i)) for i in range(10)]
+            + [("a", float(i)) for i in range(10)],
+            "g string, v double",
+        )
+        out = {r["g"]: r for r in t_closeness(df, "g", "v").collect()}
+        assert None in out and out[None]["n"] == 10
