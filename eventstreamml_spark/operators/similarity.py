@@ -840,9 +840,12 @@ def pca_top_component(
             .coalesce(1)
         )
         nrm = u.agg(F.sqrt(F.sum(F.col("_u") ** 2)).alias("_norm"))
+        # try_divide: a degenerate (constant-embedding) corpus has a
+        # zero covariance, so u and its norm are 0 — emit NULL loadings
+        # rather than an ANSI DIVIDE_BY_ZERO mid-iteration
         v = u.crossJoin(F.broadcast(nrm)).select(
             F.col("_i").alias("_j"),
-            (F.col("_u") / F.col("_norm")).alias("_vj"),
+            F.try_divide(F.col("_u"), F.col("_norm")).alias("_vj"),
         )
         # deep iteration nests the covariance pipeline once per step and
         # Catalyst analysis goes super-linear in that depth — flatten

@@ -639,7 +639,11 @@ def bm25_topk(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
-    norm = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    # try_divide: an all-empty corpus has avgdl 0 — the length norm
+    # degrades to NULL scores, not an ANSI DIVIDE_BY_ZERO
+    norm = F.col("tf") + k1 * (
+        1.0 - b + b * F.try_divide(F.col("dl"), F.col("avgdl"))
+    )
     scored = (
         tf.join(F.broadcast(df_), "term")
         .join(dl, id_col)

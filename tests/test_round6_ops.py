@@ -1369,3 +1369,29 @@ class TestNullGroupJoins:
         )
         out = {r["g"]: r for r in t_closeness(df, "g", "v").collect()}
         assert None in out and out[None]["n"] == 10
+
+
+class TestDegenerateDataGuards:
+    def test_pca_constant_embeddings_null_not_crash(self, spark):
+        # zero covariance -> zero power-iteration vector -> NULL
+        # loadings, not an ANSI DIVIDE_BY_ZERO mid-iteration
+        from eventstreamml_spark.operators.similarity import (
+            pca_top_component,
+        )
+
+        emb = spark.createDataFrame(
+            [(i, [1.0, 1.0]) for i in range(8)],
+            "vec_id long, embedding array<double>",
+        )
+        rows = pca_top_component(emb, dim=2).collect()
+        assert len(rows) == 2
+        assert all(r["loading"] is None for r in rows)
+
+    def test_bm25_all_empty_corpus_no_crash(self, spark):
+        from eventstreamml_spark.operators.text import bm25_topk
+
+        docs = spark.createDataFrame(
+            [(1, ""), (2, "")], "doc_id long, text string"
+        )
+        # avgdl = 0: scores degrade to NULL/empty, never a crash
+        bm25_topk(docs, query_terms=["x"]).collect()
