@@ -1465,10 +1465,16 @@ def wasserstein_grid(
         F.sum("c1").over(wall).alias("_n1"),
         (F.abs(f0 - f1) * gap).alias("_term"),
     )
+    # a single shared grid cell has no gap rows: identical
+    # distributions are W1 = 0, not NULL — but an EMPTY arm (every
+    # term NULL through the null CDF) must stay NULL
     return c.groupBy().agg(
         F.max("_n0").cast("long").alias("n_a"),
         F.max("_n1").cast("long").alias("n_b"),
-        F.round(F.sum("_term"), 6).alias("w1"),
+        F.when(
+            (F.max("_n0") > 0) & (F.max("_n1") > 0),
+            F.round(F.coalesce(F.sum("_term"), F.lit(0.0)), 6),
+        ).alias("w1"),
     )
 
 

@@ -13251,7 +13251,9 @@ def q_survival_km_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM g
     )
     SELECT CAST(max(n0) AS BIGINT) AS n_a, CAST(max(n1) AS BIGINT) AS n_b,
-           round(sum(abs(f0 - f1) * gap), 6) AS w1
+           CASE WHEN max(n0) > 0 AND max(n1) > 0
+                THEN round(coalesce(sum(abs(f0 - f1) * gap), 0.0), 6)
+           END AS w1
     FROM c
     """,
 )

@@ -295,3 +295,93 @@ def test_as_of_join_forward_tolerance_matches_model(spark, left, right, strict, 
     assert len(out) == len(l_rows)
     for lid, k, ts in l_rows:
         assert out[lid] == model(k, ts), (lid, k, ts, strict, tol)
+
+
+# --- round-6 final batch: KM / Wasserstein / Kendall invariants -------
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.booleans()),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_kaplan_meier_matches_pure_python(spark, data):
+    """KM survival at every event time equals the textbook
+    product-limit computed by a direct python loop."""
+    from eventstreamml_spark.operators.stats import kaplan_meier
+
+    df = spark.createDataFrame(
+        [(t, int(ob)) for t, ob in data], "duration int, observed int"
+    )
+    got = {r["t"]: r for r in kaplan_meier(df).collect()}
+
+    # reference: iterate distinct times ascending
+    from collections import Counter
+
+    exits = Counter(t for t, _ in data)
+    events = Counter(t for t, ob in data if ob)
+    n_at_risk = len(data)
+    s = 1.0
+    for t in sorted(exits):
+        d = events.get(t, 0)
+        if d:
+            s *= 1.0 - d / n_at_risk
+            row = got[t]
+            assert row["n_at_risk"] == n_at_risk
+            assert row["n_events"] == d
+            assert abs(row["survival"] - round(s, 6)) <= 1e-6
+        n_at_risk -= exits[t]
+    assert set(got) == {t for t in events if events[t] > 0}
+
+
+@given(
+    st.lists(st.integers(-50, 50), min_size=1, max_size=30),
+    st.lists(st.integers(-50, 50), min_size=1, max_size=30),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_wasserstein_grid_matches_sorted_quantile_form(spark, xs, ys):
+    """On integer-valued data the grid W1 equals the classic
+    sorted-sample form when the samples have equal size, and is always
+    symmetric and non-negative."""
+    from eventstreamml_spark.operators.stats import wasserstein_grid
+
+    rows = [(float(x), 0) for x in xs] + [(float(y), 1) for y in ys]
+    df = spark.createDataFrame(rows, "value double, arm int")
+    w1 = wasserstein_grid(df, grid_dp=0).collect()[0]["w1"]
+    df2 = spark.createDataFrame(
+        [(v, 1 - a) for v, a in rows], "value double, arm int"
+    )
+    w1_sym = wasserstein_grid(df2, grid_dp=0).collect()[0]["w1"]
+    assert w1 == w1_sym and w1 >= 0.0
+    if len(xs) == len(ys):
+        ref = sum(abs(a - b) for a, b in zip(sorted(xs), sorted(ys))) / len(xs)
+        assert abs(w1 - round(ref, 6)) <= 1e-6
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1000), st.integers(0, 1000)),
+        min_size=2,
+        max_size=15,
+        unique_by=lambda p: p,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_kendall_tau_matches_itertools(spark, scores):
+    """Per-group tau-a equals the brute-force pair count."""
+    from itertools import combinations
+
+    from eventstreamml_spark.operators.evalmetrics import kendall_tau_groups
+
+    rows = [("g", i, sa, sb) for i, (sa, sb) in enumerate(scores)]
+    df = spark.createDataFrame(rows, "grp string, item int, sa long, sb long")
+    row = kendall_tau_groups(df, "grp", "item", "sa", "sb").collect()[0]
+    conc = disc = 0
+    for (a1, b1), (a2, b2) in combinations(scores, 2):
+        s = (a1 - a2) * (b1 - b2)
+        conc += s > 0
+        disc += s < 0
+    k = len(scores)
+    assert (row["n_concordant"], row["n_discordant"]) == (conc, disc)
+    assert abs(row["kendall_tau"] - round((conc - disc) / (k * (k - 1) / 2), 6)) <= 1e-6
