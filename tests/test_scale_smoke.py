@@ -158,3 +158,46 @@ def test_scale_round5_ops(spark):
     rd = rolling_distinct_subjects(ev, "subject_id", "timestamp", 7)
     mx = rd.agg(F.max("n_active").alias("m")).collect()[0]["m"]
     assert mx <= N_SUBJECTS
+
+
+def test_scale_kaplan_meier(spark):
+    """KM on 2M subjects: the estimator folds to the |distinct
+    durations| relation, survival is monotone non-increasing, and the
+    first event time sees every subject at risk."""
+    from eventstreamml_spark.operators.stats import kaplan_meier
+
+    df = spark.range(N).select(
+        (F.col("id") % 30).alias("duration"),
+        (F.col("id") % 3 == 0).cast("int").alias("observed"),
+    )
+    out = kaplan_meier(df)
+    stats = out.agg(
+        F.count(F.lit(1)).alias("n_times"),
+        F.max("n_at_risk").alias("max_risk"),
+    ).collect()[0]
+    # events (observed=1) exist only at durations divisible by 3
+    assert stats["n_times"] == 10
+    assert stats["max_risk"] == N
+    surv = [r["survival"] for r in out.orderBy("t").collect()]  # 10 rows
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+
+
+def test_scale_wasserstein_exact_shift(spark):
+    """W1 between two 1M-row uniform grids offset by exactly 100
+    integer cells is exactly 100.0 — the distance survives scale
+    because the data folds to the bounded grid relation first."""
+    from eventstreamml_spark.operators.stats import wasserstein_grid
+
+    # value base uses id//2 so BOTH arms cover the full 0..999 grid
+    # (id%1000 with an id%2 arm split would interleave odd/even
+    # supports and shift the true distance to 101)
+    base = F.floor(F.col("id") / 2) % 1000
+    df = spark.range(N).select(
+        F.when(F.col("id") % 2 == 0, base.cast("double"))
+        .otherwise((base + 100).cast("double"))
+        .alias("value"),
+        (F.col("id") % 2).alias("arm"),
+    )
+    row = wasserstein_grid(df, grid_dp=0).collect()[0]
+    assert row["n_a"] == row["n_b"] == N // 2
+    assert row["w1"] == 100.0
