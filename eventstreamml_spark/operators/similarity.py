@@ -215,6 +215,10 @@ def fit_ivf_centroids(
     dominates.
     """
     spark = corpus.sparkSession
+    # NULL vectors would reach the driver-side kmeans as None and turn
+    # the sample matrix into object dtype (the pca_top_component
+    # lesson): fit on non-null rows only
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     if strategy == "sample":
         import numpy as np
 
@@ -637,6 +641,7 @@ def fit_pq_codebooks(
     Returns (subspace int, code int, centroid array<double>)."""
     import numpy as np
 
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     n = corpus.count()
     frac = min(1.0, (sample_cap * 1.25) / max(1, n))
     sampled = (

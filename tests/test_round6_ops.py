@@ -1395,3 +1395,29 @@ class TestDegenerateDataGuards:
         )
         # avgdl = 0: scores degrade to NULL/empty, never a crash
         bm25_topk(docs, query_terms=["x"]).collect()
+
+
+class TestKMeansFitNullVectors:
+    def test_ivf_fit_skips_null_embeddings(self, spark):
+        from eventstreamml_spark.operators.similarity import (
+            fit_ivf_centroids,
+        )
+
+        emb = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(12)] + [(99, None)],
+            "vec_id long, embedding array<double>",
+        )
+        cents = fit_ivf_centroids(
+            emb, n_cells=2, sample_cap=100
+        ).collect()
+        assert len(cents) == 2  # fit, didn't crash on the None row
+
+    def test_pq_fit_skips_null_embeddings(self, spark):
+        from eventstreamml_spark.operators.similarity import fit_pq_codebooks
+
+        emb = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(12)] + [(99, None)],
+            "vec_id long, embedding array<double>",
+        )
+        rows = fit_pq_codebooks(emb, m=2, n_codes=2, sample_cap=100).collect()
+        assert len(rows) == 4
