@@ -385,3 +385,79 @@ def test_kendall_tau_matches_itertools(spark, scores):
     k = len(scores)
     assert (row["n_concordant"], row["n_discordant"]) == (conc, disc)
     assert abs(row["kendall_tau"] - round((conc - disc) / (k * (k - 1) / 2), 6)) <= 1e-6
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 2)),
+        min_size=4,
+        max_size=60,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_cramers_v_matches_full_grid_reference(spark, pairs):
+    """V (with the zero-cell correction) equals the textbook chi-square
+    over the FULL r x c grid, and lives in [0, 1]."""
+    from collections import Counter
+
+    from eventstreamml_spark.operators.stats import cramers_v
+
+    df = spark.createDataFrame(
+        [(str(a), b) for a, b in pairs], "x string, y int"
+    )
+    row = cramers_v(df, "x", "y").collect()[0]
+
+    n = len(pairs)
+    obs = Counter((str(a), b) for a, b in pairs)
+    rows_ = Counter(str(a) for a, _ in pairs)
+    cols_ = Counter(b for _, b in pairs)
+    chi2 = sum(
+        (obs.get((r_, c_), 0) - rows_[r_] * cols_[c_] / n) ** 2
+        / (rows_[r_] * cols_[c_] / n)
+        for r_ in rows_
+        for c_ in cols_
+    )
+    assert abs(row["chi2"] - round(chi2, 6)) <= 1e-6
+    if min(len(rows_), len(cols_)) > 1:
+        v = (chi2 / (n * (min(len(rows_), len(cols_)) - 1))) ** 0.5
+        assert abs(row["cramers_v"] - round(v, 6)) <= 1e-6
+        assert -1e-9 <= row["cramers_v"] <= 1.0 + 1e-9
+    else:
+        assert row["cramers_v"] is None
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 2)),
+        min_size=2,
+        max_size=60,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_cohens_kappa_matches_reference(spark, pairs):
+    """Kappa equals the direct p_o/p_e formula over marginals of
+    classes seen in either role; bounded above by 1."""
+    from collections import Counter
+
+    from eventstreamml_spark.operators.evalmetrics import cohens_kappa
+
+    df = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in pairs], "label string, pred string"
+    )
+    row = cohens_kappa(df).collect()[0]
+    n = len(pairs)
+    po = sum(1 for a, b in pairs if a == b) / n
+    rows_ = Counter(str(a) for a, _ in pairs)
+    cols_ = Counter(str(b) for _, b in pairs)
+    pe = sum(
+        rows_.get(k, 0) * cols_.get(k, 0)
+        for k in set(rows_) | set(cols_)
+    ) / (n * n)
+    assert abs(row["p_observed"] - round(po, 6)) <= 1e-6
+    assert abs(row["p_expected"] - round(pe, 6)) <= 1e-6
+    if abs(1 - pe) > 1e-12:
+        kap = (po - pe) / (1 - pe)
+        assert abs(row["kappa"] - round(kap, 6)) <= 1e-6
+        assert row["kappa"] <= 1.0 + 1e-9
+    else:
+        assert row["kappa"] is None
