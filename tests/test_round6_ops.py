@@ -1421,3 +1421,22 @@ class TestKMeansFitNullVectors:
         )
         rows = fit_pq_codebooks(emb, m=2, n_codes=2, sample_cap=100).collect()
         assert len(rows) == 4
+
+
+class TestChiSquareSparseContingency:
+    def test_missing_cell_mass_matches_oracle(self, spark, tmp_path):
+        # user 1 only ever clicks, user 2 only purchases -> the
+        # (click, u2) and (purchase, u1) cells are EMPTY; both engines
+        # must add the zero-cell mass N - sum E(observed)
+        t0 = 1_700_000_000 * US
+        rows = [_ev(i, t0 + i * US, 1, "click", 1.0) for i in range(4)]
+        rows += [_ev(10 + i, t0 + i * US, 2, "purchase", 1.0)
+                 for i in range(4)]
+        sf = _write_events(str(tmp_path), rows)
+        for name in ("chi_square_type_segment", "cramers_v_type_segment"):
+            fn, sql = q._REGISTRY[name]
+            compare(spark, sf, fn, sql)
+        # 2x2 perfect association: chi2 = n, V = 1
+        fn, _ = q._REGISTRY["cramers_v_type_segment"]
+        row = fn(spark, sf).collect()[0]
+        assert row["chi2"] == 8.0 and row["cramers_v"] == 1.0
