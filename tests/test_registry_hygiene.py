@@ -218,3 +218,13 @@ def test_driver_window_names_resolve():
     out_of_window = [n for n in must_cover if n not in window][: 50 - len(must_cover)]
     assert len(must_cover) <= 50, "_ORDER_FIRST exceeds the driver's window"
     assert not out_of_window
+    # a rows-only query (no oracle) can NEVER go green in the driver's
+    # correctness pass — pinning one into the window burns a slot on a
+    # guaranteed `err: no_oracle` row (the round-4 lesson)
+    oracles = q.oracle_sql() if hasattr(q, "oracle_sql") else {
+        n: sql for n, (_, sql) in q._REGISTRY.items() if sql is not None
+    }
+    rows_only_in_window = [n for n in q._ORDER_FIRST if n not in oracles]
+    assert not rows_only_in_window, (
+        f"rows-only names waste driver window slots: {rows_only_in_window}"
+    )
