@@ -954,7 +954,7 @@ def anova_oneway(
         F.col("_k").cast("long").alias("k_groups"),
         F.col("_nt").cast("long").alias("n_total"),
         F.round(fstat, 6).alias("f_stat"),
-        F.round(F.try_divide(ssb, ssb + ssw), 6).alias("eta_sq"),
+        F.when(ssb + ssw > 0, F.round(ssb / (ssb + ssw), 6)).alias("eta_sq"),
     )
 
 
@@ -1069,6 +1069,14 @@ def bh_fdr(
     tied p), p_adj_i = min_{j≥i}(m·p_j/j) capped at 1 (the reverse
     running-min form), reject where p_adj ≤ alpha.
 
+    Ranking and the reverse running-min both order (and compute) on
+    the p-value ROUNDED to 9dp: exp/ln can differ by an ulp between
+    DuckDB's libm and the JVM, so ordering on the raw double would let
+    two near-tied p-values swap rank_i between engines and shift p_adj
+    past the 6dp output grid — the 9dp grid makes the ordering and the
+    min arithmetic engine-stable while sitting 1000× below the output
+    grid.
+
     Windows run over the |tests|-sized relation — the thing being
     ranked is a derived test table (one row per metric/segment), never
     the raw data, so the unpartitioned window is bounded by
@@ -1077,22 +1085,23 @@ def bh_fdr(
     upstream p-value pipeline computes once."""
     from pyspark.sql import Window as W
 
-    w = W.orderBy(p_col, id_col)
+    w = W.orderBy("_pr", id_col)
     wall = W.partitionBy().rowsBetween(
         W.unboundedPreceding, W.unboundedFollowing
     )
     wrev = (
-        W.orderBy(F.col(p_col).desc(), F.col(id_col).desc())
+        W.orderBy(F.col("_pr").desc(), F.col(id_col).desc())
         .rowsBetween(W.unboundedPreceding, 0)
     )
     ranked = (
-        df.withColumn("rank_i", F.row_number().over(w))
+        df.withColumn("_pr", F.round(F.col(p_col), 9))
+        .withColumn("rank_i", F.row_number().over(w))
         .withColumn("_m", F.count(F.lit(1)).over(wall).cast("double"))
         .withColumn(
             "p_adj",
             F.least(
                 F.lit(1.0),
-                F.min(F.col("_m") * F.col(p_col) / F.col("rank_i")).over(wrev),
+                F.min(F.col("_m") * F.col("_pr") / F.col("rank_i")).over(wrev),
             ),
         )
     )

@@ -11351,18 +11351,18 @@ def q_poisson_rate_ratio_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE n < nt AND ct > 0 AND ct < nt
     ),
     r AS (
-      SELECT event_type, pv,
-             row_number() OVER (ORDER BY pv, event_type) AS i,
+      SELECT event_type, pv, round(pv, 9) AS pr,
+             row_number() OVER (ORDER BY round(pv, 9), event_type) AS i,
              CAST(count(*) OVER () AS DOUBLE) AS m
       FROM p
     )
     SELECT event_type, CAST(i AS BIGINT) AS rank_i,
            round(pv, 6) AS p_value,
-           round(least(1.0, min(m * pv / i) OVER (
-             ORDER BY pv DESC, event_type DESC
+           round(least(1.0, min(m * pr / i) OVER (
+             ORDER BY pr DESC, event_type DESC
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS p_adj,
-           least(1.0, min(m * pv / i) OVER (
-             ORDER BY pv DESC, event_type DESC
+           least(1.0, min(m * pr / i) OVER (
+             ORDER BY pr DESC, event_type DESC
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) <= 0.05
              AS reject
     FROM r
@@ -12803,10 +12803,10 @@ def q_join_skew_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM jn
     ),
     cnt AS (
-      SELECT CAST(sum(CASE WHEN half = 0 THEN n ELSE 0 END)
-                  / count(DISTINCT dim) AS BIGINT) AS n_old,
-             CAST(sum(CASE WHEN half = 1 THEN n ELSE 0 END)
-                  / count(DISTINCT dim) AS BIGINT) AS n_new
+      SELECT CAST(floor(sum(CASE WHEN half = 0 THEN n ELSE 0 END)
+                  / count(DISTINCT dim)) AS BIGINT) AS n_old,
+             CAST(floor(sum(CASE WHEN half = 1 THEN n ELSE 0 END)
+                  / count(DISTINCT dim)) AS BIGINT) AS n_new
       FROM c
     )
     SELECT n_old, n_new,
@@ -12852,11 +12852,11 @@ def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     cnt = c.groupBy().agg(
-        (
+        F.floor(
             F.sum(F.when(F.col("half") == 0, F.col("n")).otherwise(0))
             / F.count_distinct("dim")
         ).cast("long").alias("n_old"),
-        (
+        F.floor(
             F.sum(F.when(F.col("half") == 1, F.col("n")).otherwise(0))
             / F.count_distinct("dim")
         ).cast("long").alias("n_new"),
@@ -13093,14 +13093,14 @@ def q_seasonality_strength_by_type(
       SELECT *,
              (b1 * (a22 * a33 - a23 * a23)
               - a12 * (b2 * a33 - a23 * b3)
-              + a13 * (b2 * a23 - a22 * b3)) / det AS beta1,
+              + a13 * (b2 * a23 - a22 * b3)) / nullif(det, 0) AS beta1,
              (a11 * (b2 * a33 - a23 * b3)
               - b1 * (a12 * a33 - a23 * a13)
-              + a13 * (a12 * b3 - b2 * a13)) / det AS beta2,
+              + a13 * (a12 * b3 - b2 * a13)) / nullif(det, 0) AS beta2,
              (a11 * (a22 * b3 - b2 * a23)
               - a12 * (a12 * b3 - b2 * a13)
-              + b1 * (a12 * a23 - a22 * a13)) / det AS beta3
-      FROM s WHERE det <> 0
+              + b1 * (a12 * a23 - a22 * a13)) / nullif(det, 0) AS beta3
+      FROM s
     ),
     f AS (
       SELECT n, syy, b1, b2, b3, a12, a13, a23,
