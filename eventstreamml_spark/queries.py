@@ -34,77 +34,68 @@ def register(name: str, oracle: str | None):
 
 # The driver's correctness pass covers only the FIRST 50 registry entries
 # per round, so emission order is decoupled from registration order and
-# rotates each round. Round-6 window: the first 50 of the 55-name
-# never-driver-run backlog left after round 5 (35 carried + the 15
-# round-5 additions; all green in CORRECTNESS-replica and in the
-# committed sf0.1 sweep artifact PARITY_SF01.json). Remaining backlog
-# after round 6 = exactly 50 names: the 5 late-round-5 additions
-# (cohort_ltv_weekly_curve funnel_convert_time_quantiles
-# subject_burstiness privacy_small_count_suppression
-# storage_compaction_plan) plus the 45 round-6 additions — every
-# registry name from mw_u_test_value_by_arm onward in registration
-# order: the 5 early rank/Bayes/power stats, then the classical-stats,
-# experiment-design, time-series, eval, text/corpus, graph/audit,
-# drift/quality, and ridge batches, and the final survival/Wasserstein/
-# Cramér-V/McNemar/kappa/Kendall/link-prediction/readability/zone-map
-# batch (see git log). Round 7's
-# window takes ALL 50 (0 spare — round-7 additions wait for the
-# round-8 window) and ends with zero never-driver-run names. The 3 rows-only names
+# rotates each round. Round-7 window (set this round, runs at round-7
+# end): ALL 50 remaining never-driver-run names — the 5 late-round-5
+# additions plus the 45 round-6 additions in registration order — with
+# 0 slots spare. After this window runs green, every registry name as
+# of round 6 has a driver CORRECTNESS row. Round-8 backlog = exactly
+# the round-7 additions (see the round-7 commits; kept ≤ 50 by design),
+# which rotate in next round. The 3 rows-only names
 # (approx_distinct_users_by_type, dedup_simhash_pairs, ann_ivf_topk)
 # can never go green (err: no_oracle) and stay OUT of every window.
 _ORDER_FIRST: list[str] = [
-    # 35 carried from the round-4/5 backlog
-    "ab_bootstrap_ci",
-    "chi_square_type_segment",
-    "ab_welch_ttest",
-    "bpe_encode_top_words",
-    "value_quantile_sketch",
-    "embedding_pq_codes",
-    "graph_triangle_counts",
-    "conformal_coverage",
-    "eval_map_retrieval",
-    "approx_distinct_hll_portable",
-    "streaming_value_quantiles",
-    "doc_skipgram_pairs",
-    "interaction_negative_samples",
-    "class_balanced_resample",
-    "temporal_embargo_split",
-    "bucketed_join_parity",
-    "partition_pruned_hourly_clicks",
-    "value_woe_bins",
-    "user_time_decay_features",
-    "gdpr_cascade_audit",
-    "graph_random_walks",
-    "streaming_psi_drift",
-    "join_size_estimate",
-    "subject_group_kfold",
-    "fairness_rate_gaps",
-    "corpus_source_diversity",
-    "dq_benford_values",
-    "snm_customer_pairs",
-    "hourly_seasonal_naive_mae",
-    "retrieval_rrf_fusion",
-    "doc_langid_confusion",
-    "order_backlog_aging",
-    "hourly_autocorrelation",
-    "power_user_curve",
-    "market_basket_lift",
-    # the 15 round-5 additions
-    "ks_test_value_by_arm",
-    "spc_value_control_limits",
-    "ab_srm_check",
-    "privacy_l_diversity",
-    "feature_cross_hashed",
-    "session_markov_transitions",
-    "dq_freshness_lag",
-    "corpus_zipf_fit",
-    "embedding_pca_top_component",
-    "user_churn_labels",
-    "streaming_rate_alert",
-    "rolling_active_users_7d",
-    "revenue_pareto_concentration",
-    "hourly_robust_z_anomaly",
-    "doc_ngram_novelty",
+    # the 5 late-round-5 additions
+    "cohort_ltv_weekly_curve",
+    "funnel_convert_time_quantiles",
+    "subject_burstiness",
+    "privacy_small_count_suppression",
+    "storage_compaction_plan",
+    # the 45 round-6 additions, registration order
+    "mw_u_test_value_by_arm",
+    "kruskal_wallis_value_by_type",
+    "bayes_ab_conversion_posterior",
+    "ab_power_mde_planner",
+    "theil_sen_trend_by_subject",
+    "spearman_qty_price_by_flag",
+    "anova_value_by_type",
+    "levene_brown_forsythe_by_type",
+    "two_proportion_ztest_arms",
+    "poisson_rate_ratio_halves",
+    "bh_fdr_type_tests",
+    "ab_sequential_sprt_daily",
+    "diff_in_diff_order_value",
+    "ab_stratified_ate",
+    "privacy_t_closeness",
+    "max_concurrent_sessions",
+    "cross_correlation_click_purchase",
+    "watermark_late_event_audit",
+    "temporal_cv_folds",
+    "eval_regression_metrics",
+    "eval_lift_gains_by_band",
+    "eval_brier_decomposition",
+    "eval_pinball_loss",
+    "doc_keyphrase_rake",
+    "corpus_heaps_law_fit",
+    "doc_bigram_perplexity",
+    "bloom_filter_probe_audit",
+    "graph_degree_assortativity",
+    "embedding_dim_stats",
+    "session_path_topk",
+    "join_skew_key_audit",
+    "embedding_centroid_drift",
+    "storage_partition_skew_audit",
+    "dq_uniqueness_audit",
+    "seasonality_strength_by_type",
+    "ridge_regression_price",
+    "survival_km_purchase",
+    "drift_wasserstein_value",
+    "cramers_v_type_segment",
+    "mcnemar_purchase_halves",
+    "cohens_kappa_langid",
+    "eval_rank_kendall_hours",
+    "graph_link_prediction_jaccard",
+    "doc_readability_flesch",
+    "storage_zone_map_audit",
 ]
 
 
