@@ -517,3 +517,118 @@ def kendall_tau_groups(
             ).alias("kendall_tau"),
         )
     )
+
+
+def pr_auc(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+    by: str | None = None,
+) -> DataFrame:
+    """Precision-recall AUC (average precision over the full ranking):
+    AP = Σ_t ΔR(t)·P(t) summed over DISTINCT score thresholds t in
+    descending order, with ΔR(t) the recall gained at t — sklearn's
+    average_precision_score, tie-exact because ties collapse into one
+    threshold instead of being ordered arbitrarily.
+
+    Distributed shape (house rule for rank statistics): aggregate to
+    the |group × distinct score| contingency relation FIRST, then run
+    the cumulative windows over that bounded relation — never a
+    per-row global sort. Groups with zero positives emit NULL.
+    """
+    keys = [by] if by else []
+    g = scored.groupBy(
+        *keys, F.col(score_col).alias("_s")
+    ).agg(
+        F.sum(F.col(label_col).cast("long")).alias("_np"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    part = W.partitionBy(*keys) if keys else W.partitionBy()
+    wcum = part.orderBy(F.col("_s").desc()).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wall = part.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    cum_pos = F.sum("_np").over(wcum)
+    cum_n = F.sum("_n").over(wcum)
+    tot_pos = F.sum("_np").over(wall)
+    contrib = F.try_divide(F.col("_np"), tot_pos) * (cum_pos / cum_n)
+    ranked = g.select(
+        *keys,
+        F.col("_np"),
+        F.col("_n"),
+        contrib.alias("_c"),
+    )
+    return ranked.groupBy(*keys).agg(
+        F.sum("_np").cast("long").alias("n_pos"),
+        F.sum("_n").cast("long").alias("n"),
+        F.round(F.sum("_c"), 6).alias("pr_auc"),
+    )
+
+
+def mrr_at_k(
+    results: DataFrame,
+    query_col: str = "query_id",
+    score_col: str = "score",
+    rel_col: str = "rel",
+    k: int = 10,
+) -> DataFrame:
+    """Per-query reciprocal rank @k (the per-query term of MRR): the
+    rank of the FIRST relevant item down the score ordering, 1/rank if
+    it lands within the top k, else 0.0; queries with no relevant item
+    at all emit NULL rr (undefined, excluded from a mean by design).
+
+    Same single-exchange shape as average_precision_at_k: one rank
+    window on the query key with a deterministic item tiebreak, then a
+    map-side-combined groupBy — the min-over-relevant reduction never
+    materializes a global sort."""
+    part = W.partitionBy(query_col)
+    item_cols = [
+        c for c in results.columns if c not in (query_col, score_col, rel_col)
+    ]
+    tiebreak = [F.col(c).asc() for c in item_cols]
+    rk = F.row_number().over(
+        part.orderBy(F.col(score_col).desc(), *tiebreak)
+    )
+    ranked = results.select(
+        query_col,
+        (F.col(rel_col) > 0).cast("int").alias("_h"),
+        rk.alias("_rk"),
+    )
+    agg = ranked.groupBy(query_col).agg(
+        F.min(F.when(F.col("_h") == 1, F.col("_rk"))).alias("first_rel_rank"),
+        F.sum("_h").cast("long").alias("n_rel"),
+    )
+    rr = F.when(
+        F.col("first_rel_rank") <= k, F.round(1.0 / F.col("first_rel_rank"), 6)
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        query_col,
+        "n_rel",
+        "first_rel_rank",
+        F.when(F.col("n_rel") > 0, rr).alias("rr"),
+    )
+
+
+def expected_calibration_error(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """ECE / MCE scalars over the calibration_bins relation:
+    ECE = Σ (nᵇ/N)·|conf(b) − acc(b)| weighted over equal-width bins,
+    MCE = max |gap|. Computed from the bins' 6dp-ROUNDED per-bin
+    means, so the scalar is a deterministic function of the already
+    oracle-stable bin relation — engine float drift can't leak in
+    below the output grid. One groupBy over |bins| rows."""
+    bins = calibration_bins(
+        scored, score_col=score_col, label_col=label_col, n_bins=n_bins
+    )
+    return bins.groupBy().agg(
+        F.sum("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+        F.round(
+            F.sum(F.col("n") * F.col("abs_gap")) / F.sum("n"), 6
+        ).alias("ece"),
+        F.round(F.max("abs_gap"), 6).alias("mce"),
+    )

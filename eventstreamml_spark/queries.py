@@ -13667,3 +13667,424 @@ def q_storage_zone_map_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eventstreamml_spark.operators.storage import zone_map_audit
 
     return zone_map_audit(_events(spark, sf_dir), "value", "ts")
+
+
+# ---------------------------------------------------------------------------
+# Round-7 ingest-digest batch: oracle rows for the last reference-surface
+# operators whose correctness previously rested on pytest alone
+# (S1 to_events, S4 explode, J2 backfill, J6 task semi-join, O5 union).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ingest_to_events_digest",
+    """
+    SELECT user_id AS subject_id,
+           count(*) AS n_events,
+           max('evt') AS event_type,
+           CAST(sum(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT)
+             AS sum_epoch,
+           CAST(count(*) AS BIGINT) AS n_meta_cells,
+           count(value) AS n_values,
+           CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+             AS sum_value_milli
+    FROM events GROUP BY user_id
+    """,
+)
+def q_ingest_to_events_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 to_events round-trip digest (reference
+    event_stream_dataset.py:370-413): canonicalize the raw frame into
+    (subject_id, timestamp, event_type, metadata array<struct>) and
+    verify, per subject, that the timestamp conversion, the constant
+    event_type stamp, and the single-struct metadata nesting all
+    survived — each digest column is recomputable from the raw table,
+    so the oracle checks the canonicalization added/dropped/mangled
+    nothing. Pure projection: no shuffle beyond the final group-by."""
+    from eventstreamml_spark.sources.ingest import to_events
+
+    raw = _events(spark, sf_dir)
+    ev = to_events(raw, "evt", "user_id", "ts", ["value", "props"])
+    first_val = F.get(F.col("metadata"), 0).getField("value")
+    return ev.groupBy("subject_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("event_type").alias("event_type"),
+        F.sum(
+            F.expr("unix_micros(cast(timestamp as timestamp)) div 1000000")
+        ).cast("long").alias("sum_epoch"),
+        F.sum(F.size("metadata")).cast("long").alias("n_meta_cells"),
+        F.count(first_val).alias("n_values"),
+        # per-ROW floor of a bit-identical IEEE product, then an exact
+        # integer sum — avg/round digests land on half-ulp 6dp
+        # boundaries when the source values carry few decimals
+        F.sum(F.floor(first_val * 1000).cast("long"))
+        .cast("long")
+        .alias("sum_value_milli"),
+    )
+
+
+@register(
+    "ingest_explode_metadata_digest",
+    """
+    WITH m AS (
+      SELECT event_id, user_id, 0 AS pos, value AS v FROM events
+      UNION ALL
+      SELECT event_id, user_id, 1, value * 2 FROM events
+      WHERE CAST(floor(epoch(ts)) AS BIGINT) % 2 = 0
+    ),
+    d AS (
+      SELECT *, row_number() OVER (ORDER BY event_id, pos) - 1 AS mid
+      FROM m
+    )
+    SELECT user_id AS subject_id,
+           count(*) AS n_meta_rows,
+           CAST(sum(mid) AS BIGINT) AS sum_metadata_id,
+           CAST(sum(pos) AS BIGINT) AS n_second_cells,
+           CAST(sum(CAST(floor(v * 1000) AS BIGINT)) AS BIGINT)
+             AS sum_v_milli
+    FROM d GROUP BY user_id
+    """,
+)
+def q_ingest_explode_metadata_digest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """S4 explode_metadata digest (reference
+    event_stream_dataset.py:569-593): build RAGGED nested metadata (1
+    struct per event, 2 when the event lands on an even epoch second)
+    and explode it into the flat joint_metadata relation with dense
+    posexplode-pinned metadata ids. The oracle recomputes the global
+    (event_id, pos) numbering with a window, so per-subject id sums
+    pin both the raggedness handling and the id-assignment order.
+    event_id is unique in the fixtures, making the order tie-free."""
+    from eventstreamml_spark.sources.ingest import explode_metadata
+
+    raw = _events(spark, sf_dir)
+    one = F.array(F.struct(F.col("value").alias("v"), F.lit(0).alias("k")))
+    two = F.array(
+        F.struct(F.col("value").alias("v"), F.lit(0).alias("k")),
+        F.struct((F.col("value") * 2).alias("v"), F.lit(1).alias("k")),
+    )
+    nested = raw.select(
+        "event_id",
+        F.col("user_id").alias("subject_id"),
+        F.lit("evt").alias("event_type"),
+        F.when(
+            F.expr("unix_micros(cast(ts as timestamp)) div 1000000") % 2
+            == 0,
+            two,
+        ).otherwise(one).alias("metadata"),
+    )
+    _flat, md = explode_metadata(nested, "metadata", id_strategy="dense")
+    return md.groupBy("subject_id").agg(
+        F.count(F.lit(1)).alias("n_meta_rows"),
+        F.sum("metadata_id").cast("long").alias("sum_metadata_id"),
+        F.sum("k").cast("long").alias("n_second_cells"),
+        F.sum(F.floor(F.col("v") * 1000).cast("long"))
+        .cast("long")
+        .alias("sum_v_milli"),
+    )
+
+
+@register(
+    "metadata_backfill_join",
+    """
+    SELECT event_type,
+           count(*) AS n_meta,
+           count(DISTINCT user_id) AS n_subjects,
+           CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+             AS sum_value_milli
+    FROM events WHERE event_id % 3 <> 1
+    GROUP BY event_type
+    """,
+)
+def q_metadata_backfill_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 metadata backfill digest (reference
+    event_stream_dataset.py:530-548): a metadata frame carrying only
+    (event_id, value) for a deterministic 2/3 subset of events gets
+    event_type/subject_id backfilled by the inner equi-join; grouping
+    the result by the BACKFILLED type against an oracle computed from
+    the raw table proves the join neither dropped, duplicated, nor
+    mislabeled rows. Broadcast-eligible at any scale where the events
+    side is partitioned on event_id."""
+    from eventstreamml_spark.sources.ingest import backfill_metadata
+
+    raw = _events(spark, sf_dir)
+    events = raw.select(
+        "event_id", "event_type", F.col("user_id").alias("subject_id")
+    )
+    md = raw.filter(F.col("event_id") % 3 != 1).select(
+        F.col("event_id").alias("metadata_id"), "event_id", "value"
+    )
+    out = backfill_metadata(md, events)
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_meta"),
+        F.count_distinct("subject_id").alias("n_subjects"),
+        F.sum(F.floor(F.col("value") * 1000).cast("long"))
+        .cast("long")
+        .alias("sum_value_milli"),
+    )
+
+
+@register(
+    "task_semijoin_restriction",
+    """
+    WITH n AS (
+      SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+    ),
+    th AS (
+      SELECT CAST(sum(n_events) AS BIGINT) // count(*) AS k FROM n
+    ),
+    tasks AS (
+      SELECT user_id, count(*) AS n_purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    kept AS (
+      SELECT t.user_id, t.n_purchases
+      FROM tasks t
+      WHERE t.user_id IN (
+        SELECT n.user_id FROM n CROSS JOIN th WHERE n.n_events >= th.k
+      )
+    )
+    SELECT (SELECT count(*) FROM tasks) AS n_tasks_total,
+           count(*) AS n_tasks_kept,
+           count(DISTINCT user_id) AS n_subjects_kept,
+           CAST(sum(n_purchases) AS BIGINT) AS sum_purchases,
+           (SELECT CAST(k AS BIGINT) FROM th) AS threshold
+    FROM kept
+    """,
+)
+def q_task_semijoin_restriction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """J6 task semi-join digest (reference dataset.py task restriction,
+    SURVEY §2.3): a per-subject task-label frame is restricted to the
+    cohort of subjects at/above the mean event count via left_semi —
+    the oracle recomputes the cohort and the surviving label mass, so
+    any dup-amplification (a plain inner join would double rows on
+    duplicate cohort keys) or dropped subject shows up in the counts.
+    The threshold is integer-derived (sum div count), engine-stable."""
+    from eventstreamml_spark.tasks import restrict_tasks_to_subjects
+
+    raw = _events(spark, sf_dir)
+    per_user = raw.groupBy(F.col("user_id").alias("subject_id")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    th = (
+        per_user.groupBy()
+        .agg(
+            F.sum("n_events").cast("long").alias("_s"),
+            F.count(F.lit(1)).alias("_c"),
+        )
+        .select(F.expr("_s div _c").alias("k"))
+    )
+    # duplicate-key cohort on purpose: left_semi must NOT amplify
+    subjects = (
+        per_user.join(F.broadcast(th), F.col("n_events") >= F.col("k"))
+        .select("subject_id")
+    )
+    tasks = (
+        raw.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("subject_id"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    kept = restrict_tasks_to_subjects(tasks, subjects)
+    n_total = tasks.groupBy().agg(
+        F.count(F.lit(1)).alias("n_tasks_total")
+    )
+    agg_kept = kept.groupBy().agg(
+        F.count(F.lit(1)).alias("n_tasks_kept"),
+        F.count_distinct("subject_id").alias("n_subjects_kept"),
+        F.sum("n_purchases").cast("long").alias("sum_purchases"),
+    )
+    return (
+        n_total.crossJoin(agg_kept)
+        .crossJoin(F.broadcast(th.select(F.col("k").alias("threshold"))))
+        .select(
+            "n_tasks_total",
+            "n_tasks_kept",
+            "n_subjects_kept",
+            "sum_purchases",
+            "threshold",
+        )
+    )
+
+
+@register(
+    "union_distinct_events",
+    """
+    WITH u AS (
+      SELECT user_id, event_type FROM events
+      WHERE event_type IN ('click', 'purchase')
+      UNION
+      SELECT user_id, event_type FROM events
+      WHERE event_type IN ('purchase', 'view')
+    )
+    SELECT event_type,
+           count(*) AS n_pairs,
+           CAST(sum(user_id) AS BIGINT) AS sum_user_id
+    FROM u GROUP BY event_type
+    """,
+)
+def q_union_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 union-distinct digest: two overlapping (user, type)
+    projections unioned with duplicate elimination — 'purchase' pairs
+    appear in both inputs and every input holds internal duplicates,
+    so the per-type distinct-pair counts and user-id sums pin both
+    dedup directions (across inputs and within one input). Map-side
+    partial distinct keeps the shuffle at |distinct pairs|."""
+    from eventstreamml_spark.operators.setops import union_distinct
+
+    raw = _events(spark, sf_dir)
+    a = raw.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id", "event_type"
+    )
+    b = raw.filter(F.col("event_type").isin("purchase", "view")).select(
+        "user_id", "event_type"
+    )
+    u = union_distinct(a, b)
+    return u.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("user_id").cast("long").alias("sum_user_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 eval batch: PR-AUC, MRR, ECE scalars
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "eval_pr_auc_by_type",
+    f"""
+    WITH {_SCORED_SQL},
+    g AS (
+      SELECT event_type, score AS s,
+             CAST(sum(y) AS BIGINT) AS np, count(*) AS n
+      FROM scored GROUP BY event_type, score
+    ),
+    c AS (
+      SELECT event_type, np, n,
+             sum(np) OVER (PARTITION BY event_type ORDER BY s DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cp,
+             sum(n) OVER (PARTITION BY event_type ORDER BY s DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cn,
+             sum(np) OVER (PARTITION BY event_type) AS tp
+      FROM g
+    )
+    SELECT event_type,
+           CAST(sum(np) AS BIGINT) AS n_pos,
+           CAST(sum(n) AS BIGINT) AS n,
+           round(sum((np * 1.0 / nullif(tp, 0)) * (cp * 1.0 / cn)), 6)
+             AS pr_auc
+    FROM c GROUP BY event_type
+    """,
+)
+def q_eval_pr_auc_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall AUC (tie-exact average precision) per event
+    type over the shared deterministic scored relation: thresholds are
+    the DISTINCT scores, so the cumulative windows run over the
+    |type × distinct score| contingency relation, never a per-row
+    global sort — the ROC-AUC discipline applied to the PR curve
+    (operators/evalmetrics.py pr_auc)."""
+    from eventstreamml_spark.operators.evalmetrics import pr_auc
+
+    return pr_auc(_scored_events(spark, sf_dir), by="event_type")
+
+
+@register(
+    "eval_mrr_retrieval",
+    """
+    WITH q AS (
+      SELECT user_id % 211 AS query_id, event_id AS item,
+             (('0x' || substr(md5('s' || event_id::VARCHAR), 1, 4))::BIGINT
+              % 1000) / 999.0 AS score,
+             ('0x' || substr(md5('r' || event_id::VARCHAR), 1, 4))::BIGINT
+              % 4 AS rel
+      FROM events
+    ),
+    r AS (
+      SELECT query_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, item ASC) AS rk,
+             CASE WHEN rel > 0 THEN 1 ELSE 0 END AS h
+      FROM q
+    ),
+    a AS (
+      SELECT query_id,
+             min(CASE WHEN h = 1 THEN rk END) AS first_rel_rank,
+             CAST(sum(h) AS BIGINT) AS n_rel
+      FROM r GROUP BY query_id
+    )
+    SELECT query_id, n_rel, first_rel_rank,
+           CASE WHEN n_rel > 0 THEN
+             CASE WHEN first_rel_rank <= 10
+                  THEN round(1.0 / first_rel_rank, 6) ELSE 0.0 END
+           END AS rr
+    FROM a
+    """,
+)
+def q_eval_mrr_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank @10 per query over the same deterministic
+    retrieval relation as eval_map_retrieval/eval_ndcg_retrieval — the
+    third standard retrieval headline, sharing the single-exchange
+    rank-window shape (operators/evalmetrics.py mrr_at_k)."""
+    from eventstreamml_spark.operators.evalmetrics import mrr_at_k
+
+    ev = _events(spark, sf_dir)
+    h4 = lambda salt: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("event_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    res = ev.select(
+        (F.col("user_id") % 211).alias("query_id"),
+        F.col("event_id").alias("item"),
+        ((h4("s") % 1000) / 999.0).alias("score"),
+        (h4("r") % 4).alias("rel"),
+    )
+    out = mrr_at_k(res, k=10)
+    return out.withColumn(
+        "first_rel_rank", F.col("first_rel_rank").cast("long")
+    )
+
+
+@register(
+    "eval_expected_calibration_error",
+    f"""
+    WITH {_SCORED_SQL},
+    b AS (
+      SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+             count(*) AS n,
+             round(abs(round(avg(score), 6) - round(avg(y), 6)), 6)
+               AS abs_gap
+      FROM scored GROUP BY 1
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_bins_used,
+           round(sum(n * abs_gap) / sum(n), 6) AS ece,
+           round(max(abs_gap), 6) AS mce
+    FROM b
+    """,
+)
+def q_eval_expected_calibration_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ECE/MCE scalars from the reliability bins: the bin-weighted
+    |confidence − accuracy| gap, computed from the bins' 6dp-rounded
+    per-bin means so the scalar is a deterministic function of the
+    already oracle-stable bin relation (operators/evalmetrics.py
+    expected_calibration_error)."""
+    from eventstreamml_spark.operators.evalmetrics import (
+        expected_calibration_error,
+    )
+
+    return expected_calibration_error(
+        _scored_events(spark, sf_dir), label_col="label", n_bins=10
+    )

@@ -114,3 +114,221 @@ class TestBhFdrGridStableRanks:
         # p_adj arithmetic also runs on the 9dp grid: both ties give
         # m * 0.1 / i with the SAME rounded p
         assert rows["a"]["p_adj"] == rows["b"]["p_adj"] == 0.15
+
+
+# ---------------------------------------------------------------------------
+# Round-7 ingest-digest batch (S1/S4/J2/J6/O5 oracle rows)
+# ---------------------------------------------------------------------------
+
+US = 1_000_000
+
+
+def _write_events(dirpath, rows):
+    """rows: (event_id, ts_us, user_id, event_type, value, props)."""
+    cols = list(zip(*rows))
+    table = pa.table(
+        {
+            "event_id": pa.array(cols[0], pa.int64()),
+            "ts": pa.array(cols[1], pa.timestamp("us")),
+            "user_id": pa.array(cols[2], pa.int64()),
+            "event_type": pa.array(cols[3], pa.string()),
+            "value": pa.array(cols[4], pa.float64()),
+            "props": pa.array(cols[5], pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(dirpath, "events.parquet"))
+    return str(dirpath)
+
+
+def _base_rows():
+    # even + odd epoch seconds, multiple users/types, duplicate
+    # (user, type) pairs for the union/dedup paths
+    t0 = 1_700_000_000 * US  # even epoch second
+    return [
+        (1, t0, 1, "click", 1.5, "{}"),
+        (2, t0 + 1 * US, 1, "click", 2.5, "{}"),  # odd second
+        (3, t0 + 2 * US, 1, "purchase", 3.0, "{}"),
+        (4, t0 + 3 * US, 2, "view", -1.0, "{}"),
+        (5, t0 + 4 * US, 2, "purchase", 0.25, "{}"),
+        (6, t0 + 5 * US, 2, "purchase", 4.0, "{}"),
+        (7, t0 + 6 * US, 3, "error", 9.0, "{}"),
+        (8, t0 + 7 * US, 3, "click", 1.0, "{}"),
+        (9, t0 + 8 * US, 3, "signup", 2.0, "{}"),
+        (10, t0 + 9 * US, 3, "view", 3.5, "{}"),
+    ]
+
+
+class TestIngestDigestBatch:
+    def _compare(self, spark, tmp_path, name, rows=None):
+        _write_events(tmp_path, rows or _base_rows())
+        compare(spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name])
+
+    def test_to_events_digest(self, spark, tmp_path):
+        self._compare(spark, tmp_path, "ingest_to_events_digest")
+
+    def test_explode_metadata_digest(self, spark, tmp_path):
+        self._compare(spark, tmp_path, "ingest_explode_metadata_digest")
+
+    def test_backfill_join_digest(self, spark, tmp_path):
+        self._compare(spark, tmp_path, "metadata_backfill_join")
+
+    def test_task_semijoin_digest(self, spark, tmp_path):
+        self._compare(spark, tmp_path, "task_semijoin_restriction")
+
+    def test_union_distinct_digest(self, spark, tmp_path):
+        self._compare(spark, tmp_path, "union_distinct_events")
+
+    def test_semijoin_never_amplifies_on_duplicate_cohort_rows(self, spark):
+        from eventstreamml_spark.tasks import restrict_tasks_to_subjects
+
+        tasks = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "subject_id long, label string"
+        )
+        dup_cohort = spark.createDataFrame(
+            [(1,), (1,), (1,)], "subject_id long"
+        )
+        out = restrict_tasks_to_subjects(tasks, dup_cohort).collect()
+        assert len(out) == 1 and out[0]["subject_id"] == 1
+
+    def test_explode_ids_dense_and_pos_ordered(self, spark):
+        from eventstreamml_spark.sources.ingest import explode_metadata
+
+        nested = spark.createDataFrame(
+            [
+                (2, "evt", 10, [(1.0, 0), (2.0, 1)]),
+                (1, "evt", 11, [(3.0, 0)]),
+            ],
+            "event_id long, event_type string, subject_id long, "
+            "metadata array<struct<v double, k int>>",
+        )
+        _flat, md = explode_metadata(nested, "metadata", id_strategy="dense")
+        got = {
+            (r["event_id"], r["k"]): r["metadata_id"] for r in md.collect()
+        }
+        # dense ids follow (event_id, pos): (1,0)->0, (2,0)->1, (2,1)->2
+        assert got == {(1, 0): 0, (2, 0): 1, (2, 1): 2}
+
+
+# ---------------------------------------------------------------------------
+# Round-7 eval batch: PR-AUC, MRR, ECE
+# ---------------------------------------------------------------------------
+
+
+class TestPrAuc:
+    def test_sklearn_textbook_value(self, spark):
+        from eventstreamml_spark.operators.evalmetrics import pr_auc
+
+        df = spark.createDataFrame(
+            [(0, 0.1), (0, 0.4), (1, 0.35), (1, 0.8)],
+            "label int, score double",
+        )
+        r = pr_auc(df).collect()[0]
+        # thresholds desc: 0.8 -> P=1, dR=1/2; 0.35 -> P=2/3, dR=1/2
+        assert r["pr_auc"] == 0.833333
+        assert r["n_pos"] == 2 and r["n"] == 4
+
+    def test_ties_collapse_into_one_threshold(self, spark):
+        from eventstreamml_spark.operators.evalmetrics import pr_auc
+
+        df = spark.createDataFrame(
+            [(1, 1.0), (0, 1.0), (1, 0.0), (0, 0.0)],
+            "label int, score double",
+        )
+        r = pr_auc(df).collect()[0]
+        assert r["pr_auc"] == 0.5
+
+    def test_no_positives_null(self, spark):
+        from eventstreamml_spark.operators.evalmetrics import pr_auc
+
+        df = spark.createDataFrame(
+            [(0, 0.3), (0, 0.7)], "label int, score double"
+        )
+        assert pr_auc(df).collect()[0]["pr_auc"] is None
+
+    def test_perfect_ranking_is_one(self, spark):
+        from eventstreamml_spark.operators.evalmetrics import pr_auc
+
+        df = spark.createDataFrame(
+            [(1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)],
+            "label int, score double",
+        )
+        assert pr_auc(df).collect()[0]["pr_auc"] == 1.0
+
+
+class TestMrrAtK:
+    def _res(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "query_id long, item long, score double, rel int"
+        )
+
+    def test_first_relevant_at_rank_two(self, spark):
+        from eventstreamml_spark.operators.evalmetrics import mrr_at_k
+
+        df = self._res(
+            spark, [(1, 10, 0.9, 0), (1, 11, 0.8, 1), (1, 12, 0.7, 1)]
+        )
+        r = mrr_at_k(df, k=10).collect()[0]
+        assert r["first_rel_rank"] == 2 and r["rr"] == 0.5
+
+    def test_relevant_beyond_k_scores_zero(self, spark):
+        from eventstreamml_spark.operators.evalmetrics import mrr_at_k
+
+        rows = [(1, i, 1.0 - i / 100.0, 0) for i in range(10)]
+        rows.append((1, 99, 0.0, 1))
+        r = mrr_at_k(self._res(spark, rows), k=10).collect()[0]
+        assert r["first_rel_rank"] == 11 and r["rr"] == 0.0
+
+    def test_no_relevant_is_null(self, spark):
+        from eventstreamml_spark.operators.evalmetrics import mrr_at_k
+
+        df = self._res(spark, [(1, 10, 0.9, 0), (1, 11, 0.8, 0)])
+        r = mrr_at_k(df, k=10).collect()[0]
+        assert r["rr"] is None and r["first_rel_rank"] is None
+
+    def test_score_tie_breaks_on_item(self, spark):
+        from eventstreamml_spark.operators.evalmetrics import mrr_at_k
+
+        df = self._res(spark, [(1, 20, 0.5, 1), (1, 10, 0.5, 0)])
+        r = mrr_at_k(df, k=10).collect()[0]
+        assert r["first_rel_rank"] == 2  # item 10 sorts first on the tie
+
+
+class TestEce:
+    def test_hand_computed(self, spark):
+        from eventstreamml_spark.operators.evalmetrics import (
+            expected_calibration_error,
+        )
+
+        # bin 0 (scores ~0.05): 2 rows, conf 0.05, acc 0.5 -> gap 0.45
+        # bin 9 (scores ~0.95): 2 rows, conf 0.95, acc 1.0 -> gap 0.05
+        df = spark.createDataFrame(
+            [(0.05, 0), (0.05, 1), (0.95, 1), (0.95, 1)],
+            "score double, label int",
+        )
+        r = expected_calibration_error(df).collect()[0]
+        assert r["n"] == 4 and r["n_bins_used"] == 2
+        assert r["ece"] == 0.25  # (2*0.45 + 2*0.05) / 4
+        assert r["mce"] == 0.45
+
+    def test_perfectly_calibrated_bins(self, spark):
+        from eventstreamml_spark.operators.evalmetrics import (
+            expected_calibration_error,
+        )
+
+        rows = [(0.5, 1), (0.5, 0)] * 5
+        df = spark.createDataFrame(rows, "score double, label int")
+        r = expected_calibration_error(df).collect()[0]
+        assert r["ece"] == 0.0 and r["mce"] == 0.0
+
+
+class TestEvalBatchOracles:
+    def test_compare_on_synthetic(self, spark, tmp_path):
+        _write_events(tmp_path, _base_rows())
+        for name in (
+            "eval_pr_auc_by_type",
+            "eval_mrr_retrieval",
+            "eval_expected_calibration_error",
+        ):
+            compare(
+                spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name]
+            )
