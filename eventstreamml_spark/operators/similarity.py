@@ -871,3 +871,55 @@ def pca_top_component(
             F.round(F.col("_norm"), 5).alias("eigval"),
         )
     )
+
+
+def simplified_silhouette(
+    emb: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label simplified silhouette (centroid-based): for each
+    vector, a = euclidean distance to its OWN label centroid, b = min
+    distance to any OTHER label centroid, s = (b − a)/max(a, b);
+    emitted as per-label means — the standard cluster-quality readout
+    when the O(n²) pairwise silhouette is unpayable, which at corpus
+    scale is always.
+
+    Distributed shape mirrors label_centroid_stats: centroids from a
+    posexploded component relation (two scalar-keyed groupBys), then
+    every vector scores against the broadcast |labels|·dim centroid
+    relation — the only corpus-sized shuffle is the per-(vector,
+    candidate-label) distance groupBy, and candidate fan-out is
+    |labels|, not rows. NULL embeddings and NULL labels are filtered
+    (the round-6 PCA lesson)."""
+    base = emb.filter(
+        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    comp = base.select(
+        F.col(label_col).alias("_own"),
+        F.col(id_col).alias("_vid"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = comp.groupBy(F.col("_own").alias("_cand"), "pos").agg(
+        F.avg("v").alias("c")
+    )
+    dist = (
+        comp.join(F.broadcast(cent), "pos")
+        .groupBy("_vid", "_own", "_cand")
+        .agg(F.sqrt(F.sum((F.col("v") - F.col("c")) ** 2)).alias("d"))
+    )
+    per_vec = dist.groupBy("_vid", "_own").agg(
+        F.min(F.when(F.col("_cand") == F.col("_own"), F.col("d"))).alias("a"),
+        F.min(F.when(F.col("_cand") != F.col("_own"), F.col("d"))).alias("b"),
+    )
+    s = F.try_divide(F.col("b") - F.col("a"), F.greatest("a", "b"))
+    return (
+        per_vec.groupBy(F.col("_own").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg(s), 6).alias("mean_silhouette"),
+            F.round(F.avg("a"), 6).alias("mean_intra_dist"),
+            F.round(F.avg("b"), 6).alias("mean_nearest_other_dist"),
+        )
+    )

@@ -1567,3 +1567,80 @@ def mcnemar_test(
             6,
         ).alias("mcnemar_chi2_cc"),
     )
+
+
+def decision_stump(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str,
+    grid: int = 10,
+) -> DataFrame:
+    """Best single-threshold split of a numeric feature for a binary
+    label by information gain — the one-node decision tree a feature-
+    relevance pass fits per candidate column before any real training.
+
+    Candidate thresholds are the feature's values binned to a fixed
+    1/``grid`` lattice (``floor(x · grid)``), so the search runs over
+    the |distinct bins| contingency relation — one scan to build it,
+    cumulative windows over the bounded relation, never a per-row
+    sort. Gain = H(parent) − Σ weighted child entropies. The argmax
+    ranks on the 9dp-ROUNDED gain with the bin as tiebreak (the
+    BH-FDR lesson: exp/ln can differ by an ulp between libm and the
+    JVM, so ordering on raw doubles is engine-unstable). Splits with
+    an empty side are excluded; a single-bin relation returns the
+    no-split row with NULL gain."""
+    from pyspark.sql import Window as W
+
+    y = F.col(label_col).cast("long")
+    b = F.floor(F.col(feature_col) * grid).cast("long")
+    g = (
+        df.filter(F.col(feature_col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.sum(y).alias("np"), F.count(F.lit(1)).alias("n"))
+    )
+    wcum = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.partitionBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cp = F.sum("np").over(wcum)
+    cn = F.sum("n").over(wcum)
+    tp = F.sum("np").over(wall)
+    tn = F.sum("n").over(wall)
+
+    def _h(p: Column) -> Column:
+        # binary entropy with 0·ln0 = 0
+        return -(
+            F.when((p > 0) & (p < 1), p * F.log(p) + (1 - p) * F.log(1 - p))
+            .otherwise(F.lit(0.0))
+        )
+
+    parent = _h(tp / tn)
+    left = _h(cp / cn)
+    right = _h((tp - cp) / (tn - cn))
+    gain = F.when(
+        (F.col("_cn") > 0) & (F.col("_cn") < F.col("_tn")),
+        F.col("_parent")
+        - (F.col("_cn") / F.col("_tn")) * F.col("_left")
+        - ((F.col("_tn") - F.col("_cn")) / F.col("_tn")) * F.col("_right"),
+    )
+    scored = g.select(
+        "bin",
+        cn.alias("_cn"),
+        tn.alias("_tn"),
+        tp.alias("_tp"),
+        parent.alias("_parent"),
+        left.alias("_left"),
+        right.alias("_right"),
+    ).withColumn("_gain", gain)
+    wbest = W.orderBy(F.round(F.col("_gain"), 9).desc_nulls_last(), F.col("bin").asc())
+    best = scored.withColumn("_rk", F.row_number().over(wbest)).filter(
+        F.col("_rk") == 1
+    )
+    return best.select(
+        ((F.col("bin") + 1) / F.lit(float(grid))).alias("threshold"),
+        F.col("_cn").cast("long").alias("n_left"),
+        (F.col("_tn") - F.col("_cn")).cast("long").alias("n_right"),
+        F.col("_tp").cast("long").alias("n_pos"),
+        F.round(F.col("_parent"), 6).alias("parent_entropy"),
+        F.round(F.col("_gain"), 6).alias("info_gain"),
+    )

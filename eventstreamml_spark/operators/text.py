@@ -1244,3 +1244,134 @@ def flesch_band_histogram(
             ),
         )
     )
+
+
+def nb_lang_train_weights(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    vocab_size: int = 200,
+    scale: int = 1_000_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Multinomial Naive Bayes language-ID model as INTEGER weight
+    relations: ``(lang, word, w)`` over the full lang × top-V vocab
+    grid plus ``(lang, prior_w, n_docs)``, with every log-probability
+    quantized to micro-units ``floor(ln(p) · scale)``.
+
+    The quantization is the whole point: per-doc scores become exact
+    integer sums, so the argmax over languages is engine-exact by
+    construction — no libm-vs-JVM ulp can reorder two classes (the
+    only cross-engine divergence left is a floor straddle on a
+    ~1e-15-wide boundary of a 1e-6 grid at the model level, and a
+    single off-by-one micro-unit cannot flip an argmax except on an
+    exact integer tie, which tie-breaks by language).
+
+    Model sizes: |langs|·V weights and |langs| priors — broadcast
+    relations at any corpus scale; the only corpus-sized shuffles are
+    the word-keyed count groupBys."""
+    w = words_table(docs, id_col, text_col).filter(F.col("word") != "")
+    w = w.select(id_col, F.lower(F.col("word")).alias("word"))
+    labeled = w.join(docs.select(id_col, lang_col), id_col)
+    from pyspark.sql import Window as W
+
+    vocab = (
+        w.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                W.orderBy(F.col("tf").desc(), F.col("word").asc())
+            ),
+        )
+        .filter(F.col("_rk") <= vocab_size)
+        .select("word")
+    )
+    langs = docs.groupBy(lang_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    n_total = docs.groupBy().agg(F.count(F.lit(1)).alias("nt"))
+    v_actual = vocab.groupBy().agg(F.count(F.lit(1)).alias("v"))
+    counts = (
+        labeled.join(F.broadcast(vocab), "word")
+        .groupBy(lang_col, "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lang_tok = counts.groupBy(lang_col).agg(F.sum("c").alias("n_l"))
+    grid = (
+        langs.select(lang_col)
+        .crossJoin(F.broadcast(vocab))
+        .join(counts, [lang_col, "word"], "left")
+        .join(F.broadcast(lang_tok), lang_col, "left")
+        .crossJoin(F.broadcast(v_actual))
+        .select(
+            lang_col,
+            "word",
+            F.floor(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                    / (F.coalesce(F.col("n_l"), F.lit(0)) + F.col("v"))
+                )
+                * scale
+            ).cast("long").alias("w"),
+        )
+    )
+    priors = langs.crossJoin(F.broadcast(n_total)).select(
+        lang_col,
+        F.floor(
+            F.log(F.col("n_docs") / F.col("nt")) * scale
+        ).cast("long").alias("prior_w"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+    return grid, priors
+
+
+def nb_lang_confusion(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    vocab_size: int = 200,
+) -> DataFrame:
+    """Train-and-apply NB language ID with the integer-weight model,
+    emitting the (true lang × predicted lang) confusion counts — the
+    trained-classifier counterpart of the n-gram-heuristic
+    doc_langid_confusion audit.
+
+    Scoring joins the token stream against the broadcast weight grid
+    (every in-vocab token hits all |langs| weights via the dense
+    grid), sums exact integers per (doc, lang), adds the prior, and
+    takes the argmax with a language tiebreak. Docs with zero
+    in-vocab tokens rank on priors alone (the dense doc × lang
+    scaffold guarantees |langs| candidate rows per doc)."""
+    from pyspark.sql import Window as W
+
+    grid, priors = nb_lang_train_weights(
+        docs, id_col, text_col, lang_col, vocab_size
+    )
+    w = words_table(docs, id_col, text_col).filter(F.col("word") != "")
+    w = w.select(id_col, F.lower(F.col("word")).alias("word"))
+    # the grid's lang column is the candidate-class key
+    cand_col = [c for c in grid.columns if c not in ("word", "w")][0]
+    tok_scores = (
+        w.join(F.broadcast(grid), "word")
+        .groupBy(id_col, cand_col)
+        .agg(F.sum("w").alias("s_tok"))
+        .withColumnRenamed(cand_col, "_cand")
+    )
+    scaffold = docs.select(id_col, lang_col).crossJoin(
+        F.broadcast(priors.select(F.col(cand_col).alias("_cand"), "prior_w"))
+    )
+    scored = scaffold.join(
+        tok_scores, [id_col, "_cand"], "left"
+    ).withColumn(
+        "_score", F.coalesce(F.col("s_tok"), F.lit(0)) + F.col("prior_w")
+    )
+    wbest = W.partitionBy(id_col).orderBy(
+        F.col("_score").desc(), F.col("_cand").asc()
+    )
+    pred = scored.withColumn("_rk", F.row_number().over(wbest)).filter(
+        F.col("_rk") == 1
+    )
+    return (
+        pred.groupBy(F.col(lang_col).alias("true_lang"), F.col("_cand").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -14088,3 +14088,201 @@ def q_eval_expected_calibration_error(
     return expected_calibration_error(
         _scored_events(spark, sf_dir), label_col="label", n_bins=10
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 classics batch: decision stump, NB language ID, silhouette
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "decision_stump_value",
+    """
+    WITH g AS (
+      SELECT CAST(floor(value * 10) AS BIGINT) AS bin,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS np,
+             count(*) AS n
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    c AS (
+      SELECT bin,
+             sum(np) OVER (ORDER BY bin
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cp,
+             sum(n) OVER (ORDER BY bin
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cn,
+             sum(np) OVER () AS tp,
+             sum(n) OVER () AS tn
+      FROM g
+    ),
+    e AS (
+      SELECT bin, cn, tn, tp,
+             CASE WHEN tp * 1.0 / tn > 0 AND tp * 1.0 / tn < 1 THEN
+               -((tp * 1.0 / tn) * ln(tp * 1.0 / tn)
+                 + (1 - tp * 1.0 / tn) * ln(1 - tp * 1.0 / tn))
+             ELSE 0.0 END AS parent,
+             CASE WHEN cp * 1.0 / cn > 0 AND cp * 1.0 / cn < 1 THEN
+               -((cp * 1.0 / cn) * ln(cp * 1.0 / cn)
+                 + (1 - cp * 1.0 / cn) * ln(1 - cp * 1.0 / cn))
+             ELSE 0.0 END AS lh,
+             CASE WHEN cn < tn
+                       AND (tp - cp) * 1.0 / (tn - cn) > 0
+                       AND (tp - cp) * 1.0 / (tn - cn) < 1 THEN
+               -(((tp - cp) * 1.0 / (tn - cn)) * ln((tp - cp) * 1.0 / (tn - cn))
+                 + (1 - (tp - cp) * 1.0 / (tn - cn))
+                   * ln(1 - (tp - cp) * 1.0 / (tn - cn)))
+             ELSE 0.0 END AS rh
+      FROM c
+    ),
+    s AS (
+      SELECT bin, cn, tn, tp, parent,
+             CASE WHEN cn > 0 AND cn < tn THEN
+               parent - (cn * 1.0 / tn) * lh - ((tn - cn) * 1.0 / tn) * rh
+             END AS gain
+      FROM e
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+               ORDER BY round(gain, 9) DESC NULLS LAST, bin ASC) AS rk
+      FROM s
+    )
+    SELECT (bin + 1) / 10.0 AS threshold,
+           CAST(cn AS BIGINT) AS n_left,
+           CAST(tn - cn AS BIGINT) AS n_right,
+           CAST(tp AS BIGINT) AS n_pos,
+           round(parent, 6) AS parent_entropy,
+           round(gain, 6) AS info_gain
+    FROM r WHERE rk = 1
+    """,
+)
+def q_decision_stump_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best information-gain split of `value` for predicting purchase
+    events — a one-node decision tree fit over the |distinct bins|
+    contingency relation with cumulative windows; the argmax ranks on
+    the 9dp-rounded gain with a bin tiebreak so libm-vs-JVM ulps can't
+    reorder near-tied splits (operators/stats.py decision_stump)."""
+    from eventstreamml_spark.operators.stats import decision_stump
+
+    ev = _events(spark, sf_dir).select(
+        "value", (F.col("event_type") == "purchase").alias("y")
+    )
+    return decision_stump(ev, "value", "y", grid=10)
+
+
+@register(
+    "doc_nb_lang_confusion",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lower(w) AS word FROM (
+        SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w
+        FROM documents
+      ) WHERE w <> ''
+    ),
+    vocab AS (
+      SELECT word FROM (
+        SELECT word, row_number() OVER (ORDER BY count(*) DESC, word ASC)
+                 AS rk
+        FROM toks GROUP BY word
+      ) WHERE rk <= 200
+    ),
+    v AS (SELECT count(*) AS v FROM vocab),
+    langs AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    nt AS (SELECT count(*) AS nt FROM documents),
+    counts AS (
+      SELECT d.lang, t.word, count(*) AS c
+      FROM toks t JOIN vocab USING (word) JOIN documents d USING (doc_id)
+      GROUP BY d.lang, t.word
+    ),
+    lang_tok AS (SELECT lang, sum(c) AS n_l FROM counts GROUP BY lang),
+    grid AS (
+      SELECT l.lang, vb.word,
+             CAST(floor(ln((coalesce(c.c, 0) + 1) * 1.0
+                           / (coalesce(lt.n_l, 0) + v.v)) * 1000000)
+                  AS BIGINT) AS w
+      FROM (SELECT lang FROM langs) l
+      CROSS JOIN vocab vb
+      LEFT JOIN counts c ON c.lang = l.lang AND c.word = vb.word
+      LEFT JOIN lang_tok lt ON lt.lang = l.lang
+      CROSS JOIN v
+    ),
+    priors AS (
+      SELECT lang AS cand,
+             CAST(floor(ln(n_docs * 1.0 / nt.nt) * 1000000) AS BIGINT)
+               AS prior_w
+      FROM langs CROSS JOIN nt
+    ),
+    tok_scores AS (
+      SELECT t.doc_id, g.lang AS cand, CAST(sum(g.w) AS BIGINT) AS s_tok
+      FROM toks t JOIN grid g USING (word) GROUP BY t.doc_id, g.lang
+    ),
+    scored AS (
+      SELECT d.doc_id, d.lang AS true_lang, p.cand,
+             coalesce(ts.s_tok, 0) + p.prior_w AS score
+      FROM documents d CROSS JOIN priors p
+      LEFT JOIN tok_scores ts
+        ON ts.doc_id = d.doc_id AND ts.cand = p.cand
+    ),
+    pred AS (
+      SELECT doc_id, true_lang, cand,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, cand ASC) AS rk
+      FROM scored
+    )
+    SELECT true_lang, cand AS pred_lang, count(*) AS n
+    FROM pred WHERE rk = 1 GROUP BY true_lang, cand
+    """,
+)
+def q_doc_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained multinomial Naive Bayes language ID (top-200 vocab,
+    add-1 smoothing) applied back to the corpus, emitting the
+    true × predicted confusion counts. Log-probabilities quantize to
+    integer micro-units at the model so per-doc scores are exact
+    integer sums — the class argmax is engine-exact by construction
+    (operators/text.py nb_lang_confusion, nb_lang_train_weights)."""
+    from eventstreamml_spark.operators.text import nb_lang_confusion
+
+    return nb_lang_confusion(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_silhouette_by_label",
+    """
+    WITH comp AS (
+      SELECT vec_id, label, t.pos, embedding[t.pos + 1]::DOUBLE AS v
+      FROM embeddings, range(64) t(pos)
+      WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ),
+    cent AS (SELECT label AS cand, pos, avg(v) AS c FROM comp GROUP BY 1, 2),
+    dist AS (
+      SELECT comp.vec_id, comp.label AS own, cent.cand,
+             sqrt(sum((v - c) * (v - c))) AS d
+      FROM comp JOIN cent ON comp.pos = cent.pos
+      GROUP BY comp.vec_id, comp.label, cent.cand
+    ),
+    pv AS (
+      SELECT vec_id, own,
+             min(CASE WHEN cand = own THEN d END) AS a,
+             min(CASE WHEN cand <> own THEN d END) AS b
+      FROM dist GROUP BY vec_id, own
+    )
+    SELECT own AS label, count(*) AS n_vecs,
+           round(avg((b - a) / nullif(greatest(a, b), 0)), 6)
+             AS mean_silhouette,
+           round(avg(a), 6) AS mean_intra_dist,
+           round(avg(b), 6) AS mean_nearest_other_dist
+    FROM pv GROUP BY own
+    """,
+)
+def q_embedding_silhouette_by_label(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-label simplified (centroid-based) silhouette over the
+    embedding table — cluster quality without the O(n²) pairwise
+    matrix: every vector scores against the broadcast |labels|·dim
+    centroid relation only (operators/similarity.py
+    simplified_silhouette)."""
+    from eventstreamml_spark.operators.similarity import simplified_silhouette
+
+    return simplified_silhouette(load_table(spark, sf_dir, "embeddings"))

@@ -332,3 +332,133 @@ class TestEvalBatchOracles:
             compare(
                 spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name]
             )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 classics batch: decision stump, NB lang ID, silhouette
+# ---------------------------------------------------------------------------
+
+
+class TestDecisionStump:
+    def test_perfect_split_gain_is_parent_entropy(self, spark):
+        from eventstreamml_spark.operators.stats import decision_stump
+
+        # values < 0.5 all negative, >= 0.5 all positive: threshold 0.5
+        rows = [(0.11, 0), (0.22, 0), (0.31, 0), (0.61, 1), (0.72, 1),
+                (0.81, 1)]
+        df = spark.createDataFrame(rows, "value double, y int")
+        r = decision_stump(df, "value", "y", grid=10).collect()[0]
+        assert r["threshold"] == 0.4
+        assert r["info_gain"] == r["parent_entropy"] == 0.693147  # ln 2
+        assert r["n_left"] == 3 and r["n_right"] == 3
+
+    def test_uninformative_feature_zero_gain(self, spark):
+        from eventstreamml_spark.operators.stats import decision_stump
+
+        rows = [(0.15, 0), (0.15, 1), (0.85, 0), (0.85, 1)]
+        df = spark.createDataFrame(rows, "value double, y int")
+        r = decision_stump(df, "value", "y", grid=10).collect()[0]
+        assert r["info_gain"] == 0.0
+
+    def test_single_bin_null_gain(self, spark):
+        from eventstreamml_spark.operators.stats import decision_stump
+
+        df = spark.createDataFrame(
+            [(0.11, 0), (0.12, 1)], "value double, y int"
+        )
+        r = decision_stump(df, "value", "y", grid=10).collect()
+        assert len(r) == 1 and r[0]["info_gain"] is None
+
+
+class TestNbLangId:
+    def _docs(self, spark):
+        rows = [
+            (1, "der hund und die katze und der vogel", "de"),
+            (2, "die katze und der hund", "de"),
+            (3, "the cat and the dog and the bird", "en"),
+            (4, "the dog and the cat", "en"),
+            (5, "the bird and the cat sat", "en"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def test_self_classification_recovers_langs(self, spark):
+        from eventstreamml_spark.operators.text import nb_lang_confusion
+
+        out = nb_lang_confusion(self._docs(spark)).collect()
+        got = {(r["true_lang"], r["pred_lang"]): r["n"] for r in out}
+        assert got == {("de", "de"): 2, ("en", "en"): 3}
+
+    def test_weights_are_integers_on_full_grid(self, spark):
+        from eventstreamml_spark.operators.text import nb_lang_train_weights
+
+        grid, priors = nb_lang_train_weights(self._docs(spark), vocab_size=5)
+        g = grid.collect()
+        # dense grid: every (lang, vocab word) pair present
+        assert len(g) == 2 * 5
+        assert all(isinstance(r["w"], int) for r in g)
+        p = {r["lang"]: r["prior_w"] for r in priors.collect()}
+        import math
+        assert p["de"] == math.floor(math.log(2 / 5) * 1_000_000)
+
+    def test_empty_doc_scores_on_prior(self, spark):
+        from eventstreamml_spark.operators.text import nb_lang_confusion
+
+        rows = [
+            (1, "aaa bbb aaa", "en"),
+            (2, "ccc ddd ccc", "de"),
+            (3, "zzzz", "fr"),  # OOV-only under vocab_size=2
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        )
+        out = nb_lang_confusion(docs, vocab_size=2).collect()
+        # doc 3 still gets exactly one prediction row
+        assert sum(r["n"] for r in out) == 3
+
+
+class TestSimplifiedSilhouette:
+    def test_well_separated_clusters_near_one(self, spark):
+        from eventstreamml_spark.operators.similarity import (
+            simplified_silhouette,
+        )
+
+        rows = [
+            (1, [0.0, 0.0], 0), (2, [0.2, 0.0], 0),
+            (3, [10.0, 0.0], 1), (4, [10.2, 0.0], 1),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        out = {r["label"]: r for r in simplified_silhouette(df).collect()}
+        assert out[0]["mean_silhouette"] > 0.98
+        assert out[0]["mean_intra_dist"] == 0.1
+
+    def test_null_embedding_and_label_filtered(self, spark):
+        from eventstreamml_spark.operators.similarity import (
+            simplified_silhouette,
+        )
+
+        rows = [
+            (1, [0.0, 0.0], 0), (2, [1.0, 0.0], 0),
+            (3, None, 0), (4, [5.0, 5.0], None),
+            (5, [9.0, 0.0], 1), (6, [8.0, 0.0], 1),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        out = {r["label"]: r for r in simplified_silhouette(df).collect()}
+        assert set(out) == {0, 1}
+        assert out[0]["n_vecs"] == 2 and out[1]["n_vecs"] == 2
+
+    def test_single_label_null_silhouette(self, spark):
+        from eventstreamml_spark.operators.similarity import (
+            simplified_silhouette,
+        )
+
+        rows = [(1, [0.0, 1.0], 7), (2, [1.0, 0.0], 7)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        r = simplified_silhouette(df).collect()[0]
+        assert r["mean_silhouette"] is None
+        assert r["mean_nearest_other_dist"] is None
