@@ -442,3 +442,81 @@ def negative_sample_interactions(
     return pos.select(subject_col, type_col, F.lit(1).alias("label")).unionAll(
         negs
     )
+
+
+GOPHER_STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+
+def gopher_quality_flags(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher/C4-style document quality rules (Rae et al. 2021 §A1.1,
+    Raffel et al. 2020 §2.2 — published heuristics, re-expressed as
+    pure Spark expressions), aggregated to per-language rule-violation
+    counts plus the surviving-document count.
+
+    Every rule threshold is compared in INTEGER form (chars ≥ 3·words
+    instead of mean ≥ 3.0, 5·alpha ≥ 4·words instead of ratio ≥ 0.8),
+    so rule outcomes are engine-exact — no float ratio ever crosses an
+    engine boundary. One scan, zero shuffle before the final |langs|
+    groupBy; at 100 TB this is a mapper-only pass.
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [3, 10]; ≥80% of words contain an alphabetic character; at least 2
+    distinct canonical stopwords; symbol-to-word ratio (#, …) ≤ 0.1;
+    no 'lorem ipsum' / '{' boilerplate."""
+    text = F.col(text_col)
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    n = F.size(words)
+    chars = F.length(F.regexp_replace(text, r"\s+", ""))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(words),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    # 3 × the ellipsis count, kept integral so the symbol rule below
+    # compares integers only (3·#hash + 3·ell vs 0.3·words → ×10/×3)
+    n_ell3 = F.length(text) - F.length(
+        F.regexp_replace(text, r"\.\.\.", "")
+    )
+    low = F.lower(text)
+
+    flags = docs.select(
+        F.col(lang_col).alias("lang"),
+        ((n < min_words) | (n > max_words)).cast("int").alias("bad_word_count"),
+        (~((chars >= 3 * n) & (chars <= 10 * n))).cast("int").alias(
+            "bad_mean_word_len"
+        ),
+        (5 * alpha_words < 4 * n).cast("int").alias("low_alpha_ratio"),
+        (stop_hits < 2).cast("int").alias("too_few_stopwords"),
+        ((3 * n_hash + n_ell3) * 10 > 3 * n).cast("int").alias(
+            "symbol_heavy"
+        ),
+        (
+            low.contains("lorem ipsum") | low.contains("{")
+        ).cast("int").alias("boilerplate"),
+    )
+    rule_cols = [
+        "bad_word_count",
+        "bad_mean_word_len",
+        "low_alpha_ratio",
+        "too_few_stopwords",
+        "symbol_heavy",
+        "boilerplate",
+    ]
+    kept = (
+        sum(F.col(c) for c in rule_cols) == 0  # type: ignore[arg-type]
+    ).cast("int")
+    return flags.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[F.sum(c).cast("long").alias("n_" + c) for c in rule_cols],
+        F.sum(kept).cast("long").alias("n_kept"),
+    )

@@ -923,3 +923,80 @@ def simplified_silhouette(
             F.round(F.avg("b"), 6).alias("mean_nearest_other_dist"),
         )
     )
+
+
+def item_item_cosine_topk(
+    baskets: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    k: int = 3,
+    max_basket: int = 15,
+    min_cooccur: int = 2,
+) -> DataFrame:
+    """Item-item collaborative-filtering similarity: cosine over binary
+    user-interaction vectors, cos(i,j) = |U_i ∩ U_j| / √(|U_i|·|U_j|),
+    emitted as each item's top-k neighbors — the classic co-purchase
+    recommender primitive.
+
+    Scale shape: candidate pairs are generated ONLY within a user's
+    basket (co-occurrence is a per-user self-join), and baskets are
+    capped at ``max_basket`` items via a deterministic per-user
+    partkey-ranked truncation — the hot-user quadratic blowup is
+    bounded by max_basket² per user, the same hub-capping discipline
+    as the link-prediction wedge join (graph.py). Popularities join
+    back broadcast (|items|-sized). Pairs below ``min_cooccur`` are
+    pruned before the window. Neighbor ranking orders on the
+    9dp-rounded cosine with the neighbor id as tiebreak (grid-stable
+    across engines; sqrt ulps can't reorder)."""
+    from pyspark.sql import Window as W
+
+    b = baskets.select(
+        F.col(user_col).alias("u"), F.col(item_col).alias("i")
+    ).distinct()
+    wcap = W.partitionBy("u").orderBy("i")
+    b = (
+        b.withColumn("_rk", F.row_number().over(wcap))
+        .filter(F.col("_rk") <= max_basket)
+        .drop("_rk")
+    )
+    ni = b.groupBy("i").agg(F.count(F.lit(1)).alias("n"))
+    left = b.alias("a")
+    right = b.select(F.col("u"), F.col("i").alias("j")).alias("bb")
+    pairs = (
+        left.join(right, "u")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("n_cooccur"))
+        .filter(F.col("n_cooccur") >= min_cooccur)
+    )
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "n_cooccur"
+        )
+    )
+    scored = (
+        sym.join(F.broadcast(ni.withColumnRenamed("n", "n_i")), "i")
+        .join(
+            F.broadcast(
+                ni.select(F.col("i").alias("j"), F.col("n").alias("n_j"))
+            ),
+            "j",
+        )
+        .withColumn(
+            "_cos", F.col("n_cooccur") / F.sqrt(F.col("n_i") * F.col("n_j"))
+        )
+    )
+    wtop = W.partitionBy("i").orderBy(
+        F.round(F.col("_cos"), 9).desc(), F.col("j").asc()
+    )
+    return (
+        scored.withColumn("_r", F.row_number().over(wtop))
+        .filter(F.col("_r") <= k)
+        .select(
+            F.col("i").alias("item_id"),
+            F.col("j").alias("neighbor_id"),
+            F.col("n_cooccur").cast("long").alias("n_cooccur"),
+            F.round(F.col("_cos"), 6).alias("cosine"),
+            F.col("_r").cast("long").alias("rank"),
+        )
+    )

@@ -14286,3 +14286,138 @@ def q_embedding_silhouette_by_label(
     from eventstreamml_spark.operators.similarity import simplified_silhouette
 
     return simplified_silhouette(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Round-7 curation/CF batch: Gopher quality rules, item-item CF
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_gopher_quality_flags",
+    r"""
+    WITH w AS (
+      SELECT lang, text,
+             list_filter(string_split_regex(text, '\s+'),
+                         x -> x <> '') AS words
+      FROM documents
+    ),
+    f AS (
+      SELECT lang,
+             len(words) AS n,
+             length(regexp_replace(text, '\s+', '', 'g')) AS chars,
+             len(list_filter(words,
+                             x -> regexp_matches(x, '[A-Za-z]')))
+               AS alpha_words,
+             len(list_intersect(list_distinct(words),
+                                ['the', 'a', 'and', 'of', 'to', 'in']))
+               AS stop_hits,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             length(text) - length(replace(text, '...', '')) AS n_ell3,
+             CASE WHEN lower(text) LIKE '%lorem ipsum%'
+                       OR lower(text) LIKE '%{%' THEN 1 ELSE 0 END
+               AS boilerplate
+      FROM w
+    ),
+    r AS (
+      SELECT lang,
+             CASE WHEN n < 50 OR n > 100000 THEN 1 ELSE 0 END
+               AS bad_word_count,
+             CASE WHEN NOT (chars >= 3 * n AND chars <= 10 * n)
+                  THEN 1 ELSE 0 END AS bad_mean_word_len,
+             CASE WHEN 5 * alpha_words < 4 * n THEN 1 ELSE 0 END
+               AS low_alpha_ratio,
+             CASE WHEN stop_hits < 2 THEN 1 ELSE 0 END
+               AS too_few_stopwords,
+             CASE WHEN (3 * n_hash + n_ell3) * 10 > 3 * n THEN 1 ELSE 0 END
+               AS symbol_heavy,
+             boilerplate
+      FROM f
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(bad_word_count) AS BIGINT) AS n_bad_word_count,
+           CAST(sum(bad_mean_word_len) AS BIGINT) AS n_bad_mean_word_len,
+           CAST(sum(low_alpha_ratio) AS BIGINT) AS n_low_alpha_ratio,
+           CAST(sum(too_few_stopwords) AS BIGINT) AS n_too_few_stopwords,
+           CAST(sum(symbol_heavy) AS BIGINT) AS n_symbol_heavy,
+           CAST(sum(boilerplate) AS BIGINT) AS n_boilerplate,
+           CAST(sum(CASE WHEN bad_word_count + bad_mean_word_len
+                              + low_alpha_ratio + too_few_stopwords
+                              + symbol_heavy + boilerplate = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM r GROUP BY lang
+    """,
+)
+def q_doc_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Published Gopher/C4 document-quality rules as per-language
+    violation counts — every threshold compared in integer form so
+    rule outcomes are engine-exact; one mapper-only scan before the
+    |langs| groupBy (operators/curation.py gopher_quality_flags)."""
+    from eventstreamml_spark.operators.curation import gopher_quality_flags
+
+    return gopher_quality_flags(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "item_item_cosine_topk",
+    """
+    WITH b0 AS (
+      SELECT DISTINCT o.o_custkey AS u, l.l_partkey % 251 AS i
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    b AS (
+      SELECT u, i FROM (
+        SELECT u, i, row_number() OVER (PARTITION BY u ORDER BY i) AS rk
+        FROM b0
+      ) WHERE rk <= 15
+    ),
+    ni AS (SELECT i, count(*) AS n FROM b GROUP BY i),
+    p AS (
+      SELECT a.i AS i, bb.i AS j, count(*) AS n_cooccur
+      FROM b a JOIN b bb ON a.u = bb.u AND a.i < bb.i
+      GROUP BY a.i, bb.i HAVING count(*) >= 2
+    ),
+    sym AS (
+      SELECT i, j, n_cooccur FROM p
+      UNION ALL
+      SELECT j AS i, i AS j, n_cooccur FROM p
+    ),
+    s AS (
+      SELECT sym.i, sym.j, n_cooccur,
+             n_cooccur / sqrt(ni.n * nj.n) AS cosv
+      FROM sym JOIN ni ON ni.i = sym.i JOIN ni nj ON nj.i = sym.j
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY i
+                                   ORDER BY round(cosv, 9) DESC, j ASC)
+                  AS rk
+      FROM s
+    )
+    SELECT CAST(i AS BIGINT) AS item_id, CAST(j AS BIGINT) AS neighbor_id,
+           CAST(n_cooccur AS BIGINT) AS n_cooccur,
+           round(cosv, 6) AS cosine, CAST(rk AS BIGINT) AS rank
+    FROM r WHERE rk <= 3
+    """,
+)
+def q_item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering over co-purchase baskets
+    (customer × hashed part category): cosine of binary interaction
+    vectors, top-3 neighbors per item. Pairs generate only within
+    capped per-user baskets (max 15 → ≤105 pairs/user, the hub-cap
+    discipline); cosines are bit-identical across engines (count /
+    correctly-rounded sqrt) and the ranking orders on the 9dp grid
+    anyway (operators/similarity.py item_item_cosine_topk)."""
+    from eventstreamml_spark.operators.similarity import item_item_cosine_topk
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    baskets = li.join(
+        o.select("o_orderkey", "o_custkey"),
+        li["l_orderkey"] == o["o_orderkey"],
+    ).select(
+        F.col("o_custkey").alias("user_id"),
+        (F.col("l_partkey") % 251).alias("item_id"),
+    )
+    return item_item_cosine_topk(
+        baskets, k=3, max_basket=15, min_cooccur=2
+    )

@@ -462,3 +462,112 @@ class TestSimplifiedSilhouette:
         r = simplified_silhouette(df).collect()[0]
         assert r["mean_silhouette"] is None
         assert r["mean_nearest_other_dist"] is None
+
+
+# ---------------------------------------------------------------------------
+# Round-7 curation/CF batch: Gopher rules, item-item CF
+# ---------------------------------------------------------------------------
+
+
+class TestGopherQualityFlags:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        )
+
+    def test_rules_fire_individually(self, spark):
+        from eventstreamml_spark.operators.curation import (
+            gopher_quality_flags,
+        )
+
+        good = "the cat and dog ran to the park in town " * 6  # 60 words
+        rows = [
+            (1, good, "en"),
+            (2, "short text the a", "en"),  # too few words
+            (3, ("x " * 60) + "the a", "en"),  # mean word len < 3... 1-char
+            (4, good + " lorem ipsum", "en"),
+            (5, good.replace("the", "###").replace("a ", "# "), "en"),
+        ]
+        out = gopher_quality_flags(self._docs(spark, rows)).collect()[0]
+        assert out["n_docs"] == 5
+        assert out["n_bad_word_count"] == 1  # doc 2
+        assert out["n_bad_mean_word_len"] >= 1  # doc 3
+        assert out["n_boilerplate"] == 1  # doc 4
+        assert out["n_kept"] == 1  # only doc 1 survives all rules
+
+    def test_integer_thresholds_word_len_boundary(self, spark):
+        from eventstreamml_spark.operators.curation import (
+            gopher_quality_flags,
+        )
+
+        # exactly mean word length 3.0 (chars == 3*n) must PASS (>=):
+        # 60 three-char words, two of them distinct stopwords
+        doc = "the and " * 30
+        out = gopher_quality_flags(
+            self._docs(spark, [(1, doc.strip(), "en")])
+        ).collect()[0]
+        assert out["n_bad_mean_word_len"] == 0
+        assert out["n_kept"] == 1
+
+
+class TestItemItemCosine:
+    def test_hand_computed_cosine(self, spark):
+        from eventstreamml_spark.operators.similarity import (
+            item_item_cosine_topk,
+        )
+
+        # items: 1 bought by u1,u2,u3; 2 by u1,u2; 3 by u3
+        rows = [(1, 1), (2, 1), (3, 1), (1, 2), (2, 2), (3, 3)]
+        b = spark.createDataFrame(rows, "user_id long, item_id long")
+        out = item_item_cosine_topk(b, k=3, max_basket=15, min_cooccur=2)
+        got = {(r["item_id"], r["neighbor_id"]): r for r in out.collect()}
+        # |U1 ∩ U2| = 2, cos = 2 / sqrt(3*2)
+        assert got[(1, 2)]["cosine"] == round(2 / (6 ** 0.5), 6)
+        assert got[(2, 1)]["n_cooccur"] == 2
+        # (1,3) co-occurs once -> pruned by min_cooccur
+        assert (1, 3) not in got and (3, 1) not in got
+
+    def test_basket_cap_bounds_pairs(self, spark):
+        from eventstreamml_spark.operators.similarity import (
+            item_item_cosine_topk,
+        )
+
+        # one hot user with 30 items; cap 5 keeps only items 0..4
+        rows = [(1, i) for i in range(30)] + [(2, i) for i in range(5)]
+        b = spark.createDataFrame(rows, "user_id long, item_id long")
+        out = item_item_cosine_topk(b, k=10, max_basket=5, min_cooccur=2)
+        items = {r["item_id"] for r in out.collect()}
+        assert items == set(range(5))  # capped-out items never pair
+
+    def test_duplicate_interactions_count_once(self, spark):
+        from eventstreamml_spark.operators.similarity import (
+            item_item_cosine_topk,
+        )
+
+        rows = [(1, 1), (1, 1), (1, 2), (2, 1), (2, 2)]
+        b = spark.createDataFrame(rows, "user_id long, item_id long")
+        out = item_item_cosine_topk(b, k=3, max_basket=15, min_cooccur=2)
+        got = {(r["item_id"], r["neighbor_id"]): r for r in out.collect()}
+        assert got[(1, 2)]["n_cooccur"] == 2
+        assert got[(1, 2)]["cosine"] == 1.0  # identical user sets
+
+
+class TestBatchDOracles:
+    def test_synthetic_compare_gopher(self, spark, tmp_path):
+        rows = [
+            (1, "the cat and the dog ran to the park " * 7, "en", "s", 10),
+            (2, "der hund a b c", "de", "s", 10),
+            (3, "x y z { lorem ipsum", "fr", "s", 10),
+        ]
+        table = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "source": pa.array([r[3] for r in rows], pa.string()),
+                "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        )
+        pq.write_table(table, os.path.join(tmp_path, "documents.parquet"))
+        name = "doc_gopher_quality_flags"
+        compare(spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name])
