@@ -669,3 +669,75 @@ def watermark_lateness(
         F.round(F.sum("_is_late") / F.count(F.lit(1)), 6).alias("late_ratio"),
         F.round(F.max("_late_us") / 1_000_000.0, 6).alias("max_lateness_sec"),
     )
+
+
+def holt_linear_by_key(
+    series: DataFrame,
+    key_col: str = "key",
+    order_col: str = "h",
+    y_col: str = "y",
+    alpha: float = 0.5,
+    beta: float = 0.5,
+) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing per key over an
+    ordered series, returning the final level/trend state, the
+    one-step-ahead forecast, and the in-sample one-step MAE — the
+    trend-aware upgrade of the seasonal-naive baseline.
+
+    l₁ = y₁, b₁ = 0; then lₜ = α·yₜ + (1−α)(lₜ₋₁+bₜ₋₁),
+    bₜ = β(lₜ − lₜ₋₁) + (1−β)bₜ₋₁, with the absolute one-step error
+    |yₜ − (lₜ₋₁+bₜ₋₁)| accumulated INSIDE the fold so the error sum
+    is a fixed-order sequential reduction — bit-identical across
+    engines for identical inputs, never at the mercy of parallel
+    summation order.
+
+    Same distributed shape as ewma_by_subject: one keyed shuffle
+    (collect_list), a sort, and a codegen'd higher-order ``aggregate``
+    fold over the per-key array — series length per key is the time
+    span (hours/days), bounded regardless of corpus size. α, β default
+    to 0.5 (dyadic, so intermediate state stays exactly
+    representable for long prefixes)."""
+    seq = series.groupBy(key_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).alias("_o"),
+                    F.col(y_col).cast("double").alias("_y"),
+                )
+            )
+        ).alias("_seq")
+    )
+    vals = F.transform(F.col("_seq"), lambda s: s["_y"])
+    a, b = F.lit(float(alpha)), F.lit(float(beta))
+    init = F.struct(
+        F.get(vals, 0).alias("l"),
+        F.lit(0.0).alias("b"),
+        F.lit(0.0).alias("errsum"),
+    )
+
+    def _step(acc, y):
+        pred = acc["l"] + acc["b"]
+        l_new = a * y + (F.lit(1.0) - a) * pred
+        b_new = b * (l_new - acc["l"]) + (F.lit(1.0) - b) * acc["b"]
+        return F.struct(
+            l_new.alias("l"),
+            b_new.alias("b"),
+            (acc["errsum"] + F.abs(y - pred)).alias("errsum"),
+        )
+
+    folded = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        init,
+        _step,
+    )
+    n = F.size(vals)
+    return seq.select(
+        F.col(key_col),
+        n.cast("long").alias("n_points"),
+        F.round(folded["l"], 6).alias("level"),
+        F.round(folded["b"], 6).alias("trend"),
+        F.round(folded["l"] + folded["b"], 6).alias("forecast_next"),
+        F.when(
+            n > 1, F.round(folded["errsum"] / (n - 1).cast("double"), 6)
+        ).alias("one_step_mae"),
+    )

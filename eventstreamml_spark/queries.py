@@ -14421,3 +14421,76 @@ def q_item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return item_item_cosine_topk(
         baskets, k=3, max_basket=15, min_cooccur=2
     )
+
+
+@register(
+    "holt_linear_hourly_forecast",
+    """
+    WITH RECURSIVE c AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+    hours AS (SELECT unnest(generate_series(lo, hi)) AS h FROM span),
+    types AS (SELECT DISTINCT event_type FROM c),
+    z AS (
+      SELECT t.event_type, hours.h, coalesce(c.n, 0)::DOUBLE AS y,
+             row_number() OVER (PARTITION BY t.event_type
+                                ORDER BY hours.h) AS idx
+      FROM types t CROSS JOIN hours
+      LEFT JOIN c ON c.event_type = t.event_type AND c.h = hours.h
+    ),
+    rec AS (
+      SELECT event_type, idx, y AS l, 0.0::DOUBLE AS b, 0.0::DOUBLE AS errsum
+      FROM z WHERE idx = 1
+      UNION ALL
+      SELECT g.event_type, g.idx,
+             0.5 * g.y + 0.5 * (r.l + r.b),
+             0.5 * ((0.5 * g.y + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b,
+             r.errsum + abs(g.y - (r.l + r.b))
+      FROM rec r JOIN z g
+        ON g.event_type = r.event_type AND g.idx = r.idx + 1
+    ),
+    lastidx AS (
+      SELECT event_type, max(idx) AS n FROM rec GROUP BY event_type
+    )
+    SELECT r.event_type, CAST(li.n AS BIGINT) AS n_points,
+           round(r.l, 6) AS level, round(r.b, 6) AS trend,
+           round(r.l + r.b, 6) AS forecast_next,
+           CASE WHEN li.n > 1 THEN round(r.errsum / (li.n - 1), 6) END
+             AS one_step_mae
+    FROM rec r JOIN lastidx li
+      ON r.event_type = li.event_type AND r.idx = li.n
+    """,
+)
+def q_holt_linear_hourly_forecast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Holt's linear double-exponential smoothing of per-type hourly
+    counts over the zero-filled hour scaffold: final level/trend,
+    next-hour forecast, and in-sample one-step MAE. α=β=0.5 (dyadic)
+    and the error sum accumulates inside the sequential fold, so the
+    whole state is bit-identical across engines — the oracle replays
+    the recurrence as a recursive CTE (operators/windows.py
+    holt_linear_by_key)."""
+    from eventstreamml_spark.operators.windows import holt_linear_by_key
+
+    ev = _events(spark, sf_dir)
+    us = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    c = ev.groupBy(
+        "event_type", (us / 3600).cast("long").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    span = c.agg(F.min("h").alias("_lo"), F.max("h").alias("_hi"))
+    hours = span.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("h")
+    )
+    z = (
+        c.select("event_type").distinct()
+        .crossJoin(hours)
+        .join(c, ["event_type", "h"], "left")
+        .select(
+            "event_type", "h", F.coalesce(F.col("n"), F.lit(0)).alias("y")
+        )
+    )
+    return holt_linear_by_key(z, "event_type", "h", "y")

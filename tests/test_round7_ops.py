@@ -571,3 +571,59 @@ class TestBatchDOracles:
         pq.write_table(table, os.path.join(tmp_path, "documents.parquet"))
         name = "doc_gopher_quality_flags"
         compare(spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name])
+
+
+# ---------------------------------------------------------------------------
+# Round-7 forecasting: Holt linear smoothing
+# ---------------------------------------------------------------------------
+
+
+class TestHoltLinear:
+    def test_hand_computed_recurrence(self, spark):
+        from eventstreamml_spark.operators.windows import holt_linear_by_key
+
+        # y = [4, 6, 8]; l1=4, b1=0
+        # t2: pred=4, l=0.5*6+0.5*4=5, b=0.5*(5-4)+0=0.5, err=|6-4|=2
+        # t3: pred=5.5, l=0.5*8+0.5*5.5=6.75, b=0.5*1.75+0.25=1.125,
+        #     err+=|8-5.5|=2.5 -> mae=(2+2.5)/2=2.25
+        df = spark.createDataFrame(
+            [("a", 1, 4.0), ("a", 2, 6.0), ("a", 3, 8.0)],
+            "key string, h int, y double",
+        )
+        r = holt_linear_by_key(df).collect()[0]
+        assert r["level"] == 6.75
+        assert r["trend"] == 1.125
+        assert r["forecast_next"] == 7.875
+        assert r["one_step_mae"] == 2.25
+        assert r["n_points"] == 3
+
+    def test_linear_series_tracked_exactly(self, spark):
+        from eventstreamml_spark.operators.windows import holt_linear_by_key
+
+        # on y = 2t the trend state converges toward 2
+        rows = [("a", t, 2.0 * t) for t in range(1, 40)]
+        df = spark.createDataFrame(rows, "key string, h int, y double")
+        r = holt_linear_by_key(df).collect()[0]
+        assert abs(r["trend"] - 2.0) < 0.01
+        assert abs(r["forecast_next"] - 80.0) < 0.1
+
+    def test_single_point_null_mae(self, spark):
+        from eventstreamml_spark.operators.windows import holt_linear_by_key
+
+        df = spark.createDataFrame(
+            [("a", 1, 5.0)], "key string, h int, y double"
+        )
+        r = holt_linear_by_key(df).collect()[0]
+        assert r["level"] == 5.0 and r["trend"] == 0.0
+        assert r["one_step_mae"] is None
+
+    def test_out_of_order_input_sorted_by_key(self, spark):
+        from eventstreamml_spark.operators.windows import holt_linear_by_key
+
+        a = [("a", 1, 4.0), ("a", 2, 6.0), ("a", 3, 8.0)]
+        shuffled = [a[2], a[0], a[1]]
+        df = spark.createDataFrame(
+            shuffled, "key string, h int, y double"
+        )
+        r = holt_linear_by_key(df).collect()[0]
+        assert r["level"] == 6.75  # order comes from h, not input order
