@@ -950,21 +950,38 @@ def item_item_cosine_topk(
     across engines; sqrt ulps can't reorder)."""
     from pyspark.sql import Window as W
 
-    b = baskets.select(
-        F.col(user_col).alias("u"), F.col(item_col).alias("i")
-    ).distinct()
-    wcap = W.partitionBy("u").orderBy("i")
+    # ONE user-keyed aggregation replaces distinct + rank-cap + self-
+    # join: collect_set dedups, array_sort + slice caps at the
+    # max_basket smallest item ids, and both the popularity explode
+    # and the in-basket pair fan-out derive from the same bounded
+    # per-user array — the upstream scan is never re-shuffled.
     b = (
-        b.withColumn("_rk", F.row_number().over(wcap))
-        .filter(F.col("_rk") <= max_basket)
-        .drop("_rk")
+        baskets.select(
+            F.col(user_col).alias("u"), F.col(item_col).alias("i")
+        )
+        .groupBy("u")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_set("i")), 1, max_basket
+            ).alias("_arr")
+        )
     )
-    ni = b.groupBy("i").agg(F.count(F.lit(1)).alias("n"))
-    left = b.alias("a")
-    right = b.select(F.col("u"), F.col("i").alias("j")).alias("bb")
+    ni = b.select(F.explode("_arr").alias("i")).groupBy("i").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    arr = F.col("_arr")
+    pair_structs = F.flatten(
+        F.transform(
+            arr,
+            lambda x, idx: F.transform(
+                F.slice(arr, idx + 2, max_basket),
+                lambda y: F.struct(x.alias("i"), y.alias("j")),
+            ),
+        )
+    )
     pairs = (
-        left.join(right, "u")
-        .filter(F.col("i") < F.col("j"))
+        b.select(F.explode(pair_structs).alias("_p"))
+        .select(F.col("_p.i").alias("i"), F.col("_p.j").alias("j"))
         .groupBy("i", "j")
         .agg(F.count(F.lit(1)).alias("n_cooccur"))
         .filter(F.col("n_cooccur") >= min_cooccur)

@@ -14494,3 +14494,190 @@ def q_holt_linear_hourly_forecast(
         )
     )
     return holt_linear_by_key(z, "event_type", "h", "y")
+
+
+# ---------------------------------------------------------------------------
+# Round-7 audits batch: k-core peel, PQ distortion, dup-rate, token pctls
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_kcore_peel",
+    """
+    WITH raw AS (
+      SELECT user_id % 997 AS a, event_id % 997 AS b
+      FROM events WHERE event_id % 10 = 0
+    ),
+    e0 AS (
+      SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
+      FROM raw WHERE a <> b
+    ),
+    d0 AS (
+      SELECT node, count(*) AS deg FROM (
+        SELECT lo AS node FROM e0 UNION ALL SELECT hi AS node FROM e0
+      ) GROUP BY node
+    ),
+    k0 AS (SELECT node FROM d0 WHERE deg >= 3),
+    e1 AS (
+      SELECT e0.lo, e0.hi FROM e0
+      WHERE e0.lo IN (SELECT node FROM k0)
+        AND e0.hi IN (SELECT node FROM k0)
+    ),
+    d1 AS (
+      SELECT node, count(*) AS deg FROM (
+        SELECT lo AS node FROM e1 UNION ALL SELECT hi AS node FROM e1
+      ) GROUP BY node
+    ),
+    k1 AS (SELECT node FROM d1 WHERE deg >= 3),
+    e2 AS (
+      SELECT e1.lo, e1.hi FROM e1
+      WHERE e1.lo IN (SELECT node FROM k1)
+        AND e1.hi IN (SELECT node FROM k1)
+    ),
+    d2 AS (
+      SELECT node, count(*) AS deg FROM (
+        SELECT lo AS node FROM e2 UNION ALL SELECT hi AS node FROM e2
+      ) GROUP BY node
+    ),
+    k2 AS (SELECT node FROM d2 WHERE deg >= 3),
+    e3 AS (
+      SELECT e2.lo, e2.hi FROM e2
+      WHERE e2.lo IN (SELECT node FROM k2)
+        AND e2.hi IN (SELECT node FROM k2)
+    ),
+    d3 AS (
+      SELECT node, count(*) AS deg FROM (
+        SELECT lo AS node FROM e3 UNION ALL SELECT hi AS node FROM e3
+      ) GROUP BY node
+    )
+    SELECT CAST(0 AS BIGINT) AS round,
+           (SELECT count(*) FROM d0) AS n_nodes,
+           (SELECT count(*) FROM e0) AS n_edges
+    UNION ALL
+    SELECT 1, (SELECT count(*) FROM d1), (SELECT count(*) FROM e1)
+    UNION ALL
+    SELECT 2, (SELECT count(*) FROM d2), (SELECT count(*) FROM e2)
+    UNION ALL
+    SELECT 3, (SELECT count(*) FROM d3), (SELECT count(*) FROM e3)
+    """,
+)
+def q_graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round k=3 core peeling over the shared hashed interaction
+    graph: per round the surviving node/edge counts — fixed-iteration
+    unrolled on both engines (the pagerank oracle discipline), all
+    integer outputs (operators/graph.py kcore_peel_stats)."""
+    from eventstreamml_spark.operators.graph import kcore_peel_stats
+
+    ev = _events(spark, sf_dir)
+    raw = ev.filter(F.col("event_id") % 10 == 0).select(
+        (F.col("user_id") % 997).alias("a"),
+        (F.col("event_id") % 997).alias("b"),
+    )
+    edges = (
+        raw.filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+        )
+        .distinct()
+    )
+    return kcore_peel_stats(edges, k=3, rounds=3)
+
+
+@register(
+    "embedding_pq_distortion",
+    _pq_fixed_oracle_sql().replace(
+        """SELECT vec_id, subspace, code, round(d2, 6) AS sq_err
+    FROM rk WHERE r = 1""",
+        """SELECT subspace, count(*) AS n_vecs,
+           round(avg(round(d2, 6)), 6) AS mean_sq_err,
+           round(max(round(d2, 6)), 6) AS max_sq_err
+    FROM rk WHERE r = 1 GROUP BY subspace""",
+    ),
+)
+def q_embedding_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace PQ reconstruction distortion (mean/max squared
+    quantization error over the corpus) with the fixed seeded
+    codebooks — the audit that decides whether a codebook needs more
+    codes before an ANN index ships. Aggregates the same literal-
+    codebook argmin projection as embedding_pq_codes; the avg runs
+    over the 6dp-rounded per-vector errors on both engines."""
+    from eventstreamml_spark.operators.similarity import pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = pq_encode(emb, _pq_codebooks_fixed())
+    return codes.groupBy("subspace").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("sq_err"), 6).alias("mean_sq_err"),
+        F.round(F.max("sq_err"), 6).alias("max_sq_err"),
+    )
+
+
+@register(
+    "dedup_rate_by_source",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_unique,
+           CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dups,
+           round(1.0 - count(DISTINCT md5(text)) * 1.0 / count(*), 6)
+             AS dup_rate
+    FROM documents GROUP BY source
+    """,
+)
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate rate (distinct content digests vs
+    rows) — the curation dashboard's first column: which ingest source
+    is feeding the pipeline copies. Map-side partial distinct on
+    16-byte digests, never on raw text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.md5("text")).alias("n_unique"),
+        (
+            F.count(F.lit(1)) - F.count_distinct(F.md5("text"))
+        ).cast("long").alias("n_dups"),
+        F.round(
+            1.0
+            - F.count_distinct(F.md5("text"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_rate"),
+    )
+
+
+@register(
+    "doc_token_percentiles_by_lang",
+    r"""
+    WITH t AS (
+      SELECT lang,
+             len(list_filter(string_split_regex(text, '\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           round(quantile_cont(n_tokens, 0.25), 6) AS p25,
+           round(quantile_cont(n_tokens, 0.50), 6) AS p50,
+           round(quantile_cont(n_tokens, 0.75), 6) AS p75,
+           round(quantile_cont(n_tokens, 0.95), 6) AS p95,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens
+    FROM t GROUP BY lang
+    """,
+)
+def q_doc_token_percentiles_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-language token-length distribution (exact interpolated
+    quantiles of whitespace token counts) — the packing/chunking
+    planner's sizing input. Integer counts make the interpolation
+    midpoints exact doubles on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != ""))
+    t = docs.select("lang", n.alias("n_tokens"))
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.expr("percentile(n_tokens, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(n_tokens, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n_tokens, 0.75)"), 6).alias("p75"),
+        F.round(F.expr("percentile(n_tokens, 0.95)"), 6).alias("p95"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+    )

@@ -627,3 +627,93 @@ class TestHoltLinear:
         )
         r = holt_linear_by_key(df).collect()[0]
         assert r["level"] == 6.75  # order comes from h, not input order
+
+
+# ---------------------------------------------------------------------------
+# Round-7 audits batch: k-core peel, PQ distortion, dup rate, token pctls
+# ---------------------------------------------------------------------------
+
+
+class TestKcorePeel:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "lo long, hi long")
+
+    def test_triangle_with_pendant(self, spark):
+        from eventstreamml_spark.operators.graph import kcore_peel_stats
+
+        # triangle 1-2-3 plus pendant 3-4: k=2 peels node 4 in one
+        # round, then the triangle is stable
+        e = self._edges(spark, [(1, 2), (1, 3), (2, 3), (3, 4)])
+        out = {r["round"]: r for r in kcore_peel_stats(e, k=2, rounds=3).collect()}
+        assert (out[0]["n_nodes"], out[0]["n_edges"]) == (4, 4)
+        assert (out[1]["n_nodes"], out[1]["n_edges"]) == (3, 3)
+        assert (out[3]["n_nodes"], out[3]["n_edges"]) == (3, 3)
+
+    def test_chain_dissolves_completely(self, spark):
+        from eventstreamml_spark.operators.graph import kcore_peel_stats
+
+        # path graph has no 2-core: peeling eats it from the ends
+        e = self._edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+        out = {r["round"]: r for r in kcore_peel_stats(e, k=2, rounds=3).collect()}
+        assert out[0]["n_edges"] == 4
+        assert out[2]["n_edges"] < out[1]["n_edges"]
+        assert out[3]["n_edges"] == 0 or out[3]["n_edges"] < out[2]["n_edges"]
+
+
+class TestPqDistortion:
+    def test_zero_distortion_when_vectors_are_centroids(self, spark):
+        from eventstreamml_spark.operators.similarity import pq_encode
+        from pyspark.sql import functions as F
+
+        books = [(0, 0, [1.0, 2.0]), (0, 1, [5.0, 5.0]),
+                 (1, 0, [0.0, 0.0]), (1, 1, [9.0, 9.0])]
+        emb = spark.createDataFrame(
+            [(1, [1.0, 2.0, 9.0, 9.0]), (2, [5.0, 5.0, 0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        codes = pq_encode(emb, books)
+        agg = codes.groupBy("subspace").agg(
+            F.round(F.avg("sq_err"), 6).alias("mean_sq_err")
+        )
+        assert all(r["mean_sq_err"] == 0.0 for r in agg.collect())
+
+
+class TestDedupRateBySource:
+    def test_dup_rate_arithmetic(self, spark, tmp_path):
+        rows = [
+            (1, "same text", "a", "s", 9), (2, "same text", "a", "s", 9),
+            (3, "other", "a", "s", 5), (4, "unique", "b", "s", 6),
+        ]
+        table = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        })
+        # source column intentionally constant 's'; lang varies
+        pq.write_table(table, os.path.join(tmp_path, "documents.parquet"))
+        name = "dedup_rate_by_source"
+        compare(spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name])
+        out = q.queries()[name](spark, str(tmp_path)).collect()[0]
+        assert out["n_docs"] == 4 and out["n_unique"] == 3
+        assert out["dup_rate"] == 0.25
+
+
+class TestTokenPercentiles:
+    def test_interpolated_quartiles_integers(self, spark, tmp_path):
+        rows = [(i, " ".join(["w"] * n), "en", "s", n)
+                for i, n in enumerate([1, 2, 3, 4])]
+        table = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        })
+        pq.write_table(table, os.path.join(tmp_path, "documents.parquet"))
+        name = "doc_token_percentiles_by_lang"
+        compare(spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name])
+        out = q.queries()[name](spark, str(tmp_path)).collect()[0]
+        assert out["p50"] == 2.5  # midpoint of {1,2,3,4}
+        assert out["p25"] == 1.75
