@@ -1644,3 +1644,134 @@ def decision_stump(
         F.round(F.col("_parent"), 6).alias("parent_entropy"),
         F.round(F.col("_gain"), 6).alias("info_gain"),
     )
+
+
+def fisher_exact_2x2(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    tol: float = 1e-7,
+) -> DataFrame:
+    """Fisher's exact test on the 2×2 contingency table of two binary
+    columns: cell counts, the sample odds ratio, and the two-sided
+    p-value (sum of hypergeometric pmfs ≤ the observed table's pmf,
+    the scipy/R convention, with a (1+tol) inclusion slack so a
+    libm-vs-JVM ulp in ln can never flip a table in or out of the
+    tail sum).
+
+    Spark has no lgamma, so log-factorials materialize as a RELATION:
+    ln over sequence(1, n) with an ordered cumulative window — an
+    |n|-sized table built once and broadcast into the |k-grid| pmf
+    lookups (8 equi-joins of a ≤min(margin)-row grid). Everything
+    after the one contingency aggregation is arithmetic over
+    broadcast-tiny relations; the corpus is scanned exactly once.
+    """
+    from pyspark.sql import Window as W
+
+    r = F.col(row_col).cast("int")
+    c = F.col(col_col).cast("int")
+    tab = df.groupBy().agg(
+        F.sum(((r == 1) & (c == 1)).cast("long")).alias("a"),
+        F.sum(((r == 1) & (c == 0)).cast("long")).alias("b"),
+        F.sum(((r == 0) & (c == 1)).cast("long")).alias("cc"),
+        F.sum(((r == 0) & (c == 0)).cast("long")).alias("d"),
+    )
+    m = tab.select(
+        "a", "b", "cc", "d",
+        (F.col("a") + F.col("b")).alias("r1"),
+        (F.col("cc") + F.col("d")).alias("r2"),
+        (F.col("a") + F.col("cc")).alias("c1"),
+        (F.col("b") + F.col("d")).alias("c2"),
+        (F.col("a") + F.col("b") + F.col("cc") + F.col("d")).alias("n"),
+    )
+    # log-factorial relation lf(i) = ln(i!) for i in 0..n
+    lf = (
+        m.select(F.explode(F.sequence(F.lit(1), F.col("n"))).alias("i"))
+        .withColumn(
+            "lf",
+            F.sum(F.log(F.col("i").cast("double"))).over(
+                W.orderBy("i").rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+        .unionByName(
+            m.select(F.lit(0).cast("long").alias("i"), F.lit(0.0).alias("lf"))
+        )
+    )
+
+    def _lf(expr, alias):
+        return (
+            F.broadcast(
+                lf.select(
+                    F.col("i").alias(f"_i_{alias}"),
+                    F.col("lf").alias(alias),
+                )
+            ),
+            expr,
+        )
+
+    kgrid = m.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(0), F.col("r1") - F.col("c2")),
+                F.least(F.col("r1"), F.col("c1")),
+            )
+        ).alias("k"),
+    )
+    # 8 broadcast lookups into the lf relation
+    lookups = {
+        "lf_r1": F.col("r1"),
+        "lf_r2": F.col("r2"),
+        "lf_c1": F.col("c1"),
+        "lf_c2": F.col("c2"),
+        "lf_n": F.col("n"),
+        "lf_k": F.col("k"),
+        "lf_r1k": F.col("r1") - F.col("k"),
+        "lf_c1k": F.col("c1") - F.col("k"),
+        "lf_rest": F.col("c2") - F.col("r1") + F.col("k"),
+    }
+    cur = kgrid
+    for alias, expr in lookups.items():
+        rel, e = _lf(expr, alias)
+        cur = cur.join(rel, e == F.col(f"_i_{alias}")).drop(f"_i_{alias}")
+    logpmf = (
+        F.col("lf_r1")
+        + F.col("lf_r2")
+        + F.col("lf_c1")
+        + F.col("lf_c2")
+        - F.col("lf_n")
+        - F.col("lf_k")
+        - F.col("lf_r1k")
+        - F.col("lf_c1k")
+        - F.col("lf_rest")
+    )
+    scored = cur.withColumn("pmf", F.exp(logpmf))
+    obs = scored.filter(F.col("k") == F.col("a")).select(
+        F.col("pmf").alias("pmf_obs")
+    )
+    p = (
+        scored.crossJoin(F.broadcast(obs))
+        .groupBy()
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("pmf") <= F.col("pmf_obs") * (1.0 + tol),
+                    F.col("pmf"),
+                ).otherwise(0.0)
+            ).alias("_p")
+        )
+    )
+    return tab.crossJoin(F.broadcast(p)).select(
+        F.col("a"),
+        F.col("b"),
+        F.col("cc").alias("c"),
+        F.col("d"),
+        F.round(
+            F.try_divide(
+                (F.col("a") * F.col("d")).cast("double"),
+                (F.col("b") * F.col("cc")).cast("double"),
+            ),
+            6,
+        ).alias("odds_ratio"),
+        F.round(F.least(F.lit(1.0), F.col("_p")), 6).alias("p_two_sided"),
+    )

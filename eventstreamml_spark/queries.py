@@ -14681,3 +14681,87 @@ def q_doc_token_percentiles_by_lang(
         F.round(F.expr("percentile(n_tokens, 0.95)"), 6).alias("p95"),
         F.max("n_tokens").cast("long").alias("max_tokens"),
     )
+
+
+@register(
+    "fisher_exact_purchase_cohort",
+    """
+    WITH u AS (
+      SELECT user_id % 2 AS r,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+      FROM events GROUP BY user_id
+    ),
+    tab AS (
+      SELECT
+        CAST(sum(CASE WHEN r = 1 AND c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        CAST(sum(CASE WHEN r = 1 AND c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        CAST(sum(CASE WHEN r = 0 AND c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cc,
+        CAST(sum(CASE WHEN r = 0 AND c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM u
+    ),
+    m AS (
+      SELECT *, a + b AS r1, cc + d AS r2, a + cc AS c1, b + d AS c2,
+             a + b + cc + d AS n
+      FROM tab
+    ),
+    lf AS (
+      SELECT i,
+             sum(ln(i * 1.0)) OVER (ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lf
+      FROM (SELECT unnest(generate_series(1, (SELECT n FROM m))) AS i)
+      UNION ALL SELECT 0, 0.0
+    ),
+    kg AS (
+      SELECT m.*, unnest(generate_series(greatest(0, r1 - c2),
+                                         least(r1, c1))) AS k
+      FROM m
+    ),
+    s AS (
+      SELECT kg.a, kg.k,
+             exp(l1.lf + l2.lf + l3.lf + l4.lf
+                 - l5.lf - l6.lf - l7.lf - l8.lf - l9.lf) AS pmf
+      FROM kg
+      JOIN lf l1 ON l1.i = kg.r1
+      JOIN lf l2 ON l2.i = kg.r2
+      JOIN lf l3 ON l3.i = kg.c1
+      JOIN lf l4 ON l4.i = kg.c2
+      JOIN lf l5 ON l5.i = kg.n
+      JOIN lf l6 ON l6.i = kg.k
+      JOIN lf l7 ON l7.i = kg.r1 - kg.k
+      JOIN lf l8 ON l8.i = kg.c1 - kg.k
+      JOIN lf l9 ON l9.i = kg.c2 - kg.r1 + kg.k
+    ),
+    obs AS (SELECT pmf AS pmf_obs FROM s WHERE k = a),
+    p AS (
+      SELECT sum(CASE WHEN pmf <= pmf_obs * (1.0 + 0.0000001)
+                      THEN pmf ELSE 0 END) AS p
+      FROM s CROSS JOIN obs
+    )
+    SELECT a, b, cc AS c, d,
+           round(CASE WHEN b * cc > 0
+                      THEN a * d * 1.0 / (b * cc) END, 6) AS odds_ratio,
+           round(least(1.0, p.p), 6) AS p_two_sided
+    FROM tab CROSS JOIN p
+    """,
+)
+def q_fisher_exact_purchase_cohort(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fisher's exact test of user cohort (user_id parity) against
+    ever-purchased: the small-count-safe complement to the chi-square
+    family. Spark has no lgamma, so the log-factorial table
+    materializes as an |n|-row relation (ordered cumulative window
+    over ln i) broadcast into the ≤min(margin)-row pmf grid; the
+    two-sided tail uses the scipy (1+1e-7) inclusion slack on both
+    engines so ln ulps can't flip a table in or out
+    (operators/stats.py fisher_exact_2x2)."""
+    from eventstreamml_spark.operators.stats import fisher_exact_2x2
+
+    ev = _events(spark, sf_dir)
+    users = ev.groupBy("user_id").agg(
+        (F.max(F.col("user_id")) % 2).alias("cohort"),
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("purchased"),
+    )
+    return fisher_exact_2x2(users, "cohort", "purchased")

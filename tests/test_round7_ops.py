@@ -717,3 +717,37 @@ class TestTokenPercentiles:
         out = q.queries()[name](spark, str(tmp_path)).collect()[0]
         assert out["p50"] == 2.5  # midpoint of {1,2,3,4}
         assert out["p25"] == 1.75
+
+
+class TestFisherExact:
+    def test_tea_tasting_textbook(self, spark):
+        from eventstreamml_spark.operators.stats import fisher_exact_2x2
+
+        # Fisher's lady-tasting-tea table [[3,1],[1,3]]:
+        # two-sided p = 0.485714 (scipy.stats.fisher_exact)
+        rows = (
+            [(1, 1)] * 3 + [(1, 0)] * 1 + [(0, 1)] * 1 + [(0, 0)] * 3
+        )
+        df = spark.createDataFrame(rows, "r int, c int")
+        out = fisher_exact_2x2(df, "r", "c").collect()[0]
+        assert (out["a"], out["b"], out["c"], out["d"]) == (3, 1, 1, 3)
+        assert out["p_two_sided"] == 0.485714
+        assert out["odds_ratio"] == 9.0
+
+    def test_independent_table_p_one(self, spark):
+        from eventstreamml_spark.operators.stats import fisher_exact_2x2
+
+        rows = [(1, 1)] * 5 + [(1, 0)] * 5 + [(0, 1)] * 5 + [(0, 0)] * 5
+        df = spark.createDataFrame(rows, "r int, c int")
+        out = fisher_exact_2x2(df, "r", "c").collect()[0]
+        assert out["p_two_sided"] == 1.0
+
+    def test_extreme_table_small_p(self, spark):
+        from eventstreamml_spark.operators.stats import fisher_exact_2x2
+
+        # [[10,0],[0,10]]: p = 2/C(20,10) ≈ 1.0825e-5
+        rows = [(1, 1)] * 10 + [(0, 0)] * 10
+        df = spark.createDataFrame(rows, "r int, c int")
+        out = fisher_exact_2x2(df, "r", "c").collect()[0]
+        assert out["p_two_sided"] == 0.000011
+        assert out["odds_ratio"] is None  # zero cells -> undefined
