@@ -39,10 +39,20 @@ def register(name: str, oracle: str | None):
 # additions plus the 45 round-6 additions in registration order — with
 # 0 slots spare. After this window runs green, every registry name as
 # of round 6 has a driver CORRECTNESS row. Round-8 backlog = exactly
-# the round-7 additions (see the round-7 commits; kept ≤ 50 by design),
-# which rotate in next round. The 3 rows-only names
-# (approx_distinct_users_by_type, dedup_simhash_pairs, ann_ivf_topk)
-# can never go green (err: no_oracle) and stay OUT of every window.
+# the 19 round-7 additions in registration order
+# (ingest_to_events_digest ingest_explode_metadata_digest
+# metadata_backfill_join task_semijoin_restriction
+# union_distinct_events eval_pr_auc_by_type eval_mrr_retrieval
+# eval_expected_calibration_error decision_stump_value
+# doc_nb_lang_confusion embedding_silhouette_by_label
+# doc_gopher_quality_flags item_item_cosine_topk
+# holt_linear_hourly_forecast graph_kcore_peel embedding_pq_distortion
+# dedup_rate_by_source doc_token_percentiles_by_lang
+# fisher_exact_purchase_cohort) — round 8 rotates all 19 into
+# _ORDER_FIRST with 31 slots spare for round-8 additions. The 3
+# rows-only names (approx_distinct_users_by_type, dedup_simhash_pairs,
+# ann_ivf_topk) can never go green (err: no_oracle) and stay OUT of
+# every window.
 _ORDER_FIRST: list[str] = [
     # the 5 late-round-5 additions
     "cohort_ltv_weekly_curve",

@@ -17,6 +17,8 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from pyspark.sql import functions as F
+
 from eventstreamml_spark import queries as q
 from tests.oracle import compare
 
@@ -751,3 +753,97 @@ class TestFisherExact:
         out = fisher_exact_2x2(df, "r", "c").collect()[0]
         assert out["p_two_sided"] == 0.000011
         assert out["odds_ratio"] is None  # zero cells -> undefined
+
+
+class TestRound7PlanShapes:
+    """Pin the documented shuffle shapes of the round-7 operators — a
+    regression that adds an exchange or degrades a broadcast to a
+    sort-merge join is a scale bug even when results stay correct."""
+
+    def _plan(self, df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_item_item_no_sort_merge_no_cartesian(self, spark):
+        from eventstreamml_spark.operators.similarity import (
+            item_item_cosine_topk,
+        )
+
+        b = spark.range(200).select(
+            (F.col("id") % 20).alias("user_id"),
+            (F.col("id") % 13).alias("item_id"),
+        )
+        plan = self._plan(item_item_cosine_topk(b))
+        # pair fan-out comes from the per-user array, never a self-join
+        assert plan.count("SortMergeJoin") == 0
+        assert plan.count("CartesianProduct") == 0
+        # popularity joins ride broadcast
+        assert plan.count("BroadcastHashJoin") >= 2
+
+    def test_silhouette_centroids_broadcast(self, spark):
+        from eventstreamml_spark.operators.similarity import (
+            simplified_silhouette,
+        )
+
+        emb = spark.range(50).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                (F.col("id") % 7).cast("float"),
+                (F.col("id") % 3).cast("float"),
+            ).alias("embedding"),
+            (F.col("id") % 4).alias("label"),
+        )
+        plan = self._plan(simplified_silhouette(emb))
+        assert plan.count("BroadcastHashJoin") >= 1
+        assert plan.count("SortMergeJoin") == 0
+        assert plan.count("CartesianProduct") == 0
+
+    def test_pr_auc_windows_over_contingency(self, spark):
+        from eventstreamml_spark.operators.evalmetrics import pr_auc
+
+        scored = spark.range(100).select(
+            (F.col("id") % 2).alias("label"),
+            (F.col("id") % 11 / 11.0).alias("score"),
+            (F.col("id") % 3).cast("string").alias("g"),
+        )
+        plan = self._plan(pr_auc(scored, by="g"))
+        # contingency agg + group-keyed windows + final agg share the
+        # group-key partitioning; ranks never sort raw rows globally
+        assert plan.count("Exchange hashpartitioning") <= 2
+        assert "Exchange SinglePartition" not in plan
+
+    def test_gopher_flags_single_exchange(self, spark):
+        from eventstreamml_spark.operators.curation import (
+            gopher_quality_flags,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "the a b", "en")], "doc_id long, text string, lang string"
+        )
+        plan = self._plan(gopher_quality_flags(docs))
+        # mapper-only rule evaluation: the lang groupBy is the only
+        # exchange in the plan
+        assert plan.count("Exchange") <= 2  # partial+final agg pair
+
+    def test_holt_one_keyed_shuffle_no_python(self, spark):
+        from eventstreamml_spark.operators.windows import holt_linear_by_key
+
+        s = spark.range(100).select(
+            (F.col("id") % 3).cast("string").alias("key"),
+            F.col("id").alias("h"),
+            (F.col("id") % 7).cast("double").alias("y"),
+        )
+        plan = self._plan(holt_linear_by_key(s))
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Python" not in plan  # the fold is codegen'd, not a UDF
+
+    def test_nb_grid_and_priors_broadcast(self, spark):
+        from eventstreamml_spark.operators.text import nb_lang_confusion
+
+        docs = spark.createDataFrame(
+            [(1, "the cat", "en"), (2, "der hund", "de")],
+            "doc_id long, text string, lang string",
+        )
+        plan = self._plan(nb_lang_confusion(docs, vocab_size=4))
+        # model-sized relations must never sort-merge against tokens
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert plan.count("CartesianProduct") == 0
