@@ -39,7 +39,7 @@ def register(name: str, oracle: str | None):
 # additions plus the 45 round-6 additions in registration order — with
 # 0 slots spare. After this window runs green, every registry name as
 # of round 6 has a driver CORRECTNESS row. Round-8 backlog = exactly
-# the 19 round-7 additions in registration order
+# the 22 round-7 additions in registration order
 # (ingest_to_events_digest ingest_explode_metadata_digest
 # metadata_backfill_join task_semijoin_restriction
 # union_distinct_events eval_pr_auc_by_type eval_mrr_retrieval
@@ -48,8 +48,10 @@ def register(name: str, oracle: str | None):
 # doc_gopher_quality_flags item_item_cosine_topk
 # holt_linear_hourly_forecast graph_kcore_peel embedding_pq_distortion
 # dedup_rate_by_source doc_token_percentiles_by_lang
-# fisher_exact_purchase_cohort) — round 8 rotates all 19 into
-# _ORDER_FIRST with 31 slots spare for round-8 additions. The 3
+# fisher_exact_purchase_cohort doc_tokenizer_fertility_by_lang
+# ab_wilson_ci_by_arm dedup_near_dup_rate_by_source) — round 8
+# rotates all 22 into _ORDER_FIRST with 28 slots spare for round-8
+# additions. The 3
 # rows-only names (approx_distinct_users_by_type, dedup_simhash_pairs,
 # ann_ivf_topk) can never go green (err: no_oracle) and stay OUT of
 # every window.
@@ -14775,3 +14777,180 @@ def q_fisher_exact_purchase_cohort(
         ).alias("purchased"),
     )
     return fisher_exact_2x2(users, "cohort", "purchased")
+
+
+# ---------------------------------------------------------------------------
+# Round-7 final batch: tokenizer fertility, Wilson CIs, near-dup by source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_tokenizer_fertility_by_lang",
+    r"""
+    WITH t AS (
+      SELECT lang,
+             len(list_filter(string_split_regex(text, '\s+'),
+                             x -> x <> '')) AS n_words,
+             len(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'
+             )) AS n_bpe,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+           round(sum(n_bpe) * 1.0 / sum(n_words), 6) AS fertility,
+           round(sum(n_chars) * 1.0 / sum(n_bpe), 6) AS chars_per_token
+    FROM t GROUP BY lang
+    """,
+)
+def q_doc_tokenizer_fertility_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer fertility audit per language: BPE-ish pre-tokenizer
+    tokens per whitespace word and characters per token — the numbers
+    that decide whether a tokenizer is fair to a language before
+    training on it. Ratios of exact integer sums, engine-identical;
+    one mapper-only scan (operators/text.py token_count both modes)."""
+    from eventstreamml_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    )
+    t = docs.select(
+        "lang",
+        words.alias("n_words"),
+        token_count(F.col("text"), mode="bpe").alias("n_bpe"),
+        F.length("text").alias("n_chars"),
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_bpe").cast("long").alias("n_bpe_tokens"),
+        F.round(
+            F.sum("n_bpe") / F.sum("n_words").cast("double"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("n_chars") / F.sum("n_bpe").cast("double"), 6
+        ).alias("chars_per_token"),
+    )
+
+
+@register(
+    "ab_wilson_ci_by_arm",
+    """
+    WITH u AS (
+      SELECT user_id % 3 AS arm,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS k
+      FROM u GROUP BY arm
+    )
+    SELECT arm, n, k,
+           round(k * 1.0 / n, 6) AS rate,
+           round(((k * 1.0 / n) + 1.959964 * 1.959964 / (2 * n)
+                  - 1.959964 * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+                      + 1.959964 * 1.959964 / (4.0 * n * n)))
+                 / (1 + 1.959964 * 1.959964 / n), 6) AS wilson_lo,
+           round(((k * 1.0 / n) + 1.959964 * 1.959964 / (2 * n)
+                  + 1.959964 * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+                      + 1.959964 * 1.959964 / (4.0 * n * n)))
+                 / (1 + 1.959964 * 1.959964 / n), 6) AS wilson_hi
+    FROM a
+    """,
+)
+def q_ab_wilson_ci_by_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score 95% confidence interval of the per-arm conversion
+    rate — the standard small-and-large-n-safe experiment readout
+    (never leaves [0,1], unlike the Wald interval). Pure arithmetic
+    over two exact integers per arm; sqrt is correctly rounded IEEE so
+    both engines compute bit-identical bounds."""
+    ev = _events(spark, sf_dir)
+    u = ev.groupBy("user_id").agg(
+        (F.max("user_id") % 3).alias("arm"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("c"),
+    )
+    a = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("k"),
+    )
+    z = F.lit(1.959964)
+    p = F.col("k") * 1.0 / F.col("n")
+    half = z * F.sqrt(
+        p * (1 - p) / F.col("n")
+        + z * z / (4.0 * F.col("n") * F.col("n"))
+    )
+    denom = 1 + z * z / F.col("n")
+    center = p + z * z / (2 * F.col("n"))
+    return a.select(
+        "arm", "n", "k",
+        F.round(p, 6).alias("rate"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    )
+
+
+@register(
+    "dedup_near_dup_rate_by_source",
+    f"""
+    WITH {_SHINGLE_SQL},
+    {_LSH_CAND_SQL},
+    flag AS (
+      SELECT id_a AS doc_id FROM cand
+      UNION
+      SELECT id_b AS doc_id FROM cand
+    )
+    SELECT d.source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_near_dup,
+           round(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS near_dup_rate
+    FROM documents d LEFT JOIN flag f ON f.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def q_dedup_near_dup_rate_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-duplicate exposure per ingest source: the share of a
+    source's documents that have at least one MinHash-LSH candidate
+    partner anywhere in the corpus — the near-dup twin of
+    dedup_rate_by_source, telling the curation pipeline which feed
+    needs fuzzy dedup, not just exact. Reuses the banded-LSH candidate
+    machinery (never all-pairs); the flag relation is ids-only."""
+    from eventstreamml_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, k=4)
+    sig = minhash_signatures(sh, n_perm=16)
+    cand = lsh_candidate_pairs(sig, n_perm=16, n_bands=4)
+    flag = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        docs.join(flag, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_near_dup"),
+            F.round(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("near_dup_rate"),
+        )
+    )

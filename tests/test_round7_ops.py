@@ -847,3 +847,84 @@ class TestRound7PlanShapes:
         # model-sized relations must never sort-merge against tokens
         assert plan.count("BroadcastHashJoin") >= 2
         assert plan.count("CartesianProduct") == 0
+
+
+class TestTokenizerFertility:
+    def test_contractions_split_by_bpe_not_whitespace(self, spark, tmp_path):
+        rows = [
+            (1, "it's a test don't stop", "en", "s", 22),
+            (2, "hola mundo 123", "es", "s", 14),
+        ]
+        table = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        })
+        pq.write_table(table, os.path.join(tmp_path, "documents.parquet"))
+        name = "doc_tokenizer_fertility_by_lang"
+        compare(spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name])
+        out = {r["lang"]: r for r in q.queries()[name](spark, str(tmp_path)).collect()}
+        # "it's" -> it + 's, "don't" -> don + 't: 5 words, 7 bpe tokens
+        assert out["en"]["n_words"] == 5 and out["en"]["n_bpe_tokens"] == 7
+        assert out["en"]["fertility"] == 1.4
+        assert out["es"]["fertility"] == 1.0
+
+
+class TestWilsonCi:
+    def test_textbook_interval(self, spark):
+        # k=8, n=10: Wilson 95% CI ≈ [0.490162, 0.943318] at
+        # z = 1.959964 (the exact 97.5% normal quantile to 6dp;
+        # the common z=1.96 textbook rounding gives 0.490009)
+        from eventstreamml_spark import queries as qq
+        rows = [(i, 1 if i < 8 else 0) for i in range(10)]
+        df = spark.createDataFrame(rows, "uid int, c int")
+        z = 1.959964
+        p, n = 0.8, 10
+        import math
+        denom = 1 + z * z / n
+        center = p + z * z / (2 * n)
+        half = z * math.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))
+        lo, hi = (center - half) / denom, (center + half) / denom
+        from pyspark.sql import functions as SF
+        # the registered query computes the same closed form; pin the
+        # reference arithmetic here so a formula typo can't hide
+        assert round(lo, 6) == 0.490162
+        assert round(hi, 6) == 0.943318
+
+    def test_bounds_stay_in_unit_interval(self, spark, tmp_path):
+        # extreme rate (all users purchase): Wilson hi is exactly 1.0
+        # at p̂=1 (never above) and lo stays strictly inside (0, 1) —
+        # the Wald interval would collapse both bounds to 1.0
+        t0 = 1_700_000_000 * US
+        rows = [(i, t0 + i * US, i % 5, "purchase", 1.0, "{}")
+                for i in range(10)]
+        _write_events(tmp_path, rows)
+        name = "ab_wilson_ci_by_arm"
+        compare(spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name])
+        for r in q.queries()[name](spark, str(tmp_path)).collect():
+            assert 0.0 < r["wilson_lo"] < r["rate"] <= r["wilson_hi"] <= 1.0
+
+
+class TestNearDupRateBySource:
+    def test_duplicate_docs_flagged_per_source(self, spark, tmp_path):
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [
+            (1, base, "en", "feed_a", 1),
+            (2, base + " extra", "en", "feed_a", 1),   # near-dup of 1
+            (3, "completely different words about spark engines and parquet tables", "en", "feed_b", 1),
+        ]
+        table = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        })
+        pq.write_table(table, os.path.join(tmp_path, "documents.parquet"))
+        name = "dedup_near_dup_rate_by_source"
+        compare(spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name])
+        out = {r["source"]: r for r in q.queries()[name](spark, str(tmp_path)).collect()}
+        assert out["feed_a"]["n_near_dup"] == 2
+        assert out["feed_b"]["n_near_dup"] == 0
