@@ -86,6 +86,14 @@ def main() -> None:
         n = len(fn(spark, sf_dir).collect())
         return time.perf_counter() - t0, n
 
+    # untimed warm-up of the first registry query: the timed loop's
+    # opening names absorb JVM codegen/JIT warm-up otherwise — round 7's
+    # top-5 "regressions" were exactly the five names rotated to the
+    # front of _ORDER_FIRST, on unchanged code
+    _first_fn = next(iter(q.queries().values()), None)
+    if _first_fn is not None:
+        _run_once(_first_fn)
+
     raw: dict[str, list[float]] = {}
     for name, fn in q.queries().items():
         times = []

@@ -823,8 +823,15 @@ def theil_sen_trend(
     return pairs.groupBy(F.col("_k").alias(key_col)).agg(
         F.max("n_points").cast("long").alias("n_points"),
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.round(
-            F.percentile(F.col("_slope"), F.lit(0.5)) * 1_000_000.0, 6
+        # `+ 0.0` normalizes IEEE signed zero: when the median slope is a
+        # tiny negative, round(x, 6) yields -0.0 here but DuckDB preserves
+        # the sign too — the driver's hasher distinguishes -0.0 from 0.0,
+        # so BOTH engines append + 0.0 (-0.0 + 0.0 == +0.0 in IEEE754).
+        (
+            F.round(
+                F.percentile(F.col("_slope"), F.lit(0.5)) * 1_000_000.0, 6
+            )
+            + F.lit(0.0)
         ).alias("slope_per_sec"),
     )
 

@@ -11068,7 +11068,7 @@ def q_ab_power_mde_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT k AS user_id,
            max(n_points) AS n_points,
            CAST(count(*) AS BIGINT) AS n_pairs,
-           round(quantile_cont(slope, 0.5) * 1000000.0, 6) AS slope_per_sec
+           round(quantile_cont(slope, 0.5) * 1000000.0, 6) + 0.0 AS slope_per_sec
     FROM p GROUP BY k
     """,
 )
@@ -13720,8 +13720,21 @@ def q_ingest_to_events_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("subject_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.max("event_type").alias("event_type"),
+        # floor-div via pmod (exact for any epoch sign): integer `div`
+        # truncates toward zero while the oracle's floor(epoch(ts))
+        # floors — they diverge for pre-1970 timestamps, and the
+        # fixture ts unit/range varies per round (CLAUDE.md)
         F.sum(
-            F.expr("unix_micros(cast(timestamp as timestamp)) div 1000000")
+            (
+                (
+                    F.expr("unix_micros(cast(timestamp as timestamp))")
+                    - F.pmod(
+                        F.expr("unix_micros(cast(timestamp as timestamp))"),
+                        F.lit(1_000_000),
+                    )
+                )
+                / F.lit(1_000_000)
+            ).cast("long")
         ).cast("long").alias("sum_epoch"),
         F.sum(F.size("metadata")).cast("long").alias("n_meta_cells"),
         F.count(first_val).alias("n_values"),
@@ -13779,9 +13792,16 @@ def q_ingest_explode_metadata_digest(
         "event_id",
         F.col("user_id").alias("subject_id"),
         F.lit("evt").alias("event_type"),
+        # even-epoch-second test via pmod on raw micros (us mod 2e6 in
+        # [0, 1e6) <=> floor(us/1e6) even, exact for any sign): integer
+        # `div` truncates toward zero and diverges from the oracle's
+        # floor(epoch(ts)) for pre-1970 timestamps
         F.when(
-            F.expr("unix_micros(cast(ts as timestamp)) div 1000000") % 2
-            == 0,
+            F.pmod(
+                F.expr("unix_micros(cast(ts as timestamp))"),
+                F.lit(2_000_000),
+            )
+            < 1_000_000,
             two,
         ).otherwise(one).alias("metadata"),
     )
@@ -14601,7 +14621,8 @@ def q_graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         """SELECT vec_id, subspace, code, round(d2, 6) AS sq_err
     FROM rk WHERE r = 1""",
         """SELECT subspace, count(*) AS n_vecs,
-           round(avg(round(d2, 6)), 6) AS mean_sq_err,
+           CAST(sum(CAST(floor(round(d2, 6) * 1000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_sq_err_micro,
            round(max(round(d2, 6)), 6) AS max_sq_err
     FROM rk WHERE r = 1 GROUP BY subspace""",
     ),
@@ -14619,7 +14640,14 @@ def q_embedding_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq_encode(emb, _pq_codebooks_fixed())
     return codes.groupBy("subspace").agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        F.round(F.avg("sq_err"), 6).alias("mean_sq_err"),
+        # exact integer digest: per-row micro-units of the already-6dp-
+        # rounded error (within 1 ulp of the integer grid on both
+        # engines), then integer sum — round(avg(x), 6) straddles
+        # half-ulp 6dp boundaries under summation-order differences
+        # (round-7 ingest-digest lesson, CLAUDE.md)
+        F.sum(
+            F.floor(F.col("sq_err") * 1000000.0 + F.lit(0.5)).cast("long")
+        ).cast("long").alias("sum_sq_err_micro"),
         F.round(F.max("sq_err"), 6).alias("max_sq_err"),
     )
 
@@ -14665,33 +14693,85 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(list_filter(string_split_regex(text, '\s+'),
                              x -> x <> '')) AS n_tokens
       FROM documents
+    ),
+    r AS (
+      SELECT lang, n_tokens,
+             row_number() OVER (PARTITION BY lang ORDER BY n_tokens) - 1
+               AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM t
+    ),
+    q AS (
+      SELECT lang, count(*) AS n_docs,
+             round(quantile_cont(n_tokens, 0.25), 6) AS p25,
+             round(quantile_cont(n_tokens, 0.50), 6) AS p50,
+             round(quantile_cont(n_tokens, 0.75), 6) AS p75,
+             CAST(max(n_tokens) AS BIGINT) AS max_tokens
+      FROM t GROUP BY lang
+    ),
+    b AS (
+      SELECT lang,
+             CAST(max(CASE WHEN rk = ((n - 1) * 95) // 100
+                           THEN n_tokens END) AS BIGINT) AS p95_lo,
+             CAST(max(CASE WHEN rk = least(((n - 1) * 95) // 100 + 1, n - 1)
+                           THEN n_tokens END) AS BIGINT) AS p95_hi,
+             CAST(max(((n - 1) * 95) % 100) AS BIGINT) AS p95_frac_pct
+      FROM r GROUP BY lang
     )
-    SELECT lang, count(*) AS n_docs,
-           round(quantile_cont(n_tokens, 0.25), 6) AS p25,
-           round(quantile_cont(n_tokens, 0.50), 6) AS p50,
-           round(quantile_cont(n_tokens, 0.75), 6) AS p75,
-           round(quantile_cont(n_tokens, 0.95), 6) AS p95,
-           CAST(max(n_tokens) AS BIGINT) AS max_tokens
-    FROM t GROUP BY lang
+    SELECT q.lang, q.n_docs, q.p25, q.p50, q.p75,
+           b.p95_lo, b.p95_hi, b.p95_frac_pct, q.max_tokens
+    FROM q JOIN b USING (lang)
     """,
 )
 def q_doc_token_percentiles_by_lang(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Per-language token-length distribution (exact interpolated
-    quantiles of whitespace token counts) — the packing/chunking
-    planner's sizing input. Integer counts make the interpolation
-    midpoints exact doubles on both engines."""
+    """Per-language token-length distribution — the packing/chunking
+    planner's sizing input. p25/p50/p75 interpolate with DYADIC
+    fractions over integer order statistics, so every intermediate
+    product is an exact double on both engines; the non-dyadic p95 is
+    instead emitted as its two bracketing integer order statistics
+    plus the exact index numerator (((n-1)*95) mod 100), because an
+    ulp difference in the engines' (1-f)*a+f*b evaluation order can
+    straddle the 6dp output grid (round-8 ADVICE)."""
     docs = load_table(spark, sf_dir, "documents")
     n = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != ""))
     t = docs.select("lang", n.alias("n_tokens"))
-    return t.groupBy("lang").agg(
+    q = t.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.expr("percentile(n_tokens, 0.25)"), 6).alias("p25"),
         F.round(F.expr("percentile(n_tokens, 0.50)"), 6).alias("p50"),
         F.round(F.expr("percentile(n_tokens, 0.75)"), 6).alias("p75"),
-        F.round(F.expr("percentile(n_tokens, 0.95)"), 6).alias("p95"),
         F.max("n_tokens").cast("long").alias("max_tokens"),
+    )
+    r = t.select(
+        "lang",
+        "n_tokens",
+        (
+            F.row_number().over(W.partitionBy("lang").orderBy("n_tokens"))
+            - 1
+        ).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy("lang")).alias("n"),
+    )
+    idx = F.expr("((n - 1) * 95) div 100")
+    b = r.groupBy("lang").agg(
+        F.max(F.when(F.col("rk") == idx, F.col("n_tokens")))
+        .cast("long")
+        .alias("p95_lo"),
+        F.max(
+            F.when(
+                F.col("rk") == F.least(idx + 1, F.col("n") - 1),
+                F.col("n_tokens"),
+            )
+        )
+        .cast("long")
+        .alias("p95_hi"),
+        F.max(F.expr("((n - 1) * 95) % 100")).cast("long")
+        .alias("p95_frac_pct"),
+    )
+    return q.join(b, "lang").select(
+        "lang", "n_docs", "p25", "p50", "p75",
+        "p95_lo", "p95_hi", "p95_frac_pct", "max_tokens",
     )
 
 

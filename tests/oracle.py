@@ -38,7 +38,12 @@ def _norm_cell(v):
         if math.isinf(v):
             return "Inf" if v > 0 else "-Inf"
         if v == 0:
-            return 0.0
+            # The driver's value hasher distinguishes -0.0 from 0.0 (it
+            # hashes the raw bit pattern via pandas); Python's == does not
+            # (-0.0 == 0.0), so negative zero must map to a DISTINCT token
+            # or a signed-zero mismatch passes silently (round-7 red row:
+            # theil_sen_trend_by_subject).
+            return "-0.0" if math.copysign(1.0, v) < 0 else 0.0
         return float(f"{v:.9g}")
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat()

@@ -125,6 +125,56 @@ def test_oracle_values_survive_pandas_roundtrip():
     assert not errors, f"oracles with pandas-unconvertible values: {errors}"
 
 
+def _negative_zero_cells(cols, rows) -> list[str]:
+    import math as _math
+
+    bad = set()
+    for row in rows:
+        for c, v in zip(cols, row):
+            if isinstance(v, float) and v == 0.0 and _math.copysign(1.0, v) < 0:
+                bad.add(c)
+    return sorted(bad)
+
+
+def test_oracle_outputs_have_no_negative_zero():
+    """IEEE signed zero is engine-unstable: DuckDB's ``round()``
+    preserves ``-0.0`` where Spark's ``F.round`` returns ``+0.0``, and
+    the driver's hasher distinguishes the two (round-7 red row:
+    ``theil_sen_trend_by_subject``, the only wrong answer to reach a
+    driver row since round 4 — it shipped through a green local sweep
+    because the old comparator normalized ``v == 0 → 0.0``). Any oracle
+    that rounds a possibly-tiny-negative float (slopes, drifts,
+    correlations, diffs) is exposed; the fix is ``+ 0.0`` after the
+    round on BOTH engines. This executes every oracle at the oracle SF
+    and rejects any ``-0.0`` cell."""
+    from tests.conftest import SF_ORACLE
+    from tests.oracle import duckdb_conn
+
+    conn = duckdb_conn(SF_ORACLE)
+    offenders = {}
+    for name, sql in q.oracle_sql().items():
+        res = conn.execute(sql)
+        cols = [d[0] for d in res.description]
+        if bad := _negative_zero_cells(cols, res.fetchall()):
+            offenders[name] = bad
+    conn.close()
+    assert not offenders, (
+        f"oracles emitting -0.0 cells (add `+ 0.0` after the round on both "
+        f"engines): {offenders}"
+    )
+
+
+def test_negative_zero_guard_catches_injected_cell():
+    import duckdb
+
+    conn = duckdb.connect()
+    res = conn.execute("SELECT round(-1e-9, 6) AS z FROM range(2)")
+    cols = [d[0] for d in res.description]
+    rows = res.fetchall()
+    conn.close()
+    assert _negative_zero_cells(cols, rows) == ["z"]
+
+
 def test_pandas_roundtrip_guard_catches_out_of_range_timestamp():
     """The guard must fire on the exact sentinel that broke
     ``scd2_signup_intervals`` driver-side."""
@@ -171,6 +221,94 @@ def test_every_registry_name_appears_in_survey_2_8c():
     listed = set(re.findall(r"`([a-z0-9_]+)`", block))
     missing = sorted(set(q.queries()) - listed)
     assert not missing, f"registry names missing from SURVEY §2.8c: {missing}"
+
+
+# Names tracked in SURVEY §2's core tables / README by OPERATOR id (S1,
+# P2, dedup rows, ...) rather than by query name — they predate the
+# §2.8b-row-per-query rule and appear only in §2.8c. FROZEN as of round
+# 8: do not add to this list; every new registry name needs a §2.8b (or
+# core-table) row mentioning the query name.
+SURVEY_ROW_GRANDFATHERED: frozenset[str] = frozenset({
+    "age_functor", "age_numeric_preprocess", "ann_cosine_topk",
+    "ann_ivf_fixed_centroids", "ann_ivf_topk", "ann_lsh_topk",
+    "approx_distinct_users_by_type", "audio_feature_extraction",
+    "categorical_fit_vocab", "categorical_oov_transform",
+    "csv_ingest_parity", "cube_type_time_histogram",
+    "customers_without_orders", "dedup_embedding_near_dup",
+    "dedup_groups_keep_list", "dedup_lsh_verified",
+    "dedup_minhash_lsh_candidates", "dedup_ngram_jaccard",
+    "dedup_simhash_md5", "dedup_simhash_pairs", "doc_binary_metadata",
+    "doc_exact_dedup", "doc_fingerprint", "doc_hashing_tf",
+    "doc_lang_id", "doc_quality_features", "doc_repetition_signals",
+    "doc_tfidf_top_terms", "doc_token_counts",
+    "dq_orphaned_order_customers", "dq_profile_events",
+    "drop_censor_per_key_bounds", "drop_censor_values",
+    "event_type_histogram", "events_per_subject",
+    "funnel_click_to_purchase", "image_feature_extraction",
+    "ingest_dense_ids", "ingest_explode_metadata_digest",
+    "ingest_to_events_digest", "inter_event_time_stats",
+    "json_ingest_parity", "macro_avg_value_per_subject",
+    "metadata_allnull_col_drop", "metadata_backfill_join",
+    "min_seq_len_filter", "multilabel_event_indices",
+    "nested_metadata_view", "norm_log_tte_cumsum", "normalize_by_key",
+    "nullify_nonfinite", "preproc_value_types",
+    "quantile_transform_cdf", "random_subsequence_windows",
+    "running_moments_by_type", "running_order_total",
+    "salted_collect_distinct", "sequence_padding",
+    "split_restricted_histogram", "sql_interface_q6",
+    "stratified_sample_events", "subject_split_assignment",
+    "subject_split_exact_sizes", "task_label_normalize",
+    "task_semijoin_restriction", "task_window_range_join",
+    "tensorize_checksums", "tensorize_tasks_checksums",
+    "time_of_day_histogram", "time_since_start",
+    "topk_parts_per_brand", "tpch_q10_returned_items",
+    "tpch_q12_priority_by_linestatus", "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue", "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue", "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue", "tpch_q1_pricing_summary",
+    "tpch_q21_waiting_supplier", "tpch_q22_idle_customers",
+    "tpch_q3_shipping_priority", "tpch_q4_order_priority",
+    "tpch_q5_region_revenue", "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume", "tpch_q8_market_share",
+    "tte_stats_by_type", "tte_target_shift", "union_distinct_events",
+    "unit_bounds_merge", "value_histogram_bins", "viod_outlier_bounds",
+    "vocab_apply_idx", "vocab_event_type", "vocab_words_filtered",
+    "weighted_avg_price_by_flag", "zorder_clustering_key",
+})
+
+
+def test_every_new_registry_name_has_a_survey_row_outside_2_8c():
+    """Round-7 drift: 17 extension operators got §2.8c names but no
+    §2.8b rows — CLAUDE.md's workflow requires BOTH, and the old guard
+    checked §2.8c only. Every registry name outside the frozen
+    grandfather set must be mentioned (backticked) somewhere in
+    SURVEY §2 OTHER than the §2.8c list — i.e. a §2.8b row or a core
+    table row."""
+    import pathlib
+    import re
+
+    survey = (
+        pathlib.Path(__file__).resolve().parents[1] / "SURVEY.md"
+    ).read_text()
+    m = re.search(
+        r"### 2\.8c Complete oracle-query registry.*?(?=\n### )",
+        survey,
+        re.S,
+    )
+    assert m, "SURVEY.md §2.8c block not found"
+    outside = survey[: m.start()] + survey[m.end():]
+    mentioned = set(re.findall(r"`([a-z0-9_]+)`", outside))
+    missing = sorted(
+        set(q.queries()) - SURVEY_ROW_GRANDFATHERED - mentioned
+    )
+    assert not missing, (
+        f"registry names with no SURVEY row outside §2.8c (add a §2.8b "
+        f"row): {missing}"
+    )
+    # the grandfather list must stay frozen: a name in it that gained a
+    # row should be removed so the freeze shrinks monotonically
+    stale = sorted(SURVEY_ROW_GRANDFATHERED - set(q.queries()))
+    assert not stale, f"grandfathered names no longer registered: {stale}"
 
 
 def test_guard_catches_injected_array_query(spark):
