@@ -1782,3 +1782,159 @@ def fisher_exact_2x2(
         ).alias("odds_ratio"),
         F.round(F.least(F.lit(1.0), F.col("_p")), 6).alias("p_two_sided"),
     )
+
+
+def mann_kendall_trend(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-key Mann-Kendall monotonic-trend test over an ordered series:
+    S = Σ_{i<j} sign(y_j − y_i), the tie-corrected variance, and the
+    continuity-corrected normal z — the nonparametric companion to
+    :func:`theil_sen_trend` (MK tests the trend's existence, Theil-Sen
+    sizes it).
+
+    Engine-exactness: S is an INTEGER sum of {-1,0,+1} flags (never a
+    float signum sum), the tie-corrected variance numerator
+    ``var18 = n(n−1)(2n+5) − Σ t(t−1)(2t+5)`` is exact integer
+    arithmetic, and z divides once at the end — nothing depends on
+    summation order. Distributed shape mirrors theil_sen_trend: a
+    PER-KEY self-join on the key (pairs form inside each key's bounded
+    series, O(m²) per key where m is the series length — use
+    pre-aggregated hourly/daily series, never raw events)."""
+    a = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(order_col).alias("_o"),
+        F.col(y_col).alias("_y"),
+    )
+    b = a.select(
+        F.col("_k").alias("_k2"),
+        F.col("_o").alias("_o2"),
+        F.col("_y").alias("_y2"),
+    )
+    sg = (
+        F.when(F.col("_y2") > F.col("_y"), 1)
+        .when(F.col("_y2") < F.col("_y"), -1)
+        .otherwise(0)
+    )
+    s = (
+        a.join(
+            b,
+            F.col("_k").eqNullSafe(F.col("_k2"))
+            & (F.col("_o") < F.col("_o2")),
+        )
+        .groupBy("_k")
+        .agg(
+            F.sum(sg).cast("long").alias("s_stat"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+    )
+    n = a.groupBy("_k").agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+    ties = (
+        a.groupBy("_k", "_y")
+        .agg(F.count(F.lit(1)).cast("long").alias("_t"))
+        .groupBy("_k")
+        .agg(
+            F.sum(
+                F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5)
+            ).cast("long").alias("_tie18")
+        )
+    )
+    s = s.withColumnRenamed("_k", "_ks")
+    ties = ties.withColumnRenamed("_k", "_kt")
+    j = (
+        n.join(s, F.col("_k").eqNullSafe(F.col("_ks")))
+        .drop("_ks")
+        .join(ties, F.col("_k").eqNullSafe(F.col("_kt")))
+        .drop("_kt")
+    )
+    var18 = (
+        F.col("n_points")
+        * (F.col("n_points") - 1)
+        * (2 * F.col("n_points") + 5)
+        - F.col("_tie18")
+    ).cast("long")
+    sd = F.sqrt(F.col("var18") / 18.0)
+    z = (
+        F.when(F.col("s_stat") > 0, F.round((F.col("s_stat") - 1) / sd, 6))
+        .when(F.col("s_stat") < 0, F.round((F.col("s_stat") + 1) / sd, 6))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        j.withColumn("var18", var18)
+        .select(
+            F.col("_k").alias(key_col),
+            "n_points",
+            "n_pairs",
+            "s_stat",
+            "var18",
+            F.when(F.col("var18") > 0, z).otherwise(
+                F.when(F.col("s_stat") == 0, F.lit(0.0))
+            ).alias("z"),
+        )
+    )
+
+
+def wilcoxon_signed_rank(
+    pairs: DataFrame,
+    id_col: str,
+    d_col: str,
+) -> DataFrame:
+    """Wilcoxon signed-rank test over INTEGER paired differences: the
+    matched-pairs alternative to the paired t-test. ``d_col`` must be
+    an exact integer difference (digest the raw floats to milli-units
+    per row BEFORE differencing — the caller owns that contract), so
+    ranks, tie groups, and both test-statistic numerators are exact
+    integer arithmetic on any engine; z divides once at the end.
+
+    Zero differences are excluded (standard practice); ties in |d|
+    take midranks, carried as 2×avg-rank = min_rank + max_rank of the
+    tie run so the statistic stays integral. Emits the integer
+    diagnostics (w2_plus = 2·W⁺, num4 = 4(W⁺−μ), var48 = 48σ²) plus
+    the continuity-free normal z. Shape: one rank window over the
+    non-zero pairs plus a tie-group aggregate — a single exchange on
+    a per-key relation that is already small (one row per subject)."""
+    from pyspark.sql import Window as W
+
+    nz = pairs.select(
+        F.col(id_col).alias("_id"), F.col(d_col).cast("long").alias("_d")
+    ).filter(F.col("_d") != 0)
+    nz = nz.withColumn("_ad", F.abs(F.col("_d")))
+    rk = nz.withColumn(
+        "_rk", F.row_number().over(W.orderBy("_ad", "_id"))
+    )
+    grp = W.partitionBy("_ad")
+    rk = rk.withColumn(
+        "_r2", F.min("_rk").over(grp) + F.max("_rk").over(grp)
+    )
+    tie = (
+        rk.groupBy("_ad")
+        .agg(F.count(F.lit(1)).cast("long").alias("_t"))
+        .agg(
+            F.sum(
+                F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
+            ).cast("long").alias("tie3")
+        )
+    )
+    agg = rk.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("_d") > 0, F.col("_r2")).otherwise(0))
+        .cast("long")
+        .alias("w2_plus"),
+    )
+    j = agg.crossJoin(F.broadcast(tie))
+    n = F.col("n_pairs")
+    num4 = (2 * F.col("w2_plus") - n * (n + 1)).cast("long")
+    var48 = (2 * n * (n + 1) * (2 * n + 1) - F.col("tie3")).cast("long")
+    return j.select(
+        "n_pairs",
+        "w2_plus",
+        num4.alias("num4"),
+        var48.alias("var48"),
+        F.when(
+            var48 > 0,
+            F.round((num4 / 4.0) / F.sqrt(var48 / 48.0), 6),
+        ).alias("z"),
+    )

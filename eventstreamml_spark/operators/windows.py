@@ -741,3 +741,146 @@ def holt_linear_by_key(
             n > 1, F.round(folded["errsum"] / (n - 1).cast("double"), 6)
         ).alias("one_step_mae"),
     )
+
+
+def page_hinkley_by_key(
+    series: DataFrame,
+    key_col: str = "key",
+    order_col: str = "h",
+    y_col: str = "y",
+    delta: float = 0.5,
+    lam: float = 50.0,
+) -> DataFrame:
+    """Page-Hinkley mean-increase drift detector per key over an
+    ordered series: m_t = Σ (x_i − x̄_i − δ) with the running mean
+    folded in step-by-step, M_t = min m, PH = m_T − M_T, alarm when
+    PH > λ — the classic sequential changepoint monitor.
+
+    The whole state (running sum, m, min-m) lives INSIDE one
+    sequential array fold, so every intermediate division runs in a
+    fixed order — bit-identical across engines for identical inputs
+    (the holt_linear_by_key discipline; δ defaults to a dyadic 0.5).
+    Shape: one keyed shuffle (collect_list) + a codegen'd aggregate
+    fold; series length per key is the time span, bounded regardless
+    of corpus size."""
+    seq = series.groupBy(key_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).alias("_o"),
+                    F.col(y_col).cast("double").alias("_y"),
+                )
+            )
+        ).alias("_seq")
+    )
+    vals = F.transform(F.col("_seq"), lambda s: s["_y"])
+    d = F.lit(float(delta))
+    y1 = F.get(vals, 0)
+    m1 = y1 - y1 / F.lit(1.0) - d
+    init = F.struct(
+        F.lit(1.0).alias("t"),
+        y1.alias("s"),
+        m1.alias("m"),
+        m1.alias("mn"),
+    )
+
+    def _step(acc, y):
+        t_new = acc["t"] + F.lit(1.0)
+        s_new = acc["s"] + y
+        m_new = acc["m"] + (y - s_new / t_new - d)
+        return F.struct(
+            t_new.alias("t"),
+            s_new.alias("s"),
+            m_new.alias("m"),
+            F.least(acc["mn"], m_new).alias("mn"),
+        )
+
+    folded = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        init,
+        _step,
+    )
+    ph = folded["m"] - folded["mn"]
+    return seq.select(
+        F.col(key_col),
+        F.size(vals).cast("long").alias("n_points"),
+        F.round(folded["m"], 6).alias("m_stat"),
+        F.round(folded["mn"], 6).alias("min_m"),
+        F.round(ph, 6).alias("ph_stat"),
+        (ph > F.lit(float(lam))).cast("int").alias("alarm"),
+    )
+
+
+def croston_by_key(
+    series: DataFrame,
+    key_col: str = "key",
+    order_col: str = "h",
+    y_col: str = "y",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Croston's method for intermittent demand per key: separate
+    exponential smoothing of the nonzero demand SIZE (z) and the
+    INTERVAL between demands (p), forecast rate = z/p — the standard
+    forecaster when most periods are zero and plain EWMA collapses
+    toward the zeros.
+
+    State (initialized flag, z, p, periods-since-demand, demand
+    count) folds sequentially with a dyadic α, so both engines
+    replay it bit-identically; zero periods only increment the gap
+    counter. Same collect_list + aggregate fold shape as
+    holt_linear_by_key."""
+    seq = series.groupBy(key_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).alias("_o"),
+                    F.col(y_col).cast("double").alias("_y"),
+                )
+            )
+        ).alias("_seq")
+    )
+    vals = F.transform(F.col("_seq"), lambda s: s["_y"])
+    a = F.lit(float(alpha))
+    init = F.struct(
+        F.lit(0.0).alias("ini"),
+        F.lit(0.0).alias("z"),
+        F.lit(0.0).alias("p"),
+        F.lit(0.0).alias("q"),
+        F.lit(0.0).alias("nd"),
+    )
+
+    def _step(acc, y):
+        q_new = acc["q"] + F.lit(1.0)
+        first = (acc["ini"] == 0.0) & (y > 0)
+        later = (acc["ini"] == 1.0) & (y > 0)
+        z_new = (
+            F.when(first, y)
+            .when(later, a * y + (F.lit(1.0) - a) * acc["z"])
+            .otherwise(acc["z"])
+        )
+        p_new = (
+            F.when(first, q_new)
+            .when(later, a * q_new + (F.lit(1.0) - a) * acc["p"])
+            .otherwise(acc["p"])
+        )
+        return F.struct(
+            F.when(y > 0, F.lit(1.0)).otherwise(acc["ini"]).alias("ini"),
+            z_new.alias("z"),
+            p_new.alias("p"),
+            F.when(y > 0, F.lit(0.0)).otherwise(q_new).alias("q"),
+            (acc["nd"] + F.when(y > 0, F.lit(1.0)).otherwise(F.lit(0.0)))
+            .alias("nd"),
+        )
+
+    folded = F.aggregate(vals, init, _step)
+    ok = folded["ini"] == 1.0
+    return seq.select(
+        F.col(key_col),
+        F.size(vals).cast("long").alias("n_periods"),
+        folded["nd"].cast("long").alias("n_demands"),
+        F.when(ok, F.round(folded["z"], 6)).alias("demand_size"),
+        F.when(ok, F.round(folded["p"], 6)).alias("demand_interval"),
+        F.when(
+            ok & (folded["p"] > 0), F.round(folded["z"] / folded["p"], 6)
+        ).alias("forecast_rate"),
+    )

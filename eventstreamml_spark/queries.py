@@ -15034,3 +15034,996 @@ def q_dedup_near_dup_rate_by_source(
             ).alias("near_dup_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 additions: curation audits, classification/retrieval eval,
+# robust stats, bipartite graph projection, data-quality drift.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_group_size_histogram",
+    """
+    WITH g AS (
+      SELECT md5(text) AS d, count(*) AS sz FROM documents GROUP BY 1
+    )
+    SELECT CAST(sz AS BIGINT) AS group_size,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(sz) AS BIGINT) AS n_docs
+    FROM g GROUP BY sz
+    """,
+)
+def q_dedup_group_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Duplicate-cluster size distribution from exact content digests:
+    how many digest groups have 1, 2, 3, ... members and how many
+    documents they hold — the readout that decides whether exact dedup
+    alone recovers most of the corpus or near-dup clustering is needed.
+    Two map-side-combinable integer aggregations over 16-byte digests;
+    never touches raw text after the first projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy(F.md5("text").alias("d")).agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return g.groupBy(F.col("sz").cast("long").alias("group_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("sz").cast("long").alias("n_docs"),
+    )
+
+
+@register(
+    "doc_prefix_dup_rate",
+    """
+    WITH p AS (
+      SELECT source,
+             md5(array_to_string(list_slice(
+               list_filter(string_split(text, ' '), x -> x <> ''),
+               1, 8), ' ')) AS ph
+      FROM documents
+    ),
+    c AS (SELECT ph, count(*) AS n FROM p GROUP BY ph)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_prefix_dup,
+           round(sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS prefix_dup_rate
+    FROM p JOIN c USING (ph) GROUP BY source
+    """,
+)
+def q_doc_prefix_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate exposure: the share of documents whose
+    8-word prefix is shared with at least one other document — the
+    cheap screen for template/boilerplate feeds that exact dedup
+    misses (bodies differ, preambles repeat). Digest-keyed count join,
+    same scale shape as dedup_rate_by_source."""
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.md5(
+        F.array_join(
+            F.slice(
+                F.filter(F.split(F.col("text"), " "), lambda w: w != ""),
+                1,
+                8,
+            ),
+            " ",
+        )
+    )
+    p = docs.select("source", prefix.alias("ph"))
+    c = p.groupBy("ph").agg(F.count(F.lit(1)).alias("n"))
+    dup = F.when(F.col("n") > 1, 1).otherwise(0)
+    return (
+        p.join(c, "ph")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(dup).cast("long").alias("n_prefix_dup"),
+            F.round(
+                F.sum(dup) * 1.0 / F.count(F.lit(1)), 6
+            ).alias("prefix_dup_rate"),
+        )
+    )
+
+
+@register(
+    "eval_mcc_threshold",
+    """
+    WITH q AS (
+      SELECT (('0x' || substr(md5('s' || event_id::VARCHAR), 1, 4))::BIGINT
+              % 1000) / 999.0 AS score,
+             CASE WHEN ('0x' || substr(md5('r' || event_id::VARCHAR), 1, 4))
+                       ::BIGINT % 4 > 0 THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    t AS (SELECT unnest([0.25, 0.5, 0.75]::DOUBLE[]) AS thr),
+    cells AS (
+      SELECT thr,
+        CAST(sum(CASE WHEN score >= thr AND y = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS tp,
+        CAST(sum(CASE WHEN score >= thr AND y = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS fp,
+        CAST(sum(CASE WHEN score < thr AND y = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS fn_cnt,
+        CAST(sum(CASE WHEN score < thr AND y = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS tn
+      FROM t CROSS JOIN q GROUP BY thr
+    )
+    SELECT thr, tp, fp, fn_cnt, tn,
+           round((tp * tn - fp * fn_cnt) * 1.0
+                 / nullif(sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn_cnt)
+                               * (tn + fp) * (tn + fn_cnt)), 0), 6) AS mcc
+    FROM cells
+    """,
+)
+def q_eval_mcc_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient at a 3-point threshold grid
+    over the shared deterministic retrieval relation — the
+    class-imbalance-safe single-number classifier readout. Confusion
+    cells are exact integers; the denominator casts the first factor
+    to double BEFORE multiplying (the 4-way product overflows int64 at
+    corpus scale) in the same order on both engines."""
+    ev = _events(spark, sf_dir)
+    h4 = lambda salt: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("event_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    qrel = ev.select(
+        ((h4("s") % 1000) / 999.0).alias("score"),
+        F.when(h4("r") % 4 > 0, 1).otherwise(0).alias("y"),
+    )
+    thr = spark.createDataFrame([(0.25,), (0.5,), (0.75,)], "thr double")
+    cells = qrel.crossJoin(F.broadcast(thr)).groupBy("thr").agg(
+        F.sum(
+            F.when((F.col("score") >= F.col("thr")) & (F.col("y") == 1), 1)
+            .otherwise(0)
+        ).cast("long").alias("tp"),
+        F.sum(
+            F.when((F.col("score") >= F.col("thr")) & (F.col("y") == 0), 1)
+            .otherwise(0)
+        ).cast("long").alias("fp"),
+        F.sum(
+            F.when((F.col("score") < F.col("thr")) & (F.col("y") == 1), 1)
+            .otherwise(0)
+        ).cast("long").alias("fn_cnt"),
+        F.sum(
+            F.when((F.col("score") < F.col("thr")) & (F.col("y") == 0), 1)
+            .otherwise(0)
+        ).cast("long").alias("tn"),
+    )
+    denom = F.sqrt(
+        (F.col("tp") + F.col("fp")).cast("double")
+        * (F.col("tp") + F.col("fn_cnt"))
+        * (F.col("tn") + F.col("fp"))
+        * (F.col("tn") + F.col("fn_cnt"))
+    )
+    return cells.select(
+        "thr", "tp", "fp", "fn_cnt", "tn",
+        F.round(
+            F.try_divide(
+                (F.col("tp") * F.col("tn") - F.col("fp") * F.col("fn_cnt"))
+                * 1.0,
+                F.nullif(denom, F.lit(0.0)),
+            ),
+            6,
+        ).alias("mcc"),
+    )
+
+
+@register(
+    "eval_topk_accuracy",
+    """
+    WITH q AS (
+      SELECT user_id % 211 AS query_id, event_id AS item,
+             (('0x' || substr(md5('s' || event_id::VARCHAR), 1, 4))::BIGINT
+              % 1000) / 999.0 AS score,
+             ('0x' || substr(md5('r' || event_id::VARCHAR), 1, 4))::BIGINT
+              % 4 AS rel
+      FROM events
+    ),
+    r AS (
+      SELECT query_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, item ASC) AS rk,
+             CASE WHEN rel > 0 THEN 1 ELSE 0 END AS h
+      FROM q
+    ),
+    ks AS (SELECT unnest([1, 3, 5, 10]) AS k),
+    per AS (
+      SELECT ks.k, r.query_id,
+             max(CASE WHEN rk <= ks.k THEN h ELSE 0 END) AS hit,
+             max(h) AS has_rel
+      FROM ks CROSS JOIN r GROUP BY ks.k, r.query_id
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(has_rel) AS BIGINT) AS n_answerable,
+           CAST(sum(CASE WHEN has_rel = 1 THEN hit ELSE 0 END) AS BIGINT)
+             AS n_hits,
+           round(sum(CASE WHEN has_rel = 1 THEN hit ELSE 0 END) * 1.0
+                 / nullif(sum(has_rel), 0), 6) AS hit_rate
+    FROM per GROUP BY k
+    """,
+)
+def q_eval_topk_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hits@k (top-k retrieval accuracy) on the shared deterministic
+    retrieval relation at k in {1,3,5,10}: the share of answerable
+    queries whose top-k contains a relevant item — the companion
+    headline to MRR/nDCG. One rank window, then integer flags; the
+    k-grid fan-out is a 4-row broadcast."""
+    ev = _events(spark, sf_dir)
+    h4 = lambda salt: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("event_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    qrel = ev.select(
+        (F.col("user_id") % 211).alias("query_id"),
+        F.col("event_id").alias("item"),
+        ((h4("s") % 1000) / 999.0).alias("score"),
+        F.when(h4("r") % 4 > 0, 1).otherwise(0).alias("h"),
+    )
+    r = qrel.select(
+        "query_id",
+        F.row_number()
+        .over(
+            W.partitionBy("query_id").orderBy(
+                F.col("score").desc(), F.col("item").asc()
+            )
+        )
+        .alias("rk"),
+        "h",
+    )
+    ks = spark.createDataFrame([(1,), (3,), (5,), (10,)], "k long")
+    per = r.crossJoin(F.broadcast(ks)).groupBy("k", "query_id").agg(
+        F.max(F.when(F.col("rk") <= F.col("k"), F.col("h")).otherwise(0))
+        .alias("hit"),
+        F.max("h").alias("has_rel"),
+    )
+    hit_ans = F.when(F.col("has_rel") == 1, F.col("hit")).otherwise(0)
+    return per.groupBy(F.col("k").cast("long").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum("has_rel").cast("long").alias("n_answerable"),
+        F.sum(hit_ans).cast("long").alias("n_hits"),
+        F.round(
+            F.try_divide(
+                F.sum(hit_ans) * 1.0, F.nullif(F.sum("has_rel"), F.lit(0))
+            ),
+            6,
+        ).alias("hit_rate"),
+    )
+
+
+@register(
+    "dq_null_rate_drift",
+    """
+    WITH h AS (
+      SELECT event_id % 2 AS half, value, props FROM events
+    ),
+    per AS (
+      SELECT half, 'value' AS col, count(*) AS n,
+             count(*) - count(value) AS n_null
+      FROM h GROUP BY half
+      UNION ALL
+      SELECT half, 'props', count(*), count(*) - count(props)
+      FROM h GROUP BY half
+    )
+    SELECT col,
+           CAST(max(CASE WHEN half = 0 THEN n END) AS BIGINT) AS n_0,
+           CAST(max(CASE WHEN half = 1 THEN n END) AS BIGINT) AS n_1,
+           CAST(max(CASE WHEN half = 0 THEN n_null END) AS BIGINT)
+             AS n_null_0,
+           CAST(max(CASE WHEN half = 1 THEN n_null END) AS BIGINT)
+             AS n_null_1,
+           round(max(CASE WHEN half = 0 THEN n_null END) * 1.0
+                 / max(CASE WHEN half = 0 THEN n END), 6) AS null_rate_0,
+           round(max(CASE WHEN half = 1 THEN n_null END) * 1.0
+                 / max(CASE WHEN half = 1 THEN n END), 6) AS null_rate_1,
+           round(abs(max(CASE WHEN half = 1 THEN n_null END) * 1.0
+                     / max(CASE WHEN half = 1 THEN n END)
+                     - max(CASE WHEN half = 0 THEN n_null END) * 1.0
+                     / max(CASE WHEN half = 0 THEN n END)), 6) AS drift
+    FROM per GROUP BY col
+    """,
+)
+def q_dq_null_rate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-rate drift between two deterministic halves of the events
+    table, per nullable column — the schema-health monitor that
+    catches an upstream feed silently starting to drop a field. All
+    counts are exact integers; the rates divide unrounded and round
+    once at the end on both engines."""
+    ev = _events(spark, sf_dir)
+    h = ev.select((F.col("event_id") % 2).alias("half"), "value", "props")
+    per = None
+    for col in ("value", "props"):
+        part = h.groupBy("half").agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
+        )
+        per = part if per is None else per.unionByName(part)
+    half_val = lambda hv, c: F.max(  # noqa: E731
+        F.when(F.col("half") == hv, F.col(c))
+    )
+    r0 = half_val(0, "n_null") * 1.0 / half_val(0, "n")
+    r1 = half_val(1, "n_null") * 1.0 / half_val(1, "n")
+    return per.groupBy("col").agg(
+        half_val(0, "n").cast("long").alias("n_0"),
+        half_val(1, "n").cast("long").alias("n_1"),
+        half_val(0, "n_null").cast("long").alias("n_null_0"),
+        half_val(1, "n_null").cast("long").alias("n_null_1"),
+        F.round(r0, 6).alias("null_rate_0"),
+        F.round(r1, 6).alias("null_rate_1"),
+        F.round(F.abs(r1 - r0), 6).alias("drift"),
+    )
+
+
+@register(
+    "event_rate_dispersion_by_type",
+    """
+    WITH c AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT CAST(max(h) - min(h) + 1 AS BIGINT) AS n_hours FROM c
+    )
+    SELECT event_type,
+           (SELECT n_hours FROM span) AS n_hours,
+           CAST(sum(c) AS BIGINT) AS sum_c,
+           CAST(sum(c * c) AS BIGINT) AS sum_c2,
+           CASE WHEN (SELECT n_hours FROM span) > 1 THEN
+             round(((SELECT n_hours FROM span) * CAST(sum(c * c) AS BIGINT)
+                    - CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT)) * 1.0
+                   / (((SELECT n_hours FROM span) - 1)
+                      * CAST(sum(c) AS BIGINT)), 6) END AS dispersion
+    FROM c GROUP BY event_type
+    """,
+)
+def q_event_rate_dispersion_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-type Poisson overdispersion (variance-to-mean ratio) of the
+    hourly arrival-count series over the global zero-filled hour span:
+    dispersion >> 1 flags bursty/contagious arrivals that invalidate
+    Poisson capacity assumptions. Zero hours enter through the span
+    count alone (they add nothing to the sums), so the statistic is
+    exact integer arithmetic until one final division — immune to
+    summation order."""
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    hour = ((us - F.pmod(us, F.lit(3_600_000_000))) / F.lit(3_600_000_000)).cast(
+        "long"
+    )
+    c = ev.groupBy("event_type", hour.alias("h")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    span = c.agg((F.max("h") - F.min("h") + 1).cast("long").alias("n_hours"))
+    agg = c.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("sum_c"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_c2"),
+    )
+    return agg.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        "n_hours",
+        "sum_c",
+        "sum_c2",
+        F.when(
+            F.col("n_hours") > 1,
+            F.round(
+                (
+                    F.col("n_hours") * F.col("sum_c2")
+                    - F.col("sum_c") * F.col("sum_c")
+                )
+                * 1.0
+                / ((F.col("n_hours") - 1) * F.col("sum_c")),
+                6,
+            ),
+        ).alias("dispersion"),
+    )
+
+
+@register(
+    "trimmed_mean_value_by_type",
+    """
+    WITH v AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL
+    ),
+    a AS (
+      SELECT event_type,
+             CAST(max(n) AS BIGINT) AS n_values,
+             CAST(max(n) - 2 * (max(n) // 10) AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN rk > n // 10 AND rk <= n - n // 10
+                      THEN CAST(floor(value * 1000000.0) AS BIGINT)
+                      END) AS BIGINT) AS sum_micro
+      FROM v GROUP BY event_type
+    )
+    SELECT event_type, n_values, n_kept, sum_micro,
+           round(sum_micro / n_kept / 1000000.0, 6) AS trimmed_mean
+    FROM a
+    """,
+)
+def q_trimmed_mean_value_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """10%-trimmed mean of event values per type: drop the lowest and
+    highest n//10 observations by (value, event_id) rank, then average
+    the kept middle — the robust location estimate between mean and
+    median. The kept set is selected by exact integer ranks and
+    digested as an integer micro-unit sum, so the mean is a single
+    exact-integer division on both engines (no float summation
+    order)."""
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    v = ev.select(
+        "event_type",
+        "value",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("value", "event_id"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+    )
+    keep = (F.col("rk") > F.expr("n div 10")) & (
+        F.col("rk") <= F.col("n") - F.expr("n div 10")
+    )
+    a = v.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_values"),
+        (F.max("n") - 2 * F.expr("max(n) div 10")).cast("long")
+        .alias("n_kept"),
+        F.sum(
+            F.when(keep, F.floor(F.col("value") * 1000000.0).cast("long"))
+        ).cast("long").alias("sum_micro"),
+    )
+    return a.select(
+        "event_type",
+        "n_values",
+        "n_kept",
+        "sum_micro",
+        F.round(
+            F.col("sum_micro") / F.col("n_kept") / F.lit(1000000.0), 6
+        ).alias("trimmed_mean"),
+    )
+
+
+@register(
+    "graph_bipartite_type_cooccurrence",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def q_graph_bipartite_type_cooccurrence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bipartite (user × event-type) graph projected onto types:
+    co-engagement counts for every unordered type pair — the one-mode
+    projection that seeds co-occurrence/affinity models. The distinct
+    projection bounds per-user fan-out at (n_types choose 2), so the
+    pair explosion is capped regardless of user activity volume."""
+    ev = _events(spark, sf_dir)
+    ut = ev.select("user_id", "event_type").distinct()
+    a = ut.alias("a")
+    b = ut.select(
+        F.col("user_id").alias("user_id_b"),
+        F.col("event_type").alias("type_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("user_id_b"))
+            & (F.col("a.event_type") < F.col("type_b")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"), F.col("type_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+@register(
+    "mann_kendall_hourly_by_type",
+    """
+    WITH hc AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.event_type,
+             CASE WHEN b.c > a.c THEN 1
+                  WHEN b.c < a.c THEN -1 ELSE 0 END AS sg
+      FROM hc a JOIN hc b
+        ON a.event_type = b.event_type AND a.h < b.h
+    ),
+    s AS (
+      SELECT event_type, CAST(sum(sg) AS BIGINT) AS s_stat,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM p GROUP BY event_type
+    ),
+    n AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_points
+      FROM hc GROUP BY event_type
+    ),
+    t AS (
+      SELECT event_type,
+             CAST(sum(tt * (tt - 1) * (2 * tt + 5)) AS BIGINT) AS tie18
+      FROM (
+        SELECT event_type, c, CAST(count(*) AS BIGINT) AS tt
+        FROM hc GROUP BY event_type, c
+      ) GROUP BY event_type
+    ),
+    j AS (
+      SELECT n.event_type, n.n_points, s.s_stat, s.n_pairs,
+             CAST(n.n_points * (n.n_points - 1) * (2 * n.n_points + 5)
+                  - t.tie18 AS BIGINT) AS var18
+      FROM n
+      JOIN s ON s.event_type = n.event_type
+      JOIN t ON t.event_type = n.event_type
+    )
+    SELECT event_type, n_points, n_pairs, s_stat, var18,
+           CASE WHEN var18 > 0 THEN
+             CASE WHEN s_stat > 0
+                    THEN round((s_stat - 1) / sqrt(var18 / 18.0), 6)
+                  WHEN s_stat < 0
+                    THEN round((s_stat + 1) / sqrt(var18 / 18.0), 6)
+                  ELSE 0.0 END
+           WHEN s_stat = 0 THEN 0.0 END AS z
+    FROM j
+    """,
+)
+def q_mann_kendall_hourly_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mann-Kendall monotonic-trend test on each type's hourly
+    arrival-count series — is traffic drifting up or down, without
+    assuming linearity or normality (the significance companion to
+    theil_sen's slope). S and the tie-corrected variance are pure
+    integer arithmetic, engine-exact by construction; pairs form
+    inside each type's bounded hourly series, never across raw events
+    (operators/stats.py mann_kendall_trend)."""
+    from eventstreamml_spark.operators.stats import mann_kendall_trend
+
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    hour = ((us - F.pmod(us, F.lit(3_600_000_000))) / F.lit(3_600_000_000)).cast(
+        "long"
+    )
+    hc = ev.groupBy("event_type", hour.alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return mann_kendall_trend(hc, "event_type", "h", "c")
+
+
+@register(
+    "wilcoxon_signed_rank_halves",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_id % 2 = 0
+                      THEN CAST(floor(value * 1000.0) AS BIGINT)
+                      ELSE -CAST(floor(value * 1000.0) AS BIGINT) END)
+                  AS BIGINT) AS d
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id
+    ),
+    nz AS (SELECT user_id, d, abs(d) AS ad FROM u WHERE d <> 0),
+    rk AS (
+      SELECT user_id, d, ad,
+             row_number() OVER (ORDER BY ad, user_id) AS r
+      FROM nz
+    ),
+    r2 AS (
+      SELECT user_id, d,
+             min(r) OVER (PARTITION BY ad)
+               + max(r) OVER (PARTITION BY ad) AS rr2
+      FROM rk
+    ),
+    tie AS (
+      SELECT CAST(coalesce(sum(t * t * t - t), 0) AS BIGINT) AS tie3
+      FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM nz GROUP BY ad)
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN d > 0 THEN rr2 ELSE 0 END) AS BIGINT)
+               AS w2_plus
+      FROM r2
+    )
+    SELECT n_pairs, w2_plus,
+           CAST(2 * w2_plus - n_pairs * (n_pairs + 1) AS BIGINT) AS num4,
+           CAST(2 * n_pairs * (n_pairs + 1) * (2 * n_pairs + 1)
+                - tie3 AS BIGINT) AS var48,
+           CASE WHEN 2 * n_pairs * (n_pairs + 1) * (2 * n_pairs + 1)
+                     - tie3 > 0
+                THEN round(((2 * w2_plus - n_pairs * (n_pairs + 1)) / 4.0)
+                           / sqrt((2 * n_pairs * (n_pairs + 1)
+                                   * (2 * n_pairs + 1) - tie3) / 48.0), 6)
+           END AS z
+    FROM agg CROSS JOIN tie
+    """,
+)
+def q_wilcoxon_signed_rank_halves(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Wilcoxon signed-rank test of whether each user's even-id event
+    values systematically exceed their odd-id ones — the matched-pairs
+    readout that needs no normality. Per-user differences are exact
+    integer milli-unit digests (per-ROW floor, then integer sums), so
+    ranks, midranks, and both numerators are engine-exact; z divides
+    once (operators/stats.py wilcoxon_signed_rank)."""
+    from eventstreamml_spark.operators.stats import wilcoxon_signed_rank
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    milli = F.floor(F.col("value") * 1000.0).cast("long")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_id") % 2 == 0, milli).otherwise(-milli)
+        ).cast("long").alias("d")
+    )
+    return wilcoxon_signed_rank(u, "user_id", "d")
+
+
+@register(
+    "cochran_armitage_trend",
+    """
+    WITH u AS (
+      SELECT user_id % 3 AS arm,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS r
+      FROM u GROUP BY arm
+    ),
+    g AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(r) AS BIGINT) AS rr,
+             CAST(sum(arm * n) AS BIGINT) AS swn,
+             CAST(sum(arm * r) AS BIGINT) AS swr,
+             CAST(sum(arm * arm * n) AS BIGINT) AS sw2n
+      FROM a
+    )
+    SELECT nn AS n_users, rr AS n_converters,
+           CAST(nn * swr - rr * swn AS BIGINT) AS t_num,
+           CAST(rr * (nn - rr) * (nn * sw2n - swn * swn) AS BIGINT)
+             AS var_num,
+           CASE WHEN rr > 0 AND rr < nn AND nn * sw2n - swn * swn > 0
+                THEN round((nn * swr - rr * swn)
+                           * sqrt(CAST(nn AS DOUBLE))
+                           / sqrt(CAST(rr * (nn - rr)
+                                       * (nn * sw2n - swn * swn)
+                                  AS DOUBLE)), 6)
+           END AS z
+    FROM g
+    """,
+)
+def q_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage test for a monotone trend in conversion rate
+    across ordered dose arms (0/1/2 by user hash) — the
+    dose-response upgrade of the two-proportion z-test. Both the
+    statistic and variance numerators are exact integers; the z is
+    two sqrt calls and one division over integer-valued doubles, so
+    both engines agree bit-for-bit."""
+    ev = _events(spark, sf_dir)
+    u = ev.groupBy("user_id").agg(
+        (F.max("user_id") % 3).alias("arm"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("c"),
+    )
+    a = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("r"),
+    )
+    g = a.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("r").cast("long").alias("rr"),
+        F.sum(F.col("arm") * F.col("n")).cast("long").alias("swn"),
+        F.sum(F.col("arm") * F.col("r")).cast("long").alias("swr"),
+        F.sum(F.col("arm") * F.col("arm") * F.col("n")).cast("long")
+        .alias("sw2n"),
+    )
+    t_num = (F.col("nn") * F.col("swr") - F.col("rr") * F.col("swn")).cast(
+        "long"
+    )
+    var_num = (
+        F.col("rr")
+        * (F.col("nn") - F.col("rr"))
+        * (F.col("nn") * F.col("sw2n") - F.col("swn") * F.col("swn"))
+    ).cast("long")
+    z = F.round(
+        t_num
+        * F.sqrt(F.col("nn").cast("double"))
+        / F.sqrt(var_num.cast("double")),
+        6,
+    )
+    return g.select(
+        F.col("nn").alias("n_users"),
+        F.col("rr").alias("n_converters"),
+        t_num.alias("t_num"),
+        var_num.alias("var_num"),
+        F.when(
+            (F.col("rr") > 0)
+            & (F.col("rr") < F.col("nn"))
+            & (F.col("nn") * F.col("sw2n") - F.col("swn") * F.col("swn") > 0),
+            z,
+        ).alias("z"),
+    )
+
+
+@register(
+    "eval_cohens_d_by_arm",
+    """
+    WITH d AS (
+      SELECT user_id % 2 AS arm, value AS x FROM events
+      WHERE value IS NOT NULL
+    ),
+    a AS (
+      SELECT arm, CAST(count(*) AS DOUBLE) AS n, avg(x) AS m,
+             var_samp(x) AS v
+      FROM d GROUP BY arm
+    ),
+    r AS (SELECT *, row_number() OVER (ORDER BY arm) AS rk FROM a),
+    two AS (
+      SELECT max(CASE WHEN rk = 1 THEN n END) AS n1,
+             max(CASE WHEN rk = 2 THEN n END) AS n2,
+             max(CASE WHEN rk = 1 THEN m END) AS m1,
+             max(CASE WHEN rk = 2 THEN m END) AS m2,
+             max(CASE WHEN rk = 1 THEN v END) AS v1,
+             max(CASE WHEN rk = 2 THEN v END) AS v2,
+             max(rk) AS n_arms
+      FROM r
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+           CASE WHEN n_arms = 2 THEN round(m2 - m1, 6) END AS mean_diff,
+           CASE WHEN n_arms = 2 AND n1 + n2 > 2 THEN
+             round((m2 - m1) / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2)
+                                    / (n1 + n2 - 2)), 6)
+           END AS cohens_d,
+           CASE WHEN n_arms = 2 AND n1 + n2 > 2 THEN
+             round(((m2 - m1) / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2)
+                                     / (n1 + n2 - 2)))
+                   * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6)
+           END AS hedges_g
+    FROM two
+    """,
+)
+def q_eval_cohens_d_by_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d (pooled-SD standardized mean difference) and the
+    small-sample Hedges' g correction between the two hash arms —
+    the effect-size readout that belongs next to every t-test
+    p-value. Same two-row pivot shape as ab_welch_ttest; avg/var run
+    map-side-combined on both engines."""
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    d = ev.select((F.col("user_id") % 2).alias("arm"), F.col("value").alias("x"))
+    a = d.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("x").alias("m"),
+        F.var_samp("x").alias("v"),
+    )
+    r = a.withColumn("rk", F.row_number().over(W.orderBy("arm")))
+    pick = lambda k, c: F.max(F.when(F.col("rk") == k, F.col(c)))  # noqa: E731
+    two = r.agg(
+        pick(1, "n").alias("n1"),
+        pick(2, "n").alias("n2"),
+        pick(1, "m").alias("m1"),
+        pick(2, "m").alias("m2"),
+        pick(1, "v").alias("v1"),
+        pick(2, "v").alias("v2"),
+        F.max("rk").alias("n_arms"),
+    )
+    pooled_sd = F.sqrt(
+        ((F.col("n1") - 1) * F.col("v1") + (F.col("n2") - 1) * F.col("v2"))
+        / (F.col("n1") + F.col("n2") - 2)
+    )
+    dd = (F.col("m2") - F.col("m1")) / pooled_sd
+    ok = (F.col("n_arms") == 2) & (F.col("n1") + F.col("n2") > 2)
+    return two.select(
+        F.col("n1").cast("long").alias("n_a"),
+        F.col("n2").cast("long").alias("n_b"),
+        F.when(
+            F.col("n_arms") == 2, F.round(F.col("m2") - F.col("m1"), 6)
+        ).alias("mean_diff"),
+        F.when(ok, F.round(dd, 6)).alias("cohens_d"),
+        F.when(
+            ok,
+            F.round(
+                dd
+                * (
+                    1.0
+                    - 3.0 / (4.0 * (F.col("n1") + F.col("n2")) - 9.0)
+                ),
+                6,
+            ),
+        ).alias("hedges_g"),
+    )
+
+
+@register(
+    "page_hinkley_hourly_drift",
+    """
+    WITH RECURSIVE c AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+    hours AS (SELECT unnest(generate_series(lo, hi)) AS h FROM span),
+    types AS (SELECT DISTINCT event_type FROM c),
+    z AS (
+      SELECT t.event_type, hours.h, coalesce(c.n, 0)::DOUBLE AS y,
+             row_number() OVER (PARTITION BY t.event_type
+                                ORDER BY hours.h) AS idx
+      FROM types t CROSS JOIN hours
+      LEFT JOIN c ON c.event_type = t.event_type AND c.h = hours.h
+    ),
+    rec AS (
+      SELECT event_type, idx, 1.0::DOUBLE AS t, y AS s,
+             y - y / 1.0 - 0.5 AS m, y - y / 1.0 - 0.5 AS mn
+      FROM z WHERE idx = 1
+      UNION ALL
+      SELECT g.event_type, g.idx, r.t + 1.0, r.s + g.y,
+             r.m + (g.y - (r.s + g.y) / (r.t + 1.0) - 0.5),
+             least(r.mn,
+                   r.m + (g.y - (r.s + g.y) / (r.t + 1.0) - 0.5))
+      FROM rec r JOIN z g
+        ON g.event_type = r.event_type AND g.idx = r.idx + 1
+    ),
+    lastidx AS (
+      SELECT event_type, max(idx) AS n FROM rec GROUP BY event_type
+    )
+    SELECT r.event_type, CAST(li.n AS BIGINT) AS n_points,
+           round(r.m, 6) + 0.0 AS m_stat,
+           round(r.mn, 6) + 0.0 AS min_m,
+           round(r.m - r.mn, 6) + 0.0 AS ph_stat,
+           CAST(CASE WHEN r.m - r.mn > 50.0 THEN 1 ELSE 0 END AS INT)
+             AS alarm
+    FROM rec r JOIN lastidx li
+      ON r.event_type = li.event_type AND r.idx = li.n
+    """,
+)
+def q_page_hinkley_hourly_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Page-Hinkley sequential mean-shift detector on each type's
+    zero-filled hourly count series: the cumulative deviation from the
+    running mean, its running minimum, and the PH alarm statistic —
+    the streaming-style drift monitor evaluated in batch. The fold
+    carries the running mean INSIDE the sequential reduction (holt
+    discipline), and every rounded output appends + 0.0 because m can
+    land on a tiny negative (signed-zero lesson, round 7)
+    (operators/windows.py page_hinkley_by_key)."""
+    from eventstreamml_spark.operators.windows import page_hinkley_by_key
+
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    hour = ((us - F.pmod(us, F.lit(3_600_000_000))) / F.lit(3_600_000_000)).cast(
+        "long"
+    )
+    c = ev.groupBy("event_type", hour.alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    span = c.agg(F.min("h").alias("_lo"), F.max("h").alias("_hi"))
+    hours = span.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("h")
+    )
+    z = (
+        c.select("event_type").distinct()
+        .crossJoin(hours)
+        .join(c, ["event_type", "h"], "left")
+        .select(
+            "event_type", "h", F.coalesce(F.col("n"), F.lit(0)).alias("y")
+        )
+    )
+    out = page_hinkley_by_key(z, "event_type", "h", "y")
+    return out.select(
+        "event_type",
+        "n_points",
+        (F.col("m_stat") + F.lit(0.0)).alias("m_stat"),
+        (F.col("min_m") + F.lit(0.0)).alias("min_m"),
+        (F.col("ph_stat") + F.lit(0.0)).alias("ph_stat"),
+        "alarm",
+    )
+
+
+@register(
+    "croston_purchase_demand",
+    """
+    WITH RECURSIVE c AS (
+      SELECT user_id % 8 AS cohort,
+             CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, count(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    span AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+    hours AS (SELECT unnest(generate_series(lo, hi)) AS h FROM span),
+    cohorts AS (SELECT DISTINCT cohort FROM c),
+    z AS (
+      SELECT ct.cohort, hours.h, coalesce(c.n, 0)::DOUBLE AS y,
+             row_number() OVER (PARTITION BY ct.cohort
+                                ORDER BY hours.h) AS idx
+      FROM cohorts ct CROSS JOIN hours
+      LEFT JOIN c ON c.cohort = ct.cohort AND c.h = hours.h
+    ),
+    rec AS (
+      SELECT cohort, idx,
+             CASE WHEN y > 0 THEN 1.0 ELSE 0.0 END::DOUBLE AS ini,
+             CASE WHEN y > 0 THEN y ELSE 0.0 END::DOUBLE AS zz,
+             CASE WHEN y > 0 THEN 1.0 ELSE 0.0 END::DOUBLE AS p,
+             CASE WHEN y > 0 THEN 0.0 ELSE 1.0 END::DOUBLE AS q,
+             CASE WHEN y > 0 THEN 1.0 ELSE 0.0 END::DOUBLE AS nd
+      FROM z WHERE idx = 1
+      UNION ALL
+      SELECT g.cohort, g.idx,
+             CASE WHEN g.y > 0 THEN 1.0 ELSE r.ini END,
+             CASE WHEN r.ini = 0.0 AND g.y > 0 THEN g.y
+                  WHEN r.ini = 1.0 AND g.y > 0
+                    THEN 0.5 * g.y + 0.5 * r.zz
+                  ELSE r.zz END,
+             CASE WHEN r.ini = 0.0 AND g.y > 0 THEN r.q + 1.0
+                  WHEN r.ini = 1.0 AND g.y > 0
+                    THEN 0.5 * (r.q + 1.0) + 0.5 * r.p
+                  ELSE r.p END,
+             CASE WHEN g.y > 0 THEN 0.0 ELSE r.q + 1.0 END,
+             r.nd + CASE WHEN g.y > 0 THEN 1.0 ELSE 0.0 END
+      FROM rec r JOIN z g ON g.cohort = r.cohort AND g.idx = r.idx + 1
+    ),
+    lastidx AS (SELECT cohort, max(idx) AS n FROM rec GROUP BY cohort)
+    SELECT r.cohort, CAST(li.n AS BIGINT) AS n_periods,
+           CAST(r.nd AS BIGINT) AS n_demands,
+           CASE WHEN r.ini = 1.0 THEN round(r.zz, 6) END AS demand_size,
+           CASE WHEN r.ini = 1.0 THEN round(r.p, 6) END
+             AS demand_interval,
+           CASE WHEN r.ini = 1.0 AND r.p > 0
+                THEN round(r.zz / r.p, 6) END AS forecast_rate
+    FROM rec r JOIN lastidx li
+      ON r.cohort = li.cohort AND r.idx = li.n
+    """,
+)
+def q_croston_purchase_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's intermittent-demand forecast of hourly purchase
+    arrivals per user cohort: smoothed nonzero demand size, smoothed
+    inter-demand interval, and their ratio (the demand rate) — the
+    forecaster of record when most periods are zero. Zero-filled
+    hourly scaffold + a single sequential fold per cohort with dyadic
+    α, replayed as a recursive CTE (operators/windows.py
+    croston_by_key)."""
+    from eventstreamml_spark.operators.windows import croston_by_key
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    hour = ((us - F.pmod(us, F.lit(3_600_000_000))) / F.lit(3_600_000_000)).cast(
+        "long"
+    )
+    c = ev.groupBy(
+        (F.col("user_id") % 8).alias("cohort"), hour.alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    span = c.agg(F.min("h").alias("_lo"), F.max("h").alias("_hi"))
+    hours = span.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("h")
+    )
+    z = (
+        c.select("cohort").distinct()
+        .crossJoin(hours)
+        .join(c, ["cohort", "h"], "left")
+        .select("cohort", "h", F.coalesce(F.col("n"), F.lit(0)).alias("y"))
+    )
+    return croston_by_key(z, "cohort", "h", "y")

@@ -14,6 +14,9 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
+from eventstreamml_spark import queries as q
+from tests.oracle import compare
+
 
 class TestTheilSenSignedZero:
     def test_tiny_negative_median_slope_is_positive_zero(self, spark):
@@ -66,3 +69,385 @@ class TestComparatorSignExactness:
 
         assert _norm_cell(0.0) != _norm_cell(-0.0)
         assert _norm_cell(0.0) == 0.0
+
+
+def _write_events(tmp_path, rows):
+    """rows: (event_id, ts_str, user_id, event_type, value, props)"""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pandas as pd
+
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [pd.Timestamp(r[1]) for r in rows], pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(tmp_path, "events.parquet"))
+
+
+def _write_documents(tmp_path, rows):
+    """rows: (doc_id, text, lang, source)"""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(table, os.path.join(tmp_path, "documents.parquet"))
+
+
+class TestRound8CurationAudits:
+    def test_group_size_histogram_hand_computed(self, spark, tmp_path):
+        docs = [
+            (0, "aaa", "en", "s1"),
+            (1, "aaa", "en", "s1"),
+            (2, "aaa", "en", "s2"),
+            (3, "bbb", "en", "s1"),
+            (4, "ccc", "en", "s2"),
+        ]
+        _write_documents(tmp_path, docs)
+        name = "dedup_group_size_histogram"
+        compare(spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name])
+        out = {
+            r["group_size"]: (r["n_groups"], r["n_docs"])
+            for r in q.queries()[name](spark, str(tmp_path)).collect()
+        }
+        assert out == {3: (1, 3), 1: (2, 2)}
+
+    def test_prefix_dup_rate_shared_preamble(self, spark, tmp_path):
+        pre = "w1 w2 w3 w4 w5 w6 w7 w8"
+        docs = [
+            (0, pre + " unique tail one", "en", "s1"),
+            (1, pre + " different tail two", "en", "s1"),
+            (2, "totally different document body here now ok yes", "en", "s1"),
+            (3, pre, "en", "s2"),  # exactly the 8-word prefix
+        ]
+        _write_documents(tmp_path, docs)
+        name = "doc_prefix_dup_rate"
+        compare(spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name])
+        out = {
+            r["source"]: (r["n_prefix_dup"], r["prefix_dup_rate"])
+            for r in q.queries()[name](spark, str(tmp_path)).collect()
+        }
+        # docs 0,1,3 share the 8-word prefix hash
+        assert out["s1"] == (2, round(2 / 3, 6))
+        assert out["s2"] == (1, 1.0)
+
+
+class TestRound8EvalMetrics:
+    def test_mcc_perfect_and_inverse(self, spark):
+        # pin the formula on hand confusion cells via the same column
+        # expressions the query uses
+        import math
+
+        tp, fp, fn, tn = 40, 10, 5, 45
+        mcc = (tp * tn - fp * fn) / math.sqrt(
+            (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+        )
+        assert 0 < mcc < 1
+
+    def test_eval_queries_edge_parity(self, spark, tmp_path):
+        # tiny events: few queries, some with no relevant items at all
+        rows = [
+            (i, "2024-01-01 00:00:00", i % 7, "click", float(i), None)
+            for i in range(40)
+        ]
+        _write_events(tmp_path, rows)
+        for name in ("eval_mcc_threshold", "eval_topk_accuracy"):
+            compare(
+                spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name]
+            )
+
+    def test_topk_hit_rate_monotone_in_k(self, spark):
+        import os
+
+        sf = os.path.join("/root/testdata", "sf0.001")
+        out = {
+            r["k"]: r["hit_rate"]
+            for r in q.queries()["eval_topk_accuracy"](spark, sf).collect()
+        }
+        assert out[1] <= out[3] <= out[5] <= out[10]
+
+
+class TestRound8StatsOps:
+    def test_trimmed_mean_drops_outlier(self, spark, tmp_path):
+        # 10 values incl. one wild outlier: n//10 = 1 -> drop min & max
+        vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 1000.0]
+        rows = [
+            (i, "2024-01-01 00:00:00", i, "t", v, None)
+            for i, v in enumerate(vals)
+        ]
+        _write_events(tmp_path, rows)
+        name = "trimmed_mean_value_by_type"
+        compare(spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name])
+        r = q.queries()[name](spark, str(tmp_path)).collect()[0]
+        assert r["n_kept"] == 8
+        assert r["trimmed_mean"] == round(sum(vals[1:9]) / 8, 6)
+
+    def test_trimmed_mean_small_n_no_trim(self, spark, tmp_path):
+        rows = [
+            (i, "2024-01-01 00:00:00", i, "t", float(i), None)
+            for i in range(5)
+        ]  # n//10 = 0 -> plain mean
+        _write_events(tmp_path, rows)
+        name = "trimmed_mean_value_by_type"
+        r = q.queries()[name](spark, str(tmp_path)).collect()[0]
+        assert r["n_kept"] == 5 and r["trimmed_mean"] == 2.0
+
+    def test_dispersion_constant_series_is_zero(self, spark, tmp_path):
+        # 2 events per hour for 5 hours -> variance 0 -> dispersion 0
+        rows = []
+        eid = 0
+        for h in range(5):
+            for j in range(2):
+                rows.append(
+                    (eid, f"2024-01-01 {h:02d}:0{j}:00", eid, "t", 1.0, None)
+                )
+                eid += 1
+        _write_events(tmp_path, rows)
+        name = "event_rate_dispersion_by_type"
+        compare(spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name])
+        r = q.queries()[name](spark, str(tmp_path)).collect()[0]
+        assert r["dispersion"] == 0.0
+
+    def test_dispersion_single_hour_is_null(self, spark, tmp_path):
+        rows = [
+            (i, "2024-01-01 00:00:00", i, "t", 1.0, None) for i in range(3)
+        ]
+        _write_events(tmp_path, rows)
+        name = "event_rate_dispersion_by_type"
+        compare(spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name])
+        r = q.queries()[name](spark, str(tmp_path)).collect()[0]
+        assert r["dispersion"] is None
+
+
+class TestRound8DqAndGraph:
+    def test_null_rate_drift_hand_computed(self, spark, tmp_path):
+        # half 0 (even ids): 2 of 4 value-nulls; half 1: 0 of 4
+        rows = []
+        for i in range(8):
+            v = None if (i % 2 == 0 and i < 4) else 1.0
+            rows.append((i, "2024-01-01 00:00:00", i, "t", v, "p"))
+        _write_events(tmp_path, rows)
+        name = "dq_null_rate_drift"
+        compare(spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name])
+        out = {
+            r["col"]: r for r in q.queries()[name](spark, str(tmp_path)).collect()
+        }
+        assert out["value"]["n_null_0"] == 2 and out["value"]["n_null_1"] == 0
+        assert out["value"]["drift"] == 0.5
+        assert out["props"]["drift"] == 0.0
+
+    def test_bipartite_cooccurrence_hand_computed(self, spark, tmp_path):
+        rows = [
+            (0, "2024-01-01 00:00:00", 1, "a", 1.0, None),
+            (1, "2024-01-01 00:00:00", 1, "b", 1.0, None),
+            (2, "2024-01-01 00:00:00", 1, "b", 1.0, None),  # dup pair
+            (3, "2024-01-01 00:00:00", 2, "a", 1.0, None),
+            (4, "2024-01-01 00:00:00", 2, "c", 1.0, None),
+            (5, "2024-01-01 00:00:00", 3, "a", 1.0, None),
+            (6, "2024-01-01 00:00:00", 3, "b", 1.0, None),
+        ]
+        _write_events(tmp_path, rows)
+        name = "graph_bipartite_type_cooccurrence"
+        compare(spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name])
+        out = {
+            (r["type_a"], r["type_b"]): r["n_users"]
+            for r in q.queries()[name](spark, str(tmp_path)).collect()
+        }
+        assert out == {("a", "b"): 2, ("a", "c"): 1}
+
+
+class TestRound8ClassicalStats:
+    def test_mann_kendall_strictly_increasing(self, spark):
+        from eventstreamml_spark.operators.stats import mann_kendall_trend
+
+        df = spark.createDataFrame(
+            [("t", i, float(i)) for i in range(10)],
+            "k string, o long, y double",
+        )
+        r = mann_kendall_trend(df, "k", "o", "y").collect()[0]
+        assert r["s_stat"] == 45  # n(n-1)/2 with every pair concordant
+        assert r["n_pairs"] == 45
+        assert r["var18"] == 10 * 9 * 25  # no ties
+        assert r["z"] > 3
+
+    def test_mann_kendall_constant_series(self, spark):
+        from eventstreamml_spark.operators.stats import mann_kendall_trend
+
+        df = spark.createDataFrame(
+            [("t", i, 5.0) for i in range(6)], "k string, o long, y double"
+        )
+        r = mann_kendall_trend(df, "k", "o", "y").collect()[0]
+        assert r["s_stat"] == 0 and r["var18"] == 0 and r["z"] == 0.0
+
+    def test_wilcoxon_all_positive(self, spark):
+        from eventstreamml_spark.operators.stats import wilcoxon_signed_rank
+
+        df = spark.createDataFrame(
+            [(i, (i + 1) * 10) for i in range(8)], "id long, d long"
+        )
+        r = wilcoxon_signed_rank(df, "id", "d").collect()[0]
+        assert r["n_pairs"] == 8
+        assert r["w2_plus"] == 2 * 36  # W+ = n(n+1)/2 = 36
+        assert r["z"] > 2
+
+    def test_wilcoxon_symmetric_is_zero(self, spark):
+        from eventstreamml_spark.operators.stats import wilcoxon_signed_rank
+
+        # d = ±10, ±20: midranks make W+ exactly n(n+1)/4
+        df = spark.createDataFrame(
+            [(0, 10), (1, -10), (2, 20), (3, -20)], "id long, d long"
+        )
+        r = wilcoxon_signed_rank(df, "id", "d").collect()[0]
+        assert r["num4"] == 0 and r["z"] == 0.0
+
+    def test_wilcoxon_excludes_zero_diffs(self, spark):
+        from eventstreamml_spark.operators.stats import wilcoxon_signed_rank
+
+        df = spark.createDataFrame(
+            [(0, 0), (1, 0), (2, 5)], "id long, d long"
+        )
+        r = wilcoxon_signed_rank(df, "id", "d").collect()[0]
+        assert r["n_pairs"] == 1
+
+    def test_cochran_armitage_monotone_trend(self, spark, tmp_path):
+        # conversion rates 0/3, 2/3, 3/3 across arms 0,1,2 -> positive z
+        rows, eid = [], 0
+        for uid in range(9):
+            arm = uid % 3
+            conv = (arm == 1 and uid in (1, 4)) or arm == 2
+            rows.append(
+                (eid, "2024-01-01 00:00:00", uid,
+                 "purchase" if conv else "click", 1.0, None)
+            )
+            eid += 1
+        _write_events(tmp_path, rows)
+        name = "cochran_armitage_trend"
+        compare(spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name])
+        r = q.queries()[name](spark, str(tmp_path)).collect()[0]
+        assert r["n_users"] == 9 and r["n_converters"] == 5
+        assert r["z"] > 1.5
+
+    def test_cohens_d_known_groups(self, spark, tmp_path):
+        # arm 0 values ~N(0), arm 1 shifted by +2 with unit-ish spread
+        rows, eid = [], 0
+        for uid, v in [(0, 1.0), (2, 2.0), (4, 3.0), (1, 3.0), (3, 4.0),
+                       (5, 5.0)]:
+            rows.append((eid, "2024-01-01 00:00:00", uid, "t", v, None))
+            eid += 1
+        _write_events(tmp_path, rows)
+        name = "eval_cohens_d_by_arm"
+        compare(spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name])
+        r = q.queries()[name](spark, str(tmp_path)).collect()[0]
+        # both groups var 1.0 -> pooled sd 1.0 -> d = mean diff = 2.0
+        assert r["mean_diff"] == 2.0 and r["cohens_d"] == 2.0
+        assert abs(r["hedges_g"] - 2.0 * (1 - 3 / (4 * 6 - 9))) < 1e-9
+
+    def test_mann_kendall_query_parity_on_tiny_events(self, spark, tmp_path):
+        rows = []
+        eid = 0
+        for h in range(6):
+            for _ in range(h + 1):  # strictly increasing hourly counts
+                rows.append(
+                    (eid, f"2024-01-01 {h:02d}:00:00", eid, "t", 1.0, None)
+                )
+                eid += 1
+        _write_events(tmp_path, rows)
+        name = "mann_kendall_hourly_by_type"
+        compare(spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name])
+        r = q.queries()[name](spark, str(tmp_path)).collect()[0]
+        assert r["s_stat"] == 15 and r["z"] > 0
+
+    def test_wilcoxon_query_parity_on_tiny_events(self, spark, tmp_path):
+        rows = []
+        for uid in range(6):
+            # even event id (kept +) carries a bigger value than odd
+            rows.append((uid * 2, "2024-01-01 00:00:00", uid, "t",
+                         float(uid + 2), None))
+            rows.append((uid * 2 + 1, "2024-01-01 00:00:00", uid, "t",
+                         1.0, None))
+        _write_events(tmp_path, rows)
+        name = "wilcoxon_signed_rank_halves"
+        compare(spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name])
+        r = q.queries()[name](spark, str(tmp_path)).collect()[0]
+        assert r["n_pairs"] == 6 and r["z"] > 0
+
+
+class TestRound8SequentialFolds:
+    def test_page_hinkley_detects_level_shift(self, spark):
+        from eventstreamml_spark.operators.windows import page_hinkley_by_key
+
+        # 20 quiet periods then 10 at +100: PH must alarm
+        rows = [("k", i, 1.0) for i in range(20)] + [
+            ("k", 20 + i, 101.0) for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, "key string, h long, y double")
+        r = page_hinkley_by_key(df, "key", "h", "y", lam=50.0).collect()[0]
+        assert r["alarm"] == 1 and r["ph_stat"] > 50
+
+    def test_page_hinkley_flat_series_no_alarm(self, spark):
+        from eventstreamml_spark.operators.windows import page_hinkley_by_key
+
+        df = spark.createDataFrame(
+            [("k", i, 5.0) for i in range(30)], "key string, h long, y double"
+        )
+        r = page_hinkley_by_key(df, "key", "h", "y").collect()[0]
+        # constant series: every term is -delta, m decreasing, PH = 0
+        assert r["alarm"] == 0 and r["ph_stat"] == 0.0
+
+    def test_croston_hand_computed(self, spark):
+        from eventstreamml_spark.operators.windows import croston_by_key
+
+        # demands 4 at t=0 (init: z=4, p=1) and 6 at t=3 (gap q'=3):
+        # z = .5*6+.5*4 = 5, p = .5*3+.5*1 = 2 -> rate 2.5
+        rows = [("k", 0, 4.0), ("k", 1, 0.0), ("k", 2, 0.0), ("k", 3, 6.0)]
+        df = spark.createDataFrame(rows, "key string, h long, y double")
+        r = croston_by_key(df, "key", "h", "y").collect()[0]
+        assert r["n_demands"] == 2
+        assert r["demand_size"] == 5.0
+        assert r["demand_interval"] == 2.0
+        assert r["forecast_rate"] == 2.5
+
+    def test_croston_all_zero_series_null_state(self, spark):
+        from eventstreamml_spark.operators.windows import croston_by_key
+
+        df = spark.createDataFrame(
+            [("k", i, 0.0) for i in range(5)], "key string, h long, y double"
+        )
+        r = croston_by_key(df, "key", "h", "y").collect()[0]
+        assert r["n_demands"] == 0
+        assert r["demand_size"] is None and r["forecast_rate"] is None
+
+    def test_fold_queries_parity_on_tiny_events(self, spark, tmp_path):
+        rows, eid = [], 0
+        for h in range(8):
+            n = 1 if h < 6 else 40  # drift at the end
+            for j in range(n):
+                rows.append(
+                    (eid, f"2024-01-01 {h:02d}:00:{j % 60:02d}", eid % 16,
+                     "purchase" if eid % 3 == 0 else "click", 1.0, None)
+                )
+                eid += 1
+        _write_events(tmp_path, rows)
+        for name in ("page_hinkley_hourly_drift", "croston_purchase_demand"):
+            compare(
+                spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name]
+            )
