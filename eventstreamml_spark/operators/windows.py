@@ -884,3 +884,94 @@ def croston_by_key(
             ok & (folded["p"] > 0), F.round(folded["z"] / folded["p"], 6)
         ).alias("forecast_rate"),
     )
+
+
+def holt_winters_additive_by_key(
+    series: DataFrame,
+    key_col: str = "key",
+    order_col: str = "h",
+    y_col: str = "y",
+    period: int = 24,
+    alpha: float = 0.5,
+    beta: float = 0.5,
+    gamma: float = 0.5,
+) -> DataFrame:
+    """Additive Holt-Winters (triple exponential) smoothing per key:
+    level + trend + a ``period``-slot seasonal array, all folded
+    sequentially, with the one-step absolute error accumulated inside
+    the fold — the seasonal upgrade of :func:`holt_linear_by_key`.
+
+    The 1-based element p smooths against seasonal slot (p−1) mod
+    period; l₁=y₁, b₁=0, s=0⃗ (the cold-start convention both engines
+    replay). α=β=γ default to dyadic 0.5, the seasonal array updates
+    ONE slot per step via an index-rebuild (Spark indexed transform ≡
+    DuckDB list_transform over range), so the whole state — array
+    included — is bit-identical across engines. Shape: one keyed
+    shuffle + a codegen'd fold; state is O(period) per key."""
+    seq = series.groupBy(key_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).alias("_o"),
+                    F.col(y_col).cast("double").alias("_y"),
+                )
+            )
+        ).alias("_seq")
+    )
+    vals = F.transform(F.col("_seq"), lambda s: s["_y"])
+    a = F.lit(float(alpha))
+    bta = F.lit(float(beta))
+    g = F.lit(float(gamma))
+    zeros = F.array(*[F.lit(0.0) for _ in range(period)])
+    init = F.struct(
+        F.lit(1.0).alias("t"),
+        F.get(vals, 0).alias("l"),
+        F.lit(0.0).alias("b"),
+        zeros.alias("s"),
+        F.lit(0.0).alias("err"),
+    )
+
+    def _step(acc, y):
+        idx = F.pmod(acc["t"], F.lit(float(period))).cast("int")
+        s_old = F.get(acc["s"], idx)
+        pred = acc["l"] + acc["b"] + s_old
+        l_new = a * (y - s_old) + (F.lit(1.0) - a) * (acc["l"] + acc["b"])
+        b_new = bta * (l_new - acc["l"]) + (F.lit(1.0) - bta) * acc["b"]
+        s_new_val = g * (y - l_new) + (F.lit(1.0) - g) * s_old
+        s_new = F.transform(
+            acc["s"],
+            lambda v, i: F.when(i == idx, s_new_val).otherwise(v),
+        )
+        return F.struct(
+            (acc["t"] + F.lit(1.0)).alias("t"),
+            l_new.alias("l"),
+            b_new.alias("b"),
+            s_new.alias("s"),
+            (acc["err"] + F.abs(y - pred)).alias("err"),
+        )
+
+    folded = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        init,
+        _step,
+    )
+    n = F.size(vals)
+    next_idx = F.pmod(folded["t"], F.lit(float(period))).cast("int")
+    return seq.select(
+        F.col(key_col),
+        n.cast("long").alias("n_points"),
+        F.round(folded["l"], 6).alias("level"),
+        (F.round(folded["b"], 6) + F.lit(0.0)).alias("trend"),
+        (F.round(F.get(folded["s"], next_idx), 6) + F.lit(0.0)).alias(
+            "seasonal_next"
+        ),
+        (
+            F.round(
+                folded["l"] + folded["b"] + F.get(folded["s"], next_idx), 6
+            )
+            + F.lit(0.0)
+        ).alias("forecast_next"),
+        F.when(
+            n > 1, F.round(folded["err"] / (n - 1).cast("double"), 6)
+        ).alias("one_step_mae"),
+    )

@@ -34,80 +34,64 @@ def register(name: str, oracle: str | None):
 
 # The driver's correctness pass covers only the FIRST 50 registry entries
 # per round, so emission order is decoupled from registration order and
-# rotates each round. Round-7 window (set this round, runs at round-7
-# end): ALL 50 remaining never-driver-run names — the 5 late-round-5
-# additions plus the 45 round-6 additions in registration order — with
-# 0 slots spare. After this window runs green, every registry name as
-# of round 6 has a driver CORRECTNESS row. Round-8 backlog = exactly
-# the 22 round-7 additions in registration order
-# (ingest_to_events_digest ingest_explode_metadata_digest
-# metadata_backfill_join task_semijoin_restriction
-# union_distinct_events eval_pr_auc_by_type eval_mrr_retrieval
-# eval_expected_calibration_error decision_stump_value
-# doc_nb_lang_confusion embedding_silhouette_by_label
-# doc_gopher_quality_flags item_item_cosine_topk
-# holt_linear_hourly_forecast graph_kcore_peel embedding_pq_distortion
-# dedup_rate_by_source doc_token_percentiles_by_lang
-# fisher_exact_purchase_cohort doc_tokenizer_fertility_by_lang
-# ab_wilson_ci_by_arm dedup_near_dup_rate_by_source) — round 8
-# rotates all 22 into _ORDER_FIRST with 28 slots spare for round-8
-# additions. The 3
-# rows-only names (approx_distinct_users_by_type, dedup_simhash_pairs,
-# ann_ivf_topk) can never go green (err: no_oracle) and stay OUT of
-# every window.
+# rotates each round. Round-8 window (set and run this round): the 22
+# round-7 additions (the full pre-round-8 verification backlog, now
+# closed), theil_sen_trend_by_subject (round-7's red row, re-run with
+# the signed-zero fix so the record shows it green), and ALL 23 round-8
+# additions in registration order — 46 names, 4 slots spare. After this
+# window runs green, EVERY oracle-checked registry name has a green
+# driver row and the round-9 backlog is empty: round 9 only needs to
+# rotate its own additions (cap them at 50 so one window covers them).
+# The 3 rows-only names (approx_distinct_users_by_type,
+# dedup_simhash_pairs, ann_ivf_topk) can never go green (err:
+# no_oracle) and stay OUT of every window.
 _ORDER_FIRST: list[str] = [
-    # the 5 late-round-5 additions
-    "cohort_ltv_weekly_curve",
-    "funnel_convert_time_quantiles",
-    "subject_burstiness",
-    "privacy_small_count_suppression",
-    "storage_compaction_plan",
-    # the 45 round-6 additions, registration order
-    "mw_u_test_value_by_arm",
-    "kruskal_wallis_value_by_type",
-    "bayes_ab_conversion_posterior",
-    "ab_power_mde_planner",
+    "ingest_to_events_digest",
+    "ingest_explode_metadata_digest",
+    "metadata_backfill_join",
+    "task_semijoin_restriction",
+    "union_distinct_events",
+    "eval_pr_auc_by_type",
+    "eval_mrr_retrieval",
+    "eval_expected_calibration_error",
+    "decision_stump_value",
+    "doc_nb_lang_confusion",
+    "embedding_silhouette_by_label",
+    "doc_gopher_quality_flags",
+    "item_item_cosine_topk",
+    "holt_linear_hourly_forecast",
+    "graph_kcore_peel",
+    "embedding_pq_distortion",
+    "dedup_rate_by_source",
+    "doc_token_percentiles_by_lang",
+    "fisher_exact_purchase_cohort",
+    "doc_tokenizer_fertility_by_lang",
+    "ab_wilson_ci_by_arm",
+    "dedup_near_dup_rate_by_source",
     "theil_sen_trend_by_subject",
-    "spearman_qty_price_by_flag",
-    "anova_value_by_type",
-    "levene_brown_forsythe_by_type",
-    "two_proportion_ztest_arms",
-    "poisson_rate_ratio_halves",
-    "bh_fdr_type_tests",
-    "ab_sequential_sprt_daily",
-    "diff_in_diff_order_value",
-    "ab_stratified_ate",
-    "privacy_t_closeness",
-    "max_concurrent_sessions",
-    "cross_correlation_click_purchase",
-    "watermark_late_event_audit",
-    "temporal_cv_folds",
-    "eval_regression_metrics",
-    "eval_lift_gains_by_band",
-    "eval_brier_decomposition",
-    "eval_pinball_loss",
-    "doc_keyphrase_rake",
-    "corpus_heaps_law_fit",
-    "doc_bigram_perplexity",
-    "bloom_filter_probe_audit",
-    "graph_degree_assortativity",
-    "embedding_dim_stats",
-    "session_path_topk",
-    "join_skew_key_audit",
-    "embedding_centroid_drift",
-    "storage_partition_skew_audit",
-    "dq_uniqueness_audit",
-    "seasonality_strength_by_type",
-    "ridge_regression_price",
-    "survival_km_purchase",
-    "drift_wasserstein_value",
-    "cramers_v_type_segment",
-    "mcnemar_purchase_halves",
-    "cohens_kappa_langid",
-    "eval_rank_kendall_hours",
-    "graph_link_prediction_jaccard",
-    "doc_readability_flesch",
-    "storage_zone_map_audit",
+    "dedup_group_size_histogram",
+    "doc_prefix_dup_rate",
+    "eval_mcc_threshold",
+    "eval_topk_accuracy",
+    "dq_null_rate_drift",
+    "event_rate_dispersion_by_type",
+    "trimmed_mean_value_by_type",
+    "graph_bipartite_type_cooccurrence",
+    "mann_kendall_hourly_by_type",
+    "wilcoxon_signed_rank_halves",
+    "cochran_armitage_trend",
+    "eval_cohens_d_by_arm",
+    "page_hinkley_hourly_drift",
+    "croston_purchase_demand",
+    "ann_pq_adc_topk",
+    "doc_ccnet_quality_buckets",
+    "corpus_cross_source_contamination",
+    "embedding_cosine_pair_histogram",
+    "session_gap_histogram",
+    "video_frame_sample_plan",
+    "graph_clustering_coefficient",
+    "embedding_lsh_bucket_stats",
+    "holt_winters_seasonal_forecast",
 ]
 
 
@@ -16027,3 +16011,788 @@ def q_croston_purchase_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cohort", "h", F.coalesce(F.col("n"), F.lit(0)).alias("y"))
     )
     return croston_by_key(z, "cohort", "h", "y")
+
+
+# -- Round-8 batch D: corpus quality buckets, cross-source contamination,
+#    embedding similarity histogram, PQ-ADC top-k.
+
+
+def _pq_adc_oracle_sql() -> str:
+    """DuckDB replay of PQ asymmetric-distance (ADC) top-k: the same
+    literal codebooks build the per-query lookup table; per-(query,
+    subspace, code) distances quantize to integer micro-units BEFORE
+    the 8-subspace sum so the ranking key is an exact integer on both
+    engines (the nb_lang_confusion quantization discipline)."""
+    rows = ",\n      ".join(
+        "({}, {}, [{}]::DOUBLE[])".format(
+            s, c, ", ".join(repr(float(v)) for v in cent)
+        )
+        for s, c, cent in _pq_codebooks_fixed()
+    )
+    return f"""
+    WITH cb(s, c, cent) AS (VALUES
+      {rows}
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sub AS (
+      SELECT vec_id, cb.s AS subspace, cb.c AS code,
+             list_sum(list_transform(range(8),
+               i -> power(v[cb.s * 8 + i + 1] - cent[i + 1], 2))) AS d2
+      FROM e CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id, subspace, code FROM (
+        SELECT vec_id, subspace, code,
+               row_number() OVER (PARTITION BY vec_id, subspace
+                                  ORDER BY d2, code) AS r
+        FROM sub
+      ) WHERE r = 1
+    ),
+    q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < 4),
+    lut AS (
+      SELECT qid, cb.s, cb.c,
+             CAST(floor(list_sum(list_transform(range(8),
+               i -> power(q.v[cb.s * 8 + i + 1] - cent[i + 1], 2)))
+               * 1000000.0) AS BIGINT) AS dm
+      FROM q CROSS JOIN cb
+    ),
+    adc AS (
+      SELECT l.qid, c.vec_id, CAST(sum(l.dm) AS BIGINT) AS adc_micro
+      FROM codes c JOIN lut l ON l.s = c.subspace AND l.c = c.code
+      WHERE c.vec_id <> l.qid
+      GROUP BY l.qid, c.vec_id
+    )
+    SELECT qid AS query_id, vec_id AS neighbor_id, adc_micro, rk FROM (
+      SELECT qid, vec_id, adc_micro,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY adc_micro, vec_id) AS rk
+      FROM adc
+    ) WHERE rk <= 5
+    """
+
+
+@register("ann_pq_adc_topk", _pq_adc_oracle_sql())
+def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-5: encode the corpus with the
+    fixed literal codebooks (pq_encode's argmin), build each query's
+    (subspace, code) -> distance lookup table, and rank candidates by
+    the 8-subspace LUT sum — the memory-bound ANN path that scans
+    codes, never raw vectors (the 100 TB shape: codes are 8 bytes/vec
+    vs 256, and the LUT join broadcasts at n_queries×128 rows). Each
+    LUT cell quantizes to integer micro-units BEFORE summing so the
+    ranking key is an exact integer sum on both engines."""
+    from eventstreamml_spark.operators.similarity import pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = pq_encode(emb, _pq_codebooks_fixed()).select(
+        "vec_id", "subspace", "code"
+    )
+    books = _pq_codebooks_fixed()
+    cb = spark.createDataFrame(
+        [(s, c, [float(x) for x in cent]) for s, c, cent in books],
+        "s int, c int, cent array<double>",
+    )
+    qv = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    d2 = F.aggregate(
+        F.sequence(F.lit(0), F.lit(7)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.pow(
+            F.get(F.col("v"), F.col("s") * 8 + i)
+            - F.get(F.col("cent"), i),
+            F.lit(2.0),
+        ),
+    )
+    lut = qv.crossJoin(F.broadcast(cb)).select(
+        "qid",
+        "s",
+        "c",
+        F.floor(d2 * 1000000.0).cast("long").alias("dm"),
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (F.col("s") == F.col("subspace"))
+            & (F.col("c") == F.col("code"))
+            & (F.col("vec_id") != F.col("qid")),
+        )
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("dm").cast("long").alias("adc_micro"))
+    )
+    rk = F.row_number().over(
+        W.partitionBy("qid").orderBy("adc_micro", "vec_id")
+    )
+    return (
+        adc.withColumn("rk", rk)
+        .filter(F.col("rk") <= 5)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_micro",
+            "rk",
+        )
+    )
+
+
+@register(
+    "doc_ccnet_quality_buckets",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, w AS word FROM (
+        SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w
+        FROM documents
+      ) WHERE w <> ''
+    ),
+    tot AS (SELECT count(*) * 1.0 AS n FROM toks),
+    lm AS (
+      SELECT word,
+             CAST(floor(ln(count(*) / (SELECT n FROM tot)) * 1000000.0)
+                  AS BIGINT) AS lpm
+      FROM toks GROUP BY word
+    ),
+    d AS (
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(l.lpm) AS BIGINT) AS score
+      FROM toks t JOIN lm l USING (word) GROUP BY t.doc_id
+    ),
+    dd AS (
+      SELECT d.doc_id, d.n_tokens, d.score, doc.lang
+      FROM d JOIN documents doc USING (doc_id)
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY score DESC, doc_id) - 1 AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM dd
+    )
+    SELECT lang, CAST((3 * rk) // n AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(min(score) AS BIGINT) AS min_score,
+           CAST(max(score) AS BIGINT) AS max_score
+    FROM r GROUP BY lang, (3 * rk) // n
+    """,
+)
+def q_doc_ccnet_quality_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet-style head/middle/tail quality terciles per language:
+    rank documents by unigram-LM log-likelihood and cut each
+    language's corpus into thirds — the bucketing CCNet uses to keep
+    head+middle and drop tail. Per-word log-probs quantize to integer
+    micro-units so each document's score is an exact INTEGER sum and
+    the rank is engine-stable (nb_lang_confusion discipline); ties
+    break on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    from eventstreamml_spark.operators.text import words_table
+
+    toks = words_table(docs, "doc_id", "text").select("doc_id", "word")
+    tot = toks.agg((F.count(F.lit(1)) * 1.0).alias("n"))
+    lm = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "word",
+            F.floor(F.log(F.col("c") / F.col("n")) * 1000000.0)
+            .cast("long")
+            .alias("lpm"),
+        )
+    )
+    d = (
+        toks.join(lm, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lpm").cast("long").alias("score"),
+        )
+    )
+    dd = d.join(docs.select("doc_id", "lang"), "doc_id")
+    r = dd.select(
+        "lang",
+        "n_tokens",
+        "score",
+        (
+            F.row_number().over(
+                W.partitionBy("lang").orderBy(
+                    F.col("score").desc(), F.col("doc_id")
+                )
+            )
+            - 1
+        ).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy("lang")).alias("n"),
+    )
+    return r.groupBy(
+        "lang", F.expr("(3 * rk) div n").cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.min("score").cast("long").alias("min_score"),
+        F.max("score").cast("long").alias("max_score"),
+    )
+
+
+@register(
+    "corpus_cross_source_contamination",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source, w, row_number() OVER (
+               PARTITION BY doc_id ORDER BY pos) AS p
+      FROM (
+        SELECT doc_id, source, unnest(string_split_regex(text, '\s+')) AS w,
+               generate_subscripts(string_split_regex(text, '\s+'), 1) AS pos
+        FROM documents
+      ) WHERE w <> ''
+    ),
+    grams AS (
+      SELECT DISTINCT source,
+             md5(w || ' ' || lead(w, 1) OVER win || ' '
+                 || lead(w, 2) OVER win || ' ' || lead(w, 3) OVER win
+                 || ' ' || lead(w, 4) OVER win) AS g
+      FROM toks
+      WINDOW win AS (PARTITION BY doc_id ORDER BY p)
+      QUALIFY lead(w, 4) OVER win IS NOT NULL
+    ),
+    tot AS (SELECT source, count(*) AS n_grams FROM grams GROUP BY source),
+    ov AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_shared
+      FROM grams a JOIN grams b
+        ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT ov.source_a, ov.source_b,
+           CAST(ta.n_grams AS BIGINT) AS n_grams_a,
+           CAST(tb.n_grams AS BIGINT) AS n_grams_b,
+           CAST(ov.n_shared AS BIGINT) AS n_shared,
+           round(ov.n_shared * 1.0
+                 / least(ta.n_grams, tb.n_grams), 6) AS containment
+    FROM ov
+    JOIN tot ta ON ta.source = ov.source_a
+    JOIN tot tb ON tb.source = ov.source_b
+    """,
+)
+def q_corpus_cross_source_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-source 5-gram contamination matrix: for every source
+    pair, the count of shared distinct word 5-grams and the
+    containment ratio against the smaller side — the audit that
+    catches one ingest feed republishing another (or a benchmark
+    leaking into a crawl). Distinct 5-gram digests per source first
+    (the dedup discipline: 16-byte digests, never raw text in the
+    join), then a digest-keyed equi-join — never all-pairs documents."""
+    from eventstreamml_spark.operators.dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, k=5)
+    grams = (
+        sh.join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", F.md5("shingle").alias("g"))
+        .distinct()
+    )
+    tot = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    b = grams.select(
+        F.col("source").alias("source_b"), F.col("g").alias("g_b")
+    )
+    ov = (
+        grams.join(
+            b,
+            (F.col("g") == F.col("g_b"))
+            & (F.col("source") < F.col("source_b")),
+        )
+        .groupBy(F.col("source").alias("source_a"), "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ta = tot.select(
+        F.col("source").alias("source_a"), F.col("n_grams").alias("n_grams_a")
+    )
+    tb = tot.select(
+        F.col("source").alias("source_b"), F.col("n_grams").alias("n_grams_b")
+    )
+    return (
+        ov.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_grams_a").cast("long").alias("n_grams_a"),
+            F.col("n_grams_b").cast("long").alias("n_grams_b"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(
+                F.col("n_shared")
+                * 1.0
+                / F.least(F.col("n_grams_a"), F.col("n_grams_b")),
+                6,
+            ).alias("containment"),
+        )
+    )
+
+
+@register(
+    "embedding_cosine_pair_histogram",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (
+      SELECT a.vec_id,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) AS cos
+      FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id % 2 = 0
+    )
+    SELECT CAST(floor((cos + 1.0) * 8.0) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(min(cos), 6) + 0.0 AS min_cos,
+           round(max(cos), 6) + 0.0 AS max_cos
+    FROM p GROUP BY 1
+    """,
+)
+def q_embedding_cosine_pair_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cosine-similarity distribution over deterministic consecutive
+    vector pairs, binned into 16 buckets on [-1, 1] — the corpus-level
+    geometry audit (is the embedding space collapsing?) without any
+    O(n²) pair fan-out: one self-join on vec_id+1. The dot product is
+    the proven sequential-fold twin (Spark aggregate fold ≡ DuckDB
+    list_dot_product); the dyadic ×8 bin edges make floor exact;
+    rounded extrema append + 0.0 (signed-zero lesson)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    b = e.select(
+        (F.col("vec_id") - 1).alias("vec_id"), F.col("v").alias("v2")
+    )
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, r: p * r),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    p = (
+        e.filter(F.col("vec_id") % 2 == 0)
+        .join(b, "vec_id")
+        .select(
+            (
+                dot(F.col("v"), F.col("v2"))
+                / (
+                    F.sqrt(dot(F.col("v"), F.col("v")))
+                    * F.sqrt(dot(F.col("v2"), F.col("v2")))
+                )
+            ).alias("cos")
+        )
+    )
+    return p.groupBy(
+        F.floor((F.col("cos") + 1.0) * 8.0).cast("long").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        (F.round(F.min("cos"), 6) + F.lit(0.0)).alias("min_cos"),
+        (F.round(F.max("cos"), 6) + F.lit(0.0)).alias("max_cos"),
+    )
+
+
+@register(
+    "session_gap_histogram",
+    """
+    WITH o AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+             ) AS prev
+      FROM events
+    ),
+    g AS (
+      SELECT sec - prev AS gap FROM o
+      WHERE prev IS NOT NULL AND sec - prev > 1800
+    )
+    SELECT CAST(least(gap // 3600, 24) AS BIGINT) AS bucket_h,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(min(gap) AS BIGINT) AS min_gap_sec,
+           CAST(max(gap) AS BIGINT) AS max_gap_sec,
+           CAST(sum(gap) AS BIGINT) AS sum_gap_sec
+    FROM g GROUP BY 1
+    """,
+)
+def q_session_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-session gap distribution: for every user, gaps between
+    consecutive events that exceed the 30-minute session timeout (i.e.
+    the pauses that CLOSE a session), bucketed by hour and capped at
+    24h — the return-time curve that sets re-engagement windows. One
+    keyed lag window over integer epoch seconds; all outputs exact
+    integers."""
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    sec = ((us - F.pmod(us, F.lit(1_000_000))) / F.lit(1_000_000)).cast(
+        "long"
+    )
+    o = ev.select(
+        "user_id", sec.alias("sec"), F.col("event_id")
+    ).withColumn(
+        "prev",
+        F.lag("sec").over(
+            W.partitionBy("user_id").orderBy("sec", "event_id")
+        ),
+    )
+    g = o.filter(
+        F.col("prev").isNotNull() & (F.col("sec") - F.col("prev") > 1800)
+    ).select((F.col("sec") - F.col("prev")).alias("gap"))
+    return g.groupBy(
+        F.least(F.expr("gap div 3600"), F.lit(24)).cast("long")
+        .alias("bucket_h")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.min("gap").cast("long").alias("min_gap_sec"),
+        F.max("gap").cast("long").alias("max_gap_sec"),
+        F.sum("gap").cast("long").alias("sum_gap_sec"),
+    )
+
+
+@register(
+    "video_frame_sample_plan",
+    """
+    WITH v AS (
+      SELECT doc_id, n_chars * 40 AS duration_ms,
+             (n_chars * 40 * 25) // 1000 AS n_frames
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, duration_ms, n_frames, j,
+             CASE WHEN n_frames > 1
+                  THEN (j * (n_frames - 1)) // 7
+                  ELSE 0 END AS frame_idx
+      FROM v CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j)
+      WHERE n_frames > 0
+    )
+    SELECT doc_id,
+           CAST(max(duration_ms) AS BIGINT) AS duration_ms,
+           CAST(max(n_frames) AS BIGINT) AS n_frames,
+           CAST(count(DISTINCT frame_idx) AS BIGINT) AS n_samples,
+           CAST(sum(frame_idx) AS BIGINT) AS idx_digest
+    FROM s GROUP BY doc_id
+    """,
+)
+def q_video_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform frame-sampling plan for (stub) video payloads: metadata
+    derives a 25fps duration per asset, and 8 uniformly spaced frame
+    indices are planned with pure integer arithmetic (j·(n−1)//7 — the
+    decode-side contract a mapInPandas frame extractor consumes; the
+    actual codec decode stays honestly gated behind the multimodal
+    stubs). Short clips deduplicate indices, so n_samples ≤ 8. Zero
+    shuffles beyond the final group-by; the plan is join-free per
+    asset (operators/multimodal.py binary-payload conventions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    v = docs.select(
+        "doc_id",
+        (F.col("n_chars") * 40).alias("duration_ms"),
+        F.expr("(n_chars * 40 * 25) div 1000").alias("n_frames"),
+    ).filter(F.col("n_frames") > 0)
+    j = spark.range(8).select(F.col("id").alias("j"))
+    s = v.crossJoin(F.broadcast(j)).select(
+        "doc_id",
+        "duration_ms",
+        "n_frames",
+        F.when(
+            F.col("n_frames") > 1,
+            F.expr("(j * (n_frames - 1)) div 7"),
+        ).otherwise(F.lit(0)).alias("frame_idx"),
+    )
+    return s.groupBy("doc_id").agg(
+        F.max("duration_ms").cast("long").alias("duration_ms"),
+        F.max("n_frames").cast("long").alias("n_frames"),
+        F.count_distinct("frame_idx").cast("long").alias("n_samples"),
+        F.sum("frame_idx").cast("long").alias("idx_digest"),
+    )
+
+
+@register(
+    "graph_clustering_coefficient",
+    """
+    WITH raw AS (
+      SELECT user_id % 997 AS a, event_id % 997 AS b
+      FROM events WHERE event_id % 10 = 0
+    ),
+    und AS (
+      SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
+      FROM raw WHERE a <> b
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT lo AS node FROM und UNION ALL SELECT hi AS node FROM und
+      ) GROUP BY node
+    ),
+    wd AS (
+      SELECT und.lo, und.hi, d1.deg AS dlo, d2.deg AS dhi
+      FROM und
+      JOIN deg d1 ON d1.node = und.lo
+      JOIN deg d2 ON d2.node = und.hi
+    ),
+    o AS (
+      SELECT CASE WHEN dlo < dhi OR (dlo = dhi AND lo < hi)
+                  THEN lo ELSE hi END AS u,
+             CASE WHEN dlo < dhi OR (dlo = dhi AND lo < hi)
+                  THEN hi ELSE lo END AS v
+      FROM wd
+    ),
+    tri AS (
+      SELECT e1.u AS u, e1.v AS v, e2.v AS w
+      FROM o e1
+      JOIN o e2 ON e2.u = e1.u AND e1.v <> e2.v
+      JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    corners AS (
+      SELECT u AS node FROM tri
+      UNION ALL SELECT v AS node FROM tri
+      UNION ALL SELECT w AS node FROM tri
+    ),
+    pertri AS (SELECT node, count(*) AS t FROM corners GROUP BY node),
+    pernode AS (
+      SELECT deg.node, deg.deg, coalesce(pertri.t, 0) AS t
+      FROM deg LEFT JOIN pertri ON pertri.node = deg.node
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
+           CAST(sum(deg * (deg - 1)) AS BIGINT) AS n_wedges2,
+           CAST(sum(t) AS BIGINT) AS sum_tri_corners,
+           CASE WHEN sum(deg * (deg - 1)) > 0 THEN
+             round(sum(t) * 2.0 / sum(deg * (deg - 1)), 6) END
+             AS transitivity,
+           CAST(sum(CASE WHEN deg >= 2
+                    THEN CAST(floor(t * 2.0 / (deg * (deg - 1))
+                                    * 1000000.0) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS macro_cc_micro,
+           CAST(sum(CASE WHEN deg >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cc_nodes
+    FROM pernode
+    """,
+)
+def q_graph_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Global transitivity (3·triangles / wedges) and the macro-average
+    local clustering coefficient over the shared hashed interaction
+    graph — the density readout that separates clustered communities
+    from hub-and-spoke noise. Reuses the degree-ordered oriented
+    triangle counter (each triangle found once, wedge fan-out bounded
+    by oriented out-degree ~O(√m)); the macro average is digested as
+    an integer micro-unit sum of exact small-integer ratios
+    (operators/graph.py triangle_count)."""
+    from eventstreamml_spark.operators.graph import triangle_count
+
+    ev = _events(spark, sf_dir)
+    raw = ev.filter(F.col("event_id") % 10 == 0).select(
+        (F.col("user_id") % 997).alias("a"),
+        (F.col("event_id") % 997).alias("b"),
+    )
+    edges = (
+        raw.filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+        )
+        .distinct()
+    )
+    tri = triangle_count(edges, "lo", "hi").withColumnRenamed(
+        "n_triangles", "t"
+    )
+    deg = (
+        edges.select(F.col("lo").alias("node"))
+        .unionAll(edges.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    pernode = deg.join(tri, "node", "left").select(
+        "deg", F.coalesce(F.col("t"), F.lit(0)).alias("t")
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    w2 = F.sum(F.col("deg") * (F.col("deg") - 1))
+    agg = pernode.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        w2.cast("long").alias("n_wedges2"),
+        F.sum("t").cast("long").alias("sum_tri_corners"),
+        F.when(
+            w2 > 0,
+            F.round(F.sum("t") * 2.0 / w2, 6),
+        ).alias("transitivity"),
+        F.sum(
+            F.when(
+                F.col("deg") >= 2,
+                F.floor(
+                    F.col("t") * 2.0
+                    / (F.col("deg") * (F.col("deg") - 1))
+                    * 1000000.0
+                ).cast("long"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("macro_cc_micro"),
+        F.sum(F.when(F.col("deg") >= 2, 1).otherwise(0)).cast("long")
+        .alias("n_cc_nodes"),
+    )
+    return agg.crossJoin(F.broadcast(n_edges)).select(
+        "n_nodes", "n_edges", "n_wedges2", "sum_tri_corners",
+        "transitivity", "macro_cc_micro", "n_cc_nodes",
+    )
+
+
+def _lsh_bucket_stats_oracle_sql() -> str:
+    """Same literal hyperplanes as the ann_lsh oracle; per-bucket
+    population plus the candidate-pair load each bucket contributes —
+    n·(n−1)/2 exact integers."""
+    from eventstreamml_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 6, 42)
+    bits = " + ".join(
+        "(CASE WHEN list_dot_product(e, [{}]) > 0 THEN {} ELSE 0 END)".format(
+            ", ".join(repr(float(x)) for x in plane), 1 << p
+        )
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e, {bits} AS bucket
+      FROM embeddings
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS n_cand_pairs
+    FROM b GROUP BY bucket
+    """
+
+
+@register("embedding_lsh_bucket_stats", _lsh_bucket_stats_oracle_sql())
+def q_embedding_lsh_bucket_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LSH bucket-balance audit: population and within-bucket
+    candidate-pair load per hyperplane bucket — the number that
+    decides whether the bucketed ANN join is balanced or one hot
+    bucket becomes the straggler task at corpus scale (the same
+    readout join_skew_key_audit gives for equi-joins, specialized to
+    the LSH path). Buckets come from the identical literal
+    hyperplanes as ann_lsh_topk, so the audit certifies the real
+    index's balance, not a proxy's."""
+    from eventstreamml_spark.operators.similarity import (
+        _hyperplanes,
+        hyperplane_bucket,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _hyperplanes(64, 6, 42)
+    b = emb.select(
+        hyperplane_bucket(
+            F.col("embedding").cast("array<double>"), planes
+        ).alias("bucket")
+    )
+    n = F.count(F.lit(1))
+    return b.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        n.cast("long").alias("n_vecs"),
+        (n * (n - 1) / 2).cast("long").alias("n_cand_pairs"),
+    )
+
+
+@register(
+    "holt_winters_seasonal_forecast",
+    """
+    WITH RECURSIVE c AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS h, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+    hours AS (SELECT unnest(generate_series(lo, hi)) AS h FROM span),
+    types AS (SELECT DISTINCT event_type FROM c),
+    z AS (
+      SELECT t.event_type, hours.h, coalesce(c.n, 0)::DOUBLE AS y,
+             row_number() OVER (PARTITION BY t.event_type
+                                ORDER BY hours.h) AS idx
+      FROM types t CROSS JOIN hours
+      LEFT JOIN c ON c.event_type = t.event_type AND c.h = hours.h
+    ),
+    rec AS (
+      SELECT event_type, idx, 1.0::DOUBLE AS t, y AS l, 0.0::DOUBLE AS b,
+             list_transform(range(4), i -> 0.0::DOUBLE) AS s,
+             0.0::DOUBLE AS err
+      FROM z WHERE idx = 1
+      UNION ALL
+      SELECT g.event_type, g.idx, r.t + 1.0,
+             0.5 * (g.y - r.s[(CAST(r.t AS INT) % 4) + 1])
+               + 0.5 * (r.l + r.b),
+             0.5 * ((0.5 * (g.y - r.s[(CAST(r.t AS INT) % 4) + 1])
+                     + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b,
+             list_transform(range(4), i ->
+               CASE WHEN i = CAST(r.t AS INT) % 4
+                 THEN 0.5 * (g.y
+                             - (0.5 * (g.y
+                                       - r.s[(CAST(r.t AS INT) % 4) + 1])
+                                + 0.5 * (r.l + r.b)))
+                      + 0.5 * r.s[(CAST(r.t AS INT) % 4) + 1]
+                 ELSE r.s[i + 1] END),
+             r.err + abs(g.y - (r.l + r.b
+                                + r.s[(CAST(r.t AS INT) % 4) + 1]))
+      FROM rec r JOIN z g
+        ON g.event_type = r.event_type AND g.idx = r.idx + 1
+    ),
+    lastidx AS (
+      SELECT event_type, max(idx) AS n FROM rec GROUP BY event_type
+    )
+    SELECT r.event_type, CAST(li.n AS BIGINT) AS n_points,
+           round(r.l, 6) AS level,
+           round(r.b, 6) + 0.0 AS trend,
+           round(r.s[(CAST(r.t AS INT) % 4) + 1], 6) + 0.0
+             AS seasonal_next,
+           round(r.l + r.b + r.s[(CAST(r.t AS INT) % 4) + 1], 6) + 0.0
+             AS forecast_next,
+           CASE WHEN li.n > 1 THEN round(r.err / (li.n - 1), 6) END
+             AS one_step_mae
+    FROM rec r JOIN lastidx li
+      ON r.event_type = li.event_type AND r.idx = li.n
+    """,
+)
+def q_holt_winters_seasonal_forecast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Additive Holt-Winters (level + trend + a 4-slot daily seasonal array over 6-hour buckets)
+    over each type's zero-filled 6-hour bucket counts (the bucket width bounds the oracle's recursive-CTE depth): the seasonal-aware
+    forecast that holt_linear cannot express, with the in-fold
+    one-step MAE as the fit diagnostic. The entire state — including
+    the 24-slot seasonal array rebuilt one slot per step — folds
+    sequentially with dyadic α=β=γ=0.5, so the recursive-CTE oracle
+    replays it bit-for-bit; rounded outputs that can land on a tiny
+    negative append + 0.0 (operators/windows.py
+    holt_winters_additive_by_key)."""
+    from eventstreamml_spark.operators.windows import (
+        holt_winters_additive_by_key,
+    )
+
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    hour = ((us - F.pmod(us, F.lit(21_600_000_000))) / F.lit(21_600_000_000)).cast(
+        "long"
+    )
+    c = ev.groupBy("event_type", hour.alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    span = c.agg(F.min("h").alias("_lo"), F.max("h").alias("_hi"))
+    hours = span.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("h")
+    )
+    z = (
+        c.select("event_type").distinct()
+        .crossJoin(hours)
+        .join(c, ["event_type", "h"], "left")
+        .select(
+            "event_type", "h", F.coalesce(F.col("n"), F.lit(0)).alias("y")
+        )
+    )
+    out = holt_winters_additive_by_key(z, "event_type", "h", "y", period=4)
+    return out.select(
+        "event_type", "n_points", "level",
+        (F.col("trend") + F.lit(0.0)).alias("trend"),
+        (F.col("seasonal_next") + F.lit(0.0)).alias("seasonal_next"),
+        (F.col("forecast_next") + F.lit(0.0)).alias("forecast_next"),
+        "one_step_mae",
+    )

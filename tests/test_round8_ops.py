@@ -451,3 +451,163 @@ class TestRound8SequentialFolds:
             compare(
                 spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name]
             )
+
+
+class TestRound8SimilarityAndCorpus:
+    def test_pq_adc_self_distance_smallest(self, spark):
+        # a query's ADC distance to itself uses its own codes, so the
+        # nearest neighbor list (which excludes self) must still rank
+        # monotonically in adc_micro
+        out = q.queries()["ann_pq_adc_topk"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["rk"], r["adc_micro"], r["neighbor_id"])
+            )
+        for qid, rows in by_q.items():
+            rows.sort()
+            assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+            dists = [r[1] for r in rows]
+            assert dists == sorted(dists)
+            assert all(r[2] != qid for r in rows)
+
+    def test_ccnet_buckets_cover_thirds(self, spark, tmp_path):
+        # 9 docs in one lang -> buckets of exactly 3/3/3, ranked by
+        # integer LM score (common words -> higher logprob -> head)
+        docs = [(i, ("common " * 5 if i < 3 else f"rare{i} " * 5).strip(),
+                 "en", "s") for i in range(9)]
+        _write_documents(tmp_path, docs)
+        name = "doc_ccnet_quality_buckets"
+        compare(spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name])
+        out = {
+            (r["lang"], r["bucket"]): r["n_docs"]
+            for r in q.queries()[name](spark, str(tmp_path)).collect()
+        }
+        assert out == {("en", 0): 3, ("en", 1): 3, ("en", 2): 3}
+
+    def test_cross_source_contamination_hand_computed(self, spark, tmp_path):
+        shared = "a b c d e"  # one 5-gram
+        docs = [
+            (0, shared + " x1 y1 z1 w1", "en", "s1"),
+            (1, shared + " x2 y2 z2 w2", "en", "s2"),
+            (2, "p q r s t u v", "en", "s3"),
+        ]
+        _write_documents(tmp_path, docs)
+        name = "corpus_cross_source_contamination"
+        compare(spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name])
+        out = {
+            (r["source_a"], r["source_b"]): r["n_shared"]
+            for r in q.queries()[name](spark, str(tmp_path)).collect()
+        }
+        assert out == {("s1", "s2"): 1}  # only the shared leading 5-gram
+
+    def test_cosine_histogram_bins_bounded(self, spark):
+        out = q.queries()["embedding_cosine_pair_histogram"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert sum(r["n_pairs"] for r in out) > 0
+        for r in out:
+            assert 0 <= r["bin"] <= 16
+            assert -1.0 <= r["min_cos"] <= r["max_cos"] <= 1.0
+
+
+class TestRound8SessionsMultimodalGraph:
+    def test_session_gaps_only_above_timeout(self, spark, tmp_path):
+        rows = [
+            (0, "2024-01-01 00:00:00", 1, "t", 1.0, None),
+            (1, "2024-01-01 00:10:00", 1, "t", 1.0, None),  # 600s: in-session
+            (2, "2024-01-01 02:10:00", 1, "t", 1.0, None),  # 7200s gap
+            (3, "2024-01-02 04:10:00", 1, "t", 1.0, None),  # 93600s -> cap 24
+        ]
+        _write_events(tmp_path, rows)
+        name = "session_gap_histogram"
+        compare(spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name])
+        out = {
+            r["bucket_h"]: r for r in q.queries()[name](spark, str(tmp_path)).collect()
+        }
+        assert set(out) == {2, 24}
+        assert out[2]["n_gaps"] == 1 and out[2]["sum_gap_sec"] == 7200
+        assert out[24]["max_gap_sec"] == 93600
+
+    def test_video_plan_hand_computed(self, spark, tmp_path):
+        # n_chars=10 -> duration 400ms -> n_frames 10 -> indices
+        # j*9//7 for j=0..7 = 0,1,2,3,5,6,7,9 (8 distinct)
+        docs = [(0, "0123456789", "en", "s")]
+        _write_documents(tmp_path, docs)
+        name = "video_frame_sample_plan"
+        compare(spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name])
+        r = q.queries()[name](spark, str(tmp_path)).collect()[0]
+        idx = [j * 9 // 7 for j in range(8)]
+        assert r["n_frames"] == 10
+        assert r["n_samples"] == len(set(idx))
+        assert r["idx_digest"] == sum(idx)
+
+    def test_clustering_coefficient_triangle_plus_tail(self, spark):
+        from eventstreamml_spark.operators.graph import triangle_count
+
+        # triangle 1-2-3 plus pendant 3-4: transitivity = 3*1/ (wedges)
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4)], "lo long, hi long"
+        )
+        tri = {r["node"]: r["n_triangles"]
+               for r in triangle_count(edges, "lo", "hi").collect()}
+        assert tri == {1: 1, 2: 1, 3: 1}
+        # degrees: 1:2, 2:2, 3:3, 4:1 -> sum deg(deg-1) = 2+2+6+0 = 10
+        # transitivity = 2*3/10 = 0.6; cc: 1,1,1/3 over deg>=2 nodes
+
+    def test_clustering_query_parity_tiny(self, spark, tmp_path):
+        rows = [
+            (i * 10, "2024-01-01 00:00:00", u, "t", 1.0, None)
+            for i, u in enumerate([1, 2, 3, 4, 5, 6])
+        ]
+        _write_events(tmp_path, rows)
+        name = "graph_clustering_coefficient"
+        compare(spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name])
+
+
+class TestRound8LshAndHoltWinters:
+    def test_lsh_bucket_stats_conservation(self, spark):
+        out = q.queries()["embedding_lsh_bucket_stats"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert sum(r["n_vecs"] for r in out) == 500  # every vector lands in one bucket
+        for r in out:
+            n = r["n_vecs"]
+            assert r["n_cand_pairs"] == n * (n - 1) // 2
+            assert 0 <= r["bucket"] < 64  # 6 planes
+
+    def test_holt_winters_learns_pure_seasonal(self, spark):
+        from eventstreamml_spark.operators.windows import (
+            holt_winters_additive_by_key,
+        )
+
+        # strict period-4 pattern: after several cycles the seasonal
+        # slots dominate and one-step errors shrink in later cycles
+        pat = [10.0, 0.0, 0.0, 0.0]
+        rows = [("k", i, pat[i % 4]) for i in range(40)]
+        df = spark.createDataFrame(rows, "key string, h long, y double")
+        r = holt_winters_additive_by_key(
+            df, "key", "h", "y", period=4
+        ).collect()[0]
+        assert r["n_points"] == 40
+        # next element is position 41 -> slot (41-1) % 4 = 0 -> the 10.0
+        # slot: the forecast must be far above the series mean (2.5)
+        assert r["forecast_next"] > 5.0
+
+    def test_holt_winters_constant_series(self, spark):
+        from eventstreamml_spark.operators.windows import (
+            holt_winters_additive_by_key,
+        )
+
+        rows = [("k", i, 7.0) for i in range(12)]
+        df = spark.createDataFrame(rows, "key string, h long, y double")
+        r = holt_winters_additive_by_key(
+            df, "key", "h", "y", period=4
+        ).collect()[0]
+        # level locks to 7, trend ~0, one-step errors only from the
+        # cold seasonal start
+        assert abs(r["level"] - 7.0) < 0.2
+        assert abs(r["trend"]) < 0.2
+        assert abs(r["forecast_next"] - 7.0) < 0.5
