@@ -611,3 +611,72 @@ class TestRound8LshAndHoltWinters:
         assert abs(r["level"] - 7.0) < 0.2
         assert abs(r["trend"]) < 0.2
         assert abs(r["forecast_next"] - 7.0) < 0.5
+
+
+class TestRound8PlanShapes:
+    """Pin the documented shuffle/broadcast shapes of the round-8
+    operators — an added exchange or a join that degrades to
+    nested-loop is a scale bug even when results stay correct."""
+
+    def _plan(self, df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_pq_adc_lut_join_broadcasts(self, spark):
+        plan = self._plan(
+            q.queries()["ann_pq_adc_topk"](spark, "/root/testdata/sf0.001")
+        )
+        # the (query × subspace × code) LUT is tiny and must broadcast;
+        # the codes side streams
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_trimmed_mean_single_exchange(self, spark):
+        plan = self._plan(
+            q.queries()["trimmed_mean_value_by_type"](
+                spark, "/root/testdata/sf0.001"
+            )
+        )
+        # rank window, count window, and the groupBy all share the
+        # event_type hash partitioning
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_dispersion_span_broadcasts(self, spark):
+        plan = self._plan(
+            q.queries()["event_rate_dispersion_by_type"](
+                spark, "/root/testdata/sf0.001"
+            )
+        )
+        # the 1-row span relation joins via broadcast, never shuffles
+        # the per-type aggregate
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+    def test_bipartite_no_cartesian(self, spark):
+        plan = self._plan(
+            q.queries()["graph_bipartite_type_cooccurrence"](
+                spark, "/root/testdata/sf0.001"
+            )
+        )
+        assert "CartesianProduct" not in plan
+
+    def test_contamination_digest_equijoin(self, spark):
+        plan = self._plan(
+            q.queries()["corpus_cross_source_contamination"](
+                spark, "/root/testdata/sf0.001"
+            )
+        )
+        # the shared-gram discovery must be a hash equi-join on the
+        # digest, with the per-source totals broadcast
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_mann_kendall_pair_join_is_hash_join(self, spark):
+        from eventstreamml_spark.operators.stats import mann_kendall_trend
+
+        df = spark.createDataFrame(
+            [("t", i, float(i)) for i in range(10)],
+            "k string, o long, y double",
+        )
+        plan = self._plan(mann_kendall_trend(df, "k", "o", "y"))
+        # pairs form via the key equi-join (o < o2 is a post-filter);
+        # a nested-loop over raw rows would explode at scale
+        assert "CartesianProduct" not in plan
