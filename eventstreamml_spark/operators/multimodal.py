@@ -344,3 +344,98 @@ def image_ahash(df: DataFrame, fake: bool = False) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=AHASH_SCHEMA)
+
+
+def dct_weights_q10(n_freq: int = 4, size: int = 8) -> list[tuple[int, int, int]]:
+    """Integer Q10 (×1024, round-to-nearest) 1-D DCT-II basis weights
+    w[u][i] = round(cos((2i+1)·u·π/(2·size)) · 1024) for u < n_freq —
+    shared VERBATIM by the Spark operator and the DuckDB oracle so the
+    2-D coefficient Σ pixel·w[u][i]·w[v][j] is exact INTEGER
+    arithmetic on both engines (no libm cos at query time; the cosine
+    runs once here, in Python, to mint the literals)."""
+    import math
+
+    return [
+        (u, i, int(round(math.cos((2 * i + 1) * u * math.pi / (2 * size)) * 1024)))
+        for u in range(n_freq)
+        for i in range(size)
+    ]
+
+
+def image_phash_dct(
+    media: DataFrame,
+    id_col: str = "media_id",
+    n_freq: int = 4,
+    size: int = 8,
+) -> DataFrame:
+    """Perceptual DCT hash (pHash) plumbing over deterministic fake
+    grayscale tiles: per asset, an ``size×size`` pixel grid derives
+    from md5 bytes (the honest stand-in while real decode is
+    PIL-gated), the top ``n_freq×n_freq`` 2-D DCT coefficients are
+    computed as exact integer sums against the Q10 basis literals, and
+    the hash packs the sign bits of the 15 AC coefficients.
+
+    Distributed shape: one 64-row-per-asset fan-out (broadcast pixel
+    grid), one ×(n_freq²) broadcast join against the 32-row basis
+    table, two integer group-bys — no floats anywhere, so the hash is
+    engine- and partitioning-exact by construction. At real-decode
+    scale the pixel relation comes from the Arrow-batched decoder
+    instead; everything downstream is unchanged."""
+    grid = media.sparkSession.createDataFrame(
+        [(i, j) for i in range(size) for j in range(size)], "i int, j int"
+    )
+    wu = media.sparkSession.createDataFrame(
+        dct_weights_q10(n_freq, size), "u int, i int, wu long"
+    )
+    wv = media.sparkSession.createDataFrame(
+        [(v, j, w) for v, j, w in dct_weights_q10(n_freq, size)],
+        "v int, j int, wv long",
+    )
+    px = media.select(F.col(id_col)).crossJoin(F.broadcast(grid)).select(
+        F.col(id_col),
+        "i",
+        "j",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col(id_col).cast("string"),
+                            F.lit("-"),
+                            F.col("i").cast("string"),
+                            F.lit("-"),
+                            F.col("j").cast("string"),
+                        )
+                    ),
+                    1,
+                    2,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 256
+        ).alias("px"),
+    )
+    coeff = (
+        px.join(F.broadcast(wu), "i")
+        .join(F.broadcast(wv), "j")
+        .groupBy(id_col, "u", "v")
+        .agg(
+            F.sum(F.col("px") * F.col("wu") * F.col("wv")).cast("long")
+            .alias("c")
+        )
+    )
+    # PySpark's F.shiftleft only takes a literal shift; the SQL form
+    # accepts a column expression
+    ac_bit = F.when(
+        ((F.col("u") != 0) | (F.col("v") != 0)) & (F.col("c") > 0),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), u * {n_freq} + v - 1)"),
+    ).otherwise(F.lit(0))
+    return coeff.groupBy(id_col).agg(
+        F.max(
+            F.when((F.col("u") == 0) & (F.col("v") == 0), F.col("c"))
+        ).cast("long").alias("dc"),
+        F.sum(ac_bit).cast("long").alias("phash"),
+        F.sum(F.when(ac_bit > 0, 1).otherwise(0)).cast("long")
+        .alias("n_pos_bits"),
+    )

@@ -37,8 +37,8 @@ def register(name: str, oracle: str | None):
 # rotates each round. Round-8 window (set and run this round): the 22
 # round-7 additions (the full pre-round-8 verification backlog, now
 # closed), theil_sen_trend_by_subject (round-7's red row, re-run with
-# the signed-zero fix so the record shows it green), and ALL 23 round-8
-# additions in registration order — 46 names, 4 slots spare. After this
+# the signed-zero fix so the record shows it green), and ALL 27 round-8
+# additions in registration order — exactly 50 names, 0 slots spare. After this
 # window runs green, EVERY oracle-checked registry name has a green
 # driver row and the round-9 backlog is empty: round 9 only needs to
 # rotate its own additions (cap them at 50 so one window covers them).
@@ -92,6 +92,10 @@ _ORDER_FIRST: list[str] = [
     "graph_clustering_coefficient",
     "embedding_lsh_bucket_stats",
     "holt_winters_seasonal_forecast",
+    "events_resample_daily_ohlc",
+    "subject_count_gini",
+    "graph_rich_club_coefficient",
+    "image_phash_dct",
 ]
 
 
@@ -16796,3 +16800,296 @@ def q_holt_winters_seasonal_forecast(
         (F.col("forecast_next") + F.lit(0.0)).alias("forecast_next"),
         "one_step_mae",
     )
+
+
+@register(
+    "events_resample_daily_ohlc",
+    """
+    WITH v AS (
+      SELECT event_type, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, day
+                                ORDER BY sec, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, day
+                                ORDER BY sec DESC, event_id DESC) AS rn_d
+      FROM v
+    )
+    SELECT event_type, CAST(day AS BIGINT) AS day,
+           CAST(count(*) AS BIGINT) AS volume,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(sum(CAST(floor(value * 1000.0) AS BIGINT)) AS BIGINT)
+             AS sum_value_milli
+    FROM r GROUP BY event_type, day
+    """,
+)
+def q_events_resample_daily_ohlc(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Daily OHLC (open/high/low/close + volume) downsampling of event
+    values per type — the canonical bar-chart resample for any metric
+    stream. Open/close are single-row passthroughs picked by exact
+    (second, event_id) rank, high/low are order-independent extremes,
+    and the per-day sum digests as integer milli-units — nothing
+    depends on float summation order. One hash exchange: both rank
+    windows and the group-by share the (type, day) partitioning."""
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    sec = ((us - F.pmod(us, F.lit(1_000_000))) / F.lit(1_000_000)).cast(
+        "long"
+    )
+    v = ev.select(
+        "event_type",
+        "value",
+        "event_id",
+        sec.alias("sec"),
+        F.expr(
+            "cast((unix_micros(cast(ts as timestamp))"
+            " - pmod(unix_micros(cast(ts as timestamp)), 86400000000))"
+            " / 86400000000 as long)"
+        ).alias("day"),
+    )
+    wday = W.partitionBy("event_type", "day")
+    r = v.select(
+        "event_type",
+        "day",
+        "value",
+        F.row_number().over(wday.orderBy("sec", "event_id")).alias("rn_a"),
+        F.row_number()
+        .over(wday.orderBy(F.col("sec").desc(), F.col("event_id").desc()))
+        .alias("rn_d"),
+    )
+    return r.groupBy("event_type", F.col("day").cast("long").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("volume"),
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.sum(F.floor(F.col("value") * 1000.0).cast("long")).cast("long")
+        .alias("sum_value_milli"),
+    )
+
+
+@register(
+    "subject_count_gini",
+    """
+    WITH u AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT x, CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT)
+               AS i
+      FROM u
+    ),
+    a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(i * x) AS BIGINT) AS six
+      FROM r
+    )
+    SELECT n AS n_users, sx AS n_events,
+           CAST(2 * six - (n + 1) * sx AS BIGINT) AS gini_num,
+           CAST(n * sx AS BIGINT) AS gini_den,
+           CASE WHEN n > 0 AND sx > 0
+                THEN round((2 * six - (n + 1) * sx) * 1.0 / (n * sx), 6)
+                  + 0.0
+           END AS gini
+    FROM a
+    """,
+)
+def q_subject_count_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-subject event-count concentration — the
+    single-number inequality audit (0 = uniform engagement, →1 = a few
+    whales drive everything) that decides whether per-user partitioning
+    will skew. The rank formula G = (2Σi·xᵢ − (n+1)Σx)/(nΣx) over
+    ascending integer counts is exact integer arithmetic until one
+    final division; + 0.0 normalizes the near-uniform tiny-negative
+    case (signed-zero lesson)."""
+    ev = _events(spark, sf_dir)
+    u = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("x"))
+    r = u.select(
+        "x",
+        F.row_number().over(W.orderBy("x", "user_id")).cast("long")
+        .alias("i"),
+    )
+    a = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).cast("long").alias("six"),
+    )
+    num = (2 * F.col("six") - (F.col("n") + 1) * F.col("sx")).cast("long")
+    den = (F.col("n") * F.col("sx")).cast("long")
+    return a.select(
+        F.col("n").alias("n_users"),
+        F.col("sx").alias("n_events"),
+        num.alias("gini_num"),
+        den.alias("gini_den"),
+        F.when(
+            (F.col("n") > 0) & (F.col("sx") > 0),
+            F.round(num * 1.0 / den, 6) + F.lit(0.0),
+        ).alias("gini"),
+    )
+
+
+@register(
+    "graph_rich_club_coefficient",
+    """
+    WITH raw AS (
+      SELECT user_id % 997 AS a, event_id % 997 AS b
+      FROM events WHERE event_id % 10 = 0
+    ),
+    und AS (
+      SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
+      FROM raw WHERE a <> b
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT lo AS node FROM und UNION ALL SELECT hi AS node FROM und
+      ) GROUP BY node
+    ),
+    ks AS (SELECT unnest([2, 4, 8]::BIGINT[]) AS k),
+    rich AS (
+      SELECT ks.k, deg.node FROM ks JOIN deg ON deg.deg > ks.k
+    ),
+    nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_rich FROM rich GROUP BY k),
+    ek AS (
+      SELECT r1.k, CAST(count(*) AS BIGINT) AS e_rich
+      FROM und
+      JOIN rich r1 ON r1.node = und.lo
+      JOIN rich r2 ON r2.node = und.hi AND r2.k = r1.k
+      GROUP BY r1.k
+    )
+    SELECT nk.k, nk.n_rich, coalesce(ek.e_rich, 0) AS e_rich,
+           CASE WHEN nk.n_rich > 1
+                THEN round(coalesce(ek.e_rich, 0) * 2.0
+                           / (nk.n_rich * (nk.n_rich - 1)), 6)
+           END AS phi
+    FROM nk LEFT JOIN ek ON ek.k = nk.k
+    """,
+)
+def q_graph_rich_club_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rich-club coefficient φ(k) at k ∈ {2,4,8} over the shared hashed
+    interaction graph: the edge density among nodes of degree > k —
+    the hub-interconnection audit (do the whales talk to each other?)
+    that complements the skew and assortativity readouts. Integer
+    edge/node counts with one final exact division; the k-grid is a
+    3-row broadcast."""
+    ev = _events(spark, sf_dir)
+    raw = ev.filter(F.col("event_id") % 10 == 0).select(
+        (F.col("user_id") % 997).alias("a"),
+        (F.col("event_id") % 997).alias("b"),
+    )
+    und = (
+        raw.filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("lo").alias("node"))
+        .unionAll(und.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    ks = spark.createDataFrame([(2,), (4,), (8,)], "k long")
+    rich = F.broadcast(ks).join(deg, F.col("deg") > F.col("k")).select(
+        "k", "node"
+    )
+    nk = rich.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n_rich"))
+    r1 = rich.select(F.col("k"), F.col("node").alias("lo"))
+    r2 = rich.select(F.col("k").alias("k2"), F.col("node").alias("hi2"))
+    ek = (
+        und.join(r1, "lo")
+        .join(
+            r2,
+            (F.col("hi") == F.col("hi2")) & (F.col("k") == F.col("k2")),
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("e_rich"))
+    )
+    out = nk.join(ek, "k", "left").select(
+        "k",
+        "n_rich",
+        F.coalesce(F.col("e_rich"), F.lit(0)).cast("long").alias("e_rich"),
+        F.when(
+            F.col("n_rich") > 1,
+            F.round(
+                F.coalesce(F.col("e_rich"), F.lit(0))
+                * 2.0
+                / (F.col("n_rich") * (F.col("n_rich") - 1)),
+                6,
+            ),
+        ).alias("phi"),
+    )
+    return out
+
+
+def _phash_oracle_sql() -> str:
+    """DuckDB replay of image_phash_dct: the same Q10 integer DCT basis
+    literals, md5-derived fake pixels, exact integer coefficient sums,
+    sign-bit packing."""
+    from eventstreamml_spark.operators.multimodal import dct_weights_q10
+
+    wu_rows = ", ".join(
+        f"({u}, {i}, {w})" for u, i, w in dct_weights_q10()
+    )
+    return f"""
+    WITH wu(u, i, wu) AS (VALUES {wu_rows}),
+    wv(v, j, wv) AS (VALUES {wu_rows}),
+    grid AS (
+      SELECT a.i, b.j
+      FROM (SELECT unnest(generate_series(0, 7)) AS i) a
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) b
+    ),
+    px AS (
+      SELECT doc_id, grid.i, grid.j,
+             ('0x' || substr(md5(doc_id::VARCHAR || '-' || grid.i::VARCHAR
+                                 || '-' || grid.j::VARCHAR), 1, 2))::BIGINT
+               % 256 AS px
+      FROM documents CROSS JOIN grid
+    ),
+    coeff AS (
+      SELECT doc_id, wu.u, wv.v,
+             CAST(sum(px * wu.wu * wv.wv) AS BIGINT) AS c
+      FROM px
+      JOIN wu ON wu.i = px.i
+      JOIN wv ON wv.j = px.j
+      GROUP BY doc_id, wu.u, wv.v
+    )
+    SELECT doc_id,
+           CAST(max(CASE WHEN u = 0 AND v = 0 THEN c END) AS BIGINT) AS dc,
+           CAST(sum(CASE WHEN (u <> 0 OR v <> 0) AND c > 0
+                    THEN (1::BIGINT << (u * 4 + v - 1)) ELSE 0 END)
+                AS BIGINT) AS phash,
+           CAST(sum(CASE WHEN (u <> 0 OR v <> 0) AND c > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_bits
+    FROM coeff GROUP BY doc_id
+    """
+
+
+@register("image_phash_dct", _phash_oracle_sql())
+def q_image_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual DCT hash (pHash) over deterministic fake 8×8 tiles:
+    the multimodal near-dup fingerprint whose entire pipeline — pixel
+    derivation, 2-D DCT against Q10 integer basis literals, sign-bit
+    packing — is exact integer arithmetic, so the hash is identical on
+    any engine and any partitioning (operators/multimodal.py
+    image_phash_dct; real decode stays PIL-gated, the integer DCT and
+    packing are the production path)."""
+    from eventstreamml_spark.operators.multimodal import image_phash_dct
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_phash_dct(
+        docs.select(F.col("doc_id")), id_col="doc_id"
+    ).select("doc_id", "dc", "phash", "n_pos_bits")

@@ -680,3 +680,95 @@ class TestRound8PlanShapes:
         # pairs form via the key equi-join (o < o2 is a post-filter);
         # a nested-loop over raw rows would explode at scale
         assert "CartesianProduct" not in plan
+
+
+class TestRound8FinalBatch:
+    def test_ohlc_hand_computed(self, spark, tmp_path):
+        rows = [
+            (0, "2024-01-01 09:00:00", 1, "t", 10.0, None),
+            (1, "2024-01-01 12:00:00", 1, "t", 50.0, None),
+            (2, "2024-01-01 15:00:00", 1, "t", 5.0, None),
+            (3, "2024-01-01 18:00:00", 1, "t", 20.0, None),
+            (4, "2024-01-02 09:00:00", 1, "t", 7.0, None),
+        ]
+        _write_events(tmp_path, rows)
+        name = "events_resample_daily_ohlc"
+        compare(spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name])
+        out = {r["day"]: r for r in q.queries()[name](spark, str(tmp_path)).collect()}
+        d1 = [d for d in out.values() if d["volume"] == 4][0]
+        assert (d1["open"], d1["high"], d1["low"], d1["close"]) == (
+            10.0, 50.0, 5.0, 20.0,
+        )
+
+    def test_ohlc_equal_ts_tiebreak_by_event_id(self, spark, tmp_path):
+        rows = [
+            (2, "2024-01-01 09:00:00", 1, "t", 30.0, None),
+            (1, "2024-01-01 09:00:00", 1, "t", 10.0, None),  # open: id 1
+            (3, "2024-01-01 09:00:00", 1, "t", 99.0, None),  # close: id 3
+        ]
+        _write_events(tmp_path, rows)
+        name = "events_resample_daily_ohlc"
+        compare(spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name])
+        r = q.queries()[name](spark, str(tmp_path)).collect()[0]
+        assert r["open"] == 10.0 and r["close"] == 99.0
+
+    def test_gini_uniform_and_concentrated(self, spark, tmp_path):
+        # uniform: every user 2 events -> gini = 0
+        rows = [(i, "2024-01-01 00:00:00", i // 2, "t", 1.0, None)
+                for i in range(10)]
+        _write_events(tmp_path, rows)
+        name = "subject_count_gini"
+        compare(spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name])
+        r = q.queries()[name](spark, str(tmp_path)).collect()[0]
+        assert r["gini"] == 0.0
+        import math
+        assert math.copysign(1.0, r["gini"]) > 0  # signed-zero guard
+
+    def test_gini_whale_dominates(self, spark, tmp_path):
+        # 4 users with 1 event, 1 whale with 96 -> gini near 0.76
+        rows = []
+        eid = 0
+        for uid in range(4):
+            rows.append((eid, "2024-01-01 00:00:00", uid, "t", 1.0, None))
+            eid += 1
+        for _ in range(96):
+            rows.append((eid, "2024-01-01 00:00:00", 9, "t", 1.0, None))
+            eid += 1
+        _write_events(tmp_path, rows)
+        r = q.queries()["subject_count_gini"](spark, str(tmp_path)).collect()[0]
+        # exact: (2*(1+2+3+4+5*96) - 6*100) / (5*100) = (980-600)/500
+        assert r["gini"] == round(380 / 500, 6)
+
+    def test_rich_club_complete_core(self, spark):
+        out = q.queries()["graph_rich_club_coefficient"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        ks = {r["k"]: r for r in out}
+        # phi is a density in [0, 1], monotone data sanity only
+        for r in out:
+            if r["phi"] is not None:
+                assert 0.0 <= r["phi"] <= 1.0
+            assert r["e_rich"] <= r["n_rich"] * (r["n_rich"] - 1) // 2
+
+    def test_phash_deterministic_and_bounded(self, spark):
+        from eventstreamml_spark.operators.multimodal import image_phash_dct
+
+        media = spark.range(6).select(F.col("id").alias("media_id"))
+        a = {r["media_id"]: (r["dc"], r["phash"], r["n_pos_bits"])
+             for r in image_phash_dct(media).collect()}
+        b = {r["media_id"]: (r["dc"], r["phash"], r["n_pos_bits"])
+             for r in image_phash_dct(media.repartition(3)).collect()}
+        assert a == b  # partitioning-exact by integer construction
+        for dc, ph, nb in a.values():
+            assert 0 <= ph < (1 << 15)
+            assert 0 <= nb <= 15
+            assert dc > 0  # pixels are non-negative, DC weight positive
+
+    def test_dct_weights_are_q10_integers(self):
+        from eventstreamml_spark.operators.multimodal import dct_weights_q10
+
+        w = dct_weights_q10()
+        assert len(w) == 32
+        assert all(isinstance(x[2], int) and -1024 <= x[2] <= 1024 for x in w)
+        # u=0 row is the flat DC basis: cos(0) = 1 -> 1024 everywhere
+        assert all(x[2] == 1024 for x in w if x[0] == 0)
