@@ -373,69 +373,58 @@ def image_phash_dct(
     from md5 bytes (the honest stand-in while real decode is
     PIL-gated), the top ``n_freq×n_freq`` 2-D DCT coefficients are
     computed as exact integer sums against the Q10 basis literals, and
-    the hash packs the sign bits of the 15 AC coefficients.
+    the hash packs the sign bits of the AC coefficients.
 
-    Distributed shape: one 64-row-per-asset fan-out (broadcast pixel
-    grid), one ×(n_freq²) broadcast join against the 32-row basis
-    table, two integer group-bys — no floats anywhere, so the hash is
+    Distributed shape: ZERO shuffles — pixels, coefficients, and bit
+    packing are three chained per-row projections. The coefficient
+    stage is generated SQL text (16 coefficients × 64 integer terms ≈
+    a 1000-node expression tree): building it through the Python
+    Column API costs a py4j round trip per node and the join-fan-out
+    alternative shuffles size²·n_freq² rows per asset through a
+    group-by — measured 6.1s vs this form at sf0.1 (the pq_encode
+    SQL-text lesson). All arithmetic is integer, so the hash is
     engine- and partitioning-exact by construction. At real-decode
-    scale the pixel relation comes from the Arrow-batched decoder
-    instead; everything downstream is unchanged."""
-    grid = media.sparkSession.createDataFrame(
-        [(i, j) for i in range(size) for j in range(size)], "i int, j int"
-    )
-    wu = media.sparkSession.createDataFrame(
-        dct_weights_q10(n_freq, size), "u int, i int, wu long"
-    )
-    wv = media.sparkSession.createDataFrame(
-        [(v, j, w) for v, j, w in dct_weights_q10(n_freq, size)],
-        "v int, j int, wv long",
-    )
-    px = media.select(F.col(id_col)).crossJoin(F.broadcast(grid)).select(
-        F.col(id_col),
-        "i",
-        "j",
+    scale the pixel projection is replaced by the Arrow-batched
+    decoder; everything downstream is unchanged."""
+    w = {(u, i): wt for u, i, wt in dct_weights_q10(n_freq, size)}
+    px_exprs = [f"`{id_col}`"] + [
+        f"CAST(conv(substring(md5(concat(CAST(`{id_col}` AS STRING),"
+        f" '-{i}-{j}')), 1, 2), 16, 10) AS BIGINT) % 256 AS _px_{i}_{j}"
+        for i in range(size)
+        for j in range(size)
+    ]
+    coeff_exprs = [f"`{id_col}`"] + [
         (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col(id_col).cast("string"),
-                            F.lit("-"),
-                            F.col("i").cast("string"),
-                            F.lit("-"),
-                            F.col("j").cast("string"),
-                        )
-                    ),
-                    1,
-                    2,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % 256
-        ).alias("px"),
-    )
-    coeff = (
-        px.join(F.broadcast(wu), "i")
-        .join(F.broadcast(wv), "j")
-        .groupBy(id_col, "u", "v")
-        .agg(
-            F.sum(F.col("px") * F.col("wu") * F.col("wv")).cast("long")
-            .alias("c")
+            " + ".join(
+                f"_px_{i}_{j} * {w[(u, i)] * w[(v, j)]}"
+                for i in range(size)
+                for j in range(size)
+            )
+            + f" AS _c_{u}_{v}"
         )
+        for u in range(n_freq)
+        for v in range(n_freq)
+    ]
+    ac_bits = " + ".join(
+        f"(CASE WHEN _c_{u}_{v} > 0 THEN CAST({1 << (u * n_freq + v - 1)}"
+        f" AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for u in range(n_freq)
+        for v in range(n_freq)
+        if (u, v) != (0, 0)
     )
-    # PySpark's F.shiftleft only takes a literal shift; the SQL form
-    # accepts a column expression
-    ac_bit = F.when(
-        ((F.col("u") != 0) | (F.col("v") != 0)) & (F.col("c") > 0),
-        F.expr(f"shiftleft(CAST(1 AS BIGINT), u * {n_freq} + v - 1)"),
-    ).otherwise(F.lit(0))
-    return coeff.groupBy(id_col).agg(
-        F.max(
-            F.when((F.col("u") == 0) & (F.col("v") == 0), F.col("c"))
-        ).cast("long").alias("dc"),
-        F.sum(ac_bit).cast("long").alias("phash"),
-        F.sum(F.when(ac_bit > 0, 1).otherwise(0)).cast("long")
-        .alias("n_pos_bits"),
+    n_pos = " + ".join(
+        f"(CASE WHEN _c_{u}_{v} > 0 THEN 1 ELSE 0 END)"
+        for u in range(n_freq)
+        for v in range(n_freq)
+        if (u, v) != (0, 0)
+    )
+    return (
+        media.selectExpr(*px_exprs)
+        .selectExpr(*coeff_exprs)
+        .selectExpr(
+            f"`{id_col}`",
+            "CAST(_c_0_0 AS BIGINT) AS dc",
+            f"CAST({ac_bits} AS BIGINT) AS phash",
+            f"CAST({n_pos} AS BIGINT) AS n_pos_bits",
+        )
     )
