@@ -304,3 +304,111 @@ def kcore_peel_stats(
     for s in out_rows[1:]:
         res = res.unionByName(s)
     return res
+
+
+def adamic_adar_link_scores(
+    edges: DataFrame,
+    top_k: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hub_degree: int | None = None,
+) -> DataFrame:
+    """Adamic-Adar link prediction over an undirected graph: for every
+    non-adjacent pair sharing >= 1 neighbor, score = sum over common
+    neighbors w of 1/ln(deg(w)) — down-weighting hub-mediated
+    wedges, the standard upgrade over raw common-neighbor counts.
+
+    Same bucketed wedge shape as common_neighbor_link_scores (equi-
+    joins only; ``max_hub_degree`` caps the deg(w)^2 fan-out on
+    power-law graphs). Engine determinism: each middle node's weight
+    is floor-quantized ONCE to integer micro-units (deg >= 2 inside a
+    wedge, so ln > 0), and pair scores are exact BIGINT sums of those
+    — ordering can never disagree across engines."""
+    und = canonical_edges(edges, src_col, dst_col)
+    adj = und.select(
+        F.col("lo").alias("a"), F.col("hi").alias("b")
+    ).unionAll(und.select(F.col("hi").alias("a"), F.col("lo").alias("b")))
+    deg = adj.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    # deg-1 middles can't form a wedge; filtering them first also
+    # keeps the 1/ln(deg) weight away from ln(1)=0 (ANSI divide-by-0)
+    wgt = deg.filter(F.col("deg") >= 2).selectExpr(
+        "node AS w",
+        "deg",
+        "CAST(floor(1000000.0 / ln(CAST(deg AS DOUBLE))) AS BIGINT)"
+        " AS q",
+    )
+    if max_hub_degree is not None:
+        wgt = wgt.filter(F.col("deg") <= max_hub_degree)
+    mid = adj.select(F.col("b").alias("w"), F.col("a").alias("u")).join(
+        F.broadcast(wgt.select("w", "q")), "w"
+    )
+    left = mid.select("w", "q", F.col("u").alias("u"))
+    right = mid.select("w", F.col("u").alias("v"))
+    wedges = left.join(right, "w").filter(F.col("u") < F.col("v"))
+    cn = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.sum("q").cast("long").alias("aa_micro"),
+    )
+    non_adj = cn.join(
+        und,
+        (cn["u"] == und["lo"]) & (cn["v"] == und["hi"]),
+        "left_anti",
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(
+        F.col("aa_micro").desc(), F.col("u"), F.col("v")
+    )
+    return (
+        non_adj.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .selectExpr(
+            "CAST(rank AS BIGINT) AS rank",
+            "CAST(u AS BIGINT) AS u",
+            "CAST(v AS BIGINT) AS v",
+            "n_common",
+            "aa_micro",
+            "round(CAST(aa_micro AS DOUBLE) / 1000000.0, 6) AS aa_score",
+        )
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (fixed ``rounds`` sweeps): every
+    node starts labeled with its own id; each sweep it adopts the most
+    frequent label among its neighbors, ties broken by the SMALLEST
+    label — fully deterministic, so both engines converge identically
+    (asynchronous LPA's order-dependence is exactly what this avoids).
+
+    Returns (node, label) after the final sweep. One equi-join + one
+    group-by + one per-node rank per sweep; lineage depth is
+    ``rounds`` (bounded; for rounds > ~6 interleave localCheckpoint
+    per the pagerank/kcore lesson)."""
+    und = canonical_edges(edges, src_col, dst_col)
+    adj = und.select(
+        F.col("lo").alias("a"), F.col("hi").alias("b")
+    ).unionAll(und.select(F.col("hi").alias("a"), F.col("lo").alias("b")))
+    lab = adj.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    from pyspark.sql import Window as W
+
+    for _ in range(rounds):
+        nb = adj.join(
+            lab.withColumnRenamed("node", "b"), "b"
+        ).select(F.col("a").alias("node"), "lab")
+        cnt = nb.groupBy("node", "lab").agg(F.count(F.lit(1)).alias("c"))
+        rk = F.row_number().over(
+            W.partitionBy("node").orderBy(F.col("c").desc(), "lab")
+        )
+        lab = cnt.withColumn("rk", rk).filter(F.col("rk") == 1).select(
+            "node", "lab"
+        )
+    return lab

@@ -17093,3 +17093,1703 @@ def q_image_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_phash_dct(
         docs.select(F.col("doc_id")), id_col="doc_id"
     ).select("doc_id", "dc", "phash", "n_pos_bits")
+
+
+# ---------------------------------------------------------------------------
+# Round-8 late batch: time-series diagnostics (Ljung-Box whiteness, PACF,
+# binary-segmentation changepoint, Hurst R/S, theta-method forecast). Every
+# float output derives from exact-integer aggregates (the n*x - T centering
+# trick makes autocovariance sums pure BIGINT arithmetic) or from fixed-order
+# folds, so the cross-engine hash matches by construction, not by luck.
+# ---------------------------------------------------------------------------
+
+
+def _type_bucket_scaffold_sql(bucket_sec: int) -> str:
+    """DuckDB WITH-clauses producing the zero-filled per-type bucket-count
+    scaffold ``z(event_type, i, x)`` with ``i`` the 0-based bucket index
+    from the global span start (floor-division bucketing, sign-safe)."""
+    return f"""
+    c AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // {bucket_sec} AS h,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+    hours AS (SELECT unnest(generate_series(lo, hi)) AS h, lo FROM span),
+    types AS (SELECT DISTINCT event_type FROM c),
+    z AS (
+      SELECT t.event_type, hours.h - hours.lo AS i,
+             CAST(coalesce(c.n, 0) AS BIGINT) AS x
+      FROM types t CROSS JOIN hours
+      LEFT JOIN c ON c.event_type = t.event_type AND c.h = hours.h
+    )"""
+
+
+def _type_bucket_scaffold(
+    spark: SparkSession, sf_dir: str, bucket_sec: int
+) -> DataFrame:
+    """Spark twin of :func:`_type_bucket_scaffold_sql`: zero-filled
+    ``(event_type, i, x)`` bucket counts, one scaffold cross-join (bucket
+    count is bounded by the corpus time span, not its row count) and one
+    left join back onto the aggregated counts."""
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    step = F.lit(bucket_sec * 1_000_000)
+    c = ev.groupBy(
+        "event_type", ((us - F.pmod(us, step)) / step).cast("long").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    span = c.agg(F.min("h").alias("_lo"), F.max("h").alias("_hi"))
+    hours = span.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("h"),
+        F.col("_lo"),
+    )
+    return (
+        c.select("event_type").distinct()
+        .crossJoin(hours)
+        .join(c, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            (F.col("h") - F.col("_lo")).cast("long").alias("i"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("x"),
+        )
+    )
+
+
+_ACF_INT_SUMS_SQL = """
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS t FROM z GROUP BY 1
+    ),
+    d AS (
+      SELECT z.event_type, z.i, g.n, g.n * z.x - g.t AS d
+      FROM z JOIN g USING (event_type)
+    ),
+    l AS (
+      SELECT event_type, n, d,
+             lead(d, 1) OVER w AS d1, lead(d, 2) OVER w AS d2,
+             lead(d, 3) OVER w AS d3, lead(d, 4) OVER w AS d4,
+             lead(d, 5) OVER w AS d5
+      FROM d WINDOW w AS (PARTITION BY event_type ORDER BY i)
+    ),
+    s AS (
+      SELECT event_type, max(n) AS n,
+             CAST(sum(d * d) AS BIGINT) AS s0,
+             CAST(sum(d * d1) AS BIGINT) AS s1,
+             CAST(sum(d * d2) AS BIGINT) AS s2,
+             CAST(sum(d * d3) AS BIGINT) AS s3,
+             CAST(sum(d * d4) AS BIGINT) AS s4,
+             CAST(sum(d * d5) AS BIGINT) AS s5
+      FROM l GROUP BY event_type
+    ),
+    r AS (
+      SELECT event_type, n,
+             CAST(s1 AS DOUBLE) / nullif(s0, 0) AS r1,
+             CAST(s2 AS DOUBLE) / nullif(s0, 0) AS r2,
+             CAST(s3 AS DOUBLE) / nullif(s0, 0) AS r3,
+             CAST(s4 AS DOUBLE) / nullif(s0, 0) AS r4,
+             CAST(s5 AS DOUBLE) / nullif(s0, 0) AS r5
+      FROM s
+    )"""
+
+
+def _acf_int_sums(z: DataFrame) -> DataFrame:
+    """Exact-integer autocovariance sums per event_type over the scaffold:
+    deviations are centered as ``n*x - T`` (pure BIGINT, no float mean), so
+    ``s_k = sum(d_i * d_{i+k})`` and the ACF ratios ``r_k = s_k / s_0``
+    are identical doubles on every engine and any partitioning. One keyed
+    window (bounded by the time span) + one group-by."""
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("t"),
+    )
+    d = z.join(F.broadcast(g), "event_type").select(
+        "event_type", "i", "n", (F.col("n") * F.col("x") - F.col("t")).alias("d")
+    )
+    w = W.partitionBy("event_type").orderBy("i")
+    l = d.select(
+        "event_type", "n", "d",
+        *[F.lead("d", k).over(w).alias(f"d{k}") for k in range(1, 6)],
+    )
+    s = l.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("s0"),
+        *[
+            F.sum(F.col("d") * F.col(f"d{k}")).cast("long").alias(f"s{k}")
+            for k in range(1, 6)
+        ],
+    )
+    return s.selectExpr(
+        "event_type", "n",
+        *[f"CAST(s{k} AS DOUBLE) / nullif(s0, 0) AS r{k}" for k in range(1, 6)],
+    )
+
+
+_LJUNG_BOX_FINAL_SQL = """
+    SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+           round(r1, 6) + 0.0 AS r1,
+           round(r2, 6) + 0.0 AS r2,
+           round(r3, 6) + 0.0 AS r3,
+           CASE WHEN n > 5 THEN round(
+             CAST(n AS DOUBLE) * (n + 2) * (
+               r1 * r1 / (n - 1) + r2 * r2 / (n - 2) + r3 * r3 / (n - 3)
+               + r4 * r4 / (n - 4) + r5 * r5 / (n - 5)), 6) END AS q_lb5
+    FROM r"""
+
+
+@register(
+    "ljung_box_hourly_whiteness",
+    "WITH"
+    + _type_bucket_scaffold_sql(3600)
+    + ","
+    + _ACF_INT_SUMS_SQL
+    + _LJUNG_BOX_FINAL_SQL,
+)
+def q_ljung_box_hourly_whiteness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau whiteness test (h=5) on each type's hourly
+    arrival counts — the residual-autocorrelation diagnostic that decides
+    whether the seasonal/trend forecasters left structure on the table.
+    The autocovariances are exact BIGINT sums of ``(n*x - T)`` centered
+    deviations, so r_1..r_5 and the Q statistic are engine-identical;
+    the Q expression is a fixed-order 5-term chain evaluated from the
+    same SQL text on both engines."""
+    z = _type_bucket_scaffold(spark, sf_dir, 3600)
+    r = _acf_int_sums(z)
+    return r.selectExpr(
+        "event_type",
+        "CAST(n AS BIGINT) AS n_hours",
+        "round(r1, 6) + 0.0 AS r1",
+        "round(r2, 6) + 0.0 AS r2",
+        "round(r3, 6) + 0.0 AS r3",
+        "CASE WHEN n > 5 THEN round("
+        "CAST(n AS DOUBLE) * (n + 2) * ("
+        "r1 * r1 / (n - 1) + r2 * r2 / (n - 2) + r3 * r3 / (n - 3)"
+        " + r4 * r4 / (n - 4) + r5 * r5 / (n - 5)), 6) END AS q_lb5",
+    )
+
+
+_PACF_FINAL_SQL = """
+    , p2 AS (
+      SELECT event_type, n, r1, r2, r3,
+             (r2 - r1 * r1) / nullif(1 - r1 * r1, 0) AS phi22
+      FROM r
+    ),
+    p3 AS (
+      SELECT *, r1 * (1 - phi22) AS phi21 FROM p2
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+           round(r1, 6) + 0.0 AS pacf1,
+           round(phi22, 6) + 0.0 AS pacf2,
+           round((r3 - phi21 * r2 - phi22 * r1)
+                 / nullif(1 - phi21 * r1 - phi22 * r2, 0), 6) + 0.0 AS pacf3
+    FROM p3"""
+
+
+@register(
+    "pacf_hourly_durbin_levinson",
+    "WITH"
+    + _type_bucket_scaffold_sql(3600)
+    + ","
+    + _ACF_INT_SUMS_SQL
+    + _PACF_FINAL_SQL,
+)
+def q_pacf_hourly_durbin_levinson(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partial autocorrelation (lags 1-3) of hourly arrivals per type via
+    the Durbin-Levinson recursion unrolled to order 3 — the AR-order
+    selector that tells a capacity model how much memory the arrival
+    process has beyond what lag-1 explains. The recursion runs on the
+    exact-integer ACF ratios from the shared ``n*x - T`` centering, with
+    both engines evaluating the identical unrolled expression text, so
+    every division and multiply rounds identically."""
+    z = _type_bucket_scaffold(spark, sf_dir, 3600)
+    r = _acf_int_sums(z)
+    p2 = r.selectExpr(
+        "event_type", "n", "r1", "r2", "r3",
+        "(r2 - r1 * r1) / nullif(1 - r1 * r1, 0) AS phi22",
+    )
+    p3 = p2.selectExpr("*", "r1 * (1 - phi22) AS phi21")
+    return p3.selectExpr(
+        "event_type",
+        "CAST(n AS BIGINT) AS n_hours",
+        "round(r1, 6) + 0.0 AS pacf1",
+        "round(phi22, 6) + 0.0 AS pacf2",
+        "round((r3 - phi21 * r2 - phi22 * r1)"
+        " / nullif(1 - phi21 * r1 - phi22 * r2, 0), 6) + 0.0 AS pacf3",
+    )
+
+
+_BINSEG_SQL_TAIL = """
+    , g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS tot FROM z GROUP BY 1
+    ),
+    p AS (
+      SELECT z.event_type, z.i, g.n, g.tot,
+             CAST(sum(z.x) OVER (PARTITION BY z.event_type ORDER BY z.i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS pre
+      FROM z JOIN g USING (event_type)
+    ),
+    cand AS (
+      SELECT event_type, n, tot, i + 1 AS t, pre,
+             CAST(pre * (n - i - 1) - (tot - pre) * (i + 1) AS DOUBLE)
+               AS num
+      FROM p WHERE i + 1 < n
+    ),
+    gains AS (
+      SELECT event_type, n, tot, t, pre,
+             num * num / (CAST(t AS DOUBLE) * (n - t) * n) AS gain
+      FROM cand
+    ),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+               ORDER BY gain DESC, t) AS rk
+      FROM gains
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_buckets,
+           CAST(t AS BIGINT) AS split_t,
+           round(CAST(pre AS DOUBLE) / t, 6) AS mean_left,
+           round(CAST(tot - pre AS DOUBLE) / (n - t), 6) AS mean_right,
+           round(gain, 6) AS sse_gain
+    FROM best WHERE rk = 1"""
+
+
+@register(
+    "changepoint_binary_segmentation",
+    "WITH" + _type_bucket_scaffold_sql(21600) + _BINSEG_SQL_TAIL,
+)
+def q_changepoint_binary_segmentation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Single best mean-shift changepoint per event type over zero-filled
+    6-hour bucket counts (binary segmentation's first split): maximize
+    the SSE reduction G(t) = (S_l*n_r - S_r*n_l)^2 / (n_l*n_r*n) using
+    only the integer prefix sums — the squared numerator is formed in
+    DOUBLE on both engines (scale-safe: no BIGINT overflow at any corpus
+    size) from exact integer operands, so the per-split gains and the
+    (gain DESC, t) argmax rank identically. One prefix-sum window over
+    the bounded scaffold, one rank."""
+    z = _type_bucket_scaffold(spark, sf_dir, 21600)
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("tot"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("i")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    p = z.join(F.broadcast(g), "event_type").select(
+        "event_type", "i", "n", "tot",
+        F.sum("x").over(w).cast("long").alias("pre"),
+    )
+    cand = p.where(F.col("i") + 1 < F.col("n")).selectExpr(
+        "event_type", "n", "tot", "i + 1 AS t", "pre",
+        "CAST(pre * (n - i - 1) - (tot - pre) * (i + 1) AS DOUBLE) AS num",
+    )
+    gains = cand.selectExpr(
+        "event_type", "n", "tot", "t", "pre",
+        "num * num / (CAST(t AS DOUBLE) * (n - t) * n) AS gain",
+    )
+    rk = F.row_number().over(
+        W.partitionBy("event_type").orderBy(F.col("gain").desc(), "t")
+    )
+    return (
+        gains.withColumn("rk", rk)
+        .where(F.col("rk") == 1)
+        .selectExpr(
+            "event_type",
+            "CAST(n AS BIGINT) AS n_buckets",
+            "CAST(t AS BIGINT) AS split_t",
+            "round(CAST(pre AS DOUBLE) / t, 6) AS mean_left",
+            "round(CAST(tot - pre AS DOUBLE) / (n - t), 6) AS mean_right",
+            "round(gain, 6) AS sse_gain",
+        )
+    )
+
+
+_HURST_SQL_TAIL = """
+    , ws AS (SELECT CAST(unnest([8, 16, 32, 64]) AS BIGINT) AS w),
+    win AS (
+      SELECT z.event_type, ws.w, z.i // ws.w AS win_id, z.i, z.x
+      FROM z CROSS JOIN ws
+    ),
+    wagg AS (
+      SELECT event_type, w, win_id,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(x) AS BIGINT) AS s
+      FROM win GROUP BY 1, 2, 3
+    ),
+    dev AS (
+      SELECT win.event_type, win.w, win.win_id, win.i,
+             win.w * win.x - wagg.s AS d
+      FROM win JOIN wagg USING (event_type, w, win_id)
+      WHERE wagg.cnt = win.w
+    ),
+    cum AS (
+      SELECT event_type, w, win_id, d,
+             CAST(sum(d) OVER (PARTITION BY event_type, w, win_id
+               ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cd
+      FROM dev
+    ),
+    rs AS (
+      SELECT event_type, w, win_id,
+             CAST(max(cd) - min(cd) AS BIGINT) AS r_int,
+             CAST(sum(d * d) AS BIGINT) AS ss
+      FROM cum GROUP BY 1, 2, 3
+    ),
+    lnrs AS (
+      SELECT event_type, w,
+             CAST(floor(ln(CAST(r_int AS DOUBLE) / w
+               / sqrt(CAST(ss AS DOUBLE) / CAST(w * w * w AS DOUBLE)))
+               * 1000000.0) AS BIGINT) AS q
+      FROM rs WHERE ss > 0 AND r_int > 0
+    ),
+    yw AS (
+      SELECT event_type, w, CAST(count(*) AS BIGINT) AS n_win,
+             CAST(sum(q) AS BIGINT) AS sum_q
+      FROM lnrs GROUP BY 1, 2
+    ),
+    piv AS (
+      SELECT event_type,
+             max(CASE WHEN w = 8 THEN CAST(sum_q AS DOUBLE) / n_win / 1000000.0 END) AS y8,
+             max(CASE WHEN w = 16 THEN CAST(sum_q AS DOUBLE) / n_win / 1000000.0 END) AS y16,
+             max(CASE WHEN w = 32 THEN CAST(sum_q AS DOUBLE) / n_win / 1000000.0 END) AS y32,
+             max(CASE WHEN w = 64 THEN CAST(sum_q AS DOUBLE) / n_win / 1000000.0 END) AS y64,
+             CAST(max(CASE WHEN w = 8 THEN n_win END) AS BIGINT) AS n_win8,
+             CAST(max(CASE WHEN w = 64 THEN n_win END) AS BIGINT) AS n_win64
+      FROM yw GROUP BY event_type
+    )
+    SELECT event_type, n_win8, n_win64,
+           round((-1.5 * y8 - 0.5 * y16 + 0.5 * y32 + 1.5 * y64)
+                 / (5 * 0.6931471805599453), 6) + 0.0 AS hurst
+    FROM piv"""
+
+
+@register(
+    "hurst_rs_exponent",
+    "WITH" + _type_bucket_scaffold_sql(3600) + _HURST_SQL_TAIL,
+)
+def q_hurst_rs_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of each type's hourly arrival counts by rescaled-
+    range (R/S) analysis over dyadic window sizes 8/16/32/64 — the
+    long-range-dependence detector (H>0.5 = persistent load, sizing
+    matters for capacity planning). Window-local deviations use the
+    exact-integer ``w*x - S`` centering, so R and sum-of-squares are
+    BIGINT; each window's ln(R/S) is floor-quantized to integer
+    micro-units before the cross-window mean (nb_lang precedent), and
+    the final log-log OLS slope is an explicit fixed-coefficient
+    expression over the four dyadic sizes with ln2 as a shared literal
+    — no engine-ordered float summation anywhere."""
+    z = _type_bucket_scaffold(spark, sf_dir, 3600)
+    win = z.select(
+        "event_type",
+        F.explode(F.array(*[F.lit(w) for w in (8, 16, 32, 64)])).alias("w"),
+        "i", "x",
+    ).withColumn("win_id", F.expr("i div w"))
+    wagg = win.groupBy("event_type", "w", "win_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    dev = (
+        win.join(wagg, ["event_type", "w", "win_id"])
+        .where(F.col("cnt") == F.col("w"))
+        .select(
+            "event_type", "w", "win_id", "i",
+            (F.col("w") * F.col("x") - F.col("s")).alias("d"),
+        )
+    )
+    cw = (
+        W.partitionBy("event_type", "w", "win_id")
+        .orderBy("i")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = dev.select(
+        "event_type", "w", "win_id", "d",
+        F.sum("d").over(cw).cast("long").alias("cd"),
+    )
+    rs = cum.groupBy("event_type", "w", "win_id").agg(
+        (F.max("cd") - F.min("cd")).cast("long").alias("r_int"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("ss"),
+    )
+    lnrs = rs.where((F.col("ss") > 0) & (F.col("r_int") > 0)).selectExpr(
+        "event_type", "w",
+        "CAST(floor(ln(CAST(r_int AS DOUBLE) / w"
+        " / sqrt(CAST(ss AS DOUBLE) / CAST(w * w * w AS DOUBLE)))"
+        " * 1000000.0) AS BIGINT) AS q",
+    )
+    yw = lnrs.groupBy("event_type", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_win"),
+        F.sum("q").cast("long").alias("sum_q"),
+    )
+    piv = yw.groupBy("event_type").agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("w") == w,
+                    F.col("sum_q").cast("double")
+                    / F.col("n_win")
+                    / F.lit(1000000.0),
+                )
+            ).alias(f"y{w}")
+            for w in (8, 16, 32, 64)
+        ],
+        F.max(F.when(F.col("w") == 8, F.col("n_win")))
+        .cast("long")
+        .alias("n_win8"),
+        F.max(F.when(F.col("w") == 64, F.col("n_win")))
+        .cast("long")
+        .alias("n_win64"),
+    )
+    return piv.selectExpr(
+        "event_type", "n_win8", "n_win64",
+        "round((-1.5 * y8 - 0.5 * y16 + 0.5 * y32 + 1.5 * y64)"
+        " / (5 * 0.6931471805599453), 6) + 0.0 AS hurst",
+    )
+
+
+@register(
+    "theta_method_daily_forecast",
+    """
+    WITH RECURSIVE c AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             CAST(sum(coalesce(CAST(floor(value * 1000) AS BIGINT), 0))
+               AS BIGINT) AS ym
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT min(day) AS lo, max(day) AS hi FROM c),
+    days AS (SELECT unnest(generate_series(lo, hi)) AS day, lo FROM span),
+    types AS (SELECT DISTINCT event_type FROM c),
+    z AS (
+      SELECT t.event_type, days.day - days.lo + 1 AS t,
+             CAST(coalesce(c.ym, 0) AS BIGINT) AS y
+      FROM types t CROSS JOIN days
+      LEFT JOIN c ON c.event_type = t.event_type AND c.day = days.day
+    ),
+    par AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(t) AS BIGINT) AS st,
+             CAST(sum(t * t) AS BIGINT) AS stt,
+             CAST(sum(t * y) AS BIGINT) AS sty
+      FROM z GROUP BY 1
+    ),
+    ab AS (
+      SELECT event_type, n, st, sy,
+             CAST(n * sty - st * sy AS DOUBLE)
+               / nullif(CAST(n * stt - st * st AS DOUBLE), 0) AS b
+      FROM par
+    ),
+    ab2 AS (
+      SELECT event_type, n, b,
+             (CAST(sy AS DOUBLE) - b * st) / n AS a
+      FROM ab
+    ),
+    zz AS (
+      SELECT z.event_type, z.t AS idx, 2 * z.y - (ab2.a + ab2.b * z.t) AS zv
+      FROM z JOIN ab2 USING (event_type)
+    ),
+    rec AS (
+      SELECT event_type, idx, zv AS l FROM zz WHERE idx = 1
+      UNION ALL
+      SELECT g.event_type, g.idx, 0.5 * g.zv + 0.5 * r.l
+      FROM rec r JOIN zz g
+        ON g.event_type = r.event_type AND g.idx = r.idx + 1
+    )
+    SELECT r.event_type, CAST(ab2.n AS BIGINT) AS n_days,
+           round(ab2.b / 1000.0, 6) + 0.0 AS slope_per_day,
+           round((0.5 * r.l + 0.5 * (ab2.a + ab2.b * (ab2.n + 1)))
+                 / 1000.0, 6) + 0.0 AS forecast_1,
+           round((0.5 * r.l + 0.5 * (ab2.a + ab2.b * (ab2.n + 7)))
+                 / 1000.0, 6) + 0.0 AS forecast_7
+    FROM rec r JOIN ab2 ON r.event_type = ab2.event_type AND r.idx = ab2.n
+    """,
+)
+def q_theta_method_daily_forecast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Theta-method (θ=2) forecast of each type's daily value totals —
+    the M3-winning benchmark forecaster: average of the OLS trend line
+    and an SES (α=0.5, dyadic) of the theta line 2y - trend. Daily
+    totals digest as exact milli-integers, the OLS coefficients are
+    ratios of pure BIGINT sums, the theta line is an identical per-row
+    double expression, and the SES state folds sequentially
+    (recursive-CTE twin), so every output is engine-identical."""
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    step = F.lit(86400 * 1_000_000)
+    c = ev.groupBy(
+        "event_type",
+        ((us - F.pmod(us, step)) / step).cast("long").alias("day"),
+    ).agg(
+        F.sum(
+            F.coalesce(
+                F.floor(F.col("value") * 1000).cast("long"), F.lit(0)
+            )
+        ).cast("long").alias("ym")
+    )
+    span = c.agg(F.min("day").alias("_lo"), F.max("day").alias("_hi"))
+    days = span.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("day"),
+        F.col("_lo"),
+    )
+    z = (
+        c.select("event_type").distinct()
+        .crossJoin(days)
+        .join(c, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            (F.col("day") - F.col("_lo") + 1).cast("long").alias("t"),
+            F.coalesce(F.col("ym"), F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    par = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("sty"),
+    )
+    ab2 = par.selectExpr(
+        "event_type", "n", "st", "sy",
+        "CAST(n * sty - st * sy AS DOUBLE)"
+        " / nullif(CAST(n * stt - st * st AS DOUBLE), 0) AS b",
+    ).selectExpr(
+        "event_type", "n", "b",
+        "(CAST(sy AS DOUBLE) - b * st) / n AS a",
+    )
+    zz = z.join(F.broadcast(ab2), "event_type").selectExpr(
+        "event_type", "a", "b", "n", "t", "2 * y - (a + b * t) AS zv"
+    )
+    seq = zz.groupBy("event_type", "a", "b", "n").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("t").alias("_o"), F.col("zv")))
+        ).alias("_seq")
+    )
+    vals = F.transform(F.col("_seq"), lambda s: s["zv"])
+    folded = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.get(vals, 0),
+        lambda acc, zv: F.lit(0.5) * zv + F.lit(0.5) * acc,
+    )
+    return seq.withColumn("l", folded).selectExpr(
+        "event_type",
+        "CAST(n AS BIGINT) AS n_days",
+        "round(b / 1000.0, 6) + 0.0 AS slope_per_day",
+        "round((0.5 * l + 0.5 * (a + b * (n + 1))) / 1000.0, 6) + 0.0"
+        " AS forecast_1",
+        "round((0.5 * l + 0.5 * (a + b * (n + 7))) / 1000.0, 6) + 0.0"
+        " AS forecast_7",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 late batch 2: eval + robust-stats extensions (log-loss, isotonic
+# calibration, jackknife ratio variance, runs test, Grubbs statistic).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "eval_log_loss_by_type",
+    f"""
+    WITH {_SCORED_SQL},
+    nll AS (
+      SELECT event_type,
+             CAST(floor((CASE WHEN y = 1 THEN -ln(score)
+                          ELSE -ln(1 - score) END) * 1000000.0) AS BIGINT)
+               AS q
+      FROM scored
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(q) AS DOUBLE) / count(*) / 1000000.0, 6)
+             AS mean_log_loss
+    FROM nll GROUP BY event_type
+    """,
+)
+def q_eval_log_loss_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean binary cross-entropy (log-loss) per event type over the
+    deterministic score construction — the proper scoring rule that
+    complements Brier/ECE. The per-row NLL picks exactly one ln branch
+    (never 0*ln(0) NaN: y=1 implies score>=0.3, y=0 implies
+    score<=0.7) and is floor-quantized to integer micro-units before
+    the order-insensitive sum (nb_lang precedent), so the mean is
+    exact integer arithmetic on both engines."""
+    sc = _scored_events(spark, sf_dir)
+    nll = sc.selectExpr(
+        "event_type",
+        "CAST(floor((CASE WHEN label = 1 THEN -ln(score)"
+        " ELSE -ln(1 - score) END) * 1000000.0) AS BIGINT) AS q",
+    )
+    return nll.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum("q").cast("double") / F.count(F.lit(1)) / F.lit(1000000.0),
+            6,
+        ).alias("mean_log_loss"),
+    )
+
+
+@register(
+    "eval_isotonic_calibration",
+    f"""
+    WITH {_SCORED_SQL},
+    b AS (
+      SELECT event_type, least(CAST(floor(score * 20) AS BIGINT), 19)
+               AS bin,
+             CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s
+      FROM scored GROUP BY 1, 2
+    ),
+    ix AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY bin)
+               AS idx,
+             CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cn,
+             CAST(sum(s) OVER (PARTITION BY event_type ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cs
+      FROM b
+    ),
+    ivl AS (
+      SELECT j.event_type, j.idx AS jx, k.idx AS kx,
+             CAST(k.cs - (j.cs - j.s) AS DOUBLE)
+               / (k.cn - (j.cn - j.n)) AS m
+      FROM ix j JOIN ix k
+        ON k.event_type = j.event_type AND k.idx >= j.idx
+    ),
+    tmin AS (
+      SELECT ivl.event_type, g.idx AS ix_pt, ivl.jx, min(ivl.m) AS t
+      FROM ivl JOIN ix g
+        ON g.event_type = ivl.event_type
+       AND ivl.jx <= g.idx AND ivl.kx >= g.idx
+      GROUP BY 1, 2, 3
+    ),
+    fit AS (
+      SELECT event_type, ix_pt AS idx, max(t) AS iso
+      FROM tmin GROUP BY 1, 2
+    )
+    SELECT ix.event_type, ix.bin, ix.n,
+           round(CAST(ix.s AS DOUBLE) / ix.n, 6) AS event_rate,
+           round(fit.iso, 6) AS isotonic_rate
+    FROM ix JOIN fit
+      ON fit.event_type = ix.event_type AND fit.idx = ix.idx
+    """,
+)
+def q_eval_isotonic_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Isotonic-regression calibration map per event type: the PAVA
+    solution over 20 score bins computed via the exact minimax
+    characterization iso_i = max_{j<=i} min_{k>=i} mean(y[j..k]) —
+    fully relational (prefix sums + one bounded self-join over <=20
+    bins per type, every join broadcast-sized), no sequential pool
+    loop, so it distributes and the interval means are identical
+    doubles from exact integer prefix sums on both engines."""
+    sc = _scored_events(spark, sf_dir)
+    b = sc.groupBy(
+        "event_type",
+        F.least(F.floor(F.col("score") * 20).cast("long"), F.lit(19)).alias(
+            "bin"
+        ),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("label").cast("long").alias("s"),
+    )
+    wo = W.partitionBy("event_type").orderBy("bin")
+    wc = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+    ix = b.select(
+        "event_type", "bin", "n", "s",
+        F.row_number().over(wo).alias("idx"),
+        F.sum("n").over(wc).cast("long").alias("cn"),
+        F.sum("s").over(wc).cast("long").alias("cs"),
+    )
+    j = ix.selectExpr(
+        "event_type", "idx AS jx", "cs - s AS csj", "cn - n AS cnj"
+    )
+    k = ix.selectExpr("event_type", "idx AS kx", "cs AS csk", "cn AS cnk")
+    ivl = (
+        j.join(k, "event_type")
+        .where(F.col("kx") >= F.col("jx"))
+        .selectExpr(
+            "event_type", "jx", "kx",
+            "CAST(csk - csj AS DOUBLE) / (cnk - cnj) AS m",
+        )
+    )
+    g = ix.select("event_type", F.col("idx").alias("ix_pt"))
+    tmin = (
+        ivl.join(F.broadcast(g), "event_type")
+        .where((F.col("jx") <= F.col("ix_pt")) & (F.col("kx") >= F.col("ix_pt")))
+        .groupBy("event_type", "ix_pt", "jx")
+        .agg(F.min("m").alias("t"))
+    )
+    fit = tmin.groupBy("event_type", F.col("ix_pt").alias("idx")).agg(
+        F.max("t").alias("iso")
+    )
+    return ix.join(fit, ["event_type", "idx"]).select(
+        "event_type", "bin", "n",
+        F.round(F.col("s").cast("double") / F.col("n"), 6).alias(
+            "event_rate"
+        ),
+        F.round(F.col("iso"), 6).alias("isotonic_rate"),
+    )
+
+
+@register(
+    "jackknife_ratio_variance",
+    """
+    WITH u AS (
+      SELECT user_id % 2 AS arm, user_id,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+      FROM u GROUP BY 1
+    ),
+    loo AS (
+      SELECT u.arm,
+             CAST(floor(CAST(g.sy - u.y AS DOUBLE)
+               / nullif(g.sx - u.x, 0) * 1000000.0) AS BIGINT) AS q
+      FROM u JOIN g USING (arm)
+    ),
+    agg AS (
+      SELECT loo.arm, CAST(count(q) AS BIGINT) AS m,
+             CAST(sum(q) AS BIGINT) AS sq,
+             CAST(sum(q * q) AS BIGINT) AS sq2
+      FROM loo GROUP BY 1
+    )
+    SELECT g.arm, g.n AS n_users,
+           round(CAST(g.sy AS DOUBLE) / nullif(g.sx, 0), 6) AS r_ratio,
+           CASE WHEN agg.m > 1 THEN round(sqrt(
+             (CAST(agg.m - 1 AS DOUBLE) / agg.m)
+             * (CAST(agg.sq2 AS DOUBLE)
+                - CAST(agg.sq AS DOUBLE) * agg.sq / agg.m))
+             / 1000000.0, 6) END AS jk_se
+    FROM g JOIN agg ON agg.arm = g.arm
+    """,
+)
+def q_jackknife_ratio_variance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Jackknife standard error of the purchases-per-click ratio
+    estimator per experiment arm — the delete-one resampling variance
+    that handles ratio-of-sums bias where a naive delta method
+    doesn't. The leave-one-user-out ratios come in closed form from
+    the exact integer totals (no m passes), each is floor-quantized
+    to micro-units before the order-insensitive moment sums, and the
+    variance expression is evaluated from identical text on both
+    engines."""
+    ev = _events(spark, sf_dir)
+    u = ev.groupBy((F.col("user_id") % 2).alias("arm"), "user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    g = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    loo = u.join(F.broadcast(g), "arm").selectExpr(
+        "arm",
+        "CAST(floor(CAST(sy - y AS DOUBLE) / nullif(sx - x, 0)"
+        " * 1000000.0) AS BIGINT) AS q",
+    )
+    agg_ = loo.groupBy("arm").agg(
+        F.count("q").cast("long").alias("m"),
+        F.sum("q").cast("long").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sq2"),
+    )
+    return (
+        g.join(agg_, "arm")
+        .selectExpr(
+            "arm", "n AS n_users",
+            "round(CAST(sy AS DOUBLE) / nullif(sx, 0), 6) AS r_ratio",
+            "CASE WHEN m > 1 THEN round(sqrt("
+            "(CAST(m - 1 AS DOUBLE) / m)"
+            " * (CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE) * sq / m))"
+            " / 1000000.0, 6) END AS jk_se",
+        )
+    )
+
+
+_RUNS_TEST_SQL_TAIL = """
+    , med AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN rk = (n + 1) // 2 OR rk = (n + 2) // 2
+                      THEN x ELSE 0 END) AS BIGINT) AS m2x
+      FROM (
+        SELECT event_type, x,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY x, i) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM z
+      ) GROUP BY event_type
+    ),
+    sgn AS (
+      SELECT z.event_type, z.i,
+             CASE WHEN 2 * z.x > med.m2x THEN 1 ELSE -1 END AS s
+      FROM z JOIN med USING (event_type)
+      WHERE 2 * z.x <> med.m2x
+    ),
+    flips AS (
+      SELECT event_type, s,
+             lag(s) OVER (PARTITION BY event_type ORDER BY i) AS prev
+      FROM sgn
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(1 + sum(CASE WHEN prev IS NOT NULL AND s <> prev
+                          THEN 1 ELSE 0 END) AS BIGINT) AS runs
+      FROM flips GROUP BY event_type
+    )
+    SELECT event_type, n1, n2, runs,
+           CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1 THEN
+             round((runs - (1 + 2.0 * n1 * n2 / (n1 + n2)))
+               / nullif(sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                 / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1))),
+                 0), 6) + 0.0 END AS z_stat
+    FROM agg"""
+
+
+@register(
+    "runs_test_hourly_randomness",
+    "WITH" + _type_bucket_scaffold_sql(3600) + _RUNS_TEST_SQL_TAIL,
+)
+def q_runs_test_hourly_randomness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Wald-Wolfowitz runs test on each type's hourly counts vs their
+    median — the nonparametric randomness check that flags clustering
+    or oscillation a mean-based test misses. The median is picked as
+    an exact doubled order statistic (2x median = sum of the two
+    middle ranks, pure integers), ties at the median drop, runs and
+    sign counts are integers, and the z statistic is one fixed
+    expression over those integers on both engines."""
+    z = _type_bucket_scaffold(spark, sf_dir, 3600)
+    wr = W.partitionBy("event_type").orderBy("x", "i")
+    wn = W.partitionBy("event_type")
+    rk = z.select(
+        "event_type", "x", "i",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = rk.groupBy("event_type").agg(
+        F.sum(
+            F.when(
+                (F.col("rk") == F.expr("(n + 1) div 2"))
+                | (F.col("rk") == F.expr("(n + 2) div 2")),
+                F.col("x"),
+            ).otherwise(0)
+        ).cast("long").alias("m2x")
+    )
+    sgn = (
+        z.join(F.broadcast(med), "event_type")
+        .where(2 * F.col("x") != F.col("m2x"))
+        .select(
+            "event_type", "i",
+            F.when(2 * F.col("x") > F.col("m2x"), 1).otherwise(-1).alias("s"),
+        )
+    )
+    flips = sgn.select(
+        "event_type", "s",
+        F.lag("s").over(W.partitionBy("event_type").orderBy("i")).alias(
+            "prev"
+        ),
+    )
+    agg_ = flips.groupBy("event_type").agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull() & (F.col("s") != F.col("prev")),
+                    1,
+                ).otherwise(0)
+            )
+        ).cast("long").alias("runs"),
+    )
+    return agg_.selectExpr(
+        "event_type", "n1", "n2", "runs",
+        "CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1 THEN"
+        " round((runs - (1 + 2.0 * n1 * n2 / (n1 + n2)))"
+        " / nullif(sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)"
+        " / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1))),"
+        " 0), 6) + 0.0 END AS z_stat",
+    )
+
+
+@register(
+    "grubbs_statistic_by_type",
+    """
+    WITH v AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 1000) AS BIGINT) AS vm, value
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(vm) AS BIGINT) AS s,
+             CAST(sum(vm * vm) AS BIGINT) AS ss
+      FROM v GROUP BY 1
+    ),
+    dev AS (
+      SELECT v.event_type, v.event_id, v.value, g.n, g.s, g.ss,
+             abs(g.n * v.vm - g.s) AS adev
+      FROM v JOIN g USING (event_type)
+    ),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+               ORDER BY adev DESC, event_id) AS rk
+      FROM dev
+    )
+    SELECT event_type, n,
+           CASE WHEN n > 1 THEN round(
+             CAST(adev AS DOUBLE) / n / nullif(sqrt(
+               (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)),
+               0), 6) END AS g_stat,
+           round(value, 6) AS outlier_value
+    FROM best WHERE rk = 1
+    """,
+)
+def q_grubbs_statistic_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs extreme-studentized-deviate statistic per event type:
+    G = max|x - mean| / sd over milli-integer value digests, with the
+    argmax row picked by the exact integer deviation |n*v - S| (and
+    event_id tiebreak) so the flagged outlier is engine-identical.
+    One group-by for the exact moments, one broadcast join back, one
+    rank (bounded-magnitude digest contract as trimmed_mean:
+    |value|*1e3 and its square-times-n must fit BIGINT)."""
+    ev = _events(spark, sf_dir)
+    v = ev.where(F.col("value").isNotNull()).select(
+        "event_type", "event_id", "value",
+        F.floor(F.col("value") * 1000).cast("long").alias("vm"),
+    )
+    g = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("vm").cast("long").alias("s"),
+        F.sum(F.col("vm") * F.col("vm")).cast("long").alias("ss"),
+    )
+    dev = v.join(F.broadcast(g), "event_type").select(
+        "event_type", "event_id", "value", "n", "s", "ss",
+        F.abs(F.col("n") * F.col("vm") - F.col("s")).alias("adev"),
+    )
+    best = dev.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy(
+                F.col("adev").desc(), "event_id"
+            )
+        ),
+    ).where(F.col("rk") == 1)
+    return best.selectExpr(
+        "event_type", "n",
+        "CASE WHEN n > 1 THEN round("
+        "CAST(adev AS DOUBLE) / n / nullif(sqrt("
+        "(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)),"
+        " 0), 6) END AS g_stat",
+        "round(value, 6) AS outlier_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 late batch 3: graph extensions (Adamic-Adar, power-law alpha MLE,
+# label-propagation communities, integer-exact bipartite HITS).
+# ---------------------------------------------------------------------------
+
+_HASH_GRAPH_SQL = """
+    raw AS (
+      SELECT user_id % 997 AS a, event_id % 997 AS b
+      FROM events WHERE event_id % 10 = 0
+    ),
+    und AS (
+      SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
+      FROM raw WHERE a <> b
+    ),
+    adj AS (
+      SELECT lo AS a, hi AS b FROM und
+      UNION ALL SELECT hi AS a, lo AS b FROM und
+    ),
+    deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+            FROM adj GROUP BY 1)"""
+
+
+def _hash_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic hash graph shared with triangle/jaccard ops."""
+    ev = _events(spark, sf_dir).filter(F.col("event_id") % 10 == 0)
+    return ev.select(
+        (F.col("user_id") % 997).alias("src"),
+        (F.col("event_id") % 997).alias("dst"),
+    )
+
+
+@register(
+    "graph_adamic_adar_topk",
+    "WITH"
+    + _HASH_GRAPH_SQL
+    + """,
+    wgt AS (
+      SELECT node AS w, deg,
+             CAST(floor(1000000.0 / ln(CAST(deg AS DOUBLE))) AS BIGINT)
+               AS q
+      FROM deg WHERE deg >= 2
+    ),
+    mid AS (
+      SELECT adj.b AS w, wgt.q, adj.a AS u
+      FROM adj JOIN wgt ON wgt.w = adj.b
+    ),
+    cn AS (
+      SELECT l.u AS u, r.u AS v,
+             CAST(count(*) AS BIGINT) AS n_common,
+             CAST(sum(l.q) AS BIGINT) AS aa_micro
+      FROM mid l JOIN mid r ON l.w = r.w AND l.u < r.u
+      GROUP BY 1, 2
+    ),
+    nonadj AS (
+      SELECT u, v, n_common, aa_micro FROM cn
+      WHERE NOT EXISTS (
+        SELECT 1 FROM und WHERE und.lo = cn.u AND und.hi = cn.v
+      )
+    )
+    SELECT CAST(row_number() OVER (ORDER BY aa_micro DESC, u, v)
+                AS BIGINT) AS rank,
+           CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+           n_common, aa_micro,
+           round(CAST(aa_micro AS DOUBLE) / 1000000.0, 6) AS aa_score
+    FROM nonadj
+    QUALIFY row_number() OVER (ORDER BY aa_micro DESC, u, v) <= 10
+    """,
+)
+def q_graph_adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction top-10 on the shared hash graph —
+    the hub-downweighted upgrade of the Jaccard ranker. The per-middle
+    weight 1/ln(deg) is floor-quantized once to micro-units, so pair
+    scores are exact BIGINT sums and the (score, u, v) order is
+    engine-stable by construction (operators/graph.py
+    adamic_adar_link_scores)."""
+    from eventstreamml_spark.operators.graph import adamic_adar_link_scores
+
+    return adamic_adar_link_scores(
+        _hash_graph_edges(spark, sf_dir), top_k=10
+    )
+
+
+@register(
+    "graph_degree_powerlaw_alpha",
+    "WITH"
+    + _HASH_GRAPH_SQL
+    + """,
+    tail AS (
+      SELECT deg,
+             CAST(floor(ln(CAST(deg AS DOUBLE) / 1.5) * 1000000.0)
+               AS BIGINT) AS q
+      FROM deg WHERE deg >= 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_tail,
+           CAST(max(deg) AS BIGINT) AS max_degree,
+           round(1 + CAST(count(*) AS DOUBLE)
+                 / (CAST(sum(q) AS DOUBLE) / 1000000.0), 6) AS alpha_mle
+    FROM tail
+    """,
+)
+def q_graph_degree_powerlaw_alpha(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Power-law exponent of the degree distribution by the continuous
+    Clauset-Shalizi-Newman MLE with d_min=2 (alpha = 1 + n / sum
+    ln(d/(d_min - 1/2))) — the heavy-tail audit that decides whether
+    hub-capping (max_hub_degree, salting) is needed before the wedge
+    joins. Per-node ln terms are floor-quantized to micro-units, so
+    the sum is exact BIGINT and alpha is one identical expression."""
+    from eventstreamml_spark.operators.graph import canonical_edges
+
+    und = canonical_edges(_hash_graph_edges(spark, sf_dir))
+    adj = und.select(F.col("lo").alias("a")).unionAll(
+        und.select(F.col("hi").alias("a"))
+    )
+    deg = adj.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    tail = deg.where(F.col("deg") >= 2).selectExpr(
+        "deg",
+        "CAST(floor(ln(CAST(deg AS DOUBLE) / 1.5) * 1000000.0) AS BIGINT)"
+        " AS q",
+    )
+    return tail.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+        F.max("deg").cast("long").alias("max_degree"),
+        F.round(
+            1
+            + F.count(F.lit(1)).cast("double")
+            / (F.sum("q").cast("double") / F.lit(1000000.0)),
+            6,
+        ).alias("alpha_mle"),
+    )
+
+
+def _lpa_round_sql(r: int) -> str:
+    prev = "l0" if r == 1 else f"l{r - 1}"
+    return f"""
+    nb{r} AS (
+      SELECT adj.a AS node, p.lab
+      FROM adj JOIN {prev} p ON p.node = adj.b
+    ),
+    cnt{r} AS (
+      SELECT node, lab, count(*) AS c FROM nb{r} GROUP BY 1, 2
+    ),
+    l{r} AS (
+      SELECT node, lab FROM cnt{r}
+      QUALIFY row_number() OVER (PARTITION BY node
+        ORDER BY c DESC, lab) = 1
+    )"""
+
+
+@register(
+    "graph_label_propagation_sizes",
+    "WITH"
+    + _HASH_GRAPH_SQL
+    + """,
+    l0 AS (SELECT DISTINCT a AS node, a AS lab FROM adj),"""
+    + ",".join(_lpa_round_sql(r) for r in (1, 2, 3))
+    + """,
+    comm AS (SELECT lab, CAST(count(*) AS BIGINT) AS size
+             FROM l3 GROUP BY 1)
+    SELECT size, CAST(count(*) AS BIGINT) AS n_communities,
+           CAST(sum(size) AS BIGINT) AS n_nodes
+    FROM comm GROUP BY size
+    """,
+)
+def q_graph_label_propagation_sizes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Community-size histogram after 3 synchronous label-propagation
+    sweeps on the hash graph — the cheap community detector (one
+    equi-join + rank per sweep, O(E) per round, no modularity math).
+    Sync updates with (count DESC, label ASC) ties make every sweep
+    deterministic, so the final partition is engine-identical
+    (operators/graph.py label_propagation)."""
+    from eventstreamml_spark.operators.graph import label_propagation
+
+    lab = label_propagation(_hash_graph_edges(spark, sf_dir), rounds=3)
+    comm = lab.groupBy("lab").agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    )
+    return comm.groupBy("size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.sum("size").cast("long").alias("n_nodes"),
+    )
+
+
+@register(
+    "graph_hits_bipartite",
+    """
+    WITH e AS (
+      SELECT DISTINCT user_id AS u, event_type AS t FROM events
+    ),
+    auth1 AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS a1 FROM e GROUP BY 1
+    ),
+    hub1 AS (
+      SELECT e.u, CAST(sum(auth1.a1) AS BIGINT) AS h1
+      FROM e JOIN auth1 USING (t) GROUP BY 1
+    ),
+    auth2 AS (
+      SELECT e.t, CAST(sum(hub1.h1) AS BIGINT) AS a2
+      FROM e JOIN hub1 USING (u) GROUP BY 1
+    )
+    SELECT auth1.t AS event_type, auth1.a1 AS auth_round1,
+           auth2.a2 AS auth_round2,
+           round(CAST(auth2.a2 AS DOUBLE)
+                 / (SELECT CAST(sum(a2) AS DOUBLE) FROM auth2), 6)
+             AS auth_share
+    FROM auth1 JOIN auth2 ON auth2.t = auth1.t
+    """,
+)
+def q_graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities on the user-by-event-type bipartite
+    graph, run UN-normalized so every iteration stays in exact BIGINT
+    (authority = sum of member hub scores, hub = sum of touched
+    authority scores; the usual L1 normalization is deferred to one
+    final exact-integer ratio) — no float accumulation order anywhere,
+    the reason distributed HITS usually can't be hash-verified."""
+    ev = _events(spark, sf_dir)
+    e = ev.select(F.col("user_id").alias("u"), F.col("event_type").alias("t")).distinct()
+    auth1 = e.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("a1"))
+    hub1 = (
+        e.join(F.broadcast(auth1), "t")
+        .groupBy("u")
+        .agg(F.sum("a1").cast("long").alias("h1"))
+    )
+    auth2 = e.join(hub1, "u").groupBy("t").agg(
+        F.sum("h1").cast("long").alias("a2")
+    )
+    tot = auth2.agg(F.sum("a2").cast("double").alias("_tot"))
+    return (
+        auth1.join(auth2, "t")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("a1").alias("auth_round1"),
+            F.col("a2").alias("auth_round2"),
+            F.round(F.col("a2").cast("double") / F.col("_tot"), 6).alias(
+                "auth_share"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 late batch 4: embedding-space audits (JL projection distortion,
+# Matryoshka prefix quality, k-means elbow inertia, ANN recall-at-k).
+# ---------------------------------------------------------------------------
+
+
+def _jl_signs(n_proj: int = 8, dim: int = 64) -> list[list[int]]:
+    """Deterministic Rademacher ±1 sign matrix from md5 — shared by the
+    Spark projection text and the DuckDB oracle text."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"jl-{k}-{j}".encode()).hexdigest()[:2], 16)
+            % 2
+            == 0
+            else -1
+            for j in range(dim)
+        ]
+        for k in range(n_proj)
+    ]
+
+
+def _jl_proj_terms(signs_row: list[int], idx) -> str:
+    """One projection as a fixed-order chain of ±1.0 * v[i] terms;
+    ``idx`` maps dimension j to the engine's array subscript."""
+    return " + ".join(
+        f"({float(s)!r} * v[{idx(j)}])" for j, s in enumerate(signs_row)
+    )
+
+
+def _jl_distortion_sql() -> str:
+    signs = _jl_signs()
+    projs = ",\n             ".join(
+        f"({_jl_proj_terms(row, lambda j: j + 1)}) AS p{k}"
+        for k, row in enumerate(signs)
+    )
+    pp = " + ".join(f"(p{k} * p{k})" for k in range(len(signs)))
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    pr AS (
+      SELECT vec_id, list_dot_product(v, v) AS nn,
+             {projs}
+      FROM e
+    ),
+    r AS (
+      SELECT vec_id, ({pp}) / 8.0 / nn AS ratio
+      FROM pr WHERE nn > 0
+    )
+    SELECT least(CAST(floor(ratio * 8.0) AS BIGINT), 32) AS bin,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(min(ratio), 6) + 0.0 AS min_ratio,
+           round(max(ratio), 6) + 0.0 AS max_ratio
+    FROM r GROUP BY 1
+    """
+
+
+@register("embedding_jl_distortion", _jl_distortion_sql())
+def q_embedding_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss distortion audit: project every embedding
+    64 -> 8 dims with a fixed Rademacher ±1 matrix and histogram the
+    norm-preservation ratio (||Pv||²/m)/||v||² — the check that a
+    cheap random projection (the front door to sketched ANN /
+    clustering) preserves geometry on THIS corpus. The sign matrix is
+    md5-derived and folded into the plan as literal SQL text (pq_encode
+    codegen lesson: one parse, no py4j tree walk, whole-stage codegen);
+    every projection is a fixed-order ±v[i] chain, so ratios are
+    engine-identical."""
+    signs = _jl_signs()
+    base = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "CAST(embedding AS array<double>) AS v"
+    )
+    projs = [
+        f"({_jl_proj_terms(row, lambda j: j)}) AS p{k}"
+        for k, row in enumerate(signs)
+    ]
+    nn = (
+        "aggregate(zip_with(v, v, (x, y) -> x * y),"
+        " cast(0.0 as double), (acc, z) -> acc + z)"
+    )
+    pr = base.selectExpr("vec_id", f"{nn} AS nn", *projs)
+    pp = " + ".join(f"(p{k} * p{k})" for k in range(len(signs)))
+    r = pr.where(F.col("nn") > 0).selectExpr(
+        "vec_id", f"({pp}) / 8.0 / nn AS ratio"
+    )
+    return r.groupBy(
+        F.least(
+            F.floor(F.col("ratio") * 8.0).cast("long"), F.lit(32)
+        ).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        (F.round(F.min("ratio"), 6) + F.lit(0.0)).alias("min_ratio"),
+        (F.round(F.max("ratio"), 6) + F.lit(0.0)).alias("max_ratio"),
+    )
+
+
+_MATRYOSHKA_KS = (4, 8, 16, 64)
+
+
+def _matryoshka_sql() -> str:
+    def dotk(a: str, b: str, k: int) -> str:
+        return f"list_dot_product({a}[1:{k}], {b}[1:{k}])"
+
+    per_k = "\n      UNION ALL\n".join(
+        f"""      SELECT {k} AS k,
+             {dotk('va', 'vb', k)} AS d,
+             {dotk('va', 'va', k)} AS na,
+             {dotk('vb', 'vb', k)} AS nb,
+             cos_full
+      FROM pairs"""
+        for k in _MATRYOSHKA_KS
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.v AS va, b.v AS vb,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) AS cos_full
+      FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id % 2 = 0
+        AND list_dot_product(a.v, a.v) > 0
+        AND list_dot_product(b.v, b.v) > 0
+    ),
+    sl AS (
+{per_k}
+    ),
+    cosk AS (
+      SELECT k, d / (sqrt(na) * sqrt(nb)) AS cos_k, cos_full
+      FROM sl WHERE na > 0 AND nb > 0
+    ),
+    qn AS (
+      SELECT k,
+             CAST(floor(cos_k * 1000000.0) AS BIGINT) AS q,
+             CASE WHEN (cos_k > 0) = (cos_full > 0) THEN 1 ELSE 0 END
+               AS agree
+      FROM cosk
+    )
+    SELECT CAST(k AS BIGINT) AS prefix_dim,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(sum(q) AS DOUBLE) / count(*) / 1000000.0, 6) + 0.0
+             AS mean_cos,
+           round(CAST(sum(agree) AS DOUBLE) / count(*), 6) AS sign_agree
+    FROM qn GROUP BY k
+    """
+
+
+@register("embedding_matryoshka_prefix_quality", _matryoshka_sql())
+def q_embedding_matryoshka_prefix_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka-style prefix-dimension quality: over deterministic
+    consecutive vector pairs, how well does cosine at prefix dims
+    4/8/16 agree with full-dim cosine (mean prefix cosine + sign
+    agreement) — the audit that decides whether truncated embeddings
+    are safe for the cheap first-pass retrieval tier. Prefix dots are
+    the same fixed-order fold as the full-dim twin; per-pair cosines
+    floor-quantize to micro-units before the cross-pair mean."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
+    b = e.selectExpr("vec_id - 1 AS vec_id", "v AS v2")
+
+    def dot_sql(a: str, bb: str, k: int | None) -> str:
+        sa = a if k is None else f"slice({a}, 1, {k})"
+        sb = bb if k is None else f"slice({bb}, 1, {k})"
+        return (
+            f"aggregate(zip_with({sa}, {sb}, (x, y) -> x * y),"
+            " cast(0.0 as double), (acc, z) -> acc + z)"
+        )
+
+    pairs = (
+        e.where(F.col("vec_id") % 2 == 0)
+        .join(b, "vec_id")
+        .selectExpr(
+            "v AS va", "v2 AS vb",
+            f"{dot_sql('v', 'v2', None)} AS dfull",
+            f"{dot_sql('v', 'v', None)} AS nfa",
+            f"{dot_sql('v2', 'v2', None)} AS nfb",
+        )
+        .where("nfa > 0 AND nfb > 0")
+        .selectExpr(
+            "va", "vb", "dfull / (sqrt(nfa) * sqrt(nfb)) AS cos_full"
+        )
+    )
+    structs = ", ".join(
+        f"struct({k} AS k, {dot_sql('va', 'vb', k)} AS d,"
+        f" {dot_sql('va', 'va', k)} AS na,"
+        f" {dot_sql('vb', 'vb', k)} AS nb)"
+        for k in _MATRYOSHKA_KS
+    )
+    sl = pairs.selectExpr(
+        "cos_full", f"explode(array({structs})) AS s"
+    ).selectExpr("s.k AS k", "s.d AS d", "s.na AS na", "s.nb AS nb", "cos_full")
+    qn = sl.where("na > 0 AND nb > 0").selectExpr(
+        "k",
+        "CAST(floor(d / (sqrt(na) * sqrt(nb)) * 1000000.0) AS BIGINT) AS q",
+        "CASE WHEN (d / (sqrt(na) * sqrt(nb)) > 0) = (cos_full > 0)"
+        " THEN 1 ELSE 0 END AS agree",
+    )
+    return qn.groupBy(F.col("k").cast("long").alias("prefix_dim")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        (
+            F.round(
+                F.sum("q").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1000000.0),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("mean_cos"),
+        F.round(
+            F.sum("agree").cast("double") / F.count(F.lit(1)), 6
+        ).alias("sign_agree"),
+    )
+
+
+def _elbow_centroids() -> dict[int, list[list[float]]]:
+    """Fixed seeded centroid sets for k in {2, 4, 8} (the
+    ann_ivf_fixed_centroids twin discipline: the data-dependent fit is
+    unit-tested; the hash-checked query replays the distance math)."""
+    from eventstreamml_spark.operators.similarity import _hyperplanes
+
+    return {k: _hyperplanes(64, k, 40 + k) for k in (2, 4, 8)}
+
+
+def _elbow_dist_exprs(idx) -> dict[int, str]:
+    """Per-k min-distance expression text; ``idx`` maps dim j to the
+    engine's array subscript."""
+    out = {}
+    for k, cents in sorted(_elbow_centroids().items()):
+        dists = []
+        for cent in cents:
+            terms = " + ".join(
+                f"((v[{idx(j)}] - {float(cent[j])!r})"
+                f" * (v[{idx(j)}] - {float(cent[j])!r}))"
+                for j in range(len(cent))
+            )
+            dists.append(f"({terms})")
+        out[k] = f"least({', '.join(dists)})"
+    return out
+
+
+def _elbow_oracle_sql() -> str:
+    exprs = _elbow_dist_exprs(lambda j: j + 1)
+    per_k = "\n      UNION ALL\n".join(
+        f"""      SELECT {k} AS k,
+             CAST(floor(({e}) * 1000000.0) AS BIGINT) AS q
+      FROM e"""
+        for k, e in sorted(exprs.items())
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    d AS (
+{per_k}
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(q) AS BIGINT) AS inertia_micro,
+           round(CAST(sum(q) AS DOUBLE) / count(*) / 1000000.0, 6)
+             AS mean_dist2
+    FROM d GROUP BY k
+    """
+
+
+@register("kmeans_elbow_inertia", _elbow_oracle_sql())
+def q_kmeans_elbow_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means elbow audit: total within-cluster inertia (sum of
+    min squared distances) against fixed seeded centroid sets for
+    k = 2/4/8 — the one-pass readout that picks the cluster count
+    before an expensive IVF/quantizer fit. The centroid literals fold
+    into generated SQL text (pq_encode codegen lesson); per-vector
+    minima are least() over identical fixed-order distance chains and
+    floor-quantize to micro-units, so the inertia is an exact BIGINT
+    on both engines. Pure projection + one group-by: embarrassingly
+    parallel at any corpus size."""
+    exprs = _elbow_dist_exprs(lambda j: j)
+    base = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "CAST(embedding AS array<double>) AS v"
+    )
+    structs = ", ".join(
+        f"struct({k} AS k,"
+        f" CAST(floor(({e}) * 1000000.0) AS BIGINT) AS q)"
+        for k, e in sorted(exprs.items())
+    )
+    d = base.selectExpr(f"explode(array({structs})) AS s").selectExpr(
+        "s.k AS k", "s.q AS q"
+    )
+    return d.groupBy(F.col("k").cast("long").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("q").cast("long").alias("inertia_micro"),
+        F.round(
+            F.sum("q").cast("double") / F.count(F.lit(1)) / F.lit(1000000.0),
+            6,
+        ).alias("mean_dist2"),
+    )
+
+
+def _ann_recall_oracle_sql() -> str:
+    from eventstreamml_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 6, 42)
+    bits = " + ".join(
+        "(CASE WHEN list_dot_product(v, [{}]) > 0 THEN {} ELSE 0 END)".format(
+            ", ".join(repr(float(x)) for x in plane), 1 << p
+        )
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, {bits} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM e WHERE vec_id % 199 = 0),
+    truth AS (
+      SELECT q.vec_id AS qid, c.vec_id AS nid
+      FROM q JOIN e c ON c.vec_id <> q.vec_id
+      QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY list_dot_product(q.v, c.v)
+          / (sqrt(list_dot_product(q.v, q.v))
+             * sqrt(list_dot_product(c.v, c.v))) DESC, c.vec_id) <= 10
+    ),
+    cand AS (
+      SELECT q.vec_id AS qid, c.vec_id AS nid,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))) AS cos
+      FROM q JOIN e c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    ),
+    ncand AS (
+      SELECT qid, CAST(count(*) AS BIGINT) AS n_candidates FROM cand
+      GROUP BY 1
+    ),
+    lshtop AS (
+      SELECT qid, nid FROM cand
+      QUALIFY row_number() OVER (PARTITION BY qid
+        ORDER BY cos DESC, nid) <= 10
+    ),
+    hits AS (
+      SELECT t.qid, CAST(count(l.nid) AS BIGINT) AS n_hits
+      FROM truth t LEFT JOIN lshtop l
+        ON l.qid = t.qid AND l.nid = t.nid
+      GROUP BY 1
+    )
+    SELECT hits.qid AS query_id,
+           coalesce(ncand.n_candidates, 0) AS n_candidates,
+           hits.n_hits,
+           round(CAST(hits.n_hits AS DOUBLE) / 10.0, 6) AS recall_at_10
+    FROM hits LEFT JOIN ncand ON ncand.qid = hits.qid
+    """
+
+
+@register("ann_lsh_recall_at_k", _ann_recall_oracle_sql())
+def q_ann_lsh_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the hyperplane-LSH index against brute-force
+    cosine ground truth on a deterministic ~0.5% query sample — the
+    audit every approximate index ships with (dedup_lsh_recall_audit's
+    twin for the ANN path). Ground truth broadcasts the tiny query
+    side against the corpus (the exact-baseline shape of
+    ann_cosine_topk); the LSH side reuses the identical literal
+    hyperplanes as the production index; both rankings tiebreak on
+    neighbor id so hit counts are exact integers."""
+    from eventstreamml_spark.operators.similarity import (
+        _hyperplanes,
+        hyperplane_bucket,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _hyperplanes(64, 6, 42)
+    e = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        hyperplane_bucket(
+            F.col("embedding").cast("array<double>"), planes
+        ).alias("bucket"),
+    )
+    qs = e.where(F.col("vec_id") % 199 == 0).selectExpr(
+        "vec_id AS qid", "v AS qv", "bucket AS qbucket"
+    )
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, r: p * r),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    cos = (
+        dot(F.col("qv"), F.col("v"))
+        / (
+            F.sqrt(dot(F.col("qv"), F.col("qv")))
+            * F.sqrt(dot(F.col("v"), F.col("v")))
+        )
+    ).alias("cos")
+    wq = W.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
+    truth = (
+        F.broadcast(qs)
+        .crossJoin(e)
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cos)
+        .withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= 10)
+        .selectExpr("qid", "vec_id AS nid")
+    )
+    cand = (
+        F.broadcast(qs)
+        .join(e, qs["qbucket"] == e["bucket"])
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cos)
+    )
+    ncand = cand.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    lshtop = (
+        cand.withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= 10)
+        .selectExpr("qid", "vec_id AS nid")
+    )
+    hits = (
+        truth.join(
+            lshtop.withColumn("_hit", F.lit(1)), ["qid", "nid"], "left"
+        )
+        .groupBy("qid")
+        .agg(F.count("_hit").cast("long").alias("n_hits"))
+    )
+    return (
+        hits.join(ncand, "qid", "left")
+        .selectExpr(
+            "qid AS query_id",
+            "coalesce(n_candidates, CAST(0 AS BIGINT)) AS n_candidates",
+            "n_hits",
+            "round(CAST(n_hits AS DOUBLE) / 10.0, 6) AS recall_at_10",
+        )
+    )
