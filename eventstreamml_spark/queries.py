@@ -18793,3 +18793,637 @@ def q_ann_lsh_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round(CAST(n_hits AS DOUBLE) / 10.0, 6) AS recall_at_10",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 late batch 5: tail-risk / information / robust-location / policy
+# replay (Gumbel block maxima, Markov entropy rate, lognormal GOF, Huber
+# M-estimator, deterministic epsilon-greedy bandit replay).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "extreme_value_gumbel_fit",
+    """
+    WITH bm AS (
+      SELECT o_orderpriority,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+             CAST(max(CAST(floor(o_totalprice) AS BIGINT))
+               AS BIGINT) AS mx
+      FROM orders GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(mx) AS BIGINT) AS s,
+             CAST(sum(mx * mx) AS BIGINT) AS ss
+      FROM bm GROUP BY 1
+    ),
+    fit AS (
+      SELECT o_orderpriority, n,
+             CAST(s AS DOUBLE) / n AS mean_max,
+             sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                  / (n - 1)) AS sd_max
+      FROM g WHERE n > 1
+    ),
+    p AS (
+      SELECT o_orderpriority, n, mean_max,
+             sd_max * 0.7796968012336761 AS beta
+      FROM fit
+    )
+    SELECT o_orderpriority, n AS n_blocks,
+           round(mean_max - 0.5772156649015329
+                 * beta, 6) AS gumbel_mu,
+           round(beta, 6) AS gumbel_beta,
+           round((mean_max - 0.5772156649015329 * beta)
+                 + beta * 2.2503673273124454, 6) AS return_level_10
+    FROM p
+    """,
+)
+def q_extreme_value_gumbel_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel extreme-value fit on daily block maxima of order value
+    per priority class (method of moments: beta = sd*sqrt(6)/pi, mu =
+    mean - gamma*beta) plus the 10-block return level — the tail-risk
+    readout (what daily maximum do we exceed once per 10 days?).
+    Block maxima digest as exact whole-unit integers (milli-units
+    would overflow the BIGINT square-sum over the 2400-day block
+    span), the moments are
+    ratios of BIGINT sums, and sqrt(6)/pi / Euler-gamma / the return-
+    level factor -ln(-ln(0.9)) enter as shared decimal literals, so
+    both engines evaluate one identical expression chain."""
+    orders = load_table(spark, sf_dir, "orders")
+    us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    step = F.lit(86400 * 1_000_000)
+    bm = orders.groupBy(
+        "o_orderpriority",
+        ((us - F.pmod(us, step)) / step).cast("long").alias("day"),
+    ).agg(
+        F.max(F.floor(F.col("o_totalprice")).cast("long"))
+        .cast("long")
+        .alias("mx")
+    )
+    g = bm.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("mx").cast("long").alias("s"),
+        F.sum(F.col("mx") * F.col("mx")).cast("long").alias("ss"),
+    )
+    fit = g.where(F.col("n") > 1).selectExpr(
+        "o_orderpriority", "n",
+        "CAST(s AS DOUBLE) / n AS mean_max",
+        "sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)"
+        " / (n - 1)) AS sd_max",
+    )
+    p = fit.selectExpr(
+        "o_orderpriority", "n", "mean_max",
+        "sd_max * 0.7796968012336761 AS beta",
+    )
+    return p.selectExpr(
+        "o_orderpriority", "n AS n_blocks",
+        "round(mean_max - 0.5772156649015329 * beta, 6) AS gumbel_mu",
+        "round(beta, 6) AS gumbel_beta",
+        "round((mean_max - 0.5772156649015329 * beta)"
+        " + beta * 2.2503673273124454, 6) AS return_level_10",
+    )
+
+
+@register(
+    "markov_entropy_rate",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+               AS nxt
+      FROM events
+    ),
+    t AS (
+      SELECT event_type AS src, nxt AS dst, CAST(count(*) AS BIGINT) AS c
+      FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT src, CAST(sum(c) AS BIGINT) AS row_n FROM t GROUP BY 1
+    ),
+    q AS (
+      SELECT t.src, t.c, m.row_n,
+             CAST(floor(-(CAST(t.c AS DOUBLE) / m.row_n)
+               * ln(CAST(t.c AS DOUBLE) / m.row_n)
+               / 0.6931471805599453 * 1000000.0) AS BIGINT) AS hq
+      FROM t JOIN m USING (src)
+    ),
+    h AS (
+      SELECT src, max(row_n) AS row_n,
+             CAST(sum(hq) AS BIGINT) AS h_micro
+      FROM q GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(row_n) AS BIGINT) AS n_total FROM m)
+    SELECT h.src AS from_type, CAST(h.row_n AS BIGINT) AS n_out,
+           round(CAST(h.h_micro AS DOUBLE) / 1000000.0, 6)
+             AS h_cond_bits,
+           round(CAST(h.row_n AS DOUBLE) / tot.n_total
+                 * (CAST(h.h_micro AS DOUBLE) / 1000000.0), 6)
+             AS weighted_bits
+    FROM h CROSS JOIN tot
+    """,
+)
+def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the per-user event-type Markov chain: the
+    conditional next-event entropy H(next | current) per source state
+    in bits, plus its empirical-weight contribution — how predictable
+    the event stream is (the number that bounds any next-event model's
+    log-loss). Transition probabilities are exact integer ratios; each
+    -p*log2(p) term floor-quantizes to micro-units before the
+    order-insensitive per-state sum (ln2 as a shared literal)."""
+    ev = _events(spark, sf_dir)
+    o = ev.select(
+        "event_type",
+        F.lead("event_type")
+        .over(
+            W.partitionBy("user_id").orderBy(
+                F.expr("CAST(floor(unix_micros(cast(ts as timestamp))"
+                       " / 1e6) AS BIGINT)"),
+                "event_id",
+            )
+        )
+        .alias("nxt"),
+    )
+    t = (
+        o.where(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    m = t.groupBy("src").agg(F.sum("c").cast("long").alias("row_n"))
+    qd = t.join(F.broadcast(m), "src").selectExpr(
+        "src",
+        "CAST(floor(-(CAST(c AS DOUBLE) / row_n)"
+        " * ln(CAST(c AS DOUBLE) / row_n)"
+        " / 0.6931471805599453 * 1000000.0) AS BIGINT) AS hq",
+        "row_n",
+    )
+    h = qd.groupBy("src").agg(
+        F.max("row_n").alias("row_n"),
+        F.sum("hq").cast("long").alias("h_micro"),
+    )
+    tot = m.agg(F.sum("row_n").cast("long").alias("n_total"))
+    return h.crossJoin(F.broadcast(tot)).selectExpr(
+        "src AS from_type",
+        "CAST(row_n AS BIGINT) AS n_out",
+        "round(CAST(h_micro AS DOUBLE) / 1000000.0, 6) AS h_cond_bits",
+        "round(CAST(row_n AS DOUBLE) / n_total"
+        " * (CAST(h_micro AS DOUBLE) / 1000000.0), 6) AS weighted_bits",
+    )
+
+
+@register(
+    "lognormal_fit_ks_by_type",
+    """
+    WITH v AS (
+      SELECT event_type, value,
+             CAST(floor(ln(value) * 1000000.0) AS BIGINT) AS lq
+      FROM events WHERE value IS NOT NULL AND value > 0
+    ),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(lq) AS BIGINT) AS s,
+             CAST(sum(lq * lq) AS BIGINT) AS ss
+      FROM v GROUP BY 1
+    ),
+    fit AS (
+      SELECT event_type, n,
+             CAST(s AS DOUBLE) / n / 1000000.0 AS mu,
+             sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                  / (n - 1)) / 1000000.0 AS sigma
+      FROM g WHERE n > 1
+    ),
+    grid AS (
+      SELECT CAST(unnest([1, 2, 5, 10, 20, 50, 100, 200, 500])
+               AS BIGINT) AS gx
+    ),
+    emp AS (
+      SELECT v.event_type, grid.gx,
+             CAST(sum(CASE WHEN v.value <= gx THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_le
+      FROM v CROSS JOIN grid GROUP BY 1, 2
+    ),
+    ks AS (
+      SELECT emp.event_type, emp.gx,
+             abs(CAST(emp.n_le AS DOUBLE) / fit.n
+                 - 1.0 / (1.0 + exp(-1.702
+                     * ((ln(CAST(emp.gx AS DOUBLE)) - fit.mu)
+                        / nullif(fit.sigma, 0))))) AS d
+      FROM emp JOIN fit USING (event_type)
+    )
+    SELECT ks.event_type, fit.n, round(fit.mu, 6) AS mu,
+           round(fit.sigma, 6) AS sigma,
+           round(max(ks.d), 6) AS ks_grid_stat
+    FROM ks JOIN fit USING (event_type)
+    GROUP BY ks.event_type, fit.n, fit.mu, fit.sigma
+    """,
+)
+def q_lognormal_fit_ks_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lognormal goodness-of-fit per event type: moment-fit mu/sigma on
+    ln(value) plus a fixed-grid KS distance between the empirical CDF
+    and the fitted CDF at 9 literal probe values — the distributional
+    audit behind pricing/latency models. ln terms floor-quantize to
+    micro-units (moments become exact BIGINT sums); the model CDF uses
+    the engine-shared logistic surrogate 1/(1+exp(-1.702 z)) (the
+    bayes_ab/ztest contract — the surrogate IS the spec); the KS max
+    runs over a FIXED literal grid, never a data-derived one (round-5
+    KS grid lesson)."""
+    ev = _events(spark, sf_dir)
+    v = ev.where(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+    ).selectExpr(
+        "event_type", "value",
+        "CAST(floor(ln(value) * 1000000.0) AS BIGINT) AS lq",
+    )
+    g = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("lq").cast("long").alias("s"),
+        F.sum(F.col("lq") * F.col("lq")).cast("long").alias("ss"),
+    )
+    fit = g.where(F.col("n") > 1).selectExpr(
+        "event_type", "n",
+        "CAST(s AS DOUBLE) / n / 1000000.0 AS mu",
+        "sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)"
+        " / (n - 1)) / 1000000.0 AS sigma",
+    )
+    grid = spark.range(1).selectExpr(
+        "explode(array(1, 2, 5, 10, 20, 50, 100, 200, 500)) AS gx"
+    ).selectExpr("CAST(gx AS BIGINT) AS gx")
+    emp = (
+        v.crossJoin(F.broadcast(grid))
+        .groupBy("event_type", "gx")
+        .agg(
+            F.sum(F.when(F.col("value") <= F.col("gx"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_le")
+        )
+    )
+    ks = emp.join(F.broadcast(fit), "event_type").selectExpr(
+        "event_type", "n", "mu", "sigma",
+        "abs(CAST(n_le AS DOUBLE) / n"
+        " - 1.0 / (1.0 + exp(-1.702"
+        " * ((ln(CAST(gx AS DOUBLE)) - mu) / nullif(sigma, 0))))) AS d",
+    )
+    return ks.groupBy("event_type", "n", "mu", "sigma").agg(
+        F.round(F.max("d"), 6).alias("ks_grid_stat")
+    ).selectExpr(
+        "event_type", "n", "round(mu, 6) AS mu",
+        "round(sigma, 6) AS sigma", "ks_grid_stat",
+    )
+
+
+_HUBER_ITER_SQL = """
+    it{K} AS (
+      SELECT v.event_type,
+             CAST(sum(CASE WHEN abs(2 * v.vm - {PREV}.m2) <= {PREV}.thr
+                      THEN 1000000
+                      ELSE CAST(floor(1000000.0 * {PREV}.thr
+                             / abs(2 * v.vm - {PREV}.m2)) AS BIGINT) END)
+               AS BIGINT) AS sw,
+             CAST(sum(CASE WHEN abs(2 * v.vm - {PREV}.m2) <= {PREV}.thr
+                      THEN 1000000 * v.vm
+                      ELSE CAST(floor(1000000.0 * {PREV}.thr
+                             / abs(2 * v.vm - {PREV}.m2)) AS BIGINT)
+                           * v.vm END) AS BIGINT) AS swx
+      FROM v JOIN {PREV} USING (event_type)
+      GROUP BY 1
+    ),
+    st{K} AS (
+      SELECT it{K}.event_type,
+             2.0 * (CAST(it{K}.swx AS DOUBLE) / it{K}.sw) AS m2,
+             {PREV}.thr
+      FROM it{K} JOIN {PREV} USING (event_type)
+    )"""
+
+
+def _huber_oracle_sql() -> str:
+    iters = "".join(
+        "," + _HUBER_ITER_SQL.format(K=k, PREV=f"st{k - 1}")
+        for k in (1, 2)
+    )
+    return f"""
+    WITH v AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 1000) AS BIGINT) AS vm
+      FROM events WHERE value IS NOT NULL
+    ),
+    rk AS (
+      SELECT event_type, vm,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY vm, event_id) AS r,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ),
+    med AS (
+      SELECT event_type, max(n) AS n,
+             CAST(sum(CASE WHEN r = (n + 1) // 2 OR r = (n + 2) // 2
+                      THEN vm ELSE 0 END) AS BIGINT) AS m2
+      FROM rk GROUP BY 1
+    ),
+    ad AS (
+      SELECT v.event_type, abs(2 * v.vm - med.m2) AS d,
+             v.event_id
+      FROM v JOIN med USING (event_type)
+    ),
+    adr AS (
+      SELECT event_type, d,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY d, event_id) AS r,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM ad
+    ),
+    mad AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN r = (n + 1) // 2 OR r = (n + 2) // 2
+                      THEN d ELSE 0 END) AS BIGINT) AS mad2
+      FROM adr GROUP BY 1
+    ),
+    st0 AS (
+      SELECT med.event_type, CAST(med.m2 AS DOUBLE) AS m2,
+             1.345 * (CAST(mad.mad2 AS DOUBLE) / 2.0) / 0.6745 AS thr
+      FROM med JOIN mad USING (event_type)
+    ){iters},
+    nn AS (SELECT event_type, max(n) AS n FROM rk GROUP BY 1)
+    SELECT st2.event_type, CAST(nn.n AS BIGINT) AS n,
+           round(st2.m2 / 2000.0, 6) AS huber_location,
+           round(st2.thr / 2000.0, 6) AS huber_threshold
+    FROM st2 JOIN nn USING (event_type)
+    """
+
+
+@register("huber_location_by_type", _huber_oracle_sql())
+def q_huber_location_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber M-estimator of location (c = 1.345, MAD scale) per event
+    type via two IRLS reweighting passes from the median start — the
+    robust mean that downweights (not drops) outliers, completing the
+    median / trimmed / winsorized family. All order statistics are
+    exact doubled integers (the runs-test median trick); per-row Huber
+    weights floor-quantize to micro-units so each weighted sum is an
+    exact BIGINT pair; every pass is one broadcast join + one grouped
+    sum — nothing iterates over rows."""
+    ev = _events(spark, sf_dir)
+    v = ev.where(F.col("value").isNotNull()).select(
+        "event_type", "event_id",
+        F.floor(F.col("value") * 1000).cast("long").alias("vm"),
+    )
+    wr = W.partitionBy("event_type").orderBy("vm", "event_id")
+    wn = W.partitionBy("event_type")
+    rk = v.select(
+        "event_type", "vm",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = rk.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(
+            F.when(
+                (F.col("r") == F.expr("(n + 1) div 2"))
+                | (F.col("r") == F.expr("(n + 2) div 2")),
+                F.col("vm"),
+            ).otherwise(0)
+        ).cast("long").alias("m2"),
+    )
+    ad = v.join(F.broadcast(med.select("event_type", "m2")), "event_type").select(
+        "event_type", "event_id",
+        F.abs(2 * F.col("vm") - F.col("m2")).alias("d"),
+    )
+    adr = ad.select(
+        "event_type", "d",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy("d", "event_id")
+        ).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mad = adr.groupBy("event_type").agg(
+        F.sum(
+            F.when(
+                (F.col("r") == F.expr("(n + 1) div 2"))
+                | (F.col("r") == F.expr("(n + 2) div 2")),
+                F.col("d"),
+            ).otherwise(0)
+        ).cast("long").alias("mad2")
+    )
+    st = med.join(mad, "event_type").selectExpr(
+        "event_type",
+        "CAST(m2 AS DOUBLE) AS m2",
+        "1.345 * (CAST(mad2 AS DOUBLE) / 2.0) / 0.6745 AS thr",
+    )
+    for _ in range(2):
+        it = v.join(F.broadcast(st), "event_type").selectExpr(
+            "event_type",
+            "CASE WHEN abs(2 * vm - m2) <= thr THEN CAST(1000000 AS BIGINT)"
+            " ELSE CAST(floor(1000000.0 * thr / abs(2 * vm - m2))"
+            " AS BIGINT) END AS w",
+            "vm",
+        ).groupBy("event_type").agg(
+            F.sum("w").cast("long").alias("sw"),
+            F.sum(F.col("w") * F.col("vm")).cast("long").alias("swx"),
+        )
+        st = it.join(
+            F.broadcast(st.select("event_type", "thr")), "event_type"
+        ).selectExpr(
+            "event_type",
+            "2.0 * (CAST(swx AS DOUBLE) / sw) AS m2",
+            "thr",
+        )
+    nn = med.select("event_type", "n")
+    return st.join(F.broadcast(nn), "event_type").selectExpr(
+        "event_type",
+        "CAST(n AS BIGINT) AS n",
+        "round(m2 / 2000.0, 6) AS huber_location",
+        "round(thr / 2000.0, 6) AS huber_threshold",
+    )
+
+
+@register(
+    "bandit_egreedy_daily_replay",
+    """
+    WITH RECURSIVE arms AS (
+      SELECT event_type,
+             row_number() OVER (ORDER BY event_type) - 1 AS arm_idx
+      FROM (SELECT DISTINCT event_type FROM events)
+    ),
+    na AS (SELECT CAST(count(*) AS BIGINT) AS n_arms FROM arms),
+    c AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(coalesce(CAST(floor(value * 1000) AS BIGINT), 0))
+               AS BIGINT) AS tv
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT min(day) AS lo, max(day) AS hi FROM c),
+    days AS (SELECT unnest(generate_series(lo, hi)) AS day, lo FROM span),
+    z AS (
+      SELECT arms.arm_idx, days.day - days.lo AS t,
+             CASE WHEN coalesce(c.cnt, 0) > 0
+                  THEN (c.tv * 1000) // c.cnt ELSE 0 END AS r
+      FROM arms CROSS JOIN days
+      LEFT JOIN c ON c.event_type = arms.event_type
+                 AND c.day = days.day
+    ),
+    dayrows AS (
+      SELECT t, list(r ORDER BY arm_idx) AS rews FROM z GROUP BY t
+    ),
+    rec AS (
+      SELECT CAST(-1 AS BIGINT) AS t,
+             list_transform(range(n_arms), i -> 0::BIGINT) AS pulls,
+             list_transform(range(n_arms), i -> 0::BIGINT) AS rews,
+             n_arms
+      FROM na
+      UNION ALL
+      SELECT d.t,
+             list_transform(range(r.n_arms), i ->
+               CASE WHEN i = (CASE WHEN d.t % 4 = 0
+                 THEN (d.t // 4) % r.n_arms
+                 ELSE list_reduce(range(r.n_arms), (b, i2) ->
+                   CASE WHEN (CASE WHEN r.pulls[i2 + 1] = 0 THEN 1e18
+                         ELSE CAST(r.rews[i2 + 1] AS DOUBLE)
+                              / r.pulls[i2 + 1] END)
+                      > (CASE WHEN r.pulls[b + 1] = 0 THEN 1e18
+                         ELSE CAST(r.rews[b + 1] AS DOUBLE)
+                              / r.pulls[b + 1] END)
+                   THEN i2 ELSE b END) END)
+               THEN r.pulls[i + 1] + 1 ELSE r.pulls[i + 1] END),
+             list_transform(range(r.n_arms), i ->
+               CASE WHEN i = (CASE WHEN d.t % 4 = 0
+                 THEN (d.t // 4) % r.n_arms
+                 ELSE list_reduce(range(r.n_arms), (b, i2) ->
+                   CASE WHEN (CASE WHEN r.pulls[i2 + 1] = 0 THEN 1e18
+                         ELSE CAST(r.rews[i2 + 1] AS DOUBLE)
+                              / r.pulls[i2 + 1] END)
+                      > (CASE WHEN r.pulls[b + 1] = 0 THEN 1e18
+                         ELSE CAST(r.rews[b + 1] AS DOUBLE)
+                              / r.pulls[b + 1] END)
+                   THEN i2 ELSE b END) END)
+               THEN r.rews[i + 1] + d.rews[i + 1]
+               ELSE r.rews[i + 1] END),
+             r.n_arms
+      FROM rec r JOIN dayrows d ON d.t = r.t + 1
+    ),
+    final AS (
+      SELECT * FROM rec
+      WHERE t = (SELECT max(t) FROM dayrows)
+    )
+    SELECT arms.event_type AS arm,
+           CAST(final.pulls[arms.arm_idx + 1] AS BIGINT) AS n_pulls,
+           CAST(final.rews[arms.arm_idx + 1] AS BIGINT)
+             AS total_reward_micro,
+           CASE WHEN final.pulls[arms.arm_idx + 1] > 0 THEN
+             round(CAST(final.rews[arms.arm_idx + 1] AS DOUBLE)
+               / final.pulls[arms.arm_idx + 1] / 1000000.0, 6) END
+             AS mean_reward
+    FROM arms CROSS JOIN final
+    """,
+)
+def q_bandit_egreedy_daily_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Offline epsilon-greedy bandit replay over the daily per-type
+    reward stream (reward = that day's mean value, floor-quantized to
+    integer micro-units): every 4th day explores round-robin,
+    otherwise exploit the best empirical mean (unplayed arms force-
+    explore, ties to the lowest arm index) — the deterministic policy-
+    replay harness behind any "which variant should the pipeline
+    favor" loop. The whole replay is a sequential fold over the
+    bounded day span with per-slot array-state rebuilds (holt_winters
+    pattern); the exploit argmax compares exact-integer ratios, so
+    both engines choose identical arms every day."""
+    ev = _events(spark, sf_dir)
+    arms = (
+        ev.select("event_type").distinct()
+        .select(
+            "event_type",
+            (
+                F.row_number().over(W.orderBy("event_type")) - 1
+            ).alias("arm_idx"),
+        )
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    step = F.lit(86400 * 1_000_000)
+    c = ev.groupBy(
+        "event_type",
+        ((us - F.pmod(us, step)) / step).cast("long").alias("day"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(
+            F.coalesce(
+                F.floor(F.col("value") * 1000).cast("long"), F.lit(0)
+            )
+        ).cast("long").alias("tv"),
+    )
+    span = c.agg(F.min("day").alias("_lo"), F.max("day").alias("_hi"))
+    days = span.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("day"),
+        F.col("_lo"),
+    )
+    z = (
+        F.broadcast(arms)
+        .crossJoin(days)
+        .join(c, ["event_type", "day"], "left")
+        .selectExpr(
+            "arm_idx",
+            "day - _lo AS t",
+            "CASE WHEN coalesce(cnt, 0) > 0"
+            " THEN (tv * 1000) div cnt ELSE CAST(0 AS BIGINT) END AS r",
+        )
+    )
+    dayrows = z.groupBy("t").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("arm_idx"), F.col("r")))
+            ),
+            lambda s: s["r"],
+        ).alias("rews")
+    )
+    seq = dayrows.groupBy().agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("t"), F.col("rews")))
+        ).alias("_seq")
+    ).crossJoin(
+        F.broadcast(
+            arms.groupBy().agg(F.count(F.lit(1)).cast("int").alias("n_arms"))
+        )
+    )
+    # fold: state = struct(pulls array, rews array); the exploit argmax
+    # and the per-slot rebuild share one generated SQL expression text
+    choose = (
+        "(CASE WHEN x.t % 4 = 0 THEN CAST((x.t div 4) % n_arms AS INT)"
+        " ELSE CAST(aggregate(sequence(0, n_arms - 1), 0, (b, i2) ->"
+        " CASE WHEN (CASE WHEN acc.pulls[i2] = 0 THEN CAST(1e18 AS DOUBLE)"
+        " ELSE CAST(acc.rews[i2] AS DOUBLE) / acc.pulls[i2] END)"
+        " > (CASE WHEN acc.pulls[b] = 0 THEN CAST(1e18 AS DOUBLE)"
+        " ELSE CAST(acc.rews[b] AS DOUBLE) / acc.pulls[b] END)"
+        " THEN i2 ELSE b END) AS INT) END)"
+    )
+    fold_expr = f"""
+      aggregate(
+        _seq,
+        struct(
+          transform(sequence(1, n_arms), i -> CAST(0 AS BIGINT)) AS pulls,
+          transform(sequence(1, n_arms), i -> CAST(0 AS BIGINT)) AS rews
+        ),
+        (acc, x) -> struct(
+          transform(sequence(0, n_arms - 1), i ->
+            CASE WHEN i = {choose} THEN acc.pulls[i] + CAST(1 AS BIGINT)
+                 ELSE acc.pulls[i] END) AS pulls,
+          transform(sequence(0, n_arms - 1), i ->
+            CASE WHEN i = {choose} THEN acc.rews[i] + x.rews[i]
+                 ELSE acc.rews[i] END) AS rews
+        )
+      ) AS st
+    """
+    folded = seq.selectExpr("n_arms", fold_expr)
+    out = (
+        F.broadcast(arms)
+        .crossJoin(folded)
+        .selectExpr(
+            "event_type AS arm",
+            "CAST(st.pulls[arm_idx] AS BIGINT) AS n_pulls",
+            "CAST(st.rews[arm_idx] AS BIGINT) AS total_reward_micro",
+            "CASE WHEN st.pulls[arm_idx] > 0 THEN"
+            " round(CAST(st.rews[arm_idx] AS DOUBLE)"
+            " / st.pulls[arm_idx] / 1000000.0, 6) END AS mean_reward",
+        )
+    )
+    return out

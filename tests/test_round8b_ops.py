@@ -566,3 +566,189 @@ class TestEmbeddingBatch:
         assert 0 in rows and 199 in rows
         assert rows[0]["n_hits"] >= 1
         assert all(0 <= r["recall_at_10"] <= 1 for r in rows.values())
+
+
+def _write_orders(tmp_path, rows):
+    """rows: (o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+    o_orderdate_str, o_orderpriority)"""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pandas as pd
+
+    table = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+            "o_orderstatus": pa.array([r[2] for r in rows], pa.string()),
+            "o_totalprice": pa.array([r[3] for r in rows], pa.float64()),
+            "o_orderdate": pa.array(
+                [pd.Timestamp(r[4]) for r in rows], pa.timestamp("us")
+            ),
+            "o_orderpriority": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(tmp_path, "orders.parquet"))
+
+
+class TestTailRiskAndInformation:
+    def test_gumbel_hand_computed(self, spark, tmp_path):
+        import math
+
+        maxima = [10.0, 20.0, 30.0, 40.0]
+        rows = []
+        for d, mx in enumerate(maxima):
+            rows.append(
+                (d * 2, 1, "O", mx, f"2024-01-{d + 1:02d}", "1-URGENT")
+            )
+            rows.append(  # a smaller same-day order: must not matter
+                (d * 2 + 1, 1, "O", mx / 2, f"2024-01-{d + 1:02d}",
+                 "1-URGENT")
+            )
+        _write_orders(tmp_path, rows)
+        name = "extreme_value_gumbel_fit"
+        compare(spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name])
+        r = q.queries()[name](spark, str(tmp_path)).collect()[0]
+        mean = 25.0
+        sd = math.sqrt(sum((m - mean) ** 2 for m in maxima) / 3)
+        beta = sd * 0.7796968012336761
+        mu = mean - 0.5772156649015329 * beta
+        assert r["n_blocks"] == 4
+        assert r["gumbel_mu"] == pytest.approx(mu, abs=1e-5)
+        assert r["gumbel_beta"] == pytest.approx(beta, abs=1e-5)
+        assert r["return_level_10"] == pytest.approx(
+            mu + beta * 2.2503673273124454, abs=1e-5
+        )
+
+    def test_markov_entropy_deterministic_chain_is_zero(
+        self, spark, tmp_path
+    ):
+        import pandas as pd
+
+        rows = []
+        t0 = pd.Timestamp(BASE)
+        for i in range(20):
+            rows.append(
+                (
+                    i,
+                    str(t0 + pd.Timedelta(minutes=i)),
+                    1,
+                    "click" if i % 2 == 0 else "view",
+                    None,
+                    None,
+                )
+            )
+        _write_events(tmp_path, rows)
+        name = "markov_entropy_rate"
+        compare(spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name])
+        rows_out = q.queries()[name](spark, str(tmp_path)).collect()
+        assert all(r["h_cond_bits"] == 0.0 for r in rows_out)
+
+    def test_markov_entropy_uniform_branch_is_one_bit(
+        self, spark, tmp_path
+    ):
+        import pandas as pd
+
+        rows = []
+        t0 = pd.Timestamp(BASE)
+        seq = ["click", "view", "click", "error"] * 10  # click -> 50/50
+        for i, et in enumerate(seq):
+            rows.append(
+                (i, str(t0 + pd.Timedelta(minutes=i)), 1, et, None, None)
+            )
+        _write_events(tmp_path, rows)
+        out = {
+            r["from_type"]: r
+            for r in q.queries()["markov_entropy_rate"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        assert out["click"]["h_cond_bits"] == pytest.approx(1.0, abs=1e-5)
+        assert out["view"]["h_cond_bits"] == 0.0
+
+    def test_lognormal_sigma_zero_degenerate_survives(
+        self, spark, tmp_path
+    ):
+        rows = [
+            (i, BASE, 1, "click", 10.0, None) for i in range(5)
+        ]
+        _write_events(tmp_path, rows)
+        name = "lognormal_fit_ks_by_type"
+        compare(spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name])
+        r = q.queries()[name](spark, str(tmp_path)).collect()[0]
+        assert r["sigma"] == 0.0 and r["ks_grid_stat"] is None
+
+    def test_lognormal_perfect_sample_small_ks(self, spark, tmp_path):
+        import math
+
+        # values spanning the grid, lognormal-ish: exp(N(3, 1)) probed
+        # via deterministic quantile-ish points
+        vals = [math.exp(3 + z) for z in
+                [-1.8, -1.2, -0.8, -0.4, -0.1, 0.1, 0.4, 0.8, 1.2, 1.8]]
+        rows = [
+            (i, BASE, 1, "click", v, None) for i, v in enumerate(vals)
+        ]
+        _write_events(tmp_path, rows)
+        r = q.queries()["lognormal_fit_ks_by_type"](
+            spark, str(tmp_path)
+        ).collect()[0]
+        assert r["mu"] == pytest.approx(3.0, abs=0.01)
+        assert 0 <= r["ks_grid_stat"] <= 0.3
+
+
+class TestHuberAndBandit:
+    def test_huber_ignores_far_outlier(self, spark, tmp_path):
+        rows = [(i, BASE, 1, "click", 10.0, None) for i in range(9)]
+        rows.append((9, BASE, 1, "click", 1000.0, None))
+        _write_events(tmp_path, rows)
+        name = "huber_location_by_type"
+        compare(spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name])
+        r = q.queries()[name](spark, str(tmp_path)).collect()[0]
+        # MAD = 0 -> threshold 0 -> the outlier gets weight 0: the
+        # estimate is exactly the clean value.
+        assert r["huber_location"] == 10.0
+
+    def test_huber_symmetric_data_is_center(self, spark, tmp_path):
+        vals = [8.0, 9.0, 10.0, 11.0, 12.0]
+        rows = [
+            (i, BASE, 1, "click", v, None) for i, v in enumerate(vals)
+        ]
+        _write_events(tmp_path, rows)
+        name = "huber_location_by_type"
+        compare(spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name])
+        r = q.queries()[name](spark, str(tmp_path)).collect()[0]
+        assert r["huber_location"] == pytest.approx(10.0, abs=1e-6)
+
+    def test_bandit_exploits_better_arm(self, spark, tmp_path):
+        import pandas as pd
+
+        rows, eid = [], 0
+        t0 = pd.Timestamp(BASE)
+        for d in range(8):
+            for et, val in [("click", 1.0), ("view", 2.0)]:
+                rows.append(
+                    (
+                        eid,
+                        str(t0 + pd.Timedelta(days=d)),
+                        1,
+                        et,
+                        val,
+                        None,
+                    )
+                )
+                eid += 1
+        _write_events(tmp_path, rows)
+        name = "bandit_egreedy_daily_replay"
+        compare(spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name])
+        out = {
+            r["arm"]: r
+            for r in q.queries()[name](spark, str(tmp_path)).collect()
+        }
+        # t=0 explores click, t=1 forces unplayed view, t=2..3 exploit
+        # view, t=4 explores view (round-robin (4//4)%2=1), t=5..7
+        # exploit view.
+        assert out["click"]["n_pulls"] == 1
+        assert out["view"]["n_pulls"] == 7
+        assert out["click"]["mean_reward"] == pytest.approx(1.0, abs=1e-6)
+        assert out["view"]["mean_reward"] == pytest.approx(2.0, abs=1e-6)
