@@ -39,9 +39,15 @@ def register(name: str, oracle: str | None):
 # closed), theil_sen_trend_by_subject (round-7's red row, re-run with
 # the signed-zero fix so the record shows it green), and ALL 27 round-8
 # additions in registration order — exactly 50 names, 0 slots spare. After this
-# window runs green, EVERY oracle-checked registry name has a green
-# driver row and the round-9 backlog is empty: round 9 only needs to
-# rotate its own additions (cap them at 50 so one window covers them).
+# window runs green, every registry name REGISTERED AT ROTATION TIME has
+# a green driver row. Round-8 then added 28 more operators AFTER the
+# rotation (the "late batch" commits: ljung_box... through
+# privacy_randomized_response_estimate, i.e. every registration below
+# image_phash_dct) — those 28 are the ROUND-9 BACKLOG: round 9's window
+# must be those 28 + up to 22 of its own additions (cap additions at 22
+# so one window covers everything and round 10 starts with an empty
+# backlog). All 28 are green in the local sf0.1 sweeps and the
+# driver-protocol sim at sf0.01.
 # The 3 rows-only names (approx_distinct_users_by_type,
 # dedup_simhash_pairs, ann_ivf_topk) can never go green (err:
 # no_oracle) and stay OUT of every window.
@@ -17927,8 +17933,9 @@ def q_jackknife_ratio_variance(
 _RUNS_TEST_SQL_TAIL = """
     , med AS (
       SELECT event_type,
-             CAST(sum(CASE WHEN rk = (n + 1) // 2 OR rk = (n + 2) // 2
-                      THEN x ELSE 0 END) AS BIGINT) AS m2x
+             CAST(sum((CASE WHEN rk = (n + 1) // 2 THEN x ELSE 0 END)
+                      + (CASE WHEN rk = (n + 2) // 2 THEN x ELSE 0 END))
+                AS BIGINT) AS m2x
       FROM (
         SELECT event_type, x,
                row_number() OVER (PARTITION BY event_type
@@ -17989,11 +17996,10 @@ def q_runs_test_hourly_randomness(
     )
     med = rk.groupBy("event_type").agg(
         F.sum(
-            F.when(
-                (F.col("rk") == F.expr("(n + 1) div 2"))
-                | (F.col("rk") == F.expr("(n + 2) div 2")),
-                F.col("x"),
-            ).otherwise(0)
+            F.when(F.col("rk") == F.expr("(n + 1) div 2"), F.col("x"))
+            .otherwise(0)
+            + F.when(F.col("rk") == F.expr("(n + 2) div 2"), F.col("x"))
+            .otherwise(0)
         ).cast("long").alias("m2x")
     )
     sgn = (
@@ -18586,34 +18592,59 @@ def _elbow_centroids() -> dict[int, list[list[float]]]:
     return {k: _hyperplanes(64, k, 40 + k) for k in (2, 4, 8)}
 
 
-def _elbow_dist_exprs(idx) -> dict[int, str]:
-    """Per-k min-distance expression text; ``idx`` maps dim j to the
-    engine's array subscript."""
-    out = {}
+def _elbow_dot_exprs(engine: str) -> tuple[list[str], dict[int, str]]:
+    """Distance text via dot-product FOLDS: each (k, centroid) dot is a
+    loop over the 64-dim zip (Spark ``aggregate(zip_with(...))`` ===
+    DuckDB ``list_dot_product`` — the proven LSH-oracle twin), so the
+    generated Java stays loop-sized; the earlier 900-term inline
+    least() chain blew janino's 64KB method limit and fell back to the
+    interpreter (measured 4.7s vs codegen at sf0.1), and a two-stage
+    projection collapses right back via CollapseProject. Stage 2 is
+    least() over ||v||^2 - 2*dot + ||c||^2 with Python-literal norms."""
+    cols = []
+    mins = {}
+
+    def dot(vec_expr: str, lits: list[float]) -> str:
+        arr = ", ".join(repr(float(x)) for x in lits)
+        if engine == "duckdb":
+            return f"list_dot_product({vec_expr}, [{arr}]::DOUBLE[])"
+        return (
+            f"aggregate(zip_with({vec_expr}, array({arr}),"
+            " (x, y) -> x * y), cast(0.0 as double), (a, z) -> a + z)"
+        )
+
     for k, cents in sorted(_elbow_centroids().items()):
         dists = []
-        for cent in cents:
-            terms = " + ".join(
-                f"((v[{idx(j)}] - {float(cent[j])!r})"
-                f" * (v[{idx(j)}] - {float(cent[j])!r}))"
-                for j in range(len(cent))
-            )
-            dists.append(f"({terms})")
-        out[k] = f"least({', '.join(dists)})"
-    return out
+        for ci, cent in enumerate(cents):
+            cols.append(f"{dot('v', cent)} AS dot_{k}_{ci}")
+            cc = float(sum(x * x for x in cent))
+            dists.append(f"(nn - 2.0 * dot_{k}_{ci} + {cc!r})")
+        mins[k] = f"least({', '.join(dists)})"
+    if engine == "duckdb":
+        cols.insert(0, "list_dot_product(v, v) AS nn")
+    else:
+        cols.insert(
+            0,
+            "aggregate(zip_with(v, v, (x, y) -> x * y),"
+            " cast(0.0 as double), (a, z) -> a + z) AS nn",
+        )
+    return cols, mins
 
 
 def _elbow_oracle_sql() -> str:
-    exprs = _elbow_dist_exprs(lambda j: j + 1)
+    cols, mins = _elbow_dot_exprs("duckdb")
     per_k = "\n      UNION ALL\n".join(
         f"""      SELECT {k} AS k,
              CAST(floor(({e}) * 1000000.0) AS BIGINT) AS q
-      FROM e"""
-        for k, e in sorted(exprs.items())
+      FROM dots"""
+        for k, e in sorted(mins.items())
     )
     return f"""
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    dots AS (
+      SELECT vec_id, {', '.join(cols)} FROM e
     ),
     d AS (
 {per_k}
@@ -18632,22 +18663,26 @@ def q_kmeans_elbow_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means elbow audit: total within-cluster inertia (sum of
     min squared distances) against fixed seeded centroid sets for
     k = 2/4/8 — the one-pass readout that picks the cluster count
-    before an expensive IVF/quantizer fit. The centroid literals fold
-    into generated SQL text (pq_encode codegen lesson); per-vector
-    minima are least() over identical fixed-order distance chains and
-    floor-quantize to micro-units, so the inertia is an exact BIGINT
-    on both engines. Pure projection + one group-by: embarrassingly
-    parallel at any corpus size."""
-    exprs = _elbow_dist_exprs(lambda j: j)
+    before an expensive IVF/quantizer fit. Each (k, centroid) dot
+    product is a loop-sized fold over the literal centroid (Spark
+    aggregate/zip_with === DuckDB list_dot_product, the LSH-oracle
+    twin) — the inline 900-term distance chain blew janino's 64KB
+    method limit and ran interpreted at 3.7x the cost (measured at
+    sf0.1); per-vector minima are least() over ||v||^2 - 2*dot +
+    ||c||^2 and floor-quantize to micro-units, so the inertia is an
+    exact BIGINT on both engines. Pure projection + one group-by:
+    embarrassingly parallel at any corpus size."""
+    cols, mins = _elbow_dot_exprs("spark")
     base = load_table(spark, sf_dir, "embeddings").selectExpr(
         "vec_id", "CAST(embedding AS array<double>) AS v"
     )
+    dots = base.selectExpr("vec_id", *cols)
     structs = ", ".join(
         f"struct({k} AS k,"
         f" CAST(floor(({e}) * 1000000.0) AS BIGINT) AS q)"
-        for k, e in sorted(exprs.items())
+        for k, e in sorted(mins.items())
     )
-    d = base.selectExpr(f"explode(array({structs})) AS s").selectExpr(
+    d = dots.selectExpr(f"explode(array({structs})) AS s").selectExpr(
         "s.k AS k", "s.q AS q"
     )
     return d.groupBy(F.col("k").cast("long").alias("k")).agg(
@@ -19011,7 +19046,7 @@ def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / nullif(fit.sigma, 0))))) AS d
       FROM emp JOIN fit USING (event_type)
     )
-    SELECT ks.event_type, fit.n, round(fit.mu, 6) AS mu,
+    SELECT ks.event_type, fit.n, round(fit.mu, 6) + 0.0 AS mu,
            round(fit.sigma, 6) AS sigma,
            round(max(ks.d), 6) AS ks_grid_stat
     FROM ks JOIN fit USING (event_type)
@@ -19067,7 +19102,7 @@ def q_lognormal_fit_ks_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks.groupBy("event_type", "n", "mu", "sigma").agg(
         F.round(F.max("d"), 6).alias("ks_grid_stat")
     ).selectExpr(
-        "event_type", "n", "round(mu, 6) AS mu",
+        "event_type", "n", "round(mu, 6) + 0.0 AS mu",
         "round(sigma, 6) AS sigma", "ks_grid_stat",
     )
 
@@ -19116,8 +19151,9 @@ def _huber_oracle_sql() -> str:
     ),
     med AS (
       SELECT event_type, max(n) AS n,
-             CAST(sum(CASE WHEN r = (n + 1) // 2 OR r = (n + 2) // 2
-                      THEN vm ELSE 0 END) AS BIGINT) AS m2
+             CAST(sum((CASE WHEN r = (n + 1) // 2 THEN vm ELSE 0 END)
+                      + (CASE WHEN r = (n + 2) // 2 THEN vm ELSE 0 END))
+                AS BIGINT) AS m2
       FROM rk GROUP BY 1
     ),
     ad AS (
@@ -19134,8 +19170,9 @@ def _huber_oracle_sql() -> str:
     ),
     mad AS (
       SELECT event_type,
-             CAST(sum(CASE WHEN r = (n + 1) // 2 OR r = (n + 2) // 2
-                      THEN d ELSE 0 END) AS BIGINT) AS mad2
+             CAST(sum((CASE WHEN r = (n + 1) // 2 THEN d ELSE 0 END)
+                      + (CASE WHEN r = (n + 2) // 2 THEN d ELSE 0 END))
+                AS BIGINT) AS mad2
       FROM adr GROUP BY 1
     ),
     st0 AS (
@@ -19145,7 +19182,7 @@ def _huber_oracle_sql() -> str:
     ){iters},
     nn AS (SELECT event_type, max(n) AS n FROM rk GROUP BY 1)
     SELECT st2.event_type, CAST(nn.n AS BIGINT) AS n,
-           round(st2.m2 / 2000.0, 6) AS huber_location,
+           round(st2.m2 / 2000.0, 6) + 0.0 AS huber_location,
            round(st2.thr / 2000.0, 6) AS huber_threshold
     FROM st2 JOIN nn USING (event_type)
     """
@@ -19176,11 +19213,10 @@ def q_huber_location_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = rk.groupBy("event_type").agg(
         F.max("n").alias("n"),
         F.sum(
-            F.when(
-                (F.col("r") == F.expr("(n + 1) div 2"))
-                | (F.col("r") == F.expr("(n + 2) div 2")),
-                F.col("vm"),
-            ).otherwise(0)
+            F.when(F.col("r") == F.expr("(n + 1) div 2"), F.col("vm"))
+            .otherwise(0)
+            + F.when(F.col("r") == F.expr("(n + 2) div 2"), F.col("vm"))
+            .otherwise(0)
         ).cast("long").alias("m2"),
     )
     ad = v.join(F.broadcast(med.select("event_type", "m2")), "event_type").select(
@@ -19196,11 +19232,10 @@ def q_huber_location_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mad = adr.groupBy("event_type").agg(
         F.sum(
-            F.when(
-                (F.col("r") == F.expr("(n + 1) div 2"))
-                | (F.col("r") == F.expr("(n + 2) div 2")),
-                F.col("d"),
-            ).otherwise(0)
+            F.when(F.col("r") == F.expr("(n + 1) div 2"), F.col("d"))
+            .otherwise(0)
+            + F.when(F.col("r") == F.expr("(n + 2) div 2"), F.col("d"))
+            .otherwise(0)
         ).cast("long").alias("mad2")
     )
     st = med.join(mad, "event_type").selectExpr(
@@ -19230,7 +19265,7 @@ def q_huber_location_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.join(F.broadcast(nn), "event_type").selectExpr(
         "event_type",
         "CAST(n AS BIGINT) AS n",
-        "round(m2 / 2000.0, 6) AS huber_location",
+        "round(m2 / 2000.0, 6) + 0.0 AS huber_location",
         "round(thr / 2000.0, 6) AS huber_threshold",
     )
 
@@ -19311,7 +19346,7 @@ def q_huber_location_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS total_reward_micro,
            CASE WHEN final.pulls[arms.arm_idx + 1] > 0 THEN
              round(CAST(final.rews[arms.arm_idx + 1] AS DOUBLE)
-               / final.pulls[arms.arm_idx + 1] / 1000000.0, 6) END
+               / final.pulls[arms.arm_idx + 1] / 1000000.0, 6) + 0.0 END
              AS mean_reward
     FROM arms CROSS JOIN final
     """,
@@ -19423,7 +19458,378 @@ def q_bandit_egreedy_daily_replay(
             "CAST(st.rews[arm_idx] AS BIGINT) AS total_reward_micro",
             "CASE WHEN st.pulls[arm_idx] > 0 THEN"
             " round(CAST(st.rews[arm_idx] AS DOUBLE)"
-            " / st.pulls[arm_idx] / 1000000.0, 6) END AS mean_reward",
+            " / st.pulls[arm_idx] / 1000000.0, 6) + 0.0 END"
+            " AS mean_reward",
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round-8 late batch 6: process mining, count-model fitting, heavy-tail
+# index, corpus character profile, local-DP estimation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "process_transition_wait_stats",
+    """
+    WITH o AS (
+      SELECT user_id, event_type AS src,
+             lead(event_type) OVER w AS dst,
+             lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER w
+               - CAST(floor(epoch(ts)) AS BIGINT) AS wait_sec
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+        ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+    ),
+    t AS (
+      SELECT src, dst, wait_sec FROM o WHERE dst IS NOT NULL
+    ),
+    r AS (
+      SELECT src, dst, wait_sec,
+             row_number() OVER (PARTITION BY src, dst
+               ORDER BY wait_sec) AS rk,
+             count(*) OVER (PARTITION BY src, dst) AS n
+      FROM t
+    )
+    SELECT src, dst, CAST(max(n) AS BIGINT) AS n_transitions,
+           CAST(sum((CASE WHEN rk = (n + 1) // 2
+                      THEN wait_sec ELSE 0 END)
+                    + (CASE WHEN rk = (n + 2) // 2
+                       THEN wait_sec ELSE 0 END)) AS BIGINT)
+             AS median_wait_x2_sec,
+           CAST(max(CASE WHEN rk = ((n - 1) * 90) // 100 + 1
+                    THEN wait_sec END) AS BIGINT) AS p90_lo_sec,
+           CAST(max(wait_sec) AS BIGINT) AS max_wait_sec
+    FROM r GROUP BY src, dst
+    """,
+)
+def q_process_transition_wait_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Process-mining bottleneck readout: per directly-follows
+    transition (src -> dst within a user's stream), the doubled median
+    wait, a p90 order statistic, and the max — where the pipeline
+    actually stalls, which the transition-count matrix can't show.
+    Waits are integer seconds; the median is the exact
+    doubled-order-statistic (runs-test trick) and p90 is the exact
+    lower order statistic at index floor((n-1)*0.9)+1 — no
+    interpolation, no float quantiles."""
+    ev = _events(spark, sf_dir)
+    sec = F.expr(
+        "CAST(floor(unix_micros(cast(ts as timestamp)) / 1e6) AS BIGINT)"
+    )
+    wv = W.partitionBy("user_id").orderBy(sec, F.col("event_id"))
+    o = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(wv).alias("dst"),
+        (F.lead(sec).over(wv) - sec).alias("wait_sec"),
+    )
+    t = o.where(F.col("dst").isNotNull())
+    wr = W.partitionBy("src", "dst").orderBy("wait_sec")
+    wn = W.partitionBy("src", "dst")
+    r = t.select(
+        "src", "dst", "wait_sec",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return r.groupBy("src", "dst").agg(
+        F.max("n").cast("long").alias("n_transitions"),
+        F.sum(
+            F.when(
+                F.col("rk") == F.expr("(n + 1) div 2"), F.col("wait_sec")
+            ).otherwise(0)
+            + F.when(
+                F.col("rk") == F.expr("(n + 2) div 2"), F.col("wait_sec")
+            ).otherwise(0)
+        ).cast("long").alias("median_wait_x2_sec"),
+        F.max(
+            F.when(
+                F.col("rk") == F.expr("((n - 1) * 90) div 100 + 1"),
+                F.col("wait_sec"),
+            )
+        ).cast("long").alias("p90_lo_sec"),
+        F.max("wait_sec").cast("long").alias("max_wait_sec"),
+    )
+
+
+_NEGBIN_SQL_TAIL = """
+    , g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS t,
+             CAST(sum(x * x) AS BIGINT) AS ss
+      FROM z GROUP BY 1
+    ),
+    mv AS (
+      SELECT event_type, n,
+             CAST(t AS DOUBLE) / n AS mean_x,
+             (CAST(n AS DOUBLE) * ss - CAST(t AS DOUBLE) * t)
+               / (CAST(n AS DOUBLE) * (n - 1)) AS var_x
+      FROM g WHERE n > 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+           round(mean_x, 6) AS mean_hourly,
+           round(var_x, 6) AS var_hourly,
+           CASE WHEN var_x > mean_x AND mean_x > 0 THEN
+             round(mean_x * mean_x / (var_x - mean_x), 6) END AS nb_r,
+           CASE WHEN var_x > mean_x AND var_x > 0 THEN
+             round(mean_x / var_x, 6) END AS nb_p
+    FROM mv"""
+
+
+@register(
+    "negative_binomial_fit_by_type",
+    "WITH" + _type_bucket_scaffold_sql(3600) + _NEGBIN_SQL_TAIL,
+)
+def q_negative_binomial_fit_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Negative-binomial method-of-moments fit of hourly arrival counts
+    per type (r = mean²/(var-mean), p = mean/var, defined only under
+    overdispersion) — the count model that replaces Poisson when
+    event_rate_dispersion_by_type flags var/mean > 1. Mean and
+    variance are ratios of exact BIGINT sums over the zero-filled
+    scaffold, so the parameters are engine-identical."""
+    z = _type_bucket_scaffold(spark, sf_dir, 3600)
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("t"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("ss"),
+    )
+    mv = g.where(F.col("n") > 1).selectExpr(
+        "event_type", "n",
+        "CAST(t AS DOUBLE) / n AS mean_x",
+        "(CAST(n AS DOUBLE) * ss - CAST(t AS DOUBLE) * t)"
+        " / (CAST(n AS DOUBLE) * (n - 1)) AS var_x",
+    )
+    return mv.selectExpr(
+        "event_type", "CAST(n AS BIGINT) AS n_hours",
+        "round(mean_x, 6) AS mean_hourly",
+        "round(var_x, 6) AS var_hourly",
+        "CASE WHEN var_x > mean_x AND mean_x > 0 THEN"
+        " round(mean_x * mean_x / (var_x - mean_x), 6) END AS nb_r",
+        "CASE WHEN var_x > mean_x AND var_x > 0 THEN"
+        " round(mean_x / var_x, 6) END AS nb_p",
+    )
+
+
+@register(
+    "hill_tail_index_orders",
+    """
+    WITH v AS (
+      SELECT o_orderpriority,
+             CAST(floor(o_totalprice) AS BIGINT) AS vu, o_orderkey
+      FROM orders WHERE o_totalprice > 0
+    ),
+    r AS (
+      SELECT o_orderpriority, vu,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY vu DESC, o_orderkey) AS rk,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM v
+    ),
+    xmin AS (
+      SELECT o_orderpriority, CAST(max(CASE WHEN rk = 101 THEN vu END)
+               AS BIGINT) AS x_k1
+      FROM r GROUP BY 1
+    ),
+    lq AS (
+      SELECT r.o_orderpriority,
+             CAST(floor(ln(CAST(r.vu AS DOUBLE) / xmin.x_k1)
+               * 1000000.0) AS BIGINT) AS q
+      FROM r JOIN xmin USING (o_orderpriority)
+      WHERE r.rk <= 100 AND xmin.x_k1 > 0
+    )
+    SELECT lq.o_orderpriority, CAST(count(*) AS BIGINT) AS k,
+           xmin.x_k1 AS x_kplus1,
+           round(CAST(sum(lq.q) AS DOUBLE) / count(*) / 1000000.0, 6)
+             AS hill_mean_log,
+           CASE WHEN sum(lq.q) > 0 THEN
+             round(CAST(count(*) AS DOUBLE)
+               / (CAST(sum(lq.q) AS DOUBLE) / 1000000.0), 6) END
+             AS tail_alpha
+    FROM lq JOIN xmin USING (o_orderpriority)
+    GROUP BY lq.o_orderpriority, xmin.x_k1
+    """,
+)
+def q_hill_tail_index_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the heavy-tail index over the top-100 order
+    values per priority (peaks-over-threshold complement to the
+    Gumbel block-maxima fit): alpha = k / sum ln(x_(i)/x_(k+1)). Order
+    statistics rank on exact integer units with key tiebreaks; each
+    log-ratio of integers floor-quantizes to micro-units, so the tail
+    index is a ratio of exact BIGINTs."""
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.where(F.col("o_totalprice") > 0).select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice")).cast("long").alias("vu"),
+        "o_orderkey",
+    )
+    r = v.select(
+        "o_orderpriority", "vu",
+        F.row_number().over(
+            W.partitionBy("o_orderpriority").orderBy(
+                F.col("vu").desc(), "o_orderkey"
+            )
+        ).alias("rk"),
+    )
+    xmin = r.groupBy("o_orderpriority").agg(
+        F.max(F.when(F.col("rk") == 101, F.col("vu")))
+        .cast("long")
+        .alias("x_k1")
+    )
+    lq = (
+        r.join(F.broadcast(xmin), "o_orderpriority")
+        .where((F.col("rk") <= 100) & (F.col("x_k1") > 0))
+        .selectExpr(
+            "o_orderpriority", "x_k1",
+            "CAST(floor(ln(CAST(vu AS DOUBLE) / x_k1) * 1000000.0)"
+            " AS BIGINT) AS q",
+        )
+    )
+    return lq.groupBy("o_orderpriority", "x_k1").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("q").cast("long").alias("sq"),
+    ).selectExpr(
+        "o_orderpriority", "k", "x_k1 AS x_kplus1",
+        "round(CAST(sq AS DOUBLE) / k / 1000000.0, 6) AS hill_mean_log",
+        "CASE WHEN sq > 0 THEN round(CAST(k AS DOUBLE)"
+        " / (CAST(sq AS DOUBLE) / 1000000.0), 6) END AS tail_alpha",
+    )
+
+
+@register(
+    "doc_char_class_profile",
+    """
+    WITH c AS (
+      SELECT lang,
+             CAST(length(text) AS BIGINT) AS nc,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+               AS BIGINT) AS nl,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+               AS BIGINT) AS nd,
+             CAST(length(regexp_replace(text, '[^ ]', '', 'g'))
+               AS BIGINT) AS nsp
+      FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nc) AS BIGINT) AS n_chars,
+           round(CAST(sum(nl) AS DOUBLE) / sum(nc), 6) AS letter_ratio,
+           round(CAST(sum(nd) AS DOUBLE) / sum(nc), 6) AS digit_ratio,
+           round(CAST(sum(nsp) AS DOUBLE) / sum(nc), 6) AS space_ratio,
+           round(CAST(sum(nc) - sum(nl) - sum(nd) - sum(nsp) AS DOUBLE)
+                 / sum(nc), 6) AS other_ratio
+    FROM c GROUP BY lang
+    """,
+)
+def q_doc_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus character-class profile (letter / digit /
+    space / other shares) — the charset audit that drives tokenizer
+    byte-fallback budgets and catches mislabeled-language ingest
+    (doc_quality_features is per-document; this is the corpus-level
+    per-lang rollup). Pure integer char counts via anchored
+    regexp_replace, exact on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.select(
+        "lang",
+        F.length("text").cast("long").alias("nc"),
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("long")
+        .alias("nl"),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).cast("long")
+        .alias("nd"),
+        F.length(F.regexp_replace("text", "[^ ]", "")).cast("long")
+        .alias("nsp"),
+    )
+    return c.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nc").cast("long").alias("n_chars"),
+        F.round(F.sum("nl").cast("double") / F.sum("nc"), 6).alias(
+            "letter_ratio"
+        ),
+        F.round(F.sum("nd").cast("double") / F.sum("nc"), 6).alias(
+            "digit_ratio"
+        ),
+        F.round(F.sum("nsp").cast("double") / F.sum("nc"), 6).alias(
+            "space_ratio"
+        ),
+        F.round(
+            (F.sum("nc") - F.sum("nl") - F.sum("nd") - F.sum("nsp"))
+            .cast("double")
+            / F.sum("nc"),
+            6,
+        ).alias("other_ratio"),
+    )
+
+
+@register(
+    "privacy_randomized_response_estimate",
+    """
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS arm,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS truth
+      FROM events GROUP BY 1, 2
+    ),
+    rr AS (
+      SELECT arm, truth,
+             CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 4))::BIGINT
+                       % 4 < 3
+                  THEN truth ELSE 1 - truth END AS reported
+      FROM u
+    ),
+    g AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(truth) AS BIGINT) AS n_true,
+             CAST(sum(reported) AS BIGINT) AS n_reported
+      FROM rr GROUP BY 1
+    )
+    SELECT arm, n, n_true, n_reported,
+           round((CAST(n_reported AS DOUBLE) / n - 0.25) / 0.5, 6) + 0.0
+             AS rr_estimate,
+           round((CAST(n_reported AS DOUBLE) / n - 0.25) / 0.5
+                 - CAST(n_true AS DOUBLE) / n, 6) + 0.0 AS estimate_err
+    FROM g
+    """,
+)
+def q_privacy_randomized_response_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Local-DP randomized response audit: each user reports their true
+    purchase bit with probability 3/4 (deterministic md5 coin) and the
+    flipped bit otherwise; the collector unbiases via
+    (rate - 1/4) / (1/2) — the frequency-estimation primitive behind
+    RAPPOR-style telemetry, with the estimator's actual error shown
+    against the ground truth the server normally never sees. All
+    counts exact integers; the estimate is one shared expression."""
+    ev = _events(spark, sf_dir)
+    u = ev.groupBy("user_id", (F.col("user_id") % 2).alias("arm")).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("truth")
+    )
+    coin = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 4),
+            16, 10,
+        ).cast("long") % 4
+        < 3
+    )
+    rr = u.select(
+        "arm", "truth",
+        F.when(coin, F.col("truth")).otherwise(1 - F.col("truth")).alias(
+            "reported"
+        ),
+    )
+    g = rr.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("truth").cast("long").alias("n_true"),
+        F.sum("reported").cast("long").alias("n_reported"),
+    )
+    return g.selectExpr(
+        "arm", "n", "n_true", "n_reported",
+        "round((CAST(n_reported AS DOUBLE) / n - 0.25) / 0.5, 6) + 0.0"
+        " AS rr_estimate",
+        "round((CAST(n_reported AS DOUBLE) / n - 0.25) / 0.5"
+        " - CAST(n_true AS DOUBLE) / n, 6) + 0.0 AS estimate_err",
+    )

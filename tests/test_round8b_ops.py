@@ -752,3 +752,232 @@ class TestHuberAndBandit:
         assert out["view"]["n_pulls"] == 7
         assert out["click"]["mean_reward"] == pytest.approx(1.0, abs=1e-6)
         assert out["view"]["mean_reward"] == pytest.approx(2.0, abs=1e-6)
+
+
+class TestProcessAndCounts:
+    def test_transition_waits_hand_computed(self, spark, tmp_path):
+        import pandas as pd
+
+        t0 = pd.Timestamp(BASE)
+        seq = [("click", 0), ("view", 10), ("click", 30), ("view", 100)]
+        rows = [
+            (i, str(t0 + pd.Timedelta(seconds=s)), 1, et, None, None)
+            for i, (et, s) in enumerate(seq)
+        ]
+        _write_events(tmp_path, rows)
+        name = "process_transition_wait_stats"
+        compare(spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name])
+        out = {
+            (r["src"], r["dst"]): r
+            for r in q.queries()[name](spark, str(tmp_path)).collect()
+        }
+        cv = out[("click", "view")]
+        assert cv["n_transitions"] == 2
+        assert cv["median_wait_x2_sec"] == 80  # waits {10, 70}
+        assert cv["max_wait_sec"] == 70
+        assert out[("view", "click")]["median_wait_x2_sec"] == 40
+
+    def test_negbin_hand_computed(self, spark, tmp_path):
+        _hourly_counts_events(tmp_path, [2, 0, 1, 3])
+        name = "negative_binomial_fit_by_type"
+        compare(spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name])
+        r = q.queries()[name](spark, str(tmp_path)).collect()[0]
+        # mean 1.5, var (4*14 - 36)/12 = 5/3: overdispersed
+        assert r["mean_hourly"] == 1.5
+        assert r["var_hourly"] == pytest.approx(5 / 3, abs=1e-6)
+        assert r["nb_r"] == pytest.approx(2.25 / (5 / 3 - 1.5), abs=1e-4)
+        assert r["nb_p"] == pytest.approx(1.5 / (5 / 3), abs=1e-6)
+
+    def test_negbin_underdispersed_is_null(self, spark, tmp_path):
+        _hourly_counts_events(tmp_path, [2, 2, 2, 2, 2, 2, 2, 1])
+        r = q.queries()["negative_binomial_fit_by_type"](
+            spark, str(tmp_path)
+        ).collect()[0]
+        assert r["nb_r"] is None and r["nb_p"] is None
+
+    def test_hill_matches_python_replica(self, spark, tmp_path):
+        import math
+
+        rows = [
+            (i, 1, "O", 100.0 + i, f"2024-01-{(i % 28) + 1:02d}",
+             "1-URGENT")
+            for i in range(102)
+        ]
+        _write_orders(tmp_path, rows)
+        name = "hill_tail_index_orders"
+        compare(spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name])
+        r = q.queries()[name](spark, str(tmp_path)).collect()[0]
+        vals = sorted((100 + i for i in range(102)), reverse=True)
+        xk1 = vals[100]
+        qs = [math.floor(math.log(v / xk1) * 1e6) for v in vals[:100]]
+        assert r["k"] == 100 and r["x_kplus1"] == xk1
+        assert r["hill_mean_log"] == pytest.approx(
+            round(sum(qs) / 100 / 1e6, 6), abs=2e-6
+        )
+        assert r["tail_alpha"] == pytest.approx(
+            100 / (sum(qs) / 1e6), abs=1e-3
+        )
+
+
+class TestCharProfileAndLdp:
+    def test_char_classes_hand_computed(self, spark, tmp_path):
+        from tests.test_round8_ops import _write_documents
+
+        _write_documents(tmp_path, [(1, "ab1 c!", "en", "src1")])
+        name = "doc_char_class_profile"
+        compare(spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name])
+        r = q.queries()[name](spark, str(tmp_path)).collect()[0]
+        assert r["n_chars"] == 6
+        assert r["letter_ratio"] == 0.5
+        assert r["digit_ratio"] == pytest.approx(round(1 / 6, 6))
+        assert r["space_ratio"] == pytest.approx(round(1 / 6, 6))
+        assert r["other_ratio"] == pytest.approx(round(1 / 6, 6))
+
+    def test_randomized_response_python_replica(self, spark, tmp_path):
+        import hashlib
+
+        uids = list(range(1, 41))
+        rows = []
+        eid = 0
+        for uid in uids:
+            et = "purchase" if uid % 5 == 0 else "click"
+            rows.append((eid, BASE, uid, et, None, None))
+            eid += 1
+        _write_events(tmp_path, rows)
+        name = "privacy_randomized_response_estimate"
+        compare(spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name])
+        out = {
+            r["arm"]: r
+            for r in q.queries()[name](spark, str(tmp_path)).collect()
+        }
+        for arm in (0, 1):
+            n = n_true = n_rep = 0
+            for uid in uids:
+                if uid % 2 != arm:
+                    continue
+                truth = 1 if uid % 5 == 0 else 0
+                coin = (
+                    int(hashlib.md5(str(uid).encode()).hexdigest()[:4], 16)
+                    % 4 < 3
+                )
+                rep = truth if coin else 1 - truth
+                n += 1
+                n_true += truth
+                n_rep += rep
+            assert out[arm]["n"] == n
+            assert out[arm]["n_true"] == n_true
+            assert out[arm]["n_reported"] == n_rep
+            assert out[arm]["rr_estimate"] == pytest.approx(
+                round((n_rep / n - 0.25) / 0.5, 6) + 0.0, abs=1e-9
+            )
+
+
+class TestRound8bPlanShapes:
+    """Pin the shuffle/broadcast shapes of the late-batch operators —
+    an extra exchange or a nested-loop degradation is a scale bug even
+    when results stay correct."""
+
+    def _plan(self, df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_jl_distortion_is_pure_projection(self, spark):
+        plan = self._plan(
+            q.queries()["embedding_jl_distortion"](
+                spark, "/root/testdata/sf0.001"
+            )
+        )
+        # sign matrix folds into the projection as literals: no join
+        # anywhere, one hash exchange for the bin group-by
+        assert "Join" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_elbow_is_pure_projection(self, spark):
+        plan = self._plan(
+            q.queries()["kmeans_elbow_inertia"](
+                spark, "/root/testdata/sf0.001"
+            )
+        )
+        assert "Join" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_acf_broadcasts_per_type_totals(self, spark):
+        plan = self._plan(
+            q.queries()["ljung_box_hourly_whiteness"](
+                spark, "/root/testdata/sf0.001"
+            )
+        )
+        # the per-type (n, T) relation is broadcast back, never
+        # shuffled against the scaffold; no cartesian products
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_adamic_adar_wedge_is_equijoin(self, spark):
+        plan = self._plan(
+            q.queries()["graph_adamic_adar_topk"](
+                spark, "/root/testdata/sf0.001"
+            )
+        )
+        assert "CartesianProduct" not in plan
+
+    def test_huber_iterations_broadcast_state(self, spark):
+        plan = self._plan(
+            q.queries()["huber_location_by_type"](
+                spark, "/root/testdata/sf0.001"
+            )
+        )
+        # every IRLS pass joins the tiny per-type state via broadcast
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_hill_broadcasts_threshold(self, spark):
+        plan = self._plan(
+            q.queries()["hill_tail_index_orders"](
+                spark, "/root/testdata/sf0.001"
+            )
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+
+class TestOddNDoubledMedians:
+    """Regression: the doubled-median must add BOTH middle-rank terms;
+    with an OR-condition a single odd-n middle row contributed once,
+    halving the doubled median (caught by the transition-wait test)."""
+
+    def test_transition_single_wait_doubles(self, spark, tmp_path):
+        import pandas as pd
+
+        t0 = pd.Timestamp(BASE)
+        rows = [
+            (0, str(t0), 1, "click", None, None),
+            (1, str(t0 + pd.Timedelta(seconds=20)), 1, "view", None, None),
+        ]
+        _write_events(tmp_path, rows)
+        name = "process_transition_wait_stats"
+        compare(spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name])
+        r = q.queries()[name](spark, str(tmp_path)).collect()[0]
+        assert r["median_wait_x2_sec"] == 40  # 2 x 20
+
+    def test_runs_test_odd_n_median(self, spark, tmp_path):
+        # counts [1, 5, 9]: median 5, signs (-, drop, +) -> 2 runs? 1
+        # below, 1 above, the middle drops: runs = 2, n1 = n2 = 1.
+        _hourly_counts_events(tmp_path, [1, 5, 9])
+        name = "runs_test_hourly_randomness"
+        compare(spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name])
+        r = q.queries()[name](spark, str(tmp_path)).collect()[0]
+        assert (r["n1"], r["n2"], r["runs"]) == (1, 1, 2)
+
+    def test_huber_odd_n_flat(self, spark, tmp_path):
+        vals = [9.0, 10.0, 11.0]
+        rows = [
+            (i, BASE, 1, "click", v, None) for i, v in enumerate(vals)
+        ]
+        _write_events(tmp_path, rows)
+        name = "huber_location_by_type"
+        compare(spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name])
+        r = q.queries()[name](spark, str(tmp_path)).collect()[0]
+        assert r["huber_location"] == pytest.approx(10.0, abs=1e-6)
+        # MAD = 1.0 -> threshold 1.345 * 1 / 0.6745
+        assert r["huber_threshold"] == pytest.approx(
+            1.345 / 0.6745, abs=1e-4
+        )
