@@ -377,30 +377,41 @@ def image_phash_dct(
 
     Distributed shape: ZERO shuffles — pixels, coefficients, and bit
     packing are three chained per-row projections. The coefficient
-    stage is generated SQL text (16 coefficients × 64 integer terms ≈
-    a 1000-node expression tree): building it through the Python
-    Column API costs a py4j round trip per node and the join-fan-out
+    stage is generated SQL text — 16 loop-sized integer folds over a
+    single pixel-array column (the inline 16x64 term form blew
+    janino's 64KB method limit and ran interpreted; the join-fan-out
     alternative shuffles size²·n_freq² rows per asset through a
-    group-by — measured 6.1s vs this form at sf0.1 (the pq_encode
-    SQL-text lesson). All arithmetic is integer, so the hash is
+    group-by, measured 6.1s at sf0.1). Building the tree through the
+    Python Column API would cost a py4j round trip per node (the
+    pq_encode SQL-text lesson). All arithmetic is integer, so the hash is
     engine- and partitioning-exact by construction. At real-decode
     scale the pixel projection is replaced by the Arrow-batched
     decoder; everything downstream is unchanged."""
     w = {(u, i): wt for u, i, wt in dct_weights_q10(n_freq, size)}
-    px_exprs = [f"`{id_col}`"] + [
+    # pixels land in ONE array column and each coefficient is a
+    # loop-sized integer fold against a literal weight array: the
+    # earlier 16x64 inline term projection blew janino's 64KB method
+    # limit and silently ran interpreted (the kmeans_elbow lesson);
+    # integer sums are order-free, so the fold is value-identical.
+    px_cells = ", ".join(
         f"CAST(conv(substring(md5(concat(CAST(`{id_col}` AS STRING),"
-        f" '-{i}-{j}')), 1, 2), 16, 10) AS BIGINT) % 256 AS _px_{i}_{j}"
+        f" '-{i}-{j}')), 1, 2), 16, 10) AS BIGINT) % 256"
         for i in range(size)
         for j in range(size)
-    ]
+    )
+    px_exprs = [f"`{id_col}`", f"array({px_cells}) AS _px"]
     coeff_exprs = [f"`{id_col}`"] + [
         (
-            " + ".join(
-                f"_px_{i}_{j} * {w[(u, i)] * w[(v, j)]}"
-                for i in range(size)
-                for j in range(size)
+            "aggregate(zip_with(_px, array({}), (x, y) -> x * y),"
+            " cast(0 as bigint), (a, z) -> a + z) AS _c_{}_{}".format(
+                ", ".join(
+                    f"{w[(u, i)] * w[(v, j)]}L"
+                    for i in range(size)
+                    for j in range(size)
+                ),
+                u,
+                v,
             )
-            + f" AS _c_{u}_{v}"
         )
         for u in range(n_freq)
         for v in range(n_freq)

@@ -721,12 +721,20 @@ def pq_encode(
     for s in sorted(by_sub):
         cands = []
         for c, cent in sorted(by_sub[s]):
-            terms = " + ".join(
-                f"(_v[{s * d_sub + i}] - {float(cent[i])!r})"
-                f" * (_v[{s * d_sub + i}] - {float(cent[i])!r})"
-                for i in range(d_sub)
+            # loop-sized fold, not an inline term chain: m*n_codes*d_sub
+            # inline subtract-square terms blow janino's 64KB method
+            # limit and silently drop the whole projection out of
+            # codegen (measured: the pq family ran interpreted). The
+            # fold replays the chain's left-assoc order exactly
+            # (init 0.0 + t0 == t0), so values are bit-identical to
+            # the inline form and the oracle is untouched.
+            arr = ", ".join(repr(float(x)) for x in cent)
+            dist = (
+                f"aggregate(zip_with(slice(_v, {s * d_sub + 1}, {d_sub}),"
+                f" array({arr}), (x, y) -> (x - y) * (x - y)),"
+                " cast(0.0 as double), (a, z) -> a + z)"
             )
-            cands.append(f"struct(({terms}) AS d, {c} AS c)")
+            cands.append(f"struct(({dist}) AS d, {c} AS c)")
         best_exprs.append(f"array_min(array({', '.join(cands)})) AS _b{s}")
     step1 = base.selectExpr(id_col, *best_exprs)
     structs = ", ".join(
