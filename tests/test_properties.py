@@ -461,3 +461,184 @@ def test_cohens_kappa_matches_reference(spark, pairs):
         assert row["kappa"] <= 1.0 + 1e-9
     else:
         assert row["kappa"] is None
+
+
+# --- late-batch operator math (pure python — full strength) -----------
+#
+# These guard the THEOREMS the round-8 late-batch queries rely on, with
+# replicas of the exact integer formulas the engine and oracle share.
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 50), st.integers(0, 50)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_isotonic_minimax_equals_pava(bins):
+    """eval_isotonic_calibration computes the isotonic fit as
+    iso_i = max_{j<=i} min_{k>=i} mean(y[j..k]) — assert that minimax
+    characterization equals classical pool-adjacent-violators for
+    arbitrary weighted bins (s <= n enforced)."""
+    bins = [(n, min(s, n)) for n, s in bins]
+    # stack PAVA
+    blocks = [[n, float(s)] for n, s in bins]
+    merged: list[list[float]] = []
+    for b in blocks:
+        merged.append(list(b))
+        while len(merged) > 1 and (
+            merged[-1][1] * merged[-2][0]
+            < merged[-2][1] * merged[-1][0]  # exact cross-multiplied
+        ):
+            n2, s2 = merged.pop()
+            merged[-1][0] += n2
+            merged[-1][1] += s2
+    pava = []
+    for n, s in merged:
+        cnt = 0
+        while cnt < n:
+            # expand one source bin at a time
+            take = bins[len(pava)][0]
+            pava.append(s / n)
+            cnt += take
+    # minimax
+    m = len(bins)
+    pre_n = [0]
+    pre_s = [0]
+    for n, s in bins:
+        pre_n.append(pre_n[-1] + n)
+        pre_s.append(pre_s[-1] + s)
+
+    def mean(j, k):  # 1-indexed inclusive
+        return (pre_s[k] - pre_s[j - 1]) / (pre_n[k] - pre_n[j - 1])
+
+    for i in range(1, m + 1):
+        mini = max(
+            min(mean(j, k) for k in range(i, m + 1))
+            for j in range(1, i + 1)
+        )
+        assert math.isclose(mini, pava[i - 1], rel_tol=1e-12, abs_tol=1e-12)
+
+
+@given(st.lists(st.integers(0, 1000), min_size=8, max_size=120))
+@settings(max_examples=200, deadline=None)
+def test_integer_centered_acf_equals_classical(xs):
+    """ljung_box/pacf center deviations as n*x - T (pure integers);
+    the resulting r_k must equal the classical float ACF ratio."""
+    n, t = len(xs), sum(xs)
+    d = [n * x - t for x in xs]
+    s0 = sum(v * v for v in d)
+    if s0 == 0:
+        return
+    mean = t / n
+    e = [x - mean for x in xs]
+    f0 = sum(v * v for v in e)
+    for k in (1, 2, 3):
+        sk = sum(d[i] * d[i + k] for i in range(n - k))
+        fk = sum(e[i] * e[i + k] for i in range(n - k))
+        assert math.isclose(sk / s0, fk / f0, rel_tol=1e-9, abs_tol=1e-9)
+
+
+@given(st.lists(st.integers(0, 500), min_size=3, max_size=80))
+@settings(max_examples=200, deadline=None)
+def test_binseg_gain_is_sse_reduction(xs):
+    """changepoint_binary_segmentation's prefix-sum gain
+    (S_l*n_r - S_r*n_l)^2 / (n_l*n_r*n) must equal
+    SSE(all) - SSE(left) - SSE(right) at every split."""
+
+    def sse(seg):
+        if not seg:
+            return 0.0
+        mu = sum(seg) / len(seg)
+        return sum((v - mu) ** 2 for v in seg)
+
+    n = len(xs)
+    tot = sum(xs)
+    pre = 0
+    for t in range(1, n):
+        pre += xs[t - 1]
+        num = pre * (n - t) - (tot - pre) * t
+        gain = (float(num) * num) / (float(t) * (n - t) * n)
+        direct = sse(xs) - sse(xs[:t]) - sse(xs[t:])
+        assert math.isclose(gain, direct, rel_tol=1e-7, abs_tol=1e-6)
+
+
+@given(st.lists(st.integers(-1000, 1000), min_size=1, max_size=101))
+@settings(max_examples=300, deadline=None)
+def test_doubled_order_stat_median(xs):
+    """The two-middle-rank sum (runs test / Huber / transition waits)
+    must equal exactly 2x the statistics.median for integer data."""
+    import statistics as pystats
+
+    n = len(xs)
+    srt = sorted(xs)
+    k1, k2 = (n + 1) // 2, (n + 2) // 2
+    m2 = srt[k1 - 1] + srt[k2 - 1]
+    assert m2 == pytest.approx(2 * pystats.median(xs), abs=1e-9)
+
+
+@given(
+    st.lists(st.integers(0, 10**6), min_size=3, max_size=60),
+    st.integers(1, 10**6),
+)
+@settings(max_examples=200, deadline=None)
+def test_theta_fold_shift_equivariance(ys, c):
+    """theta_method: adding a constant c to every daily total shifts
+    the SES level and both forecasts by exactly (up to float) c — the
+    fold and the OLS trend are both shift-equivariant."""
+
+    def theta(y):
+        n = len(y)
+        sy = sum(y)
+        stt = sum((t + 1) * (t + 1) for t in range(n))
+        st_ = n * (n + 1) // 2
+        sty = sum((t + 1) * v for t, v in enumerate(y))
+        den = n * stt - st_ * st_
+        if den == 0:
+            return None
+        b = (n * sty - st_ * sy) / den
+        a = (sy - b * st_) / n
+        z = [2 * v - (a + b * (t + 1)) for t, v in enumerate(y)]
+        level = z[0]
+        for v in z[1:]:
+            level = 0.5 * v + 0.5 * level
+        return 0.5 * level + 0.5 * (a + b * (n + 1))
+
+    f0 = theta(ys)
+    f1 = theta([v + c for v in ys])
+    if f0 is None:
+        return
+    assert math.isclose(f1, f0 + c, rel_tol=1e-9, abs_tol=1e-6 * max(1, c))
+
+
+@given(st.integers(2, 60), st.integers(1, 6))
+@settings(max_examples=200, deadline=None)
+def test_hits_integer_iteration_matches_float(n_users, n_types):
+    """graph_hits_bipartite runs HITS un-normalized in BIGINT; the
+    authority RANKING after 2 half-iterations must match the float
+    HITS with L1 normalization (same fixed membership)."""
+    edges = {
+        (u, u % n_types) for u in range(n_users)
+    } | {(u, (u * 7 + 1) % n_types) for u in range(n_users)}
+    types = sorted({t for _, t in edges})
+    a1 = {t: sum(1 for _, tt in edges if tt == t) for t in types}
+    h1 = {
+        u: sum(a1[t] for uu, t in edges if uu == u)
+        for u in range(n_users)
+    }
+    a2 = {t: sum(h1[u] for u, tt in edges if tt == t) for t in types}
+    # float twin with normalization at each step
+    tot1 = sum(a1.values())
+    a1f = {t: a1[t] / tot1 for t in types}
+    h1f = {u: sum(a1f[t] for uu, t in edges if uu == u) for u in range(n_users)}
+    a2f = {t: sum(h1f[u] for u, tt in edges if tt == t) for t in types}
+    # hypothesis found the operator's motivating failure mode on its
+    # own: exactly-tied integer authorities (458 vs 458) come out of
+    # the float twin differing in the last ulp from summation order,
+    # silently breaking the tie — which is WHY the query stays in
+    # BIGINT. Quantize the float twin before ranking.
+    order_int = sorted(types, key=lambda t: (-a2[t], t))
+    order_flt = sorted(types, key=lambda t: (-round(a2f[t], 9), t))
+    assert order_int == order_flt
