@@ -201,3 +201,36 @@ def test_scale_wasserstein_exact_shift(spark):
     row = wasserstein_grid(df, grid_dp=0).collect()[0]
     assert row["n_a"] == row["n_b"] == N // 2
     assert row["w1"] == 100.0
+
+
+def test_scale_graph_link_ops(spark):
+    """Late round-8 graph ops at a 50k-node graph built from the 2M-row
+    stream: Adamic-Adar's wedge fan-out stays bounded by the hub cap
+    (deg(w)^2 only below max_hub_degree), and 3 synchronous
+    label-propagation sweeps stay pure equi-join + rank rounds.
+    Aggregate-only assertions; nothing collects an edge list."""
+    from eventstreamml_spark.operators.graph import (
+        adamic_adar_link_scores,
+        label_propagation,
+    )
+
+    ev = _events(spark)
+    edges = ev.select(
+        (F.col("subject_id") % 50_000).alias("src"),
+        ((F.col("subject_id") * 31 + F.col("event_id")) % 50_000).alias(
+            "dst"
+        ),
+    ).filter(F.col("event_id") % 20 == 0)  # ~100k raw edges
+
+    top = adamic_adar_link_scores(edges, top_k=10, max_hub_degree=64)
+    rows = top.collect()  # top-k only: bounded by construction
+    assert len(rows) <= 10
+    assert all(r["aa_micro"] > 0 for r in rows)
+    assert [r["rank"] for r in rows] == sorted(r["rank"] for r in rows)
+
+    lab = label_propagation(edges, rounds=3)
+    st = lab.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.count_distinct("lab").alias("n_comm"),
+    ).collect()[0]
+    assert 0 < st["n_comm"] <= st["n_nodes"]
