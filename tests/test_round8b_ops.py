@@ -1068,3 +1068,29 @@ class TestSyntheticPartsupp:
         out = q.queries()["tpch_q20_excess_stock_suppliers"](spark, sf)
         rows = out.collect()
         assert len(rows) == len({r["s_suppkey"] for r in rows})  # distinct
+
+
+class TestTpchPartsuppPlanShapes:
+    """The synthetic-partsupp TPC-H five: every key join is an
+    equi-join with broadcastable dimension sides; the only nested-loop
+    joins are the 1-row scalar broadcasts (supplier count / totals)."""
+
+    def _plan(self, df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "tpch_q2_min_cost_supplier",
+            "tpch_q9_product_profit",
+            "tpch_q11_important_stock",
+            "tpch_q16_supplier_part_counts",
+            "tpch_q20_excess_stock_suppliers",
+        ],
+    )
+    def test_no_cartesian_and_broadcast_joins(self, spark, name):
+        plan = self._plan(
+            q.queries()[name](spark, "/root/testdata/sf0.001")
+        )
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastHashJoin") >= 2
