@@ -86,13 +86,14 @@ def main() -> None:
         n = len(fn(spark, sf_dir).collect())
         return time.perf_counter() - t0, n
 
-    # untimed warm-up of the first registry query: the timed loop's
-    # opening names absorb JVM codegen/JIT warm-up otherwise — round 7's
-    # top-5 "regressions" were exactly the five names rotated to the
-    # front of _ORDER_FIRST, on unchanged code
-    _first_fn = next(iter(q.queries().values()), None)
-    if _first_fn is not None:
-        _run_once(_first_fn)
+    # untimed warm-up of the first FIVE registry queries: the timed
+    # loop's opening names absorb JVM codegen/JIT warm-up otherwise —
+    # round 7's top-5 "regressions" were exactly the five names rotated
+    # to the front of _ORDER_FIRST, on unchanged code, and round 8's
+    # single-query warm-up still left positions 2-5 reading 1.5-1.9x
+    # high (VERDICT r8): one warm-up only pays JIT for position 1.
+    for _warm_fn in list(q.queries().values())[:5]:
+        _run_once(_warm_fn)
 
     raw: dict[str, list[float]] = {}
     for name, fn in q.queries().items():

@@ -40,7 +40,7 @@ def register(name: str, oracle: str | None):
 # the signed-zero fix so the record shows it green), and ALL 27 round-8
 # additions in registration order — exactly 50 names, 0 slots spare. After this
 # window runs green, every registry name REGISTERED AT ROTATION TIME has
-# a green driver row. Round-8 then added 28 more operators AFTER the
+# a green driver row. Round-8 then added 33 more operators AFTER the
 # rotation (the "late batch" commits: ljung_box... through the five
 # synthetic-partsupp TPC-H queries, i.e. every registration below
 # image_phash_dct) — those 33 are the ROUND-9 BACKLOG: round 9's window
@@ -18072,7 +18072,7 @@ def q_runs_test_hourly_randomness(
              CAST(adev AS DOUBLE) / n / nullif(sqrt(
                (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)),
                0), 6) END AS g_stat,
-           round(value, 6) AS outlier_value
+           round(value, 6) + 0.0 AS outlier_value
     FROM best WHERE rk = 1
     """,
 )
@@ -18112,7 +18112,7 @@ def q_grubbs_statistic_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(adev AS DOUBLE) / n / nullif(sqrt("
         "(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)),"
         " 0), 6) END AS g_stat",
-        "round(value, 6) AS outlier_value",
+        "round(value, 6) + 0.0 AS outlier_value",
     )
 
 

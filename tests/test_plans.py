@@ -406,3 +406,58 @@ def test_global_topk_avoids_full_sort(spark):
     plan = formatted_plan(q)
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+# Per-operator whole-stage-codegen floors for every generated-SQL
+# operator. The janino 64KB method limit makes over-inlined generated
+# projections fall out of codegen SILENTLY (a WARN in executor logs, 0
+# WholeStageCodegen spans, ~3.7x slower — the round-8 pq/phash bug,
+# commit 591fd3c): parity and correctness checks can't see it, only the
+# executed plan can. Floors recorded from the fixed plans at sf0.001
+# and sf0.01 (identical at both scales); a new literal-codebook op must
+# add its name here in the same commit.
+CODEGEN_FLOORS = {
+    "image_phash_dct": 2,
+    "embedding_pq_codes": 2,
+    "ann_pq_adc_topk": 7,
+    "kmeans_elbow_inertia": 3,
+    "embedding_jl_distortion": 4,
+}
+
+
+def test_generated_sql_operators_stay_in_codegen(spark):
+    """Every generated-SQL operator must compile into at least its
+    recorded number of WholeStageCodegen stages after execution. A
+    floor of N>=1 fails if any janino compilation falls back to
+    interpreted mode (the fallback removes whole stages, it never
+    adds them)."""
+    from eventstreamml_spark import queries as q
+
+    qs = q.queries()
+    got = {}
+    for name, floor in CODEGEN_FLOORS.items():
+        df = qs[name](spark, SF)
+        df.collect()  # AQE: codegen stages exist only after execution
+        got[name] = codegen_stage_count(df)
+    bad = {n: (c, CODEGEN_FLOORS[n]) for n, c in got.items() if c < CODEGEN_FLOORS[n]}
+    assert not bad, f"codegen stages below recorded floor (got, floor): {bad}"
+
+
+def test_codegen_detector_distinguishes_zero_stages(spark):
+    """Detector sanity for the floor test: codegen_stage_count must
+    return 0 for a plan with no WholeStageCodegen span (a janino
+    fallback looks exactly like this — stages vanish rather than
+    erroring) and >=1 for a trivially compilable one. A live janino
+    64KB reproducer was deliberately NOT encoded here: chains large
+    enough to blow the method limit also risk parser recursion or
+    driver heap on this VM (measured), and a flaky guard is worse than
+    none — the per-operator floors above are the actual regression
+    pin."""
+    from eventstreamml_spark.plans.inspect import executed_plan
+
+    no_codegen = spark.createDataFrame([(1,), (2,)], "v int")
+    no_codegen.collect()
+    assert "WholeStageCodegen" not in executed_plan(no_codegen)
+    compiled = spark.range(1000).selectExpr("sum(id * 3 % 7) AS s")
+    compiled.collect()
+    assert codegen_stage_count(compiled) >= 1
