@@ -21802,3 +21802,732 @@ def q_graph_modularity_label_communities(
         "round(CAST(q_num AS DOUBLE) / (4 * m * m), 6) + 0.0"
         " AS modularity",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 post-rotation batch (round-10 verification backlog): survival
+# curves, partition agreement, robust effect sizes and moments.
+# Registered AFTER the round-9 window rotation — these 8 names plus any
+# later additions form round-10's driver window.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nelson_aalen_cumhaz_arms",
+    """
+    WITH fe AS (
+      SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT)) AS t0
+      FROM events GROUP BY 1
+    ),
+    fp AS (
+      SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT)) AS tp
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    mx AS (
+      SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS tmax FROM events
+    ),
+    subj AS (
+      SELECT fe.user_id % 2 AS arm,
+             CASE WHEN fp.tp IS NOT NULL THEN fp.tp - fe.t0
+                  ELSE mx.tmax - fe.t0 END AS dur,
+             CASE WHEN fp.tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM fe LEFT JOIN fp USING (user_id) CROSS JOIN mx
+    ),
+    dt AS (
+      SELECT arm, dur, CAST(sum(ev) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS x
+      FROM subj GROUP BY 1, 2
+    ),
+    risk AS (
+      SELECT arm, dur, d,
+             CAST(sum(x) OVER (PARTITION BY arm ORDER BY dur DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n
+      FROM dt
+    ),
+    haz AS (
+      SELECT arm, dur, d, n,
+             CAST(floor(CAST(d AS DOUBLE) / n * 1000000.0) AS BIGINT)
+               AS hq
+      FROM risk WHERE d > 0
+    ),
+    cum AS (
+      SELECT arm, dur, d, n,
+             CAST(sum(hq) OVER (PARTITION BY arm ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS ch_micro,
+             row_number() OVER (PARTITION BY arm ORDER BY dur) AS rk
+      FROM haz
+    )
+    SELECT arm, dur AS death_time, d AS n_deaths, n AS n_at_risk,
+           round(CAST(ch_micro AS DOUBLE) / 1000000.0, 6) AS cum_hazard
+    FROM cum WHERE rk <= 12
+    """,
+)
+def q_nelson_aalen_cumhaz_arms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard curve for time-to-first-purchase
+    per user-parity arm (first 12 death times each): each increment
+    d/n floor-quantizes to micro-units, so the running hazard is an
+    exact integer cumulative sum — the estimator whose curve the
+    log-rank test summarizes. Risk sets come from a DESC cumulative
+    sum over the per-arm distinct-duration relation (never a per-user
+    x per-time product)."""
+    ev = _events(spark, sf_dir)
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp")).cast("long")
+    fe = ev.groupBy("user_id").agg(F.min(sec).alias("t0"))
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(sec).alias("tp"))
+    )
+    mx = ev.agg(F.max(sec).alias("tmax"))
+    subj = (
+        fe.join(fp, "user_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .selectExpr(
+            "user_id % 2 AS arm",
+            "CASE WHEN tp IS NOT NULL THEN tp - t0"
+            " ELSE tmax - t0 END AS dur",
+            "CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev",
+        )
+    )
+    dt = subj.groupBy("arm", "dur").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("x"),
+    )
+    risk = dt.select(
+        "arm",
+        "dur",
+        "d",
+        F.sum("x")
+        .over(
+            W.partitionBy("arm")
+            .orderBy(F.col("dur").desc())
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        .cast("long")
+        .alias("n"),
+    )
+    haz = risk.where(F.col("d") > 0).selectExpr(
+        "arm",
+        "dur",
+        "d",
+        "n",
+        "CAST(floor(CAST(d AS DOUBLE) / n * 1000000.0) AS BIGINT) AS hq",
+    )
+    wasc = W.partitionBy("arm").orderBy("dur")
+    cum = haz.select(
+        "arm",
+        "dur",
+        "d",
+        "n",
+        F.sum("hq")
+        .over(wasc.rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("ch_micro"),
+        F.row_number().over(wasc).alias("rk"),
+    )
+    return cum.where(F.col("rk") <= 12).selectExpr(
+        "arm",
+        "dur AS death_time",
+        "d AS n_deaths",
+        "n AS n_at_risk",
+        "round(CAST(ch_micro AS DOUBLE) / 1000000.0, 6) AS cum_hazard",
+    )
+
+
+@register(
+    "partition_agreement_ari_fm",
+    """
+    WITH p AS (
+      SELECT label,
+             2 * (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END) AS bucket
+      FROM embeddings
+    ),
+    cell AS (
+      SELECT label, bucket, CAST(count(*) AS BIGINT) AS n
+      FROM p GROUP BY 1, 2
+    ),
+    a AS (SELECT label, CAST(sum(n) AS BIGINT) AS na FROM cell GROUP BY 1),
+    b AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS nb FROM cell GROUP BY 1),
+    s AS (
+      SELECT
+        (SELECT CAST(sum(n * (n - 1) / 2) AS BIGINT) FROM cell) AS pr,
+        (SELECT CAST(sum(na * (na - 1) / 2) AS BIGINT) FROM a) AS pa,
+        (SELECT CAST(sum(nb * (nb - 1) / 2) AS BIGINT) FROM b) AS pb,
+        (SELECT CAST(count(*) AS BIGINT) FROM p) AS n
+    )
+    SELECT n AS n_points, pr AS pairs_both, pa AS pairs_label,
+           pb AS pairs_bucket,
+           round((pr - CAST(pa AS DOUBLE) * pb / (n * (n - 1) / 2))
+                 / nullif((CAST(pa + pb AS DOUBLE) / 2)
+                          - CAST(pa AS DOUBLE) * pb / (n * (n - 1) / 2),
+                          0), 6) + 0.0 AS ari,
+           round(CAST(pr AS DOUBLE)
+                 / nullif(sqrt(CAST(pa AS DOUBLE) * pb), 0), 6)
+             AS fowlkes_mallows
+    FROM s
+    """,
+)
+def q_partition_agreement_ari_fm(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Adjusted Rand index and Fowlkes-Mallows score between the
+    embedding labels and a deterministic 2-bit sign partition of the
+    first two coordinates — the clustering-agreement pair every
+    bucketing/partition audit needs. All pair counts C(n,2) stay in
+    BIGINT from one contingency groupBy; ARI's expected-index
+    correction and FM's geometric mean are single deterministic float
+    expressions over those integers (negative-capable ARI carries the
+    +0.0 guard)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    p = emb.selectExpr(
+        "label",
+        "2 * (CASE WHEN embedding[0] > 0 THEN 1 ELSE 0 END)"
+        " + (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) AS bucket",
+    )
+    cell = p.groupBy("label", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = cell.groupBy("label").agg(F.sum("n").cast("long").alias("na"))
+    b = cell.groupBy("bucket").agg(F.sum("n").cast("long").alias("nb"))
+    pr = cell.agg(
+        F.sum(F.expr("n * (n - 1) div 2")).cast("long").alias("pr")
+    )
+    pa = a.agg(
+        F.sum(F.expr("na * (na - 1) div 2")).cast("long").alias("pa")
+    )
+    pb = b.agg(
+        F.sum(F.expr("nb * (nb - 1) div 2")).cast("long").alias("pb")
+    )
+    n = p.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    s = (
+        pr.crossJoin(F.broadcast(pa))
+        .crossJoin(F.broadcast(pb))
+        .crossJoin(F.broadcast(n))
+    )
+    return s.selectExpr(
+        "n AS n_points",
+        "pr AS pairs_both",
+        "pa AS pairs_label",
+        "pb AS pairs_bucket",
+        "round((pr - CAST(pa AS DOUBLE) * pb / (n * (n - 1) div 2))"
+        " / nullif((CAST(pa + pb AS DOUBLE) / 2)"
+        " - CAST(pa AS DOUBLE) * pb / (n * (n - 1) div 2), 0), 6)"
+        " + 0.0 AS ari",
+        "round(CAST(pr AS DOUBLE)"
+        " / nullif(sqrt(CAST(pa AS DOUBLE) * pb), 0), 6)"
+        " AS fowlkes_mallows",
+    )
+
+
+@register(
+    "cliffs_delta_value_arms",
+    """
+    WITH v AS (
+      SELECT user_id % 2 AS arm,
+             CAST(floor(value * 1000) AS BIGINT) AS vm
+      FROM events WHERE value IS NOT NULL
+    ),
+    hist AS (
+      SELECT vm,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c0,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c1
+      FROM v GROUP BY 1
+    ),
+    cum AS (
+      SELECT vm, c0, c1,
+             CAST(coalesce(sum(c0) OVER (ORDER BY vm
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS c0_below,
+             CAST(coalesce(sum(c0) OVER (ORDER BY vm DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS c0_above
+      FROM hist
+    ),
+    s AS (
+      SELECT CAST(sum(c1 * c0_below) AS BIGINT) AS gt,
+             CAST(sum(c1 * c0_above) AS BIGINT) AS lt,
+             CAST(sum(c0) AS BIGINT) AS n0,
+             CAST(sum(c1) AS BIGINT) AS n1
+      FROM cum
+    )
+    SELECT n0, n1, gt AS n_pairs_gt, lt AS n_pairs_lt,
+           round(CAST(gt - lt AS DOUBLE) / nullif(n0 * n1, 0), 6)
+             + 0.0 AS cliffs_delta
+    FROM s
+    """,
+)
+def q_cliffs_delta_value_arms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cliff's delta ordinal effect size between the two user-parity
+    arms' value distributions: (#pairs x>y - #pairs x<y) / (n1*n0),
+    computed from the milli-value HISTOGRAM with exclusive
+    above/below cumulative counts — O(distinct values) window work,
+    never the n0*n1 pair product, and every count is an exact
+    integer."""
+    ev = _events(spark, sf_dir)
+    v = ev.where(F.col("value").isNotNull()).selectExpr(
+        "user_id % 2 AS arm",
+        "CAST(floor(value * 1000) AS BIGINT) AS vm",
+    )
+    hist = v.groupBy("vm").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+    )
+    cum = hist.select(
+        "vm",
+        "c0",
+        "c1",
+        F.coalesce(
+            F.sum("c0").over(
+                W.orderBy("vm").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("c0_below"),
+        F.coalesce(
+            F.sum("c0").over(
+                W.orderBy(F.col("vm").desc()).rowsBetween(
+                    W.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("c0_above"),
+    )
+    s = cum.agg(
+        F.sum(F.col("c1") * F.col("c0_below")).cast("long").alias("gt"),
+        F.sum(F.col("c1") * F.col("c0_above")).cast("long").alias("lt"),
+        F.sum("c0").cast("long").alias("n0"),
+        F.sum("c1").cast("long").alias("n1"),
+    )
+    return s.selectExpr(
+        "n0",
+        "n1",
+        "gt AS n_pairs_gt",
+        "lt AS n_pairs_lt",
+        "round(CAST(gt - lt AS DOUBLE) / nullif(n0 * n1, 0L), 6)"
+        " + 0.0 AS cliffs_delta",
+    )
+
+
+@register(
+    "robust_quartile_moments_by_type",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS vm
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round((quantile_cont(vm, 0.75) + quantile_cont(vm, 0.25)
+                  - 2 * quantile_cont(vm, 0.5))
+                 / nullif(quantile_cont(vm, 0.75)
+                          - quantile_cont(vm, 0.25), 0), 6) + 0.0
+             AS bowley_skew,
+           round(((quantile_cont(vm, 0.875) - quantile_cont(vm, 0.625))
+                  + (quantile_cont(vm, 0.375)
+                     - quantile_cont(vm, 0.125)))
+                 / nullif(quantile_cont(vm, 0.75)
+                          - quantile_cont(vm, 0.25), 0), 6)
+             AS moors_kurtosis
+    FROM v GROUP BY 1
+    """,
+)
+def q_robust_quartile_moments_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Outlier-robust shape statistics per event type: Bowley quartile
+    skewness (q3+q1-2*median)/(q3-q1) and Moors octile kurtosis
+    ((e7-e5)+(e3-e1))/(q3-q1). Every percentile fraction is DYADIC
+    (eighths) over milli-integer digests, so each interpolated order
+    statistic is an exact double on both engines (the
+    doc_token_percentiles discipline extended to octiles); the two
+    ratios are single deterministic expressions, signed outputs carry
+    +0.0."""
+    ev = _events(spark, sf_dir)
+    v = ev.where(F.col("value").isNotNull()).selectExpr(
+        "event_type", "CAST(floor(value * 1000) AS BIGINT) AS vm"
+    )
+    g = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("percentile(vm, 0.125)").alias("e1"),
+        F.expr("percentile(vm, 0.25)").alias("q1"),
+        F.expr("percentile(vm, 0.375)").alias("e3"),
+        F.expr("percentile(vm, 0.5)").alias("med"),
+        F.expr("percentile(vm, 0.625)").alias("e5"),
+        F.expr("percentile(vm, 0.75)").alias("q3"),
+        F.expr("percentile(vm, 0.875)").alias("e7"),
+    )
+    return g.selectExpr(
+        "event_type",
+        "n",
+        "round((q3 + q1 - 2 * med) / nullif(q3 - q1, 0), 6) + 0.0"
+        " AS bowley_skew",
+        "round(((e7 - e5) + (e3 - e1)) / nullif(q3 - q1, 0), 6)"
+        " AS moors_kurtosis",
+    )
+
+
+@register(
+    "page_trend_test_hour_blocks",
+    """
+    WITH c AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+             (CAST(floor(epoch(ts)) AS BIGINT) // 21600) % 4 AS bkt,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT min(d) AS lo, max(d) AS hi FROM c),
+    z AS (
+      SELECT days.d, b.bkt, coalesce(c.n, 0) AS y
+      FROM (SELECT unnest(generate_series(lo, hi)) AS d FROM span) days
+      CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS bkt) b
+      LEFT JOIN c ON c.d = days.d AND c.bkt = b.bkt
+    ),
+    r AS (
+      SELECT d, bkt,
+             2 * rank() OVER (PARTITION BY d ORDER BY y)
+               + count(*) OVER (PARTITION BY d, y) - 1 AS dr
+      FROM z
+    ),
+    s AS (
+      SELECT CAST(sum((bkt + 1) * dr) AS BIGINT) AS l2,
+             CAST(count(DISTINCT d) AS BIGINT) AS nb
+      FROM r
+    )
+    SELECT nb AS n_days, l2 AS page_l_doubled,
+           round((CAST(l2 AS DOUBLE) / 2 - 25 * nb)
+                 / nullif(sqrt(CAST(25 * nb AS DOUBLE) / 3), 0), 6)
+             + 0.0 AS page_z
+    FROM s
+    """,
+)
+def q_page_trend_test_hour_blocks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Page's L trend test for a MONOTONE time-of-day effect across the
+    four 6-hour blocks (blocks = days, ordered alternative — the
+    directional complement of the Friedman omnibus): L = sum j*R_j
+    over doubled midranks, z = (L - 25b)/sqrt(25b/3) for k=4. Rank
+    sums stay integer via the doubled-midrank identity; the z is one
+    deterministic expression."""
+    ev = _events(spark, sf_dir)
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    c = ev.groupBy(
+        (sec / 86400).cast("long").alias("d"),
+        ((sec / 21600).cast("long") % 4).alias("bkt"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    span = c.agg(F.min("d").alias("_lo"), F.max("d").alias("_hi"))
+    days = span.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("d")
+    )
+    bkts = spark.range(4).select(F.col("id").cast("long").alias("bkt"))
+    z = (
+        days.crossJoin(F.broadcast(bkts))
+        .join(c, ["d", "bkt"], "left")
+        .select(
+            "d", "bkt",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    r = z.select(
+        "d",
+        "bkt",
+        (
+            2 * F.rank().over(W.partitionBy("d").orderBy("y"))
+            + F.count(F.lit(1)).over(W.partitionBy("d", "y"))
+            - 1
+        ).cast("long").alias("dr"),
+    )
+    s = r.agg(
+        F.sum((F.col("bkt") + 1) * F.col("dr")).cast("long").alias("l2"),
+        F.countDistinct("d").cast("long").alias("nb"),
+    )
+    return s.selectExpr(
+        "nb AS n_days",
+        "l2 AS page_l_doubled",
+        "round((CAST(l2 AS DOUBLE) / 2 - 25 * nb)"
+        " / nullif(sqrt(CAST(25 * nb AS DOUBLE) / 3), 0), 6)"
+        " + 0.0 AS page_z",
+    )
+
+
+@register(
+    "sign_test_halves_by_type",
+    """
+    WITH c AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    lo AS (SELECT min(h) AS h0 FROM c),
+    scaffold AS (
+      SELECT t.event_type, hh.i
+      FROM (SELECT DISTINCT event_type FROM c) t
+      CROSS JOIN (SELECT unnest(generate_series(0, 359)) AS i) hh
+    ),
+    pair AS (
+      SELECT s.event_type, s.i,
+             coalesce(c1.n, 0) AS y1, coalesce(c2.n, 0) AS y2
+      FROM scaffold s CROSS JOIN lo
+      LEFT JOIN c c1 ON c1.event_type = s.event_type
+                    AND c1.h = lo.h0 + s.i
+      LEFT JOIN c c2 ON c2.event_type = s.event_type
+                    AND c2.h = lo.h0 + s.i + 360
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN y2 > y1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_plus,
+             CAST(sum(CASE WHEN y2 < y1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_minus,
+             CAST(sum(CASE WHEN y2 = y1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tie
+      FROM pair GROUP BY 1
+    )
+    SELECT event_type, n_plus, n_minus, n_tie,
+           round(CAST(n_plus - n_minus AS DOUBLE)
+                 / nullif(sqrt(CAST(n_plus + n_minus AS DOUBLE)), 0), 6)
+             + 0.0 AS sign_z
+    FROM g
+    """,
+)
+def q_sign_test_halves_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Paired sign test per event type: hour h of the first half-month
+    pairs with hour h+360 of the second half (same time-of-day), and
+    the test asks whether activity systematically rose or fell.
+    Zero-filled pairs from the hour scaffold, exact plus/minus/tie
+    counts, z = (n+ - n-)/sqrt(n+ + n-) — one deterministic
+    expression over integers."""
+    ev = _events(spark, sf_dir)
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    c = ev.groupBy(
+        "event_type", (sec / 3600).cast("long").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    lo = c.agg(F.min("h").alias("h0"))
+    hours = spark.range(360).select(F.col("id").cast("long").alias("i"))
+    scaffold = (
+        c.select("event_type").distinct().crossJoin(F.broadcast(hours))
+    )
+    c1 = c.selectExpr("event_type AS et1", "h AS h1", "n AS y1raw")
+    c2 = c.selectExpr("event_type AS et2", "h AS h2", "n AS y2raw")
+    pair = (
+        scaffold.crossJoin(F.broadcast(lo))
+        .join(
+            c1,
+            (F.col("event_type") == F.col("et1"))
+            & (F.col("h1") == F.col("h0") + F.col("i")),
+            "left",
+        )
+        .join(
+            c2,
+            (F.col("event_type") == F.col("et2"))
+            & (F.col("h2") == F.col("h0") + F.col("i") + 360),
+            "left",
+        )
+        .select(
+            "event_type",
+            F.coalesce(F.col("y1raw"), F.lit(0)).cast("long").alias("y1"),
+            F.coalesce(F.col("y2raw"), F.lit(0)).cast("long").alias("y2"),
+        )
+    )
+    g = pair.groupBy("event_type").agg(
+        F.sum(F.when(F.col("y2") > F.col("y1"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_plus"),
+        F.sum(F.when(F.col("y2") < F.col("y1"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_minus"),
+        F.sum(F.when(F.col("y2") == F.col("y1"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_tie"),
+    )
+    return g.selectExpr(
+        "event_type",
+        "n_plus",
+        "n_minus",
+        "n_tie",
+        "round(CAST(n_plus - n_minus AS DOUBLE)"
+        " / nullif(sqrt(CAST(n_plus + n_minus AS DOUBLE)), 0), 6)"
+        " + 0.0 AS sign_z",
+    )
+
+
+@register(
+    "dixon_q_by_type",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS vm
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(min(vm) AS BIGINT) AS minv,
+             CAST(max(vm) AS BIGINT) AS maxv
+      FROM v GROUP BY 1
+    ),
+    x AS (
+      SELECT v.event_type,
+             CAST(sum(CASE WHEN v.vm = g.minv THEN 1 ELSE 0 END)
+               AS BIGINT) AS cnt_min,
+             CAST(sum(CASE WHEN v.vm = g.maxv THEN 1 ELSE 0 END)
+               AS BIGINT) AS cnt_max,
+             CAST(min(CASE WHEN v.vm > g.minv THEN v.vm END)
+               AS BIGINT) AS second_low,
+             CAST(max(CASE WHEN v.vm < g.maxv THEN v.vm END)
+               AS BIGINT) AS second_high
+      FROM v JOIN g USING (event_type) GROUP BY 1
+    )
+    SELECT g.event_type, g.n, g.minv, g.maxv,
+           round(CAST((CASE WHEN x.cnt_min > 1 THEN g.minv
+                        ELSE coalesce(x.second_low, g.minv) END)
+                      - g.minv AS DOUBLE)
+                 / nullif(g.maxv - g.minv, 0), 6) AS q_low,
+           round(CAST(g.maxv
+                      - (CASE WHEN x.cnt_max > 1 THEN g.maxv
+                         ELSE coalesce(x.second_high, g.maxv) END)
+                 AS DOUBLE)
+                 / nullif(g.maxv - g.minv, 0), 6) AS q_high
+    FROM g JOIN x USING (event_type)
+    """,
+)
+def q_dixon_q_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dixon's Q gap statistics per event type: the relative gap
+    between each extreme and its neighboring order statistic,
+    (x2-x1)/(xn-x1) and (xn-x(n-1))/(xn-x1) — the small-sample outlier
+    screen. Second order statistics come from conditional aggregates
+    against the broadcast min/max (duplicated extremes give a zero
+    gap, matching the order-statistic definition); everything is
+    exact-integer milli-digest arithmetic — two hash aggregations, no
+    sort."""
+    ev = _events(spark, sf_dir)
+    v = ev.where(F.col("value").isNotNull()).selectExpr(
+        "event_type", "CAST(floor(value * 1000) AS BIGINT) AS vm"
+    )
+    g = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("vm").cast("long").alias("minv"),
+        F.max("vm").cast("long").alias("maxv"),
+    )
+    x = (
+        v.join(F.broadcast(g), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("vm") == F.col("minv"), 1).otherwise(0))
+            .cast("long")
+            .alias("cnt_min"),
+            F.sum(F.when(F.col("vm") == F.col("maxv"), 1).otherwise(0))
+            .cast("long")
+            .alias("cnt_max"),
+            F.min(F.when(F.col("vm") > F.col("minv"), F.col("vm")))
+            .cast("long")
+            .alias("second_low"),
+            F.max(F.when(F.col("vm") < F.col("maxv"), F.col("vm")))
+            .cast("long")
+            .alias("second_high"),
+        )
+    )
+    return g.join(x, "event_type").selectExpr(
+        "event_type",
+        "n",
+        "minv",
+        "maxv",
+        "round(CAST((CASE WHEN cnt_min > 1 THEN minv"
+        " ELSE coalesce(second_low, minv) END) - minv AS DOUBLE)"
+        " / nullif(maxv - minv, 0L), 6) AS q_low",
+        "round(CAST(maxv - (CASE WHEN cnt_max > 1 THEN maxv"
+        " ELSE coalesce(second_high, maxv) END) AS DOUBLE)"
+        " / nullif(maxv - minv, 0L), 6) AS q_high",
+    )
+
+
+@register(
+    "corpus_token_gini_by_lang",
+    """
+    WITH w AS (
+      SELECT lang, lower(unnest(string_split(text, ' '))) AS word
+      FROM documents
+    ),
+    wc AS (
+      SELECT lang, word, CAST(count(*) AS BIGINT) AS c
+      FROM w WHERE word <> '' GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT lang, c,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY c, word) AS BIGINT) AS rk,
+             CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS nt
+      FROM wc
+    ),
+    g AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(sum((2 * rk - nt - 1) * c) AS BIGINT) AS gnum
+      FROM r GROUP BY 1
+    )
+    SELECT lang, n_types, n_tokens,
+           round(CAST(gnum AS DOUBLE)
+                 / nullif(CAST(n_types AS DOUBLE) * n_tokens, 0), 6)
+             AS token_gini
+    FROM g
+    """,
+)
+def q_corpus_token_gini_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gini coefficient of the word-frequency distribution per
+    language — how unequally token mass concentrates on few types
+    (the Zipf-inequality scalar that complements the zipf/heaps
+    fits). Uses the rank formula G = sum((2i-N-1)x_i)/(N*sum x),
+    which is tie-permutation invariant, with a deterministic (count,
+    word) rank order; rank-weighted sums stay in BIGINT. One window
+    over the per-language vocabulary relation (vocab-sized, not
+    corpus-sized)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+    ).where(F.col("word") != "")
+    wc = w.groupBy("lang", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    r = wc.select(
+        "lang",
+        "c",
+        F.row_number()
+        .over(W.partitionBy("lang").orderBy("c", "word"))
+        .cast("long")
+        .alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy("lang")).cast("long").alias("nt"),
+    )
+    g = r.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum((2 * F.col("rk") - F.col("nt") - 1) * F.col("c"))
+        .cast("long")
+        .alias("gnum"),
+    )
+    return g.selectExpr(
+        "lang",
+        "n_types",
+        "n_tokens",
+        "round(CAST(gnum AS DOUBLE)"
+        " / nullif(CAST(n_types AS DOUBLE) * n_tokens, 0), 6)"
+        " AS token_gini",
+    )

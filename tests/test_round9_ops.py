@@ -451,3 +451,123 @@ class TestRound9PlanShapes:
     def test_mh_or_broadcasts_order_keys(self, spark):
         plan = self._plan("mantel_haenszel_or_by_segment", spark)
         assert "CartesianProduct" not in plan
+
+
+def _write_embeddings(tmp_path, rows):
+    """rows: (vec_id, [floats], label)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(table, os.path.join(tmp_path, "embeddings.parquet"))
+
+
+class TestPostRotationSurvivalAgreement:
+    def test_nelson_aalen_hand_computed(self, spark, tmp_path):
+        rows = []
+        eid = 0
+        for u in (1, 2, 3, 4):
+            rows.append((eid, "2024-01-01 00:00:00", u, "click", None,
+                         None))
+            eid += 1
+        rows.append((eid, "2024-01-01 00:00:10", 1, "purchase", None,
+                     None))
+        eid += 1
+        rows.append((eid, "2024-01-01 00:00:20", 2, "purchase", None,
+                     None))
+        eid += 1
+        rows.append((eid, "2024-01-01 00:01:40", 3, "click", None, None))
+        _write_events(tmp_path, rows)
+        out = {(r["arm"], r["death_time"]): r for r in _run(
+            spark, tmp_path, "nelson_aalen_cumhaz_arms")}
+        # arm1 (users 1,3): death at 10s with 2 at risk -> H = 0.5
+        assert out[(1, 10)]["n_at_risk"] == 2
+        assert out[(1, 10)]["cum_hazard"] == 0.5
+        # arm0 (users 2,4): death at 20s with 2 at risk -> H = 0.5
+        assert out[(0, 20)]["cum_hazard"] == 0.5
+
+    def test_ari_fm_perfect_agreement(self, spark, tmp_path):
+        rows = []
+        for i in range(6):
+            lab = i % 2
+            vec = [1.0, 1.0, 0.0] if lab == 1 else [-1.0, -1.0, 0.0]
+            rows.append((i, vec, lab))
+        _write_embeddings(tmp_path, rows)
+        r = _run(spark, tmp_path, "partition_agreement_ari_fm")[0]
+        assert r["ari"] == 1.0 and r["fowlkes_mallows"] == 1.0
+
+    def test_cliffs_delta_hand_computed(self, spark, tmp_path):
+        # arm0 (even users): values 1, 2; arm1 (odd): value 2
+        # pairs: (2>1)=1 gt, (2==2) neither -> delta = 1/2
+        _write_events(tmp_path, [
+            (0, "2024-01-01 00:00:00", 2, "click", 1.0, None),
+            (1, "2024-01-01 00:00:01", 4, "click", 2.0, None),
+            (2, "2024-01-01 00:00:02", 1, "click", 2.0, None),
+        ])
+        r = _run(spark, tmp_path, "cliffs_delta_value_arms")[0]
+        assert (r["n0"], r["n1"]) == (2, 1)
+        assert (r["n_pairs_gt"], r["n_pairs_lt"]) == (1, 0)
+        assert r["cliffs_delta"] == 0.5
+
+
+class TestPostRotationRobustAndTrend:
+    def test_robust_moments_uniform_hand_computed(self, spark, tmp_path):
+        _events_with_values(
+            tmp_path, [("A", float(v)) for v in range(1, 8)]
+        )
+        r = _run(spark, tmp_path, "robust_quartile_moments_by_type")[0]
+        # symmetric: Bowley = +0.0 exactly; uniform octiles give
+        # Moors = ((6250-4750)+(3250-1750))/3000 = 1.0
+        assert r["bowley_skew"] == 0.0
+        assert r["moors_kurtosis"] == 1.0
+
+    def test_page_trend_monotone_blocks(self, spark, tmp_path):
+        _bucket_counts_events(tmp_path, [1, 2, 3, 4, 1, 2, 3, 4])
+        r = _run(spark, tmp_path, "page_trend_test_hour_blocks")[0]
+        # untied increasing ranks: L2/day = 60, two days -> 120;
+        # z = (60 - 50)/sqrt(50/3)
+        assert r["page_l_doubled"] == 120 and r["n_days"] == 2
+        assert r["page_z"] == round(10 / math.sqrt(50.0 / 3.0), 6)
+
+    def test_sign_test_single_riser(self, spark, tmp_path):
+        import pandas as pd
+
+        rows = [(0, "2024-01-01 00:00:00", 1, "click", None, None)]
+        t360 = pd.Timestamp("2024-01-01") + pd.Timedelta(hours=360)
+        for j in range(3):
+            rows.append((1 + j, str(t360 + pd.Timedelta(seconds=j)), 1,
+                         "click", None, None))
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "sign_test_halves_by_type")[0]
+        assert (r["n_plus"], r["n_minus"], r["n_tie"]) == (1, 0, 359)
+        assert r["sign_z"] == 1.0
+
+    def test_dixon_q_hand_computed(self, spark, tmp_path):
+        _events_with_values(
+            tmp_path, [("A", 1.0), ("A", 2.0), ("A", 3.0), ("A", 10.0)]
+        )
+        r = _run(spark, tmp_path, "dixon_q_by_type")[0]
+        assert r["q_low"] == round(1000.0 / 9000.0, 6)
+        assert r["q_high"] == round(7000.0 / 9000.0, 6)
+
+    def test_dixon_q_duplicate_extreme_zero_gap(self, spark, tmp_path):
+        _events_with_values(
+            tmp_path, [("A", 1.0), ("A", 1.0), ("A", 5.0)]
+        )
+        r = _run(spark, tmp_path, "dixon_q_by_type")[0]
+        assert r["q_low"] == 0.0
+
+    def test_token_gini_hand_computed(self, spark, tmp_path):
+        # counts a:1 b:2 c:4 -> gnum = -2 + 0 + 8 = 6, G = 6/21
+        _write_documents(tmp_path, [(0, "a b b c c c c", "en", "s")])
+        r = _run(spark, tmp_path, "corpus_token_gini_by_lang")[0]
+        assert (r["n_types"], r["n_tokens"]) == (3, 7)
+        assert r["token_gini"] == round(6.0 / 21.0, 6)
