@@ -39,11 +39,15 @@ def register(name: str, oracle: str | None):
 # synthetic-partsupp TPC-H queries, i.e. every registration after
 # image_phash_dct at round-8 close) + ALL 17 round-9 additions in
 # registration order — exactly 50 names, 0 slots spare. After this
-# window runs green, EVERY oracle-checked registry name has a green
-# driver row and round 10 starts with an EMPTY backlog: round 10's
-# window = its own additions (cap 50) topped up with rotation picks
-# from the long-unverified tail. All 50 are green in the committed
-# sf0.1 sweep (PARITY_SF01.json) and the driver-protocol sim at sf0.01.
+# window runs green, EVERY name registered at rotation time has a green
+# driver row. Round 9 then added 8 more operators AFTER the rotation
+# (nelson_aalen_cumhaz_arms ... corpus_token_gini_by_lang, i.e. every
+# registration after graph_modularity_label_communities) — those 8 are
+# the ROUND-10 BACKLOG: round 10's window = those 8 + up to 42 of its
+# own additions (cap additions at 42). All 50 window names are green in
+# the committed sf0.1 sweep (PARITY_SF01.json) and the driver-protocol
+# sim at sf0.01; the 8 backlog names are green in per-query protocol
+# checks at sf0.01 AND sf0.1 plus unit fixtures.
 # The 3 rows-only names (approx_distinct_users_by_type,
 # dedup_simhash_pairs, ann_ivf_topk) can never go green (err:
 # no_oracle) and stay OUT of every window.
