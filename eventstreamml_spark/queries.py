@@ -40,14 +40,15 @@ def register(name: str, oracle: str | None):
 # image_phash_dct at round-8 close) + ALL 17 round-9 additions in
 # registration order — exactly 50 names, 0 slots spare. After this
 # window runs green, EVERY name registered at rotation time has a green
-# driver row. Round 9 then added 8 more operators AFTER the rotation
-# (nelson_aalen_cumhaz_arms ... corpus_token_gini_by_lang, i.e. every
-# registration after graph_modularity_label_communities) — those 8 are
-# the ROUND-10 BACKLOG: round 10's window = those 8 + up to 42 of its
-# own additions (cap additions at 42). All 50 window names are green in
+# driver row. Round 9 then added 12 more operators AFTER the rotation
+# (nelson_aalen_cumhaz_arms ... gamma_fit_time_to_purchase, i.e. every
+# registration after graph_modularity_label_communities) — those 12 are
+# the ROUND-10 BACKLOG: round 10's window = those 12 + up to 38 of its
+# own additions (cap additions at 38). All 50 window names are green in
 # the committed sf0.1 sweep (PARITY_SF01.json) and the driver-protocol
 # sim at sf0.01; the 8 backlog names are green in per-query protocol
-# checks at sf0.01 AND sf0.1 plus unit fixtures.
+# checks at sf0.01 AND sf0.1 plus unit fixtures (same for the 12
+# backlog names).
 # The 3 rows-only names (approx_distinct_users_by_type,
 # dedup_simhash_pairs, ann_ivf_topk) can never go green (err:
 # no_oracle) and stay OUT of every window.
@@ -22534,4 +22535,419 @@ def q_corpus_token_gini_by_lang(
         "round(CAST(gnum AS DOUBLE)"
         " / nullif(CAST(n_types AS DOUBLE) * n_tokens, 0), 6)"
         " AS token_gini",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 post-rotation batch 2 (also round-10 backlog): DeLong AUC
+# uncertainty, classical seasonal decomposition, ACF period detection,
+# and a gamma duration fit.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "eval_auc_delong_se",
+    f"""
+    WITH {_SCORED_SQL},
+    h AS (
+      SELECT event_type, score,
+             CAST(sum(y) AS BIGINT) AS c1,
+             CAST(sum(1 - y) AS BIGINT) AS c0
+      FROM scored GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, score, c1, c0,
+             CAST(coalesce(sum(c0) OVER (PARTITION BY event_type
+               ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS c0_below,
+             CAST(coalesce(sum(c1) OVER (PARTITION BY event_type
+               ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS c1_above
+      FROM h
+    ),
+    g AS (
+      SELECT event_type, CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c0) AS BIGINT) AS n0,
+             CAST(sum(c1 * (2 * c0_below + c0)) AS BIGINT) AS u2
+      FROM cum GROUP BY 1
+    ),
+    v AS (
+      SELECT cum.event_type,
+             CAST(sum(cum.c1 * CAST(floor(
+               (CAST(2 * cum.c0_below + cum.c0 AS DOUBLE) / (2 * g.n0)
+                - CAST(g.u2 AS DOUBLE) / (2 * g.n1 * g.n0))
+               * (CAST(2 * cum.c0_below + cum.c0 AS DOUBLE) / (2 * g.n0)
+                - CAST(g.u2 AS DOUBLE) / (2 * g.n1 * g.n0))
+               * 1000000.0) AS BIGINT)) AS BIGINT) AS v1_micro,
+             CAST(sum(cum.c0 * CAST(floor(
+               (CAST(2 * cum.c1_above + cum.c1 AS DOUBLE) / (2 * g.n1)
+                - CAST(g.u2 AS DOUBLE) / (2 * g.n1 * g.n0))
+               * (CAST(2 * cum.c1_above + cum.c1 AS DOUBLE) / (2 * g.n1)
+                - CAST(g.u2 AS DOUBLE) / (2 * g.n1 * g.n0))
+               * 1000000.0) AS BIGINT)) AS BIGINT) AS v0_micro
+      FROM cum JOIN g USING (event_type)
+      GROUP BY 1
+    )
+    SELECT g.event_type, g.n1 AS n_pos, g.n0 AS n_neg,
+           round(CAST(g.u2 AS DOUBLE) / (2 * g.n1 * g.n0), 6) AS auc,
+           round(sqrt(
+             (CAST(v.v1_micro AS DOUBLE) / 1000000.0 / (g.n1 - 1))
+               / g.n1
+             + (CAST(v.v0_micro AS DOUBLE) / 1000000.0 / (g.n0 - 1))
+               / g.n0), 6) AS delong_se
+    FROM g JOIN v USING (event_type)
+    """,
+)
+def q_eval_auc_delong_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeLong standard error of the ROC AUC per event type: placement
+    values come from the SCORE HISTOGRAM (doubled below+tie counts, so
+    each placement is an exact integer over 2*n0), the AUC is one
+    exact-integer ratio, and each squared placement deviation
+    floor-quantizes to micro-units weighted by its histogram count —
+    the covariance sums are exact integers, never an O(n^2) pairwise
+    pass and never a float accumulation race."""
+    sc = _scored_events(spark, sf_dir)
+    h = sc.groupBy("event_type", "score").agg(
+        F.sum("label").cast("long").alias("c1"),
+        F.sum(1 - F.col("label")).cast("long").alias("c0"),
+    )
+    wasc = W.partitionBy("event_type").orderBy("score")
+    wdesc = W.partitionBy("event_type").orderBy(F.col("score").desc())
+    cum = h.select(
+        "event_type",
+        "score",
+        "c1",
+        "c0",
+        F.coalesce(
+            F.sum("c0").over(wasc.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("c0_below"),
+        F.coalesce(
+            F.sum("c1").over(wdesc.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("c1_above"),
+    )
+    g = cum.groupBy("event_type").agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c0").cast("long").alias("n0"),
+        F.sum(F.col("c1") * (2 * F.col("c0_below") + F.col("c0")))
+        .cast("long")
+        .alias("u2"),
+    )
+    v = (
+        cum.join(F.broadcast(g), "event_type")
+        .selectExpr(
+            "event_type",
+            "c1 * CAST(floor("
+            "(CAST(2 * c0_below + c0 AS DOUBLE) / (2 * n0)"
+            " - CAST(u2 AS DOUBLE) / (2 * n1 * n0))"
+            " * (CAST(2 * c0_below + c0 AS DOUBLE) / (2 * n0)"
+            " - CAST(u2 AS DOUBLE) / (2 * n1 * n0))"
+            " * 1000000.0) AS BIGINT) AS t1",
+            "c0 * CAST(floor("
+            "(CAST(2 * c1_above + c1 AS DOUBLE) / (2 * n1)"
+            " - CAST(u2 AS DOUBLE) / (2 * n1 * n0))"
+            " * (CAST(2 * c1_above + c1 AS DOUBLE) / (2 * n1)"
+            " - CAST(u2 AS DOUBLE) / (2 * n1 * n0))"
+            " * 1000000.0) AS BIGINT) AS t0",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("t1").cast("long").alias("v1_micro"),
+            F.sum("t0").cast("long").alias("v0_micro"),
+        )
+    )
+    return g.join(v, "event_type").selectExpr(
+        "event_type",
+        "n1 AS n_pos",
+        "n0 AS n_neg",
+        "round(CAST(u2 AS DOUBLE) / (2 * n1 * n0), 6) AS auc",
+        "round(sqrt("
+        "(CAST(v1_micro AS DOUBLE) / 1000000.0 / (n1 - 1)) / n1"
+        " + (CAST(v0_micro AS DOUBLE) / 1000000.0 / (n0 - 1)) / n0"
+        "), 6) AS delong_se",
+    )
+
+
+@register(
+    "seasonal_decomposition_hourly",
+    """
+    WITH c AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    span AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+    z AS (
+      SELECT hs.h, coalesce(c.n, 0) AS y
+      FROM (SELECT unnest(generate_series(lo, hi)) AS h FROM span) hs
+      LEFT JOIN c USING (h)
+    ),
+    ma AS (
+      SELECT h, y,
+             CAST(sum(y) OVER (ORDER BY h
+               ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING) AS BIGINT)
+               AS s23,
+             CAST(lag(y, 12) OVER (ORDER BY h) AS BIGINT) AS ym12,
+             CAST(lead(y, 12) OVER (ORDER BY h) AS BIGINT) AS yp12,
+             row_number() OVER (ORDER BY h) AS idx,
+             count(*) OVER () AS nn
+      FROM z
+    ),
+    det AS (
+      SELECT h % 24 AS hod,
+             48 * y - (2 * s23 + ym12 + yp12) AS num48
+      FROM ma WHERE idx > 12 AND idx <= nn - 12
+    )
+    SELECT hod AS hour_of_day, CAST(count(*) AS BIGINT) AS n_obs,
+           round(CAST(sum(num48) AS DOUBLE) / (48 * count(*)), 6) + 0.0
+             AS seasonal_index
+    FROM det GROUP BY 1
+    """,
+)
+def q_seasonal_decomposition_hourly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Classical additive seasonal decomposition of the hourly count
+    series: trend = centered 24-hour moving average (half-weighted
+    endpoints), seasonal index per hour-of-day = mean detrended
+    residual. The detrended numerator 48*y - (2*S23 + y[-12] + y[+12])
+    is an exact integer per point (S23 = the 23-term window sum), so
+    the per-hour means are exact integer ratios — no float
+    accumulation. All window work runs on the 720-row scaffold."""
+    ev = _events(spark, sf_dir)
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    c = ev.groupBy((sec / 3600).cast("long").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    span = c.agg(F.min("h").alias("_lo"), F.max("h").alias("_hi"))
+    hs = span.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("h")
+    )
+    z = hs.join(c, "h", "left").select(
+        "h", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("y")
+    )
+    wh = W.orderBy("h")
+    ma = z.select(
+        "h",
+        "y",
+        F.sum("y").over(wh.rowsBetween(-11, 11)).cast("long").alias("s23"),
+        F.lag("y", 12).over(wh).cast("long").alias("ym12"),
+        F.lead("y", 12).over(wh).cast("long").alias("yp12"),
+        F.row_number().over(wh).alias("idx"),
+        F.count(F.lit(1)).over(
+            W.orderBy("h").rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("nn"),
+    )
+    det = ma.where(
+        (F.col("idx") > 12) & (F.col("idx") <= F.col("nn") - 12)
+    ).selectExpr(
+        "h % 24 AS hod",
+        "48 * y - (2 * s23 + ym12 + yp12) AS num48",
+    )
+    return det.groupBy("hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        (
+            F.round(
+                F.sum("num48").cast("double")
+                / (48 * F.count(F.lit(1))),
+                6,
+            )
+            + 0.0
+        ).alias("seasonal_index"),
+    ).selectExpr("hod AS hour_of_day", "n_obs", "seasonal_index")
+
+
+@register(
+    "dominant_period_hourly",
+    """
+    WITH c AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+    z AS (
+      SELECT t.event_type, hs.h, coalesce(c.n, 0) AS y
+      FROM (SELECT DISTINCT event_type FROM c) t
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS h
+                  FROM span) hs
+      LEFT JOIN c ON c.event_type = t.event_type AND c.h = hs.h
+    ),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS t
+      FROM z GROUP BY 1
+    ),
+    d AS (
+      SELECT z.event_type, z.h, g.n * z.y - g.t AS x
+      FROM z JOIN g USING (event_type)
+    ),
+    s0 AS (
+      SELECT event_type, CAST(sum(x * x) AS BIGINT) AS s0
+      FROM d GROUP BY 1
+    ),
+    lags AS (SELECT unnest(generate_series(2, 48)) AS k),
+    sk AS (
+      SELECT a.event_type, lags.k,
+             CAST(sum(a.x * b.x) AS BIGINT) AS s
+      FROM d a
+      CROSS JOIN lags
+      JOIN d b ON b.event_type = a.event_type
+              AND b.h = a.h + lags.k
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT event_type, k, s,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY s DESC, k) AS rk
+      FROM sk
+    )
+    SELECT b.event_type, CAST(b.k AS BIGINT) AS best_lag,
+           round(CAST(b.s AS DOUBLE) / nullif(s0.s0, 0), 6) + 0.0
+             AS acf_at_best
+    FROM best b JOIN s0 USING (event_type) WHERE b.rk = 1
+    """,
+)
+def q_dominant_period_hourly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dominant seasonality period per event type: the lag in [2, 48]
+    hours maximizing the autocovariance of the zero-filled hourly
+    series, with the n-scaled centering trick (x = n*y - T) keeping
+    every lag product an exact integer — so the argmax is decided on
+    integers with a smallest-lag tiebreak, immune to float ordering.
+    The lag join runs on the 720-row-per-type scaffold (~34k rows),
+    never the raw events."""
+    ev = _events(spark, sf_dir)
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    c = ev.groupBy(
+        "event_type", (sec / 3600).cast("long").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    span = c.agg(F.min("h").alias("_lo"), F.max("h").alias("_hi"))
+    hs = span.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("h")
+    )
+    z = (
+        c.select("event_type").distinct()
+        .crossJoin(hs)
+        .join(c, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            "h",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("t"),
+    )
+    d = z.join(F.broadcast(g), "event_type").selectExpr(
+        "event_type", "h", "n * y - t AS x"
+    )
+    s0 = d.groupBy("event_type").agg(
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s0")
+    )
+    lags = spark.range(2, 49).select(F.col("id").cast("long").alias("k"))
+    a = d.selectExpr("event_type", "h", "x AS xa")
+    b = d.selectExpr("event_type AS et_b", "h AS hb", "x AS xb")
+    sk = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("event_type") == F.col("et_b"))
+            & (F.col("hb") == F.col("h") + F.col("k")),
+        )
+        .groupBy("event_type", "k")
+        .agg(F.sum(F.col("xa") * F.col("xb")).cast("long").alias("s"))
+    )
+    best = sk.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy(F.col("s").desc(), "k")
+        ),
+    ).where(F.col("rk") == 1)
+    return best.join(s0, "event_type").selectExpr(
+        "event_type",
+        "CAST(k AS BIGINT) AS best_lag",
+        "round(CAST(s AS DOUBLE) / nullif(s0, 0L), 6) + 0.0"
+        " AS acf_at_best",
+    )
+
+
+@register(
+    "gamma_fit_time_to_purchase",
+    """
+    WITH fe AS (
+      SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT)) AS t0
+      FROM events GROUP BY 1
+    ),
+    fp AS (
+      SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT)) AS tp
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    dur AS (
+      SELECT fp.tp - fe.t0 AS d
+      FROM fe JOIN fp USING (user_id)
+      WHERE fp.tp > fe.t0
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(d) AS BIGINT) AS s,
+             CAST(sum(d * d) AS BIGINT) AS ss
+      FROM dur
+    )
+    SELECT n AS n_users,
+           round(CAST(s AS DOUBLE) / n, 6) AS mean_sec,
+           round(CAST(s AS DOUBLE) * s / nullif(n * ss - s * s, 0), 6)
+             AS gamma_shape,
+           round(CAST(n * ss - s * s AS DOUBLE) / nullif(n * s, 0), 6)
+             AS gamma_scale_sec
+    FROM g
+    """,
+)
+def q_gamma_fit_time_to_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Method-of-moments gamma fit of time-to-first-purchase (strictly
+    positive, uncensored durations): shape k = mean^2/var =
+    s^2/(n*ss - s^2) and scale theta = var/mean = (n*ss - s^2)/(n*s)
+    — both single exact-integer ratios over second-granularity
+    durations (population variance), the parametric summary of
+    conversion-latency behavior. Two per-user aggregations and one
+    global fold; nothing float accumulates."""
+    ev = _events(spark, sf_dir)
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp")).cast("long")
+    fe = ev.groupBy("user_id").agg(F.min(sec).alias("t0"))
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(sec).alias("tp"))
+    )
+    dur = (
+        fe.join(fp, "user_id")
+        .where(F.col("tp") > F.col("t0"))
+        .selectExpr("tp - t0 AS d")
+    )
+    g = dur.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").cast("long").alias("s"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("ss"),
+    )
+    return g.selectExpr(
+        "n AS n_users",
+        "round(CAST(s AS DOUBLE) / n, 6) AS mean_sec",
+        "round(CAST(s AS DOUBLE) * s / nullif(n * ss - s * s, 0L), 6)"
+        " AS gamma_shape",
+        "round(CAST(n * ss - s * s AS DOUBLE) / nullif(n * s, 0L), 6)"
+        " AS gamma_scale_sec",
     )

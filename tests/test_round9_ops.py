@@ -571,3 +571,87 @@ class TestPostRotationRobustAndTrend:
         r = _run(spark, tmp_path, "corpus_token_gini_by_lang")[0]
         assert (r["n_types"], r["n_tokens"]) == (3, 7)
         assert r["token_gini"] == round(6.0 / 21.0, 6)
+
+
+class TestPostRotationBatch2:
+    def test_delong_matches_python_replica(self, spark, tmp_path):
+        import hashlib
+
+        users = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12]
+        rows = [
+            (i, "2024-01-01 00:00:%02d" % (i % 60), u, "click", None,
+             None)
+            for i, u in enumerate(users)
+        ]
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "eval_auc_delong_se")[0]
+        pts = []
+        for i, u in enumerate(users):
+            y = 1 if u % 3 == 0 else 0
+            uu = (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16)
+                % 1000
+            ) / 999.0
+            pts.append((y, 0.3 * y + 0.7 * uu))
+        pos = sorted(p for y, p in pts if y == 1)
+        neg = sorted(p for y, p in pts if y == 0)
+        n1, n0 = len(pos), len(neg)
+        u2 = sum(
+            2 * sum(1 for q in neg if q < p)
+            + sum(1 for q in neg if q == p)
+            for p in pos
+        )
+        auc = u2 / (2 * n1 * n0)
+        v1 = sum(
+            math.floor(
+                ((2 * sum(1 for q in neg if q < p)
+                  + sum(1 for q in neg if q == p)) / (2 * n0) - auc) ** 2
+                * 1e6
+            )
+            for p in pos
+        )
+        v0 = sum(
+            math.floor(
+                ((2 * sum(1 for p in pos if p > q)
+                  + sum(1 for p in pos if p == q)) / (2 * n1) - auc) ** 2
+                * 1e6
+            )
+            for q in neg
+        )
+        se = math.sqrt(
+            (v1 / 1e6 / (n1 - 1)) / n1 + (v0 / 1e6 / (n0 - 1)) / n0
+        )
+        assert (r["n_pos"], r["n_neg"]) == (n1, n0)
+        assert r["auc"] == round(auc, 6)
+        assert r["delong_se"] == round(se, 6)
+
+    def test_seasonal_decomposition_constant_is_zero(
+        self, spark, tmp_path
+    ):
+        _bucket_counts_events(tmp_path, [5] * 48, bucket_seconds=3600)
+        rows = _run(spark, tmp_path, "seasonal_decomposition_hourly")
+        assert len(rows) == 24
+        assert all(r["seasonal_index"] == 0.0 for r in rows)
+        assert all(r["n_obs"] == 1 for r in rows)
+
+    def test_dominant_period_detects_period_4(self, spark, tmp_path):
+        _bucket_counts_events(
+            tmp_path, [5, 1, 1, 1] * 12, bucket_seconds=3600
+        )
+        r = _run(spark, tmp_path, "dominant_period_hourly")[0]
+        assert r["best_lag"] == 4
+        assert r["acf_at_best"] > 0.5
+
+    def test_gamma_fit_hand_computed(self, spark, tmp_path):
+        rows = [
+            (0, "2024-01-01 00:00:00", 1, "click", None, None),
+            (1, "2024-01-01 00:00:10", 1, "purchase", None, None),
+            (2, "2024-01-01 00:00:00", 2, "click", None, None),
+            (3, "2024-01-01 00:00:20", 2, "purchase", None, None),
+        ]
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "gamma_fit_time_to_purchase")[0]
+        # durations 10, 20: mean 15, shape 900/100 = 9, scale 100/60
+        assert r["n_users"] == 2 and r["mean_sec"] == 15.0
+        assert r["gamma_shape"] == 9.0
+        assert r["gamma_scale_sec"] == round(100.0 / 60.0, 6)
