@@ -655,3 +655,39 @@ class TestPostRotationBatch2:
         assert r["n_users"] == 2 and r["mean_sec"] == 15.0
         assert r["gamma_shape"] == 9.0
         assert r["gamma_scale_sec"] == round(100.0 / 60.0, 6)
+
+
+class TestPostRotationPlanShapes:
+    """Plan pins for the post-rotation batches."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def _plan(self, name, spark):
+        return (
+            q.queries()[name](spark, self.SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    def test_delong_histogram_broadcasts_totals(self, spark):
+        # covariance terms join the tiny per-type (n1, n0, u2) relation
+        # via broadcast; nothing row-level crosses twice
+        plan = self._plan("eval_auc_delong_se", spark)
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_dominant_period_lag_join_is_hash(self, spark):
+        # the 47-lag self-join runs on the scaffold relation as an
+        # equi-join on (event_type, h+k) — never a cartesian product
+        # against the raw events
+        plan = self._plan("dominant_period_hourly", spark)
+        assert "CartesianProduct" not in plan
+
+    def test_cliffs_delta_no_pair_product(self, spark):
+        plan = self._plan("cliffs_delta_value_arms", spark)
+        assert "CartesianProduct" not in plan
+
+    def test_nelson_aalen_no_cartesian(self, spark):
+        plan = self._plan("nelson_aalen_cumhaz_arms", spark)
+        assert "CartesianProduct" not in plan
