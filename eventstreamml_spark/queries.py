@@ -40,14 +40,14 @@ def register(name: str, oracle: str | None):
 # image_phash_dct at round-8 close) + ALL 17 round-9 additions in
 # registration order — exactly 50 names, 0 slots spare. After this
 # window runs green, EVERY name registered at rotation time has a green
-# driver row. Round 9 then added 12 more operators AFTER the rotation
-# (nelson_aalen_cumhaz_arms ... gamma_fit_time_to_purchase, i.e. every
-# registration after graph_modularity_label_communities) — those 12 are
-# the ROUND-10 BACKLOG: round 10's window = those 12 + up to 38 of its
-# own additions (cap additions at 38). All 50 window names are green in
+# driver row. Round 9 then added 16 more operators AFTER the rotation
+# (nelson_aalen_cumhaz_arms ... weekday_weekend_lift_by_type, i.e. every
+# registration after graph_modularity_label_communities) — those 16 are
+# the ROUND-10 BACKLOG: round 10's window = those 16 + up to 34 of its
+# own additions (cap additions at 34). All 50 window names are green in
 # the committed sf0.1 sweep (PARITY_SF01.json) and the driver-protocol
 # sim at sf0.01; the 8 backlog names are green in per-query protocol
-# checks at sf0.01 AND sf0.1 plus unit fixtures (same for the 12
+# checks at sf0.01 AND sf0.1 plus unit fixtures (same for the 16
 # backlog names).
 # The 3 rows-only names (approx_distinct_users_by_type,
 # dedup_simhash_pairs, ann_ivf_topk) can never go green (err:
@@ -22950,4 +22950,310 @@ def q_gamma_fit_time_to_purchase(
         " AS gamma_shape",
         "round(CAST(n * ss - s * s AS DOUBLE) / nullif(n * s, 0L), 6)"
         " AS gamma_scale_sec",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 post-rotation batch 3 (round-10 backlog): integer power
+# iteration, corpus burstiness, QQ comparison, weekday seasonal lift.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "markov_stationary_power_iteration",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+               AS nxt
+      FROM events
+    ),
+    t AS (
+      SELECT event_type AS src, nxt AS dst, CAST(count(*) AS BIGINT) AS c
+      FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    v1 AS (
+      SELECT dst AS state, CAST(sum(c) AS BIGINT) AS v
+      FROM t GROUP BY 1
+    ),
+    v2 AS (
+      SELECT t.dst AS state, CAST(sum(v1.v * t.c) AS BIGINT) AS v
+      FROM t JOIN v1 ON v1.state = t.src GROUP BY 1
+    ),
+    v3 AS (
+      SELECT t.dst AS state, CAST(sum(v2.v * t.c) AS BIGINT) AS v
+      FROM t JOIN v2 ON v2.state = t.src GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(v) AS BIGINT) AS s FROM v3)
+    SELECT v3.state AS event_type, v3.v AS weight_iter3,
+           round(CAST(v3.v AS DOUBLE) / tot.s, 6) AS stationary_share
+    FROM v3 CROSS JOIN tot
+    """,
+)
+def q_markov_stationary_power_iteration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Approximate stationary distribution of the event-type Markov
+    chain via three UN-normalized power iterations over the raw
+    transition-count matrix: v_{k+1}(j) = sum_i v_k(i) c_ij stays in
+    exact BIGINT the whole way (counts ~1e5 cube to ~1e15 — the
+    deliberate reason for exactly 3 iterations), and L1 normalization
+    is one final exact-integer ratio — the HITS-style trick that makes
+    an iterative spectral quantity hash-verifiable. Each iteration is
+    one broadcast-sized join over the k x k transition relation."""
+    ev = _events(spark, sf_dir)
+    o = ev.select(
+        "event_type",
+        F.lead("event_type")
+        .over(
+            W.partitionBy("user_id").orderBy(
+                F.expr(
+                    "CAST(floor(unix_micros(cast(ts as timestamp))"
+                    " / 1e6) AS BIGINT)"
+                ),
+                "event_id",
+            )
+        )
+        .alias("nxt"),
+    )
+    t = (
+        o.where(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    v = t.groupBy(F.col("dst").alias("state")).agg(
+        F.sum("c").cast("long").alias("v")
+    )
+    for _ in range(2):
+        v = (
+            t.join(
+                F.broadcast(v.withColumnRenamed("state", "src")), "src"
+            )
+            .groupBy(F.col("dst").alias("state"))
+            .agg(F.sum(F.col("v") * F.col("c")).cast("long").alias("v"))
+        )
+    tot = v.agg(F.sum("v").cast("long").alias("s"))
+    return v.crossJoin(F.broadcast(tot)).selectExpr(
+        "state AS event_type",
+        "v AS weight_iter3",
+        "round(CAST(v AS DOUBLE) / s, 6) AS stationary_share",
+    )
+
+
+@register(
+    "doc_word_burstiness_top_terms",
+    """
+    WITH w AS (
+      SELECT doc_id, lower(unnest(string_split(text, ' '))) AS word
+      FROM documents
+    ),
+    wc AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+      FROM w WHERE word <> '' GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT word, CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(c * c) AS BIGINT) AS ss
+      FROM wc GROUP BY 1
+      ORDER BY sum(c) DESC, word LIMIT 20
+    ),
+    d AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents)
+    SELECT top.word, top.s AS n_occurrences,
+           round(CAST(d.nd * top.ss - top.s * top.s AS DOUBLE)
+                 / (d.nd * top.s), 6) AS burstiness_vmr
+    FROM top CROSS JOIN d
+    """,
+)
+def q_doc_word_burstiness_top_terms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Church-Gale burstiness (variance-to-mean ratio of per-document
+    counts, zeros included) for the 20 most frequent corpus words:
+    VMR ~ 1 means Poisson scatter, >> 1 means the word clumps into few
+    documents — the content-vs-function-word separator that informs
+    stopword and keyword policies. VMR = (D*ss - s^2)/(D*s) is one
+    exact-integer ratio per word; absent docs contribute exact zeros
+    through D rather than a per-doc scaffold."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+    ).where(F.col("word") != "")
+    wc = w.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    top = (
+        wc.groupBy("word")
+        .agg(
+            F.sum("c").cast("long").alias("s"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+        )
+        .orderBy(F.col("s").desc(), "word")
+        .limit(20)
+    )
+    d = docs.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    return top.crossJoin(F.broadcast(d)).selectExpr(
+        "word",
+        "s AS n_occurrences",
+        "round(CAST(nd * ss - s * s AS DOUBLE) / (nd * s), 6)"
+        " AS burstiness_vmr",
+    )
+
+
+@register(
+    "value_qq_octiles_arms",
+    """
+    WITH v AS (
+      SELECT user_id % 2 AS arm,
+             CAST(floor(value * 1000) AS BIGINT) AS vm
+      FROM events WHERE value IS NOT NULL
+    ),
+    q AS (
+      SELECT quantile_cont(vm, 0.125) FILTER (WHERE arm = 0) AS p0_1,
+             quantile_cont(vm, 0.25) FILTER (WHERE arm = 0) AS p0_2,
+             quantile_cont(vm, 0.375) FILTER (WHERE arm = 0) AS p0_3,
+             quantile_cont(vm, 0.5) FILTER (WHERE arm = 0) AS p0_4,
+             quantile_cont(vm, 0.625) FILTER (WHERE arm = 0) AS p0_5,
+             quantile_cont(vm, 0.75) FILTER (WHERE arm = 0) AS p0_6,
+             quantile_cont(vm, 0.875) FILTER (WHERE arm = 0) AS p0_7,
+             quantile_cont(vm, 0.125) FILTER (WHERE arm = 1) AS p1_1,
+             quantile_cont(vm, 0.25) FILTER (WHERE arm = 1) AS p1_2,
+             quantile_cont(vm, 0.375) FILTER (WHERE arm = 1) AS p1_3,
+             quantile_cont(vm, 0.5) FILTER (WHERE arm = 1) AS p1_4,
+             quantile_cont(vm, 0.625) FILTER (WHERE arm = 1) AS p1_5,
+             quantile_cont(vm, 0.75) FILTER (WHERE arm = 1) AS p1_6,
+             quantile_cont(vm, 0.875) FILTER (WHERE arm = 1) AS p1_7
+      FROM v
+    ),
+    u AS (
+      SELECT CAST(1 AS BIGINT) AS octile, p0_1 AS a0, p1_1 AS a1 FROM q
+      UNION ALL SELECT CAST(2 AS BIGINT) AS octile, p0_2 AS a0, p1_2 AS a1 FROM q
+      UNION ALL SELECT CAST(3 AS BIGINT) AS octile, p0_3 AS a0, p1_3 AS a1 FROM q
+      UNION ALL SELECT CAST(4 AS BIGINT) AS octile, p0_4 AS a0, p1_4 AS a1 FROM q
+      UNION ALL SELECT CAST(5 AS BIGINT) AS octile, p0_5 AS a0, p1_5 AS a1 FROM q
+      UNION ALL SELECT CAST(6 AS BIGINT) AS octile, p0_6 AS a0, p1_6 AS a1 FROM q
+      UNION ALL SELECT CAST(7 AS BIGINT) AS octile, p0_7 AS a0, p1_7 AS a1 FROM q
+    )
+    SELECT octile, round(a0, 6) AS q_arm0, round(a1, 6) AS q_arm1,
+           round(a1 - a0, 6) + 0.0 AS qq_shift
+    FROM u
+    """,
+)
+def q_value_qq_octiles_arms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile-quantile comparison of the two user-parity arms' value
+    distributions at the seven octiles: matched dyadic-fraction order
+    statistics over milli-integer digests (every interpolation product
+    exact on both engines), with the per-octile shift — the
+    distribution-free view of WHERE two arms differ that a mean test
+    can't give. One aggregation per arm over the histogram-sized
+    grid."""
+    ev = _events(spark, sf_dir)
+    v = ev.where(F.col("value").isNotNull()).selectExpr(
+        "user_id % 2 AS arm",
+        "CAST(floor(value * 1000) AS BIGINT) AS vm",
+    )
+    g = v.groupBy().agg(
+        *[
+            F.expr(
+                f"percentile(CASE WHEN arm = {a} THEN vm END,"
+                f" {k} / 8.0)"
+            ).alias(f"p{a}_{k}")
+            for a in (0, 1)
+            for k in range(1, 8)
+        ]
+    )
+    return g.selectExpr(
+        "inline(array("
+        + ", ".join(
+            f"struct(CAST({k} AS BIGINT) AS octile,"
+            f" round(p0_{k}, 6) AS q_arm0,"
+            f" round(p1_{k}, 6) AS q_arm1,"
+            f" round(p1_{k} - p0_{k}, 6) + 0.0 AS qq_shift)"
+            for k in range(1, 8)
+        )
+        + "))"
+    )
+
+
+@register(
+    "weekday_weekend_lift_by_type",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CASE WHEN ((CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 3)
+                        % 7) IN (5, 6) THEN 1 ELSE 0 END AS we
+      FROM events
+    ),
+    days AS (
+      SELECT CAST(sum(CASE WHEN (d + 3) % 7 IN (5, 6) THEN 1 ELSE 0
+                      END) AS BIGINT) AS d_we,
+             CAST(sum(CASE WHEN (d + 3) % 7 IN (5, 6) THEN 0 ELSE 1
+                      END) AS BIGINT) AS d_wd
+      FROM (
+        SELECT unnest(generate_series(
+          (SELECT min(CAST(floor(epoch(ts)) AS BIGINT) // 86400)
+           FROM events),
+          (SELECT max(CAST(floor(epoch(ts)) AS BIGINT) // 86400)
+           FROM events))) AS d
+      )
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(sum(we) AS BIGINT) AS c_we,
+             CAST(sum(1 - we) AS BIGINT) AS c_wd
+      FROM e GROUP BY 1
+    )
+    SELECT g.event_type, g.c_we AS n_weekend, g.c_wd AS n_weekday,
+           days.d_we AS n_weekend_days, days.d_wd AS n_weekday_days,
+           round(CAST(g.c_we * days.d_wd AS DOUBLE)
+                 / nullif(g.c_wd * days.d_we, 0), 6) AS weekend_lift
+    FROM g CROSS JOIN days
+    """,
+)
+def q_weekday_weekend_lift_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weekend-vs-weekday activity lift per event type: the ratio of
+    daily rates (c_we/d_we) / (c_wd/d_wd) evaluated as one exact
+    cross-multiplied integer ratio. Day-of-week derives from integer
+    epoch-day arithmetic ((d+3) % 7, Mon=0..Sun=6, Sat/Sun = 5/6) — no calendar
+    functions, so both engines bucket identically; day denominators
+    come from the span scaffold, robust to empty days."""
+    ev = _events(spark, sf_dir)
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp")).cast("long")
+    e = ev.select(
+        "event_type",
+        F.when(((sec / 86400).cast("long") + 3) % 7 >= 5, 1)
+        .otherwise(0)
+        .alias("we"),
+    )
+    span = ev.agg(
+        F.min((sec / 86400).cast("long")).alias("_lo"),
+        F.max((sec / 86400).cast("long")).alias("_hi"),
+    )
+    days = span.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("d")
+    ).agg(
+        F.sum(F.when((F.col("d") + 3) % 7 >= 5, 1).otherwise(0))
+        .cast("long")
+        .alias("d_we"),
+        F.sum(F.when((F.col("d") + 3) % 7 >= 5, 0).otherwise(1))
+        .cast("long")
+        .alias("d_wd"),
+    )
+    g = e.groupBy("event_type").agg(
+        F.sum("we").cast("long").alias("c_we"),
+        F.sum(1 - F.col("we")).cast("long").alias("c_wd"),
+    )
+    return g.crossJoin(F.broadcast(days)).selectExpr(
+        "event_type",
+        "c_we AS n_weekend",
+        "c_wd AS n_weekday",
+        "d_we AS n_weekend_days",
+        "d_wd AS n_weekday_days",
+        "round(CAST(c_we * d_wd AS DOUBLE)"
+        " / nullif(c_wd * d_we, 0L), 6) AS weekend_lift",
     )

@@ -691,3 +691,63 @@ class TestPostRotationPlanShapes:
     def test_nelson_aalen_no_cartesian(self, spark):
         plan = self._plan("nelson_aalen_cumhaz_arms", spark)
         assert "CartesianProduct" not in plan
+
+
+class TestPostRotationBatch3:
+    def test_markov_stationary_hand_computed(self, spark, tmp_path):
+        # one user, A B A B: transitions A->B x2, B->A x1.
+        # v1={B:2,A:1}; v2={B:2,A:2}; v3={B:4,A:2} -> shares 2/3, 1/3
+        rows = [
+            (i, "2024-01-01 00:00:%02d" % i, 1, t, None, None)
+            for i, t in enumerate(["A", "B", "A", "B"])
+        ]
+        _write_events(tmp_path, rows)
+        out = {r["event_type"]: r for r in _run(
+            spark, tmp_path, "markov_stationary_power_iteration")}
+        assert out["B"]["weight_iter3"] == 4
+        assert out["A"]["weight_iter3"] == 2
+        assert out["B"]["stationary_share"] == round(2.0 / 3.0, 6)
+
+    def test_burstiness_hand_computed(self, spark, tmp_path):
+        _write_documents(tmp_path, [(0, "x x x x", "en", "s"),
+                                    (1, "y", "en", "s")])
+        out = {r["word"]: r for r in _run(
+            spark, tmp_path, "doc_word_burstiness_top_terms")}
+        # x: D=2, s=4, ss=16 -> (32-16)/8 = 2.0; y: (2-1)/2 = 0.5
+        assert out["x"]["burstiness_vmr"] == 2.0
+        assert out["y"]["burstiness_vmr"] == 0.5
+
+    def test_qq_octiles_constant_shift(self, spark, tmp_path):
+        rows = []
+        eid = 0
+        for i in range(1, 10):
+            rows.append((eid, "2024-01-01 00:00:00", 2, "click",
+                         float(i), None))
+            eid += 1
+            rows.append((eid, "2024-01-01 00:00:00", 1, "click",
+                         float(i + 10), None))
+            eid += 1
+        _write_events(tmp_path, rows)
+        rows_out = _run(spark, tmp_path, "value_qq_octiles_arms")
+        assert len(rows_out) == 7
+        assert all(r["qq_shift"] == 10000.0 for r in rows_out)
+
+    def test_weekend_lift_hand_computed(self, spark, tmp_path):
+        # 2024-01-01 is a Monday; Jan 6/7 the weekend. One event per
+        # weekday, two per weekend day -> lift (4*5)/(5*2) = 2.0
+        rows = []
+        eid = 0
+        for day in range(1, 6):
+            rows.append((eid, f"2024-01-0{day} 12:00:00", 1, "click",
+                         None, None))
+            eid += 1
+        for day in (6, 7):
+            for j in range(2):
+                rows.append((eid, f"2024-01-0{day} 12:00:0{j}", 1,
+                             "click", None, None))
+                eid += 1
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "weekday_weekend_lift_by_type")[0]
+        assert (r["n_weekend"], r["n_weekday"]) == (4, 5)
+        assert (r["n_weekend_days"], r["n_weekday_days"]) == (2, 5)
+        assert r["weekend_lift"] == 2.0
