@@ -40,14 +40,14 @@ def register(name: str, oracle: str | None):
 # image_phash_dct at round-8 close) + ALL 17 round-9 additions in
 # registration order — exactly 50 names, 0 slots spare. After this
 # window runs green, EVERY name registered at rotation time has a green
-# driver row. Round 9 then added 16 more operators AFTER the rotation
-# (nelson_aalen_cumhaz_arms ... weekday_weekend_lift_by_type, i.e. every
-# registration after graph_modularity_label_communities) — those 16 are
-# the ROUND-10 BACKLOG: round 10's window = those 16 + up to 34 of its
-# own additions (cap additions at 34). All 50 window names are green in
+# driver row. Round 9 then added 19 more operators AFTER the rotation
+# (nelson_aalen_cumhaz_arms ... interpurchase_cv2, i.e. every
+# registration after graph_modularity_label_communities) — those 19 are
+# the ROUND-10 BACKLOG: round 10's window = those 19 + up to 31 of its
+# own additions (cap additions at 31). All 50 window names are green in
 # the committed sf0.1 sweep (PARITY_SF01.json) and the driver-protocol
 # sim at sf0.01; the 8 backlog names are green in per-query protocol
-# checks at sf0.01 AND sf0.1 plus unit fixtures (same for the 16
+# checks at sf0.01 AND sf0.1 plus unit fixtures (same for the 19
 # backlog names).
 # The 3 rows-only names (approx_distinct_users_by_type,
 # dedup_simhash_pairs, ann_ivf_topk) can never go green (err:
@@ -23256,4 +23256,234 @@ def q_weekday_weekend_lift_by_type(
         "d_wd AS n_weekday_days",
         "round(CAST(c_we * d_wd AS DOUBLE)"
         " / nullif(c_wd * d_we, 0L), 6) AS weekend_lift",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 post-rotation batch 4 (round-10 backlog): recurrence-plot
+# quantification, calendar revenue trend, intermittency classification.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "recurrence_quantification_6h",
+    """
+    WITH c AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS b,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    span AS (SELECT min(b) AS lo, max(b) AS hi FROM c),
+    z AS (
+      SELECT bs.b - span.lo AS i, coalesce(c.n, 0) AS y
+      FROM (SELECT unnest(generate_series(lo, hi)) AS b FROM span) bs
+      CROSS JOIN span LEFT JOIN c USING (b)
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(greatest((max(y) - min(y)) // 10, 1) AS BIGINT) AS eps
+      FROM z
+    ),
+    rec AS (
+      SELECT a.i AS i, b.i AS j
+      FROM z a JOIN z b ON b.i > a.i CROSS JOIN g
+      WHERE abs(a.y - b.y) <= g.eps
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS r FROM rec
+    ),
+    diag AS (
+      SELECT CAST(count(*) AS BIGINT) AS d
+      FROM rec p JOIN rec q ON q.i = p.i + 1 AND q.j = p.j + 1
+    )
+    SELECT g.n AS n_buckets, g.eps,
+           round(CAST(2 * stats.r AS DOUBLE)
+                 / nullif(g.n * (g.n - 1), 0), 6) AS recurrence_rate,
+           round(CAST(diag.d AS DOUBLE) / nullif(stats.r, 0), 6)
+             AS diagonal_ratio
+    FROM g CROSS JOIN stats CROSS JOIN diag
+    """,
+)
+def q_recurrence_quantification_6h(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recurrence quantification of the zero-filled 6-hour count
+    series: recurrence rate (pair fraction within the integer
+    threshold eps = range/10) and the diagonal-continuation ratio (the
+    determinism proxy — how often a recurrent pair extends one step
+    diagonally, high for periodic dynamics, low for noise). The pair
+    relations live on the ~120-row scaffold (~7k pairs), every count
+    is an exact integer, and the full data is touched by exactly one
+    hash aggregation."""
+    ev = _events(spark, sf_dir)
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    c = ev.groupBy((sec / 21600).cast("long").alias("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    span = c.agg(F.min("b").alias("_lo"), F.max("b").alias("_hi"))
+    z = (
+        span.select(
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("b"),
+            "_lo",
+        )
+        .join(c, "b", "left")
+        .select(
+            (F.col("b") - F.col("_lo")).alias("i"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    g = z.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.greatest(
+            F.expr("(max(y) - min(y)) div 10"), F.lit(1)
+        ).cast("long").alias("eps"),
+    )
+    a = z.selectExpr("i", "y AS ya")
+    b = z.selectExpr("i AS j", "y AS yb")
+    rec = (
+        a.join(b, F.col("j") > F.col("i"))
+        .crossJoin(F.broadcast(g))
+        .where(F.abs(F.col("ya") - F.col("yb")) <= F.col("eps"))
+        .select("i", "j")
+    )
+    stats = rec.agg(F.count(F.lit(1)).cast("long").alias("r"))
+    p = rec.selectExpr("i AS pi", "j AS pj")
+    diag = (
+        p.join(
+            rec,
+            (F.col("i") == F.col("pi") + 1)
+            & (F.col("j") == F.col("pj") + 1),
+        ).agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    return (
+        g.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(diag))
+        .selectExpr(
+            "n AS n_buckets",
+            "eps",
+            "round(CAST(2 * r AS DOUBLE) / nullif(n * (n - 1), 0L), 6)"
+            " AS recurrence_rate",
+            "round(CAST(d AS DOUBLE) / nullif(r, 0L), 6)"
+            " AS diagonal_ratio",
+        )
+    )
+
+
+@register(
+    "orders_monthly_revenue_trend",
+    """
+    WITH m AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(month(o_orderdate) AS BIGINT) AS mo,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS rev_cents,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT yr, mo, rev_cents, n_orders,
+             lag(rev_cents) OVER (ORDER BY yr, mo) AS prev_cents
+      FROM m
+    )
+    SELECT yr, mo, n_orders, rev_cents,
+           round(CAST(rev_cents - prev_cents AS DOUBLE)
+                 / nullif(prev_cents, 0), 6) + 0.0 AS mom_growth
+    FROM w
+    """,
+)
+def q_orders_monthly_revenue_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Calendar-month revenue series with month-over-month growth: the
+    BI staple, made hash-exact by digesting each order to integer
+    cents before the per-month sums (floor(o_totalprice*100) — the
+    per-row digest discipline), so monthly totals are exact integers
+    and each growth rate is one deterministic ratio (signed, +0.0
+    guarded). One aggregation over orders; the lag window runs on the
+    ~80-month relation."""
+    orders = load_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("timestamp")
+    m = orders.groupBy(
+        F.year(od).cast("long").alias("yr"),
+        F.month(od).cast("long").alias("mo"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    w = m.select(
+        "yr",
+        "mo",
+        "rev_cents",
+        "n_orders",
+        F.lag("rev_cents").over(W.orderBy("yr", "mo")).alias("prev_cents"),
+    )
+    return w.selectExpr(
+        "yr",
+        "mo",
+        "n_orders",
+        "rev_cents",
+        "round(CAST(rev_cents - prev_cents AS DOUBLE)"
+        " / nullif(prev_cents, 0L), 6) + 0.0 AS mom_growth",
+    )
+
+
+@register(
+    "interpurchase_cv2",
+    """
+    WITH p AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+      FROM events WHERE event_type = 'purchase'
+    ),
+    gap AS (
+      SELECT t - lag(t) OVER (PARTITION BY user_id ORDER BY t) AS d
+      FROM p
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(d) AS BIGINT) AS s,
+             CAST(sum(d * d) AS BIGINT) AS ss
+      FROM gap WHERE d IS NOT NULL
+    )
+    SELECT n AS n_gaps,
+           round(CAST(s AS DOUBLE) / nullif(n, 0), 6) AS mean_gap_sec,
+           round(CAST(n AS DOUBLE) * ss
+                 / nullif(CAST(s AS DOUBLE) * s, 0) - 1, 6) + 0.0
+             AS cv2
+    FROM g
+    """,
+)
+def q_interpurchase_cv2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Squared coefficient of variation of per-user inter-purchase
+    intervals — with the mean inter-purchase gap, the two axes of the
+    Syntetos-Boylan intermittent-demand classification that decides
+    between Croston/SBA-style forecasters. CV^2 = (n*ss - s^2)/s^2 is
+    one exact-integer ratio over second-granularity gaps; one keyed
+    window for the lags, one global fold."""
+    ev = _events(spark, sf_dir)
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp")).cast("long")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", sec.alias("t")
+    )
+    gap = p.select(
+        (
+            F.col("t")
+            - F.lag("t").over(W.partitionBy("user_id").orderBy("t"))
+        ).alias("d")
+    )
+    g = gap.where(F.col("d").isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").cast("long").alias("s"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("ss"),
+    )
+    # cv2 as n*ss/s^2 - 1 in DOUBLE: s^2 overflows BIGINT at sf0.1
+    # (s ~ 3e9 seconds of gaps); the double products round identically
+    # on both engines, and the possible one-ulp dip below 1 makes the
+    # rounded output negative-zero-capable, hence + 0.0
+    return g.selectExpr(
+        "n AS n_gaps",
+        "round(CAST(s AS DOUBLE) / nullif(n, 0L), 6) AS mean_gap_sec",
+        "round(CAST(n AS DOUBLE) * ss"
+        " / nullif(CAST(s AS DOUBLE) * s, 0) - 1, 6) + 0.0 AS cv2",
     )

@@ -751,3 +751,45 @@ class TestPostRotationBatch3:
         assert (r["n_weekend"], r["n_weekday"]) == (4, 5)
         assert (r["n_weekend_days"], r["n_weekday_days"]) == (2, 5)
         assert r["weekend_lift"] == 2.0
+
+
+class TestPostRotationBatch4:
+    def test_recurrence_periodic_series(self, spark, tmp_path):
+        # strict period 2 with a wide swing: eps = (21-1)//10 = 2;
+        # recurrent pairs = same-parity pairs; every recurrent pair
+        # extends diagonally except those touching the last index
+        _bucket_counts_events(tmp_path, [1, 21] * 6)
+        r = _run(spark, tmp_path, "recurrence_quantification_6h")[0]
+        assert r["n_buckets"] == 12 and r["eps"] == 2
+        # same-parity pairs: 2 * C(6,2) = 30 of C(12,2) = 66
+        assert r["recurrence_rate"] == round(30.0 / 66.0, 6)
+        # diagonal continuations: (i+1,j+1) keeps parity, so every
+        # recurrent pair with j <= 10 continues: C(6,2) evens-in-0..10
+        # + C(5,2) odds = 25 -> ratio 25/30
+        assert r["diagonal_ratio"] == round(25.0 / 30.0, 6)
+
+    def test_monthly_revenue_growth(self, spark, tmp_path):
+        orders = [
+            (1, 1, "O", 100.0, "1995-01-15", "1-URGENT"),
+            (2, 1, "O", 150.0, "1995-02-15", "1-URGENT"),
+            (3, 1, "O", 75.0, "1995-03-15", "1-URGENT"),
+        ]
+        _write_orders(tmp_path, orders)
+        rows = {(r["yr"], r["mo"]): r for r in _run(
+            spark, tmp_path, "orders_monthly_revenue_trend")}
+        assert rows[(1995, 1)]["mom_growth"] is None
+        assert rows[(1995, 2)]["mom_growth"] == 0.5
+        assert rows[(1995, 3)]["mom_growth"] == -0.5
+
+    def test_interpurchase_cv2_hand_computed(self, spark, tmp_path):
+        # one user, purchases at 0, 10, 30 -> gaps 10, 20:
+        # mean 15, cv2 = 2*500/900 - 1 = 1/9
+        rows = [
+            (0, "2024-01-01 00:00:00", 1, "purchase", None, None),
+            (1, "2024-01-01 00:00:10", 1, "purchase", None, None),
+            (2, "2024-01-01 00:00:30", 1, "purchase", None, None),
+        ]
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "interpurchase_cv2")[0]
+        assert r["n_gaps"] == 2 and r["mean_gap_sec"] == 15.0
+        assert r["cv2"] == round(2 * 500.0 / 900.0 - 1, 6)
