@@ -20419,9 +20419,10 @@ def q_mood_median_test_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d
     )
     SELECT n_hours, n_turning,
-           round((n_turning - CAST(2 * (n_hours - 2) AS DOUBLE) / 3)
-                 / sqrt(CAST(16 * n_hours - 29 AS DOUBLE) / 90), 6) + 0.0
-             AS z_stat
+           CASE WHEN n_hours >= 2 THEN
+             round((n_turning - CAST(2 * (n_hours - 2) AS DOUBLE) / 3)
+                   / sqrt(CAST(16 * n_hours - 29 AS DOUBLE) / 90), 6) + 0.0
+           ELSE NULL END AS z_stat
     FROM t
     """,
 )
@@ -20470,10 +20471,13 @@ def q_turning_points_test_hourly(
         "n_hours",
         "n_turning",
         # integer-cast canonical form: bare 2.0/3.0 literals would run
-        # DECIMAL arithmetic in Spark SQL text (the partsupp trap)
-        "round((n_turning - CAST(2 * (n_hours - 2) AS DOUBLE) / 3)"
+        # DECIMAL arithmetic in Spark SQL text (the partsupp trap);
+        # n_hours=1 makes the variance argument negative (DuckDB would
+        # hard-error on sqrt) so the degenerate span yields NULL
+        "CASE WHEN n_hours >= 2 THEN"
+        " round((n_turning - CAST(2 * (n_hours - 2) AS DOUBLE) / 3)"
         " / sqrt(CAST(16 * n_hours - 29 AS DOUBLE) / 90), 6) + 0.0"
-        " AS z_stat",
+        " ELSE NULL END AS z_stat",
     )
 
 
@@ -20963,8 +20967,9 @@ def q_permutation_entropy_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT nz.event_type, nz.idx,
              0.5 * nz.y + 0.5 * r.e,
-             r.viol + CASE WHEN (nz.y - r.e) * (nz.y - r.e)
-                 * g.n * g.n > 9.0 * (g.n * g.ss - g.s * g.s)
+             r.viol + CASE WHEN ((nz.y - r.e) * (nz.y - r.e))
+                 * CAST(g.n * g.n AS DOUBLE)
+                 > CAST(9 * (g.n * g.ss - g.s * g.s) AS DOUBLE)
                THEN 1 ELSE 0 END
       FROM rec r
       JOIN z nz ON nz.event_type = r.event_type AND nz.idx = r.idx + 1
@@ -21024,9 +21029,12 @@ def q_ewma_control_chart_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = seq.join(F.broadcast(g), "event_type")
     vals = F.transform(F.col("_seq"), lambda s: s["_y"])
-    thr = (9.0 * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))).cast(
-        "double"
-    )
+    # exact-integer threshold 9*(n*ss - s^2) cast to double ONCE, and the
+    # test side multiplies (dev*dev) by the exact integer n^2 in the same
+    # association order as the oracle — bit-identical at the boundary
+    thr = (
+        F.lit(9) * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+    ).cast("double")
     n2 = (F.col("n") * F.col("n")).cast("double")
     init = F.struct(
         F.get(vals, 0).alias("e"), F.lit(0).cast("long").alias("viol")
@@ -21967,9 +21975,9 @@ def q_nelson_aalen_cumhaz_arms(
     )
     SELECT n AS n_points, pr AS pairs_both, pa AS pairs_label,
            pb AS pairs_bucket,
-           round((pr - CAST(pa AS DOUBLE) * pb / (n * (n - 1) / 2))
+           round((pr - CAST(pa AS DOUBLE) * pb / nullif(n * (n - 1) / 2, 0))
                  / nullif((CAST(pa + pb AS DOUBLE) / 2)
-                          - CAST(pa AS DOUBLE) * pb / (n * (n - 1) / 2),
+                          - CAST(pa AS DOUBLE) * pb / nullif(n * (n - 1) / 2, 0),
                           0), 6) + 0.0 AS ari,
            round(CAST(pr AS DOUBLE)
                  / nullif(sqrt(CAST(pa AS DOUBLE) * pb), 0), 6)
@@ -22019,9 +22027,9 @@ def q_partition_agreement_ari_fm(
         "pr AS pairs_both",
         "pa AS pairs_label",
         "pb AS pairs_bucket",
-        "round((pr - CAST(pa AS DOUBLE) * pb / (n * (n - 1) div 2))"
+        "round((pr - CAST(pa AS DOUBLE) * pb / nullif(n * (n - 1) div 2, 0))"
         " / nullif((CAST(pa + pb AS DOUBLE) / 2)"
-        " - CAST(pa AS DOUBLE) * pb / (n * (n - 1) div 2), 0), 6)"
+        " - CAST(pa AS DOUBLE) * pb / nullif(n * (n - 1) div 2, 0), 0), 6)"
         " + 0.0 AS ari",
         "round(CAST(pr AS DOUBLE)"
         " / nullif(sqrt(CAST(pa AS DOUBLE) * pb), 0), 6)"
@@ -22576,26 +22584,26 @@ def q_corpus_token_gini_by_lang(
     v AS (
       SELECT cum.event_type,
              CAST(sum(cum.c1 * CAST(floor(
-               (CAST(2 * cum.c0_below + cum.c0 AS DOUBLE) / (2 * g.n0)
-                - CAST(g.u2 AS DOUBLE) / (2 * g.n1 * g.n0))
-               * (CAST(2 * cum.c0_below + cum.c0 AS DOUBLE) / (2 * g.n0)
-                - CAST(g.u2 AS DOUBLE) / (2 * g.n1 * g.n0))
+               (CAST(2 * cum.c0_below + cum.c0 AS DOUBLE) / nullif(2 * g.n0, 0)
+                - CAST(g.u2 AS DOUBLE) / nullif(2 * g.n1 * g.n0, 0))
+               * (CAST(2 * cum.c0_below + cum.c0 AS DOUBLE) / nullif(2 * g.n0, 0)
+                - CAST(g.u2 AS DOUBLE) / nullif(2 * g.n1 * g.n0, 0))
                * 1000000.0) AS BIGINT)) AS BIGINT) AS v1_micro,
              CAST(sum(cum.c0 * CAST(floor(
-               (CAST(2 * cum.c1_above + cum.c1 AS DOUBLE) / (2 * g.n1)
-                - CAST(g.u2 AS DOUBLE) / (2 * g.n1 * g.n0))
-               * (CAST(2 * cum.c1_above + cum.c1 AS DOUBLE) / (2 * g.n1)
-                - CAST(g.u2 AS DOUBLE) / (2 * g.n1 * g.n0))
+               (CAST(2 * cum.c1_above + cum.c1 AS DOUBLE) / nullif(2 * g.n1, 0)
+                - CAST(g.u2 AS DOUBLE) / nullif(2 * g.n1 * g.n0, 0))
+               * (CAST(2 * cum.c1_above + cum.c1 AS DOUBLE) / nullif(2 * g.n1, 0)
+                - CAST(g.u2 AS DOUBLE) / nullif(2 * g.n1 * g.n0, 0))
                * 1000000.0) AS BIGINT)) AS BIGINT) AS v0_micro
       FROM cum JOIN g USING (event_type)
       GROUP BY 1
     )
     SELECT g.event_type, g.n1 AS n_pos, g.n0 AS n_neg,
-           round(CAST(g.u2 AS DOUBLE) / (2 * g.n1 * g.n0), 6) AS auc,
+           round(CAST(g.u2 AS DOUBLE) / nullif(2 * g.n1 * g.n0, 0), 6) AS auc,
            round(sqrt(
-             (CAST(v.v1_micro AS DOUBLE) / 1000000.0 / (g.n1 - 1))
+             (CAST(v.v1_micro AS DOUBLE) / 1000000.0 / nullif(g.n1 - 1, 0))
                / g.n1
-             + (CAST(v.v0_micro AS DOUBLE) / 1000000.0 / (g.n0 - 1))
+             + (CAST(v.v0_micro AS DOUBLE) / 1000000.0 / nullif(g.n0 - 1, 0))
                / g.n0), 6) AS delong_se
     FROM g JOIN v USING (event_type)
     """,
@@ -22645,16 +22653,16 @@ def q_eval_auc_delong_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "event_type",
             "c1 * CAST(floor("
-            "(CAST(2 * c0_below + c0 AS DOUBLE) / (2 * n0)"
-            " - CAST(u2 AS DOUBLE) / (2 * n1 * n0))"
-            " * (CAST(2 * c0_below + c0 AS DOUBLE) / (2 * n0)"
-            " - CAST(u2 AS DOUBLE) / (2 * n1 * n0))"
+            "(CAST(2 * c0_below + c0 AS DOUBLE) / nullif(2 * n0, 0)"
+            " - CAST(u2 AS DOUBLE) / nullif(2 * n1 * n0, 0))"
+            " * (CAST(2 * c0_below + c0 AS DOUBLE) / nullif(2 * n0, 0)"
+            " - CAST(u2 AS DOUBLE) / nullif(2 * n1 * n0, 0))"
             " * 1000000.0) AS BIGINT) AS t1",
             "c0 * CAST(floor("
-            "(CAST(2 * c1_above + c1 AS DOUBLE) / (2 * n1)"
-            " - CAST(u2 AS DOUBLE) / (2 * n1 * n0))"
-            " * (CAST(2 * c1_above + c1 AS DOUBLE) / (2 * n1)"
-            " - CAST(u2 AS DOUBLE) / (2 * n1 * n0))"
+            "(CAST(2 * c1_above + c1 AS DOUBLE) / nullif(2 * n1, 0)"
+            " - CAST(u2 AS DOUBLE) / nullif(2 * n1 * n0, 0))"
+            " * (CAST(2 * c1_above + c1 AS DOUBLE) / nullif(2 * n1, 0)"
+            " - CAST(u2 AS DOUBLE) / nullif(2 * n1 * n0, 0))"
             " * 1000000.0) AS BIGINT) AS t0",
         )
         .groupBy("event_type")
@@ -22667,10 +22675,10 @@ def q_eval_auc_delong_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n1 AS n_pos",
         "n0 AS n_neg",
-        "round(CAST(u2 AS DOUBLE) / (2 * n1 * n0), 6) AS auc",
+        "round(CAST(u2 AS DOUBLE) / nullif(2 * n1 * n0, 0), 6) AS auc",
         "round(sqrt("
-        "(CAST(v1_micro AS DOUBLE) / 1000000.0 / (n1 - 1)) / n1"
-        " + (CAST(v0_micro AS DOUBLE) / 1000000.0 / (n0 - 1)) / n0"
+        "(CAST(v1_micro AS DOUBLE) / 1000000.0 / nullif(n1 - 1, 0)) / n1"
+        " + (CAST(v0_micro AS DOUBLE) / 1000000.0 / nullif(n0 - 1, 0)) / n0"
         "), 6) AS delong_se",
     )
 
@@ -23158,8 +23166,11 @@ def q_value_qq_octiles_arms(
     g = v.groupBy().agg(
         *[
             F.expr(
+                # integer-CAST canonical form: "k / 8.0" would run
+                # integer-op-DECIMAL in Spark SQL text (the documented
+                # decimal-literal trap); eighths only happened to fit
                 f"percentile(CASE WHEN arm = {a} THEN vm END,"
-                f" {k} / 8.0)"
+                f" CAST({k} AS DOUBLE) / 8)"
             ).alias(f"p{a}_{k}")
             for a in (0, 1)
             for k in range(1, 8)
