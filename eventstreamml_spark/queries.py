@@ -23498,3 +23498,802 @@ def q_interpurchase_cv2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(CAST(n AS DOUBLE) * ss"
         " / nullif(CAST(s AS DOUBLE) * s, 0) - 1, 6) + 0.0 AS cv2",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 batch A: rank-based two-sample/trend/changepoint tests and
+# exact spectral/association diagnostics. Every statistic rides the
+# bounded value-histogram or hour-grid scaffold with doubled-midrank /
+# tripled-sum integer algebra, so both engines agree bit-for-bit before
+# the final rounded division.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cramer_von_mises_value_arms",
+    """
+    WITH v AS (
+      SELECT user_id % 2 AS arm,
+             CAST(floor(value * 1000) AS BIGINT) AS vm
+      FROM events WHERE value IS NOT NULL
+    ),
+    hist AS (
+      SELECT vm,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c1,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c0
+      FROM v GROUP BY 1
+    ),
+    cum AS (
+      SELECT c1, c0,
+             CAST(coalesce(sum(c1 + c0) OVER (ORDER BY vm
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cb,
+             CAST(coalesce(sum(c1) OVER (ORDER BY vm
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cb1,
+             CAST(coalesce(sum(c0) OVER (ORDER BY vm
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cb0
+      FROM hist
+    ),
+    terms AS (
+      SELECT
+        CAST(sum(3 * c1 * a1 * a1 - 6 * a1 * c1 * (c1 - 1)
+                 + 2 * c1 * (c1 - 1) * (2 * c1 - 1)) AS BIGINT) AS u1,
+        CAST(sum(3 * c0 * a0 * a0 - 6 * a0 * c0 * (c0 - 1)
+                 + 2 * c0 * (c0 - 1) * (2 * c0 - 1)) AS BIGINT) AS u0,
+        CAST(sum(c1) AS BIGINT) AS n1,
+        CAST(sum(c0) AS BIGINT) AS n0
+      FROM (
+        SELECT c1, c0,
+               (2 * cb + c1 + c0 + 1) - 2 * cb1 - 2 AS a1,
+               (2 * cb + c1 + c0 + 1) - 2 * cb0 - 2 AS a0
+        FROM cum
+      )
+    )
+    SELECT n0, n1,
+           round((CAST(n1 AS DOUBLE) * u1 + CAST(n0 AS DOUBLE) * u0)
+                 / nullif(CAST(12 * (n0 + n1) AS DOUBLE) * n1 * n0, 0)
+                 - CAST(4 * n1 * n0 - 1 AS DOUBLE)
+                 / nullif(6 * (n0 + n1), 0), 6) + 0.0 AS cvm_t
+    FROM terms
+    """,
+)
+def q_cramer_von_mises_value_arms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-sample Cramer-von Mises T between the user-parity arms on
+    event value: the omnibus distribution-equality test that weighs the
+    WHOLE CDF gap (vs KS's single extreme point). Anderson's rank form
+    T = U/(N*n*m) - (4nm-1)/(6N) with U = n*sum((r_i-i)^2) +
+    m*sum((s_j-j)^2); per tie group the within-arm position sum of
+    (R - 2i)^2 has the closed arithmetic-series form 3*c*a^2 -
+    6*a*c*(c-1) + 2*c*(c-1)*(2c-1) over doubled midranks, so 12U is an
+    exact BIGINT (max ~4e15 at sf0.1) built from one window over the
+    |distinct milli-values| histogram — raw rows are touched once."""
+    ev = _events(spark, sf_dir)
+    v = ev.where(F.col("value").isNotNull()).selectExpr(
+        "user_id % 2 AS arm", "CAST(floor(value * 1000) AS BIGINT) AS vm"
+    )
+    hist = v.groupBy("vm").agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("c0"),
+    )
+    wb = W.orderBy("vm").rowsBetween(W.unboundedPreceding, -1)
+    cum = hist.select(
+        "c1",
+        "c0",
+        F.coalesce(F.sum(F.col("c1") + F.col("c0")).over(wb), F.lit(0))
+        .cast("long")
+        .alias("cb"),
+        F.coalesce(F.sum("c1").over(wb), F.lit(0))
+        .cast("long")
+        .alias("cb1"),
+        F.coalesce(F.sum("c0").over(wb), F.lit(0))
+        .cast("long")
+        .alias("cb0"),
+    )
+    terms = cum.selectExpr(
+        "c1",
+        "c0",
+        "(2 * cb + c1 + c0 + 1) - 2 * cb1 - 2 AS a1",
+        "(2 * cb + c1 + c0 + 1) - 2 * cb0 - 2 AS a0",
+    ).selectExpr(
+        "CAST(sum(3 * c1 * a1 * a1 - 6 * a1 * c1 * (c1 - 1)"
+        " + 2 * c1 * (c1 - 1) * (2 * c1 - 1)) AS BIGINT) AS u1",
+        "CAST(sum(3 * c0 * a0 * a0 - 6 * a0 * c0 * (c0 - 1)"
+        " + 2 * c0 * (c0 - 1) * (2 * c0 - 1)) AS BIGINT) AS u0",
+        "CAST(sum(c1) AS BIGINT) AS n1",
+        "CAST(sum(c0) AS BIGINT) AS n0",
+    )
+    return terms.selectExpr(
+        "n0",
+        "n1",
+        "round((CAST(n1 AS DOUBLE) * u1 + CAST(n0 AS DOUBLE) * u0)"
+        " / nullif(CAST(12 * (n0 + n1) AS DOUBLE) * n1 * n0, 0)"
+        " - CAST(4 * n1 * n0 - 1 AS DOUBLE)"
+        " / nullif(6 * (n0 + n1), 0), 6) + 0.0 AS cvm_t",
+    )
+
+
+@register(
+    "mood_scale_rank_test_arms",
+    """
+    WITH v AS (
+      SELECT user_id % 2 AS arm,
+             CAST(floor(value * 1000) AS BIGINT) AS vm
+      FROM events WHERE value IS NOT NULL
+    ),
+    hist AS (
+      SELECT vm,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c1,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c0
+      FROM v GROUP BY 1
+    ),
+    cum AS (
+      SELECT c1, c0,
+             CAST(coalesce(sum(c1 + c0) OVER (ORDER BY vm
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cb,
+             CAST(sum(c1 + c0) OVER () AS BIGINT) AS nt
+      FROM hist
+    ),
+    terms AS (
+      SELECT
+        CAST(sum(c1 * dev * dev) AS BIGINT) AS t4,
+        CAST(sum((c1 + c0) * dev * dev) AS BIGINT) AS a1,
+        CAST(sum(c1) AS BIGINT) AS n1,
+        CAST(sum(c0) AS BIGINT) AS n0
+      FROM (
+        SELECT c1, c0,
+               (2 * cb + c1 + c0 + 1) - nt - 1 AS dev
+        FROM cum
+      )
+    )
+    SELECT n0, n1, t4 AS mood_stat_x4,
+           round(CAST(t4 AS DOUBLE) / nullif(a1, 0) * (n0 + n1)
+                 / nullif(n1, 0), 6) AS dispersion_ratio
+    FROM terms
+    """,
+)
+def q_mood_scale_rank_test_arms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mood's squared-rank scale test between the user-parity arms:
+    does arm 1's value distribution have different SPREAD around the
+    common median? The statistic sum((r_i - (N+1)/2)^2) over arm 1
+    with doubled midranks is the exact BIGINT sum(c1 * (R - N - 1)^2)
+    / 4; the dispersion ratio normalizes by the all-rank average so 1
+    = same scale under H0. Rides the same |distinct milli-values|
+    histogram substrate as the CvM query — no second scan, no
+    row-level window."""
+    ev = _events(spark, sf_dir)
+    v = ev.where(F.col("value").isNotNull()).selectExpr(
+        "user_id % 2 AS arm", "CAST(floor(value * 1000) AS BIGINT) AS vm"
+    )
+    hist = v.groupBy("vm").agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("c0"),
+    )
+    wb = W.orderBy("vm").rowsBetween(W.unboundedPreceding, -1)
+    wall = W.orderBy("vm").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = hist.select(
+        "c1",
+        "c0",
+        F.coalesce(F.sum(F.col("c1") + F.col("c0")).over(wb), F.lit(0))
+        .cast("long")
+        .alias("cb"),
+        F.sum(F.col("c1") + F.col("c0")).over(wall)
+        .cast("long")
+        .alias("nt"),
+    )
+    terms = cum.selectExpr(
+        "c1", "c0", "(2 * cb + c1 + c0 + 1) - nt - 1 AS dev"
+    ).selectExpr(
+        "CAST(sum(c1 * dev * dev) AS BIGINT) AS t4",
+        "CAST(sum((c1 + c0) * dev * dev) AS BIGINT) AS a1",
+        "CAST(sum(c1) AS BIGINT) AS n1",
+        "CAST(sum(c0) AS BIGINT) AS n0",
+    )
+    return terms.selectExpr(
+        "n0",
+        "n1",
+        "t4 AS mood_stat_x4",
+        "round(CAST(t4 AS DOUBLE) / nullif(a1, 0) * (n0 + n1)"
+        " / nullif(n1, 0), 6) AS dispersion_ratio",
+    )
+
+
+@register(
+    "jonckheere_terpstra_hour_trend",
+    """
+    WITH v AS (
+      SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 // 6 AS tb,
+             CAST(floor(value * 1000) AS BIGINT) AS vm
+      FROM events WHERE value IS NOT NULL
+    ),
+    hist AS (
+      SELECT vm,
+             CAST(sum(CASE WHEN tb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+             CAST(sum(CASE WHEN tb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN tb = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+             CAST(sum(CASE WHEN tb = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3
+      FROM v GROUP BY 1
+    ),
+    cum AS (
+      SELECT c0, c1, c2, c3,
+             CAST(coalesce(sum(c0) OVER (ORDER BY vm
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS b0,
+             CAST(coalesce(sum(c1) OVER (ORDER BY vm
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS b1,
+             CAST(coalesce(sum(c2) OVER (ORDER BY vm
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS b2
+      FROM hist
+    ),
+    s AS (
+      SELECT
+        CAST(sum(c1 * (2 * b0 + c0)
+                 + c2 * (2 * (b0 + b1) + c0 + c1)
+                 + c3 * (2 * (b0 + b1 + b2) + c0 + c1 + c2))
+             AS BIGINT) AS jt2,
+        CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1,
+        CAST(sum(c2) AS BIGINT) AS n2, CAST(sum(c3) AS BIGINT) AS n3
+      FROM cum
+    )
+    SELECT n0 + n1 + n2 + n3 AS n_total, jt2,
+           n0 * n1 + n0 * n2 + n0 * n3 + n1 * n2 + n1 * n3 + n2 * n3
+             AS e_jt2,
+           round(CAST(jt2 AS DOUBLE)
+                 / nullif(n0 * n1 + n0 * n2 + n0 * n3
+                          + n1 * n2 + n1 * n3 + n2 * n3, 0), 6)
+             AS trend_ratio
+    FROM s
+    """,
+)
+def q_jonckheere_terpstra_hour_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative test: do event values
+    trend ACROSS the four six-hour blocks of the day (night < morning
+    < afternoon < evening)? JT = sum of pairwise Mann-Whitney counts
+    between ordered blocks; the doubled statistic 2*#less + #ties is
+    an exact BIGINT from the 4-way pivoted value histogram and its
+    strictly-below cumulative sums — O(|distinct values|) work, one
+    window. trend_ratio = JT2 / E[JT2]; > 1 means later blocks run
+    higher."""
+    ev = _events(spark, sf_dir)
+    v = ev.where(F.col("value").isNotNull()).selectExpr(
+        "(CAST(unix_timestamp(CAST(ts AS TIMESTAMP)) AS BIGINT)"
+        " div 3600) % 24 div 6 AS tb",
+        "CAST(floor(value * 1000) AS BIGINT) AS vm",
+    )
+    hist = v.groupBy("vm").agg(
+        *[
+            F.sum(F.when(F.col("tb") == k, 1).otherwise(0))
+            .cast("long")
+            .alias(f"c{k}")
+            for k in range(4)
+        ]
+    )
+    wb = W.orderBy("vm").rowsBetween(W.unboundedPreceding, -1)
+    cum = hist.select(
+        "c0",
+        "c1",
+        "c2",
+        "c3",
+        *[
+            F.coalesce(F.sum(f"c{k}").over(wb), F.lit(0))
+            .cast("long")
+            .alias(f"b{k}")
+            for k in range(3)
+        ],
+    )
+    s = cum.selectExpr(
+        "CAST(sum(c1 * (2 * b0 + c0)"
+        " + c2 * (2 * (b0 + b1) + c0 + c1)"
+        " + c3 * (2 * (b0 + b1 + b2) + c0 + c1 + c2)) AS BIGINT) AS jt2",
+        "CAST(sum(c0) AS BIGINT) AS n0",
+        "CAST(sum(c1) AS BIGINT) AS n1",
+        "CAST(sum(c2) AS BIGINT) AS n2",
+        "CAST(sum(c3) AS BIGINT) AS n3",
+    )
+    return s.selectExpr(
+        "n0 + n1 + n2 + n3 AS n_total",
+        "jt2",
+        "n0 * n1 + n0 * n2 + n0 * n3 + n1 * n2 + n1 * n3 + n2 * n3"
+        " AS e_jt2",
+        "round(CAST(jt2 AS DOUBLE)"
+        " / nullif(n0 * n1 + n0 * n2 + n0 * n3"
+        " + n1 * n2 + n1 * n3 + n2 * n3, 0), 6) AS trend_ratio",
+    )
+
+
+@register(
+    "cochran_q_daily_types",
+    """
+    WITH x AS (
+      SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+             event_type
+      FROM events
+    ),
+    g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS gj
+          FROM x GROUP BY 1),
+    l AS (SELECT d, CAST(count(*) AS BIGINT) AS li FROM x GROUP BY 1),
+    k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM g),
+    s AS (
+      SELECT (SELECT CAST(sum(gj) AS BIGINT) FROM g) AS s,
+             (SELECT CAST(sum(li * li) AS BIGINT) FROM l) AS l2,
+             (SELECT CAST(count(*) AS BIGINT) FROM l) AS b,
+             (SELECT k FROM k) AS k
+    ),
+    num AS (
+      SELECT CAST(sum((s.k * g.gj - s.s) * (s.k * g.gj - s.s))
+                  AS BIGINT) AS sq
+      FROM g, s
+    )
+    SELECT s.k AS n_types, s.b AS n_days, s.k - 1 AS dof,
+           round(CAST((s.k - 1) * num.sq AS DOUBLE)
+                 / nullif(s.k * (s.k * s.s - s.l2), 0), 6) AS q_stat
+    FROM s, num
+    """,
+)
+def q_cochran_q_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q over the day x event-type presence matrix: are the
+    k types equally likely to fire on any given day? Blocks = days,
+    treatments = types, X = 1 iff the type had >= 1 event that day.
+    Q = (k-1) * sum((k*G_j - S)^2) / (k * (k*S - sum(L_i^2))) is one
+    exact-integer ratio over the tiny distinct-(day, type) relation;
+    the denominator nullif covers the saturated (every type every day)
+    degenerate case."""
+    ev = _events(spark, sf_dir)
+    x = ev.selectExpr(
+        "CAST(unix_timestamp(CAST(ts AS TIMESTAMP)) AS BIGINT)"
+        " div 86400 AS d",
+        "event_type",
+    ).distinct()
+    g = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("gj")
+    )
+    l = x.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("li"))
+    s = (
+        g.agg(
+            F.sum("gj").cast("long").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+        )
+        .crossJoin(
+            F.broadcast(
+                l.agg(
+                    F.sum(F.col("li") * F.col("li"))
+                    .cast("long")
+                    .alias("l2"),
+                    F.count(F.lit(1)).cast("long").alias("b"),
+                )
+            )
+        )
+    )
+    num = (
+        g.crossJoin(F.broadcast(s))
+        .selectExpr("(k * gj - s) * (k * gj - s) AS t", "k", "s AS ss",
+                    "l2", "b")
+        .groupBy("k", "ss", "l2", "b")
+        .agg(F.sum("t").cast("long").alias("sq"))
+    )
+    return num.selectExpr(
+        "k AS n_types",
+        "b AS n_days",
+        "k - 1 AS dof",
+        "round(CAST((k - 1) * sq AS DOUBLE)"
+        " / nullif(k * (k * ss - l2), 0), 6) AS q_stat",
+    )
+
+
+@register(
+    "bowker_symmetry_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type AS f,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS t
+      FROM events
+    ),
+    tr AS (
+      SELECT f, t, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE t IS NOT NULL AND f <> t GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT least(f, t) AS type_a, greatest(f, t) AS type_b,
+             CAST(sum(CASE WHEN f < t THEN n ELSE 0 END) AS BIGINT)
+               AS n_ab,
+             CAST(sum(CASE WHEN f > t THEN n ELSE 0 END) AS BIGINT)
+               AS n_ba
+      FROM tr GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_ab, n_ba,
+           round(CAST((n_ab - n_ba) * (n_ab - n_ba) AS DOUBLE)
+                 / nullif(n_ab + n_ba, 0), 6) AS chi2_term
+    FROM pairs
+    """,
+)
+def q_bowker_symmetry_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bowker symmetry test terms on the user-session transition
+    matrix: for each unordered type pair, is A->B as common as B->A?
+    chi2_term = (n_ab - n_ba)^2 / (n_ab + n_ba) per pair (summing the
+    <= C(k,2) rows gives Bowker's chi-square with df = #pairs); each
+    term is an exact-integer ratio so no cross-engine float sums. One
+    keyed lead window over events, then all work on the k x k
+    transition relation."""
+    ev = _events(spark, sf_dir)
+    seq = ev.select(
+        F.col("event_type").alias("f"),
+        F.lead("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("t"),
+    )
+    tr = (
+        seq.where(F.col("t").isNotNull() & (F.col("f") != F.col("t")))
+        .groupBy("f", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    pairs = tr.groupBy(
+        F.least("f", "t").alias("type_a"),
+        F.greatest("f", "t").alias("type_b"),
+    ).agg(
+        F.sum(F.when(F.col("f") < F.col("t"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_ab"),
+        F.sum(F.when(F.col("f") > F.col("t"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_ba"),
+    )
+    return pairs.selectExpr(
+        "type_a",
+        "type_b",
+        "n_ab",
+        "n_ba",
+        "round(CAST((n_ab - n_ba) * (n_ab - n_ba) AS DOUBLE)"
+        " / nullif(n_ab + n_ba, 0), 6) AS chi2_term",
+    )
+
+
+@register(
+    "pettitt_changepoint_hourly",
+    """
+    WITH c AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    span AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+    z AS (
+      SELECT hs.h, coalesce(c.n, 0) AS y
+      FROM (SELECT unnest(generate_series(lo, hi)) AS h FROM span) hs
+      LEFT JOIN c USING (h)
+    ),
+    hist AS (
+      SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM z GROUP BY 1
+    ),
+    rk AS (
+      SELECT y,
+             2 * CAST(coalesce(sum(cnt) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) + cnt + 1 AS r2
+      FROM hist
+    ),
+    u AS (
+      SELECT z.h,
+             CAST(sum(rk.r2) OVER (ORDER BY z.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT)
+               - (row_number() OVER (ORDER BY z.h))
+                 * (count(*) OVER () + 1) AS u2,
+             row_number() OVER (ORDER BY z.h) AS t,
+             CAST(count(*) OVER () AS BIGINT) AS nn
+      FROM z JOIN rk USING (y)
+    ),
+    m AS (
+      SELECT h, u2, nn,
+             max(abs(u2)) OVER () AS k2
+      FROM u WHERE t < nn
+    )
+    SELECT CAST(min(nn) AS BIGINT) AS n_hours,
+           CAST(min(k2) AS BIGINT) AS pettitt_k2,
+           CAST(min(h) AS BIGINT) AS change_hour,
+           round(CAST(min(k2) AS DOUBLE) * min(k2)
+                 / nullif(CAST(min(nn) AS DOUBLE) * min(nn)
+                          * (min(nn) + 1), 0), 6) AS k2_norm
+    FROM m WHERE abs(u2) = k2
+    """,
+)
+def q_pettitt_changepoint_hourly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pettitt rank changepoint on the zero-filled hourly count
+    series: U_t = 2*sum_{i<=t} r_i - t(N+1) over midranks, K =
+    max|U_t| locates the most likely single shift. Doubled midranks
+    keep U an exact BIGINT, so the argmax is an integer argmax with
+    an earliest-hour tiebreak (no libm rank instability); k2_norm =
+    K2^2/(N^2 (N+1)) is the monotone significance scale. All windows
+    run on the 720-row hour grid / count histogram — never the raw
+    rows."""
+    ev = _events(spark, sf_dir)
+    us = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    c = ev.groupBy((us / 3600).cast("long").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    span = c.agg(F.min("h").alias("_lo"), F.max("h").alias("_hi"))
+    hours = span.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("h")
+    )
+    z = hours.join(c, "h", "left").select(
+        "h", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("y")
+    )
+    hist = z.groupBy("y").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wb = W.orderBy("y").rowsBetween(W.unboundedPreceding, -1)
+    rk = hist.select(
+        "y",
+        (
+            2 * F.coalesce(F.sum("cnt").over(wb), F.lit(0)).cast("long")
+            + F.col("cnt")
+            + 1
+        ).alias("r2"),
+    )
+    wt = W.orderBy("h").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.orderBy("h").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    u = (
+        z.join(F.broadcast(rk), "y")
+        .select(
+            "h",
+            (
+                F.sum("r2").over(wt).cast("long")
+                - F.row_number().over(W.orderBy("h"))
+                * (F.count(F.lit(1)).over(wall) + 1)
+            ).alias("u2"),
+            F.row_number().over(W.orderBy("h")).alias("t"),
+            F.count(F.lit(1)).over(wall).cast("long").alias("nn"),
+        )
+    )
+    m = u.where(F.col("t") < F.col("nn")).select(
+        "h",
+        "u2",
+        "nn",
+        F.max(F.abs(F.col("u2"))).over(
+            W.orderBy("h").rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("k2"),
+    )
+    return m.where(F.abs(F.col("u2")) == F.col("k2")).selectExpr(
+        "CAST(min(nn) AS BIGINT) AS n_hours",
+        "CAST(min(k2) AS BIGINT) AS pettitt_k2",
+        "CAST(min(h) AS BIGINT) AS change_hour",
+        "round(CAST(min(k2) AS DOUBLE) * min(k2)"
+        " / nullif(CAST(min(nn) AS DOUBLE) * min(nn)"
+        " * (min(nn) + 1), 0), 6) AS k2_norm",
+    )
+
+
+@register(
+    "theil_u_type_segment",
+    """
+    WITH d AS (SELECT event_type AS a, user_id % 5 AS b FROM events),
+    c AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM d
+          GROUP BY 1, 2),
+    m AS (
+      SELECT a, b, n,
+             CAST(sum(n) OVER (PARTITION BY a) AS BIGINT) AS cx,
+             CAST(sum(n) OVER (PARTITION BY b) AS BIGINT) AS cy,
+             CAST(sum(n) OVER () AS BIGINT) AS nn
+      FROM c
+    ),
+    i AS (
+      SELECT CAST(sum(CAST(floor(CAST(n AS DOUBLE)
+               * ln(CAST(nn * n AS DOUBLE) / (cx * cy))
+               * 1000000.0) AS BIGINT)) AS BIGINT) AS i_micro,
+             CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(min(nn) AS BIGINT) AS nn
+      FROM m
+    ),
+    hx AS (
+      SELECT CAST(sum(CAST(floor(CAST(cx AS DOUBLE)
+               * ln(CAST(nn AS DOUBLE) / cx)
+               * 1000000.0) AS BIGINT)) AS BIGINT) AS hx_micro
+      FROM (SELECT DISTINCT a, cx, nn FROM m)
+    )
+    SELECT i.nn AS n_events, i.n_cells,
+           round(CAST(i.i_micro AS DOUBLE) / nullif(hx.hx_micro, 0), 6)
+             + 0.0 AS uncertainty_u,
+           round(CAST(hx.hx_micro AS DOUBLE) / 1000000.0 / i.nn, 6)
+             AS h_type_nats
+    FROM i, hx
+    """,
+)
+def q_theil_u_type_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficient U(type | segment) = I(X;Y)/H(X)
+    — the ASYMMETRIC, chance-corrected association the chi-square
+    query can't give (how much knowing the 5-way user segment reduces
+    event-type entropy). Each of the <= 25 cells' I and H terms is
+    floor-quantized to integer micro-units BEFORE summing (the
+    nb_lang_confusion pattern), so both engines sum exact integers and
+    the final U is one integer ratio."""
+    ev = _events(spark, sf_dir)
+    c = ev.selectExpr("event_type AS a", "user_id % 5 AS b").groupBy(
+        "a", "b"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    m = c.select(
+        "a",
+        "b",
+        "n",
+        F.sum("n").over(W.partitionBy("a")).cast("long").alias("cx"),
+        F.sum("n").over(W.partitionBy("b")).cast("long").alias("cy"),
+        F.sum("n").over(
+            W.partitionBy().orderBy(F.lit(1)).rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).cast("long").alias("nn"),
+    )
+    i = m.selectExpr(
+        "CAST(sum(CAST(floor(CAST(n AS DOUBLE)"
+        " * ln(CAST(nn * n AS DOUBLE) / (cx * cy))"
+        " * 1000000.0) AS BIGINT)) AS BIGINT) AS i_micro",
+        "CAST(count(*) AS BIGINT) AS n_cells",
+        "CAST(min(nn) AS BIGINT) AS nn",
+    )
+    hx = (
+        m.select("a", "cx", "nn")
+        .distinct()
+        .selectExpr(
+            "CAST(sum(CAST(floor(CAST(cx AS DOUBLE)"
+            " * ln(CAST(nn AS DOUBLE) / cx)"
+            " * 1000000.0) AS BIGINT)) AS BIGINT) AS hx_micro"
+        )
+    )
+    return i.crossJoin(F.broadcast(hx)).selectExpr(
+        "nn AS n_events",
+        "n_cells",
+        "round(CAST(i_micro AS DOUBLE) / nullif(hx_micro, 0), 6)"
+        " + 0.0 AS uncertainty_u",
+        "round(CAST(hx_micro AS DOUBLE) / 1000000.0 / nn, 6)"
+        " AS h_type_nats",
+    )
+
+
+@register(
+    "haar_wavelet_energy_hourly",
+    """
+    WITH c AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    span AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+    z AS (
+      SELECT hs.h - span.lo AS idx, coalesce(c.n, 0) AS y
+      FROM (SELECT unnest(generate_series(lo, hi)) AS h FROM span) hs
+      CROSS JOIN span
+      LEFT JOIN c ON c.h = hs.h
+    ),
+    lv AS (
+      SELECT z.idx, z.y, l.lvl,
+             CASE l.lvl WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8
+                        WHEN 4 THEN 16 ELSE 32 END AS bs,
+             CASE l.lvl WHEN 1 THEN 16 WHEN 2 THEN 8 WHEN 3 THEN 4
+                        WHEN 4 THEN 2 ELSE 1 END AS sc,
+             CAST(count(*) OVER (PARTITION BY l.lvl) AS BIGINT) AS nn
+      FROM z CROSS JOIN
+        (SELECT unnest([1, 2, 3, 4, 5]) AS lvl) l
+    ),
+    d AS (
+      SELECT lvl, sc, idx // bs AS blk,
+             CAST(sum(CASE WHEN idx % bs < bs // 2 THEN y ELSE -y END)
+                  AS BIGINT) AS dd
+      FROM lv WHERE idx // bs < nn // bs
+      GROUP BY 1, 2, 3
+    ),
+    e AS (
+      SELECT lvl, CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(sum(dd * dd) * sc AS BIGINT) AS energy_scaled
+      FROM d GROUP BY lvl, sc
+    )
+    SELECT CAST(lvl AS BIGINT) AS level, n_blocks, energy_scaled,
+           round(CAST(energy_scaled AS DOUBLE)
+                 / nullif(CAST(sum(energy_scaled) OVER () AS BIGINT), 0),
+                 6) AS energy_share
+    FROM e
+    """,
+)
+def q_haar_wavelet_energy_hourly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Haar wavelet detail-energy decomposition of the hourly count
+    series: at dyadic scales 2..32 hours, detail D = (left-half sum -
+    right-half sum) per full block; energy per level scaled by
+    2^(5-level) makes every level's energy an exact BIGINT on a
+    common denominator, so the per-level share of total detail energy
+    (which timescale carries the variability — hourly jitter vs
+    daily swings) is one exact-integer ratio. The 5x720-row scaffold
+    does all window/group work; the raw table feeds one hour
+    groupBy."""
+    ev = _events(spark, sf_dir)
+    us = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    c = ev.groupBy((us / 3600).cast("long").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    span = c.agg(F.min("h").alias("_lo"), F.max("h").alias("_hi"))
+    hours = span.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("h"),
+        F.col("_lo"),
+    )
+    z = hours.join(c, "h", "left").select(
+        (F.col("h") - F.col("_lo")).alias("idx"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("y"),
+    )
+    lv = z.crossJoin(
+        spark.range(1, 6).select(F.col("id").alias("lvl"))
+    ).selectExpr(
+        "idx",
+        "y",
+        "lvl",
+        "CASE lvl WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8"
+        " WHEN 4 THEN 16 ELSE 32 END AS bs",
+        "CASE lvl WHEN 1 THEN 16 WHEN 2 THEN 8 WHEN 3 THEN 4"
+        " WHEN 4 THEN 2 ELSE 1 END AS sc",
+    )
+    nn = z.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    d = (
+        lv.crossJoin(F.broadcast(nn))
+        .where(F.expr("idx div bs < nn div bs"))
+        .groupBy("lvl", "sc", F.expr("idx div bs").alias("blk"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr("idx % bs < bs div 2"), F.col("y")
+                ).otherwise(-F.col("y"))
+            )
+            .cast("long")
+            .alias("dd")
+        )
+    )
+    e = d.groupBy("lvl", "sc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        (F.sum(F.col("dd") * F.col("dd")) * F.col("sc").cast("long"))
+        .cast("long")
+        .alias("energy_scaled"),
+    )
+    wall = W.partitionBy().orderBy(F.lit(1)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return e.select(
+        F.col("lvl").cast("long").alias("level"),
+        "n_blocks",
+        "energy_scaled",
+        F.round(
+            F.col("energy_scaled").cast("double")
+            / F.expr(
+                "nullif(CAST(sum(energy_scaled) OVER () AS BIGINT), 0)"
+            ),
+            6,
+        ).alias("energy_share"),
+    )

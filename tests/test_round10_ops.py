@@ -114,3 +114,207 @@ class TestAdviceDegenerateGuards:
         _bucket_counts_events(tmp_path, [1] * 6 + [9])
         r = _run(spark, tmp_path, "ewma_control_chart_6h")[0]
         assert r["n_buckets"] == 7 and r["n_violations"] == 0
+
+
+class TestBatchARankTests:
+    """Round-10 batch A: rank-based two-sample/trend/changepoint tests.
+    Expected values hand-computed on tiny fixtures (the only guard
+    against both-engines-agree decimal/quantization bugs)."""
+
+    def test_cvm_separated_arms(self, spark, tmp_path):
+        # arm0 = {1,2}, arm1 = {3,4}: sample-1 ranks (3,4) vs positions
+        # (1,2) -> U = 2*8 = 16, T = 16/16 - 15/24 = 0.375
+        rows = [
+            (0, "2024-01-01 00:00:00", 2, "A", 1.0, None),
+            (1, "2024-01-01 00:00:01", 2, "A", 2.0, None),
+            (2, "2024-01-01 00:00:02", 3, "A", 3.0, None),
+            (3, "2024-01-01 00:00:03", 3, "A", 4.0, None),
+        ]
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "cramer_von_mises_value_arms")[0]
+        assert (r["n0"], r["n1"]) == (2, 2)
+        assert r["cvm_t"] == 0.375
+
+    def test_cvm_identical_arms_is_minimal(self, spark, tmp_path):
+        # both arms = {1,2}: full tie groups, midranks equalize -> T at
+        # its tie-degenerate minimum (-(4nm-1)/(6N) + small U term)
+        rows = [
+            (0, "2024-01-01 00:00:00", 2, "A", 1.0, None),
+            (1, "2024-01-01 00:00:01", 2, "A", 2.0, None),
+            (2, "2024-01-01 00:00:02", 3, "A", 1.0, None),
+            (3, "2024-01-01 00:00:03", 3, "A", 2.0, None),
+        ]
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "cramer_von_mises_value_arms")[0]
+        # per arm per tie group (c=1 within-arm positions, a=1):
+        # u = 3+2*0 -> each group contributes 3*1*1 = 3... hand value:
+        # ranks (1.5, 3.5) both arms, positions (1,2):
+        # sum(r-i)^2 = .25+2.25 = 2.5 per arm -> U = 2*2.5+2*2.5 = 10
+        # T = 10/16 - 15/24 = 0.625 - 0.625 = 0.0
+        assert r["cvm_t"] == 0.0
+
+    def test_mood_scale_central_arm(self, spark, tmp_path):
+        # arm0 = {1,4} (extremes), arm1 = {2,3} (center): dev2 per rank
+        # = 9,1,1,9 -> t4 = 2, ratio = 2/20 * 4/2 = 0.2
+        rows = [
+            (0, "2024-01-01 00:00:00", 2, "A", 1.0, None),
+            (1, "2024-01-01 00:00:01", 2, "A", 4.0, None),
+            (2, "2024-01-01 00:00:02", 3, "A", 2.0, None),
+            (3, "2024-01-01 00:00:03", 3, "A", 3.0, None),
+        ]
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "mood_scale_rank_test_arms")[0]
+        assert r["mood_stat_x4"] == 2
+        assert r["dispersion_ratio"] == 0.2
+
+    def test_jt_increasing_blocks(self, spark, tmp_path):
+        # block0 (hour 0): {1,2}; block3 (hour 19): {3,4} -> all 4
+        # cross pairs ascend: JT2 = 8, E = n0*n3 = 4, ratio 2.0
+        rows = [
+            (0, "2024-01-01 00:10:00", 1, "A", 1.0, None),
+            (1, "2024-01-01 00:20:00", 1, "A", 2.0, None),
+            (2, "2024-01-01 19:10:00", 1, "A", 3.0, None),
+            (3, "2024-01-01 19:20:00", 1, "A", 4.0, None),
+        ]
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "jonckheere_terpstra_hour_trend")[0]
+        assert (r["jt2"], r["e_jt2"], r["trend_ratio"]) == (8, 4, 2.0)
+
+    def test_jt_ties_count_half(self, spark, tmp_path):
+        # block0: {5}, block3: {5}: one tied pair -> JT2 = 1, E = 1
+        rows = [
+            (0, "2024-01-01 00:10:00", 1, "A", 5.0, None),
+            (1, "2024-01-01 19:10:00", 1, "A", 5.0, None),
+        ]
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "jonckheere_terpstra_hour_trend")[0]
+        assert (r["jt2"], r["e_jt2"], r["trend_ratio"]) == (1, 1, 1.0)
+
+    def test_cochran_q_hand_computed(self, spark, tmp_path):
+        # day1 {A,B}, day2 {A}: k=2, S=3, G=(2,1), L=(2,1)
+        # num = (4-3)^2+(2-3)^2 = 2; den = 2*(2*3-5) = 2 -> Q = 1.0
+        rows = [
+            (0, "2024-01-01 01:00:00", 1, "A", None, None),
+            (1, "2024-01-01 02:00:00", 1, "B", None, None),
+            (2, "2024-01-02 01:00:00", 1, "A", None, None),
+        ]
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "cochran_q_daily_types")[0]
+        assert (r["n_types"], r["n_days"], r["dof"]) == (2, 2, 1)
+        assert r["q_stat"] == 1.0
+
+    def test_cochran_q_saturated_is_null(self, spark, tmp_path):
+        # every type fires every day -> denominator 0 -> NULL on both
+        rows = [
+            (0, "2024-01-01 01:00:00", 1, "A", None, None),
+            (1, "2024-01-02 01:00:00", 1, "A", None, None),
+        ]
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "cochran_q_daily_types")[0]
+        assert r["q_stat"] is None
+
+    def test_bowker_asymmetric_pair(self, spark, tmp_path):
+        # one user path A->B->A->C: (A,B) balanced, (A,C) one-sided
+        rows = [
+            (0, "2024-01-01 00:00:00", 1, "A", None, None),
+            (1, "2024-01-01 00:00:01", 1, "B", None, None),
+            (2, "2024-01-01 00:00:02", 1, "A", None, None),
+            (3, "2024-01-01 00:00:03", 1, "C", None, None),
+        ]
+        _write_events(tmp_path, rows)
+        rs = {
+            (r["type_a"], r["type_b"]): r
+            for r in _run(spark, tmp_path, "bowker_symmetry_transitions")
+        }
+        assert rs[("A", "B")]["chi2_term"] == 0.0
+        assert (rs[("A", "C")]["n_ab"], rs[("A", "C")]["n_ba"]) == (1, 0)
+        assert rs[("A", "C")]["chi2_term"] == 1.0
+
+    def test_pettitt_step_change(self, spark, tmp_path):
+        # [1,1,5,5]: doubled midranks (3,3,7,7); U2 = (-2,-4,-2) ->
+        # K2 = 4 at the second hour; norm = 16/(16*5) = 0.2
+        _bucket_counts_events(tmp_path, [1, 1, 5, 5],
+                              bucket_seconds=3600)
+        r = _run(spark, tmp_path, "pettitt_changepoint_hourly")[0]
+        assert (r["n_hours"], r["pettitt_k2"]) == (4, 4)
+        assert r["k2_norm"] == 0.2
+
+    def test_theil_u_perfect_association(self, spark, tmp_path):
+        # segment 0 -> only type A, segment 1 -> only type B: U = 1
+        rows = [
+            (0, "2024-01-01 00:00:00", 0, "A", None, None),
+            (1, "2024-01-01 00:00:01", 0, "A", None, None),
+            (2, "2024-01-01 00:00:02", 1, "B", None, None),
+            (3, "2024-01-01 00:00:03", 1, "B", None, None),
+        ]
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "theil_u_type_segment")[0]
+        assert r["uncertainty_u"] == 1.0
+        assert r["h_type_nats"] == round(0.6931471805599453, 6)
+
+    def test_theil_u_independence_near_zero(self, spark, tmp_path):
+        # identical type mix in both segments -> I = 0 -> U ~ 0
+        rows = [
+            (0, "2024-01-01 00:00:00", 0, "A", None, None),
+            (1, "2024-01-01 00:00:01", 0, "B", None, None),
+            (2, "2024-01-01 00:00:02", 1, "A", None, None),
+            (3, "2024-01-01 00:00:03", 1, "B", None, None),
+        ]
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "theil_u_type_segment")[0]
+        assert abs(r["uncertainty_u"]) <= 2e-6
+
+    def test_haar_energy_at_scale_2_only(self, spark, tmp_path):
+        # [3,1,2,2]: level-1 details (2,0) -> E=64 (x16); level-2
+        # detail (3+1)-(2+2)=0 -> E=0; levels 3-5 have no full block
+        _bucket_counts_events(tmp_path, [3, 1, 2, 2],
+                              bucket_seconds=3600)
+        rs = {r["level"]: r for r in
+              _run(spark, tmp_path, "haar_wavelet_energy_hourly")}
+        assert sorted(rs) == [1, 2]
+        assert (rs[1]["n_blocks"], rs[1]["energy_scaled"]) == (2, 64)
+        assert rs[1]["energy_share"] == 1.0
+        assert (rs[2]["energy_scaled"], rs[2]["energy_share"]) == (0, 0.0)
+
+
+class TestRound10PlanShapes:
+    """Plan pins for the round-10 batches: the histogram/scaffold
+    substrates must never spill a cartesian product or a row-level
+    global sort."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def _plan(self, name, spark):
+        from eventstreamml_spark import queries as qq
+
+        return (
+            qq.queries()[name](spark, self.SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    def test_cvm_no_cartesian(self, spark):
+        plan = self._plan("cramer_von_mises_value_arms", spark)
+        assert "CartesianProduct" not in plan
+
+    def test_jt_single_histogram_shuffle(self, spark):
+        plan = self._plan("jonckheere_terpstra_hour_trend", spark)
+        assert "CartesianProduct" not in plan
+
+    def test_pettitt_rank_join_broadcasts(self, spark):
+        # the count-histogram rank relation joins the hour grid via
+        # broadcast; nothing data-sized crosses
+        plan = self._plan("pettitt_changepoint_hourly", spark)
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_haar_level_expansion_is_tiny(self, spark):
+        # the 5-level cross join happens on the bounded hour grid with
+        # a broadcast of the 5-row level relation, never on raw events
+        plan = self._plan("haar_wavelet_energy_hourly", spark)
+        assert "CartesianProduct" not in plan
+
+    def test_cochran_broadcasts_scalars(self, spark):
+        plan = self._plan("cochran_q_daily_types", spark)
+        assert "CartesianProduct" not in plan
