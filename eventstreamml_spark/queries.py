@@ -24297,3 +24297,736 @@ def q_haar_wavelet_energy_hourly(
             6,
         ).alias("energy_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 batch B: exact-moment time-series regression (Yule-Walker,
+# partial correlation, Granger), revenue concentration/drawdown, and
+# lexical diversity indices. Every correlation/regression rides n-scaled
+# centered BIGINT moment sums (S_ab = n*sum(ab) - sum(a)*sum(b)); only
+# the final closed-form combinations run in pinned-order doubles.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ar2_yule_walker_hourly",
+    """
+    WITH c AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    span AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+    z AS (
+      SELECT hs.h, coalesce(c.n, 0) AS y
+      FROM (SELECT unnest(generate_series(lo, hi)) AS h FROM span) hs
+      LEFT JOIN c USING (h)
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(y) AS BIGINT) AS s
+      FROM z
+    ),
+    d AS (
+      SELECT g.nn, g.nn * z.y - g.s AS e,
+             g.nn * lead(z.y, 1) OVER (ORDER BY z.h) - g.s AS e1,
+             g.nn * lead(z.y, 2) OVER (ORDER BY z.h) - g.s AS e2
+      FROM z, g
+    ),
+    m AS (
+      SELECT CAST(min(nn) AS BIGINT) AS nn,
+             CAST(sum(e * e) AS BIGINT) AS c0,
+             CAST(sum(CASE WHEN e1 IS NOT NULL THEN e * e1 ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN e2 IS NOT NULL THEN e * e2 ELSE 0 END)
+                  AS BIGINT) AS c2
+      FROM d
+    )
+    SELECT nn AS n_hours,
+           round(CAST(c1 AS DOUBLE) / nullif(c0, 0), 6) + 0.0 AS r1,
+           round(CAST(c2 AS DOUBLE) / nullif(c0, 0), 6) + 0.0 AS r2,
+           round(CAST(c1 AS DOUBLE) * (c0 - c2)
+                 / nullif(CAST(c0 AS DOUBLE) * c0
+                          - CAST(c1 AS DOUBLE) * c1, 0), 6) + 0.0
+             AS phi1,
+           round((CAST(c2 AS DOUBLE) * c0 - CAST(c1 AS DOUBLE) * c1)
+                 / nullif(CAST(c0 AS DOUBLE) * c0
+                          - CAST(c1 AS DOUBLE) * c1, 0), 6) + 0.0
+             AS phi2
+    FROM m
+    """,
+)
+def q_ar2_yule_walker_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) fit of the zero-filled hourly count series by Yule-Walker:
+    lag-1/2 autocovariances as n-scaled centered BIGINT sums
+    C_k = sum((n*y_t - S)(n*y_{t+k} - S)), then
+    phi1 = C1(C0-C2)/(C0^2-C1^2), phi2 = (C2*C0-C1^2)/(C0^2-C1^2) —
+    exact-integer numerators/denominators combined once in pinned-order
+    doubles. Two lead's over the 720-row grid; the raw table feeds one
+    hour groupBy."""
+    ev = _events(spark, sf_dir)
+    us = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    c = ev.groupBy((us / 3600).cast("long").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    span = c.agg(F.min("h").alias("_lo"), F.max("h").alias("_hi"))
+    z = (
+        span.select(
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("h")
+        )
+        .join(c, "h", "left")
+        .select("h", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("y"))
+    )
+    g = z.agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    d = z.crossJoin(F.broadcast(g)).select(
+        "nn",
+        (F.col("nn") * F.col("y") - F.col("s")).alias("e"),
+        (
+            F.col("nn") * F.lead("y", 1).over(W.orderBy("h")) - F.col("s")
+        ).alias("e1"),
+        (
+            F.col("nn") * F.lead("y", 2).over(W.orderBy("h")) - F.col("s")
+        ).alias("e2"),
+    )
+    m = d.selectExpr(
+        "CAST(min(nn) AS BIGINT) AS nn",
+        "CAST(sum(e * e) AS BIGINT) AS c0",
+        "CAST(sum(CASE WHEN e1 IS NOT NULL THEN e * e1 ELSE 0 END)"
+        " AS BIGINT) AS c1",
+        "CAST(sum(CASE WHEN e2 IS NOT NULL THEN e * e2 ELSE 0 END)"
+        " AS BIGINT) AS c2",
+    )
+    return m.selectExpr(
+        "nn AS n_hours",
+        "round(CAST(c1 AS DOUBLE) / nullif(c0, 0), 6) + 0.0 AS r1",
+        "round(CAST(c2 AS DOUBLE) / nullif(c0, 0), 6) + 0.0 AS r2",
+        "round(CAST(c1 AS DOUBLE) * (c0 - c2)"
+        " / nullif(CAST(c0 AS DOUBLE) * c0"
+        " - CAST(c1 AS DOUBLE) * c1, 0), 6) + 0.0 AS phi1",
+        "round((CAST(c2 AS DOUBLE) * c0 - CAST(c1 AS DOUBLE) * c1)"
+        " / nullif(CAST(c0 AS DOUBLE) * c0"
+        " - CAST(c1 AS DOUBLE) * c1, 0), 6) + 0.0 AS phi2",
+    )
+
+
+@register(
+    "partial_correlation_hourly_types",
+    """
+    WITH c AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                      END) AS BIGINT) AS y,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS z
+      FROM events GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(z) AS BIGINT) AS sz,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(z * z) AS BIGINT) AS szz,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * z) AS BIGINT) AS sxz,
+             CAST(sum(y * z) AS BIGINT) AS syz
+      FROM c
+    ),
+    s AS (
+      SELECT n,
+             n * sxx - sx * sx AS cxx, n * syy - sy * sy AS cyy,
+             n * szz - sz * sz AS czz, n * sxy - sx * sy AS cxy,
+             n * sxz - sx * sz AS cxz, n * syz - sy * sz AS cyz
+      FROM m
+    ),
+    r AS (
+      SELECT n,
+             CAST(cxy AS DOUBLE)
+               / nullif(sqrt(CAST(cxx AS DOUBLE) * cyy), 0) AS rxy,
+             CAST(cxz AS DOUBLE)
+               / nullif(sqrt(CAST(cxx AS DOUBLE) * czz), 0) AS rxz,
+             CAST(cyz AS DOUBLE)
+               / nullif(sqrt(CAST(cyy AS DOUBLE) * czz), 0) AS ryz
+      FROM s
+    )
+    SELECT n AS n_hours, round(rxy, 6) + 0.0 AS r_click_purchase,
+           round((rxy - rxz * ryz)
+                 / nullif(sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 0),
+                 6) + 0.0 AS partial_r_given_view
+    FROM r
+    """,
+)
+def q_partial_correlation_hourly_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partial correlation of hourly click and purchase counts
+    controlling for view traffic: is the click-purchase co-movement
+    real or just both riding overall volume? The three pairwise
+    correlations come from n-scaled centered BIGINT moments of ONE
+    hour-grouped pass (6 sums), then the textbook partial formula runs
+    in pinned-order doubles with degenerate-variance nullif guards."""
+    ev = _events(spark, sf_dir)
+    us = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    c = ev.groupBy((us / 3600).cast("long").alias("h")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("z"),
+    )
+    m = c.selectExpr(
+        "CAST(count(*) AS BIGINT) AS n",
+        "CAST(sum(x) AS BIGINT) AS sx",
+        "CAST(sum(y) AS BIGINT) AS sy",
+        "CAST(sum(z) AS BIGINT) AS sz",
+        "CAST(sum(x * x) AS BIGINT) AS sxx",
+        "CAST(sum(y * y) AS BIGINT) AS syy",
+        "CAST(sum(z * z) AS BIGINT) AS szz",
+        "CAST(sum(x * y) AS BIGINT) AS sxy",
+        "CAST(sum(x * z) AS BIGINT) AS sxz",
+        "CAST(sum(y * z) AS BIGINT) AS syz",
+    ).selectExpr(
+        "n",
+        "n * sxx - sx * sx AS cxx",
+        "n * syy - sy * sy AS cyy",
+        "n * szz - sz * sz AS czz",
+        "n * sxy - sx * sy AS cxy",
+        "n * sxz - sx * sz AS cxz",
+        "n * syz - sy * sz AS cyz",
+    ).selectExpr(
+        "n",
+        "CAST(cxy AS DOUBLE)"
+        " / nullif(sqrt(CAST(cxx AS DOUBLE) * cyy), 0) AS rxy",
+        "CAST(cxz AS DOUBLE)"
+        " / nullif(sqrt(CAST(cxx AS DOUBLE) * czz), 0) AS rxz",
+        "CAST(cyz AS DOUBLE)"
+        " / nullif(sqrt(CAST(cyy AS DOUBLE) * czz), 0) AS ryz",
+    )
+    return m.selectExpr(
+        "n AS n_hours",
+        "round(rxy, 6) + 0.0 AS r_click_purchase",
+        "round((rxy - rxz * ryz)"
+        " / nullif(sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 0), 6)"
+        " + 0.0 AS partial_r_given_view",
+    )
+
+
+@register(
+    "granger_lag1_clicks_to_purchases",
+    """
+    WITH c AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS xc,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                      END) AS BIGINT) AS yc
+      FROM events GROUP BY 1
+    ),
+    span AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+    z AS (
+      SELECT hs.h, coalesce(c.xc, 0) AS xv, coalesce(c.yc, 0) AS yv
+      FROM (SELECT unnest(generate_series(lo, hi)) AS h FROM span) hs
+      LEFT JOIN c USING (h)
+    ),
+    p AS (
+      SELECT yv AS y,
+             lag(yv) OVER (ORDER BY h) AS u,
+             lag(xv) OVER (ORDER BY h) AS x
+      FROM z
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS wy, CAST(sum(u) AS BIGINT) AS wu,
+             CAST(sum(x) AS BIGINT) AS wx,
+             CAST(sum(y * y) AS BIGINT) AS wyy,
+             CAST(sum(u * u) AS BIGINT) AS wuu,
+             CAST(sum(x * x) AS BIGINT) AS wxx,
+             CAST(sum(y * u) AS BIGINT) AS wyu,
+             CAST(sum(y * x) AS BIGINT) AS wyx,
+             CAST(sum(u * x) AS BIGINT) AS wux
+      FROM p WHERE u IS NOT NULL
+    ),
+    s AS (
+      SELECT n,
+             n * wyy - wy * wy AS syy, n * wuu - wu * wu AS suu,
+             n * wxx - wx * wx AS sxx, n * wyu - wy * wu AS suy,
+             n * wyx - wy * wx AS sxy, n * wux - wu * wx AS sux
+      FROM m
+    ),
+    f AS (
+      SELECT n, syy, suu, sxx, suy, sxy, sux,
+             CAST(syy AS DOUBLE)
+               - CAST(suy AS DOUBLE) * suy / nullif(suu, 0) AS rssr,
+             CAST(suu AS DOUBLE) * sxx
+               - CAST(sux AS DOUBLE) * sux AS den
+      FROM s
+    ),
+    u AS (
+      SELECT n, rssr, den, sxy, suu, suy, sux,
+             CAST(syy AS DOUBLE)
+               - (CAST(suy AS DOUBLE) * suy * sxx
+                  + CAST(sxy AS DOUBLE) * sxy * suu
+                  - 2 * CAST(suy AS DOUBLE) * sxy * sux)
+                 / nullif(den, 0) AS rssu
+      FROM f
+    )
+    SELECT n AS n_points,
+           round((CAST(sxy AS DOUBLE) * suu - CAST(suy AS DOUBLE) * sux)
+                 / nullif(den, 0), 6) + 0.0 AS beta_click_lag1,
+           round((rssr - rssu) / nullif(rssu, 0) * (n - 3), 6) + 0.0
+             AS granger_f
+    FROM u
+    """,
+)
+def q_granger_lag1_clicks_to_purchases(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lag-1 Granger causality from hourly clicks to purchases: does
+    last hour's click count improve the purchase AR(1) forecast?
+    F = (RSS_r - RSS_u)/RSS_u * (n-3) from the two OLS fits, both
+    solved in closed form from ONE pass of n-scaled centered BIGINT
+    moments (Cramer's rule on the 2x2 normal equations); the scaled
+    RSS ratio cancels the 1/n factors so no mean subtraction ever
+    touches floats. Degenerate designs (constant series) nullif to
+    NULL on both engines."""
+    ev = _events(spark, sf_dir)
+    us = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    c = ev.groupBy((us / 3600).cast("long").alias("h")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("xc"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("yc"),
+    )
+    span = c.agg(F.min("h").alias("_lo"), F.max("h").alias("_hi"))
+    z = (
+        span.select(
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("h")
+        )
+        .join(c, "h", "left")
+        .select(
+            "h",
+            F.coalesce(F.col("xc"), F.lit(0)).cast("long").alias("xv"),
+            F.coalesce(F.col("yc"), F.lit(0)).cast("long").alias("yv"),
+        )
+    )
+    p = z.select(
+        F.col("yv").alias("y"),
+        F.lag("yv").over(W.orderBy("h")).alias("u"),
+        F.lag("xv").over(W.orderBy("h")).alias("x"),
+    ).where(F.col("u").isNotNull())
+    m = p.selectExpr(
+        "CAST(count(*) AS BIGINT) AS n",
+        "CAST(sum(y) AS BIGINT) AS wy",
+        "CAST(sum(u) AS BIGINT) AS wu",
+        "CAST(sum(x) AS BIGINT) AS wx",
+        "CAST(sum(y * y) AS BIGINT) AS wyy",
+        "CAST(sum(u * u) AS BIGINT) AS wuu",
+        "CAST(sum(x * x) AS BIGINT) AS wxx",
+        "CAST(sum(y * u) AS BIGINT) AS wyu",
+        "CAST(sum(y * x) AS BIGINT) AS wyx",
+        "CAST(sum(u * x) AS BIGINT) AS wux",
+    ).selectExpr(
+        "n",
+        "n * wyy - wy * wy AS syy",
+        "n * wuu - wu * wu AS suu",
+        "n * wxx - wx * wx AS sxx",
+        "n * wyu - wy * wu AS suy",
+        "n * wyx - wy * wx AS sxy",
+        "n * wux - wu * wx AS sux",
+    ).selectExpr(
+        "n",
+        "syy",
+        "suu",
+        "sxx",
+        "suy",
+        "sxy",
+        "sux",
+        "CAST(syy AS DOUBLE)"
+        " - CAST(suy AS DOUBLE) * suy / nullif(suu, 0) AS rssr",
+        "CAST(suu AS DOUBLE) * sxx"
+        " - CAST(sux AS DOUBLE) * sux AS den",
+    ).selectExpr(
+        "n",
+        "rssr",
+        "den",
+        "sxy",
+        "suu",
+        "suy",
+        "sux",
+        "CAST(syy AS DOUBLE)"
+        " - (CAST(suy AS DOUBLE) * suy * sxx"
+        " + CAST(sxy AS DOUBLE) * sxy * suu"
+        " - 2 * CAST(suy AS DOUBLE) * sxy * sux)"
+        " / nullif(den, 0) AS rssu",
+    )
+    return m.selectExpr(
+        "n AS n_points",
+        "round((CAST(sxy AS DOUBLE) * suu - CAST(suy AS DOUBLE) * sux)"
+        " / nullif(den, 0), 6) + 0.0 AS beta_click_lag1",
+        "round((rssr - rssu) / nullif(rssu, 0) * (n - 3), 6) + 0.0"
+        " AS granger_f",
+    )
+
+
+@register(
+    "orders_daily_revenue_drawdown",
+    """
+    WITH d AS (
+      SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT day, rev,
+             CAST(max(rev) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS peak
+      FROM d
+    ),
+    m AS (
+      SELECT day, rev, peak, peak - rev AS dd,
+             max(peak - rev) OVER () AS mx,
+             CAST(count(*) OVER () AS BIGINT) AS nd
+      FROM r
+    )
+    SELECT CAST(min(nd) AS BIGINT) AS n_days,
+           CAST(min(mx) AS BIGINT) AS max_drawdown_cents,
+           CAST(min(day) AS BIGINT) AS trough_day,
+           round(CAST(min(mx) AS DOUBLE)
+                 / nullif(min(CAST(peak AS DOUBLE)), 0), 6)
+             AS drawdown_frac
+    FROM m WHERE dd = mx
+    """,
+)
+def q_orders_daily_revenue_drawdown(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Maximum drawdown of the daily order-revenue series: the deepest
+    cents gap between any day's revenue and the running peak before
+    it, with the earliest trough day (integer argmax, day tiebreak)
+    and the fractional depth vs that trough's own peak. Revenue stays
+    in exact integer cents end-to-end; one running-max window over the
+    bounded day relation."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.expr(
+            "CAST(unix_timestamp(CAST(o_orderdate AS TIMESTAMP))"
+            " AS BIGINT) div 86400"
+        ).alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    r = d.select(
+        "day",
+        "rev",
+        F.max("rev")
+        .over(W.orderBy("day").rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("peak"),
+    )
+    wall = W.orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    m = r.select(
+        "day",
+        "rev",
+        "peak",
+        (F.col("peak") - F.col("rev")).alias("dd"),
+        F.max(F.col("peak") - F.col("rev")).over(wall).alias("mx"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("nd"),
+    )
+    return m.where(F.col("dd") == F.col("mx")).selectExpr(
+        "CAST(min(nd) AS BIGINT) AS n_days",
+        "CAST(min(mx) AS BIGINT) AS max_drawdown_cents",
+        "CAST(min(day) AS BIGINT) AS trough_day",
+        "round(CAST(min(mx) AS DOUBLE)"
+        " / nullif(min(CAST(peak AS DOUBLE)), 0), 6) AS drawdown_frac",
+    )
+
+
+@register(
+    "revenue_lorenz_curve_deciles",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    t AS (
+      SELECT o_custkey, rev,
+             ntile(10) OVER (ORDER BY rev, o_custkey) AS decile
+      FROM cust
+    ),
+    g AS (
+      SELECT CAST(decile AS BIGINT) AS decile,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(rev) AS BIGINT) AS rev_cents
+      FROM t GROUP BY 1
+    )
+    SELECT decile, n_customers, rev_cents,
+           round(CAST(rev_cents AS DOUBLE)
+                 / nullif(CAST(sum(rev_cents) OVER () AS BIGINT), 0),
+                 6) AS rev_share,
+           round(CAST(sum(rev_cents) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE)
+                 / nullif(CAST(sum(rev_cents) OVER () AS BIGINT), 0),
+                 6) AS cum_share
+    FROM g
+    """,
+)
+def q_revenue_lorenz_curve_deciles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lorenz curve of customer revenue concentration at decile
+    resolution: customers ntile'd ascending by lifetime cents (custkey
+    tiebreak makes the split deterministic under ties), each decile's
+    share and cumulative share of total revenue as exact integer-cents
+    ratios — the curve behind the Pareto/Gini scalars, per-decile
+    auditable. One groupBy + one ntile over the customer relation."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    t = cust.select(
+        "o_custkey",
+        "rev",
+        F.ntile(10).over(W.orderBy("rev", "o_custkey")).alias("decile"),
+    )
+    g = t.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("rev").cast("long").alias("rev_cents"),
+    )
+    return g.selectExpr(
+        "decile",
+        "n_customers",
+        "rev_cents",
+        "round(CAST(rev_cents AS DOUBLE)"
+        " / nullif(CAST(sum(rev_cents) OVER () AS BIGINT), 0), 6)"
+        " AS rev_share",
+        "round(CAST(sum(rev_cents) OVER (ORDER BY decile"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        " AS DOUBLE)"
+        " / nullif(CAST(sum(rev_cents) OVER () AS BIGINT), 0), 6)"
+        " AS cum_share",
+    )
+
+
+@register(
+    "simpson_diversity_by_lang",
+    """
+    WITH w AS (
+      SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ),
+    wc AS (
+      SELECT lang, word, CAST(count(*) AS BIGINT) AS c
+      FROM w WHERE word <> '' GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(sum(c * (c - 1)) AS BIGINT) AS pairs,
+             CAST(max(c) AS BIGINT) AS cmax
+      FROM wc GROUP BY 1
+    )
+    SELECT lang, n_tokens, n_types,
+           round(CAST(pairs AS DOUBLE)
+                 / nullif(CAST(n_tokens AS DOUBLE) * (n_tokens - 1), 0),
+                 6) AS simpson_d,
+           round(CAST(cmax AS DOUBLE) / nullif(n_tokens, 0), 6)
+             AS berger_parker
+    FROM g
+    """,
+)
+def q_simpson_diversity_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Simpson's diversity D = sum(c*(c-1))/(N*(N-1)) and the
+    Berger-Parker dominance max(c)/N of each language's token
+    distribution — the probability two random tokens coincide, and
+    the single-type mass cap: both exact integer ratios over the
+    vocab-sized word-count relation (complements the entropy/Gini/
+    Chao1 richness family with the concentration view)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+    ).where(F.col("word") != "")
+    wc = w.groupBy("lang", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    g = wc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("pairs"),
+        F.max("c").cast("long").alias("cmax"),
+    )
+    return g.selectExpr(
+        "lang",
+        "n_tokens",
+        "n_types",
+        "round(CAST(pairs AS DOUBLE)"
+        " / nullif(CAST(n_tokens AS DOUBLE) * (n_tokens - 1), 0), 6)"
+        " AS simpson_d",
+        "round(CAST(cmax AS DOUBLE) / nullif(n_tokens, 0), 6)"
+        " AS berger_parker",
+    )
+
+
+@register(
+    "doc_yule_k_by_lang",
+    """
+    WITH w AS (
+      SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ),
+    wc AS (
+      SELECT lang, word, CAST(count(*) AS BIGINT) AS c
+      FROM w WHERE word <> '' GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(sum(c * c) AS BIGINT) AS cc,
+             CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS v2
+      FROM wc GROUP BY 1
+    )
+    SELECT lang, n_tokens, n_types,
+           round(CAST(10000 * (cc - n_tokens) AS DOUBLE)
+                 / nullif(CAST(n_tokens AS DOUBLE) * n_tokens, 0), 6)
+             AS yule_k,
+           round(CAST(v2 AS DOUBLE) / nullif(n_types, 0), 6)
+             AS sichel_s
+    FROM g
+    """,
+)
+def q_doc_yule_k_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's characteristic K = 10^4 * (sum(c^2) - N) / N^2 and
+    Sichel's S = V_2/V per language: the classic repeat-rate and
+    dis-legomena lexical constants (text-length-robust authorship/
+    quality signals). Both exact integer ratios from the same
+    vocab-sized word-count relation as the diversity query — K's
+    numerator 10^4*(cc - N) stays far inside BIGINT at sf0.1."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+    ).where(F.col("word") != "")
+    wc = w.groupBy("lang", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    g = wc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("cc"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("v2"),
+    )
+    return g.selectExpr(
+        "lang",
+        "n_tokens",
+        "n_types",
+        "round(CAST(10000 * (cc - n_tokens) AS DOUBLE)"
+        " / nullif(CAST(n_tokens AS DOUBLE) * n_tokens, 0), 6)"
+        " AS yule_k",
+        "round(CAST(v2 AS DOUBLE) / nullif(n_types, 0), 6)"
+        " AS sichel_s",
+    )
+
+
+@register(
+    "kl_divergence_weekly_type_mix",
+    """
+    WITH e AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week,
+             event_type
+      FROM events
+    ),
+    c AS (
+      SELECT week, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT week, event_type, n,
+             CAST(sum(n) OVER (PARTITION BY week) AS BIGINT) AS nw,
+             CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+               AS nt,
+             CAST(sum(n) OVER () AS BIGINT) AS nn
+      FROM c
+    ),
+    k AS (
+      SELECT week, CAST(min(nw) AS BIGINT) AS n_events,
+             CAST(sum(CAST(floor(CAST(n AS DOUBLE)
+               * ln(CAST(n * nn AS DOUBLE) / (nw * nt))
+               * 1000000.0) AS BIGINT)) AS BIGINT) AS kl_micro
+      FROM m GROUP BY 1
+    )
+    SELECT week, n_events,
+           round(CAST(kl_micro AS DOUBLE) / 1000000.0
+                 / nullif(n_events, 0), 6) + 0.0 AS kl_nats
+    FROM k
+    """,
+)
+def q_kl_divergence_weekly_type_mix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-week KL divergence of the event-type mix from the overall
+    corpus mix — the drift monitor that says WHICH weeks' traffic
+    composition shifted (complements PSI's binned value view with the
+    exact categorical form). Each week's <= 5 cell terms floor-quantize
+    to integer micro-units before summing (nb_lang pattern), so the
+    weekly sums are exact integers; absent types contribute exactly
+    their 0 limit by construction."""
+    ev = _events(spark, sf_dir)
+    us = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    c = ev.groupBy(
+        (us / 604800).cast("long").alias("week"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    m = c.select(
+        "week",
+        "event_type",
+        "n",
+        F.sum("n").over(W.partitionBy("week")).cast("long").alias("nw"),
+        F.sum("n")
+        .over(W.partitionBy("event_type"))
+        .cast("long")
+        .alias("nt"),
+        F.expr("CAST(sum(n) OVER () AS BIGINT)").alias("nn"),
+    )
+    k = m.groupBy("week").agg(
+        F.min("nw").cast("long").alias("n_events"),
+        F.sum(
+            F.expr(
+                "CAST(floor(CAST(n AS DOUBLE)"
+                " * ln(CAST(n * nn AS DOUBLE) / (nw * nt))"
+                " * 1000000.0) AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("kl_micro"),
+    )
+    return k.selectExpr(
+        "week",
+        "n_events",
+        "round(CAST(kl_micro AS DOUBLE) / 1000000.0"
+        " / nullif(n_events, 0), 6) + 0.0 AS kl_nats",
+    )

@@ -318,3 +318,168 @@ class TestRound10PlanShapes:
     def test_cochran_broadcasts_scalars(self, spark):
         plan = self._plan("cochran_q_daily_types", spark)
         assert "CartesianProduct" not in plan
+
+
+def _counts_by_type_hour(tmp_path, per_type_hour):
+    """per_type_hour: {event_type: [count in hour 0, hour 1, ...]}."""
+    import pandas as pd
+
+    rows = []
+    eid = 0
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    for ty, counts in per_type_hour.items():
+        for i, c in enumerate(counts):
+            for j in range(c):
+                rows.append(
+                    (eid, str(t0 + pd.Timedelta(hours=i, seconds=j)),
+                     1 + j, ty, None, None)
+                )
+                eid += 1
+    _write_events(tmp_path, rows)
+
+
+class TestBatchBRegressionAndDiversity:
+    """Round-10 batch B: exact-moment regression, concentration, and
+    lexical diversity. Hand-computed expected values throughout."""
+
+    def test_ar2_alternating_series(self, spark, tmp_path):
+        # y = [1,2,1,2]: n*y-S = (-2,2,-2,2): C0=16, C1=-12, C2=8
+        # r1=-0.75, r2=0.5; phi1=-96/112=-6/7, phi2=-16/112=-1/7
+        _counts_by_type_hour(tmp_path, {"A": [1, 2, 1, 2]})
+        r = _run(spark, tmp_path, "ar2_yule_walker_hourly")[0]
+        assert (r["r1"], r["r2"]) == (-0.75, 0.5)
+        assert r["phi1"] == round(-6.0 / 7.0, 6)
+        assert r["phi2"] == round(-1.0 / 7.0, 6)
+
+    def test_partial_corr_collinear_is_one(self, spark, tmp_path):
+        # clicks = purchases = [1,2,3], views = [1,1,2]:
+        # r_xy = 1 -> partial stays 1 (shared-control cancellation)
+        _counts_by_type_hour(
+            tmp_path,
+            {"click": [1, 2, 3], "purchase": [1, 2, 3],
+             "view": [1, 1, 2]},
+        )
+        r = _run(spark, tmp_path, "partial_correlation_hourly_types")[0]
+        assert r["r_click_purchase"] == 1.0
+        assert r["partial_r_given_view"] == 1.0
+
+    def test_granger_hand_computed(self, spark, tmp_path):
+        # clicks [1,0,2,0,1], purchases [0,1,0,2,1]: m=4 lag points,
+        # scaled moments: Syy=8 Suu=11 Sxx=11 Suy=-4 Sxy=8 Sux=-9:
+        # RSSr=72/11, RSSu=0.4, F=(72/11-0.4)/0.4*1=169/11, beta=1.3
+        _counts_by_type_hour(
+            tmp_path,
+            {"click": [1, 0, 2, 0, 1], "purchase": [0, 1, 0, 2, 1]},
+        )
+        r = _run(spark, tmp_path,
+                 "granger_lag1_clicks_to_purchases")[0]
+        assert r["n_points"] == 4
+        assert r["beta_click_lag1"] == 1.3
+        assert r["granger_f"] == round(169.0 / 11.0, 6)
+
+    def test_drawdown_hand_computed(self, spark, tmp_path):
+        from tests.test_round8b_ops import _write_orders
+
+        orders = [
+            (1, 1, "O", 100.0, "1995-01-01", "1-URGENT"),
+            (2, 1, "O", 50.0, "1995-01-02", "1-URGENT"),
+            (3, 1, "O", 120.0, "1995-01-03", "1-URGENT"),
+            (4, 1, "O", 80.0, "1995-01-04", "1-URGENT"),
+        ]
+        _write_orders(tmp_path, orders)
+        r = _run(spark, tmp_path, "orders_daily_revenue_drawdown")[0]
+        assert r["n_days"] == 4
+        assert r["max_drawdown_cents"] == 5000
+        assert r["drawdown_frac"] == 0.5
+
+    def test_lorenz_ten_customers(self, spark, tmp_path):
+        from tests.test_round8b_ops import _write_orders
+
+        orders = [
+            (k, k, "O", 100.0 * k, "1995-01-0%d" % (1 + k % 9),
+             "1-URGENT")
+            for k in range(1, 11)
+        ]
+        _write_orders(tmp_path, orders)
+        rs = {r["decile"]: r for r in
+              _run(spark, tmp_path, "revenue_lorenz_curve_deciles")}
+        assert len(rs) == 10
+        assert rs[1]["rev_share"] == round(100.0 / 5500.0, 6)
+        assert rs[5]["cum_share"] == round(1500.0 / 5500.0, 6)
+        assert rs[10]["cum_share"] == 1.0
+
+    def test_simpson_and_yule_hand_computed(self, spark, tmp_path):
+        # "a b b c c c c": counts (1,2,4), N=7
+        _write_documents(tmp_path, [(0, "a b b c c c c", "en", "s")])
+        r = _run(spark, tmp_path, "simpson_diversity_by_lang")[0]
+        assert (r["n_tokens"], r["n_types"]) == (7, 3)
+        assert r["simpson_d"] == round(14.0 / 42.0, 6)
+        assert r["berger_parker"] == round(4.0 / 7.0, 6)
+        r = _run(spark, tmp_path, "doc_yule_k_by_lang")[0]
+        assert r["yule_k"] == round(1e4 * 14 / 49.0, 6)
+        assert r["sichel_s"] == round(1.0 / 3.0, 6)
+
+    def test_weekly_kl_hand_computed(self, spark, tmp_path):
+        import math
+
+        # week1 {A:1, B:1}, week2 {A:2}; overall A:3 B:1 N:4
+        rows = [
+            (0, "2024-01-01 00:00:00", 1, "A", None, None),
+            (1, "2024-01-01 00:00:01", 1, "B", None, None),
+            (2, "2024-01-08 00:00:00", 1, "A", None, None),
+            (3, "2024-01-08 00:00:01", 1, "A", None, None),
+        ]
+        _write_events(tmp_path, rows)
+        rs = sorted(
+            _run(spark, tmp_path, "kl_divergence_weekly_type_mix"),
+            key=lambda r: r["week"],
+        )
+        exp1 = (
+            math.floor(1e6 * math.log(4.0 / 6.0))
+            + math.floor(1e6 * math.log(2.0))
+        ) / 1e6 / 2
+        exp2 = math.floor(2e6 * math.log(8.0 / 6.0)) / 1e6 / 2
+        assert rs[0]["kl_nats"] == round(exp1, 6)
+        assert rs[1]["kl_nats"] == round(exp2, 6)
+
+    def test_granger_constant_click_is_null(self, spark, tmp_path):
+        # constant click series -> Sxx_c partial... den = Suu*0 - 0:
+        # unrestricted design is singular -> NULL on both engines
+        _counts_by_type_hour(
+            tmp_path,
+            {"click": [1, 1, 1, 1], "purchase": [2, 1, 2, 1]},
+        )
+        r = _run(spark, tmp_path,
+                 "granger_lag1_clicks_to_purchases")[0]
+        assert r["granger_f"] is None
+        assert r["beta_click_lag1"] is None
+
+
+class TestRound10PlanShapesB:
+    SF = "/root/testdata/sf0.001"
+
+    def _plan(self, name, spark):
+        from eventstreamml_spark import queries as qq
+
+        return (
+            qq.queries()[name](spark, self.SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    def test_ar2_broadcasts_scalars(self, spark):
+        plan = self._plan("ar2_yule_walker_hourly", spark)
+        assert "CartesianProduct" not in plan
+
+    def test_granger_single_hour_pass(self, spark):
+        plan = self._plan("granger_lag1_clicks_to_purchases", spark)
+        assert "CartesianProduct" not in plan
+
+    def test_lorenz_no_cartesian(self, spark):
+        plan = self._plan("revenue_lorenz_curve_deciles", spark)
+        assert "CartesianProduct" not in plan
+
+    def test_kl_weekly_no_cartesian(self, spark):
+        plan = self._plan("kl_divergence_weekly_type_mix", spark)
+        assert "CartesianProduct" not in plan
