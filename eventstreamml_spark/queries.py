@@ -25030,3 +25030,677 @@ def q_kl_divergence_weekly_type_mix(
         "round(CAST(kl_micro AS DOUBLE) / 1000000.0"
         " / nullif(n_events, 0), 6) + 0.0 AS kl_nats",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 batch C: duration-model fitting, calibration chi-square,
+# ratio-metric uncertainty, near-dup edit-distance verification,
+# embedding hubness, BFS reachability, price elasticity, and score
+# reliability regression.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weibull_fit_interpurchase",
+    """
+    WITH p AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+      FROM events WHERE event_type = 'purchase'
+    ),
+    gap AS (
+      SELECT t - lag(t) OVER (PARTITION BY user_id ORDER BY t) AS d
+      FROM p
+    ),
+    hist AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS cnt
+      FROM gap WHERE d IS NOT NULL AND d >= 1 GROUP BY 1
+    ),
+    mr AS (
+      SELECT d, cnt,
+             2 * CAST(coalesce(sum(cnt) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) + cnt AS r2m1,
+             CAST(sum(cnt) OVER () AS BIGINT) AS n
+      FROM hist
+    ),
+    q AS (
+      SELECT cnt, n,
+             CAST(floor(ln(CAST(d AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS xi,
+             CAST(floor(ln(-ln(1.0
+               - (CAST(r2m1 AS DOUBLE) + 0.4) / (2 * n + 0.8)))
+               * 1000000.0) AS BIGINT) AS yi
+      FROM mr
+    ),
+    m AS (
+      SELECT CAST(min(n) AS BIGINT) AS n,
+             CAST(sum(cnt * xi) AS BIGINT) AS sx,
+             CAST(sum(cnt * yi) AS BIGINT) AS sy,
+             CAST(sum(cnt * xi * xi) AS BIGINT) AS sxx,
+             CAST(sum(cnt * xi * yi) AS BIGINT) AS sxy
+      FROM q
+    ),
+    b AS (
+      SELECT n, sx, sy,
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / nullif(CAST(n AS DOUBLE) * sxx
+                        - CAST(sx AS DOUBLE) * sx, 0) AS slope
+      FROM m
+    )
+    SELECT n AS n_gaps,
+           round(slope, 6) + 0.0 AS weibull_shape,
+           round(exp(-((CAST(sy AS DOUBLE) - slope * sx) / n)
+                     / nullif(slope, 0) / 1000000.0), 4) + 0.0
+             AS weibull_scale_sec
+    FROM b
+    """,
+)
+def q_weibull_fit_interpurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weibull fit of per-user inter-purchase gaps by median-rank
+    regression: ln(-ln(1-F)) vs ln(d) with Bernard plotting positions
+    F = (midrank - 0.3)/(n + 0.4) over the gap HISTOGRAM (doubled
+    midranks keep F's numerator integer; tied gaps share one plotting
+    position). Both regression coordinates floor-quantize to integer
+    micro-units per distinct gap, so the weighted OLS moments are
+    exact BIGINTs; shape = slope directly (the 1e6 scales cancel),
+    scale = exp(-intercept/slope). The shape<1/>1 verdict (bursty vs
+    aging repurchase) complements gamma_fit/interpurchase_cv2."""
+    ev = _events(spark, sf_dir)
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp")).cast("long")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", sec.alias("t")
+    )
+    gap = p.select(
+        (
+            F.col("t")
+            - F.lag("t").over(W.partitionBy("user_id").orderBy("t"))
+        ).alias("d")
+    )
+    hist = gap.where(F.col("d").isNotNull() & (F.col("d") >= 1)).groupBy(
+        "d"
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wb = W.orderBy("d").rowsBetween(W.unboundedPreceding, -1)
+    wall = W.orderBy("d").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    mr = hist.select(
+        "d",
+        "cnt",
+        (
+            2 * F.coalesce(F.sum("cnt").over(wb), F.lit(0)).cast("long")
+            + F.col("cnt")
+        ).alias("r2m1"),
+        F.sum("cnt").over(wall).cast("long").alias("n"),
+    )
+    q = mr.selectExpr(
+        "cnt",
+        "n",
+        "CAST(floor(ln(CAST(d AS DOUBLE)) * 1000000.0) AS BIGINT) AS xi",
+        "CAST(floor(ln(-ln(1.0"
+        " - (CAST(r2m1 AS DOUBLE) + 0.4) / (2 * n + 0.8)))"
+        " * 1000000.0) AS BIGINT) AS yi",
+    )
+    m = q.selectExpr(
+        "CAST(min(n) AS BIGINT) AS n",
+        "CAST(sum(cnt * xi) AS BIGINT) AS sx",
+        "CAST(sum(cnt * yi) AS BIGINT) AS sy",
+        "CAST(sum(cnt * xi * xi) AS BIGINT) AS sxx",
+        "CAST(sum(cnt * xi * yi) AS BIGINT) AS sxy",
+    ).selectExpr(
+        "n",
+        "sx",
+        "sy",
+        "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+        " / nullif(CAST(n AS DOUBLE) * sxx"
+        " - CAST(sx AS DOUBLE) * sx, 0) AS slope",
+    )
+    return m.selectExpr(
+        "n AS n_gaps",
+        "round(slope, 6) + 0.0 AS weibull_shape",
+        "round(exp(-((CAST(sy AS DOUBLE) - slope * sx) / n)"
+        " / nullif(slope, 0) / 1000000.0), 4) + 0.0"
+        " AS weibull_scale_sec",
+    )
+
+
+@register(
+    "eval_hosmer_lemeshow_deciles",
+    f"""
+    WITH {_SCORED_SQL},
+    b AS (
+      SELECT event_type,
+             least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+             CAST(count(*) AS BIGINT) AS nb,
+             CAST(sum(y) AS BIGINT) AS o,
+             CAST(sum(CAST(floor(score * 1000000.0) AS BIGINT))
+                  AS BIGINT) AS em
+      FROM scored GROUP BY 1, 2
+    )
+    SELECT event_type, bin, nb AS n_obs, o AS n_pos,
+           round(CAST(em AS DOUBLE) / 1000000.0, 6) AS e_pos,
+           round(CAST(o * 1000000 - em AS DOUBLE)
+                 * (o * 1000000 - em) * nb
+                 / nullif(CAST(em AS DOUBLE)
+                          * (nb * 1000000 - em), 0), 6) + 0.0
+             AS hl_term
+    FROM b
+    """,
+)
+def q_eval_hosmer_lemeshow_deciles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hosmer-Lemeshow calibration terms per (event_type, fixed-width
+    score decile): (O - E)^2 * n / (E * (n - E)) with expected counts
+    accumulated as per-row floor(score * 1e6) integer micro-units —
+    exact integer sums, no float accumulation race. Emitting per-bin
+    terms (<= 50 rows) instead of the summed chi-square keeps the
+    output free of cross-engine float-sum ordering AND makes the
+    miscalibrated bins directly visible."""
+    sc = _scored_events(spark, sf_dir)
+    b = sc.selectExpr(
+        "event_type",
+        "least(CAST(floor(score * 10) AS BIGINT), 9) AS bin",
+        "label AS y",
+        "CAST(floor(score * 1000000.0) AS BIGINT) AS sm",
+    ).groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum("y").cast("long").alias("o"),
+        F.sum("sm").cast("long").alias("em"),
+    )
+    return b.selectExpr(
+        "event_type",
+        "bin",
+        "nb AS n_obs",
+        "o AS n_pos",
+        "round(CAST(em AS DOUBLE) / 1000000.0, 6) AS e_pos",
+        "round(CAST(o * 1000000 - em AS DOUBLE)"
+        " * (o * 1000000 - em) * nb"
+        " / nullif(CAST(em AS DOUBLE)"
+        " * (nb * 1000000 - em), 0), 6) + 0.0 AS hl_term",
+    )
+
+
+@register(
+    "ab_delta_method_ratio_se",
+    """
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS arm,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+               THEN CAST(floor(coalesce(value, 0) * 1000) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(n) AS BIGINT) AS sn,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(n * n) AS BIGINT) AS snn,
+             CAST(sum(x * n) AS BIGINT) AS sxn
+      FROM u GROUP BY 1
+    ),
+    r AS (
+      SELECT arm, k, sx, sn,
+             CAST(sx AS DOUBLE) / nullif(sn, 0) AS ratio,
+             (CAST(sxx AS DOUBLE)
+              - 2 * (CAST(sx AS DOUBLE) / nullif(sn, 0)) * sxn
+              + (CAST(sx AS DOUBLE) / nullif(sn, 0))
+                * (CAST(sx AS DOUBLE) / nullif(sn, 0)) * snn) AS sd2
+      FROM m
+    )
+    SELECT arm, k AS n_users,
+           round(ratio, 6) AS purchase_milli_per_event,
+           round(sqrt(CAST(k AS DOUBLE) / nullif(k - 1, 0) * sd2)
+                 / nullif(sn, 0), 6) AS ratio_se
+    FROM r
+    """,
+)
+def q_ab_delta_method_ratio_se(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta-method (linearization) standard error of the ratio metric
+    purchase-value-per-event for each user-parity arm — the correct SE
+    for per-user ratio metrics where both numerator and denominator
+    are random (naive per-event SEs understate). Per-user numerators
+    stay integer milli-units; the residual quadratic form
+    sum(x^2) - 2R sum(xn) + R^2 sum(n^2) combines exact BIGINT moments
+    in pinned-order doubles; se = sqrt(k/(k-1) * Sd2) / sum(n)."""
+    ev = _events(spark, sf_dir)
+    u = ev.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("arm")
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.coalesce(F.col("value"), F.lit(0)) * 1000).cast(
+                    "long"
+                ),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("x"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    m = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("n").cast("long").alias("sn"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("snn"),
+        F.sum(F.col("x") * F.col("n")).cast("long").alias("sxn"),
+    )
+    r = m.selectExpr(
+        "arm",
+        "k",
+        "sx",
+        "sn",
+        "CAST(sx AS DOUBLE) / nullif(sn, 0) AS ratio",
+        "(CAST(sxx AS DOUBLE)"
+        " - 2 * (CAST(sx AS DOUBLE) / nullif(sn, 0)) * sxn"
+        " + (CAST(sx AS DOUBLE) / nullif(sn, 0))"
+        " * (CAST(sx AS DOUBLE) / nullif(sn, 0)) * snn) AS sd2",
+    )
+    return r.selectExpr(
+        "arm",
+        "k AS n_users",
+        "round(ratio, 6) AS purchase_milli_per_event",
+        "round(sqrt(CAST(k AS DOUBLE) / nullif(k - 1, 0) * sd2)"
+        " / nullif(sn, 0), 6) AS ratio_se",
+    )
+
+
+@register(
+    "dedup_edit_distance_verify",
+    """
+    WITH d AS (
+      SELECT doc_id, substr(text, 1, 32) AS pfx,
+             substr(text, 1, 200) AS body,
+             length(substr(text, 1, 200)) AS blen
+      FROM documents
+    ),
+    b AS (
+      SELECT d.*, CAST(count(*) OVER (PARTITION BY pfx) AS BIGINT)
+               AS bucket_n
+      FROM d
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+             CAST(levenshtein(a.body, c.body) AS BIGINT) AS edit_dist,
+             CAST(greatest(a.blen, c.blen) AS BIGINT) AS max_len
+      FROM b a JOIN b c
+        ON a.pfx = c.pfx AND a.doc_id < c.doc_id
+      WHERE a.bucket_n <= 10 AND c.bucket_n <= 10
+    )
+    SELECT doc_a, doc_b, edit_dist, max_len,
+           round(CAST(edit_dist AS DOUBLE) / nullif(max_len, 0), 6)
+             AS rel_dist
+    FROM pairs
+    WHERE edit_dist * 5 <= max_len
+    """,
+)
+def q_dedup_edit_distance_verify(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Edit-distance verification of near-duplicate candidates: docs
+    sharing a 32-char prefix (a deterministic blocking key, bucket
+    size capped at 10 to bound the within-bucket quadratic) are
+    scored with Levenshtein over their first 200 chars and kept when
+    the distance is <= 20% of the longer side — the exact-verify
+    stage a MinHash/LSH pipeline hands its candidates to. Both
+    engines' levenshtein is the unit-cost DP, so distances are exact
+    integers; at corpus scale only the capped buckets fan out, never
+    the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.selectExpr(
+        "doc_id",
+        "substr(text, 1, 32) AS pfx",
+        "substr(text, 1, 200) AS body",
+        "length(substr(text, 1, 200)) AS blen",
+    )
+    b = d.select(
+        "*",
+        F.count(F.lit(1))
+        .over(W.partitionBy("pfx"))
+        .cast("long")
+        .alias("bucket_n"),
+    ).where(F.col("bucket_n") <= 10)
+    a = b.selectExpr(
+        "doc_id AS doc_a", "pfx", "body AS body_a", "blen AS blen_a"
+    )
+    c = b.selectExpr(
+        "doc_id AS doc_b", "pfx", "body AS body_b", "blen AS blen_b"
+    )
+    pairs = a.join(c, "pfx").where(F.col("doc_a") < F.col("doc_b")).selectExpr(
+        "doc_a",
+        "doc_b",
+        "CAST(levenshtein(body_a, body_b) AS BIGINT) AS edit_dist",
+        "CAST(greatest(blen_a, blen_b) AS BIGINT) AS max_len",
+    )
+    return pairs.where(
+        F.expr("edit_dist * 5 <= max_len")
+    ).selectExpr(
+        "doc_a",
+        "doc_b",
+        "edit_dist",
+        "max_len",
+        "round(CAST(edit_dist AS DOUBLE) / nullif(max_len, 0), 6)"
+        " AS rel_dist",
+    )
+
+
+@register(
+    "embedding_hubness_k_occurrence",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id < 1000
+    ),
+    en AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ),
+    p AS (
+      SELECT a.vec_id AS qa, b.vec_id AS nb,
+             round(list_dot_product(a.v, b.v)
+                   / nullif(a.nrm * b.nrm, 0), 9) AS cos9
+      FROM en a JOIN en b ON a.vec_id <> b.vec_id
+    ),
+    top AS (
+      SELECT qa, nb,
+             row_number() OVER (PARTITION BY qa
+               ORDER BY cos9 DESC, nb) AS rk
+      FROM p
+    ),
+    occ AS (
+      SELECT nb, CAST(count(*) AS BIGINT) AS k_occ
+      FROM top WHERE rk <= 5 GROUP BY 1
+    ),
+    allv AS (
+      SELECT en.vec_id, coalesce(occ.k_occ, 0) AS k_occ
+      FROM en LEFT JOIN occ ON occ.nb = en.vec_id
+    )
+    SELECT CAST(k_occ AS BIGINT) AS k_occurrence,
+           CAST(count(*) AS BIGINT) AS n_vectors
+    FROM allv GROUP BY 1
+    """,
+)
+def q_embedding_hubness_k_occurrence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hubness audit of the embedding space: how often each vector
+    appears in other vectors' cosine top-5 (k-occurrence), as a
+    histogram — heavy right tails mean hub points that poison kNN
+    retrieval. Brute-force over a deterministic 1000-vector cap (the
+    sample-capped audit pattern: at corpus scale the candidate
+    generation would ride the LSH buckets, the occurrence-count logic
+    is unchanged); dot products are the sequential-fold twin, ranking
+    is round(cos, 9) with vec_id tiebreak (the bh_fdr argmax rule)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, r: p * r),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    e = emb.where(F.col("vec_id") < 1000).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    en = e.select(
+        "vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm")
+    )
+    a = en.selectExpr("vec_id AS qa", "v AS va", "nrm AS na")
+    b = en.selectExpr("vec_id AS nb", "v AS vb", "nrm AS nb_n")
+    p = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("qa") != F.col("nb"))
+        .select(
+            "qa",
+            "nb",
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / F.expr("nullif(na * nb_n, 0)"),
+                9,
+            ).alias("cos9"),
+        )
+    )
+    top = p.select(
+        "qa",
+        "nb",
+        F.row_number()
+        .over(W.partitionBy("qa").orderBy(F.col("cos9").desc(), "nb"))
+        .alias("rk"),
+    ).where(F.col("rk") <= 5)
+    occ = top.groupBy("nb").agg(
+        F.count(F.lit(1)).cast("long").alias("k_occ")
+    )
+    allv = en.join(occ, en.vec_id == occ.nb, "left").select(
+        F.coalesce(F.col("k_occ"), F.lit(0)).cast("long").alias("k_occ")
+    )
+    return allv.groupBy(
+        F.col("k_occ").alias("k_occurrence")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+
+
+@register(
+    "graph_bfs_hops_from_hub",
+    """
+    WITH RECURSIVE raw AS (
+      SELECT user_id % 997 AS a, event_id % 997 AS b
+      FROM events WHERE event_id % 10 = 0
+    ),
+    und AS (
+      SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
+      FROM raw WHERE a <> b
+    ),
+    sym AS MATERIALIZED (
+      SELECT lo AS u, hi AS v FROM und
+      UNION ALL SELECT hi AS u, lo AS v FROM und
+    ),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS dg FROM sym
+            GROUP BY 1),
+    hub AS (SELECT u FROM deg ORDER BY dg DESC, u LIMIT 1),
+    bfs AS (
+      SELECT u AS node, 0 AS hop FROM hub
+      UNION
+      SELECT sym.v AS node, bfs.hop + 1 AS hop
+      FROM bfs JOIN sym ON sym.u = bfs.node
+      WHERE bfs.hop < 15
+    ),
+    mn AS (
+      SELECT node, CAST(min(hop) AS BIGINT) AS hop FROM bfs GROUP BY 1
+    )
+    SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM mn GROUP BY 1
+    """,
+)
+def q_graph_bfs_hops_from_hub(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BFS reachability profile from the hash graph's highest-degree
+    node (min-id tiebreak): nodes per hop distance, hops capped at 15.
+    Spark runs the textbook distributed frontier expansion — one
+    equi-join + anti-join per hop on the cached symmetric edge
+    relation, localCheckpoint every 3 rounds to cut iterative lineage
+    (the pagerank lesson) — O(diameter) rounds, each one shuffle. The
+    oracle is the recursive-CTE twin with min-hop aggregation."""
+    ev = _events(spark, sf_dir).filter(F.col("event_id") % 10 == 0)
+    raw = ev.select(
+        (F.col("user_id") % 997).alias("a"),
+        (F.col("event_id") % 997).alias("b"),
+    ).where(F.col("a") != F.col("b"))
+    und = raw.select(
+        F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+    ).distinct()
+    sym = (
+        und.selectExpr("lo AS u", "hi AS v")
+        .unionAll(und.selectExpr("hi AS u", "lo AS v"))
+        .cache()
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("dg"))
+    hub = deg.orderBy(F.col("dg").desc(), F.col("u")).limit(1).select(
+        F.col("u").alias("node"), F.lit(0).cast("int").alias("hop")
+    )
+    visited = hub.localCheckpoint(eager=True)
+    frontier = visited.select("node")
+    for hop in range(1, 16):
+        # frontier and visited are <= |V| rows: broadcast them against
+        # the cached edge relation so each round is scan + broadcast
+        # joins with ONE tiny distinct shuffle, not a 200-partition
+        # repartition of the frontier (at cluster scale the same plan
+        # holds while the frontier fits the broadcast threshold; past
+        # that, swap the broadcast hint for a persisted hash
+        # partitioning on u and the loop body is unchanged)
+        nxt = (
+            sym.join(F.broadcast(frontier), sym.u == frontier.node)
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(
+                F.broadcast(visited.select("node")), "node", "left_anti"
+            )
+            .withColumn("hop", F.lit(hop).cast("int"))
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return visited.groupBy(
+        F.col("hop").cast("long").alias("hop")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+
+
+@register(
+    "price_quantity_elasticity_by_brand",
+    """
+    WITH j AS (
+      SELECT p.p_brand,
+             CAST(floor(ln(l.l_extendedprice) * 1000.0) AS BIGINT)
+               AS xi,
+             CAST(floor(ln(l.l_quantity) * 1000.0) AS BIGINT) AS yi
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_extendedprice > 0 AND l.l_quantity > 0
+    ),
+    m AS (
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xi) AS BIGINT) AS sx,
+             CAST(sum(yi) AS BIGINT) AS sy,
+             CAST(sum(xi * xi) AS BIGINT) AS sxx,
+             CAST(sum(xi * yi) AS BIGINT) AS sxy
+      FROM j GROUP BY 1
+    )
+    SELECT p_brand, n AS n_lineitems,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / nullif(n * sxx - sx * sx, 0), 6) + 0.0
+             AS elasticity
+    FROM m
+    """,
+)
+def q_price_quantity_elasticity_by_brand(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Log-log price elasticity of demand per part brand: OLS slope of
+    ln(quantity) on ln(extended price) over the brand's lineitems.
+    Both log coordinates floor-quantize to milli-units per row, so the
+    per-brand regression moments are exact BIGINTs (n*sxy ~ 1e16 at
+    sf0.1, inside range) and the slope is one integer-exact Cramer
+    ratio; part joins broadcast (dimension-sized)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = (
+        li.where(
+            (F.col("l_extendedprice") > 0) & (F.col("l_quantity") > 0)
+        )
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .selectExpr(
+            "p_brand",
+            "CAST(floor(ln(l_extendedprice) * 1000.0) AS BIGINT) AS xi",
+            "CAST(floor(ln(l_quantity) * 1000.0) AS BIGINT) AS yi",
+        )
+    )
+    m = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xi").cast("long").alias("sx"),
+        F.sum("yi").cast("long").alias("sy"),
+        F.sum(F.col("xi") * F.col("xi")).cast("long").alias("sxx"),
+        F.sum(F.col("xi") * F.col("yi")).cast("long").alias("sxy"),
+    )
+    return m.selectExpr(
+        "p_brand",
+        "n AS n_lineitems",
+        "round(CAST(n * sxy - sx * sy AS DOUBLE)"
+        " / nullif(n * sxx - sx * sx, 0), 6) + 0.0 AS elasticity",
+    )
+
+
+@register(
+    "eval_reliability_slope_intercept",
+    f"""
+    WITH {_SCORED_SQL},
+    s AS (
+      SELECT event_type,
+             CAST(floor(score * 1000000.0) AS BIGINT) AS sm, y
+      FROM scored
+    ),
+    m AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(sm) AS BIGINT) AS s1,
+             CAST(sum(sm * sm) AS BIGINT) AS s2,
+             CAST(sum(y) AS BIGINT) AS ny,
+             CAST(sum(sm * y) AS BIGINT) AS sy1
+      FROM s GROUP BY 1
+    ),
+    b AS (
+      SELECT event_type, n, ny,
+             s1,
+             (CAST(n AS DOUBLE) * sy1 - CAST(s1 AS DOUBLE) * ny)
+               / nullif(CAST(n AS DOUBLE) * s2
+                        - CAST(s1 AS DOUBLE) * s1, 0) AS bm
+      FROM m
+    )
+    SELECT event_type, n AS n_obs,
+           round(bm * 1000000.0, 6) + 0.0 AS reliability_slope,
+           round((ny - bm * s1) / n, 6) + 0.0 AS reliability_intercept
+    FROM b
+    """,
+)
+def q_eval_reliability_slope_intercept(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reliability line of the score: OLS of the binary label on the
+    model score per event type (slope 1 / intercept 0 = perfectly
+    calibrated; slope < 1 = overconfident spread). Scores quantize to
+    per-row integer micro-units so the regression moments are exact
+    BIGINT sums; the closed-form slope/intercept combine them in
+    pinned-order doubles, rescaling micro-units back to unit score.
+    The regression view complements the binned ECE/HL diagnostics."""
+    sc = _scored_events(spark, sf_dir)
+    m = sc.selectExpr(
+        "event_type",
+        "CAST(floor(score * 1000000.0) AS BIGINT) AS sm",
+        "label AS y",
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("sm").cast("long").alias("s1"),
+        F.sum(F.col("sm") * F.col("sm")).cast("long").alias("s2"),
+        F.sum("y").cast("long").alias("ny"),
+        F.sum(F.col("sm") * F.col("y")).cast("long").alias("sy1"),
+    )
+    b = m.selectExpr(
+        "event_type",
+        "n",
+        "ny",
+        "s1",
+        "(CAST(n AS DOUBLE) * sy1 - CAST(s1 AS DOUBLE) * ny)"
+        " / nullif(CAST(n AS DOUBLE) * s2"
+        " - CAST(s1 AS DOUBLE) * s1, 0) AS bm",
+    )
+    return b.selectExpr(
+        "event_type",
+        "n AS n_obs",
+        "round(bm * 1000000.0, 6) + 0.0 AS reliability_slope",
+        "round((ny - bm * s1) / n, 6) + 0.0 AS reliability_intercept",
+    )

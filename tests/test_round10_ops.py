@@ -483,3 +483,232 @@ class TestRound10PlanShapesB:
     def test_kl_weekly_no_cartesian(self, spark):
         plan = self._plan("kl_divergence_weekly_type_mix", spark)
         assert "CartesianProduct" not in plan
+
+
+class TestBatchCModelFitAndVerify:
+    """Round-10 batch C: duration/calibration/ratio-metric fitting and
+    near-dup/hubness/BFS verification."""
+
+    def test_weibull_python_replica(self, spark, tmp_path):
+        import math
+
+        rows = [
+            (0, "2024-01-01 00:00:00", 1, "purchase", None, None),
+            (1, "2024-01-01 00:00:10", 1, "purchase", None, None),
+            (2, "2024-01-01 00:00:30", 1, "purchase", None, None),
+        ]
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "weibull_fit_interpurchase")[0]
+        fq = lambda x: math.floor(x * 1e6)  # noqa: E731
+        n = 2
+        xs = {10: fq(math.log(10)), 20: fq(math.log(20))}
+        ys = {}
+        for d, r2m1 in ((10, 1), (20, 3)):
+            fpos = (r2m1 + 0.4) / (2 * n + 0.8)
+            ys[d] = fq(math.log(-math.log(1 - fpos)))
+        sx, sy = xs[10] + xs[20], ys[10] + ys[20]
+        sxx = xs[10] ** 2 + xs[20] ** 2
+        sxy = xs[10] * ys[10] + xs[20] * ys[20]
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        scale = math.exp(-((sy - slope * sx) / n) / slope / 1e6)
+        assert r["n_gaps"] == 2
+        assert r["weibull_shape"] == round(slope, 6)
+        assert r["weibull_scale_sec"] == round(scale, 4)
+
+    def test_hosmer_lemeshow_single_bin_term(self, spark, tmp_path):
+        # construct 2 events in one type; the fixed-width bins and the
+        # micro-quantized E replicate exactly in python
+        import hashlib
+        import math
+
+        rows = [
+            (0, "2024-01-01 00:00:00", 3, "A", None, None),
+            (1, "2024-01-01 00:00:01", 1, "A", None, None),
+        ]
+        _write_events(tmp_path, rows)
+        got = _run(spark, tmp_path, "eval_hosmer_lemeshow_deciles")
+        bins = {}
+        for eid, uid in ((0, 3), (1, 1)):
+            y = 1 if uid % 3 == 0 else 0
+            u = (
+                int(hashlib.md5(str(eid).encode()).hexdigest()[:4], 16)
+                % 1000
+            ) / 999.0
+            s = 0.3 * y + 0.7 * u
+            b = min(math.floor(s * 10), 9)
+            o, em, nb = bins.get(b, (0, 0, 0))
+            bins[b] = (o + y, em + math.floor(s * 1e6), nb + 1)
+        for r in got:
+            o, em, nb = bins[r["bin"]]
+            assert (r["n_obs"], r["n_pos"]) == (nb, o)
+            assert r["e_pos"] == round(em / 1e6, 6)
+            exp = (o * 10**6 - em) ** 2 * nb / (em * (nb * 10**6 - em))
+            assert r["hl_term"] == round(exp + 0.0, 6)
+
+    def test_delta_method_hand_computed(self, spark, tmp_path):
+        import math
+
+        rows = [
+            (0, "2024-01-01 00:00:00", 2, "purchase", 1.0, None),
+            (1, "2024-01-01 00:00:01", 2, "click", None, None),
+            (2, "2024-01-01 00:00:02", 4, "purchase", 3.0, None),
+        ]
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "ab_delta_method_ratio_se")[0]
+        ratio = 4000 / 3
+        sd2 = (
+            (1000**2 + 3000**2)
+            - 2 * ratio * (1000 * 2 + 3000 * 1)
+            + ratio * ratio * 5
+        )
+        se = math.sqrt(2 * sd2) / 3
+        assert (r["arm"], r["n_users"]) == (0, 2)
+        assert r["purchase_milli_per_event"] == round(ratio, 6)
+        assert r["ratio_se"] == round(se, 6)
+
+    def test_edit_distance_near_pair_only(self, spark, tmp_path):
+        base = "x" * 40
+        _write_documents(
+            tmp_path,
+            [
+                (0, base + " tail one", "en", "s"),
+                (1, base + " tail twe", "en", "s"),
+                (2, "completely different text here", "en", "s"),
+            ],
+        )
+        rs = _run(spark, tmp_path, "dedup_edit_distance_verify")
+        assert [(r["doc_a"], r["doc_b"], r["edit_dist"]) for r in rs] == [
+            (0, 1, 2)
+        ]
+        assert rs[0]["rel_dist"] == round(2.0 / 49.0, 6)
+
+    def test_hubness_small_clique(self, spark, tmp_path):
+        # 4 vectors, k=5 >= n-1: every vector appears in all 3 other
+        # top lists -> k-occurrence 3 for all 4
+        _write_embeddings(
+            tmp_path,
+            [
+                (0, [1.0, 0.0], 0),
+                (1, [0.9, 0.1], 0),
+                (2, [0.8, 0.2], 0),
+                (3, [0.0, 1.0], 1),
+            ],
+        )
+        rs = {
+            r["k_occurrence"]: r["n_vectors"]
+            for r in _run(spark, tmp_path,
+                          "embedding_hubness_k_occurrence")
+        }
+        assert rs == {3: 4}
+
+    def test_bfs_path_graph(self, spark, tmp_path):
+        # events (eid=10,u=1), (eid=20,u=10) -> edges 1-10, 10-20;
+        # hub = node 10 (degree 2) -> hops {0:1, 1:2}
+        rows = [
+            (10, "2024-01-01 00:00:00", 1, "A", None, None),
+            (20, "2024-01-01 00:00:01", 10, "A", None, None),
+        ]
+        _write_events(tmp_path, rows)
+        rs = {r["hop"]: r["n_nodes"]
+              for r in _run(spark, tmp_path, "graph_bfs_hops_from_hub")}
+        assert rs == {0: 1, 1: 2}
+
+    def test_elasticity_python_replica(self, spark, tmp_path):
+        import math
+
+        from tests.test_round9_ops import _write_lineitem
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        part = pa.table(
+            {
+                "p_partkey": pa.array([1, 2], pa.int64()),
+                "p_name": pa.array(["a", "b"], pa.string()),
+                "p_brand": pa.array(["Brand#1", "Brand#1"], pa.string()),
+                "p_type": pa.array(["t", "t"], pa.string()),
+                "p_retailprice": pa.array([1.0, 2.0], pa.float64()),
+            }
+        )
+        pq.write_table(part, os.path.join(str(tmp_path), "part.parquet"))
+        li = [
+            (1, 1, 1, 1, 10.0, 1000.0, 0.0, 0.0, "N", "O", "1995-01-01"),
+            (2, 2, 1, 1, 5.0, 2000.0, 0.0, 0.0, "N", "O", "1995-01-02"),
+        ]
+        _write_lineitem(str(tmp_path), li)
+        r = _run(spark, tmp_path,
+                 "price_quantity_elasticity_by_brand")[0]
+        fq = lambda x: math.floor(x * 1000)  # noqa: E731
+        pts = [(fq(math.log(1000.0)), fq(math.log(10.0))),
+               (fq(math.log(2000.0)), fq(math.log(5.0)))]
+        n = 2
+        sx = sum(p[0] for p in pts); sy = sum(p[1] for p in pts)
+        sxx = sum(p[0] ** 2 for p in pts)
+        sxy = sum(p[0] * p[1] for p in pts)
+        exp = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        assert r["n_lineitems"] == 2
+        assert r["elasticity"] == round(exp + 0.0, 6)
+
+    def test_reliability_perfect_binary_score(self, spark, tmp_path):
+        # two events, one positive: slope/intercept replicate in python
+        import hashlib
+        import math
+
+        rows = [
+            (0, "2024-01-01 00:00:00", 3, "A", None, None),
+            (1, "2024-01-01 00:00:01", 1, "A", None, None),
+        ]
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path,
+                 "eval_reliability_slope_intercept")[0]
+        pts = []
+        for eid, uid in ((0, 3), (1, 1)):
+            y = 1 if uid % 3 == 0 else 0
+            u = (
+                int(hashlib.md5(str(eid).encode()).hexdigest()[:4], 16)
+                % 1000
+            ) / 999.0
+            pts.append((math.floor((0.3 * y + 0.7 * u) * 1e6), y))
+        n = 2
+        s1 = sum(p[0] for p in pts); ny = sum(p[1] for p in pts)
+        s2 = sum(p[0] ** 2 for p in pts)
+        sy1 = sum(p[0] * p[1] for p in pts)
+        bm = (n * sy1 - s1 * ny) / (n * s2 - s1 * s1)
+        assert r["reliability_slope"] == round(bm * 1e6 + 0.0, 6)
+        assert r["reliability_intercept"] == round(
+            (ny - bm * s1) / n + 0.0, 6
+        )
+
+
+class TestRound10PlanShapesC:
+    SF = "/root/testdata/sf0.001"
+
+    def _plan(self, name, spark):
+        from eventstreamml_spark import queries as qq
+
+        return (
+            qq.queries()[name](spark, self.SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    def test_elasticity_broadcasts_part(self, spark):
+        plan = self._plan("price_quantity_elasticity_by_brand", spark)
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_edit_distance_blocked_equijoin(self, spark):
+        # candidate pairs come from the prefix equi-join, never a
+        # corpus cross product
+        plan = self._plan("dedup_edit_distance_verify", spark)
+        assert "CartesianProduct" not in plan
+
+    def test_weibull_histogram_substrate(self, spark):
+        plan = self._plan("weibull_fit_interpurchase", spark)
+        assert "CartesianProduct" not in plan
+
+    def test_hl_single_groupby(self, spark):
+        plan = self._plan("eval_hosmer_lemeshow_deciles", spark)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
