@@ -25704,3 +25704,577 @@ def q_eval_reliability_slope_intercept(
         "round(bm * 1000000.0, 6) + 0.0 AS reliability_slope",
         "round((ny - bm * s1) / n, 6) + 0.0 AS reliability_intercept",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 batch D: variance-homogeneity and separation tests,
+# distribution distances, duration octiles, zero-inflation, and the
+# integrated autocorrelation time.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bartlett_test_value_by_type",
+    """
+    WITH v AS (
+      SELECT event_type,
+             CAST(floor(value * 1000) AS BIGINT) AS vm
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS ni,
+             CAST(sum(vm) AS BIGINT) AS si,
+             CAST(sum(vm * vm) AS BIGINT) AS qi
+      FROM v GROUP BY 1
+      HAVING count(*) >= 2
+         AND count(*) * sum(vm * vm) > sum(vm) * sum(vm)
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ni) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(CAST(ni * qi - si * si AS DOUBLE)
+               / ni * 1000.0) AS BIGINT)) AS BIGINT) AS ssw_milli,
+             CAST(sum(CAST(floor((ni - 1) * ln(
+               CAST(ni * qi - si * si AS DOUBLE) / (ni * (ni - 1))
+             ) * 1000000.0) AS BIGINT)) AS BIGINT) AS lnterm_micro,
+             CAST(sum(CAST(floor(1000000000.0 / (ni - 1)) AS BIGINT))
+               AS BIGINT) AS inv_nano
+      FROM g
+    )
+    SELECT k AS n_groups, n AS n_values,
+           round(((n - k) * ln(CAST(ssw_milli AS DOUBLE) / 1000.0
+                               / (n - k))
+                  - CAST(lnterm_micro AS DOUBLE) / 1000000.0)
+                 / nullif(1.0 + (CAST(inv_nano AS DOUBLE) / 1000000000.0
+                          - CAST(1 AS DOUBLE) / (n - k))
+                          / (3 * (k - 1)), 0), 6) + 0.0 AS bartlett_t
+    FROM t
+    """,
+)
+def q_bartlett_test_value_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bartlett's homogeneity-of-variance test across event types on
+    milli-integer values — the normal-theory complement to the
+    existing Levene/Brown-Forsythe robust variant. Per-group variances
+    are exact integer ratios (ni*Qi - Si^2)/(ni(ni-1)); the pooled
+    within-SS, the (ni-1)ln(s_i^2) terms, and the 1/(ni-1) correction
+    each floor-quantize per GROUP (k <= 5 cells) to integer
+    milli/micro/nano units before summing, so no cross-engine float
+    sum ordering survives into the statistic."""
+    ev = _events(spark, sf_dir)
+    v = ev.where(F.col("value").isNotNull()).selectExpr(
+        "event_type", "CAST(floor(value * 1000) AS BIGINT) AS vm"
+    )
+    g = (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("ni"),
+            F.sum("vm").cast("long").alias("si"),
+            F.sum(F.col("vm") * F.col("vm")).cast("long").alias("qi"),
+        )
+        .where(
+            (F.col("ni") >= 2)
+            # zero-variance groups would ln(0): drop them from k on
+            # both engines (DuckDB -inf vs Spark NULL otherwise)
+            & (F.col("ni") * F.col("qi") > F.col("si") * F.col("si"))
+        )
+    )
+    t = g.selectExpr(
+        "CAST(count(*) AS BIGINT) AS k",
+        "CAST(sum(ni) AS BIGINT) AS n",
+        "CAST(sum(CAST(floor(CAST(ni * qi - si * si AS DOUBLE)"
+        " / ni * 1000.0) AS BIGINT)) AS BIGINT) AS ssw_milli",
+        "CAST(sum(CAST(floor((ni - 1) * ln("
+        "CAST(ni * qi - si * si AS DOUBLE) / (ni * (ni - 1))"
+        ") * 1000000.0) AS BIGINT)) AS BIGINT) AS lnterm_micro",
+        "CAST(sum(CAST(floor(1000000000.0 / (ni - 1)) AS BIGINT))"
+        " AS BIGINT) AS inv_nano",
+    )
+    return t.selectExpr(
+        "k AS n_groups",
+        "n AS n_values",
+        "round(((n - k) * ln(CAST(ssw_milli AS DOUBLE) / 1000.0"
+        " / (n - k))"
+        " - CAST(lnterm_micro AS DOUBLE) / 1000000.0)"
+        " / nullif(1.0 + (CAST(inv_nano AS DOUBLE) / 1000000000.0"
+        " - CAST(1 AS DOUBLE) / (n - k))"
+        " / (3 * (k - 1)), 0), 6) + 0.0 AS bartlett_t",
+    )
+
+
+@register(
+    "distribution_distance_arms",
+    """
+    WITH v AS (
+      SELECT user_id % 2 AS arm,
+             CAST(floor(value * 1000) AS BIGINT) AS vm
+      FROM events WHERE value IS NOT NULL
+    ),
+    hist AS (
+      SELECT vm,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c0,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c1
+      FROM v GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(sum(c0) AS BIGINT) AS n0,
+             CAST(sum(c1) AS BIGINT) AS n1 FROM hist
+    ),
+    d AS (
+      SELECT CAST(sum(abs(h.c0 * s.n1 - h.c1 * s.n0)) AS BIGINT)
+               AS tv_num,
+             CAST(sum(CAST(floor(sqrt(CAST(h.c0 * h.c1 AS DOUBLE))
+               * 1000000.0) AS BIGINT)) AS BIGINT) AS bc_micro
+      FROM hist h, s
+    )
+    SELECT s.n0, s.n1,
+           round(CAST(d.tv_num AS DOUBLE)
+                 / nullif(2 * CAST(s.n0 AS DOUBLE) * s.n1, 0), 6)
+             AS tv_distance,
+           round(CAST(d.bc_micro AS DOUBLE) / 1000000.0
+                 / nullif(sqrt(CAST(s.n0 AS DOUBLE) * s.n1), 0), 6)
+             AS bhattacharyya
+    FROM s, d
+    """,
+)
+def q_distribution_distance_arms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Total-variation distance and Bhattacharyya coefficient between
+    the two arms' value histograms: TV = sum|c0*n1 - c1*n0| / (2 n0
+    n1) is a fully exact integer ratio; BC's per-bin sqrt(c0*c1)
+    floor-quantizes to micro-units before the integer sum (the only
+    irrational per bin), then divides by sqrt(n0*n1) once. Together
+    they bound overlap from both sides — the distribution-shift pair
+    for A/B and drift audits, one histogram scan."""
+    ev = _events(spark, sf_dir)
+    hist = (
+        ev.where(F.col("value").isNotNull())
+        .selectExpr(
+            "user_id % 2 AS arm",
+            "CAST(floor(value * 1000) AS BIGINT) AS vm",
+        )
+        .groupBy("vm")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("c0"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("c1"),
+        )
+    )
+    s = hist.agg(
+        F.sum("c0").cast("long").alias("n0"),
+        F.sum("c1").cast("long").alias("n1"),
+    )
+    d = hist.crossJoin(F.broadcast(s)).selectExpr(
+        "abs(c0 * n1 - c1 * n0) AS tvt",
+        "CAST(floor(sqrt(CAST(c0 * c1 AS DOUBLE)) * 1000000.0)"
+        " AS BIGINT) AS bct",
+        "n0",
+        "n1",
+    ).groupBy("n0", "n1").agg(
+        F.sum("tvt").cast("long").alias("tv_num"),
+        F.sum("bct").cast("long").alias("bc_micro"),
+    )
+    return d.selectExpr(
+        "n0",
+        "n1",
+        "round(CAST(tv_num AS DOUBLE)"
+        " / nullif(2 * CAST(n0 AS DOUBLE) * n1, 0), 6) AS tv_distance",
+        "round(CAST(bc_micro AS DOUBLE) / 1000000.0"
+        " / nullif(sqrt(CAST(n0 AS DOUBLE) * n1), 0), 6)"
+        " AS bhattacharyya",
+    )
+
+
+@register(
+    "subject_lifespan_octiles",
+    """
+    WITH u AS (
+      SELECT user_id,
+             max(CAST(floor(epoch(ts)) AS BIGINT))
+               - min(CAST(floor(epoch(ts)) AS BIGINT)) AS span
+      FROM events GROUP BY 1
+    ),
+    q AS (
+      SELECT quantile_cont(span, 0.125) AS p1,
+             quantile_cont(span, 0.25) AS p2,
+             quantile_cont(span, 0.375) AS p3,
+             quantile_cont(span, 0.5) AS p4,
+             quantile_cont(span, 0.625) AS p5,
+             quantile_cont(span, 0.75) AS p6,
+             quantile_cont(span, 0.875) AS p7,
+             CAST(count(*) AS BIGINT) AS n_users
+      FROM u
+    )
+    SELECT CAST(1 AS BIGINT) AS octile, n_users,
+           round(p1, 6) AS span_sec FROM q
+    UNION ALL SELECT CAST(2 AS BIGINT), n_users, round(p2, 6) FROM q
+    UNION ALL SELECT CAST(3 AS BIGINT), n_users, round(p3, 6) FROM q
+    UNION ALL SELECT CAST(4 AS BIGINT), n_users, round(p4, 6) FROM q
+    UNION ALL SELECT CAST(5 AS BIGINT), n_users, round(p5, 6) FROM q
+    UNION ALL SELECT CAST(6 AS BIGINT), n_users, round(p6, 6) FROM q
+    UNION ALL SELECT CAST(7 AS BIGINT), n_users, round(p7, 6) FROM q
+    """,
+)
+def q_subject_lifespan_octiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Octiles of per-user lifetime span (first to last event, whole
+    seconds): the engagement-duration distribution behind churn/LTV
+    priors. Dyadic eighths make every interpolated order statistic an
+    exact product of integers and eighths on both engines (the
+    qq-octiles convention); one per-user min/max aggregation feeds a
+    user-count-sized quantile."""
+    ev = _events(spark, sf_dir)
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp")).cast("long")
+    u = ev.groupBy("user_id").agg(
+        (F.max(sec) - F.min(sec)).alias("span")
+    )
+    g = u.agg(
+        *[
+            F.expr(f"percentile(span, CAST({k} AS DOUBLE) / 8)").alias(
+                f"p{k}"
+            )
+            for k in range(1, 8)
+        ],
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+    )
+    return g.selectExpr(
+        "inline(array("
+        + ", ".join(
+            f"struct(CAST({k} AS BIGINT) AS octile,"
+            f" n_users, round(p{k}, 6) AS span_sec)"
+            for k in range(1, 8)
+        )
+        + "))"
+    )
+
+
+@register(
+    "zero_inflation_score_6h",
+    """
+    WITH c AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS b,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT min(b) AS lo, max(b) AS hi FROM c),
+    z AS (
+      SELECT t.event_type, coalesce(c.n, 0) AS y
+      FROM (SELECT DISTINCT event_type FROM c) t
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS b
+                  FROM span) bs
+      LEFT JOIN c ON c.event_type = t.event_type AND c.b = bs.b
+    ),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS nb,
+             CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nz,
+             CAST(sum(y) AS BIGINT) AS tot
+      FROM z GROUP BY 1
+    )
+    SELECT event_type, nb AS n_buckets, nz AS n_zero,
+           round(CAST(nz AS DOUBLE) / nullif(nb, 0), 6) AS p0_hat,
+           round(exp(-(CAST(tot AS DOUBLE) / nb)), 6) + 0.0
+             AS p0_poisson,
+           round(CAST(nz AS DOUBLE) / nullif(nb, 0)
+                 - exp(-(CAST(tot AS DOUBLE) / nb)), 6) + 0.0
+             AS excess_zero
+    FROM g
+    """,
+)
+def q_zero_inflation_score_6h(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Zero-inflation score per event type on the zero-filled 6-hour
+    bucket grid: observed zero-bucket share vs the Poisson prediction
+    exp(-lambda) at the type's own mean rate. Positive excess zeros
+    say the type needs a hurdle/ZIP model (Croston-style) rather than
+    a plain Poisson — the distributional check behind the
+    intermittency operators. Counts and shares are exact integers;
+    exp runs once per type on an identical exact-ratio argument."""
+    ev = _events(spark, sf_dir)
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    c = ev.groupBy(
+        "event_type", (sec / 21600).cast("long").alias("b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    span = c.agg(F.min("b").alias("_lo"), F.max("b").alias("_hi"))
+    bs = span.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("b")
+    )
+    z = (
+        c.select("event_type").distinct()
+        .crossJoin(bs)
+        .join(c, ["event_type", "b"], "left")
+        .select(
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum(F.when(F.col("y") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("nz"),
+        F.sum("y").cast("long").alias("tot"),
+    )
+    return g.selectExpr(
+        "event_type",
+        "nb AS n_buckets",
+        "nz AS n_zero",
+        "round(CAST(nz AS DOUBLE) / nullif(nb, 0), 6) AS p0_hat",
+        "round(exp(-(CAST(tot AS DOUBLE) / nb)), 6) + 0.0"
+        " AS p0_poisson",
+        "round(CAST(nz AS DOUBLE) / nullif(nb, 0)"
+        " - exp(-(CAST(tot AS DOUBLE) / nb)), 6) + 0.0 AS excess_zero",
+    )
+
+
+@register(
+    "doc_honore_statistic_by_lang",
+    """
+    WITH w AS (
+      SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ),
+    wc AS (
+      SELECT lang, word, CAST(count(*) AS BIGINT) AS c
+      FROM w WHERE word <> '' GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS v1
+      FROM wc GROUP BY 1
+    )
+    SELECT lang, n_tokens, n_types, v1 AS n_hapax,
+           round(CAST(v1 AS DOUBLE) / nullif(n_types, 0), 6)
+             AS hapax_share,
+           round(CAST(100 AS DOUBLE) * ln(CAST(n_tokens AS DOUBLE))
+                 * n_types / nullif(n_types - v1, 0), 6) + 0.0
+             AS honore_r
+    FROM g
+    """,
+)
+def q_doc_honore_statistic_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Honore's R = 100 ln(N) / (1 - V1/V) and the hapax share per
+    language: the vocabulary-growth constant driven by ONCE-words,
+    the third member of the K/S/richness family and the classic
+    low-data authorship statistic. One ln on an exact integer; the
+    rest is exact integer ratios (constants written integer-CAST,
+    never decimal literals). All-hapax corpora nullif to NULL."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+    ).where(F.col("word") != "")
+    wc = w.groupBy("lang", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    g = wc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("v1"),
+    )
+    return g.selectExpr(
+        "lang",
+        "n_tokens",
+        "n_types",
+        "v1 AS n_hapax",
+        "round(CAST(v1 AS DOUBLE) / nullif(n_types, 0), 6)"
+        " AS hapax_share",
+        "round(CAST(100 AS DOUBLE) * ln(CAST(n_tokens AS DOUBLE))"
+        " * n_types / nullif(n_types - v1, 0), 6) + 0.0 AS honore_r",
+    )
+
+
+@register(
+    "eval_ks_score_separation",
+    f"""
+    WITH {_SCORED_SQL},
+    h AS (
+      SELECT event_type, score,
+             CAST(sum(y) AS BIGINT) AS c1,
+             CAST(sum(1 - y) AS BIGINT) AS c0
+      FROM scored GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type,
+             CAST(sum(c1) OVER (PARTITION BY event_type ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cp,
+             CAST(sum(c0) OVER (PARTITION BY event_type ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cn,
+             CAST(sum(c1) OVER (PARTITION BY event_type) AS BIGINT)
+               AS n1,
+             CAST(sum(c0) OVER (PARTITION BY event_type) AS BIGINT)
+               AS n0
+      FROM h
+    )
+    SELECT event_type, CAST(min(n1) AS BIGINT) AS n_pos,
+           CAST(min(n0) AS BIGINT) AS n_neg,
+           round(CAST(max(abs(cp * n0 - cn * n1)) AS DOUBLE)
+                 / nullif(CAST(min(n1) AS DOUBLE) * min(n0), 0), 6)
+             AS ks_stat
+    FROM cum GROUP BY 1
+    """,
+)
+def q_eval_ks_score_separation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kolmogorov-Smirnov separation of the score distributions of
+    positives vs negatives per event type — the classic credit-scoring
+    'KS statistic' companion to AUC (where on the score axis the model
+    separates best is implicit in the max). The max runs over exact
+    integers |cum_pos*n_neg - cum_neg*n_pos| on the score histogram,
+    so no float argmax; one keyed window over the bounded 1000-bucket
+    score grid."""
+    sc = _scored_events(spark, sf_dir)
+    h = sc.groupBy("event_type", "score").agg(
+        F.sum("label").cast("long").alias("c1"),
+        F.sum(1 - F.col("label")).cast("long").alias("c0"),
+    )
+    wc = W.partitionBy("event_type").orderBy("score").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wt = W.partitionBy("event_type")
+    cum = h.select(
+        "event_type",
+        F.sum("c1").over(wc).cast("long").alias("cp"),
+        F.sum("c0").over(wc).cast("long").alias("cn"),
+        F.sum("c1").over(wt).cast("long").alias("n1"),
+        F.sum("c0").over(wt).cast("long").alias("n0"),
+    )
+    return cum.groupBy("event_type").agg(
+        F.min("n1").cast("long").alias("n_pos"),
+        F.min("n0").cast("long").alias("n_neg"),
+        F.round(
+            F.max(
+                F.abs(F.col("cp") * F.col("n0") - F.col("cn") * F.col("n1"))
+            ).cast("double")
+            / F.expr(
+                "nullif(CAST(min(n1) AS DOUBLE) * min(n0), 0)"
+            ),
+            6,
+        ).alias("ks_stat"),
+    )
+
+
+@register(
+    "integrated_autocorrelation_time_hourly",
+    """
+    WITH c AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    span AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+    z AS (
+      SELECT hs.h, coalesce(c.n, 0) AS y
+      FROM (SELECT unnest(generate_series(lo, hi)) AS h FROM span) hs
+      LEFT JOIN c USING (h)
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(y) AS BIGINT) AS s
+      FROM z
+    ),
+    e AS (SELECT z.h, g.nn * z.y - g.s AS d, g.nn FROM z, g),
+    c0 AS (SELECT CAST(sum(d * d) AS BIGINT) AS c0 FROM e),
+    lk AS (
+      SELECT l.k,
+             CAST(sum(a.d * b.d) AS BIGINT) AS ck
+      FROM (SELECT unnest(generate_series(1, 24)) AS k) l
+      JOIN e a ON TRUE
+      JOIN e b ON b.h = a.h + l.k
+      GROUP BY 1
+    ),
+    q AS (
+      SELECT CAST(sum(CAST(floor(CAST(lk.ck AS DOUBLE) / c0.c0
+               * 1000000.0) AS BIGINT)) AS BIGINT) AS rho_micro
+      FROM lk, c0
+    )
+    SELECT (SELECT CAST(min(nn) AS BIGINT) FROM e) AS n_hours,
+           (SELECT round(CAST(min(ck) FILTER (k = 1) AS DOUBLE)
+                         / nullif(min(c0.c0), 0), 6) + 0.0
+            FROM lk, c0) AS rho1,
+           round(CAST(1 AS DOUBLE)
+                 + 2 * CAST(q.rho_micro AS DOUBLE) / 1000000.0, 6)
+             + 0.0 AS tau_int
+    FROM q
+    """,
+)
+def q_integrated_autocorrelation_time_hourly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Integrated autocorrelation time tau = 1 + 2*sum(rho_k, k<=24)
+    of the hourly count series — the effective-sample-size deflator
+    (n_eff = n/tau) that says how much the hourly observations
+    actually decorrelate; feeds honest CIs for any rate metric. Each
+    autocovariance C_k is an n-scaled centered BIGINT sum over the
+    720-row grid (lag join on h+k); each rho_k floor-quantizes to
+    micro-units before the 24-term sum, so the statistic is an exact
+    integer combination."""
+    ev = _events(spark, sf_dir)
+    us = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    c = ev.groupBy((us / 3600).cast("long").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    span = c.agg(F.min("h").alias("_lo"), F.max("h").alias("_hi"))
+    z = (
+        span.select(
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("h")
+        )
+        .join(c, "h", "left")
+        .select(
+            "h", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("y")
+        )
+    )
+    g = z.agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    e = z.crossJoin(F.broadcast(g)).select(
+        "h", (F.col("nn") * F.col("y") - F.col("s")).alias("d"), "nn"
+    )
+    c0 = e.agg(F.sum(F.col("d") * F.col("d")).cast("long").alias("c0"))
+    lags = spark.range(1, 25).select(F.col("id").alias("k"))
+    a = e.selectExpr("h", "d AS da")
+    b = e.selectExpr("h AS hb", "d AS db")
+    lk = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("hb") == F.col("h") + F.col("k"))
+        .groupBy("k")
+        .agg(F.sum(F.col("da") * F.col("db")).cast("long").alias("ck"))
+    )
+    q = lk.crossJoin(F.broadcast(c0)).selectExpr(
+        "k",
+        "ck",
+        "c0",
+        "CAST(floor(CAST(ck AS DOUBLE) / c0 * 1000000.0) AS BIGINT)"
+        " AS rho_m",
+    )
+    agg = q.agg(
+        F.sum("rho_m").cast("long").alias("rho_micro"),
+        F.min(F.when(F.col("k") == 1, F.col("ck"))).alias("ck1"),
+        F.min("c0").alias("c0v"),
+    )
+    nn = e.agg(F.min("nn").cast("long").alias("n_hours"))
+    return agg.crossJoin(F.broadcast(nn)).selectExpr(
+        "n_hours",
+        "round(CAST(ck1 AS DOUBLE) / nullif(c0v, 0), 6) + 0.0 AS rho1",
+        "round(CAST(1 AS DOUBLE)"
+        " + 2 * CAST(rho_micro AS DOUBLE) / 1000000.0, 6) + 0.0"
+        " AS tau_int",
+    )

@@ -712,3 +712,167 @@ class TestRound10PlanShapesC:
         plan = self._plan("eval_hosmer_lemeshow_deciles", spark)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoop" not in plan
+
+
+class TestBatchDDistancesAndSeparation:
+    """Round-10 batch D: variance homogeneity, distribution distances,
+    zero inflation, lexical constants, KS separation, tau_int."""
+
+    def test_bartlett_python_replica(self, spark, tmp_path):
+        import math
+
+        rows = [
+            (i, "2024-01-01 00:00:%02d" % i, 1, t, v, None)
+            for i, (t, v) in enumerate(
+                [("A", 1.0), ("A", 2.0), ("A", 3.0),
+                 ("B", 1.0), ("B", 5.0), ("B", 9.0)]
+            )
+        ]
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "bartlett_test_value_by_type")[0]
+        groups = {"A": [1000, 2000, 3000], "B": [1000, 5000, 9000]}
+        k, n, ssw_m, lnt, inv = 2, 6, 0, 0, 0
+        for vs in groups.values():
+            ni, si = len(vs), sum(vs)
+            qi = sum(v * v for v in vs)
+            ssw_m += math.floor((ni * qi - si * si) / ni * 1000)
+            lnt += math.floor(
+                (ni - 1)
+                * math.log((ni * qi - si * si) / (ni * (ni - 1)))
+                * 1e6
+            )
+            inv += math.floor(1e9 / (ni - 1))
+        t = (
+            (n - k) * math.log(ssw_m / 1000 / (n - k)) - lnt / 1e6
+        ) / (1 + (inv / 1e9 - 1 / (n - k)) / (3 * (k - 1)))
+        assert (r["n_groups"], r["n_values"]) == (2, 6)
+        assert r["bartlett_t"] == round(t + 0.0, 6)
+
+    def test_bartlett_drops_zero_variance_group(self, spark, tmp_path):
+        # constant group would ln(0) (DuckDB -inf vs Spark NULL):
+        # the variance guard excludes it from k on both engines
+        rows = [
+            (i, "2024-01-01 00:00:%02d" % i, 1, t, v, None)
+            for i, (t, v) in enumerate(
+                [("A", 2.0), ("A", 2.0), ("B", 1.0), ("B", 5.0),
+                 ("C", 1.0), ("C", 9.0)]
+            )
+        ]
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "bartlett_test_value_by_type")[0]
+        assert r["n_groups"] == 2 and r["n_values"] == 4
+
+    def test_distribution_distance_hand_computed(self, spark, tmp_path):
+        import math
+
+        rows = [
+            (0, "2024-01-01 00:00:00", 2, "A", 1.0, None),
+            (1, "2024-01-01 00:00:01", 2, "A", 1.0, None),
+            (2, "2024-01-01 00:00:02", 2, "A", 2.0, None),
+            (3, "2024-01-01 00:00:03", 3, "A", 2.0, None),
+            (4, "2024-01-01 00:00:04", 3, "A", 3.0, None),
+        ]
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "distribution_distance_arms")[0]
+        assert (r["n0"], r["n1"]) == (3, 2)
+        assert r["tv_distance"] == round(8.0 / 12.0, 6)
+        assert r["bhattacharyya"] == round(1.0 / math.sqrt(6.0), 6)
+
+    def test_lifespan_octiles_exact_ranks(self, spark, tmp_path):
+        # 9 users with spans 0..8 sec: octile k lands on exact rank k
+        rows = []
+        eid = 0
+        for uidx in range(9):
+            rows.append(
+                (eid, "2024-01-01 00:00:00", uidx, "A", None, None)
+            )
+            eid += 1
+            rows.append(
+                (eid, "2024-01-01 00:00:%02d" % uidx, uidx, "A",
+                 None, None)
+            )
+            eid += 1
+        _write_events(tmp_path, rows)
+        rs = {r["octile"]: r["span_sec"]
+              for r in _run(spark, tmp_path, "subject_lifespan_octiles")}
+        assert rs == {k: float(k) for k in range(1, 8)}
+
+    def test_zero_inflation_hand_computed(self, spark, tmp_path):
+        import math
+
+        _bucket_counts_events(tmp_path, [1, 0, 0, 2])
+        r = _run(spark, tmp_path, "zero_inflation_score_6h")[0]
+        assert (r["n_buckets"], r["n_zero"]) == (4, 2)
+        assert r["p0_hat"] == 0.5
+        assert r["p0_poisson"] == round(math.exp(-0.75), 6)
+        assert r["excess_zero"] == round(0.5 - math.exp(-0.75), 6)
+
+    def test_honore_hand_computed(self, spark, tmp_path):
+        import math
+
+        _write_documents(tmp_path, [(0, "a b b c c c c", "en", "s")])
+        r = _run(spark, tmp_path, "doc_honore_statistic_by_lang")[0]
+        assert (r["n_tokens"], r["n_types"], r["n_hapax"]) == (7, 3, 1)
+        assert r["hapax_share"] == round(1.0 / 3.0, 6)
+        assert r["honore_r"] == round(100 * math.log(7) * 3 / 2, 6)
+
+    def test_honore_all_hapax_is_null(self, spark, tmp_path):
+        _write_documents(tmp_path, [(0, "a b c", "en", "s")])
+        r = _run(spark, tmp_path, "doc_honore_statistic_by_lang")[0]
+        assert r["honore_r"] is None
+
+    def test_ks_separation_perfect_split(self, spark, tmp_path):
+        # type A: pos user 3, neg user 1 -> scores differ, KS = 1
+        rows = [
+            (0, "2024-01-01 00:00:00", 3, "A", None, None),
+            (1, "2024-01-01 00:00:01", 1, "A", None, None),
+        ]
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "eval_ks_score_separation")[0]
+        assert (r["n_pos"], r["n_neg"]) == (1, 1)
+        assert r["ks_stat"] == 1.0
+
+    def test_tau_int_alternating_series(self, spark, tmp_path):
+        # [1,2,1,2]: rho = (-0.75, 0.5, -0.25) at lags 1..3 ->
+        # tau = 1 + 2*(-0.5) = 0.0
+        _bucket_counts_events(tmp_path, [1, 2, 1, 2],
+                              bucket_seconds=3600)
+        r = _run(spark, tmp_path,
+                 "integrated_autocorrelation_time_hourly")[0]
+        assert r["n_hours"] == 4
+        assert r["rho1"] == -0.75
+        assert r["tau_int"] == 0.0
+
+
+class TestRound10PlanShapesD:
+    SF = "/root/testdata/sf0.001"
+
+    def _plan(self, name, spark):
+        from eventstreamml_spark import queries as qq
+
+        return (
+            qq.queries()[name](spark, self.SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    def test_bartlett_single_group_pass(self, spark):
+        plan = self._plan("bartlett_test_value_by_type", spark)
+        assert "CartesianProduct" not in plan
+
+    def test_distance_histogram_substrate(self, spark):
+        plan = self._plan("distribution_distance_arms", spark)
+        assert "CartesianProduct" not in plan
+
+    def test_ks_keyed_windows_only(self, spark):
+        # partitioned windows over the score histogram: no global sort
+        # of raw rows, no cartesian
+        plan = self._plan("eval_ks_score_separation", spark)
+        assert "CartesianProduct" not in plan
+
+    def test_tau_lag_join_is_hash(self, spark):
+        # the 24-lag expansion joins grid-to-grid on h+k equi-keys
+        plan = self._plan("integrated_autocorrelation_time_hourly",
+                          spark)
+        assert "CartesianProduct" not in plan
