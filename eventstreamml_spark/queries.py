@@ -34,75 +34,73 @@ def register(name: str, oracle: str | None):
 
 # The driver's correctness pass covers only the FIRST 50 registry entries
 # per round, so emission order is decoupled from registration order and
-# rotates each round. Round-9 window (set this round): the 33 round-8
-# post-rotation backlog names (ljung_box_hourly_whiteness ... the five
-# synthetic-partsupp TPC-H queries, i.e. every registration after
-# image_phash_dct at round-8 close) + ALL 17 round-9 additions in
-# registration order — exactly 50 names, 0 slots spare. After this
-# window runs green, EVERY name registered at rotation time has a green
-# driver row. Round 9 then added 19 more operators AFTER the rotation
-# (nelson_aalen_cumhaz_arms ... interpurchase_cv2, i.e. every
-# registration after graph_modularity_label_communities) — those 19 are
-# the ROUND-10 BACKLOG: round 10's window = those 19 + up to 31 of its
-# own additions (cap additions at 31). All 50 window names are green in
-# the committed sf0.1 sweep (PARITY_SF01.json) and the driver-protocol
-# sim at sf0.01; the 8 backlog names are green in per-query protocol
-# checks at sf0.01 AND sf0.1 plus unit fixtures (same for the 19
-# backlog names).
+# rotates each round. Round-10 window (set this round, runs at round-10
+# end): the 19 round-9 post-rotation backlog names
+# (nelson_aalen_cumhaz_arms ... interpurchase_cv2) + ALL 31 round-10
+# additions in registration order (batches A-D,
+# cramer_von_mises_value_arms ... integrated_autocorrelation_time_hourly)
+# — exactly 50 names, 0 slots spare, and round 10 added NOTHING after
+# this rotation, so the ROUND-11 BACKLOG IS EMPTY: once CORRECTNESS_r10
+# is green, every oracle-checked registry name ever registered has a
+# green driver row, and round 11's window is free for its own <= 50
+# additions. All 50 window names are green in the committed sf0.1 sweep
+# (PARITY_SF01.json, regenerated in this same commit) and the
+# vanilla-session driver-protocol sim at sf0.01, each with
+# hand-computed/replica unit fixtures.
 # The 3 rows-only names (approx_distinct_users_by_type,
 # dedup_simhash_pairs, ann_ivf_topk) can never go green (err:
 # no_oracle) and stay OUT of every window.
 _ORDER_FIRST: list[str] = [
-    "ljung_box_hourly_whiteness",
-    "pacf_hourly_durbin_levinson",
-    "changepoint_binary_segmentation",
-    "hurst_rs_exponent",
-    "theta_method_daily_forecast",
-    "eval_log_loss_by_type",
-    "eval_isotonic_calibration",
-    "jackknife_ratio_variance",
-    "runs_test_hourly_randomness",
-    "grubbs_statistic_by_type",
-    "graph_adamic_adar_topk",
-    "graph_degree_powerlaw_alpha",
-    "graph_label_propagation_sizes",
-    "graph_hits_bipartite",
-    "embedding_jl_distortion",
-    "embedding_matryoshka_prefix_quality",
-    "kmeans_elbow_inertia",
-    "ann_lsh_recall_at_k",
-    "extreme_value_gumbel_fit",
-    "markov_entropy_rate",
-    "lognormal_fit_ks_by_type",
-    "huber_location_by_type",
-    "bandit_egreedy_daily_replay",
-    "process_transition_wait_stats",
-    "negative_binomial_fit_by_type",
-    "hill_tail_index_orders",
-    "doc_char_class_profile",
-    "privacy_randomized_response_estimate",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q20_excess_stock_suppliers",
-    "mood_median_test_by_type",
-    "turning_points_test_hourly",
-    "durbin_watson_hourly_counts",
-    "hhi_concentration_by_lang",
-    "friedman_test_hour_blocks",
-    "kpss_level_stat_6h",
-    "permutation_entropy_6h",
-    "ewma_control_chart_6h",
-    "log_rank_test_arms",
-    "eval_spiegelhalter_z",
-    "doc_sttr_chunked_by_lang",
-    "vocab_chao1_richness_by_lang",
-    "mantel_haenszel_or_by_segment",
-    "stickiness_weekly_dau_wau",
-    "shipping_delay_percentiles_by_flag",
-    "abc_classification_parts",
-    "graph_modularity_label_communities",
+    "nelson_aalen_cumhaz_arms",
+    "partition_agreement_ari_fm",
+    "cliffs_delta_value_arms",
+    "robust_quartile_moments_by_type",
+    "page_trend_test_hour_blocks",
+    "sign_test_halves_by_type",
+    "dixon_q_by_type",
+    "corpus_token_gini_by_lang",
+    "eval_auc_delong_se",
+    "seasonal_decomposition_hourly",
+    "dominant_period_hourly",
+    "gamma_fit_time_to_purchase",
+    "markov_stationary_power_iteration",
+    "doc_word_burstiness_top_terms",
+    "value_qq_octiles_arms",
+    "weekday_weekend_lift_by_type",
+    "recurrence_quantification_6h",
+    "orders_monthly_revenue_trend",
+    "interpurchase_cv2",
+    "cramer_von_mises_value_arms",
+    "mood_scale_rank_test_arms",
+    "jonckheere_terpstra_hour_trend",
+    "cochran_q_daily_types",
+    "bowker_symmetry_transitions",
+    "pettitt_changepoint_hourly",
+    "theil_u_type_segment",
+    "haar_wavelet_energy_hourly",
+    "ar2_yule_walker_hourly",
+    "partial_correlation_hourly_types",
+    "granger_lag1_clicks_to_purchases",
+    "orders_daily_revenue_drawdown",
+    "revenue_lorenz_curve_deciles",
+    "simpson_diversity_by_lang",
+    "doc_yule_k_by_lang",
+    "kl_divergence_weekly_type_mix",
+    "weibull_fit_interpurchase",
+    "eval_hosmer_lemeshow_deciles",
+    "ab_delta_method_ratio_se",
+    "dedup_edit_distance_verify",
+    "embedding_hubness_k_occurrence",
+    "graph_bfs_hops_from_hub",
+    "price_quantity_elasticity_by_brand",
+    "eval_reliability_slope_intercept",
+    "bartlett_test_value_by_type",
+    "distribution_distance_arms",
+    "subject_lifespan_octiles",
+    "zero_inflation_score_6h",
+    "doc_honore_statistic_by_lang",
+    "eval_ks_score_separation",
+    "integrated_autocorrelation_time_hourly",
 ]
 
 
