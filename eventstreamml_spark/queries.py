@@ -25393,7 +25393,7 @@ def q_dedup_edit_distance_verify(
     """
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v
-      FROM embeddings WHERE vec_id < 1000
+      FROM embeddings WHERE vec_id < 512
     ),
     en AS (
       SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
@@ -25429,7 +25429,7 @@ def q_embedding_hubness_k_occurrence(
     """Hubness audit of the embedding space: how often each vector
     appears in other vectors' cosine top-5 (k-occurrence), as a
     histogram — heavy right tails mean hub points that poison kNN
-    retrieval. Brute-force over a deterministic 1000-vector cap (the
+    retrieval. Brute-force over a deterministic 512-vector cap (the
     sample-capped audit pattern: at corpus scale the candidate
     generation would ride the LSH buckets, the occurrence-count logic
     is unchanged); dot products are the sequential-fold twin, ranking
@@ -25440,7 +25440,7 @@ def q_embedding_hubness_k_occurrence(
         F.lit(0.0),
         lambda acc, z: acc + z,
     )
-    e = emb.where(F.col("vec_id") < 1000).select(
+    e = emb.where(F.col("vec_id") < 512).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     en = e.select(
