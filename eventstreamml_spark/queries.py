@@ -23538,10 +23538,10 @@ def q_interpurchase_cv2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     terms AS (
       SELECT
-        CAST(sum(3 * c1 * a1 * a1 - 6 * a1 * c1 * (c1 - 1)
-                 + 2 * c1 * (c1 - 1) * (2 * c1 - 1)) AS BIGINT) AS u1,
-        CAST(sum(3 * c0 * a0 * a0 - 6 * a0 * c0 * (c0 - 1)
-                 + 2 * c0 * (c0 - 1) * (2 * c0 - 1)) AS BIGINT) AS u0,
+        sum(3::HUGEINT * c1 * a1 * a1 - 6::HUGEINT * a1 * c1 * (c1 - 1)
+            + 2::HUGEINT * c1 * (c1 - 1) * (2 * c1 - 1)) AS u1,
+        sum(3::HUGEINT * c0 * a0 * a0 - 6::HUGEINT * a0 * c0 * (c0 - 1)
+            + 2::HUGEINT * c0 * (c0 - 1) * (2 * c0 - 1)) AS u0,
         CAST(sum(c1) AS BIGINT) AS n1,
         CAST(sum(c0) AS BIGINT) AS n0
       FROM (
@@ -23569,8 +23569,10 @@ def q_cramer_von_mises_value_arms(
     m*sum((s_j-j)^2); per tie group the within-arm position sum of
     (R - 2i)^2 has the closed arithmetic-series form 3*c*a^2 -
     6*a*c*(c-1) + 2*c*(c-1)*(2c-1) over doubled midranks, so 12U is an
-    exact BIGINT (max ~4e15 at sf0.1) built from one window over the
-    |distinct milli-values| histogram — raw rows are touched once."""
+    exact int128 (DECIMAL(38,0) / HUGEINT — the O(N^3) term magnitude
+    outgrows BIGINT past ~1.8M values, int128 holds to ~3e12) built
+    from one window over the |distinct milli-values| histogram — raw
+    rows are touched once."""
     ev = _events(spark, sf_dir)
     v = ev.where(F.col("value").isNotNull()).selectExpr(
         "user_id % 2 AS arm", "CAST(floor(value * 1000) AS BIGINT) AS vm"
@@ -23603,10 +23605,14 @@ def q_cramer_von_mises_value_arms(
         "(2 * cb + c1 + c0 + 1) - 2 * cb1 - 2 AS a1",
         "(2 * cb + c1 + c0 + 1) - 2 * cb0 - 2 AS a0",
     ).selectExpr(
-        "CAST(sum(3 * c1 * a1 * a1 - 6 * a1 * c1 * (c1 - 1)"
-        " + 2 * c1 * (c1 - 1) * (2 * c1 - 1)) AS BIGINT) AS u1",
-        "CAST(sum(3 * c0 * a0 * a0 - 6 * a0 * c0 * (c0 - 1)"
-        " + 2 * c0 * (c0 - 1) * (2 * c0 - 1)) AS BIGINT) AS u0",
+        "sum(CAST(3 AS DECIMAL(38,0)) * c1 * a1 * a1"
+        " - CAST(6 AS DECIMAL(38,0)) * a1 * c1 * (c1 - 1)"
+        " + CAST(2 AS DECIMAL(38,0)) * c1 * (c1 - 1) * (2 * c1 - 1))"
+        " AS u1",
+        "sum(CAST(3 AS DECIMAL(38,0)) * c0 * a0 * a0"
+        " - CAST(6 AS DECIMAL(38,0)) * a0 * c0 * (c0 - 1)"
+        " + CAST(2 AS DECIMAL(38,0)) * c0 * (c0 - 1) * (2 * c0 - 1))"
+        " AS u0",
         "CAST(sum(c1) AS BIGINT) AS n1",
         "CAST(sum(c0) AS BIGINT) AS n0",
     )
@@ -23646,8 +23652,8 @@ def q_cramer_von_mises_value_arms(
     ),
     terms AS (
       SELECT
-        CAST(sum(c1 * dev * dev) AS BIGINT) AS t4,
-        CAST(sum((c1 + c0) * dev * dev) AS BIGINT) AS a1,
+        sum(c1::HUGEINT * dev * dev) AS t4w,
+        sum((c1 + c0)::HUGEINT * dev * dev) AS a1,
         CAST(sum(c1) AS BIGINT) AS n1,
         CAST(sum(c0) AS BIGINT) AS n0
       FROM (
@@ -23656,9 +23662,9 @@ def q_cramer_von_mises_value_arms(
         FROM cum
       )
     )
-    SELECT n0, n1, t4 AS mood_stat_x4,
-           round(CAST(t4 AS DOUBLE) / nullif(a1, 0) * (n0 + n1)
-                 / nullif(n1, 0), 6) AS dispersion_ratio
+    SELECT n0, n1, CAST(t4w AS BIGINT) AS mood_stat_x4,
+           round(CAST(t4w AS DOUBLE) / nullif(CAST(a1 AS DOUBLE), 0)
+                 * (n0 + n1) / nullif(n1, 0), 6) AS dispersion_ratio
     FROM terms
     """,
 )
@@ -23668,8 +23674,11 @@ def q_mood_scale_rank_test_arms(
     """Mood's squared-rank scale test between the user-parity arms:
     does arm 1's value distribution have different SPREAD around the
     common median? The statistic sum((r_i - (N+1)/2)^2) over arm 1
-    with doubled midranks is the exact BIGINT sum(c1 * (R - N - 1)^2)
-    / 4; the dispersion ratio normalizes by the all-rank average so 1
+    with doubled midranks is the exact int128 sum(c1 * (R - N - 1)^2)
+    / 4 (N^3-magnitude: widened past BIGINT like the CvM sums; the
+    reported x4 statistic still casts to BIGINT, bounded ~1.3e6
+    values); the dispersion ratio normalizes by the all-rank average
+    so 1
     = same scale under H0. Rides the same |distinct milli-values|
     histogram substrate as the CvM query — no second scan, no
     row-level window."""
@@ -23702,17 +23711,17 @@ def q_mood_scale_rank_test_arms(
     terms = cum.selectExpr(
         "c1", "c0", "(2 * cb + c1 + c0 + 1) - nt - 1 AS dev"
     ).selectExpr(
-        "CAST(sum(c1 * dev * dev) AS BIGINT) AS t4",
-        "CAST(sum((c1 + c0) * dev * dev) AS BIGINT) AS a1",
+        "sum(CAST(c1 AS DECIMAL(38,0)) * dev * dev) AS t4w",
+        "sum(CAST(c1 + c0 AS DECIMAL(38,0)) * dev * dev) AS a1",
         "CAST(sum(c1) AS BIGINT) AS n1",
         "CAST(sum(c0) AS BIGINT) AS n0",
     )
     return terms.selectExpr(
         "n0",
         "n1",
-        "t4 AS mood_stat_x4",
-        "round(CAST(t4 AS DOUBLE) / nullif(a1, 0) * (n0 + n1)"
-        " / nullif(n1, 0), 6) AS dispersion_ratio",
+        "CAST(t4w AS BIGINT) AS mood_stat_x4",
+        "round(CAST(t4w AS DOUBLE) / nullif(CAST(a1 AS DOUBLE), 0)"
+        " * (n0 + n1) / nullif(n1, 0), 6) AS dispersion_ratio",
     )
 
 
@@ -25074,14 +25083,15 @@ def q_kl_divergence_weekly_type_mix(
       SELECT CAST(min(n) AS BIGINT) AS n,
              CAST(sum(cnt * xi) AS BIGINT) AS sx,
              CAST(sum(cnt * yi) AS BIGINT) AS sy,
-             CAST(sum(cnt * xi * xi) AS BIGINT) AS sxx,
-             CAST(sum(cnt * xi * yi) AS BIGINT) AS sxy
+             sum(cnt::HUGEINT * xi * xi) AS sxx,
+             sum(cnt::HUGEINT * xi * yi) AS sxy
       FROM q
     ),
     b AS (
       SELECT n, sx, sy,
-             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-               / nullif(CAST(n AS DOUBLE) * sxx
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * sy)
+               / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                         - CAST(sx AS DOUBLE) * sx, 0) AS slope
       FROM m
     )
@@ -25102,7 +25112,9 @@ def q_weibull_fit_interpurchase(
     midranks keep F's numerator integer; tied gaps share one plotting
     position). Both regression coordinates floor-quantize to integer
     micro-units per distinct gap, so the weighted OLS moments are
-    exact BIGINTs; shape = slope directly (the 1e6 scales cancel),
+    exact integers (the squared-microlog sums ride int128 — they
+    outgrow BIGINT past ~40k gaps); shape = slope directly (the 1e6
+    scales cancel),
     scale = exp(-intercept/slope). The shape<1/>1 verdict (bursty vs
     aging repurchase) complements gamma_fit/interpurchase_cv2."""
     ev = _events(spark, sf_dir)
@@ -25144,14 +25156,15 @@ def q_weibull_fit_interpurchase(
         "CAST(min(n) AS BIGINT) AS n",
         "CAST(sum(cnt * xi) AS BIGINT) AS sx",
         "CAST(sum(cnt * yi) AS BIGINT) AS sy",
-        "CAST(sum(cnt * xi * xi) AS BIGINT) AS sxx",
-        "CAST(sum(cnt * xi * yi) AS BIGINT) AS sxy",
+        "sum(CAST(cnt AS DECIMAL(38,0)) * xi * xi) AS sxx",
+        "sum(CAST(cnt AS DECIMAL(38,0)) * xi * yi) AS sxy",
     ).selectExpr(
         "n",
         "sx",
         "sy",
-        "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
-        " / nullif(CAST(n AS DOUBLE) * sxx"
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * sy)"
+        " / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
         " - CAST(sx AS DOUBLE) * sx, 0) AS slope",
     )
     return m.selectExpr(
@@ -25588,8 +25601,9 @@ def q_graph_bfs_hops_from_hub(
       FROM j GROUP BY 1
     )
     SELECT p_brand, n AS n_lineitems,
-           round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / nullif(n * sxx - sx * sx, 0), 6) + 0.0
+           round(CAST(n::HUGEINT * sxy - sx::HUGEINT * sy AS DOUBLE)
+                 / nullif(CAST(n::HUGEINT * sxx - sx::HUGEINT * sx
+                               AS DOUBLE), 0), 6) + 0.0
              AS elasticity
     FROM m
     """,
@@ -25629,8 +25643,11 @@ def q_price_quantity_elasticity_by_brand(
     return m.selectExpr(
         "p_brand",
         "n AS n_lineitems",
-        "round(CAST(n * sxy - sx * sy AS DOUBLE)"
-        " / nullif(n * sxx - sx * sx, 0), 6) + 0.0 AS elasticity",
+        "round(CAST(CAST(n AS DECIMAL(38,0)) * sxy"
+        " - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)"
+        " / nullif(CAST(CAST(n AS DECIMAL(38,0)) * sxx"
+        " - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE), 0), 6)"
+        " + 0.0 AS elasticity",
     )
 
 
@@ -25725,14 +25742,17 @@ def q_eval_reliability_slope_intercept(
              CAST(sum(vm * vm) AS BIGINT) AS qi
       FROM v GROUP BY 1
       HAVING count(*) >= 2
-         AND count(*) * sum(vm * vm) > sum(vm) * sum(vm)
+         AND count(*)::HUGEINT * sum(vm * vm)
+             > sum(vm)::HUGEINT * sum(vm)
     ),
     t AS (
       SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ni) AS BIGINT) AS n,
-             CAST(sum(CAST(floor(CAST(ni * qi - si * si AS DOUBLE)
+             CAST(sum(CAST(floor(
+               CAST(ni::HUGEINT * qi - si::HUGEINT * si AS DOUBLE)
                / ni * 1000.0) AS BIGINT)) AS BIGINT) AS ssw_milli,
              CAST(sum(CAST(floor((ni - 1) * ln(
-               CAST(ni * qi - si * si AS DOUBLE) / (ni * (ni - 1))
+               CAST(ni::HUGEINT * qi - si::HUGEINT * si AS DOUBLE)
+               / (ni * (ni - 1))
              ) * 1000000.0) AS BIGINT)) AS BIGINT) AS lnterm_micro,
              CAST(sum(CAST(floor(1000000000.0 / (ni - 1)) AS BIGINT))
                AS BIGINT) AS inv_nano
@@ -25773,17 +25793,24 @@ def q_bartlett_test_value_by_type(
         .where(
             (F.col("ni") >= 2)
             # zero-variance groups would ln(0): drop them from k on
-            # both engines (DuckDB -inf vs Spark NULL otherwise)
-            & (F.col("ni") * F.col("qi") > F.col("si") * F.col("si"))
+            # both engines (DuckDB -inf vs Spark NULL otherwise);
+            # int128-widened so ni*qi never overflows at corpus scale
+            & (
+                F.col("ni").cast("decimal(38,0)") * F.col("qi")
+                > F.col("si").cast("decimal(38,0)") * F.col("si")
+            )
         )
     )
     t = g.selectExpr(
         "CAST(count(*) AS BIGINT) AS k",
         "CAST(sum(ni) AS BIGINT) AS n",
-        "CAST(sum(CAST(floor(CAST(ni * qi - si * si AS DOUBLE)"
+        "CAST(sum(CAST(floor(CAST(CAST(ni AS DECIMAL(38,0)) * qi"
+        " - CAST(si AS DECIMAL(38,0)) * si AS DOUBLE)"
         " / ni * 1000.0) AS BIGINT)) AS BIGINT) AS ssw_milli",
         "CAST(sum(CAST(floor((ni - 1) * ln("
-        "CAST(ni * qi - si * si AS DOUBLE) / (ni * (ni - 1))"
+        "CAST(CAST(ni AS DECIMAL(38,0)) * qi"
+        " - CAST(si AS DECIMAL(38,0)) * si AS DOUBLE)"
+        " / (ni * (ni - 1))"
         ") * 1000000.0) AS BIGINT)) AS BIGINT) AS lnterm_micro",
         "CAST(sum(CAST(floor(1000000000.0 / (ni - 1)) AS BIGINT))"
         " AS BIGINT) AS inv_nano",

@@ -876,3 +876,40 @@ class TestRound10PlanShapesD:
         plan = self._plan("integrated_autocorrelation_time_hourly",
                           spark)
         assert "CartesianProduct" not in plan
+
+
+class TestInt128Widening:
+    """The N^3-magnitude rank sums (CvM, Mood) and squared-microlog
+    moments (Weibull, Bartlett, elasticity) ride int128 intermediates
+    (Spark DECIMAL(38,0) / DuckDB HUGEINT): at corpus scale the per-row
+    products exceed BIGINT (~1.8M values for 3*c*a^2) and ANSI Spark
+    would throw. This pins the widened arithmetic agreeing exactly
+    across engines BEYOND the int64 range."""
+
+    def test_cvm_term_formula_beyond_int64(self, spark):
+        import duckdb
+
+        c, a = 2_000_000, 3_999_999  # 3*c*a^2 ~ 9.6e19 > 2^63
+        expr = (
+            "CAST(3 AS DECIMAL(38,0)) * {c} * {a} * {a}"
+            " - CAST(6 AS DECIMAL(38,0)) * {a} * {c} * ({c} - 1)"
+            " + CAST(2 AS DECIMAL(38,0)) * {c} * ({c} - 1)"
+            " * (2 * {c} - 1)"
+        ).format(c=c, a=a)
+        got_spark = spark.range(1).selectExpr(
+            f"CAST({expr} AS STRING) AS v"
+        ).collect()[0]["v"]
+        dexpr = (
+            "3::HUGEINT * {c} * {a} * {a}"
+            " - 6::HUGEINT * {a} * {c} * ({c} - 1)"
+            " + 2::HUGEINT * {c} * ({c} - 1) * (2 * {c} - 1)"
+        ).format(c=c, a=a)
+        got_duck = duckdb.sql(
+            f"SELECT CAST({dexpr} AS VARCHAR) AS v"
+        ).fetchone()[0]
+        expect = 3 * c * a * a - 6 * a * c * (c - 1) + 2 * c * (c - 1) * (
+            2 * c - 1
+        )
+        assert int(got_spark) == expect
+        assert int(got_duck) == expect
+        assert expect > 2**63  # the case BIGINT could not hold
