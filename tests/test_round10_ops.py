@@ -913,3 +913,120 @@ class TestInt128Widening:
         assert int(got_spark) == expect
         assert int(got_duck) == expect
         assert expect > 2**63  # the case BIGINT could not hold
+
+
+class TestRound10EdgeCases:
+    def test_lorenz_tied_revenue_deterministic_split(self, spark, tmp_path):
+        # two customers with identical totals: the (rev, custkey)
+        # ntile order is fully deterministic on both engines
+        from tests.test_round8b_ops import _write_orders
+
+        orders = [
+            (1, 1, "O", 100.0, "1995-01-01", "1-URGENT"),
+            (2, 2, "O", 100.0, "1995-01-02", "1-URGENT"),
+            (3, 3, "O", 300.0, "1995-01-03", "1-URGENT"),
+        ]
+        _write_orders(tmp_path, orders)
+        rs = {r["decile"]: r for r in
+              _run(spark, tmp_path, "revenue_lorenz_curve_deciles")}
+        assert rs[1]["rev_cents"] == 10000
+        assert rs[2]["rev_cents"] == 10000
+        assert rs[3]["rev_cents"] == 30000
+        assert rs[3]["cum_share"] == 1.0
+
+    def test_bowker_no_transitions_empty(self, spark, tmp_path):
+        # one event per user -> no transitions -> empty relation on
+        # both engines (the driver records 0 rows, hash of nothing)
+        rows = [
+            (0, "2024-01-01 00:00:00", 1, "A", None, None),
+            (1, "2024-01-01 00:00:01", 2, "B", None, None),
+        ]
+        _write_events(tmp_path, rows)
+        assert _run(spark, tmp_path, "bowker_symmetry_transitions") == []
+
+
+class TestCvmScaleSmoke:
+    def test_cvm_3m_rows_beyond_bigint_terms(self, spark):
+        """30x-bench-volume smoke for the int128 widening: at 3M
+        values the tripled rank sums reach ~1e19-1e20 (> 2^63), which
+        the pre-widening BIGINT arithmetic could not represent (ANSI
+        Spark would throw). The synthetic frame has 1000 distinct
+        milli-values, so an exact python-bignum replica runs over the
+        tiny histogram while Spark aggregates the full 3M rows."""
+        import math
+
+        n = 3_000_000
+        v = spark.range(n).selectExpr(
+            "CAST(id % 2 AS BIGINT) AS arm",
+            # skewed multimodal values: 1000 distinct levels
+            "CAST((id * id) % 1000 AS BIGINT) AS vm",
+        )
+        from pyspark.sql import Window as W, functions as F
+
+        hist = v.groupBy("vm").agg(
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("c1"),
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("c0"),
+        )
+        wb = W.orderBy("vm").rowsBetween(W.unboundedPreceding, -1)
+        cum = hist.select(
+            "vm",
+            "c1",
+            "c0",
+            F.coalesce(F.sum(F.col("c1") + F.col("c0")).over(wb), F.lit(0))
+            .cast("long")
+            .alias("cb"),
+            F.coalesce(F.sum("c1").over(wb), F.lit(0))
+            .cast("long")
+            .alias("cb1"),
+            F.coalesce(F.sum("c0").over(wb), F.lit(0))
+            .cast("long")
+            .alias("cb0"),
+        )
+        got = (
+            cum.selectExpr(
+                "c1",
+                "c0",
+                "(2 * cb + c1 + c0 + 1) - 2 * cb1 - 2 AS a1",
+                "(2 * cb + c1 + c0 + 1) - 2 * cb0 - 2 AS a0",
+            )
+            .selectExpr(
+                "CAST(sum(CAST(3 AS DECIMAL(38,0)) * c1 * a1 * a1"
+                " - CAST(6 AS DECIMAL(38,0)) * a1 * c1 * (c1 - 1)"
+                " + CAST(2 AS DECIMAL(38,0)) * c1 * (c1 - 1)"
+                " * (2 * c1 - 1)) AS STRING) AS u1"
+            )
+            .collect()[0]["u1"]
+        )
+        # exact bignum replica over the 1000-level histogram
+        from collections import defaultdict
+
+        h = defaultdict(lambda: [0, 0])
+        # (i*i) % 1000 has period 1000 in i; count per residue class
+        per = [0, 0]
+        counts = defaultdict(lambda: [0, 0])
+        for i in range(1000):
+            counts[(i * i) % 1000][i % 2] += 1
+        reps = n // 1000
+        hist_py = {
+            vm: (c[1] * reps, c[0] * reps) for vm, c in counts.items()
+        }  # (c1, c0) with arm = id%2: odd ids arm 1
+        cb = cb1 = 0
+        cb0 = 0
+        u1 = 0
+        for vm in sorted(hist_py):
+            c1, c0 = hist_py[vm]
+            a1 = (2 * cb + c1 + c0 + 1) - 2 * cb1 - 2
+            u1 += (
+                3 * c1 * a1 * a1
+                - 6 * a1 * c1 * (c1 - 1)
+                + 2 * c1 * (c1 - 1) * (2 * c1 - 1)
+            )
+            cb += c1 + c0
+            cb1 += c1
+            cb0 += c0
+        assert u1 > 2**63  # BIGINT could not have held this
+        assert int(got) == u1
