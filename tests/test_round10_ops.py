@@ -1030,3 +1030,47 @@ class TestCvmScaleSmoke:
             cb0 += c0
         assert u1 > 2**63  # BIGINT could not have held this
         assert int(got) == u1
+
+
+class TestRankInvariance:
+    """Rank statistics must be invariant under strictly increasing
+    value transforms that preserve the tie structure — a property the
+    oracles can't check (they see only one dataset). Values are exact
+    milli-representable so v -> 2v + 5 maps the milli-histogram
+    monotonically with identical ties."""
+
+    VALS = [("A", 1.0), ("A", 2.5), ("A", 2.5), ("B", 4.0),
+            ("B", 0.5), ("A", 7.0), ("B", 7.0), ("B", 3.5)]
+
+    def _write(self, tmp_path, transform):
+        rows = [
+            (i, "2024-01-01 0%d:00:%02d" % (i % 2 * 7, i), 1 + i, t,
+             transform(v), None)
+            for i, (t, v) in enumerate(self.VALS)
+        ]
+        _write_events(tmp_path, rows)
+
+    @pytest.mark.parametrize(
+        "name,cols",
+        [
+            ("cramer_von_mises_value_arms", ("cvm_t",)),
+            ("mood_scale_rank_test_arms",
+             ("mood_stat_x4", "dispersion_ratio")),
+            ("jonckheere_terpstra_hour_trend",
+             ("jt2", "e_jt2", "trend_ratio")),
+        ],
+    )
+    def test_invariant_under_monotone_transform(
+        self, spark, tmp_path, name, cols
+    ):
+        import os
+
+        base = os.path.join(str(tmp_path), "base")
+        tx = os.path.join(str(tmp_path), "tx")
+        os.makedirs(base), os.makedirs(tx)
+        self._write(base, lambda v: v)
+        self._write(tx, lambda v: 2.0 * v + 5.0)
+        r0 = _run(spark, base, name)[0]
+        r1 = _run(spark, tx, name)[0]
+        for c in cols:
+            assert r0[c] == r1[c], (name, c, r0[c], r1[c])
