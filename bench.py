@@ -73,11 +73,17 @@ def main() -> None:
     )
     prior: dict[str, float] = {}
     prior_cal: float | None = None
+    prior_pqc: dict[str, float] = {}
     try:
         with open(full_path) as f:
             _prior_full = json.load(f)
         prior = _prior_full.get("queries", {}) or {}
         prior_cal = _prior_full.get("calibration_sec") or None
+        # appended rows carry the calibration of the run that measured
+        # them — drift-normalize each against ITS OWN window, not the
+        # base run's (a row measured at 0.27 compared with base-0.16
+        # drift would need 1.7x real slowdown to trip the same bar)
+        prior_pqc = _prior_full.get("per_query_calibration_sec", {}) or {}
     except (OSError, ValueError):
         prior = {}
 
@@ -130,12 +136,13 @@ def main() -> None:
     # host drift (measured 0.198 -> 0.93s on the fixed workload within
     # one round) neither masks real regressions on a fast day nor
     # flags every query on a slow one.
-    drift = (
-        calibration / prior_cal if prior_cal and prior_cal > 0 else 1.0
-    )
     contended: dict[str, dict[str, float]] = {}
     for name, med in list(medians.items()):
         ref = prior.get(name)
+        ref_cal = prior_pqc.get(name) or prior_cal
+        drift = (
+            calibration / ref_cal if ref_cal and ref_cal > 0 else 1.0
+        )
         if ref and med > 3.0 * ref * drift and med > 1.0:
             rerun = [
                 _run_once(q.queries()[name])[0]
