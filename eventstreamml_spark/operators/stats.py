@@ -1893,7 +1893,10 @@ def wilcoxon_signed_rank(
     take midranks, carried as 2×avg-rank = min_rank + max_rank of the
     tie run so the statistic stays integral. Emits the integer
     diagnostics (w2_plus = 2·W⁺, num4 = 4(W⁺−μ), var48 = 48σ²) plus
-    the continuity-free normal z. Shape: one rank window over the
+    the continuity-free normal z. The N³-magnitude terms (Σ(t³−t) and
+    2n(n+1)(2n+1)) ride int128 intermediates — BIGINT would throw past
+    ~1.3M pairs under ANSI — and var48 is emitted as DOUBLE (exact
+    cast) so no output column re-narrows. Shape: one rank window over the
     non-zero pairs plus a tie-group aggregate — a single exchange on
     a per-key relation that is already small (one row per subject)."""
     from pyspark.sql import Window as W
@@ -1914,8 +1917,10 @@ def wilcoxon_signed_rank(
         .agg(F.count(F.lit(1)).cast("long").alias("_t"))
         .agg(
             F.sum(
-                F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
-            ).cast("long").alias("tie3")
+                F.col("_t").cast("decimal(38,0)") * F.col("_t")
+                * F.col("_t")
+                - F.col("_t")
+            ).cast("decimal(38,0)").alias("tie3")
         )
     )
     agg = rk.agg(
@@ -1927,14 +1932,19 @@ def wilcoxon_signed_rank(
     j = agg.crossJoin(F.broadcast(tie))
     n = F.col("n_pairs")
     num4 = (2 * F.col("w2_plus") - n * (n + 1)).cast("long")
-    var48 = (2 * n * (n + 1) * (2 * n + 1) - F.col("tie3")).cast("long")
+    var48 = (
+        F.lit(2).cast("decimal(38,0)") * n * (n + 1) * (2 * n + 1)
+        - F.col("tie3")
+    )
     return j.select(
         "n_pairs",
         "w2_plus",
         num4.alias("num4"),
-        var48.alias("var48"),
+        var48.cast("double").alias("var48"),
         F.when(
             var48 > 0,
-            F.round((num4 / 4.0) / F.sqrt(var48 / 48.0), 6),
+            F.round(
+                (num4 / 4.0) / F.sqrt(var48.cast("double") / 48.0), 6
+            ),
         ).alias("z"),
     )

@@ -15634,7 +15634,7 @@ def q_mann_kendall_hourly_by_type(
       FROM rk
     ),
     tie AS (
-      SELECT CAST(coalesce(sum(t * t * t - t), 0) AS BIGINT) AS tie3
+      SELECT coalesce(sum(t::HUGEINT * t * t - t), 0) AS tie3
       FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM nz GROUP BY ad)
     ),
     agg AS (
@@ -15645,13 +15645,14 @@ def q_mann_kendall_hourly_by_type(
     )
     SELECT n_pairs, w2_plus,
            CAST(2 * w2_plus - n_pairs * (n_pairs + 1) AS BIGINT) AS num4,
-           CAST(2 * n_pairs * (n_pairs + 1) * (2 * n_pairs + 1)
-                - tie3 AS BIGINT) AS var48,
-           CASE WHEN 2 * n_pairs * (n_pairs + 1) * (2 * n_pairs + 1)
-                     - tie3 > 0
+           CAST(2::HUGEINT * n_pairs * (n_pairs + 1) * (2 * n_pairs + 1)
+                - tie3 AS DOUBLE) AS var48,
+           CASE WHEN 2::HUGEINT * n_pairs * (n_pairs + 1)
+                     * (2 * n_pairs + 1) - tie3 > 0
                 THEN round(((2 * w2_plus - n_pairs * (n_pairs + 1)) / 4.0)
-                           / sqrt((2 * n_pairs * (n_pairs + 1)
-                                   * (2 * n_pairs + 1) - tie3) / 48.0), 6)
+                           / sqrt(CAST(2::HUGEINT * n_pairs
+                                   * (n_pairs + 1) * (2 * n_pairs + 1)
+                                   - tie3 AS DOUBLE) / 48.0), 6)
            END AS z
     FROM agg CROSS JOIN tie
     """,
@@ -15664,7 +15665,10 @@ def q_wilcoxon_signed_rank_halves(
     readout that needs no normality. Per-user differences are exact
     integer milli-unit digests (per-ROW floor, then integer sums), so
     ranks, midranks, and both numerators are engine-exact; z divides
-    once (operators/stats.py wilcoxon_signed_rank)."""
+    once (operators/stats.py wilcoxon_signed_rank). The N³-magnitude
+    variance terms ride int128 (HUGEINT / DECIMAL(38,0)) and var48 is
+    emitted as an exact DOUBLE cast — BIGINT arithmetic would throw
+    past ~1.3M non-zero pairs under ANSI."""
     from eventstreamml_spark.operators.stats import wilcoxon_signed_rank
 
     ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
@@ -23662,7 +23666,8 @@ def q_cramer_von_mises_value_arms(
         FROM cum
       )
     )
-    SELECT n0, n1, CAST(t4w AS BIGINT) AS mood_stat_x4,
+    SELECT n0, n1,
+           round(CAST(t4w AS DOUBLE) / nullif(n1, 0), 6) AS mood_msq_x4,
            round(CAST(t4w AS DOUBLE) / nullif(CAST(a1 AS DOUBLE), 0)
                  * (n0 + n1) / nullif(n1, 0), 6) AS dispersion_ratio
     FROM terms
@@ -23675,10 +23680,11 @@ def q_mood_scale_rank_test_arms(
     does arm 1's value distribution have different SPREAD around the
     common median? The statistic sum((r_i - (N+1)/2)^2) over arm 1
     with doubled midranks is the exact int128 sum(c1 * (R - N - 1)^2)
-    / 4 (N^3-magnitude: widened past BIGINT like the CvM sums; the
-    reported x4 statistic still casts to BIGINT, bounded ~1.3e6
-    values); the dispersion ratio normalizes by the all-rank average
-    so 1
+    / 4 (N^3-magnitude: widened past BIGINT like the CvM sums, and
+    never re-narrowed — outputs are the scale-free per-value mean
+    t4w/n1 and the dispersion ratio as doubles, so the query survives
+    a 100x scale-up where a BIGINT output cast would throw); the
+    dispersion ratio normalizes by the all-rank average so 1
     = same scale under H0. Rides the same |distinct milli-values|
     histogram substrate as the CvM query — no second scan, no
     row-level window."""
@@ -23719,7 +23725,7 @@ def q_mood_scale_rank_test_arms(
     return terms.selectExpr(
         "n0",
         "n1",
-        "CAST(t4w AS BIGINT) AS mood_stat_x4",
+        "round(CAST(t4w AS DOUBLE) / nullif(n1, 0), 6) AS mood_msq_x4",
         "round(CAST(t4w AS DOUBLE) / nullif(CAST(a1 AS DOUBLE), 0)"
         " * (n0 + n1) / nullif(n1, 0), 6) AS dispersion_ratio",
     )
@@ -25764,7 +25770,8 @@ def q_eval_reliability_slope_intercept(
                   - CAST(lnterm_micro AS DOUBLE) / 1000000.0)
                  / nullif(1.0 + (CAST(inv_nano AS DOUBLE) / 1000000000.0
                           - CAST(1 AS DOUBLE) / (n - k))
-                          / (3 * (k - 1)), 0), 6) + 0.0 AS bartlett_t
+                          / nullif(3 * (k - 1), 0), 0), 6) + 0.0
+             AS bartlett_t
     FROM t
     """,
 )
@@ -25823,7 +25830,7 @@ def q_bartlett_test_value_by_type(
         " - CAST(lnterm_micro AS DOUBLE) / 1000000.0)"
         " / nullif(1.0 + (CAST(inv_nano AS DOUBLE) / 1000000000.0"
         " - CAST(1 AS DOUBLE) / (n - k))"
-        " / (3 * (k - 1)), 0), 6) + 0.0 AS bartlett_t",
+        " / nullif(3 * (k - 1), 0), 0), 6) + 0.0 AS bartlett_t",
     )
 
 
@@ -26226,7 +26233,7 @@ def q_eval_ks_score_separation(
       GROUP BY 1
     ),
     q AS (
-      SELECT CAST(sum(CAST(floor(CAST(lk.ck AS DOUBLE) / c0.c0
+      SELECT CAST(sum(CAST(floor(CAST(lk.ck AS DOUBLE) / nullif(c0.c0, 0)
                * 1000000.0) AS BIGINT)) AS BIGINT) AS rho_micro
       FROM lk, c0
     )
@@ -26287,8 +26294,8 @@ def q_integrated_autocorrelation_time_hourly(
         "k",
         "ck",
         "c0",
-        "CAST(floor(CAST(ck AS DOUBLE) / c0 * 1000000.0) AS BIGINT)"
-        " AS rho_m",
+        "CAST(floor(CAST(ck AS DOUBLE) / nullif(c0, 0) * 1000000.0)"
+        " AS BIGINT) AS rho_m",
     )
     agg = q.agg(
         F.sum("rho_m").cast("long").alias("rho_micro"),

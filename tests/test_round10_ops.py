@@ -164,7 +164,8 @@ class TestBatchARankTests:
         ]
         _write_events(tmp_path, rows)
         r = _run(spark, tmp_path, "mood_scale_rank_test_arms")[0]
-        assert r["mood_stat_x4"] == 2
+        # t4w = 2 over n1 = 2 arm-1 values -> per-value mean 1.0
+        assert r["mood_msq_x4"] == 1.0
         assert r["dispersion_ratio"] == 0.2
 
     def test_jt_increasing_blocks(self, spark, tmp_path):
@@ -762,6 +763,22 @@ class TestBatchDDistancesAndSeparation:
         r = _run(spark, tmp_path, "bartlett_test_value_by_type")[0]
         assert r["n_groups"] == 2 and r["n_values"] == 4
 
+    def test_bartlett_single_surviving_group_null(self, spark, tmp_path):
+        # only B survives the ni>=2/nonzero-variance filter -> k=1 ->
+        # the 3*(k-1) correction denominator is 0: nullif on both
+        # engines yields NULL bartlett_t instead of an ANSI throw
+        rows = [
+            (i, "2024-01-01 00:00:%02d" % i, 1, t, v, None)
+            for i, (t, v) in enumerate(
+                [("A", 2.0), ("A", 2.0), ("B", 1.0), ("B", 5.0),
+                 ("C", 7.0)]
+            )
+        ]
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "bartlett_test_value_by_type")[0]
+        assert (r["n_groups"], r["n_values"]) == (1, 2)
+        assert r["bartlett_t"] is None
+
     def test_distribution_distance_hand_computed(self, spark, tmp_path):
         import math
 
@@ -842,6 +859,18 @@ class TestBatchDDistancesAndSeparation:
         assert r["n_hours"] == 4
         assert r["rho1"] == -0.75
         assert r["tau_int"] == 0.0
+
+    def test_tau_int_constant_series_null(self, spark, tmp_path):
+        # constant hourly counts -> all centered deviations d = 0 ->
+        # c0 = 0: the nullif(c0, 0) guard yields NULL rho1/tau_int on
+        # both engines instead of an ANSI DIVIDE_BY_ZERO throw
+        _bucket_counts_events(tmp_path, [3, 3, 3, 3],
+                              bucket_seconds=3600)
+        r = _run(spark, tmp_path,
+                 "integrated_autocorrelation_time_hourly")[0]
+        assert r["n_hours"] == 4
+        assert r["rho1"] is None
+        assert r["tau_int"] is None
 
 
 class TestRound10PlanShapesD:
@@ -1055,7 +1084,7 @@ class TestRankInvariance:
         [
             ("cramer_von_mises_value_arms", ("cvm_t",)),
             ("mood_scale_rank_test_arms",
-             ("mood_stat_x4", "dispersion_ratio")),
+             ("mood_msq_x4", "dispersion_ratio")),
             ("jonckheere_terpstra_hour_trend",
              ("jt2", "e_jt2", "trend_ratio")),
         ],
