@@ -51,9 +51,12 @@ def binary_auc(
         F.sum(F.when(F.col("_y") == 1, 1).otherwise(0)).cast("long").alias("n_pos"),
         F.sum(F.when(F.col("_y") == 0, 1).otherwise(0)).cast("long").alias("n_neg"),
     )
-    auc = (F.col("_rpos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0) / (
-        F.col("n_pos") * F.col("n_neg")
-    )
+    # n_pos stays left of the double literals so the products run in
+    # DOUBLE — a BIGINT n_pos*(n_pos+1) would throw past ~3e9 positives
+    auc = (
+        F.col("_rpos")
+        - F.col("n_pos").cast("double") * (F.col("n_pos") + 1) / 2.0
+    ) / (F.col("n_pos").cast("double") * F.col("n_neg"))
     return agg.select(
         *keys,
         "n_pos",

@@ -7640,7 +7640,8 @@ def _scored_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, n_pos, n_neg,
            CASE WHEN n_pos > 0 AND n_neg > 0 THEN
-             round((rpos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6)
+             round((rpos - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2.0)
+                   / (CAST(n_pos AS DOUBLE) * n_neg), 6)
            END AS auc
     FROM a
     """,
@@ -15378,12 +15379,12 @@ def q_dq_null_rate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            (SELECT n_hours FROM span) AS n_hours,
            CAST(sum(c) AS BIGINT) AS sum_c,
-           CAST(sum(c * c) AS BIGINT) AS sum_c2,
+           CAST(sum(c::HUGEINT * c) AS DOUBLE) AS sum_c2,
            CASE WHEN (SELECT n_hours FROM span) > 1 THEN
-             round(((SELECT n_hours FROM span) * CAST(sum(c * c) AS BIGINT)
-                    - CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT)) * 1.0
-                   / (((SELECT n_hours FROM span) - 1)
-                      * CAST(sum(c) AS BIGINT)), 6) END AS dispersion
+             round(((SELECT n_hours FROM span) * sum(c::HUGEINT * c)
+                    - sum(c)::HUGEINT * sum(c)) * 1.0
+                   / (((SELECT n_hours FROM span) - 1)::HUGEINT
+                      * sum(c)), 6) END AS dispersion
     FROM c GROUP BY event_type
     """,
 )
@@ -15408,22 +15409,27 @@ def q_event_rate_dispersion_by_type(
     span = c.agg((F.max("h") - F.min("h") + 1).cast("long").alias("n_hours"))
     agg = c.groupBy("event_type").agg(
         F.sum("c").cast("long").alias("sum_c"),
-        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_c2"),
+        F.sum(
+            F.col("c").cast("decimal(38,0)") * F.col("c")
+        ).alias("sum_c2"),
     )
     return agg.crossJoin(F.broadcast(span)).select(
         "event_type",
         "n_hours",
         "sum_c",
-        "sum_c2",
+        F.col("sum_c2").cast("double").alias("sum_c2"),
         F.when(
             F.col("n_hours") > 1,
             F.round(
                 (
                     F.col("n_hours") * F.col("sum_c2")
-                    - F.col("sum_c") * F.col("sum_c")
+                    - F.col("sum_c").cast("decimal(38,0)") * F.col("sum_c")
                 )
                 * 1.0
-                / ((F.col("n_hours") - 1) * F.col("sum_c")),
+                / (
+                    (F.col("n_hours") - 1).cast("decimal(38,0)")
+                    * F.col("sum_c")
+                ),
                 6,
             ),
         ).alias("dispersion"),
@@ -15703,13 +15709,16 @@ def q_wilcoxon_signed_rank_halves(
     )
     SELECT nn AS n_users, rr AS n_converters,
            CAST(nn * swr - rr * swn AS BIGINT) AS t_num,
-           CAST(rr * (nn - rr) * (nn * sw2n - swn * swn) AS BIGINT)
+           CAST(rr::HUGEINT * (nn - rr)
+                * (nn::HUGEINT * sw2n - swn::HUGEINT * swn) AS DOUBLE)
              AS var_num,
-           CASE WHEN rr > 0 AND rr < nn AND nn * sw2n - swn * swn > 0
+           CASE WHEN rr > 0 AND rr < nn
+                 AND nn::HUGEINT * sw2n - swn::HUGEINT * swn > 0
                 THEN round((nn * swr - rr * swn)
                            * sqrt(CAST(nn AS DOUBLE))
-                           / sqrt(CAST(rr * (nn - rr)
-                                       * (nn * sw2n - swn * swn)
+                           / sqrt(CAST(rr::HUGEINT * (nn - rr)
+                                       * (nn::HUGEINT * sw2n
+                                          - swn::HUGEINT * swn)
                                   AS DOUBLE)), 6)
            END AS z
     FROM g
@@ -15721,7 +15730,10 @@ def q_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     dose-response upgrade of the two-proportion z-test. Both the
     statistic and variance numerators are exact integers; the z is
     two sqrt calls and one division over integer-valued doubles, so
-    both engines agree bit-for-bit."""
+    both engines agree bit-for-bit. The variance numerator is
+    N^4-magnitude — rr(nn-rr)(nn*sw2n-swn^2) passes 2^63 at only
+    ~55k users — so it rides int128 (DECIMAL(38,0)/HUGEINT, safe to
+    ~1.8e9 users) and is emitted as an exact DOUBLE cast."""
     ev = _events(spark, sf_dir)
     u = ev.groupBy("user_id").agg(
         (F.max("user_id") % 3).alias("arm"),
@@ -15742,11 +15754,15 @@ def q_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_num = (F.col("nn") * F.col("swr") - F.col("rr") * F.col("swn")).cast(
         "long"
     )
+    inner = (
+        F.col("nn").cast("decimal(38,0)") * F.col("sw2n")
+        - F.col("swn").cast("decimal(38,0)") * F.col("swn")
+    )
     var_num = (
-        F.col("rr")
+        F.col("rr").cast("decimal(38,0)")
         * (F.col("nn") - F.col("rr"))
-        * (F.col("nn") * F.col("sw2n") - F.col("swn") * F.col("swn"))
-    ).cast("long")
+        * inner
+    )
     z = F.round(
         t_num
         * F.sqrt(F.col("nn").cast("double"))
@@ -15757,11 +15773,11 @@ def q_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nn").alias("n_users"),
         F.col("rr").alias("n_converters"),
         t_num.alias("t_num"),
-        var_num.alias("var_num"),
+        var_num.cast("double").alias("var_num"),
         F.when(
             (F.col("rr") > 0)
             & (F.col("rr") < F.col("nn"))
-            & (F.col("nn") * F.col("sw2n") - F.col("swn") * F.col("swn") > 0),
+            & (inner > 0),
             z,
         ).alias("z"),
     )
@@ -16901,14 +16917,15 @@ def q_events_resample_daily_ohlc(
     a AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(sum(x) AS BIGINT) AS sx,
-             CAST(sum(i * x) AS BIGINT) AS six
+             sum(i::HUGEINT * x) AS six
       FROM r
     )
     SELECT n AS n_users, sx AS n_events,
-           CAST(2 * six - (n + 1) * sx AS BIGINT) AS gini_num,
-           CAST(n * sx AS BIGINT) AS gini_den,
+           CAST(2 * six - (n + 1)::HUGEINT * sx AS DOUBLE) AS gini_num,
+           CAST(n::HUGEINT * sx AS DOUBLE) AS gini_den,
            CASE WHEN n > 0 AND sx > 0
-                THEN round((2 * six - (n + 1) * sx) * 1.0 / (n * sx), 6)
+                THEN round((2 * six - (n + 1)::HUGEINT * sx) * 1.0
+                           / (n::HUGEINT * sx), 6)
                   + 0.0
            END AS gini
     FROM a
@@ -16932,15 +16949,17 @@ def q_subject_count_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = r.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("sx"),
-        F.sum(F.col("i") * F.col("x")).cast("long").alias("six"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("x")).alias("six"),
     )
-    num = (2 * F.col("six") - (F.col("n") + 1) * F.col("sx")).cast("long")
-    den = (F.col("n") * F.col("sx")).cast("long")
+    num = 2 * F.col("six") - (F.col("n") + 1).cast("decimal(38,0)") * F.col(
+        "sx"
+    )
+    den = F.col("n").cast("decimal(38,0)") * F.col("sx")
     return a.select(
         F.col("n").alias("n_users"),
         F.col("sx").alias("n_events"),
-        num.alias("gini_num"),
-        den.alias("gini_den"),
+        num.cast("double").alias("gini_num"),
+        den.cast("double").alias("gini_den"),
         F.when(
             (F.col("n") > 0) & (F.col("sx") > 0),
             F.round(num * 1.0 / den, 6) + F.lit(0.0),
@@ -17183,12 +17202,12 @@ _ACF_INT_SUMS_SQL = """
     ),
     s AS (
       SELECT event_type, max(n) AS n,
-             CAST(sum(d * d) AS BIGINT) AS s0,
-             CAST(sum(d * d1) AS BIGINT) AS s1,
-             CAST(sum(d * d2) AS BIGINT) AS s2,
-             CAST(sum(d * d3) AS BIGINT) AS s3,
-             CAST(sum(d * d4) AS BIGINT) AS s4,
-             CAST(sum(d * d5) AS BIGINT) AS s5
+             sum(d::HUGEINT * d) AS s0,
+             sum(d::HUGEINT * d1) AS s1,
+             sum(d::HUGEINT * d2) AS s2,
+             sum(d::HUGEINT * d3) AS s3,
+             sum(d::HUGEINT * d4) AS s4,
+             sum(d::HUGEINT * d5) AS s5
       FROM l GROUP BY event_type
     ),
     r AS (
@@ -17206,8 +17225,11 @@ def _acf_int_sums(z: DataFrame) -> DataFrame:
     """Exact-integer autocovariance sums per event_type over the scaffold:
     deviations are centered as ``n*x - T`` (pure BIGINT, no float mean), so
     ``s_k = sum(d_i * d_{i+k})`` and the ACF ratios ``r_k = s_k / s_0``
-    are identical doubles on every engine and any partitioning. One keyed
-    window (bounded by the time span) + one group-by."""
+    are identical doubles on every engine and any partitioning. The
+    squared-deviation sums are n^2*N^2-magnitude, so they ride int128
+    (DECIMAL(38,0)/HUGEINT) — BIGINT would throw once n_hours*sd(x)
+    passes ~3e9 under ANSI. One keyed window (bounded by the time
+    span) + one group-by."""
     g = z.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("t"),
@@ -17222,9 +17244,13 @@ def _acf_int_sums(z: DataFrame) -> DataFrame:
     )
     s = l.groupBy("event_type").agg(
         F.max("n").alias("n"),
-        F.sum(F.col("d") * F.col("d")).cast("long").alias("s0"),
+        F.sum(
+            F.col("d").cast("decimal(38,0)") * F.col("d")
+        ).alias("s0"),
         *[
-            F.sum(F.col("d") * F.col(f"d{k}")).cast("long").alias(f"s{k}")
+            F.sum(
+                F.col("d").cast("decimal(38,0)") * F.col(f"d{k}")
+            ).alias(f"s{k}")
             for k in range(1, 6)
         ],
     )
@@ -17447,7 +17473,7 @@ _HURST_SQL_TAIL = """
     rs AS (
       SELECT event_type, w, win_id,
              CAST(max(cd) - min(cd) AS BIGINT) AS r_int,
-             CAST(sum(d * d) AS BIGINT) AS ss
+             sum(d::HUGEINT * d) AS ss
       FROM cum GROUP BY 1, 2, 3
     ),
     lnrs AS (
@@ -17488,7 +17514,9 @@ def q_hurst_rs_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     long-range-dependence detector (H>0.5 = persistent load, sizing
     matters for capacity planning). Window-local deviations use the
     exact-integer ``w*x - S`` centering, so R and sum-of-squares are
-    BIGINT; each window's ln(R/S) is floor-quantized to integer
+    exact integers (the d^2 sums ride int128 — at 100x volume
+    64*(128*x)^2 passes 2^63 once hourly counts reach ~1e7); each
+    window's ln(R/S) is floor-quantized to integer
     micro-units before the cross-window mean (nb_lang precedent), and
     the final log-log OLS slope is an explicit fixed-coefficient
     expression over the four dyadic sizes with ln2 as a shared literal
@@ -17522,7 +17550,7 @@ def q_hurst_rs_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rs = cum.groupBy("event_type", "w", "win_id").agg(
         (F.max("cd") - F.min("cd")).cast("long").alias("r_int"),
-        F.sum(F.col("d") * F.col("d")).cast("long").alias("ss"),
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("d")).alias("ss"),
     )
     lnrs = rs.where((F.col("ss") > 0) & (F.col("r_int") > 0)).selectExpr(
         "event_type", "w",
@@ -18057,12 +18085,12 @@ def q_runs_test_hourly_randomness(
     g AS (
       SELECT event_type, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(vm) AS BIGINT) AS s,
-             CAST(sum(vm * vm) AS BIGINT) AS ss
+             sum(vm::HUGEINT * vm) AS ss
       FROM v GROUP BY 1
     ),
     dev AS (
       SELECT v.event_type, v.event_id, v.value, g.n, g.s, g.ss,
-             abs(g.n * v.vm - g.s) AS adev
+             abs(g.n::HUGEINT * v.vm - g.s) AS adev
       FROM v JOIN g USING (event_type)
     ),
     best AS (
@@ -18085,8 +18113,9 @@ def q_grubbs_statistic_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax row picked by the exact integer deviation |n*v - S| (and
     event_id tiebreak) so the flagged outlier is engine-identical.
     One group-by for the exact moments, one broadcast join back, one
-    rank (bounded-magnitude digest contract as trimmed_mean:
-    |value|*1e3 and its square-times-n must fit BIGINT)."""
+    rank. The squared-digest sum and the n-scaled deviation ride
+    int128 (DECIMAL(38,0)/HUGEINT) — sum(vm^2) and n*vm pass 2^63 at
+    ~1e7 rows of |value|~1e6, well inside a 100x scale-up."""
     ev = _events(spark, sf_dir)
     v = ev.where(F.col("value").isNotNull()).select(
         "event_type", "event_id", "value",
@@ -18095,11 +18124,13 @@ def q_grubbs_statistic_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = v.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("vm").cast("long").alias("s"),
-        F.sum(F.col("vm") * F.col("vm")).cast("long").alias("ss"),
+        F.sum(F.col("vm").cast("decimal(38,0)") * F.col("vm")).alias("ss"),
     )
     dev = v.join(F.broadcast(g), "event_type").select(
         "event_type", "event_id", "value", "n", "s", "ss",
-        F.abs(F.col("n") * F.col("vm") - F.col("s")).alias("adev"),
+        F.abs(
+            F.col("n").cast("decimal(38,0)") * F.col("vm") - F.col("s")
+        ).alias("adev"),
     )
     best = dev.withColumn(
         "rk",
@@ -18853,7 +18884,7 @@ def q_ann_lsh_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     g AS (
       SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(mx) AS BIGINT) AS s,
-             CAST(sum(mx * mx) AS BIGINT) AS ss
+             sum(mx::HUGEINT * mx) AS ss
       FROM bm GROUP BY 1
     ),
     fit AS (
@@ -18902,7 +18933,7 @@ def q_extreme_value_gumbel_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = bm.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("mx").cast("long").alias("s"),
-        F.sum(F.col("mx") * F.col("mx")).cast("long").alias("ss"),
+        F.sum(F.col("mx").cast("decimal(38,0)") * F.col("mx")).alias("ss"),
     )
     fit = g.where(F.col("n") > 1).selectExpr(
         "o_orderpriority", "n",
@@ -19021,7 +19052,7 @@ def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     g AS (
       SELECT event_type, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(lq) AS BIGINT) AS s,
-             CAST(sum(lq * lq) AS BIGINT) AS ss
+             sum(lq::HUGEINT * lq) AS ss
       FROM v GROUP BY 1
     ),
     fit AS (
@@ -19076,7 +19107,7 @@ def q_lognormal_fit_ks_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = v.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("lq").cast("long").alias("s"),
-        F.sum(F.col("lq") * F.col("lq")).cast("long").alias("ss"),
+        F.sum(F.col("lq").cast("decimal(38,0)") * F.col("lq")).alias("ss"),
     )
     fit = g.where(F.col("n") > 1).selectExpr(
         "event_type", "n",
@@ -19561,7 +19592,7 @@ _NEGBIN_SQL_TAIL = """
     , g AS (
       SELECT event_type, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(x) AS BIGINT) AS t,
-             CAST(sum(x * x) AS BIGINT) AS ss
+             sum(x::HUGEINT * x) AS ss
       FROM z GROUP BY 1
     ),
     mv AS (
@@ -19592,13 +19623,15 @@ def q_negative_binomial_fit_by_type(
     per type (r = mean²/(var-mean), p = mean/var, defined only under
     overdispersion) — the count model that replaces Poisson when
     event_rate_dispersion_by_type flags var/mean > 1. Mean and
-    variance are ratios of exact BIGINT sums over the zero-filled
-    scaffold, so the parameters are engine-identical."""
+    variance are ratios of exact integer sums over the zero-filled
+    scaffold (the squared sum rides int128 — BIGINT would throw once
+    hourly counts reach ~1e7), so the parameters are
+    engine-identical."""
     z = _type_bucket_scaffold(spark, sf_dir, 3600)
     g = z.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("t"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("ss"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("ss"),
     )
     mv = g.where(F.col("n") > 1).selectExpr(
         "event_type", "n",
@@ -20509,13 +20542,16 @@ def q_turning_points_test_hourly(
       SELECT event_type,
              CAST(count(*) AS BIGINT) AS n,
              CAST(sum(y) AS BIGINT) AS s,
-             CAST(sum(y * y) AS BIGINT) AS ss,
-             CAST(sum(CASE WHEN dy IS NULL THEN 0 ELSE dy * dy END)
-               AS BIGINT) AS sdd
+             sum(y::HUGEINT * y) AS ss,
+             sum(CASE WHEN dy IS NULL THEN 0::HUGEINT
+                 ELSE dy::HUGEINT * dy END) AS sdd
       FROM d GROUP BY 1
     )
-    SELECT event_type, n AS n_hours, sdd AS sum_sq_diff,
-           round(CAST(sdd * n AS DOUBLE) / nullif(n * ss - s * s, 0), 6)
+    SELECT event_type, n AS n_hours,
+           CAST(sdd AS DOUBLE) AS sum_sq_diff,
+           round(CAST(sdd AS DOUBLE) * n
+                 / nullif(CAST(n::HUGEINT * ss - s::HUGEINT * s
+                               AS DOUBLE), 0), 6)
              AS dw_stat
     FROM g
     """,
@@ -20527,7 +20563,9 @@ def q_durbin_watson_hourly_counts(
     zero-filled hourly count series: DW = sum((c_t - c_{t-1})^2) /
     sum((c_t - mean)^2), evaluated as the single exact-integer ratio
     sdd*n / (n*ss - s^2) — no float accumulates anywhere, so the hash
-    is engine-exact. DW ~ 2 means white noise, < 2 positive
+    is engine-exact. The squared sums ride int128 and sum_sq_diff is
+    emitted as an exact DOUBLE cast (BIGINT would throw once hourly
+    counts reach ~1e7 at 1e5 hours). DW ~ 2 means white noise, < 2 positive
     autocorrelation (bursty hours). One groupBy over the full data,
     then all window work on the 720-row-per-type scaffold."""
     ev = _events(spark, sf_dir)
@@ -20560,20 +20598,19 @@ def q_durbin_watson_hourly_counts(
     g = d.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("y").cast("long").alias("s"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("ss"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("ss"),
         F.sum(
-            F.when(F.col("dy").isNull(), 0).otherwise(
-                F.col("dy") * F.col("dy")
-            )
-        )
-        .cast("long")
-        .alias("sdd"),
+            F.when(F.col("dy").isNull(), F.lit(0).cast("decimal(38,0)"))
+            .otherwise(F.col("dy").cast("decimal(38,0)") * F.col("dy"))
+        ).alias("sdd"),
     )
     return g.selectExpr(
         "event_type",
         "n AS n_hours",
-        "sdd AS sum_sq_diff",
-        "round(CAST(sdd * n AS DOUBLE) / nullif(n * ss - s * s, 0L), 6)"
+        "CAST(sdd AS DOUBLE) AS sum_sq_diff",
+        "round(CAST(sdd AS DOUBLE) * n"
+        " / nullif(CAST(CAST(n AS DECIMAL(38,0)) * ss"
+        " - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE), 0), 6)"
         " AS dw_stat",
     )
 
@@ -20588,7 +20625,7 @@ def q_durbin_watson_hourly_counts(
     g AS (
       SELECT lang, CAST(count(*) AS BIGINT) AS n_sources,
              CAST(sum(n) AS BIGINT) AS n_docs,
-             CAST(sum(n * n) AS BIGINT) AS sq
+             sum(n::HUGEINT * n) AS sq
       FROM c GROUP BY 1
     )
     SELECT lang, n_docs, n_sources,
@@ -20614,7 +20651,7 @@ def q_hhi_concentration_by_lang(
     g = c.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_sources"),
         F.sum("n").cast("long").alias("n_docs"),
-        F.sum(F.col("n") * F.col("n")).cast("long").alias("sq"),
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("n")).alias("sq"),
     )
     return g.selectExpr(
         "lang",
@@ -20767,18 +20804,19 @@ def q_friedman_test_hour_blocks(
     g AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(sum(y) AS BIGINT) AS s,
-             CAST(sum(y * y) AS BIGINT) AS ss
+             sum(y::HUGEINT * y) AS ss
       FROM z
     ),
     t AS (
-      SELECT CAST(sum((g.n * p.pt - p.t * g.s)
-                      * (g.n * p.pt - p.t * g.s)) AS BIGINT) AS tsum
+      SELECT sum((g.n::HUGEINT * p.pt - p.t::HUGEINT * g.s)
+                 * (g.n::HUGEINT * p.pt - p.t::HUGEINT * g.s)) AS tsum
       FROM p CROSS JOIN g
     )
     SELECT g.n AS n_buckets,
            round(CAST(t.tsum AS DOUBLE)
                  / nullif(CAST(g.n AS DOUBLE) * g.n
-                          * (g.n * g.ss - g.s * g.s), 0),
+                          * CAST(g.n::HUGEINT * g.ss
+                                 - g.s::HUGEINT * g.s AS DOUBLE), 0),
                  6) AS kpss_level
     FROM g CROSS JOIN t
     """,
@@ -20788,9 +20826,11 @@ def q_kpss_level_stat_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-count series with the lag-0 long-run variance: eta =
     sum(S_t^2) / (n^2 sigma^2) evaluated as the single exact-integer
     ratio T / (n^2 (n*ss - s^2)) where T = sum((n*P_t - t*s)^2) — the
-    n-scaled partial sums keep every intermediate in BIGINT (6h
-    coarsening bounds T under 2^63 at any fixture scale; the full data
-    only flows through one hash aggregation)."""
+    n-scaled partial sums are exact integers riding int128
+    (DECIMAL(38,0)/HUGEINT: T is (n*N)^2-magnitude and passes 2^63
+    once n_buckets*total_events reaches ~3e9 — a 100x scale-up
+    would throw in BIGINT); the full data only flows through one
+    hash aggregation."""
     ev = _events(spark, sf_dir)
     sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
     c = ev.groupBy((sec / 21600).cast("long").alias("b")).agg(
@@ -20815,19 +20855,26 @@ def q_kpss_level_stat_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = z.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("y").cast("long").alias("s"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("ss"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("ss"),
     )
     t = (
         p.crossJoin(F.broadcast(g))
-        .selectExpr("(n * pt - t * s) * (n * pt - t * s) AS term")
-        .agg(F.sum("term").cast("long").alias("tsum"))
+        .selectExpr(
+            "(CAST(n AS DECIMAL(38,0)) * pt"
+            " - CAST(t AS DECIMAL(38,0)) * s)"
+            " * (CAST(n AS DECIMAL(38,0)) * pt"
+            " - CAST(t AS DECIMAL(38,0)) * s) AS term"
+        )
+        .agg(F.sum("term").alias("tsum"))
     )
     return g.crossJoin(F.broadcast(t)).selectExpr(
         "n AS n_buckets",
         # nullif: a constant series has zero variance AND zero partial
         # sums — ANSI Spark throws on the 0/0 a plain division would hit
         "round(CAST(tsum AS DOUBLE)"
-        " / nullif(CAST(n AS DOUBLE) * n * (n * ss - s * s), 0), 6)"
+        " / nullif(CAST(n AS DOUBLE) * n"
+        " * CAST(CAST(n AS DECIMAL(38,0)) * ss"
+        " - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE), 0), 6)"
         " AS kpss_level",
     )
 
@@ -20959,8 +21006,7 @@ def q_permutation_entropy_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     g AS (
       SELECT event_type, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS s,
-             CAST(sum(CAST(y AS BIGINT) * CAST(y AS BIGINT)) AS BIGINT)
-               AS ss
+             sum(CAST(y AS BIGINT)::HUGEINT * CAST(y AS BIGINT)) AS ss
       FROM z GROUP BY 1
     ),
     rec AS (
@@ -20971,7 +21017,8 @@ def q_permutation_entropy_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
              0.5 * nz.y + 0.5 * r.e,
              r.viol + CASE WHEN ((nz.y - r.e) * (nz.y - r.e))
                  * CAST(g.n * g.n AS DOUBLE)
-                 > CAST(9 * (g.n * g.ss - g.s * g.s) AS DOUBLE)
+                 > CAST(9::HUGEINT * (g.n::HUGEINT * g.ss
+                        - g.s::HUGEINT * g.s) AS DOUBLE)
                THEN 1 ELSE 0 END
       FROM rec r
       JOIN z nz ON nz.event_type = r.event_type AND nz.idx = r.idx + 1
@@ -21017,7 +21064,9 @@ def q_ewma_control_chart_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = z.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("yl").cast("long").alias("s"),
-        F.sum(F.col("yl") * F.col("yl")).cast("long").alias("ss"),
+        F.sum(
+            F.col("yl").cast("decimal(38,0)") * F.col("yl")
+        ).alias("ss"),
     )
     seq = z.groupBy("event_type").agg(
         F.sort_array(
@@ -21035,7 +21084,11 @@ def q_ewma_control_chart_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     # test side multiplies (dev*dev) by the exact integer n^2 in the same
     # association order as the oracle — bit-identical at the boundary
     thr = (
-        F.lit(9) * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+        F.lit(9).cast("decimal(38,0)")
+        * (
+            F.col("n").cast("decimal(38,0)") * F.col("ss")
+            - F.col("s").cast("decimal(38,0)") * F.col("s")
+        )
     ).cast("double")
     n2 = (F.col("n") * F.col("n")).cast("double")
     init = F.struct(
@@ -21970,19 +22023,23 @@ def q_nelson_aalen_cumhaz_arms(
     b AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS nb FROM cell GROUP BY 1),
     s AS (
       SELECT
-        (SELECT CAST(sum(n * (n - 1) / 2) AS BIGINT) FROM cell) AS pr,
-        (SELECT CAST(sum(na * (na - 1) / 2) AS BIGINT) FROM a) AS pa,
-        (SELECT CAST(sum(nb * (nb - 1) / 2) AS BIGINT) FROM b) AS pb,
+        (SELECT CAST(sum(n::HUGEINT * (n - 1)) AS DOUBLE) / 2
+         FROM cell) AS pr,
+        (SELECT CAST(sum(na::HUGEINT * (na - 1)) AS DOUBLE) / 2
+         FROM a) AS pa,
+        (SELECT CAST(sum(nb::HUGEINT * (nb - 1)) AS DOUBLE) / 2
+         FROM b) AS pb,
         (SELECT CAST(count(*) AS BIGINT) FROM p) AS n
     )
     SELECT n AS n_points, pr AS pairs_both, pa AS pairs_label,
            pb AS pairs_bucket,
-           round((pr - CAST(pa AS DOUBLE) * pb / nullif(n * (n - 1) / 2, 0))
-                 / nullif((CAST(pa + pb AS DOUBLE) / 2)
-                          - CAST(pa AS DOUBLE) * pb / nullif(n * (n - 1) / 2, 0),
+           round((pr - pa * pb
+                       / nullif(CAST(n AS DOUBLE) * (n - 1) / 2, 0))
+                 / nullif(((pa + pb) / 2)
+                          - pa * pb
+                            / nullif(CAST(n AS DOUBLE) * (n - 1) / 2, 0),
                           0), 6) + 0.0 AS ari,
-           round(CAST(pr AS DOUBLE)
-                 / nullif(sqrt(CAST(pa AS DOUBLE) * pb), 0), 6)
+           round(pr / nullif(sqrt(pa * pb), 0), 6)
              AS fowlkes_mallows
     FROM s
     """,
@@ -21993,8 +22050,10 @@ def q_partition_agreement_ari_fm(
     """Adjusted Rand index and Fowlkes-Mallows score between the
     embedding labels and a deterministic 2-bit sign partition of the
     first two coordinates — the clustering-agreement pair every
-    bucketing/partition audit needs. All pair counts C(n,2) stay in
-    BIGINT from one contingency groupBy; ARI's expected-index
+    bucketing/partition audit needs. All pair counts C(n,2) accumulate
+    as int128 doubled-pair sums from one contingency groupBy and are
+    emitted as exact dyadic-halved DOUBLEs (BIGINT C(n,2) would throw
+    past ~4e9 points); ARI's expected-index
     correction and FM's geometric mean are single deterministic float
     expressions over those integers (negative-capable ARI carries the
     +0.0 guard)."""
@@ -22010,13 +22069,25 @@ def q_partition_agreement_ari_fm(
     a = cell.groupBy("label").agg(F.sum("n").cast("long").alias("na"))
     b = cell.groupBy("bucket").agg(F.sum("n").cast("long").alias("nb"))
     pr = cell.agg(
-        F.sum(F.expr("n * (n - 1) div 2")).cast("long").alias("pr")
+        (
+            F.sum(F.expr("CAST(n AS DECIMAL(38,0)) * (n - 1)"))
+            .cast("double")
+            / 2
+        ).alias("pr")
     )
     pa = a.agg(
-        F.sum(F.expr("na * (na - 1) div 2")).cast("long").alias("pa")
+        (
+            F.sum(F.expr("CAST(na AS DECIMAL(38,0)) * (na - 1)"))
+            .cast("double")
+            / 2
+        ).alias("pa")
     )
     pb = b.agg(
-        F.sum(F.expr("nb * (nb - 1) div 2")).cast("long").alias("pb")
+        (
+            F.sum(F.expr("CAST(nb AS DECIMAL(38,0)) * (nb - 1)"))
+            .cast("double")
+            / 2
+        ).alias("pb")
     )
     n = p.agg(F.count(F.lit(1)).cast("long").alias("n"))
     s = (
@@ -22029,12 +22100,12 @@ def q_partition_agreement_ari_fm(
         "pr AS pairs_both",
         "pa AS pairs_label",
         "pb AS pairs_bucket",
-        "round((pr - CAST(pa AS DOUBLE) * pb / nullif(n * (n - 1) div 2, 0))"
-        " / nullif((CAST(pa + pb AS DOUBLE) / 2)"
-        " - CAST(pa AS DOUBLE) * pb / nullif(n * (n - 1) div 2, 0), 0), 6)"
+        "round((pr - pa * pb"
+        " / nullif(CAST(n AS DOUBLE) * (n - 1) / 2, 0))"
+        " / nullif(((pa + pb) / 2)"
+        " - pa * pb / nullif(CAST(n AS DOUBLE) * (n - 1) / 2, 0), 0), 6)"
         " + 0.0 AS ari",
-        "round(CAST(pr AS DOUBLE)"
-        " / nullif(sqrt(CAST(pa AS DOUBLE) * pb), 0), 6)"
+        "round(pr / nullif(sqrt(pa * pb), 0), 6)"
         " AS fowlkes_mallows",
     )
 
@@ -22066,14 +22137,17 @@ def q_partition_agreement_ari_fm(
       FROM hist
     ),
     s AS (
-      SELECT CAST(sum(c1 * c0_below) AS BIGINT) AS gt,
-             CAST(sum(c1 * c0_above) AS BIGINT) AS lt,
+      SELECT sum(c1::HUGEINT * c0_below) AS gt,
+             sum(c1::HUGEINT * c0_above) AS lt,
              CAST(sum(c0) AS BIGINT) AS n0,
              CAST(sum(c1) AS BIGINT) AS n1
       FROM cum
     )
-    SELECT n0, n1, gt AS n_pairs_gt, lt AS n_pairs_lt,
-           round(CAST(gt - lt AS DOUBLE) / nullif(n0 * n1, 0), 6)
+    SELECT n0, n1,
+           CAST(gt AS DOUBLE) AS n_pairs_gt,
+           CAST(lt AS DOUBLE) AS n_pairs_lt,
+           round(CAST(gt - lt AS DOUBLE)
+                 / nullif(CAST(n0 AS DOUBLE) * n1, 0), 6)
              + 0.0 AS cliffs_delta
     FROM s
     """,
@@ -22124,17 +22198,22 @@ def q_cliffs_delta_value_arms(
         .alias("c0_above"),
     )
     s = cum.agg(
-        F.sum(F.col("c1") * F.col("c0_below")).cast("long").alias("gt"),
-        F.sum(F.col("c1") * F.col("c0_above")).cast("long").alias("lt"),
+        F.sum(
+            F.col("c1").cast("decimal(38,0)") * F.col("c0_below")
+        ).alias("gt"),
+        F.sum(
+            F.col("c1").cast("decimal(38,0)") * F.col("c0_above")
+        ).alias("lt"),
         F.sum("c0").cast("long").alias("n0"),
         F.sum("c1").cast("long").alias("n1"),
     )
     return s.selectExpr(
         "n0",
         "n1",
-        "gt AS n_pairs_gt",
-        "lt AS n_pairs_lt",
-        "round(CAST(gt - lt AS DOUBLE) / nullif(n0 * n1, 0L), 6)"
+        "CAST(gt AS DOUBLE) AS n_pairs_gt",
+        "CAST(lt AS DOUBLE) AS n_pairs_lt",
+        "round(CAST(gt - lt AS DOUBLE)"
+        " / nullif(CAST(n0 AS DOUBLE) * n1, 0), 6)"
         " + 0.0 AS cliffs_delta",
     )
 
@@ -22580,28 +22659,28 @@ def q_corpus_token_gini_by_lang(
     g AS (
       SELECT event_type, CAST(sum(c1) AS BIGINT) AS n1,
              CAST(sum(c0) AS BIGINT) AS n0,
-             CAST(sum(c1 * (2 * c0_below + c0)) AS BIGINT) AS u2
+             sum(c1::HUGEINT * (2 * c0_below + c0)) AS u2
       FROM cum GROUP BY 1
     ),
     v AS (
       SELECT cum.event_type,
-             CAST(sum(cum.c1 * CAST(floor(
+             sum(cum.c1::HUGEINT * CAST(floor(
                (CAST(2 * cum.c0_below + cum.c0 AS DOUBLE) / nullif(2 * g.n0, 0)
-                - CAST(g.u2 AS DOUBLE) / nullif(2 * g.n1 * g.n0, 0))
+                - CAST(g.u2 AS DOUBLE) / nullif(2 * CAST(g.n1 AS DOUBLE) * g.n0, 0))
                * (CAST(2 * cum.c0_below + cum.c0 AS DOUBLE) / nullif(2 * g.n0, 0)
-                - CAST(g.u2 AS DOUBLE) / nullif(2 * g.n1 * g.n0, 0))
-               * 1000000.0) AS BIGINT)) AS BIGINT) AS v1_micro,
-             CAST(sum(cum.c0 * CAST(floor(
+                - CAST(g.u2 AS DOUBLE) / nullif(2 * CAST(g.n1 AS DOUBLE) * g.n0, 0))
+               * 1000000.0) AS BIGINT)) AS v1_micro,
+             sum(cum.c0::HUGEINT * CAST(floor(
                (CAST(2 * cum.c1_above + cum.c1 AS DOUBLE) / nullif(2 * g.n1, 0)
-                - CAST(g.u2 AS DOUBLE) / nullif(2 * g.n1 * g.n0, 0))
+                - CAST(g.u2 AS DOUBLE) / nullif(2 * CAST(g.n1 AS DOUBLE) * g.n0, 0))
                * (CAST(2 * cum.c1_above + cum.c1 AS DOUBLE) / nullif(2 * g.n1, 0)
-                - CAST(g.u2 AS DOUBLE) / nullif(2 * g.n1 * g.n0, 0))
-               * 1000000.0) AS BIGINT)) AS BIGINT) AS v0_micro
+                - CAST(g.u2 AS DOUBLE) / nullif(2 * CAST(g.n1 AS DOUBLE) * g.n0, 0))
+               * 1000000.0) AS BIGINT)) AS v0_micro
       FROM cum JOIN g USING (event_type)
       GROUP BY 1
     )
     SELECT g.event_type, g.n1 AS n_pos, g.n0 AS n_neg,
-           round(CAST(g.u2 AS DOUBLE) / nullif(2 * g.n1 * g.n0, 0), 6) AS auc,
+           round(CAST(g.u2 AS DOUBLE) / nullif(2 * CAST(g.n1 AS DOUBLE) * g.n0, 0), 6) AS auc,
            round(sqrt(
              (CAST(v.v1_micro AS DOUBLE) / 1000000.0 / nullif(g.n1 - 1, 0))
                / g.n1
@@ -22646,38 +22725,39 @@ def q_eval_auc_delong_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = cum.groupBy("event_type").agg(
         F.sum("c1").cast("long").alias("n1"),
         F.sum("c0").cast("long").alias("n0"),
-        F.sum(F.col("c1") * (2 * F.col("c0_below") + F.col("c0")))
-        .cast("long")
-        .alias("u2"),
+        F.sum(
+            F.col("c1").cast("decimal(38,0)")
+            * (2 * F.col("c0_below") + F.col("c0"))
+        ).alias("u2"),
     )
     v = (
         cum.join(F.broadcast(g), "event_type")
         .selectExpr(
             "event_type",
-            "c1 * CAST(floor("
+            "CAST(c1 AS DECIMAL(38,0)) * CAST(floor("
             "(CAST(2 * c0_below + c0 AS DOUBLE) / nullif(2 * n0, 0)"
-            " - CAST(u2 AS DOUBLE) / nullif(2 * n1 * n0, 0))"
+            " - CAST(u2 AS DOUBLE) / nullif(2 * CAST(n1 AS DOUBLE) * n0, 0))"
             " * (CAST(2 * c0_below + c0 AS DOUBLE) / nullif(2 * n0, 0)"
-            " - CAST(u2 AS DOUBLE) / nullif(2 * n1 * n0, 0))"
+            " - CAST(u2 AS DOUBLE) / nullif(2 * CAST(n1 AS DOUBLE) * n0, 0))"
             " * 1000000.0) AS BIGINT) AS t1",
-            "c0 * CAST(floor("
+            "CAST(c0 AS DECIMAL(38,0)) * CAST(floor("
             "(CAST(2 * c1_above + c1 AS DOUBLE) / nullif(2 * n1, 0)"
-            " - CAST(u2 AS DOUBLE) / nullif(2 * n1 * n0, 0))"
+            " - CAST(u2 AS DOUBLE) / nullif(2 * CAST(n1 AS DOUBLE) * n0, 0))"
             " * (CAST(2 * c1_above + c1 AS DOUBLE) / nullif(2 * n1, 0)"
-            " - CAST(u2 AS DOUBLE) / nullif(2 * n1 * n0, 0))"
+            " - CAST(u2 AS DOUBLE) / nullif(2 * CAST(n1 AS DOUBLE) * n0, 0))"
             " * 1000000.0) AS BIGINT) AS t0",
         )
         .groupBy("event_type")
         .agg(
-            F.sum("t1").cast("long").alias("v1_micro"),
-            F.sum("t0").cast("long").alias("v0_micro"),
+            F.sum("t1").alias("v1_micro"),
+            F.sum("t0").alias("v0_micro"),
         )
     )
     return g.join(v, "event_type").selectExpr(
         "event_type",
         "n1 AS n_pos",
         "n0 AS n_neg",
-        "round(CAST(u2 AS DOUBLE) / nullif(2 * n1 * n0, 0), 6) AS auc",
+        "round(CAST(u2 AS DOUBLE) / nullif(2 * CAST(n1 AS DOUBLE) * n0, 0), 6) AS auc",
         "round(sqrt("
         "(CAST(v1_micro AS DOUBLE) / 1000000.0 / nullif(n1 - 1, 0)) / n1"
         " + (CAST(v0_micro AS DOUBLE) / 1000000.0 / nullif(n0 - 1, 0)) / n0"
@@ -22803,13 +22883,13 @@ def q_seasonal_decomposition_hourly(
       FROM z JOIN g USING (event_type)
     ),
     s0 AS (
-      SELECT event_type, CAST(sum(x * x) AS BIGINT) AS s0
+      SELECT event_type, sum(x::HUGEINT * x) AS s0
       FROM d GROUP BY 1
     ),
     lags AS (SELECT unnest(generate_series(2, 48)) AS k),
     sk AS (
       SELECT a.event_type, lags.k,
-             CAST(sum(a.x * b.x) AS BIGINT) AS s
+             sum(a.x::HUGEINT * b.x) AS s
       FROM d a
       CROSS JOIN lags
       JOIN d b ON b.event_type = a.event_type
@@ -22865,7 +22945,7 @@ def q_dominant_period_hourly(
         "event_type", "h", "n * y - t AS x"
     )
     s0 = d.groupBy("event_type").agg(
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("s0")
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("s0")
     )
     lags = spark.range(2, 49).select(F.col("id").cast("long").alias("k"))
     a = d.selectExpr("event_type", "h", "x AS xa")
@@ -22878,7 +22958,11 @@ def q_dominant_period_hourly(
             & (F.col("hb") == F.col("h") + F.col("k")),
         )
         .groupBy("event_type", "k")
-        .agg(F.sum(F.col("xa") * F.col("xb")).cast("long").alias("s"))
+        .agg(
+            F.sum(
+                F.col("xa").cast("decimal(38,0)") * F.col("xb")
+            ).alias("s")
+        )
     )
     best = sk.withColumn(
         "rk",
@@ -22913,14 +22997,17 @@ def q_dominant_period_hourly(
     g AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(sum(d) AS BIGINT) AS s,
-             CAST(sum(d * d) AS BIGINT) AS ss
+             sum(d::HUGEINT * d) AS ss
       FROM dur
     )
     SELECT n AS n_users,
            round(CAST(s AS DOUBLE) / n, 6) AS mean_sec,
-           round(CAST(s AS DOUBLE) * s / nullif(n * ss - s * s, 0), 6)
+           round(CAST(s AS DOUBLE) * s
+                 / nullif(CAST(n::HUGEINT * ss - s::HUGEINT * s
+                               AS DOUBLE), 0), 6)
              AS gamma_shape,
-           round(CAST(n * ss - s * s AS DOUBLE) / nullif(n * s, 0), 6)
+           round(CAST(n::HUGEINT * ss - s::HUGEINT * s AS DOUBLE)
+                 / nullif(CAST(n AS DOUBLE) * s, 0), 6)
              AS gamma_scale_sec
     FROM g
     """,
@@ -22951,14 +23038,18 @@ def q_gamma_fit_time_to_purchase(
     g = dur.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("d").cast("long").alias("s"),
-        F.sum(F.col("d") * F.col("d")).cast("long").alias("ss"),
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("d")).alias("ss"),
     )
     return g.selectExpr(
         "n AS n_users",
         "round(CAST(s AS DOUBLE) / n, 6) AS mean_sec",
-        "round(CAST(s AS DOUBLE) * s / nullif(n * ss - s * s, 0L), 6)"
+        "round(CAST(s AS DOUBLE) * s"
+        " / nullif(CAST(CAST(n AS DECIMAL(38,0)) * ss"
+        " - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE), 0), 6)"
         " AS gamma_shape",
-        "round(CAST(n * ss - s * s AS DOUBLE) / nullif(n * s, 0L), 6)"
+        "round(CAST(CAST(n AS DECIMAL(38,0)) * ss"
+        " - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE)"
+        " / nullif(CAST(n AS DOUBLE) * s, 0), 6)"
         " AS gamma_scale_sec",
     )
 
@@ -23456,7 +23547,7 @@ def q_orders_monthly_revenue_trend(
     g AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(sum(d) AS BIGINT) AS s,
-             CAST(sum(d * d) AS BIGINT) AS ss
+             sum(d::HUGEINT * d) AS ss
       FROM gap WHERE d IS NOT NULL
     )
     SELECT n AS n_gaps,
@@ -23488,12 +23579,13 @@ def q_interpurchase_cv2(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = gap.where(F.col("d").isNotNull()).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("d").cast("long").alias("s"),
-        F.sum(F.col("d") * F.col("d")).cast("long").alias("ss"),
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("d")).alias("ss"),
     )
     # cv2 as n*ss/s^2 - 1 in DOUBLE: s^2 overflows BIGINT at sf0.1
-    # (s ~ 3e9 seconds of gaps); the double products round identically
-    # on both engines, and the possible one-ulp dip below 1 makes the
-    # rounded output negative-zero-capable, hence + 0.0
+    # (s ~ 3e9 seconds of gaps) and ss itself passes 2^63 at ~1e5
+    # gap-years^2 so it rides int128; the double products round
+    # identically on both engines, and the possible one-ulp dip below
+    # 1 makes the rounded output negative-zero-capable, hence + 0.0
     return g.selectExpr(
         "n AS n_gaps",
         "round(CAST(s AS DOUBLE) / nullif(n, 0L), 6) AS mean_gap_sec",
@@ -23762,20 +23854,25 @@ def q_mood_scale_rank_test_arms(
     ),
     s AS (
       SELECT
-        CAST(sum(c1 * (2 * b0 + c0)
-                 + c2 * (2 * (b0 + b1) + c0 + c1)
-                 + c3 * (2 * (b0 + b1 + b2) + c0 + c1 + c2))
-             AS BIGINT) AS jt2,
+        sum(c1::HUGEINT * (2 * b0 + c0)
+            + c2::HUGEINT * (2 * (b0 + b1) + c0 + c1)
+            + c3::HUGEINT * (2 * (b0 + b1 + b2) + c0 + c1 + c2))
+          AS jt2,
         CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1,
         CAST(sum(c2) AS BIGINT) AS n2, CAST(sum(c3) AS BIGINT) AS n3
       FROM cum
     )
-    SELECT n0 + n1 + n2 + n3 AS n_total, jt2,
-           n0 * n1 + n0 * n2 + n0 * n3 + n1 * n2 + n1 * n3 + n2 * n3
+    SELECT n0 + n1 + n2 + n3 AS n_total,
+           CAST(jt2 AS DOUBLE) AS jt2,
+           CAST(n0::HUGEINT * n1 + n0::HUGEINT * n2 + n0::HUGEINT * n3
+                + n1::HUGEINT * n2 + n1::HUGEINT * n3
+                + n2::HUGEINT * n3 AS DOUBLE)
              AS e_jt2,
            round(CAST(jt2 AS DOUBLE)
-                 / nullif(n0 * n1 + n0 * n2 + n0 * n3
-                          + n1 * n2 + n1 * n3 + n2 * n3, 0), 6)
+                 / nullif(CAST(n0::HUGEINT * n1 + n0::HUGEINT * n2
+                          + n0::HUGEINT * n3 + n1::HUGEINT * n2
+                          + n1::HUGEINT * n3 + n2::HUGEINT * n3
+                          AS DOUBLE), 0), 6)
              AS trend_ratio
     FROM s
     """,
@@ -23819,9 +23916,10 @@ def q_jonckheere_terpstra_hour_trend(
         ],
     )
     s = cum.selectExpr(
-        "CAST(sum(c1 * (2 * b0 + c0)"
-        " + c2 * (2 * (b0 + b1) + c0 + c1)"
-        " + c3 * (2 * (b0 + b1 + b2) + c0 + c1 + c2)) AS BIGINT) AS jt2",
+        "sum(CAST(c1 AS DECIMAL(38,0)) * (2 * b0 + c0)"
+        " + CAST(c2 AS DECIMAL(38,0)) * (2 * (b0 + b1) + c0 + c1)"
+        " + CAST(c3 AS DECIMAL(38,0))"
+        " * (2 * (b0 + b1 + b2) + c0 + c1 + c2)) AS jt2",
         "CAST(sum(c0) AS BIGINT) AS n0",
         "CAST(sum(c1) AS BIGINT) AS n1",
         "CAST(sum(c2) AS BIGINT) AS n2",
@@ -23829,12 +23927,21 @@ def q_jonckheere_terpstra_hour_trend(
     )
     return s.selectExpr(
         "n0 + n1 + n2 + n3 AS n_total",
-        "jt2",
-        "n0 * n1 + n0 * n2 + n0 * n3 + n1 * n2 + n1 * n3 + n2 * n3"
-        " AS e_jt2",
+        "CAST(jt2 AS DOUBLE) AS jt2",
+        "CAST(CAST(n0 AS DECIMAL(38,0)) * n1"
+        " + CAST(n0 AS DECIMAL(38,0)) * n2"
+        " + CAST(n0 AS DECIMAL(38,0)) * n3"
+        " + CAST(n1 AS DECIMAL(38,0)) * n2"
+        " + CAST(n1 AS DECIMAL(38,0)) * n3"
+        " + CAST(n2 AS DECIMAL(38,0)) * n3 AS DOUBLE) AS e_jt2",
         "round(CAST(jt2 AS DOUBLE)"
-        " / nullif(n0 * n1 + n0 * n2 + n0 * n3"
-        " + n1 * n2 + n1 * n3 + n2 * n3, 0), 6) AS trend_ratio",
+        " / nullif(CAST(CAST(n0 AS DECIMAL(38,0)) * n1"
+        " + CAST(n0 AS DECIMAL(38,0)) * n2"
+        " + CAST(n0 AS DECIMAL(38,0)) * n3"
+        " + CAST(n1 AS DECIMAL(38,0)) * n2"
+        " + CAST(n1 AS DECIMAL(38,0)) * n3"
+        " + CAST(n2 AS DECIMAL(38,0)) * n3 AS DOUBLE), 0), 6)"
+        " AS trend_ratio",
     )
 
 
@@ -23939,7 +24046,7 @@ def q_cochran_q_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tr GROUP BY 1, 2
     )
     SELECT type_a, type_b, n_ab, n_ba,
-           round(CAST((n_ab - n_ba) * (n_ab - n_ba) AS DOUBLE)
+           round(CAST((n_ab - n_ba)::HUGEINT * (n_ab - n_ba) AS DOUBLE)
                  / nullif(n_ab + n_ba, 0), 6) AS chi2_term
     FROM pairs
     """,
@@ -23982,8 +24089,8 @@ def q_bowker_symmetry_transitions(
         "type_b",
         "n_ab",
         "n_ba",
-        "round(CAST((n_ab - n_ba) * (n_ab - n_ba) AS DOUBLE)"
-        " / nullif(n_ab + n_ba, 0), 6) AS chi2_term",
+        "round(CAST(CAST(n_ab - n_ba AS DECIMAL(38,0)) * (n_ab - n_ba)"
+        " AS DOUBLE) / nullif(n_ab + n_ba, 0), 6) AS chi2_term",
     )
 
 
@@ -24123,7 +24230,8 @@ def q_pettitt_changepoint_hourly(
     ),
     i AS (
       SELECT CAST(sum(CAST(floor(CAST(n AS DOUBLE)
-               * ln(CAST(nn * n AS DOUBLE) / (cx * cy))
+               * ln(CAST(nn AS DOUBLE) * n
+                    / (CAST(cx AS DOUBLE) * cy))
                * 1000000.0) AS BIGINT)) AS BIGINT) AS i_micro,
              CAST(count(*) AS BIGINT) AS n_cells,
              CAST(min(nn) AS BIGINT) AS nn
@@ -24169,7 +24277,8 @@ def q_theil_u_type_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     i = m.selectExpr(
         "CAST(sum(CAST(floor(CAST(n AS DOUBLE)"
-        " * ln(CAST(nn * n AS DOUBLE) / (cx * cy))"
+        " * ln(CAST(nn AS DOUBLE) * n"
+        " / (CAST(cx AS DOUBLE) * cy))"
         " * 1000000.0) AS BIGINT)) AS BIGINT) AS i_micro",
         "CAST(count(*) AS BIGINT) AS n_cells",
         "CAST(min(nn) AS BIGINT) AS nn",
@@ -24227,12 +24336,13 @@ def q_theil_u_type_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     e AS (
       SELECT lvl, CAST(count(*) AS BIGINT) AS n_blocks,
-             CAST(sum(dd * dd) * sc AS BIGINT) AS energy_scaled
+             sum(dd::HUGEINT * dd) * sc AS energy_scaled
       FROM d GROUP BY lvl, sc
     )
-    SELECT CAST(lvl AS BIGINT) AS level, n_blocks, energy_scaled,
+    SELECT CAST(lvl AS BIGINT) AS level, n_blocks,
+           CAST(energy_scaled AS DOUBLE) AS energy_scaled,
            round(CAST(energy_scaled AS DOUBLE)
-                 / nullif(CAST(sum(energy_scaled) OVER () AS BIGINT), 0),
+                 / nullif(CAST(sum(energy_scaled) OVER () AS DOUBLE), 0),
                  6) AS energy_share
     FROM e
     """,
@@ -24243,8 +24353,10 @@ def q_haar_wavelet_energy_hourly(
     """Haar wavelet detail-energy decomposition of the hourly count
     series: at dyadic scales 2..32 hours, detail D = (left-half sum -
     right-half sum) per full block; energy per level scaled by
-    2^(5-level) makes every level's energy an exact BIGINT on a
-    common denominator, so the per-level share of total detail energy
+    2^(5-level) makes every level's energy an exact integer on a
+    common denominator (int128 — D^2 passes 2^63 once a 32h block
+    holds ~3e9 events; emitted as an exact DOUBLE cast), so the
+    per-level share of total detail energy
     (which timescale carries the variability — hourly jitter vs
     daily swings) is one exact-integer ratio. The 5x720-row scaffold
     does all window/group work; the raw table feeds one hour
@@ -24291,9 +24403,10 @@ def q_haar_wavelet_energy_hourly(
     )
     e = d.groupBy("lvl", "sc").agg(
         F.count(F.lit(1)).cast("long").alias("n_blocks"),
-        (F.sum(F.col("dd") * F.col("dd")) * F.col("sc").cast("long"))
-        .cast("long")
-        .alias("energy_scaled"),
+        (
+            F.sum(F.col("dd").cast("decimal(38,0)") * F.col("dd"))
+            * F.col("sc").cast("long")
+        ).alias("energy_scaled"),
     )
     wall = W.partitionBy().orderBy(F.lit(1)).rowsBetween(
         W.unboundedPreceding, W.unboundedFollowing
@@ -24301,11 +24414,11 @@ def q_haar_wavelet_energy_hourly(
     return e.select(
         F.col("lvl").cast("long").alias("level"),
         "n_blocks",
-        "energy_scaled",
+        F.col("energy_scaled").cast("double").alias("energy_scaled"),
         F.round(
             F.col("energy_scaled").cast("double")
             / F.expr(
-                "nullif(CAST(sum(energy_scaled) OVER () AS BIGINT), 0)"
+                "nullif(CAST(sum(energy_scaled) OVER () AS DOUBLE), 0)"
             ),
             6,
         ).alias("energy_share"),
@@ -24316,7 +24429,8 @@ def q_haar_wavelet_energy_hourly(
 # Round-10 batch B: exact-moment time-series regression (Yule-Walker,
 # partial correlation, Granger), revenue concentration/drawdown, and
 # lexical diversity indices. Every correlation/regression rides n-scaled
-# centered BIGINT moment sums (S_ab = n*sum(ab) - sum(a)*sum(b)); only
+# centered exact-integer moment sums (S_ab = n*sum(ab) - sum(a)*sum(b)),
+# int128-widened where the products are n^2*N^2-magnitude; only
 # the final closed-form combinations run in pinned-order doubles.
 # ---------------------------------------------------------------------------
 
@@ -24347,11 +24461,11 @@ def q_haar_wavelet_energy_hourly(
     ),
     m AS (
       SELECT CAST(min(nn) AS BIGINT) AS nn,
-             CAST(sum(e * e) AS BIGINT) AS c0,
-             CAST(sum(CASE WHEN e1 IS NOT NULL THEN e * e1 ELSE 0 END)
-                  AS BIGINT) AS c1,
-             CAST(sum(CASE WHEN e2 IS NOT NULL THEN e * e2 ELSE 0 END)
-                  AS BIGINT) AS c2
+             sum(e::HUGEINT * e) AS c0,
+             sum(CASE WHEN e1 IS NOT NULL THEN e::HUGEINT * e1
+                 ELSE 0::HUGEINT END) AS c1,
+             sum(CASE WHEN e2 IS NOT NULL THEN e::HUGEINT * e2
+                 ELSE 0::HUGEINT END) AS c2
       FROM d
     )
     SELECT nn AS n_hours,
@@ -24370,8 +24484,9 @@ def q_haar_wavelet_energy_hourly(
 )
 def q_ar2_yule_walker_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AR(2) fit of the zero-filled hourly count series by Yule-Walker:
-    lag-1/2 autocovariances as n-scaled centered BIGINT sums
-    C_k = sum((n*y_t - S)(n*y_{t+k} - S)), then
+    lag-1/2 autocovariances as n-scaled centered int128 sums
+    C_k = sum((n*y_t - S)(n*y_{t+k} - S)) (nn^2*N^2-magnitude — BIGINT
+    would throw once nn*sd(y) passes ~3e9), then
     phi1 = C1(C0-C2)/(C0^2-C1^2), phi2 = (C2*C0-C1^2)/(C0^2-C1^2) —
     exact-integer numerators/denominators combined once in pinned-order
     doubles. Two lead's over the 720-row grid; the raw table feeds one
@@ -24405,11 +24520,11 @@ def q_ar2_yule_walker_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = d.selectExpr(
         "CAST(min(nn) AS BIGINT) AS nn",
-        "CAST(sum(e * e) AS BIGINT) AS c0",
-        "CAST(sum(CASE WHEN e1 IS NOT NULL THEN e * e1 ELSE 0 END)"
-        " AS BIGINT) AS c1",
-        "CAST(sum(CASE WHEN e2 IS NOT NULL THEN e * e2 ELSE 0 END)"
-        " AS BIGINT) AS c2",
+        "sum(CAST(e AS DECIMAL(38,0)) * e) AS c0",
+        "sum(CASE WHEN e1 IS NOT NULL THEN CAST(e AS DECIMAL(38,0)) * e1"
+        " ELSE CAST(0 AS DECIMAL(38,0)) END) AS c1",
+        "sum(CASE WHEN e2 IS NOT NULL THEN CAST(e AS DECIMAL(38,0)) * e2"
+        " ELSE CAST(0 AS DECIMAL(38,0)) END) AS c2",
     )
     return m.selectExpr(
         "nn AS n_hours",
@@ -24441,19 +24556,22 @@ def q_ar2_yule_walker_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
              CAST(sum(z) AS BIGINT) AS sz,
-             CAST(sum(x * x) AS BIGINT) AS sxx,
-             CAST(sum(y * y) AS BIGINT) AS syy,
-             CAST(sum(z * z) AS BIGINT) AS szz,
-             CAST(sum(x * y) AS BIGINT) AS sxy,
-             CAST(sum(x * z) AS BIGINT) AS sxz,
-             CAST(sum(y * z) AS BIGINT) AS syz
+             sum(x::HUGEINT * x) AS sxx,
+             sum(y::HUGEINT * y) AS syy,
+             sum(z::HUGEINT * z) AS szz,
+             sum(x::HUGEINT * y) AS sxy,
+             sum(x::HUGEINT * z) AS sxz,
+             sum(y::HUGEINT * z) AS syz
       FROM c
     ),
     s AS (
       SELECT n,
-             n * sxx - sx * sx AS cxx, n * syy - sy * sy AS cyy,
-             n * szz - sz * sz AS czz, n * sxy - sx * sy AS cxy,
-             n * sxz - sx * sz AS cxz, n * syz - sy * sz AS cyz
+             n * sxx - sx::HUGEINT * sx AS cxx,
+             n * syy - sy::HUGEINT * sy AS cyy,
+             n * szz - sz::HUGEINT * sz AS czz,
+             n * sxy - sx::HUGEINT * sy AS cxy,
+             n * sxz - sx::HUGEINT * sz AS cxz,
+             n * syz - sy::HUGEINT * sz AS cyz
       FROM m
     ),
     r AS (
@@ -24479,8 +24597,9 @@ def q_partial_correlation_hourly_types(
     """Partial correlation of hourly click and purchase counts
     controlling for view traffic: is the click-purchase co-movement
     real or just both riding overall volume? The three pairwise
-    correlations come from n-scaled centered BIGINT moments of ONE
-    hour-grouped pass (6 sums), then the textbook partial formula runs
+    correlations come from n-scaled centered int128 moments of ONE
+    hour-grouped pass (6 sums; n^2*N^2-magnitude — BIGINT would throw
+    at ~1e7 hourly counts), then the textbook partial formula runs
     in pinned-order doubles with degenerate-variance nullif guards."""
     ev = _events(spark, sf_dir)
     us = F.unix_timestamp(F.col("ts").cast("timestamp"))
@@ -24500,20 +24619,20 @@ def q_partial_correlation_hourly_types(
         "CAST(sum(x) AS BIGINT) AS sx",
         "CAST(sum(y) AS BIGINT) AS sy",
         "CAST(sum(z) AS BIGINT) AS sz",
-        "CAST(sum(x * x) AS BIGINT) AS sxx",
-        "CAST(sum(y * y) AS BIGINT) AS syy",
-        "CAST(sum(z * z) AS BIGINT) AS szz",
-        "CAST(sum(x * y) AS BIGINT) AS sxy",
-        "CAST(sum(x * z) AS BIGINT) AS sxz",
-        "CAST(sum(y * z) AS BIGINT) AS syz",
+        "sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx",
+        "sum(CAST(y AS DECIMAL(38,0)) * y) AS syy",
+        "sum(CAST(z AS DECIMAL(38,0)) * z) AS szz",
+        "sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy",
+        "sum(CAST(x AS DECIMAL(38,0)) * z) AS sxz",
+        "sum(CAST(y AS DECIMAL(38,0)) * z) AS syz",
     ).selectExpr(
         "n",
-        "n * sxx - sx * sx AS cxx",
-        "n * syy - sy * sy AS cyy",
-        "n * szz - sz * sz AS czz",
-        "n * sxy - sx * sy AS cxy",
-        "n * sxz - sx * sz AS cxz",
-        "n * syz - sy * sz AS cyz",
+        "n * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS cxx",
+        "n * syy - CAST(sy AS DECIMAL(38,0)) * sy AS cyy",
+        "n * szz - CAST(sz AS DECIMAL(38,0)) * sz AS czz",
+        "n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS cxy",
+        "n * sxz - CAST(sx AS DECIMAL(38,0)) * sz AS cxz",
+        "n * syz - CAST(sy AS DECIMAL(38,0)) * sz AS cyz",
     ).selectExpr(
         "n",
         "CAST(cxy AS DOUBLE)"
@@ -24559,19 +24678,22 @@ def q_partial_correlation_hourly_types(
       SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(sum(y) AS BIGINT) AS wy, CAST(sum(u) AS BIGINT) AS wu,
              CAST(sum(x) AS BIGINT) AS wx,
-             CAST(sum(y * y) AS BIGINT) AS wyy,
-             CAST(sum(u * u) AS BIGINT) AS wuu,
-             CAST(sum(x * x) AS BIGINT) AS wxx,
-             CAST(sum(y * u) AS BIGINT) AS wyu,
-             CAST(sum(y * x) AS BIGINT) AS wyx,
-             CAST(sum(u * x) AS BIGINT) AS wux
+             sum(y::HUGEINT * y) AS wyy,
+             sum(u::HUGEINT * u) AS wuu,
+             sum(x::HUGEINT * x) AS wxx,
+             sum(y::HUGEINT * u) AS wyu,
+             sum(y::HUGEINT * x) AS wyx,
+             sum(u::HUGEINT * x) AS wux
       FROM p WHERE u IS NOT NULL
     ),
     s AS (
       SELECT n,
-             n * wyy - wy * wy AS syy, n * wuu - wu * wu AS suu,
-             n * wxx - wx * wx AS sxx, n * wyu - wy * wu AS suy,
-             n * wyx - wy * wx AS sxy, n * wux - wu * wx AS sux
+             n * wyy - wy::HUGEINT * wy AS syy,
+             n * wuu - wu::HUGEINT * wu AS suu,
+             n * wxx - wx::HUGEINT * wx AS sxx,
+             n * wyu - wy::HUGEINT * wu AS suy,
+             n * wyx - wy::HUGEINT * wx AS sxy,
+             n * wux - wu::HUGEINT * wx AS sux
       FROM m
     ),
     f AS (
@@ -24605,8 +24727,9 @@ def q_granger_lag1_clicks_to_purchases(
     """Lag-1 Granger causality from hourly clicks to purchases: does
     last hour's click count improve the purchase AR(1) forecast?
     F = (RSS_r - RSS_u)/RSS_u * (n-3) from the two OLS fits, both
-    solved in closed form from ONE pass of n-scaled centered BIGINT
-    moments (Cramer's rule on the 2x2 normal equations); the scaled
+    solved in closed form from ONE pass of n-scaled centered int128
+    moments (n^2*N^2-magnitude — BIGINT would throw at ~1e7 hourly
+    counts; Cramer's rule on the 2x2 normal equations); the scaled
     RSS ratio cancels the 1/n factors so no mean subtraction ever
     touches floats. Degenerate designs (constant series) nullif to
     NULL on both engines."""
@@ -24642,20 +24765,20 @@ def q_granger_lag1_clicks_to_purchases(
         "CAST(sum(y) AS BIGINT) AS wy",
         "CAST(sum(u) AS BIGINT) AS wu",
         "CAST(sum(x) AS BIGINT) AS wx",
-        "CAST(sum(y * y) AS BIGINT) AS wyy",
-        "CAST(sum(u * u) AS BIGINT) AS wuu",
-        "CAST(sum(x * x) AS BIGINT) AS wxx",
-        "CAST(sum(y * u) AS BIGINT) AS wyu",
-        "CAST(sum(y * x) AS BIGINT) AS wyx",
-        "CAST(sum(u * x) AS BIGINT) AS wux",
+        "sum(CAST(y AS DECIMAL(38,0)) * y) AS wyy",
+        "sum(CAST(u AS DECIMAL(38,0)) * u) AS wuu",
+        "sum(CAST(x AS DECIMAL(38,0)) * x) AS wxx",
+        "sum(CAST(y AS DECIMAL(38,0)) * u) AS wyu",
+        "sum(CAST(y AS DECIMAL(38,0)) * x) AS wyx",
+        "sum(CAST(u AS DECIMAL(38,0)) * x) AS wux",
     ).selectExpr(
         "n",
-        "n * wyy - wy * wy AS syy",
-        "n * wuu - wu * wu AS suu",
-        "n * wxx - wx * wx AS sxx",
-        "n * wyu - wy * wu AS suy",
-        "n * wyx - wy * wx AS sxy",
-        "n * wux - wu * wx AS sux",
+        "n * wyy - CAST(wy AS DECIMAL(38,0)) * wy AS syy",
+        "n * wuu - CAST(wu AS DECIMAL(38,0)) * wu AS suu",
+        "n * wxx - CAST(wx AS DECIMAL(38,0)) * wx AS sxx",
+        "n * wyu - CAST(wy AS DECIMAL(38,0)) * wu AS suy",
+        "n * wyx - CAST(wy AS DECIMAL(38,0)) * wx AS sxy",
+        "n * wux - CAST(wu AS DECIMAL(38,0)) * wx AS sux",
     ).selectExpr(
         "n",
         "syy",
@@ -25253,9 +25376,9 @@ def q_eval_hosmer_lemeshow_deciles(
     m AS (
       SELECT arm, CAST(count(*) AS BIGINT) AS k,
              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(n) AS BIGINT) AS sn,
-             CAST(sum(x * x) AS BIGINT) AS sxx,
-             CAST(sum(n * n) AS BIGINT) AS snn,
-             CAST(sum(x * n) AS BIGINT) AS sxn
+             sum(x::HUGEINT * x) AS sxx,
+             sum(n::HUGEINT * n) AS snn,
+             sum(x::HUGEINT * n) AS sxn
       FROM u GROUP BY 1
     ),
     r AS (
@@ -25282,8 +25405,10 @@ def q_ab_delta_method_ratio_se(
     for per-user ratio metrics where both numerator and denominator
     are random (naive per-event SEs understate). Per-user numerators
     stay integer milli-units; the residual quadratic form
-    sum(x^2) - 2R sum(xn) + R^2 sum(n^2) combines exact BIGINT moments
-    in pinned-order doubles; se = sqrt(k/(k-1) * Sd2) / sum(n)."""
+    sum(x^2) - 2R sum(xn) + R^2 sum(n^2) combines exact int128 moments
+    (the squared-milli sums pass 2^63 at ~1e8 users of ~1e3-value
+    purchases) in pinned-order doubles;
+    se = sqrt(k/(k-1) * Sd2) / sum(n)."""
     ev = _events(spark, sf_dir)
     u = ev.groupBy(
         "user_id", (F.col("user_id") % 2).alias("arm")
@@ -25304,9 +25429,9 @@ def q_ab_delta_method_ratio_se(
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum("x").cast("long").alias("sx"),
         F.sum("n").cast("long").alias("sn"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("n") * F.col("n")).cast("long").alias("snn"),
-        F.sum(F.col("x") * F.col("n")).cast("long").alias("sxn"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("n")).alias("snn"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("n")).alias("sxn"),
     )
     r = m.selectExpr(
         "arm",
@@ -25745,10 +25870,10 @@ def q_eval_reliability_slope_intercept(
     g AS (
       SELECT event_type, CAST(count(*) AS BIGINT) AS ni,
              CAST(sum(vm) AS BIGINT) AS si,
-             CAST(sum(vm * vm) AS BIGINT) AS qi
+             sum(vm::HUGEINT * vm) AS qi
       FROM v GROUP BY 1
       HAVING count(*) >= 2
-         AND count(*)::HUGEINT * sum(vm * vm)
+         AND count(*)::HUGEINT * sum(vm::HUGEINT * vm)
              > sum(vm)::HUGEINT * sum(vm)
     ),
     t AS (
@@ -25795,7 +25920,9 @@ def q_bartlett_test_value_by_type(
         .agg(
             F.count(F.lit(1)).cast("long").alias("ni"),
             F.sum("vm").cast("long").alias("si"),
-            F.sum(F.col("vm") * F.col("vm")).cast("long").alias("qi"),
+            F.sum(
+                F.col("vm").cast("decimal(38,0)") * F.col("vm")
+            ).alias("qi"),
         )
         .where(
             (F.col("ni") >= 2)
@@ -25855,10 +25982,11 @@ def q_bartlett_test_value_by_type(
              CAST(sum(c1) AS BIGINT) AS n1 FROM hist
     ),
     d AS (
-      SELECT CAST(sum(abs(h.c0 * s.n1 - h.c1 * s.n0)) AS BIGINT)
+      SELECT sum(abs(h.c0::HUGEINT * s.n1 - h.c1::HUGEINT * s.n0))
                AS tv_num,
-             CAST(sum(CAST(floor(sqrt(CAST(h.c0 * h.c1 AS DOUBLE))
-               * 1000000.0) AS BIGINT)) AS BIGINT) AS bc_micro
+             CAST(sum(CAST(floor(sqrt(CAST(h.c0::HUGEINT * h.c1
+               AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS bc_micro
       FROM hist h, s
     )
     SELECT s.n0, s.n1,
@@ -25903,13 +26031,14 @@ def q_distribution_distance_arms(
         F.sum("c1").cast("long").alias("n1"),
     )
     d = hist.crossJoin(F.broadcast(s)).selectExpr(
-        "abs(c0 * n1 - c1 * n0) AS tvt",
-        "CAST(floor(sqrt(CAST(c0 * c1 AS DOUBLE)) * 1000000.0)"
-        " AS BIGINT) AS bct",
+        "abs(CAST(c0 AS DECIMAL(38,0)) * n1"
+        " - CAST(c1 AS DECIMAL(38,0)) * n0) AS tvt",
+        "CAST(floor(sqrt(CAST(CAST(c0 AS DECIMAL(38,0)) * c1 AS DOUBLE))"
+        " * 1000000.0) AS BIGINT) AS bct",
         "n0",
         "n1",
     ).groupBy("n0", "n1").agg(
-        F.sum("tvt").cast("long").alias("tv_num"),
+        F.sum("tvt").alias("tv_num"),
         F.sum("bct").cast("long").alias("bc_micro"),
     )
     return d.selectExpr(
@@ -26223,10 +26352,10 @@ def q_eval_ks_score_separation(
       FROM z
     ),
     e AS (SELECT z.h, g.nn * z.y - g.s AS d, g.nn FROM z, g),
-    c0 AS (SELECT CAST(sum(d * d) AS BIGINT) AS c0 FROM e),
+    c0 AS (SELECT sum(d::HUGEINT * d) AS c0 FROM e),
     lk AS (
       SELECT l.k,
-             CAST(sum(a.d * b.d) AS BIGINT) AS ck
+             sum(a.d::HUGEINT * b.d) AS ck
       FROM (SELECT unnest(generate_series(1, 24)) AS k) l
       JOIN e a ON TRUE
       JOIN e b ON b.h = a.h + l.k
@@ -26254,10 +26383,13 @@ def q_integrated_autocorrelation_time_hourly(
     of the hourly count series — the effective-sample-size deflator
     (n_eff = n/tau) that says how much the hourly observations
     actually decorrelate; feeds honest CIs for any rate metric. Each
-    autocovariance C_k is an n-scaled centered BIGINT sum over the
-    720-row grid (lag join on h+k); each rho_k floor-quantizes to
-    micro-units before the 24-term sum, so the statistic is an exact
-    integer combination."""
+    autocovariance C_k is an n-scaled centered exact-integer sum over
+    the 720-row grid (lag join on h+k); the squared deviations are
+    (nn*y - s)^2 ~ nn^2*N^2-magnitude, so they ride int128
+    (DECIMAL(38,0)/HUGEINT — BIGINT would throw once nn*sd(y)
+    passes ~3e9). Each rho_k floor-quantizes to micro-units before
+    the 24-term sum, so the statistic is an exact integer
+    combination."""
     ev = _events(spark, sf_dir)
     us = F.unix_timestamp(F.col("ts").cast("timestamp"))
     c = ev.groupBy((us / 3600).cast("long").alias("h")).agg(
@@ -26280,7 +26412,9 @@ def q_integrated_autocorrelation_time_hourly(
     e = z.crossJoin(F.broadcast(g)).select(
         "h", (F.col("nn") * F.col("y") - F.col("s")).alias("d"), "nn"
     )
-    c0 = e.agg(F.sum(F.col("d") * F.col("d")).cast("long").alias("c0"))
+    c0 = e.agg(
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("d")).alias("c0")
+    )
     lags = spark.range(1, 25).select(F.col("id").alias("k"))
     a = e.selectExpr("h", "d AS da")
     b = e.selectExpr("h AS hb", "d AS db")
@@ -26288,7 +26422,11 @@ def q_integrated_autocorrelation_time_hourly(
         a.crossJoin(F.broadcast(lags))
         .join(b, F.col("hb") == F.col("h") + F.col("k"))
         .groupBy("k")
-        .agg(F.sum(F.col("da") * F.col("db")).cast("long").alias("ck"))
+        .agg(
+            F.sum(
+                F.col("da").cast("decimal(38,0)") * F.col("db")
+            ).alias("ck")
+        )
     )
     q = lk.crossJoin(F.broadcast(c0)).selectExpr(
         "k",
