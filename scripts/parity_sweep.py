@@ -62,6 +62,20 @@ def main() -> int:
             text=True,
         ).stdout.strip()
     )
+    # exact-tree provenance (round-10 verdict nit): the sweep necessarily
+    # runs BEFORE the commit that carries its artifact, so pin the
+    # verified tree bit-exactly via `git stash create`-style tree hash
+    # (includes uncommitted tracked changes) rather than parent+dirty.
+    tree = subprocess.run(
+        ["git", "stash", "create"], cwd=REPO, capture_output=True, text=True
+    ).stdout.strip()
+    if not tree:  # clean tree: stash create emits nothing
+        tree = subprocess.run(
+            ["git", "rev-parse", "HEAD^{tree}"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+        ).stdout.strip()
 
     spark = get_spark("parity-sweep", shuffle_partitions=16)
     results: dict[str, dict] = {}
@@ -85,6 +99,7 @@ def main() -> int:
     artifact = {
         "sf_dir": sf_dir,
         "commit": sha,
+        "verified_tree": tree,
         "working_tree_dirty": dirty,
         "n_queries": len(results),
         "n_green": len(results) - fails,
