@@ -212,3 +212,155 @@ class TestRound11PlanShapesA:
     )
     def test_no_cartesian(self, spark, name):
         assert "CartesianProduct" not in self._plan(name, spark)
+
+
+def _two_type_hourly_events(tmp_path, counts_by_type):
+    """counts_by_type: {type: [hourly counts]} on a shared hour grid."""
+    import pandas as pd
+
+    from tests.test_round8_ops import _write_events as _we
+
+    rows, eid = [], 0
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    for et, counts in counts_by_type.items():
+        for i, c in enumerate(counts):
+            for j in range(c):
+                rows.append(
+                    (eid, str(t0 + pd.Timedelta(seconds=i * 3600 + j)),
+                     1 + j, et, None, None)
+                )
+                eid += 1
+    _we(tmp_path, rows)
+
+
+class TestBatchBSeriesFeatures:
+    def test_hjorth_hand_computed(self, spark, tmp_path):
+        from tests.test_round9_ops import _bucket_counts_events
+
+        # y = [1,3,2,4]: v0 = 1.25, v1(d1=[2,-1,2]) = 2, v2(d2=[-3,3]) = 9
+        _bucket_counts_events(tmp_path, [1, 3, 2, 4], bucket_seconds=3600)
+        r = _run(spark, tmp_path, "hjorth_parameters_hourly")[0]
+        assert r["n_hours"] == 4
+        assert r["activity"] == 1.25
+        assert r["mobility"] == round(math.sqrt(2 / 1.25), 6)
+        assert r["complexity"] == round(
+            math.sqrt(9 / 2) / math.sqrt(2 / 1.25), 6
+        )
+
+    def test_hjorth_constant_series_null(self, spark, tmp_path):
+        from tests.test_round9_ops import _bucket_counts_events
+
+        _bucket_counts_events(tmp_path, [2, 2, 2], bucket_seconds=3600)
+        r = _run(spark, tmp_path, "hjorth_parameters_hourly")[0]
+        assert r["activity"] == 0.0
+        assert r["mobility"] is None and r["complexity"] is None
+
+    def test_cid_hand_computed(self, spark, tmp_path):
+        # A = [1,3] (ce2 = 4), B = [2,4] (ce2 = 4): ed = sqrt(2),
+        # cid = sqrt(2) * sqrt(4)/sqrt(4) = sqrt(2)
+        _two_type_hourly_events(tmp_path, {"A": [1, 3], "B": [2, 4]})
+        r = _run(spark, tmp_path, "cid_ce_pairwise_types")[0]
+        assert (r["type_a"], r["type_b"]) == ("A", "B")
+        assert r["euclid_dist"] == round(math.sqrt(2), 6)
+        assert r["cid_dist"] == round(math.sqrt(2), 6)
+
+    def test_cid_flat_series_null(self, spark, tmp_path):
+        # B flat -> min ce2 = 0 -> cid NULL instead of an ANSI throw
+        _two_type_hourly_events(tmp_path, {"A": [1, 3], "B": [2, 2]})
+        r = _run(spark, tmp_path, "cid_ce_pairwise_types")[0]
+        assert r["euclid_dist"] == round(math.sqrt(2), 6)
+        assert r["cid_dist"] is None
+
+    def test_sample_entropy_alternating(self, spark, tmp_path):
+        from tests.test_round9_ops import _bucket_counts_events
+
+        # [1,2,1,2,1], r = 0: B = 2 template matches (m=2), A = 1 (m=3)
+        _bucket_counts_events(tmp_path, [1, 2, 1, 2, 1])
+        r = _run(spark, tmp_path, "sample_entropy_6h")[0]
+        assert (r["n_buckets"], r["r_tol"]) == (5, 0)
+        assert (r["n_matches_m2"], r["n_matches_m3"]) == (2, 1)
+        assert r["sample_entropy"] == round(math.log(2.0), 6)
+
+    def test_theils_u2_and_mase_linear_ramp(self, spark, tmp_path):
+        from tests.test_round9_ops import _bucket_counts_events
+
+        # counts 1..26 hourly: for t in {25, 26}: |y - y_{t-24}| = 24,
+        # |y - y_{t-1}| = 1 -> U2 = sqrt(2*576/2) = 24, MASE = 48/2 = 24
+        _bucket_counts_events(
+            tmp_path, list(range(1, 27)), bucket_seconds=3600
+        )
+        r = _run(spark, tmp_path, "theils_u2_seasonal_hourly")[0]
+        assert r["n_used"] == 2
+        assert r["sse_seasonal"] == 1152.0 and r["sse_naive"] == 2.0
+        assert r["theils_u2"] == 24.0
+        m = _run(spark, tmp_path, "mase_seasonal_naive_hourly")[0]
+        assert m["n_used"] == 2
+        assert (m["sum_abs_e_seasonal"], m["sum_abs_e_naive"]) == (48, 2)
+        assert m["mase"] == 24.0
+
+    def test_bartels_alternating(self, spark, tmp_path):
+        from tests.test_round9_ops import _bucket_counts_events
+
+        # [1,2,1,2]: doubled midranks [3,7,3,7] -> num = 48, den = 16
+        _bucket_counts_events(tmp_path, [1, 2, 1, 2])
+        r = _run(spark, tmp_path, "bartels_rank_vn_ratio_6h")[0]
+        assert r["n_buckets"] == 4
+        assert r["bartels_rvn"] == 3.0
+
+    def test_bartels_constant_null(self, spark, tmp_path):
+        from tests.test_round9_ops import _bucket_counts_events
+
+        _bucket_counts_events(tmp_path, [2, 2, 2])
+        r = _run(spark, tmp_path, "bartels_rank_vn_ratio_6h")[0]
+        assert r["bartels_rvn"] is None
+
+    def test_tracking_signal_monotone(self, spark, tmp_path):
+        from tests.test_round9_ops import _bucket_counts_events
+
+        # errors [1, 2]: TS = 2*3 / (3*2) = 1.0 (all-positive bias)
+        _bucket_counts_events(tmp_path, [1, 2, 4])
+        r = _run(spark, tmp_path, "tracking_signal_6h")[0]
+        assert (r["n_errors"], r["sum_err"], r["sum_abs_err"]) == (2, 3, 3)
+        assert r["tracking_signal"] == 1.0
+
+    def test_lag_quadrant_phi_step(self, spark, tmp_path):
+        from tests.test_round9_ops import _bucket_counts_events
+
+        # [1,1,3,3]: doubled median 4, sides [0,0,1,1]:
+        # n_ll=1, n_lh=1, n_hh=1 -> phi = 1/sqrt(4) = 0.5
+        _bucket_counts_events(tmp_path, [1, 1, 3, 3], bucket_seconds=3600)
+        r = _run(spark, tmp_path, "lag_quadrant_phi_hourly")[0]
+        assert (r["n_ll"], r["n_lh"], r["n_hl"], r["n_hh"]) == (1, 1, 0, 1)
+        assert r["lag_phi"] == 0.5
+
+
+class TestRound11PlanShapesB:
+    SF = "/root/testdata/sf0.001"
+
+    def _plan(self, name, spark):
+        return (
+            q.queries()[name](spark, self.SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    def test_cid_hour_equijoin(self, spark):
+        # the type-pair distance joins series on the hour key — the
+        # type_a < type_b predicate must not force a cartesian of rows
+        plan = self._plan("cid_ce_pairwise_types", spark)
+        assert "CartesianProduct" not in plan
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "hjorth_parameters_hourly",
+            "theils_u2_seasonal_hourly",
+            "mase_seasonal_naive_hourly",
+            "bartels_rank_vn_ratio_6h",
+            "tracking_signal_6h",
+            "lag_quadrant_phi_hourly",
+        ],
+    )
+    def test_no_cartesian(self, spark, name):
+        assert "CartesianProduct" not in self._plan(name, spark)
