@@ -364,3 +364,193 @@ class TestRound11PlanShapesB:
     )
     def test_no_cartesian(self, spark, name):
         assert "CartesianProduct" not in self._plan(name, spark)
+
+
+class TestBatchCScaleLocationTests:
+    # arm0 (even users) = {1, 4} extremes; arm1 (odd) = {2, 3} center —
+    # the mood fixture geometry, reused across the scale tests
+    ARM_ROWS = [
+        (0, "2024-01-01 00:00:00", 2, "A", 1.0, None),
+        (1, "2024-01-01 00:00:01", 2, "A", 4.0, None),
+        (2, "2024-01-01 00:00:02", 3, "A", 2.0, None),
+        (3, "2024-01-01 00:00:03", 3, "A", 3.0, None),
+    ]
+
+    def test_conover_hand_computed(self, spark, tmp_path):
+        # dm = 5000; d2: arm1 -> {1000, 1000} (r2 = 3), arm0 -> {3000,
+        # 3000} (r2 = 7): t4w = 2*9 = 18, a4 = 2*9 + 2*49 = 116
+        _write_events(tmp_path, self.ARM_ROWS)
+        r = _run(spark, tmp_path, "conover_squared_ranks_arms")[0]
+        assert (r["n0"], r["n1"]) == (2, 2)
+        assert r["conover_msq_x4"] == 9.0
+        assert r["dispersion_ratio"] == round(18 / 116 * 2, 6)
+
+    def test_ansari_bradley_hand_computed(self, spark, tmp_path):
+        # doubled AB scores over N=4 ranks: [2,4,4,2]; arm1 holds ranks
+        # 2,3 -> ab1 = 2 + 2 = 4, mean score 2
+        _write_events(tmp_path, self.ARM_ROWS)
+        r = _run(spark, tmp_path, "ansari_bradley_scale_arms")[0]
+        assert (r["n0"], r["n1"]) == (2, 2)
+        assert r["ab_stat"] == 4.0
+        assert r["ab_mean_score"] == 2.0
+
+    def test_brown_mood_hand_computed(self, spark, tmp_path):
+        # A = {1,2}, B = {3,4}: dm = 5000, above = {3,4} all in B:
+        # each type's chi2 term = 2 -> 4.0 total
+        rows = [
+            (0, "2024-01-01 00:00:00", 1, "A", 1.0, None),
+            (1, "2024-01-01 00:00:01", 1, "A", 2.0, None),
+            (2, "2024-01-01 00:00:02", 1, "B", 3.0, None),
+            (3, "2024-01-01 00:00:03", 1, "B", 4.0, None),
+        ]
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "brown_mood_median_ktypes")[0]
+        assert (r["n_types"], r["n_values"], r["n_above"]) == (2, 4, 2)
+        assert r["median_chi2"] == 4.0
+
+    def test_kendall_w_perfect_agreement(self, spark, tmp_path):
+        # two days, identical block ordering 1<2<3<4 events -> W = 1
+        rows, eid = [], 0
+        for day in (1, 2):
+            for bkt in range(4):
+                for j in range(bkt + 1):
+                    rows.append(
+                        (eid, "2024-01-%02d %02d:00:%02d"
+                         % (day, bkt * 6, j), 1, "A", None, None)
+                    )
+                    eid += 1
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "kendall_w_hour_blocks")[0]
+        assert (r["n_days"], r["n_blocks"]) == (2, 4)
+        assert r["kendall_w"] == 1.0
+
+    def test_dunn_no_ties_hand_computed(self, spark, tmp_path):
+        # A = {1,2} (mean rank 1.5), B = {3,4} (3.5), no ties:
+        # z = -2 / sqrt((4*5/12) * 1) = -1.549193
+        rows = [
+            (0, "2024-01-01 00:00:00", 1, "A", 1.0, None),
+            (1, "2024-01-01 00:00:01", 1, "A", 2.0, None),
+            (2, "2024-01-01 00:00:02", 1, "B", 3.0, None),
+            (3, "2024-01-01 00:00:03", 1, "B", 4.0, None),
+        ]
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "dunn_posthoc_type_pairs")[0]
+        assert (r["type_a"], r["type_b"]) == ("A", "B")
+        assert r["dunn_z"] == round(-2 / math.sqrt(20 / 12), 6)
+
+    def test_anderson_darling_two_singletons(self, spark, tmp_path):
+        # arm0 = {1}, arm1 = {2}: single interior term = 1.0 micro-exact
+        # -> A2 = 1.0 / nt = 0.5
+        rows = [
+            (0, "2024-01-01 00:00:00", 2, "A", 1.0, None),
+            (1, "2024-01-01 00:00:01", 3, "A", 2.0, None),
+        ]
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "anderson_darling_value_arms")[0]
+        assert (r["n0"], r["n1"]) == (1, 1)
+        assert r["ad_stat"] == 0.5
+
+    def test_anderson_darling_single_arm_null(self, spark, tmp_path):
+        rows = [
+            (0, "2024-01-01 00:00:00", 2, "A", 1.0, None),
+            (1, "2024-01-01 00:00:01", 4, "A", 2.0, None),
+        ]
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "anderson_darling_value_arms")[0]
+        assert r["n1"] == 0 and r["ad_stat"] is None
+
+
+def _score_replica(eid, uid):
+    """Python replica of the _SCORED_SQL deterministic score."""
+    import hashlib
+
+    y = 1 if uid % 3 == 0 else 0
+    u = (int(hashlib.md5(str(eid).encode()).hexdigest()[:4], 16) % 1000) / 999.0
+    return y, 0.3 * y + 0.7 * u
+
+
+class TestBatchCEvalDiagnostics:
+    def test_youden_matches_python_replica(self, spark, tmp_path):
+        rows = [
+            (eid, "2024-01-01 00:00:%02d" % (eid % 60), uid, "A", None,
+             None)
+            for eid, uid in enumerate(range(24))
+        ]
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "eval_youden_j_threshold")[0]
+        scored = [_score_replica(eid, uid) for eid, uid in
+                  enumerate(range(24))]
+        pos = sum(y for y, _ in scored)
+        neg = len(scored) - pos
+        best = None
+        for thr10 in range(1, 10):
+            tp = sum(1 for y, s in scored if s * 10 >= thr10 and y == 1)
+            fp = sum(1 for y, s in scored if s * 10 >= thr10 and y == 0)
+            crit = tp * neg - fp * pos
+            if best is None or crit > best[0] or (
+                crit == best[0] and thr10 < best[1]
+            ):
+                best = (crit, thr10, tp, fp)
+        assert r["thr10"] == best[1]
+        assert (r["tp"], r["fp"], r["pos"], r["neg"]) == (
+            best[2], best[3], pos, neg
+        )
+        assert r["youden_j"] == round(
+            best[2] / pos - best[3] / neg + 0.0, 6
+        )
+
+    def test_hanley_matches_python_replica(self, spark, tmp_path):
+        rows = [
+            (eid, "2024-01-01 00:00:%02d" % (eid % 60), uid, "A", None,
+             None)
+            for eid, uid in enumerate(range(24))
+        ]
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "eval_auc_hanley_ci")[0]
+        scored = [_score_replica(eid, uid) for eid, uid in
+                  enumerate(range(24))]
+        pos = [s for y, s in scored if y == 1]
+        neg = [s for y, s in scored if y == 0]
+        u2 = sum(
+            2 * sum(1 for n_ in neg if n_ < p)
+            + sum(1 for n_ in neg if n_ == p)
+            for p in pos
+        )
+        a = u2 / (2 * len(pos) * len(neg))
+        assert r["auc"] == round(a, 6)
+        n1, n0 = len(pos), len(neg)
+        se = math.sqrt(
+            (a * (1 - a)
+             + (n1 - 1) * (a / (2 - a) - a * a)
+             + (n0 - 1) * (2 * a * a / (1 + a) - a * a))
+            / (n1 * n0)
+        )
+        assert r["hanley_se"] == round(se, 6)
+
+
+class TestRound11PlanShapesC:
+    SF = "/root/testdata/sf0.001"
+
+    def _plan(self, name, spark):
+        return (
+            q.queries()[name](spark, self.SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "conover_squared_ranks_arms",
+            "ansari_bradley_scale_arms",
+            "brown_mood_median_ktypes",
+            "kendall_w_hour_blocks",
+            "anderson_darling_value_arms",
+            "eval_auc_hanley_ci",
+        ],
+    )
+    def test_no_cartesian(self, spark, name):
+        # every scale/median test rides the value histogram with
+        # broadcast scalar joins only
+        assert "CartesianProduct" not in self._plan(name, spark)
