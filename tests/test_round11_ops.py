@@ -554,3 +554,157 @@ class TestRound11PlanShapesC:
         # every scale/median test rides the value histogram with
         # broadcast scalar joins only
         assert "CartesianProduct" not in self._plan(name, spark)
+
+
+class TestBatchDBusinessGraphPrivacy:
+    def test_degree_gini_star(self, spark, tmp_path):
+        # edges (5,10),(5,20),(5,30): degrees [1,1,1,3] ->
+        # gini = (2*18 - 5*6)/(4*6) = 0.25
+        rows = [
+            (10, "2024-01-01 00:00:00", 5, "A", None, None),
+            (20, "2024-01-01 00:00:01", 5, "A", None, None),
+            (30, "2024-01-01 00:00:02", 5, "A", None, None),
+        ]
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "graph_degree_gini")[0]
+        assert (r["n_nodes"], r["sum_degree"]) == (4, 6)
+        assert r["degree_gini"] == 0.25
+
+    def test_unicity_shared_cell(self, spark, tmp_path):
+        # user 1: 8 events (band 1); users 2 and 18 share qi_arm=2,
+        # hour 0, band 0 -> only user 1's cell is unique
+        rows = [(i, "2024-01-01 00:00:%02d" % i, 1, "A", None, None)
+                for i in range(8)]
+        rows.append((8, "2024-01-01 00:30:00", 2, "A", None, None))
+        rows.append((9, "2024-01-01 00:40:00", 18, "A", None, None))
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "privacy_unicity_risk")[0]
+        assert (r["n_users"], r["n_cells"], r["n_unique"]) == (3, 2, 1)
+        assert r["unicity_risk"] == round(1 / 3, 6)
+
+    def test_seasonal_index_two_months(self, spark, tmp_path):
+        from tests.test_round8b_ops import _write_orders
+
+        orders = [
+            (1, 1, "O", 100.0, "1995-01-15", "1-URGENT"),
+            (2, 1, "O", 300.0, "1995-03-15", "1-URGENT"),
+        ]
+        _write_orders(tmp_path, orders)
+        got = {r["month"]: r for r in
+               _run(spark, tmp_path, "orders_seasonal_index_monthly")}
+        assert got[1]["seasonal_index"] == 0.5
+        assert got[3]["seasonal_index"] == 1.5
+
+    def test_reorder_octiles_exact_ranks(self, spark, tmp_path):
+        import pandas as pd
+
+        from tests.test_round8b_ops import _write_orders
+
+        # one customer, 9 orders with dyadically growing gaps:
+        # sorted gaps [10,20,40,80,160,320,640,1280], octile k lands
+        # on exact rank 1 + 7k div 8
+        t0 = pd.Timestamp("1995-01-01")
+        days = [0, 10, 30, 70, 150, 310, 630, 1270, 2550]
+        orders = [
+            (i + 1, 7, "O", 10.0, str(t0 + pd.Timedelta(days=d)),
+             "1-URGENT")
+            for i, d in enumerate(days)
+        ]
+        _write_orders(tmp_path, orders)
+        got = {r["octile"]: r["gap_days_lo"] for r in
+               _run(spark, tmp_path, "customer_reorder_gap_octiles")}
+        assert got == {1: 10, 2: 20, 3: 40, 4: 80, 5: 160, 6: 320,
+                       7: 640}
+
+    def test_balanced_accuracy_and_fbeta_replica(self, spark, tmp_path):
+        rows = [
+            (eid, "2024-01-01 00:00:%02d" % (eid % 60), uid, "A", None,
+             None)
+            for eid, uid in enumerate(range(24))
+        ]
+        _write_events(tmp_path, rows)
+        scored = [_score_replica(eid, uid) for eid, uid in
+                  enumerate(range(24))]
+        pos = sum(y for y, _ in scored)
+        neg = len(scored) - pos
+        ba = {r["thr10"]: r for r in
+              _run(spark, tmp_path, "eval_balanced_accuracy_sweep")}
+        fb = {r["thr10"]: r for r in
+              _run(spark, tmp_path, "eval_fbeta_sweep")}
+        for thr10 in (2, 5, 8):
+            tp = sum(1 for y, s in scored if s * 10 >= thr10 and y == 1)
+            tn = sum(1 for y, s in scored if s * 10 < thr10 and y == 0)
+            fp = neg - tn
+            fn = pos - tp
+            assert (ba[thr10]["tp"], ba[thr10]["tn"]) == (tp, tn)
+            assert ba[thr10]["balanced_accuracy"] == round(
+                (tp / pos + tn / neg) / 2, 6
+            )
+            assert (fb[thr10]["tp"], fb[thr10]["fp"], fb[thr10]["fn"]) \
+                == (tp, fp, fn)
+            if 2 * tp + fp + fn:
+                assert fb[thr10]["f1"] == round(
+                    2 * tp / (2 * tp + fp + fn), 6
+                )
+
+    def test_priority_psi_identical_mix_zero(self, spark, tmp_path):
+        from tests.test_round8b_ops import _write_orders
+
+        # both months have the identical 1:1 priority mix -> every
+        # term is floor(0 * ln 1 * 1e6) = 0 -> PSI exactly 0
+        orders = [
+            (1, 1, "O", 10.0, "1995-01-05", "1-URGENT"),
+            (2, 1, "O", 10.0, "1995-01-06", "2-HIGH"),
+            (3, 1, "O", 10.0, "1995-02-05", "1-URGENT"),
+            (4, 1, "O", 10.0, "1995-02-06", "2-HIGH"),
+        ]
+        _write_orders(tmp_path, orders)
+        got = {r["year_month"]: r for r in
+               _run(spark, tmp_path, "orders_priority_mix_psi_monthly")}
+        assert got[199501]["priority_psi"] == 0.0
+        assert got[199502]["priority_psi"] == 0.0
+
+    def test_discount_band_margin_hand_computed(self, spark, tmp_path):
+        from tests.test_round9_ops import _write_lineitem
+
+        rows = [
+            (1, 1, 1, 1, 2.0, 100.0, 0.00, 0.0, "N", "O", "1995-01-01"),
+            (1, 2, 1, 2, 1.0, 100.0, 0.10, 0.0, "N", "O", "1995-01-01"),
+        ]
+        _write_lineitem(tmp_path, rows)
+        got = {r["discount_band"]: r for r in
+               _run(spark, tmp_path, "lineitem_discount_band_margin")}
+        assert got[0]["gross_cents"] == 10000
+        assert got[0]["net_cents"] == 10000
+        assert got[0]["discount_leakage"] == 0.0
+        assert got[0]["net_per_unit"] == 50.0
+        assert got[5]["net_cents"] == 9000  # 100*(1-0.1)
+        assert got[5]["discount_leakage"] == 0.1
+
+
+class TestRound11PlanShapesD:
+    SF = "/root/testdata/sf0.001"
+
+    def _plan(self, name, spark):
+        return (
+            q.queries()[name](spark, self.SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "graph_degree_gini",
+            "privacy_unicity_risk",
+            "orders_seasonal_index_monthly",
+            "customer_reorder_gap_octiles",
+            "eval_balanced_accuracy_sweep",
+            "eval_fbeta_sweep",
+            "orders_priority_mix_psi_monthly",
+            "lineitem_discount_band_margin",
+        ],
+    )
+    def test_no_cartesian(self, spark, name):
+        assert "CartesianProduct" not in self._plan(name, spark)
