@@ -144,6 +144,27 @@ AUDIT = {
         "squared micro-log moments", N_EVENTS * (1e8) ** 2, INT128),
     "price_quantity_elasticity_by_brand": (
         "squared micro-log moments", N_EVENTS * (1e8) ** 2, INT128),
+    # --- round-11 batch E two-sample tests (doubled-rank N^3 class) ---
+    "cucconi_test_arms": (
+        "3*sum(c1*dr^2) + 2*n1*(N+1)*(2N+1), dr <= 2N+1",
+        16 * N_EVENTS**3, INT128),
+    "lepage_test_arms": (
+        "asq256 = sum(floor(ds2^2/(4t)*256)) <= 64*N^3",
+        64 * N_EVENTS**3, INT128),
+    "fligner_policello_arms": (
+        "sum(c1*dP^2), dP <= 2N doubled placements",
+        4 * N_EVENTS**3, INT128),
+    "energy_distance_arms": (
+        "sum(c*(vm*cum - sum_below)) <= 2*N^2*vm",
+        2 * N_EVENTS**2 * MICRO, INT128),
+    "gini_mean_difference_by_type": (
+        "sum(cnt*(2cb+cnt-n)*vm) <= N^2*vm", N_EVENTS**2 * MICRO, INT128),
+    # --- round-11 batch F ---
+    "eval_somers_d_by_type": (
+        "concordant/discordant pair sums <= N^2", N_EVENTS**2, INT128),
+    "cronbach_alpha_hour_types": (
+        "sum_items(nb*sxx) <= nb*N^2 (sum of sxx <= (sum x)^2 = N^2)",
+        (N_HOURS / 6) * N_EVENTS**2, INT128),
 }
 
 # Exact-integer statistics that remain BIGINT by a DOCUMENTED domain
@@ -179,6 +200,9 @@ BIGINT_SAFE = {
     "runs_test_hourly_randomness": (
         "2.0*n1*n2 runs in DOUBLE (float-first), counts O(hours)",
         N_HOURS),
+    "gastwirth_location_by_type": (
+        "order-stat rank picks (cb, n <= N) and 10x milli-value sums",
+        N_EVENTS + 20 * MICRO),
     "jackknife_ratio_variance": (
         "q = micro leave-one-out ratio (bounded ~1e9); sum(q^2) over "
         "users ~ 1e9*(1e9)^2 would overflow -> q^2 sums must stay "

