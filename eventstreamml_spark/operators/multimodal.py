@@ -439,3 +439,57 @@ def image_phash_dct(
             f"CAST({n_pos} AS BIGINT) AS n_pos_bits",
         )
     )
+
+
+DHASH_SCHEMA = "media_id long, dhash_lo long, dhash_hi long, n_set int"
+
+
+def image_dhash(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image: downsample to a
+    9x8 luminance grid and emit one bit per horizontal gradient
+    (cell > right neighbour) — 64 bits that survive brightness and
+    contrast shifts better than aHash's mean threshold, completing the
+    classic aHash/pHash/dHash trio over the same bounded Hamming-pair
+    join. Two 32-bit halves like the siblings.
+
+    Fake mode derives the 72-cell grid cyclically from payload bytes
+    (grid[i] = byte[i mod n], row-major 8 rows x 9 cols —
+    SQL-replayable); the real path resizes to (9, 8) via Pillow when
+    importable and raises otherwise. Same Arrow-batched mapInPandas
+    shape as the other media stages."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        image_mod = None if fake else _pil()
+        for pdf in batches:
+            if not fake and image_mod is None:
+                raise NotImplementedError(
+                    "image dHash requires Pillow for the real decode; pass "
+                    "fake=True for the deterministic stub"
+                )
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                if fake:
+                    if raw:
+                        grid = [raw[i % len(raw)] for i in range(72)]
+                    else:
+                        grid = [0] * 72
+                else:
+                    with image_mod.open(io.BytesIO(raw)) as im:
+                        small = im.convert("L").resize((9, 8))
+                        grid = list(small.getdata())
+                bits = [
+                    1 if grid[r * 9 + c] > grid[r * 9 + c + 1] else 0
+                    for r in range(8)
+                    for c in range(8)
+                ]
+                lo = sum(b << i for i, b in enumerate(bits[:32]))
+                hi = sum(b << i for i, b in enumerate(bits[32:]))
+                rows.append((int(mid), lo, hi, sum(bits)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "dhash_lo", "dhash_hi", "n_set"]
+            )
+
+    return df.mapInPandas(run, schema=DHASH_SCHEMA)

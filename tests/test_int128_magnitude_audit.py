@@ -165,6 +165,10 @@ AUDIT = {
     "cronbach_alpha_hour_types": (
         "sum_items(nb*sxx) <= nb*N^2 (sum of sxx <= (sum x)^2 = N^2)",
         (N_HOURS / 6) * N_EVENTS**2, INT128),
+    # --- round-11 batch G ---
+    "demand_adi_cv2_brand": (
+        "w*sq2 <= 2500*N^2 (single-part worst case, q <= 50*fan) and "
+        "49*sq^2 <= 49*(50N)^2", 49 * (50 * N_EVENTS) ** 2, INT128),
 }
 
 # Exact-integer statistics that remain BIGINT by a DOCUMENTED domain
@@ -203,6 +207,14 @@ BIGINT_SAFE = {
     "gastwirth_location_by_type": (
         "order-stat rank picks (cb, n <= N) and 10x milli-value sums",
         N_EVENTS + 20 * MICRO),
+    "lineitem_sla_attainment_monthly": (
+        "sum(delay_days) <= N * 1e5-day pathological delay",
+        N_EVENTS * 1e5),
+    "supplier_workload_concentration": (
+        "per-supplier counts, ranks, doubled median <= 2N",
+        2 * N_EVENTS),
+    "graph_reciprocity_transitions": (
+        "edge weights and min-weight sums <= N", N_EVENTS),
     "jackknife_ratio_variance": (
         "q = micro leave-one-out ratio (bounded ~1e9); sum(q^2) over "
         "users ~ 1e9*(1e9)^2 would overflow -> q^2 sums must stay "

@@ -672,3 +672,43 @@ def test_image_ahash_real_path_resize_invariance(spark):
     lo2, hi2 = out[2]
     ham = bin((lo1 ^ lo2) & 0xFFFFFFFF).count("1") + bin((hi1 ^ hi2) & 0xFFFFFFFF).count("1")
     assert ham <= 8, f"perceptual hash unstable under resize: hamming={ham}"
+
+
+@pytest.mark.skipif(not _has_pil(), reason="Pillow not importable")
+def test_image_dhash_real_path_resize_invariance(spark):
+    """Real-path contract: dHash of an image and its 2x upscale agree
+    on most gradient bits."""
+    import io
+
+    from PIL import Image
+
+    def png_bytes(im):
+        buf = io.BytesIO()
+        im.save(buf, format="PNG")
+        return buf.getvalue()
+
+    base = Image.new("L", (36, 32))
+    base.putdata(
+        [((x // 4) * 24 + (y // 8) * 12) % 256
+         for y in range(32) for x in range(36)]
+    )
+    big = base.resize((72, 64))
+    rows = [(1, bytearray(png_bytes(base))), (2, bytearray(png_bytes(big)))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: (r["dhash_lo"], r["dhash_hi"]) for r in
+           multimodal.image_dhash(df, fake=False).collect()}
+    lo1, hi1 = out[1]
+    lo2, hi2 = out[2]
+    ham = bin((lo1 ^ lo2) & 0xFFFFFFFF).count("1") + bin(
+        (hi1 ^ hi2) & 0xFFFFFFFF).count("1")
+    assert ham <= 8, f"perceptual hash unstable under resize: hamming={ham}"
+
+
+def test_image_dhash_real_path_raises_without_pil(spark):
+    if _has_pil():
+        pytest.skip("Pillow importable; raise path not reachable")
+    df = spark.createDataFrame(
+        [(1, bytearray(b"xx"))], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="Pillow|PYTHON_WORKER|NotImplemented"):
+        multimodal.image_dhash(df, fake=False).collect()

@@ -1172,3 +1172,223 @@ class TestRound11PlanShapesF:
         # one user-keyed exchange feeds the window stage
         plan = self._plan("event_run_length_histogram", spark)
         assert plan.count("Window") <= 2
+
+
+# ---------------------------------------------------------------------------
+# Batch G: supply-chain SLA, demand classification, workload skew,
+# lexical richness, transition reciprocity, multimodal dHash
+# ---------------------------------------------------------------------------
+
+from tests.test_round8b_ops import _write_orders
+from tests.test_round9_ops import _write_lineitem
+
+
+def _write_part(tmp_path, rows):
+    """rows: (p_partkey, p_brand)"""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "p_partkey": pa.array([r[0] for r in rows], pa.int64()),
+            "p_name": pa.array([f"part{r[0]}" for r in rows], pa.string()),
+            "p_brand": pa.array([r[1] for r in rows], pa.string()),
+            "p_type": pa.array(["t" for _ in rows], pa.string()),
+            "p_size": pa.array([1 for _ in rows], pa.int32()),
+            "p_retailprice": pa.array([1.0 for _ in rows], pa.float64()),
+        }
+    )
+    pq.write_table(table, os.path.join(tmp_path, "part.parquet"))
+
+
+def _li_row(ok, pk, sk, ln, qty, ship):
+    return (ok, pk, sk, ln, qty, 100.0, 0.0, 0.0, "N", "O", ship)
+
+
+class TestSlaAttainment:
+    def test_hand_computed(self, spark, tmp_path):
+        _write_orders(
+            tmp_path,
+            [(1, 1, "O", 10.0, "1994-01-01", "1-URGENT"),
+             (2, 1, "O", 10.0, "1994-01-10", "1-URGENT")],
+        )
+        # order 1: ship +10d (on time) and +61d (late by 1);
+        # order 2: ship +60d exactly (on time, boundary)
+        _write_lineitem(
+            tmp_path,
+            [_li_row(1, 1, 1, 1, 5.0, "1994-01-11"),
+             _li_row(1, 1, 1, 2, 5.0, "1994-03-03"),
+             _li_row(2, 1, 1, 1, 5.0, "1994-03-11")],
+        )
+        got = {(r["yr"], r["mo"]): r
+               for r in _run(spark, tmp_path, "lineitem_sla_attainment_monthly")}
+        jan = got[(1994, 1)]
+        assert (jan["n_lines"], jan["n_on_time"], jan["n_late"]) == (1, 1, 0)
+        assert jan["avg_delay_days"] == 10.0
+        mar = got[(1994, 3)]
+        assert (mar["n_lines"], mar["n_on_time"], mar["n_late"]) == (2, 1, 1)
+        assert mar["max_delay_days"] == 61
+        assert mar["sla_rate"] == 0.5
+
+
+class TestDemandAdiCv2:
+    def test_quadrants_hand_computed(self, spark, tmp_path):
+        _write_part(tmp_path, [(1, "B1"), (2, "B1")])
+        # part 1: demand in weeks 0,1,2 with equal q -> ADI = 1 (smooth
+        # axis), CV2 = 0 -> smooth
+        # part 2: demand in weeks 0 and 4 only -> span 5, w 2,
+        # ADI = 2.5 >= 1.32; q = 10 vs 40 -> CV2 = (2*1700-2500)/2500
+        # = 0.36 < 0.49 -> intermittent
+        rows = [
+            _li_row(1, 1, 1, 1, 7.0, "1994-01-03"),
+            _li_row(2, 1, 1, 1, 7.0, "1994-01-10"),
+            _li_row(3, 1, 1, 1, 7.0, "1994-01-17"),
+            _li_row(4, 2, 1, 1, 10.0, "1994-01-03"),
+            _li_row(5, 2, 1, 1, 40.0, "1994-01-31"),
+        ]
+        _write_lineitem(tmp_path, rows)
+        r = _run(spark, tmp_path, "demand_adi_cv2_brand")[0]
+        assert r["p_brand"] == "B1" and r["n_parts"] == 2
+        assert r["n_smooth"] == 1 and r["n_intermittent"] == 1
+        assert r["n_erratic"] == 0 and r["n_lumpy"] == 0
+        assert r["avg_adi"] == round((1.0 + 2.5) / 2, 6)
+        assert r["avg_cv2"] == round((0.0 + 0.36) / 2, 6)
+
+    def test_lumpy_boundary_is_inclusive(self, spark, tmp_path):
+        _write_part(tmp_path, [(1, "B9")])
+        # weeks 0 and 3: w=2, span=4 -> ADI=2 >= 1.32; q 10 vs 30:
+        # CV2 = (2*1000 - 1600)/1600 = 0.25 -> intermittent; then make
+        # it lumpy via q 10 vs 100: CV2 = (2*10100-12100)/12100 = 0.669
+        rows = [
+            _li_row(1, 1, 1, 1, 10.0, "1994-01-03"),
+            _li_row(2, 1, 1, 1, 100.0, "1994-01-24"),
+        ]
+        _write_lineitem(tmp_path, rows)
+        r = _run(spark, tmp_path, "demand_adi_cv2_brand")[0]
+        assert r["n_lumpy"] == 1
+
+
+class TestSupplierWorkload:
+    def test_hand_computed(self, spark, tmp_path):
+        # suppliers with line counts 5, 3, 1, 1: n=4, top decile k=1
+        # -> share 5/10; doubled median = 1+3 -> median 2.0
+        rows = []
+        eid = 1
+        for sk, c in [(1, 5), (2, 3), (3, 1), (4, 1)]:
+            for _ in range(c):
+                rows.append(_li_row(eid, 1, sk, 1, 1.0, "1994-01-01"))
+                eid += 1
+        _write_lineitem(tmp_path, rows)
+        r = _run(spark, tmp_path, "supplier_workload_concentration")[0]
+        assert (r["n_suppliers"], r["total_lines"], r["max_lines"]) == (4, 10, 5)
+        assert r["median_orders"] == 2.0
+        assert r["top_decile_share"] == 0.5
+        assert r["max_over_median"] == 2.5
+
+
+class TestSichelS:
+    def test_hand_computed(self, spark, tmp_path):
+        # en: tokens a a b b c -> V=3, V1=1 (c), V2=2 (a, b)
+        _write_documents(tmp_path, [(0, "a a b b c", "en", "s")])
+        r = _run(spark, tmp_path, "doc_sichel_s_by_lang")[0]
+        assert (r["n_tokens"], r["n_types"], r["n_hapax"], r["n_dis"]) == (
+            5, 3, 1, 2)
+        assert r["sichel_s"] == round(2 / 3, 6)
+        assert r["hapax_over_dis"] == 0.5
+
+    def test_no_dislegomena_null(self, spark, tmp_path):
+        _write_documents(tmp_path, [(0, "x y z", "en", "s")])
+        r = _run(spark, tmp_path, "doc_sichel_s_by_lang")[0]
+        assert r["sichel_s"] == 0.0
+        assert r["hapax_over_dis"] is None
+
+
+class TestReciprocity:
+    def test_hand_computed(self, spark, tmp_path):
+        # user 1: a->b, b->a, a->c  (edges ab:1, ba:1, ac:1)
+        rows = [
+            (0, "2024-01-01 00:00:00", 1, "a", 1.0, "{}"),
+            (1, "2024-01-01 00:01:00", 1, "b", 1.0, "{}"),
+            (2, "2024-01-01 00:02:00", 1, "a", 1.0, "{}"),
+            (3, "2024-01-01 00:03:00", 1, "c", 1.0, "{}"),
+        ]
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "graph_reciprocity_transitions")[0]
+        assert (r["n_edges"], r["n_reciprocated"]) == (3, 2)
+        assert r["edge_reciprocity"] == round(2 / 3, 6)
+        assert (r["total_weight"], r["reciprocated_weight"]) == (3, 2)
+        assert r["weight_reciprocity"] == round(2 / 3, 6)
+
+    def test_self_loops_excluded(self, spark, tmp_path):
+        rows = [
+            (0, "2024-01-01 00:00:00", 1, "a", 1.0, "{}"),
+            (1, "2024-01-01 00:01:00", 1, "a", 1.0, "{}"),
+            (2, "2024-01-01 00:02:00", 1, "b", 1.0, "{}"),
+        ]
+        _write_events(tmp_path, rows)
+        r = _run(spark, tmp_path, "graph_reciprocity_transitions")[0]
+        assert r["n_edges"] == 1  # only a->b; a->a dropped
+        assert r["n_reciprocated"] == 0
+        assert r["weight_reciprocity"] == 0.0
+
+
+class TestImageDhash:
+    def test_constant_payload_zero_gradient(self, spark, tmp_path):
+        _write_documents(tmp_path, [(0, "aaaa", "en", "s")])
+        r = _run(spark, tmp_path, "image_dhash_gradient")[0]
+        assert (r["dhash_lo"], r["dhash_hi"], r["n_set"]) == (0, 0, 0)
+
+    def test_hand_computed_bits(self, spark, tmp_path):
+        # payload "ba": grid alternates 98,97,98,97,... (72 cells).
+        # bit r,c set iff grid[r*9+c] > grid[r*9+c+1]: in row r the
+        # parity of r*9+c decides; expected replayed in python
+        _write_documents(tmp_path, [(0, "ba", "en", "s")])
+        raw = b"ba"
+        grid = [raw[i % 2] for i in range(72)]
+        bits = [
+            1 if grid[r * 9 + c] > grid[r * 9 + c + 1] else 0
+            for r in range(8)
+            for c in range(8)
+        ]
+        lo = sum(b << i for i, b in enumerate(bits[:32]))
+        hi = sum(b << i for i, b in enumerate(bits[32:]))
+        r = _run(spark, tmp_path, "image_dhash_gradient")[0]
+        assert (r["dhash_lo"], r["dhash_hi"], r["n_set"]) == (
+            lo, hi, sum(bits))
+
+
+class TestRound11PlanShapesG:
+    SF = "/root/testdata/sf0.001"
+
+    def _plan(self, name, spark):
+        return (
+            q.queries()[name](spark, self.SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "lineitem_sla_attainment_monthly",
+            "demand_adi_cv2_brand",
+            "supplier_workload_concentration",
+            "doc_sichel_s_by_lang",
+            "graph_reciprocity_transitions",
+        ],
+    )
+    def test_no_cartesian_no_python_udf(self, spark, name):
+        plan = self._plan(name, spark)
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_adi_part_join_is_broadcast(self, spark):
+        plan = self._plan("demand_adi_cv2_brand", spark)
+        assert "BroadcastHashJoin" in plan
+
+    def test_dhash_is_arrow_map_in_pandas(self, spark):
+        plan = self._plan("image_dhash_gradient", spark)
+        assert "MapInPandas" in plan
