@@ -182,7 +182,34 @@ def main() -> None:
         "prior_calibration_sec": prior_cal,
         "contended": contended,
     }
-    with open(full_path, "w") as f:
+    # Append-only artifact protection (the committed bench policy): a
+    # run whose calibration is SLOWER than the committed base must not
+    # clobber BENCH_FULL.json — the round-10 wrap-up did exactly that,
+    # erasing the 0.1624-base artifact and its per-query calibration
+    # provenance with a 0.2091 snapshot. A slow-window run lands in
+    # BENCH_LASTRUN.json instead; only a probe-fast run (calibration <=
+    # the committed base) performs the full refresh.
+    refresh_ok = not (
+        prior_pqc and prior_cal is not None and calibration > prior_cal
+    )
+    if refresh_ok:
+        if prior_pqc:
+            full["per_query_calibration_sec"] = {
+                name: calibration for name in medians
+            }
+        out_path = full_path
+    else:
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_LASTRUN.json",
+        )
+        print(
+            f"# calibration {calibration:.4f} > committed base "
+            f"{prior_cal:.4f}: full-run snapshot -> BENCH_LASTRUN.json "
+            "(BENCH_FULL.json untouched per the append-only policy)",
+            file=sys.stderr,
+        )
+    with open(out_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
 
     print(
