@@ -149,8 +149,14 @@ AUDIT = {
         "3*sum(c1*dr^2) + 2*n1*(N+1)*(2N+1), dr <= 2N+1",
         16 * N_EVENTS**3, INT128),
     "lepage_test_arms": (
-        "asq256 = sum(floor(ds2^2/(4t)*256)) <= 64*N^3",
+        "asq256 = sum(floor(ds2^2/(4t)*256)) <= 64*N^3; per-group terms "
+        "pass 2^63, so the Spark side uses the guarded _floor_big_sql "
+        "(plain floor(DOUBLE) saturates at Long.MAX)",
         64 * N_EVENTS**3, INT128),
+    "ansari_bradley_scale_arms": (
+        "micro score sum <= n1*(N+1)/2*1e6 (guarded floor on Spark, "
+        "HUGEINT sum in the oracle)",
+        N_EVENTS**2 / 2 * MICRO, INT128),
     "fligner_policello_arms": (
         "sum(c1*dP^2), dP <= 2N doubled placements",
         4 * N_EVENTS**3, INT128),
