@@ -366,3 +366,39 @@ def test_driver_window_names_resolve():
     assert not rows_only_in_window, (
         f"rows-only names waste driver window slots: {rows_only_in_window}"
     )
+
+
+def test_registration_order_matches_manifest():
+    """The live registry's insertion order must start with the pinned
+    manifest (registry_order.REGISTRATION_ORDER), name-for-name.
+
+    Window semantics depend on registration order twice over: the
+    driver verifies the first 50 emitted names, and each round's
+    rotation convention selects "the round-N additions in registration
+    order". Splitting queries.py into modules (the round-12 plan) must
+    reproduce this exact sequence via import order x in-file order —
+    this prefix assertion fails on any reorder, drop, or interleave of
+    the pinned names while letting genuinely new registrations append
+    after the manifest (fold them into the manifest in the same
+    commit, like the README counts)."""
+    from eventstreamml_spark.registry_order import REGISTRATION_ORDER
+
+    live = list(q._REGISTRY.keys())
+    assert len(live) >= len(REGISTRATION_ORDER), (
+        f"registry shrank: {len(live)} live < {len(REGISTRATION_ORDER)} pinned"
+    )
+    prefix = live[: len(REGISTRATION_ORDER)]
+    if prefix != REGISTRATION_ORDER:
+        diffs = [
+            (i, want, got)
+            for i, (want, got) in enumerate(zip(REGISTRATION_ORDER, prefix))
+            if want != got
+        ][:5]
+        raise AssertionError(
+            f"registration order diverges from the pinned manifest at: {diffs}"
+        )
+    unpinned = live[len(REGISTRATION_ORDER):]
+    assert not unpinned, (
+        "new registrations must be folded into registry_order.py in the "
+        f"same commit: {unpinned}"
+    )
