@@ -1,0 +1,223 @@
+"""Round-12 staged operator tests (eventstreamml_spark/staging_r12.py).
+
+The staged dict is NOT registered — these tests drive it directly,
+replaying each DuckDB oracle via ``compare`` so every fixture doubles
+as an engine-parity check on hand-computable inputs, exactly like the
+registered rounds' test files. When round 12 wires ``STAGED`` into the
+registry these tests keep guarding the same semantics.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from eventstreamml_spark.staging_r12 import STAGED
+from tests.oracle import compare
+from tests.test_round8_ops import _write_events
+
+
+def _run(spark, tmp_path, name):
+    fn, sql = STAGED[name]
+    compare(spark, str(tmp_path), fn, sql)
+    return fn(spark, str(tmp_path)).collect()
+
+
+def _ev(rows):
+    """(event_id, user_id parity -> arm, value) triplets to event rows
+    at distinct timestamps."""
+    return [
+        (i, f"2024-01-01 00:{i:02d}:00", uid, "click", val, "{}")
+        for i, (uid, val) in enumerate(rows)
+    ]
+
+
+class TestWaldWolfowitzRuns:
+    def test_two_clean_runs(self, spark, tmp_path):
+        # arm0 = {1, 2}, arm1 = {3, 4} -> pooled pattern 0011 = 2 runs;
+        # z = (2 - 3) / sqrt(2/3) = -1.224745
+        _write_events(
+            tmp_path, _ev([(2, 1.0), (2, 2.0), (1, 3.0), (1, 4.0)])
+        )
+        row = _run(spark, tmp_path, "wald_wolfowitz_runs_two_sample")[0]
+        assert row["n_runs"] == 2
+        assert row["ww_z"] == pytest.approx(-1.224745, abs=1e-6)
+
+    def test_tie_convention_merges(self, spark, tmp_path):
+        # arm0 = {1}, arm1 = {1, 2}: the tied value expands to (0 then
+        # 1) by the pinned convention, then 1 -> pattern 011 = 2 runs
+        _write_events(tmp_path, _ev([(2, 1.0), (1, 1.0), (1, 2.0)]))
+        row = _run(spark, tmp_path, "wald_wolfowitz_runs_two_sample")[0]
+        assert row["n_runs"] == 2
+        assert row["n0"] == 1 and row["n1"] == 2
+
+    def test_alternating_max_runs(self, spark, tmp_path):
+        # strictly interleaved values -> every observation is its own
+        # run: r = 4 with n0 = n1 = 2
+        _write_events(
+            tmp_path, _ev([(2, 1.0), (1, 2.0), (2, 3.0), (1, 4.0)])
+        )
+        row = _run(spark, tmp_path, "wald_wolfowitz_runs_two_sample")[0]
+        assert row["n_runs"] == 4
+
+    def test_single_arm_null(self, spark, tmp_path):
+        _write_events(tmp_path, _ev([(1, 1.0), (1, 2.0)]))
+        row = _run(spark, tmp_path, "wald_wolfowitz_runs_two_sample")[0]
+        assert row["ww_z"] is None
+
+
+class TestBuishandRange:
+    def test_two_hour_hand_computed(self, spark, tmp_path):
+        # hourly counts [2, 4]: S_1 = -1, S_2 = 0, R = 1, pop std = 1
+        # -> R/(s*sqrt(2)) = 0.707107
+        rows = []
+        eid = 0
+        for h, c in [(0, 2), (1, 4)]:
+            for _ in range(c):
+                rows.append(
+                    (eid, f"2024-01-01 {h:02d}:0{eid % 6}:00", 1, "c",
+                     1.0, "{}")
+                )
+                eid += 1
+        _write_events(tmp_path, rows)
+        row = _run(spark, tmp_path, "buishand_range_hourly")[0]
+        assert row["n_hours"] == 2
+        assert row["buishand_r_rescaled"] == pytest.approx(
+            0.707107, abs=1e-6
+        )
+
+    def test_constant_series_null(self, spark, tmp_path):
+        rows = []
+        eid = 0
+        for h in range(3):
+            for _ in range(2):
+                rows.append(
+                    (eid, f"2024-01-01 {h:02d}:0{eid % 6}:00", 1, "c",
+                     1.0, "{}")
+                )
+                eid += 1
+        _write_events(tmp_path, rows)
+        row = _run(spark, tmp_path, "buishand_range_hourly")[0]
+        assert row["buishand_r_rescaled"] is None
+
+
+class TestTukeyFences:
+    def test_no_outliers_n8(self, spark, tmp_path):
+        # values 1..8: Tukey hinges q1 = 2.5, q3 = 6.5, fences
+        # [-3.5, 12.5] -> zero outliers
+        _write_events(
+            tmp_path, _ev([(1, float(v)) for v in range(1, 9)])
+        )
+        row = _run(spark, tmp_path, "tukey_fences_outlier_rate_by_type")[0]
+        assert row["q1"] == 2.5 and row["q3"] == 6.5
+        assert row["n_outliers"] == 0 and row["outlier_rate"] == 0.0
+
+    def test_one_outlier_n9_odd_hinges(self, spark, tmp_path):
+        # values 1..8 plus 100: n = 9 -> both doubled-hinge ranks hit
+        # the SAME row (q1 = 3, q3 = 7) — the added-CASE rule; fence
+        # high = 7 + 1.5*4 = 13 < 100 -> exactly one outlier
+        _write_events(
+            tmp_path,
+            _ev([(1, float(v)) for v in range(1, 9)] + [(1, 100.0)]),
+        )
+        row = _run(spark, tmp_path, "tukey_fences_outlier_rate_by_type")[0]
+        assert row["q1"] == 3.0 and row["q3"] == 7.0
+        assert row["n_outliers"] == 1
+        assert row["outlier_rate"] == pytest.approx(0.111111, abs=1e-6)
+
+
+class TestStuartMaxwell:
+    def test_uniform_shift_hand_computed(self, spark, tmp_path):
+        # 6 users, each first value in {1..6}, last value = first + 3
+        # (shift-up). Pooled 12 values sorted: 1,2,3,4,4,5,5,6,6,7,8,9
+        # b1 = rank (12+2)//3 = 4 -> 4; b2 = rank (26)//3 = 8 -> 6.
+        # Bands (v<=4 -> 1, v<=6 -> 2): pairs u1 (1,1), u2 (1,2),
+        # u3 (1,2), u4 (1,3), u5 (2,3), u6 (2,3)
+        # d = (4-1, 2-2, 0-3) = (3, 0, -3); m12 = 2, m13 = 1, m23 = 2
+        # chi2 = (2*9 + 1*0 + 2*9) / (2*1 + 2*2 + 1*2) = 36/8 = 4.5
+        rows = []
+        for u in range(1, 7):
+            rows.append((2 * u, f"2024-01-01 00:{u:02d}:00", u, "c",
+                         float(u), "{}"))
+            rows.append((2 * u + 1, f"2024-01-01 01:{u:02d}:00", u, "c",
+                         float(u + 3), "{}"))
+        _write_events(tmp_path, rows)
+        row = _run(spark, tmp_path, "stuart_maxwell_first_last_bands")[0]
+        assert (row["d1"], row["d2"], row["d3"]) == (3, 0, -3)
+        assert row["stuart_maxwell_chi2"] == pytest.approx(4.5, abs=1e-6)
+
+    def test_diagonal_table_null(self, spark, tmp_path):
+        # single event per user -> first == last -> all mass diagonal
+        _write_events(
+            tmp_path, _ev([(u, float(u)) for u in range(1, 7)])
+        )
+        row = _run(spark, tmp_path, "stuart_maxwell_first_last_bands")[0]
+        assert row["stuart_maxwell_chi2"] is None
+        assert (row["d1"], row["d2"], row["d3"]) == (0, 0, 0)
+
+
+class TestSnhtChangepoint:
+    def test_two_hour_hand_computed(self, spark, tmp_path):
+        # hourly [2, 4]: T(1) = 1*z1^2 + 1*z2^2 with z = -+1 -> 2.0
+        rows = []
+        eid = 0
+        for h, c in [(0, 2), (1, 4)]:
+            for _ in range(c):
+                rows.append(
+                    (eid, f"2024-01-01 {h:02d}:0{eid % 6}:00", 1, "c",
+                     1.0, "{}")
+                )
+                eid += 1
+        _write_events(tmp_path, rows)
+        row = _run(spark, tmp_path, "snht_changepoint_hourly")[0]
+        assert row["k_hat"] == 1
+        assert row["snht_t_max"] == pytest.approx(2.0, abs=1e-6)
+
+    def test_level_shift_argmax(self, spark, tmp_path):
+        # hourly [1, 1, 5, 5]: the split after hour 2 maximizes T
+        rows = []
+        eid = 0
+        for h, c in [(0, 1), (1, 1), (2, 5), (3, 5)]:
+            for _ in range(c):
+                rows.append(
+                    (eid, f"2024-01-01 {h:02d}:{eid % 60:02d}:00", 1,
+                     "c", 1.0, "{}")
+                )
+                eid += 1
+        _write_events(tmp_path, rows)
+        row = _run(spark, tmp_path, "snht_changepoint_hourly")[0]
+        # mean 3, pop var 4: z-halves at k=2 are (-1, +1) scaled:
+        # T(2) = 2*(2/2-3)^2/4 + 2*(5-3)^2/4 = 2+2 = 4
+        assert row["k_hat"] == 2
+        assert row["snht_t_max"] == pytest.approx(4.0, abs=1e-6)
+
+    def test_constant_series_null(self, spark, tmp_path):
+        rows = []
+        eid = 0
+        for h in range(3):
+            rows.append(
+                (eid, f"2024-01-01 {h:02d}:00:00", 1, "c", 1.0, "{}")
+            )
+            eid += 1
+        _write_events(tmp_path, rows)
+        row = _run(spark, tmp_path, "snht_changepoint_hourly")[0]
+        assert row["snht_t_max"] is None
+
+
+class TestHodgesLehmann:
+    def test_median_of_pairwise_diffs(self, spark, tmp_path):
+        # arm1 = {1, 3}, arm0 = {0}: diffs {1, 3} -> HL = 2.0
+        _write_events(tmp_path, _ev([(1, 1.0), (1, 3.0), (2, 0.0)]))
+        row = _run(spark, tmp_path, "hodges_lehmann_shift_arms")[0]
+        assert row["n_pairs"] == 2
+        assert row["hl_shift"] == pytest.approx(2.0, abs=1e-6)
+
+    def test_weighted_even_median(self, spark, tmp_path):
+        # arm1 = {1, 1, 5}, arm0 = {0, 2}: diffs sorted =
+        # {-1, -1, 1, 1, 3, 5} -> doubled median ranks 3,4 -> (1+1)/2=1
+        _write_events(
+            tmp_path,
+            _ev([(1, 1.0), (1, 1.0), (1, 5.0), (2, 0.0), (2, 2.0)]),
+        )
+        row = _run(spark, tmp_path, "hodges_lehmann_shift_arms")[0]
+        assert row["n_pairs"] == 6
+        assert row["hl_shift"] == pytest.approx(1.0, abs=1e-6)
