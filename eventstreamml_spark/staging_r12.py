@@ -744,3 +744,676 @@ def q_hodges_lehmann_shift_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dm.selectExpr(
         "n_pairs", "round(d2 / 200.0, 6) + 0.0 AS hl_shift"
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch B — time-series features / heteroscedastic ANOVA / block ranks
+# ---------------------------------------------------------------------------
+
+_SIXH_GRID_SQL = """
+    c AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS b,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    span AS (SELECT min(b) AS lo, max(b) AS hi FROM c),
+    z AS (
+      SELECT g.b, CAST(coalesce(c.n, 0) AS BIGINT) AS y,
+             row_number() OVER (ORDER BY g.b) AS idx
+      FROM (SELECT unnest(generate_series(lo, hi)) AS b FROM span) g
+      LEFT JOIN c USING (b)
+    )
+"""
+
+_HOURLY_GRID_SQL = """
+    c AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS b,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    span AS (SELECT min(b) AS lo, max(b) AS hi FROM c),
+    z AS (
+      SELECT g.b, CAST(coalesce(c.n, 0) AS BIGINT) AS y,
+             row_number() OVER (ORDER BY g.b) AS idx
+      FROM (SELECT unnest(generate_series(lo, hi)) AS b FROM span) g
+      LEFT JOIN c USING (b)
+    )
+"""
+
+
+def _bucket_grid(spark: SparkSession, sf_dir: str, width: int) -> DataFrame:
+    """Zero-filled bucket-count series (b, y, idx) at `width` seconds,
+    the sample_entropy_6h idiom: counts, span scaffold, left join."""
+    ev = _events(spark, sf_dir)
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    c = ev.groupBy((sec / width).cast("long").alias("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    span = c.agg(F.min("b").alias("_lo"), F.max("b").alias("_hi"))
+    return (
+        span.select(
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("b")
+        )
+        .join(c, "b", "left")
+        .select(
+            "b", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("y")
+        )
+        .select("b", "y", F.row_number().over(W.orderBy("b")).alias("idx"))
+    )
+
+
+@stage(
+    "c3_nonlinearity_6h",
+    f"""
+    WITH {_SIXH_GRID_SQL},
+    lagged AS (
+      SELECT y,
+             lag(y, 1) OVER (ORDER BY idx) AS l1,
+             lag(y, 2) OVER (ORDER BY idx) AS l2,
+             lag(y, 3) OVER (ORDER BY idx) AS l3,
+             lag(y, 4) OVER (ORDER BY idx) AS l4,
+             lag(y, 6) OVER (ORDER BY idx) AS l6
+      FROM z
+    ),
+    agg AS (
+      SELECT
+        sum(CASE WHEN l2 IS NOT NULL
+            THEN y::HUGEINT * l1 * l2 END) AS s1,
+        CAST(count(CASE WHEN l2 IS NOT NULL THEN 1 END) AS BIGINT)
+          AS k1,
+        sum(CASE WHEN l4 IS NOT NULL
+            THEN y::HUGEINT * l2 * l4 END) AS s2,
+        CAST(count(CASE WHEN l4 IS NOT NULL THEN 1 END) AS BIGINT)
+          AS k2,
+        sum(CASE WHEN l6 IS NOT NULL
+            THEN y::HUGEINT * l3 * l6 END) AS s3,
+        CAST(count(CASE WHEN l6 IS NOT NULL THEN 1 END) AS BIGINT)
+          AS k3
+      FROM lagged
+    )
+    SELECT 1 AS lag, k1 AS n_terms,
+           round(CAST(s1 AS DOUBLE) / nullif(CAST(k1 AS DOUBLE), 0), 6)
+             + 0.0 AS c3_mean
+    FROM agg
+    UNION ALL
+    SELECT 2, k2,
+           round(CAST(s2 AS DOUBLE) / nullif(CAST(k2 AS DOUBLE), 0), 6)
+             + 0.0
+    FROM agg
+    UNION ALL
+    SELECT 3, k3,
+           round(CAST(s3 AS DOUBLE) / nullif(CAST(k3 AS DOUBLE), 0), 6)
+             + 0.0
+    FROM agg
+    ORDER BY 1
+    """,
+)
+def q_c3_nonlinearity_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tsfresh-style c3 nonlinearity statistic of the zero-filled
+    6-hour count series at lags 1..3: mean(y_t * y_{{t-lag}} *
+    y_{{t-2lag}}). Counts are integers, so the triple products sum
+    EXACTLY — widened per-row to int128 because a bucket count can hit
+    ~1e6 at corpus scale and its cube overflows BIGINT (the round-10
+    widening rule); only the final mean divides doubles. Lags ride one
+    bounded window pass over the time-bounded 6h grid; missing buckets
+    zero-fill via the span scaffold so gaps don't silently shorten the
+    lag chains.
+    """
+    z = _bucket_grid(spark, sf_dir, 21600)
+    wo = W.orderBy("idx")
+    lagged = z.select(
+        "y",
+        F.lag("y", 1).over(wo).alias("l1"),
+        F.lag("y", 2).over(wo).alias("l2"),
+        F.lag("y", 3).over(wo).alias("l3"),
+        F.lag("y", 4).over(wo).alias("l4"),
+        F.lag("y", 6).over(wo).alias("l6"),
+    )
+    agg = lagged.agg(
+        F.expr(
+            "sum(CASE WHEN l2 IS NOT NULL"
+            " THEN CAST(y AS DECIMAL(38,0)) * l1 * l2 END)"
+        ).alias("s1"),
+        F.expr(
+            "CAST(count(CASE WHEN l2 IS NOT NULL THEN 1 END) AS BIGINT)"
+        ).alias("k1"),
+        F.expr(
+            "sum(CASE WHEN l4 IS NOT NULL"
+            " THEN CAST(y AS DECIMAL(38,0)) * l2 * l4 END)"
+        ).alias("s2"),
+        F.expr(
+            "CAST(count(CASE WHEN l4 IS NOT NULL THEN 1 END) AS BIGINT)"
+        ).alias("k2"),
+        F.expr(
+            "sum(CASE WHEN l6 IS NOT NULL"
+            " THEN CAST(y AS DECIMAL(38,0)) * l3 * l6 END)"
+        ).alias("s3"),
+        F.expr(
+            "CAST(count(CASE WHEN l6 IS NOT NULL THEN 1 END) AS BIGINT)"
+        ).alias("k3"),
+    )
+    structs = ", ".join(
+        f"struct(CAST({i} AS INT) AS lag, k{i} AS n_terms,"
+        f" round(CAST(s{i} AS DOUBLE)"
+        f" / nullif(CAST(k{i} AS DOUBLE), 0), 6) + 0.0 AS c3_mean)"
+        for i in (1, 2, 3)
+    )
+    return (
+        agg.selectExpr(f"explode(array({structs})) AS r")
+        .select("r.*")
+        .orderBy("lag")
+    )
+
+
+@stage(
+    "time_reversal_asymmetry_6h",
+    f"""
+    WITH {_SIXH_GRID_SQL},
+    lagged AS (
+      SELECT y,
+             lag(y, 1) OVER (ORDER BY idx) AS l1,
+             lag(y, 2) OVER (ORDER BY idx) AS l2,
+             lag(y, 3) OVER (ORDER BY idx) AS l3
+      FROM z
+    ),
+    agg AS (
+      SELECT
+        sum(CASE WHEN l1 IS NOT NULL
+            THEN y::HUGEINT * y * l1 - l1::HUGEINT * l1 * y END) AS s1,
+        CAST(count(CASE WHEN l1 IS NOT NULL THEN 1 END) AS BIGINT)
+          AS k1,
+        sum(CASE WHEN l2 IS NOT NULL
+            THEN y::HUGEINT * y * l2 - l2::HUGEINT * l2 * y END) AS s2,
+        CAST(count(CASE WHEN l2 IS NOT NULL THEN 1 END) AS BIGINT)
+          AS k2,
+        sum(CASE WHEN l3 IS NOT NULL
+            THEN y::HUGEINT * y * l3 - l3::HUGEINT * l3 * y END) AS s3,
+        CAST(count(CASE WHEN l3 IS NOT NULL THEN 1 END) AS BIGINT)
+          AS k3
+      FROM lagged
+    )
+    SELECT 1 AS lag, k1 AS n_terms,
+           round(CAST(s1 AS DOUBLE) / nullif(CAST(k1 AS DOUBLE), 0), 6)
+             + 0.0 AS trev_mean
+    FROM agg
+    UNION ALL
+    SELECT 2, k2,
+           round(CAST(s2 AS DOUBLE) / nullif(CAST(k2 AS DOUBLE), 0), 6)
+             + 0.0
+    FROM agg
+    UNION ALL
+    SELECT 3, k3,
+           round(CAST(s3 AS DOUBLE) / nullif(CAST(k3 AS DOUBLE), 0), 6)
+             + 0.0
+    FROM agg
+    ORDER BY 1
+    """,
+)
+def q_time_reversal_asymmetry_6h(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """tsfresh time-reversal asymmetry statistic of the zero-filled
+    6-hour count series at lags 1..3: mean(y_t^2 * y_{{t-lag}} -
+    y_{{t-lag}}^2 * y_t) — zero for any time-reversible series, so a
+    signed departure flags asymmetric ramp-up/decay dynamics. The
+    per-term cubic products are exact integers widened to int128
+    per-row (bucket counts cube past 2^63 at corpus scale); one
+    bounded window pass over the 6h grid, no raw-row windows.
+    """
+    z = _bucket_grid(spark, sf_dir, 21600)
+    wo = W.orderBy("idx")
+    lagged = z.select(
+        "y",
+        F.lag("y", 1).over(wo).alias("l1"),
+        F.lag("y", 2).over(wo).alias("l2"),
+        F.lag("y", 3).over(wo).alias("l3"),
+    )
+    aggs = []
+    for i in (1, 2, 3):
+        aggs.append(
+            F.expr(
+                f"sum(CASE WHEN l{i} IS NOT NULL"
+                f" THEN CAST(y AS DECIMAL(38,0)) * y * l{i}"
+                f" - CAST(l{i} AS DECIMAL(38,0)) * l{i} * y END)"
+            ).alias(f"s{i}")
+        )
+        aggs.append(
+            F.expr(
+                f"CAST(count(CASE WHEN l{i} IS NOT NULL THEN 1 END)"
+                " AS BIGINT)"
+            ).alias(f"k{i}")
+        )
+    agg = lagged.agg(*aggs)
+    structs = ", ".join(
+        f"struct(CAST({i} AS INT) AS lag, k{i} AS n_terms,"
+        f" round(CAST(s{i} AS DOUBLE)"
+        f" / nullif(CAST(k{i} AS DOUBLE), 0), 6) + 0.0 AS trev_mean)"
+        for i in (1, 2, 3)
+    )
+    return (
+        agg.selectExpr(f"explode(array({structs})) AS r")
+        .select("r.*")
+        .orderBy("lag")
+    )
+
+
+@stage(
+    "allan_variance_hourly_rate",
+    f"""
+    WITH {_HOURLY_GRID_SQL},
+    grp AS (
+      SELECT m, (idx - 1) // m AS g,
+             CAST(sum(y) AS BIGINT) AS sg,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM z CROSS JOIN (SELECT unnest([1, 2, 4]) AS m)
+      GROUP BY 1, 2
+    ),
+    full_g AS (
+      SELECT m, g, sg,
+             lag(sg) OVER (PARTITION BY m ORDER BY g) AS prev
+      FROM grp WHERE cnt = m
+    ),
+    agg AS (
+      SELECT m,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             sum(CASE WHEN prev IS NOT NULL
+                 THEN (sg::HUGEINT - prev) * (sg::HUGEINT - prev)
+                 END) AS sd2
+      FROM full_g GROUP BY 1
+    )
+    SELECT m AS tau_hours, n_groups,
+           round(CAST(sd2 AS DOUBLE)
+                 / nullif(2.0 * m * m * (n_groups - 1), 0), 6) + 0.0
+             AS allan_var
+    FROM agg ORDER BY 1
+    """,
+)
+def q_allan_variance_hourly_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Allan variance of the zero-filled hourly event-count series at
+    averaging windows tau = 1, 2, 4 hours: AVAR(m) = sum((ybar_{{k+1}}
+    - ybar_k)^2) / (2*(K-1)) over NON-overlapping m-hour block means.
+    Block means stay exact by working on block SUMS — (S_{{k+1}} -
+    S_k)^2 / m^2 — so the numerator is a pure int128-widened integer
+    sum (block sums reach ~m*1e6 at corpus scale, their squared
+    differences pass 2^63) and one double division lands the result.
+    Trailing partial blocks are excluded (cnt = m), matching the
+    standard estimator. The tau fan-out is a 3-constant cross join on
+    the bounded hourly grid, one groupBy + one partitioned lag.
+    """
+    z = _bucket_grid(spark, sf_dir, 3600)
+    ms = spark.range(1).selectExpr("explode(array(1, 2, 4)) AS m")
+    grp = (
+        z.crossJoin(F.broadcast(ms))
+        .selectExpr("m", "(idx - 1) div m AS g", "y")
+        .groupBy("m", "g")
+        .agg(
+            F.sum("y").cast("long").alias("sg"),
+            F.count("*").cast("long").alias("cnt"),
+        )
+    )
+    full_g = grp.where("cnt = m").select(
+        "m",
+        "g",
+        "sg",
+        F.lag("sg").over(W.partitionBy("m").orderBy("g")).alias("prev"),
+    )
+    agg = full_g.groupBy("m").agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.expr(
+            "sum(CASE WHEN prev IS NOT NULL"
+            " THEN (CAST(sg AS DECIMAL(38,0)) - prev)"
+            " * (CAST(sg AS DECIMAL(38,0)) - prev) END)"
+        ).alias("sd2"),
+    )
+    return agg.selectExpr(
+        "m AS tau_hours",
+        "n_groups",
+        "round(CAST(sd2 AS DOUBLE)"
+        " / nullif(2.0 * m * m * (n_groups - 1), 0), 6) + 0.0"
+        " AS allan_var",
+    ).orderBy("tau_hours")
+
+
+@stage(
+    "longest_monotone_runs_hourly",
+    f"""
+    WITH {_HOURLY_GRID_SQL},
+    d AS (
+      SELECT idx, y, lag(y) OVER (ORDER BY idx) AS py
+      FROM z
+    ),
+    flags AS (
+      SELECT idx,
+             CASE WHEN py IS NULL OR y <= py THEN 1 ELSE 0 END AS up_brk,
+             CASE WHEN py IS NULL OR y >= py THEN 1 ELSE 0 END AS dn_brk
+      FROM d
+    ),
+    runs AS (
+      SELECT idx,
+             sum(up_brk) OVER (ORDER BY idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS up_g,
+             sum(dn_brk) OVER (ORDER BY idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS dn_g
+      FROM flags
+    ),
+    lens AS (
+      SELECT
+        (SELECT CAST(max(c) AS BIGINT)
+         FROM (SELECT count(*) AS c FROM runs GROUP BY up_g)) AS lu,
+        (SELECT CAST(max(c) AS BIGINT)
+         FROM (SELECT count(*) AS c FROM runs GROUP BY dn_g)) AS ld,
+        (SELECT CAST(count(*) AS BIGINT) FROM z) AS n_hours
+    )
+    SELECT n_hours, lu AS longest_up_run, ld AS longest_down_run
+    FROM lens
+    """,
+)
+def q_longest_monotone_runs_hourly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Longest strictly-increasing and strictly-decreasing run lengths
+    in the zero-filled hourly count series (a run of length L covers L
+    consecutive hours whose pairwise steps are all strict). Classic
+    gaps-and-islands: a break flag at every non-increase (resp.
+    non-decrease), a running sum to number the islands, and a max
+    group size — all exact integer window/group work on the bounded
+    hourly grid, zero float anywhere. Flat series collapse to runs of
+    length 1 by construction (every step breaks both directions).
+    """
+    z = _bucket_grid(spark, sf_dir, 3600)
+    wo = W.orderBy("idx")
+    wcum = W.orderBy("idx").rowsBetween(W.unboundedPreceding, W.currentRow)
+    flags = z.select(
+        "idx", "y", F.lag("y").over(wo).alias("py")
+    ).selectExpr(
+        "idx",
+        "CASE WHEN py IS NULL OR y <= py THEN 1 ELSE 0 END AS up_brk",
+        "CASE WHEN py IS NULL OR y >= py THEN 1 ELSE 0 END AS dn_brk",
+    )
+    runs = flags.select(
+        "idx",
+        F.sum("up_brk").over(wcum).alias("up_g"),
+        F.sum("dn_brk").over(wcum).alias("dn_g"),
+    )
+    lu = (
+        runs.groupBy("up_g")
+        .agg(F.count("*").alias("c"))
+        .agg(F.max("c").cast("long").alias("longest_up_run"))
+    )
+    ld = (
+        runs.groupBy("dn_g")
+        .agg(F.count("*").alias("c"))
+        .agg(F.max("c").cast("long").alias("longest_down_run"))
+    )
+    nh = z.agg(F.count("*").cast("long").alias("n_hours"))
+    return (
+        nh.crossJoin(F.broadcast(lu))
+        .crossJoin(F.broadcast(ld))
+        .select("n_hours", "longest_up_run", "longest_down_run")
+    )
+
+
+@stage(
+    "welch_anova_value_types",
+    """
+    WITH v AS (
+      SELECT event_type,
+             CAST(floor(value * 1000) AS BIGINT) AS vm
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(vm) AS BIGINT) AS s,
+             sum(vm::HUGEINT * vm) AS ss
+      FROM v GROUP BY 1
+      HAVING count(*) >= 2
+         AND sum(vm::HUGEINT * vm) * count(*)
+             > CAST(sum(vm) AS HUGEINT) * sum(vm)
+    ),
+    w AS (
+      SELECT event_type, n,
+             CAST(n AS DOUBLE)
+               / ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                  / (n - 1)) AS wj,
+             CAST(s AS DOUBLE) / n AS xbar
+      FROM g
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             sum(wj) AS wsum, sum(wj * xbar) AS wxsum
+      FROM w
+    ),
+    parts AS (
+      SELECT k, wsum,
+             sum(wj * (xbar - wxsum / wsum)
+                 * (xbar - wxsum / wsum)) AS a_num,
+             sum((1.0 - wj / wsum) * (1.0 - wj / wsum) / (n - 1))
+               AS lam
+      FROM w CROSS JOIN tot
+      GROUP BY 1, 2
+    )
+    SELECT k AS k_groups,
+           round((a_num / nullif(CAST(k - 1 AS DOUBLE), 0))
+                 / (1.0 + CAST(2 * (k - 2) AS DOUBLE)
+                    / nullif(CAST(k * k - 1 AS DOUBLE), 0) * lam), 6)
+             + 0.0 AS welch_f,
+           round(CAST(k * k - 1 AS DOUBLE)
+                 / nullif(3.0 * lam, 0), 6) + 0.0 AS welch_df2
+    FROM parts
+    """,
+)
+def q_welch_anova_value_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA across event types on the
+    micro-gridded values: F* = [sum w_j (xbar_j - xbar_w)^2 / (k-1)] /
+    [1 + 2(k-2)/(k^2-1) * Lambda], Lambda = sum (1-w_j/W)^2/(n_j-1),
+    with w_j = n_j / s_j^2 — the variance-ratio-robust alternative to
+    classic ANOVA. Group moments (n, sum, sumsq) are exact integers
+    (sumsq int128-widened: micro values square to 1e12 and 1e8 rows
+    push the sum past 2^63); zero-variance or singleton groups drop
+    via exact integer HAVING (n*ss > s^2 compares int128, no float
+    epsilon), mirroring the bartlett exclusion rule. Constants follow
+    the decimal-poison rule (CAST(2*(k-2) AS DOUBLE), never 2.0*(k-2)
+    on a path where DECIMAL could bind first). k <= 1 NULLs via
+    nullif. Shape: one groupBy to ~5 rows, scalar broadcast join,
+    second tiny aggregate.
+    """
+    v = (
+        _events(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .selectExpr(
+            "event_type", "CAST(floor(value * 1000) AS BIGINT) AS vm"
+        )
+    )
+    g = (
+        v.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("vm").cast("long").alias("s"),
+            F.expr("sum(CAST(vm AS DECIMAL(38,0)) * vm)").alias("ss"),
+        )
+        .where("n >= 2 AND ss * n > CAST(s AS DECIMAL(38,0)) * s")
+    )
+    w = g.selectExpr(
+        "event_type",
+        "n",
+        "CAST(n AS DOUBLE)"
+        " / ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)"
+        " / (n - 1)) AS wj",
+        "CAST(s AS DOUBLE) / n AS xbar",
+    )
+    tot = w.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("wj").alias("wsum"),
+        F.sum(F.col("wj") * F.col("xbar")).alias("wxsum"),
+    )
+    parts = (
+        w.crossJoin(F.broadcast(tot))
+        .groupBy("k", "wsum")
+        .agg(
+            F.expr(
+                "sum(wj * (xbar - wxsum / wsum)"
+                " * (xbar - wxsum / wsum))"
+            ).alias("a_num"),
+            F.expr(
+                "sum((1.0 - wj / wsum) * (1.0 - wj / wsum) / (n - 1))"
+            ).alias("lam"),
+        )
+    )
+    return parts.selectExpr(
+        "k AS k_groups",
+        "round((a_num / nullif(CAST(k - 1 AS DOUBLE), 0))"
+        " / (1.0 + CAST(2 * (k - 2) AS DOUBLE)"
+        " / nullif(CAST(k * k - 1 AS DOUBLE), 0) * lam), 6)"
+        " + 0.0 AS welch_f",
+        "round(CAST(k * k - 1 AS DOUBLE)"
+        " / nullif(3.0 * lam, 0), 6) + 0.0 AS welch_df2",
+    )
+
+
+@stage(
+    "quade_test_day_types",
+    """
+    WITH c AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+             event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT d, event_type,
+             CAST(coalesce(n, 0) AS BIGINT) AS n
+      FROM (SELECT DISTINCT d FROM c) dd
+      CROSS JOIN (SELECT DISTINCT event_type FROM c) tt
+      LEFT JOIN c USING (d, event_type)
+    ),
+    rk AS (
+      SELECT d, event_type, n,
+             2 * rank() OVER (PARTITION BY d ORDER BY n)
+               + count(*) OVER (PARTITION BY d, n) - 1 AS dr,
+             count(*) OVER (PARTITION BY d) AS k
+      FROM grid
+    ),
+    rng AS (
+      SELECT d, max(n) - min(n) AS spread FROM grid GROUP BY 1
+    ),
+    q AS (
+      SELECT d,
+             2 * rank() OVER (ORDER BY spread)
+               + count(*) OVER (PARTITION BY spread) - 1 AS dq,
+             count(*) OVER () AS b
+      FROM rng
+    ),
+    s AS (
+      SELECT rk.event_type, rk.k, q.b,
+             CAST(q.dq * (rk.dr - (rk.k + 1)) AS BIGINT) AS sp
+      FROM rk JOIN q USING (d)
+    ),
+    per_type AS (
+      SELECT event_type, any_value(k) AS k, any_value(b) AS b,
+             CAST(sum(sp * sp) AS BIGINT) AS a_part,
+             CAST(sum(sp) AS BIGINT) AS sj
+      FROM s GROUP BY 1
+    ),
+    agg AS (
+      SELECT any_value(k) AS k, any_value(b) AS b,
+             CAST(sum(a_part) AS BIGINT) AS ap,
+             CAST(sum(sj * sj) AS BIGINT) AS bpp
+      FROM per_type
+    )
+    SELECT b AS b_days, k AS k_types,
+           round(CAST((b - 1) * bpp AS DOUBLE)
+                 / nullif(CAST(b * ap - bpp AS DOUBLE), 0), 6) + 0.0
+             AS quade_f
+    FROM agg
+    """,
+)
+def q_quade_test_day_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quade test for treatment differences across event types with
+    days as blocks, on the zero-filled day x type count grid: within
+    each day the counts get DOUBLED midranks dr (2*rank + ties - 1 —
+    exact integers, no 0.5 rank arithmetic), each day gets a doubled
+    midrank weight dq of its count spread, and the weighted centered
+    scores S' = dq*(dr - (k+1)) = 4*S_quade satisfy F = (b-1)*B'' /
+    (b*A' - B'') with A' = sum S'^2, B'' = sum_j (sum_d S')^2 — the
+    4x doubling cancels, leaving the textbook statistic as one exact
+    integer ratio until the final division (BIGINT-safe: b is
+    calendar-bounded, B'' <= k*(12*b^2)^2 ~ 1e17 at a decade of
+    days). Identical-ranking degeneracy (all spreads equal and blocks
+    unanimous) makes both A' and B'' collapse and NULLs via nullif.
+    Shape: one grid groupBy, two bounded window passes, joins on the
+    day key only.
+    """
+    ev = _events(spark, sf_dir)
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    c = ev.groupBy(
+        (sec / 86400).cast("long").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    days = c.select("d").distinct()
+    types = c.select("event_type").distinct()
+    grid = (
+        days.crossJoin(types)
+        .join(c, ["d", "event_type"], "left")
+        .select(
+            "d",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+    )
+    rk = grid.select(
+        "d",
+        "event_type",
+        "n",
+        (
+            2 * F.rank().over(W.partitionBy("d").orderBy("n"))
+            + F.count("*").over(W.partitionBy("d", "n"))
+            - 1
+        ).alias("dr"),
+        F.count("*").over(W.partitionBy("d")).alias("k"),
+    )
+    rng = grid.groupBy("d").agg(
+        (F.max("n") - F.min("n")).alias("spread")
+    )
+    q = rng.select(
+        "d",
+        (
+            2 * F.rank().over(W.orderBy("spread"))
+            + F.count("*").over(W.partitionBy("spread"))
+            - 1
+        ).alias("dq"),
+        F.count("*")
+        .over(
+            W.orderBy(F.lit(1)).rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        )
+        .alias("b"),
+    )
+    s = rk.join(q, "d").selectExpr(
+        "event_type",
+        "k",
+        "b",
+        "CAST(dq * (dr - (k + 1)) AS BIGINT) AS sp",
+    )
+    per_type = s.groupBy("event_type").agg(
+        F.first("k").alias("k"),
+        F.first("b").alias("b"),
+        F.sum(F.col("sp") * F.col("sp")).cast("long").alias("a_part"),
+        F.sum("sp").cast("long").alias("sj"),
+    )
+    agg = per_type.agg(
+        F.first("k").alias("k"),
+        F.first("b").alias("b"),
+        F.sum("a_part").cast("long").alias("ap"),
+        F.sum(F.col("sj") * F.col("sj")).cast("long").alias("bpp"),
+    )
+    return agg.selectExpr(
+        "b AS b_days",
+        "k AS k_types",
+        "round(CAST((b - 1) * bpp AS DOUBLE)"
+        " / nullif(CAST(b * ap - bpp AS DOUBLE), 0), 6) + 0.0"
+        " AS quade_f",
+    )

@@ -221,3 +221,159 @@ class TestHodgesLehmann:
         row = _run(spark, tmp_path, "hodges_lehmann_shift_arms")[0]
         assert row["n_pairs"] == 6
         assert row["hl_shift"] == pytest.approx(1.0, abs=1e-6)
+
+
+def _bucket_events(counts, hours_per_bucket=6):
+    """counts[i] events in consecutive `hours_per_bucket`-hour buckets
+    starting 2024-01-01 00:00."""
+    rows = []
+    eid = 0
+    for i, c in enumerate(counts):
+        day = 1 + (i * hours_per_bucket) // 24
+        hour = (i * hours_per_bucket) % 24
+        for j in range(c):
+            rows.append(
+                (eid, f"2024-01-{day:02d} {hour:02d}:{j % 60:02d}:00",
+                 1, "c", 1.0, "{}")
+            )
+            eid += 1
+    return rows
+
+
+class TestC3AndTrev:
+    def test_c3_ramp_hand_computed(self, spark, tmp_path):
+        # 6h counts 1..5: lag1 mean = (6+24+60)/3 = 30; lag2 = 15
+        # (single term 5*3*1); lag3 has no complete chain -> NULL
+        _write_events(tmp_path, _bucket_events([1, 2, 3, 4, 5]))
+        rows = _run(spark, tmp_path, "c3_nonlinearity_6h")
+        got = {r["lag"]: (r["n_terms"], r["c3_mean"]) for r in rows}
+        assert got == {1: (3, 30.0), 2: (1, 15.0), 3: (0, None)}
+
+    def test_trev_ramp_hand_computed(self, spark, tmp_path):
+        # same ramp: trev(1) = mean(y*py*(y-py)) = (2+6+12+20)/4 = 10;
+        # trev(2) = (6+16+30)/3; trev(3) = (12+30)/2 = 21
+        _write_events(tmp_path, _bucket_events([1, 2, 3, 4, 5]))
+        rows = _run(spark, tmp_path, "time_reversal_asymmetry_6h")
+        got = {r["lag"]: (r["n_terms"], r["trev_mean"]) for r in rows}
+        assert got[1] == (4, 10.0)
+        assert got[2][0] == 3
+        assert got[2][1] == pytest.approx(52.0 / 3.0, abs=1e-6)
+        assert got[3] == (2, 21.0)
+
+    def test_trev_constant_series_zero(self, spark, tmp_path):
+        _write_events(tmp_path, _bucket_events([2, 2, 2, 2]))
+        rows = _run(spark, tmp_path, "time_reversal_asymmetry_6h")
+        assert all(r["trev_mean"] == 0.0 for r in rows)
+
+
+class TestAllanVariance:
+    def test_doubling_series(self, spark, tmp_path):
+        # hourly [1,2,4,8]: AVAR(1) = (1+4+16)/6 = 3.5;
+        # AVAR(2) = 81/(2*4*1) = 10.125; AVAR(4): one group -> NULL
+        _write_events(
+            tmp_path, _bucket_events([1, 2, 4, 8], hours_per_bucket=1)
+        )
+        rows = _run(spark, tmp_path, "allan_variance_hourly_rate")
+        got = {r["tau_hours"]: (r["n_groups"], r["allan_var"]) for r in rows}
+        assert got == {1: (4, 3.5), 2: (2, 10.125), 4: (1, None)}
+
+
+class TestLongestMonotoneRuns:
+    def test_hand_computed(self, spark, tmp_path):
+        # hourly [1,3,2,4,5,6,2,1,0,1]: longest strict up = 4
+        # (2,4,5,6), longest strict down = 4 (6,2,1,0); the zero
+        # bucket is interior so the span scaffold materializes it
+        _write_events(
+            tmp_path,
+            _bucket_events(
+                [1, 3, 2, 4, 5, 6, 2, 1, 0, 1], hours_per_bucket=1
+            ),
+        )
+        row = _run(spark, tmp_path, "longest_monotone_runs_hourly")[0]
+        assert row["n_hours"] == 10
+        assert row["longest_up_run"] == 4
+        assert row["longest_down_run"] == 4
+
+    def test_flat_series_runs_of_one(self, spark, tmp_path):
+        _write_events(
+            tmp_path, _bucket_events([3, 3, 3], hours_per_bucket=1)
+        )
+        row = _run(spark, tmp_path, "longest_monotone_runs_hourly")[0]
+        assert row["longest_up_run"] == 1
+        assert row["longest_down_run"] == 1
+
+
+class TestWelchAnova:
+    def test_two_group_hand_computed(self, spark, tmp_path):
+        # A = {1,2,3} (var 1e6 micro^2), B = {10,12} (var 2e6):
+        # w = (3e-6, 1e-6), xw = 4250, A-num = 60.75, k = 2 ->
+        # F = 60.75 (B-term vanishes at k = 2), df2 = 3/1.78125
+        _write_events(
+            tmp_path,
+            [
+                (0, "2024-01-01 00:00:00", 1, "A", 1.0, "{}"),
+                (1, "2024-01-01 00:01:00", 1, "A", 2.0, "{}"),
+                (2, "2024-01-01 00:02:00", 1, "A", 3.0, "{}"),
+                (3, "2024-01-01 00:03:00", 1, "B", 10.0, "{}"),
+                (4, "2024-01-01 00:04:00", 1, "B", 12.0, "{}"),
+            ],
+        )
+        row = _run(spark, tmp_path, "welch_anova_value_types")[0]
+        assert row["k_groups"] == 2
+        assert row["welch_f"] == pytest.approx(60.75, abs=1e-6)
+        assert row["welch_df2"] == pytest.approx(
+            3.0 / 1.78125, abs=1e-6
+        )
+
+    def test_single_usable_group_null(self, spark, tmp_path):
+        # constant group excluded by the exact integer variance test,
+        # leaving k = 1 -> both outputs NULL
+        _write_events(
+            tmp_path,
+            [
+                (0, "2024-01-01 00:00:00", 1, "A", 5.0, "{}"),
+                (1, "2024-01-01 00:01:00", 1, "A", 5.0, "{}"),
+                (2, "2024-01-01 00:02:00", 1, "B", 1.0, "{}"),
+                (3, "2024-01-01 00:03:00", 1, "B", 2.0, "{}"),
+            ],
+        )
+        row = _run(spark, tmp_path, "welch_anova_value_types")[0]
+        assert row["k_groups"] == 1
+        assert row["welch_f"] is None and row["welch_df2"] is None
+
+
+class TestQuade:
+    def test_two_block_hand_computed(self, spark, tmp_path):
+        # day1: (A=1, B=3) spread 2; day2: (A=5, B=4) spread 1.
+        # S' matrix = [[-4, 4], [2, -2]]: A' = 40, B'' = 8,
+        # F = 1*8 / (2*40 - 8) = 1/9
+        rows = []
+        eid = 0
+        for day, tcounts in [(1, {"A": 1, "B": 3}), (2, {"A": 5, "B": 4})]:
+            for t, c in tcounts.items():
+                for j in range(c):
+                    rows.append(
+                        (eid, f"2024-01-{day:02d} 06:{j:02d}:00", 1, t,
+                         1.0, "{}")
+                    )
+                    eid += 1
+        _write_events(tmp_path, rows)
+        row = _run(spark, tmp_path, "quade_test_day_types")[0]
+        assert row["b_days"] == 2 and row["k_types"] == 2
+        assert row["quade_f"] == pytest.approx(1.0 / 9.0, abs=1e-6)
+
+    def test_unanimous_identical_counts_null(self, spark, tmp_path):
+        # both days count A twice, B twice: every rank tied -> S' = 0
+        rows = []
+        eid = 0
+        for day in (1, 2):
+            for t in ("A", "B"):
+                for j in range(2):
+                    rows.append(
+                        (eid, f"2024-01-{day:02d} 06:{j:02d}:00", 1, t,
+                         1.0, "{}")
+                    )
+                    eid += 1
+        _write_events(tmp_path, rows)
+        row = _run(spark, tmp_path, "quade_test_day_types")[0]
+        assert row["quade_f"] is None
