@@ -1417,3 +1417,672 @@ def q_quade_test_day_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / nullif(CAST(b * ap - bpp AS DOUBLE), 0), 6) + 0.0"
         " AS quade_f",
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch C — corpus / text diagnostics
+# ---------------------------------------------------------------------------
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+_WORDS_BY_LANG_SQL = """
+    w AS (
+      SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ),
+    wc AS (
+      SELECT lang, word, CAST(count(*) AS BIGINT) AS c
+      FROM w WHERE word <> '' GROUP BY 1, 2
+    )
+"""
+
+
+@stage(
+    "good_turing_unseen_mass_by_lang",
+    f"""
+    WITH {_WORDS_BY_LANG_SQL},
+    g AS (
+      SELECT lang,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS v1,
+             CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS v2
+      FROM wc GROUP BY 1
+    )
+    SELECT lang, n_tokens, n_types, v1,
+           round(CAST(v1 AS DOUBLE) / nullif(CAST(n_tokens AS DOUBLE),
+                 0), 6) + 0.0 AS p_unseen,
+           round(CAST(2 * v2 AS DOUBLE) / nullif(CAST(v1 AS DOUBLE),
+                 0), 6) + 0.0 AS gt_hapax_adjusted_count
+    FROM g ORDER BY lang
+    """,
+)
+def q_good_turing_unseen_mass_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Good-Turing unseen-mass estimate per language: the probability
+    the NEXT token is a never-seen type, p0 = V1/N (hapax count over
+    token count), plus the Good-Turing adjusted count for hapaxes
+    r* = 2*V2/V1 — the two numbers that decide how much probability
+    mass a language model should reserve for novel vocabulary when a
+    corpus slice is used for training. Pure exact-integer ratios off
+    the same vocab-sized word-count relation as the diversity
+    operators (one token-explode shuffle, one vocab groupBy);
+    a hapax-free corpus NULLs r* via nullif.
+    """
+    docs = _documents(spark, sf_dir)
+    w = docs.select(
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+    ).where(F.col("word") != "")
+    wc = w.groupBy("lang", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    g = wc.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("v1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("v2"),
+    )
+    return g.selectExpr(
+        "lang",
+        "n_tokens",
+        "n_types",
+        "v1",
+        "round(CAST(v1 AS DOUBLE) / nullif(CAST(n_tokens AS DOUBLE),"
+        " 0), 6) + 0.0 AS p_unseen",
+        "round(CAST(2 * v2 AS DOUBLE)"
+        " / nullif(CAST(v1 AS DOUBLE), 0), 6) + 0.0"
+        " AS gt_hapax_adjusted_count",
+    ).orderBy("lang")
+
+
+@stage(
+    "mattr_window25_by_lang",
+    """
+    WITH d AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(lower(text), ' '), x -> x <> '')
+               AS l
+      FROM documents
+    ),
+    t0 AS (
+      SELECT doc_id, lang, CAST(len(l) AS BIGINT) AS ln_,
+             unnest(generate_series(1, len(l))) AS j, l
+      FROM d WHERE len(l) >= 25
+    ),
+    tok AS (
+      SELECT doc_id, lang, ln_, CAST(j AS BIGINT) AS j,
+             l[j] AS word
+      FROM t0
+    ),
+    prev AS (
+      SELECT doc_id, lang, ln_, j,
+             CAST(coalesce(lag(j) OVER (PARTITION BY doc_id, word
+               ORDER BY j), 0) AS BIGINT) AS p
+      FROM tok
+    ),
+    contrib AS (
+      SELECT doc_id, lang, any_value(ln_) AS ln_,
+             CAST(sum(greatest(0, least(j + 24, ln_)
+                   - greatest(j, p + 25, 25) + 1)) AS BIGINT) AS s
+      FROM prev GROUP BY 1, 2
+    ),
+    per_doc AS (
+      SELECT lang,
+             CAST(floor(CAST(s AS DOUBLE)
+                  / ((ln_ - 24) * 25) * 1000000.0) AS BIGINT) AS m6
+      FROM contrib
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs_scored,
+           round(CAST(sum(m6) AS DOUBLE) / count(*) / 1000000.0, 6)
+             + 0.0 AS mattr_mean
+    FROM per_doc GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_mattr_window25_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-Average Type-Token Ratio (window 25) per language,
+    computed WITHOUT a sliding distinct-count: a token at position j
+    with previous same-word occurrence p contributes to exactly the
+    windows ending in [max(j, p+25, 25), min(j+24, L)], so the summed
+    distinct counts over all windows collapse to one exact integer
+    closed form per token — no fold, no O(L*w) expansion, one lag
+    window over (doc, word). MATTR = sum / ((L-24)*25) is an exact
+    rational; per-doc scores are floor-quantized to integer micro
+    units before the per-lang mean so the cross-doc sum is exact
+    integer arithmetic (the round-7 digest rule). Docs shorter than
+    the window are excluded deterministically.
+    """
+    docs = _documents(spark, sf_dir)
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.filter(
+            F.split(F.lower(F.col("text")), " "), lambda x: x != ""
+        ).alias("l"),
+    ).where(F.size("l") >= 25)
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.size("l").cast("long").alias("ln_"),
+        F.posexplode("l").alias("pos", "word"),
+    ).selectExpr("doc_id", "lang", "ln_", "CAST(pos + 1 AS BIGINT) AS j",
+                 "word")
+    prev = tok.select(
+        "doc_id",
+        "lang",
+        "ln_",
+        "j",
+        F.coalesce(
+            F.lag("j").over(
+                W.partitionBy("doc_id", "word").orderBy("j")
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("p"),
+    )
+    contrib = prev.groupBy("doc_id", "lang").agg(
+        F.first("ln_").alias("ln_"),
+        F.expr(
+            "CAST(sum(greatest(0, least(j + 24, ln_)"
+            " - greatest(j, p + 25, 25) + 1)) AS BIGINT)"
+        ).alias("s"),
+    )
+    per_doc = contrib.selectExpr(
+        "lang",
+        "CAST(floor(CAST(s AS DOUBLE)"
+        " / ((ln_ - 24) * 25) * 1000000.0) AS BIGINT) AS m6",
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_scored"),
+            F.expr(
+                "round(CAST(sum(m6) AS DOUBLE) / count(*) / 1000000.0,"
+                " 6) + 0.0"
+            ).alias("mattr_mean"),
+        )
+        .orderBy("lang")
+    )
+
+
+@stage(
+    "readability_cli_ari_by_lang",
+    """
+    WITH s AS (
+      SELECT lang,
+             CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+               AS BIGINT) AS letters,
+             CAST(len(list_filter(string_split(text, ' '),
+               x -> x <> '')) AS BIGINT) AS words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS BIGINT) AS sents
+      FROM documents
+    ),
+    g AS (
+      SELECT lang,
+             CAST(sum(letters) AS BIGINT) AS lt,
+             CAST(sum(words) AS BIGINT) AS wd,
+             CAST(sum(sents) AS BIGINT) AS st,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM s WHERE words > 0 GROUP BY 1
+    )
+    SELECT lang, n_docs,
+           round(0.0588 * (CAST(100 * lt AS DOUBLE) / wd)
+                 - 0.296 * (CAST(100 * st AS DOUBLE) / wd) - 15.8, 6)
+             + 0.0 AS coleman_liau,
+           round(4.71 * (CAST(lt AS DOUBLE) / wd)
+                 + 0.5 * (CAST(wd AS DOUBLE) / st) - 21.43, 6) + 0.0
+             AS ari
+    FROM g ORDER BY lang
+    """,
+)
+def q_readability_cli_ari_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Coleman-Liau index and Automated Readability Index per
+    language, both computed from corpus-level integer totals (letters,
+    whitespace words, sentence-punctuation runs with the flesch
+    floor-at-1 convention) rather than per-doc averages — the ratios
+    of exact BIGINT sums feed the published constants in pure double
+    arithmetic with identical expression text on both engines. These
+    two indices need NO syllable heuristic (that's what distinguishes
+    them from the existing Flesch operator): CLI is letters/sentences
+    per 100 words, ARI is chars-per-word + words-per-sentence. One
+    regex projection + one groupBy to 5 rows.
+    """
+    docs = _documents(spark, sf_dir)
+    s = docs.selectExpr(
+        "lang",
+        "CAST(length(regexp_replace(lower(text), '[^a-z]', ''))"
+        " AS BIGINT) AS letters",
+        "CAST(size(filter(split(text, ' '), x -> x != ''))"
+        " AS BIGINT) AS words",
+        "CAST(greatest(size(regexp_extract_all(text, '[.!?]+', 0)), 1)"
+        " AS BIGINT) AS sents",
+    )
+    g = (
+        s.where("words > 0")
+        .groupBy("lang")
+        .agg(
+            F.sum("letters").cast("long").alias("lt"),
+            F.sum("words").cast("long").alias("wd"),
+            F.sum("sents").cast("long").alias("st"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+    )
+    return g.selectExpr(
+        "lang",
+        "n_docs",
+        "round(0.0588 * (CAST(100 * lt AS DOUBLE) / wd)"
+        " - 0.296 * (CAST(100 * st AS DOUBLE) / wd) - 15.8, 6)"
+        " + 0.0 AS coleman_liau",
+        "round(4.71 * (CAST(lt AS DOUBLE) / wd)"
+        " + 0.5 * (CAST(wd AS DOUBLE) / st) - 21.43, 6) + 0.0 AS ari",
+    ).orderBy("lang")
+
+
+@stage(
+    "gunning_fog_by_lang",
+    """
+    WITH d AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(lower(text), ' '), x -> x <> '')
+               AS l,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS BIGINT) AS sents
+      FROM documents
+    ),
+    w AS (
+      SELECT lang, sents, doc_id, unnest(l) AS word FROM d
+    ),
+    cx AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS words,
+             CAST(sum(CASE WHEN len(regexp_extract_all(word,
+                 '[aeiouy]+')) >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS complex_words
+      FROM w GROUP BY 1
+    ),
+    sg AS (
+      SELECT lang, CAST(sum(sents) AS BIGINT) AS sents
+      FROM d GROUP BY 1
+    )
+    SELECT cx.lang, words, complex_words,
+           round(0.4 * (CAST(words AS DOUBLE) / sents
+                 + CAST(100 * complex_words AS DOUBLE) / words), 6)
+             + 0.0 AS gunning_fog
+    FROM cx JOIN sg ON cx.lang = sg.lang
+    ORDER BY 1
+    """,
+)
+def q_gunning_fog_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gunning fog readability per language: 0.4 * (words/sentences +
+    100 * complex/words) with complex = words of >= 3 vowel-group
+    syllables (the same [aeiouy]+ heuristic the Flesch operator pins).
+    Counts are corpus-level BIGINTs — the per-word syllable regex runs
+    in the token explode (whole-stage codegen, no UDF) — and the
+    published 0.4/100 constants bind against doubles only. Sentence
+    runs floor at 1 per document. One explode + two groupBys joined on
+    the 5-row lang key.
+    """
+    docs = _documents(spark, sf_dir)
+    d = docs.selectExpr(
+        "doc_id",
+        "lang",
+        "filter(split(lower(text), ' '), x -> x != '') AS l",
+        "CAST(greatest(size(regexp_extract_all(text, '[.!?]+', 0)), 1)"
+        " AS BIGINT) AS sents",
+    )
+    w = d.select("lang", "sents", "doc_id", F.explode("l").alias("word"))
+    cx = w.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("words"),
+        F.expr(
+            "CAST(sum(CASE WHEN size(regexp_extract_all(word,"
+            " '[aeiouy]+', 0)) >= 3 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("complex_words"),
+    )
+    sg = d.groupBy("lang").agg(F.sum("sents").cast("long").alias("sents"))
+    return (
+        cx.join(sg, "lang")
+        .selectExpr(
+            "lang",
+            "words",
+            "complex_words",
+            "round(0.4 * (CAST(words AS DOUBLE) / sents"
+            " + CAST(100 * complex_words AS DOUBLE) / words), 6)"
+            " + 0.0 AS gunning_fog",
+        )
+        .orderBy("lang")
+    )
+
+
+@stage(
+    "keyness_g2_top_terms",
+    """
+    WITH w AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ),
+    wc AS (
+      SELECT source, word, CAST(count(*) AS BIGINT) AS c
+      FROM w WHERE word <> '' GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n,
+             row_number() OVER (ORDER BY sum(c) DESC, source) AS pos
+      FROM wc GROUP BY 1
+    ),
+    ab AS (
+      SELECT wc.word,
+             CAST(sum(CASE WHEN t.pos = 1 THEN c ELSE 0 END) AS BIGINT)
+               AS a,
+             CAST(sum(CASE WHEN t.pos = 2 THEN c ELSE 0 END) AS BIGINT)
+               AS b
+      FROM wc JOIN totals t ON wc.source = t.source AND t.pos <= 2
+      GROUP BY 1
+      HAVING sum(c) >= 5
+    ),
+    nn AS (
+      SELECT CAST(sum(CASE WHEN pos = 1 THEN n ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(sum(CASE WHEN pos = 2 THEN n ELSE 0 END) AS BIGINT)
+               AS n2
+      FROM totals WHERE pos <= 2
+    ),
+    g2 AS (
+      SELECT word, a, b,
+             2.0 * ((CASE WHEN a > 0 THEN a * ln(CAST(a AS DOUBLE)
+                      * (n1 + n2) / (CAST(a + b AS DOUBLE) * n1))
+                      ELSE 0.0 END)
+                  + (CASE WHEN b > 0 THEN b * ln(CAST(b AS DOUBLE)
+                      * (n1 + n2) / (CAST(a + b AS DOUBLE) * n2))
+                      ELSE 0.0 END)) AS g
+      FROM ab CROSS JOIN nn
+    ),
+    ranked AS (
+      SELECT word, a, b, g,
+             row_number() OVER (ORDER BY round(g, 9) DESC, word)
+               AS pos
+      FROM g2
+    )
+    SELECT word, a AS count_top1, b AS count_top2,
+           round(g, 6) + 0.0 AS keyness_g2
+    FROM ranked WHERE pos <= 15 ORDER BY word
+    """,
+)
+def q_keyness_g2_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-likelihood (G2) keyness of terms between the corpus' two
+    LARGEST sources (picked by exact token totals with a name
+    tiebreak): G2 = 2*(a*ln(a/E_a) + b*ln(b/E_b)) against
+    size-proportional expected counts — the corpus-linguistics
+    standard for "which words distinguish source A from source B",
+    directly useful for mixture/contamination triage. Zero cells
+    contribute zero by the standard convention; rare words (a+b < 5)
+    are excluded to bound the relation. The top-15 ranking orders on
+    round(g, 9) with the word tiebreak because raw libm ln output is
+    engine-unstable in ties (the bh_fdr rank rule). Scale: everything
+    runs on the vocab-sized per-source count relation; the two-source
+    totals ride one broadcast row.
+    """
+    docs = _documents(spark, sf_dir)
+    w = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+    ).where(F.col("word") != "")
+    wc = w.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    totals = (
+        wc.groupBy("source")
+        .agg(F.sum("c").cast("long").alias("n"))
+        .select(
+            "source",
+            "n",
+            F.row_number()
+            .over(W.orderBy(F.col("n").desc(), F.col("source")))
+            .alias("pos"),
+        )
+    )
+    top2 = totals.where("pos <= 2")
+    ab = (
+        wc.join(F.broadcast(top2), "source")
+        .groupBy("word")
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN pos = 1 THEN c ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("a"),
+            F.expr(
+                "CAST(sum(CASE WHEN pos = 2 THEN c ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("b"),
+        )
+        .where("a + b >= 5")
+    )
+    nn = top2.agg(
+        F.expr(
+            "CAST(sum(CASE WHEN pos = 1 THEN n ELSE 0 END) AS BIGINT)"
+        ).alias("n1"),
+        F.expr(
+            "CAST(sum(CASE WHEN pos = 2 THEN n ELSE 0 END) AS BIGINT)"
+        ).alias("n2"),
+    )
+    g2 = ab.crossJoin(F.broadcast(nn)).selectExpr(
+        "word",
+        "a",
+        "b",
+        "2.0 * ((CASE WHEN a > 0 THEN a * ln(CAST(a AS DOUBLE)"
+        " * (n1 + n2) / (CAST(a + b AS DOUBLE) * n1))"
+        " ELSE 0.0 END)"
+        " + (CASE WHEN b > 0 THEN b * ln(CAST(b AS DOUBLE)"
+        " * (n1 + n2) / (CAST(a + b AS DOUBLE) * n2))"
+        " ELSE 0.0 END)) AS g",
+    )
+    ranked = g2.select(
+        "word",
+        "a",
+        "b",
+        "g",
+        F.row_number()
+        .over(W.orderBy(F.expr("round(g, 9)").desc(), F.col("word")))
+        .alias("pos"),
+    ).where("pos <= 15")
+    return ranked.selectExpr(
+        "word",
+        "a AS count_top1",
+        "b AS count_top2",
+        "round(g, 6) + 0.0 AS keyness_g2",
+    ).orderBy("word")
+
+
+@stage(
+    "vocab_overlap_top_sources",
+    """
+    WITH w AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ),
+    wc AS (
+      SELECT source, word, CAST(count(*) AS BIGINT) AS c
+      FROM w WHERE word <> '' GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT source, row_number() OVER (ORDER BY sum(c) DESC, source)
+               AS pos
+      FROM wc GROUP BY 1
+    ),
+    vocab AS (
+      SELECT t.pos, wc.word
+      FROM wc JOIN totals t ON wc.source = t.source AND t.pos <= 4
+    ),
+    sizes AS (
+      SELECT pos, CAST(count(*) AS BIGINT) AS v FROM vocab GROUP BY 1
+    ),
+    inter AS (
+      SELECT a.pos AS p1, b.pos AS p2, CAST(count(*) AS BIGINT) AS i
+      FROM vocab a JOIN vocab b
+        ON a.word = b.word AND a.pos < b.pos
+      GROUP BY 1, 2
+    )
+    SELECT p1 AS source_rank_a, p2 AS source_rank_b,
+           i AS n_shared_types,
+           sa.v AS types_a, sb.v AS types_b,
+           round(CAST(i AS DOUBLE) / nullif(CAST(sa.v + sb.v - i
+                 AS DOUBLE), 0), 6) + 0.0 AS jaccard,
+           round(CAST(i AS DOUBLE) / nullif(CAST(least(sa.v, sb.v)
+                 AS DOUBLE), 0), 6) + 0.0 AS overlap_coef
+    FROM inter
+    JOIN sizes sa ON sa.pos = p1
+    JOIN sizes sb ON sb.pos = p2
+    ORDER BY 1, 2
+    """,
+)
+def q_vocab_overlap_top_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Vocabulary Jaccard and overlap (Szymkiewicz-Simpson)
+    coefficients between every pair of the corpus' four largest
+    sources (exact token totals, name tiebreak): the standard corpus-
+    mixing diagnostic — low Jaccard across sources flags domain
+    shift, overlap near 1 with unequal sizes flags containment. Set
+    sizes and intersections are exact integer counts; the pair join
+    runs on the vocab-sized (word, source-rank) relation with the
+    rank inequality bounding it to 6 pairs. Ranks rather than raw
+    source names key the output so the schema is stable as the corpus
+    grows.
+    """
+    docs = _documents(spark, sf_dir)
+    w = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+    ).where(F.col("word") != "")
+    wc = w.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    totals = (
+        wc.groupBy("source")
+        .agg(F.sum("c").cast("long").alias("n"))
+        .select(
+            "source",
+            F.row_number()
+            .over(W.orderBy(F.col("n").desc(), F.col("source")))
+            .alias("pos"),
+        )
+        .where("pos <= 4")
+    )
+    vocab = wc.join(F.broadcast(totals), "source").select("pos", "word")
+    sizes = vocab.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    inter = (
+        vocab.alias("a")
+        .join(
+            vocab.alias("b"),
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.pos") < F.col("b.pos")),
+        )
+        .groupBy(F.col("a.pos").alias("p1"), F.col("b.pos").alias("p2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("i"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.selectExpr("pos AS p1", "v AS va")), "p1"
+        )
+        .join(F.broadcast(sizes.selectExpr("pos AS p2", "v AS vb")), "p2")
+        .selectExpr(
+            "p1 AS source_rank_a",
+            "p2 AS source_rank_b",
+            "i AS n_shared_types",
+            "va AS types_a",
+            "vb AS types_b",
+            "round(CAST(i AS DOUBLE) / nullif(CAST(va + vb - i"
+            " AS DOUBLE), 0), 6) + 0.0 AS jaccard",
+            "round(CAST(i AS DOUBLE) / nullif(CAST(least(va, vb)"
+            " AS DOUBLE), 0), 6) + 0.0 AS overlap_coef",
+        )
+        .orderBy("source_rank_a", "source_rank_b")
+    )
+
+
+@stage(
+    "char_bigram_entropy_by_lang",
+    """
+    WITH t AS (
+      SELECT lang, lower(text) AS s FROM documents
+      WHERE length(text) >= 2
+    ),
+    pos AS (
+      SELECT lang, s, unnest(generate_series(1, length(s) - 1)) AS i
+      FROM t
+    ),
+    bg AS (
+      SELECT lang, substr(s, CAST(i AS INT), 2) AS b FROM pos
+    ),
+    bc AS (
+      SELECT lang, b, CAST(count(*) AS BIGINT) AS c
+      FROM bg GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT lang,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+             sum(c * ln(CAST(c AS DOUBLE))) AS clogc
+      FROM bc GROUP BY 1
+    )
+    SELECT lang, n AS n_bigrams, n_distinct_bigrams,
+           round((ln(CAST(n AS DOUBLE)) - clogc / n)
+                 / ln(2.0), 6) + 0.0 AS bigram_entropy_bits
+    FROM g ORDER BY lang
+    """,
+)
+def q_char_bigram_entropy_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Character-bigram entropy rate per language in bits: H =
+    (ln N - sum(c*ln c)/N) / ln 2 over all adjacent character pairs of
+    the lowered text (spaces included — word-boundary bigrams carry
+    real signal for language ID). The bigram extraction is a
+    positional explode (one row per character, linear in corpus size,
+    no quadratic blowup); counts collapse to the bounded bigram-type
+    relation before any float appears, and the ln-sum spans only that
+    bounded relation (the markov_entropy_rate precedent for libm use
+    under 6dp rounding). Distinguishes scripts with concentrated
+    bigram mass (zh pinyin soup) from diffuse Latin text.
+    """
+    docs = _documents(spark, sf_dir)
+    t = docs.selectExpr("lang", "lower(text) AS s").where(
+        "length(s) >= 2"
+    )
+    pos = t.select(
+        "lang",
+        "s",
+        F.explode(
+            F.sequence(F.lit(1), F.length("s") - 1)
+        ).alias("i"),
+    )
+    bg = pos.selectExpr("lang", "substr(s, CAST(i AS INT), 2) AS b")
+    bc = bg.groupBy("lang", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    g = bc.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_bigrams"),
+        F.sum(F.expr("c * ln(CAST(c AS DOUBLE))")).alias("clogc"),
+    )
+    return g.selectExpr(
+        "lang",
+        "n AS n_bigrams",
+        "n_distinct_bigrams",
+        "round((ln(CAST(n AS DOUBLE)) - clogc / n)"
+        " / ln(2.0), 6) + 0.0 AS bigram_entropy_bits",
+    ).orderBy("lang")

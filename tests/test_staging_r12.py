@@ -377,3 +377,134 @@ class TestQuade:
         _write_events(tmp_path, rows)
         row = _run(spark, tmp_path, "quade_test_day_types")[0]
         assert row["quade_f"] is None
+
+
+from tests.test_round8_ops import _write_documents  # noqa: E402
+
+
+class TestGoodTuring:
+    def test_hand_computed(self, spark, tmp_path):
+        # en tokens: a:2 b:1 c:1 -> N=4 V1=2 V2=1:
+        # p_unseen = 0.5, r* = 2*V2/V1 = 1.0
+        _write_documents(tmp_path, [(0, "a a b c", "en", "s1")])
+        row = _run(spark, tmp_path, "good_turing_unseen_mass_by_lang")[0]
+        assert (row["n_tokens"], row["n_types"], row["v1"]) == (4, 3, 2)
+        assert row["p_unseen"] == 0.5
+        assert row["gt_hapax_adjusted_count"] == 1.0
+
+    def test_no_hapax_null(self, spark, tmp_path):
+        _write_documents(tmp_path, [(0, "a a b b", "en", "s1")])
+        row = _run(spark, tmp_path, "good_turing_unseen_mass_by_lang")[0]
+        assert row["p_unseen"] == 0.0
+        assert row["gt_hapax_adjusted_count"] is None
+
+
+class TestMattr:
+    def test_constant_vs_distinct_docs(self, spark, tmp_path):
+        # 25 identical tokens -> MATTR = 1/25; 25 distinct -> 1.0;
+        # a 24-token doc is excluded; lang mean = 0.52
+        _write_documents(
+            tmp_path,
+            [
+                (0, " ".join(["x"] * 25), "en", "s1"),
+                (1, " ".join(f"w{i}" for i in range(25)), "en", "s1"),
+                (2, " ".join(["y"] * 24), "en", "s1"),
+            ],
+        )
+        row = _run(spark, tmp_path, "mattr_window25_by_lang")[0]
+        assert row["n_docs_scored"] == 2
+        assert row["mattr_mean"] == pytest.approx(0.52, abs=1e-6)
+
+
+class TestReadability:
+    def test_cli_ari_hand_computed(self, spark, tmp_path):
+        # "ab cd. ef!": letters 6, words 3, sentence runs 2
+        # CLI = 0.0588*200 - 0.296*(200/3) - 15.8 = -23.773333
+        # ARI = 4.71*2 + 0.5*1.5 - 21.43 = -11.26
+        _write_documents(tmp_path, [(0, "ab cd. ef!", "en", "s1")])
+        row = _run(spark, tmp_path, "readability_cli_ari_by_lang")[0]
+        assert row["coleman_liau"] == pytest.approx(
+            0.0588 * 200 - 0.296 * 200 / 3 - 15.8, abs=1e-6
+        )
+        assert row["ari"] == pytest.approx(-11.26, abs=1e-6)
+
+    def test_fog_hand_computed(self, spark, tmp_path):
+        # docs "ab cd. ef!" (0 complex, 3 words, 2 sents) and
+        # "aviation aviation." (2 complex, 2 words, 1 sent):
+        # fog = 0.4*(5/3 + 100*2/5) = 16.666667
+        _write_documents(
+            tmp_path,
+            [
+                (0, "ab cd. ef!", "en", "s1"),
+                (1, "aviation aviation.", "en", "s1"),
+            ],
+        )
+        row = _run(spark, tmp_path, "gunning_fog_by_lang")[0]
+        assert (row["words"], row["complex_words"]) == (5, 2)
+        assert row["gunning_fog"] == pytest.approx(
+            0.4 * (5.0 / 3.0 + 40.0), abs=1e-6
+        )
+
+
+class TestKeyness:
+    def test_two_source_g2(self, spark, tmp_path):
+        import math
+
+        # top-2 sources by tokens: s1 (6 = 5x + 1y), s2 (5 = 5y);
+        # the s3 doc must not participate
+        _write_documents(
+            tmp_path,
+            [
+                (0, "x x x x x y", "en", "s1"),
+                (1, "y y y y y", "en", "s2"),
+                (2, "z z", "en", "s3"),
+            ],
+        )
+        rows = _run(spark, tmp_path, "keyness_g2_top_terms")
+        got = {r["word"]: r for r in rows}
+        assert set(got) == {"x", "y"}
+        g2_x = 2 * (5 * math.log(5 * 11 / (5 * 6)))
+        g2_y = 2 * (
+            1 * math.log(1 * 11 / (6 * 6))
+            + 5 * math.log(5 * 11 / (6 * 5))
+        )
+        assert got["x"]["keyness_g2"] == pytest.approx(g2_x, abs=1e-6)
+        assert got["y"]["keyness_g2"] == pytest.approx(g2_y, abs=1e-6)
+        assert (got["x"]["count_top1"], got["x"]["count_top2"]) == (5, 0)
+
+
+class TestVocabOverlap:
+    def test_two_source_jaccard(self, spark, tmp_path):
+        # s1 vocab {a,b,c} (4 tokens), s2 vocab {b,c,d} (3 tokens):
+        # intersection 2, union 4 -> jaccard 0.5, overlap 2/3
+        _write_documents(
+            tmp_path,
+            [
+                (0, "a a b c", "en", "s1"),
+                (1, "b c d", "en", "s2"),
+            ],
+        )
+        rows = _run(spark, tmp_path, "vocab_overlap_top_sources")
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["source_rank_a"], r["source_rank_b"]) == (1, 2)
+        assert r["n_shared_types"] == 2
+        assert r["jaccard"] == 0.5
+        assert r["overlap_coef"] == pytest.approx(2.0 / 3.0, abs=1e-6)
+
+
+class TestCharBigramEntropy:
+    def test_uniform_vs_constant(self, spark, tmp_path):
+        # en "aabb": bigrams aa, ab, bb each once -> H = log2(3);
+        # fr "aaa": both bigrams identical -> H = 0
+        _write_documents(
+            tmp_path,
+            [(0, "aabb", "en", "s1"), (1, "aaa", "fr", "s1")],
+        )
+        rows = _run(spark, tmp_path, "char_bigram_entropy_by_lang")
+        got = {r["lang"]: r for r in rows}
+        assert got["en"]["n_bigrams"] == 3
+        assert got["en"]["bigram_entropy_bits"] == pytest.approx(
+            1.584963, abs=1e-6
+        )
+        assert got["fr"]["bigram_entropy_bits"] == 0.0
