@@ -2086,3 +2086,653 @@ def q_char_bigram_entropy_by_lang(
         "round((ln(CAST(n AS DOUBLE)) - clogc / n)"
         " / ln(2.0), 6) + 0.0 AS bigram_entropy_bits",
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Batch D — evaluation / cluster-validity diagnostics
+# ---------------------------------------------------------------------------
+# Local copy of the registered _SCORED_SQL construct (queries.py:7599)
+# so the staging module stays import-independent: y = churn-ish label,
+# score = 0.3*y + 0.7*uniform(md5). On the 1/999 grid the score is the
+# exact integer s_int = 2997*y + 7*h (score * 9990), which batch D's
+# pair counting uses to stay float-free.
+
+_SCORED2_SQL = """
+    scored AS (
+      SELECT event_type,
+             CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS y,
+             CAST(2997 * (CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END)
+               + 7 * (('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT
+                      % 1000) AS BIGINT) AS si,
+             CAST(2997 * (CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END)
+               + 7 * (('0x' || substr(md5(event_id::VARCHAR), 5, 4))::BIGINT
+                      % 1000) AS BIGINT) AS si2
+      FROM events
+    )
+"""
+
+
+def _scored2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    y = F.when(F.col("user_id") % 3 == 0, 1).otherwise(0)
+    h1 = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 4),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    h2 = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 5, 4),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    return ev.select(
+        "event_type",
+        y.alias("y"),
+        (F.lit(2997) * y + 7 * h1).cast("long").alias("si"),
+        (F.lit(2997) * y + 7 * h2).cast("long").alias("si2"),
+    )
+
+
+@stage(
+    "v_measure_embedding_partition",
+    """
+    WITH p AS (
+      SELECT label,
+             2 * (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END) AS bucket
+      FROM embeddings
+    ),
+    cell AS (
+      SELECT label, bucket, CAST(count(*) AS BIGINT) AS n
+      FROM p GROUP BY 1, 2
+    ),
+    a AS (SELECT label, CAST(sum(n) AS BIGINT) AS na FROM cell GROUP BY 1),
+    b AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS nb FROM cell GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cell),
+    ents AS (
+      SELECT
+        (SELECT -sum(na * ln(CAST(na AS DOUBLE) / nt)) / any_value(nt)
+         FROM a CROSS JOIN tot) AS hc,
+        (SELECT -sum(nb * ln(CAST(nb AS DOUBLE) / nt)) / any_value(nt)
+         FROM b CROSS JOIN tot) AS hk,
+        (SELECT -sum(cell.n * ln(CAST(cell.n AS DOUBLE) / b.nb))
+           / any_value(nt)
+         FROM cell JOIN b USING (bucket) CROSS JOIN tot) AS hck,
+        (SELECT -sum(cell.n * ln(CAST(cell.n AS DOUBLE) / a.na))
+           / any_value(nt)
+         FROM cell JOIN a USING (label) CROSS JOIN tot) AS hkc,
+        (SELECT nt FROM tot) AS n_points
+    ),
+    hcpair AS (
+      SELECT n_points,
+             CASE WHEN hc = 0 THEN 1.0 ELSE 1.0 - hck / hc END AS h,
+             CASE WHEN hk = 0 THEN 1.0 ELSE 1.0 - hkc / hk END AS c
+      FROM ents
+    )
+    SELECT n_points,
+           round(h, 6) + 0.0 AS homogeneity,
+           round(c, 6) + 0.0 AS completeness,
+           round(2.0 * h * c / nullif(h + c, 0), 6) + 0.0 AS v_measure
+    FROM hcpair
+    """,
+)
+def q_v_measure_embedding_partition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Homogeneity / completeness / V-measure between the embedding
+    labels and the 4-way sign-quadrant partition of dims 1-2 — the
+    entropy-based companion to the pairwise ARI/FM agreement operator
+    (same two partitions, different failure modes: V-measure penalizes
+    split clusters where ARI forgives them). Conditional entropies run
+    over the bounded label x bucket contingency relation (ln under 6dp
+    rounding, the markov_entropy precedent); the sklearn conventions
+    h = 1 when H(C) = 0 and V = 0/NULL when h + c = 0 are pinned via
+    CASE/nullif. One groupBy to the contingency cells; every entropy
+    is a scalar off that bounded relation.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    p = emb.selectExpr(
+        "label",
+        "2 * (CASE WHEN get(embedding, 0) > 0 THEN 1 ELSE 0 END)"
+        " + (CASE WHEN get(embedding, 1) > 0 THEN 1 ELSE 0 END)"
+        " AS bucket",
+    )
+    cell = p.groupBy("label", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = cell.groupBy("label").agg(F.sum("n").cast("long").alias("na"))
+    b = cell.groupBy("bucket").agg(F.sum("n").cast("long").alias("nb"))
+    tot = cell.agg(F.sum("n").cast("long").alias("nt"))
+    hc = (
+        a.crossJoin(F.broadcast(tot))
+        .agg(F.expr("-sum(na * ln(CAST(na AS DOUBLE) / nt))").alias("x"))
+        .crossJoin(F.broadcast(tot))
+        .selectExpr("x / nt AS hc")
+    )
+    hk = (
+        b.crossJoin(F.broadcast(tot))
+        .agg(F.expr("-sum(nb * ln(CAST(nb AS DOUBLE) / nt))").alias("x"))
+        .crossJoin(F.broadcast(tot))
+        .selectExpr("x / nt AS hk")
+    )
+    hck = (
+        cell.join(F.broadcast(b), "bucket")
+        .agg(
+            F.expr("-sum(n * ln(CAST(n AS DOUBLE) / nb))").alias("x")
+        )
+        .crossJoin(F.broadcast(tot))
+        .selectExpr("x / nt AS hck")
+    )
+    hkc = (
+        cell.join(F.broadcast(a), "label")
+        .agg(
+            F.expr("-sum(n * ln(CAST(n AS DOUBLE) / na))").alias("x")
+        )
+        .crossJoin(F.broadcast(tot))
+        .selectExpr("x / nt AS hkc")
+    )
+    ents = (
+        hc.crossJoin(hk)
+        .crossJoin(hck)
+        .crossJoin(hkc)
+        .crossJoin(F.broadcast(tot.selectExpr("nt AS n_points")))
+    )
+    hcp = ents.selectExpr(
+        "n_points",
+        "CASE WHEN hc = 0 THEN 1.0 ELSE 1.0 - hck / hc END AS h",
+        "CASE WHEN hk = 0 THEN 1.0 ELSE 1.0 - hkc / hk END AS c",
+    )
+    return hcp.selectExpr(
+        "n_points",
+        "round(h, 6) + 0.0 AS homogeneity",
+        "round(c, 6) + 0.0 AS completeness",
+        "round(2.0 * h * c / nullif(h + c, 0), 6) + 0.0 AS v_measure",
+    )
+
+
+@stage(
+    "calinski_harabasz_value_types",
+    """
+    WITH v AS (
+      SELECT event_type,
+             CAST(floor(value * 1000) AS BIGINT) AS vm
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS nj,
+             CAST(sum(vm) AS BIGINT) AS sj,
+             sum(vm::HUGEINT * vm) AS ssj
+      FROM v GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(nj) AS BIGINT) AS n,
+             CAST(sum(sj) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS k
+      FROM g
+    ),
+    parts AS (
+      SELECT k, n,
+             sum(CAST((n::HUGEINT * sj - nj::HUGEINT * s)
+                      * (n::HUGEINT * sj - nj::HUGEINT * s) AS DOUBLE)
+                 / (CAST(nj AS DOUBLE) * n * n)) AS between_ss,
+             sum(CAST(ssj AS DOUBLE)
+                 - CAST(sj AS DOUBLE) * sj / nj) AS within_ss
+      FROM g CROSS JOIN tot
+      GROUP BY 1, 2
+    )
+    SELECT k AS k_clusters, n AS n_points,
+           round((between_ss / nullif(CAST(k - 1 AS DOUBLE), 0))
+                 / nullif(within_ss / nullif(CAST(n - k AS DOUBLE), 0),
+                          0), 6) + 0.0 AS ch_index
+    FROM parts
+    """,
+)
+def q_calinski_harabasz_value_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Calinski-Harabasz variance-ratio index treating event types as
+    clusters over the micro-gridded value axis: [between-SS/(k-1)] /
+    [within-SS/(n-k)]. Between-group terms use the exact integer form
+    (n*s_j - n_j*S)^2 / (n_j*n^2) — int128-widened per-row since
+    n*s_j reaches ~1e22 at corpus scale — and within-SS comes from
+    exact integer group moments; the 5-term cross-group sums are the
+    bartlett small-k float precedent. Degenerate k = 1 or zero
+    within-variance NULLs via nullif. One groupBy to k rows + one
+    broadcast scalar join.
+    """
+    v = (
+        _events(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .selectExpr(
+            "event_type", "CAST(floor(value * 1000) AS BIGINT) AS vm"
+        )
+    )
+    g = v.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("nj"),
+        F.sum("vm").cast("long").alias("sj"),
+        F.expr("sum(CAST(vm AS DECIMAL(38,0)) * vm)").alias("ssj"),
+    )
+    tot = g.agg(
+        F.sum("nj").cast("long").alias("n"),
+        F.sum("sj").cast("long").alias("s"),
+        F.count("*").cast("long").alias("k"),
+    )
+    parts = (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("k", "n")
+        .agg(
+            F.expr(
+                "sum(CAST((CAST(n AS DECIMAL(38,0)) * sj"
+                " - CAST(nj AS DECIMAL(38,0)) * s)"
+                " * (CAST(n AS DECIMAL(38,0)) * sj"
+                " - CAST(nj AS DECIMAL(38,0)) * s) AS DOUBLE)"
+                " / (CAST(nj AS DOUBLE) * n * n))"
+            ).alias("between_ss"),
+            F.expr(
+                "sum(CAST(ssj AS DOUBLE)"
+                " - CAST(sj AS DOUBLE) * sj / nj)"
+            ).alias("within_ss"),
+        )
+    )
+    return parts.selectExpr(
+        "k AS k_clusters",
+        "n AS n_points",
+        "round((between_ss / nullif(CAST(k - 1 AS DOUBLE), 0))"
+        " / nullif(within_ss / nullif(CAST(n - k AS DOUBLE), 0),"
+        " 0), 6) + 0.0 AS ch_index",
+    )
+
+
+@stage(
+    "davies_bouldin_value_types",
+    """
+    WITH v AS (
+      SELECT event_type,
+             CAST(floor(value * 1000) AS BIGINT) AS vm
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS nj,
+             CAST(sum(vm) AS BIGINT) AS sj,
+             sum(vm::HUGEINT * vm) AS ssj
+      FROM v GROUP BY 1
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(sj AS DOUBLE) / nj AS mu,
+             sqrt((CAST(ssj AS DOUBLE) - CAST(sj AS DOUBLE) * sj / nj)
+                  / nj) AS sig
+      FROM g
+    ),
+    r AS (
+      SELECT a.event_type AS ta, b.event_type AS tb,
+             (a.sig + b.sig) / nullif(abs(a.mu - b.mu), 0) AS ratio
+      FROM m a JOIN m b ON a.event_type <> b.event_type
+    ),
+    best AS (
+      SELECT ta, ratio,
+             row_number() OVER (PARTITION BY ta
+               ORDER BY round(ratio, 9) DESC, tb) AS rk
+      FROM r
+    )
+    SELECT CAST(count(*) AS BIGINT) AS k_clusters,
+           round(avg(ratio), 6) + 0.0 AS db_index
+    FROM best WHERE rk = 1
+    """,
+)
+def q_davies_bouldin_value_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Davies-Bouldin index treating event types as clusters on the
+    micro value axis: DB = mean over clusters of the worst
+    (sigma_i + sigma_j)/|mu_i - mu_j| ratio. Centroids and population
+    sigmas derive from exact integer group moments (int128 sumsq);
+    the per-cluster worst-partner argmax ranks on round(ratio, 9)
+    with the partner-name tiebreak because the ratio is libm-computed
+    (the bh_fdr rank rule), and coincident centroids NULL their pair
+    via nullif (NULLs sort last under DESC on both engines, so they
+    never win the argmax unless every partner coincides). The pair
+    join is k x k on the 5-row moment relation.
+    """
+    v = (
+        _events(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .selectExpr(
+            "event_type", "CAST(floor(value * 1000) AS BIGINT) AS vm"
+        )
+    )
+    g = v.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("nj"),
+        F.sum("vm").cast("long").alias("sj"),
+        F.expr("sum(CAST(vm AS DECIMAL(38,0)) * vm)").alias("ssj"),
+    )
+    m = g.selectExpr(
+        "event_type",
+        "CAST(sj AS DOUBLE) / nj AS mu",
+        "sqrt((CAST(ssj AS DOUBLE) - CAST(sj AS DOUBLE) * sj / nj)"
+        " / nj) AS sig",
+    )
+    r = (
+        m.alias("a")
+        .join(
+            m.alias("b"),
+            F.col("a.event_type") != F.col("b.event_type"),
+        )
+        .selectExpr(
+            "a.event_type AS ta",
+            "b.event_type AS tb",
+            "(a.sig + b.sig) / nullif(abs(a.mu - b.mu), 0) AS ratio",
+        )
+    )
+    best = r.select(
+        "ta",
+        "ratio",
+        F.row_number()
+        .over(
+            W.partitionBy("ta").orderBy(
+                F.expr("round(ratio, 9)").desc(), F.col("tb")
+            )
+        )
+        .alias("rk"),
+    ).where("rk = 1")
+    return best.agg(
+        F.count("*").cast("long").alias("k_clusters"),
+        F.expr("round(avg(ratio), 6) + 0.0").alias("db_index"),
+    )
+
+
+@stage(
+    "nri_reclassification_scores",
+    f"""
+    WITH {_SCORED2_SQL},
+    c AS (
+      SELECT
+        CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg,
+        CAST(sum(CASE WHEN y = 1 AND si < 4995 AND si2 >= 4995
+                 THEN 1 ELSE 0 END) AS BIGINT) AS pos_up,
+        CAST(sum(CASE WHEN y = 1 AND si >= 4995 AND si2 < 4995
+                 THEN 1 ELSE 0 END) AS BIGINT) AS pos_down,
+        CAST(sum(CASE WHEN y = 0 AND si < 4995 AND si2 >= 4995
+                 THEN 1 ELSE 0 END) AS BIGINT) AS neg_up,
+        CAST(sum(CASE WHEN y = 0 AND si >= 4995 AND si2 < 4995
+                 THEN 1 ELSE 0 END) AS BIGINT) AS neg_down
+      FROM scored
+    )
+    SELECT pos, neg, pos_up, pos_down, neg_up, neg_down,
+           round(CAST(pos_up - pos_down AS DOUBLE) / nullif(pos, 0)
+                 + CAST(neg_down - neg_up AS DOUBLE) / nullif(neg, 0),
+                 6) + 0.0 AS nri
+    FROM c
+    """,
+)
+def q_nri_reclassification_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Net Reclassification Improvement between the two synthetic
+    model scores (md5 hex substrings 1-4 vs 5-8 over the shared label
+    construct) at the 0.5 risk threshold: among events with y = 1 the
+    share moving INTO the high band minus the share moving out, plus
+    the mirror among y = 0 — the standard "did the new model reclassify
+    in the right direction" metric. Scores compare on the exact
+    integer 1/9990 grid (si = score * 9990), so band membership is
+    pure integer comparison and every cell is an exact count; one
+    single-pass aggregate, no joins. An armless degenerate side NULLs
+    via nullif.
+    """
+    sc = _scored2(spark, sf_dir)
+    c = sc.agg(
+        F.expr(
+            "CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("pos"),
+        F.expr(
+            "CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("neg"),
+        F.expr(
+            "CAST(sum(CASE WHEN y = 1 AND si < 4995 AND si2 >= 4995"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("pos_up"),
+        F.expr(
+            "CAST(sum(CASE WHEN y = 1 AND si >= 4995 AND si2 < 4995"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("pos_down"),
+        F.expr(
+            "CAST(sum(CASE WHEN y = 0 AND si < 4995 AND si2 >= 4995"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("neg_up"),
+        F.expr(
+            "CAST(sum(CASE WHEN y = 0 AND si >= 4995 AND si2 < 4995"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("neg_down"),
+    )
+    return c.selectExpr(
+        "pos",
+        "neg",
+        "pos_up",
+        "pos_down",
+        "neg_up",
+        "neg_down",
+        "round(CAST(pos_up - pos_down AS DOUBLE) / nullif(pos, 0)"
+        " + CAST(neg_down - neg_up AS DOUBLE) / nullif(neg, 0),"
+        " 6) + 0.0 AS nri",
+    )
+
+
+@stage(
+    "eval_partial_auc_fpr20",
+    f"""
+    WITH {_SCORED2_SQL},
+    hist AS (
+      SELECT si,
+             CAST(sum(y) AS BIGINT) AS p,
+             CAST(sum(1 - y) AS BIGINT) AS ng
+      FROM scored GROUP BY 1
+    ),
+    cum AS (
+      SELECT si, p, ng,
+             CAST(coalesce(sum(ng) OVER (ORDER BY si DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS neg_above,
+             CAST(coalesce(sum(p) OVER (ORDER BY si DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS pos_above,
+             CAST(sum(p) OVER () AS BIGINT) AS pos,
+             CAST(sum(ng) OVER () AS BIGINT) AS neg
+      FROM hist
+    ),
+    contrib AS (
+      SELECT pos, neg, neg // 5 AS m,
+             CAST(sum(greatest(0, least(ng, neg // 5 - neg_above))
+                      * (2 * pos_above + p)) AS BIGINT) AS s2
+      FROM cum
+      GROUP BY 1, 2, 3
+    )
+    SELECT pos, neg, m AS n_negatives_in_band,
+           round(CAST(s2 AS DOUBLE)
+                 / nullif(2.0 * pos * neg, 0), 6) + 0.0 AS pauc,
+           round(CAST(s2 AS DOUBLE)
+                 / nullif(2.0 * pos * m, 0), 6) + 0.0
+             AS pauc_normalized
+    FROM contrib
+    """,
+)
+def q_eval_partial_auc_fpr20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial AUC restricted to the FPR <= 0.2 operating band — the
+    region that matters when false alarms are expensive. The band is
+    the top floor(neg/5) negatives by score; on the exact integer
+    score histogram each score group contributes taken_negatives *
+    (2*pos_above + pos_tied) with taken = clamp(m - neg_above, 0, ng)
+    — partial inclusion of a tied boundary group is EXACT because all
+    its members share the same positives-above count. The doubled sum
+    handles ties midrank-style and stays BIGINT-safe (bounded by
+    2*pos*neg ~ 2.5e15 at 1e8 events, the MW-U magnitude class).
+    Outputs both the absolute pAUC (fraction of the full unit square)
+    and the band-normalized form. One histogram shuffle + one bounded
+    window pass.
+    """
+    sc = _scored2(spark, sf_dir)
+    hist = sc.groupBy("si").agg(
+        F.sum("y").cast("long").alias("p"),
+        F.sum(F.expr("1 - y")).cast("long").alias("ng"),
+    )
+    wab = W.orderBy(F.col("si").desc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    wall = W.orderBy(F.col("si").desc()).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = hist.select(
+        "si",
+        "p",
+        "ng",
+        F.coalesce(F.sum("ng").over(wab), F.lit(0))
+        .cast("long")
+        .alias("neg_above"),
+        F.coalesce(F.sum("p").over(wab), F.lit(0))
+        .cast("long")
+        .alias("pos_above"),
+        F.sum("p").over(wall).cast("long").alias("pos"),
+        F.sum("ng").over(wall).cast("long").alias("neg"),
+    )
+    contrib = cum.selectExpr(
+        "pos",
+        "neg",
+        "neg div 5 AS m",
+        "greatest(0, least(ng, neg div 5 - neg_above))"
+        " * (2 * pos_above + p) AS t",
+    ).groupBy("pos", "neg", "m").agg(
+        F.sum("t").cast("long").alias("s2")
+    )
+    return contrib.selectExpr(
+        "pos",
+        "neg",
+        "m AS n_negatives_in_band",
+        "round(CAST(s2 AS DOUBLE)"
+        " / nullif(2.0 * pos * neg, 0), 6) + 0.0 AS pauc",
+        "round(CAST(s2 AS DOUBLE)"
+        " / nullif(2.0 * pos * m, 0), 6) + 0.0 AS pauc_normalized",
+    )
+
+
+@stage(
+    "cluster_dunn_index_types",
+    """
+    WITH v AS (
+      SELECT event_type,
+             CAST(floor(value * 1000) AS BIGINT) AS vm
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(min(vm) AS BIGINT) AS lo,
+             CAST(max(vm) AS BIGINT) AS hi
+      FROM v GROUP BY 1
+    ),
+    diam AS (
+      SELECT CAST(max(hi - lo) AS BIGINT) AS max_diam,
+             CAST(count(*) AS BIGINT) AS k
+      FROM g
+    ),
+    pv AS (
+      SELECT vm,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS ntypes,
+             min(event_type) AS t_min,
+             max(event_type) AS t_max
+      FROM v GROUP BY 1
+    ),
+    adj AS (
+      SELECT vm, ntypes, t_min, t_max,
+             lag(vm) OVER (ORDER BY vm) AS pvm,
+             lag(ntypes) OVER (ORDER BY vm) AS pnt,
+             lag(t_min) OVER (ORDER BY vm) AS ptmin
+      FROM pv
+    ),
+    inter AS (
+      SELECT CAST(min(CASE
+               WHEN ntypes >= 2 THEN 0
+               WHEN pvm IS NULL THEN NULL
+               WHEN pnt >= 2 THEN vm - pvm
+               WHEN t_min <> ptmin THEN vm - pvm
+               ELSE NULL END) AS BIGINT) AS min_inter
+      FROM adj
+    )
+    SELECT k AS k_clusters, min_inter, max_diam,
+           round(CAST(min_inter AS DOUBLE)
+                 / nullif(CAST(max_diam AS DOUBLE), 0), 6) + 0.0
+             AS dunn_index
+    FROM diam CROSS JOIN inter
+    """,
+)
+def q_cluster_dunn_index_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dunn cluster-validity index treating event types as clusters on
+    the micro value axis: min inter-cluster point distance over max
+    intra-cluster diameter, both EXACT integers. The 1-D minimum
+    cross-type distance is always achieved either inside one tied
+    value (a value shared by >= 2 types -> 0) or between ADJACENT
+    distinct values whose type sets are not the same singleton — so
+    one sorted lag pass over the grid-bounded per-value relation
+    replaces the quadratic cross join entirely (the interleaving
+    argument is in the row CASE: any value strictly between a closer
+    cross pair would itself form a closer adjacent pair). max_diam = 0
+    (all clusters degenerate points) NULLs via nullif. NOT named
+    after the registered dunn_posthoc_type_pairs, which is the
+    unrelated Dunn multiple-comparison test.
+    """
+    v = (
+        _events(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .selectExpr(
+            "event_type", "CAST(floor(value * 1000) AS BIGINT) AS vm"
+        )
+    )
+    g = v.groupBy("event_type").agg(
+        F.min("vm").cast("long").alias("lo"),
+        F.max("vm").cast("long").alias("hi"),
+    )
+    diam = g.agg(
+        F.max(F.col("hi") - F.col("lo")).cast("long").alias("max_diam"),
+        F.count("*").cast("long").alias("k"),
+    )
+    pv = v.groupBy("vm").agg(
+        F.countDistinct("event_type").cast("long").alias("ntypes"),
+        F.min("event_type").alias("t_min"),
+        F.max("event_type").alias("t_max"),
+    )
+    wo = W.orderBy("vm")
+    adj = pv.select(
+        "vm",
+        "ntypes",
+        "t_min",
+        "t_max",
+        F.lag("vm").over(wo).alias("pvm"),
+        F.lag("ntypes").over(wo).alias("pnt"),
+        F.lag("t_min").over(wo).alias("ptmin"),
+    )
+    inter = adj.agg(
+        F.expr(
+            "CAST(min(CASE"
+            " WHEN ntypes >= 2 THEN 0"
+            " WHEN pvm IS NULL THEN NULL"
+            " WHEN pnt >= 2 THEN vm - pvm"
+            " WHEN t_min <> ptmin THEN vm - pvm"
+            " ELSE NULL END) AS BIGINT)"
+        ).alias("min_inter")
+    )
+    return diam.crossJoin(F.broadcast(inter)).selectExpr(
+        "k AS k_clusters",
+        "min_inter",
+        "max_diam",
+        "round(CAST(min_inter AS DOUBLE)"
+        " / nullif(CAST(max_diam AS DOUBLE), 0), 6) + 0.0"
+        " AS dunn_index",
+    )

@@ -508,3 +508,180 @@ class TestCharBigramEntropy:
             1.584963, abs=1e-6
         )
         assert got["fr"]["bigram_entropy_bits"] == 0.0
+
+
+from tests.test_round9_ops import _write_embeddings  # noqa: E402
+
+
+class TestVMeasure:
+    def test_perfect_partition(self, spark, tmp_path):
+        # label 0 -> all-positive quadrant, label 1 -> all-negative:
+        # the partitions coincide -> h = c = V = 1
+        rows = [(i, [1.0] * 64, 0) for i in range(3)]
+        rows += [(3 + i, [-1.0] * 64, 1) for i in range(3)]
+        _write_embeddings(tmp_path, rows)
+        row = _run(spark, tmp_path, "v_measure_embedding_partition")[0]
+        assert row["homogeneity"] == 1.0
+        assert row["completeness"] == 1.0
+        assert row["v_measure"] == 1.0
+
+    def test_mixed_cell_hand_computed(self, spark, tmp_path):
+        import math
+
+        # labels [0,0,1,1], buckets [3,3,3,0]
+        rows = [
+            (0, [1.0] * 64, 0),
+            (1, [1.0] * 64, 0),
+            (2, [1.0] * 64, 1),
+            (3, [-1.0] * 64, 1),
+        ]
+        _write_embeddings(tmp_path, rows)
+        row = _run(spark, tmp_path, "v_measure_embedding_partition")[0]
+        hc = math.log(2)
+        hck = -(0.5 * math.log(2 / 3) + 0.25 * math.log(1 / 3))
+        hk = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+        hkc = -(
+            0.5 * math.log(2 / 2) + 0.25 * math.log(1 / 2)
+            + 0.25 * math.log(1 / 2)
+        )
+        h, c = 1 - hck / hc, 1 - hkc / hk
+        assert row["homogeneity"] == pytest.approx(h, abs=1e-6)
+        assert row["completeness"] == pytest.approx(c, abs=1e-6)
+        assert row["v_measure"] == pytest.approx(
+            2 * h * c / (h + c), abs=1e-6
+        )
+
+
+class TestClusterValidity:
+    def _fixture(self, tmp_path):
+        _write_events(
+            tmp_path,
+            [
+                (0, "2024-01-01 00:00:00", 1, "A", 1.0, "{}"),
+                (1, "2024-01-01 00:01:00", 1, "A", 2.0, "{}"),
+                (2, "2024-01-01 00:02:00", 1, "A", 3.0, "{}"),
+                (3, "2024-01-01 00:03:00", 1, "B", 5.0, "{}"),
+                (4, "2024-01-01 00:04:00", 1, "B", 7.0, "{}"),
+            ],
+        )
+
+    def test_calinski_hand_computed(self, spark, tmp_path):
+        # means 2000/6000 micro, grand 3600: between 19.2e6,
+        # within 4e6 -> CH = 19.2e6 / (4e6/3) = 14.4
+        self._fixture(tmp_path)
+        row = _run(spark, tmp_path, "calinski_harabasz_value_types")[0]
+        assert (row["k_clusters"], row["n_points"]) == (2, 5)
+        assert row["ch_index"] == pytest.approx(14.4, abs=1e-6)
+
+    def test_davies_bouldin_hand_computed(self, spark, tmp_path):
+        import math
+
+        self._fixture(tmp_path)
+        row = _run(spark, tmp_path, "davies_bouldin_value_types")[0]
+        ratio = (math.sqrt(2e6 / 3) + math.sqrt(1e6)) / 4000.0
+        assert row["db_index"] == pytest.approx(ratio, abs=1e-6)
+
+    def test_dunn_hand_computed(self, spark, tmp_path):
+        # A = {1, 2}, B = {5, 9}: min inter 3000, max diam 4000
+        _write_events(
+            tmp_path,
+            [
+                (0, "2024-01-01 00:00:00", 1, "A", 1.0, "{}"),
+                (1, "2024-01-01 00:01:00", 1, "A", 2.0, "{}"),
+                (2, "2024-01-01 00:02:00", 1, "B", 5.0, "{}"),
+                (3, "2024-01-01 00:03:00", 1, "B", 9.0, "{}"),
+            ],
+        )
+        row = _run(spark, tmp_path, "cluster_dunn_index_types")[0]
+        assert (row["min_inter"], row["max_diam"]) == (3000, 4000)
+        assert row["dunn_index"] == 0.75
+
+    def test_dunn_shared_value_zero(self, spark, tmp_path):
+        # a value carried by both types forces min_inter = 0
+        _write_events(
+            tmp_path,
+            [
+                (0, "2024-01-01 00:00:00", 1, "A", 1.0, "{}"),
+                (1, "2024-01-01 00:01:00", 1, "A", 4.0, "{}"),
+                (2, "2024-01-01 00:02:00", 1, "B", 1.0, "{}"),
+                (3, "2024-01-01 00:03:00", 1, "B", 2.0, "{}"),
+            ],
+        )
+        row = _run(spark, tmp_path, "cluster_dunn_index_types")[0]
+        assert row["min_inter"] == 0 and row["dunn_index"] == 0.0
+
+
+def _si_pair(eid, uid):
+    import hashlib
+
+    y = 1 if uid % 3 == 0 else 0
+    hx = hashlib.md5(str(eid).encode()).hexdigest()
+    h1, h2 = int(hx[:4], 16) % 1000, int(hx[4:8], 16) % 1000
+    return y, 2997 * y + 7 * h1, 2997 * y + 7 * h2
+
+
+class TestNriAndPartialAuc:
+    def test_nri_replica(self, spark, tmp_path):
+        rows = [
+            (eid, f"2024-01-01 00:{eid:02d}:00", uid, "c", 1.0, "{}")
+            for eid, uid in [(i, i) for i in range(12)]
+        ]
+        _write_events(tmp_path, rows)
+        exp = {"pos_up": 0, "pos_down": 0, "neg_up": 0, "neg_down": 0,
+               "pos": 0, "neg": 0}
+        for eid, uid in [(i, i) for i in range(12)]:
+            y, si, si2 = _si_pair(eid, uid)
+            exp["pos" if y else "neg"] += 1
+            if y and si < 4995 <= si2:
+                exp["pos_up"] += 1
+            if y and si2 < 4995 <= si:
+                exp["pos_down"] += 1
+            if not y and si < 4995 <= si2:
+                exp["neg_up"] += 1
+            if not y and si2 < 4995 <= si:
+                exp["neg_down"] += 1
+        row = _run(spark, tmp_path, "nri_reclassification_scores")[0]
+        for k, v in exp.items():
+            assert row[k] == v, k
+        want = (exp["pos_up"] - exp["pos_down"]) / exp["pos"] + (
+            exp["neg_down"] - exp["neg_up"]
+        ) / exp["neg"]
+        assert row["nri"] == pytest.approx(want, abs=1e-6)
+
+    def test_partial_auc_replica(self, spark, tmp_path):
+        rows = [
+            (eid, f"2024-01-01 00:{eid:02d}:00", uid, "c", 1.0, "{}")
+            for eid, uid in [(i, i) for i in range(30)]
+        ]
+        _write_events(tmp_path, rows)
+        scored = [_si_pair(i, i) for i in range(30)]
+        pos = sum(y for y, _, _ in scored)
+        negs = sorted((si for y, si, _ in scored if y == 0),
+                      reverse=True)
+        poss = [si for y, si, _ in scored if y == 1]
+        m = len(negs) // 5
+        s2 = 0
+        for sn in negs[:m]:
+            s2 += 2 * sum(1 for sp in poss if sp > sn)
+            s2 += sum(1 for sp in poss if sp == sn)
+        row = _run(spark, tmp_path, "eval_partial_auc_fpr20")[0]
+        assert (row["pos"], row["neg"]) == (pos, len(negs))
+        assert row["n_negatives_in_band"] == m
+        assert row["pauc"] == pytest.approx(
+            s2 / (2 * pos * len(negs)), abs=1e-6
+        )
+        assert row["pauc_normalized"] == pytest.approx(
+            s2 / (2 * pos * m), abs=1e-6
+        )
+
+    def test_partial_auc_empty_band_null(self, spark, tmp_path):
+        # 4 negatives -> m = 0 -> normalized NULL
+        rows = [
+            (i, f"2024-01-01 00:{i:02d}:00", 1 + (i % 2) * 2, "c", 1.0,
+             "{}")
+            for i in range(4)
+        ]
+        _write_events(tmp_path, rows)
+        row = _run(spark, tmp_path, "eval_partial_auc_fpr20")[0]
+        assert row["n_negatives_in_band"] == 0
+        assert row["pauc_normalized"] is None
