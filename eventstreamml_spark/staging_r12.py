@@ -2736,3 +2736,810 @@ def q_cluster_dunn_index_types(
         " / nullif(CAST(max_diam AS DOUBLE), 0), 6) + 0.0"
         " AS dunn_index",
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch E — business / pricing / forensic diagnostics
+# ---------------------------------------------------------------------------
+
+@stage(
+    "cr_concentration_by_nation",
+    """
+    WITH rev AS (
+      SELECT c.c_nationkey AS nation,
+             o.o_custkey AS cust,
+             CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT nation, cents,
+             row_number() OVER (PARTITION BY nation
+               ORDER BY cents DESC, cust) AS r
+      FROM rev
+    )
+    SELECT nation,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           round(CAST(sum(CASE WHEN r <= 4 THEN cents ELSE 0 END)
+                 AS DOUBLE) / nullif(CAST(sum(cents) AS DOUBLE), 0), 6)
+             + 0.0 AS cr4,
+           round(CAST(sum(CASE WHEN r <= 8 THEN cents ELSE 0 END)
+                 AS DOUBLE) / nullif(CAST(sum(cents) AS DOUBLE), 0), 6)
+             + 0.0 AS cr8
+    FROM rk GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_cr_concentration_by_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CR4/CR8 revenue concentration per customer nation: the share of
+    a nation's order revenue held by its top-4 and top-8 customers —
+    the concentration-ratio cousin of the registered HHI operator
+    (antitrust-style k-firm ratios instead of the full quadratic
+    index). Revenue is exact on the cent grid; the per-nation top-k
+    ranking pins ties by custkey; one broadcast-joinable customer dim,
+    one partitioned rank, one grouped conditional sum.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rev = (
+        orders.join(
+            F.broadcast(cust.selectExpr("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .selectExpr(
+            "c_nationkey AS nation",
+            "o_custkey AS cust",
+            "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents",
+        )
+        .groupBy("nation", "cust")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    rk = rev.select(
+        "nation",
+        "cents",
+        F.row_number()
+        .over(
+            W.partitionBy("nation").orderBy(
+                F.col("cents").desc(), F.col("cust")
+            )
+        )
+        .alias("r"),
+    )
+    return (
+        rk.groupBy("nation")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.expr(
+                "round(CAST(sum(CASE WHEN r <= 4 THEN cents ELSE 0 END)"
+                " AS DOUBLE) / nullif(CAST(sum(cents) AS DOUBLE), 0),"
+                " 6) + 0.0"
+            ).alias("cr4"),
+            F.expr(
+                "round(CAST(sum(CASE WHEN r <= 8 THEN cents ELSE 0 END)"
+                " AS DOUBLE) / nullif(CAST(sum(cents) AS DOUBLE), 0),"
+                " 6) + 0.0"
+            ).alias("cr8"),
+        )
+        .orderBy("nation")
+    )
+
+
+@stage(
+    "customer_frequency_migration_halves",
+    """
+    WITH mi AS (
+      SELECT o_custkey AS cust,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+               AS BIGINT) AS m
+      FROM orders
+    ),
+    span AS (
+      SELECT (min(m) + max(m) + 1) // 2 AS thr FROM mi
+    ),
+    halves AS (
+      SELECT cust,
+             CAST(sum(CASE WHEN m < thr THEN 1 ELSE 0 END) AS BIGINT)
+               AS f1,
+             CAST(sum(CASE WHEN m >= thr THEN 1 ELSE 0 END) AS BIGINT)
+               AS f2
+      FROM mi CROSS JOIN span GROUP BY 1
+    ),
+    banded AS (
+      SELECT CASE WHEN f1 = 0 THEN '0_none'
+                  WHEN f1 = 1 THEN '1_one'
+                  WHEN f1 <= 3 THEN '2_few' ELSE '3_many' END AS band_from,
+             CASE WHEN f2 = 0 THEN '0_none'
+                  WHEN f2 = 1 THEN '1_one'
+                  WHEN f2 <= 3 THEN '2_few' ELSE '3_many' END AS band_to
+      FROM halves
+    )
+    SELECT band_from, band_to, CAST(count(*) AS BIGINT) AS n_customers
+    FROM banded GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_customer_frequency_migration_halves(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Customer purchase-frequency migration matrix between the two
+    calendar halves of the order timeline: each customer's order count
+    in each half maps to a band (none / one / few(2-3) / many(4+)) and
+    the matrix counts band transitions — the retention/churn mobility
+    table behind RFM dashboards. The half boundary is the exact
+    integer month midpoint (y*12+m index, no timestamp arithmetic),
+    so banding is pure integer CASE on both engines; one order scan,
+    one per-customer groupBy, one matrix groupBy.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    mi = orders.selectExpr(
+        "o_custkey AS cust",
+        "CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1"
+        " AS BIGINT) AS m",
+    )
+    span = mi.agg(
+        F.expr("(min(m) + max(m) + 1) div 2").alias("thr")
+    )
+    halves = (
+        mi.crossJoin(F.broadcast(span))
+        .groupBy("cust")
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN m < thr THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("f1"),
+            F.expr(
+                "CAST(sum(CASE WHEN m >= thr THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("f2"),
+        )
+    )
+    banded = halves.selectExpr(
+        "CASE WHEN f1 = 0 THEN '0_none'"
+        " WHEN f1 = 1 THEN '1_one'"
+        " WHEN f1 <= 3 THEN '2_few' ELSE '3_many' END AS band_from",
+        "CASE WHEN f2 = 0 THEN '0_none'"
+        " WHEN f2 = 1 THEN '1_one'"
+        " WHEN f2 <= 3 THEN '2_few' ELSE '3_many' END AS band_to",
+    )
+    return (
+        banded.groupBy("band_from", "band_to")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .orderBy("band_from", "band_to")
+    )
+
+
+_BENFORD2_P = [
+    (0, 0.119679), (1, 0.113890), (2, 0.108821), (3, 0.104330),
+    (4, 0.100308), (5, 0.096677), (6, 0.093375), (7, 0.090352),
+    (8, 0.087570), (9, 0.084997),
+]
+_BENFORD2_VALUES = ", ".join(f"({d}, {p})" for d, p in _BENFORD2_P)
+
+
+@stage(
+    "benford_second_digit_totalprice",
+    f"""
+    WITH obs AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+               AS VARCHAR), 2, 1) AS BIGINT) AS d2,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders WHERE o_totalprice >= 10 GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM obs),
+    exp_t AS (
+      SELECT * FROM (VALUES {_BENFORD2_VALUES}) t(d2, p)
+    )
+    SELECT e.d2 AS digit,
+           CAST(coalesce(o.n, 0) AS BIGINT) AS n_obs,
+           round(CAST(coalesce(o.n, 0) AS DOUBLE) / nt, 6) + 0.0
+             AS obs_p,
+           CAST(e.p AS DOUBLE) + 0.0 AS exp_p,
+           round((coalesce(o.n, 0) - nt * CAST(e.p AS DOUBLE))
+                 * (coalesce(o.n, 0) - nt * CAST(e.p AS DOUBLE))
+                 / (nt * CAST(e.p AS DOUBLE)), 6) + 0.0 AS chi2_term
+    FROM exp_t e LEFT JOIN obs o ON o.d2 = e.d2 CROSS JOIN tot
+    ORDER BY 1
+    """,
+)
+def q_benford_second_digit_totalprice(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nigrini second-digit Benford conformity of order totals — the
+    forensic-accounting screen that catches price-point manipulation
+    (x9.99 clustering) that the first-digit test misses. The second
+    significant digit comes from integer string slicing of
+    floor(totalprice) (totals >= 10 guaranteed a second digit); the
+    ten expected probabilities are 6dp LITERALS shared by both engines
+    (sum_d1 log10(1 + 1/(10*d1+d2)) precomputed — no runtime libm, so
+    no cross-engine ulp risk in the expectations). Emits the per-digit
+    observed share and chi-squared term; zero-count digits survive via
+    the expected-side left join. One scan + 10-row literal join.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    obs = (
+        orders.where("o_totalprice >= 10")
+        .selectExpr(
+            "CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)"
+            " AS STRING), 2, 1) AS BIGINT) AS d2"
+        )
+        .groupBy("d2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = obs.agg(F.sum("n").cast("long").alias("nt"))
+    exp_t = spark.createDataFrame(
+        [(d, p) for d, p in _BENFORD2_P], "d2 INT, p DOUBLE"
+    )
+    return (
+        exp_t.alias("e")
+        .join(obs.alias("o"), F.col("e.d2") == F.col("o.d2"), "left")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "CAST(e.d2 AS BIGINT) AS digit",
+            "CAST(coalesce(n, 0) AS BIGINT) AS n_obs",
+            "round(CAST(coalesce(n, 0) AS DOUBLE) / nt, 6) + 0.0"
+            " AS obs_p",
+            "CAST(p AS DOUBLE) + 0.0 AS exp_p",
+            "round((coalesce(n, 0) - nt * CAST(p AS DOUBLE))"
+            " * (coalesce(n, 0) - nt * CAST(p AS DOUBLE))"
+            " / (nt * CAST(p AS DOUBLE)), 6) + 0.0 AS chi2_term",
+        )
+        .orderBy("digit")
+    )
+
+
+@stage(
+    "price_index_fisher_monthly",
+    """
+    WITH pm AS (
+      SELECT l_partkey AS part,
+             CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1
+               AS BIGINT) AS mi,
+             CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+               AS q,
+             CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS v
+      FROM lineitem GROUP BY 1, 2
+      HAVING sum(CAST(floor(l_quantity) AS BIGINT)) > 0
+    ),
+    up AS (
+      SELECT part, mi, q, (v * 1000) // q AS p
+      FROM pm
+    ),
+    base AS (
+      SELECT part, q AS q0, p AS p0
+      FROM up WHERE mi = (SELECT min(mi) FROM up)
+    ),
+    j AS (
+      SELECT up.mi, up.part, up.q AS qt, up.p AS pt, b.q0, b.p0
+      FROM up JOIN base b USING (part)
+    ),
+    idx AS (
+      SELECT mi, CAST(count(*) AS BIGINT) AS n_parts,
+             sum(pt::HUGEINT * q0) AS l_num,
+             sum(p0::HUGEINT * q0) AS l_den,
+             sum(pt::HUGEINT * qt) AS p_num,
+             sum(p0::HUGEINT * qt) AS p_den
+      FROM j GROUP BY 1
+    )
+    SELECT mi AS month_index, n_parts,
+           round(CAST(l_num AS DOUBLE) / nullif(CAST(l_den AS DOUBLE),
+                 0), 6) + 0.0 AS laspeyres,
+           round(CAST(p_num AS DOUBLE) / nullif(CAST(p_den AS DOUBLE),
+                 0), 6) + 0.0 AS paasche,
+           round(sqrt((CAST(l_num AS DOUBLE)
+                       / nullif(CAST(l_den AS DOUBLE), 0))
+                 * (CAST(p_num AS DOUBLE)
+                    / nullif(CAST(p_den AS DOUBLE), 0))), 6) + 0.0
+             AS fisher
+    FROM idx ORDER BY 1
+    """,
+)
+def q_price_index_fisher_monthly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Laspeyres, Paasche and Fisher price indices per ship month
+    against the first month's basket: unit prices are exact integers
+    on the 1/1000-cent grid ((cents*1000) // quantity — integer
+    division, never a float unit price), so every index is a ratio of
+    int128-widened exact integer sums (p*q reaches ~1e17 per row at
+    corpus scale; the per-month sums pass 2^63) with one double
+    division at the end; Fisher is the geometric mean of the two. The
+    basket restricts to parts present in both the base month and the
+    current month (the standard matched-basket convention — n_parts
+    reports the matched count). One part-month groupBy + one
+    part-keyed join; the base-month relation is part-bounded.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pm = (
+        li.selectExpr(
+            "l_partkey AS part",
+            "CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1"
+            " AS BIGINT) AS mi",
+            "CAST(floor(l_quantity) AS BIGINT) AS qi",
+            "CAST(floor(l_extendedprice * 100) AS BIGINT) AS vi",
+        )
+        .groupBy("part", "mi")
+        .agg(
+            F.sum("qi").cast("long").alias("q"),
+            F.sum("vi").cast("long").alias("v"),
+        )
+        .where("q > 0")
+    )
+    up = pm.selectExpr("part", "mi", "q", "(v * 1000) div q AS p")
+    base_mi = up.agg(F.min("mi").alias("m0"))
+    base = (
+        up.crossJoin(F.broadcast(base_mi))
+        .where("mi = m0")
+        .selectExpr("part", "q AS q0", "p AS p0")
+    )
+    j = up.join(base, "part").selectExpr(
+        "mi", "q AS qt", "p AS pt", "q0", "p0"
+    )
+    idx = j.groupBy("mi").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.expr("sum(CAST(pt AS DECIMAL(38,0)) * q0)").alias("l_num"),
+        F.expr("sum(CAST(p0 AS DECIMAL(38,0)) * q0)").alias("l_den"),
+        F.expr("sum(CAST(pt AS DECIMAL(38,0)) * qt)").alias("p_num"),
+        F.expr("sum(CAST(p0 AS DECIMAL(38,0)) * qt)").alias("p_den"),
+    )
+    return idx.selectExpr(
+        "mi AS month_index",
+        "n_parts",
+        "round(CAST(l_num AS DOUBLE) / nullif(CAST(l_den AS DOUBLE),"
+        " 0), 6) + 0.0 AS laspeyres",
+        "round(CAST(p_num AS DOUBLE) / nullif(CAST(p_den AS DOUBLE),"
+        " 0), 6) + 0.0 AS paasche",
+        "round(sqrt((CAST(l_num AS DOUBLE)"
+        " / nullif(CAST(l_den AS DOUBLE), 0))"
+        " * (CAST(p_num AS DOUBLE)"
+        " / nullif(CAST(p_den AS DOUBLE), 0))), 6) + 0.0 AS fisher",
+    ).orderBy("month_index")
+
+
+# 24-slot literal circular table: c6/s6 = floor(cos|sin(2*pi*h/24)*1e6)
+# — precomputed so no runtime trig runs on either engine.
+_CIRC24 = [
+    (0, 1000000, 0), (1, 965925, 258819), (2, 866025, 499999),
+    (3, 707106, 707106), (4, 500000, 866025), (5, 258819, 965925),
+    (6, 0, 1000000), (7, -258820, 965925), (8, -500000, 866025),
+    (9, -707107, 707106), (10, -866026, 499999), (11, -965926, 258819),
+    (12, -1000000, 0), (13, -965926, -258820), (14, -866026, -500000),
+    (15, -707107, -707107), (16, -500001, -866026),
+    (17, -258820, -965926), (18, -1, -1000000), (19, 258819, -965926),
+    (20, 500000, -866026), (21, 707106, -707107), (22, 866025, -500001),
+    (23, 965925, -258820),
+]
+_CIRC24_VALUES = ", ".join(f"({h}, {c}, {s})" for h, c, s in _CIRC24)
+
+
+@stage(
+    "rayleigh_hour_concentration_by_type",
+    f"""
+    WITH hc AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 3600 % 24 AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    circ AS (SELECT * FROM (VALUES {_CIRC24_VALUES}) t(h, c6, s6)),
+    agg AS (
+      SELECT event_type,
+             CAST(sum(n) AS BIGINT) AS nt,
+             CAST(sum(n * c6) AS BIGINT) AS cs,
+             CAST(sum(n * s6) AS BIGINT) AS sn
+      FROM hc JOIN circ USING (h) GROUP BY 1
+    )
+    SELECT event_type, nt AS n_events,
+           round(sqrt(CAST(cs::HUGEINT * cs + sn::HUGEINT * sn
+                 AS DOUBLE)) / (CAST(nt AS DOUBLE) * 1000000.0), 6)
+             + 0.0 AS resultant_rbar,
+           round(CAST(cs::HUGEINT * cs + sn::HUGEINT * sn AS DOUBLE)
+                 / (CAST(nt AS DOUBLE) * 1000000.0 * 1000000.0), 6)
+             + 0.0 AS rayleigh_z
+    FROM agg ORDER BY 1
+    """,
+)
+def q_rayleigh_hour_concentration_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rayleigh test of hour-of-day concentration per event type —
+    circular statistics on the 24-hour clock: the mean resultant
+    length Rbar = |sum e^(i*theta_h)| / n over event angles theta_h =
+    2*pi*h/24, and the Rayleigh statistic z = n*Rbar^2 (large z
+    rejects uniform-around-the-clock activity). The 24 cos/sin values
+    are 1e-6-quantized LITERALS shared verbatim by both engines — no
+    runtime trig, so the vector sums are exact integers (int128-
+    widened squares: (n*1e6)^2 ~ 1e28 at corpus scale) and only the
+    final normalization divides doubles. One hour-of-day groupBy + a
+    24-row literal join.
+    """
+    ev = _events(spark, sf_dir)
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    hc = ev.groupBy(
+        "event_type", ((sec / 3600).cast("long") % 24).alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    circ = spark.createDataFrame(_CIRC24, "h INT, c6 LONG, s6 LONG")
+    agg = (
+        hc.join(F.broadcast(circ), "h")
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("nt"),
+            F.sum(F.col("n") * F.col("c6")).cast("long").alias("cs"),
+            F.sum(F.col("n") * F.col("s6")).cast("long").alias("sn"),
+        )
+    )
+    return agg.selectExpr(
+        "event_type",
+        "nt AS n_events",
+        "round(sqrt(CAST(CAST(cs AS DECIMAL(38,0)) * cs"
+        " + CAST(sn AS DECIMAL(38,0)) * sn AS DOUBLE))"
+        " / (CAST(nt AS DOUBLE) * 1000000.0), 6) + 0.0"
+        " AS resultant_rbar",
+        "round(CAST(CAST(cs AS DECIMAL(38,0)) * cs"
+        " + CAST(sn AS DECIMAL(38,0)) * sn AS DOUBLE)"
+        " / (CAST(nt AS DOUBLE) * 1000000.0 * 1000000.0), 6) + 0.0"
+        " AS rayleigh_z",
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Batch F — graph degree-correlation / motifs + embedding geometry
+# ---------------------------------------------------------------------------
+# Shared synthetic interaction graph (the graph_bfs construct,
+# queries.py graph family): nodes = ids mod 997, undirected edges from
+# every 10th event's (user_id, event_id) pair. Node count is FIXED at
+# <= 997 by construction, so wedge-quadratic motif counting is
+# scale-safe — corpus growth densifies edges, never the node set.
+
+_GRAPH_SQL = """
+    raw AS (
+      SELECT user_id % 997 AS a, event_id % 997 AS b
+      FROM events WHERE event_id % 10 = 0
+    ),
+    und AS (
+      SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
+      FROM raw WHERE a <> b
+    ),
+    sym AS (
+      SELECT lo AS u, hi AS v FROM und
+      UNION ALL SELECT hi AS u, lo AS v FROM und
+    ),
+    deg AS (
+      SELECT u, CAST(count(*) AS BIGINT) AS dg FROM sym GROUP BY 1
+    )
+"""
+
+
+def _graph_sym(spark: SparkSession, sf_dir: str):
+    raw = (
+        _events(spark, sf_dir)
+        .where("event_id % 10 = 0")
+        .selectExpr("user_id % 997 AS a", "event_id % 997 AS b")
+        .where("a <> b")
+        .selectExpr("least(a, b) AS lo", "greatest(a, b) AS hi")
+        .distinct()
+    )
+    sym = raw.selectExpr("lo AS u", "hi AS v").unionAll(
+        raw.selectExpr("hi AS u", "lo AS v")
+    )
+    deg = sym.groupBy("u").agg(F.count("*").cast("long").alias("dg"))
+    return sym, deg
+
+
+@stage(
+    "graph_avg_neighbor_degree_profile",
+    f"""
+    WITH {_GRAPH_SQL},
+    nbr AS (
+      SELECT s.u, CAST(sum(d.dg) AS BIGINT) AS sdeg
+      FROM sym s JOIN deg d ON d.u = s.v
+      GROUP BY 1
+    ),
+    pernode AS (
+      SELECT n.u, d.dg,
+             (n.sdeg * 1000000) // d.dg AS knn6
+      FROM nbr n JOIN deg d USING (u)
+    )
+    SELECT dg AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           round(CAST(sum(knn6) AS DOUBLE) / count(*) / 1000000.0, 6)
+             + 0.0 AS avg_neighbor_degree
+    FROM pernode GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_graph_avg_neighbor_degree_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree-correlation function knn(k): the mean neighbor degree of
+    degree-k nodes, the curve whose slope signs assortative vs
+    disassortative mixing (the registered assortativity operator's
+    scalar is this curve's correlation). Per-node mean neighbor degree
+    is kept exact as the integer (sum_deg * 1e6) // degree before the
+    per-class mean, so no float enters until the final 6dp division.
+    One edge-degree join + two bounded groupBys on the fixed-997-node
+    relation.
+    """
+    sym, deg = _graph_sym(spark, sf_dir)
+    nbr = (
+        sym.alias("s")
+        .join(deg.alias("d"), F.col("d.u") == F.col("s.v"))
+        .groupBy(F.col("s.u").alias("u"))
+        .agg(F.sum("d.dg").cast("long").alias("sdeg"))
+    )
+    pernode = nbr.join(deg, "u").selectExpr(
+        "u", "dg", "(sdeg * 1000000) div dg AS knn6"
+    )
+    return (
+        pernode.groupBy("dg")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.expr(
+                "round(CAST(sum(knn6) AS DOUBLE) / count(*)"
+                " / 1000000.0, 6) + 0.0"
+            ).alias("avg_neighbor_degree"),
+        )
+        .selectExpr("dg AS degree", "n_nodes", "avg_neighbor_degree")
+        .orderBy("degree")
+    )
+
+
+@stage(
+    "graph_square_count_c4",
+    f"""
+    WITH {_GRAPH_SQL},
+    wedge AS (
+      SELECT a.u AS x, b.v AS y, CAST(count(*) AS BIGINT) AS q
+      FROM sym a JOIN sym b ON a.v = b.u AND a.u < b.v
+      GROUP BY 1, 2
+    ),
+    sq AS (
+      SELECT CAST(sum(q * (q - 1) // 2) AS BIGINT) AS diag_pairs,
+             CAST(count(*) AS BIGINT) AS n_connected_pairs
+      FROM wedge
+    ),
+    es AS (SELECT CAST(count(*) AS BIGINT) // 2 AS n_edges FROM sym)
+    SELECT n_edges, n_connected_pairs,
+           diag_pairs // 2 AS n_squares
+    FROM sq CROSS JOIN es
+    """,
+)
+def q_graph_square_count_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 4-cycle (square) count of the interaction graph: every
+    unordered node pair (x, y) with q common neighbors closes
+    C(q, 2) squares through its diagonal, and each square owns exactly
+    2 diagonals — so n_squares = sum C(q,2) / 2, the motif companion
+    to the registered triangle count (squares capture bipartite-ish
+    clustering that triangles miss). The wedge join is
+    sum-of-degrees-squared on the FIXED <= 997-node relation, bounded
+    by construction regardless of corpus size; all arithmetic is
+    exact integers (q <= 997 keeps q^2 trivially in BIGINT).
+    """
+    sym, _ = _graph_sym(spark, sf_dir)
+    wedge = (
+        sym.alias("a")
+        .join(
+            sym.alias("b"),
+            (F.col("a.v") == F.col("b.u"))
+            & (F.col("a.u") < F.col("b.v")),
+        )
+        .groupBy(F.col("a.u").alias("x"), F.col("b.v").alias("y"))
+        .agg(F.count("*").cast("long").alias("q"))
+    )
+    sq = wedge.agg(
+        F.expr("CAST(sum(q * (q - 1) div 2) AS BIGINT)").alias(
+            "diag_pairs"
+        ),
+        F.count("*").cast("long").alias("n_connected_pairs"),
+    )
+    es = sym.agg(
+        F.expr("CAST(count(*) AS BIGINT) div 2").alias("n_edges")
+    )
+    return sq.crossJoin(F.broadcast(es)).selectExpr(
+        "n_edges", "n_connected_pairs", "diag_pairs div 2 AS n_squares"
+    )
+
+
+@stage(
+    "embedding_participation_ratio",
+    """
+    WITH e1 AS (
+      SELECT embedding AS emb,
+             unnest(embedding) AS xa,
+             unnest(generate_series(1, len(embedding))) AS a
+      FROM embeddings
+    ),
+    e2 AS (
+      SELECT a, CAST(xa AS DOUBLE) AS xa,
+             unnest(emb) AS xb,
+             unnest(generate_series(1, len(emb))) AS b
+      FROM e1
+    ),
+    cells AS (
+      SELECT a, b,
+             CAST(sum(CAST(floor(xa * CAST(xb AS DOUBLE) * 1000000.0)
+               AS BIGINT)) AS BIGINT) AS c6
+      FROM e2 GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT CAST(sum(CASE WHEN a = b THEN c6 ELSE 0 END) AS BIGINT)
+               AS tr,
+             sum(c6::HUGEINT * c6) AS den,
+             CAST(max(a) AS BIGINT) AS d
+      FROM cells
+    )
+    SELECT d AS n_dims,
+           round(CAST(tr::HUGEINT * tr AS DOUBLE)
+                 / nullif(CAST(den AS DOUBLE), 0), 6) + 0.0
+             AS participation_ratio,
+           round(CAST(tr::HUGEINT * tr AS DOUBLE)
+                 / nullif(CAST(den AS DOUBLE) * d, 0), 6) + 0.0
+             AS pr_over_d
+    FROM agg
+    """,
+)
+def q_embedding_participation_ratio(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Participation ratio of the embedding cloud — the eigenvalue-
+    free effective dimensionality (tr C)^2 / ||C||_F^2 of the
+    uncentered Gram matrix C = X^T X, computable WITHOUT any
+    eigendecomposition because ||C||_F^2 = sum_ab C_ab^2: PR = d for
+    isotropic clouds, ~1 for rank-collapsed (anisotropic) ones — the
+    standard representation-collapse alarm for embedding pipelines.
+    Per-row products are floor-quantized to 1e-6 integers (float32
+    components are cast to DOUBLE first on BOTH engines — DuckDB would
+    otherwise multiply in FLOAT) so the d x d cell sums are exact
+    integers; cell squares widen to int128 (C_ab ~ 1e15 at 1e8
+    vectors). The double explode is linear in n with a fixed d^2 = 4k
+    fan-out, and the 4096-cell groupBy combines map-side.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e1 = emb.select(
+        "embedding",
+        F.posexplode("embedding").alias("a0", "xa"),
+    )
+    e2 = e1.select(
+        (F.col("a0") + 1).alias("a"),
+        F.col("xa").cast("double").alias("xa"),
+        F.posexplode("embedding").alias("b0", "xb"),
+    )
+    cells = (
+        e2.selectExpr(
+            "a",
+            "b0 + 1 AS b",
+            "CAST(floor(xa * CAST(xb AS DOUBLE) * 1000000.0)"
+            " AS BIGINT) AS p6",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("p6").cast("long").alias("c6"))
+    )
+    agg = cells.agg(
+        F.expr(
+            "CAST(sum(CASE WHEN a = b THEN c6 ELSE 0 END) AS BIGINT)"
+        ).alias("tr"),
+        F.expr("sum(CAST(c6 AS DECIMAL(38,0)) * c6)").alias("den"),
+        F.max("a").cast("long").alias("d"),
+    )
+    return agg.selectExpr(
+        "d AS n_dims",
+        "round(CAST(CAST(tr AS DECIMAL(38,0)) * tr AS DOUBLE)"
+        " / nullif(CAST(den AS DOUBLE), 0), 6) + 0.0"
+        " AS participation_ratio",
+        "round(CAST(CAST(tr AS DECIMAL(38,0)) * tr AS DOUBLE)"
+        " / nullif(CAST(den AS DOUBLE) * d, 0), 6) + 0.0"
+        " AS pr_over_d",
+    )
+
+
+@stage(
+    "embedding_label_compactness",
+    """
+    WITH comp0 AS (
+      SELECT vec_id, label,
+             unnest(embedding) AS x,
+             unnest(generate_series(1, len(embedding))) AS a
+      FROM embeddings
+    ),
+    comp AS (
+      SELECT vec_id, label,
+             CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT) AS x3,
+             a
+      FROM comp0
+    ),
+    cent AS (
+      SELECT label, a, CAST(sum(x3) AS BIGINT) AS s3
+      FROM comp GROUP BY 1, 2
+    ),
+    cnorm AS (
+      SELECT label, sum(s3::HUGEINT * s3) AS s2 FROM cent GROUP BY 1
+    ),
+    dots AS (
+      SELECT c.vec_id, c.label,
+             CAST(sum(c.x3 * ct.s3) AS BIGINT) AS dot3,
+             CAST(sum(c.x3 * c.x3) AS BIGINT) AS v2
+      FROM comp c JOIN cent ct ON c.label = ct.label AND c.a = ct.a
+      GROUP BY 1, 2
+    ),
+    cosv AS (
+      SELECT d.label,
+             CAST(floor(CAST(d.dot3 AS DOUBLE)
+                  / nullif(sqrt(CAST(d.v2 AS DOUBLE)
+                           * CAST(n.s2 AS DOUBLE)), 0)
+                  * 1000000.0) AS BIGINT) AS c6
+      FROM dots d JOIN cnorm n USING (label)
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(CAST(sum(c6) AS DOUBLE) / count(*) / 1000000.0, 6)
+             + 0.0 AS mean_cos_to_centroid
+    FROM cosv GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_embedding_label_compactness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-label embedding compactness: the mean cosine of each vector
+    to its own label centroid (cosine to the unnormalized label SUM —
+    identical by scale invariance, which keeps the centroid exact).
+    Components are floor-quantized to 1e-3 integers so centroid sums,
+    dot products and norms are ALL exact integers (x3*s3 <= 1e16 at
+    1e8 vectors — BIGINT-safe; centroid norm squares widen to int128);
+    the single sqrt per vector is floor-quantized back to micro units
+    before the per-label mean, keeping the cross-vector sum exact (the
+    round-7 digest rule). Near-1 means tight label clusters; the
+    between-label contrast is the silhouette operator's cheaper
+    sibling. One explode (n*d rows), one centroid groupBy, one
+    (label, dim) equi-join.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("a0", "x"),
+    ).selectExpr(
+        "vec_id",
+        "label",
+        "CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT) AS x3",
+        "a0 + 1 AS a",
+    )
+    cent = comp.groupBy("label", "a").agg(
+        F.sum("x3").cast("long").alias("s3")
+    )
+    cnorm = cent.groupBy("label").agg(
+        F.expr("sum(CAST(s3 AS DECIMAL(38,0)) * s3)").alias("s2")
+    )
+    dots = (
+        comp.alias("c")
+        .join(
+            cent.alias("ct"),
+            (F.col("c.label") == F.col("ct.label"))
+            & (F.col("c.a") == F.col("ct.a")),
+        )
+        .groupBy(F.col("c.vec_id").alias("vec_id"),
+                 F.col("c.label").alias("label"))
+        .agg(
+            F.expr("CAST(sum(x3 * s3) AS BIGINT)").alias("dot3"),
+            F.expr("CAST(sum(x3 * x3) AS BIGINT)").alias("v2"),
+        )
+    )
+    cosv = dots.join(cnorm, "label").selectExpr(
+        "label",
+        "CAST(floor(CAST(dot3 AS DOUBLE)"
+        " / nullif(sqrt(CAST(v2 AS DOUBLE)"
+        " * CAST(s2 AS DOUBLE)), 0)"
+        " * 1000000.0) AS BIGINT) AS c6",
+    )
+    return (
+        cosv.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.expr(
+                "round(CAST(sum(c6) AS DOUBLE) / count(*)"
+                " / 1000000.0, 6) + 0.0"
+            ).alias("mean_cos_to_centroid"),
+        )
+        .orderBy("label")
+    )

@@ -685,3 +685,217 @@ class TestNriAndPartialAuc:
         row = _run(spark, tmp_path, "eval_partial_auc_fpr20")[0]
         assert row["n_negatives_in_band"] == 0
         assert row["pauc_normalized"] is None
+
+
+from tests.test_round8b_ops import _write_orders  # noqa: E402
+from tests.test_round9_ops import _write_customer, _write_lineitem  # noqa: E402
+
+
+class TestCrConcentration:
+    def test_one_nation_hand_computed(self, spark, tmp_path):
+        revs = [100.0, 50.0, 25.0, 10.0, 5.0, 1.0]
+        _write_customer(
+            tmp_path,
+            [(c, f"c{c}", 1, 0.0, "BUILDING") for c in range(1, 7)],
+        )
+        _write_orders(
+            tmp_path,
+            [
+                (i, i + 1, "O", revs[i], "2024-01-05", "1-URGENT")
+                for i in range(6)
+            ],
+        )
+        row = _run(spark, tmp_path, "cr_concentration_by_nation")[0]
+        assert row["n_customers"] == 6
+        assert row["cr4"] == pytest.approx(185.0 / 191.0, abs=1e-6)
+        assert row["cr8"] == 1.0
+
+
+class TestFrequencyMigration:
+    def test_matrix_hand_computed(self, spark, tmp_path):
+        orders = []
+        ok = 0
+        for cust, dates in [
+            (1, ["2024-01-05"]),
+            (2, ["2024-01-06", "2024-01-07", "2024-03-05"]),
+            (3, ["2024-03-06", "2024-03-07", "2024-04-05", "2024-04-06"]),
+            (4, ["2024-01-08", "2024-04-07"]),
+        ]:
+            for d in dates:
+                orders.append((ok, cust, "O", 10.0, d, "1-URGENT"))
+                ok += 1
+        _write_orders(tmp_path, orders)
+        rows = _run(
+            spark, tmp_path, "customer_frequency_migration_halves"
+        )
+        got = {(r["band_from"], r["band_to"]): r["n_customers"]
+               for r in rows}
+        assert got == {
+            ("1_one", "0_none"): 1,
+            ("2_few", "1_one"): 1,
+            ("0_none", "3_many"): 1,
+            ("1_one", "1_one"): 1,
+        }
+
+
+class TestBenfordSecondDigit:
+    def test_hand_computed(self, spark, tmp_path):
+        _write_orders(
+            tmp_path,
+            [
+                (0, 1, "O", 12.0, "2024-01-05", "1"),
+                (1, 1, "O", 1234.0, "2024-01-06", "1"),
+                (2, 1, "O", 95.0, "2024-01-07", "1"),
+                (3, 1, "O", 9.0, "2024-01-08", "1"),
+                (4, 1, "O", 105.0, "2024-01-09", "1"),
+            ],
+        )
+        rows = _run(spark, tmp_path, "benford_second_digit_totalprice")
+        assert len(rows) == 10
+        got = {r["digit"]: r for r in rows}
+        assert got[2]["n_obs"] == 2 and got[5]["n_obs"] == 1
+        assert got[0]["n_obs"] == 1 and got[9]["n_obs"] == 0
+        p2 = 0.108821
+        assert got[2]["chi2_term"] == pytest.approx(
+            (2 - 4 * p2) ** 2 / (4 * p2), abs=1e-6
+        )
+        assert got[2]["obs_p"] == 0.5
+
+
+class TestPriceIndex:
+    def test_two_month_hand_computed(self, spark, tmp_path):
+        import math
+
+        _write_lineitem(
+            tmp_path,
+            [
+                (1, 1, 1, 1, 10.0, 10.0, 0.0, 0.0, "N", "O",
+                 "2024-01-10"),
+                (2, 2, 1, 1, 5.0, 10.0, 0.0, 0.0, "N", "O",
+                 "2024-01-11"),
+                (3, 1, 1, 1, 8.0, 16.0, 0.0, 0.0, "N", "O",
+                 "2024-02-10"),
+                (4, 2, 1, 1, 10.0, 10.0, 0.0, 0.0, "N", "O",
+                 "2024-02-11"),
+            ],
+        )
+        rows = _run(spark, tmp_path, "price_index_fisher_monthly")
+        assert len(rows) == 2
+        base, feb = rows
+        assert base["laspeyres"] == 1.0 and base["fisher"] == 1.0
+        assert feb["n_parts"] == 2
+        assert feb["laspeyres"] == 1.25
+        assert feb["paasche"] == pytest.approx(2.6 / 2.8, abs=1e-6)
+        assert feb["fisher"] == pytest.approx(
+            math.sqrt(1.25 * 2.6 / 2.8), abs=1e-6
+        )
+
+
+class TestRayleigh:
+    def test_concentrated_vs_uniform(self, spark, tmp_path):
+        rows = []
+        eid = 0
+        for _ in range(5):  # type A all at hour 0
+            rows.append(
+                (eid, f"2024-01-01 00:{eid:02d}:00", 1, "A", 1.0, "{}")
+            )
+            eid += 1
+        for h in (0, 6, 12, 18):  # type B spread on the compass
+            rows.append(
+                (eid, f"2024-01-01 {h:02d}:30:00", 1, "B", 1.0, "{}")
+            )
+            eid += 1
+        _write_events(tmp_path, rows)
+        got = {
+            r["event_type"]: r
+            for r in _run(
+                spark, tmp_path, "rayleigh_hour_concentration_by_type"
+            )
+        }
+        assert got["A"]["resultant_rbar"] == 1.0
+        assert got["A"]["rayleigh_z"] == 5.0
+        assert got["B"]["resultant_rbar"] == pytest.approx(0.0, abs=1e-5)
+        assert got["B"]["rayleigh_z"] == pytest.approx(0.0, abs=1e-5)
+
+
+def _graph_events(edges):
+    """Build events whose (user_id%997, event_id%997) pairs on
+    event_id%10==0 produce exactly `edges` (CRT picks the event id)."""
+    rows = []
+    for i, (u, t) in enumerate(edges):
+        k = (-t * 3) % 10
+        eid = t + 997 * k
+        assert eid % 10 == 0 and eid % 997 == t
+        rows.append(
+            (eid, f"2024-01-01 00:{i:02d}:00", u, "c", 1.0, "{}")
+        )
+    return rows
+
+
+class TestGraphStaged:
+    def test_avg_neighbor_degree(self, spark, tmp_path):
+        # edges 1-10, 1-20, 10-30: knn(1) = 2.0 (nodes 20,30),
+        # knn(2) = 1.5 (nodes 1,10)
+        _write_events(
+            tmp_path, _graph_events([(1, 10), (1, 20), (10, 30)])
+        )
+        rows = _run(
+            spark, tmp_path, "graph_avg_neighbor_degree_profile"
+        )
+        got = {r["degree"]: (r["n_nodes"], r["avg_neighbor_degree"])
+               for r in rows}
+        assert got == {1: (2, 2.0), 2: (2, 1.5)}
+
+    def test_square_count_single_cycle(self, spark, tmp_path):
+        # 4-cycle 1-2-3-4: exactly one square
+        _write_events(
+            tmp_path,
+            _graph_events([(1, 2), (2, 3), (3, 4), (4, 1)]),
+        )
+        row = _run(spark, tmp_path, "graph_square_count_c4")[0]
+        assert row["n_edges"] == 4
+        assert row["n_squares"] == 1
+
+    def test_triangle_has_no_square(self, spark, tmp_path):
+        _write_events(
+            tmp_path, _graph_events([(1, 2), (2, 3), (3, 1)])
+        )
+        row = _run(spark, tmp_path, "graph_square_count_c4")[0]
+        assert row["n_squares"] == 0
+
+
+class TestEmbeddingGeometry:
+    def test_participation_ratio_rank2(self, spark, tmp_path):
+        e1 = [1.0] + [0.0] * 63
+        e2 = [0.0, 1.0] + [0.0] * 62
+        _write_embeddings(tmp_path, [(0, e1, 0), (1, e2, 0)])
+        row = _run(spark, tmp_path, "embedding_participation_ratio")[0]
+        assert row["n_dims"] == 64
+        assert row["participation_ratio"] == 2.0
+        assert row["pr_over_d"] == 0.03125
+
+    def test_participation_ratio_collapsed(self, spark, tmp_path):
+        e1 = [1.0] + [0.0] * 63
+        _write_embeddings(tmp_path, [(0, e1, 0), (1, e1, 0)])
+        row = _run(spark, tmp_path, "embedding_participation_ratio")[0]
+        assert row["participation_ratio"] == 1.0
+
+    def test_label_compactness(self, spark, tmp_path):
+        import math
+
+        tight = [1.0] * 64
+        _write_embeddings(
+            tmp_path,
+            [
+                (0, tight, 0),
+                (1, tight, 0),
+                (2, [1.0] + [0.0] * 63, 1),
+                (3, [0.0, 1.0] + [0.0] * 62, 1),
+            ],
+        )
+        rows = _run(spark, tmp_path, "embedding_label_compactness")
+        got = {r["label"]: r["mean_cos_to_centroid"] for r in rows}
+        assert got[0] == 1.0
+        assert got[1] == pytest.approx(
+            math.floor(1e6 / math.sqrt(2)) / 1e6, abs=1e-9
+        )
