@@ -3543,3 +3543,652 @@ def q_embedding_label_compactness(
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch G — robust two-sample / trend / reliability / decomposition
+# ---------------------------------------------------------------------------
+
+@stage(
+    "brunner_munzel_arms",
+    f"""
+    WITH {_ARMS_HIST_SQL},
+    cum AS (
+      SELECT c1, c0,
+             CAST(coalesce(sum(c1 + c0) OVER (ORDER BY vm
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cb,
+             CAST(coalesce(sum(c1) OVER (ORDER BY vm
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cb1,
+             CAST(coalesce(sum(c0) OVER (ORDER BY vm
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cb0
+      FROM hist
+    ),
+    terms AS (
+      SELECT c1, c0,
+             2 * cb + c1 + c0 + 1 AS dr,
+             2 * cb1 + c1 + 1 AS dh1,
+             2 * cb0 + c0 + 1 AS dh0
+      FROM cum
+    ),
+    g AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c0) AS BIGINT) AS n0,
+             CAST(sum(c1 * dr) AS BIGINT) AS sr1,
+             CAST(sum(c0 * dr) AS BIGINT) AS sr0,
+             sum(c1::HUGEINT * (dr - dh1)) AS sb1,
+             sum(c1::HUGEINT * (dr - dh1) * (dr - dh1)) AS sb1sq,
+             sum(c0::HUGEINT * (dr - dh0)) AS sb0,
+             sum(c0::HUGEINT * (dr - dh0) * (dr - dh0)) AS sb0sq
+      FROM terms
+    ),
+    s AS (
+      SELECT n1, n0,
+             (CAST(sb1sq AS DOUBLE)
+              - CAST(sb1 AS DOUBLE) * CAST(sb1 AS DOUBLE) / n1)
+               / nullif(4.0 * (n1 - 1), 0) AS s1sq,
+             (CAST(sb0sq AS DOUBLE)
+              - CAST(sb0 AS DOUBLE) * CAST(sb0 AS DOUBLE) / n0)
+               / nullif(4.0 * (n0 - 1), 0) AS s0sq,
+             (CAST(sr1 AS DOUBLE) / n1 - CAST(sr0 AS DOUBLE) / n0)
+               / 2.0 AS rdiff
+      FROM g
+    )
+    SELECT n0, n1,
+           round((CAST(sr1 AS DOUBLE) / (2.0 * n1) - (n1 + 1) / 2.0)
+                 / n0, 6) + 0.0 AS p_hat,
+           round(CAST(n1 AS DOUBLE) * n0 * rdiff / (n1 + n0)
+                 / nullif(sqrt(n1 * s1sq + n0 * s0sq), 0), 6) + 0.0
+             AS bm_statistic
+    FROM s CROSS JOIN (SELECT sr1, sr0 FROM g) gg
+    """,
+)
+def q_brunner_munzel_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brunner-Munzel generalized Wilcoxon test between the user-parity
+    arms — the heteroscedasticity-robust replacement for Mann-Whitney
+    (valid when the arms differ in variance AND location). Works
+    entirely on the value histogram with DOUBLED midranks: each group
+    carries its combined midrank dr and within-arm midrank dh, and the
+    rank-variance S_i^2 = Var(R - H)/4 comes from two exact int128
+    scalars per arm (sum c*(dr-dh), sum c*(dr-dh)^2 — the centered
+    square expansion keeps the per-row magnitude at ~9N^3, inside
+    DECIMAL(38,0) at 1e8 rows, where the naive n^2-scaled deviation
+    form would overflow). p_hat estimates P(X0 < X1) + 0.5*P(=); the
+    scipy-convention statistic divides the weighted mean-rank gap by
+    sqrt(n1*S1^2 + n0*S0^2). Singleton arms NULL via nullif. One
+    histogram shuffle + one bounded window pass.
+    """
+    hist = _arm_value_hist(spark, sf_dir)
+    wb = W.orderBy("vm").rowsBetween(W.unboundedPreceding, -1)
+    cum = hist.select(
+        "c1",
+        "c0",
+        F.coalesce(F.sum(F.col("c1") + F.col("c0")).over(wb), F.lit(0))
+        .cast("long")
+        .alias("cb"),
+        F.coalesce(F.sum("c1").over(wb), F.lit(0))
+        .cast("long")
+        .alias("cb1"),
+        F.coalesce(F.sum("c0").over(wb), F.lit(0))
+        .cast("long")
+        .alias("cb0"),
+    )
+    terms = cum.selectExpr(
+        "c1",
+        "c0",
+        "2 * cb + c1 + c0 + 1 AS dr",
+        "2 * cb1 + c1 + 1 AS dh1",
+        "2 * cb0 + c0 + 1 AS dh0",
+    )
+    g = terms.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c0").cast("long").alias("n0"),
+        F.sum(F.col("c1") * F.col("dr")).cast("long").alias("sr1"),
+        F.sum(F.col("c0") * F.col("dr")).cast("long").alias("sr0"),
+        F.expr(
+            "sum(CAST(c1 AS DECIMAL(38,0)) * (dr - dh1))"
+        ).alias("sb1"),
+        F.expr(
+            "sum(CAST(c1 AS DECIMAL(38,0)) * (dr - dh1) * (dr - dh1))"
+        ).alias("sb1sq"),
+        F.expr(
+            "sum(CAST(c0 AS DECIMAL(38,0)) * (dr - dh0))"
+        ).alias("sb0"),
+        F.expr(
+            "sum(CAST(c0 AS DECIMAL(38,0)) * (dr - dh0) * (dr - dh0))"
+        ).alias("sb0sq"),
+    )
+    s = g.selectExpr(
+        "n1",
+        "n0",
+        "sr1",
+        "sr0",
+        "(CAST(sb1sq AS DOUBLE)"
+        " - CAST(sb1 AS DOUBLE) * CAST(sb1 AS DOUBLE) / n1)"
+        " / nullif(4.0 * (n1 - 1), 0) AS s1sq",
+        "(CAST(sb0sq AS DOUBLE)"
+        " - CAST(sb0 AS DOUBLE) * CAST(sb0 AS DOUBLE) / n0)"
+        " / nullif(4.0 * (n0 - 1), 0) AS s0sq",
+        "(CAST(sr1 AS DOUBLE) / n1 - CAST(sr0 AS DOUBLE) / n0)"
+        " / 2.0 AS rdiff",
+    )
+    return s.selectExpr(
+        "n0",
+        "n1",
+        "round((CAST(sr1 AS DOUBLE) / (2.0 * n1) - (n1 + 1) / 2.0)"
+        " / n0, 6) + 0.0 AS p_hat",
+        "round(CAST(n1 AS DOUBLE) * n0 * rdiff / (n1 + n0)"
+        " / nullif(sqrt(n1 * s1sq + n0 * s0sq), 0), 6) + 0.0"
+        " AS bm_statistic",
+    )
+
+
+@stage(
+    "cochran_armitage_hour_trend",
+    """
+    WITH b AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 % 24 // 6 AS s,
+             CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    g AS (
+      SELECT s, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS r
+      FROM b GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nt,
+             CAST(sum(r) AS BIGINT) AS rt,
+             CAST(sum(s * r) AS BIGINT) AS sr,
+             CAST(sum(s * n) AS BIGINT) AS sn,
+             CAST(sum(s * s * n) AS BIGINT) AS ssn
+      FROM g
+    )
+    SELECT nt AS n_events, rt AS n_positive,
+           round(CAST(nt::HUGEINT * sr - rt::HUGEINT * sn AS DOUBLE)
+                 / nullif(sqrt(CAST(rt::HUGEINT * (nt - rt) AS DOUBLE)
+                   * CAST(nt::HUGEINT * ssn - sn::HUGEINT * sn
+                     AS DOUBLE) / nt), 0), 6) + 0.0 AS ca_z,
+           round(CAST(nt::HUGEINT * sr - rt::HUGEINT * sn AS DOUBLE)
+                 * CAST(nt::HUGEINT * sr - rt::HUGEINT * sn AS DOUBLE)
+                 * nt
+                 / nullif(CAST(rt::HUGEINT * (nt - rt) AS DOUBLE)
+                   * CAST(nt::HUGEINT * ssn - sn::HUGEINT * sn
+                     AS DOUBLE), 0), 6) + 0.0 AS ca_chi2
+    FROM t
+    """,
+)
+def q_cochran_armitage_hour_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cochran-Armitage trend test of the binary churn-construct label
+    across four ordered six-hour day-part bands (scores 0..3): does
+    the positive rate trend monotonically through the day? z =
+    (N*sum(s*r) - R*sum(s*n)) / sqrt(R*(N-R)*(N*sum(s^2*n) -
+    sum(s*n)^2)/N) — every moment is an exact integer off the 4-row
+    band relation, widened to int128 where the cross products reach
+    ~1e33 at corpus scale, with one double sqrt at the end. A
+    degenerate table (all-positive, all-negative, or single band)
+    NULLs via nullif. One groupBy to 4 rows.
+    """
+    ev = _events(spark, sf_dir)
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    b = ev.select(
+        (((sec / 3600).cast("long") % 24) / 6)
+        .cast("long")
+        .alias("s"),
+        F.when(F.col("user_id") % 3 == 0, 1).otherwise(0).alias("y"),
+    )
+    g = b.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("r"),
+    )
+    t = g.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("r").cast("long").alias("rt"),
+        F.sum(F.col("s") * F.col("r")).cast("long").alias("sr"),
+        F.sum(F.col("s") * F.col("n")).cast("long").alias("sn"),
+        F.sum(F.col("s") * F.col("s") * F.col("n"))
+        .cast("long")
+        .alias("ssn"),
+    )
+    num = (
+        "CAST(CAST(nt AS DECIMAL(38,0)) * sr"
+        " - CAST(rt AS DECIMAL(38,0)) * sn AS DOUBLE)"
+    )
+    den_parts = (
+        "CAST(CAST(rt AS DECIMAL(38,0)) * (nt - rt) AS DOUBLE)"
+        " * CAST(CAST(nt AS DECIMAL(38,0)) * ssn"
+        " - CAST(sn AS DECIMAL(38,0)) * sn AS DOUBLE)"
+    )
+    return t.selectExpr(
+        "nt AS n_events",
+        "rt AS n_positive",
+        f"round({num} / nullif(sqrt({den_parts} / nt), 0), 6) + 0.0"
+        " AS ca_z",
+        f"round({num} * {num} * nt / nullif({den_parts}, 0), 6) + 0.0"
+        " AS ca_chi2",
+    )
+
+
+@stage(
+    "icc_oneway_user_values",
+    """
+    WITH v AS (
+      SELECT user_id,
+             CAST(floor(value * 1000) AS BIGINT) AS vm
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(vm) AS BIGINT) AS s,
+             sum(vm::HUGEINT * vm) AS ss
+      FROM v GROUP BY 1 HAVING count(*) >= 1
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS j,
+             CAST(sum(n) AS BIGINT) AS nt,
+             CAST(sum(s) AS BIGINT) AS st,
+             sum(ss) AS sst,
+             sum(n::HUGEINT * ((s * 1000) // n) * ((s * 1000) // n))
+               AS sq6,
+             CAST(sum(n * n) AS BIGINT) AS nsq
+      FROM g
+    ),
+    ms AS (
+      SELECT j, nt,
+             (CAST(sq6 AS DOUBLE) / 1000000.0
+              - CAST(st AS DOUBLE) * st / nt)
+               / nullif(CAST(j - 1 AS DOUBLE), 0) AS msb,
+             (CAST(sst AS DOUBLE) - CAST(sq6 AS DOUBLE) / 1000000.0)
+               / nullif(CAST(nt - j AS DOUBLE), 0) AS msw,
+             (CAST(nt AS DOUBLE) - CAST(nsq AS DOUBLE) / nt)
+               / nullif(CAST(j - 1 AS DOUBLE), 0) AS k0
+      FROM t
+    )
+    SELECT j AS n_subjects, nt AS n_values,
+           round(k0, 6) + 0.0 AS k0,
+           round((msb - msw) / nullif(msb + (k0 - 1.0) * msw, 0), 6)
+             + 0.0 AS icc1
+    FROM ms
+    """,
+)
+def q_icc_oneway_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way random-effects intraclass correlation ICC(1) of event
+    values within users — how much of the value variance is
+    between-user (a repeatability / reliability staple, and the
+    design-effect input for clustered sampling). Unequal group sizes
+    use the standard k0 = (N - sum n_j^2 / N)/(J-1) correction. The
+    between-groups sum sum(n_j * mean_j^2) is kept DETERMINISTIC at
+    any group count by quantizing each group mean to the exact
+    integer (s*1000) // n (so per-group terms are int128 integers,
+    never a float sum whose accumulation order drifts past 6dp at
+    100k+ users — the round-7 digest rule; s*1000 stays inside BIGINT
+    where a raw s^2 quotient would not). Single-user or constant
+    inputs NULL via nullif. One
+    per-user groupBy + one scalar aggregate.
+    """
+    v = (
+        _events(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .selectExpr(
+            "user_id", "CAST(floor(value * 1000) AS BIGINT) AS vm"
+        )
+    )
+    g = v.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("vm").cast("long").alias("s"),
+        F.expr("sum(CAST(vm AS DECIMAL(38,0)) * vm)").alias("ss"),
+    )
+    t = g.agg(
+        F.count("*").cast("long").alias("j"),
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("s").cast("long").alias("st"),
+        F.sum("ss").alias("sst"),
+        F.expr(
+            "sum(CAST(n AS DECIMAL(38,0)) * ((s * 1000) div n)"
+            " * ((s * 1000) div n))"
+        ).alias("sq6"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("nsq"),
+    )
+    ms = t.selectExpr(
+        "j",
+        "nt",
+        "(CAST(sq6 AS DOUBLE) / 1000000.0"
+        " - CAST(st AS DOUBLE) * st / nt)"
+        " / nullif(CAST(j - 1 AS DOUBLE), 0) AS msb",
+        "(CAST(sst AS DOUBLE) - CAST(sq6 AS DOUBLE) / 1000000.0)"
+        " / nullif(CAST(nt - j AS DOUBLE), 0) AS msw",
+        "(CAST(nt AS DOUBLE) - CAST(nsq AS DOUBLE) / nt)"
+        " / nullif(CAST(j - 1 AS DOUBLE), 0) AS k0",
+    )
+    return ms.selectExpr(
+        "j AS n_subjects",
+        "nt AS n_values",
+        "round(k0, 6) + 0.0 AS k0",
+        "round((msb - msw) / nullif(msb + (k0 - 1.0) * msw, 0), 6)"
+        " + 0.0 AS icc1",
+    )
+
+
+# floor(ln(k)*1e6) literals for k = 1, 2, 4, 8 — shared by both
+# engines so no runtime libm enters the slope's x-axis.
+_VT_LNK = {1: 0, 2: 693147, 4: 1386294, 8: 2079441}
+
+
+@stage(
+    "variance_time_slope_hourly",
+    f"""
+    WITH {_HOURLY_GRID_SQL},
+    grp AS (
+      SELECT m, (idx - 1) // m AS g,
+             CAST(sum(y) AS BIGINT) AS sg,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM z CROSS JOIN (SELECT unnest([1, 2, 4, 8]) AS m)
+      GROUP BY 1, 2
+    ),
+    vk AS (
+      SELECT m,
+             CAST(count(*) AS BIGINT) AS kk,
+             CAST(sum(sg) AS BIGINT) AS s1,
+             sum(sg::HUGEINT * sg) AS s2
+      FROM grp WHERE cnt = m GROUP BY 1
+    ),
+    lv AS (
+      SELECT m,
+             CASE m WHEN 1 THEN 0 WHEN 2 THEN 693147
+                    WHEN 4 THEN 1386294 ELSE 2079441 END AS lx,
+             CAST(floor(ln((CAST(kk AS DOUBLE) * CAST(s2 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * s1)
+                  / (CAST(m AS DOUBLE) * m * kk * (kk - 1)))
+                * 1000000.0) AS BIGINT) AS ly
+      FROM vk WHERE kk >= 2
+        AND CAST(kk AS DOUBLE) * CAST(s2 AS DOUBLE)
+            - CAST(s1 AS DOUBLE) * s1 > 0
+    ),
+    sl AS (
+      SELECT CAST(count(*) AS BIGINT) AS np,
+             CAST(sum(lx) AS BIGINT) AS sx,
+             CAST(sum(ly) AS BIGINT) AS sy,
+             sum(lx::HUGEINT * ly) AS sxy,
+             sum(lx::HUGEINT * lx) AS sxx
+      FROM lv
+    )
+    SELECT np AS n_points,
+           round(CAST(np::HUGEINT * sxy - sx::HUGEINT * sy AS DOUBLE)
+                 / nullif(CAST(np::HUGEINT * sxx - sx::HUGEINT * sx
+                   AS DOUBLE), 0), 6) + 0.0 AS vt_slope,
+           round(1.0 + CAST(np::HUGEINT * sxy - sx::HUGEINT * sy
+                   AS DOUBLE)
+                 / nullif(CAST(np::HUGEINT * sxx - sx::HUGEINT * sx
+                   AS DOUBLE), 0) / 2.0, 6) + 0.0 AS hurst_vt
+    FROM sl
+    """,
+)
+def q_variance_time_slope_hourly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Aggregated-variance (variance-time) long-range-dependence
+    estimate on the hourly count series: the sample variance of
+    non-overlapping k-hour block MEANS for k = 1, 2, 4, 8, and the
+    OLS slope of ln(var) against ln(k) — slope ~ -1 for short-memory
+    series, shallower for long memory; H_vt = 1 + slope/2 is the
+    variance-time Hurst estimate, methodologically independent of the
+    registered R/S estimator. Block variances are exact rationals
+    from integer block sums ((K*sum(S^2) - (sum S)^2) / (m^2*K*(K-1)),
+    int128-widened); ln lands on a floor-quantized 1e-6 integer grid
+    and the x-axis uses PRECOMPUTED ln(k) literals, so the 4-point
+    regression is exact integer arithmetic (the nb_lang micro-log
+    pattern). Zero-variance or single-block scales drop
+    deterministically; fewer than 2 surviving points NULL the slope.
+    """
+    z = _bucket_grid(spark, sf_dir, 3600)
+    ms = spark.range(1).selectExpr("explode(array(1, 2, 4, 8)) AS m")
+    grp = (
+        z.crossJoin(F.broadcast(ms))
+        .selectExpr("m", "(idx - 1) div m AS g", "y")
+        .groupBy("m", "g")
+        .agg(
+            F.sum("y").cast("long").alias("sg"),
+            F.count("*").cast("long").alias("cnt"),
+        )
+    )
+    vk = (
+        grp.where("cnt = m")
+        .groupBy("m")
+        .agg(
+            F.count("*").cast("long").alias("kk"),
+            F.sum("sg").cast("long").alias("s1"),
+            F.expr("sum(CAST(sg AS DECIMAL(38,0)) * sg)").alias("s2"),
+        )
+    )
+    lv = (
+        vk.where(
+            "kk >= 2 AND CAST(kk AS DOUBLE) * CAST(s2 AS DOUBLE)"
+            " - CAST(s1 AS DOUBLE) * s1 > 0"
+        )
+        .selectExpr(
+            "m",
+            "CASE m WHEN 1 THEN 0 WHEN 2 THEN 693147"
+            " WHEN 4 THEN 1386294 ELSE 2079441 END AS lx",
+            "CAST(floor(ln((CAST(kk AS DOUBLE) * CAST(s2 AS DOUBLE)"
+            " - CAST(s1 AS DOUBLE) * s1)"
+            " / (CAST(m AS DOUBLE) * m * kk * (kk - 1)))"
+            " * 1000000.0) AS BIGINT) AS ly",
+        )
+    )
+    sl = lv.agg(
+        F.count("*").cast("long").alias("np"),
+        F.sum("lx").cast("long").alias("sx"),
+        F.sum("ly").cast("long").alias("sy"),
+        F.expr("sum(CAST(lx AS DECIMAL(38,0)) * ly)").alias("sxy"),
+        F.expr("sum(CAST(lx AS DECIMAL(38,0)) * lx)").alias("sxx"),
+    )
+    slope = (
+        "CAST(CAST(np AS DECIMAL(38,0)) * sxy"
+        " - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)"
+        " / nullif(CAST(CAST(np AS DECIMAL(38,0)) * sxx"
+        " - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE), 0)"
+    )
+    return sl.selectExpr(
+        "np AS n_points",
+        f"round({slope}, 6) + 0.0 AS vt_slope",
+        f"round(1.0 + {slope} / 2.0, 6) + 0.0 AS hurst_vt",
+    )
+
+
+@stage(
+    "seasonal_strength_hourly",
+    f"""
+    WITH {_HOURLY_GRID_SQL},
+    ma AS (
+      SELECT b, y, idx,
+             CAST(sum(y) OVER (ORDER BY idx
+               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS w24,
+             CAST(count(*) OVER (ORDER BY idx
+               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS wn
+      FROM z
+    ),
+    detr AS (
+      SELECT b % 24 AS hod, 24 * y - w24 AS d24
+      FROM ma WHERE wn = 24
+    ),
+    hod_mean AS (
+      SELECT hod, CAST(count(*) AS BIGINT) AS nh,
+             CAST(sum(d24) AS BIGINT) AS sh
+      FROM detr GROUP BY 1
+    ),
+    rem AS (
+      SELECT d.d24,
+             CAST(floor((CAST(d.d24 AS DOUBLE)
+                  - CAST(h.sh AS DOUBLE) / h.nh) / 24.0 * 1000000.0)
+               AS BIGINT) AS r6,
+             CAST(floor(CAST(d.d24 AS DOUBLE) / 24.0 * 1000000.0)
+               AS BIGINT) AS d6
+      FROM detr d JOIN hod_mean h USING (hod)
+    ),
+    vv AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(r6::HUGEINT * r6) AS rss,
+             CAST(sum(r6) AS BIGINT) AS rs,
+             sum(d6::HUGEINT * d6) AS dss,
+             CAST(sum(d6) AS BIGINT) AS ds
+      FROM rem
+    )
+    SELECT n AS n_hours_scored,
+           round(greatest(0.0, 1.0
+             - (CAST(rss AS DOUBLE) - CAST(rs AS DOUBLE) * rs / n)
+               / nullif(CAST(dss AS DOUBLE)
+                 - CAST(ds AS DOUBLE) * ds / n, 0)), 6) + 0.0
+             AS seasonal_strength
+    FROM vv
+    """,
+)
+def q_seasonal_strength_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyndman-style seasonal strength F_S = max(0, 1 - Var(remainder)
+    / Var(detrended)) of the hourly series with a trailing-24h moving
+    average trend and hour-of-day seasonal means. The detrended series
+    is the EXACT integer 24*y - window_sum (full windows only); the
+    remainder subtracts the exact-rational hour-of-day mean, and both
+    series are floor-quantized per row to 1e-6 integers BEFORE their
+    variances, so the cross-row sums are exact integer arithmetic at
+    any series length (the round-7 digest rule) with one double ratio
+    at the end. Strength ~ 1 means the day cycle explains nearly all
+    non-trend variation. Two bounded window passes + one 24-row join.
+    """
+    z = _bucket_grid(spark, sf_dir, 3600)
+    w24 = W.orderBy("idx").rowsBetween(-23, 0)
+    ma = z.select(
+        "b",
+        "y",
+        "idx",
+        F.sum("y").over(w24).cast("long").alias("w24"),
+        F.count("*").over(w24).cast("long").alias("wn"),
+    )
+    detr = ma.where("wn = 24").selectExpr(
+        "b % 24 AS hod", "24 * y - w24 AS d24"
+    )
+    hod_mean = detr.groupBy("hod").agg(
+        F.count("*").cast("long").alias("nh"),
+        F.sum("d24").cast("long").alias("sh"),
+    )
+    rem = detr.join(F.broadcast(hod_mean), "hod").selectExpr(
+        "CAST(floor((CAST(d24 AS DOUBLE)"
+        " - CAST(sh AS DOUBLE) / nh) / 24.0 * 1000000.0)"
+        " AS BIGINT) AS r6",
+        "CAST(floor(CAST(d24 AS DOUBLE) / 24.0 * 1000000.0)"
+        " AS BIGINT) AS d6",
+    )
+    vv = rem.agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("sum(CAST(r6 AS DECIMAL(38,0)) * r6)").alias("rss"),
+        F.sum("r6").cast("long").alias("rs"),
+        F.expr("sum(CAST(d6 AS DECIMAL(38,0)) * d6)").alias("dss"),
+        F.sum("d6").cast("long").alias("ds"),
+    )
+    return vv.selectExpr(
+        "n AS n_hours_scored",
+        "round(greatest(0.0, 1.0"
+        " - (CAST(rss AS DOUBLE) - CAST(rs AS DOUBLE) * rs / n)"
+        " / nullif(CAST(dss AS DOUBLE)"
+        " - CAST(ds AS DOUBLE) * ds / n, 0)), 6) + 0.0"
+        " AS seasonal_strength",
+    )
+
+
+@stage(
+    "clv_heuristic_by_segment",
+    """
+    WITH cust AS (
+      SELECT o_custkey AS cust,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS cents,
+             CAST(max(year(o_orderdate) * 12 + month(o_orderdate))
+               - min(year(o_orderdate) * 12 + month(o_orderdate)) + 1
+               AS BIGINT) AS months
+      FROM orders GROUP BY 1
+    ),
+    seg AS (
+      SELECT CASE WHEN n_orders = 1 THEN '1_one'
+                  WHEN n_orders <= 3 THEN '2_few'
+                  ELSE '3_many' END AS segment,
+             n_orders, cents, months
+      FROM cust
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(n_orders) AS BIGINT) AS n_orders,
+           round(CAST(sum(cents) AS DOUBLE) / 100.0
+                 / nullif(CAST(sum(n_orders) AS DOUBLE), 0), 6) + 0.0
+             AS avg_order_value,
+           round(CAST(sum(n_orders) AS DOUBLE)
+                 / nullif(CAST(sum(months) AS DOUBLE), 0), 6) + 0.0
+             AS orders_per_active_month,
+           round(CAST(sum(cents) AS DOUBLE) / 100.0
+                 / nullif(CAST(sum(n_orders) AS DOUBLE), 0)
+                 * (CAST(sum(n_orders) AS DOUBLE)
+                    / nullif(CAST(sum(months) AS DOUBLE), 0))
+                 * 24.0, 6) + 0.0 AS clv_24m
+    FROM seg GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_clv_heuristic_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic 24-month customer-lifetime-value per frequency
+    segment: segment-level average order value times orders-per-
+    active-month times a 24-month horizon — the standard back-of-
+    envelope CLV triangulation before a BG/NBD model earns its keep.
+    Active months are the inclusive calendar month span (exact
+    integer y*12+m arithmetic); revenue is exact on the cent grid;
+    every output is a ratio of integer sums. One per-customer groupBy
+    + one 3-row segment rollup.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.expr(
+            "CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))"
+            " AS BIGINT)"
+        ).alias("cents"),
+        F.expr(
+            "CAST(max(year(o_orderdate) * 12 + month(o_orderdate))"
+            " - min(year(o_orderdate) * 12 + month(o_orderdate)) + 1"
+            " AS BIGINT)"
+        ).alias("months"),
+    )
+    seg = cust.selectExpr(
+        "CASE WHEN n_orders = 1 THEN '1_one'"
+        " WHEN n_orders <= 3 THEN '2_few'"
+        " ELSE '3_many' END AS segment",
+        "n_orders",
+        "cents",
+        "months",
+    )
+    return (
+        seg.groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.expr(
+                "round(CAST(sum(cents) AS DOUBLE) / 100.0"
+                " / nullif(CAST(sum(n_orders) AS DOUBLE), 0), 6) + 0.0"
+            ).alias("avg_order_value"),
+            F.expr(
+                "round(CAST(sum(n_orders) AS DOUBLE)"
+                " / nullif(CAST(sum(months) AS DOUBLE), 0), 6) + 0.0"
+            ).alias("orders_per_active_month"),
+            F.expr(
+                "round(CAST(sum(cents) AS DOUBLE) / 100.0"
+                " / nullif(CAST(sum(n_orders) AS DOUBLE), 0)"
+                " * (CAST(sum(n_orders) AS DOUBLE)"
+                " / nullif(CAST(sum(months) AS DOUBLE), 0))"
+                " * 24.0, 6) + 0.0"
+            ).alias("clv_24m"),
+        )
+        .orderBy("segment")
+    )

@@ -899,3 +899,138 @@ class TestEmbeddingGeometry:
         assert got[1] == pytest.approx(
             math.floor(1e6 / math.sqrt(2)) / 1e6, abs=1e-9
         )
+
+
+class TestBrunnerMunzel:
+    def test_hand_computed(self, spark, tmp_path):
+        # arm1 = {1,2,4}, arm0 = {3,5}: Rbar1 = 7/3, Rbar0 = 4,
+        # S1^2 = 1/3, S0^2 = 1/2 -> stat = -10/(5*sqrt(2)),
+        # p_hat = 1/6
+        _write_events(
+            tmp_path,
+            _ev([(1, 1.0), (1, 2.0), (1, 4.0), (2, 3.0), (2, 5.0)]),
+        )
+        row = _run(spark, tmp_path, "brunner_munzel_arms")[0]
+        assert (row["n0"], row["n1"]) == (2, 3)
+        assert row["p_hat"] == pytest.approx(1.0 / 6.0, abs=1e-6)
+        assert row["bm_statistic"] == pytest.approx(
+            -10.0 / (5.0 * 2 ** 0.5), abs=1e-6
+        )
+
+    def test_singleton_arm_null(self, spark, tmp_path):
+        _write_events(tmp_path, _ev([(1, 1.0), (2, 2.0), (2, 3.0)]))
+        row = _run(spark, tmp_path, "brunner_munzel_arms")[0]
+        assert row["bm_statistic"] is None
+
+
+class TestCochranArmitage:
+    def test_perfect_trend(self, spark, tmp_path):
+        # bands s=0..3 with 4 events each and 1,2,3,4 positives:
+        # z = 80/sqrt(1200), chi2 = 16/3
+        rows = []
+        eid = 0
+        for s, npos in [(0, 1), (1, 2), (2, 3), (3, 4)]:
+            for j in range(4):
+                uid = 3 if j < npos else 1
+                rows.append(
+                    (eid, f"2024-01-01 {6 * s:02d}:{j:02d}:00", uid,
+                     "c", 1.0, "{}")
+                )
+                eid += 1
+        _write_events(tmp_path, rows)
+        row = _run(spark, tmp_path, "cochran_armitage_hour_trend")[0]
+        assert (row["n_events"], row["n_positive"]) == (16, 10)
+        assert row["ca_z"] == pytest.approx(
+            80.0 / 1200 ** 0.5, abs=1e-6
+        )
+        assert row["ca_chi2"] == pytest.approx(16.0 / 3.0, abs=1e-6)
+
+
+class TestIcc:
+    def test_perfect_between_user_separation(self, spark, tmp_path):
+        _write_events(
+            tmp_path,
+            _ev([(2, 1.0), (2, 1.0), (4, 3.0), (4, 3.0)]),
+        )
+        row = _run(spark, tmp_path, "icc_oneway_user_values")[0]
+        assert (row["n_subjects"], row["n_values"]) == (2, 4)
+        assert row["k0"] == 2.0
+        assert row["icc1"] == 1.0
+
+    def test_pure_within_variation(self, spark, tmp_path):
+        _write_events(
+            tmp_path,
+            _ev([(2, 1.0), (2, 3.0), (4, 1.0), (4, 3.0)]),
+        )
+        row = _run(spark, tmp_path, "icc_oneway_user_values")[0]
+        assert row["icc1"] == -1.0
+
+
+class TestVarianceTimeSlope:
+    def test_two_point_slope(self, spark, tmp_path):
+        import math
+
+        # hourly [2,0,2,0,0,2,2,1] (first bucket non-empty so the
+        # span covers exactly these 8 hours); python replica below
+        # mirrors the block-variance/micro-log pipeline
+        ys = [2, 0, 2, 0, 0, 2, 2, 1]
+        _write_events(
+            tmp_path, _bucket_events(ys, hours_per_bucket=1)
+        )
+        pts = []
+        for m, lx in [(1, 0), (2, 693147), (4, 1386294), (8, 2079441)]:
+            blocks = [
+                sum(ys[i * m:(i + 1) * m])
+                for i in range(len(ys) // m)
+            ]
+            kk = len(blocks)
+            if kk < 2:
+                continue
+            s1, s2 = sum(blocks), sum(b * b for b in blocks)
+            num = kk * s2 - s1 * s1
+            if num <= 0:
+                continue
+            var = num / (m * m * kk * (kk - 1))
+            pts.append((lx, math.floor(math.log(var) * 1e6)))
+        np_, sx = len(pts), sum(p[0] for p in pts)
+        sy = sum(p[1] for p in pts)
+        sxy = sum(p[0] * p[1] for p in pts)
+        sxx = sum(p[0] * p[0] for p in pts)
+        slope = (np_ * sxy - sx * sy) / (np_ * sxx - sx * sx)
+        row = _run(spark, tmp_path, "variance_time_slope_hourly")[0]
+        assert row["n_points"] == np_
+        assert row["vt_slope"] == pytest.approx(slope, abs=1e-6)
+        assert row["hurst_vt"] == pytest.approx(1 + slope / 2, abs=1e-6)
+
+
+class TestSeasonalStrength:
+    def test_pure_daily_cycle(self, spark, tmp_path):
+        # 48 hours of an exact 24h pattern: remainder vanishes
+        counts = [(h % 24) + 1 for h in range(48)]
+        _write_events(
+            tmp_path, _bucket_events(counts, hours_per_bucket=1)
+        )
+        row = _run(spark, tmp_path, "seasonal_strength_hourly")[0]
+        assert row["n_hours_scored"] == 25
+        assert row["seasonal_strength"] == 1.0
+
+
+class TestClvHeuristic:
+    def test_segments_hand_computed(self, spark, tmp_path):
+        orders = [
+            (0, 1, "O", 100.0, "2024-01-05", "1"),
+            (1, 2, "O", 50.0, "2024-01-06", "1"),
+            (2, 2, "O", 50.0, "2024-02-06", "1"),
+            (3, 3, "O", 25.0, "2024-01-07", "1"),
+            (4, 3, "O", 25.0, "2024-02-07", "1"),
+            (5, 3, "O", 25.0, "2024-03-07", "1"),
+            (6, 3, "O", 25.0, "2024-04-07", "1"),
+        ]
+        _write_orders(tmp_path, orders)
+        rows = _run(spark, tmp_path, "clv_heuristic_by_segment")
+        got = {r["segment"]: r for r in rows}
+        assert got["1_one"]["clv_24m"] == pytest.approx(2400.0)
+        assert got["2_few"]["avg_order_value"] == 50.0
+        assert got["2_few"]["clv_24m"] == pytest.approx(1200.0)
+        assert got["3_many"]["orders_per_active_month"] == 1.0
+        assert got["3_many"]["clv_24m"] == pytest.approx(600.0)
