@@ -716,7 +716,7 @@ def q_hodges_lehmann_shift_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     diffs = (
         h1.alias("a")
-        .crossJoin(h0.alias("b"))
+        .crossJoin(F.broadcast(h0.alias("b")))
         .selectExpr("a.vc - b.vc AS d", "a.c * b.c AS pw")
         .groupBy("d")
         .agg(F.sum("pw").cast("long").alias("w"))
@@ -2238,9 +2238,9 @@ def q_v_measure_embedding_partition(
         .selectExpr("x / nt AS hkc")
     )
     ents = (
-        hc.crossJoin(hk)
-        .crossJoin(hck)
-        .crossJoin(hkc)
+        hc.crossJoin(F.broadcast(hk))
+        .crossJoin(F.broadcast(hck))
+        .crossJoin(F.broadcast(hkc))
         .crossJoin(F.broadcast(tot.selectExpr("nt AS n_points")))
     )
     hcp = ents.selectExpr(

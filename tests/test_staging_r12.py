@@ -1034,3 +1034,23 @@ class TestClvHeuristic:
         assert got["2_few"]["clv_24m"] == pytest.approx(1200.0)
         assert got["3_many"]["orders_per_active_month"] == 1.0
         assert got["3_many"]["clv_24m"] == pytest.approx(600.0)
+
+
+class TestStagedPlanShapes:
+    """Every staged operator's physical plan must be free of
+    non-broadcast cartesian products at sf0.001 — the same gate the
+    registered rounds pin (broadcast nested loops over 1-row scalar
+    relations are the accepted idiom; CartesianProduct is the scale
+    killer)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    @pytest.mark.parametrize("name", sorted(STAGED))
+    def test_no_cartesian(self, spark, name):
+        plan = (
+            STAGED[name][0](spark, self.SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan, name
