@@ -4192,3 +4192,450 @@ def q_clv_heuristic_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch H — BWS, sequence complexity, independence, multimodal tone energy
+# ---------------------------------------------------------------------------
+
+@stage(
+    "bws_test_arms",
+    f"""
+    WITH {_ARMS_HIST_SQL},
+    cum AS (
+      SELECT c1, c0,
+             CAST(coalesce(sum(c1 + c0) OVER (ORDER BY vm
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cb,
+             CAST(coalesce(sum(c1) OVER (ORDER BY vm
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cb1,
+             CAST(coalesce(sum(c0) OVER (ORDER BY vm
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cb0
+      FROM hist
+    ),
+    tot AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c0) AS BIGINT) AS n0
+      FROM hist
+    ),
+    m1 AS (
+      SELECT 2 * cb + c1 + c0 + 1 AS dr, cb1, c1 FROM cum
+      WHERE c1 > 0
+    ),
+    i1 AS (
+      SELECT dr, unnest(generate_series(cb1 + 1, cb1 + c1)) AS i
+      FROM m1
+    ),
+    t1 AS (
+      SELECT CAST(sum(CAST(floor(
+               CAST((n1::HUGEINT * dr - 2 * (n1 + n0)::HUGEINT * i)
+                    * (n1::HUGEINT * dr - 2 * (n1 + n0)::HUGEINT * i)
+                 AS DOUBLE)
+               * (n1 + 1) * (n1 + 1)
+               / (4.0 * n1 * n0 * (n1 + n0))
+               / (CAST(i AS DOUBLE) * (n1 + 1 - i))
+               * 1000000.0) AS BIGINT)) AS BIGINT) AS s6
+      FROM i1 CROSS JOIN tot
+    ),
+    m0 AS (
+      SELECT 2 * cb + c1 + c0 + 1 AS dr, cb0, c0 FROM cum
+      WHERE c0 > 0
+    ),
+    i0 AS (
+      SELECT dr, unnest(generate_series(cb0 + 1, cb0 + c0)) AS i
+      FROM m0
+    ),
+    t0 AS (
+      SELECT CAST(sum(CAST(floor(
+               CAST((n0::HUGEINT * dr - 2 * (n1 + n0)::HUGEINT * i)
+                    * (n0::HUGEINT * dr - 2 * (n1 + n0)::HUGEINT * i)
+                 AS DOUBLE)
+               * (n0 + 1) * (n0 + 1)
+               / (4.0 * n0 * n1 * (n1 + n0))
+               / (CAST(i AS DOUBLE) * (n0 + 1 - i))
+               * 1000000.0) AS BIGINT)) AS BIGINT) AS s6
+      FROM i0 CROSS JOIN tot
+    )
+    SELECT n0, n1,
+           round(CAST(t1.s6 AS DOUBLE) / n1 / 1000000.0, 6) + 0.0
+             AS b_arm1,
+           round(CAST(t0.s6 AS DOUBLE) / n0 / 1000000.0, 6) + 0.0
+             AS b_arm0,
+           round((CAST(t1.s6 AS DOUBLE) / n1
+                  + CAST(t0.s6 AS DOUBLE) / n0) / 2.0 / 1000000.0, 6)
+             + 0.0 AS bws_b
+    FROM t1 CROSS JOIN t0 CROSS JOIN tot
+    """,
+)
+def q_bws_test_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baumgartner-Weiss-Schindler two-sample test between the
+    user-parity arms: B = (B_X + B_Y)/2 with each arm's B averaging
+    the squared standardized rank gaps (R_i - (m+n)/n * i)^2 against
+    the Brownian-bridge variance i(n+1-i) — more sensitive to tail
+    differences than KS or MW-U. The per-member expansion is a
+    linear-size unnest over the histogram's within-arm index ranges
+    (each tied member shares its group's doubled midrank dr, so the
+    numerator (n*dr - 2(m+n)i)^2 is an exact int128 per member); each
+    member's term is floor-quantized to 1e-6 before summation, making
+    the cross-member sum exact integer arithmetic at any n (the
+    round-7 digest rule). Half the doubled midrank enters as dr/2
+    through the 2i scaling, the classical definition under midrank
+    ties. One histogram pass + one linear unnest per arm.
+    """
+    hist = _arm_value_hist(spark, sf_dir)
+    wb = W.orderBy("vm").rowsBetween(W.unboundedPreceding, -1)
+    cum = hist.select(
+        "c1",
+        "c0",
+        F.coalesce(F.sum(F.col("c1") + F.col("c0")).over(wb), F.lit(0))
+        .cast("long")
+        .alias("cb"),
+        F.coalesce(F.sum("c1").over(wb), F.lit(0))
+        .cast("long")
+        .alias("cb1"),
+        F.coalesce(F.sum("c0").over(wb), F.lit(0))
+        .cast("long")
+        .alias("cb0"),
+    )
+    tot = hist.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c0").cast("long").alias("n0"),
+    )
+
+    def _arm_sum(cn, cbn, n_self, n_other):
+        m = cum.where(f"{cn} > 0").selectExpr(
+            "2 * cb + c1 + c0 + 1 AS dr", cbn, cn
+        )
+        i_rel = m.select(
+            "dr",
+            F.explode(
+                F.sequence(
+                    F.col(cbn) + 1, F.col(cbn) + F.col(cn)
+                )
+            ).alias("i"),
+        )
+        return i_rel.crossJoin(F.broadcast(tot)).agg(
+            F.expr(
+                "CAST(sum(CAST(floor("
+                f"CAST((CAST({n_self} AS DECIMAL(38,0)) * dr"
+                f" - 2 * CAST(n1 + n0 AS DECIMAL(38,0)) * i)"
+                f" * (CAST({n_self} AS DECIMAL(38,0)) * dr"
+                f" - 2 * CAST(n1 + n0 AS DECIMAL(38,0)) * i)"
+                " AS DOUBLE)"
+                f" * ({n_self} + 1) * ({n_self} + 1)"
+                f" / (4.0 * {n_self} * {n_other} * (n1 + n0))"
+                f" / (CAST(i AS DOUBLE) * ({n_self} + 1 - i))"
+                " * 1000000.0) AS BIGINT)) AS BIGINT)"
+            ).alias("s6")
+        )
+
+    t1 = _arm_sum("c1", "cb1", "n1", "n0")
+    t0 = _arm_sum("c0", "cb0", "n0", "n1")
+    return (
+        t1.selectExpr("s6 AS s6a")
+        .crossJoin(F.broadcast(t0.selectExpr("s6 AS s6b")))
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "n0",
+            "n1",
+            "round(CAST(s6a AS DOUBLE) / n1 / 1000000.0, 6) + 0.0"
+            " AS b_arm1",
+            "round(CAST(s6b AS DOUBLE) / n0 / 1000000.0, 6) + 0.0"
+            " AS b_arm0",
+            "round((CAST(s6a AS DOUBLE) / n1"
+            " + CAST(s6b AS DOUBLE) / n0) / 2.0 / 1000000.0, 6)"
+            " + 0.0 AS bws_b",
+        )
+    )
+
+
+@stage(
+    "g_test_type_arm_independence",
+    """
+    WITH c AS (
+      SELECT event_type, user_id % 2 AS arm,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS r
+           FROM c GROUP BY 1),
+    ct AS (SELECT arm, CAST(sum(n) AS BIGINT) AS k FROM c GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+                   CAST(count(DISTINCT event_type) AS BIGINT) AS nr,
+                   CAST(count(DISTINCT arm) AS BIGINT) AS nc
+            FROM c)
+    SELECT nt AS n_events,
+           (nr - 1) * (nc - 1) AS df,
+           round(2.0 * sum(n * ln(CAST(n AS DOUBLE) * nt
+                 / (CAST(r AS DOUBLE) * k))), 6) + 0.0 AS g2
+    FROM c
+    JOIN rt USING (event_type) JOIN ct USING (arm) CROSS JOIN tot
+    GROUP BY nt, nr, nc
+    """,
+)
+def q_g_test_type_arm_independence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """G-test (log-likelihood ratio) of independence between event
+    type and the user-parity arm: G2 = 2*sum O*ln(O*N/(R*C)) over the
+    type x arm contingency table — the likelihood-based sibling of the
+    registered Pearson chi-square operator, preferred when expected
+    counts are small or when G2 values must ADD across partitions
+    (chi2 doesn't decompose; G2 does, which matters when sharding the
+    test across data slices). Observed cells and margins are exact
+    integers; ln runs over the ~10-cell bounded relation (the markov
+    precedent). Empty cells never appear (groupBy only materializes
+    observed cells, matching the 0*ln(0) = 0 convention).
+    """
+    ev = _events(spark, sf_dir)
+    c = ev.groupBy(
+        "event_type", (F.col("user_id") % 2).alias("arm")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rt = c.groupBy("event_type").agg(F.sum("n").cast("long").alias("r"))
+    ct = c.groupBy("arm").agg(F.sum("n").cast("long").alias("k"))
+    tot = c.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.countDistinct("event_type").cast("long").alias("nr"),
+        F.countDistinct("arm").cast("long").alias("nc"),
+    )
+    return (
+        c.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "arm")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("nt", "nr", "nc")
+        .agg(
+            F.expr(
+                "round(2.0 * sum(n * ln(CAST(n AS DOUBLE) * nt"
+                " / (CAST(r AS DOUBLE) * k))), 6) + 0.0"
+            ).alias("g2")
+        )
+        .selectExpr(
+            "nt AS n_events", "(nr - 1) * (nc - 1) AS df", "g2"
+        )
+    )
+
+
+@stage(
+    "audio_goertzel_tone_energy",
+    """
+    WITH d AS (
+      SELECT lang, substr(text, 1, 60) AS s FROM documents
+      WHERE length(text) >= 60
+    ),
+    pw AS (
+      SELECT lang,
+             list_reduce(list_prepend(CAST(8192 * 16384 + 8192
+                 AS BIGINT), range(1, 61)),
+               (st, j) -> (ascii(substr(s, CAST(j AS INT), 1))
+                           + 1 * ((st // 16384) - 8192)
+                           - ((st % 16384) - 8192) + 8192) * 16384
+                          + (st // 16384)) AS e10,
+             list_reduce(list_prepend(CAST(8192 * 16384 + 8192
+                 AS BIGINT), range(1, 61)),
+               (st, j) -> (ascii(substr(s, CAST(j AS INT), 1))
+                           + 0 * ((st // 16384) - 8192)
+                           - ((st % 16384) - 8192) + 8192) * 16384
+                          + (st // 16384)) AS e15,
+             list_reduce(list_prepend(CAST(8192 * 16384 + 8192
+                 AS BIGINT), range(1, 61)),
+               (st, j) -> (ascii(substr(s, CAST(j AS INT), 1))
+                           + (-1) * ((st // 16384) - 8192)
+                           - ((st % 16384) - 8192) + 8192) * 16384
+                          + (st // 16384)) AS e20
+      FROM d
+    ),
+    p AS (
+      SELECT lang,
+             ((e10 // 16384) - 8192) * ((e10 // 16384) - 8192)
+             + ((e10 % 16384) - 8192) * ((e10 % 16384) - 8192)
+             - 1 * ((e10 // 16384) - 8192) * ((e10 % 16384) - 8192)
+               AS p10,
+             ((e15 // 16384) - 8192) * ((e15 // 16384) - 8192)
+             + ((e15 % 16384) - 8192) * ((e15 % 16384) - 8192)
+               AS p15,
+             ((e20 // 16384) - 8192) * ((e20 // 16384) - 8192)
+             + ((e20 % 16384) - 8192) * ((e20 % 16384) - 8192)
+             + 1 * ((e20 // 16384) - 8192) * ((e20 % 16384) - 8192)
+               AS p20
+      FROM pw
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(p10) AS DOUBLE) / count(*), 6) + 0.0
+             AS mean_power_fs6,
+           round(CAST(sum(p15) AS DOUBLE) / count(*), 6) + 0.0
+             AS mean_power_fs4,
+           round(CAST(sum(p20) AS DOUBLE) / count(*), 6) + 0.0
+             AS mean_power_fs3
+    FROM p GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_audio_goertzel_tone_energy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Goertzel tone-energy extraction over the deterministic fake-PCM
+    payloads (text bytes as 8-bit samples, the audio_feature_extraction
+    convention): single-bin DFT power at fs/6, fs/4 and fs/3 over a
+    60-sample window. The three bins are chosen so the Goertzel
+    coefficient 2*cos(2*pi*k/60) is EXACTLY 1, 0 and -1 — the entire
+    recurrence s_j = x_j + c*s_{j-1} - s_{j-2} is then pure BIGINT
+    arithmetic (|s| <= 60*127 < 2^13, so the (s1, s2) state packs into
+    one integer as (s1+8192)*16384 + (s2+8192) and the fold is a
+    sequential integer reduce on both engines — zero floats until the
+    final per-lang mean of exact integer powers P = s1^2 + s2^2 -
+    c*s1*s2). Real decode stays PIL/wave-gated elsewhere; this is the
+    Spark-side spectral plumbing with an exactly-replayable oracle.
+    """
+    docs = _documents(spark, sf_dir)
+    d = docs.selectExpr("lang", "substr(text, 1, 60) AS s").where(
+        "length(s) >= 60"
+    )
+
+    def fold(c: int) -> str:
+        return (
+            "aggregate(sequence(1, 60),"
+            " CAST(8192 * 16384 + 8192 AS BIGINT),"
+            " (st, j) -> (ascii(substr(s, CAST(j AS INT), 1))"
+            f" + ({c}) * ((st div 16384) - 8192)"
+            " - ((st % 16384) - 8192) + 8192) * 16384"
+            " + (st div 16384))"
+        )
+
+    pw = d.selectExpr(
+        "lang",
+        f"{fold(1)} AS e10",
+        f"{fold(0)} AS e15",
+        f"{fold(-1)} AS e20",
+    )
+    p = pw.selectExpr(
+        "lang",
+        "((e10 div 16384) - 8192) * ((e10 div 16384) - 8192)"
+        " + ((e10 % 16384) - 8192) * ((e10 % 16384) - 8192)"
+        " - 1 * ((e10 div 16384) - 8192) * ((e10 % 16384) - 8192)"
+        " AS p10",
+        "((e15 div 16384) - 8192) * ((e15 div 16384) - 8192)"
+        " + ((e15 % 16384) - 8192) * ((e15 % 16384) - 8192) AS p15",
+        "((e20 div 16384) - 8192) * ((e20 div 16384) - 8192)"
+        " + ((e20 % 16384) - 8192) * ((e20 % 16384) - 8192)"
+        " + 1 * ((e20 div 16384) - 8192) * ((e20 % 16384) - 8192)"
+        " AS p20",
+    )
+    return (
+        p.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr(
+                "round(CAST(sum(p10) AS DOUBLE) / count(*), 6) + 0.0"
+            ).alias("mean_power_fs6"),
+            F.expr(
+                "round(CAST(sum(p15) AS DOUBLE) / count(*), 6) + 0.0"
+            ).alias("mean_power_fs4"),
+            F.expr(
+                "round(CAST(sum(p20) AS DOUBLE) / count(*), 6) + 0.0"
+            ).alias("mean_power_fs3"),
+        )
+        .orderBy("lang")
+    )
+
+
+@stage(
+    "lempel_ziv_complexity_6h",
+    f"""
+    WITH {_SIXH_GRID_SQL},
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS sy
+      FROM z
+    ),
+    bits AS (
+      SELECT idx,
+             CASE WHEN y * n > sy THEN '1' ELSE '0' END AS b
+      FROM z CROSS JOIN tot
+    ),
+    str AS (
+      SELECT string_agg(b, '' ORDER BY idx) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM bits
+    ),
+    lz AS (
+      SELECT n, s,
+             list_reduce(list_prepend(CAST(100000 + 2 AS BIGINT),
+                 range(2, CAST(n + 1 AS BIGINT))),
+               (st, j) -> CASE
+                 WHEN st % 100000 > j THEN st
+                 WHEN instr(substr(s, 1, CAST(j - 1 AS INT)),
+                        substr(s, CAST(st % 100000 AS INT),
+                               CAST(j - st % 100000 + 1 AS INT))) > 0
+                   THEN st
+                 ELSE (st // 100000 + 1) * 100000 + j + 1
+               END) AS enc
+      FROM str
+    )
+    SELECT n AS n_symbols,
+           CAST(enc // 100000
+                + CASE WHEN enc % 100000 <= n THEN 1 ELSE 0 END
+             AS BIGINT) AS lz_complexity,
+           round(CAST(enc // 100000
+                 + CASE WHEN enc % 100000 <= n THEN 1 ELSE 0 END
+               AS DOUBLE) * ln(CAST(n AS DOUBLE)) / ln(2.0) / n, 6)
+             + 0.0 AS lz_normalized
+    FROM lz
+    """,
+)
+def q_lempel_ziv_complexity_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaspar-Schuster Lempel-Ziv complexity of the above-mean
+    binarization of the 6-hour count series: the number of distinct
+    phrases an exhaustive-history parse needs (low for rhythmic load,
+    approaching n*ln2/ln(n) for algorithmically random load) — the
+    complexity companion to sample/permutation entropy that sees
+    STRUCTURE, not just distribution. Binarization compares exact
+    integers (y*n > sum); the parse is a sequential integer fold whose
+    (phrase_count, phrase_start) state packs as c*100000 + p (series
+    length bounded by the calendar: a decade of 6h buckets is ~14.6k
+    << 100000), with substring containment via instr on both engines
+    and the standard trailing-phrase increment. The fold is O(n) steps
+    of O(n) substring search on ONE scalar row — the series, not the
+    events, carries the quadratic.
+    """
+    z = _bucket_grid(spark, sf_dir, 21600)
+    tot = z.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    bits = z.crossJoin(F.broadcast(tot)).selectExpr(
+        "idx", "CASE WHEN y * n > sy THEN '1' ELSE '0' END AS b"
+    )
+    s = bits.agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "struct(idx, b))), x -> x.b), '')"
+        ).alias("s"),
+        F.count("*").cast("long").alias("n"),
+    )
+    lz = s.selectExpr(
+        "n",
+        "s",
+        "aggregate(CASE WHEN n >= 2 THEN"
+        " sequence(CAST(2 AS BIGINT), n)"
+        " ELSE CAST(array() AS ARRAY<BIGINT>) END,"
+        " CAST(100000 + 2 AS BIGINT),"
+        " (st, j) -> CASE"
+        " WHEN st % 100000 > j THEN st"
+        " WHEN instr(substr(s, 1, CAST(j - 1 AS INT)),"
+        " substr(s, CAST(st % 100000 AS INT),"
+        " CAST(j - st % 100000 + 1 AS INT))) > 0"
+        " THEN st"
+        " ELSE (st div 100000 + 1) * 100000 + j + 1"
+        " END) AS enc",
+    )
+    return lz.selectExpr(
+        "n AS n_symbols",
+        "CAST(enc div 100000"
+        " + CASE WHEN enc % 100000 <= n THEN 1 ELSE 0 END"
+        " AS BIGINT) AS lz_complexity",
+        "round(CAST(enc div 100000"
+        " + CASE WHEN enc % 100000 <= n THEN 1 ELSE 0 END"
+        " AS DOUBLE) * ln(CAST(n AS DOUBLE)) / ln(2.0) / n, 6)"
+        " + 0.0 AS lz_normalized",
+    )

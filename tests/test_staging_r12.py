@@ -1054,3 +1054,112 @@ class TestStagedPlanShapes:
             .toString()
         )
         assert "CartesianProduct" not in plan, name
+
+
+class TestBws:
+    def test_no_tie_hand_computed(self, spark, tmp_path):
+        # X = arm1 = {1,3}, Y = arm0 = {2,4}: B_X = 9/8, B_Y = 0
+        _write_events(
+            tmp_path, _ev([(1, 1.0), (1, 3.0), (2, 2.0), (2, 4.0)])
+        )
+        row = _run(spark, tmp_path, "bws_test_arms")[0]
+        assert (row["n0"], row["n1"]) == (2, 2)
+        assert row["b_arm1"] == pytest.approx(1.125, abs=1e-6)
+        assert row["b_arm0"] == 0.0
+        assert row["bws_b"] == pytest.approx(0.5625, abs=1e-6)
+
+
+class TestGTest:
+    def test_two_by_two_hand_computed(self, spark, tmp_path):
+        import math
+
+        rows = []
+        eid = 0
+        for t, arm, c in [("A", 0, 10), ("A", 1, 10), ("B", 0, 5),
+                          ("B", 1, 15)]:
+            for j in range(c):
+                rows.append(
+                    (eid, f"2024-01-01 00:{j:02d}:{eid % 60:02d}", 
+                     2 + arm, t, 1.0, "{}")
+                )
+                eid += 1
+        _write_events(tmp_path, rows)
+        row = _run(spark, tmp_path, "g_test_type_arm_independence")[0]
+        g2 = 2 * (
+            10 * math.log(10 * 40 / (20 * 15))
+            + 10 * math.log(10 * 40 / (20 * 25))
+            + 5 * math.log(5 * 40 / (20 * 15))
+            + 15 * math.log(15 * 40 / (20 * 25))
+        )
+        assert (row["n_events"], row["df"]) == (40, 1)
+        assert row["g2"] == pytest.approx(g2, abs=1e-6)
+
+
+def _goertzel_int(xs, c):
+    s1 = s2 = 0
+    for x in xs:
+        s1, s2 = x + c * s1 - s2, s1
+    return s1 * s1 + s2 * s2 - c * s1 * s2
+
+
+class TestGoertzel:
+    def test_constant_signal_no_tone_energy(self, spark, tmp_path):
+        # 60 identical samples: zero power at every non-DC bin
+        _write_documents(tmp_path, [(0, "a" * 60, "en", "s1")])
+        row = _run(spark, tmp_path, "audio_goertzel_tone_energy")[0]
+        assert row["n_docs"] == 1
+        assert row["mean_power_fs6"] == 0.0
+        assert row["mean_power_fs4"] == 0.0
+        assert row["mean_power_fs3"] == 0.0
+
+    def test_alternating_signal_replica(self, spark, tmp_path):
+        text = "ab" * 30
+        _write_documents(
+            tmp_path,
+            [(0, text, "en", "s1"), (1, "x" * 59, "en", "s1")],
+        )
+        xs = [ord(ch) for ch in text]
+        row = _run(spark, tmp_path, "audio_goertzel_tone_energy")[0]
+        assert row["n_docs"] == 1  # the 59-char doc is excluded
+        assert row["mean_power_fs6"] == float(_goertzel_int(xs, 1))
+        assert row["mean_power_fs4"] == float(_goertzel_int(xs, 0))
+        assert row["mean_power_fs3"] == float(_goertzel_int(xs, -1))
+
+
+def _lz_ks(s):
+    c, p = 1, 2
+    for j in range(2, len(s) + 1):
+        if p > j:
+            continue
+        if s[p - 1:j] in s[:j - 1]:
+            continue
+        c += 1
+        p = j + 1
+    if p <= len(s):
+        c += 1
+    return c
+
+
+class TestLempelZiv:
+    def test_alternating_series(self, spark, tmp_path):
+        # 6h counts [1,2,1,2,1,2] -> bits 010101 -> KS complexity 3
+        _write_events(tmp_path, _bucket_events([1, 2, 1, 2, 1, 2]))
+        row = _run(spark, tmp_path, "lempel_ziv_complexity_6h")[0]
+        assert row["n_symbols"] == 6
+        assert row["lz_complexity"] == _lz_ks("010101") == 3
+
+    def test_flat_series(self, spark, tmp_path):
+        # constant counts never exceed the mean -> bits 000 -> c = 2
+        _write_events(tmp_path, _bucket_events([2, 2, 2]))
+        row = _run(spark, tmp_path, "lempel_ziv_complexity_6h")[0]
+        assert row["lz_complexity"] == _lz_ks("000") == 2
+
+    def test_random_ish_replica(self, spark, tmp_path):
+        counts = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8]
+        _write_events(tmp_path, _bucket_events(counts))
+        mean_n, s_n = sum(counts), len(counts)
+        bits = "".join(
+            "1" if y * s_n > mean_n else "0" for y in counts
+        )
+        row = _run(spark, tmp_path, "lempel_ziv_complexity_6h")[0]
+        assert row["lz_complexity"] == _lz_ks(bits)
