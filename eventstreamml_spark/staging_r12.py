@@ -4639,3 +4639,588 @@ def q_lempel_ziv_complexity_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS DOUBLE) * ln(CAST(n AS DOUBLE)) / ln(2.0) / n, 6)"
         " + 0.0 AS lz_normalized",
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch I — DFA, aging mix, norm profile, always-valid AB, mix drift,
+# link-prediction calibration
+# ---------------------------------------------------------------------------
+
+@stage(
+    "dfa_alpha_hourly",
+    f"""
+    WITH {_HOURLY_GRID_SQL},
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s
+      FROM z
+    ),
+    prof AS (
+      SELECT CAST(row_number() OVER (ORDER BY idx) AS BIGINT) AS k,
+             CAST(n * (sum(y) OVER (ORDER BY idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               - (row_number() OVER (ORDER BY idx)) * s AS BIGINT)
+               AS np,
+             n
+      FROM z CROSS JOIN tot
+    ),
+    boxed AS (
+      SELECT m, (k - 1) // m AS g, k - ((k - 1) // m) * m AS x, np, n
+      FROM prof CROSS JOIN (SELECT unnest([8, 16, 32]) AS m)
+    ),
+    box AS (
+      SELECT m, g, any_value(n) AS n,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(np) AS BIGINT) AS sp,
+             sum(np::HUGEINT * np) AS spp,
+             sum(x::HUGEINT * np) AS sxp
+      FROM boxed GROUP BY 1, 2
+    ),
+    rss AS (
+      SELECT m, n,
+             CAST(floor(((CAST(spp AS DOUBLE)
+                   - CAST(sp AS DOUBLE) * sp / m)
+                 - (CAST(sxp AS DOUBLE)
+                    - (m + 1) / 2.0 * CAST(sp AS DOUBLE))
+                   * (CAST(sxp AS DOUBLE)
+                      - (m + 1) / 2.0 * CAST(sp AS DOUBLE))
+                   / (CAST(m AS DOUBLE) * (m * m - 1) / 12.0))
+                 / (CAST(n AS DOUBLE) * n) * 1000000.0) AS BIGINT)
+               AS r6
+      FROM box WHERE cnt = m
+    ),
+    f2 AS (
+      SELECT m, CAST(count(*) AS BIGINT) AS kk,
+             CAST(sum(r6) AS BIGINT) AS sr6
+      FROM rss GROUP BY 1
+    ),
+    pts AS (
+      SELECT CASE m WHEN 8 THEN 2079441 WHEN 16 THEN 2772588
+                    ELSE 3465735 END AS lx,
+             CAST(floor(ln(CAST(sr6 AS DOUBLE)
+                   / (1000000.0 * kk * m)) * 1000000.0) AS BIGINT)
+               AS ly
+      FROM f2 WHERE kk >= 2 AND sr6 > 0
+    ),
+    sl AS (
+      SELECT CAST(count(*) AS BIGINT) AS np_,
+             CAST(sum(lx) AS BIGINT) AS sx,
+             CAST(sum(ly) AS BIGINT) AS sy,
+             sum(lx::HUGEINT * ly) AS sxy,
+             sum(lx::HUGEINT * lx) AS sxx
+      FROM pts
+    )
+    SELECT np_ AS n_scales,
+           round(CAST(np_::HUGEINT * sxy - sx::HUGEINT * sy AS DOUBLE)
+                 / nullif(CAST(np_::HUGEINT * sxx - sx::HUGEINT * sx
+                   AS DOUBLE), 0) / 2.0, 6) + 0.0 AS dfa_alpha
+    FROM sl
+    """,
+)
+def q_dfa_alpha_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detrended fluctuation analysis of the hourly count series at
+    box sizes 8/16/32: the integrated profile is detrended per box by
+    an OLS line and alpha is half the slope of ln F^2 against ln m —
+    the third, mutually-independent long-range-dependence estimate
+    next to the registered R/S and the staged variance-time slope
+    (agreement across the three is the standard LRD robustness
+    check). The n-scaled profile nP_k = n*cumsum - k*S is exact
+    BIGINT; per-box moment sums are int128; each box's residual SS is
+    one identical double expression floor-quantized to micro units
+    before the cross-box sum (round-7 rule), and the 3-point log
+    regression reuses the variance-time literal-ln(m) machinery.
+    Partial trailing boxes and degenerate scales drop
+    deterministically; fewer than 2 surviving scales NULL alpha.
+    """
+    z = _bucket_grid(spark, sf_dir, 3600)
+    tot = z.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    wcum = W.orderBy("idx").rowsBetween(W.unboundedPreceding, W.currentRow)
+    prof = z.crossJoin(F.broadcast(tot)).select(
+        F.row_number().over(W.orderBy("idx")).cast("long").alias("k"),
+        (
+            F.col("n") * F.sum("y").over(wcum)
+            - F.row_number().over(W.orderBy("idx")) * F.col("s")
+        )
+        .cast("long")
+        .alias("np"),
+        "n",
+    )
+    ms = spark.range(1).selectExpr("explode(array(8, 16, 32)) AS m")
+    boxed = prof.crossJoin(F.broadcast(ms)).selectExpr(
+        "m",
+        "(k - 1) div m AS g",
+        "k - ((k - 1) div m) * m AS x",
+        "np",
+        "n",
+    )
+    box = boxed.groupBy("m", "g").agg(
+        F.first("n").alias("n"),
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("np").cast("long").alias("sp"),
+        F.expr("sum(CAST(np AS DECIMAL(38,0)) * np)").alias("spp"),
+        F.expr("sum(CAST(x AS DECIMAL(38,0)) * np)").alias("sxp"),
+    )
+    rss = box.where("cnt = m").selectExpr(
+        "m",
+        "n",
+        "CAST(floor(((CAST(spp AS DOUBLE)"
+        " - CAST(sp AS DOUBLE) * sp / m)"
+        " - (CAST(sxp AS DOUBLE)"
+        " - (m + 1) / 2.0 * CAST(sp AS DOUBLE))"
+        " * (CAST(sxp AS DOUBLE)"
+        " - (m + 1) / 2.0 * CAST(sp AS DOUBLE))"
+        " / (CAST(m AS DOUBLE) * (m * m - 1) / 12.0))"
+        " / (CAST(n AS DOUBLE) * n) * 1000000.0) AS BIGINT) AS r6",
+    )
+    f2 = rss.groupBy("m").agg(
+        F.count("*").cast("long").alias("kk"),
+        F.sum("r6").cast("long").alias("sr6"),
+    )
+    pts = f2.where("kk >= 2 AND sr6 > 0").selectExpr(
+        "CASE m WHEN 8 THEN 2079441 WHEN 16 THEN 2772588"
+        " ELSE 3465735 END AS lx",
+        "CAST(floor(ln(CAST(sr6 AS DOUBLE)"
+        " / (1000000.0 * kk * m)) * 1000000.0) AS BIGINT) AS ly",
+    )
+    sl = pts.agg(
+        F.count("*").cast("long").alias("np_"),
+        F.sum("lx").cast("long").alias("sx"),
+        F.sum("ly").cast("long").alias("sy"),
+        F.expr("sum(CAST(lx AS DECIMAL(38,0)) * ly)").alias("sxy"),
+        F.expr("sum(CAST(lx AS DECIMAL(38,0)) * lx)").alias("sxx"),
+    )
+    return sl.selectExpr(
+        "np_ AS n_scales",
+        "round(CAST(CAST(np_ AS DECIMAL(38,0)) * sxy"
+        " - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)"
+        " / nullif(CAST(CAST(np_ AS DECIMAL(38,0)) * sxx"
+        " - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE), 0) / 2.0, 6)"
+        " + 0.0 AS dfa_alpha",
+    )
+
+
+@stage(
+    "orders_status_aging_mix",
+    """
+    WITH mi AS (
+      SELECT o_orderstatus AS status,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate)
+               AS BIGINT) AS m
+      FROM orders
+    ),
+    mx AS (SELECT CAST(max(m) AS BIGINT) AS mmax FROM mi),
+    banded AS (
+      SELECT status,
+             CASE WHEN mmax - m <= 2 THEN '0_fresh'
+                  WHEN mmax - m <= 5 THEN '1_recent'
+                  WHEN mmax - m <= 11 THEN '2_aging'
+                  ELSE '3_old' END AS age_band
+      FROM mi CROSS JOIN mx
+    ),
+    c AS (
+      SELECT age_band, status, CAST(count(*) AS BIGINT) AS n
+      FROM banded GROUP BY 1, 2
+    ),
+    bt AS (
+      SELECT age_band, CAST(sum(n) AS BIGINT) AS bn FROM c GROUP BY 1
+    )
+    SELECT c.age_band, c.status, c.n AS n_orders,
+           round(CAST(c.n AS DOUBLE) / bt.bn, 6) + 0.0 AS band_share
+    FROM c JOIN bt USING (age_band)
+    ORDER BY 1, 2
+    """,
+)
+def q_orders_status_aging_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-status mix by age band — the receivables-style aging
+    waterfall: orders bucketed by months since the latest order month
+    (0-2 / 3-5 / 6-11 / 12+) with each band's status composition. An
+    old band still dominated by open status is the classic stuck-
+    backlog signal. Age is exact integer y*12+m arithmetic against a
+    broadcast scalar max; shares are ratios of exact counts. One scan
+    + two bounded groupBys.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    mi = orders.selectExpr(
+        "o_orderstatus AS status",
+        "CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)"
+        " AS m",
+    )
+    mx = mi.agg(F.max("m").cast("long").alias("mmax"))
+    banded = mi.crossJoin(F.broadcast(mx)).selectExpr(
+        "status",
+        "CASE WHEN mmax - m <= 2 THEN '0_fresh'"
+        " WHEN mmax - m <= 5 THEN '1_recent'"
+        " WHEN mmax - m <= 11 THEN '2_aging'"
+        " ELSE '3_old' END AS age_band",
+    )
+    c = banded.groupBy("age_band", "status").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    bt = c.groupBy("age_band").agg(F.sum("n").cast("long").alias("bn"))
+    return (
+        c.join(F.broadcast(bt), "age_band")
+        .selectExpr(
+            "age_band",
+            "status",
+            "n AS n_orders",
+            "round(CAST(n AS DOUBLE) / bn, 6) + 0.0 AS band_share",
+        )
+        .orderBy("age_band", "status")
+    )
+
+
+@stage(
+    "embedding_norm_octiles_by_label",
+    """
+    WITH comp0 AS (
+      SELECT vec_id, label, unnest(embedding) AS x
+      FROM embeddings
+    ),
+    n2 AS (
+      SELECT vec_id, label,
+             CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000.0)
+                AS BIGINT) * CAST(floor(CAST(x AS DOUBLE) * 1000.0)
+                AS BIGINT)) AS BIGINT) AS q2
+      FROM comp0 GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT label, q2,
+             row_number() OVER (PARTITION BY label
+               ORDER BY q2, vec_id) AS r,
+             count(*) OVER (PARTITION BY label) AS n
+      FROM n2
+    ),
+    oct AS (
+      SELECT label, o,
+             CAST(sum(CASE WHEN r = ((o * (n - 1)) // 8) + 1
+                      THEN q2 ELSE 0 END) AS BIGINT) AS q2o,
+             any_value(n) AS n
+      FROM rk CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS o)
+      GROUP BY 1, 2
+    )
+    SELECT label, o AS octile, n AS n_vectors,
+           round(sqrt(CAST(q2o AS DOUBLE)) / 1000.0, 6) + 0.0
+             AS norm_at_octile
+    FROM oct ORDER BY 1, 2
+    """,
+)
+def q_embedding_norm_octiles_by_label(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding L2-norm octile ladder per label: the order statistics
+    at ranks (o*(n-1))//8 + 1 of the vector norms — the distribution
+    check behind norm-clipping / outlier-vector triage (a label whose
+    upper octiles run away signals unnormalized or corrupt batches).
+    Norms are compared via their EXACT integer squared form (1e-3
+    quantized components summed as integers), so ranking needs no
+    float comparisons and ties pin by vec_id; the single sqrt is
+    cosmetic output scaling. One per-vector groupBy + one partitioned
+    rank + a 7-constant octile scaffold.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp0 = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("a0", "x")
+    )
+    n2 = comp0.groupBy("vec_id", "label").agg(
+        F.expr(
+            "CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000.0)"
+            " AS BIGINT) * CAST(floor(CAST(x AS DOUBLE) * 1000.0)"
+            " AS BIGINT)) AS BIGINT)"
+        ).alias("q2")
+    )
+    rk = n2.select(
+        "label",
+        "q2",
+        F.row_number()
+        .over(W.partitionBy("label").orderBy("q2", "vec_id"))
+        .alias("r"),
+        F.count("*").over(W.partitionBy("label")).alias("n"),
+    )
+    octs = spark.range(1).selectExpr(
+        "explode(array(1, 2, 3, 4, 5, 6, 7)) AS o"
+    )
+    oct_rel = (
+        rk.crossJoin(F.broadcast(octs))
+        .groupBy("label", "o")
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN r = ((o * (n - 1)) div 8) + 1"
+                " THEN q2 ELSE 0 END) AS BIGINT)"
+            ).alias("q2o"),
+            F.expr("any_value(n)").alias("n"),
+        )
+    )
+    return oct_rel.selectExpr(
+        "label",
+        "o AS octile",
+        "n AS n_vectors",
+        "round(sqrt(CAST(q2o AS DOUBLE)) / 1000.0, 6) + 0.0"
+        " AS norm_at_octile",
+    ).orderBy("label", "octile")
+
+
+@stage(
+    "ab_msprt_always_valid",
+    """
+    WITH v AS (
+      SELECT user_id % 2 AS arm,
+             CAST(floor(value * 1000) AS BIGINT) AS vm
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(vm) AS BIGINT) AS s,
+             sum(vm::HUGEINT * vm) AS ss
+      FROM v GROUP BY 1
+    ),
+    w AS (
+      SELECT
+        CAST(sum(CASE WHEN arm = 1 THEN n ELSE 0 END) AS BIGINT) AS n1,
+        CAST(sum(CASE WHEN arm = 0 THEN n ELSE 0 END) AS BIGINT) AS n0,
+        CAST(sum(CASE WHEN arm = 1 THEN s ELSE 0 END) AS BIGINT) AS s1,
+        CAST(sum(CASE WHEN arm = 0 THEN s ELSE 0 END) AS BIGINT) AS s0,
+        sum(ss) AS sst,
+        CAST(sum(s) AS BIGINT) AS st,
+        CAST(sum(n) AS BIGINT) AS nt
+      FROM g
+    ),
+    p AS (
+      SELECT n1, n0,
+             CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0 AS zd,
+             (CAST(sst AS DOUBLE) - CAST(st AS DOUBLE) * st / nt)
+               / nullif(CAST(nt - 1 AS DOUBLE), 0)
+               * (1.0 / n1 + 1.0 / n0) AS sd2
+      FROM w WHERE n1 >= 2 AND n0 >= 2
+    )
+    SELECT n0, n1,
+           round(-0.5 * ln(2.0) + zd * zd
+                 / nullif(4.0 * sd2, 0), 6) + 0.0 AS log_lambda,
+           round(least(1.0, exp(0.5 * ln(2.0) - zd * zd
+                 / nullif(4.0 * sd2, 0))), 6) + 0.0 AS always_valid_p
+    FROM p
+    """,
+)
+def q_ab_msprt_always_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture sequential probability ratio test (mSPRT) for the
+    user-parity arms' mean difference — the always-valid-inference
+    machinery behind modern continuous-monitoring A/B platforms: with
+    a normal mixture prior of variance tau^2 = sd_diff^2, the mixture
+    likelihood ratio collapses to Lambda = sqrt(1/2) * exp(zd^2 /
+    (4*sd^2)), and p_av = min(1, 1/Lambda) can be peeked at any time
+    without alpha inflation. Arm moments are exact integers (int128
+    sumsq); the pooled variance uses the combined-sample ddof=1 form;
+    degenerate arms (n < 2) or zero variance NULL via nullif. One
+    groupBy to two rows + one scalar projection.
+    """
+    v = (
+        _events(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .selectExpr(
+            "user_id % 2 AS arm", "CAST(floor(value * 1000) AS BIGINT) AS vm"
+        )
+    )
+    g = v.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("vm").cast("long").alias("s"),
+        F.expr("sum(CAST(vm AS DECIMAL(38,0)) * vm)").alias("ss"),
+    )
+    w = g.agg(
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 1 THEN n ELSE 0 END) AS BIGINT)"
+        ).alias("n1"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 0 THEN n ELSE 0 END) AS BIGINT)"
+        ).alias("n0"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 1 THEN s ELSE 0 END) AS BIGINT)"
+        ).alias("s1"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 0 THEN s ELSE 0 END) AS BIGINT)"
+        ).alias("s0"),
+        F.sum("ss").alias("sst"),
+        F.sum("s").cast("long").alias("st"),
+        F.sum("n").cast("long").alias("nt"),
+    )
+    p = w.where("n1 >= 2 AND n0 >= 2").selectExpr(
+        "n1",
+        "n0",
+        "CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0 AS zd",
+        "(CAST(sst AS DOUBLE) - CAST(st AS DOUBLE) * st / nt)"
+        " / nullif(CAST(nt - 1 AS DOUBLE), 0)"
+        " * (1.0 / n1 + 1.0 / n0) AS sd2",
+    )
+    return p.selectExpr(
+        "n0",
+        "n1",
+        "round(-0.5 * ln(2.0) + zd * zd"
+        " / nullif(4.0 * sd2, 0), 6) + 0.0 AS log_lambda",
+        "round(least(1.0, exp(0.5 * ln(2.0) - zd * zd"
+        " / nullif(4.0 * sd2, 0))), 6) + 0.0 AS always_valid_p",
+    )
+
+
+@stage(
+    "part_size_mix_chi2_by_brand",
+    """
+    WITH b AS (
+      SELECT p_brand AS brand, (p_size - 1) // 10 AS band
+      FROM part
+    ),
+    c AS (
+      SELECT brand, band, CAST(count(*) AS BIGINT) AS n
+      FROM b GROUP BY 1, 2
+    ),
+    gb AS (
+      SELECT band, CAST(sum(n) AS BIGINT) AS gn FROM c GROUP BY 1
+    ),
+    tb AS (
+      SELECT brand, CAST(sum(n) AS BIGINT) AS bn FROM c GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nt,
+             CAST(count(DISTINCT band) AS BIGINT) AS nbands
+      FROM c
+    ),
+    grid AS (
+      SELECT tb.brand, gb.band, tb.bn, gb.gn, tot.nt, tot.nbands,
+             coalesce(c.n, 0) AS n
+      FROM tb CROSS JOIN gb CROSS JOIN tot
+      LEFT JOIN c ON c.brand = tb.brand AND c.band = gb.band
+    )
+    SELECT brand,
+           any_value(bn) AS n_parts,
+           any_value(nbands) - 1 AS df,
+           round(sum((n - CAST(bn AS DOUBLE) * gn / nt)
+                     * (n - CAST(bn AS DOUBLE) * gn / nt)
+                     / (CAST(bn AS DOUBLE) * gn / nt)), 6) + 0.0
+             AS mix_chi2
+    FROM grid GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_part_size_mix_chi2_by_brand(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-brand size-mix drift: chi-squared of each brand's part-size
+    band composition (bands of 10) against the global mix — the
+    assortment-drift screen that flags brands whose catalog shape
+    diverges from the portfolio. The brand x band grid zero-fills
+    missing cells via the margin scaffold (a chi2 over observed cells
+    only would silently drop the strongest deviations); all counts
+    and margins are exact integers and the expected-count ratios are
+    the only doubles. Bounded relations end to end (brands x 5
+    bands).
+    """
+    part = load_table(spark, sf_dir, "part")
+    b = part.selectExpr("p_brand AS brand", "(p_size - 1) div 10 AS band")
+    c = b.groupBy("brand", "band").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    gb = c.groupBy("band").agg(F.sum("n").cast("long").alias("gn"))
+    tb = c.groupBy("brand").agg(F.sum("n").cast("long").alias("bn"))
+    tot = c.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.countDistinct("band").cast("long").alias("nbands"),
+    )
+    grid = (
+        tb.crossJoin(F.broadcast(gb))
+        .crossJoin(F.broadcast(tot))
+        .join(c, ["brand", "band"], "left")
+        .selectExpr(
+            "brand",
+            "band",
+            "bn",
+            "gn",
+            "nt",
+            "nbands",
+            "coalesce(n, 0) AS n",
+        )
+    )
+    return (
+        grid.groupBy("brand")
+        .agg(
+            F.expr("any_value(bn)").alias("n_parts"),
+            F.expr("any_value(nbands) - 1").alias("df"),
+            F.expr(
+                "round(sum((n - CAST(bn AS DOUBLE) * gn / nt)"
+                " * (n - CAST(bn AS DOUBLE) * gn / nt)"
+                " / (CAST(bn AS DOUBLE) * gn / nt)), 6) + 0.0"
+            ).alias("mix_chi2"),
+        )
+        .orderBy("brand")
+    )
+
+
+@stage(
+    "graph_common_neighbor_edge_rate",
+    f"""
+    WITH {_GRAPH_SQL},
+    wedge AS (
+      SELECT a.u AS x, b.v AS y, CAST(count(*) AS BIGINT) AS q
+      FROM sym a JOIN sym b ON a.v = b.u AND a.u < b.v
+      GROUP BY 1, 2
+    ),
+    marked AS (
+      SELECT w.q,
+             CASE WHEN e.lo IS NOT NULL THEN 1 ELSE 0 END AS edged
+      FROM wedge w
+      LEFT JOIN und e ON e.lo = w.x AND e.hi = w.y
+    )
+    SELECT q AS n_common_neighbors,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(edged) AS BIGINT) AS n_edged,
+           round(CAST(sum(edged) AS DOUBLE) / count(*), 6) + 0.0
+             AS edge_rate
+    FROM marked GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_graph_common_neighbor_edge_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Link-prediction calibration curve of the interaction graph: for
+    node pairs with q common neighbors, the observed probability they
+    are directly connected — the empirical justification (or
+    refutation) for common-neighbor-count link predictors like the
+    registered Adamic-Adar and Jaccard operators. The wedge join and
+    edge lookup run on the fixed <= 997-node relation (bounded by
+    construction); counts are exact integers and only the final rate
+    divides. Output rows are bounded by the max common-neighbor count.
+    """
+    sym, _ = _graph_sym(spark, sf_dir)
+    und = sym.where("u < v").selectExpr("u AS lo", "v AS hi")
+    wedge = (
+        sym.alias("a")
+        .join(
+            sym.alias("b"),
+            (F.col("a.v") == F.col("b.u"))
+            & (F.col("a.u") < F.col("b.v")),
+        )
+        .groupBy(F.col("a.u").alias("x"), F.col("b.v").alias("y"))
+        .agg(F.count("*").cast("long").alias("q"))
+    )
+    marked = (
+        wedge.alias("w")
+        .join(
+            und.alias("e"),
+            (F.col("e.lo") == F.col("w.x"))
+            & (F.col("e.hi") == F.col("w.y")),
+            "left",
+        )
+        .selectExpr(
+            "q", "CASE WHEN lo IS NOT NULL THEN 1 ELSE 0 END AS edged"
+        )
+    )
+    return (
+        marked.groupBy("q")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("edged").cast("long").alias("n_edged"),
+            F.expr(
+                "round(CAST(sum(edged) AS DOUBLE) / count(*), 6) + 0.0"
+            ).alias("edge_rate"),
+        )
+        .selectExpr("q AS n_common_neighbors", "n_pairs", "n_edged",
+                    "edge_rate")
+        .orderBy("n_common_neighbors")
+    )

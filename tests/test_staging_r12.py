@@ -1163,3 +1163,169 @@ class TestLempelZiv:
         )
         row = _run(spark, tmp_path, "lempel_ziv_complexity_6h")[0]
         assert row["lz_complexity"] == _lz_ks(bits)
+
+
+def _write_part_sized(tmp_path, rows):
+    """rows: (p_partkey, p_brand, p_size)"""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "p_partkey": pa.array([r[0] for r in rows], pa.int64()),
+            "p_name": pa.array(
+                [f"part{r[0]}" for r in rows], pa.string()
+            ),
+            "p_brand": pa.array([r[1] for r in rows], pa.string()),
+            "p_type": pa.array(["t" for _ in rows], pa.string()),
+            "p_size": pa.array([r[2] for r in rows], pa.int32()),
+            "p_retailprice": pa.array(
+                [1.0 for _ in rows], pa.float64()
+            ),
+        }
+    )
+    pq.write_table(table, os.path.join(tmp_path, "part.parquet"))
+
+
+def _dfa_replica(ys):
+    import math
+
+    n, s = len(ys), sum(ys)
+    prof, cum = [], 0
+    for k, y in enumerate(ys, 1):
+        cum += y
+        prof.append(n * cum - k * s)
+    pts = []
+    for m, lx in [(8, 2079441), (16, 2772588), (32, 3465735)]:
+        kk = n // m
+        if kk < 2:
+            continue
+        sr6 = 0
+        for g in range(kk):
+            seg = prof[g * m:(g + 1) * m]
+            sp = sum(seg)
+            spp = sum(v * v for v in seg)
+            sxp = sum((i + 1) * v for i, v in enumerate(seg))
+            syy = spp - sp * sp / m
+            sxy = sxp - (m + 1) / 2.0 * sp
+            rss = (
+                (syy - sxy * sxy / (m * (m * m - 1) / 12.0))
+                / (n * n) * 1000000.0
+            )
+            sr6 += math.floor(rss)
+        if sr6 <= 0:
+            continue
+        pts.append(
+            (lx, math.floor(math.log(sr6 / (1000000.0 * kk * m)) * 1e6))
+        )
+    np_, sx = len(pts), sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxy_ = sum(p[0] * p[1] for p in pts)
+    sxx = sum(p[0] * p[0] for p in pts)
+    den = np_ * sxx - sx * sx
+    return np_, ((np_ * sxy_ - sx * sy) / den / 2.0 if den else None)
+
+
+class TestDfa:
+    def test_replica_agreement(self, spark, tmp_path):
+        ys = [((i * 37) % 11) + 1 for i in range(64)]
+        _write_events(
+            tmp_path, _bucket_events(ys, hours_per_bucket=1)
+        )
+        np_, alpha = _dfa_replica(ys)
+        row = _run(spark, tmp_path, "dfa_alpha_hourly")[0]
+        assert row["n_scales"] == np_ == 3
+        assert row["dfa_alpha"] == pytest.approx(alpha, abs=1e-6)
+
+
+class TestOrdersAging:
+    def test_bands_hand_computed(self, spark, tmp_path):
+        _write_orders(
+            tmp_path,
+            [
+                (0, 1, "O", 10.0, "2024-03-05", "1"),
+                (1, 1, "F", 10.0, "2024-01-05", "1"),
+                (2, 1, "F", 10.0, "2023-10-05", "1"),
+                (3, 1, "P", 10.0, "2023-06-05", "1"),
+                (4, 1, "O", 10.0, "2023-01-05", "1"),
+            ],
+        )
+        rows = _run(spark, tmp_path, "orders_status_aging_mix")
+        got = {(r["age_band"], r["status"]): r for r in rows}
+        assert got[("0_fresh", "O")]["band_share"] == 0.5
+        assert got[("0_fresh", "F")]["n_orders"] == 1
+        assert got[("1_recent", "F")]["band_share"] == 1.0
+        assert got[("2_aging", "P")]["band_share"] == 1.0
+        assert got[("3_old", "O")]["band_share"] == 1.0
+
+
+class TestEmbeddingNormOctiles:
+    def test_ladder(self, spark, tmp_path):
+        rows = [
+            (k, [float(k)] + [0.0] * 63, 0) for k in range(1, 10)
+        ]
+        _write_embeddings(tmp_path, rows)
+        out = _run(spark, tmp_path, "embedding_norm_octiles_by_label")
+        got = {r["octile"]: r["norm_at_octile"] for r in out}
+        # rank (o*8)//8 + 1 = o + 1 -> norm o+1
+        assert got == {o: float(o + 1) for o in range(1, 8)}
+
+
+class TestMsprt:
+    def test_hand_computed(self, spark, tmp_path):
+        import math
+
+        _write_events(
+            tmp_path,
+            _ev([(1, 1.0), (1, 2.0), (1, 3.0),
+                 (2, 2.0), (2, 3.0), (2, 4.0)]),
+        )
+        row = _run(spark, tmp_path, "ab_msprt_always_valid")[0]
+        zd = -1000.0
+        sd2 = (43e6 - 15000.0 ** 2 / 6) / 5 * (2.0 / 3.0)
+        ll = -0.5 * math.log(2.0) + zd * zd / (4 * sd2)
+        assert row["log_lambda"] == pytest.approx(ll, abs=1e-6)
+        assert row["always_valid_p"] == pytest.approx(
+            min(1.0, math.exp(-ll)), abs=1e-6
+        )
+
+
+class TestPartSizeMix:
+    def test_two_brand_hand_computed(self, spark, tmp_path):
+        _write_part_sized(
+            tmp_path,
+            [(1, "B1", 1), (2, "B1", 2), (3, "B2", 1), (4, "B2", 15)],
+        )
+        rows = _run(spark, tmp_path, "part_size_mix_chi2_by_brand")
+        got = {r["brand"]: r for r in rows}
+        assert got["B1"]["df"] == 1
+        assert got["B1"]["mix_chi2"] == pytest.approx(
+            2.0 / 3.0, abs=1e-6
+        )
+        assert got["B2"]["mix_chi2"] == pytest.approx(
+            2.0 / 3.0, abs=1e-6
+        )
+
+
+class TestCommonNeighborEdgeRate:
+    def test_path_vs_triangle(self, spark, tmp_path):
+        # path 1-2-3: the (1,3) pair has q=1 and no edge
+        _write_events(tmp_path, _graph_events([(1, 2), (2, 3)]))
+        row = _run(
+            spark, tmp_path, "graph_common_neighbor_edge_rate"
+        )[0]
+        assert (row["n_common_neighbors"], row["n_pairs"],
+                row["n_edged"]) == (1, 1, 0)
+        assert row["edge_rate"] == 0.0
+
+    def test_triangle_fully_edged(self, spark, tmp_path):
+        _write_events(
+            tmp_path, _graph_events([(1, 2), (2, 3), (3, 1)])
+        )
+        row = _run(
+            spark, tmp_path, "graph_common_neighbor_edge_rate"
+        )[0]
+        assert (row["n_pairs"], row["n_edged"]) == (3, 3)
+        assert row["edge_rate"] == 1.0
