@@ -297,8 +297,10 @@ def q_buishand_range_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT v.event_type,
            any_value(h.n) AS n_values,
-           round(any_value(h.h1d) / 2000.0, 6) + 0.0 AS q1,
-           round(any_value(h.h3d) / 2000.0, 6) + 0.0 AS q3,
+           round(CAST(any_value(h.h1d) AS DOUBLE) / 2000.0, 6) + 0.0
+             AS q1,
+           round(CAST(any_value(h.h3d) AS DOUBLE) / 2000.0, 6) + 0.0
+             AS q3,
            CAST(sum(CASE WHEN 4 * vm < 5 * h1d - 3 * h3d
                       OR 4 * vm > 5 * h3d - 3 * h1d
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
@@ -361,8 +363,14 @@ def q_tukey_fences_outlier_rate_by_type(
         joined.groupBy("event_type")
         .agg(
             F.first("n").alias("n_values"),
-            F.expr("round(any_value(h1d) / 2000.0, 6) + 0.0").alias("q1"),
-            F.expr("round(any_value(h3d) / 2000.0, 6) + 0.0").alias("q3"),
+            F.expr(
+                "round(CAST(any_value(h1d) AS DOUBLE) / 2000.0, 6)"
+                " + 0.0"
+            ).alias("q1"),
+            F.expr(
+                "round(CAST(any_value(h3d) AS DOUBLE) / 2000.0, 6)"
+                " + 0.0"
+            ).alias("q3"),
             F.expr(
                 "CAST(sum(CASE WHEN 4 * vm < 5 * h1d - 3 * h3d"
                 " OR 4 * vm > 5 * h3d - 3 * h1d"
@@ -648,7 +656,7 @@ def q_snht_changepoint_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH v AS (
       SELECT user_id % 2 AS arm,
-             CAST(floor(value * 100) AS BIGINT) AS vc
+             CAST(floor(value * 10) AS BIGINT) AS vc
       FROM events WHERE value IS NOT NULL
     ),
     h1 AS (
@@ -683,7 +691,7 @@ def q_snht_changepoint_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cum
     )
     SELECT n_pairs,
-           round(d2 / 200.0, 6) + 0.0 AS hl_shift
+           round(CAST(d2 AS DOUBLE) / 20.0, 6) + 0.0 AS hl_shift
     FROM dm
     """,
 )
@@ -691,21 +699,22 @@ def q_hodges_lehmann_shift_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hodges-Lehmann location-shift estimator between the user-parity
     arms: the median of all n1*n0 pairwise differences X_i - Y_j,
     computed WITHOUT materializing pairs of rows — both arms collapse
-    to centi-grid value histograms (distinct values bounded by the
-    grid span, not the row count), their cross join enumerates only
-    distinct-value pairs with weight c1*c0, and the weighted doubled
-    median walks the cumulative pair mass with both middle-rank terms
-    ADDED (ranks (W+1)//2 and (W+2)//2 over W = n1*n0 pairs, exact in
-    BIGINT to W ~ 1e16). The output divides the doubled centi-grid sum
-    by 200. At 100x data the histograms stay grid-bounded, so the
-    cross join's cost is unchanged — the classic O(n^2) estimator
-    priced as O(grid^2).
+    to DECI-grid value histograms (distinct values bounded by the
+    value span x 10, not the row count: ~3k at sf0.1 where a centi
+    grid's 17k distinct values made the pair join 2.9e8 wide and 4x
+    slower), their cross join enumerates only distinct-value pairs
+    with weight c1*c0, and the weighted doubled median walks the
+    cumulative pair mass with both middle-rank terms ADDED (ranks
+    (W+1)//2 and (W+2)//2 over W = n1*n0 pairs, exact in BIGINT to
+    W ~ 1e16). The output divides the doubled deci-grid sum by 20.
+    The grid IS the scale knob: a wider value span coarsens the
+    estimate, never the cost model — pairs stay O(grid^2).
     """
     v = (
         _events(spark, sf_dir)
         .where(F.col("value").isNotNull())
         .selectExpr(
-            "user_id % 2 AS arm", "CAST(floor(value * 100) AS BIGINT) AS vc"
+            "user_id % 2 AS arm", "CAST(floor(value * 10) AS BIGINT) AS vc"
         )
     )
     h1 = (
@@ -742,7 +751,8 @@ def q_hodges_lehmann_shift_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(any_value(wt) AS BIGINT)").alias("n_pairs"),
     )
     return dm.selectExpr(
-        "n_pairs", "round(d2 / 200.0, 6) + 0.0 AS hl_shift"
+        "n_pairs",
+        "round(CAST(d2 AS DOUBLE) / 20.0, 6) + 0.0 AS hl_shift",
     )
 
 
