@@ -5234,3 +5234,20 @@ def q_graph_common_neighbor_edge_rate(
                     "edge_rate")
         .orderBy("n_common_neighbors")
     )
+
+
+def register_all(register) -> None:
+    """Round-12 wiring hook: call once from queries.py AFTER every
+    existing registration, passing its module-level ``register``:
+
+        from eventstreamml_spark.staging_r12 import register_all
+        register_all(register)
+
+    Appends all staged operators in staged order (= the intended
+    round-12 ``_ORDER_FIRST`` window order). Remember the same-commit
+    obligations: fold the names into registry_order.REGISTRATION_ORDER,
+    add SURVEY rows/names, bump README counts, rotate, and commit the
+    fresh PARITY_SF01.json with the rotation.
+    """
+    for name, (fn, oracle) in STAGED.items():
+        register(name, oracle)(fn)
