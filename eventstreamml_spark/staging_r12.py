@@ -3444,117 +3444,6 @@ def q_embedding_participation_ratio(
     )
 
 
-@stage(
-    "embedding_label_compactness",
-    """
-    WITH comp0 AS (
-      SELECT vec_id, label,
-             unnest(embedding) AS x,
-             unnest(generate_series(1, len(embedding))) AS a
-      FROM embeddings
-    ),
-    comp AS (
-      SELECT vec_id, label,
-             CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT) AS x3,
-             a
-      FROM comp0
-    ),
-    cent AS (
-      SELECT label, a, CAST(sum(x3) AS BIGINT) AS s3
-      FROM comp GROUP BY 1, 2
-    ),
-    cnorm AS (
-      SELECT label, sum(s3::HUGEINT * s3) AS s2 FROM cent GROUP BY 1
-    ),
-    dots AS (
-      SELECT c.vec_id, c.label,
-             CAST(sum(c.x3 * ct.s3) AS BIGINT) AS dot3,
-             CAST(sum(c.x3 * c.x3) AS BIGINT) AS v2
-      FROM comp c JOIN cent ct ON c.label = ct.label AND c.a = ct.a
-      GROUP BY 1, 2
-    ),
-    cosv AS (
-      SELECT d.label,
-             CAST(floor(CAST(d.dot3 AS DOUBLE)
-                  / nullif(sqrt(CAST(d.v2 AS DOUBLE)
-                           * CAST(n.s2 AS DOUBLE)), 0)
-                  * 1000000.0) AS BIGINT) AS c6
-      FROM dots d JOIN cnorm n USING (label)
-    )
-    SELECT label,
-           CAST(count(*) AS BIGINT) AS n_vectors,
-           round(CAST(sum(c6) AS DOUBLE) / count(*) / 1000000.0, 6)
-             + 0.0 AS mean_cos_to_centroid
-    FROM cosv GROUP BY 1 ORDER BY 1
-    """,
-)
-def q_embedding_label_compactness(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Per-label embedding compactness: the mean cosine of each vector
-    to its own label centroid (cosine to the unnormalized label SUM —
-    identical by scale invariance, which keeps the centroid exact).
-    Components are floor-quantized to 1e-3 integers so centroid sums,
-    dot products and norms are ALL exact integers (x3*s3 <= 1e16 at
-    1e8 vectors — BIGINT-safe; centroid norm squares widen to int128);
-    the single sqrt per vector is floor-quantized back to micro units
-    before the per-label mean, keeping the cross-vector sum exact (the
-    round-7 digest rule). Near-1 means tight label clusters; the
-    between-label contrast is the silhouette operator's cheaper
-    sibling. One explode (n*d rows), one centroid groupBy, one
-    (label, dim) equi-join.
-    """
-    emb = load_table(spark, sf_dir, "embeddings")
-    comp = emb.select(
-        "vec_id",
-        "label",
-        F.posexplode("embedding").alias("a0", "x"),
-    ).selectExpr(
-        "vec_id",
-        "label",
-        "CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT) AS x3",
-        "a0 + 1 AS a",
-    )
-    cent = comp.groupBy("label", "a").agg(
-        F.sum("x3").cast("long").alias("s3")
-    )
-    cnorm = cent.groupBy("label").agg(
-        F.expr("sum(CAST(s3 AS DECIMAL(38,0)) * s3)").alias("s2")
-    )
-    dots = (
-        comp.alias("c")
-        .join(
-            cent.alias("ct"),
-            (F.col("c.label") == F.col("ct.label"))
-            & (F.col("c.a") == F.col("ct.a")),
-        )
-        .groupBy(F.col("c.vec_id").alias("vec_id"),
-                 F.col("c.label").alias("label"))
-        .agg(
-            F.expr("CAST(sum(x3 * s3) AS BIGINT)").alias("dot3"),
-            F.expr("CAST(sum(x3 * x3) AS BIGINT)").alias("v2"),
-        )
-    )
-    cosv = dots.join(cnorm, "label").selectExpr(
-        "label",
-        "CAST(floor(CAST(dot3 AS DOUBLE)"
-        " / nullif(sqrt(CAST(v2 AS DOUBLE)"
-        " * CAST(s2 AS DOUBLE)), 0)"
-        " * 1000000.0) AS BIGINT) AS c6",
-    )
-    return (
-        cosv.groupBy("label")
-        .agg(
-            F.count("*").cast("long").alias("n_vectors"),
-            F.expr(
-                "round(CAST(sum(c6) AS DOUBLE) / count(*)"
-                " / 1000000.0, 6) + 0.0"
-            ).alias("mean_cos_to_centroid"),
-        )
-        .orderBy("label")
-    )
-
-
 # ---------------------------------------------------------------------------
 # Batch G — robust two-sample / trend / reliability / decomposition
 # ---------------------------------------------------------------------------
@@ -3692,94 +3581,6 @@ def q_brunner_munzel_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(CAST(n1 AS DOUBLE) * n0 * rdiff / (n1 + n0)"
         " / nullif(sqrt(n1 * s1sq + n0 * s0sq), 0), 6) + 0.0"
         " AS bm_statistic",
-    )
-
-
-@stage(
-    "cochran_armitage_hour_trend",
-    """
-    WITH b AS (
-      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 % 24 // 6 AS s,
-             CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS y
-      FROM events
-    ),
-    g AS (
-      SELECT s, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(y) AS BIGINT) AS r
-      FROM b GROUP BY 1
-    ),
-    t AS (
-      SELECT CAST(sum(n) AS BIGINT) AS nt,
-             CAST(sum(r) AS BIGINT) AS rt,
-             CAST(sum(s * r) AS BIGINT) AS sr,
-             CAST(sum(s * n) AS BIGINT) AS sn,
-             CAST(sum(s * s * n) AS BIGINT) AS ssn
-      FROM g
-    )
-    SELECT nt AS n_events, rt AS n_positive,
-           round(CAST(nt::HUGEINT * sr - rt::HUGEINT * sn AS DOUBLE)
-                 / nullif(sqrt(CAST(rt::HUGEINT * (nt - rt) AS DOUBLE)
-                   * CAST(nt::HUGEINT * ssn - sn::HUGEINT * sn
-                     AS DOUBLE) / nt), 0), 6) + 0.0 AS ca_z,
-           round(CAST(nt::HUGEINT * sr - rt::HUGEINT * sn AS DOUBLE)
-                 * CAST(nt::HUGEINT * sr - rt::HUGEINT * sn AS DOUBLE)
-                 * nt
-                 / nullif(CAST(rt::HUGEINT * (nt - rt) AS DOUBLE)
-                   * CAST(nt::HUGEINT * ssn - sn::HUGEINT * sn
-                     AS DOUBLE), 0), 6) + 0.0 AS ca_chi2
-    FROM t
-    """,
-)
-def q_cochran_armitage_hour_trend(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Cochran-Armitage trend test of the binary churn-construct label
-    across four ordered six-hour day-part bands (scores 0..3): does
-    the positive rate trend monotonically through the day? z =
-    (N*sum(s*r) - R*sum(s*n)) / sqrt(R*(N-R)*(N*sum(s^2*n) -
-    sum(s*n)^2)/N) — every moment is an exact integer off the 4-row
-    band relation, widened to int128 where the cross products reach
-    ~1e33 at corpus scale, with one double sqrt at the end. A
-    degenerate table (all-positive, all-negative, or single band)
-    NULLs via nullif. One groupBy to 4 rows.
-    """
-    ev = _events(spark, sf_dir)
-    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
-    b = ev.select(
-        (((sec / 3600).cast("long") % 24) / 6)
-        .cast("long")
-        .alias("s"),
-        F.when(F.col("user_id") % 3 == 0, 1).otherwise(0).alias("y"),
-    )
-    g = b.groupBy("s").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("y").cast("long").alias("r"),
-    )
-    t = g.agg(
-        F.sum("n").cast("long").alias("nt"),
-        F.sum("r").cast("long").alias("rt"),
-        F.sum(F.col("s") * F.col("r")).cast("long").alias("sr"),
-        F.sum(F.col("s") * F.col("n")).cast("long").alias("sn"),
-        F.sum(F.col("s") * F.col("s") * F.col("n"))
-        .cast("long")
-        .alias("ssn"),
-    )
-    num = (
-        "CAST(CAST(nt AS DECIMAL(38,0)) * sr"
-        " - CAST(rt AS DECIMAL(38,0)) * sn AS DOUBLE)"
-    )
-    den_parts = (
-        "CAST(CAST(rt AS DECIMAL(38,0)) * (nt - rt) AS DOUBLE)"
-        " * CAST(CAST(nt AS DECIMAL(38,0)) * ssn"
-        " - CAST(sn AS DECIMAL(38,0)) * sn AS DOUBLE)"
-    )
-    return t.selectExpr(
-        "nt AS n_events",
-        "rt AS n_positive",
-        f"round({num} / nullif(sqrt({den_parts} / nt), 0), 6) + 0.0"
-        " AS ca_z",
-        f"round({num} * {num} * nt / nullif({den_parts}, 0), 6) + 0.0"
-        " AS ca_chi2",
     )
 
 
@@ -4007,107 +3808,6 @@ def q_variance_time_slope_hourly(
         "np AS n_points",
         f"round({slope}, 6) + 0.0 AS vt_slope",
         f"round(1.0 + {slope} / 2.0, 6) + 0.0 AS hurst_vt",
-    )
-
-
-@stage(
-    "seasonal_strength_hourly",
-    f"""
-    WITH {_HOURLY_GRID_SQL},
-    ma AS (
-      SELECT b, y, idx,
-             CAST(sum(y) OVER (ORDER BY idx
-               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS w24,
-             CAST(count(*) OVER (ORDER BY idx
-               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS wn
-      FROM z
-    ),
-    detr AS (
-      SELECT b % 24 AS hod, 24 * y - w24 AS d24
-      FROM ma WHERE wn = 24
-    ),
-    hod_mean AS (
-      SELECT hod, CAST(count(*) AS BIGINT) AS nh,
-             CAST(sum(d24) AS BIGINT) AS sh
-      FROM detr GROUP BY 1
-    ),
-    rem AS (
-      SELECT d.d24,
-             CAST(floor((CAST(d.d24 AS DOUBLE)
-                  - CAST(h.sh AS DOUBLE) / h.nh) / 24.0 * 1000000.0)
-               AS BIGINT) AS r6,
-             CAST(floor(CAST(d.d24 AS DOUBLE) / 24.0 * 1000000.0)
-               AS BIGINT) AS d6
-      FROM detr d JOIN hod_mean h USING (hod)
-    ),
-    vv AS (
-      SELECT CAST(count(*) AS BIGINT) AS n,
-             sum(r6::HUGEINT * r6) AS rss,
-             CAST(sum(r6) AS BIGINT) AS rs,
-             sum(d6::HUGEINT * d6) AS dss,
-             CAST(sum(d6) AS BIGINT) AS ds
-      FROM rem
-    )
-    SELECT n AS n_hours_scored,
-           round(greatest(0.0, 1.0
-             - (CAST(rss AS DOUBLE) - CAST(rs AS DOUBLE) * rs / n)
-               / nullif(CAST(dss AS DOUBLE)
-                 - CAST(ds AS DOUBLE) * ds / n, 0)), 6) + 0.0
-             AS seasonal_strength
-    FROM vv
-    """,
-)
-def q_seasonal_strength_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyndman-style seasonal strength F_S = max(0, 1 - Var(remainder)
-    / Var(detrended)) of the hourly series with a trailing-24h moving
-    average trend and hour-of-day seasonal means. The detrended series
-    is the EXACT integer 24*y - window_sum (full windows only); the
-    remainder subtracts the exact-rational hour-of-day mean, and both
-    series are floor-quantized per row to 1e-6 integers BEFORE their
-    variances, so the cross-row sums are exact integer arithmetic at
-    any series length (the round-7 digest rule) with one double ratio
-    at the end. Strength ~ 1 means the day cycle explains nearly all
-    non-trend variation. Two bounded window passes + one 24-row join.
-    """
-    z = _bucket_grid(spark, sf_dir, 3600)
-    w24 = W.orderBy("idx").rowsBetween(-23, 0)
-    ma = z.select(
-        "b",
-        "y",
-        "idx",
-        F.sum("y").over(w24).cast("long").alias("w24"),
-        F.count("*").over(w24).cast("long").alias("wn"),
-    )
-    detr = ma.where("wn = 24").selectExpr(
-        "b % 24 AS hod", "24 * y - w24 AS d24"
-    )
-    hod_mean = detr.groupBy("hod").agg(
-        F.count("*").cast("long").alias("nh"),
-        F.sum("d24").cast("long").alias("sh"),
-    )
-    rem = detr.join(F.broadcast(hod_mean), "hod").selectExpr(
-        "CAST(floor((CAST(d24 AS DOUBLE)"
-        " - CAST(sh AS DOUBLE) / nh) / 24.0 * 1000000.0)"
-        " AS BIGINT) AS r6",
-        "CAST(floor(CAST(d24 AS DOUBLE) / 24.0 * 1000000.0)"
-        " AS BIGINT) AS d6",
-    )
-    vv = rem.agg(
-        F.count("*").cast("long").alias("n"),
-        F.expr("sum(CAST(r6 AS DECIMAL(38,0)) * r6)").alias("rss"),
-        F.sum("r6").cast("long").alias("rs"),
-        F.expr("sum(CAST(d6 AS DECIMAL(38,0)) * d6)").alias("dss"),
-        F.sum("d6").cast("long").alias("ds"),
-    )
-    return vv.selectExpr(
-        "n AS n_hours_scored",
-        "round(greatest(0.0, 1.0"
-        " - (CAST(rss AS DOUBLE) - CAST(rs AS DOUBLE) * rs / n)"
-        " / nullif(CAST(dss AS DOUBLE)"
-        " - CAST(ds AS DOUBLE) * ds / n, 0)), 6) + 0.0"
-        " AS seasonal_strength",
     )
 
 
@@ -4812,76 +4512,6 @@ def q_dfa_alpha_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @stage(
-    "orders_status_aging_mix",
-    """
-    WITH mi AS (
-      SELECT o_orderstatus AS status,
-             CAST(year(o_orderdate) * 12 + month(o_orderdate)
-               AS BIGINT) AS m
-      FROM orders
-    ),
-    mx AS (SELECT CAST(max(m) AS BIGINT) AS mmax FROM mi),
-    banded AS (
-      SELECT status,
-             CASE WHEN mmax - m <= 2 THEN '0_fresh'
-                  WHEN mmax - m <= 5 THEN '1_recent'
-                  WHEN mmax - m <= 11 THEN '2_aging'
-                  ELSE '3_old' END AS age_band
-      FROM mi CROSS JOIN mx
-    ),
-    c AS (
-      SELECT age_band, status, CAST(count(*) AS BIGINT) AS n
-      FROM banded GROUP BY 1, 2
-    ),
-    bt AS (
-      SELECT age_band, CAST(sum(n) AS BIGINT) AS bn FROM c GROUP BY 1
-    )
-    SELECT c.age_band, c.status, c.n AS n_orders,
-           round(CAST(c.n AS DOUBLE) / bt.bn, 6) + 0.0 AS band_share
-    FROM c JOIN bt USING (age_band)
-    ORDER BY 1, 2
-    """,
-)
-def q_orders_status_aging_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-status mix by age band — the receivables-style aging
-    waterfall: orders bucketed by months since the latest order month
-    (0-2 / 3-5 / 6-11 / 12+) with each band's status composition. An
-    old band still dominated by open status is the classic stuck-
-    backlog signal. Age is exact integer y*12+m arithmetic against a
-    broadcast scalar max; shares are ratios of exact counts. One scan
-    + two bounded groupBys.
-    """
-    orders = load_table(spark, sf_dir, "orders")
-    mi = orders.selectExpr(
-        "o_orderstatus AS status",
-        "CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)"
-        " AS m",
-    )
-    mx = mi.agg(F.max("m").cast("long").alias("mmax"))
-    banded = mi.crossJoin(F.broadcast(mx)).selectExpr(
-        "status",
-        "CASE WHEN mmax - m <= 2 THEN '0_fresh'"
-        " WHEN mmax - m <= 5 THEN '1_recent'"
-        " WHEN mmax - m <= 11 THEN '2_aging'"
-        " ELSE '3_old' END AS age_band",
-    )
-    c = banded.groupBy("age_band", "status").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
-    bt = c.groupBy("age_band").agg(F.sum("n").cast("long").alias("bn"))
-    return (
-        c.join(F.broadcast(bt), "age_band")
-        .selectExpr(
-            "age_band",
-            "status",
-            "n AS n_orders",
-            "round(CAST(n AS DOUBLE) / bn, 6) + 0.0 AS band_share",
-        )
-        .orderBy("age_band", "status")
-    )
-
-
-@stage(
     "embedding_norm_octiles_by_label",
     """
     WITH comp0 AS (
@@ -5251,3 +4881,391 @@ def register_all(register) -> None:
     """
     for name, (fn, oracle) in STAGED.items():
         register(name, oracle)(fn)
+
+
+# ---------------------------------------------------------------------------
+# Batch J — replacements for near-duplicates found against the live
+# registry (cochran_armitage_trend, seasonality_strength_by_type,
+# order_backlog_aging and embedding_label_centroids already cover the
+# originally-staged variants).
+# ---------------------------------------------------------------------------
+
+@stage(
+    "temporal_gini_hourly",
+    f"""
+    WITH {_HOURLY_GRID_SQL},
+    rk AS (
+      SELECT y,
+             CAST(row_number() OVER (ORDER BY y, b) AS BIGINT) AS i,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM z
+    ),
+    g AS (
+      SELECT any_value(n) AS n,
+             CAST(sum(y) AS BIGINT) AS s,
+             sum((2 * i - n - 1)::HUGEINT * y) AS w
+      FROM rk
+    )
+    SELECT n AS n_hours, s AS n_events,
+           round(CAST(w AS DOUBLE)
+                 / nullif(CAST(n AS DOUBLE) * s, 0), 6) + 0.0
+             AS temporal_gini
+    FROM g
+    """,
+)
+def q_temporal_gini_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of event volume across HOURS — the temporal
+    axis the registered Gini family doesn't cover (subject_count_gini
+    concentrates over users, revenue_lorenz over customers,
+    graph_degree_gini over nodes): 0 for perfectly steady load, near 1
+    when traffic piles into a few hours — the capacity-planning
+    peakiness score. Uses the exact sorted-rank identity G = sum((2i -
+    n - 1) * y_i) / (n * sum(y)) on the zero-filled hourly grid with a
+    (count, hour) tiebreak; the rank-weighted sum is int128-widened
+    (2n*y per row passes 2^63 at ~1e4 hours x 1e6-event peaks). One
+    bounded sort + one aggregate.
+    """
+    z = _bucket_grid(spark, sf_dir, 3600)
+    rk = z.select(
+        "y",
+        F.row_number().over(W.orderBy("y", "b")).cast("long").alias("i"),
+        F.count("*")
+        .over(
+            W.orderBy(F.lit(1)).rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        )
+        .cast("long")
+        .alias("n"),
+    )
+    g = rk.agg(
+        F.expr("any_value(n)").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.expr(
+            "sum(CAST(2 * i - n - 1 AS DECIMAL(38,0)) * y)"
+        ).alias("w"),
+    )
+    return g.selectExpr(
+        "n AS n_hours",
+        "s AS n_events",
+        "round(CAST(w AS DOUBLE)"
+        " / nullif(CAST(n AS DOUBLE) * s, 0), 6) + 0.0"
+        " AS temporal_gini",
+    )
+
+
+@stage(
+    "customer_nation_repeat_rate",
+    """
+    WITH oc AS (
+      SELECT o_custkey AS cust, CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    j AS (
+      SELECT c.c_nationkey AS nation, oc.n_orders
+      FROM oc JOIN customer c ON oc.cust = c.c_custkey
+    )
+    SELECT nation,
+           CAST(count(*) AS BIGINT) AS n_buyers,
+           CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_repeaters,
+           round(CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*), 6) + 0.0 AS repeat_rate,
+           round(CAST(sum(CASE WHEN n_orders >= 2 THEN n_orders
+                          ELSE 0 END) AS DOUBLE)
+                 / nullif(CAST(sum(CASE WHEN n_orders >= 2 THEN 1
+                               ELSE 0 END) AS DOUBLE), 0), 6) + 0.0
+             AS orders_per_repeater
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_customer_nation_repeat_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Repeat-purchase structure per customer nation: the share of
+    buyers who ordered at least twice and the mean order count among
+    those repeaters — the loyalty decomposition that explains WHERE a
+    nation's volume comes from (broad one-time reach vs a loyal core),
+    complementary to the RFM segmentation and the CR4/CR8
+    concentration staged alongside. Exact counts end to end, one
+    per-customer groupBy + one broadcast customer-dim join + one
+    nation rollup; a repeater-free nation NULLs its per-repeater mean
+    via nullif.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    oc = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
+    j = oc.join(
+        F.broadcast(cust.selectExpr("c_custkey", "c_nationkey")),
+        oc.cust == F.col("c_custkey"),
+    ).selectExpr("c_nationkey AS nation", "n_orders")
+    return (
+        j.groupBy("nation")
+        .agg(
+            F.count("*").cast("long").alias("n_buyers"),
+            F.expr(
+                "CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_repeaters"),
+            F.expr(
+                "round(CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0"
+                " END) AS DOUBLE) / count(*), 6) + 0.0"
+            ).alias("repeat_rate"),
+            F.expr(
+                "round(CAST(sum(CASE WHEN n_orders >= 2 THEN n_orders"
+                " ELSE 0 END) AS DOUBLE)"
+                " / nullif(CAST(sum(CASE WHEN n_orders >= 2 THEN 1"
+                " ELSE 0 END) AS DOUBLE), 0), 6) + 0.0"
+            ).alias("orders_per_repeater"),
+        )
+        .orderBy("nation")
+    )
+
+
+@stage(
+    "moses_extreme_reaction_arms",
+    f"""
+    WITH {_ARMS_HIST_SQL},
+    cum AS (
+      SELECT c1, c0,
+             CAST(coalesce(sum(c1 + c0) OVER (ORDER BY vm
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cb
+      FROM hist
+    ),
+    spans AS (
+      SELECT
+        CAST(min(CASE WHEN c0 > 0 THEN 2 * cb + c1 + c0 + 1 END)
+          AS BIGINT) AS lo0,
+        CAST(max(CASE WHEN c0 > 0 THEN 2 * cb + c1 + c0 + 1 END)
+          AS BIGINT) AS hi0,
+        CAST(min(CASE WHEN c1 > 0 THEN 2 * cb + c1 + c0 + 1 END)
+          AS BIGINT) AS lo1,
+        CAST(max(CASE WHEN c1 > 0 THEN 2 * cb + c1 + c0 + 1 END)
+          AS BIGINT) AS hi1,
+        CAST(sum(c0) AS BIGINT) AS n0,
+        CAST(sum(c1) AS BIGINT) AS n1
+      FROM cum
+    )
+    SELECT n0, n1,
+           round((hi0 - lo0) / 2.0 + 1.0, 6) + 0.0 AS span_arm0,
+           round((hi1 - lo1) / 2.0 + 1.0, 6) + 0.0 AS span_arm1,
+           round(((hi0 - lo0) / 2.0 + 1.0)
+                 / nullif(CAST(n0 AS DOUBLE), 0), 6) + 0.0
+             AS span_ratio_arm0,
+           round(((hi1 - lo1) / 2.0 + 1.0)
+                 / nullif(CAST(n1 AS DOUBLE), 0), 6) + 0.0
+             AS span_ratio_arm1
+    FROM spans
+    """,
+)
+def q_moses_extreme_reaction_arms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Moses test of extreme reactions (h = 0 trimming, the SPSS
+    default form) between the user-parity arms: each arm's SPAN — the
+    range of its pooled midranks plus one — relative to its size. A
+    treatment that pushes subjects to BOTH extremes (the scenario
+    location tests miss entirely) inflates its span ratio toward
+    (n0+n1)/n while a concentrated arm stays near 1. Doubled midranks
+    off the shared value histogram keep min/max exact integers; the
+    halving to classical rank units is the only division. One
+    histogram pass + one scalar aggregate.
+    """
+    hist = _arm_value_hist(spark, sf_dir)
+    wb = W.orderBy("vm").rowsBetween(W.unboundedPreceding, -1)
+    cum = hist.select(
+        "c1",
+        "c0",
+        F.coalesce(F.sum(F.col("c1") + F.col("c0")).over(wb), F.lit(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    spans = cum.agg(
+        F.expr(
+            "CAST(min(CASE WHEN c0 > 0 THEN 2 * cb + c1 + c0 + 1 END)"
+            " AS BIGINT)"
+        ).alias("lo0"),
+        F.expr(
+            "CAST(max(CASE WHEN c0 > 0 THEN 2 * cb + c1 + c0 + 1 END)"
+            " AS BIGINT)"
+        ).alias("hi0"),
+        F.expr(
+            "CAST(min(CASE WHEN c1 > 0 THEN 2 * cb + c1 + c0 + 1 END)"
+            " AS BIGINT)"
+        ).alias("lo1"),
+        F.expr(
+            "CAST(max(CASE WHEN c1 > 0 THEN 2 * cb + c1 + c0 + 1 END)"
+            " AS BIGINT)"
+        ).alias("hi1"),
+        F.sum("c0").cast("long").alias("n0"),
+        F.sum("c1").cast("long").alias("n1"),
+    )
+    return spans.selectExpr(
+        "n0",
+        "n1",
+        "round((hi0 - lo0) / 2.0 + 1.0, 6) + 0.0 AS span_arm0",
+        "round((hi1 - lo1) / 2.0 + 1.0, 6) + 0.0 AS span_arm1",
+        "round(((hi0 - lo0) / 2.0 + 1.0)"
+        " / nullif(CAST(n0 AS DOUBLE), 0), 6) + 0.0 AS span_ratio_arm0",
+        "round(((hi1 - lo1) / 2.0 + 1.0)"
+        " / nullif(CAST(n1 AS DOUBLE), 0), 6) + 0.0 AS span_ratio_arm1",
+    )
+
+
+@stage(
+    "embedding_dim_redundancy_pairs",
+    """
+    WITH e1 AS (
+      SELECT embedding AS emb,
+             unnest(embedding) AS xa,
+             unnest(generate_series(1, len(embedding))) AS a
+      FROM embeddings
+    ),
+    e2 AS (
+      SELECT a, CAST(xa AS DOUBLE) AS xa,
+             unnest(emb) AS xb,
+             unnest(generate_series(1, len(emb))) AS b
+      FROM e1
+    ),
+    cells AS (
+      SELECT a, b,
+             CAST(sum(CAST(floor(xa * CAST(xb AS DOUBLE) * 1000000.0)
+               AS BIGINT)) AS BIGINT) AS c6,
+             CAST(count(*) AS BIGINT) AS n
+      FROM e2 WHERE a <= b GROUP BY 1, 2
+    ),
+    dsum AS (
+      SELECT a, CAST(sum(CAST(floor(CAST(xa AS DOUBLE) * 1000.0)
+               AS BIGINT)) AS BIGINT) AS s3
+      FROM e1 GROUP BY 1
+    ),
+    r AS (
+      SELECT c.a, c.b,
+             (CAST(c.n AS DOUBLE) * c.c6 / 1000000.0
+              - CAST(da.s3 AS DOUBLE) * db.s3 / 1000000.0)
+             / nullif(sqrt(
+                 (CAST(c.n AS DOUBLE) * caa.c6 / 1000000.0
+                  - CAST(da.s3 AS DOUBLE) * da.s3 / 1000000.0)
+                 * (CAST(c.n AS DOUBLE) * cbb.c6 / 1000000.0
+                    - CAST(db.s3 AS DOUBLE) * db.s3 / 1000000.0)), 0)
+               AS corr_ab
+      FROM cells c
+      JOIN dsum da ON da.a = c.a
+      JOIN dsum db ON db.a = c.b
+      JOIN cells caa ON caa.a = c.a AND caa.b = c.a
+      JOIN cells cbb ON cbb.a = c.b AND cbb.b = c.b
+      WHERE c.a < c.b
+    ),
+    ranked AS (
+      SELECT a, b, corr_ab,
+             row_number() OVER (ORDER BY round(abs(corr_ab), 9) DESC,
+               a, b) AS pos
+      FROM r
+    )
+    SELECT a AS dim_a, b AS dim_b,
+           round(corr_ab, 6) + 0.0 AS redundancy_corr
+    FROM ranked WHERE pos <= 10 ORDER BY dim_a, dim_b
+    """,
+)
+def q_embedding_dim_redundancy_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-10 most-correlated embedding dimension pairs — the
+    redundancy audit that tells a pipeline which coordinates carry
+    duplicate information (candidates for Matryoshka truncation or
+    PCA, and the pairwise complement of the scalar participation
+    ratio staged alongside; embedding_dim_stats only sees dimensions
+    one at a time). Pearson r per pair comes from 1e-6-quantized
+    product cells and 1e-3-quantized component sums — both exact
+    integer relations, so the only floats are the final covariance
+    ratio built from identical scalar expressions. The top-|r|
+    ranking uses round(|r|, 9) with a (dim_a, dim_b) tiebreak (the
+    bh_fdr rule). All joins run on the d^2/2-cell bounded relation.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e1 = emb.select(
+        "embedding", F.posexplode("embedding").alias("a0", "xa")
+    )
+    e2 = e1.select(
+        (F.col("a0") + 1).alias("a"),
+        F.col("xa").cast("double").alias("xa"),
+        F.posexplode("embedding").alias("b0", "xb"),
+    )
+    cells = (
+        e2.selectExpr(
+            "a",
+            "b0 + 1 AS b",
+            "CAST(floor(xa * CAST(xb AS DOUBLE) * 1000000.0)"
+            " AS BIGINT) AS p6",
+        )
+        .where("a <= b")
+        .groupBy("a", "b")
+        .agg(
+            F.sum("p6").cast("long").alias("c6"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+    dsum = (
+        e1.selectExpr(
+            "a0 + 1 AS a",
+            "CAST(floor(CAST(xa AS DOUBLE) * 1000.0) AS BIGINT) AS x3",
+        )
+        .groupBy("a")
+        .agg(F.sum("x3").cast("long").alias("s3"))
+    )
+    r = (
+        cells.alias("c")
+        .where("c.a < c.b")
+        .join(
+            F.broadcast(dsum.selectExpr("a AS da_a", "s3 AS sa")),
+            F.col("c.a") == F.col("da_a"),
+        )
+        .join(
+            F.broadcast(dsum.selectExpr("a AS db_a", "s3 AS sb")),
+            F.col("c.b") == F.col("db_a"),
+        )
+        .join(
+            F.broadcast(
+                cells.where("a = b").selectExpr("a AS aa", "c6 AS caa")
+            ),
+            F.col("c.a") == F.col("aa"),
+        )
+        .join(
+            F.broadcast(
+                cells.where("a = b").selectExpr("a AS bb", "c6 AS cbb")
+            ),
+            F.col("c.b") == F.col("bb"),
+        )
+        .selectExpr(
+            "c.a AS a",
+            "c.b AS b",
+            "(CAST(n AS DOUBLE) * c6 / 1000000.0"
+            " - CAST(sa AS DOUBLE) * sb / 1000000.0)"
+            " / nullif(sqrt("
+            "(CAST(n AS DOUBLE) * caa / 1000000.0"
+            " - CAST(sa AS DOUBLE) * sa / 1000000.0)"
+            " * (CAST(n AS DOUBLE) * cbb / 1000000.0"
+            " - CAST(sb AS DOUBLE) * sb / 1000000.0)), 0) AS corr_ab",
+        )
+    )
+    ranked = r.select(
+        "a",
+        "b",
+        "corr_ab",
+        F.row_number()
+        .over(
+            W.orderBy(
+                F.expr("round(abs(corr_ab), 9)").desc(),
+                F.col("a"),
+                F.col("b"),
+            )
+        )
+        .alias("pos"),
+    ).where("pos <= 10")
+    return ranked.selectExpr(
+        "a AS dim_a", "b AS dim_b",
+        "round(corr_ab, 6) + 0.0 AS redundancy_corr",
+    ).orderBy("dim_a", "dim_b")

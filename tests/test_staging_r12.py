@@ -880,26 +880,6 @@ class TestEmbeddingGeometry:
         row = _run(spark, tmp_path, "embedding_participation_ratio")[0]
         assert row["participation_ratio"] == 1.0
 
-    def test_label_compactness(self, spark, tmp_path):
-        import math
-
-        tight = [1.0] * 64
-        _write_embeddings(
-            tmp_path,
-            [
-                (0, tight, 0),
-                (1, tight, 0),
-                (2, [1.0] + [0.0] * 63, 1),
-                (3, [0.0, 1.0] + [0.0] * 62, 1),
-            ],
-        )
-        rows = _run(spark, tmp_path, "embedding_label_compactness")
-        got = {r["label"]: r["mean_cos_to_centroid"] for r in rows}
-        assert got[0] == 1.0
-        assert got[1] == pytest.approx(
-            math.floor(1e6 / math.sqrt(2)) / 1e6, abs=1e-9
-        )
-
 
 class TestBrunnerMunzel:
     def test_hand_computed(self, spark, tmp_path):
@@ -921,29 +901,6 @@ class TestBrunnerMunzel:
         _write_events(tmp_path, _ev([(1, 1.0), (2, 2.0), (2, 3.0)]))
         row = _run(spark, tmp_path, "brunner_munzel_arms")[0]
         assert row["bm_statistic"] is None
-
-
-class TestCochranArmitage:
-    def test_perfect_trend(self, spark, tmp_path):
-        # bands s=0..3 with 4 events each and 1,2,3,4 positives:
-        # z = 80/sqrt(1200), chi2 = 16/3
-        rows = []
-        eid = 0
-        for s, npos in [(0, 1), (1, 2), (2, 3), (3, 4)]:
-            for j in range(4):
-                uid = 3 if j < npos else 1
-                rows.append(
-                    (eid, f"2024-01-01 {6 * s:02d}:{j:02d}:00", uid,
-                     "c", 1.0, "{}")
-                )
-                eid += 1
-        _write_events(tmp_path, rows)
-        row = _run(spark, tmp_path, "cochran_armitage_hour_trend")[0]
-        assert (row["n_events"], row["n_positive"]) == (16, 10)
-        assert row["ca_z"] == pytest.approx(
-            80.0 / 1200 ** 0.5, abs=1e-6
-        )
-        assert row["ca_chi2"] == pytest.approx(16.0 / 3.0, abs=1e-6)
 
 
 class TestIcc:
@@ -1001,18 +958,6 @@ class TestVarianceTimeSlope:
         assert row["n_points"] == np_
         assert row["vt_slope"] == pytest.approx(slope, abs=1e-6)
         assert row["hurst_vt"] == pytest.approx(1 + slope / 2, abs=1e-6)
-
-
-class TestSeasonalStrength:
-    def test_pure_daily_cycle(self, spark, tmp_path):
-        # 48 hours of an exact 24h pattern: remainder vanishes
-        counts = [(h % 24) + 1 for h in range(48)]
-        _write_events(
-            tmp_path, _bucket_events(counts, hours_per_bucket=1)
-        )
-        row = _run(spark, tmp_path, "seasonal_strength_hourly")[0]
-        assert row["n_hours_scored"] == 25
-        assert row["seasonal_strength"] == 1.0
 
 
 class TestClvHeuristic:
@@ -1240,27 +1185,6 @@ class TestDfa:
         assert row["dfa_alpha"] == pytest.approx(alpha, abs=1e-6)
 
 
-class TestOrdersAging:
-    def test_bands_hand_computed(self, spark, tmp_path):
-        _write_orders(
-            tmp_path,
-            [
-                (0, 1, "O", 10.0, "2024-03-05", "1"),
-                (1, 1, "F", 10.0, "2024-01-05", "1"),
-                (2, 1, "F", 10.0, "2023-10-05", "1"),
-                (3, 1, "P", 10.0, "2023-06-05", "1"),
-                (4, 1, "O", 10.0, "2023-01-05", "1"),
-            ],
-        )
-        rows = _run(spark, tmp_path, "orders_status_aging_mix")
-        got = {(r["age_band"], r["status"]): r for r in rows}
-        assert got[("0_fresh", "O")]["band_share"] == 0.5
-        assert got[("0_fresh", "F")]["n_orders"] == 1
-        assert got[("1_recent", "F")]["band_share"] == 1.0
-        assert got[("2_aging", "P")]["band_share"] == 1.0
-        assert got[("3_old", "O")]["band_share"] == 1.0
-
-
 class TestEmbeddingNormOctiles:
     def test_ladder(self, spark, tmp_path):
         rows = [
@@ -1329,3 +1253,84 @@ class TestCommonNeighborEdgeRate:
         )[0]
         assert (row["n_pairs"], row["n_edged"]) == (3, 3)
         assert row["edge_rate"] == 1.0
+
+
+class TestTemporalGini:
+    def test_uniform_zero(self, spark, tmp_path):
+        _write_events(
+            tmp_path, _bucket_events([2, 2, 2, 2], hours_per_bucket=1)
+        )
+        row = _run(spark, tmp_path, "temporal_gini_hourly")[0]
+        assert row["temporal_gini"] == 0.0
+
+    def test_concentrated(self, spark, tmp_path):
+        # hourly [4,0,0,0] (leading bucket non-empty pins the span):
+        # sorted 0,0,0,4 -> G = (2*4-5)*4 / (4*4) = 0.75
+        _write_events(
+            tmp_path, _bucket_events([4, 0, 0, 1], hours_per_bucket=1)
+        )
+        # the trailing single event keeps hour 3 in-span; series
+        # [4,0,0,1]: sorted 0,0,1,4 -> w = (2*3-5)*1 + (2*4-5)*4 = 13
+        row = _run(spark, tmp_path, "temporal_gini_hourly")[0]
+        assert row["n_hours"] == 4 and row["n_events"] == 5
+        assert row["temporal_gini"] == pytest.approx(
+            13.0 / 20.0, abs=1e-6
+        )
+
+
+class TestNationRepeatRate:
+    def test_hand_computed(self, spark, tmp_path):
+        _write_customer(
+            tmp_path,
+            [(1, "c1", 7, 0.0, "B"), (2, "c2", 7, 0.0, "B")],
+        )
+        _write_orders(
+            tmp_path,
+            [
+                (0, 1, "O", 10.0, "2024-01-05", "1"),
+                (1, 2, "O", 10.0, "2024-01-06", "1"),
+                (2, 2, "O", 10.0, "2024-02-06", "1"),
+                (3, 2, "O", 10.0, "2024-03-06", "1"),
+            ],
+        )
+        row = _run(spark, tmp_path, "customer_nation_repeat_rate")[0]
+        assert (row["n_buyers"], row["n_repeaters"]) == (2, 1)
+        assert row["repeat_rate"] == 0.5
+        assert row["orders_per_repeater"] == 3.0
+
+
+class TestMosesExtremeReaction:
+    def test_nested_spans(self, spark, tmp_path):
+        # arm0 = {2,3} nested inside arm1 = {1,4}: spans 2 vs 4
+        _write_events(
+            tmp_path, _ev([(1, 1.0), (2, 2.0), (2, 3.0), (1, 4.0)])
+        )
+        row = _run(spark, tmp_path, "moses_extreme_reaction_arms")[0]
+        assert row["span_arm0"] == 2.0 and row["span_arm1"] == 4.0
+        assert row["span_ratio_arm0"] == 1.0
+        assert row["span_ratio_arm1"] == 2.0
+
+
+class TestDimRedundancy:
+    def test_constructed_correlations(self, spark, tmp_path):
+        # dim1 = (1,2,3,4), dim2 = 2*dim1, dim3 reversed, rest zero:
+        # pairs (1,2) r=1, (1,3) r=-1, (2,3) r=-1; zero-variance
+        # pairs are NULL and fill the tail by the (a, b) tiebreak
+        vecs = [
+            [1.0, 2.0, 4.0] + [0.0] * 61,
+            [2.0, 4.0, 3.0] + [0.0] * 61,
+            [3.0, 6.0, 2.0] + [0.0] * 61,
+            [4.0, 8.0, 1.0] + [0.0] * 61,
+        ]
+        _write_embeddings(
+            tmp_path, [(i, v, 0) for i, v in enumerate(vecs)]
+        )
+        rows = _run(
+            spark, tmp_path, "embedding_dim_redundancy_pairs"
+        )
+        assert len(rows) == 10
+        got = {(r["dim_a"], r["dim_b"]): r["redundancy_corr"]
+               for r in rows}
+        assert got[(1, 2)] == 1.0
+        assert got[(1, 3)] == -1.0
+        assert got[(2, 3)] == -1.0
