@@ -1334,3 +1334,14 @@ class TestDimRedundancy:
         assert got[(1, 2)] == 1.0
         assert got[(1, 3)] == -1.0
         assert got[(2, 3)] == -1.0
+
+
+def test_no_staged_name_collides_with_registry():
+    """Round-12 wiring appends STAGED to the live registry — a name
+    collision would silently overwrite a registered operator (dict
+    assignment) and corrupt the driver window. Guard it now, not at
+    wiring time."""
+    from eventstreamml_spark import queries as q
+
+    clashes = sorted(set(STAGED) & set(q._REGISTRY))
+    assert not clashes, f"staged names already registered: {clashes}"
