@@ -669,28 +669,28 @@ def q_snht_changepoint_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     diffs AS (
       SELECT h1.vc - h0.vc AS d,
-             CAST(sum(h1.c * h0.c) AS BIGINT) AS w
+             sum(h1.c::HUGEINT * h0.c) AS w
       FROM h1 CROSS JOIN h0 GROUP BY 1
     ),
     cum AS (
       SELECT d, w,
-             CAST(coalesce(sum(w) OVER (ORDER BY d
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS BIGINT) AS cb,
-             CAST(sum(w) OVER () AS BIGINT) AS wt
+             coalesce(sum(w) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0::HUGEINT) AS cb,
+             sum(w) OVER () AS wt
       FROM diffs
     ),
     dm AS (
-      SELECT CAST(sum((CASE WHEN cb < (wt + 1) // 2
-                        AND (wt + 1) // 2 <= cb + w
+      SELECT CAST(sum((CASE WHEN wt >= 2 * cb + 1
+                        AND wt <= 2 * cb + 2 * w
                        THEN d ELSE 0 END)
-                  + (CASE WHEN cb < (wt + 2) // 2
-                        AND (wt + 2) // 2 <= cb + w
+                  + (CASE WHEN wt >= 2 * cb
+                        AND wt <= 2 * cb + 2 * w - 1
                        THEN d ELSE 0 END)) AS BIGINT) AS d2,
-             CAST(any_value(wt) AS BIGINT) AS n_pairs
+             CAST(any_value(wt) AS DOUBLE) AS n_pairs
       FROM cum
     )
-    SELECT n_pairs,
+    SELECT n_pairs + 0.0 AS n_pairs,
            round(CAST(d2 AS DOUBLE) / 20.0, 6) + 0.0 AS hl_shift
     FROM dm
     """,
@@ -704,9 +704,12 @@ def q_hodges_lehmann_shift_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid's 17k distinct values made the pair join 2.9e8 wide and 4x
     slower), their cross join enumerates only distinct-value pairs
     with weight c1*c0, and the weighted doubled median walks the
-    cumulative pair mass with both middle-rank terms ADDED (ranks
-    (W+1)//2 and (W+2)//2 over W = n1*n0 pairs, exact in BIGINT to
-    W ~ 1e16). The output divides the doubled deci-grid sum by 20.
+    cumulative pair mass with both middle-rank terms ADDED. The rank
+    conditions use the multiply-only forms (W >= 2cb+1, W <= 2cb+2w
+    for rank (W+1)//2) so the int128 pair mass W = n1*n0 (~2.5e23 at
+    the design point) never meets a division — Spark's div would
+    overflow its BIGINT result; n_pairs is emitted as DOUBLE for the
+    same reason. The output divides the doubled deci-grid sum by 20.
     The grid IS the scale knob: a wider value span coarsens the
     estimate, never the cost model — pairs stay O(grid^2).
     """
@@ -726,9 +729,12 @@ def q_hodges_lehmann_shift_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
     diffs = (
         h1.alias("a")
         .crossJoin(F.broadcast(h0.alias("b")))
-        .selectExpr("a.vc - b.vc AS d", "a.c * b.c AS pw")
+        .selectExpr(
+            "a.vc - b.vc AS d",
+            "CAST(a.c AS DECIMAL(38,0)) * b.c AS pw",
+        )
         .groupBy("d")
-        .agg(F.sum("pw").cast("long").alias("w"))
+        .agg(F.sum("pw").alias("w"))
     )
     wb = W.orderBy("d").rowsBetween(W.unboundedPreceding, -1)
     wall = W.orderBy("d").rowsBetween(
@@ -737,21 +743,23 @@ def q_hodges_lehmann_shift_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = diffs.select(
         "d",
         "w",
-        F.coalesce(F.sum("w").over(wb), F.lit(0)).cast("long").alias("cb"),
-        F.sum("w").over(wall).cast("long").alias("wt"),
+        F.coalesce(
+            F.sum("w").over(wb), F.expr("CAST(0 AS DECIMAL(38,0))")
+        ).alias("cb"),
+        F.sum("w").over(wall).alias("wt"),
     )
     dm = cum.agg(
         F.expr(
-            "CAST(sum((CASE WHEN cb < (wt + 1) div 2"
-            " AND (wt + 1) div 2 <= cb + w THEN d ELSE 0 END)"
-            " + (CASE WHEN cb < (wt + 2) div 2"
-            " AND (wt + 2) div 2 <= cb + w THEN d ELSE 0 END))"
+            "CAST(sum((CASE WHEN wt >= 2 * cb + 1"
+            " AND wt <= 2 * cb + 2 * w THEN d ELSE 0 END)"
+            " + (CASE WHEN wt >= 2 * cb"
+            " AND wt <= 2 * cb + 2 * w - 1 THEN d ELSE 0 END))"
             " AS BIGINT)"
         ).alias("d2"),
-        F.expr("CAST(any_value(wt) AS BIGINT)").alias("n_pairs"),
+        F.expr("CAST(any_value(wt) AS DOUBLE)").alias("n_pairs"),
     )
     return dm.selectExpr(
-        "n_pairs",
+        "n_pairs + 0.0 AS n_pairs",
         "round(CAST(d2 AS DOUBLE) / 20.0, 6) + 0.0 AS hl_shift",
     )
 
@@ -1181,9 +1189,7 @@ def q_longest_monotone_runs_hourly(
              CAST(sum(vm) AS BIGINT) AS s,
              sum(vm::HUGEINT * vm) AS ss
       FROM v GROUP BY 1
-      HAVING count(*) >= 2
-         AND sum(vm::HUGEINT * vm) * count(*)
-             > CAST(sum(vm) AS HUGEINT) * sum(vm)
+      HAVING count(*) >= 2 AND min(vm) <> max(vm)
     ),
     w AS (
       SELECT event_type, n,
@@ -1225,8 +1231,9 @@ def q_welch_anova_value_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic ANOVA. Group moments (n, sum, sumsq) are exact integers
     (sumsq int128-widened: micro values square to 1e12 and 1e8 rows
     push the sum past 2^63); zero-variance or singleton groups drop
-    via exact integer HAVING (n*ss > s^2 compares int128, no float
-    epsilon), mirroring the bartlett exclusion rule. Constants follow
+    via the exact min <> max test (an n*ss > s^2 comparison would
+    outgrow even int128 at the design point), mirroring the bartlett
+    exclusion rule. Constants follow
     the decimal-poison rule (CAST(2*(k-2) AS DOUBLE), never 2.0*(k-2)
     on a path where DECIMAL could bind first). k <= 1 NULLs via
     nullif. Shape: one groupBy to ~5 rows, scalar broadcast join,
@@ -1245,8 +1252,10 @@ def q_welch_anova_value_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n"),
             F.sum("vm").cast("long").alias("s"),
             F.expr("sum(CAST(vm AS DECIMAL(38,0)) * vm)").alias("ss"),
+            F.min("vm").alias("lo"),
+            F.max("vm").alias("hi"),
         )
-        .where("n >= 2 AND ss * n > CAST(s AS DECIMAL(38,0)) * s")
+        .where("n >= 2 AND lo <> hi")
     )
     w = g.selectExpr(
         "event_type",
@@ -1324,20 +1333,20 @@ def q_welch_anova_value_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     per_type AS (
       SELECT event_type, any_value(k) AS k, any_value(b) AS b,
-             CAST(sum(sp * sp) AS BIGINT) AS a_part,
+             sum(sp::HUGEINT * sp) AS a_part,
              CAST(sum(sp) AS BIGINT) AS sj
       FROM s GROUP BY 1
     ),
     agg AS (
       SELECT any_value(k) AS k, any_value(b) AS b,
-             CAST(sum(a_part) AS BIGINT) AS ap,
-             CAST(sum(sj * sj) AS BIGINT) AS bpp
+             sum(a_part) AS ap,
+             sum(sj::HUGEINT * sj) AS bpp
       FROM per_type
     )
     SELECT b AS b_days, k AS k_types,
-           round(CAST((b - 1) * bpp AS DOUBLE)
-                 / nullif(CAST(b * ap - bpp AS DOUBLE), 0), 6) + 0.0
-             AS quade_f
+           round(CAST((b - 1)::HUGEINT * bpp AS DOUBLE)
+                 / nullif(CAST(b::HUGEINT * ap - bpp AS DOUBLE), 0), 6)
+             + 0.0 AS quade_f
     FROM agg
     """,
 )
@@ -1350,9 +1359,10 @@ def q_quade_test_day_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores S' = dq*(dr - (k+1)) = 4*S_quade satisfy F = (b-1)*B'' /
     (b*A' - B'') with A' = sum S'^2, B'' = sum_j (sum_d S')^2 — the
     4x doubling cancels, leaving the textbook statistic as one exact
-    integer ratio until the final division (BIGINT-safe: b is
-    calendar-bounded, B'' <= k*(12*b^2)^2 ~ 1e17 at a decade of
-    days). Identical-ranking degeneracy (all spreads equal and blocks
+    integer ratio until the final division. The squared sums and the
+    b*A' cross term ride int128: at the 1e5-day design point b*A'
+    reaches ~2e23, past BIGINT even though any realistic fixture
+    fits. Identical-ranking degeneracy (all spreads equal and blocks
     unanimous) makes both A' and B'' collapse and NULLs via nullif.
     Shape: one grid groupBy, two bounded window passes, joins on the
     day key only.
@@ -1411,21 +1421,21 @@ def q_quade_test_day_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_type = s.groupBy("event_type").agg(
         F.first("k").alias("k"),
         F.first("b").alias("b"),
-        F.sum(F.col("sp") * F.col("sp")).cast("long").alias("a_part"),
+        F.expr("sum(CAST(sp AS DECIMAL(38,0)) * sp)").alias("a_part"),
         F.sum("sp").cast("long").alias("sj"),
     )
     agg = per_type.agg(
         F.first("k").alias("k"),
         F.first("b").alias("b"),
-        F.sum("a_part").cast("long").alias("ap"),
-        F.sum(F.col("sj") * F.col("sj")).cast("long").alias("bpp"),
+        F.sum("a_part").alias("ap"),
+        F.expr("sum(CAST(sj AS DECIMAL(38,0)) * sj)").alias("bpp"),
     )
     return agg.selectExpr(
         "b AS b_days",
         "k AS k_types",
-        "round(CAST((b - 1) * bpp AS DOUBLE)"
-        " / nullif(CAST(b * ap - bpp AS DOUBLE), 0), 6) + 0.0"
-        " AS quade_f",
+        "round(CAST(CAST(b - 1 AS DECIMAL(38,0)) * bpp AS DOUBLE)"
+        " / nullif(CAST(CAST(b AS DECIMAL(38,0)) * ap - bpp"
+        " AS DOUBLE), 0), 6) + 0.0 AS quade_f",
     )
 
 
@@ -2289,8 +2299,8 @@ def q_v_measure_embedding_partition(
     ),
     parts AS (
       SELECT k, n,
-             sum(CAST((n::HUGEINT * sj - nj::HUGEINT * s)
-                      * (n::HUGEINT * sj - nj::HUGEINT * s) AS DOUBLE)
+             sum(CAST(n::HUGEINT * sj - nj::HUGEINT * s AS DOUBLE)
+                 * CAST(n::HUGEINT * sj - nj::HUGEINT * s AS DOUBLE)
                  / (CAST(nj AS DOUBLE) * n * n)) AS between_ss,
              sum(CAST(ssj AS DOUBLE)
                  - CAST(sj AS DOUBLE) * sj / nj) AS within_ss
@@ -2309,9 +2319,10 @@ def q_calinski_harabasz_value_types(
 ) -> DataFrame:
     """Calinski-Harabasz variance-ratio index treating event types as
     clusters over the micro-gridded value axis: [between-SS/(k-1)] /
-    [within-SS/(n-k)]. Between-group terms use the exact integer form
-    (n*s_j - n_j*S)^2 / (n_j*n^2) — int128-widened per-row since
-    n*s_j reaches ~1e22 at corpus scale — and within-SS comes from
+    [within-SS/(n-k)]. Between-group terms keep the
+    difference n*s_j - n_j*S exact in int128 (~1e33 at corpus scale)
+    and square it in DOUBLE — squaring inside int128 would overflow
+    even DECIMAL(38,0) — and within-SS comes from
     exact integer group moments; the 5-term cross-group sums are the
     bartlett small-k float precedent. Degenerate k = 1 or zero
     within-variance NULLs via nullif. One groupBy to k rows + one
@@ -2339,10 +2350,10 @@ def q_calinski_harabasz_value_types(
         .groupBy("k", "n")
         .agg(
             F.expr(
-                "sum(CAST((CAST(n AS DECIMAL(38,0)) * sj"
-                " - CAST(nj AS DECIMAL(38,0)) * s)"
-                " * (CAST(n AS DECIMAL(38,0)) * sj"
-                " - CAST(nj AS DECIMAL(38,0)) * s) AS DOUBLE)"
+                "sum(CAST(CAST(n AS DECIMAL(38,0)) * sj"
+                " - CAST(nj AS DECIMAL(38,0)) * s AS DOUBLE)"
+                " * CAST(CAST(n AS DECIMAL(38,0)) * sj"
+                " - CAST(nj AS DECIMAL(38,0)) * s AS DOUBLE)"
                 " / (CAST(nj AS DOUBLE) * n * n))"
             ).alias("between_ss"),
             F.expr(
@@ -2560,8 +2571,8 @@ def q_nri_reclassification_scores(
     ),
     contrib AS (
       SELECT pos, neg, neg // 5 AS m,
-             CAST(sum(greatest(0, least(ng, neg // 5 - neg_above))
-                      * (2 * pos_above + p)) AS BIGINT) AS s2
+             sum(greatest(0, least(ng, neg // 5 - neg_above))::HUGEINT
+                 * (2 * pos_above + p)) AS s2
       FROM cum
       GROUP BY 1, 2, 3
     )
@@ -2582,8 +2593,9 @@ def q_eval_partial_auc_fpr20(spark: SparkSession, sf_dir: str) -> DataFrame:
     (2*pos_above + pos_tied) with taken = clamp(m - neg_above, 0, ng)
     — partial inclusion of a tied boundary group is EXACT because all
     its members share the same positives-above count. The doubled sum
-    handles ties midrank-style and stays BIGINT-safe (bounded by
-    2*pos*neg ~ 2.5e15 at 1e8 events, the MW-U magnitude class).
+    handles ties midrank-style and rides int128 (bounded by 2*pos*neg
+    ~ 2e24 at the 1e12-event design point, the widened MW-U magnitude
+    class).
     Outputs both the absolute pAUC (fraction of the full unit square)
     and the band-normalized form. One histogram shuffle + one bounded
     window pass.
@@ -2616,10 +2628,10 @@ def q_eval_partial_auc_fpr20(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         "neg",
         "neg div 5 AS m",
-        "greatest(0, least(ng, neg div 5 - neg_above))"
-        " * (2 * pos_above + p) AS t",
+        "CAST(greatest(0, least(ng, neg div 5 - neg_above))"
+        " AS DECIMAL(38,0)) * (2 * pos_above + p) AS t",
     ).groupBy("pos", "neg", "m").agg(
-        F.sum("t").cast("long").alias("s2")
+        F.sum("t").alias("s2")
     )
     return contrib.selectExpr(
         "pos",
@@ -3015,7 +3027,8 @@ def q_benford_second_digit_totalprice(
       HAVING sum(CAST(floor(l_quantity) AS BIGINT)) > 0
     ),
     up AS (
-      SELECT part, mi, q, (v * 1000) // q AS p
+      SELECT part, mi, q,
+             CAST((v::HUGEINT * 1000) // q AS BIGINT) AS p
       FROM pm
     ),
     base AS (
@@ -3078,7 +3091,10 @@ def q_price_index_fisher_monthly(
         )
         .where("q > 0")
     )
-    up = pm.selectExpr("part", "mi", "q", "(v * 1000) div q AS p")
+    up = pm.selectExpr(
+        "part", "mi", "q",
+        "CAST((CAST(v AS DECIMAL(38,0)) * 1000) div q AS BIGINT) AS p",
+    )
     base_mi = up.agg(F.min("mi").alias("m0"))
     base = (
         up.crossJoin(F.broadcast(base_mi))
@@ -3940,9 +3956,10 @@ def q_clv_heuristic_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     t1 AS (
       SELECT CAST(sum(CAST(floor(
-               CAST((n1::HUGEINT * dr - 2 * (n1 + n0)::HUGEINT * i)
-                    * (n1::HUGEINT * dr - 2 * (n1 + n0)::HUGEINT * i)
-                 AS DOUBLE)
+               CAST(n1::HUGEINT * dr
+                    - 2 * (n1 + n0)::HUGEINT * i AS DOUBLE)
+               * CAST(n1::HUGEINT * dr
+                    - 2 * (n1 + n0)::HUGEINT * i AS DOUBLE)
                * (n1 + 1) * (n1 + 1)
                / (4.0 * n1 * n0 * (n1 + n0))
                / (CAST(i AS DOUBLE) * (n1 + 1 - i))
@@ -3959,9 +3976,10 @@ def q_clv_heuristic_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     t0 AS (
       SELECT CAST(sum(CAST(floor(
-               CAST((n0::HUGEINT * dr - 2 * (n1 + n0)::HUGEINT * i)
-                    * (n0::HUGEINT * dr - 2 * (n1 + n0)::HUGEINT * i)
-                 AS DOUBLE)
+               CAST(n0::HUGEINT * dr
+                    - 2 * (n1 + n0)::HUGEINT * i AS DOUBLE)
+               * CAST(n0::HUGEINT * dr
+                    - 2 * (n1 + n0)::HUGEINT * i AS DOUBLE)
                * (n0 + 1) * (n0 + 1)
                / (4.0 * n0 * n1 * (n1 + n0))
                / (CAST(i AS DOUBLE) * (n0 + 1 - i))
@@ -3987,7 +4005,9 @@ def q_bws_test_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
     differences than KS or MW-U. The per-member expansion is a
     linear-size unnest over the histogram's within-arm index ranges
     (each tied member shares its group's doubled midrank dr, so the
-    numerator (n*dr - 2(m+n)i)^2 is an exact int128 per member); each
+    numerator difference n*dr - 2(m+n)i stays exact in int128 and is
+    squared in DOUBLE — its square would pass 1e38 at the design
+    point); each
     member's term is floor-quantized to 1e-6 before summation, making
     the cross-member sum exact integer arithmetic at any n (the
     round-7 digest rule). Half the doubled midrank enters as dr/2
@@ -4029,11 +4049,10 @@ def q_bws_test_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
         return i_rel.crossJoin(F.broadcast(tot)).agg(
             F.expr(
                 "CAST(sum(CAST(floor("
-                f"CAST((CAST({n_self} AS DECIMAL(38,0)) * dr"
-                f" - 2 * CAST(n1 + n0 AS DECIMAL(38,0)) * i)"
-                f" * (CAST({n_self} AS DECIMAL(38,0)) * dr"
-                f" - 2 * CAST(n1 + n0 AS DECIMAL(38,0)) * i)"
-                " AS DOUBLE)"
+                f"CAST(CAST({n_self} AS DECIMAL(38,0)) * dr"
+                f" - 2 * CAST(n1 + n0 AS DECIMAL(38,0)) * i AS DOUBLE)"
+                f" * CAST(CAST({n_self} AS DECIMAL(38,0)) * dr"
+                f" - 2 * CAST(n1 + n0 AS DECIMAL(38,0)) * i AS DOUBLE)"
                 f" * ({n_self} + 1) * ({n_self} + 1)"
                 f" / (4.0 * {n_self} * {n_other} * (n1 + n0))"
                 f" / (CAST(i AS DOUBLE) * ({n_self} + 1 - i))"
@@ -4270,24 +4289,24 @@ def q_audio_goertzel_tone_energy(
     ),
     lz AS (
       SELECT n, s,
-             list_reduce(list_prepend(CAST(100000 + 2 AS BIGINT),
+             list_reduce(list_prepend(CAST(10000000 + 2 AS BIGINT),
                  range(2, CAST(n + 1 AS BIGINT))),
                (st, j) -> CASE
-                 WHEN st % 100000 > j THEN st
+                 WHEN st % 10000000 > j THEN st
                  WHEN instr(substr(s, 1, CAST(j - 1 AS INT)),
-                        substr(s, CAST(st % 100000 AS INT),
-                               CAST(j - st % 100000 + 1 AS INT))) > 0
+                        substr(s, CAST(st % 10000000 AS INT),
+                               CAST(j - st % 10000000 + 1 AS INT))) > 0
                    THEN st
-                 ELSE (st // 100000 + 1) * 100000 + j + 1
+                 ELSE (st // 10000000 + 1) * 10000000 + j + 1
                END) AS enc
       FROM str
     )
     SELECT n AS n_symbols,
-           CAST(enc // 100000
-                + CASE WHEN enc % 100000 <= n THEN 1 ELSE 0 END
+           CAST(enc // 10000000
+                + CASE WHEN enc % 10000000 <= n THEN 1 ELSE 0 END
              AS BIGINT) AS lz_complexity,
-           round(CAST(enc // 100000
-                 + CASE WHEN enc % 100000 <= n THEN 1 ELSE 0 END
+           round(CAST(enc // 10000000
+                 + CASE WHEN enc % 10000000 <= n THEN 1 ELSE 0 END
                AS DOUBLE) * ln(CAST(n AS DOUBLE)) / ln(2.0) / n, 6)
              + 0.0 AS lz_normalized
     FROM lz
@@ -4301,9 +4320,9 @@ def q_lempel_ziv_complexity_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     complexity companion to sample/permutation entropy that sees
     STRUCTURE, not just distribution. Binarization compares exact
     integers (y*n > sum); the parse is a sequential integer fold whose
-    (phrase_count, phrase_start) state packs as c*100000 + p (series
-    length bounded by the calendar: a decade of 6h buckets is ~14.6k
-    << 100000), with substring containment via instr on both engines
+    (phrase_count, phrase_start) state packs as c*1e7 + p (the 1e7
+    base clears even the 114-year design-point series of ~1.7e5 6h
+    buckets), with substring containment via instr on both engines
     and the standard trailing-phrase increment. The fold is O(n) steps
     of O(n) substring search on ONE scalar row — the series, not the
     events, carries the quadratic.
@@ -4329,23 +4348,23 @@ def q_lempel_ziv_complexity_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate(CASE WHEN n >= 2 THEN"
         " sequence(CAST(2 AS BIGINT), n)"
         " ELSE CAST(array() AS ARRAY<BIGINT>) END,"
-        " CAST(100000 + 2 AS BIGINT),"
+        " CAST(10000000 + 2 AS BIGINT),"
         " (st, j) -> CASE"
-        " WHEN st % 100000 > j THEN st"
+        " WHEN st % 10000000 > j THEN st"
         " WHEN instr(substr(s, 1, CAST(j - 1 AS INT)),"
-        " substr(s, CAST(st % 100000 AS INT),"
-        " CAST(j - st % 100000 + 1 AS INT))) > 0"
+        " substr(s, CAST(st % 10000000 AS INT),"
+        " CAST(j - st % 10000000 + 1 AS INT))) > 0"
         " THEN st"
-        " ELSE (st div 100000 + 1) * 100000 + j + 1"
+        " ELSE (st div 10000000 + 1) * 10000000 + j + 1"
         " END) AS enc",
     )
     return lz.selectExpr(
         "n AS n_symbols",
-        "CAST(enc div 100000"
-        " + CASE WHEN enc % 100000 <= n THEN 1 ELSE 0 END"
+        "CAST(enc div 10000000"
+        " + CASE WHEN enc % 10000000 <= n THEN 1 ELSE 0 END"
         " AS BIGINT) AS lz_complexity",
-        "round(CAST(enc div 100000"
-        " + CASE WHEN enc % 100000 <= n THEN 1 ELSE 0 END"
+        "round(CAST(enc div 10000000"
+        " + CASE WHEN enc % 10000000 <= n THEN 1 ELSE 0 END"
         " AS DOUBLE) * ln(CAST(n AS DOUBLE)) / ln(2.0) / n, 6)"
         " + 0.0 AS lz_normalized",
     )
