@@ -1038,3 +1038,540 @@ def q_arch_lm_effect_hourly(
         "round(rsq, 6) + 0.0 AS arch_r2",
         "round(CAST(m AS DOUBLE) * rsq, 6) + 0.0 AS arch_lm",
     )
+
+# ---------------------------------------------------------------------------
+# Batch B — time-series feature extraction
+# ---------------------------------------------------------------------------
+
+_SIXH_GRID_SQL = """
+    c AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS b,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    span AS (SELECT min(b) AS lo, max(b) AS hi FROM c),
+    z AS (
+      SELECT g.b, CAST(coalesce(c.n, 0) AS BIGINT) AS y,
+             row_number() OVER (ORDER BY g.b) AS idx
+      FROM (SELECT unnest(generate_series(lo, hi)) AS b FROM span) g
+      LEFT JOIN c USING (b)
+    )
+"""
+
+_HOURLY_GRID_SQL = """
+    c AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS b,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    span AS (SELECT min(b) AS lo, max(b) AS hi FROM c),
+    z AS (
+      SELECT g.b, CAST(coalesce(c.n, 0) AS BIGINT) AS y,
+             row_number() OVER (ORDER BY g.b) AS idx
+      FROM (SELECT unnest(generate_series(lo, hi)) AS b FROM span) g
+      LEFT JOIN c USING (b)
+    )
+"""
+
+
+def _bucket_grid(spark: SparkSession, sf_dir: str, width: int) -> DataFrame:
+    """Zero-filled bucket-count series (b, y, idx) at `width` seconds,
+    the staging_r12 sample_entropy idiom: counts, span scaffold, left
+    join."""
+    ev = _events(spark, sf_dir)
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    c = ev.groupBy((sec / width).cast("long").alias("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    span = c.agg(F.min("b").alias("_lo"), F.max("b").alias("_hi"))
+    return (
+        span.select(
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("b")
+        )
+        .join(c, "b", "left")
+        .select(
+            "b", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("y")
+        )
+        .select("b", "y", F.row_number().over(W.orderBy("b")).alias("idx"))
+    )
+
+
+@stage(
+    "teager_kaiser_energy_6h",
+    f"""
+    WITH {_SIXH_GRID_SQL},
+    lagged AS (
+      SELECT y,
+             lag(y, 1) OVER (ORDER BY idx) AS yp,
+             lead(y, 1) OVER (ORDER BY idx) AS yn
+      FROM z
+    ),
+    psi AS (
+      SELECT y::HUGEINT * y - yp::HUGEINT * yn AS p
+      FROM lagged WHERE yp IS NOT NULL AND yn IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_interior,
+           round(CAST(sum(p) AS DOUBLE)
+                 / nullif(CAST(count(*) AS DOUBLE), 0), 6) + 0.0
+             AS mean_tk_energy,
+           round(CAST(sum(CASE WHEN p < 0 THEN 1 ELSE 0 END)
+                   AS DOUBLE)
+                 / nullif(CAST(count(*) AS DOUBLE), 0), 6) + 0.0
+             AS negative_share
+    FROM psi
+    """,
+)
+def q_teager_kaiser_energy_6h(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Teager-Kaiser operator energy of the zero-filled 6-hour count
+    series: psi_t = y_t^2 - y_{t-1} * y_{t+1} per interior bucket,
+    reported as the mean and the negative share.  TK energy tracks
+    instantaneous amplitude-times-frequency — a burst detector that
+    reacts to BOTH level and oscillation change, unlike the pure
+    second-moment registered features (Hjorth activity, c3, time
+    reversal).  psi is an exact integer per row (y^2 ~ N^2 outgrows
+    BIGINT at the 1e12-event design point, so products are int128; the
+    sum is bounded by 2*max(y)*sum(y) ~ 2e24), and the two divisions
+    happen once on aggregated scalars.  One groupBy + one window over
+    the bounded bucket grid.
+    """
+    z = _bucket_grid(spark, sf_dir, 21600)
+    wo = W.orderBy("idx")
+    lagged = z.select(
+        "y",
+        F.lag("y", 1).over(wo).alias("yp"),
+        F.lead("y", 1).over(wo).alias("yn"),
+    )
+    psi = lagged.where(
+        F.col("yp").isNotNull() & F.col("yn").isNotNull()
+    ).selectExpr(
+        "CAST(y AS DECIMAL(38,0)) * y"
+        " - CAST(yp AS DECIMAL(38,0)) * yn AS p"
+    )
+    return psi.agg(
+        F.count(F.lit(1)).cast("long").alias("n_interior"),
+        F.expr(
+            "round(CAST(sum(p) AS DOUBLE)"
+            " / nullif(CAST(count(*) AS DOUBLE), 0), 6) + 0.0"
+        ).alias("mean_tk_energy"),
+        F.expr(
+            "round(CAST(sum(CASE WHEN p < 0 THEN 1 ELSE 0 END)"
+            " AS DOUBLE) / nullif(CAST(count(*) AS DOUBLE), 0), 6)"
+            " + 0.0"
+        ).alias("negative_share"),
+    )
+
+
+@stage(
+    "mosum_changepoint_hourly",
+    f"""
+    WITH {_HOURLY_GRID_SQL},
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s,
+             sum(y::HUGEINT * y) AS ss
+      FROM z
+    ),
+    win AS (
+      SELECT idx,
+             CAST(sum(y) OVER (ORDER BY idx
+               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS leftw,
+             CAST(sum(y) OVER (ORDER BY idx
+               ROWS BETWEEN 1 FOLLOWING AND 24 FOLLOWING) AS BIGINT)
+               AS rightw,
+             CAST(count(*) OVER (ORDER BY idx
+               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS nl,
+             CAST(count(*) OVER (ORDER BY idx
+               ROWS BETWEEN 1 FOLLOWING AND 24 FOLLOWING) AS BIGINT)
+               AS nr
+      FROM z
+    ),
+    stat AS (
+      SELECT idx, abs(rightw - leftw) AS m
+      FROM win WHERE nl = 24 AND nr = 24
+    ),
+    peak AS (
+      SELECT idx AS peak_idx, m AS mosum_max
+      FROM (SELECT idx, m, row_number() OVER (ORDER BY m DESC, idx)
+              AS rk FROM stat) r
+      WHERE rk = 1
+    )
+    SELECT n AS n_hours, peak_idx, mosum_max,
+           round(CAST(mosum_max AS DOUBLE)
+                 / nullif(sqrt(48 * ((CAST(ss AS DOUBLE)
+                     - CAST(s AS DOUBLE) * s / n)
+                   / nullif(CAST(n - 1 AS DOUBLE), 0))), 0), 6) + 0.0
+             AS mosum_stat
+    FROM tot CROSS JOIN peak
+    """,
+)
+def q_mosum_changepoint_hourly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MOSUM (moving-sum) changepoint scan of the zero-filled hourly
+    count series at bandwidth G = 24: the statistic at t is the
+    absolute difference between the following-24h and trailing-24h
+    sums, maximized over all interior t.  The registered changepoint
+    family (Pettitt, SNHT, Buishand, CUSUM, Page-Hinkley) is built on
+    GLOBAL cumulative deviations — a level shift near the boundary or
+    multiple shifts wash out; MOSUM's fixed-width local contrast is
+    the standard remedy and localizes the peak sharply.  Window sums
+    and the argmax are exact integers (tiebreak: smallest idx); the
+    single standardization by sqrt(2G*s^2) divides doubles built from
+    int128 moment scalars.  Two ROWS windows over the bounded hourly
+    grid — raw events are touched once.
+    """
+    z = _bucket_grid(spark, sf_dir, 3600)
+    tot = z.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.expr("sum(CAST(y AS DECIMAL(38,0)) * y)").alias("ss"),
+    )
+    wo = W.orderBy("idx")
+    win = z.select(
+        "idx",
+        F.sum("y").over(wo.rowsBetween(-23, 0)).cast("long").alias(
+            "leftw"
+        ),
+        F.sum("y").over(wo.rowsBetween(1, 24)).cast("long").alias(
+            "rightw"
+        ),
+        F.count("*").over(wo.rowsBetween(-23, 0)).cast("long").alias(
+            "nl"
+        ),
+        F.count("*").over(wo.rowsBetween(1, 24)).cast("long").alias(
+            "nr"
+        ),
+    )
+    stat = win.where("nl = 24 AND nr = 24").selectExpr(
+        "idx", "abs(rightw - leftw) AS m"
+    )
+    peak = (
+        stat.select(
+            "idx",
+            "m",
+            F.row_number()
+            .over(W.orderBy(F.col("m").desc(), F.col("idx")))
+            .alias("rk"),
+        )
+        .where("rk = 1")
+        .selectExpr("idx AS peak_idx", "m AS mosum_max")
+    )
+    return tot.crossJoin(F.broadcast(peak)).selectExpr(
+        "n AS n_hours",
+        "peak_idx",
+        "mosum_max",
+        "round(CAST(mosum_max AS DOUBLE)"
+        " / nullif(sqrt(48 * ((CAST(ss AS DOUBLE)"
+        " - CAST(s AS DOUBLE) * s / n)"
+        " / nullif(CAST(n - 1 AS DOUBLE), 0))), 0), 6) + 0.0"
+        " AS mosum_stat",
+    )
+
+
+@stage(
+    "mean_crossing_profile_hourly",
+    f"""
+    WITH {_HOURLY_GRID_SQL},
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s
+      FROM z
+    ),
+    sg AS (
+      SELECT idx, y, sign(n * y - s) AS sg,
+             lag(y) OVER (ORDER BY idx) AS yp,
+             lag(sign(n * y - s)) OVER (ORDER BY idx) AS sp
+      FROM z CROSS JOIN tot
+    ),
+    longest AS (
+      SELECT CAST(coalesce(max(cnt), 0) AS BIGINT) AS longest_above
+      FROM (SELECT grp, count(*) AS cnt FROM
+            (SELECT idx - row_number() OVER (ORDER BY idx) AS grp
+             FROM sg WHERE sg = 1) g GROUP BY 1) q
+    ),
+    agg AS (
+      SELECT CAST(sum(CASE WHEN sp IS NOT NULL AND sg * sp < 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings,
+             CAST(sum(CASE WHEN yp IS NOT NULL THEN abs(y - yp)
+                    ELSE 0 END) AS BIGINT) AS tv,
+             CAST(count(*) AS BIGINT) AS n
+      FROM sg
+    )
+    SELECT n AS n_hours, n_crossings, longest_above,
+           round(CAST(tv AS DOUBLE)
+                 / nullif(CAST(n - 1 AS DOUBLE), 0), 6) + 0.0
+             AS mean_abs_change
+    FROM agg CROSS JOIN longest
+    """,
+)
+def q_mean_crossing_profile_hourly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mean-crossing profile of the zero-filled hourly count series:
+    the number of strict sign flips of (y - mean) between consecutive
+    hours, the longest run of strictly-above-mean hours, and the mean
+    absolute successive change (the tsfresh mean_abs_change).  All
+    three are decided on exact n-scaled integers — sign(n*y - s) needs
+    no division, the crossing test is a sign product, and the longest
+    run is a gaps-and-islands group over above-mean rows.  Together
+    they profile oscillation speed vs persistence, which none of the
+    registered run/ACF features expose jointly.  One window pass +
+    one bounded islands group.
+    """
+    z = _bucket_grid(spark, sf_dir, 3600)
+    tot = z.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    wo = W.orderBy("idx")
+    sg = z.crossJoin(F.broadcast(tot)).select(
+        "idx",
+        "y",
+        F.expr("sign(n * y - s)").alias("sg"),
+        F.lag("y").over(wo).alias("yp"),
+        F.lag(F.expr("sign(n * y - s)")).over(wo).alias("sp"),
+        "n",
+    )
+    longest = (
+        sg.where("sg = 1")
+        .select(
+            (F.col("idx") - F.row_number().over(W.orderBy("idx"))).alias(
+                "grp"
+            )
+        )
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.coalesce(F.max("cnt"), F.lit(0))
+            .cast("long")
+            .alias("longest_above")
+        )
+    )
+    agg = sg.agg(
+        F.expr(
+            "CAST(sum(CASE WHEN sp IS NOT NULL AND sg * sp < 0"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_crossings"),
+        F.expr(
+            "CAST(sum(CASE WHEN yp IS NOT NULL THEN abs(y - yp)"
+            " ELSE 0 END) AS BIGINT)"
+        ).alias("tv"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return agg.crossJoin(F.broadcast(longest)).selectExpr(
+        "n AS n_hours",
+        "n_crossings",
+        "longest_above",
+        "round(CAST(tv AS DOUBLE)"
+        " / nullif(CAST(n - 1 AS DOUBLE), 0), 6) + 0.0"
+        " AS mean_abs_change",
+    )
+
+@stage(
+    "western_electric_rules_6h",
+    f"""
+    WITH {_SIXH_GRID_SQL},
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s
+      FROM z
+    ),
+    dz AS (
+      SELECT idx,
+             (n * y - s)::HUGEINT * (n * y - s) AS d2,
+             sign(n * y - s) AS sg,
+             n::HUGEINT * s AS ns
+      FROM z CROSS JOIN tot
+    ),
+    flags AS (
+      SELECT idx, sg,
+             CASE WHEN d2 > 9 * ns THEN 1 ELSE 0 END AS z3,
+             CASE WHEN d2 > 4 * ns AND sg > 0 THEN 1 ELSE 0 END AS a2,
+             CASE WHEN d2 > 4 * ns AND sg < 0 THEN 1 ELSE 0 END AS b2,
+             CASE WHEN d2 > 1 * ns AND sg > 0 THEN 1 ELSE 0 END AS a1,
+             CASE WHEN d2 > 1 * ns AND sg < 0 THEN 1 ELSE 0 END AS b1,
+             CASE WHEN sg > 0 THEN 1 ELSE 0 END AS ab,
+             CASE WHEN sg < 0 THEN 1 ELSE 0 END AS bl
+      FROM dz
+    ),
+    wf AS (
+      SELECT idx, z3,
+             sum(a2) OVER (ORDER BY idx
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS w2a,
+             sum(b2) OVER (ORDER BY idx
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS w2b,
+             sum(a1) OVER (ORDER BY idx
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS w1a,
+             sum(b1) OVER (ORDER BY idx
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS w1b,
+             sum(ab) OVER (ORDER BY idx
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS w4a,
+             sum(bl) OVER (ORDER BY idx
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS w4b,
+             count(*) OVER (ORDER BY idx
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS w8n,
+             count(*) OVER (ORDER BY idx
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS w5n,
+             count(*) OVER (ORDER BY idx
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS w3n
+      FROM flags
+    )
+    SELECT (SELECT n FROM tot) AS n_buckets,
+           CAST(sum(z3) AS BIGINT) AS hits_rule1,
+           CAST(sum(CASE WHEN w3n = 3 AND (w2a >= 2 OR w2b >= 2)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS hits_rule2,
+           CAST(sum(CASE WHEN w5n = 5 AND (w1a >= 4 OR w1b >= 4)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS hits_rule3,
+           CAST(sum(CASE WHEN w8n = 8 AND (w4a = 8 OR w4b = 8)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS hits_rule4
+    FROM wf
+    """,
+)
+def q_western_electric_rules_6h(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Western Electric run-rule hits on the 6-hour count series as a
+    c-chart: rule 1 (a point beyond 3 sigma), rule 2 (>= 2 of 3
+    consecutive beyond 2 sigma, same side), rule 3 (>= 4 of 5 beyond
+    1 sigma, same side), rule 4 (8 consecutive on one side of
+    center).  The registered SPC charts flag rule-1-style breaches
+    only; the run rules are the classic detectors of SMALL sustained
+    shifts.  With Poisson (c-chart) limits center = s/n and sigma^2 =
+    s/n, every zone test is EXACT integer arithmetic: (n*y - s)^2 >
+    k^2 * n * s — no sqrt, no division anywhere (int128: the squared
+    deviation reaches (n*N)^2 at the design point).  Sided-ness rides
+    sign(n*y - s).  One scaffold pass + one multi-column ROWS window.
+    """
+    z = _bucket_grid(spark, sf_dir, 21600)
+    tot = z.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    dz = z.crossJoin(F.broadcast(tot)).selectExpr(
+        "idx",
+        "CAST(n * y - s AS DECIMAL(38,0)) * (n * y - s) AS d2",
+        "sign(n * y - s) AS sg",
+        "CAST(n AS DECIMAL(38,0)) * s AS ns",
+    )
+    flags = dz.selectExpr(
+        "idx",
+        "CASE WHEN d2 > 9 * ns THEN 1 ELSE 0 END AS z3",
+        "CASE WHEN d2 > 4 * ns AND sg > 0 THEN 1 ELSE 0 END AS a2",
+        "CASE WHEN d2 > 4 * ns AND sg < 0 THEN 1 ELSE 0 END AS b2",
+        "CASE WHEN d2 > 1 * ns AND sg > 0 THEN 1 ELSE 0 END AS a1",
+        "CASE WHEN d2 > 1 * ns AND sg < 0 THEN 1 ELSE 0 END AS b1",
+        "CASE WHEN sg > 0 THEN 1 ELSE 0 END AS ab",
+        "CASE WHEN sg < 0 THEN 1 ELSE 0 END AS bl",
+    )
+    wo = W.orderBy("idx")
+    wf = flags.select(
+        "z3",
+        F.sum("a2").over(wo.rowsBetween(-2, 0)).alias("w2a"),
+        F.sum("b2").over(wo.rowsBetween(-2, 0)).alias("w2b"),
+        F.sum("a1").over(wo.rowsBetween(-4, 0)).alias("w1a"),
+        F.sum("b1").over(wo.rowsBetween(-4, 0)).alias("w1b"),
+        F.sum("ab").over(wo.rowsBetween(-7, 0)).alias("w4a"),
+        F.sum("bl").over(wo.rowsBetween(-7, 0)).alias("w4b"),
+        F.count("*").over(wo.rowsBetween(-7, 0)).alias("w8n"),
+        F.count("*").over(wo.rowsBetween(-4, 0)).alias("w5n"),
+        F.count("*").over(wo.rowsBetween(-2, 0)).alias("w3n"),
+    )
+    out = wf.agg(
+        F.expr("CAST(sum(z3) AS BIGINT)").alias("hits_rule1"),
+        F.expr(
+            "CAST(sum(CASE WHEN w3n = 3 AND (w2a >= 2 OR w2b >= 2)"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("hits_rule2"),
+        F.expr(
+            "CAST(sum(CASE WHEN w5n = 5 AND (w1a >= 4 OR w1b >= 4)"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("hits_rule3"),
+        F.expr(
+            "CAST(sum(CASE WHEN w8n = 8 AND (w4a = 8 OR w4b = 8)"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("hits_rule4"),
+    )
+    return out.crossJoin(F.broadcast(tot.select("n"))).selectExpr(
+        "n AS n_buckets",
+        "hits_rule1",
+        "hits_rule2",
+        "hits_rule3",
+        "hits_rule4",
+    )
+
+
+@stage(
+    "diebold_mariano_forecast_test",
+    f"""
+    WITH {_HOURLY_GRID_SQL},
+    lagged AS (
+      SELECT y,
+             lag(y, 1) OVER (ORDER BY idx) AS l1,
+             lag(y, 24) OVER (ORDER BY idx) AS l24
+      FROM z
+    ),
+    d AS (
+      SELECT abs(y - l1) - abs(y - l24) AS dv
+      FROM lagged WHERE l24 IS NOT NULL
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(dv) AS BIGINT) AS sd,
+             sum(dv::HUGEINT * dv) AS sdd
+      FROM d
+    )
+    SELECT m AS n_terms,
+           round(CAST(sd AS DOUBLE) / nullif(CAST(m AS DOUBLE), 0), 6)
+             + 0.0 AS mean_loss_diff,
+           round((CAST(sd AS DOUBLE) / m)
+                 / nullif(sqrt((CAST(sdd AS DOUBLE)
+                     - CAST(sd AS DOUBLE) * sd / m)
+                   / nullif(CAST(m AS DOUBLE) * m, 0)), 0), 6) + 0.0
+             AS dm_stat
+    FROM mom
+    """,
+)
+def q_diebold_mariano_forecast_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Diebold-Mariano comparison of the naive (lag-1) vs seasonal
+    naive (lag-24) one-step forecasts of the zero-filled hourly count
+    series, under ABSOLUTE-error loss: d_t = |e_naive| - |e_seasonal|,
+    DM = mean(d) / sqrt(var(d)/m) (lag-0 long-run variance — the
+    h = 1 case).  The registered MASE / Theil's U2 queries report each
+    forecaster's accuracy; DM is the paired TEST of whether the gap is
+    real, which neither ratio provides.  Absolute loss is what keeps
+    the statistic exact at scale: d is a BIGINT per row and d^2 an
+    int128 (squared-error loss would need ~1e48 per-row products at
+    the design point).  One window pass over the bounded hourly grid;
+    the final algebra runs on three aggregated scalars.
+    """
+    z = _bucket_grid(spark, sf_dir, 3600)
+    wo = W.orderBy("idx")
+    lagged = z.select(
+        "y",
+        F.lag("y", 1).over(wo).alias("l1"),
+        F.lag("y", 24).over(wo).alias("l24"),
+    )
+    d = lagged.where(F.col("l24").isNotNull()).selectExpr(
+        "abs(y - l1) - abs(y - l24) AS dv"
+    )
+    mom = d.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("dv").cast("long").alias("sd"),
+        F.expr("sum(CAST(dv AS DECIMAL(38,0)) * dv)").alias("sdd"),
+    )
+    return mom.selectExpr(
+        "m AS n_terms",
+        "round(CAST(sd AS DOUBLE) / nullif(CAST(m AS DOUBLE), 0), 6)"
+        " + 0.0 AS mean_loss_diff",
+        "round((CAST(sd AS DOUBLE) / m)"
+        " / nullif(sqrt((CAST(sdd AS DOUBLE)"
+        " - CAST(sd AS DOUBLE) * sd / m)"
+        " / nullif(CAST(m AS DOUBLE) * m, 0)), 0), 6) + 0.0"
+        " AS dm_stat",
+    )

@@ -396,3 +396,149 @@ def test_no_staged_r13_name_collides_with_registry_or_r12():
         | (set(STAGED) & set(r12.STAGED))
     )
     assert not clashes, f"staged r13 names already taken: {clashes}"
+
+
+def _grid_events(counts, hours_per_bucket=6, start_hour=0):
+    """bucket counts -> event rows, one bucket per `hours_per_bucket`
+    hours starting 2024-01-01 00:00."""
+    rows = []
+    i = 0
+    for b, cnt in enumerate(counts):
+        h = start_hour + b * hours_per_bucket
+        for _ in range(cnt):
+            rows.append(
+                (
+                    i,
+                    f"2024-01-{1 + h // 24:02d} {h % 24:02d}:"
+                    f"{i % 60:02d}:00",
+                    1,
+                    "x",
+                    1.0,
+                    "{}",
+                )
+            )
+            i += 1
+    return rows
+
+
+class TestTeagerKaiser:
+    def test_single_interior(self, spark, tmp_path):
+        # counts 2,3,1 -> psi = 9 - 2*1 = 7
+        _write_events(tmp_path, _grid_events([2, 3, 1]))
+        row = _run(spark, tmp_path, "teager_kaiser_energy_6h")[0]
+        assert row["n_interior"] == 1
+        assert row["mean_tk_energy"] == 7.0
+        assert row["negative_share"] == 0.0
+
+    def test_mixed_signs(self, spark, tmp_path):
+        # counts 1,2,3,6 -> psi = 4-3 = 1, 9-12 = -3: mean -1, 50% neg
+        _write_events(tmp_path, _grid_events([1, 2, 3, 6]))
+        row = _run(spark, tmp_path, "teager_kaiser_energy_6h")[0]
+        assert row["n_interior"] == 2
+        assert row["mean_tk_energy"] == -1.0
+        assert row["negative_share"] == 0.5
+
+
+class TestMosum:
+    def test_level_shift(self, spark, tmp_path):
+        # 24 hours at 1 then 24 hours at 2: single valid t at idx 24,
+        # |48 - 24| = 24; s2 = 12/47, stat = 24/sqrt(48*12/47)
+        _write_events(
+            tmp_path, _grid_events([1] * 24 + [2] * 24, 1)
+        )
+        row = _run(spark, tmp_path, "mosum_changepoint_hourly")[0]
+        assert row["n_hours"] == 48
+        assert row["peak_idx"] == 24
+        assert row["mosum_max"] == 24
+        import math
+
+        expect = 24 / math.sqrt(48 * (12 / 47))
+        assert row["mosum_stat"] == pytest.approx(expect, abs=1e-6)
+
+    def test_too_short_empty(self, spark, tmp_path):
+        # < 48 hours: no valid window positions -> empty result on
+        # both engines
+        _write_events(tmp_path, _grid_events([1, 2, 3], 1))
+        rows = _run(spark, tmp_path, "mosum_changepoint_hourly")
+        assert rows == []
+
+
+class TestMeanCrossingProfile:
+    def test_alternating(self, spark, tmp_path):
+        # counts 3,1,3,1,3: signs + - + - + -> 4 crossings, longest
+        # above-run 1, total variation 8 -> mean abs change 2
+        _write_events(tmp_path, _grid_events([3, 1, 3, 1, 3], 1))
+        row = _run(spark, tmp_path, "mean_crossing_profile_hourly")[0]
+        assert row["n_hours"] == 5
+        assert row["n_crossings"] == 4
+        assert row["longest_above"] == 1
+        assert row["mean_abs_change"] == 2.0
+
+    def test_run_above(self, spark, tmp_path):
+        # counts 1,1,5,5,5,1: signs - - + + + -: 2 crossings,
+        # longest above-run 3, tv = 8 -> 1.6
+        _write_events(tmp_path, _grid_events([1, 1, 5, 5, 5, 1], 1))
+        row = _run(spark, tmp_path, "mean_crossing_profile_hourly")[0]
+        assert row["n_crossings"] == 2
+        assert row["longest_above"] == 3
+        assert row["mean_abs_change"] == 1.6
+
+
+class TestWesternElectric:
+    def test_rule1_spike(self, spark, tmp_path):
+        # counts 1,1,1,1,9: only the spike breaches 3 sigma
+        # ((32)^2 = 1024 > 9*65); the -8 rows sit just inside 1 sigma
+        # (64 < 65)
+        _write_events(tmp_path, _grid_events([1, 1, 1, 1, 9]))
+        row = _run(spark, tmp_path, "western_electric_rules_6h")[0]
+        assert row["n_buckets"] == 5
+        assert row["hits_rule1"] == 1
+        assert row["hits_rule2"] == 0
+        assert row["hits_rule3"] == 0
+        assert row["hits_rule4"] == 0
+
+    def test_rule2_two_of_three(self, spark, tmp_path):
+        # counts 1,1,1,26,26,1 (nonzero ends keep the grid span):
+        # deviations 6y-56 = -50 x3, +100 x2, -50 — every point
+        # beyond 2 sigma (1344); only the +100s breach 3 sigma
+        # (3024); rule-2 windows fire at idx 3,4 (below) and 5,6
+        # (above)
+        _write_events(
+            tmp_path, _grid_events([1, 1, 1, 26, 26, 1])
+        )
+        row = _run(spark, tmp_path, "western_electric_rules_6h")[0]
+        assert row["hits_rule1"] == 2
+        assert row["hits_rule2"] == 4
+        assert row["hits_rule3"] == 0
+        assert row["hits_rule4"] == 0
+
+    def test_rule4_run_of_eight(self, spark, tmp_path):
+        # counts 3 x8 then 1: deviations 9y-25 = +2 x8 then -16 —
+        # exactly one full window of 8 same-side points, nothing in
+        # the outer zones
+        _write_events(
+            tmp_path, _grid_events([3] * 8 + [1])
+        )
+        row = _run(spark, tmp_path, "western_electric_rules_6h")[0]
+        assert row["hits_rule1"] == 0
+        assert row["hits_rule4"] == 1
+
+
+class TestDieboldMariano:
+    def test_zero_variance_null(self, spark, tmp_path):
+        # a single valid term (25-hour span): variance 0 -> DM NULL
+        counts = [5] + [0] * 23 + [5]
+        _write_events(tmp_path, _grid_events(counts, 1))
+        row = _run(spark, tmp_path, "diebold_mariano_forecast_test")[0]
+        assert row["n_terms"] == 1
+        assert row["mean_loss_diff"] == 5.0
+        assert row["dm_stat"] is None
+
+    def test_hand_computed(self, spark, tmp_path):
+        # terms d = 5 and 3: DM = 4 / sqrt(2/4) = 5.656854
+        counts = [5] + [0] * 23 + [5, 1]
+        _write_events(tmp_path, _grid_events(counts, 1))
+        row = _run(spark, tmp_path, "diebold_mariano_forecast_test")[0]
+        assert row["n_terms"] == 2
+        assert row["mean_loss_diff"] == 4.0
+        assert row["dm_stat"] == pytest.approx(5.656854, abs=1e-6)
