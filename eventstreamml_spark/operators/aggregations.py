@@ -340,6 +340,16 @@ def pagerank(
     else:
         e0 = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"),
                           F.col(weight).cast("double").alias("_w"))
+    # Materialize the edge list ONCE before the loop: nodes/outw/e/
+    # nstats below all reference e0, and every iteration's checkpoint
+    # re-expanded the full upstream edge pipeline (for the event-type
+    # transition graph: the subject-window scan) at each of ~5
+    # references per iteration — ~15 redundant upstream executions over
+    # a 3-iteration run, measured as the dominant cost at sf0.1. The
+    # edge relation is the graph itself (small by the operator's
+    # contract); per-invocation eager materialization, never reused
+    # across calls.
+    e0 = e0.localCheckpoint()
     nodes = (
         e0.select(F.col("_s").alias("node"))
         .union(e0.select(F.col("_d").alias("node")))

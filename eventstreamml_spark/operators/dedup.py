@@ -205,13 +205,23 @@ def jaccard_pairs(
     """
     cand_pairs = None
     if candidates is not None:
-        cand_pairs = candidates.select("id_a", "id_b")
+        # Materialize the (tiny) candidate pair list and the candidate-
+        # restricted shingle relation ONCE. Both are referenced several
+        # times below (two self-join sides, the size table, the pair
+        # semi-join), and Catalyst re-expands the full candidate
+        # pipeline — MinHash signatures, band self-join and all — at
+        # EVERY reference: the un-materialized dedup_lsh_verified plan
+        # carried 44 copies of the shingle scan/window subtree and 80
+        # exchanges (measured 1.6x slower end-to-end at sf0.1).
+        # localCheckpoint is per-invocation (eager, never reused across
+        # calls), so every run still computes from the raw inputs.
+        cand_pairs = candidates.select("id_a", "id_b").localCheckpoint()
         cand_ids = (
             cand_pairs.select(F.col("id_a").alias(id_col))
             .union(cand_pairs.select(F.col("id_b").alias(id_col)))
             .distinct()
         )
-        shingles = shingles.join(cand_ids, id_col, "left_semi")
+        shingles = shingles.join(cand_ids, id_col, "left_semi").localCheckpoint()
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_df is not None:
         cold = (

@@ -963,6 +963,16 @@ def item_item_cosine_topk(
     # max_basket smallest item ids, and both the popularity explode
     # and the in-basket pair fan-out derive from the same bounded
     # per-user array — the upstream scan is never re-shuffled.
+    # Materialize the capped basket relation ONCE: it feeds both the
+    # popularity explode and the pair fan-out, and the symmetrized pair
+    # union below doubles every downstream reference — without
+    # materialization Catalyst re-expands the full upstream
+    # interaction-log join/groupBy at each of ~4 references (round-11
+    # measured plan: 46 exchange/scan nodes). Standard CF practice: the
+    # basket table is the pipeline's reused substrate; at any scale
+    # re-deriving it twice from the raw log costs more than storing
+    # ≤ max_basket ids per user. Per-invocation localCheckpoint —
+    # nothing persists across calls.
     b = (
         baskets.select(
             F.col(user_col).alias("u"), F.col(item_col).alias("i")
@@ -973,6 +983,7 @@ def item_item_cosine_topk(
                 F.array_sort(F.collect_set("i")), 1, max_basket
             ).alias("_arr")
         )
+        .localCheckpoint()
     )
     ni = b.select(F.explode("_arr").alias("i")).groupBy("i").agg(
         F.count(F.lit(1)).alias("n")
@@ -993,6 +1004,9 @@ def item_item_cosine_topk(
         .groupBy("i", "j")
         .agg(F.count(F.lit(1)).alias("n_cooccur"))
         .filter(F.col("n_cooccur") >= min_cooccur)
+        # item-pair-level (bounded by the item vocabulary, not users);
+        # the sym union below references it twice
+        .localCheckpoint()
     )
     sym = pairs.unionByName(
         pairs.select(

@@ -68,6 +68,41 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+@lru_cache(maxsize=256)
+def _scan_splits(path: str) -> int:
+    """Effective scan parallelism of one parquet file: parquet only
+    splits at row-group boundaries, so a single-row-group file yields
+    ONE non-empty scan partition no matter how Spark slices the byte
+    range — every downstream per-row projection pipelined into that
+    stage then runs on one core (guide §2.5: unsplittable input)."""
+    import pyarrow.parquet as pq
+
+    return max(1, pq.ParquetFile(path).metadata.num_row_groups)
+
+
+def load_table_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table, spreading an unsplittable scan across the
+    cluster when (and only when) the parquet footer says the scan
+    cannot parallelize on its own.
+
+    Use for CPU-dense per-row pipelines (embedding folds, hashing,
+    DCT) whose work Catalyst pipelines into the scan stage: a
+    single-row-group input otherwise pins the whole projection on one
+    core. SCALE-ADAPTIVE by construction — the decision reads the
+    footer, so production inputs with many row groups (or any input
+    already splitting at least as wide as the session's parallelism)
+    pass through untouched with no extra exchange; the round-robin
+    repartition only ever fires on inputs small enough that shuffling
+    them is trivially cheap. Results must not (and per the engine's
+    partitioning-agnostic discipline do not) depend on partitioning."""
+    df = load_table(spark, sf_dir, name)
+    p = spark.sparkContext.defaultParallelism
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if _scan_splits(path) < p:
+        return df.repartition(p)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
 

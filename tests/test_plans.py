@@ -106,11 +106,14 @@ def test_agg_by_time_type_distributed_ids_match(spark):
 
 
 def test_jaccard_candidates_restrict_self_join(spark):
-    """With an LSH candidate list, the shingle self-join's inputs are
-    semi-joined down to candidate doc-ids BEFORE the join (one LeftSemi
-    per side) and the aggregated pairs are semi-joined to the exact
-    pair list (a third) — the prefilter bounds the quadratic work, it
-    does not just filter its output."""
+    """With an LSH candidate list, the quadratic shingle self-join runs
+    over the MATERIALIZED candidate-restricted shingle relation (the
+    semi-join executes once inside the localCheckpoint — round-11
+    plan-explosion fix: the un-materialized form re-expanded the full
+    shingle window pipeline at every reference, 44 scan copies in
+    dedup_lsh_verified), and the aggregated pairs are still semi-joined
+    to the exact pair list so id-restriction alone cannot admit
+    cross-pairs between unrelated candidates."""
     from eventstreamml_spark.operators.dedup import jaccard_pairs, word_shingles
 
     docs = load_table(spark, SF, "documents")
@@ -118,7 +121,16 @@ def test_jaccard_candidates_restrict_self_join(spark):
     cand = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
     q = jaccard_pairs(sh, threshold=0.1, candidates=cand)
     optimized = q._jdf.queryExecution().optimizedPlan().toString()
-    assert optimized.count("LeftSemi") >= 3
+    # pair-list restriction on the aggregated intersections survives
+    assert optimized.count("LeftSemi") >= 1
+    # the self-join sides read the checkpointed restricted relation:
+    # the shingle window pipeline must NOT be re-expanded in this plan
+    assert "Window" not in optimized
+    assert optimized.count("LogicalRDD") >= 2
+    # and the restriction itself still bounds the work: only candidate
+    # docs' shingles survive in the materialized relation
+    restricted_rows = q.count()
+    assert restricted_rows <= 1  # docs 0 and 1 share no 4-gram at sf0.001
 
 
 def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
