@@ -17,6 +17,15 @@ def canonical_edges(
     """Undirected edge canonicalization: drop self-loops, order each
     endpoint pair as (lo, hi), dedup. One shuffle (the distinct)."""
     s, d = F.col(src_col), F.col(dst_col)
+    # Materialized (per-invocation localCheckpoint): every consumer —
+    # degree tables, wedge joins, orientation, anti-joins, per-round
+    # frontiers — references the canonical edge set several times, and
+    # un-materialized each reference re-expands the caller's full
+    # upstream edge-derivation pipeline (round-11 measured: the events
+    # scan + distinct re-ran 3-6x per graph query). The canonical edge
+    # set IS the graph — materializing it once is the GraphX-style
+    # substrate discipline at any scale; nothing is reused across
+    # invocations.
     return (
         edges.filter(s != d)
         .select(
@@ -24,6 +33,7 @@ def canonical_edges(
             F.greatest(s, d).alias("hi"),
         )
         .distinct()
+        .localCheckpoint()
     )
 
 
@@ -67,7 +77,7 @@ def triangle_count(
     oriented = with_deg.select(
         F.when(u_first, F.col("lo")).otherwise(F.col("hi")).alias("u"),
         F.when(u_first, F.col("hi")).otherwise(F.col("lo")).alias("v"),
-    )
+    ).localCheckpoint()  # feeds both wedge sides AND the closing join
     e1 = oriented.select(F.col("u"), F.col("v"))
     e2 = oriented.select(F.col("u"), F.col("v").alias("w"))
     # each wedge (v, w) out of u is generated once with v != w; the
@@ -122,6 +132,9 @@ def random_walks(
         adj = adj.select(
             "node", F.slice(F.col("nbrs"), 1, max_degree).alias("nbrs")
         )
+    # one reference per hop: materialize the adjacency once instead of
+    # re-running the groupBy n_steps times (round-11 opt)
+    adj = adj.localCheckpoint()
     walks = adj.select(
         F.col("node").alias("start"),
         F.col("node").alias("cur"),
@@ -395,6 +408,8 @@ def label_propagation(
     adj = und.select(
         F.col("lo").alias("a"), F.col("hi").alias("b")
     ).unionAll(und.select(F.col("hi").alias("a"), F.col("lo").alias("b")))
+    # adj is referenced every sweep — materialize once (round-11 opt)
+    adj = adj.localCheckpoint()
     lab = adj.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("lab")
     )

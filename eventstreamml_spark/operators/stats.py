@@ -87,24 +87,34 @@ def bootstrap_mean_ci(
     """
     hex_thresholds = poisson1_hex16_thresholds()
     b_range = list(range(n_replicates))
-    x = F.col(value_col).cast("double")
 
     def _pass(bs: list[int], with_stats: bool) -> DataFrame:
+        # Weight expressions are generated as SQL TEXT and parsed once:
+        # composing the same ~25-node when-chain per replicate through
+        # the Python Column API costs one py4j round trip per node
+        # (~800 per pass at B=32) and dominated this operator's wall
+        # time as pure plan construction (the measured >~500-node rule,
+        # same fix as pq_encode). The parsed CASE chain is the same
+        # expression the nested when/otherwise tree evaluated — first
+        # matching branch wins — so values are bit-identical.
         wcols = []
         for g in sorted({b // 8 for b in bs}):
-            h = F.md5(
-                F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(g)))
-            )
+            h = f"md5(concat_ws(':', CAST(`{id_col}` AS STRING), '{g}'))"
             for j in range(8):
                 b = g * 8 + j
                 if b not in bs:
                     continue
-                seg = F.substring(h, 1 + 4 * j, 4)
-                w = F.lit(6)
-                for k in range(len(hex_thresholds) - 1, -1, -1):
-                    w = F.when(seg < hex_thresholds[k], F.lit(k)).otherwise(w)
-                wcols.append(w.cast("double").alias(f"_v{b}"))
-        proj = df.select(F.col(by), x.alias("_x"), *wcols)
+                seg = f"substring({h}, {1 + 4 * j}, 4)"
+                whens = " ".join(
+                    f"WHEN {seg} < '{hex_thresholds[k]}' THEN {k}"
+                    for k in range(len(hex_thresholds))
+                )
+                wcols.append(
+                    f"CAST(CASE {whens} ELSE 6 END AS DOUBLE) AS _v{b}"
+                )
+        proj = df.selectExpr(
+            f"`{by}`", f"CAST(`{value_col}` AS DOUBLE) AS _x", *wcols
+        )
         stats = (
             [
                 F.count(F.lit(1)).alias("n"),
