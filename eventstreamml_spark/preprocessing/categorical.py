@@ -190,9 +190,17 @@ class CategoricalPreprocessor:
         alive = status.filter(~F.col("dropped")).select(m)
         vocab = unk.unionByName(kept).join(F.broadcast(alive), m, "left_semi")
 
+        # Materialize the tiny fitted relations per fit() call.
+        # localCheckpoint, NOT .cache(): CacheManager keys on the
+        # canonicalized plan, so a cache here would be silently reused
+        # by a later identical fit() in the same session (cross-run
+        # result reuse). localCheckpoint is eager and per-invocation —
+        # every fit recomputes from its inputs — and truncates the
+        # plan, so downstream transform/tensorize references stop
+        # re-expanding the fit subtree.
         return CategoricalPreprocessorModel(
-            status=status.cache(),
-            vocab=vocab.cache(),
+            status=status.localCheckpoint(),
+            vocab=vocab.localCheckpoint(),
             measurement_col=m,
             element_col=e,
         )

@@ -309,11 +309,14 @@ class NumericPreprocessor:
                 "norm_std", F.lit(None).cast("double")
             )
             if norm is not None:
-                norm_state = norm.cache()
+                norm_state = norm.localCheckpoint()
 
-        # model state is tiny (one row per key) — materialize it once so
-        # every downstream transform reuses the computed plan
-        state = state.cache()
+        # model state is tiny (one row per key) — materialize it per
+        # fit() call so every downstream transform reuses the computed
+        # relation. localCheckpoint, NOT .cache(): a cache would be
+        # plan-keyed in CacheManager and silently reused by a later
+        # identical fit() in the same session (cross-run result reuse).
+        state = state.localCheckpoint()
         return NumericPreprocessorModel(
             state=state,
             key_col=key,

@@ -406,7 +406,10 @@ def q_gk_lambda_type_segment(
     c = ev.selectExpr(
         "event_type AS t", "user_id % 4 AS s"
     ).groupBy("t", "s").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    c = c.cache()
+    # localCheckpoint, not .cache(): plan-keyed caches are reused by
+    # the next identical invocation in-session (prohibited cross-run
+    # result reuse); this materializes the tiny cell relation per call.
+    c = c.localCheckpoint()
     rowm = c.groupBy("s").agg(F.max("n").alias("mx")).agg(
         F.sum("mx").cast("long").alias("srm")
     )
