@@ -65,6 +65,16 @@ def tensorize(
     Time is minutes since each subject's first selected event (W3,
     event_stream_pytorch_dataset.py:296-310).
     """
+    # Materialize each vocabulary once per call (localCheckpoint, not
+    # .cache(): a plan-keyed cache would be silently shared with the
+    # next identical invocation in-session). The size counts below are
+    # driver actions at plan-build and the et/metadata maps reference
+    # the vocab again at execution — without this, a build_vocabulary
+    # plan (3 scans of its source) executes ~4x per tensorize call.
+    vocabs = {name: v.localCheckpoint() for name, v in vocabs.items()}
+    if static_vocab is not None:
+        static_vocab = static_vocab.localCheckpoint()
+
     # block sizes: event_type has no UNK slot; metadata vocabs keep it
     sizes = {"event_type": vocabs["event_type"].filter(F.col("element") != UNK).count()}
     meas_index = {"event_type": 1}

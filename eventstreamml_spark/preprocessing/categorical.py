@@ -120,9 +120,27 @@ class CategoricalPreprocessor:
         m, e = self.measurement_col, self.element_col
         cfg = self.config
 
-        per_meas = train.groupBy(m).agg(
-            F.count(F.col(e)).alias("n_obs"),
-            F.count(F.lit(1)).alias("_rows"),
+        # Single pass over train: per-(measurement, element) counts with
+        # null elements kept as their own group, materialized once per
+        # fit() call (localCheckpoint — vocabulary-sized, one row per
+        # distinct element). Everything downstream (per_meas, counts,
+        # status, vocab) derives from this relation; before this, each
+        # of those subtrees re-expanded the full train scan, so one fit
+        # executed the (possibly explode/join-heavy) train plan 6-8x.
+        base = (
+            train.groupBy(m, F.col(e).cast("string").alias("element"))
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .localCheckpoint()
+        )
+
+        # per-measurement totals: n_obs counts non-null elements (a
+        # non-null element casts to a non-null string, so the grouped
+        # form is exactly F.count(F.col(e))); _rows counts all rows
+        per_meas = base.groupBy(m).agg(
+            F.sum(
+                F.when(F.col("element").isNotNull(), F.col("_cnt")).otherwise(F.lit(0))
+            ).alias("n_obs"),
+            F.sum("_cnt").alias("_rows"),
         )
         if total_possible is None:
             per_meas = per_meas.withColumn("total_possible", F.col("_rows"))
@@ -146,9 +164,7 @@ class CategoricalPreprocessor:
 
         # 2. vocab counts over non-null elements; freq denominator = n_obs
         counts = (
-            train.filter(F.col(e).isNotNull())
-            .groupBy(m, F.col(e).cast("string").alias("element"))
-            .agg(F.count(F.lit(1)).alias("_cnt"))
+            base.filter(F.col("element").isNotNull())
             .join(F.broadcast(per_meas.select(m, "n_obs", "_col_ok")), m, "inner")
             .filter(F.col("_col_ok"))
             .withColumn("freq", F.col("_cnt") / F.col("n_obs"))

@@ -216,8 +216,12 @@ class NumericPreprocessor:
         else:
             bounds_state = None
 
-        # 3. value types
-        types = infer_value_types(train, key, val, self.config)
+        # 3. value types — materialized per fit() call (one row per
+        # key): typed/numeric/inliers and the final state each
+        # reference this relation, and without the checkpoint every
+        # reference re-expands the full inference subtree (3 grouped
+        # passes over train) inside its own job
+        types = infer_value_types(train, key, val, self.config).localCheckpoint()
 
         # 4. typed view for model fitting (integer keys rounded)
         typed = train.join(
@@ -245,6 +249,10 @@ class NumericPreprocessor:
                 viod = viod.withColumn(
                     "thresh_small", F.round("thresh_small", dp)
                 ).withColumn("thresh_large", F.round("thresh_large", dp))
+            # per-key thresholds, tiny: materialize so the inlier
+            # apply and the state assembly reference the computed
+            # relation instead of re-running the detector fit
+            viod = viod.localCheckpoint()
             inliers = od["apply"](numeric, viod, key, val)
         else:
             viod = None
@@ -264,6 +272,9 @@ class NumericPreprocessor:
                 norm = norm.withColumn("mean", F.round("mean", dp)).withColumn(
                     "std", F.round("std", dp)
                 )
+            # per-key normalizer params, tiny: materialize once (the
+            # state join and non-scaler norm_state both reference it)
+            norm = norm.localCheckpoint()
         else:
             norm = None
 
@@ -309,7 +320,7 @@ class NumericPreprocessor:
                 "norm_std", F.lit(None).cast("double")
             )
             if norm is not None:
-                norm_state = norm.localCheckpoint()
+                norm_state = norm  # already checkpointed above
 
         # model state is tiny (one row per key) — materialize it per
         # fit() call so every downstream transform reuses the computed

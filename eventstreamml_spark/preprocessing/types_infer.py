@@ -18,7 +18,7 @@ is two aggregation passes over the measurements table — no Python.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 from eventstreamml_spark.preprocessing.config import PreprocessingConfig
 
@@ -72,7 +72,13 @@ def infer_value_types(
     )
     stats = per_key.join(vc_raw, key_col, "left").join(vc_round, key_col, "left")
 
-    total_col_obs = df.count()  # column-level scalar (one action)
+    # column-level total = sum of per-key row counts — computed as a
+    # window over the (one row per key) stats relation instead of a
+    # df.count() driver action, which executed the full train subtree
+    # one extra time per fit (stats is tiny, so the single-partition
+    # window is free). Exactly count(*): n_key_obs counts every key
+    # row including null values.
+    total_col_obs = F.sum("n_key_obs").over(W.partitionBy())
 
     def lt_cop(count_col, threshold, total_col):
         if threshold is None:
@@ -102,7 +108,7 @@ def infer_value_types(
             lt_cop(
                 F.col("n_key_obs"),
                 config.min_valid_vocab_element_observations,
-                F.lit(total_col_obs),
+                total_col_obs,
             ),
             F.lit("dropped"),
         )

@@ -62,3 +62,19 @@ def test_null_elements_excluded_from_freq_denominator(spark):
     assert abs(v["a"] - 2 / 3) < 1e-12
     st = model.status.collect()[0]
     assert st["n_obs"] == 3 and st["total_possible"] == 4
+
+
+def test_fit_non_string_elements_cast_in_grouped_base(spark):
+    """fit() now aggregates one (measurement, element-as-string) base
+    relation in a single pass; a non-string element column must cast
+    at the group key with nulls still excluded from n_obs/freq."""
+    df = spark.createDataFrame(
+        [("m", 1.5), ("m", 1.5), ("m", 2.5), ("m", None)],
+        "measurement string, element double",
+    )
+    model = CategoricalPreprocessor().fit(df)
+    v = {r["element"]: (r["freq"], r["idx"]) for r in model.vocab.collect()}
+    assert abs(v["1.5"][0] - 2 / 3) < 1e-12 and v["1.5"][1] == 1
+    assert abs(v["2.5"][0] - 1 / 3) < 1e-12 and v["2.5"][1] == 2
+    st = model.status.collect()[0]
+    assert st["n_obs"] == 3 and st["total_possible"] == 4

@@ -365,3 +365,23 @@ def test_viod_oracle_cte_matches_python():
         assert n == len(vals), name
         assert lo == pytest.approx(round(det.thresh_small_, 6), abs=1e-6), name
         assert hi == pytest.approx(round(det.thresh_large_, 6), abs=1e-6), name
+
+
+def test_infer_column_total_is_cross_key_sum_with_nulls(spark):
+    """The drop threshold's column total is now a window sum of
+    n_key_obs over the per-key stats (no df.count() action): it must
+    equal ALL rows across ALL keys, null values included. Total here
+    is 100 (2 rare + 97 common + 1 null-valued common row); with
+    threshold t=0.0201, t*100 = 2.01 > 2 -> rare dropped, while a
+    null-excluding total of 99 would give t*99 = 1.9899 < 2 and keep
+    it — so the assertion pins that null-valued rows count. t=0.02
+    (t*100 = 2.0, not < 2) keeps rare, pinning the strict-< bound."""
+    rows = (
+        [("rare", 1.0), ("rare", 2.0)]
+        + [("common", float(i)) for i in range(97)]
+        + [("common", None)]
+    )
+    out = _infer(spark, rows, min_valid_vocab_element_observations=0.0201)
+    assert out["rare"] == "dropped" and out["common"] == "integer"
+    out2 = _infer(spark, rows, min_valid_vocab_element_observations=0.02)
+    assert out2["rare"] == "integer"
