@@ -793,3 +793,52 @@ class TestPostRotationBatch4:
         r = _run(spark, tmp_path, "interpurchase_cv2")[0]
         assert r["n_gaps"] == 2 and r["mean_gap_sec"] == 15.0
         assert r["cv2"] == round(2 * 500.0 / 900.0 - 1, 6)
+
+
+class TestShippingDelayQuartileEdges:
+    """Pin the exact p*(n-1) interpolation semantics on ties,
+    both-parities n, and the exact-rank (zero-fraction) midpath,
+    against hand-computed values — and, via _run, against DuckDB
+    quantile_cont on the same fixture. (A contingency-form rewrite of
+    this query was measured 1.55x SLOWER than percentile() — Spark's
+    Percentile already folds a small integer domain to a value->count
+    map — and reverted; these fixtures outlive that experiment.)"""
+
+    def test_two_flags_ties_and_exact_rank(self, spark, tmp_path):
+        orders = [(k, 1, "O", 10.0, "1995-01-01", "1-URGENT")
+                  for k in range(1, 14)]
+        # flag N delays [1,1,2,5,5,9]; flag R delays [2,4,4,4,7,8,10]
+        n_delays = [1, 1, 2, 5, 5, 9]
+        r_delays = [2, 4, 4, 4, 7, 8, 10]
+        li = []
+        for i, dday in enumerate(n_delays):
+            li.append((1 + i, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O",
+                       "1995-01-%02d" % (1 + dday)))
+        for i, dday in enumerate(r_delays):
+            li.append((7 + i, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "R", "O",
+                       "1995-01-%02d" % (1 + dday)))
+        _write_orders(tmp_path, orders)
+        _write_lineitem(tmp_path, li)
+        rows = {r["l_returnflag"]: r for r in _run(
+            spark, tmp_path, "shipping_delay_percentiles_by_flag")}
+        # N: n=6, positions 1.25/2.5/3.75 over [1,1,2,5,5,9]
+        assert (rows["N"]["p25"], rows["N"]["p50"], rows["N"]["p75"]) == (
+            1.25, 3.5, 5.0)
+        assert (rows["N"]["n"], rows["N"]["min_days"],
+                rows["N"]["max_days"]) == (6, 1, 9)
+        # R: n=7, positions 1.5/3.0/4.5 over [2,4,4,4,7,8,10]; the
+        # p50 position is the exact rank 3 (rj=0 path), inside a tie run
+        assert (rows["R"]["p25"], rows["R"]["p50"], rows["R"]["p75"]) == (
+            4.0, 4.0, 7.5)
+        assert (rows["R"]["n"], rows["R"]["min_days"],
+                rows["R"]["max_days"]) == (7, 2, 10)
+
+    def test_single_row_group(self, spark, tmp_path):
+        _write_orders(tmp_path, [(1, 1, "O", 10.0, "1995-01-01",
+                                  "1-URGENT")])
+        _write_lineitem(tmp_path, [(1, 1, 1, 1, 1.0, 10.0, 0.0, 0.0,
+                                    "A", "O", "1995-01-04")])
+        r = _run(spark, tmp_path,
+                 "shipping_delay_percentiles_by_flag")[0]
+        assert (r["n"], r["p25"], r["p50"], r["p75"], r["min_days"],
+                r["max_days"]) == (1, 3.0, 3.0, 3.0, 3, 3)
