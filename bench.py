@@ -239,6 +239,27 @@ def main() -> None:
             }
         )
     )
+    # Compact trailer on STDERR after the full line: a tail-truncated
+    # capture of the run still carries one short parseable record
+    # (round-9/10 driver records truncated the full stdout line
+    # mid-JSON). Deliberately NOT a second stdout JSON line — the
+    # driver contract is ONE stdout JSON line, and a parser taking the
+    # last line would otherwise read a record without "queries".
+    print(
+        "# SUMMARY "
+        + json.dumps(
+            {
+                "metric": "total_query_seconds_summary",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(medians),
+                "calibration_sec": calibration,
+                "value_norm": round(total / calibration, 3),
+            }
+        ),
+        file=sys.stderr,
+    )
     spark.stop()
 
 

@@ -87,6 +87,12 @@ def bootstrap_mean_ci(
     """
     hex_thresholds = poisson1_hex16_thresholds()
     b_range = list(range(n_replicates))
+    # identifiers are interpolated into SQL text below — escape
+    # backticks so arbitrary column names parse as the intended
+    # identifier instead of breaking out of the quoting
+    bq_id = id_col.replace("`", "``")
+    bq_val = value_col.replace("`", "``")
+    bq_by = by.replace("`", "``")
 
     def _pass(bs: list[int], with_stats: bool) -> DataFrame:
         # Weight expressions are generated as SQL TEXT and parsed once:
@@ -99,7 +105,7 @@ def bootstrap_mean_ci(
         # matching branch wins — so values are bit-identical.
         wcols = []
         for g in sorted({b // 8 for b in bs}):
-            h = f"md5(concat_ws(':', CAST(`{id_col}` AS STRING), '{g}'))"
+            h = f"md5(concat_ws(':', CAST(`{bq_id}` AS STRING), '{g}'))"
             for j in range(8):
                 b = g * 8 + j
                 if b not in bs:
@@ -113,7 +119,7 @@ def bootstrap_mean_ci(
                     f"CAST(CASE {whens} ELSE 6 END AS DOUBLE) AS _v{b}"
                 )
         proj = df.selectExpr(
-            f"`{by}`", f"CAST(`{value_col}` AS DOUBLE) AS _x", *wcols
+            f"`{bq_by}`", f"CAST(`{bq_val}` AS DOUBLE) AS _x", *wcols
         )
         stats = (
             [

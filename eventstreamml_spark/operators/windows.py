@@ -149,12 +149,14 @@ def dense_ids(
          broadcast back); ``id = offset(pid) + local_rank``.
     CORRECTNESS CONSTRAINT: range boundaries are *sampled per
     evaluation*, and the offsets branch re-reads the sorted frame — so
-    the frame is persisted (MEMORY_AND_DISK) and materialized here to
-    pin one set of boundaries for both branches. Without the pin, the
-    branches can see different boundaries and produce colliding ids
-    (observed under AQE). The persisted frame is left for LRU eviction;
-    callers numbering 100 TB should expect that footprint and drop it
-    with ``unpersist()`` when the output has been consumed.
+    the frame is eagerly ``localCheckpoint``-ed here to pin one set of
+    boundaries for both branches. Without the pin, the branches can see
+    different boundaries and produce colliding ids (observed under
+    AQE). Per-invocation by construction: a second call re-sorts and
+    re-numbers from its inputs (a plan-keyed ``persist`` here would let
+    a repeat invocation in one session silently reuse the first's
+    materialized frame — the cross-run-reuse mechanism removed
+    everywhere in round 11).
 
     Both strategies are stable across runs when ``order_cols`` is a
     total order (no duplicate keys).
@@ -174,16 +176,14 @@ def dense_ids(
     if strategy != "distributed":
         raise ValueError(f"unknown dense_ids strategy {strategy!r}")
 
-    from pyspark import StorageLevel
-
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     d = (
         df.repartitionByRange(n, *order)
         .sortWithinPartitions(*order)
         .withColumn("_mid", F.monotonically_increasing_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # eager materialization: pin partition boundaries for both branches
+        .localCheckpoint(eager=True)
     )
-    d.count()  # materialize: pin partition boundaries for both branches
     d = d.withColumn("_pid", F.shiftright("_mid", 33)).withColumn(
         "_rn", F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
     )

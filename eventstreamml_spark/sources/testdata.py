@@ -69,15 +69,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 @lru_cache(maxsize=256)
-def _scan_splits(path: str) -> int:
-    """Effective scan parallelism of one parquet file: parquet only
+def _scan_splits(path: str) -> tuple[int, int]:
+    """(row groups, compressed bytes) of one parquet file: parquet only
     splits at row-group boundaries, so a single-row-group file yields
     ONE non-empty scan partition no matter how Spark slices the byte
     range — every downstream per-row projection pipelined into that
     stage then runs on one core (guide §2.5: unsplittable input)."""
     import pyarrow.parquet as pq
 
-    return max(1, pq.ParquetFile(path).metadata.num_row_groups)
+    md = pq.ParquetFile(path).metadata
+    nbytes = sum(md.row_group(i).total_byte_size for i in range(md.num_row_groups))
+    return max(1, md.num_row_groups), nbytes
+
+
+#: ``load_table_spread`` only repartitions inputs below this many
+#: serialized bytes: row-group COUNT does not bound data size (a file
+#: with 8 multi-GB row groups still reads "few splits"), and the whole
+#: premise of the round-robin spread is that the input is small enough
+#: that shuffling it is trivially cheap. Above the bound the scan's own
+#: parallelism — however coarse — beats a full shuffle of the payload.
+SPREAD_MAX_BYTES = 1 << 30
 
 
 def load_table_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -98,7 +109,8 @@ def load_table_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = load_table(spark, sf_dir, name)
     p = spark.sparkContext.defaultParallelism
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if _scan_splits(path) < p:
+    splits, nbytes = _scan_splits(path)
+    if splits < p and nbytes <= SPREAD_MAX_BYTES:
         return df.repartition(p)
     return df
 

@@ -1,7 +1,7 @@
-"""Round-11 optimization profiler: per-query build/exec split + plans.
+"""Optimization profiler: per-query build/exec split + plans.
 
 Usage:
-  python scripts/opt_profile.py [--plans] [--noop] name1 name2 ...
+  python scripts/opt_profile.py [--plans] [--noop] [--tag T] name1 ...
   python scripts/opt_profile.py --top N        # N slowest per BENCH_FULL
 
 For each query: times DataFrame CONSTRUCTION (py4j plan building)
@@ -9,7 +9,8 @@ separately from execution (bench-identical ``collect()``; ``--noop``
 additionally times the noop sink per guide §1.4), runs
 ``$SPARK_GRAFT_BENCH_REPS`` (default 3) reps, prints the calibration
 workload first so numbers are drift-comparable, and with ``--plans``
-writes ``plans/r11/<name>_<tag>.txt`` with explain("formatted").
+writes ``plans/<round>/<name>_<tag>.txt`` with explain("formatted")
+(round dir from ``--round``, default r12).
 
 Output is one line per query:
   name  build=X  first=X  reps=[...]  med=X  rows=N
@@ -17,6 +18,7 @@ Output is one line per query:
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import statistics
@@ -27,18 +29,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:]]
-    dump_plans = "--plans" in args
-    do_noop = "--noop" in args
-    tag = "before"
-    if "--tag" in args:
-        tag = args[args.index("--tag") + 1]
-        args.remove("--tag")
-        args.remove(tag)
-    args = [a for a in args if a not in ("--plans", "--noop")]
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("names", nargs="*", help="query names to profile")
+    ap.add_argument("--plans", action="store_true", help="dump explain(formatted)")
+    ap.add_argument("--noop", action="store_true", help="also time the noop sink")
+    ap.add_argument("--tag", default="before", help="plan filename suffix")
+    ap.add_argument("--round", default="r12", dest="round_dir", help="plans subdir")
+    ap.add_argument("--top", type=int, default=None, help="N slowest per BENCH_FULL")
+    ns = ap.parse_args()
+    dump_plans, do_noop, tag = ns.plans, ns.noop, ns.tag
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    if args and args[0] == "--top":
-        n = int(args[1])
+    if ns.top is not None:
         with open(os.path.join(repo, "BENCH_FULL.json")) as f:
             d = json.load(f)
         q_, pqc, cal = (
@@ -47,9 +48,9 @@ def main() -> None:
             d.get("calibration_sec"),
         )
         norm = {k: v / (pqc.get(k) or cal) for k, v in q_.items()}
-        names = [k for k, _ in sorted(norm.items(), key=lambda kv: -kv[1])[:n]]
+        names = [k for k, _ in sorted(norm.items(), key=lambda kv: -kv[1])[: ns.top]]
     else:
-        names = args
+        names = ns.names
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
@@ -71,7 +72,7 @@ def main() -> None:
     print(f"calibration={statistics.median(ts):.4f}", flush=True)
 
     qs = q.queries()
-    plans_dir = os.path.join(repo, "plans", "r11")
+    plans_dir = os.path.join(repo, "plans", ns.round_dir)
     os.makedirs(plans_dir, exist_ok=True)
 
     for name in names:

@@ -974,6 +974,7 @@ class TestRound10EdgeCases:
         assert _run(spark, tmp_path, "bowker_symmetry_transitions") == []
 
 
+@pytest.mark.slow  # 3M-row overflow smoke (minutes) — SPARK_GRAFT_SLOW_TESTS=1
 class TestCvmScaleSmoke:
     def test_cvm_3m_rows_beyond_bigint_terms(self, spark):
         """30x-bench-volume smoke for the int128 widening: at 3M

@@ -18,6 +18,8 @@ import pytest
 
 from eventstreamml_spark import queries as q
 
+pytestmark = pytest.mark.slow  # 3M-row overflow smokes (~minutes each)
+
 N = 3_000_000
 
 

@@ -15,9 +15,12 @@ test's memory footprint is O(1) regardless of N.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from eventstreamml_spark.sources.synthetic import synthetic_events
+
+pytestmark = pytest.mark.slow  # 2M-row pipeline smokes — SPARK_GRAFT_SLOW_TESTS=1
 
 N = 2_000_000
 N_SUBJECTS = 50_000

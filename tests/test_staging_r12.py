@@ -15,6 +15,11 @@ from eventstreamml_spark.staging_r12 import STAGED
 from tests.oracle import compare
 from tests.test_round8_ops import _write_events
 
+# staged-operator fixture matrix: ~150 Spark-vs-DuckDB comparisons for
+# UNREGISTERED code — slow-gated so the default suite fits the driver
+# budget (scripts/staged_parity.py re-proves the set before wiring).
+pytestmark = pytest.mark.slow
+
 
 def _run(spark, tmp_path, name):
     fn, sql = STAGED[name]

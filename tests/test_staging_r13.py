@@ -16,6 +16,8 @@ from tests.oracle import compare
 from tests.test_round8_ops import _write_events
 from tests.test_round8b_ops import _write_orders
 
+pytestmark = pytest.mark.slow  # staged (unregistered) fixture matrix — see test_staging_r12.py
+
 
 def _run(spark, tmp_path, name):
     fn, sql = STAGED[name]
