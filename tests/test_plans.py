@@ -81,7 +81,11 @@ def test_dense_ids_auto_gates_global_window(spark):
     big = dense_ids(ev, ["user_id", "ts", "event_id"], "i", auto_threshold_bytes=0)
     plan = formatted_plan(big)
     assert "row_number" not in plan  # auto -> distributed
-    assert "monotonically_increasing_id" in plan
+    # the range-partitioned monotonically_increasing_id numbering is
+    # materialized by an eager per-invocation localCheckpoint (pins the
+    # sampled range boundaries for both branches), so downstream plans
+    # read the checkpointed RDD instead of re-deriving the ids
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
 
     # both physical strategies number identically
     a = [r["i"] for r in small.orderBy("event_id").collect()]
