@@ -159,7 +159,14 @@ def stream_inter_event_times(
     ``groupby.diff()`` (event_stream_dataset.py:873-876).
 
     ``unit_seconds=None`` emits the exact integer microsecond delta as
-    a nullable bigint — exact-hashable across engines."""
+    a nullable bigint — exact-hashable across engines.
+
+    Per-group body on raw numpy (the stream_ewma note): ``update``
+    fires once per key per micro-batch, so pandas ops inside it are
+    per-group overhead; ``np.argsort(kind="quicksort")`` reproduces
+    ``sort_values``' permutation exactly and the µs math is the same
+    int64 floor division."""
+    import numpy as np
     import pandas as pd
 
     raw_micros = unit_seconds is None
@@ -168,27 +175,34 @@ def stream_inter_event_times(
         last_us = state.get[0] if state.exists else None
         frames = []
         for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
-            ts_us = pdf[ts_col].astype("int64")  # ns since epoch
-            ts_us = ts_us // 1000
-            prev = ts_us.shift(1)
-            if last_us is not None:
-                prev.iloc[0] = last_us
-            delta = ts_us - prev
+            if len(pdf) == 0:
+                continue
+            ts = pdf[ts_col].to_numpy()
+            order = np.argsort(ts, kind="quicksort")
+            ts = ts[order]
+            ts_us = ts.astype("int64") // 1000  # ns since epoch → µs
+            delta = np.empty(len(ts_us), dtype="int64")
+            delta[1:] = ts_us[1:] - ts_us[:-1]
+            first_null = last_us is None
+            delta[0] = 0 if first_null else ts_us[0] - last_us
+            namask = np.zeros(len(ts_us), dtype=bool)
+            namask[0] = first_null
             if raw_micros:
-                tte = delta.astype("Int64")  # nullable int — exact µs
+                # exact integer µs, null only for a subject's first-ever row
+                tte = pd.arrays.IntegerArray(delta, namask)
             else:
-                tte = delta / (unit_seconds * 1_000_000.0)
+                tte = delta.astype("float64") / (unit_seconds * 1_000_000.0)
+                tte[namask] = np.nan
             frames.append(
                 pd.DataFrame(
                     {
-                        "subject_id": pdf[subject_col],
-                        "timestamp": pdf[ts_col],
+                        "subject_id": pdf[subject_col].to_numpy()[order],
+                        "timestamp": ts,
                         "tte": tte,
                     }
                 )
             )
-            last_us = int(ts_us.iloc[-1])
+            last_us = int(ts_us[-1])
         if last_us is not None:
             state.update((last_us,))
         yield from frames
@@ -397,8 +411,21 @@ def stream_ewma(
     rows sort by event time, cross-batch disorder must be bounded
     upstream (same contract as every stateful op here). Over a finite
     source the final row per subject equals the batch fold exactly —
-    same doubles, same order."""
+    same doubles, same order.
+
+    The per-group body runs on raw numpy arrays, not pandas ops:
+    ``update`` is called once per KEY per micro-batch, so with ~10³-10⁶
+    keys per batch each pandas operation inside it (boolean filter
+    copy, ``sort_values``, ``astype``, Series iteration) multiplies
+    into seconds of pure per-group overhead — the §4.5 amortization
+    lesson applied within the function. ``np.argsort(kind="quicksort")``
+    is the same algorithm ``sort_values`` uses, so tie permutations
+    (and hence the fold order) are byte-identical to the pandas form;
+    the scalar fold itself runs the identical IEEE op sequence."""
+    import numpy as np
     import pandas as pd
+
+    one_minus = 1.0 - alpha
 
     def update(key, pdfs, state: GroupState):
         if state.exists:
@@ -406,10 +433,16 @@ def stream_ewma(
         else:
             s, n = None, 0
         for pdf in pdfs:
-            pdf = pdf[pdf[value_col].notna()].sort_values(ts_col)
-            for v in pdf[value_col].astype("float64"):
-                s = v if s is None else s * (1.0 - alpha) + alpha * v
-                n += 1
+            vals = pdf[value_col].to_numpy(dtype="float64", na_value=np.nan)
+            mask = ~np.isnan(vals)
+            if not mask.any():
+                continue
+            order = np.argsort(
+                pdf[ts_col].to_numpy()[mask], kind="quicksort"
+            )
+            for v in vals[mask][order]:
+                s = v if s is None else s * one_minus + alpha * v
+            n += int(mask.sum())
         if s is not None:
             state.update((float(s), int(n)))
             yield pd.DataFrame(
