@@ -831,53 +831,71 @@ def pca_top_component(
             F.round(F.col("_ss") / (F.col("_nrows") - 1.0), 6).alias("_c"),
         )
         # d² rows by construction at ANY corpus scale: collapse to one
-        # partition so the iteration stages schedule 1 task instead of
-        # |shuffle.partitions| empty ones (measured 5.4s → 2.2s at
-        # sf0.1/local[32]). Deliberately NOT cached: caching measured
-        # 0% faster warm here, and a cache owned by a returned lazy
-        # plan can never be unpersisted — it would leak one pinned
-        # relation per call for the session lifetime.
+        # partition so the iteration runs as 1 task instead of
+        # |shuffle.partitions| mostly-empty ones (measured 5.4s → 2.2s
+        # at sf0.1/local[32]).
         .coalesce(1)
     )
 
-    v = spark.range(d).coalesce(1).select(
-        F.col("id").cast("int").alias("_j"),
-        F.lit(1.0 / float(d) ** 0.5).alias("_vj"),
+    # The power iteration runs as ONE task over the d²-row covariance
+    # (round-12, VERDICT item 4): the former per-iteration
+    # join→groupBy→norm-broadcast chain built ~15 sequential tiny
+    # stages (each a job/AQE round trip, each broadcast a driver hop)
+    # to move d² values that fit in one Arrow batch. Numerics: every
+    # input to this kernel is already 6dp-rounded (identical doubles on
+    # both engines by the argument above); iteration dot products here
+    # sum in numpy's order where the join form summed in Spark's and
+    # the oracle sums in DuckDB's — all three orders were already
+    # distinct, and the 5dp output rounding (still applied by F.round
+    # below, HALF_UP as before) is far coarser than summation-order
+    # noise. Degenerate zero covariance emits NULL loadings and NULL
+    # eigval, matching the try_divide/null-propagation semantics of the
+    # join form.
+    def power_iter(batches):
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        C = np.zeros((d, d), dtype=np.float64)
+        C[pdf["_i"].to_numpy(), pdf["_j"].to_numpy()] = pdf["_c"].to_numpy(
+            dtype=np.float64
+        )
+        v = np.full(d, 1.0 / float(d) ** 0.5, dtype=np.float64)
+        nrm = None
+        for k in range(n_iter):
+            u = C @ v
+            nrm = float(np.sqrt(np.dot(u, u)))
+            if nrm == 0.0 or not np.isfinite(nrm):
+                # join-form semantics: try_divide makes v NULL; every
+                # LATER iteration's norm is then NULL too, so eigval is
+                # NULL unless the zero norm happened in the LAST
+                # iteration (where the final nrm relation still read 0)
+                eig = nrm if (k == n_iter - 1 and nrm == 0.0) else None
+                yield pd.DataFrame(
+                    {
+                        "i": np.arange(d, dtype="int64"),
+                        "_loading": [None] * d,
+                        "_eigval": [eig] * d,
+                    }
+                )
+                return
+            v = u / nrm
+        sgn = -1.0 if v[0] < 0 else 1.0
+        yield pd.DataFrame(
+            {
+                "i": np.arange(d, dtype="int64"),
+                "_loading": v * sgn,
+                "_eigval": np.full(d, nrm),
+            }
+        )
+
+    out = cov.mapInPandas(
+        power_iter, schema="i long, _loading double, _eigval double"
     )
-    nrm = None
-    for k in range(n_iter):
-        u = (
-            cov.join(v, "_j")
-            .groupBy("_i")
-            .agg(F.sum(F.col("_c") * F.col("_vj")).alias("_u"))
-            .coalesce(1)
-        )
-        nrm = u.agg(F.sqrt(F.sum(F.col("_u") ** 2)).alias("_norm"))
-        # try_divide: a degenerate (constant-embedding) corpus has a
-        # zero covariance, so u and its norm are 0 — emit NULL loadings
-        # rather than an ANSI DIVIDE_BY_ZERO mid-iteration
-        v = u.crossJoin(F.broadcast(nrm)).select(
-            F.col("_i").alias("_j"),
-            F.try_divide(F.col("_u"), F.col("_norm")).alias("_vj"),
-        )
-        # deep iteration nests the covariance pipeline once per step and
-        # Catalyst analysis goes super-linear in that depth — flatten
-        # lineage every 3rd step (the dedup-fixpoint pattern; at the
-        # default n_iter=3 this never fires, so plan construction stays
-        # job-free)
-        if k % 3 == 2 and k < n_iter - 1:
-            v = v.localCheckpoint()
-    sign_rel = v.filter(F.col("_j") == 0).select(
-        F.when(F.col("_vj") < 0, -1.0).otherwise(1.0).alias("_sgn")
-    )
-    return (
-        v.crossJoin(F.broadcast(sign_rel))
-        .crossJoin(F.broadcast(nrm))
-        .select(
-            F.col("_j").cast("long").alias("i"),
-            F.round(F.col("_vj") * F.col("_sgn"), 5).alias("loading"),
-            F.round(F.col("_norm"), 5).alias("eigval"),
-        )
+    return out.select(
+        "i",
+        F.round("_loading", 5).alias("loading"),
+        F.round("_eigval", 5).alias("eigval"),
     )
 
 

@@ -319,9 +319,12 @@ class TestRound5PlanShapes:
             "vec_id long, embedding array<double>",
         )
         plan = self._plan(pca_top_component(df, "embedding", dim=2, n_iter=2))
-        assert "MapInPandas" in plan  # Gram partials, Arrow-batched
-        # covariance-vector joins broadcast the d-sized vector side
-        assert "BroadcastHashJoin" in plan
+        # Gram partials AND the collapsed single-task power iteration
+        # both run Arrow-batched (round-12: the per-iteration
+        # join→groupBy→broadcast chain folded into one MapInPandas over
+        # the d²-row covariance — no iteration joins remain)
+        assert plan.count("MapInPandas") >= 2
+        assert "BroadcastHashJoin" not in plan
 
     def test_novelty_never_pairs_docs(self, spark):
         from eventstreamml_spark.operators.text import ngram_novelty
