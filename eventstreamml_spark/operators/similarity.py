@@ -59,6 +59,52 @@ def norm(a: Column) -> Column:
     )
 
 
+def pair_dot_arrow(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    out_col: str,
+    keep_cols: list[str],
+) -> DataFrame:
+    """Per-row Σaᵢ·bᵢ on the Arrow path, **bit-identical** to
+    :func:`dot`'s interpreted left fold (guide §4.2 — higher-order
+    folds never enter whole-stage codegen, ~10µs/pair·dim interpreted).
+
+    The trick that preserves exactness: vectorize over ROWS, loop over
+    DIMS — ``acc = acc + a[:, j] * b[:, j]`` performs, per scalar, the
+    identical IEEE sequence ``((0.0 + p₀) + p₁) + …`` the fold
+    performs (numpy ufuncs are separate multiply/add passes, never
+    fused), so the emitted double is the same bit pattern and every
+    downstream rounding/ranking is untouched. A BLAS matmul or
+    ``np.sum`` would NOT be (pairwise summation reorders the adds) —
+    that is the float-partial trap this helper is designed around.
+
+    ``keep_cols`` are passed through; arrays are upcast to float64
+    exactly as ``dot``'s per-element double cast does."""
+    import numpy as np
+    import pandas as pd
+
+    out_fields = [df.schema[c] for c in keep_cols]
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(out_fields + [StructField(out_col, DoubleType())])
+
+    def kern(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.stack(pdf[a_col].to_numpy()).astype(np.float64, copy=False)
+            b = np.stack(pdf[b_col].to_numpy()).astype(np.float64, copy=False)
+            acc = np.zeros(len(pdf), dtype=np.float64)
+            for j in range(a.shape[1]):
+                acc = acc + a[:, j] * b[:, j]
+            out = pdf[keep_cols].copy()
+            out[out_col] = acc
+            yield out
+
+    return df.mapInPandas(kern, schema)
+
+
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
@@ -362,6 +408,15 @@ def ivf_topk(
     c = corpus_assigned.select(
         "cell_id", F.col(id_col).alias("neighbor_id"), unit_normalize(F.col(vec_col)).alias("_cv")
     )
+    # Round-12 measured dead-end: routing this per-pair dot through
+    # pair_dot_arrow (bit-identical Arrow kernel) lost the interleaved
+    # A/B 4/6 paired rounds (calm-window pairs ~7s vs ~14s) — at
+    # |queries|·n_probe·cell-size ≈ 25k pairs the Arrow boundary
+    # (python worker spin-up per task + serde + pipeline break between
+    # the join and the rank shuffle) exceeds the ~50ms of interpreted
+    # fold work it removes. The kernel is the right shape only when
+    # fold work dominates the boundary (pq_encode: 128 folds/row over
+    # the corpus side — kept there).
     scored = (
         q.join(c, "cell_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -696,58 +751,89 @@ def pq_encode(
     Emits one row per (vector, subspace): (id, subspace, code,
     sq_err), where sq_err is that subspace's quantization error.
 
-    Plan shape: the codebook folds into the plan as LITERALS (it is
-    KB-sized by construction — m·n_codes·d_sub floats), so encoding is
-    a pure projection: per subspace an array_min over a (distance,
-    code) struct array picks the argmin inside whole-stage codegen —
-    no join, no shuffle, no UDF; 10¹¹ vectors encode embarrassingly
-    parallel. Struct ordering breaks distance ties on the lower code
-    id, which the oracle replays.
+    Runs as an Arrow kernel (guide §4.2; round 12 — the prior
+    SQL-text m·n_codes·d_sub fold projection ran interpreted, HOF folds
+    never codegen): the codebook rides to executors inside the closure
+    and each batch computes all m·n_codes distances with numpy. The
+    distance arithmetic is **bit-identical** to the interpreted fold —
+    vectorize over rows, loop over dims (`acc = acc + diff*diff` is the
+    fold's ((0+t₀)+t₁)+… per scalar; numpy never fuses multiply-add) —
+    and ties pick the lower code id exactly as the former
+    array_min-over-(d, c)-structs did (np.argmin returns the FIRST
+    minimum; codes are scanned ascending). sq_err's 6dp rounding stays
+    in Spark (F.round, HALF_UP) on the same doubles, so the oracle is
+    untouched. 10¹¹ vectors encode embarrassingly parallel; the only
+    Python cost is m·d_sub vectorized passes per Arrow batch."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
 
-    The ~m·n_codes·d_sub-term distance expression is generated as SQL
-    TEXT and parsed once (measured 5-6× faster end-to-end than
-    composing the same tree through the Python Column API — a thousand
-    py4j round trips of pure plan construction dominate at this
-    expression count; the executed plan is identical)."""
     by_sub: dict[int, list[tuple[int, list[float]]]] = {}
     for s, c, cent in codebooks:
         by_sub.setdefault(s, []).append((c, cent))
     d_sub = len(next(iter(by_sub.values()))[0][1])
+    subs = sorted(by_sub)
+    # per subspace: code ids ascending (ties resolve to the lower id)
+    code_ids = {
+        s: np.array([c for c, _ in sorted(by_sub[s])], dtype="int32")
+        for s in subs
+    }
+    cents = {
+        s: np.array([cent for _, cent in sorted(by_sub[s])], dtype="float64")
+        for s in subs
+    }
 
     base = corpus.selectExpr(
         id_col, f"CAST({vec_col} AS array<double>) AS _v"
     )
-    best_exprs = []
-    for s in sorted(by_sub):
-        cands = []
-        for c, cent in sorted(by_sub[s]):
-            # loop-sized fold, not an inline term chain: m*n_codes*d_sub
-            # inline subtract-square terms blow janino's 64KB method
-            # limit and silently drop the whole projection out of
-            # codegen (measured: the pq family ran interpreted). The
-            # fold replays the chain's left-assoc order exactly
-            # (init 0.0 + t0 == t0), so values are bit-identical to
-            # the inline form and the oracle is untouched.
-            arr = ", ".join(repr(float(x)) for x in cent)
-            dist = (
-                f"aggregate(zip_with(slice(_v, {s * d_sub + 1}, {d_sub}),"
-                f" array({arr}), (x, y) -> (x - y) * (x - y)),"
-                " cast(0.0 as double), (a, z) -> a + z)"
-            )
-            cands.append(f"struct(({dist}) AS d, {c} AS c)")
-        best_exprs.append(f"array_min(array({', '.join(cands)})) AS _b{s}")
-    step1 = base.selectExpr(id_col, *best_exprs)
-    structs = ", ".join(
-        f"struct({s} AS subspace, _b{s}.c AS code, round(_b{s}.d, 6) AS sq_err)"
-        for s in sorted(by_sub)
+    schema = StructType(
+        [
+            base.schema[id_col],
+            StructField("subspace", IntegerType(), False),
+            StructField("code", IntegerType(), False),
+            StructField("_sq", DoubleType(), False),
+        ]
     )
-    return step1.selectExpr(
-        id_col, f"explode(array({structs})) AS _e"
-    ).selectExpr(
+
+    def encode(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            X = np.stack(pdf["_v"].to_numpy())
+            ids = pdf[id_col].to_numpy()
+            id_out, sub_out, code_out, sq_out = [], [], [], []
+            for s in subs:
+                Xs = X[:, s * d_sub : (s + 1) * d_sub]
+                Cs = cents[s]
+                acc = np.zeros((n, len(Cs)), dtype=np.float64)
+                for j in range(d_sub):
+                    diff = Xs[:, j : j + 1] - Cs[None, :, j]
+                    acc = acc + diff * diff
+                best = np.argmin(acc, axis=1)
+                id_out.append(ids)
+                sub_out.append(np.full(n, s, dtype="int32"))
+                code_out.append(code_ids[s][best])
+                sq_out.append(acc[np.arange(n), best])
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(id_out),
+                    "subspace": np.concatenate(sub_out),
+                    "code": np.concatenate(code_out),
+                    "_sq": np.concatenate(sq_out),
+                }
+            )
+
+    return base.mapInPandas(encode, schema).select(
         id_col,
-        "_e.subspace AS subspace",
-        "_e.code AS code",
-        "_e.sq_err AS sq_err",
+        "subspace",
+        "code",
+        F.round("_sq", 6).alias("sq_err"),
     )
 
 

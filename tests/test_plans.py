@@ -434,10 +434,19 @@ def test_global_topk_avoids_full_sort(spark):
 # add its name here in the same commit.
 CODEGEN_FLOORS = {
     "image_phash_dct": 2,
-    "embedding_pq_codes": 2,
-    "ann_pq_adc_topk": 7,
     "kmeans_elbow_inertia": 3,
     "embedding_jl_distortion": 4,
+}
+
+# Round-12: the pq family's fold projections moved to Arrow kernels
+# (mapInPandas, bit-identical dim-loop arithmetic — similarity.py
+# pq_encode / pair_dot_arrow), so their failure mode is no longer "fold
+# silently interpreted" but "kernel silently replaced by expression
+# work"; pin the kernel's presence in the executed plan instead.
+ARROW_KERNEL_FLOORS = {
+    "embedding_pq_codes": 1,
+    "ann_pq_adc_topk": 1,
+    "embedding_pca_top_component": 2,  # Gram partials + power iteration
 }
 
 
@@ -457,6 +466,24 @@ def test_generated_sql_operators_stay_in_codegen(spark):
         got[name] = codegen_stage_count(df)
     bad = {n: (c, CODEGEN_FLOORS[n]) for n, c in got.items() if c < CODEGEN_FLOORS[n]}
     assert not bad, f"codegen stages below recorded floor (got, floor): {bad}"
+
+
+def test_arrow_kernel_operators_keep_their_kernels(spark):
+    """The Arrow-kernelized operators must keep their MapInPandas
+    nodes in the executed plan (the §4.2 shape: Spark distributes,
+    numpy computes the fold bit-identically)."""
+    from eventstreamml_spark import queries as q
+    from eventstreamml_spark.plans.inspect import executed_plan
+
+    qs = q.queries()
+    bad = {}
+    for name, floor in ARROW_KERNEL_FLOORS.items():
+        df = qs[name](spark, SF)
+        df.collect()
+        got = executed_plan(df).count("MapInPandas")
+        if got < floor:
+            bad[name] = (got, floor)
+    assert not bad, f"Arrow kernels missing (got, floor): {bad}"
 
 
 def test_codegen_detector_distinguishes_zero_stages(spark):
