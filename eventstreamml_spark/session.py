@@ -25,13 +25,31 @@ RUNTIME_CONFS = {
 }
 
 
+import weakref
+
+_CONFS_APPLIED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
-    """Set must-have runtime confs on an existing session (idempotent)."""
+    """Set must-have runtime confs on an existing session (idempotent).
+
+    Applied once per live session object: this runs on EVERY
+    load_table call (hundreds of times per bench run), and each
+    conf.set is a py4j round trip — a per-query driver constant for no
+    new information. Weak identity keying: a stopped/collected session
+    drops out, and a NEW session object (even in the same process)
+    gets the confs applied."""
+    if spark in _CONFS_APPLIED:
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # immutable on some builds; reads then fail loudly later
+    try:
+        _CONFS_APPLIED.add(spark)
+    except TypeError:
+        pass  # non-weakrefable session implementation: re-apply each call
     return spark
 
 

@@ -48,6 +48,16 @@ def _nano_ts_columns(path: str) -> tuple[str, ...]:
     )
 
 
+#: (abs path, mtime) -> Spark schema from the FIRST load's inference.
+#: Passing the schema back on later loads skips the per-query JVM
+#: footer-inference step — pure metadata reuse (never rows, never
+#: results; the mtime key re-infers if the driver regenerates a file).
+#: Measurable because the bench constructs each query's plan fresh per
+#: rep: ~500 queries × reps × tables of repeated schema inference is a
+#: driver-side fixed cost on every mid-tail query (guide §1.2 step 2).
+_SCHEMA_CACHE: dict[tuple[str, float], object] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table, normalizing nano timestamps to timestamp_ntz.
 
@@ -56,7 +66,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     apply_runtime_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    df = spark.read.parquet(path)
+    key = (os.path.abspath(path), os.path.getmtime(path))
+    cached = _SCHEMA_CACHE.get(key)
+    if cached is not None:
+        df = spark.read.schema(cached).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
     for c in _nano_ts_columns(path):
         # nanos since epoch (long) → micros → naive timestamp. Integer
         # DIV, not float division: int64 nanos exceed double's 2^53
