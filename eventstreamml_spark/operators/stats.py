@@ -1237,28 +1237,50 @@ def t_closeness(
         )
     )
     gb = binned.groupBy("_g", "_b").agg(F.count(F.lit(1)).cast("double").alias("_c"))
-    gn = gb.groupBy("_g").agg(F.sum("_c").alias("_ng"))
-    glob = binned.groupBy("_b").agg(F.count(F.lit(1)).cast("double").alias("_cg"))
-    tot = binned.groupBy().agg(F.count(F.lit(1)).cast("double").alias("_nt"))
-    grid = (
-        gn.select("_g", "_ng")
-        .select("_g", "_ng", F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("_b"))
-        .join(
-            gb.withColumnRenamed("_g", "_gb").withColumnRenamed("_b", "_bb"),
-            F.col("_g").eqNullSafe(F.col("_gb"))
-            & (F.col("_b") == F.col("_bb")),
-            "left",
-        )
-        .drop("_gb", "_bb")
-        .join(F.broadcast(glob), "_b", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "_g",
-            "_b",
-            "_ng",
-            (F.coalesce(F.col("_c"), F.lit(0.0)) / F.col("_ng")).alias("_p"),
-            (F.coalesce(F.col("_cg"), F.lit(0.0)) / F.col("_nt")).alias("_pg"),
-        )
+    # The former shape referenced the contingency FOUR times (per-group
+    # totals, per-bin totals, grand total, densify join) and Catalyst
+    # re-expanded the scan+bin subtree per reference — the executed
+    # plan carried 16 scan copies. One reference instead: collapse each
+    # group's bins to a map (one shuffle), densify by exploding the
+    # fixed 0..k-1 bin sequence against the map, and take per-bin /
+    # grand totals as windows over the dense |groups × k| grid — the
+    # dense grid's zero bins contribute nothing to those sums, and
+    # every sum adds integer-valued doubles (exact far below 2^53), so
+    # all probabilities are bit-identical to the join form.
+    per_g = gb.groupBy("_g").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_b"), F.col("_c")))
+        ).alias("_m"),
+        F.sum("_c").alias("_ng"),
+    )
+    dense = per_g.select(
+        "_g",
+        "_ng",
+        "_m",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_bins - 1).cast("long"))
+        ).alias("_b"),
+    ).select(
+        "_g",
+        "_ng",
+        "_b",
+        # try_element_at: missing bin → NULL → 0.0 (ANSI-safe lookup)
+        F.coalesce(F.try_element_at("_m", F.col("_b")), F.lit(0.0)).alias("_c"),
+    )
+    # per-bin totals: a _b-partitioned window over the dense grid (k
+    # partitions of |groups| rows — parallel and bounded at any group
+    # cardinality; never an unpartitioned window, which would funnel
+    # the whole grid through one task). Grand total: a one-row
+    # broadcast aggregate of the per-group sums (the second and last
+    # reference of the contingency subtree — down from four).
+    tot = per_g.groupBy().agg(F.sum("_ng").alias("_nt"))
+    wb = W.partitionBy("_b")
+    grid = dense.crossJoin(F.broadcast(tot)).select(
+        "_g",
+        "_b",
+        "_ng",
+        (F.col("_c") / F.col("_ng")).alias("_p"),
+        (F.sum("_c").over(wb) / F.col("_nt")).alias("_pg"),
     )
     w = W.partitionBy("_g").orderBy("_b").rowsBetween(W.unboundedPreceding, 0)
     cum = grid.select(

@@ -578,18 +578,39 @@ def peak_concurrency_by_day(
     day_us = 86_400_000_000
     s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
     e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
-    starts = intervals.groupBy(s_us.alias("_t")).agg(
-        F.count(F.lit(1)).cast("long").alias("_cs")
-    )
-    ends = intervals.groupBy(e_us.alias("_t")).agg(
-        F.count(F.lit(1)).cast("long").alias("_ce")
+    # ONE pass over the interval relation: each interval contributes a
+    # (t, start-flag) and a (t, end-flag) boundary row, folded by a
+    # single groupBy. The former per-side groupBys + full_outer join
+    # referenced ``intervals`` twice — Catalyst re-expands the caller's
+    # (often window-heavy) session pipeline per reference, and the join
+    # added a second shuffle for a relation this explode produces
+    # value-identically (zero-filled counts per distinct timestamp).
+    boundaries = intervals.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    s_us.alias("_t"),
+                    F.lit(1).cast("long").alias("_cs"),
+                    F.lit(0).cast("long").alias("_ce"),
+                ),
+                F.struct(
+                    e_us.alias("_t"),
+                    F.lit(0).cast("long").alias("_cs"),
+                    F.lit(1).cast("long").alias("_ce"),
+                ),
+            )
+        ).alias("_b")
     )
     grid = (
-        starts.join(ends, "_t", "full_outer")
+        boundaries.groupBy(F.col("_b._t").alias("_t"))
+        .agg(
+            F.sum("_b._cs").alias("_cs"),
+            F.sum("_b._ce").alias("_ce"),
+        )
         .select(
             "_t",
-            F.coalesce("_cs", F.lit(0)).alias("_cs"),
-            F.coalesce("_ce", F.lit(0)).alias("_ce"),
+            "_cs",
+            "_ce",
             (F.col("_t") - (F.col("_t") % day_us)).alias("_dt"),
         )
     )

@@ -890,13 +890,18 @@ class TestRound6PlanShapes:
             (F.col("id") % 97).cast("double").alias("v"),
         )
         plan = self._plan(t_closeness(df, "g", "v"))
-        # cumulative EMD windows partition by group over the group x bin
-        # grid — never an unpartitioned window (the SinglePartition
-        # exchanges in this plan are the one-row min/max scalar
-        # aggregates, the documented broadcast-scalar pattern)
+        # every window partitions by group (cumulative EMD) or by bin
+        # (per-bin totals over the dense grid) — never an unpartitioned
+        # window (the SinglePartition exchanges in this plan are the
+        # one-row scalar aggregates, the documented broadcast-scalar
+        # pattern)
         n_specs = plan.count("windowspecdefinition(")
         assert n_specs >= 1
-        assert plan.count("windowspecdefinition(_g") == n_specs
+        assert (
+            plan.count("windowspecdefinition(_g")
+            + plan.count("windowspecdefinition(_b")
+            == n_specs
+        )
 
 
 class TestRidgeRegression:
