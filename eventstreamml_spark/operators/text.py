@@ -1023,7 +1023,11 @@ def rake_keyphrases(
         ).alias("phrase"),
         F.count(F.lit(1)).alias("_len"),
         F.collect_list("word").alias("_words"),
-    )
+        # phrase-occurrence-sized, referenced by BOTH the word-stat and
+        # phrase-score branches — without the checkpoint each branch
+        # re-expanded the explode+window segmentation over the corpus
+        # (round-12 paired A/B: 6/6 wins, values identical)
+    ).localCheckpoint()
     wstat = (
         occ.select(F.explode("_words").alias("word"), "_len")
         .groupBy("word")
