@@ -347,11 +347,17 @@ def bloom_membership_audit(
             % m_bits
         )
 
-    bkeys = build.select(F.col(key_col).alias("_k")).distinct()
+    # build keys are referenced by the bit set, the truth relation AND
+    # the load-factor count; the bit set by the probe semi-join and the
+    # bit count — each reference re-expanded the build-side scan+md5
+    # chain (12 scan copies in the audit's executed plan). Both are
+    # bounded tiny by construction (selective build side; ≤ m_bits).
+    bkeys = build.select(F.col(key_col).alias("_k")).distinct().localCheckpoint()
     bits = (
         bkeys.select("_k", ks)
         .select(pos(F.col("_k"), F.col("_j")).alias("_pos"))
         .distinct()
+        .localCheckpoint()
     )
     pkeys = probe.select(F.col(key_col).alias("_k")).distinct()
     probes = pkeys.select("_k", ks).select(

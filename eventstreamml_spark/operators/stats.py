@@ -1721,6 +1721,13 @@ def fisher_exact_2x2(
         F.sum(((r == 0) & (c == 1)).cast("long")).alias("cc"),
         F.sum(((r == 0) & (c == 0)).cast("long")).alias("d"),
     )
+    # One row; its subtree is the only corpus scan in the operator.
+    # Materialized per invocation: m is referenced by the lf builder,
+    # the k-grid AND (via tab) the output projection, and lf itself is
+    # broadcast NINE times below — without the pin Catalyst re-expands
+    # the corpus aggregation per reference (measured on
+    # fisher_exact_purchase_cohort: a 2,432-line physical plan with 78
+    # scan copies and 160 Exchanges; round-12 paired A/B below).
     m = tab.select(
         "a", "b", "cc", "d",
         (F.col("a") + F.col("b")).alias("r1"),
@@ -1728,8 +1735,10 @@ def fisher_exact_2x2(
         (F.col("a") + F.col("cc")).alias("c1"),
         (F.col("b") + F.col("d")).alias("c2"),
         (F.col("a") + F.col("b") + F.col("cc") + F.col("d")).alias("n"),
-    )
-    # log-factorial relation lf(i) = ln(i!) for i in 0..n
+    ).localCheckpoint()
+    tab = m.select("a", "b", "cc", "d")
+    # log-factorial relation lf(i) = ln(i!) for i in 0..n — |n| rows,
+    # looked up by 8 broadcast equi-joins: materialized once
     lf = (
         m.select(F.explode(F.sequence(F.lit(1), F.col("n"))).alias("i"))
         .withColumn(
@@ -1741,6 +1750,7 @@ def fisher_exact_2x2(
         .unionByName(
             m.select(F.lit(0).cast("long").alias("i"), F.lit(0.0).alias("lf"))
         )
+        .localCheckpoint()
     )
 
     def _lf(expr, alias):
@@ -1790,7 +1800,9 @@ def fisher_exact_2x2(
         - F.col("lf_c1k")
         - F.col("lf_rest")
     )
-    scored = cur.withColumn("pmf", F.exp(logpmf))
+    # ≤min(margin) rows; referenced by BOTH the observed-table filter
+    # and the tail sum — pin so the 8-join chain executes once
+    scored = cur.withColumn("pmf", F.exp(logpmf)).localCheckpoint()
     obs = scored.filter(F.col("k") == F.col("a")).select(
         F.col("pmf").alias("pmf_obs")
     )
