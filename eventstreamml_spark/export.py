@@ -65,21 +65,65 @@ def tensorize(
     Time is minutes since each subject's first selected event (W3,
     event_stream_pytorch_dataset.py:296-310).
     """
-    # Materialize each vocabulary once per call (localCheckpoint, not
-    # .cache(): a plan-keyed cache would be silently shared with the
-    # next identical invocation in-session). The size counts below are
-    # driver actions at plan-build and the et/metadata maps reference
-    # the vocab again at execution — without this, a build_vocabulary
-    # plan (3 scans of its source) executes ~4x per tensorize call.
-    vocabs = {name: v.localCheckpoint() for name, v in vocabs.items()}
+    # Materialize ALL vocabularies in ONE eager job and compute every
+    # block size in ONE grouped collect (localCheckpoint, not .cache():
+    # a plan-keyed cache would be silently shared with the next
+    # identical invocation in-session). Without materialization a
+    # build_vocabulary plan (3 scans of its source) executes ~4x per
+    # tensorize call; r12 additionally folded the per-vocab
+    # localCheckpoint + per-vocab .count() driver actions (4-6 Spark
+    # jobs per call, each paying job/AQE scheduling overhead) into a
+    # tagged union — the same vocabulary subtrees run once, inside a
+    # single job, and one small aggregate yields every size.
+    _STATIC_TAG = "\x00__static__"
+
+    def _tag(tag_name: str, v: DataFrame) -> DataFrame:
+        freq_col = (
+            F.col("freq").cast("double")
+            if "freq" in v.columns
+            else F.lit(None).cast("double")
+        )
+        return v.select(
+            F.lit(tag_name).alias("_vocab_name"),
+            F.col("element").cast("string").alias("element"),
+            freq_col.alias("freq"),
+            F.col("idx").cast("int").alias("idx"),
+        )
+
+    _names = list(vocabs)
+    tagged = None
+    for name, v in vocabs.items():
+        tv = _tag(name, v)
+        tagged = tv if tagged is None else tagged.unionByName(tv)
     if static_vocab is not None:
-        static_vocab = static_vocab.localCheckpoint()
+        tagged = tagged.unionByName(_tag(_STATIC_TAG, static_vocab))
+    tagged = tagged.localCheckpoint()
+    vocabs = {
+        name: tagged.filter(F.col("_vocab_name") == name).drop("_vocab_name")
+        for name in _names
+    }
+    if static_vocab is not None:
+        static_vocab = tagged.filter(
+            F.col("_vocab_name") == _STATIC_TAG
+        ).drop("_vocab_name")
 
     # block sizes: event_type has no UNK slot; metadata vocabs keep it
-    sizes = {"event_type": vocabs["event_type"].filter(F.col("element") != UNK).count()}
+    _size_rows = (
+        tagged.groupBy("_vocab_name")
+        .agg(
+            F.count(F.lit(1)).alias("_n_all"),
+            F.count(F.when(F.col("element") != UNK, F.lit(1))).alias(
+                "_n_non_unk"
+            ),
+        )
+        .collect()
+    )
+    _n_all = {r["_vocab_name"]: r["_n_all"] for r in _size_rows}
+    _n_non_unk = {r["_vocab_name"]: r["_n_non_unk"] for r in _size_rows}
+    sizes = {"event_type": _n_non_unk.get("event_type", 0)}
     meas_index = {"event_type": 1}
-    for i, name in enumerate(n for n in vocabs if n != "event_type"):
-        sizes[name] = vocabs[name].count()
+    for i, name in enumerate(n for n in _names if n != "event_type"):
+        sizes[name] = _n_all.get(name, 0)
         meas_index[name] = i + 2
     offsets = assign_measurement_offsets(sizes)
 

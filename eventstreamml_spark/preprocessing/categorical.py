@@ -206,17 +206,17 @@ class CategoricalPreprocessor:
         alive = status.filter(~F.col("dropped")).select(m)
         vocab = unk.unionByName(kept).join(F.broadcast(alive), m, "left_semi")
 
-        # Materialize the tiny fitted relations per fit() call.
-        # localCheckpoint, NOT .cache(): CacheManager keys on the
-        # canonicalized plan, so a cache here would be silently reused
-        # by a later identical fit() in the same session (cross-run
-        # result reuse). localCheckpoint is eager and per-invocation —
-        # every fit recomputes from its inputs — and truncates the
-        # plan, so downstream transform/tensorize references stop
-        # re-expanding the fit subtree.
+        # status/vocab stay LAZY plans over the checkpointed base: they
+        # are vocabulary-sized window/agg chains whose re-execution
+        # inside a consuming job costs less than the two extra eager
+        # localCheckpoint jobs did (r12 interleaved A/B:
+        # categorical_fit_vocab 1.57->0.96 s B 6/6, oov_transform and
+        # age_numeric_preprocess B 6/6 — the round-11 materialization
+        # boundary applies: only EXPENSIVE re-expanded subtrees pay for
+        # a checkpoint, and base is already materialized above).
         return CategoricalPreprocessorModel(
-            status=status.localCheckpoint(),
-            vocab=vocab.localCheckpoint(),
+            status=status,
+            vocab=vocab,
             measurement_col=m,
             element_col=e,
         )
