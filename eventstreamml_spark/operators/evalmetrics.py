@@ -210,18 +210,44 @@ def multiclass_metrics(
     counts = preds.groupBy(
         F.col(label_col).alias("_l"), F.col(pred_col).alias("_p")
     ).agg(F.count(F.lit(1)).alias("_n"))
-    by_label = counts.groupBy(F.col("_l").alias("clazz")).agg(
-        F.sum("_n").alias("_n_label"),
-        F.sum(F.when(F.col("_p") == F.col("_l"), F.col("_n"))).alias("_tp_l"),
-    )
-    by_pred = counts.groupBy(F.col("_p").alias("clazz")).agg(
-        F.sum("_n").alias("_n_pred")
-    )
-    m = by_label.join(by_pred, "clazz", "outer").select(
-        "clazz",
-        F.coalesce(F.col("_tp_l"), F.lit(0)).cast("long").alias("tp"),
-        F.coalesce(F.col("_n_label"), F.lit(0)).cast("long").alias("n_label"),
-        F.coalesce(F.col("_n_pred"), F.lit(0)).cast("long").alias("n_pred"),
+    # Both marginals from ONE pass over the confusion relation: each
+    # (label, pred, n) row is exploded into a label-role and a
+    # pred-role contribution and a single clazz groupBy reduces them.
+    # The old two-groupBy + outer-join form referenced `counts` twice,
+    # and Catalyst re-expands the ENTIRE preds subtree per reference
+    # (for the language-ID callers that is the per-doc text heuristic
+    # pipeline, executed 2x). Sums are exact integers, so the values
+    # are order-independent and identical to the joined form (a class
+    # missing from one role contributes the same coalesced 0).
+    expl = counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("_l").alias("clazz"),
+                    F.lit(True).alias("_is_label"),
+                    F.col("_n").alias("_n"),
+                    (F.col("_l") == F.col("_p")).alias("_diag"),
+                ),
+                F.struct(
+                    F.col("_p").alias("clazz"),
+                    F.lit(False).alias("_is_label"),
+                    F.col("_n").alias("_n"),
+                    F.lit(False).alias("_diag"),
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.*")
+    m = expl.groupBy("clazz").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("_is_label") & F.col("_diag"), F.col("_n"))),
+            F.lit(0),
+        ).cast("long").alias("tp"),
+        F.coalesce(
+            F.sum(F.when(F.col("_is_label"), F.col("_n"))), F.lit(0)
+        ).cast("long").alias("n_label"),
+        F.coalesce(
+            F.sum(F.when(~F.col("_is_label"), F.col("_n"))), F.lit(0)
+        ).cast("long").alias("n_pred"),
     )
     prec = F.try_divide(F.col("tp"), F.col("n_pred"))
     rec = F.try_divide(F.col("tp"), F.col("n_label"))
@@ -404,28 +430,53 @@ def cohens_kappa(
         F.col(label_col).alias("_l"), F.col(pred_col).alias("_p")
     ).agg(F.count(F.lit(1)).cast("double").alias("_n"))
     # p_e = Σ_k row_k · col_k / N² where k ranges over classes seen in
-    # EITHER role: reduce each marginal separately and outer-join on
-    # the class key (missing side = 0 contributes nothing).
-    by_l = counts.groupBy(F.col("_l").alias("clazz")).agg(
-        F.sum("_n").alias("_row")
+    # EITHER role. ONE pass over the confusion relation: each (l, p, n)
+    # row explodes into a label-role and a pred-role contribution, a
+    # clazz groupBy yields both marginals plus the diagonal mass, and a
+    # global aggregate folds them to (N, diag, Σ row·col). The old
+    # three-reference form (by_l, by_p, tot) re-expanded the ENTIRE
+    # preds subtree per reference — 3 executions of the language-ID
+    # text pipeline per call. All sums are exact integers carried in
+    # doubles (< 2^53), so every value is order-independent and
+    # bit-identical to the joined form (a class missing from one role
+    # contributes the same coalesced 0 to the product).
+    expl = counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("_l").alias("clazz"),
+                    F.lit(True).alias("_is_label"),
+                    F.col("_n").alias("_n"),
+                    (F.col("_l") == F.col("_p")).alias("_diag_f"),
+                ),
+                F.struct(
+                    F.col("_p").alias("clazz"),
+                    F.lit(False).alias("_is_label"),
+                    F.col("_n").alias("_n"),
+                    F.lit(False).alias("_diag_f"),
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.*")
+    per_class = expl.groupBy("clazz").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("_is_label"), F.col("_n"))), F.lit(0.0)
+        ).alias("_row"),
+        F.coalesce(
+            F.sum(F.when(~F.col("_is_label"), F.col("_n"))), F.lit(0.0)
+        ).alias("_col"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("_is_label") & F.col("_diag_f"), F.col("_n"))
+            ),
+            F.lit(0.0),
+        ).alias("_diag_n"),
     )
-    by_p = counts.groupBy(F.col("_p").alias("clazz")).agg(
-        F.sum("_n").alias("_col")
+    j = per_class.groupBy().agg(
+        F.sum("_row").alias("_nt"),
+        F.sum("_diag_n").alias("_diag"),
+        F.sum(F.col("_row") * F.col("_col")).alias("_sum_rc"),
     )
-    marg = by_l.join(by_p, "clazz", "outer").select(
-        (
-            F.coalesce(F.col("_row"), F.lit(0.0))
-            * F.coalesce(F.col("_col"), F.lit(0.0))
-        ).alias("_rc")
-    )
-    tot = counts.groupBy().agg(
-        F.sum("_n").alias("_nt"),
-        F.sum(
-            F.when(F.col("_l") == F.col("_p"), F.col("_n")).otherwise(0.0)
-        ).alias("_diag"),
-    )
-    pe_rel = marg.groupBy().agg(F.sum("_rc").alias("_sum_rc"))
-    j = tot.crossJoin(F.broadcast(pe_rel))
     po = F.col("_diag") / F.col("_nt")
     pe = F.col("_sum_rc") / (F.col("_nt") * F.col("_nt"))
     return j.select(
