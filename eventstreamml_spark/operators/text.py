@@ -1279,6 +1279,11 @@ def nb_lang_train_weights(
     labeled = w.join(docs.select(id_col, lang_col), id_col)
     from pyspark.sql import Window as W
 
+    # r12 measured revert, do not re-try: pinning vocab (3 refs) and
+    # counts (2 refs) read 3.22 -> 3.94 s, B 2/8 interleaved — the
+    # tokenizer-explode copies run in parallel inside the one scoring
+    # job, while the checkpoints serialize them into staged jobs (the
+    # corpus_cross_source verdict again).
     vocab = (
         w.groupBy("word")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -1291,6 +1296,7 @@ def nb_lang_train_weights(
         .filter(F.col("_rk") <= vocab_size)
         .select("word")
     )
+
     langs = docs.groupBy(lang_col).agg(F.count(F.lit(1)).alias("n_docs"))
     n_total = docs.groupBy().agg(F.count(F.lit(1)).alias("nt"))
     v_actual = vocab.groupBy().agg(F.count(F.lit(1)).alias("v"))
@@ -1299,6 +1305,7 @@ def nb_lang_train_weights(
         .groupBy(lang_col, "word")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
     lang_tok = counts.groupBy(lang_col).agg(F.sum("c").alias("n_l"))
     grid = (
         langs.select(lang_col)
