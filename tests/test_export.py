@@ -303,3 +303,52 @@ def test_golden_reference_layout_parity(spark):
     want_vals_s2 = [[None, None, ages_s2[0], None], [None, 1.0, 5.0, ages_s2[1], None]]
     for got_row, want_row in zip(s2["dynamic_values"], want_vals_s2):
         assert got_row == pytest.approx(want_row, rel=1e-12)
+
+
+def test_tensorize_vocab_union_single_materialization(spark):
+    """r12: all vocabularies (and the static vocab) materialize through
+    ONE tagged-union localCheckpoint and block sizes come from one
+    grouped collect — a vocab missing freq, an UNK-only vocab, and a
+    name colliding with nothing must all keep the pre-union offset
+    arithmetic."""
+    events = spark.createDataFrame(
+        [
+            (0, 1, _ts("2020-01-01 00:00:00"), "admit"),
+            (1, 1, _ts("2020-01-01 00:30:00"), "lab"),
+        ],
+        "event_id long, subject_id long, timestamp timestamp, event_type string",
+    )
+    metadata = spark.createDataFrame(
+        [(0, 1, "labval", "hr", 70.0)],
+        "metadata_id long, event_id long, measurement string, element string,"
+        " value double",
+    )
+    # freq-less vocab exercises the null-padded union column
+    nofreq = spark.createDataFrame(
+        [("UNK", 0), ("hr", 1), ("bp", 2)], "element string, idx int"
+    )
+    # UNK-only vocab: block size 1, nothing maps into it
+    unk_only = spark.createDataFrame([("UNK", 0.0, 0)],
+                                     "element string, freq double, idx int")
+    vocabs = {
+        "event_type": _vocab(spark, ["admit", "lab"]),  # block [1,2]
+        "labval": nofreq,                               # size 3 -> offset 3
+        "emptyish": unk_only,                           # size 1 -> offset 6
+    }
+    static_df = spark.createDataFrame([(1, "F")], "subject_id long, sex string")
+    static_vocab = _vocab(spark, ["F", "M"])
+    out = {
+        r["subject_id"]: r
+        for r in tensorize(
+            events, metadata, vocabs,
+            static_df=static_df, static_vocab=static_vocab,
+            static_col="sex",
+        ).collect()
+    }
+    s1 = out[1]
+    # admit -> 1; lab -> 2 then hr at labval offset 3 + idx 1 = 4
+    assert s1["dynamic_indices"] == [[1], [2, 4]]
+    # static block starts after emptyish (offset 6 + size 1 = 7): F idx1 -> 8
+    assert s1["static_indices"] == [8]
+    # emptyish occupies measurement index 3, static follows at 4
+    assert s1["static_measurement_indices"] == [4]
