@@ -925,8 +925,14 @@ class TestRound8bPlanShapes:
                 spark, "/root/testdata/sf0.001"
             )
         )
-        # every IRLS pass joins the tiny per-type state via broadcast
-        assert "BroadcastHashJoin" in plan
+        # r12: the |types|-row IRLS state is pinned per invocation
+        # (each un-pinned iteration referenced it twice, holding the
+        # med/mad double-window chain 2^iters times in the final
+        # plan). The returned frame is a projection over the
+        # checkpointed state: it must read the RDD scan, never
+        # re-scan events parquet, and never cartesian-join.
+        assert "Scan ExistingRDD" in plan
+        assert "Scan parquet" not in plan
         assert "CartesianProduct" not in plan
 
     def test_hill_broadcasts_threshold(self, spark):
